@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over the driver parquet testdata (TESTDATA.md).
+  *
+  * Mirrors the reference's catalog registration (O12,
+  * TransactionProcessor.java:89,130,168): names resolve to configured
+  * sources. Here the sources are parquet dirs; the streaming package has
+  * the Kafka/memory analogues.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read it as raw nanos and narrow to micros
+      // ourselves (the data is µs-granular, so this is lossless).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        // integral `div`, not `/`: double division would lose precision
+        // above 2^53 (epoch-nanos are ~1.7e18)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every testdata table as a temp view so `spark.sql` queries
+    * (subqueries, SQL-surface checks) resolve by name — same names the
+    * DuckDB oracle uses.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

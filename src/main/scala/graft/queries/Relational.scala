@@ -1,0 +1,337 @@
+package graft.queries
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Q01–Q25 of the declared capability inventory (SURVEY.md §2.3): the
+  * Table-API-class relational operator set the reference's stack implies,
+  * re-expressed as idiomatic Catalyst-optimized DataFrame plans.
+  *
+  * Determinism contract (SURVEY.md §7.4): every query ends in an explicit
+  * ORDER BY on a unique key; double aggregates go through exact
+  * DECIMAL(12,2) sums (associative, so Spark's shuffle order and DuckDB's
+  * scan order cannot perturb bits) and are cast back to double at the end;
+  * integer-ish outputs are widened to BIGINT to match DuckDB's types.
+  */
+object Relational {
+
+  /** Exact money arithmetic: decimal sums are order-independent, unlike
+    * double sums, so the hash-compare against DuckDB is bit-stable.
+    */
+  private val D = DecimalType(12, 2)
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast(DoubleType)
+  private def davg(c: Column): Column = sum(c.cast(D)).cast(DoubleType) / count(c)
+
+  /** Q01 — parquet scan, full width (reference O1 analog, batch).
+    * (l_orderkey, l_linenumber) is NOT unique in this synthetic data, so
+    * the deterministic sort key is the full row.
+    */
+  def q01Scan(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.orderBy(li.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Q02 — projection + theta filter (reference O4/O5: `status <> 'F'`). */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") =!= "F" && col("o_totalprice") > 1000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q03 — nested scalar conditional: the reference's FX conversion (O6,
+    * TransactionProcessor.java:184-187) re-expressed over `events`.
+    * Single-op double multiplies are bit-identical across engines.
+    */
+  def q03Conditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        when(col("event_type") === "purchase", col("value") * 1.1)
+          .when(col("event_type") === "click", col("value") * 1.3)
+          .otherwise(col("value"))
+          .as("v_usd"))
+      .orderBy(col("event_id"))
+
+  /** Q04 — inner equi-join; big-big, so Catalyst picks shuffle/SMJ at
+    * scale (AQE may still broadcast at small SF).
+    */
+  def q04JoinInner(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Q05 — broadcast join: `region` is tiny, force the broadcast so no
+    * shuffle of `nation` happens at any scale.
+    */
+  def q05JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Q06 — left outer join; null-side rows sort NULLS LAST explicitly so
+    * Spark and DuckDB agree on row order.
+    */
+  def q06JoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_last)
+  }
+
+  /** Q07 — left semi join (EXISTS): customers with at least one order. */
+  def q07JoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q08 — left anti join (NOT EXISTS): customers with no orders. */
+  def q08JoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q09 — theta join: equi conjunct carries the shuffle, the range
+    * predicate `l_quantity < p_size` is evaluated post-match (no
+    * cartesian anywhere).
+    */
+  def q09JoinTheta(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+    l.join(p, l("l_partkey") === p("p_partkey") && l("l_quantity") < p("p_size"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        col("l_quantity"), col("p_size"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        col("l_quantity"), col("p_size"))
+  }
+
+  /** Q10 — multi-key hash aggregation, TPC-H Q1 shape. Partial (map-side)
+    * aggregation is free from Catalyst; decimal sums keep it exact.
+    */
+  def q10Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val discPrice = col("l_extendedprice").cast(D) *
+      (lit(1).cast(D) - col("l_discount").cast(D))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q11 — exact distinct aggregation (expands to a two-phase plan). */
+  def q11CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(countDistinct(col("o_custkey")).as("n_custkeys"))
+
+  /** Q12 — approximate distinct via HyperLogLog++. Deliberately has no
+    * DuckDB hash oracle (different sketch implementations); the spec-level
+    * check (±5% of exact) lives in RelationalSpec.
+    */
+  def q12ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  /** Q13 — ROLLUP: grouping-set nulls are folded to 'ALL' sentinels
+    * (no natural nulls in these columns) so ordering is engine-agnostic.
+    */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  /** Q14 — ranking window functions, top-3 per customer (rank ties share
+    * values in both engines; row_number is made unique by the o_orderkey
+    * tiebreak).
+    */
+  def q14WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Q15 — analytic window functions with an explicit ROWS frame. The
+    * 3-row moving sum goes through decimal so frame-order FP effects
+    * cannot appear.
+    */
+  def q15WindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(col("o_totalprice").cast(D)).over(w.rowsBetween(-2, 0))
+          .cast(DoubleType).as("mov_sum_3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q16 — global top-k: compiles to TakeOrderedAndProject, i.e. per-
+    * partition heaps + driver merge — no global sort at any scale.
+    */
+  def q16TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  /** Q17 — set operations: INTERSECT + EXCEPT feeding a UNION ALL. */
+  def q17SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ok = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    val ck = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val both = ok.intersect(ck).withColumn("tag", lit("both"))
+    val none = ck.except(ok).withColumn("tag", lit("no_orders"))
+    both.unionByName(none).select(col("tag"), col("k")).orderBy(col("tag"), col("k"))
+  }
+
+  /** Q18 — string function surface (all codegen'd builtins). */
+  def q18Strings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("un"),
+        substring(col("c_name"), 1, 8).as("sb"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).as("cc"),
+        trim(col("c_name")).as("tr"),
+        length(col("c_name")).cast(LongType).as("len"),
+        col("c_name").like("%1%").as("lk"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("re"),
+        array_join(split(col("c_name"), "#"), "|").as("sp"))
+      .orderBy(col("c_custkey"))
+
+  /** Q19 — date/time function surface. */
+  def q19Dates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q20 — math function surface. sqrt is IEEE-exact; ln is rounded to
+    * 6 dp to absorb sub-ulp libm differences.
+    */
+  def q20Math(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 1000).as("ab"),
+        floor(col("o_totalprice")).cast(LongType).as("fl"),
+        ceil(col("o_totalprice")).cast(LongType).as("ce"),
+        round(sqrt(col("o_totalprice")), 6).as("sq"),
+        round(log(col("o_totalprice")), 6).as("ln_"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q21 — array function surface over the embedding vectors (scalar
+    * outputs only: float formatting/list encodings differ across engines,
+    * values do not).
+    */
+  def q21Arrays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        element_at(col("embedding"), 1).as("v0"),
+        array_min(col("embedding")).as("vmin"),
+        array_max(col("embedding")).as("vmax"),
+        exists(col("embedding"), _ > 0.2f).as("has_big"))
+      .orderBy(col("vec_id"))
+
+  /** Q21b — explode/UNNEST (Generator) with position. */
+  def q21Explode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+
+  /** Q22 — map function surface (mirrors the reference's MAP metadata
+    * column, TransactionProcessor.java:103-105); scalar outputs.
+    */
+  def q22Maps(s: SparkSession, dir: String): DataFrame = {
+    val m = map(
+      lit("type"), col("event_type"),
+      lit("uid"), col("user_id").cast(StringType))
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        element_at(m, "type").as("mt"),
+        size(m).cast(LongType).as("msz"),
+        array_join(array_sort(map_keys(m)), ",").as("mkeys"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q23 — JSON functions over the `props` JSON string column. */
+  def q23Json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k_struct"))
+      .orderBy(col("event_id"))
+
+  /** Q24 — correlated subqueries through the SQL surface, exercising
+    * Catalyst decorrelation. The FP-safe formulation compares
+    * `price * n > exact_sum` (single-op arithmetic on both engines)
+    * instead of `price > avg`.
+    */
+  val q24Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice * (SELECT COUNT(*) FROM orders x WHERE x.o_custkey = o.o_custkey)
+      |      > (SELECT CAST(SUM(CAST(y.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |         FROM orders y WHERE y.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def q24Subquery(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(q24Sql)
+  }
+
+  /** Q25 — exact dedup: latest event per (user_id, event_type), the
+    * window-rank form of `dropDuplicates` (reference extension; SURVEY.md
+    * §2.3 Q25). Timestamps exported as epoch micros so DuckDB's ns
+    * precision cannot skew the compare.
+    */
+  def q25DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+}
