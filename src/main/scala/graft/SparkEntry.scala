@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{Relational, Windows}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.udx.Udx
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,7 +45,60 @@ object SparkEntry {
     "q23_json" -> Relational.q23Json _,
     "q24_subquery" -> Relational.q24Subquery _,
     "q25_dedup_exact" -> Relational.q25DedupExact _,
+    "q26_cosine_topk" -> Similarity.q26CosineTopK _,
+    "q26_ann_lsh" -> Similarity.annLsh _,
+    "q27_top_tokens" -> TextAnalysis.q27TopTokens _,
+    "q30_tumble" -> Windows.q30Tumble _,
+    "q31_slide" -> Windows.q31Slide _,
+    "q31_session" -> Windows.q31Session _,
+    "dedup_exact_text" -> Dedup.exactText _,
+    "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> Similarity.embeddingNearDup _,
+    "text_token_stats" -> TextAnalysis.tokenStats _,
+    "text_langid" -> TextAnalysis.langId _,
+    "text_quality" -> TextAnalysis.qualityScore _,
+    "text_fingerprint" -> TextAnalysis.fingerprint _,
+    "mm_media_meta" -> Multimodal.mediaMeta _,
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "mm_corpus_stats" -> Multimodal.corpusStats _,
+    "mm_dim_join" -> Multimodal.dimJoin _,
+    "udx_scalar" -> Udx.udxScalar _,
+    "udx_udaf" -> Udx.udxUdaf _,
+    "udx_udtf" -> Udx.udxUdtf _,
   )
+
+  /** DuckDB SQL fragments shared by several oracles. */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  private val shinglesSql =
+    s"""list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       | for i in range(1, len(toks)-1)])""".stripMargin.replace("\n", " ")
+  /** Brute-force all-pairs shingle-Jaccard (the oracle for both the
+    * MinHash-LSH and inverted-index implementations — approx-with-verify
+    * equals exact on this corpus).
+    */
+  private val jaccardOracle =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS s FROM d),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+       |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT i, j, round(CAST(inter AS DOUBLE)/(sa+sb-inter), 6) AS jac
+       |FROM p WHERE (sa+sb-inter) > 0 AND CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.7
+       |ORDER BY i, j""".stripMargin
+  /** Double-precision cosine top-5 for probe vec_id=0. */
+  private val cosineTopkOracle =
+    """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+      |idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)),
+      |s AS (SELECT b.vec_id,
+      |        SUM(CAST(b.embedding[idx.x] AS DOUBLE) * CAST(q.e[idx.x] AS DOUBLE)) AS dot,
+      |        SUM(CAST(b.embedding[idx.x] AS DOUBLE) * CAST(b.embedding[idx.x] AS DOUBLE)) AS nb,
+      |        SUM(CAST(q.e[idx.x] AS DOUBLE) * CAST(q.e[idx.x] AS DOUBLE)) AS nq
+      |      FROM embeddings b, q, idx WHERE b.vec_id <> 0 GROUP BY b.vec_id)
+      |SELECT vec_id, round(dot/(sqrt(nb)*sqrt(nq)), 6) AS score
+      |FROM s ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan" ->
@@ -161,5 +216,106 @@ object SparkEntry {
       ("SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, event_type"),
+    "q26_cosine_topk" -> cosineTopkOracle,
+    // q26_ann_lsh: no hash oracle — ANN is approximate by contract (this
+    // corpus is near-orthogonal, max pairwise cosine 0.37, so any
+    // sublinear method trades recall); SimilaritySpec asserts its scores
+    // are a correct subset of the brute-force ranking.
+    "q27_top_tokens" ->
+      (s"SELECT token, COUNT(*) AS cnt FROM " +
+        s"(SELECT unnest($toksSql) AS token FROM documents) " +
+        "GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10"),
+    "q30_tumble" ->
+      ("SELECT epoch_us(time_bucket(INTERVAL 1 minute, CAST(ts AS TIMESTAMP))) AS w_start, " +
+        "event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+    "q31_slide" ->
+      ("SELECT w_start, COUNT(*) AS cnt FROM " +
+        "(SELECT epoch_us(time_bucket(INTERVAL 30 seconds, CAST(ts AS TIMESTAMP))) - u.o AS w_start " +
+        " FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(30000000 AS BIGINT))) u(o)) " +
+        "GROUP BY w_start ORDER BY w_start"),
+    "q31_session" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events), " +
+        "m AS (SELECT user_id, tu, CASE WHEN LAG(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL " +
+        "OR tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 30000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+        "g AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS grp FROM m) " +
+        "SELECT user_id, MIN(tu) AS w_start, MAX(tu) + 30000000 AS w_end, COUNT(*) AS cnt " +
+        "FROM g GROUP BY user_id, grp ORDER BY user_id, w_start"),
+    "dedup_exact_text" ->
+      ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents " +
+        "GROUP BY text ORDER BY keep_id"),
+    "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_embedding" ->
+      """WITH idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)),
+        |p AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS ea, b.embedding AS eb
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |s AS (SELECT i, j,
+        |        SUM(CAST(ea[idx.x] AS DOUBLE) * CAST(eb[idx.x] AS DOUBLE)) AS dot,
+        |        SUM(CAST(ea[idx.x] AS DOUBLE) * CAST(ea[idx.x] AS DOUBLE)) AS na,
+        |        SUM(CAST(eb[idx.x] AS DOUBLE) * CAST(eb[idx.x] AS DOUBLE)) AS nb
+        |      FROM p, idx GROUP BY i, j)
+        |SELECT i, j, round(dot/(sqrt(na)*sqrt(nb)), 6) AS score
+        |FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY i, j""".stripMargin,
+    "text_token_stats" ->
+      (s"SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish " +
+        s"FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id"),
+    "text_langid" ->
+      (s"WITH d AS (SELECT doc_id, lang, $toksSql AS toks FROM documents), " +
+        "h AS (SELECT doc_id, lang, " +
+        "len(list_filter(toks, t -> t IN ('der','die','das','und','nicht'))) AS h_de, " +
+        "len(list_filter(toks, t -> t IN ('el','los','una','por','con'))) AS h_es, " +
+        "len(list_filter(toks, t -> t IN ('le','les','des','est','dans'))) AS h_fr, " +
+        "len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS h_en FROM d) " +
+        "SELECT doc_id, CASE " +
+        "WHEN h_de > 0 AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_en THEN 'de' " +
+        "WHEN h_es > 0 AND h_es >= h_fr AND h_es >= h_en THEN 'es' " +
+        "WHEN h_fr > 0 AND h_fr >= h_en THEN 'fr' " +
+        "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS pred_lang, lang " +
+        "FROM h ORDER BY doc_id"),
+    "text_quality" ->
+      (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS DOUBLE) / len(toks) AS avg_tok_span, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio, " +
+        "CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE) / len(toks) AS stopword_ratio " +
+        s"FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id"),
+    "text_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(trim(lower(text)), '[^a-z0-9]+', ' ', 'g')) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "mm_media_meta" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(16 + ascii(substring(text, 1, 1)) % 64 AS BIGINT) AS width, " +
+        "CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + octet_length(encode(text)) % 8 END AS BIGINT) AS n_frames " +
+        "FROM documents ORDER BY doc_id"),
+    "mm_frame_sample" ->
+      ("SELECT doc_id, CAST(f.x AS BIGINT) AS frame_idx, " +
+        "CAST(16 + ascii(substring(text, 1, 1)) % 64 AS BIGINT) AS width, " +
+        "CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height " +
+        "FROM documents, unnest(range(0, 1 + octet_length(encode(text)) % 8, 2)) AS f(x) " +
+        "WHERE doc_id % 2 = 1 ORDER BY doc_id, frame_idx"),
+    "mm_corpus_stats" ->
+      ("SELECT lang, source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars " +
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+    "mm_dim_join" ->
+      ("SELECT doc_id, lang, CAST(len(embedding) AS BIGINT) AS dim, label " +
+        "FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"),
+    "udx_scalar" ->
+      ("SELECT event_id, CASE WHEN event_type='purchase' THEN value*1.1 " +
+        "WHEN event_type='click' THEN value*1.3 ELSE value END AS v_usd " +
+        "FROM events ORDER BY event_id"),
+    "udx_udaf" ->
+      ("SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geo_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "udx_udtf" ->
+      (s"SELECT doc_id, CAST(r.range AS BIGINT) AS idx, toks[CAST(r.range AS INT)] AS token " +
+        s"FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 5), range(1, 10000) r " +
+        "WHERE r.range <= len(toks) ORDER BY doc_id, idx"),
   )
 }

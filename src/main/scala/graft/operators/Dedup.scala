@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection over `documents` — the dedup family a
+  * training-data pipeline needs (exact, MinHash+LSH, SimHash, exact
+  * n-gram Jaccard). All variants are shuffle-conscious: candidate
+  * generation goes through bucket keys (LSH bands / simhash bands /
+  * shingle inverted index), never an all-pairs cartesian; the exact
+  * verification join only touches candidate pairs.
+  */
+object Dedup {
+
+  private val NumPerms = 128   // minhash permutations
+  private val BandRows = 4     // rows per LSH band
+  private val NumBands = NumPerms / BandRows // 32 bands → P(detect J=.8) ≈ 1-2e-8
+
+  /** Exact dedup groups by full text: keeper = min doc_id per text. */
+  def exactText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** (doc_id, shingle) exploded pairs — the shared input of the minhash
+    * and exact-Jaccard paths.
+    */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+
+  /** Exact-verify candidate pairs: intersection via a shingle-key join
+    * restricted to candidates, |A∪B| = |A|+|B|−|A∩B|, keep Jaccard ≥ thr.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // equi-join on (doc, shingle) both times: each candidate pair costs
+    // |A∩B| joined rows, not |A|×|B|
+    val inter = cand
+      .join(sh.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("shingle")), Seq("j", "shingle"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sza")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("szb")), "j")
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= thr)
+      .select(col("i"), col("j"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** MinHash + LSH banding: 128 permutations via seeded xxhash64, 32
+    * bands of 4 → bucket-join candidates → exact-Jaccard verify ≥ 0.7.
+    * The only shuffles are the per-doc signature aggregation and the
+    * band-bucket join; nothing is O(n²).
+    */
+  def minhashLsh(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
+    val sh = docShingles(s, dir).cache()
+    val sig = sh.groupBy(col("doc_id"))
+      .agg(array((0 until NumPerms).map(p =>
+        min(xxhash64(lit(p), col("shingle")))): _*).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b =>
+        xxhash64(lit(b) +: (0 until BandRows).map(r =>
+          element_at(col("sig"), b * BandRows + r + 1)): _*)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bhash"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyJaccard(cand, sh, thr)
+  }
+
+  /** Exact n-gram Jaccard: candidates from the shingle inverted index
+    * (docs sharing ≥1 shingle; high-df shingles capped to bound the
+    * candidate blow-up — a pair sharing *only* ubiquitous shingles cannot
+    * reach the threshold), then the same exact verification.
+    */
+  def ngramJaccard(s: SparkSession, dir: String, thr: Double = 0.7,
+      dfCap: Int = 1000): DataFrame = {
+    val sh = docShingles(s, dir).cache()
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("shingle"))
+    val indexed = sh.join(rare, "shingle")
+    val cand = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyJaccard(cand, sh, thr)
+  }
+
+  /** SimHash signatures: 64-bit fingerprint from token-multiset hashes —
+    * per-bit ±1 vote over every token occurrence, bit set where votes are
+    * positive. Weight-sensitive (unlike MinHash's set semantics), so it
+    * catches boilerplate-heavy near-dups.
+    */
+  def simhashSigs(docs: DataFrame): DataFrame = {
+    val toksTbl = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"bit$i")
+    }
+    toksTbl.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"bit$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with EXACT recall at the threshold: the 64
+    * bits split into (maxHamming+1) contiguous bands, so by pigeonhole any
+    * pair within maxHamming flips shares at least one untouched band —
+    * banding is a pure candidate pruner, never a recall loss. Candidates
+    * then pass an exact bit_count(xor) filter.
+    */
+  def simhash(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
+    simhashPairs(simhashSigs(t(s, dir, "documents")), maxHamming)
+
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = 64 / nBands; val rem = 64 % nBands
+    // first `rem` bands are one bit wider; offsets partition [0, 64)
+    val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val bandCols = (0 until nBands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+      shiftrightunsigned(col("simhash"), offsets(b)).bitwiseAND(mask)
+    }
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"),
+        col("col").as("bval"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("i"), col("j"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded/feature-extracted in distributed batches.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake (derives "media properties" from the
+  * bytes themselves); everything around it — binary schema, typed
+  * Dataset encoders, mapPartitions batch shape, partition-local decode,
+  * metadata join-back — is the real Spark plumbing a codec would slot
+  * into. In production replace `decodeStub`'s body with the codec call;
+  * signatures stay identical.
+  */
+object Multimodal {
+
+  /** A media asset: id + raw payload + declared kind. */
+  final case class MediaAsset(doc_id: Long, payload: Array[Byte], kind: String)
+
+  /** Decoded metadata a real decoder would emit. */
+  final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
+      width: Long, height: Long, n_frames: Long)
+
+  /** Documents' text re-materialized as binary payloads — the parquet
+    * `binary` column shape a real multimodal table would carry.
+    */
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("video").as("kind"))
+      .as[MediaAsset]
+  }
+
+  /** STUB DECODER — deterministic fake standing in for an image/video
+    * codec (none available in this container). Real implementation would
+    * batch-decode `a.payload` here, partition-locally.
+    */
+  private def decodeStub(a: MediaAsset): MediaMeta = {
+    val n = a.payload.length.toLong
+    val b0 = if (n > 0) a.payload(0) & 0xffL else 0L
+    MediaMeta(a.doc_id, a.kind, n,
+      width = 16 + b0 % 64,
+      height = 16 + n % 64,
+      n_frames = if (a.kind == "video") 1 + n % 8 else 1)
+  }
+
+  /** Distributed decode: mapPartitions over the typed Dataset — one
+    * decoder instance per partition (where a real codec would amortize
+    * init cost), no driver involvement, output re-enters Catalyst with a
+    * full schema.
+    */
+  def decodeMeta(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    assets(s, dir).mapPartitions(_.map(decodeStub))
+  }
+
+  /** Per-kind media stats over the decoded metadata (oracle-checked: the
+    * stub is deterministic, so DuckDB reproduces it from the text bytes).
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    decodeMeta(s, dir).toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
+        col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling plumbing: every k-th "frame" of video assets as its
+    * own row — the explode shape a video pipeline uses, driven by the
+    * stub's n_frames.
+    */
+  def frameSample(s: SparkSession, dir: String, every: Int = 2): DataFrame = {
+    import s.implicits._
+    decodeMeta(s, dir)
+      .filter(_.kind == "video")
+      .flatMap(m => (0L until m.n_frames by every.toLong)
+        .map(f => (m.doc_id, f, m.width, m.height)))
+      .toDF("doc_id", "frame_idx", "width", "height")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Corpus stats over mixed text/vector tables (SURVEY.md Q28): per
+    * (lang, source) doc counts + exact avg char length, and the
+    * embedding-dimension check join documents ⋈ embeddings.
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  def dimJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").as("d")
+      .join(t(s, dir, "embeddings").as("e"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        size(col("embedding")).cast(LongType).as("dim"), col("label"))
+      .orderBy(col("doc_id"))
+}

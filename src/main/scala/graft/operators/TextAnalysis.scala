@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.3 Q27 + the
+  * training-data-pipeline extensions): token statistics, corpus top-k
+  * tokens, marker-based language ID, quality scoring, fingerprinting.
+  * Everything is map-side expression work + one aggregation; nothing
+  * collects to the driver.
+  */
+object TextAnalysis {
+
+  /** Q27 — corpus-level top-10 tokens: tokenize → explode → count.
+    * Catalyst's partial aggregation makes the explode→groupBy map-side
+    * combine before the single shuffle on token.
+    */
+  def q27TopTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(10)
+
+  /** Per-document token counts (whitespace-word and BPE-ish) + distinct
+    * count — the token-budget accounting a training pipeline runs.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        size(bpeishTokens(col("text"))).cast(LongType).as("n_bpeish"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-marker word lists. On this synthetic corpus every language
+    * shares one vocabulary, so predictions skew 'en' — the *operator*
+    * (deterministic marker scoring + fixed precedence) is what is under
+    * test, and the oracle replicates it exactly.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "los", "una", "por", "con"),
+    "fr" -> Seq("le", "les", "des", "est", "dans"),
+    "en" -> Seq("the", "a", "of", "and", "is"))
+
+  private def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast(LongType)
+
+  /** N-gram-heuristic language ID: count marker-word occurrences per
+    * language; highest count wins, ties resolved by the fixed precedence
+    * de > es > fr > en; all-zero → 'und' (undetermined).
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = markers.map { case (lang, ws) => lang -> markerHits(toks, ws) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(elseCol)
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), pred.as("pred_lang"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: the length/punctuation/stopword-ratio heuristics a
+    * pretraining filter applies. All ratios are single double divisions of
+    * exact integers (bit-stable across engines).
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast(LongType)
+    val nTokens = size(toks).cast(LongType)
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      .cast(LongType)
+    val stopHits = markerHits(toks, markers.toMap.apply("en"))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nTokens.as("n_tokens"),
+        (length(col("text")).cast(DoubleType) / nTokens).as("avg_tok_span"),
+        (nPunct.cast(DoubleType) / nChars).as("punct_ratio"),
+        (stopHits.cast(DoubleType) / nTokens).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text —
+    * the cheap exact-dedup key. (The rolling-hash variant lives in
+    * Dedup.simhash's bit mixing.)
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "[^a-z0-9]+", " ")
+          .cast(BinaryType)).as("fp"))
+      .orderBy(col("doc_id"))
+}

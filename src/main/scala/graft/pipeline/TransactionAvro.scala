@@ -1,0 +1,186 @@
+package graft.pipeline
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.pipeline.TransactionPipeline.{ApprovedTransaction, Transaction}
+
+/** Hand-rolled Avro codec for the reference's Kafka wire format (O2,
+  * SURVEY.md §7.3): Confluent framing = 1 magic byte (0x00) + 4-byte
+  * big-endian schema id + Avro binary body. There is no spark-avro module
+  * on this classpath, so encode/decode run on avro-core directly; schemas
+  * are built programmatically to mirror Transaction.avsc /
+  * ApprovedTransaction.avsc (timestamp-millis longs, nullable unions with
+  * null default — /root/reference/src/main/avro/Transaction.avsc:1-53).
+  *
+  * Thread-safety: readers/writers are stateless; per-call encoders are
+  * cheap (BinaryEncoder without reuse) — adequate for the record sizes
+  * involved; pass reuse buffers if this ever shows in a profile.
+  */
+object TransactionAvro {
+
+  val MagicByte: Byte = 0x00
+
+  val transactionSchema: Schema = SchemaBuilder
+    .record("Transaction").namespace("graft.avro")
+    .fields()
+    .requiredString("id")
+    .requiredDouble("amount")
+    .requiredString("currency")
+    .name("timestamp").`type`(timestampMillis()).noDefault()
+    .name("description").`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
+    .requiredString("merchant")
+    .name("category").`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
+    .requiredString("status")
+    .requiredString("userId")
+    .name("metadata").`type`().unionOf().nullType().and().map().values().stringType().endUnion().nullDefault()
+    .endRecord()
+
+  val approvedSchema: Schema = SchemaBuilder
+    .record("ApprovedTransaction").namespace("graft.avro")
+    .fields()
+    .requiredString("id")
+    .requiredDouble("amount")
+    .requiredString("currency")
+    .name("timestamp").`type`(timestampMillis()).noDefault()
+    .requiredString("merchant")
+    .requiredString("userId")
+    .requiredDouble("amountInUsd")
+    .name("processingTimestamp").`type`(timestampMillis()).noDefault()
+    .endRecord()
+
+  private def timestampMillis(): Schema = {
+    val s = Schema.create(Schema.Type.LONG)
+    org.apache.avro.LogicalTypes.timestampMillis().addToSchema(s)
+  }
+
+  // ---- framing ----
+
+  def frame(schemaId: Int, body: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(5 + body.length)
+    buf.put(MagicByte).putInt(schemaId).put(body)
+    buf.array()
+  }
+
+  /** Strip the Confluent header; returns (schemaId, body). */
+  def unframe(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    require(bytes.length >= 5 && bytes(0) == MagicByte,
+      s"not Confluent-framed (len=${bytes.length})")
+    val buf = ByteBuffer.wrap(bytes)
+    buf.get()
+    val id = buf.getInt
+    (id, java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
+  }
+
+  // ---- generic record (de)serialization ----
+
+  private def toBytes(rec: GenericRecord, schema: Schema): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def fromBytes(bytes: Array[Byte], schema: Schema): GenericRecord =
+    new GenericDatumReader[GenericRecord](schema)
+      .read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+
+  // ---- Transaction ----
+
+  def encodeTransaction(t: Transaction, schemaId: Int = 1): Array[Byte] = {
+    val r = new GenericData.Record(transactionSchema)
+    r.put("id", t.id)
+    r.put("amount", t.amount)
+    r.put("currency", t.currency)
+    r.put("timestamp", t.timestamp.getTime)
+    r.put("description", t.description.orNull)
+    r.put("merchant", t.merchant)
+    r.put("category", t.category.orNull)
+    r.put("status", t.status)
+    r.put("userId", t.userId)
+    r.put("metadata", t.metadata.map(m => {
+      val jm = new java.util.HashMap[String, String]()
+      m.foreach { case (k, v) => jm.put(k, v) }
+      jm
+    }).orNull)
+    frame(schemaId, toBytes(r, transactionSchema))
+  }
+
+  def decodeTransaction(bytes: Array[Byte]): Transaction = {
+    val (_, body) = unframe(bytes)
+    val r = fromBytes(body, transactionSchema)
+    def str(f: String): String = Option(r.get(f)).map(_.toString).orNull
+    Transaction(
+      id = str("id"),
+      amount = r.get("amount").asInstanceOf[Double],
+      currency = str("currency"),
+      timestamp = new java.sql.Timestamp(r.get("timestamp").asInstanceOf[Long]),
+      description = Option(r.get("description")).map(_.toString),
+      merchant = str("merchant"),
+      category = Option(r.get("category")).map(_.toString),
+      status = str("status"),
+      userId = str("userId"),
+      metadata = Option(r.get("metadata")).map { m =>
+        import scala.jdk.CollectionConverters._
+        m.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala
+          .map { case (k, v) => k.toString -> v.toString }.toMap
+      })
+  }
+
+  // ---- ApprovedTransaction ----
+
+  def encodeApproved(a: ApprovedTransaction, schemaId: Int = 2): Array[Byte] = {
+    val r = new GenericData.Record(approvedSchema)
+    r.put("id", a.id)
+    r.put("amount", a.amount)
+    r.put("currency", a.currency)
+    r.put("timestamp", a.timestamp.getTime)
+    r.put("merchant", a.merchant)
+    r.put("userId", a.userId)
+    r.put("amountInUsd", a.amountInUsd)
+    r.put("processingTimestamp", a.processingTimestamp.getTime)
+    frame(schemaId, toBytes(r, approvedSchema))
+  }
+
+  def decodeApproved(bytes: Array[Byte]): ApprovedTransaction = {
+    val (_, body) = unframe(bytes)
+    val r = fromBytes(body, approvedSchema)
+    ApprovedTransaction(
+      id = r.get("id").toString,
+      amount = r.get("amount").asInstanceOf[Double],
+      currency = r.get("currency").toString,
+      timestamp = new java.sql.Timestamp(r.get("timestamp").asInstanceOf[Long]),
+      merchant = r.get("merchant").toString,
+      userId = r.get("userId").toString,
+      amountInUsd = r.get("amountInUsd").asInstanceOf[Double],
+      processingTimestamp =
+        new java.sql.Timestamp(r.get("processingTimestamp").asInstanceOf[Long]))
+  }
+
+  /** SQL-surface access: decode_transaction(binary) → Transaction struct,
+    * encode_approved(struct, id) → framed binary. UDF (not a custom
+    * Expression) is the right tool here — the Avro codec is black-box
+    * library code, nothing to codegen.
+    */
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("decode_transaction",
+      (bytes: Array[Byte]) => decodeTransaction(bytes))
+    spark.udf.register("encode_approved", (row: Row, schemaId: Int) =>
+      encodeApproved(ApprovedTransaction(
+        id = row.getAs[String]("id"),
+        amount = row.getAs[Double]("amount"),
+        currency = row.getAs[String]("currency"),
+        timestamp = row.getAs[java.sql.Timestamp]("timestamp"),
+        merchant = row.getAs[String]("merchant"),
+        userId = row.getAs[String]("userId"),
+        amountInUsd = row.getAs[Double]("amountInUsd"),
+        processingTimestamp = row.getAs[java.sql.Timestamp]("processingTimestamp")),
+        schemaId))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference pipeline (O1–O13, SURVEY.md §2.1), Spark-native: Kafka
+  * source with Confluent-Avro values → filter(status <> 'CANCELLED') →
+  * 8-column projection with the FX conversion and processing timestamp →
+  * Kafka sink.
+  *
+  * Citations into /root/reference: source table
+  * TransactionProcessor.java:89-116, filter :174, projection :176-189, FX
+  * expression :184-187, processing time :189, sink :130-151, CLI defaults
+  * :200-211.
+  *
+  * The relational core (`transform`) is source-agnostic so the
+  * deterministic test tier drives it from MemoryStream/batch fixtures
+  * (replacing the reference's sleep-based Testcontainers harness —
+  * SURVEY.md §5.2); `fromKafka`/`toKafka` bind the same plan to brokers.
+  */
+object TransactionPipeline {
+
+  /** Input record (Transaction.avsc: fields per SURVEY.md §1.3). */
+  final case class Transaction(
+      id: String,
+      amount: Double,
+      currency: String,
+      timestamp: java.sql.Timestamp,
+      description: Option[String],
+      merchant: String,
+      category: Option[String],
+      status: String,
+      userId: String,
+      metadata: Option[Map[String, String]])
+
+  /** Output record (ApprovedTransaction.avsc). */
+  final case class ApprovedTransaction(
+      id: String,
+      amount: Double,
+      currency: String,
+      timestamp: java.sql.Timestamp,
+      merchant: String,
+      userId: String,
+      amountInUsd: Double,
+      processingTimestamp: java.sql.Timestamp)
+
+  /** O6 — the nested-IF FX conversion, exactly the reference's constants
+    * (EUR×1.1, GBP×1.3, else identity).
+    */
+  def fxToUsd(amount: Column, currency: Column): Column =
+    when(currency === "EUR", amount * 1.1)
+      .when(currency === "GBP", amount * 1.3)
+      .otherwise(amount)
+
+  /** O3–O8: watermark + filter + projection. One straight pipe — no
+    * shuffle, fused by WholeStageCodegen, identical plan batch or
+    * per-micro-batch.
+    */
+  def transform(transactions: DataFrame): DataFrame =
+    transactions
+      .withWatermark("timestamp", "5 seconds")
+      .filter(col("status") =!= "CANCELLED")
+      .select(
+        col("id"),
+        col("amount"),
+        col("currency"),
+        col("timestamp"),
+        col("merchant"),
+        col("userId"),
+        fxToUsd(col("amount"), col("currency")).as("amountInUsd"),
+        current_timestamp().as("processingTimestamp"))
+
+  /** O1/O2 — Kafka streaming source with Confluent-Avro value decode.
+    * (Requires the kafka connector on the runtime classpath; the
+    * deterministic test tier uses MemoryStream instead.)
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
+    import spark.implicits._
+    TransactionAvro.registerUdfs(spark)
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(call_udf("decode_transaction", col("value")).as("t"))
+      .select(col("t.*"))
+  }
+
+  /** O9 — Kafka sink carrying Confluent-framed Avro values. */
+  def toKafka(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String, schemaId: Int = 1): StreamingQuery =
+    df.select(col("id").cast("string").as("key"),
+        call_udf("encode_approved", struct(df.columns.map(col).toIndexedSeq: _*),
+          lit(schemaId)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** O13 — CLI entry mirroring the reference's positional args/defaults. */
+  def main(args: Array[String]): Unit = {
+    val bootstrap = if (args.length > 0) args(0) else "localhost:9092"
+    // args(1) would be the schema-registry URL in the reference; our
+    // hand-rolled codec only needs the numeric schema id.
+    val inTopic = if (args.length > 2) args(2) else "transactions"
+    val outTopic = if (args.length > 3) args(3) else "approved_transactions"
+    val spark = SparkSession.builder()
+      .appName("transaction-processor")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val q = toKafka(transform(fromKafka(spark, bootstrap, inTopic)),
+      bootstrap, outTopic, s"/tmp/graft-ckpt-$outTopic")
+    q.awaitTermination() // O10
+  }
+}

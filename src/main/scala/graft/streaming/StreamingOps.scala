@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming forms of the window/state operators (SURVEY.md
+  * §2.3 Q30–Q32). Each takes an unbounded event DataFrame (schema:
+  * event_id long, ts timestamp, user_id long, event_type string, value
+  * double) and returns the transformed streaming DataFrame; callers pick
+  * source (Kafka/memory) and sink. The batch twins in
+  * graft.queries.Windows share the same window expressions — that pairing
+  * is what makes the streaming semantics oracle-checkable.
+  *
+  * Scale posture: all state is keyed and watermark-bounded, so state
+  * store size is O(active windows × keys), never O(stream); no global
+  * aggregation without a key.
+  */
+object StreamingOps {
+
+  /** Q30 — 1-minute tumbling counts per event_type, watermark 5 s
+    * (mirrors the reference's bounded out-of-orderness,
+    * TransactionProcessor.java:106); late rows beyond the watermark drop.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"),
+        col("sum_value"))
+
+  /** Q31a — sliding 1-minute/30-second counts. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "1 minute", "30 seconds").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+
+  /** Q31b — session windows per user, 30 s gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("cnt"))
+
+  /** Q32 — stateful streaming dedup on event_id with watermark-scoped
+    * state TTL: state for ids older than the watermark is evicted, so
+    * memory is bounded by the out-of-orderness window, not the stream.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count (the arbitrary-state escape hatch the Table API lacks). Pass
+    * ProcessingTimeTimeout in production to bound abandoned keys — note
+    * that timeouts make the engine self-trigger empty micro-batches to
+    * check them, so the deterministic test tier runs NoTimeout.
+    */
+  def runningUserCounts(events: Dataset[(Long, Long)],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(timeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.getOption.getOrElse(0L)
+            state.remove()
+            UserCount(user, n)
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout) {
+              state.setTimeoutDuration("1 hour")
+            }
+            UserCount(user, n)
+          }
+      }
+  }
+
+  /** Append-mode sink shorthand used by tests: run to completion over a
+    * memory sink and return the result table name.
+    */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Relational
+import graft.udx.Udx
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operator-tier checks that the DuckDB oracle can't express: approximate
+  * bounds, approximation contracts, cross-implementation agreement, and
+  * expression edge cases.
+  */
+class OperatorsSpec extends SparkSpecBase {
+
+  test("Q12: approx_count_distinct within 5% of exact") {
+    val approx = Relational.q12ApproxDistinct(spark, sfDir)
+      .collect()(0).getLong(0).toDouble
+    val exact = Tables.t(spark, sfDir, "lineitem")
+      .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("cosine_sim: handles nulls, zero vectors, and matches manual math") {
+    VectorFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),   // orthogonal → 0
+      Row(Seq(1.0f, 2.0f), Seq(2.0f, 4.0f)),   // parallel → 1
+      Row(Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)),   // zero norm → null
+      Row(null, Seq(1.0f, 1.0f)))              // null input → null
+    val out = spark.createDataFrame(rows, schema)
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()
+    assert(math.abs(out(0).getDouble(0)) < 1e-12)
+    assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-12)
+    assert(out(2).isNullAt(0) && out(3).isNullAt(0))
+  }
+
+  test("ANN-LSH contract: scores exact, candidates a subset of brute-force ranking") {
+    val brute = Similarity.q26CosineTopK(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = {
+      // brute scores for every non-probe vector (ANN may return any subset)
+      VectorFunctions.register(spark)
+      val emb = Tables.t(spark, sfDir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0).select(col("embedding").as("p"))
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(VectorFunctions.cosineSim(col("embedding"), col("p")), 6).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val ann = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ann.nonEmpty && ann.length <= 5)
+    ann.foreach { case (id, score) => assert(full(id) == score) } // exact scores
+    assert(ann.map(_._2).toSeq == ann.map(_._2).toSeq.sorted.reverse) // ranked
+    assert(brute.size == 5) // baseline sanity
+  }
+
+  test("dedup: MinHash-LSH and exact inverted-index Jaccard agree") {
+    val lsh = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // the corpus has planted near-dups
+    assert(exact.forall(_._3 >= 0.7))
+  }
+
+  test("dedup: simhash banding has exact recall at the Hamming threshold") {
+    // pigeonhole guarantee: banded candidates must equal the brute-force
+    // pair set at the same threshold, computed here from the signatures
+    val sigs = Dedup.simhashSigs(Tables.t(spark, sfDir, "documents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val maxH = 8
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= maxH
+    } yield (i, j, h)).toSet
+    val banded = Dedup.simhash(spark, sfDir, maxHamming = maxH).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the planted near-dups do collide
+  }
+
+  test("dedup: simhash signature semantics (identical/perturbed/disjoint docs)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // 1 token swapped
+      (4L, "one two three four five six seven eight"))       // disjoint
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhashSigs(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L)) // identical text → identical signature
+    val near = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val far = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("udx: geometric mean matches closed form on a known group") {
+    import spark.implicits._
+    Udx.register(spark)
+    val df = Seq(("g", 2.0), ("g", 8.0)).toDF("k", "x")
+    val gm = df.groupBy(col("k"))
+      .agg(call_udf("geo_mean", col("x"))).collect()(0).getDouble(1)
+    assert(math.abs(gm - 4.0) < 1e-9) // √(2·8) = 4
+  }
+
+  test("udx: tokenizer UDTF emits 1-based ordered tokens") {
+    import spark.implicits._
+    Udx.register(spark)
+    Seq(("A b, c!", 1L)).toDF("text", "doc_id").createOrReplaceTempView("one_doc")
+    val rows = spark.sql(
+      "SELECT idx, token FROM one_doc LATERAL VIEW tokenize_udtf(text) t AS idx, token")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}

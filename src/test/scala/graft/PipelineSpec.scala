@@ -1,0 +1,82 @@
+package graft
+
+import graft.pipeline.{TransactionAvro, TransactionPipeline}
+import graft.pipeline.TransactionPipeline.Transaction
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Reference-pipeline replay (SURVEY.md §2.3 Q29): the canonical 5-row
+  * fixture (FIXTURES.md §A.3, from BaseTransactionTest.java:145-156) must
+  * produce 4 rows with amountInUsd = 100.0, 220.0, 195.0, 275.0 — the
+  * CANCELLED row filtered, the PENDING row passing (the filter is only
+  * `status <> 'CANCELLED'`, TransactionFlinkTest.java:87-93).
+  */
+class PipelineSpec extends SparkSpecBase {
+
+  private def ts(i: Int) =
+    java.sql.Timestamp.valueOf(s"2026-01-01 00:00:0$i")
+
+  private def fixture: Seq[Transaction] = Seq(
+    Transaction("t1", 100.0, "USD", ts(1), Some("Test transaction"),
+      "Test Merchant", Some("Test"), "APPROVED", "u1", Some(Map.empty)),
+    Transaction("t2", 200.0, "EUR", ts(2), Some("Test transaction"),
+      "Test Merchant", Some("Test"), "APPROVED", "u2", Some(Map.empty)),
+    Transaction("t3", 150.0, "GBP", ts(3), Some("Test transaction"),
+      "Test Merchant", Some("Test"), "APPROVED", "u3", Some(Map.empty)),
+    Transaction("t4", 300.0, "USD", ts(4), Some("Test transaction"),
+      "Test Merchant", Some("Test"), "CANCELLED", "u4", Some(Map.empty)),
+    Transaction("t5", 250.0, "EUR", ts(5), Some("Test transaction"),
+      "Test Merchant", Some("Test"), "PENDING", "u5", Some(Map.empty)))
+
+  private def expected = Map(
+    "t1" -> 100.0, "t2" -> 220.0, "t3" -> 195.0, "t5" -> 275.0)
+
+  test("batch transform reproduces the reference fixture contract") {
+    import spark.implicits._
+    val out = TransactionPipeline.transform(fixture.toDF())
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("amountInUsd")))
+      .toMap
+    assert(out.keySet == expected.keySet) // t4 (CANCELLED) gone, t5 (PENDING) kept
+    expected.foreach { case (id, usd) => assert(math.abs(out(id) - usd) < 0.001) }
+  }
+
+  test("streaming replay over MemoryStream matches the batch contract") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Transaction]
+    src.addData(fixture: _*)
+    val q = TransactionPipeline.transform(src.toDF())
+      .writeStream.format("memory").queryName("q29").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("q29").collect()
+    assert(rows.length == 4)
+    val byId = rows.map(r =>
+      r.getAs[String]("id") -> r.getAs[Double]("amountInUsd")).toMap
+    assert(byId.keySet == expected.keySet)
+    // 0.001 tolerance like the reference (TransactionFlinkTest.java:127-136)
+    expected.foreach { case (id, usd) => assert(math.abs(byId(id) - usd) < 0.001) }
+    // processingTimestamp only null-checked, like the reference
+    // (TransactionConsumerTest.java:126)
+    assert(rows.forall(_.getAs[java.sql.Timestamp]("processingTimestamp") != null))
+  }
+
+  test("Confluent-framed Avro round-trips every fixture row") {
+    fixture.foreach { t =>
+      val bytes = TransactionAvro.encodeTransaction(t, schemaId = 7)
+      assert(bytes(0) == 0x00)
+      val (id, _) = TransactionAvro.unframe(bytes)
+      assert(id == 7)
+      assert(TransactionAvro.decodeTransaction(bytes) == t)
+    }
+  }
+
+  test("decode rejects unframed payloads") {
+    intercept[IllegalArgumentException] {
+      TransactionAvro.unframe(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("avro schemas declare millisecond timestamps (parity with TIMESTAMP(3))") {
+    val f = TransactionAvro.transactionSchema.getField("timestamp").schema()
+    assert(f.getLogicalType.getName == "timestamp-millis")
+  }
+}

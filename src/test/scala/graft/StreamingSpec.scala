@@ -1,0 +1,108 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming window/state semantics (SURVEY.md §2.3 Q30–Q32) against
+  * deterministic MemoryStream replays — the golden tier that replaces the
+  * reference's sleep-based harness (SURVEY.md §5.2/§7.4).
+  */
+class StreamingSpec extends SparkSpecBase {
+  import StreamingSpec.Ev
+
+  private def ev(id: Long, t: String, user: Long = 1, typ: String = "click",
+      v: Double = 1.0) =
+    Ev(id, java.sql.Timestamp.valueOf(t), user, typ, v)
+
+  test("Q30: tumbling window counts, watermark drops late data") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(src.toDF())
+      .writeStream.format("memory").queryName("q30s").outputMode("append").start()
+
+    // batch 1: two events in the 00:00 window, one in 00:02 (watermark → 00:01:55)
+    src.addData(
+      ev(1, "2024-03-01 00:00:10"), ev(2, "2024-03-01 00:00:20"),
+      ev(3, "2024-03-01 00:02:10"))
+    q.processAllAvailable()
+    // batch 2: a late event for the already-finalized 00:00 window (dropped)
+    // plus an advancer that pushes the watermark past 00:03
+    src.addData(ev(4, "2024-03-01 00:00:30"), ev(5, "2024-03-01 00:04:00"))
+    q.processAllAvailable()
+    // batch 3: advance far enough to flush the 00:02 window
+    src.addData(ev(6, "2024-03-01 00:09:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("q30s")
+      .select($"w_start".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    assert(out("2024-03-01 00:00:00") == 2L) // late event 4 NOT counted
+    assert(out("2024-03-01 00:02:00") == 1L)
+  }
+
+  test("Q31: session windows merge events within the 30s gap") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.sessionCounts(src.toDF())
+      .writeStream.format("memory").queryName("q31s").outputMode("append").start()
+    src.addData(
+      ev(1, "2024-03-01 00:00:00", user = 7),
+      ev(2, "2024-03-01 00:00:20", user = 7),  // merges (gap 20s < 30s)
+      ev(3, "2024-03-01 00:01:30", user = 7))  // new session (gap 70s)
+    q.processAllAvailable()
+    src.addData(ev(9, "2024-03-01 01:00:00", user = 8)) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("q31s")
+      .select($"user_id", $"w_start".cast("string"), $"w_end".cast("string"), $"cnt")
+      .as[(Long, String, String, Long)].collect().filter(_._1 == 7L).sortBy(_._2)
+    assert(sessions.toSeq == Seq(
+      (7L, "2024-03-01 00:00:00", "2024-03-01 00:00:50", 2L),
+      (7L, "2024-03-01 00:01:30", "2024-03-01 00:02:00", 1L)))
+  }
+
+  test("Q32: stateful dedup keeps first occurrence per event_id") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.dedupStream(src.toDF())
+      .writeStream.format("memory").queryName("q32s").outputMode("append").start()
+    src.addData(
+      ev(1, "2024-03-01 00:00:01", v = 1.0),
+      ev(1, "2024-03-01 00:00:02", v = 99.0), // same id, same batch → dropped
+      ev(2, "2024-03-01 00:00:03", v = 2.0))
+    q.processAllAvailable()
+    src.addData(ev(1, "2024-03-01 00:00:04", v = 98.0)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("q32s").as[Ev].collect().sortBy(_.event_id)
+    assert(rows.map(_.event_id).toSeq == Seq(1L, 2L))
+    assert(rows.head.value == 1.0) // first occurrence won
+  }
+
+  test("mapGroupsWithState: running per-user counts accumulate across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long)]
+    val q = StreamingOps.runningUserCounts(src.toDS())
+      .writeStream.format("memory").queryName("mgs").outputMode("update").start()
+    src.addData((1L, 1L), (1L, 2L), (2L, 1L))
+    q.processAllAvailable()
+    src.addData((1L, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("mgs").as[StreamingOps.UserCount].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.n).max }
+    assert(last == Map(1L -> 3L, 2L -> 1L))
+  }
+}
+
+object StreamingSpec {
+  /** Top-level so Spark can synthesize an encoder (inner classes need the
+    * enclosing instance's scope).
+    */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+}
