@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan dumper: writes explain("formatted") for every SparkEntry query to
+  * outDir/<name>.txt — the review loop for shuffle/pushdown/codegen
+  * hygiene (run after every operator change; see PLANS.md for the
+  * digest).
+  *
+  * Usage: runMain graft.Explain <sfDir> <outDir>
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[explain] $name failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

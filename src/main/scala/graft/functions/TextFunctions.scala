@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercase word tokens: split on runs of non-alphanumerics, drop
-    * empties (leading/trailing separators produce '' in both engines).
+  /** Lowercase word tokens — semantically "split on non-alphanumeric
+    * runs, drop empties", implemented as a single codegen'd
+    * regexp_extract_all (the split+filter(lambda) form costs 3× more: the
+    * higher-order filter is interpreted per element).
     */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
   /** Distinct 3-gram word shingles (the MinHash/Jaccard unit). Documents
     * with fewer than 3 tokens get an empty set.

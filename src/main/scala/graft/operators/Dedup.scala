@@ -27,12 +27,21 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** (doc_id, shingle) exploded pairs — the shared input of the minhash
-    * and exact-Jaccard paths.
+  /** (doc_id, shingle-hash) exploded pairs — the shared input of the
+    * minhash and Jaccard paths. Shingles are collapsed to xxhash64 longs
+    * immediately: every downstream join/groupBy/permutation then runs on
+    * 8-byte keys instead of ~20-char strings (a large constant-factor win
+    * at any scale), and the distinct-set semantics are unchanged up to a
+    * ~n²/2⁶⁴ collision probability (≈4e-11 here).
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("shingle"))
+      // bind the token array before shingling: expression trees do not
+      // CSE, so element_at(tokens(text), i) inside the shingle transform
+      // would re-run the regexp split per element reference
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles3(col("toks"))).as("shingle_str"))
+      .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
 
   /** Exact-verify candidate pairs: intersection via a shingle-key join
     * restricted to candidates, |A∪B| = |A|+|B|−|A∩B|, keep Jaccard ≥ thr.
@@ -79,21 +88,33 @@ object Dedup {
     verifyJaccard(cand, sh, thr)
   }
 
-  /** Exact n-gram Jaccard: candidates from the shingle inverted index
-    * (docs sharing ≥1 shingle; high-df shingles capped to bound the
-    * candidate blow-up — a pair sharing *only* ubiquitous shingles cannot
-    * reach the threshold), then the same exact verification.
+  /** Exact n-gram Jaccard via prefix filtering (the PPJoin-family
+    * candidate pruner): order each doc's shingles rarest-first and index
+    * only the first ⌊(1−τ)·|A|⌋+1 of them — any pair with Jaccard ≥ τ
+    * must collide inside both prefixes, so pruning is lossless. A length
+    * filter (τ·|B| ≤ |A|) removes size-incompatible pairs before the
+    * exact verification join. Candidate volume drops from Σ df² over all
+    * shingles to Σ df² over prefix (rare) shingles — the difference
+    * between O(n²)-ish and near-linear on corpora with common shingles.
     */
-  def ngramJaccard(s: SparkSession, dir: String, thr: Double = 0.7,
-      dfCap: Int = 1000): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
     val sh = docShingles(s, dir).cache()
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select(col("shingle"))
-    val indexed = sh.join(rare, "shingle")
-    val cand = indexed.as("a")
-      .join(indexed.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    val prefixes = sh.join(df, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= floor(lit(1.0 - thr) * col("sz")) + 1)
+      .select(col("doc_id"), col("shingle"), col("sz"))
+      .cache() // referenced twice by the self-join
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: τ·max ≤ min is necessary for J ≥ τ
+          least(col("a.sz"), col("b.sz")) >=
+            lit(thr) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     verifyJaccard(cand, sh, thr)

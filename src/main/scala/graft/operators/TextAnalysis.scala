@@ -29,16 +29,18 @@ object TextAnalysis {
   /** Per-document token counts (whitespace-word and BPE-ish) + distinct
     * count — the token-budget accounting a training pipeline runs.
     */
-  def tokenStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // materialize the token array once per row — Catalyst does not CSE
+      // the regexp split across the three downstream expressions
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        bpeishTokens(col("text")).as("btoks"))
       .select(
         col("doc_id"),
-        size(toks).cast(LongType).as("n_tokens"),
-        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
-        size(bpeishTokens(col("text"))).cast(LongType).as("n_bpeish"))
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+        size(col("btoks")).cast(LongType).as("n_bpeish"))
       .orderBy(col("doc_id"))
-  }
 
   /** Language-marker word lists. On this synthetic corpus every language
     * shares one vocabulary, so predictions skew 'en' — the *operator*
@@ -59,13 +61,20 @@ object TextAnalysis {
     * de > es > fr > en; all-zero → 'und' (undetermined).
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val hits = markers.map { case (lang, ws) => lang -> markerHits(toks, ws) }
+    // two projection stages: bind toks once, then bind the four hit
+    // counts once — the predicate tree references each count 5× and
+    // expression trees do not CSE
+    val hitCols = markers.map { case (lang, ws) =>
+      markerHits(col("toks"), ws).as(s"h_$lang")
+    }
+    val hits = markers.map { case (lang, _) => lang -> col(s"h_$lang") }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     val pred = hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
       when(h > 0 && h === best, lit(lang)).otherwise(elseCol)
     }
     t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: col("lang") +: hitCols: _*)
       .select(col("doc_id"), pred.as("pred_lang"), col("lang"))
       .orderBy(col("doc_id"))
   }
@@ -75,13 +84,13 @@ object TextAnalysis {
     * exact integers (bit-stable across engines).
     */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val nTokens = size(col("toks")).cast(LongType)
     val nChars = length(col("text")).cast(LongType)
-    val nTokens = size(toks).cast(LongType)
     val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
       .cast(LongType)
-    val stopHits = markerHits(toks, markers.toMap.apply("en"))
+    val stopHits = markerHits(col("toks"), markers.toMap.apply("en"))
     t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         nChars.as("n_chars"),
