@@ -1,0 +1,130 @@
+package graft
+
+import graft.pipeline.{TransactionAvro, TransactionPipeline}
+import graft.pipeline.TransactionPipeline.Transaction
+import graft.udx.Udx
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property tier (SURVEY.md §5.2): pure-function invariants
+  * checked over generated inputs — the codec, framing, aggregator laws,
+  * and the simhash banding pigeonhole, none of which need a SparkSession.
+  */
+object AvroCodecProps extends Properties("TransactionAvro") {
+
+  private val genStr = Gen.alphaNumStr.map(_.take(40))
+  private val genTxn: Gen[Transaction] = for {
+    id <- genStr; amount <- Gen.chooseNum(-1e9, 1e9)
+    currency <- Gen.oneOf("USD", "EUR", "GBP", "JPY")
+    millis <- Gen.chooseNum(0L, 4102444800000L)
+    desc <- Gen.option(genStr); merchant <- genStr; cat <- Gen.option(genStr)
+    status <- Gen.oneOf("PENDING", "APPROVED", "CANCELLED", "REJECTED")
+    user <- genStr
+    meta <- Gen.option(Gen.mapOf(Gen.zip(genStr, genStr)).map(_.take(5)))
+  } yield Transaction(id, amount, currency, new java.sql.Timestamp(millis),
+    desc, merchant, cat, status, user, meta)
+
+  property("decode∘encode = id") = forAll(genTxn) { t =>
+    TransactionAvro.decodeTransaction(TransactionAvro.encodeTransaction(t)) == t
+  }
+
+  property("framing preserves schema id and body") =
+    forAll(Gen.chooseNum(0, Int.MaxValue), Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) {
+      (id, body) =>
+        val (gotId, gotBody) = TransactionAvro.unframe(
+          TransactionAvro.frame(id, body.toArray))
+        gotId == id && java.util.Arrays.equals(gotBody, body.toArray)
+    }
+}
+
+object GeoMeanProps extends Properties("GeoMean") {
+  import Udx.{GeoBuf, GeoMean}
+
+  private val genXs = Gen.nonEmptyListOf(Gen.chooseNum(0.1, 1e6))
+
+  property("merge with zero is identity") = forAll(genXs) { xs =>
+    val b = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+    GeoMean.merge(b, GeoMean.zero) == b && GeoMean.merge(GeoMean.zero, b) == b
+  }
+
+  property("split-merge ≈ sequential (partial aggregation soundness)") =
+    forAll(genXs, genXs) { (a, b) =>
+      val seq = (a ++ b).foldLeft(GeoMean.zero)(GeoMean.reduce)
+      val par = GeoMean.merge(
+        a.foldLeft(GeoMean.zero)(GeoMean.reduce),
+        b.foldLeft(GeoMean.zero)(GeoMean.reduce))
+      math.abs(GeoMean.finish(seq) - GeoMean.finish(par)) <=
+        1e-9 * math.max(1.0, math.abs(GeoMean.finish(seq)))
+    }
+
+  property("finish of n copies of x is x") = forAll(
+    Gen.chooseNum(0.1, 1e6), Gen.chooseNum(1, 50)) { (x, n) =>
+    val b = List.fill(n)(x).foldLeft(GeoMean.zero)(GeoMean.reduce)
+    math.abs(GeoMean.finish(b) - x) <= 1e-9 * x
+  }
+}
+
+/** The pigeonhole behind Dedup.simhashPairs: with (maxH+1) contiguous
+  * bands over 64 bits, any pair within Hamming maxH shares ≥1 band.
+  */
+object SimhashBandProps extends Properties("SimhashBanding") {
+
+  private def bands(sig: Long, maxH: Int): Seq[Long] = {
+    val nBands = maxH + 1
+    val base = 64 / nBands; val rem = 64 % nBands
+    val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    (0 until nBands).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+      (sig >>> offsets(b)) & mask
+    }
+  }
+
+  private val genCase = for {
+    sig <- Gen.long
+    maxH <- Gen.chooseNum(1, 16)
+    flips <- Gen.chooseNum(0, 16)
+    bits <- Gen.pick(flips, 0 until 64)
+  } yield (sig, maxH, bits.foldLeft(sig)((s, b) => s ^ (1L << b)), flips)
+
+  property("hamming ≤ maxH ⇒ some band matches") = forAll(genCase) {
+    case (a, maxH, b, flips) =>
+      val ham = java.lang.Long.bitCount(a ^ b)
+      Prop.collect(s"maxH=$maxH") {
+        if (ham <= maxH) bands(a, maxH).zip(bands(b, maxH)).exists(p => p._1 == p._2)
+        else true
+      }
+  }
+
+  property("bands reassemble the signature (partition of all 64 bits)") =
+    forAll(Gen.long, Gen.chooseNum(1, 16)) { (sig, maxH) =>
+      val nBands = maxH + 1
+      val base = 64 / nBands; val rem = 64 % nBands
+      val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
+      val offsets = widths.scanLeft(0)(_ + _).init
+      val rebuilt = bands(sig, maxH).zip(offsets)
+        .foldLeft(0L) { case (acc, (v, off)) => acc | (v << off) }
+      rebuilt == sig
+    }
+}
+
+/** FX conversion invariants (the reference's O6 semantics). */
+object FxProps extends Properties("FxToUsd") {
+  // mirror of the production Column expression, for property speed
+  private def fx(amount: Double, ccy: String): Double = ccy match {
+    case "EUR" => amount * 1.1
+    case "GBP" => amount * 1.3
+    case _     => amount
+  }
+
+  property("identity for non-EUR/GBP") =
+    forAll(Gen.chooseNum(-1e9, 1e9), Gen.oneOf("USD", "JPY", "CHF", "XXX")) {
+      (a, c) => fx(a, c) == a
+    }
+
+  property("linear in amount") = forAll(
+    Gen.chooseNum(-1e6, 1e6), Gen.oneOf("EUR", "GBP")) { (a, c) =>
+    val k = if (c == "EUR") 1.1 else 1.3
+    fx(a, c) == a * k
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Batch source/sink round-trips: parquet (the primary format), CSV and
+  * JSON (schema'd read-back), demonstrating the connector surface beyond
+  * the reference's Kafka+Avro (whose codec path is covered in
+  * PipelineSpec).
+  */
+class SourcesSpec extends SparkSpecBase {
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("parquet round-trip preserves schema and rows") {
+    val in = Tables.t(spark, sfDir, "orders")
+    in.write.mode("overwrite").parquet(s"$tmp/orders_pq")
+    val back = spark.read.parquet(s"$tmp/orders_pq")
+    assert(back.schema == in.schema)
+    assert(back.count() == in.count())
+    assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val in = Tables.t(spark, sfDir, "orders")
+      .withColumn("status", col("o_orderstatus"))
+    in.write.mode("overwrite").partitionBy("status").parquet(s"$tmp/orders_part")
+    val one = spark.read.parquet(s"$tmp/orders_part").filter(col("status") === "F")
+    val scan = one.queryExecution.executedPlan.toString
+    // partition pruning: only the status=F directory is scanned
+    assert(one.count() == in.filter(col("o_orderstatus") === "F").count())
+    assert(scan.contains("PartitionFilters: [isnotnull(status"),
+      s"no partition filter in:\n${scan.take(800)}")
+  }
+
+  test("csv round-trip with explicit schema") {
+    val in = Tables.t(spark, sfDir, "nation")
+    in.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    val back = spark.read.schema(in.schema).option("header", "true")
+      .csv(s"$tmp/nation_csv")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      in.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("json lines round-trip") {
+    val in = Tables.t(spark, sfDir, "region")
+    in.write.mode("overwrite").json(s"$tmp/region_json")
+    val back = spark.read.schema(in.schema).json(s"$tmp/region_json")
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      in.orderBy("r_regionkey").collect().toSeq)
+  }
+}
