@@ -29,7 +29,9 @@ object SparkEntry {
     "q08_join_anti" -> Relational.q08JoinAnti _,
     "q09_join_theta" -> Relational.q09JoinTheta _,
     "q10_agg" -> Relational.q10Agg _,
+    "q10b_percentile" -> Relational.q10bPercentile _,
     "q11_count_distinct" -> Relational.q11CountDistinct _,
+    "q13b_grouping_sets" -> Relational.q13bGroupingSets _,
     "q12_approx_distinct" -> Relational.q12ApproxDistinct _,
     "q13_rollup" -> Relational.q13Rollup _,
     "q14_window_rank" -> Relational.q14WindowRank _,
@@ -60,6 +62,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langId _,
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
+    "text_rolling_fp" -> TextAnalysis.rollingFingerprint _,
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_corpus_stats" -> Multimodal.corpusStats _,
@@ -145,6 +148,17 @@ object SparkEntry {
         "ORDER BY l_returnflag, l_linestatus"),
     "q11_count_distinct" ->
       "SELECT COUNT(DISTINCT o_custkey) AS n_custkeys FROM orders",
+    "q10b_percentile" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q13b_grouping_sets" -> Relational.q13bSql,
+    "text_rolling_fp" ->
+      ("SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "[CAST(ord(substr(norm, i, 1)) AS BIGINT) for i in range(1, length(norm)+1)], " +
+        "(a, b) -> (a * 257 + b) % 1000000000000037) AS fp " +
+        "FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '[^a-z0-9]+', ' ', 'g') AS norm FROM documents) " +
+        "ORDER BY doc_id"),
     "q13_rollup" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +
         "COALESCE(l_linestatus, 'ALL') AS lstatus, " +

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew-salting for equi-joins whose key distribution AQE can't
+  * fix (e.g. a single hot key that dominates one shuffle partition even
+  * after AQE's skew-split, or engines/configs without AQE).
+  *
+  * The big side gets a deterministic salt in [0, salt); the small side is
+  * replicated salt× via explode. The join key becomes (key, salt), so the
+  * hot key's rows spread over `salt` reducers. Result is exactly the
+  * plain inner join (the salt columns never leak).
+  *
+  * Cost model: replicating the small side salt× is worth it when
+  * max_key_rows / avg_partition_rows ≫ salt — the usual dim-vs-fact
+  * skew shape. At 100 TB this composes with (not replaces) AQE:
+  * spark.sql.adaptive.skewJoin handles moderate skew, salting handles
+  * pathological single-key skew.
+  */
+object SkewJoin {
+
+  def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int): DataFrame = {
+    require(salt > 0)
+    // deterministic pseudo-random salt from the full row (not the key —
+    // salting by key alone would put each hot key back on one reducer)
+    val saltCol: Column = pmod(
+      xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(salt))
+    val bigSalted = big.withColumn("__salt", saltCol)
+    val smallSalted = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    bigSalted.join(smallSalted, Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
+}

@@ -102,8 +102,7 @@ object TextAnalysis {
   }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
-    * the cheap exact-dedup key. (The rolling-hash variant lives in
-    * Dedup.simhash's bit mixing.)
+    * the cheap exact-dedup key.
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -112,4 +111,18 @@ object TextAnalysis {
         md5(regexp_replace(trim(lower(col("text"))), "[^a-z0-9]+", " ")
           .cast(BinaryType)).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Rolling-hash fingerprint via the native codegen'd
+    * [[graft.functions.RollingHash]] expression — incremental polynomial
+    * hash, the primitive behind content-defined chunking and shift-
+    * tolerant fingerprints.
+    */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.RollingHashFunction.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.RollingHashFunction.rollingHash(
+          regexp_replace(trim(lower(col("text"))), "[^a-z0-9]+", " ")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
 }

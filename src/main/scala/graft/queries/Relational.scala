@@ -146,6 +146,34 @@ object Relational {
     t(s, dir, "lineitem")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
 
+  /** Q10b — exact percentiles (interpolated median/p90 per group); both
+    * engines interpolate linearly on the sorted values, rounded to absorb
+    * formula-order FP differences.
+    */
+  def q10bPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q13b — GROUPING SETS through the SQL surface (the general form
+    * rollup/cube special-case).
+    */
+  def q13bGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(q13bSql)
+  }
+
+  val q13bSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+      |       COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY rflag, lstatus""".stripMargin
+
   /** Q13 — ROLLUP: grouping-set nulls are folded to 'ALL' sentinels
     * (no natural nulls in these columns) so ordering is engine-agnostic.
     */

@@ -101,6 +101,29 @@ class OperatorsSpec extends SparkSpecBase {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("skew: salted join returns exactly the plain join's rows") {
+    val o = Tables.t(spark, sfDir, "orders")
+      .withColumnRenamed("o_custkey", "custkey")
+    val c = Tables.t(spark, sfDir, "customer")
+      .withColumnRenamed("c_custkey", "custkey")
+    val plain = o.join(c, Seq("custkey"), "inner")
+    val salted = graft.operators.SkewJoin.saltedInnerJoin(o, c, "custkey", salt = 7)
+    assert(salted.columns.toSeq == plain.columns.toSeq) // no salt leak
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("rolling_hash: codegen and interpreted paths agree, order-sensitive") {
+    import spark.implicits._
+    graft.functions.RollingHashFunction.register(spark)
+    val df = Seq("abc", "cba", "", "hello world").toDF("s")
+      .select(graft.functions.RollingHashFunction.rollingHash(col("s")).as("h"))
+    val got = df.as[Long].collect().toSeq
+    def rh(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 257L + (b & 0xffL)) % 1000000000000037L)
+    assert(got == Seq(rh("abc"), rh("cba"), 0L, rh("hello world")))
+    assert(rh("abc") != rh("cba")) // order-sensitive, unlike set hashes
+  }
+
   test("udx: geometric mean matches closed form on a known group") {
     import spark.implicits._
     Udx.register(spark)

@@ -33,6 +33,27 @@ class SourcesSpec extends SparkSpecBase {
       s"no partition filter in:\n${scan.take(800)}")
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val in = Tables.t(spark, sfDir, "orders")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_orders2")
+    in.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    in.groupBy("o_custkey").count()
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders2")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_orders2"), Seq("o_custkey"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv round-trip with explicit schema") {
     val in = Tables.t(spark, sfDir, "nation")
     in.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")

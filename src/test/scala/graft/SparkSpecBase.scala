@@ -30,6 +30,7 @@ object SparkSpecBase {
       // state-store write behind an async-await; on local tmpfs it
       // dominates micro-batch latency. Plain checkpoints are fine here.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
