@@ -49,6 +49,7 @@ object SparkEntry {
     "q25_dedup_exact" -> Relational.q25DedupExact _,
     "q26_cosine_topk" -> Similarity.q26CosineTopK _,
     "q26_ann_lsh" -> Similarity.annLsh _,
+    "q26_ann_ivf" -> Similarity.annIvf _,
     "q27_top_tokens" -> TextAnalysis.q27TopTokens _,
     "q30_tumble" -> Windows.q30Tumble _,
     "q31_slide" -> Windows.q31Slide _,

@@ -93,6 +93,55 @@ object Similarity {
 
   def annLsh(s: SparkSession, dir: String): DataFrame = annLshTopK(s, dir)
 
+  /** IVF ANN: k-means coarse quantizer (seeded, deterministic) partitions
+    * the corpus into nlist cells; a probe scans only the nprobe cells
+    * whose centroids are nearest, then exact-reranks with the codegen'd
+    * cosine. This is the production shape for 100 TB: train the quantizer
+    * on a sample, write the corpus partitioned by cell id, and each query
+    * touches nprobe/nlist of the data. Same approximation contract as the
+    * LSH variant (scores exact, candidate set a subset).
+    */
+  def annIvfTopK(s: SparkSession, dir: String, probeId: Long = 0, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+      .cache()
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(emb.select(col("features")))
+    val assigned = model.transform(emb).withColumnRenamed("prediction", "cell")
+    // nprobe nearest cells to the probe vector (tiny: nlist centroids on
+    // the driver — the quantizer IS driver-side state, like a real index)
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    def cos(c: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < c.length) {
+        d += c(i) * probeVec(i); na += c(i) * c(i)
+        nb += probeVec(i).toDouble * probeVec(i); i += 1
+      }
+      if (na == 0 || nb == 0) -2 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => -cos(c.toArray) }
+      .take(nprobe).map(_._2)
+    val probe = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"))
+    assigned
+      .filter(col("cell").isin(cells.toIndexedSeq: _*) && col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("probe_emb")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = annIvfTopK(s, dir)
+
   /** Embedding-space near-duplicate pairs: all (i<j) with cosine ≥ 0.4.
     * Brute self-join here; the LSH bucketing above is the same scale path.
     */

@@ -51,11 +51,13 @@ class OperatorsSpec extends SparkSpecBase {
           round(VectorFunctions.cosineSim(col("embedding"), col("p")), 6).as("s"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     }
-    val ann = Similarity.annLsh(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1))
-    assert(ann.nonEmpty && ann.length <= 5)
-    ann.foreach { case (id, score) => assert(full(id) == score) } // exact scores
-    assert(ann.map(_._2).toSeq == ann.map(_._2).toSeq.sorted.reverse) // ranked
+    for (annDf <- Seq(Similarity.annLsh(spark, sfDir),
+        Similarity.annIvf(spark, sfDir))) {
+      val ann = annDf.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      assert(ann.nonEmpty && ann.length <= 5)
+      ann.foreach { case (id, score) => assert(full(id) == score) } // exact scores
+      assert(ann.map(_._2).toSeq == ann.map(_._2).toSeq.sorted.reverse) // ranked
+    }
     assert(brute.size == 5) // baseline sanity
   }
 

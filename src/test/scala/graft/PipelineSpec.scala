@@ -59,6 +59,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[java.sql.Timestamp]("processingTimestamp") != null))
   }
 
+  test("streaming wire replay: framed Avro in → decode → transform → framed Avro out") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    TransactionAvro.registerUdfs(spark)
+    // simulate the Kafka value column: Confluent-framed Avro bytes
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    src.addData(fixture.map(t => TransactionAvro.encodeTransaction(t)): _*)
+    val decoded = src.toDF()
+      .select(org.apache.spark.sql.functions.call_udf(
+        "decode_transaction", org.apache.spark.sql.functions.col("value")).as("t"))
+      .select("t.*")
+    val out = TransactionPipeline.transform(decoded)
+    val encoded = out.select(org.apache.spark.sql.functions.call_udf(
+      "encode_approved",
+      org.apache.spark.sql.functions.struct(out.columns.map(
+        org.apache.spark.sql.functions.col).toIndexedSeq: _*),
+      org.apache.spark.sql.functions.lit(2)).as("value"))
+    val q = encoded.writeStream.format("memory").queryName("wire")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val results = spark.table("wire").as[Array[Byte]].collect()
+      .map(TransactionAvro.decodeApproved)
+    assert(results.length == 4)
+    val byId = results.map(a => a.id -> a.amountInUsd).toMap
+    expected.foreach { case (id, usd) => assert(math.abs(byId(id) - usd) < 0.001) }
+    assert(results.forall(_.processingTimestamp != null))
+  }
+
   test("Confluent-framed Avro round-trips every fixture row") {
     fixture.foreach { t =>
       val bytes = TransactionAvro.encodeTransaction(t, schemaId = 7)

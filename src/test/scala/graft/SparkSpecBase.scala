@@ -30,7 +30,10 @@ object SparkSpecBase {
       // state-store write behind an async-await; on local tmpfs it
       // dominates micro-batch latency. Plain checkpoints are fine here.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // fresh per-JVM warehouse: the in-memory catalog forgets tables
+      // across JVMs but their directories would survive and collide
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
