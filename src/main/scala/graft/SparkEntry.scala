@@ -30,8 +30,10 @@ object SparkEntry {
     "q09_join_theta" -> Relational.q09JoinTheta _,
     "q10_agg" -> Relational.q10Agg _,
     "q10b_percentile" -> Relational.q10bPercentile _,
+    "q10c_stats" -> Relational.q10cStats _,
     "q11_count_distinct" -> Relational.q11CountDistinct _,
     "q13b_grouping_sets" -> Relational.q13bGroupingSets _,
+    "q13c_pivot" -> Relational.q13cPivot _,
     "q12_approx_distinct" -> Relational.q12ApproxDistinct _,
     "q13_rollup" -> Relational.q13Rollup _,
     "q14_window_rank" -> Relational.q14WindowRank _,
@@ -154,6 +156,21 @@ object SparkEntry {
         "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q13b_grouping_sets" -> Relational.q13bSql,
+    "q10c_stats" ->
+      ("SELECT o_orderstatus, min(o_totalprice) AS mn, max(o_totalprice) AS mx, " +
+        "COUNT(*) AS cnt, " +
+        "round((CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        " - CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice)) " +
+        " / (COUNT(o_totalprice) - 1), 4) AS var_, " +
+        "round(sqrt((CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) " +
+        " - CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice)) " +
+        " / (COUNT(o_totalprice) - 1)), 4) AS sd " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q13c_pivot" ->
+      ("SELECT l_returnflag, " +
+        "COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f, " +
+        "COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "text_rolling_fp" ->
       ("SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
         "[CAST(ord(substr(norm, i, 1)) AS BIGINT) for i in range(1, length(norm)+1)], " +

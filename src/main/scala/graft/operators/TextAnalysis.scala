@@ -34,12 +34,16 @@ object TextAnalysis {
       // materialize the token array once per row — Catalyst does not CSE
       // the regexp split across the three downstream expressions
       .select(col("doc_id"), tokens(col("text")).as("toks"),
-        bpeishTokens(col("text")).as("btoks"))
+        // BPE-ish token count = alnum runs + single punct chars; counting
+        // punct via a length diff avoids the costly alternation regex
+        (length(lower(col("text"))) -
+          length(regexp_replace(lower(col("text")), "[^a-z0-9\\s]", "")))
+          .cast(LongType).as("n_punct"))
       .select(
         col("doc_id"),
         size(col("toks")).cast(LongType).as("n_tokens"),
         size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
-        size(col("btoks")).cast(LongType).as("n_bpeish"))
+        (size(col("toks")) + col("n_punct")).cast(LongType).as("n_bpeish"))
       .orderBy(col("doc_id"))
 
   /** Language-marker word lists. On this synthetic corpus every language

@@ -158,6 +158,37 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
       .orderBy(col("l_returnflag"))
 
+  /** Q10c — full aggregate-function breadth: min/max plus variance and
+    * stddev computed from exact decimal sums (sum, sum-of-squares), so
+    * the textbook formula is bit-stable across engines — the built-in
+    * stddev_samp (Welford) would not hash-match.
+    */
+  def q10cStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val sx = sum(x.cast(D)).cast(DoubleType)
+    val sxx = sum(x.cast(D) * x.cast(D)).cast(DoubleType)
+    val n = count(x).cast(DoubleType)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        min(x).as("mn"), max(x).as("mx"),
+        count(lit(1)).as("cnt"),
+        round((sxx - sx * sx / n) / (n - 1), 4).as("var_"),
+        round(sqrt((sxx - sx * sx / n) / (n - 1)), 4).as("sd"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Q13c — pivot (columnar re-shape of a grouped aggregation). */
+  def q13cPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("cnt_f"),
+        coalesce(col("O"), lit(0L)).as("cnt_o"))
+      .orderBy(col("l_returnflag"))
+
   /** Q13b — GROUPING SETS through the SQL surface (the general form
     * rollup/cube special-case).
     */

@@ -58,6 +58,27 @@ object StreamingOps {
       .withWatermark("ts", "5 seconds")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (Flink Table API's interval-join class):
+    * clicks matched to purchases by the same user within 30 s after the
+    * click. Both sides carry watermarks so the join state is bounded —
+    * each side's rows are dropped once the other side's watermark passes
+    * the interval.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val l = clicks.withWatermark("ts", "5 seconds")
+      .select(col("event_id").as("click_id"), col("user_id").as("l_user"),
+        col("ts").as("click_ts"))
+    val r = purchases.withWatermark("ts", "5 seconds")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+        col("ts").as("purchase_ts"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 seconds"))
+      .select(col("click_id"), col("purchase_id"), col("l_user").as("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via mapGroupsWithState: running per-user event

@@ -82,6 +82,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.head.value == 1.0) // first occurrence won
   }
 
+  test("stream-stream interval join matches clicks to purchases within 30s") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    clicks.addData(
+      ev(1, "2024-03-01 00:00:00", user = 1),
+      ev(2, "2024-03-01 00:01:00", user = 2))
+    purchases.addData(
+      ev(10, "2024-03-01 00:00:20", user = 1),  // 20s after click 1 → match
+      ev(11, "2024-03-01 00:02:00", user = 2),  // 60s after click 2 → no match
+      ev(12, "2024-03-01 00:00:10", user = 3))  // no click → no match
+    q.processAllAvailable()
+    // advance both watermarks so state is flushed
+    clicks.addData(ev(99, "2024-03-01 01:00:00", user = 90))
+    purchases.addData(ev(98, "2024-03-01 01:00:00", user = 91))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssj").select($"click_id", $"purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("mapGroupsWithState: running per-user counts accumulate across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
