@@ -25,6 +25,12 @@ object Tables {
         // integral `div`, not `/`: double division would lose precision
         // above 2^53 (epoch-nanos are ~1.7e18)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else if (name == "documents") {
+      // documents ships as one small parquet file → one input partition →
+      // the regex/shingle-heavy text operators run single-threaded until
+      // their first shuffle. Spread the rows across the shuffle
+      // parallelism up front (tiny data, big downstream CPU).
+      spark.read.parquet(s"$dir/$name.parquet").repartition(col("doc_id"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every testdata table as a temp view so `spark.sql` queries
