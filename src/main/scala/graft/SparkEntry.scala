@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Relational, Windows}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.udx.Udx
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -49,6 +49,7 @@ object SparkEntry {
     "q23_json" -> Relational.q23Json _,
     "q24_subquery" -> Relational.q24Subquery _,
     "q25_dedup_exact" -> Relational.q25DedupExact _,
+    "q25b_asof_join" -> AsOfJoin.clickToSignup _,
     "q26_cosine_topk" -> Similarity.q26CosineTopK _,
     "q26_ann_lsh" -> Similarity.annLsh _,
     "q26_ann_ivf" -> Similarity.annIvf _,
@@ -248,6 +249,13 @@ object SparkEntry {
       ("SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, event_type"),
+    "q25b_asof_join" ->
+      ("SELECT c.event_id, c.user_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us, " +
+        "s.event_id AS signup_event_id, epoch_us(CAST(s.ts AS TIMESTAMP)) AS signup_ts_us " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s " +
+        "ON c.user_id = s.user_id AND c.ts >= s.ts " +
+        "ORDER BY c.event_id"),
     "q26_cosine_topk" -> cosineTopkOracle,
     // q26_ann_lsh: no hash oracle — ANN is approximate by contract (this
     // corpus is near-orthogonal, max pairwise cosine 0.37, so any

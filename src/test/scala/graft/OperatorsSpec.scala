@@ -103,6 +103,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("asof join: inclusivity, latest-wins, and no-match nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 8L, 100L), (1L, 10L, 101L), (1L, 20L, 102L), (2L, 30L, 103L))
+      .toDF("k", "t", "rv")
+    val out = graft.operators.AsOfJoin.asOfJoin(
+      left, right, key = "k", tsCol = "t",
+      rightPayload = Seq("rv"), tiebreak = "rv")
+      .select($"lv", $"rv").as[(String, Option[Long])].collect().toMap
+    assert(out == Map(
+      "a" -> Some(101L), // right row AT left.ts is visible (inclusive >=)
+      "b" -> Some(102L), // latest preceding wins over older ones
+      "c" -> None))      // right row in the future → null
+  }
+
   test("skew: salted join returns exactly the plain join's rows") {
     val o = Tables.t(spark, sfDir, "orders")
       .withColumnRenamed("o_custkey", "custkey")
