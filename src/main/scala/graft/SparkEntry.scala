@@ -48,8 +48,10 @@ object SparkEntry {
     "q22_maps" -> Relational.q22Maps _,
     "q23_json" -> Relational.q23Json _,
     "q24_subquery" -> Relational.q24Subquery _,
+    "q06b_nulls" -> Relational.q06bNulls _,
     "q25_dedup_exact" -> Relational.q25DedupExact _,
     "q25b_asof_join" -> AsOfJoin.clickToSignup _,
+    "q25c_funnel" -> Relational.q25cFunnel _,
     "q26_cosine_topk" -> Similarity.q26CosineTopK _,
     "q26_ann_lsh" -> Similarity.annLsh _,
     "q26_ann_ivf" -> Similarity.annIvf _,
@@ -249,6 +251,20 @@ object SparkEntry {
       ("SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY user_id, event_type"),
+    "q06b_nulls" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders, " +
+        "CAST(SUM(COALESCE(CAST(o_totalprice AS DECIMAL(12,2)), CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS total_spend, " +
+        "MAX(o_orderkey IS NULL) AS any_null, " +
+        "COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_null " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey"),
+    "q25c_funnel" ->
+      ("WITH ev AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) " +
+        "SELECT user_id, " +
+        "(MIN(CASE WHEN event_type='signup' THEN ts END) < MIN(CASE WHEN event_type='click' THEN ts END) " +
+        " AND MIN(CASE WHEN event_type='click' THEN ts END) < MIN(CASE WHEN event_type='purchase' THEN ts END)) AS funnel_complete, " +
+        "COUNT(CASE WHEN prev_type='click' AND event_type='purchase' THEN 1 END) AS click_then_purchase " +
+        "FROM ev GROUP BY user_id ORDER BY user_id"),
     "q25b_asof_join" ->
       ("SELECT c.event_id, c.user_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us, " +
         "s.event_id AS signup_event_id, epoch_us(CAST(s.ts AS TIMESTAMP)) AS signup_ts_us " +

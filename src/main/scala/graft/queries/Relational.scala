@@ -378,6 +378,48 @@ object Relational {
     s.sql(q24Sql)
   }
 
+  /** Q06b — null-handling function surface over outer-join output:
+    * coalesce/nvl2-shape/null predicates/null-safe equality.
+    */
+  def q06bNulls(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        sum(coalesce(col("o_totalprice").cast(D), lit(0).cast(D)))
+          .cast(DoubleType).as("total_spend"),
+        max(col("o_orderkey").isNull).as("any_null"),
+        count(when(col("o_orderkey").isNull, 1)).as("n_null"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Q25c — sequential-pattern (CEP-lite, the MATCH_RECOGNIZE class):
+    * per-user funnel signup → click → purchase in timestamp order, plus
+    * direct click→purchase transition counts via lag. Window functions
+    * over one key shuffle — the scalable form of simple event-sequence
+    * detection.
+    */
+  def q25cFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+        count(when(col("prev_type") === "click" &&
+          col("event_type") === "purchase", 1)).as("click_then_purchase"))
+      .select(
+        col("user_id"),
+        (col("first_signup") < col("first_click") &&
+          col("first_click") < col("first_purchase")).as("funnel_complete"),
+        col("click_then_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   /** Q25 — exact dedup: latest event per (user_id, event_type), the
     * window-rank form of `dropDuplicates` (reference extension; SURVEY.md
     * §2.3 Q25). Timestamps exported as epoch micros so DuckDB's ns

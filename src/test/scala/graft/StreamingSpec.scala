@@ -107,6 +107,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Set((1L, 10L)))
   }
 
+  test("foreachBatch: batchId-partitioned parquet sink is replay-idempotent") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-fes").toString
+    val src = MemoryStream[Ev]
+    // exactly-once-by-idempotence: each micro-batch overwrites its own
+    // batch_id partition, so a replayed batch rewrites identical data
+    // instead of duplicating it
+    def write(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    val q = src.toDF().writeStream.foreachBatch(write _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-fes-ck").toString)
+      .start()
+    src.addData(ev(1, "2024-03-01 00:00:01"), ev(2, "2024-03-01 00:00:02"))
+    q.processAllAvailable()
+    src.addData(ev(3, "2024-03-01 00:00:03"))
+    q.processAllAvailable()
+    q.stop()
+    val once = spark.read.parquet(dir)
+    assert(once.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // simulate a batch replay (same batchId, same data) → no duplicates
+    write(Seq(ev(3, "2024-03-01 00:00:03")).toDF(), batchId = 1L)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("mapGroupsWithState: running per-user counts accumulate across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
