@@ -91,6 +91,26 @@ object TransactionAvro {
     new GenericDatumReader[GenericRecord](schema)
       .read(null, DecoderFactory.get().binaryDecoder(bytes, null))
 
+  /** Schema-resolution decode: reader schema may differ from the writer's
+    * (dropped fields skipped, added nullable/defaulted fields filled) —
+    * Avro's standard evolution rules, which the Confluent wire format
+    * exists to enable (the 4-byte id identifies the writer schema; a
+    * registry client would look it up, here the caller supplies it).
+    */
+  def fromBytesResolving(bytes: Array[Byte], writer: Schema,
+      reader: Schema): GenericRecord =
+    new GenericDatumReader[GenericRecord](writer, reader)
+      .read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+
+  /** Decode a framed payload written with an older/newer Transaction
+    * schema, resolving to the current reader schema.
+    */
+  def decodeTransactionEvolved(bytes: Array[Byte], writer: Schema): Transaction = {
+    val (_, body) = unframe(bytes)
+    val r = fromBytesResolving(body, writer, transactionSchema)
+    recordToTransaction(r)
+  }
+
   // ---- Transaction ----
 
   def encodeTransaction(t: Transaction, schemaId: Int = 1): Array[Byte] = {
@@ -114,7 +134,10 @@ object TransactionAvro {
 
   def decodeTransaction(bytes: Array[Byte]): Transaction = {
     val (_, body) = unframe(bytes)
-    val r = fromBytes(body, transactionSchema)
+    recordToTransaction(fromBytes(body, transactionSchema))
+  }
+
+  private def recordToTransaction(r: GenericRecord): Transaction = {
     def str(f: String): String = Option(r.get(f)).map(_.toString).orNull
     Transaction(
       id = str("id"),

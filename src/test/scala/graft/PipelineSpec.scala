@@ -103,6 +103,42 @@ class PipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("schema evolution: decode an old-writer payload against the current reader") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    // v0 writer: no description/category/metadata fields
+    val writerV0 = SchemaBuilder.record("Transaction").namespace("graft.avro")
+      .fields()
+      .requiredString("id").requiredDouble("amount").requiredString("currency")
+      .name("timestamp").`type`(org.apache.avro.LogicalTypes.timestampMillis()
+        .addToSchema(org.apache.avro.Schema.create(org.apache.avro.Schema.Type.LONG)))
+      .noDefault()
+      .requiredString("merchant").requiredString("status").requiredString("userId")
+      .endRecord()
+    val rec = new GenericData.Record(writerV0)
+    rec.put("id", "t1"); rec.put("amount", 5.0); rec.put("currency", "EUR")
+    rec.put("timestamp", 1700000000000L); rec.put("merchant", "m")
+    rec.put("status", "APPROVED"); rec.put("userId", "u")
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[org.apache.avro.generic.GenericRecord](writerV0)
+      .write(rec, enc)
+    enc.flush()
+    val framed = TransactionAvro.frame(1, out.toByteArray)
+    val t = TransactionAvro.decodeTransactionEvolved(framed, writerV0)
+    assert(t.id == "t1" && t.amount == 5.0 && t.currency == "EUR")
+    assert(t.description.isEmpty && t.category.isEmpty && t.metadata.isEmpty)
+  }
+
+  test("case-class encoder nullability mirrors the declared DDL (SURVEY §1.3)") {
+    val schema = org.apache.spark.sql.Encoders.product[Transaction].schema
+    def nullable(f: String) = schema(f).nullable
+    // Option[_] fields are the declared-nullable ones
+    assert(nullable("description") && nullable("category") && nullable("metadata"))
+    assert(!nullable("amount")) // primitives stay non-null
+  }
+
   test("avro schemas declare millisecond timestamps (parity with TIMESTAMP(3))") {
     val f = TransactionAvro.transactionSchema.getField("timestamp").schema()
     assert(f.getLogicalType.getName == "timestamp-millis")
