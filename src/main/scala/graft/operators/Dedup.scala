@@ -64,10 +64,13 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** MinHash + LSH banding: 128 permutations via seeded xxhash64, 32
-    * bands of 4 → bucket-join candidates → exact-Jaccard verify ≥ 0.7.
-    * The only shuffles are the per-doc signature aggregation and the
-    * band-bucket join; nothing is O(n²).
+  /** MinHash + LSH banding: 128 permutations via seeded xxhash64 over
+    * the 8-byte shingle hash, 32 bands of 4 → bucket-join candidates →
+    * exact-Jaccard verify ≥ 0.7. The only shuffles are the per-doc
+    * signature aggregation and the band-bucket join; nothing is O(n²).
+    * (The cheaper affine-permutation trick, a_p·x + b_p wrapping mod
+    * 2⁶⁴, is off the table: Spark 4's default ANSI mode raises on long
+    * overflow rather than wrapping.)
     */
   def minhashLsh(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
     val sh = docShingles(s, dir).cache()

@@ -19,6 +19,13 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, ok, no_oracle = [], [], []
 
+# every oracled query must have produced a dump dir — a Verify-side
+# failure would otherwise vanish from the comparison entirely
+dumped = {os.path.basename(d.rstrip("/")) for d in glob.glob(f"{outdir}/*/")}
+for name in sorted(oracle):
+    if name not in dumped:
+        fails.append((name, "no Verify output (query failed before dump)"))
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
