@@ -47,7 +47,9 @@ object SparkEntry {
     "q21_explode" -> Relational.q21Explode _,
     "q22_maps" -> Relational.q22Maps _,
     "q23_json" -> Relational.q23Json _,
+    "q16b_offset" -> Relational.q16bOffset _,
     "q24_subquery" -> Relational.q24Subquery _,
+    "q24b_in_subquery" -> Relational.q24bInSubquery _,
     "q06b_nulls" -> Relational.q06bNulls _,
     "q25_dedup_exact" -> Relational.q25DedupExact _,
     "q25b_asof_join" -> AsOfJoin.clickToSignup _,
@@ -247,6 +249,10 @@ object SparkEntry {
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct " +
         "FROM events ORDER BY event_id"),
     "q24_subquery" -> Relational.q24Sql,
+    "q24b_in_subquery" -> Relational.q24bSql,
+    "q16b_offset" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 10"),
     "q25_dedup_exact" ->
       ("SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM " +
         "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +

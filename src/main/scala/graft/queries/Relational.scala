@@ -378,6 +378,31 @@ object Relational {
     s.sql(q24Sql)
   }
 
+  /** Q24b — decorrelated IN / NOT IN subqueries (Catalyst rewrites to
+    * semi/anti joins; keys are non-null so NOT IN's three-valued-logic
+    * trap is inert and both engines agree).
+    */
+  val q24bSql: String =
+    """SELECT c_custkey, c_name,
+      |  c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000) AS big_spender
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  def q24bInSubquery(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(q24bSql)
+  }
+
+  /** Q16b — LIMIT with OFFSET (deterministic pagination). */
+  def q16bOffset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .offset(10)
+      .limit(10)
+
   /** Q06b — null-handling function surface over outer-join output:
     * coalesce/nvl2-shape/null predicates/null-safe equality.
     */
