@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   */
 class OperatorsSpec extends SparkSpecBase {
 
+  test("driver contract: entry smoke + oracle keys all resolve to queries") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val dangling = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
+  }
+
   test("Q12: approx_count_distinct within 5% of exact") {
     val approx = Relational.q12ApproxDistinct(spark, sfDir)
       .collect()(0).getLong(0).toDouble
