@@ -309,6 +309,16 @@ object SparkEntry {
         "GROUP BY text ORDER BY keep_id"),
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_simhash" ->
+      (s"WITH d AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM d), " +
+        "v AS (SELECT doc_id, b.x AS bit, SUM(CASE WHEN (th >> CAST(b.x AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote " +
+        " FROM h, (SELECT CAST(range AS BIGINT) x FROM range(60)) b GROUP BY doc_id, b.x), " +
+        "sig AS (SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash " +
+        " FROM v GROUP BY doc_id) " +
+        "SELECT a.doc_id AS i, b.doc_id AS j, CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8 ORDER BY i, j"),
     "dedup_embedding" ->
       """WITH idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)),
         |p AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS ea, b.embedding AS eb

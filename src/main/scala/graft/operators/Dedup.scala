@@ -123,22 +123,31 @@ object Dedup {
     verifyJaccard(cand, sh, thr)
   }
 
-  /** SimHash signatures: 64-bit fingerprint from token-multiset hashes —
-    * per-bit ±1 vote over every token occurrence, bit set where votes are
+  /** Signature width: 60 bits = 15 hex chars of md5, chosen because md5
+    * is the one hash both this engine and the DuckDB oracle implement
+    * identically (xxhash64 seeds differ across engines), and 60 bits
+    * stays positive in a signed 64-bit long.
+    */
+  val SimhashBits = 60
+
+  /** SimHash signatures: fingerprint from token-multiset hashes — per-bit
+    * ±1 vote over every token occurrence, bit set where votes are
     * positive. Weight-sensitive (unlike MinHash's set semantics), so it
     * catches boilerplate-heavy near-dups.
     */
   def simhashSigs(docs: DataFrame): DataFrame = {
     val toksTbl = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitVotes = (0 until 64).map { i =>
+      .withColumn("h",
+        conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    val bitVotes = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"bit$i")
     }
     toksTbl.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
+        (0 until SimhashBits).map(i =>
           when(col(s"bit$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
@@ -154,8 +163,8 @@ object Dedup {
 
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
-    val base = 64 / nBands; val rem = 64 % nBands
-    // first `rem` bands are one bit wider; offsets partition [0, 64)
+    val base = SimhashBits / nBands; val rem = SimhashBits % nBands
+    // first `rem` bands are one bit wider; offsets partition the bit range
     val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
     val bandCols = (0 until nBands).map { b =>

@@ -65,13 +65,16 @@ object GeoMeanProps extends Properties("GeoMean") {
 }
 
 /** The pigeonhole behind Dedup.simhashPairs: with (maxH+1) contiguous
-  * bands over 64 bits, any pair within Hamming maxH shares ≥1 band.
+  * bands over the SimhashBits-wide signature, any pair within Hamming
+  * maxH shares ≥1 band. Mirrors the production band math exactly.
   */
 object SimhashBandProps extends Properties("SimhashBanding") {
 
+  private val W = graft.operators.Dedup.SimhashBits
+
   private def bands(sig: Long, maxH: Int): Seq[Long] = {
     val nBands = maxH + 1
-    val base = 64 / nBands; val rem = 64 % nBands
+    val base = W / nBands; val rem = W % nBands
     val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
     (0 until nBands).map { b =>
@@ -81,10 +84,10 @@ object SimhashBandProps extends Properties("SimhashBanding") {
   }
 
   private val genCase = for {
-    sig <- Gen.long
+    sig <- Gen.chooseNum(0L, (1L << W) - 1)
     maxH <- Gen.chooseNum(1, 16)
     flips <- Gen.chooseNum(0, 16)
-    bits <- Gen.pick(flips, 0 until 64)
+    bits <- Gen.pick(flips, 0 until W)
   } yield (sig, maxH, bits.foldLeft(sig)((s, b) => s ^ (1L << b)), flips)
 
   property("hamming ≤ maxH ⇒ some band matches") = forAll(genCase) {
@@ -96,10 +99,10 @@ object SimhashBandProps extends Properties("SimhashBanding") {
       }
   }
 
-  property("bands reassemble the signature (partition of all 64 bits)") =
-    forAll(Gen.long, Gen.chooseNum(1, 16)) { (sig, maxH) =>
+  property("bands reassemble the signature (partition of the bit range)") =
+    forAll(Gen.chooseNum(0L, (1L << W) - 1), Gen.chooseNum(1, 16)) { (sig, maxH) =>
       val nBands = maxH + 1
-      val base = 64 / nBands; val rem = 64 % nBands
+      val base = W / nBands; val rem = W % nBands
       val widths = (0 until nBands).map(b => if (b < rem) base + 1 else base)
       val offsets = widths.scanLeft(0)(_ + _).init
       val rebuilt = bands(sig, maxH).zip(offsets)
