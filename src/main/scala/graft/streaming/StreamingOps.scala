@@ -108,6 +108,54 @@ object StreamingOps {
       }
   }
 
+  final case class UserSpend(user_id: Long, total: Double, n: Long)
+
+  /** Spark 4's transformWithState (arbitrary-state v2): running per-user
+    * spend via typed ValueState — the modern replacement for
+    * mapGroupsWithState with composable state variables, timers, and
+    * per-state TTLs.
+    */
+  class SpendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserSpend] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Double, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Double, Long)](
+        "spend",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSpend] = {
+      val (prevSum, prevN) =
+        if (state.exists()) state.get() else (0.0, 0L)
+      var sum = prevSum; var n = prevN
+      rows.foreach { r => sum += r._2; n += 1 }
+      state.update((sum, n))
+      Iterator.single(UserSpend(key, sum, n))
+    }
+  }
+
+  def runningUserSpend(events: Dataset[(Long, Double)]): Dataset[UserSpend] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new SpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** Stream-static enrichment join: the unbounded stream joined to a
+    * bounded dimension (re-read per micro-batch; broadcast when small) —
+    * the lookup-join class.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Append-mode sink shorthand used by tests: run to completion over a
     * memory sink and return the result table name.
     */

@@ -107,6 +107,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Set((1L, 10L)))
   }
 
+  test("transformWithState: ValueState accumulates per-user spend across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // transformWithState needs column families → RocksDB provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[(Long, Double)]
+      val q = StreamingOps.runningUserSpend(src.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("update").start()
+      src.addData((1L, 10.0), (1L, 5.0), (2L, 7.0))
+      q.processAllAvailable()
+      src.addData((1L, 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws").as[StreamingOps.UserSpend].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n) }
+      assert(last(1L).total == 16.0 && last(1L).n == 3)
+      assert(last(2L).total == 7.0 && last(2L).n == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("stream-static enrichment join broadcasts the dimension") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.enrich(src.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    src.addData(ev(1, "2024-03-01 00:00:01", user = 1),
+      ev(2, "2024-03-01 00:00:02", user = 3)) // no dim row → null tier
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enr").select($"event_id", $"tier")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("gold"), 2L -> None))
+  }
+
   test("foreachBatch: batchId-partitioned parquet sink is replay-idempotent") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
