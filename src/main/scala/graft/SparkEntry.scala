@@ -65,12 +65,15 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
+    "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "dedup_embedding" -> Similarity.embeddingNearDup _,
     "text_token_stats" -> TextAnalysis.tokenStats _,
     "text_langid" -> TextAnalysis.langId _,
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_rolling_fp" -> TextAnalysis.rollingFingerprint _,
+    "text_redact" -> TextAnalysis.redactPii _,
+    "text_train_split" -> TextAnalysis.trainValSplit _,
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_corpus_stats" -> Multimodal.corpusStats _,
@@ -309,6 +312,31 @@ object SparkEntry {
         "GROUP BY text ORDER BY keep_id"),
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_clusters" ->
+      (s"""WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM d),
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pairs AS (SELECT i, j FROM p
+         |          WHERE (sa+sb-inter) > 0 AND CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.7),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs
+         |          UNION SELECT i, i FROM pairs UNION SELECT j, j FROM pairs),
+         |reach(node, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a)
+         |SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin),
+    "text_redact" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(synth, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(synth, '555-[0-9]+')) AS BIGINT) AS n_phones, " +
+        "md5(regexp_replace(regexp_replace(synth, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'), '555-[0-9]+', '[PHONE]', 'g')) AS redacted_md5 " +
+        "FROM (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 555-' || doc_id AS synth FROM documents) " +
+        "ORDER BY doc_id"),
+    "text_train_split" ->
+      ("SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split " +
+        "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket FROM documents) " +
+        "ORDER BY doc_id"),
     "dedup_simhash" ->
       (s"WITH d AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents), " +
         "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM d), " +

@@ -130,6 +130,43 @@ object Dedup {
     */
   val SimhashBits = 60
 
+  /** Near-dup clusters from the verified pair graph: connected components
+    * by iterative min-label propagation (each node adopts the smallest
+    * doc_id reachable; iterate to fixpoint). Components here have tiny
+    * diameter (dup clusters), so convergence is 2–3 rounds; each round is
+    * one join + one aggregation, all key-partitioned — the distributed
+    * union-find a dedup pipeline runs to pick one keeper per cluster.
+    * Output: (doc_id, cluster_rep) for every doc that has a near-dup.
+    */
+  def nearDupClusters(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
+    val pairs = minhashLsh(s, dir, thr).select(col("i"), col("j")).cache()
+    // undirected edges both ways + self-loops
+    var labels = pairs.select(col("i").as("node"), col("j").as("peer"))
+      .union(pairs.select(col("j").as("node"), col("i").as("peer")))
+      .union(pairs.select(col("i").as("node"), col("i").as("peer")))
+      .union(pairs.select(col("j").as("node"), col("j").as("peer")))
+      .groupBy(col("node")).agg(min(col("peer")).as("label"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      // propagate: my new label = min over my label and my peers' labels
+      val prop = labels.as("l")
+        .join(labels.select(col("node").as("peer_node"), col("label").as("peer_label")),
+          col("l.label") === col("peer_node"), "left")
+        .groupBy(col("l.node").as("node"))
+        .agg(least(min(col("l.label")), coalesce(min(col("peer_label")),
+          min(col("l.label")))).as("label"))
+      val changed = prop.as("a")
+        .join(labels.as("b"), col("a.node") === col("b.node"))
+        .filter(col("a.label") =!= col("b.label")).limit(1).count()
+      labels = prop.cache()
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash signatures: fingerprint from token-multiset hashes — per-bit
     * ±1 vote over every token occurrence, bit set where votes are
     * positive. Weight-sensitive (unlike MinHash's set semantics), so it

@@ -116,6 +116,44 @@ object TextAnalysis {
           .cast(BinaryType)).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** PII redaction: scrub emails and phone-shaped tokens before training.
+    * The corpus has none, so deterministic synthetic PII is appended per
+    * doc to prove the scrubber fires; output carries the redacted-text
+    * fingerprint plus match counts. Patterns stay in the RE2 ∩ java.regex
+    * common subset so both engines agree.
+    */
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "555-[0-9]+"
+    val synth = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or 555-"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), synth.as("synth"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("synth"), lit(emailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("synth"), lit(phoneRe), lit(0)))
+          .cast(LongType).as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("synth"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").cast(BinaryType)).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hash-based train/val split — stable across runs,
+    * engines, and re-partitioning (the property random() splits lack):
+    * bucket = md5(doc_id) mod 100, <90 → train.
+    */
+  def trainValSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15),
+          16, 10).cast(LongType) % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train").otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+
   /** Rolling-hash fingerprint via the native codegen'd
     * [[graft.functions.RollingHash]] expression — incremental polynomial
     * hash, the primitive behind content-defined chunking and shift-
