@@ -139,27 +139,33 @@ object Dedup {
     * Output: (doc_id, cluster_rep) for every doc that has a near-dup.
     */
   def nearDupClusters(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
-    val pairs = minhashLsh(s, dir, thr).select(col("i"), col("j")).cache()
+    // localCheckpoint: the pair graph is tiny relative to its lineage
+    // (the whole minhash pipeline) — truncate so propagation rounds don't
+    // re-plan/re-execute it
+    val pairs = minhashLsh(s, dir, thr).select(col("i"), col("j"))
+      .localCheckpoint(true)
     // undirected edges both ways + self-loops
     var labels = pairs.select(col("i").as("node"), col("j").as("peer"))
       .union(pairs.select(col("j").as("node"), col("i").as("peer")))
       .union(pairs.select(col("i").as("node"), col("i").as("peer")))
       .union(pairs.select(col("j").as("node"), col("j").as("peer")))
       .groupBy(col("node")).agg(min(col("peer")).as("label"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
-      // propagate: my new label = min over my label and my peers' labels
+      // pointer jumping: new label = min(label, label(label))
       val prop = labels.as("l")
         .join(labels.select(col("node").as("peer_node"), col("label").as("peer_label")),
           col("l.label") === col("peer_node"), "left")
         .groupBy(col("l.node").as("node"))
         .agg(least(min(col("l.label")), coalesce(min(col("peer_label")),
           min(col("l.label")))).as("label"))
+        .localCheckpoint(true) // one action: materialize the round
       val changed = prop.as("a")
         .join(labels.as("b"), col("a.node") === col("b.node"))
         .filter(col("a.label") =!= col("b.label")).limit(1).count()
-      labels = prop.cache()
+      labels = prop
       converged = changed == 0
       rounds += 1
     }

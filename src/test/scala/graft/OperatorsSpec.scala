@@ -77,6 +77,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(exact.forall(_._3 >= 0.7))
   }
 
+  test("dedup: cluster labels are component minima consistent with the pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rep = Dedup.nearDupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    // both endpoints of every near-dup pair share a representative
+    pairs.foreach { case (i, j) => assert(rep(i) == rep(j), s"($i,$j) split") }
+    // the representative is the smallest member of its component
+    rep.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.keys.min == r)
+    }
+  }
+
   test("dedup: simhash banding has exact recall at the Hamming threshold") {
     // pigeonhole guarantee: banded candidates must equal the brute-force
     // pair set at the same threshold, computed here from the signatures
