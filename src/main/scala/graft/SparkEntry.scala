@@ -41,7 +41,9 @@ object SparkEntry {
     "q16_topk" -> Relational.q16TopK _,
     "q17_setops" -> Relational.q17SetOps _,
     "q18_strings" -> Relational.q18Strings _,
+    "q18b_strings" -> Relational.q18bStrings _,
     "q19_dates" -> Relational.q19Dates _,
+    "q19b_dates" -> Relational.q19bDates _,
     "q20_math" -> Relational.q20Math _,
     "q21_arrays" -> Relational.q21Arrays _,
     "q21_explode" -> Relational.q21Explode _,
@@ -220,6 +222,23 @@ object SparkEntry {
         "regexp_extract(c_name, '([0-9]+)', 1) AS re, " +
         "array_to_string(string_split(c_name, '#'), '|') AS sp " +
         "FROM customer ORDER BY c_custkey"),
+    "q18b_strings" ->
+      ("SELECT c_custkey, lpad(c_name, 24, '*') AS lp, " +
+        "rpad(c_mktsegment, 12, '.') AS rp, " +
+        "regexp_replace(c_name, '[0-9]', '#', 'g') AS masked, " +
+        "translate(c_mktsegment, 'AEIOU', 'aeiou') AS tl, " +
+        "CAST(instr(c_name, '1') AS BIGINT) AS pos1, " +
+        "upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS ic, " +
+        "reverse(c_name) AS rev, repeat('ab', 3) AS rep " +
+        "FROM customer ORDER BY c_custkey"),
+    "q19b_dates" ->
+      ("SELECT o_orderkey, " +
+        "strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m, " +
+        "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, " +
+        "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, " +
+        "epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS epoch_us " +
+        "FROM orders ORDER BY o_orderkey"),
     "q19_dates" ->
       ("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, " +
         "CAST(month(o_orderdate) AS BIGINT) AS m, " +

@@ -35,7 +35,11 @@ object Dedup {
     * ~n²/2⁶⁴ collision probability (≈4e-11 here).
     */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docShinglesOf(t(s, dir, "documents"))
+
+  /** Works over any (doc_id, text) DataFrame — the library-facing form. */
+  private[graft] def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       // bind the token array before shingling: expression trees do not
       // CSE, so element_at(tokens(text), i) inside the shingle transform
       // would re-run the regexp split per element reference
@@ -72,8 +76,12 @@ object Dedup {
     * 2⁶⁴, is off the table: Spark 4's default ANSI mode raises on long
     * overflow rather than wrapping.)
     */
-  def minhashLsh(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
-    val sh = docShingles(s, dir).cache()
+  def minhashLsh(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame =
+    minhashLshPairs(t(s, dir, "documents"), thr)
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def minhashLshPairs(docs: DataFrame, thr: Double): DataFrame = {
+    val sh = docShinglesOf(docs).cache()
     val sig = sh.groupBy(col("doc_id"))
       .agg(array((0 until NumPerms).map(p =>
         min(xxhash64(lit(p), col("shingle")))): _*).as("sig"))

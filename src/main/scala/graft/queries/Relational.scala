@@ -283,6 +283,21 @@ object Relational {
         array_join(split(col("c_name"), "#"), "|").as("sp"))
       .orderBy(col("c_custkey"))
 
+  /** Q18b — wider string surface: pad/replace/translate/position/case. */
+  def q18bStrings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        lpad(col("c_name"), 24, "*").as("lp"),
+        rpad(col("c_mktsegment"), 12, ".").as("rp"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tl"),
+        instr(col("c_name"), "1").cast(LongType).as("pos1"),
+        initcap(lower(col("c_mktsegment"))).as("ic"),
+        reverse(col("c_name")).as("rev"),
+        repeat(lit("ab"), 3).as("rep"))
+      .orderBy(col("c_custkey"))
+
   /** Q19 — date/time function surface. */
   def q19Dates(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -294,6 +309,23 @@ object Relational {
         date_trunc("month", col("o_orderdate")).as("mon"),
         datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
           .cast(LongType).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  /** Q19b — wider datetime surface: month arithmetic, boundaries,
+    * day-of-week, epoch extraction.
+    */
+  def q19bDates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        // dates exported as ISO strings: date32 vs timestamp dtypes differ
+        // across engines, the rendered values don't
+        date_format(add_months(col("o_orderdate").cast(DateType), 3), "yyyy-MM-dd")
+          .as("plus3m"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        dayofweek(col("o_orderdate")).cast(LongType).as("dow"),
+        quarter(col("o_orderdate")).cast(LongType).as("qtr"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("epoch_us"))
       .orderBy(col("o_orderkey"))
 
   /** Q20 — math function surface. sqrt is IEEE-exact; ln is rounded to

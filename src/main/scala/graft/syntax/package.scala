@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-facing extension methods — the ergonomic surface a caller of the
+  * library actually writes (`import graft.syntax._`). Each delegates to
+  * the operator modules; nothing here adds semantics.
+  *
+  * {{{
+  * import graft.syntax._
+  * docs.nearDupPairs(textCol = "text", idCol = "doc_id")      // MinHash+LSH, verified
+  * emb.cosineTopK(probe, k = 5)                               // exact ANN baseline
+  * clicks.asOf(signups, key = "user_id", ts = "ts", payload = Seq("signup_id"))
+  * facts.saltedJoin(dim, key = "k", salt = 8)                 // hot-key skew
+  * }}}
+  */
+package object syntax {
+
+  implicit class GraftTextOps(private val df: DataFrame) {
+
+    /** Verified near-duplicate pairs (shingle Jaccard ≥ thr) via
+      * MinHash+LSH candidates. Expects (idCol, textCol) columns.
+      */
+    def nearDupPairs(textCol: String, idCol: String, thr: Double = 0.7): DataFrame =
+      operators.Dedup.minhashLshPairs(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text")), thr)
+
+    /** Deterministic hash split: (bucket, split) by md5(id) mod 100. */
+    def hashSplit(idCol: String, trainPct: Int = 90): DataFrame =
+      df.withColumn("bucket",
+        (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15),
+          16, 10).cast("long") % 100))
+        .withColumn("split",
+          when(col("bucket") < trainPct, "train").otherwise("val"))
+  }
+
+  implicit class GraftVectorOps(private val df: DataFrame) {
+
+    /** Exact cosine top-k against a broadcast probe vector column. */
+    def cosineTopK(probe: DataFrame, embCol: String, idCol: String,
+        k: Int): DataFrame = {
+      functions.VectorFunctions.register(df.sparkSession)
+      df.crossJoin(broadcast(probe.select(col(embCol).as("__probe"))))
+        .select(col(idCol),
+          functions.VectorFunctions.cosineSim(col(embCol), col("__probe"))
+            .as("score"))
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+    }
+  }
+
+  implicit class GraftJoinOps(private val df: DataFrame) {
+
+    /** As-of join: latest `right` row at or before each left timestamp. */
+    def asOf(right: DataFrame, key: String, ts: String,
+        payload: Seq[String], tiebreak: String): DataFrame =
+      operators.AsOfJoin.asOfJoin(df, right, key, ts, payload, tiebreak)
+
+    /** Salted inner join for pathological single-key skew. */
+    def saltedJoin(small: DataFrame, key: String, salt: Int): DataFrame =
+      operators.SkewJoin.saltedInnerJoin(df, small, key, salt)
+  }
+}

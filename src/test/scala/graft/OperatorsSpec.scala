@@ -162,6 +162,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(rh("abc") != rh("cba")) // order-sensitive, unlike set hashes
   }
 
+  test("syntax: extension methods delegate to the operators") {
+    import graft.syntax._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "something entirely different with no shared phrasing at all ok"))
+      .toDF("id", "body")
+    val pairs = docs.nearDupPairs(textCol = "body", idCol = "id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val split = docs.hashSplit("id")
+    assert(split.filter(col("split").isin("train", "val")).count() == 3)
+    val probe = Tables.t(spark, sfDir, "embeddings").filter(col("vec_id") === 0)
+    val top = Tables.t(spark, sfDir, "embeddings").filter(col("vec_id") =!= 0)
+      .cosineTopK(probe, embCol = "embedding", idCol = "vec_id", k = 3)
+    assert(top.count() == 3)
+  }
+
   test("udx: geometric mean matches closed form on a known group") {
     import spark.implicits._
     Udx.register(spark)
