@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: replicate the sf0.1 tables k× (keys offset per replica
+  * so cardinalities scale too) and time the heavy operators at 1× vs k×.
+  * Near-linear ratios are the evidence behind PLANS.md's scale-up claims.
+  *
+  * Usage: runMain graft.ScaleProbe [k]
+  */
+object ScaleProbe {
+  def replicate(df: DataFrame, k: Int, idCols: Seq[String], n: Long): DataFrame =
+    (0 until k).map { r =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * n)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val dir = "/root/testdata/sf0.1"
+    val spark = GraftSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // documents scaled with perturbed text (append a replica marker token
+    // so replicas aren't exact dups of each other but keep shingle mass)
+    val docs1 = Tables.t(spark, dir, "documents")
+    val docsK = (0 until k).map { r =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000L))
+        .withColumn("text", concat(col("text"), lit(s" replica marker r$r")))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val docs1c = docs1.localCheckpoint(true)
+
+    val li1 = Tables.t(spark, dir, "lineitem").localCheckpoint(true)
+    val liK = replicate(Tables.t(spark, dir, "lineitem"), k,
+      Seq("l_orderkey"), 10000000L).localCheckpoint(true)
+    val o1 = Tables.t(spark, dir, "orders").localCheckpoint(true)
+    val oK = replicate(Tables.t(spark, dir, "orders"), k,
+      Seq("o_orderkey", "o_custkey"), 10000000L).localCheckpoint(true)
+    val c1 = Tables.t(spark, dir, "customer").localCheckpoint(true)
+    val cK = replicate(Tables.t(spark, dir, "customer"), k,
+      Seq("c_custkey"), 10000000L).localCheckpoint(true)
+
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def agg(df: DataFrame) = df.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType))
+    def join(o: DataFrame, c: DataFrame) =
+      o.join(c, o("o_custkey") === c("c_custkey")).select(col("o_orderkey"), col("c_name"))
+    def dedup(docs: DataFrame) = operators.Dedup.minhashLshPairs(docs, 0.7)
+
+    val results = Seq(
+      ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
+      ("join_q04", time(noop(join(o1, c1))), time(noop(join(oK, cK)))),
+      ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))
+    println(f"k=$k  (ideal linear ratio = $k%d)")
+    results.foreach { case (name, t1, tk) =>
+      println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")
+    }
+    spark.stop()
+  }
+}
