@@ -156,6 +156,47 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** CDC-style keyed upsert sink: maintain "latest row per key" as a
+    * parquet table via foreachBatch — read current state, union the
+    * micro-batch, keep the winner per key (max ts, batch rows beat state
+    * rows on ties), atomically replace. The materialized-view pattern for
+    * engines without a lakehouse MERGE; swap the body for `MERGE INTO`
+    * when Delta/Iceberg is on the classpath.
+    */
+  def upsertSink(updates: DataFrame, stateDir: String, key: String,
+      tsCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = updates.sparkSession
+    val schema = updates.schema
+    def merge(batch: DataFrame, batchId: Long): Unit = {
+      val current =
+        try spark.read.schema(schema).parquet(stateDir)
+        catch { case _: Throwable => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema) }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key))
+        .orderBy(col(tsCol).desc, col("__src").desc)
+      val merged = current.withColumn("__src", lit(0))
+        .unionByName(batch.withColumn("__src", lit(1)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__src", "__rn")
+      // write-then-swap for atomicity on local FS
+      val tmp = stateDir + ".tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      val fs = new java.io.File(stateDir)
+      if (fs.exists()) {
+        val old = new java.io.File(stateDir + ".old")
+        if (old.exists()) scala.reflect.io.Directory(old).deleteRecursively()
+        fs.renameTo(old)
+      }
+      new java.io.File(tmp).renameTo(new java.io.File(stateDir))
+    }
+    updates.writeStream.foreachBatch(merge _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-upsert-ck").toString)
+      .start()
+  }
+
   /** Append-mode sink shorthand used by tests: run to completion over a
     * memory sink and return the result table name.
     */

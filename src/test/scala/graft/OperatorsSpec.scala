@@ -139,6 +139,26 @@ class OperatorsSpec extends SparkSpecBase {
       "c" -> None))      // right row in the future → null
   }
 
+  test("asof join: randomized differential vs naive reference implementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = Seq.tabulate(200)(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+    val out = graft.operators.AsOfJoin.asOfJoin(
+      left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid"),
+      key = "k", tsCol = "t", rightPayload = Seq("rid"), tiebreak = "rid")
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    // naive: latest right row (ties → max rid) with same key and ts <= left.ts
+    val naive = left.map { case (k, t, lid) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(out == naive)
+  }
+
   test("skew: salted join returns exactly the plain join's rows") {
     val o = Tables.t(spark, sfDir, "orders")
       .withColumnRenamed("o_custkey", "custkey")

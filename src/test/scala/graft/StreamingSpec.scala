@@ -150,6 +150,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Map(1L -> Some("gold"), 2L -> None))
   }
 
+  test("upsert sink maintains latest-row-per-key across micro-batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/state"
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.upsertSink(src.toDF(), dir, key = "user_id", tsCol = "ts")
+    src.addData(
+      ev(1, "2024-03-01 00:00:01", user = 1, v = 10.0),
+      ev(2, "2024-03-01 00:00:02", user = 2, v = 20.0))
+    q.processAllAvailable()
+    src.addData(
+      ev(3, "2024-03-01 00:00:05", user = 1, v = 11.0), // newer → replaces
+      ev(4, "2024-03-01 00:00:01", user = 2, v = 99.0)) // older than state → ignored
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(dir).as[Ev].collect()
+      .map(e => e.user_id -> (e.event_id, e.value)).toMap
+    assert(state == Map(1L -> (3L, 11.0), 2L -> (2L, 20.0)))
+  }
+
   test("foreachBatch: batchId-partitioned parquet sink is replay-idempotent") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
