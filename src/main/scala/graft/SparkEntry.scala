@@ -47,6 +47,8 @@ object SparkEntry {
     "q20_math" -> Relational.q20Math _,
     "q21_arrays" -> Relational.q21Arrays _,
     "q21_explode" -> Relational.q21Explode _,
+    "q21c_higher_order" -> Relational.q21cHigherOrder _,
+    "q19c_parse" -> Relational.q19cParse _,
     "q22_maps" -> Relational.q22Maps _,
     "q23_json" -> Relational.q23Json _,
     "q16b_offset" -> Relational.q16bOffset _,
@@ -263,6 +265,15 @@ object SparkEntry {
     "q21_explode" ->
       ("SELECT vec_id, CAST(r.range + 1 AS BIGINT) AS pos, embedding[CAST(r.range AS INT) + 1] AS val " +
         "FROM embeddings, range(64) r WHERE vec_id < 3 ORDER BY vec_id, pos"),
+    "q21c_higher_order" ->
+      ("SELECT vec_id, CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, " +
+        "round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b), 4) AS l1, " +
+        "round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS head8_sum " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q19c_parse" ->
+      ("SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS rendered, " +
+        "epoch_us(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS reparsed_us " +
+        "FROM events ORDER BY event_id"),
     "q22_maps" ->
       ("SELECT event_id, event_type AS mt, CAST(2 AS BIGINT) AS msz, " +
         "'type,uid' AS mkeys FROM events ORDER BY event_id"),

@@ -357,6 +357,33 @@ object Relational {
         exists(col("embedding"), _ > 0.2f).as("has_big"))
       .orderBy(col("vec_id"))
 
+  /** Q21c — higher-order array functions: filter/transform/aggregate
+    * lambdas over the embedding vectors (the Table-API collection-
+    * function class). Sums are sequential left-folds in both engines;
+    * rounded to absorb accumulation-order ulps.
+    */
+  def q21cHigherOrder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0))
+          .cast(LongType).as("n_pos"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + abs(x.cast(DoubleType))), 4).as("l1"),
+        round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType)), 4).as("head8_sum"))
+      .orderBy(col("vec_id"))
+
+  /** Q19c — string→temporal parsing round-trip. */
+  def q19cParse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("rendered"))
+      .select(col("event_id"), col("rendered"),
+        unix_micros(to_timestamp(col("rendered"), "yyyy-MM-dd HH:mm:ss"))
+          .as("reparsed_us"))
+      .orderBy(col("event_id"))
+
   /** Q21b — explode/UNNEST (Generator) with position. */
   def q21Explode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
