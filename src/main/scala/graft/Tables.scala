@@ -20,8 +20,16 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read it as raw nanos and narrow to micros
       // ourselves (the data is µs-granular, so this is lossless).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
+      // The legacy nanosAsLong flag is scoped to the (eager) schema
+      // inference only — execution accepts nanos→long via the explicit
+      // user schema, so no session-global conf leaks to other reads.
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(nanosKey)
+      val schema =
+        try { spark.conf.set(nanosKey, "true")
+              spark.read.parquet(s"$dir/$name.parquet").schema }
+        finally prev.fold(spark.conf.unset(nanosKey))(spark.conf.set(nanosKey, _))
+      spark.read.schema(schema).parquet(s"$dir/$name.parquet")
         // integral `div`, not `/`: double division would lose precision
         // above 2^53 (epoch-nanos are ~1.7e18)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -146,35 +146,55 @@ object Dedup {
     * union-find a dedup pipeline runs to pick one keeper per cluster.
     * Output: (doc_id, cluster_rep) for every doc that has a near-dup.
     */
-  def nearDupClusters(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
+  def nearDupClusters(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame =
+    clustersOfPairs(minhashLsh(s, dir, thr).select(col("i"), col("j")))
+
+  /** Connected components over an (i, j) pair graph. Each round takes,
+    * per node, the min over {own label} ∪ {labels of all ORIGINAL-edge
+    * neighbors} ∪ {label(label)} — the edge relaxation is what guarantees
+    * convergence to the true component minimum (pointer jumping alone is
+    * not enough: with pairs (5,6),(1,6), node 5's label 5 is a pointer-
+    * jump fixed point even though its component min is 1); pointer
+    * jumping stays as an O(log diameter) accelerator. Labels are
+    * monotonically non-increasing, so "sum of labels unchanged" is an
+    * exact, single-aggregation convergence test (decimal sum: no overflow
+    * at any node count). All joins are key-partitioned; nothing is
+    * proportional to component count squared.
+    */
+  private[graft] def clustersOfPairs(rawPairs: DataFrame): DataFrame = {
     // localCheckpoint: the pair graph is tiny relative to its lineage
     // (the whole minhash pipeline) — truncate so propagation rounds don't
     // re-plan/re-execute it
-    val pairs = minhashLsh(s, dir, thr).select(col("i"), col("j"))
-      .localCheckpoint(true)
-    // undirected edges both ways + self-loops
-    var labels = pairs.select(col("i").as("node"), col("j").as("peer"))
+    val pairs = rawPairs.localCheckpoint(true)
+    // undirected edge list, both directions (the relaxation set)
+    val edges = pairs.select(col("i").as("node"), col("j").as("peer"))
       .union(pairs.select(col("j").as("node"), col("i").as("peer")))
-      .union(pairs.select(col("i").as("node"), col("i").as("peer")))
-      .union(pairs.select(col("j").as("node"), col("j").as("peer")))
+      .localCheckpoint(true)
+    var labels = edges
+      .union(edges.select(col("node"), col("node").as("peer"))) // self-loop
       .groupBy(col("node")).agg(min(col("peer")).as("label"))
       .localCheckpoint(true)
+    def labelSum(l: DataFrame): java.math.BigDecimal = l
+      .agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
-      // pointer jumping: new label = min(label, label(label))
-      val prop = labels.as("l")
-        .join(labels.select(col("node").as("peer_node"), col("label").as("peer_label")),
-          col("l.label") === col("peer_node"), "left")
-        .groupBy(col("l.node").as("node"))
-        .agg(least(min(col("l.label")), coalesce(min(col("peer_label")),
-          min(col("l.label")))).as("label"))
-        .localCheckpoint(true) // one action: materialize the round
-      val changed = prop.as("a")
-        .join(labels.as("b"), col("a.node") === col("b.node"))
-        .filter(col("a.label") =!= col("b.label")).limit(1).count()
-      labels = prop
-      converged = changed == 0
+    while (!converged && rounds < 50) {
+      // candidates: own label, every neighbor's label, label-of-label
+      val viaEdges = edges
+        .join(labels.select(col("node").as("peer"), col("label")), Seq("peer"))
+        .select(col("node"), col("label"))
+      val viaJump = labels.as("l")
+        .join(labels.select(col("node").as("ln"), col("label").as("ll")),
+          col("l.label") === col("ln"), "left")
+        .select(col("l.node").as("node"),
+          coalesce(col("ll"), col("l.label")).as("label"))
+      labels = labels.union(viaEdges).union(viaJump)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true) // one action per round
+      val s2 = labelSum(labels)
+      converged = s2.compareTo(prevSum) == 0
+      prevSum = s2
       rounds += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))

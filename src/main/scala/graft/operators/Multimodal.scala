@@ -43,7 +43,11 @@ object Multimodal {
     */
   private def decodeStub(a: MediaAsset): MediaMeta = {
     val n = a.payload.length.toLong
-    val b0 = if (n > 0) a.payload(0) & 0xffL else 0L
+    // first *code point* of the decoded payload (not first byte): the
+    // DuckDB oracle's ascii(substring(text,1,1)) is code-point-based, so
+    // byte-based width would diverge on non-ASCII leading characters
+    val s = new String(a.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val b0 = if (s.nonEmpty) s.codePointAt(0).toLong else 0L
     MediaMeta(a.doc_id, a.kind, n,
       width = 16 + b0 % 64,
       height = 16 + n % 64,

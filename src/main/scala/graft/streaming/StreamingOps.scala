@@ -168,10 +168,14 @@ object StreamingOps {
     val spark = updates.sparkSession
     val schema = updates.schema
     def merge(batch: DataFrame, batchId: Long): Unit = {
+      // Only a *missing* state dir means "first batch"; any other read
+      // failure (FS hiccup, partial visibility, OOM) must fail the batch
+      // rather than silently discarding all accumulated upsert state.
       val current =
-        try spark.read.schema(schema).parquet(stateDir)
-        catch { case _: Throwable => spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema) }
+        if (new java.io.File(stateDir).exists())
+          spark.read.schema(schema).parquet(stateDir)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(key))
         .orderBy(col(tsCol).desc, col("__src").desc)
@@ -180,16 +184,22 @@ object StreamingOps {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__src", "__rn")
-      // write-then-swap for atomicity on local FS
+      // write-then-swap for atomicity on local FS; every rename/delete
+      // result is checked — a failed swap must fail the batch loudly, not
+      // leave corrupted state behind
       val tmp = stateDir + ".tmp"
       merged.write.mode("overwrite").parquet(tmp)
       val fs = new java.io.File(stateDir)
       if (fs.exists()) {
         val old = new java.io.File(stateDir + ".old")
-        if (old.exists()) scala.reflect.io.Directory(old).deleteRecursively()
-        fs.renameTo(old)
+        if (old.exists())
+          require(scala.reflect.io.Directory(old).deleteRecursively(),
+            s"upsertSink: could not delete stale $old")
+        require(fs.renameTo(old),
+          s"upsertSink: could not move current state $fs aside to $old")
       }
-      new java.io.File(tmp).renameTo(new java.io.File(stateDir))
+      require(new java.io.File(tmp).renameTo(new java.io.File(stateDir)),
+        s"upsertSink: could not swap $tmp into place at $stateDir")
     }
     updates.writeStream.foreachBatch(merge _)
       .option("checkpointLocation",

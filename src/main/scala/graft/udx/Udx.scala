@@ -98,7 +98,9 @@ case class TokenizeUdtf(child: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) Iterator.empty
-    else v.toString.toLowerCase.split("[^a-z0-9]+").iterator
+    // UTF8String.toLowerCase = Spark's lower(): locale-independent, so
+    // tokens match TextFunctions.tokens under any default JVM locale
+    else v.asInstanceOf[UTF8String].toLowerCase.toString.split("[^a-z0-9]+").iterator
       .filter(_.nonEmpty).zipWithIndex
       .map { case (tok, i) =>
         InternalRow(i.toLong + 1L, UTF8String.fromString(tok))

@@ -91,6 +91,26 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup: connected components converge on adversarial topologies") {
+    import spark.implicits._
+    def reps(pairs: (Long, Long)*): Map[Long, Long] =
+      Dedup.clustersOfPairs(pairs.toDF("i", "j")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pointer-jumping-only failure case: 5's direct min (5) is a
+    // jump fixed point, but its component min through 6 is 1
+    assert(reps((5L, 6L), (1L, 6L)) ==
+      Map(1L -> 1L, 5L -> 1L, 6L -> 1L))
+    // long descending chain: min enters from one end, must traverse
+    val chain = (1L until 10L).map(k => (k, k + 1))
+    assert(reps(chain: _*).values.toSet == Set(1L))
+    // star with a max-id hub: leaves only connect through the hub
+    val star = Seq((100L, 7L), (100L, 3L), (100L, 9L), (100L, 50L))
+    assert(reps(star: _*).values.toSet == Set(3L))
+    // two separate components stay separate
+    val two = reps((1L, 2L), (2L, 3L), (10L, 11L))
+    assert(two == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("dedup: simhash banding has exact recall at the Hamming threshold") {
     // pigeonhole guarantee: banded candidates must equal the brute-force
     // pair set at the same threshold, computed here from the signatures
