@@ -51,16 +51,21 @@ object Dedup {
     * restricted to candidates, |A∪B| = |A|+|B|−|A∩B|, keep Jaccard ≥ thr.
     */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // equi-join on (doc, shingle) both times: each candidate pair costs
-    // |A∩B| joined rows, not |A|×|B|
-    val inter = cand
-      .join(sh.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("shingle")), Seq("j", "shingle"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("sz").as("sza")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("sz").as("szb")), "j")
+    // one row per doc with its (already-distinct) shingle set as an array:
+    // the exact verification then joins the tiny candidate list to this
+    // per-doc table twice (key-partitioned, one row per doc) instead of
+    // shuffling the full exploded shingle table through two joins — per-doc
+    // arrays are bounded by document length, so this holds at any corpus
+    // size
+    val shArr = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("sz"))
+    cand
+      .join(shArr.select(col("doc_id").as("i"), col("shs").as("sa"),
+        col("sz").as("sza")), "i")
+      .join(shArr.select(col("doc_id").as("j"), col("shs").as("sb"),
+        col("sz").as("szb")), "j")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jac",
         col("inter").cast(DoubleType) / (col("sza") + col("szb") - col("inter")))
       .filter(col("jac") >= thr)
@@ -85,6 +90,9 @@ object Dedup {
     val sig = sh.groupBy(col("doc_id"))
       .agg(array((0 until NumPerms).map(p =>
         min(xxhash64(lit(p), col("shingle")))): _*).as("sig"))
+      // one array[128] row per doc; materialized so the band self-join
+      // (broadcast build side) doesn't recompute the signature aggregation
+      .localCheckpoint(true)
     val bands = sig.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b =>
         xxhash64(lit(b) +: (0 until BandRows).map(r =>
@@ -230,7 +238,11 @@ object Dedup {
     * then pass an exact bit_count(xor) filter.
     */
   def simhash(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame =
-    simhashPairs(simhashSigs(t(s, dir, "documents")), maxHamming)
+    // materialize the signatures (one 16-byte row per doc) before the band
+    // self-join: the join broadcasts one side, which otherwise recomputes
+    // the whole tokenize→md5→60-bit-vote pipeline a second time
+    simhashPairs(simhashSigs(t(s, dir, "documents")).localCheckpoint(true),
+      maxHamming)
 
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
@@ -252,8 +264,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // exact Hamming check BEFORE the dedup shuffle: bit_count is a cheap
+      // map-side expression, so only true near-dup pairs (tiny) reach
+      // distinct() instead of the full candidate volume (which grows as
+      // ~bands·n²/2^bandwidth — the dominant cost at any scale)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("i"), col("j"))
   }
 }
