@@ -37,7 +37,11 @@ object SparkEntry {
     "q12_approx_distinct" -> Relational.q12ApproxDistinct _,
     "q13_rollup" -> Relational.q13Rollup _,
     "q14_window_rank" -> Relational.q14WindowRank _,
+    "q14b_window_dist" -> Relational.q14bWindowDist _,
     "q15_window_frame" -> Relational.q15WindowFrame _,
+    "q15b_window_nav" -> Relational.q15bWindowNav _,
+    "q10d_argmax" -> Relational.q10dArgmax _,
+    "q09b_range_join" -> graft.operators.RangeJoin.q09bRangeJoin _,
     "q16_topk" -> Relational.q16TopK _,
     "q17_setops" -> Relational.q17SetOps _,
     "q18_strings" -> Relational.q18Strings _,
@@ -78,6 +82,8 @@ object SparkEntry {
     "text_rolling_fp" -> TextAnalysis.rollingFingerprint _,
     "text_redact" -> TextAnalysis.redactPii _,
     "text_train_split" -> TextAnalysis.trainValSplit _,
+    "text_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_stratified_sample" -> TextAnalysis.stratifiedSample _,
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_corpus_stats" -> Multimodal.corpusStats _,
@@ -207,6 +213,30 @@ object SparkEntry {
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum_3 " +
         "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "q14b_window_dist" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "round(PERCENT_RANK() OVER w, 6) AS pr, " +
+        "round(CUME_DIST() OVER w, 6) AS cd " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q15b_window_nav" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "FIRST_VALUE(o_totalprice) OVER w AS first_price, " +
+        "LAST_VALUE(o_totalprice) OVER w AS last_price, " +
+        "NTH_VALUE(o_totalprice, 2) OVER w AS second_price " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q10d_argmax" ->
+      ("SELECT user_id, arg_max(event_type, event_id) AS last_type, " +
+        "arg_min(event_type, event_id) AS first_type, " +
+        "max(event_id) AS last_event_id, COUNT(*) AS n_events " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    "q09b_range_join" ->
+      ("SELECT p_partkey, COUNT(*) AS n_li FROM part p JOIN lineitem l " +
+        "ON l.l_quantity >= p.p_size - 2 AND l.l_quantity <= p.p_size + 2 " +
+        "WHERE p.p_size <= 10 GROUP BY p_partkey ORDER BY p_partkey"),
     "q16_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
@@ -366,6 +396,23 @@ object SparkEntry {
     "text_train_split" ->
       ("SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split " +
         "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket FROM documents) " +
+        "ORDER BY doc_id"),
+    "text_tfidf" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS token FROM d), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token), " +
+        "dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT doc_id, token, round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE)/df), 6) AS tfidf " +
+        "  FROM tf JOIN dfx USING(token), n), " +
+        "rk AS (SELECT doc_id, token, tfidf, row_number() OVER " +
+        "  (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk FROM sc) " +
+        "SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tfidf FROM rk WHERE rk <= 3 " +
+        "ORDER BY doc_id, rk"),
+    "text_stratified_sample" ->
+      ("SELECT doc_id, lang, bucket FROM (SELECT doc_id, lang, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket FROM documents) " +
+        "WHERE bucket < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END " +
         "ORDER BY doc_id"),
     "dedup_simhash" ->
       (s"WITH d AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents), " +

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables.t
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -153,6 +154,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < 90, "train").otherwise("val").as("split"))
       .orderBy(col("doc_id"))
+
+  /** TF-IDF top terms per document: tf = in-doc occurrences, idf =
+    * ln(N/df) over the corpus, top-k by rounded score with token
+    * tie-break. Two key-partitioned aggregations (doc,token → token) +
+    * one broadcast of the single-row corpus count + one window rank —
+    * the shape survives any corpus size because nothing is per-corpus
+    * except the count.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // round BEFORE ranking so the rank order is defined on exactly the
+    // values both engines compare (ties then break on token)
+    val scored = tf.join(df_, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf").cast(DoubleType) *
+        log(col("n_docs").cast(DoubleType) / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast(LongType).as("rk"),
+        col("token"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Deterministic hash-stratified sampling: per-language keep rates over
+    * the same md5 bucket as [[trainValSplit]] — reproducible across runs
+    * and engines, no RNG state, pure map-side filter (the sampling
+    * pattern that actually works on 100 TB: no driver coordination).
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "de", 25)
+      .otherwise(10)
+    t(s, dir, "documents")
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15),
+          16, 10).cast(LongType) % 100))
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Rolling-hash fingerprint via the native codegen'd
     * [[graft.functions.RollingHash]] expression — incremental polynomial

@@ -259,6 +259,51 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Q14b — distribution window functions (ntile / percent_rank /
+    * cume_dist) over the same deterministic per-customer ordering.
+    */
+  def q14bWindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        // (rank-1)/(n-1): one double division — bit-identical across
+        // engines; round(6) only normalizes representation
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q15b — navigation window functions (first/last/nth value) over the
+    * full-partition frame.
+    */
+  def q15bWindowNav(s: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q10d — deterministic arg-max/arg-min aggregation (max_by/min_by
+    * keyed on the globally unique event_id): the "latest/first row per
+    * key" class as a single hash aggregation — no window, no self-join.
+    */
+  def q10dArgmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
   /** Q15 — analytic window functions with an explicit ROWS frame. The
     * 3-row moving sum goes through decimal so frame-order FP effects
     * cannot appear.

@@ -91,6 +91,54 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("range join: banded equi-join equals the naive theta join") {
+    import org.apache.spark.sql.functions._
+    val naive = Tables.t(spark, sfDir, "part").filter(col("p_size") <= 10).as("p")
+      .join(Tables.t(spark, sfDir, "lineitem").as("l"),
+        col("l.l_quantity") >= col("p.p_size") - 2 &&
+          col("l.l_quantity") <= col("p.p_size") + 2)
+      .groupBy(col("p_partkey")).agg(count(lit(1)).as("n_li"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = operators.RangeJoin.q09bRangeJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == naive)
+    assert(banded.nonEmpty)
+  }
+
+  test("tfidf: scores rank corpus-rare tokens above ubiquitous ones") {
+    import org.apache.spark.sql.functions._
+    val top = operators.TextAnalysis.tfidfTopTerms(spark, sfDir).cache()
+    // every doc with >= 3 distinct tokens gets exactly k rows, rk 1..3
+    val perDoc = top.groupBy(col("doc_id")).agg(count(lit(1)).as("n"),
+      max(col("rk")).as("mx")).collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach(r => assert(r.getLong(1) <= 3 && r.getLong(1) == r.getLong(2)))
+    // a token present in every document has idf = ln(1) = 0, so it can
+    // never outrank a doc-specific token with positive tfidf
+    val scores = top.select(min(col("tfidf"))).head.getDouble(0)
+    assert(scores >= 0.0)
+    top.unpersist()
+  }
+
+  test("stratified sample: per-stratum rates within hash tolerance") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val total = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = operators.TextAnalysis.stratifiedSample(spark, sfDir)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are uniform; at 500 docs/stratum allow wide tolerance —
+    // this asserts the *mechanism* (per-stratum rate), determinism is the
+    // oracle's job
+    kept.foreach { case (lang, n) =>
+      val rate = if (lang == "en") 0.50 else if (lang == "de") 0.25 else 0.10
+      val expected = total(lang) * rate
+      assert(n > 0 && math.abs(n - expected) < math.max(10.0, expected),
+        s"$lang kept $n expected ~$expected")
+    }
+  }
+
   test("dedup: connected components converge on adversarial topologies") {
     import spark.implicits._
     def reps(pairs: (Long, Long)*): Map[Long, Long] =

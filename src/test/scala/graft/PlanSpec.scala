@@ -39,6 +39,12 @@ class PlanSpec extends SparkSpecBase {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
   }
 
+  test("range join: bucketed plan has no nested-loop operator") {
+    val f = plan(operators.RangeJoin.q09bRangeJoin(spark, sfDir))
+    assert(!f.contains("BroadcastNestedLoopJoin") && !f.contains("CartesianProduct"),
+      "banded range join must plan as an equi-join on the bucket key")
+  }
+
   test("q26: cosine kernel is the native expression inside the projection") {
     val f = formatted(Similarity.q26CosineTopK(spark, sfDir))
     assert(f.contains("cosine_sim"))
