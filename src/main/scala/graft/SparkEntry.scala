@@ -42,6 +42,10 @@ object SparkEntry {
     "q15b_window_nav" -> Relational.q15bWindowNav _,
     "q10d_argmax" -> Relational.q10dArgmax _,
     "q09b_range_join" -> graft.operators.RangeJoin.q09bRangeJoin _,
+    "q06c_full_outer" -> Relational.q06cFullOuter _,
+    "q13d_unpivot" -> Relational.q13dUnpivot _,
+    "q26b_topk_multi" -> ((s: SparkSession, d: String) => Similarity.q26bTopKMulti(s, d)),
+    "emb_label_centroids" -> Similarity.labelCentroids _,
     "q16_topk" -> Relational.q16TopK _,
     "q17_setops" -> Relational.q17SetOps _,
     "q18_strings" -> Relational.q18Strings _,
@@ -237,6 +241,40 @@ object SparkEntry {
       ("SELECT p_partkey, COUNT(*) AS n_li FROM part p JOIN lineitem l " +
         "ON l.l_quantity >= p.p_size - 2 AND l.l_quantity <= p.p_size + 2 " +
         "WHERE p.p_size <= 10 GROUP BY p_partkey ORDER BY p_partkey"),
+    "q06c_full_outer" ->
+      ("SELECT c_custkey, o_orderkey, o_custkey " +
+        "FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 500) c " +
+        "FULL JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey >= 400) o " +
+        "ON c_custkey = o_custkey " +
+        "ORDER BY c_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST"),
+    "q13d_unpivot" ->
+      ("SELECT l_returnflag, substr(linestatus, 5, 1) AS linestatus, qty " +
+        "FROM (UNPIVOT (SELECT l_returnflag, " +
+        "  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_O, " +
+        "  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_F " +
+        "  FROM lineitem GROUP BY l_returnflag) " +
+        "ON qty_O, qty_F INTO NAME linestatus VALUE qty) " +
+        "ORDER BY l_returnflag, linestatus"),
+    "q26b_topk_multi" ->
+      ("""WITH idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)),
+        |p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, b.vec_id,
+        |        SUM(CAST(b.embedding[idx.x] AS DOUBLE) * CAST(p.pe[idx.x] AS DOUBLE)) AS dot,
+        |        SUM(CAST(b.embedding[idx.x] AS DOUBLE) * CAST(b.embedding[idx.x] AS DOUBLE)) AS nb,
+        |        SUM(CAST(p.pe[idx.x] AS DOUBLE) * CAST(p.pe[idx.x] AS DOUBLE)) AS np
+        |      FROM embeddings b, p, idx WHERE b.vec_id <> p.probe_id
+        |      GROUP BY p.probe_id, b.vec_id),
+        |r AS (SELECT probe_id, vec_id, round(dot/(sqrt(nb)*sqrt(np)), 6) AS score,
+        |        row_number() OVER (PARTITION BY probe_id
+        |          ORDER BY round(dot/(sqrt(nb)*sqrt(np)), 6) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, score
+        |FROM r WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin.replace("\n", " ")),
+    "emb_label_centroids" ->
+      ("WITH idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)) " +
+        "SELECT label, CAST(idx.x AS BIGINT) AS idx, " +
+        "round(CAST(SUM(CAST(round(CAST(embedding[idx.x] AS DOUBLE), 6) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
+        "FROM embeddings, idx GROUP BY label, idx.x ORDER BY label, idx"),
     "q16_topk" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),

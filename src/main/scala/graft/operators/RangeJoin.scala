@@ -46,17 +46,26 @@ object RangeJoin {
     * lineitems ship a quantity within ±2 of the part's size. The plan is
     * a key-partitioned equi-join on the quantity bucket — no nested-loop
     * operator anywhere (asserted by PlanSpec).
+    *
+    * COUNT decomposes over the value domain, so the fact side is first
+    * collapsed to its quantity histogram (one row per distinct value —
+    * a map-side-combined aggregation) and the interval join runs on the
+    * histogram, not the raw rows: the joined volume is |distinct values|
+    * × |intervals|, independent of fact-table row count. Without this
+    * the join enumerates every (row, interval) match — ~24M at sf0.1,
+    * unbounded at 100 TB.
     */
   def q09bRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_quantity"))
+    val qHist = t(s, dir, "lineitem")
+      .groupBy(col("l_quantity")).agg(count(lit(1)).as("n"))
     val pt = t(s, dir, "part")
       .filter(col("p_size") <= 10)
       .select(col("p_partkey"),
         (col("p_size") - 2).cast(DoubleType).as("lo"),
         (col("p_size") + 2).cast(DoubleType).as("hi"))
-    banded(li, "l_quantity", pt, "lo", "hi", band = 5L)
+    banded(qHist, "l_quantity", pt, "lo", "hi", band = 5L)
       .groupBy(col("p_partkey"))
-      .agg(count(lit(1)).as("n_li"))
+      .agg(sum(col("n")).as("n_li"))
       .orderBy(col("p_partkey"))
   }
 }

@@ -34,6 +34,48 @@ object Similarity {
       .limit(5)
   }
 
+  /** Multi-probe brute-force top-k: the whole probe set is broadcast at
+    * once and one corpus pass scores every probe — the batch-retrieval
+    * shape (probes ≪ corpus, so the broadcast is small and the corpus
+    * never shuffles; per-probe top-k is a window rank on the scored rows).
+    */
+  def q26bTopKMulti(s: SparkSession, dir: String, nProbes: Int = 5,
+      k: Int = 3): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("probe_emb")), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk").cast(LongType).as("rk"),
+        col("vec_id"), col("score"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Per-label embedding centroids — the class-prototype aggregation a
+    * training pipeline runs (nearest-centroid classification, cluster
+    * seeding). posexplode → one key-partitioned aggregation on
+    * (label, dim); element sums go through decimal after a 6-dp quantize
+    * so the result is independent of shuffle order at any scale (float
+    * sums are not associative; decimal sums are).
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(
+        sum(round(col("col").cast(DoubleType), 6).cast(DecimalType(20, 10)))
+          .cast(DoubleType) / count(lit(1)), 6).as("c"))
+      .select(col("label"), (col("pos") + 1).cast(LongType).as("idx"), col("c"))
+      .orderBy(col("label"), col("idx"))
+
   /** Random-hyperplane signs for LSH bucketing, derived from a fixed seed
     * so plans are stable across runs/engines. nPlanes sign bits → bucket id.
     */

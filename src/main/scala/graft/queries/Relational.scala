@@ -259,6 +259,35 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Q06c — full outer join with null rows on BOTH sides (the inputs are
+    * filtered to overlapping-but-distinct key ranges so each side has
+    * unmatched rows); deterministic order via NULLS LAST on both keys.
+    */
+  def q06cFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"))
+    val o = t(s, dir, "orders").filter(col("o_custkey") >= 400)
+      .select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_custkey"))
+      .orderBy(asc_nulls_last("c_custkey"), asc_nulls_last("o_orderkey"))
+  }
+
+  /** Q13d — unpivot (wide → long reshape, the inverse of Q13c's pivot):
+    * per-returnflag quantity sums per linestatus column melted back to
+    * rows.
+    */
+  def q13dUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(when(col("l_linestatus") === "O", col("l_quantity"))).as("qty_O"),
+        dsum(when(col("l_linestatus") === "F", col("l_quantity"))).as("qty_F"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty_O"), col("qty_F")), "linestatus", "qty")
+      .withColumn("linestatus", substring(col("linestatus"), 5, 1))
+      .orderBy(col("l_returnflag"), col("linestatus"))
+
   /** Q14b — distribution window functions (ntile / percent_rank /
     * cume_dist) over the same deterministic per-customer ordering.
     */
