@@ -44,6 +44,9 @@ object SparkEntry {
     "q09b_range_join" -> graft.operators.RangeJoin.q09bRangeJoin _,
     "q06c_full_outer" -> Relational.q06cFullOuter _,
     "q13d_unpivot" -> Relational.q13dUnpivot _,
+    "q11b_multi_distinct" -> Relational.q11bMultiDistinct _,
+    "q17b_setops_all" -> Relational.q17bSetOpsAll _,
+    "ts_gapfill" -> ((s: SparkSession, d: String) => graft.operators.TimeSeries.gapFillHourly(s, d)),
     "q26b_topk_multi" -> ((s: SparkSession, d: String) => Similarity.q26bTopKMulti(s, d)),
     "emb_label_centroids" -> Similarity.labelCentroids _,
     "q16_topk" -> Relational.q16TopK _,
@@ -241,6 +244,35 @@ object SparkEntry {
       ("SELECT p_partkey, COUNT(*) AS n_li FROM part p JOIN lineitem l " +
         "ON l.l_quantity >= p.p_size - 2 AND l.l_quantity <= p.p_size + 2 " +
         "WHERE p.p_size <= 10 GROUP BY p_partkey ORDER BY p_partkey"),
+    "q11b_multi_distinct" ->
+      ("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, " +
+        "COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n_rows " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    "q17b_setops_all" ->
+      ("SELECT op, k, n FROM (" +
+        "SELECT 'except_all' AS op, k, COUNT(*) AS n FROM " +
+        "(SELECT o_custkey AS k FROM orders EXCEPT ALL " +
+        " SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0) GROUP BY k " +
+        "UNION ALL " +
+        "SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM " +
+        "(SELECT o_custkey AS k FROM orders INTERSECT ALL " +
+        " SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0) GROUP BY k) " +
+        "ORDER BY op, k"),
+    "ts_gapfill" ->
+      ("WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value " +
+        "  FROM events WHERE user_id < 20), " +
+        "hv AS (SELECT user_id, h, value FROM " +
+        "  (SELECT user_id, h, value, row_number() OVER " +
+        "    (PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn FROM e) " +
+        "  WHERE rn = 1), " +
+        "span AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM e GROUP BY user_id), " +
+        "spine AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM span), " +
+        "j AS (SELECT s.user_id, s.h, hv.value, hv.value IS NULL AS is_gap " +
+        "  FROM spine s LEFT JOIN hv ON s.user_id = hv.user_id AND s.h = hv.h) " +
+        "SELECT user_id, epoch_us(h) AS hour_us, " +
+        "  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled, is_gap " +
+        "FROM j ORDER BY user_id, hour_us"),
     "q06c_full_outer" ->
       ("SELECT c_custkey, o_orderkey, o_custkey " +
         "FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 500) c " +

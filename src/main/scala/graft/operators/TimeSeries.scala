@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — gap-filling + forward fill (resampling an
+  * irregular event stream onto a fixed grid), the feature-engineering
+  * step upstream of any sequence model.
+  *
+  * Scale shape: the hourly spine is generated per key from that key's own
+  * [min, max] span (explode of a bounded sequence — no global calendar
+  * cross join), the spine⋈observations join is key-partitioned on
+  * (key, bucket), and the carry-forward is one ordered window per key.
+  * Nothing is proportional to keys × global-time-range.
+  */
+object TimeSeries {
+
+  /** Hourly gap-fill with last-observation-carried-forward over `events`
+    * for a bounded user set: one row per (user, hour-in-span), `filled` =
+    * latest observed value at or before that hour, `is_gap` marking
+    * synthesized rows. Hour buckets export as epoch micros (the
+    * TIMESTAMP_NS parquet convention, see Tables.t).
+    */
+  def gapFillHourly(s: SparkSession, dir: String, maxUser: Long = 20): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id") < maxUser)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    // latest observation per (user, hour): deterministic via the globally
+    // unique event_id tiebreak
+    val wPick = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hv = e.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("value"))
+    val spine = e.groupBy(col("user_id"))
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hv, Seq("user_id", "h"), "left")
+      .withColumn("is_gap", col("value").isNull)
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), unix_micros(col("h")).as("hour_us"),
+        col("filled"), col("is_gap"))
+      .orderBy(col("user_id"), col("hour_us"))
+  }
+}

@@ -259,6 +259,36 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Q11b — several DISTINCT aggregates over different columns in one
+    * pass: Catalyst plans this via Expand (one replicated stream per
+    * distinct set) — the multi-distinct shape that would otherwise need
+    * self-joins.
+    */
+  def q11bMultiDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Q17b — multiset set operations (EXCEPT ALL / INTERSECT ALL keep
+    * duplicate counts, unlike Q17's set-semantics forms); output
+    * aggregated per key so the result is deterministic.
+    */
+  def q17bSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    val b = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("k"))
+    val ex = a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.union(in).select(col("op"), col("k"), col("n"))
+      .orderBy(col("op"), col("k"))
+  }
+
   /** Q06c — full outer join with null rows on BOTH sides (the inputs are
     * filtered to overlapping-but-distinct key ranges so each side has
     * unmatched rows); deterministic order via NULLS LAST on both keys.

@@ -91,6 +91,27 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("gap-fill: contiguous hourly spine, LOCF semantics, no null fills") {
+    import org.apache.spark.sql.functions._
+    val g = operators.TimeSeries.gapFillHourly(spark, sfDir).cache()
+    // spine is contiguous: per user, (max-min)/3600s + 1 == row count
+    val spans = g.groupBy(col("user_id")).agg(count(lit(1)).as("n"),
+      ((max(col("hour_us")) - min(col("hour_us"))) / 3600000000L + 1).as("want"))
+      .collect()
+    assert(spans.nonEmpty)
+    spans.foreach(r => assert(r.getLong(1) == r.getDouble(2).toLong,
+      s"user ${r.getLong(0)}: ${r.getLong(1)} rows vs ${r.getDouble(2)} slots"))
+    // first row per user is an observation (fill never reaches backwards),
+    // and every row has a filled value
+    assert(g.filter(col("filled").isNull).count() == 0)
+    val firsts = g.orderBy(col("user_id"), col("hour_us"))
+      .groupBy(col("user_id")).agg(min_by(col("is_gap"), col("hour_us")).as("fg"))
+    assert(firsts.filter(col("fg")).count() == 0)
+    // the corpus actually has gaps, or the test proves nothing
+    assert(g.filter(col("is_gap")).count() > 0)
+    g.unpersist()
+  }
+
   test("range join: banded equi-join equals the naive theta join") {
     import org.apache.spark.sql.functions._
     val naive = Tables.t(spark, sfDir, "part").filter(col("p_size") <= 10).as("p")
