@@ -49,15 +49,35 @@ object ScaleProbe {
       Seq("c_custkey"), 10000000L).localCheckpoint(true)
 
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val e1 = Tables.t(spark, dir, "events")
+      .filter(col("user_id") % 10000000L < 200).localCheckpoint(true)
+    val eK = replicate(Tables.t(spark, dir, "events"), k,
+      Seq("event_id", "user_id"), 10000000L)
+      .filter(col("user_id") % 10000000L < 200).localCheckpoint(true)
+    val pt = Tables.t(spark, dir, "part").filter(col("p_size") <= 10)
+      .select(col("p_partkey"),
+        (col("p_size") - 2).cast(DoubleType).as("lo"),
+        (col("p_size") + 2).cast(DoubleType).as("hi"))
+      .localCheckpoint(true)
+
     def agg(df: DataFrame) = df.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DoubleType))
     def join(o: DataFrame, c: DataFrame) =
       o.join(c, o("o_custkey") === c("c_custkey")).select(col("o_orderkey"), col("c_name"))
     def dedup(docs: DataFrame) = operators.Dedup.minhashLshPairs(docs, 0.7)
+    // histogram-compressed banded range join: cost tracks the value
+    // domain, not fact rows — ratio should stay near 1 at any k
+    def rangeJoin(li: DataFrame) = operators.RangeJoin.banded(
+        li.groupBy(col("l_quantity")).agg(count(lit(1)).as("n")),
+        "l_quantity", pt, "lo", "hi", 5L)
+      .groupBy(col("p_partkey")).agg(sum(col("n")).as("n_li"))
+    def gapfill(e: DataFrame) = operators.TimeSeries.gapFillHourlyOf(e)
 
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
       ("join_q04", time(noop(join(o1, c1))), time(noop(join(oK, cK)))),
+      ("range_join", time(noop(rangeJoin(li1))), time(noop(rangeJoin(liK)))),
+      ("ts_gapfill", time(noop(gapfill(e1))), time(noop(gapfill(eK)))),
       ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>

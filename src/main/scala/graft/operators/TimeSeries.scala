@@ -23,8 +23,12 @@ object TimeSeries {
     * synthesized rows. Hour buckets export as epoch micros (the
     * TIMESTAMP_NS parquet convention, see Tables.t).
     */
-  def gapFillHourly(s: SparkSession, dir: String, maxUser: Long = 20): DataFrame = {
-    val e = t(s, dir, "events").filter(col("user_id") < maxUser)
+  def gapFillHourly(s: SparkSession, dir: String, maxUser: Long = 20): DataFrame =
+    gapFillHourlyOf(t(s, dir, "events").filter(col("user_id") < maxUser))
+
+  /** Library-facing form over any (user_id, ts, event_id, value) frame. */
+  def gapFillHourlyOf(events: DataFrame): DataFrame = {
+    val e = events
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
         col("ts"), col("event_id"), col("value"))
     // latest observation per (user, hour): deterministic via the globally
