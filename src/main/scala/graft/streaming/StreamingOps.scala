@@ -79,6 +79,29 @@ object StreamingOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Left-outer stream-stream interval join: clicks that never see a
+    * purchase within the window emit a null-padded row once BOTH
+    * watermarks pass the interval end (the engine can only then prove no
+    * match will arrive). Same bounded state as the inner form — the outer
+    * semantics cost nothing extra, they just delay the null emission to
+    * watermark expiry.
+    */
+  def intervalJoinLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val l = clicks.withWatermark("ts", "5 seconds")
+      .select(col("event_id").as("click_id"), col("user_id").as("l_user"),
+        col("ts").as("click_ts"))
+    val r = purchases.withWatermark("ts", "5 seconds")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+        col("ts").as("purchase_ts"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 seconds"),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("l_user").as("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via mapGroupsWithState: running per-user event
@@ -164,7 +187,12 @@ object StreamingOps {
     * when Delta/Iceberg is on the classpath.
     */
   def upsertSink(updates: DataFrame, stateDir: String, key: String,
-      tsCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      tsCol: String,
+      // CDC tombstones: when set, a row whose boolean `tombstoneCol` is
+      // true DELETES its key — if it wins the per-key ts race the key is
+      // dropped from the materialized state (a later re-insert with a
+      // newer ts resurrects it)
+      tombstoneCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = updates.sparkSession
     val schema = updates.schema
     def merge(batch: DataFrame, batchId: Long): Unit = {
@@ -179,11 +207,14 @@ object StreamingOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(key))
         .orderBy(col(tsCol).desc, col("__src").desc)
-      val merged = current.withColumn("__src", lit(0))
+      val winners = current.withColumn("__src", lit(0))
         .unionByName(batch.withColumn("__src", lit(1)))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__src", "__rn")
+      // a winning tombstone deletes the key from the materialized view
+      val merged = tombstoneCol.fold(winners)(tc =>
+        winners.filter(!coalesce(col(tc), lit(false))))
       // write-then-swap for atomicity on local FS; every rename/delete
       // result is checked — a failed swap must fail the batch loudly, not
       // leave corrupted state behind

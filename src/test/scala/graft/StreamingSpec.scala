@@ -107,6 +107,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Set((1L, 10L)))
   }
 
+  test("left-outer interval join emits null-padded rows at watermark expiry") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoinLeftOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    clicks.addData(
+      ev(1, "2024-03-01 00:00:00", user = 1),
+      ev(2, "2024-03-01 00:01:00", user = 2))
+    purchases.addData(
+      ev(10, "2024-03-01 00:00:20", user = 1),  // 20s after click 1 → match
+      ev(11, "2024-03-01 00:02:00", user = 2))  // 60s after click 2 → outside window
+    q.processAllAvailable()
+    // advance both watermarks past every click's interval end so the
+    // engine can prove click 2 is unmatched and emit its null row
+    clicks.addData(ev(99, "2024-03-01 01:00:00", user = 90))
+    purchases.addData(ev(98, "2024-03-01 01:00:00", user = 91))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssjo").select($"click_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toSet
+    // click 1 matched; click 2 emitted with null purchase (outer semantics)
+    assert(out.contains((1L, Some(10L))) && out.contains((2L, None)))
+    assert(!out.exists { case (c, p) => c == 2L && p.isDefined })
+  }
+
+  test("upsert sink: winning tombstone deletes the key; newer insert resurrects") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-ts").toString + "/state"
+    val src = MemoryStream[Ev]
+    val withFlag = src.toDF()
+      .withColumn("deleted",
+        org.apache.spark.sql.functions.col("event_type") === "del")
+    val q = StreamingOps.upsertSink(withFlag, dir, key = "user_id",
+      tsCol = "ts", tombstoneCol = Some("deleted"))
+    src.addData(
+      ev(1, "2024-03-01 00:00:01", user = 1, v = 10.0),
+      ev(2, "2024-03-01 00:00:01", user = 2, v = 20.0))
+    q.processAllAvailable()
+    src.addData(
+      ev(3, "2024-03-01 00:00:05", user = 1, typ = "del"),  // delete user 1
+      ev(4, "2024-03-01 00:00:00", user = 2, typ = "del"))  // older than state → loses
+    q.processAllAvailable()
+    src.addData(ev(5, "2024-03-01 00:00:09", user = 1, v = 12.0)) // resurrect
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(dir)
+      .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // user 1: deleted then re-inserted with the newer row; user 2's stale
+    // tombstone lost the ts race and the original row survives
+    assert(state == Map(1L -> (5L, 12.0), 2L -> (2L, 20.0)))
+  }
+
   test("transformWithState: ValueState accumulates per-user spend across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
