@@ -106,6 +106,65 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane LSH bucket id over an `ArrayType(FloatType)` column:
+  * bit p of the result is the sign of dot(embedding, plane_p). As a
+  * Column-expression tree this is nPlanes×dim arithmetic nodes (384 for
+  * 6×64) — beyond codegen method limits, so it fell back to interpreted
+  * per-node evaluation (the "known non-ideal spot" in PLANS.md). As a
+  * native expression it is one fused loop inside WholeStageCodegen, and
+  * the plane matrix rides along as a referenced constant instead of 384
+  * literals. Accumulation order matches the old fold exactly (sequential
+  * adds per plane), so bucket ids are bit-identical.
+  */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(x.numElements(), pl.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * pl(i); i += 1 }
+      if (dot >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val bkt = ctx.freshName("bkt")
+      val p = ctx.freshName("p")
+      val pl = ctx.freshName("pl")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |long $bkt = 0L;
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  final double[] $pl = $planesRef[$p];
+         |  final int $n = Math.min($x.numElements(), $pl.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $x.getFloat($i) * $pl[$i];
+         |  }
+         |  if ($dot >= 0.0) $bkt |= (1L << $p);
+         |}
+         |${ev.value} = $bkt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register the vector expressions in the session's function registry so
     * they are callable from both the Column API (via [[cosineSim]]) and

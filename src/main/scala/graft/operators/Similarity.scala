@@ -104,16 +104,15 @@ object Similarity {
     val dim = 64
     val planes = hyperplanes(nPlanes, dim)
 
-    // sign bit for plane p: dot(embedding, plane_p) >= 0
-    def bucketExpr(embCol: org.apache.spark.sql.Column) = {
-      val bits = planes.zipWithIndex.map { case (plane, p) =>
-        val dot = (0 until dim).map(i =>
-          element_at(embCol, i + 1).cast(DoubleType) * lit(plane(i)))
-          .reduce(_ + _)
-        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
+    // sign bit for plane p: dot(embedding, plane_p) >= 0 — one fused
+    // codegen'd loop (native HyperplaneBucket expression), not a
+    // nPlanes×dim Column tree (which exceeded codegen limits and fell
+    // back to interpreted evaluation)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bucket",
+      exprs => graft.functions.HyperplaneBucket(exprs.head, planes), "built-in")
+    def bucketExpr(embCol: org.apache.spark.sql.Column) =
+      call_function("hyperplane_bucket", embCol)
 
     val bucketed = emb.withColumn("bucket", bucketExpr(col("embedding")))
     val probeRow = bucketed.filter(col("vec_id") === probeId)
