@@ -65,6 +65,8 @@ object SparkEntry {
     "q16b_offset" -> Relational.q16bOffset _,
     "q24_subquery" -> Relational.q24Subquery _,
     "q24b_in_subquery" -> Relational.q24bInSubquery _,
+    "q24c_lateral" -> Relational.q24cLateral _,
+    "q12b_approx_percentile" -> Relational.q12bApproxPercentile _,
     "q06b_nulls" -> Relational.q06bNulls _,
     "q25_dedup_exact" -> Relational.q25DedupExact _,
     "q25b_asof_join" -> AsOfJoin.clickToSignup _,
@@ -383,6 +385,12 @@ object SparkEntry {
         "FROM events ORDER BY event_id"),
     "q24_subquery" -> Relational.q24Sql,
     "q24b_in_subquery" -> Relational.q24bSql,
+    "q24c_lateral" ->
+      ("SELECT c.c_custkey, o.o_orderkey, o.o_totalprice FROM customer c, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o " +
+        "ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"),
     "q16b_offset" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 10"),

@@ -583,6 +583,35 @@ object Relational {
     s.sql(q24bSql)
   }
 
+  /** Q24c — correlated LATERAL subquery with per-row LIMIT (top-2 orders
+    * per customer via the SQL-standard lateral form): Catalyst
+    * decorrelates it into a ranked window join — no per-row subquery
+    * execution.
+    */
+  def q24cLateral(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+  }
+
+  /** Q12b — approximate percentiles (t-digest-family sketch): declared
+    * approximate like Q12's HLL, so the check tier is a spec asserting
+    * the estimates bracket the exact sort-rank values within the accuracy
+    * bound — cross-engine sketch states differ by design, no hash oracle.
+    */
+  def q12bApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_approx"))
+      .orderBy(col("l_returnflag"))
+
   /** Q16b — LIMIT with OFFSET (deterministic pagination). */
   def q16bOffset(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")

@@ -60,5 +60,22 @@ package object syntax {
     /** Salted inner join for pathological single-key skew. */
     def saltedJoin(small: DataFrame, key: String, salt: Int): DataFrame =
       operators.SkewJoin.saltedInnerJoin(df, small, key, salt)
+
+    /** Banded range join: rows of this frame whose `vCol` falls in
+      * `right`'s [loCol, hiCol] intervals — equi-join on the value
+      * bucket, never a nested loop. Pick `band` ≥ typical interval width.
+      */
+    def rangeJoin(right: DataFrame, vCol: String, loCol: String,
+        hiCol: String, band: Long): DataFrame =
+      operators.RangeJoin.banded(df, vCol, right, loCol, hiCol, band)
+  }
+
+  implicit class GraftTimeSeriesOps(private val df: DataFrame) {
+
+    /** Hourly gap-fill + last-observation-carried-forward; expects
+      * (user_id, ts, event_id, value) columns.
+      */
+    def gapFillHourly(): DataFrame =
+      operators.TimeSeries.gapFillHourlyOf(df)
   }
 }

@@ -28,6 +28,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("Q12b: approx_percentile brackets the exact interpolated percentiles") {
+    val approx = Relational.q12bApproxPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.q10bPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (g, (p50a, p90a)) =>
+      val (p50e, p90e) = exact(g)
+      // accuracy 10000 → rank error ≤ n/10000; on this price distribution
+      // that is well under 1% of the value
+      assert(math.abs(p50a - p50e) / p50e < 0.01, s"$g p50 $p50a vs $p50e")
+      assert(math.abs(p90a - p90e) / p90e < 0.01, s"$g p90 $p90a vs $p90e")
+    }
+  }
+
   test("cosine_sim: handles nulls, zero vectors, and matches manual math") {
     VectorFunctions.register(spark)
     val schema = StructType(Seq(
