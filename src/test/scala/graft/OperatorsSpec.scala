@@ -263,6 +263,29 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out == naive)
   }
 
+  test("range join: randomized differential vs naive reference, any widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // values and intervals land on arbitrary doubles; some intervals are
+    // wider than the band (multi-bucket explode), some empty (lo > hi)
+    val left = Seq.tabulate(300)(i => (i.toLong, rnd.nextDouble() * 100 - 10))
+    val right = Seq.tabulate(80) { j =>
+      val lo = rnd.nextDouble() * 100 - 10
+      (1000L + j, lo, lo + (rnd.nextDouble() * 20 - 2)) // width in [-2, 18)
+    }
+    val out = graft.operators.RangeJoin.banded(
+      left.toDF("lid", "v"), "v",
+      right.toDF("rid", "lo", "hi"), "lo", "hi", band = 5L)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (lid, v) <- left
+      (rid, lo, hi) <- right
+      if v >= lo && v <= hi
+    } yield (lid, rid)).toSet
+    assert(out == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("skew: salted join returns exactly the plain join's rows") {
     val o = Tables.t(spark, sfDir, "orders")
       .withColumnRenamed("o_custkey", "custkey")

@@ -39,6 +39,15 @@ class PlanSpec extends SparkSpecBase {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
   }
 
+  test("join strategy hints are honored (shuffle_hash / merge)") {
+    val o = graft.Tables.t(spark, sfDir, "orders")
+    val c = graft.Tables.t(spark, sfDir, "customer")
+    val sh = plan(o.hint("shuffle_hash").join(c, o("o_custkey") === c("c_custkey")))
+    assert(sh.contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    val m = plan(o.hint("merge").join(c, o("o_custkey") === c("c_custkey")))
+    assert(m.contains("SortMergeJoin"), "merge hint ignored")
+  }
+
   test("range join: bucketed plan has no nested-loop operator") {
     val f = plan(operators.RangeJoin.q09bRangeJoin(spark, sfDir))
     assert(!f.contains("BroadcastNestedLoopJoin") && !f.contains("CartesianProduct"),
