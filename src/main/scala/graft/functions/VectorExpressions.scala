@@ -114,7 +114,12 @@ case class DotProduct(left: Expression, right: Expression)
   * native expression it is one fused loop inside WholeStageCodegen, and
   * the plane matrix rides along as a referenced constant instead of 384
   * literals. Accumulation order matches the old fold exactly (sequential
-  * adds per plane), so bucket ids are bit-identical.
+  * adds per plane), so bucket ids are bit-identical on non-null input.
+  *
+  * Null contract: a NULL embedding yields a NULL bucket (standard unary
+  * null propagation — the row drops out of any bucket equi-join, which is
+  * the sane ANN behavior for an unembeddable item); array ELEMENTS are
+  * assumed non-null, matching the embeddings table contract.
   */
 case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -117,6 +117,8 @@ object Dedup {
     * between O(n²)-ish and near-linear on corpora with common shingles.
     */
   def ngramJaccard(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
+    // sh is per-doc DISTINCT (shingles3 array_distincts before explode),
+    // so the size/df counts here and the set-based verify are consistent
     val sh = docShingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -174,6 +176,10 @@ object Dedup {
     // (the whole minhash pipeline) — truncate so propagation rounds don't
     // re-plan/re-execute it
     val pairs = rawPairs.localCheckpoint(true)
+    // clean corpus → no pairs → no clusters (guard: the decimal label-sum
+    // convergence test below reads a NULL aggregate on an empty frame)
+    if (pairs.isEmpty)
+      return pairs.select(col("i").as("doc_id"), col("i").as("cluster_rep"))
     // undirected edge list, both directions (the relaxation set)
     val edges = pairs.select(col("i").as("node"), col("j").as("peer"))
       .union(pairs.select(col("j").as("node"), col("i").as("peer")))

@@ -146,11 +146,17 @@ object TextAnalysis {
     * engines, and re-partitioning (the property random() splits lack):
     * bucket = md5(doc_id) mod 100, <90 → train.
     */
+  /** The one md5 percent-bucket definition shared by every deterministic
+    * splitter/sampler here (and mirrored in their DuckDB oracles): first
+    * 15 hex chars of md5(id-as-string) as a long, mod 100.
+    */
+  private[graft] def md5Bucket(id: Column): Column =
+    conv(substring(md5(id.cast(StringType).cast(BinaryType)), 1, 15),
+      16, 10).cast(LongType) % 100
+
   def trainValSplit(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15),
-          16, 10).cast(LongType) % 100).as("bucket"))
+      .select(col("doc_id"), md5Bucket(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("bucket"),
         when(col("bucket") < 90, "train").otherwise("val").as("split"))
       .orderBy(col("doc_id"))
@@ -193,9 +199,7 @@ object TextAnalysis {
       .when(col("lang") === "de", 25)
       .otherwise(10)
     t(s, dir, "documents")
-      .withColumn("bucket",
-        (conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15),
-          16, 10).cast(LongType) % 100))
+      .withColumn("bucket", md5Bucket(col("doc_id")))
       .filter(col("bucket") < rate)
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))

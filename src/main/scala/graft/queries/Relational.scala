@@ -315,6 +315,10 @@ object Relational {
         dsum(when(col("l_linestatus") === "F", col("l_quantity"))).as("qty_F"))
       .unpivot(Array(col("l_returnflag")),
         Array(col("qty_O"), col("qty_F")), "linestatus", "qty")
+      // Spark's unpivot RETAINS null-valued rows while DuckDB's UNPIVOT
+      // excludes them by default; drop them explicitly so a returnflag
+      // group missing one linestatus hashes identically in both engines
+      .filter(col("qty").isNotNull)
       .withColumn("linestatus", substring(col("linestatus"), 5, 1))
       .orderBy(col("l_returnflag"), col("linestatus"))
 

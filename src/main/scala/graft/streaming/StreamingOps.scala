@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -189,12 +189,18 @@ object StreamingOps {
   def upsertSink(updates: DataFrame, stateDir: String, key: String,
       tsCol: String,
       // CDC tombstones: when set, a row whose boolean `tombstoneCol` is
-      // true DELETES its key — if it wins the per-key ts race the key is
-      // dropped from the materialized state (a later re-insert with a
-      // newer ts resurrects it)
+      // true marks its key deleted. The winning tombstone row is RETAINED
+      // in the state table (it must keep winning the per-key ts race, or a
+      // late-arriving update older than the delete would resurrect the key
+      // with stale data); consumers read the live view as
+      // `state WHERE NOT tombstoneCol`. A newer insert overwrites the
+      // marker. Tombstone GC (dropping markers older than the maximum
+      // expected lateness) is a retention policy layered on top.
       tombstoneCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = updates.sparkSession
     val schema = updates.schema
+    tombstoneCol.foreach(tc => require(updates.columns.contains(tc),
+      s"upsertSink: tombstone column $tc not in ${updates.columns.mkString(",")}"))
     def merge(batch: DataFrame, batchId: Long): Unit = {
       // Only a *missing* state dir means "first batch"; any other read
       // failure (FS hiccup, partial visibility, OOM) must fail the batch
@@ -207,14 +213,13 @@ object StreamingOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(key))
         .orderBy(col(tsCol).desc, col("__src").desc)
-      val winners = current.withColumn("__src", lit(0))
+      // winners — including winning tombstones, which stay in state so
+      // they beat late-arriving pre-delete rows in future batches
+      val merged = current.withColumn("__src", lit(0))
         .unionByName(batch.withColumn("__src", lit(1)))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__src", "__rn")
-      // a winning tombstone deletes the key from the materialized view
-      val merged = tombstoneCol.fold(winners)(tc =>
-        winners.filter(!coalesce(col(tc), lit(false))))
       // write-then-swap for atomicity on local FS; every rename/delete
       // result is checked — a failed swap must fail the batch loudly, not
       // leave corrupted state behind
@@ -236,6 +241,15 @@ object StreamingOps {
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-upsert-ck").toString)
       .start()
+  }
+
+  /** Live view over an [[upsertSink]] state dir: all current keys, minus
+    * tombstoned ones when the sink was run with a tombstone column.
+    */
+  def upsertLiveView(spark: SparkSession, stateDir: String,
+      tombstoneCol: Option[String] = None): DataFrame = {
+    val state = spark.read.parquet(stateDir)
+    tombstoneCol.fold(state)(tc => state.filter(!coalesce(col(tc), lit(false))))
   }
 
   /** Append-mode sink shorthand used by tests: run to completion over a

@@ -28,9 +28,7 @@ package object syntax {
 
     /** Deterministic hash split: (bucket, split) by md5(id) mod 100. */
     def hashSplit(idCol: String, trainPct: Int = 90): DataFrame =
-      df.withColumn("bucket",
-        (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 15),
-          16, 10).cast("long") % 100))
+      df.withColumn("bucket", operators.TextAnalysis.md5Bucket(col(idCol)))
         .withColumn("split",
           when(col("bucket") < trainPct, "train").otherwise("val"))
   }

@@ -193,6 +193,9 @@ class OperatorsSpec extends SparkSpecBase {
     // two separate components stay separate
     val two = reps((1L, 2L), (2L, 3L), (10L, 11L))
     assert(two == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // empty pair graph (clean corpus) → empty result, no crash
+    assert(Dedup.clustersOfPairs(
+      Seq.empty[(Long, Long)].toDF("i", "j")).collect().isEmpty)
   }
 
   test("dedup: simhash banding has exact recall at the Hamming threshold") {

@@ -134,7 +134,7 @@ class StreamingSpec extends SparkSpecBase {
     assert(!out.exists { case (c, p) => c == 2L && p.isDefined })
   }
 
-  test("upsert sink: winning tombstone deletes the key; newer insert resurrects") {
+  test("upsert sink: tombstones delete, block late stale rows, allow resurrection") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert-ts").toString + "/state"
@@ -146,21 +146,30 @@ class StreamingSpec extends SparkSpecBase {
       tsCol = "ts", tombstoneCol = Some("deleted"))
     src.addData(
       ev(1, "2024-03-01 00:00:01", user = 1, v = 10.0),
-      ev(2, "2024-03-01 00:00:01", user = 2, v = 20.0))
+      ev(2, "2024-03-01 00:00:01", user = 2, v = 20.0),
+      ev(3, "2024-03-01 00:00:01", user = 3, v = 30.0))
     q.processAllAvailable()
     src.addData(
-      ev(3, "2024-03-01 00:00:05", user = 1, typ = "del"),  // delete user 1
-      ev(4, "2024-03-01 00:00:00", user = 2, typ = "del"))  // older than state → loses
+      ev(4, "2024-03-01 00:00:05", user = 1, typ = "del"),  // delete user 1
+      ev(5, "2024-03-01 00:00:00", user = 2, typ = "del"),  // older than state → loses
+      ev(6, "2024-03-01 00:00:05", user = 3, typ = "del"))  // delete user 3
     q.processAllAvailable()
-    src.addData(ev(5, "2024-03-01 00:00:09", user = 1, v = 12.0)) // resurrect
+    src.addData(
+      ev(7, "2024-03-01 00:00:09", user = 1, v = 12.0), // newer insert resurrects
+      ev(8, "2024-03-01 00:00:03", user = 3, v = 99.0)) // LATE pre-delete row: must NOT resurrect
     q.processAllAvailable()
     q.stop()
-    val state = spark.read.parquet(dir)
+    val live = StreamingOps.upsertLiveView(spark, dir, Some("deleted"))
       .select($"user_id", $"event_id", $"value").as[(Long, Long, Double)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
-    // user 1: deleted then re-inserted with the newer row; user 2's stale
-    // tombstone lost the ts race and the original row survives
-    assert(state == Map(1L -> (5L, 12.0), 2L -> (2L, 20.0)))
+    // user 1 deleted then resurrected by the newer row; user 2's stale
+    // tombstone lost the ts race; user 3 stays deleted because the
+    // retained tombstone (ts=5) outranks the late update (ts=3)
+    assert(live == Map(1L -> (7L, 12.0), 2L -> (2L, 20.0)))
+    // the retained marker itself is still in raw state for user 3
+    val raw = spark.read.parquet(dir).filter($"user_id" === 3L)
+      .select($"event_id", $"deleted").as[(Long, Boolean)].collect().toSeq
+    assert(raw == Seq((6L, true)))
   }
 
   test("transformWithState: ValueState accumulates per-user spend across batches") {
