@@ -150,38 +150,14 @@ object Relational {
     * engines interpolate linearly on the sorted values, rounded to absorb
     * formula-order FP differences.
     */
-  def q10bPercentile(s: SparkSession, dir: String): DataFrame = {
-    // Distributed exact interpolated percentile: sort-rank inside each
-    // group, pick the two bracketing rows, interpolate with the same
-    // expression shape as the engines' percentile_cont
-    // (lo + (hi − lo) · frac). Unlike the `percentile` aggregate — which
-    // buffers every value of a group in one aggregation buffer and
-    // cannot survive a 100 TB group — this is a shuffle sort + window,
-    // fully streaming at any group size.
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val ranked = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-    def interp(p: Double): Column = {
-      // 0-based fractional position, same definition as percentile_cont
-      val pos = lit(p) * (col("n") - 1).cast(DoubleType)
-      val lo = floor(pos) + 1  // back to row_number's 1-based rank
-      val hi = ceil(pos) + 1
-      val vLo = min(when(col("rn") === lo, col("l_extendedprice")))
-      val vHi = min(when(col("rn") === hi, col("l_extendedprice")))
-      vLo + (vHi - vLo) * min(pos - (lo - 1))
-    }
-    val bracketing = (0.5 :: 0.9 :: Nil).flatMap { p =>
-      val pos = lit(p) * (col("n") - 1).cast(DoubleType)
-      Seq(col("rn") === floor(pos) + 1, col("rn") === ceil(pos) + 1)
-    }.reduce(_ || _)
-    ranked
-      .filter(bracketing)
-      .groupBy(col("l_returnflag"))
-      .agg(round(interp(0.5), 4).as("p50"), round(interp(0.9), 4).as("p90"))
+  def q10bPercentile(s: SparkSession, dir: String): DataFrame =
+    // distributed exact interpolated percentiles — see operators.Percentiles
+    // for why this beats the `percentile` aggregate at scale
+    graft.operators.Percentiles.grouped(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+      .select(col("l_returnflag"),
+        round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
       .orderBy(col("l_returnflag"))
-  }
 
   /** Q10c — full aggregate-function breadth: min/max plus variance and
     * stddev computed from exact decimal sums (sum, sum-of-squares), so

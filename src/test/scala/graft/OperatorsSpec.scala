@@ -28,6 +28,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("percentiles: distributed sort-rank form equals the percentile aggregate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // random groups and values, incl. 1-row and 2-row groups (frac edges)
+    val data = Seq.tabulate(500)(i =>
+      (s"g${rnd.nextInt(7)}", rnd.nextDouble() * 1000)) ++
+      Seq(("solo", 42.0), ("duo", 1.0), ("duo", 2.0))
+    val df = data.toDF("k", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val dist = graft.operators.Percentiles.grouped(df, "k", "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to ps.length).map(r.getDouble).toSeq).toMap
+    val agg = df.groupBy($"k")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(dist.keySet == agg.keySet)
+    // bit-identical, not approximately equal: same interpolation expression
+    dist.foreach { case (k, vs) => assert(vs == agg(k), s"group $k") }
+  }
+
   test("Q12b: approx_percentile brackets the exact interpolated percentiles") {
     val approx = Relational.q12bApproxPercentile(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
