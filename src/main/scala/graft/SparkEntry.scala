@@ -93,6 +93,9 @@ object SparkEntry {
     "text_train_split" -> TextAnalysis.trainValSplit _,
     "text_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_stratified_sample" -> TextAnalysis.stratifiedSample _,
+    "text_repetition" -> TextAnalysis.repetitionScore _,
+    "text_unigram_logprob" -> TextAnalysis.unigramLogprob _,
+    "text_pack" -> ((s: SparkSession, d: String) => TextAnalysis.packSequences(s, d)),
     "mm_media_meta" -> Multimodal.mediaMeta _,
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_corpus_stats" -> Multimodal.corpusStats _,
@@ -492,6 +495,29 @@ object SparkEntry {
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket FROM documents) " +
         "WHERE bucket < CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END " +
         "ORDER BY doc_id"),
+    "text_repetition" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        s"g AS (SELECT doc_id, greatest(len(toks) - 2, 0) AS n_grams, " +
+        s"  len($shinglesSql) AS n_distinct FROM d) " +
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, " +
+        "CAST(n_distinct AS BIGINT) AS n_distinct, " +
+        "CASE WHEN n_grams > 0 THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) " +
+        "ELSE 0.0 END AS rep_ratio FROM g ORDER BY doc_id"),
+    "text_unigram_logprob" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS token FROM d), " +
+        "freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token), " +
+        "tot AS (SELECT COUNT(*) AS total FROM tok), " +
+        "x AS (SELECT doc_id, CAST(round(-ln(CAST(cnt AS DOUBLE)/total), 6) AS DECIMAL(20,10)) AS nll " +
+        "  FROM tok JOIN freq USING(token), tot) " +
+        "SELECT doc_id, round(CAST(SUM(nll) AS DOUBLE)/COUNT(*), 6) AS avg_nll, " +
+        "COUNT(*) AS n_tokens FROM x GROUP BY doc_id ORDER BY doc_id"),
+    "text_pack" ->
+      (s"WITH d AS (SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents), " +
+        "c AS (SELECT doc_id, lang, n_toks, SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl FROM d) " +
+        "SELECT doc_id, lang, n_toks, CAST(floor((cum_incl - n_toks) / 512.0) AS BIGINT) AS seq_id " +
+        "FROM c ORDER BY doc_id"),
     "dedup_simhash" ->
       (s"WITH d AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents), " +
         "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM d), " +

@@ -106,6 +106,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition filter (the Gopher/C4-family quality rule): fraction of
+    * duplicated 3-gram shingles per document — boilerplate and
+    * degenerate-loop text scores high. Pure map-side expression work.
+    */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - 2, lit(0)).cast(LongType).as("n_grams"),
+        size(shingles3(col("toks"))).cast(LongType).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        when(col("n_grams") > 0,
+          round(lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Unigram log-probability quality score (the KenLM-proxy filter): mean
+    * −ln P(token) under the corpus unigram distribution. Two
+    * key-partitioned aggregations (corpus counts, per-doc mean via a
+    * token join); the corpus total rides along as a 1-row broadcast.
+    * Exact-decimal mean: the per-token logprob sum goes through
+    * DECIMAL so shuffle order cannot perturb the hash.
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(freq, "token").crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        // quantize each token's logprob to 6 dp BEFORE the decimal sum so
+        // the aggregation is exact and order-free
+        round(-log(col("cnt").cast(DoubleType) / col("total")), 6)
+          .cast(DecimalType(20, 10)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(round((sum(col("nll")).cast(DoubleType) / count(lit(1))), 6)
+        .as("avg_nll"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Greedy sequential sequence-packing (token-budget binning): documents
+    * are chunked, in doc_id order within each language, into training
+    * sequences of ≤ `budget` tokens by exclusive-prefix-sum binning (a
+    * document whose exclusive cumsum crosses a bin boundary starts/overflows
+    * that bin — the deterministic streaming-packer contract). Partitioned
+    * by lang: each language packs independently and in parallel; for
+    * 100 TB, sub-partition by hash bucket inside lang the same way.
+    */
+  def packSequences(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      .withColumn("cum_incl", sum(col("n_toks")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        floor((col("cum_incl") - col("n_toks")) / budget).as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the cheap exact-dedup key.
     */

@@ -126,6 +126,31 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("sequence packing: bins respect the budget up to one overflowing doc") {
+    import org.apache.spark.sql.functions._
+    val budget = 512
+    val packed = operators.TextAnalysis.packSequences(spark, sfDir, budget).cache()
+    // every doc is assigned exactly once
+    assert(packed.count() ==
+      Tables.t(spark, sfDir, "documents").count())
+    val bins = packed.groupBy(col("lang"), col("seq_id"))
+      .agg(sum(col("n_toks")).as("tot"), max(col("n_toks")).as("mx"),
+        count(lit(1)).as("n_docs"))
+      .collect()
+    bins.foreach { r =>
+      val (tot, mx) = (r.getLong(2), r.getLong(3))
+      // exclusive-prefix-sum binning: a bin holds < budget before its last
+      // doc lands, so it can exceed budget by at most that one doc
+      assert(tot < budget + mx, s"bin ${r.get(0)}/${r.get(1)} tot=$tot mx=$mx")
+    }
+    // bins are contiguous per lang: 0..max with no holes
+    packed.groupBy(col("lang"))
+      .agg(countDistinct(col("seq_id")).as("n"), max(col("seq_id")).as("mx"))
+      .collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(2) + 1, s"holes in ${r.get(0)}"))
+    packed.unpersist()
+  }
+
   test("gap-fill: contiguous hourly spine, LOCF semantics, no null fills") {
     import org.apache.spark.sql.functions._
     val g = operators.TimeSeries.gapFillHourly(spark, sfDir).cache()
