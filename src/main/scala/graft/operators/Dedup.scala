@@ -50,15 +50,24 @@ object Dedup {
   /** Exact-verify candidate pairs: intersection via a shingle-key join
     * restricted to candidates, |A∪B| = |A|+|B|−|A∩B|, keep Jaccard ≥ thr.
     */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, thr: Double): DataFrame = {
-    // one row per doc with its (already-distinct) shingle set as an array:
-    // the exact verification then joins the tiny candidate list to this
-    // per-doc table twice (key-partitioned, one row per doc) instead of
-    // shuffling the full exploded shingle table through two joins — per-doc
-    // arrays are bounded by document length, so this holds at any corpus
-    // size
-    val shArr = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("shs"))
+  /** One row per doc with its (already-distinct) shingle set as an array —
+    * the verification-side state shape (bounded by document length).
+    */
+  private[graft] def shingleArrays(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("shs"))
+
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, thr: Double): DataFrame =
+    verifyJaccardArrays(cand, shingleArrays(sh), thr)
+
+  /** Exact-Jaccard verification against a per-doc shingle-ARRAY table:
+    * joins the tiny candidate list to it twice (key-partitioned, one row
+    * per doc) instead of shuffling an exploded shingle table through two
+    * joins — per-doc arrays are bounded by document length, so this holds
+    * at any corpus size.
+    */
+  private[graft] def verifyJaccardArrays(cand: DataFrame, shArrRaw: DataFrame,
+      thr: Double): DataFrame = {
+    val shArr = shArrRaw
       .select(col("doc_id"), col("shs"), size(col("shs")).as("sz"))
     cand
       .join(shArr.select(col("doc_id").as("i"), col("shs").as("sa"),
@@ -84,20 +93,28 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame =
     minhashLshPairs(t(s, dir, "documents"), thr)
 
-  /** Library-facing form over any (doc_id, text) DataFrame. */
-  def minhashLshPairs(docs: DataFrame, thr: Double): DataFrame = {
-    val sh = docShinglesOf(docs).cache()
+  /** (doc_id, band, bhash) LSH band table for a shingle-hash frame: the
+    * 128-permutation minhash signature collapsed to 32 4-row band hashes.
+    * The signature table (one array[128] row per doc) is materialized so
+    * downstream self-joins (broadcast build side) don't recompute the
+    * signature aggregation.
+    */
+  private[graft] def bandTable(sh: DataFrame): DataFrame = {
     val sig = sh.groupBy(col("doc_id"))
       .agg(array((0 until NumPerms).map(p =>
         min(xxhash64(lit(p), col("shingle")))): _*).as("sig"))
-      // one array[128] row per doc; materialized so the band self-join
-      // (broadcast build side) doesn't recompute the signature aggregation
       .localCheckpoint(true)
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array((0 until NumBands).map(b =>
         xxhash64(lit(b) +: (0 until BandRows).map(r =>
           element_at(col("sig"), b * BandRows + r + 1)): _*)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bhash"))
+  }
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def minhashLshPairs(docs: DataFrame, thr: Double): DataFrame = {
+    val sh = docShinglesOf(docs).cache()
+    val bands = bandTable(sh)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&

@@ -172,6 +172,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(raw == Seq((6L, true)))
   }
 
+  test("incremental dedup over a replay equals the batch minhash pairs") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val stateDir = base + "/state"; val outDir = base + "/pairs"
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val src = MemoryStream[(Long, String)]
+    val q = graft.operators.IncrementalDedup.stream(
+      src.toDF().toDF("doc_id", "text"), stateDir, outDir)
+    // three micro-batches over disjoint id ranges
+    docs.grouped(math.max(1, docs.length / 3 + 1)).foreach { chunk =>
+      src.addData(chunk.toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val incremental = graft.operators.IncrementalDedup
+      .emittedPairs(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup
+      .minhashLshPairs(graft.Tables.t(spark, sfDir, "documents"), 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental == batch)
+    assert(batch.nonEmpty) // corpus has planted near-dups
+  }
+
   test("transformWithState: ValueState accumulates per-user spend across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
