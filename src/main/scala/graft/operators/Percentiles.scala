@@ -22,14 +22,20 @@ object Percentiles {
 
   /** Exact percentiles `ps` of `valCol` per `keyCol`. Output: keyCol,
     * p_<tag> columns in `ps` order (tag = percentile×100 rounded, e.g.
-    * p50), ordered by key.
+    * p50), ordered by key. NULL values are ignored (percentile_cont
+    * semantics); a group whose values are ALL null is absent from the
+    * output (the aggregate form would emit a NULL row for it).
     */
   def grouped(df: DataFrame, keyCol: String, valCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    require(ps.map(p => math.round(p * 100)).distinct.size == ps.size,
+      s"percentile tags collide after rounding to whole percents: $ps")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
     val ranked = df
       .select(col(keyCol), col(valCol))
+      // percentile_cont ignores NULL values — so must the rank and count
+      .filter(col(valCol).isNotNull)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
     def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast(DoubleType)

@@ -130,10 +130,14 @@ object TextAnalysis {
     * DECIMAL so shuffle order cannot perturb the hash.
     */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    // cache the tokenized frame: it feeds both the frequency aggregation
+    // and the scoring join, and the regex tokenize dominates per-row cost
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .cache()
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    // corpus total derived from freq — no third pass over the tokens
+    val total = freq.agg(sum(col("cnt")).as("total"))
     toks.join(freq, "token").crossJoin(broadcast(total))
       .select(col("doc_id"),
         // quantize each token's logprob to 6 dp BEFORE the decimal sum so
@@ -148,11 +152,13 @@ object TextAnalysis {
 
   /** Greedy sequential sequence-packing (token-budget binning): documents
     * are chunked, in doc_id order within each language, into training
-    * sequences of ≤ `budget` tokens by exclusive-prefix-sum binning (a
-    * document whose exclusive cumsum crosses a bin boundary starts/overflows
-    * that bin — the deterministic streaming-packer contract). Partitioned
-    * by lang: each language packs independently and in parallel; for
-    * 100 TB, sub-partition by hash bucket inside lang the same way.
+    * sequences targeting `budget` tokens by exclusive-prefix-sum binning.
+    * A bin may overflow by exactly its final document (the deterministic
+    * streaming-packer contract); when every document fits the budget,
+    * bin ids are contiguous per language — a document larger than the
+    * budget can skip bins. Partitioned by lang: each language packs
+    * independently and in parallel; for 100 TB, sub-partition by hash
+    * bucket inside lang the same way.
     */
   def packSequences(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
