@@ -198,6 +198,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty) // corpus has planted near-dups
   }
 
+  test("incremental dedup batch retry is idempotent (same output, no self-pairs)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-incdedup-retry").toString
+    val stateDir = base + "/state"; val outDir = base + "/pairs"
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"text").limit(200).cache()
+    def emitted() = graft.operators.IncrementalDedup.emittedPairs(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    graft.operators.IncrementalDedup.processBatch(docs, 0L, stateDir, outDir)
+    val first = emitted()
+    // simulate a foreachBatch retry: same batch id, state already written
+    graft.operators.IncrementalDedup.processBatch(docs, 0L, stateDir, outDir)
+    val second = emitted()
+    assert(second == first, "retry changed the emitted pair set")
+    assert(!second.exists(p => p._1 == p._2), "self-pair leaked on retry")
+    docs.unpersist()
+  }
+
   test("transformWithState: ValueState accumulates per-user spend across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
