@@ -83,7 +83,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
-    "dedup_embedding" -> Similarity.embeddingNearDup _,
+    "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "text_token_stats" -> TextAnalysis.tokenStats _,
     "text_langid" -> TextAnalysis.langId _,
     "text_quality" -> TextAnalysis.qualityScore _,

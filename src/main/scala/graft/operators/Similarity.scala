@@ -186,13 +186,26 @@ object Similarity {
   /** Embedding-space near-duplicate pairs: all (i<j) with cosine ≥ 0.4.
     * Brute self-join here; the LSH bucketing above is the same scale path.
     */
-  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** Exact all-pairs embedding near-dup (cosine ≥ thr). Exactness makes
+    * the n²/2 kernel evaluations inherent; what must NOT be inherent is
+    * the nested-loop broadcast of the whole corpus that a bare `i < j`
+    * join plans to. Block-grid shape instead: the left side is exploded
+    * to every block id (B× inflation), the join is a key-partitioned
+    * equi-join on the right row's block — work spreads evenly over
+    * B partitions and no executor ever holds the full table. Size B to
+    * the cluster's parallelism (B ≈ √cores); kernel-eval total is
+    * unchanged, only the distribution strategy.
+    */
+  def embeddingNearDup(s: SparkSession, dir: String, blocks: Int = 16): DataFrame = {
     VectorFunctions.register(s)
     val a = t(s, dir, "embeddings").select(
       col("vec_id").as("i"), col("embedding").as("ea"))
+      .withColumn("blk", explode(sequence(lit(0), lit(blocks - 1))))
     val b = t(s, dir, "embeddings").select(
       col("vec_id").as("j"), col("embedding").as("eb"))
-    a.join(b, col("i") < col("j"))
+      .withColumn("blk", pmod(col("j"), lit(blocks)))
+    a.join(b, Seq("blk"))
+      .filter(col("i") < col("j"))
       .withColumn("score", VectorFunctions.cosineSim(col("ea"), col("eb")))
       .filter(col("score") >= 0.4)
       .select(col("i"), col("j"), round(col("score"), 6).as("score"))
