@@ -59,6 +59,7 @@ object SparkEntry {
     "q21_arrays" -> Relational.q21Arrays _,
     "q21_explode" -> Relational.q21Explode _,
     "q21c_higher_order" -> Relational.q21cHigherOrder _,
+    "q21d_struct" -> Relational.q21dStruct _,
     "q19c_parse" -> Relational.q19cParse _,
     "q22_maps" -> Relational.q22Maps _,
     "q23_json" -> Relational.q23Json _,
@@ -388,6 +389,11 @@ object SparkEntry {
         "FROM events ORDER BY event_id"),
     "q24_subquery" -> Relational.q24Sql,
     "q24b_in_subquery" -> Relational.q24bSql,
+    "q21d_struct" ->
+      ("SELECT o_orderkey, s.k AS cust, s.p AS price, " +
+        "s = struct_pack(k := s.k, p := s.p) AS self_eq " +
+        "FROM (SELECT o_orderkey, struct_pack(k := o_custkey, p := o_totalprice) AS s FROM orders) " +
+        "WHERE s.p > 50000.0 ORDER BY o_orderkey"),
     "q24c_lateral" ->
       ("SELECT c.c_custkey, o.o_orderkey, o.o_totalprice FROM customer c, " +
         "LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +

@@ -592,6 +592,23 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_approx"))
       .orderBy(col("l_returnflag"))
 
+  /** Q21d — nested STRUCT round-trip: build, project through, compare,
+    * and re-flatten named structs (the nested-row type class; the rest of
+    * the inventory is flat). Struct comparison uses field order, which
+    * both engines define identically.
+    */
+  def q21dStruct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        struct(col("o_custkey").as("k"), col("o_totalprice").as("p")).as("s"))
+      .filter(col("s").getField("p") > 50000.0)
+      .select(col("o_orderkey"),
+        col("s").getField("k").as("cust"),
+        col("s").getField("p").as("price"),
+        (col("s") === struct(col("s").getField("k").as("k"),
+          col("s").getField("p").as("p"))).as("self_eq"))
+      .orderBy(col("o_orderkey"))
+
   /** Q16b — LIMIT with OFFSET (deterministic pagination). */
   def q16bOffset(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
