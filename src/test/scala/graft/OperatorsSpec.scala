@@ -48,6 +48,29 @@ class OperatorsSpec extends SparkSpecBase {
     dist.foreach { case (k, vs) => assert(vs == agg(k), s"group $k") }
   }
 
+  test("shuffle-order determinism: results identical under different parallelism") {
+    // the decimal-sum/quantize recipes claim shuffle-order independence;
+    // prove it by running order-sensitive queries at two parallelism
+    // levels and comparing full collected output
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def run(parts: String): Map[String, Seq[String]] = {
+      spark.conf.set(key, parts)
+      try Map(
+        "q10" -> Relational.q10Agg(spark, sfDir).collect().map(_.toString).toSeq,
+        "nll" -> operators.TextAnalysis.unigramLogprob(spark, sfDir)
+          .collect().map(_.toString).toSeq,
+        "cent" -> operators.Similarity.labelCentroids(spark, sfDir)
+          .collect().map(_.toString).toSeq)
+      finally spark.conf.set(key, prev)
+    }
+    val at3 = run("3"); val at17 = run("17")
+    at3.foreach { case (name, rows) =>
+      assert(rows == at17(name), s"$name diverged across parallelism levels")
+      assert(rows.nonEmpty)
+    }
+  }
+
   test("Q12b: approx_percentile brackets the exact interpolated percentiles") {
     val approx = Relational.q12bApproxPercentile(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
