@@ -97,6 +97,9 @@ object Multimodal {
   def charHistogram(s: SparkSession, dir: String, bins: Int = 16): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      // guard empty texts: Spark's sequence(1, 0) DESCENDS to [1, 0]
+      // (phantom rows + divide-by-zero) where DuckDB's range(1, 1) is empty
+      .filter(col("n") > 0)
       .select(col("doc_id"), col("n"),
         explode(sequence(lit(1), col("n"))).as("i"), col("text"))
       .select(col("doc_id"), col("n"),

@@ -183,9 +183,6 @@ object Similarity {
 
   def annIvf(s: SparkSession, dir: String): DataFrame = annIvfTopK(s, dir)
 
-  /** Embedding-space near-duplicate pairs: all (i<j) with cosine ≥ 0.4.
-    * Brute self-join here; the LSH bucketing above is the same scale path.
-    */
   /** Exact all-pairs embedding near-dup (cosine ≥ thr). Exactness makes
     * the n²/2 kernel evaluations inherent; what must NOT be inherent is
     * the nested-loop broadcast of the whole corpus that a bare `i < j`
@@ -196,7 +193,8 @@ object Similarity {
     * the cluster's parallelism (B ≈ √cores); kernel-eval total is
     * unchanged, only the distribution strategy.
     */
-  def embeddingNearDup(s: SparkSession, dir: String, blocks: Int = 16): DataFrame = {
+  def embeddingNearDup(s: SparkSession, dir: String, blocks: Int = 16,
+      thr: Double = 0.4): DataFrame = {
     VectorFunctions.register(s)
     val a = t(s, dir, "embeddings").select(
       col("vec_id").as("i"), col("embedding").as("ea"))
@@ -207,7 +205,7 @@ object Similarity {
     a.join(b, Seq("blk"))
       .filter(col("i") < col("j"))
       .withColumn("score", VectorFunctions.cosineSim(col("ea"), col("eb")))
-      .filter(col("score") >= 0.4)
+      .filter(col("score") >= thr)
       .select(col("i"), col("j"), round(col("score"), 6).as("score"))
       .orderBy(col("i"), col("j"))
   }

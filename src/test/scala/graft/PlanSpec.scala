@@ -54,6 +54,12 @@ class PlanSpec extends SparkSpecBase {
       "banded range join must plan as an equi-join on the bucket key")
   }
 
+  test("embedding near-dup: block-grid plan has no nested-loop operator") {
+    val f = plan(operators.Similarity.embeddingNearDup(spark, sfDir))
+    assert(!f.contains("BroadcastNestedLoopJoin") && !f.contains("CartesianProduct"),
+      "all-pairs similarity must plan as an equi-join on the block key")
+  }
+
   test("q26: cosine kernel is the native expression inside the projection") {
     val f = formatted(Similarity.q26CosineTopK(spark, sfDir))
     assert(f.contains("cosine_sim"))
