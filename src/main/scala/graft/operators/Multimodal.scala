@@ -97,13 +97,17 @@ object Multimodal {
   def charHistogram(s: SparkSession, dir: String, bins: Int = 16): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      // guard empty texts: Spark's sequence(1, 0) DESCENDS to [1, 0]
-      // (phantom rows + divide-by-zero) where DuckDB's range(1, 1) is empty
+      // guard empty texts (DuckDB's oracle range is empty for them, and
+      // Java's split of "" yields [""])
       .filter(col("n") > 0)
+      // one-pass char explode — substring(text, i, 1) per exploded row
+      // would drag the whole text through every row and cost O(len²)/doc;
+      // Spark's split keeps a trailing "" element (Java split limit -1),
+      // dropped by the filter
       .select(col("doc_id"), col("n"),
-        explode(sequence(lit(1), col("n"))).as("i"), col("text"))
-      .select(col("doc_id"), col("n"),
-        (ascii(col("text").substr(col("i"), lit(1))) % bins).as("bin"))
+        explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .select(col("doc_id"), col("n"), (ascii(col("ch")) % bins).as("bin"))
       .groupBy(col("doc_id"), col("n"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), col("bin").cast(LongType).as("bin"),
