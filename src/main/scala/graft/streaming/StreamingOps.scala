@@ -179,6 +179,25 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Temporal-table (versioned-dimension) enrichment — the Flink Table
+    * API temporal-join class: each event is joined to the dimension
+    * VERSION valid at its event time (latest dim row with ts ≤ event ts),
+    * not the current one, so late or replayed events enrich consistently.
+    * Re-expressed as foreachBatch over the batch as-of join; `dim` is a
+    * thunk re-evaluated per micro-batch, so slowly-changing-dimension
+    * updates are picked up between batches.
+    */
+  def temporalEnrich(stream: DataFrame, dim: () => DataFrame, key: String,
+      tsCol: String, payload: Seq[String], tiebreak: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        sink(graft.operators.AsOfJoin.asOfJoin(
+          b, dim(), key, tsCol, payload, tiebreak)))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-temporal-ck").toString)
+      .start()
+
   /** CDC-style keyed upsert sink: maintain "latest row per key" as a
     * parquet table via foreachBatch — read current state, union the
     * micro-batch, keep the winner per key (max ts, batch rows beat state

@@ -198,6 +198,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.nonEmpty) // corpus has planted near-dups
   }
 
+  test("temporal enrichment joins each event to the dim version at its event time") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // versioned dimension: user 1 upgrades bronze → gold at 00:05
+    val dim = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 100L, "bronze"),
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 00:05:00"), 101L, "gold"))
+      .toDF("user_id", "ts", "ver", "tier")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[String])]
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.temporalEnrich(src.toDF(), () => dim,
+      key = "user_id", tsCol = "ts", payload = Seq("tier"), tiebreak = "ver") { b =>
+      b.select($"event_id", $"tier").as[(Long, Option[String])].collect()
+        .foreach(out.add)
+    }
+    src.addData(ev(1, "2024-03-01 00:03:00", user = 1))  // before upgrade
+    q.processAllAvailable()
+    src.addData(
+      ev(2, "2024-03-01 00:07:00", user = 1),            // after upgrade
+      ev(3, "2024-03-01 00:03:30", user = 1),            // late event → still bronze
+      ev(4, "2024-03-01 00:01:00", user = 9))            // unknown user → null
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(out.asScala.toMap == Map(
+      1L -> Some("bronze"), 2L -> Some("gold"),
+      3L -> Some("bronze"), 4L -> None))
+  }
+
   test("incremental dedup batch retry is idempotent (same output, no self-pairs)") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-incdedup-retry").toString
