@@ -111,7 +111,11 @@ object TextAnalysis {
     * degenerate-loop text scores high. Pure map-side expression work.
     */
   def repetitionScore(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    repetitionScoreOf(t(s, dir, "documents"))
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def repetitionScoreOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         greatest(size(col("toks")) - 2, lit(0)).cast(LongType).as("n_grams"),
@@ -129,10 +133,14 @@ object TextAnalysis {
     * Exact-decimal mean: the per-token logprob sum goes through
     * DECIMAL so shuffle order cannot perturb the hash.
     */
-  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    unigramLogprobOf(t(s, dir, "documents"))
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def unigramLogprobOf(docs: DataFrame): DataFrame = {
     // cache the tokenized frame: it feeds both the frequency aggregation
     // and the scoring join, and the regex tokenize dominates per-row cost
-    val toks = t(s, dir, "documents")
+    val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .cache()
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -160,10 +168,14 @@ object TextAnalysis {
     * independently and in parallel; for 100 TB, sub-partition by hash
     * bucket inside lang the same way.
     */
-  def packSequences(s: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+  def packSequences(s: SparkSession, dir: String, budget: Int = 512): DataFrame =
+    packSequencesOf(t(s, dir, "documents"), budget)
+
+  /** Library-facing form over any (doc_id, lang, text) DataFrame. */
+  def packSequencesOf(docs: DataFrame, budget: Int): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast(LongType).as("n_toks"))
       .withColumn("cum_incl", sum(col("n_toks")).over(w))
@@ -234,8 +246,11 @@ object TextAnalysis {
     * the shape survives any corpus size because nothing is per-corpus
     * except the count.
     */
-  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfTopTermsOf(t(s, dir, "documents"), k)
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def tfidfTopTermsOf(docs: DataFrame, k: Int): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))

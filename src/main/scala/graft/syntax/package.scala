@@ -31,6 +31,32 @@ package object syntax {
       df.withColumn("bucket", operators.TextAnalysis.md5Bucket(col(idCol)))
         .withColumn("split",
           when(col("bucket") < trainPct, "train").otherwise("val"))
+
+    /** TF-IDF top-k terms per document; expects (doc_id, text). */
+    def tfidfTopTerms(k: Int = 3): DataFrame =
+      operators.TextAnalysis.tfidfTopTermsOf(df, k)
+
+    /** Gopher-style duplicated-3-gram repetition ratio; expects (doc_id, text). */
+    def repetitionScore(): DataFrame =
+      operators.TextAnalysis.repetitionScoreOf(df)
+
+    /** Mean unigram −ln P(token) quality score; expects (doc_id, text). */
+    def unigramLogprob(): DataFrame =
+      operators.TextAnalysis.unigramLogprobOf(df)
+
+    /** Token-budget sequence packing; expects (doc_id, lang, text). */
+    def packSequences(budget: Int = 512): DataFrame =
+      operators.TextAnalysis.packSequencesOf(df, budget)
+  }
+
+  implicit class GraftAggOps(private val df: DataFrame) {
+
+    /** Distributed exact interpolated percentiles per key (percentile_cont
+      * semantics; survives any group size — see operators.Percentiles).
+      */
+    def exactPercentiles(keyCol: String, valCol: String,
+        ps: Seq[Double]): DataFrame =
+      operators.Percentiles.grouped(df, keyCol, valCol, ps)
   }
 
   implicit class GraftVectorOps(private val df: DataFrame) {
