@@ -30,10 +30,30 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the last 2000 chars of stdout and parses the
+    // JSON line out of that tail; sbt appends a ~75-char "[success] ..." line
+    // after us. With 85+ queries at full double precision the line overflowed
+    // the tail and the driver recorded parsed:null (rounds 1-2). Keep the
+    // line comfortably under the window: 3-decimal values, slowest-first, and
+    // spill whatever doesn't fit to BENCH_FULL.json (full precision, all
+    // queries) for offline reading.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+    val budget = 1300 // chars for the queries map body
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= budget) { keep += e; used += e.length + 1 }
+    }
+    val qs = keep.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"nqueries":${results.length},"omitted":${entries.length - keep.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 
