@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, Windows}
+import graft.queries.{Analytics, Relational, Windows}
 import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.udx.Udx
 
@@ -106,6 +106,14 @@ object SparkEntry {
     "udx_scalar" -> Udx.udxScalar _,
     "udx_udaf" -> Udx.udxUdaf _,
     "udx_udtf" -> Udx.udxUdtf _,
+    "q10e_corr" -> Relational.q10eCorr _,
+    "q10f_histogram" -> Relational.q10fHistogram _,
+    "q20b_bitagg" -> Relational.q20bBitAgg _,
+    "q28b_cohort" -> Analytics.q28bCohort _,
+    "sql_tpch_q3" -> Analytics.sqlTpchQ3 _,
+    "sql_tpch_q5" -> Analytics.sqlTpchQ5 _,
+    "text_decontam" -> TextAnalysis.decontamNgram _,
+    "text_span_dedup" -> TextAnalysis.spanDedup _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -620,5 +628,58 @@ object SparkEntry {
       (s"SELECT doc_id, CAST(r.range AS BIGINT) AS idx, toks[CAST(r.range AS INT)] AS token " +
         s"FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 5), range(1, 10000) r " +
         "WHERE r.range <= len(toks) ORDER BY doc_id, idx"),
+    "q10e_corr" ->
+      ("WITH a AS (SELECT l_returnflag, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, cnt, " +
+        "round((cnt*sxy - sx*sy)/sqrt((cnt*sxx - sx*sx)*(cnt*syy - sy*sy)), 6) AS corr_qp, " +
+        "round((sxy - sx*sy/cnt)/(cnt-1), 4) AS covar_s, " +
+        "round((cnt*sxy - sx*sy)/(cnt*sxx - sx*sx), 6) AS slope " +
+        "FROM a ORDER BY l_returnflag"),
+    "q10f_histogram" ->
+      ("SELECT event_type, CAST(least(floor(value/25.0), 19) AS BIGINT) AS bucket, " +
+        "COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mass " +
+        "FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q20b_bitagg" ->
+      ("SELECT event_type, bit_and(event_id) AS band, bit_or(event_id) AS bor, " +
+        "bit_xor(event_id) AS bxor, bool_and(value > 1.0) AS all_gt1, " +
+        "bool_or(value > 400.0) AS any_gt400, COUNT(*) AS cnt " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q28b_cohort" ->
+      ("WITH weekly AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week, " +
+        "COUNT(*) AS n_events FROM events GROUP BY user_id, week), " +
+        "cohort AS (SELECT user_id, MIN(week) AS cohort FROM weekly GROUP BY user_id) " +
+        "SELECT epoch_us(cohort) AS cohort_us, " +
+        "CAST((epoch_us(week) - epoch_us(cohort)) / 604800000000 AS BIGINT) AS week_no, " +
+        "COUNT(DISTINCT w.user_id) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events " +
+        "FROM weekly w JOIN cohort c USING (user_id) " +
+        "GROUP BY cohort_us, week_no ORDER BY cohort_us, week_no"),
+    // ANSI-shared statements: the Spark query IS this string (parser
+    // fidelity is part of the check)
+    "sql_tpch_q3" -> Analytics.tpchQ3Sql,
+    "sql_tpch_q5" -> Analytics.tpchQ5Sql,
+    "text_decontam" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS s FROM d), " +
+        "ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0), " +
+        "tr AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0) " +
+        "SELECT doc_id, COUNT(*) AS n_shared, CAST(n_grams AS BIGINT) AS n_grams, " +
+        "round(COUNT(*) / CAST(n_grams AS DOUBLE), 6) AS frac " +
+        "FROM tr JOIN ev USING (g) GROUP BY doc_id, n_grams ORDER BY doc_id"),
+    "text_span_dedup" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "sp AS (SELECT doc_id, CAST(r.i AS BIGINT) AS chunk, " +
+        "array_to_string(toks[(CAST(r.i AS INT)*10+1):(CAST(r.i AS INT)*10+10)], ' ') AS span " +
+        "FROM d, unnest(range(0, len(toks)//10)) AS r(i)), " +
+        "x AS (SELECT doc_id, chunk, span, " +
+        "row_number() OVER (PARTITION BY span ORDER BY doc_id, chunk) AS rn FROM sp) " +
+        "SELECT doc_id, COUNT(*) AS n_spans, COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dup " +
+        "FROM x GROUP BY doc_id ORDER BY doc_id"),
   )
 }

@@ -299,4 +299,82 @@ object TextAnalysis {
           regexp_replace(trim(lower(col("text"))), "[^a-z0-9]+", " ")).as("fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Benchmark decontamination — flag training docs that share any
+    * 3-token shingle with a held-out eval set (the n-gram-overlap check
+    * every pretraining pipeline runs before release). Driver-gate split:
+    * eval = doc_id % 50 == 0.
+    */
+  def decontamNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    decontamNgramOf(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Library-facing form: contaminated train docs with shared-shingle
+    * counts. The eval side is deduplicated then broadcast — at 100 TB the
+    * eval set (benchmarks) stays tiny while train explodes, so the train
+    * side never shuffles; per-doc shingle sets are distinct, so the
+    * post-join count(*) IS the distinct shared-gram count.
+    */
+  def decontamNgramOf(train: DataFrame, evalSet: DataFrame): DataFrame = {
+    // bind the token array in its OWN projection before shingling:
+    // expression trees do not CSE, so element_at(tokens(text), i) inside
+    // the shingle transform would re-run the regexp split per element —
+    // and the explode-implied size>0 predicate would push the whole
+    // un-CSE'd pipeline into the scan filter (observed 4× query cost)
+    // explode the shingle EXPRESSION (not a pre-bound attribute): Catalyst
+    // only infers a size>0 pre-filter for attribute-input generators, and
+    // that inferred predicate would be alias-substituted all the way into
+    // the scan as the full un-CSE'd pipeline (observed: 4× query cost).
+    // The duplicate shingle build (size + explode) runs over the bound
+    // token array, so it's two cheap concat loops, not two regex passes.
+    val trainSh = train
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(shingles3(col("toks"))).cast(LongType).as("n_grams"),
+        explode(shingles3(col("toks"))).as("g"))
+    val evalGrams = evalSet
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(shingles3(col("toks"))).as("g"))
+      .distinct()
+    trainSh.join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast(DoubleType) / col("n_grams"), 6).as("frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style span-level dedup accounting: cut each doc into consecutive
+    * 10-token spans and count, per doc, how many of its spans already
+    * appeared earlier in the corpus (corpus order = (doc_id, span index)).
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedupOf(t(s, dir, "documents"), 10)
+
+  /** Library-facing form. Span construction is pure map-side array
+    * slicing (no explode-then-regroup shuffle); the only exchange is the
+    * first-occurrence window keyed by span text — at scale that key would
+    * be xxhash64(span) to shrink shuffle width, kept as text here so the
+    * SQL oracle can reproduce it verbatim.
+    */
+  def spanDedupOf(docs: DataFrame, span: Int): DataFrame = {
+    val toksBound = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spans = toksBound
+      .select(col("doc_id"),
+        when(size(col("toks")) >= span,
+          transform(sequence(lit(0), (size(col("toks")) / span).cast(IntegerType) - 1),
+            i => concat_ws(" ", slice(col("toks"), i * span + 1, lit(span)))))
+          .otherwise(array().cast(ArrayType(StringType))).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("chunk", "span")))
+    val firstSeen = Window.partitionBy(col("span"))
+      .orderBy(col("doc_id"), col("chunk"))
+    spans.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("rn") > 1, lit(1))).as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
 }

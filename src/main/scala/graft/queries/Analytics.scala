@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The SQL-string entry surface plus composite analytics queries — the
+  * reference exposes SQL both as embedded fragments (`callSql`,
+  * TransactionProcessor.java:184) and as full statements in its test tier
+  * (TransactionFlinkTest.java:142-151); this is the Spark analogue:
+  * `spark.sql` over the registered catalog, Catalyst parse → analyze →
+  * optimize, no DataFrame scaffolding.
+  *
+  * The TPC-H-shaped statements are written in the ANSI subset both Spark
+  * and DuckDB parse, so ONE string is the query AND its oracle — parser
+  * fidelity is part of what the gate checks.
+  */
+object Analytics {
+
+  /** TPC-H Q3 shape (shipping priority): 3-way join, decimal revenue,
+    * top-10. Plan at scale: lineitem⋈orders shuffle on orderkey after
+    * both filters push to the scans; customer side reduced before its
+    * join; final TakeOrderedAndProject, no global sort.
+    */
+  val tpchQ3Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape (local-supplier revenue): 6-way join across every
+    * relational table size class — two broadcastable dims (nation,
+    * region), one small dim (supplier), two facts. Catalyst join-reorders
+    * around the c_nationkey = s_nationkey cycle; the only big shuffle is
+    * lineitem⋈orders.
+    */
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def sqlTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(tpchQ3Sql)
+  }
+
+  def sqlTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(tpchQ5Sql)
+  }
+
+  /** Weekly cohort retention over `events`: users grouped by first-active
+    * week, activity counted per (cohort, weeks-since-cohort). Two keyed
+    * aggregations + one equi-join on user_id — the classic product-
+    * analytics query, shaped so nothing exceeds key cardinality at scale.
+    */
+  def q28bCohort(s: SparkSession, dir: String): DataFrame = {
+    val weekly = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("n_events"))
+    val cohort = weekly.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort"))
+    weekly.join(cohort, "user_id")
+      .select(
+        unix_micros(col("cohort")).as("cohort_us"),
+        ((unix_micros(col("week")) - unix_micros(col("cohort"))) /
+          lit(604800000000L)).cast(LongType).as("week_no"),
+        col("user_id"), col("n_events"))
+      .groupBy(col("cohort_us"), col("week_no"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("cohort_us"), col("week_no"))
+  }
+}

@@ -674,4 +674,59 @@ object Relational {
         unix_micros(col("ts")).as("ts_us"), col("value"))
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  /** Q10e — correlation / covariance / regression slope per group, built
+    * from exact decimal co-moments (Σx, Σy, Σxy, Σx², Σy², n) instead of
+    * the built-in corr/covar_samp (Welford-style, shuffle-order-dependent
+    * in the last bits → would not hash-match). Decimal sums are
+    * associative, so the one map-side-combined aggregation is the whole
+    * query at any scale.
+    */
+  def q10eCorr(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(D)
+    val y = col("l_extendedprice").cast(D)
+    val sx = sum(x).cast(DoubleType); val sy = sum(y).cast(DoubleType)
+    val sxy = sum(x * y).cast(DoubleType)
+    val sxx = sum(x * x).cast(DoubleType); val syy = sum(y * y).cast(DoubleType)
+    val n = count(lit(1)).cast(DoubleType)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_qp"),
+        round((sxy - sx * sy / n) / (n - 1), 4).as("covar_s"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q20b — bitwise and boolean aggregates (bit_and/or/xor, bool_and/or):
+    * the flag-combining aggregation family; all associative, map-side
+    * combined, integer-exact.
+    */
+  def q20bBitAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("bit_and(event_id)").as("band"),
+        expr("bit_or(event_id)").as("bor"),
+        expr("bit_xor(event_id)").as("bxor"),
+        expr("bool_and(value > 1.0)").as("all_gt1"),
+        expr("bool_or(value > 400.0)").as("any_gt400"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+
+  /** Q10f — equi-width histogram: bucket = min(⌊value/25⌋, 19), counts +
+    * exact decimal mass per (event_type, bucket). The bucketing is a
+    * map-side integer expression, so the histogram is one partial-agg
+    * shuffle no matter the row count — the scalable form of numeric
+    * distribution profiling.
+    */
+  def q10fHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("bucket",
+        least(floor(col("value") / 25.0), lit(19)).cast(LongType))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("mass"))
+      .orderBy(col("event_type"), col("bucket"))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.queries.{Analytics, Relational}
+
+/** Round-3 operators: span dedup, decontamination, co-moment statistics,
+  * cohort retention, and the shared-ANSI SQL surface.
+  */
+class Round3Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("spanDedup: crafted corpus with a known repeated span") {
+    // doc 1: spans [w0..w9], [w10..w19]; doc 2 repeats doc 1's first span
+    // then adds a fresh one; doc 3 is too short for any span
+    val d1 = (0 until 20).map(i => s"w$i").mkString(" ")
+    val d2 = ((0 until 10) ++ (100 until 110)).map(i => s"w$i").mkString(" ")
+    val d3 = "tiny doc under ten tokens"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedupOf(docs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 0L), (2L, 2L, 1L)))
+  }
+
+  test("decontamNgram: only train docs sharing an eval shingle are flagged") {
+    val evalSet = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something about the quick brown animal"), // shares "the quick brown"
+      (2L, "completely different words here entirely")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontamNgramOf(train, evalSet).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getLong(1) == 1L) // exactly one shared shingle
+    assert(out(0).getLong(2) == 4L) // 6 tokens -> 4 shingles
+  }
+
+  test("q10eCorr: decimal co-moment corr matches built-in corr to 1e-6") {
+    val ours = Relational.q10eCorr(spark, sfDir)
+      .select($"l_returnflag", $"corr_qp").as[(String, Double)].collect().toMap
+    val ref = Tables.t(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(ours.keySet == ref.keySet)
+    ours.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-6, k) }
+  }
+
+  test("cohort retention: week-0 dominates and event mass is conserved") {
+    val out = Analytics.q28bCohort(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val byCohort = out.groupBy(_._1)
+    byCohort.foreach { case (c, rows) =>
+      val w0 = rows.find(_._2 == 0L)
+      assert(w0.isDefined, s"cohort $c missing week 0")
+      // every cohort member is active in week 0 by construction
+      assert(rows.forall(_._3 <= w0.get._3), s"cohort $c retention > cohort size")
+    }
+    val totalEvents = Tables.t(spark, sfDir, "events").count()
+    assert(out.map(_._4).sum == totalEvents)
+  }
+
+  test("shared-ANSI TPC-H statements run through spark.sql and rank correctly") {
+    val q3 = Analytics.sqlTpchQ3(spark, sfDir).collect()
+    assert(q3.nonEmpty && q3.length <= 10)
+    val rev3 = q3.map(_.getDouble(2)).toSeq
+    assert(rev3 == rev3.sortBy(-(_: Double)), "q3 not revenue-descending")
+    val q5 = Analytics.sqlTpchQ5(spark, sfDir).collect()
+    val rev5 = q5.map(_.getDouble(1)).toSeq
+    assert(rev5 == rev5.sortBy(-(_: Double)), "q5 not revenue-descending")
+  }
+
+  test("bit/bool aggregates: xor of duplicated rows cancels") {
+    val df = Seq(1L, 2L, 3L).toDF("v")
+    val once = df.agg(expr("bit_xor(v)")).collect()(0).getLong(0)
+    val twice = df.union(df).agg(expr("bit_xor(v)")).collect()(0).getLong(0)
+    assert(once == (1L ^ 2L ^ 3L) && twice == 0L)
+  }
+}
