@@ -3,20 +3,33 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Distributed EXACT interpolated percentiles (percentile_cont
-  * semantics): sort-rank inside each group, keep only the two bracketing
-  * rows per requested percentile, interpolate
-  * `lo + (hi − lo) · frac` with the same expression shape (and therefore
-  * the same IEEE-754 results) as the engines' built-in.
+  * semantics) via sketch-prune + exact ranking:
+  *
+  *   1. one map-side-combined pass builds, per group, the row count and a
+  *      Greenwald-Khanna sketch queried at p ± 4ε (ε = 1/accuracy) — the
+  *      sketch's deterministic rank-error bound means the true bracketing
+  *      rows for p are guaranteed to lie inside that value bracket;
+  *   2. one pass counts, exactly, the rows strictly below each bracket;
+  *   3. one pass collapses in-bracket rows to (value, count) — at most
+  *      ~8εn rows per group survive;
+  *   4. a window over those few candidate rows assigns exact global ranks
+  *      (below-count + running in-bracket count), and the two bracketing
+  *      values interpolate with the same expression shape (and therefore
+  *      the same IEEE-754 bits) as the engines' built-in percentile_cont.
   *
   * Why not the `percentile` aggregate: it buffers every value of a group
-  * inside one aggregation buffer — a 100 TB group is an OOM, not a spill.
-  * This form is a shuffle sort + window + filter; state per task is O(1)
-  * beyond the sort, which spills. The cost is one full sort of (key,
-  * value) — the price of exactness; use approx_percentile when a sketch
-  * is acceptable.
+  * in one aggregation buffer — a 100 TB group is an OOM, not a spill.
+  * Why not sort-rank (the previous form here): a row_number window sorts
+  * each GROUP inside a single task — few-key workloads collapse to
+  * single-reducer sorts at scale. This form's wide operations are three
+  * column-pruned scans with partial aggregation; nothing anywhere holds
+  * or sorts more than ~8n/accuracy rows of one group in one place.
+  * Groups smaller than ~max(1000, 3·accuracy/4) rows skip pruning and
+  * rank the whole group — at that size "the whole group" is already
+  * candidate-sized.
   */
 object Percentiles {
 
@@ -27,33 +40,87 @@ object Percentiles {
     * output (the aggregate form would emit a NULL row for it).
     */
   def grouped(df: DataFrame, keyCol: String, valCol: String,
-      ps: Seq[Double]): DataFrame = {
+      ps: Seq[Double], accuracy: Int = 1000): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     require(ps.map(p => math.round(p * 100)).distinct.size == ps.size,
       s"percentile tags collide after rounding to whole percents: $ps")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
-    val ranked = df
-      .select(col(keyCol), col(valCol))
-      // percentile_cont ignores NULL values — so must the rank and count
-      .filter(col(valCol).isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
-    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast(DoubleType)
-    def interp(p: Double): Column = {
-      // 0-based fractional position, same definition as percentile_cont;
-      // floor+1 maps back to row_number's 1-based rank
-      val vLo = min(when(col("__rn") === floor(pos(p)) + 1, col(valCol)))
-      val vHi = min(when(col("__rn") === ceil(pos(p)) + 1, col(valCol)))
-      vLo + (vHi - vLo) * min(pos(p) - floor(pos(p)))
+    require(accuracy >= 100, s"accuracy $accuracy too low for the 4eps margin")
+    def tag(p: Double): String = s"p${math.round(p * 100)}"
+    val eps = 1.0 / accuracy
+    val margin = 4 * eps
+    // margin must exceed the sketch's rank error (eps*n) by the 2 ranks
+    // floor/ceil interpolation can straddle: 4eps*n >= eps*n + 2 needs
+    // n >= 2/(3eps); below that, pruning is skipped entirely
+    val smallN = math.max(1000L, math.ceil(2.0 / (3 * eps)).toLong)
+
+    // probe the sketch at p-4eps / p+4eps (clamped); 0/1 hit min/max
+    val probes = ps.flatMap(p =>
+      Seq(math.max(0.0, p - margin), math.min(1.0, p + margin)))
+      .distinct.sorted
+    val probeAt = probes.zipWithIndex.toMap
+    def loC(p: Double): Column = col(s"__lo_${tag(p)}")
+    def hiC(p: Double): Column = col(s"__hi_${tag(p)}")
+    def belowC(p: Double): Column = col(s"__below_${tag(p)}")
+
+    val clean = df
+      .select(col(keyCol).as("__k"), col(valCol).cast(DoubleType).as("__v"))
+      .filter(col("__v").isNotNull)
+
+    // pass 1: per-group count + sketch brackets
+    val probesSql = probes.mkString("array(", ",", ")")
+    val stats = clean.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"),
+        expr(s"approx_percentile(__v, $probesSql, $accuracy)").as("__apx"))
+      .select(Seq(col("__k"), col("__n"), (col("__n") <= smallN).as("__small")) ++
+        ps.flatMap { p =>
+          Seq(
+            element_at(col("__apx"), probeAt(math.max(0.0, p - margin)) + 1)
+              .as(s"__lo_${tag(p)}"),
+            element_at(col("__apx"), probeAt(math.min(1.0, p + margin)) + 1)
+              .as(s"__hi_${tag(p)}"))
+        }: _*)
+
+    val joined = clean.join(broadcast(stats), "__k")
+
+    // pass 2: exact count strictly below each lower bracket value
+    val belowAggs = ps.map { p =>
+      sum(when(!col("__small") && col("__v") < loC(p), 1L).otherwise(0L))
+        .as(s"__below_${tag(p)}")
     }
-    val bracketing = ps.flatMap { p =>
-      Seq(col("__rn") === floor(pos(p)) + 1, col("__rn") === ceil(pos(p)) + 1)
-    }.reduce(_ || _)
-    val aggs = ps.map(p => interp(p).as(s"p${math.round(p * 100)}"))
-    ranked
-      .filter(bracketing)
-      .groupBy(col(keyCol))
+    val below = joined.groupBy(col("__k")).agg(belowAggs.head, belowAggs.tail: _*)
+
+    // pass 3: candidates collapsed to (value, exact multiplicity)
+    val inBracket = ps.map(p => col("__v") >= loC(p) && col("__v") <= hiC(p))
+      .reduce(_ || _)
+    val cand = joined.filter(col("__small") || inBracket)
+      .groupBy(col("__k"), col("__v")).agg(count(lit(1)).as("__c"))
+
+    val info = stats.join(below, "__k")
+
+    // one window over the few candidate rows: per-p running in-bracket
+    // counts give exact global rank ranges [below+cum-c+1, below+cum]
+    val w = Window.partitionBy(col("__k")).orderBy(col("__v"))
+    val perP = ps.map { p =>
+      val inB = col("__small") || (col("__v") >= loC(p) && col("__v") <= hiC(p))
+      sum(when(inB, col("__c")).otherwise(0L)).over(w).as(s"__cum_${tag(p)}")
+    }
+    val ranked = cand.join(broadcast(info), "__k")
+      .select(col("*") +: perP: _*)
+
+    def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast(DoubleType)
+    val aggs = ps.map { p =>
+      val cum = col(s"__cum_${tag(p)}")
+      val start = belowC(p) + cum - col("__c") + 1
+      val end = belowC(p) + cum
+      val rLo = (floor(pos(p)) + 1).cast(LongType)
+      val rHi = (ceil(pos(p)) + 1).cast(LongType)
+      val vLo = min(when(rLo.between(start, end), col("__v")))
+      val vHi = min(when(rHi.between(start, end), col("__v")))
+      (vLo + (vHi - vLo) * min(pos(p) - floor(pos(p)))).as(tag(p))
+    }
+    ranked.groupBy(col("__k"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__k", keyCol)
       .orderBy(col(keyCol))
   }
 }

@@ -330,11 +330,17 @@ object TextAnalysis {
     // the scan as the full un-CSE'd pipeline (observed: 4× query cost).
     // The duplicate shingle build (size + explode) runs over the bound
     // token array, so it's two cheap concat loops, not two regex passes.
+    // and bind n_grams BEFORE the explode: an expression selected next to
+    // a generator is evaluated in the post-Generate projection — i.e.
+    // once per exploded shingle, not once per doc (observed 10× cost)
     val trainSh = train
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        size(shingles3(col("toks"))).cast(LongType).as("n_grams"),
+      .select(col("doc_id"), col("toks"),
+        size(shingles3(col("toks"))).cast(LongType).as("n_grams"))
+      .select(col("doc_id"), col("n_grams"),
         explode(shingles3(col("toks"))).as("g"))
+    // same non-attribute-explode trick on the eval side — otherwise the
+    // inferred size>0 filter lands on the eval scan as the full pipeline
     val evalGrams = evalSet
       .select(tokens(col("text")).as("toks"))
       .select(explode(shingles3(col("toks"))).as("g"))

@@ -69,6 +69,24 @@ class Round3Spec extends SparkSpecBase {
     assert(rev5 == rev5.sortBy(-(_: Double)), "q5 not revenue-descending")
   }
 
+  test("percentiles: sketch-pruned path (large groups) equals percentile aggregate") {
+    val rnd = new scala.util.Random(7)
+    // two large groups (prune path), heavy duplicates in one, plus a
+    // tiny group (whole-group path) in the same call
+    val data = (1 to 30000).map(i => ("big", rnd.nextDouble() * 1e6)) ++
+      (1 to 25000).map(i => ("dupes", (rnd.nextInt(40) * 10).toDouble)) ++
+      Seq(("tiny", 1.0), ("tiny", 2.0), ("tiny", 3.0))
+    val df = data.toDF("k", "v")
+    val ps = Seq(0.05, 0.5, 0.99)
+    val ours = graft.operators.Percentiles.grouped(df, "k", "v", ps)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ref = df.groupBy($"k")
+      .agg(expr(s"percentile(v, array(${ps.mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) -> {
+        val s = r.getSeq[Double](1); (s(0), s(1), s(2)) }).toMap
+    assert(ours == ref)
+  }
+
   test("bit/bool aggregates: xor of duplicated rows cancels") {
     val df = Seq(1L, 2L, 3L).toDF("v")
     val once = df.agg(expr("bit_xor(v)")).collect()(0).getLong(0)
