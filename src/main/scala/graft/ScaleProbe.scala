@@ -72,12 +72,17 @@ object ScaleProbe {
         "l_quantity", pt, "lo", "hi", 5L)
       .groupBy(col("p_partkey")).agg(sum(col("n")).as("n_li"))
     def gapfill(e: DataFrame) = operators.TimeSeries.gapFillHourlyOf(e)
+    // sketch-pruned exact percentile: few-key worst case — the old
+    // sort-rank form would bottleneck on 3 single-task sorts here
+    def pctl(li: DataFrame) = operators.Percentiles.grouped(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
 
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
       ("join_q04", time(noop(join(o1, c1))), time(noop(join(oK, cK)))),
       ("range_join", time(noop(rangeJoin(li1))), time(noop(rangeJoin(liK)))),
       ("ts_gapfill", time(noop(gapfill(e1))), time(noop(gapfill(eK)))),
+      ("percentile", time(noop(pctl(li1))), time(noop(pctl(liK)))),
       ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>

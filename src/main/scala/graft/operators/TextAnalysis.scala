@@ -138,15 +138,19 @@ object TextAnalysis {
 
   /** Library-facing form over any (doc_id, text) DataFrame. */
   def unigramLogprobOf(docs: DataFrame): DataFrame = {
-    // cache the tokenized frame: it feeds both the frequency aggregation
-    // and the scoring join, and the regex tokenize dominates per-row cost
+    // the tokenized frame feeds both the frequency aggregation and the
+    // scoring join; recomputing the tokenize (two scans) beats caching
+    // the exploded token table — at scale the cache is the memory hazard
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .cache()
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     // corpus total derived from freq — no third pass over the tokens
     val total = freq.agg(sum(col("cnt")).as("total"))
-    toks.join(freq, "token").crossJoin(broadcast(total))
+    // the unigram table is vocabulary-sized (bounded, heavy-tailed —
+    // ~100k entries even at 100 TB after any sane min-count cut), so
+    // broadcast it: scoring becomes map-side explode → hash-probe →
+    // partial agg, and the exploded token table never shuffles
+    toks.join(broadcast(freq), "token").crossJoin(broadcast(total))
       .select(col("doc_id"),
         // quantize each token's logprob to 6 dp BEFORE the decimal sum so
         // the aggregation is exact and order-free
@@ -258,7 +262,9 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // round BEFORE ranking so the rank order is defined on exactly the
     // values both engines compare (ties then break on token)
-    val scored = tf.join(df_, "token").crossJoin(broadcast(n))
+    // df_ is vocabulary-sized (see unigramLogprobOf) — broadcast so the
+    // (doc, token) tf table never reshuffles on token
+    val scored = tf.join(broadcast(df_), "token").crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf").cast(DoubleType) *
         log(col("n_docs").cast(DoubleType) / col("df")), 6))
     val w = Window.partitionBy(col("doc_id"))
