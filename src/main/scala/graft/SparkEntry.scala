@@ -114,6 +114,7 @@ object SparkEntry {
     "sql_tpch_q5" -> Analytics.sqlTpchQ5 _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
+    "layout_zorder" -> graft.operators.Layout.zorderKey _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -681,5 +682,15 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY span ORDER BY doc_id, chunk) AS rn FROM sp) " +
         "SELECT doc_id, COUNT(*) AS n_spans, COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dup " +
         "FROM x GROUP BY doc_id ORDER BY doc_id"),
+    "layout_zorder" -> {
+      // unrolled Morton interleave: bit i of x -> 2i, bit i of y -> 2i+1
+      val terms = (0 until 16).flatMap(i =>
+        Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" + ")
+      "SELECT event_id, " + terms + " AS z FROM " +
+        "(SELECT event_id, user_id % 65536 AS x, " +
+        "CAST(floor(value) AS BIGINT) % 65536 AS y FROM events) " +
+        "ORDER BY event_id"
+    },
   )
 }

@@ -87,6 +87,38 @@ class Round3Spec extends SparkSpecBase {
     assert(ours == ref)
   }
 
+  test("zorder2: matches a reference interleave and is monotone per dimension") {
+    graft.functions.ZOrderFunction.register(spark)
+    def refSpread(v: Long): Long =
+      (0 until 16).map(i => ((v >> i) & 1L) << (2 * i)).sum
+    def refZ(x: Long, y: Long): Long = refSpread(x) | (refSpread(y) << 1)
+    val pts = Seq((0L, 0L), (3L, 5L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (12345L, 54321L), (70000L, 70001L)) // >16 bits: masked
+    val got = pts.toDF("x", "y")
+      .select(graft.functions.ZOrderFunction.zorder2($"x", $"y")).as[Long].collect()
+    val want = pts.map { case (x, y) => refZ(x & 0xffffL, y & 0xffffL) }
+    assert(got.toSeq == want)
+  }
+
+  test("zorderCluster: range partitions are narrow in BOTH dimensions") {
+    val grid = for { x <- 0 until 128; y <- 0 until 128 }
+      yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val parts = graft.operators.Layout.zorderCluster(df, "x", "y", 16)
+      .rdd.mapPartitions { it =>
+        val rows = it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        if (rows.isEmpty) Iterator.empty
+        else Iterator((rows.map(_._1).max - rows.map(_._1).min,
+          rows.map(_._2).max - rows.map(_._2).min))
+      }.collect()
+    // a 1-D sort by x would leave y spanning the full 0..127 range in
+    // every partition; z-order keeps both dimensions narrow
+    assert(parts.nonEmpty)
+    val avgX = parts.map(_._1).sum.toDouble / parts.length
+    val avgY = parts.map(_._2).sum.toDouble / parts.length
+    assert(avgX < 80 && avgY < 80, s"avg ranges $avgX/$avgY not clustered")
+  }
+
   test("bit/bool aggregates: xor of duplicated rows cancels") {
     val df = Seq(1L, 2L, 3L).toDF("v")
     val once = df.agg(expr("bit_xor(v)")).collect()(0).getLong(0)
