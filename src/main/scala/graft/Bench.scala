@@ -87,6 +87,18 @@ object Bench {
     import spark.implicits._
     noop(operators.Dedup.clustersOfPairs(
       Seq((1L, 2L), (2L, 3L)).toDF("i", "j")))
+    // round-3 code paths: decontam join, span window, sketch-pruned
+    // percentile, zorder expression — compile their generated code on
+    // toy inputs too
+    val dd = d.select(col("doc_id"), col("text"))
+    noop(operators.TextAnalysis.decontamNgramOf(
+      dd.filter(col("doc_id") % 7 =!= 0), dd.filter(col("doc_id") % 7 === 0)))
+    noop(operators.TextAnalysis.spanDedupOf(dd, 10))
+    noop(operators.Percentiles.grouped(
+      li.limit(3000), "l_returnflag", "l_extendedprice", Seq(0.5, 0.9)))
+    functions.ZOrderFunction.register(spark)
+    noop(Seq((3L, 5L), (7L, 9L)).toDF("x", "y")
+      .select(functions.ZOrderFunction.zorder2(col("x"), col("y"))))
     spark.catalog.clearCache()
   }
 }
