@@ -115,6 +115,7 @@ object SparkEntry {
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
+    "pipe_clean_corpus" -> TextAnalysis.cleanCorpus _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -682,6 +683,20 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY span ORDER BY doc_id, chunk) AS rn FROM sp) " +
         "SELECT doc_id, COUNT(*) AS n_spans, COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dup " +
         "FROM x GROUP BY doc_id ORDER BY doc_id"),
+    "pipe_clean_corpus" ->
+      (s"WITH d AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents), " +
+        "base AS (SELECT doc_id, lang, text, toks, len(toks) AS n_tokens FROM d), " +
+        "train AS (SELECT * FROM base WHERE doc_id % 50 <> 0 AND n_tokens >= 30), " +
+        "dd AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM train), " +
+        "dedup AS (SELECT doc_id, lang, toks, n_tokens FROM dd WHERE rn = 1), " +
+        s"ev AS (SELECT DISTINCT unnest(s) AS g FROM (SELECT $shinglesSql AS s FROM d WHERE doc_id % 50 = 0)), " +
+        s"tr AS (SELECT doc_id, unnest(s) AS g FROM (SELECT doc_id, $shinglesSql AS s FROM dedup)), " +
+        "contam AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (g)) " +
+        "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket, " +
+        "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 " +
+        "THEN 'train' ELSE 'val' END AS split " +
+        "FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contam) ORDER BY doc_id"),
     "layout_zorder" -> {
       // unrolled Morton interleave: bit i of x -> 2i, bit i of y -> 2i+1
       val terms = (0 until 16).flatMap(i =>

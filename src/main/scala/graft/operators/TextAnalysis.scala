@@ -359,6 +359,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus-prep pipeline — the composition a training-data
+    * job actually runs, as ONE declarative plan Catalyst optimizes
+    * whole: quality gate (token count) → exact dedup (first occurrence
+    * per text) → benchmark decontamination (drop docs sharing a shingle
+    * with the eval split) → deterministic train/val assignment.
+    * Everything stays keyed or broadcast; no operator in the chain
+    * breaks the 100 TB posture of its standalone form.
+    */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame =
+    cleanCorpusOf(t(s, dir, "documents"), minTokens = 30)
+
+  /** Library-facing form; eval split = doc_id % 50 == 0. */
+  def cleanCorpusOf(docs: DataFrame, minTokens: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_tokens"))
+    val train = base
+      .filter(col("doc_id") % 50 =!= 0 && col("n_tokens") >= minTokens)
+    val firstPerText = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val deduped = train
+      .withColumn("rn", row_number().over(firstPerText))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"))
+    val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(shingles3(col("toks"))).as("g"))
+      .distinct()
+    val contaminated = deduped
+      .select(col("doc_id"), explode(shingles3(col("toks"))).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .select(col("doc_id")).distinct()
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("bucket", md5Bucket(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bucket"),
+        when(col("bucket") < 90, "train").otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4-style span-level dedup accounting: cut each doc into consecutive
     * 10-token spans and count, per doc, how many of its spans already
     * appeared earlier in the corpus (corpus order = (doc_id, span index)).
