@@ -108,6 +108,8 @@ object SparkEntry {
     "udx_udtf" -> Udx.udxUdtf _,
     "q10e_corr" -> Relational.q10eCorr _,
     "q10f_histogram" -> Relational.q10fHistogram _,
+    "q10g_listagg" -> Relational.q10gListagg _,
+    "q15c_range_frame" -> Relational.q15cRangeFrame _,
     "q20b_bitagg" -> Relational.q20bBitAgg _,
     "q28b_cohort" -> Analytics.q28bCohort _,
     "sql_tpch_q3" -> Analytics.sqlTpchQ3 _,
@@ -648,6 +650,17 @@ object SparkEntry {
         "COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mass " +
         "FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q10g_listagg" ->
+      ("SELECT c_mktsegment, " +
+        "string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ',' ORDER BY c_nationkey) AS nations, " +
+        "COUNT(DISTINCT c_nationkey) AS n_nations " +
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q15c_range_frame" ->
+      ("SELECT o_custkey, o_orderkey, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts_us, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP)) " +
+        "RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d " +
+        "FROM orders ORDER BY o_custkey, o_orderkey"),
     "q20b_bitagg" ->
       ("SELECT event_type, bit_and(event_id) AS band, bit_or(event_id) AS bor, " +
         "bit_xor(event_id) AS bxor, bool_and(value > 1.0) AS all_gt1, " +

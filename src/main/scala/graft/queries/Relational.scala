@@ -716,6 +716,40 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy(col("event_type"))
 
+  /** Q15c — RANGE window frame (value-range peers, not row offsets): a
+    * 30-day trailing spend sum per customer. RANGE frames bound by the
+    * ORDER-BY value, so ties aggregate identically regardless of
+    * intra-tie order — deterministic without a unique sort key.
+    */
+  def q15cRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val micros30d = 30L * 24 * 3600 * 1000000
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-micros30d, 0)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("ts_us"),
+        col("o_totalprice"))
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast(D)).over(w).cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"), col("ts_us"), col("spend_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Q10g — ordered list aggregation (LISTAGG/string_agg): distinct
+    * nation keys per market segment as a sorted CSV. Sorting inside the
+    * aggregate (array_sort before join) makes the string order-free.
+    */
+  def q10gListagg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        concat_ws(",",
+          transform(array_sort(collect_set(col("c_nationkey"))),
+            x => x.cast(StringType))).as("nations"),
+        count_distinct(col("c_nationkey")).as("n_nations"))
+      .orderBy(col("c_mktsegment"))
+
   /** Q10f — equi-width histogram: bucket = min(⌊value/25⌋, 19), counts +
     * exact decimal mass per (event_type, bucket). The bucketing is a
     * map-side integer expression, so the histogram is one partial-agg
