@@ -2,6 +2,7 @@ package graft
 
 import graft.queries.Relational
 import graft.operators.{AsOfJoin, Similarity}
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan hygiene locked into the suite (the PLANS.md audit as
   * executable assertions): pushdown, pruning, broadcast, top-k, and
@@ -64,5 +65,49 @@ class PlanSpec extends SparkSpecBase {
     val f = formatted(Similarity.q26CosineTopK(spark, sfDir))
     assert(f.contains("cosine_sim"))
     assert(!f.toLowerCase.contains("batchevalpython") && !f.contains("ScalaUDF"))
+  }
+
+  test("dynamic partition pruning fires on a partitioned-fact dim join") {
+    // the 100 TB scan-pruning path: a fact table partitioned on the join
+    // key must prune its partitions from the DIM side's filter at runtime
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    import spark.implicits._
+    (0 until 10).flatMap(p => (0 until 200).map(i => (p, p * 1000 + i)))
+      .toDF("part_key", "v")
+      .write.partitionBy("part_key").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP injects the runtime partition filter only when the dim side
+    // carries a selective predicate of its own — and that predicate must
+    // survive to the physical plan, so the dim is parquet-backed (a
+    // filter over a local relation constant-folds away)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    (0 until 10).map(i => (i, if (i == 3 || i == 7) "keep" else "drop"))
+      .toDF("dim_key", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    val q = fact.join(dim, fact("part_key") === dim("dim_key"))
+      .groupBy(col("part_key")).count()
+    val f = q.queryExecution.executedPlan.toString
+    assert(f.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in:\n$f")
+    assert(q.collect().map(_.getLong(1)).sum == 400)
+  }
+
+  test("decontam: eval side broadcasts; train side has no gram shuffle") {
+    val f = plan(operators.TextAnalysis.decontamNgram(spark, sfDir))
+    assert(f.contains("BroadcastHashJoin"),
+      "eval grams must broadcast — the train side must never shuffle on gram")
+  }
+
+  test("zorder cluster write plan is range exchange + local sort, no global sort") {
+    val df = Tables.t(spark, sfDir, "events")
+      .select(col("user_id").as("x"), col("event_id").as("y"))
+    graft.functions.ZOrderFunction.register(spark)
+    val clustered = operators.Layout.zorderCluster(df, "x", "y", 4)
+    val f = clustered.queryExecution.executedPlan.toString
+    assert(f.contains("rangepartitioning") || f.contains("RangePartitioning"),
+      s"expected a range exchange in:\n$f")
+    // the sort must be partition-local (global=false), not a global sort
+    assert(!f.matches("(?s).*Sort \\[[^\\]]*\\], true.*"),
+      "zorder layout must not global-sort")
   }
 }

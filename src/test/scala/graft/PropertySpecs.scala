@@ -131,3 +131,39 @@ object FxProps extends Properties("FxToUsd") {
     fx(a, c) == a * k
   }
 }
+
+object ZOrderProps extends Properties("ZOrder2") {
+  // pure reference mirror of the expression's bit-spread (ZOrder.scala)
+  private def spread16(v: Long): Long = {
+    var r = v & 0xffffL
+    r = (r | (r << 8)) & 0x00ff00ffL
+    r = (r | (r << 4)) & 0x0f0f0f0fL
+    r = (r | (r << 2)) & 0x33333333L
+    r = (r | (r << 1)) & 0x55555555L
+    r
+  }
+  private def z(x: Long, y: Long): Long = spread16(x) | (spread16(y) << 1)
+  private def compact(v: Long): Long =
+    (0 until 16).map(i => ((v >> (2 * i)) & 1L) << i).sum
+
+  private val gen16 = Gen.chooseNum(0L, 0xffffL)
+
+  property("interleave is invertible (compact∘spread = id)") =
+    forAll(gen16, gen16) { (x, y) =>
+      compact(z(x, y)) == x && compact(z(x, y) >> 1) == y
+    }
+
+  property("bit-interleave definition: bit i of x at 2i, y at 2i+1") =
+    forAll(gen16, gen16) { (x, y) =>
+      (0 until 16).forall { i =>
+        ((z(x, y) >> (2 * i)) & 1L) == ((x >> i) & 1L) &&
+        ((z(x, y) >> (2 * i + 1)) & 1L) == ((y >> i) & 1L)
+      }
+    }
+
+  property("monotone in each dimension") =
+    forAll(gen16, gen16, gen16) { (a, b, y) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      z(lo, y) <= z(hi, y) && z(y, lo) <= z(y, hi)
+    }
+}
