@@ -94,6 +94,11 @@ object Bench {
     noop(operators.TextAnalysis.decontamNgramOf(
       dd.filter(col("doc_id") % 7 =!= 0), dd.filter(col("doc_id") % 7 === 0)))
     noop(operators.TextAnalysis.spanDedupOf(dd, 10))
+    // the prefix-index jaccard and 60-vote simhash paths codegen their
+    // own distinct pipelines — compile them on the toy corpus too
+    noop(operators.Dedup.ngramJaccardOf(dd, 0.7))
+    noop(operators.Dedup.simhashPairs(
+      operators.Dedup.simhashSigs(dd).localCheckpoint(true), 8))
     noop(operators.Percentiles.grouped(
       li.limit(3000), "l_returnflag", "l_extendedprice", Seq(0.5, 0.9)))
     functions.ZOrderFunction.register(spark)

@@ -133,10 +133,14 @@ object Dedup {
     * shingles to Σ df² over prefix (rare) shingles — the difference
     * between O(n²)-ish and near-linear on corpora with common shingles.
     */
-  def ngramJaccard(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame =
+    ngramJaccardOf(graft.Tables.t(s, dir, "documents"), thr)
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def ngramJaccardOf(docs: DataFrame, thr: Double): DataFrame = {
     // sh is per-doc DISTINCT (shingles3 array_distincts before explode),
     // so the size/df counts here and the set-based verify are consistent
-    val sh = docShingles(s, dir).cache()
+    val sh = docShinglesOf(docs).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
