@@ -387,11 +387,18 @@ object TextAnalysis {
       .select(tokens(col("text")).as("toks"))
       .select(explode(shingles3(col("toks"))).as("g"))
       .distinct()
-    val contaminated = deduped
-      .select(col("doc_id"), explode(shingles3(col("toks"))).as("g"))
-      .join(broadcast(evalGrams), "g")
-      .select(col("doc_id")).distinct()
-    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // contamination as a flag computed in the SAME pass (explode →
+    // broadcast-probe → group back to one row per doc) — an anti-join
+    // against a second reading of `deduped` would execute the dedup
+    // window twice: the two branches prune different columns, so
+    // Catalyst cannot reuse the exchange between them
+    deduped
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        explode_outer(shingles3(col("toks"))).as("g"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1))), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("n_tokens"))
+      .agg(max(coalesce(col("hit"), lit(0))).as("contaminated"))
+      .filter(col("contaminated") === 0)
       .withColumn("bucket", md5Bucket(col("doc_id")))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("bucket"),
         when(col("bucket") < 90, "train").otherwise("val").as("split"))

@@ -92,6 +92,17 @@ class PlanSpec extends SparkSpecBase {
     assert(q.collect().map(_.getLong(1)).sum == 400)
   }
 
+  test("clean-corpus pipeline: the dedup window executes exactly once") {
+    // the contamination check is a flag in the same pass — a second
+    // reading of the deduped branch would double the window sort
+    // the adaptive plan string repeats the tree under "== Initial Plan ==";
+    // count only the executed (final) section
+    val f = plan(operators.TextAnalysis.cleanCorpus(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    val windows = "\\bWindow\\b".r.findAllIn(f).length
+    assert(windows == 1, s"expected exactly one Window node, got $windows:\n$f")
+  }
+
   test("decontam: eval side broadcasts; train side has no gram shuffle") {
     val f = plan(operators.TextAnalysis.decontamNgram(spark, sfDir))
     assert(f.contains("BroadcastHashJoin"),
