@@ -209,4 +209,46 @@ object Similarity {
       .select(col("i"), col("j"), round(col("score"), 6).as("score"))
       .orderBy(col("i"), col("j"))
   }
+
+  /** Materialized LSH index: the corpus written parquet-PARTITIONED by
+    * its hyperplane bucket. This is the write-time form of [[annLshTopK]]
+    * — at 100 TB the bucketing shuffle happens once here, and every probe
+    * afterwards is a directory-pruned read of (nPlanes+1)/2^nPlanes of
+    * the data (the scan never touches non-candidate buckets).
+    */
+  def writeLshIndex(s: SparkSession, emb: DataFrame, outDir: String,
+      nPlanes: Int = 6): Unit = {
+    val planes = hyperplanes(nPlanes, 64)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bucket",
+      exprs => graft.functions.HyperplaneBucket(exprs.head, planes), "built-in")
+    emb.withColumn("bucket", call_function("hyperplane_bucket", col("embedding")))
+      .write.partitionBy("bucket").mode("overwrite").parquet(outDir)
+  }
+
+  /** Probe a [[writeLshIndex]] index: multiprobe buckets are computed
+    * driver-side from the probe vector (the quantizer is driver state,
+    * like a real index), and the `bucket IN (…)` filter prunes to those
+    * partition directories before any row is read. Scores exact; same
+    * candidate contract as [[annLshTopK]].
+    */
+  def probeLshIndex(s: SparkSession, indexDir: String, probeVec: Array[Float],
+      k: Int = 5, nPlanes: Int = 6): DataFrame = {
+    VectorFunctions.register(s)
+    val planes = hyperplanes(nPlanes, 64)
+    var bucket = 0L
+    planes.indices.foreach { p =>
+      val dot = planes(p).indices.take(probeVec.length)
+        .foldLeft(0.0)((acc, i) => acc + probeVec(i).toDouble * planes(p)(i))
+      if (dot >= 0.0) bucket |= (1L << p)
+    }
+    val probeBuckets = bucket +: (0 until nPlanes).map(p => bucket ^ (1L << p))
+    s.read.parquet(indexDir)
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"),
+          typedLit(probeVec)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

@@ -119,6 +119,27 @@ class Round3Spec extends SparkSpecBase {
     assert(avgX < 80 && avgY < 80, s"avg ranges $avgX/$avgY not clustered")
   }
 
+  test("LSH index: partitioned write + directory-pruned probe matches the join form") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    Similarity.writeLshIndex(spark, emb, dir)
+    val probeVec = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val probed = Similarity.probeLshIndex(spark, dir, probeVec, k = 6)
+    // the scan must prune on the partition column, not read-all-and-filter
+    val f = probed.queryExecution.executedPlan.toString
+    assert(f.contains("PartitionFilters") && f.contains("bucket"),
+      s"expected bucket partition pruning in:\n$f")
+    // self (vec_id=0, cosine 1.0) ranks first; remaining results equal the
+    // join-form ANN on the same probe
+    val got = probed.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 == 0L && got.head._2 == 1.0)
+    val joinForm = Similarity.annLshTopK(spark, sfDir, probeId = 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.tail.toSeq == joinForm.toSeq)
+  }
+
   test("bit/bool aggregates: xor of duplicated rows cancels") {
     val df = Seq(1L, 2L, 3L).toDF("v")
     val once = df.agg(expr("bit_xor(v)")).collect()(0).getLong(0)
