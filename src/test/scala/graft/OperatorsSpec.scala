@@ -61,6 +61,20 @@ class OperatorsSpec extends SparkSpecBase {
         "nll" -> operators.TextAnalysis.unigramLogprob(spark, sfDir)
           .collect().map(_.toString).toSeq,
         "cent" -> operators.Similarity.labelCentroids(spark, sfDir)
+          .collect().map(_.toString).toSeq,
+        // round-3 surface: the GK sketch inside the pruned percentile may
+        // merge in any order (bracket wobble), but the exact result must
+        // not move; corr is decimal-co-moment-backed; the composed
+        // pipeline chains window + broadcast + agg
+        "pctl" -> Relational.q10bPercentile(spark, sfDir)
+          .collect().map(_.toString).toSeq,
+        "corr" -> Relational.q10eCorr(spark, sfDir)
+          .collect().map(_.toString).toSeq,
+        "pipe" -> operators.TextAnalysis.cleanCorpus(spark, sfDir)
+          .collect().map(_.toString).toSeq,
+        "span" -> operators.TextAnalysis.spanDedup(spark, sfDir)
+          .collect().map(_.toString).toSeq,
+        "cohort" -> graft.queries.Analytics.q28bCohort(spark, sfDir)
           .collect().map(_.toString).toSeq)
       finally spark.conf.set(key, prev)
     }
