@@ -226,6 +226,53 @@ object Similarity {
       .write.partitionBy("bucket").mode("overwrite").parquet(outDir)
   }
 
+  /** Materialized IVF index: train the k-means coarse quantizer (on a
+    * sample at scale), write the corpus parquet-PARTITIONED by cell id,
+    * and return the centroids — the driver-side quantizer state a real
+    * index keeps. Every probe afterwards reads nprobe/nlist of the data
+    * via directory pruning.
+    */
+  def writeIvfIndex(s: SparkSession, emb: DataFrame, outDir: String,
+      nlist: Int = 16): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = emb.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(feats.select(col("features")))
+    model.transform(feats)
+      .withColumnRenamed("prediction", "cell")
+      .drop("features")
+      .write.partitionBy("cell").mode("overwrite").parquet(outDir)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** Probe a [[writeIvfIndex]] index: rank the stored centroids against
+    * the probe vector driver-side, read only the nprobe nearest cell
+    * directories, exact-rerank with the codegen'd cosine.
+    */
+  def probeIvfIndex(s: SparkSession, indexDir: String,
+      centroids: Array[Array[Double]], probeVec: Array[Float],
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    VectorFunctions.register(s)
+    def cos(c: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(c.length, probeVec.length)) {
+        d += c(i) * probeVec(i); na += c(i) * c(i)
+        nb += probeVec(i).toDouble * probeVec(i); i += 1
+      }
+      if (na == 0 || nb == 0) -2 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = centroids.zipWithIndex.sortBy { case (c, _) => -cos(c) }
+      .take(nprobe).map(_._2)
+    s.read.parquet(indexDir)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"),
+          typedLit(probeVec)), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Probe a [[writeLshIndex]] index: multiprobe buckets are computed
     * driver-side from the probe vector (the quantizer is driver state,
     * like a real index), and the `bucket IN (…)` filter prunes to those

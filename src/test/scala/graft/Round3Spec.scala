@@ -140,6 +140,24 @@ class Round3Spec extends SparkSpecBase {
     assert(got.tail.toSeq == joinForm.toSeq)
   }
 
+  test("IVF index: partitioned write + pruned probe matches the in-query form") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val centroids = Similarity.writeIvfIndex(spark, emb, dir)
+    val probeVec = emb.filter($"vec_id" === 0)
+      .select($"embedding").head.getSeq[Float](0).toArray
+    val probed = Similarity.probeIvfIndex(spark, dir, centroids, probeVec, k = 6)
+    val f = probed.queryExecution.executedPlan.toString
+    assert(f.contains("PartitionFilters") && f.contains("cell"),
+      s"expected cell partition pruning in:\n$f")
+    val got = probed.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.head._1 == 0L && got.head._2 == 1.0) // self ranks first
+    val inQuery = Similarity.annIvfTopK(spark, sfDir, probeId = 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.tail.toSeq == inQuery.toSeq)
+  }
+
   test("bit/bool aggregates: xor of duplicated rows cancels") {
     val df = Seq(1L, 2L, 3L).toDF("v")
     val once = df.agg(expr("bit_xor(v)")).collect()(0).getLong(0)
