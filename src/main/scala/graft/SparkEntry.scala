@@ -73,6 +73,7 @@ object SparkEntry {
     "q25b_asof_join" -> AsOfJoin.clickToSignup _,
     "q25c_funnel" -> Relational.q25cFunnel _,
     "q26_cosine_topk" -> Similarity.q26CosineTopK _,
+    "q26c_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.q26cFilteredTopK(s, d)),
     "q26_ann_lsh" -> Similarity.annLsh _,
     "q26_ann_ivf" -> Similarity.annIvf _,
     "q27_top_tokens" -> TextAnalysis.q27TopTokens _,
@@ -443,6 +444,19 @@ object SparkEntry {
         "ON c.user_id = s.user_id AND c.ts >= s.ts " +
         "ORDER BY c.event_id"),
     "q26_cosine_topk" -> cosineTopkOracle,
+    "q26c_filtered_topk" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        |idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)),
+        |f AS (SELECT b.vec_id, d.lang, b.label, b.embedding FROM embeddings b
+        |      JOIN documents d ON b.vec_id = d.doc_id
+        |      WHERE b.vec_id <> 0 AND d.lang = 'en' AND b.label % 2 = 0),
+        |s AS (SELECT f.vec_id, f.lang, f.label,
+        |        SUM(CAST(f.embedding[idx.x] AS DOUBLE) * CAST(q.e[idx.x] AS DOUBLE)) AS dot,
+        |        SUM(CAST(f.embedding[idx.x] AS DOUBLE) * CAST(f.embedding[idx.x] AS DOUBLE)) AS nb,
+        |        SUM(CAST(q.e[idx.x] AS DOUBLE) * CAST(q.e[idx.x] AS DOUBLE)) AS nq
+        |      FROM f, q, idx GROUP BY f.vec_id, f.lang, f.label)
+        |SELECT vec_id, lang, label, round(dot/(sqrt(nb)*sqrt(nq)), 6) AS score
+        |FROM s ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin.replace("\n", " "),
     // q26_ann_lsh: no hash oracle — ANN is approximate by contract (this
     // corpus is near-orthogonal, max pairwise cosine 0.37, so any
     // sublinear method trades recall); SimilaritySpec asserts its scores

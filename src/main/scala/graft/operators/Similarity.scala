@@ -34,6 +34,31 @@ object Similarity {
       .limit(5)
   }
 
+  /** Filtered vector search — top-k under a metadata predicate (the
+    * vector-store "search where label = X" feature). The predicate is a
+    * plain pushed-down filter AHEAD of the kernel, so selective filters
+    * cut kernel evaluations proportionally; with a partitioned/z-ordered
+    * layout on the metadata column the scan itself prunes at 100 TB.
+    * Joined with `documents` metadata to make the predicate cross-table
+    * (lang of the matching doc), which is the realistic shape.
+    */
+  def q26cFilteredTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val meta = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(meta, emb("vec_id") === meta("doc_id"))
+      .filter(col("lang") === "en" && col("label") % 2 === 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("lang"), col("label"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("probe_emb")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Multi-probe brute-force top-k: the whole probe set is broadcast at
     * once and one corpus pass scores every probe — the batch-retrieval
     * shape (probes ≪ corpus, so the broadcast is small and the corpus
