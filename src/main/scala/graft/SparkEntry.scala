@@ -110,6 +110,7 @@ object SparkEntry {
     "q10e_corr" -> Relational.q10eCorr _,
     "q10f_histogram" -> Relational.q10fHistogram _,
     "q10g_listagg" -> Relational.q10gListagg _,
+    "q10h_outliers" -> Relational.q10hOutliers _,
     "q15c_range_frame" -> Relational.q15cRangeFrame _,
     "q20b_bitagg" -> Relational.q20bBitAgg _,
     "q28b_cohort" -> Analytics.q28bCohort _,
@@ -664,6 +665,17 @@ object SparkEntry {
         "COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mass " +
         "FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket"),
+    "q10h_outliers" ->
+      ("WITH q AS (SELECT o_orderstatus, " +
+        "quantile_cont(o_totalprice, 0.25) AS p25, " +
+        "quantile_cont(o_totalprice, 0.75) AS p75 " +
+        "FROM orders GROUP BY o_orderstatus), " +
+        "b AS (SELECT o_orderstatus, " +
+        "round(p25 - (p75 - p25) * 1.5, 4) AS lo, " +
+        "round(p75 + (p75 - p25) * 1.5, 4) AS hi FROM q) " +
+        "SELECT o_orderkey, o.o_orderstatus, o_totalprice, lo, hi " +
+        "FROM orders o JOIN b USING (o_orderstatus) " +
+        "WHERE o_totalprice < lo OR o_totalprice > hi ORDER BY o_orderkey"),
     "q10g_listagg" ->
       ("SELECT c_mktsegment, " +
         "string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ',' ORDER BY c_nationkey) AS nations, " +

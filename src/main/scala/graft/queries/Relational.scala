@@ -750,6 +750,28 @@ object Relational {
         count_distinct(col("c_nationkey")).as("n_nations"))
       .orderBy(col("c_mktsegment"))
 
+  /** Q10h — IQR outlier detection (the numeric data-cleaning gate):
+    * per-group Tukey fences from the sketch-pruned exact percentiles,
+    * broadcast back onto the fact rows. Fences are rounded to 4 dp in
+    * BOTH engines before comparing — the interpolated quantile agrees
+    * across engines at 4 dp (q10b's contract), so the boundary test is
+    * engine-stable; prices themselves are compared raw.
+    */
+  def q10hOutliers(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Percentiles.grouped(
+      t(s, dir, "orders"), "o_orderstatus", "o_totalprice", Seq(0.25, 0.75))
+    val iqr = col("p75") - col("p25")
+    val bounds = q.select(col("o_orderstatus"),
+      round(col("p25") - iqr * 1.5, 4).as("lo"),
+      round(col("p75") + iqr * 1.5, 4).as("hi"))
+    t(s, dir, "orders")
+      .join(broadcast(bounds), "o_orderstatus")
+      .filter(col("o_totalprice") < col("lo") || col("o_totalprice") > col("hi"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("lo"), col("hi"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Q10f — equi-width histogram: bucket = min(⌊value/25⌋, 19), counts +
     * exact decimal mass per (event_type, bucket). The bucketing is a
     * map-side integer expression, so the histogram is one partial-agg
