@@ -697,7 +697,7 @@ object SparkEntry {
         "COUNT(*) AS n_events FROM events GROUP BY user_id, week), " +
         "cohort AS (SELECT user_id, MIN(week) AS cohort FROM weekly GROUP BY user_id) " +
         "SELECT epoch_us(cohort) AS cohort_us, " +
-        "CAST((epoch_us(week) - epoch_us(cohort)) / 604800000000 AS BIGINT) AS week_no, " +
+        "(epoch_us(week) - epoch_us(cohort)) // 604800000000 AS week_no, " +
         "COUNT(DISTINCT w.user_id) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events " +
         "FROM weekly w JOIN cohort c USING (user_id) " +
         "GROUP BY cohort_us, week_no ORDER BY cohort_us, week_no"),

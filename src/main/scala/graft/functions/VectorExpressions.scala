@@ -127,20 +127,8 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "hyperplane_bucket"
 
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    var bucket = 0L
-    var p = 0
-    while (p < planes.length) {
-      val pl = planes(p)
-      val n = math.min(x.numElements(), pl.length)
-      var dot = 0.0; var i = 0
-      while (i < n) { dot += x.getFloat(i).toDouble * pl(i); i += 1 }
-      if (dot >= 0.0) bucket |= (1L << p)
-      p += 1
-    }
-    bucket
-  }
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneBucket.bucketOf(a.asInstanceOf[ArrayData].toFloatArray(), planes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
@@ -168,6 +156,31 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  /** Bucket id of a float vector under `planes` — the single source of
+    * truth for the sign rule (`dot >= 0`), the accumulation order
+    * (sequential adds in index order), and the min-length truncation.
+    * The expression's interpreted eval calls this directly; driver-side
+    * index probes ([[graft.operators.Similarity.probeLshIndex]]) MUST use
+    * it too, so the probe bucket cannot drift from the stored buckets.
+    * The codegen template above mirrors this loop line-for-line
+    * (Round3Spec asserts eval ≡ codegen ≡ probe).
+    */
+  def bucketOf(vec: Array[Float], planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(vec.length, pl.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += vec(i).toDouble * pl(i); i += 1 }
+      if (dot >= 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 }
 
 object VectorFunctions {

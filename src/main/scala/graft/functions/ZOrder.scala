@@ -24,6 +24,25 @@ case class ZOrder2(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder2"
 
+  // ExpectsInputTypes is unusable here (AbstractDataType is private[sql]
+  // in Spark 4), so enforce the contract directly: without this, an INT
+  // column through the SQL surface would ClassCastException at runtime
+  // (or emit mistyped Java in codegen) instead of failing analysis.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.DataTypeMismatch(
+        errorSubClass = "UNEXPECTED_INPUT_TYPE",
+        messageParameters = Map(
+          "paramIndex" -> (if (left.dataType == LongType) "second" else "first"),
+          "requiredType" -> "\"BIGINT\"",
+          "inputSql" -> toString,
+          "inputType" ->
+            s""""${(if (left.dataType == LongType) right else left).dataType.sql}""""))
+  }
+
   private def interleave(x: Long, y: Long): Long = {
     // classic bit-spread: spread16(v) puts bit i at position 2i
     def spread16(v: Long): Long = {

@@ -37,7 +37,16 @@ object Percentiles {
     * p_<tag> columns in `ps` order (tag = percentile×100 rounded, e.g.
     * p50), ordered by key. NULL values are ignored (percentile_cont
     * semantics); a group whose values are ALL null is absent from the
-    * output (the aggregate form would emit a NULL row for it).
+    * output (the aggregate form would emit a NULL row for it). A NULL
+    * group KEY survives: the key is carried as a one-field struct, whose
+    * equality is null-safe, so the internal equi-joins keep the NULL-key
+    * group (matching groupBy semantics).
+    *
+    * No broadcast hints: the stats frame is one row per group, so at high
+    * key cardinality a forced broadcast would OOM the driver. All three
+    * internal joins hash-partition on the same `__k`, making the stats
+    * subtree a single reusable exchange; AQE converts the probe side to
+    * broadcast at runtime when stats is actually small.
     */
   def grouped(df: DataFrame, keyCol: String, valCol: String,
       ps: Seq[Double], accuracy: Int = 1000): DataFrame = {
@@ -62,8 +71,12 @@ object Percentiles {
     def hiC(p: Double): Column = col(s"__hi_${tag(p)}")
     def belowC(p: Double): Column = col(s"__below_${tag(p)}")
 
+    // one-field struct: struct equality treats NULL fields as equal, so
+    // the equi-joins below are null-safe without <=> (which would block
+    // the using-column form and exchange reuse)
     val clean = df
-      .select(col(keyCol).as("__k"), col(valCol).cast(DoubleType).as("__v"))
+      .select(struct(col(keyCol)).as("__k"),
+        col(valCol).cast(DoubleType).as("__v"))
       .filter(col("__v").isNotNull)
 
     // pass 1: per-group count + sketch brackets
@@ -80,7 +93,7 @@ object Percentiles {
               .as(s"__hi_${tag(p)}"))
         }: _*)
 
-    val joined = clean.join(broadcast(stats), "__k")
+    val joined = clean.join(stats, "__k")
 
     // pass 2: exact count strictly below each lower bracket value
     val belowAggs = ps.map { p =>
@@ -104,7 +117,7 @@ object Percentiles {
       val inB = col("__small") || (col("__v") >= loC(p) && col("__v") <= hiC(p))
       sum(when(inB, col("__c")).otherwise(0L)).over(w).as(s"__cum_${tag(p)}")
     }
-    val ranked = cand.join(broadcast(info), "__k")
+    val ranked = cand.join(info, "__k")
       .select(col("*") +: perP: _*)
 
     def pos(p: Double): Column = lit(p) * (col("__n") - 1).cast(DoubleType)
@@ -120,7 +133,8 @@ object Percentiles {
     }
     ranked.groupBy(col("__k"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumnRenamed("__k", keyCol)
+      .select(col("__k").getField(keyCol).as(keyCol) +:
+        ps.map(p => col(tag(p))): _*)
       .orderBy(col(keyCol))
   }
 }

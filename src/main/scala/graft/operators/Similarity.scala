@@ -308,12 +308,9 @@ object Similarity {
       k: Int = 5, nPlanes: Int = 6): DataFrame = {
     VectorFunctions.register(s)
     val planes = hyperplanes(nPlanes, 64)
-    var bucket = 0L
-    planes.indices.foreach { p =>
-      val dot = planes(p).indices.take(probeVec.length)
-        .foldLeft(0.0)((acc, i) => acc + probeVec(i).toDouble * planes(p)(i))
-      if (dot >= 0.0) bucket |= (1L << p)
-    }
+    // same helper as the HyperplaneBucket expression itself — the probe
+    // bucket is bit-identical to the stored buckets by construction
+    val bucket = graft.functions.HyperplaneBucket.bucketOf(probeVec, planes)
     val probeBuckets = bucket +: (0 until nPlanes).map(p => bucket ^ (1L << p))
     s.read.parquet(indexDir)
       .filter(col("bucket").isin(probeBuckets: _*))

@@ -80,10 +80,14 @@ object Analytics {
     val cohort = weekly.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort"))
     weekly.join(cohort, "user_id")
-      .select(
-        unix_micros(col("cohort")).as("cohort_us"),
-        ((unix_micros(col("week")) - unix_micros(col("cohort"))) /
-          lit(604800000000L)).cast(LongType).as("week_no"),
+      .select(unix_micros(col("cohort")).as("cohort_us"),
+        unix_micros(col("week")).as("week_us"),
+        col("user_id"), col("n_events"))
+      // integer floor-div on both engines (Spark `div` ≡ DuckDB `//`):
+      // the old double-divide-then-cast only agreed with the oracle
+      // because UTC week deltas are exact 7-day multiples
+      .select(col("cohort_us"),
+        expr("(week_us - cohort_us) div 604800000000").as("week_no"),
         col("user_id"), col("n_events"))
       .groupBy(col("cohort_us"), col("week_no"))
       .agg(count_distinct(col("user_id")).as("n_users"),
