@@ -33,5 +33,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(128L << 20))
+      // bucketed-table writes (operators.Bucketing) land here; keep the
+      // repo clean and let repeated local runs overwrite freely
+      .config("spark.sql.warehouse.dir", "file:///tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
 }

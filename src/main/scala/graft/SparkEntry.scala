@@ -120,6 +120,13 @@ object SparkEntry {
     "text_span_dedup" -> TextAnalysis.spanDedup _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
     "pipe_clean_corpus" -> TextAnalysis.cleanCorpus _,
+    "q04b_bucketed_join" ->
+      ((s, dir) => graft.operators.Bucketing.q04bBucketedJoin(s, dir)),
+    "mix_source_cap" ->
+      ((s, dir) => graft.operators.Mixing.mixSourceCap(s, dir)),
+    "mix_temperature" ->
+      ((s, dir) => graft.operators.Mixing.temperatureMix(s, dir)),
+    "q10i_equidepth" -> Relational.q10iEquidepth _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -701,6 +708,40 @@ object SparkEntry {
         "COUNT(DISTINCT w.user_id) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events " +
         "FROM weekly w JOIN cohort c USING (user_id) " +
         "GROUP BY cohort_us, week_no ORDER BY cohort_us, week_no"),
+    "q04b_bucketed_join" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "mix_source_cap" ->
+      ("SELECT source, doc_id, n_chars FROM documents " +
+        "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 40 " +
+        "ORDER BY source, doc_id"),
+    "mix_temperature" ->
+      ("WITH tgt AS (SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w FROM documents GROUP BY source), " +
+        "t2 AS (SELECT source, n_docs, " +
+        "CAST((200 * w) // (SUM(w) OVER ()) AS BIGINT) AS target FROM tgt), " +
+        "r AS (SELECT source, doc_id, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) " +
+        "SELECT r.source, r.doc_id, t2.n_docs, t2.target " +
+        "FROM r JOIN t2 USING (source) WHERE rn <= target " +
+        "ORDER BY source, doc_id"),
+    "q10i_equidepth" ->
+      ("WITH q AS (SELECT event_type, " +
+        "round(quantile_cont(value, 0.25), 4) AS b1, " +
+        "round(quantile_cont(value, 0.5), 4) AS b2, " +
+        "round(quantile_cont(value, 0.75), 4) AS b3 " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT e.event_type, " +
+        "CAST(CASE WHEN value <= b1 THEN 0 WHEN value <= b2 THEN 1 " +
+        "WHEN value <= b3 THEN 2 ELSE 3 END AS BIGINT) AS bucket, " +
+        "COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mass " +
+        "FROM events e JOIN q USING (event_type) " +
+        "GROUP BY e.event_type, bucket ORDER BY event_type, bucket"),
     // ANSI-shared statements: the Spark query IS this string (parser
     // fidelity is part of the check)
     "sql_tpch_q3" -> Analytics.tpchQ3Sql,

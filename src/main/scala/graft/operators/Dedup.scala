@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables.t
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -256,6 +256,30 @@ object Dedup {
         (0 until SimhashBits).map(i =>
           when(col(s"bit$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Map-side simhash: the same 60-bit signature as [[simhashSigs]]
+    * (bit-identical — Round4Spec asserts it) computed as ONE expression
+    * over the token array, with no groupBy. One `aggregate` pass carries
+    * a 60-counter vote array across tokens; the finish lambda folds the
+    * votes into the signature long. This is the STREAMING form: a
+    * stateless per-row projection, so a stream can attach signatures
+    * without a stateful aggregation — state is then spent only on the
+    * dedup itself ([[graft.streaming.StreamingOps.nearDupDedupStream]]).
+    */
+  def simhashMapSide(text: Column): Column = {
+    val b = SimhashBits
+    val hs = transform(tokens(text), t =>
+      conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val idx = sequence(lit(0), lit(b - 1))
+    val votes = aggregate(hs, array_repeat(lit(0L), b),
+      (acc, h) => zip_with(acc, idx, (c, i) =>
+        c + when(call_function("shiftright", h, i)
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, idx, (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
   }
 
   /** SimHash near-dup pairs with EXACT recall at the threshold: the 64

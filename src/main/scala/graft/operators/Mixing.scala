@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators: per-source caps and temperature-weighted
+  * source mixing — the data-mixing stage of a training pipeline (cap a
+  * crawl's dominant domains, then re-weight sources sub-linearly so big
+  * sources don't drown small ones).
+  *
+  * Scale posture: both operators are one window (or one two-level agg) +
+  * one broadcastable per-source target table. The per-key window
+  * partitions on the cap key — at 100 TB that key is a domain/source with
+  * high cardinality, so the window parallelizes; nothing sorts globally.
+  * Ranking within a source uses `doc_id` (production: a content hash) so
+  * the kept subset is deterministic, not arrival-order-dependent.
+  */
+object Mixing {
+
+  /** Keep at most `cap` documents per source, lowest doc_id first — the
+    * per-domain cap from crawl curation. Output one row per kept doc.
+    */
+  def perSourceCap(df: DataFrame, sourceCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Driver-gate query: cap documents at `cap` per source, return the
+    * kept (source, doc_id, n_chars) rows.
+    */
+  def mixSourceCap(s: SparkSession, dir: String, cap: Int = 40): DataFrame =
+    perSourceCap(t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars")),
+      "source", "doc_id", cap)
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Temperature mixing with INTEGER-EXACT arithmetic: per-source target
+    * counts proportional to isqrt(n_s) = floor(sqrt(n_s)) — temperature
+    * 0.5 re-weighting without floating-point weight normalization.
+    * (`sqrt` is correctly rounded by IEEE-754, so floor(sqrt(bigint)) is
+    * engine-independent; a pow(n, alpha)-based weight would differ in the
+    * last ulp across libm implementations and flip floor at boundaries.)
+    *
+    *   target_s = totalTarget * isqrt(n_s) div sum(isqrt(n_t))
+    *
+    * then the target_s lowest-doc_id docs of each source are kept. The
+    * per-source target table is tiny (one row per source) and broadcast;
+    * the doc-side work is one window + one join.
+    */
+  def temperatureMix(s: SparkSession, dir: String,
+      totalTarget: Int = 200): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"), col("doc_id"))
+    val targets = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      .withColumn("target",
+        expr(s"($totalTarget * w) div (sum(w) over ())"))
+      .select(col("source"), col("n_docs"), col("target"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets), "source")
+      .filter(col("__rn") <= col("target"))
+      .select(col("source"), col("doc_id"), col("n_docs"), col("target"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+}

@@ -785,4 +785,33 @@ object Relational {
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("mass"))
       .orderBy(col("event_type"), col("bucket"))
+
+  /** Q10i — equi-DEPTH histogram (quantile binning): bucket boundaries
+    * are the exact per-group quartiles from the sketch-pruned percentile
+    * operator; a map-side comparison then assigns each row its depth
+    * bucket and one keyed agg counts mass per bucket. The scalable
+    * alternative to ntile(), which sorts each whole group inside a single
+    * task: here the only per-group state is a 3-value boundary row joined
+    * back (AQE broadcasts it), and the fact pass stays fully parallel.
+    * Boundaries are rounded to 4 dp in BOTH engines before comparing
+    * (q10b's cross-engine interpolation contract, as in q10h).
+    */
+  def q10iEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Percentiles.grouped(
+      t(s, dir, "events"), "event_type", "value", Seq(0.25, 0.5, 0.75))
+    val bounds = q.select(col("event_type"),
+      round(col("p25"), 4).as("b1"),
+      round(col("p50"), 4).as("b2"),
+      round(col("p75"), 4).as("b3"))
+    t(s, dir, "events")
+      .join(bounds, "event_type")
+      .withColumn("bucket",
+        when(col("value") <= col("b1"), 0L)
+          .when(col("value") <= col("b2"), 1L)
+          .when(col("value") <= col("b3"), 2L)
+          .otherwise(3L))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("mass"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
 }

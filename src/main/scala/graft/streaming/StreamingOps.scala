@@ -58,6 +58,21 @@ object StreamingOps {
       .withWatermark("ts", "5 seconds")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming INCREMENTAL near-dup dedup: each arriving doc gets its
+    * 60-bit simhash from the map-side single-expression form (a stateless
+    * projection — no stateful aggregation spent on signatures), then
+    * signature-keyed dedup drops any doc whose signature was already seen
+    * inside the watermark. State is one row per distinct signature and is
+    * evicted at the watermark, so memory is bounded by the dedup horizon,
+    * not the stream length — the streaming twin of the batch
+    * `dedup_simhash` operator at Hamming radius 0.
+    */
+  def nearDupDedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sig", graft.operators.Dedup.simhashMapSide(col("text")))
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("sig")
+
   /** Stream-stream interval join (Flink Table API's interval-join class):
     * clicks matched to purchases by the same user within 30 s after the
     * click. Both sides carry watermarks so the join state is bounded —

@@ -121,4 +121,27 @@ class PlanSpec extends SparkSpecBase {
     assert(!f.matches("(?s).*Sort \\[[^\\]]*\\], true.*"),
       "zorder layout must not global-sort")
   }
+
+  test("bucketed join: co-located fact-fact join plans with ZERO exchanges") {
+    import graft.operators.Bucketing
+    Bucketing.writeBucketed(Tables.t(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority")),
+      "orders_bkt", "o_orderkey", 8)
+    Bucketing.writeBucketed(Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice")),
+      "lineitem_bkt", "l_orderkey", 8)
+    // force the non-broadcast path: the whole point is that the big-big
+    // join needs no shuffle, which a tiny-SF broadcast would mask
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val f = plan(Bucketing.bucketedJoinPlan(spark))
+      assert(f.contains("SortMergeJoin") || f.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join operator in:\n$f")
+      assert(!f.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$f")
+      assert(f.contains("SelectedBucketsCount") || f.contains("Bucketed: true"),
+        s"scan must report bucketed read:\n$f")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.functions._
 import graft.functions.{HyperplaneBucket, ZOrderFunction}
+import graft.queries.Relational
 
 /** Round-4 fixes: percentile NULL-key groups and unhinted stats join,
   * zorder2 analysis-time typing, shared LSH sign-bit helper.
@@ -52,6 +53,81 @@ class Round4Spec extends SparkSpecBase {
     // interleave(x=0b11, y=0b101): x bits -> even positions (0b101 = 5),
     // y bits -> odd positions (0b100010 = 34); 5 | 34 = 39
     assert(ok == 39L)
+  }
+
+  test("mixing: per-source cap keeps the lowest doc_ids, never exceeds cap") {
+    val out = graft.operators.Mixing.mixSourceCap(spark, sfDir, cap = 10)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    val bySource = out.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val all = Tables.t(spark, sfDir, "documents")
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    bySource.foreach { case (src, kept) =>
+      assert(kept.size <= 10, s"$src over cap")
+      assert(kept.sorted.toList == all(src).take(kept.size).toList,
+        s"$src must keep exactly the lowest doc_ids")
+    }
+  }
+
+  test("mixing: temperature targets are sub-linear and kept counts hit them") {
+    val out = graft.operators.Mixing.temperatureMix(spark, sfDir, totalTarget = 60)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perSource = out.groupBy(_._1)
+    perSource.foreach { case (src, rows) =>
+      val target = rows.head._4
+      val nDocs = rows.head._3
+      assert(rows.size == math.min(target, nDocs),
+        s"$src kept ${rows.size}, target $target of $nDocs docs")
+    }
+    // sub-linear: a source with 4x the docs gets at most 2x the target
+    val targets = out.map(r => (r._1, r._3, r._4)).distinct
+    for ((s1, n1, t1) <- targets; (s2, n2, t2) <- targets
+         if n2 >= 4 * n1 && t1 > 0)
+      assert(t2 <= 2 * t1 + 1, s"$s2 ($n2 docs, target $t2) vs $s1 ($n1, $t1)")
+  }
+
+  test("equi-depth histogram: per-group bucket counts are near-balanced") {
+    val out = Relational.q10iEquidepth(spark, sfDir)
+      .select($"event_type", $"bucket", $"cnt").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    out.foreach { case (et, rows) =>
+      assert(rows.length == 4, s"$et should fill all 4 quartile buckets")
+      val counts = rows.sortBy(_._2).map(_._3)
+      val n = counts.sum.toDouble
+      counts.foreach(c => assert(math.abs(c - n / 4) <= n * 0.05 + 2,
+        s"$et bucket counts $counts far from balanced"))
+    }
+  }
+
+  test("simhash map-side expression is bit-identical to the agg form") {
+    val docs = Tables.t(spark, sfDir, "documents").select($"doc_id", $"text")
+    val viaAgg = graft.operators.Dedup.simhashSigs(docs)
+      .as[(Long, Long)].collect().toMap
+    val viaMap = docs
+      .select($"doc_id", graft.operators.Dedup.simhashMapSide($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaMap.size == viaAgg.size && viaMap == viaAgg)
+  }
+
+  test("streaming near-dup dedup drops same-signature docs within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val q = streaming.StreamingOps.nearDupDedupStream(
+      src.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    src.addData(
+      (1L, ts("2024-03-01 00:00:01"), "the quick brown fox jumps high"),
+      // same token sequence, different separators -> same signature
+      (2L, ts("2024-03-01 00:00:02"), "The quick... BROWN fox;; jumps HIGH"),
+      (3L, ts("2024-03-01 00:00:03"), "completely different document text here"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("neardup").select($"doc_id")
+      .as[Long].collect().sorted.toList
+    assert(kept == List(1L, 3L), s"expected near-dup 2 dropped, got $kept")
   }
 
   test("hyperplane bucket: shared helper equals the expression over the corpus") {
