@@ -127,6 +127,8 @@ object SparkEntry {
     "mix_temperature" ->
       ((s, dir) => graft.operators.Mixing.temperatureMix(s, dir)),
     "q10i_equidepth" -> Relational.q10iEquidepth _,
+    "sketch_rollup" ->
+      ((s, dir) => graft.operators.SketchRollup.sketchRollup(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */

@@ -130,6 +130,54 @@ class Round4Spec extends SparkSpecBase {
     assert(kept == List(1L, 3L), s"expected near-dup 2 dropped, got $kept")
   }
 
+  test("sketch rollup: merged daily sketches track exact weekly distincts") {
+    val events = Tables.t(spark, sfDir, "events")
+    val merged = graft.operators.SketchRollup.sketchRollup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = events
+      .groupBy(date_trunc("week", $"ts").as("week"), $"event_type")
+      .agg(count_distinct($"user_id").as("n"))
+      .select(unix_micros($"week"), $"event_type", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (k, est) =>
+      val ex = exact(k).toDouble
+      assert(math.abs(est - ex) <= math.max(2.0, ex * 0.05),
+        s"week/type $k: estimate $est vs exact $ex outside HLL envelope")
+    }
+    // merge path ≡ direct path: unioning day sketches must estimate the
+    // same as sketching the week directly (mergeability contract)
+    val direct = events
+      .groupBy(date_trunc("week", $"ts").as("week"), $"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("e"))
+      .select(unix_micros($"week"), $"event_type", $"e")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged == direct, "daily-merge estimates diverge from direct sketch")
+  }
+
+  test("GraftExtensions injects native functions into a plain-SQL session") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // new session over the same SparkContext, built THROUGH the
+      // extensions path a spark-submit user would configure
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+          "array(cast(1.0 as float), cast(0.0 as float))) AS c, " +
+          "zorder2(3L, 5L) AS z, rolling_hash('abc') AS h").head
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(r.getLong(1) == 39L)
+      assert(r.getLong(2) == ("abc".getBytes.foldLeft(0L)(
+        (h, b) => (h * 257L + (b & 0xffL)) % 1000000000000037L)))
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("hyperplane bucket: shared helper equals the expression over the corpus") {
     graft.functions.VectorFunctions.register(spark)
     val planes = Array(
