@@ -77,12 +77,29 @@ object ScaleProbe {
     def pctl(li: DataFrame) = operators.Percentiles.grouped(
       li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
 
+    // temperature mix: one per-source window + broadcast target table —
+    // work is linear in docs, parallelism bounded by source cardinality
+    // (97 sources > 32 cores here; at 100 TB the cap key is a domain)
+    def mix(docs: DataFrame) = {
+      val d = docs.select(col("source"), col("doc_id"))
+      val targets = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+        .withColumn("target", expr("(200 * w) div (sum(w) over ())"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      d.withColumn("__rn", row_number().over(win))
+        .join(broadcast(targets), "source")
+        .filter(col("__rn") <= col("target"))
+    }
+
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
       ("join_q04", time(noop(join(o1, c1))), time(noop(join(oK, cK)))),
       ("range_join", time(noop(rangeJoin(li1))), time(noop(rangeJoin(liK)))),
       ("ts_gapfill", time(noop(gapfill(e1))), time(noop(gapfill(eK)))),
       ("percentile", time(noop(pctl(li1))), time(noop(pctl(liK)))),
+      ("temp_mix", time(noop(mix(docs1c))), time(noop(mix(docsK)))),
       ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
