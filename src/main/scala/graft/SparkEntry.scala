@@ -129,6 +129,8 @@ object SparkEntry {
     "q10i_equidepth" -> Relational.q10iEquidepth _,
     "sketch_rollup" ->
       ((s, dir) => graft.operators.SketchRollup.sketchRollup(s, dir)),
+    "emb_quantize_topk" ->
+      ((s, dir) => graft.operators.Quantization.embQuantizedTopK(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -744,6 +746,20 @@ object SparkEntry {
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mass " +
         "FROM events e JOIN q USING (event_type) " +
         "GROUP BY e.event_type, bucket ORDER BY event_type, bucket"),
+    "emb_quantize_topk" ->
+      ("WITH prm AS (SELECT greatest(abs(CAST(MIN(u) AS DOUBLE)), " +
+        "abs(CAST(MAX(u) AS DOUBLE))) / 127.0 AS step " +
+        "FROM embeddings, unnest(embedding) AS t(u)), " +
+        "coded AS (SELECT vec_id, " +
+        "list_transform(embedding, v -> CAST(least(greatest(" +
+        "floor(CAST(v AS DOUBLE) / step), -128.0), 127.0) AS BIGINT)) AS q " +
+        "FROM embeddings, prm), " +
+        "probe AS (SELECT q AS pq FROM coded WHERE vec_id = 0) " +
+        "SELECT vec_id, CAST(list_dot_product(" +
+        "list_transform(q, x -> CAST(x AS DOUBLE)), " +
+        "list_transform(pq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score " +
+        "FROM coded, probe WHERE vec_id <> 0 " +
+        "ORDER BY score DESC, vec_id LIMIT 5"),
     // ANSI-shared statements: the Spark query IS this string (parser
     // fidelity is part of the check)
     "sql_tpch_q3" -> Analytics.tpchQ3Sql,

@@ -155,6 +155,26 @@ class Round4Spec extends SparkSpecBase {
     assert(merged == direct, "daily-merge estimates diverge from direct sketch")
   }
 
+  test("int8 quantized search: top-10 recalls the exact-dot top-3") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val probe = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("probe_emb"))
+    val exactTop3 = emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id",
+        graft.functions.VectorFunctions
+          .dotProduct($"embedding", $"probe_emb").as("score"))
+      .orderBy($"score".desc, $"vec_id".asc).limit(3)
+      .select($"vec_id").as[Long].collect().toSet
+    val quantTop10 = graft.operators.Quantization
+      .embQuantizedTopK(spark, sfDir, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(exactTop3.subsetOf(quantTop10),
+      s"8-bit quantization lost exact top-3 $exactTop3 from top-10 $quantTop10")
+  }
+
   test("GraftExtensions injects native functions into a plain-SQL session") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
