@@ -131,6 +131,8 @@ object SparkEntry {
       ((s, dir) => graft.operators.SketchRollup.sketchRollup(s, dir)),
     "emb_quantize_topk" ->
       ((s, dir) => graft.operators.Quantization.embQuantizedTopK(s, dir)),
+    "ts_scd2" ->
+      ((s, dir) => graft.operators.TimeSeries.scd2Intervals(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -760,6 +762,15 @@ object SparkEntry {
         "list_transform(pq, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score " +
         "FROM coded, probe WHERE vec_id <> 0 " +
         "ORDER BY score DESC, vec_id LIMIT 5"),
+    "ts_scd2" ->
+      ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+        "FROM events), " +
+        "ch AS (SELECT user_id, ts, event_id, event_type FROM o " +
+        "WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, event_id, event_type, epoch_us(ts) AS valid_from_us, " +
+        "epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us " +
+        "FROM ch ORDER BY user_id, valid_from_us, event_id"),
     // ANSI-shared statements: the Spark query IS this string (parser
     // fidelity is part of the check)
     "sql_tpch_q3" -> Analytics.tpchQ3Sql,

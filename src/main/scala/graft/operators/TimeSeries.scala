@@ -51,4 +51,26 @@ object TimeSeries {
         col("filled"), col("is_gap"))
       .orderBy(col("user_id"), col("hour_us"))
   }
+
+  /** SCD2 interval build: collapse each user's event_type history to
+    * change rows with [valid_from, valid_to) validity — the slowly-
+    * changing-dimension type-2 construction every warehouse needs when
+    * ingesting a mutation log. One shuffle total: both windows (the
+    * change-detecting lag and the interval-closing lead) partition and
+    * order identically, so the second window reuses the first's exchange
+    * and sort. `valid_to` is NULL for each user's current row.
+    * Deterministic via the globally unique event_id tiebreak.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
 }

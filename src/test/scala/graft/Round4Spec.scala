@@ -175,6 +175,35 @@ class Round4Spec extends SparkSpecBase {
       s"8-bit quantization lost exact top-3 $exactTop3 from top-10 $quantTop10")
   }
 
+  test("scd2: intervals tile each user's timeline with one exchange") {
+    val out = graft.operators.TimeSeries.scd2Intervals(spark, sfDir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(2),
+      r.getLong(3), if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      // contiguous, non-overlapping, open-ended tail
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, to), (_, _, from, _)) =>
+          assert(to == from, s"user $u: gap/overlap at $from")
+        case _ =>
+      }
+      assert(sorted.last._4 == Long.MaxValue, s"user $u: last interval closed")
+      // consecutive intervals always change type (else they'd be merged)
+      sorted.sliding(2).foreach {
+        case Array((_, t1, _, _), (_, t2, _, _)) =>
+          assert(t1 != t2, s"user $u: unmerged consecutive $t1")
+        case _ =>
+      }
+    }
+    out.collect() // settle AQE before reading the final plan
+    // AQE's toString prints the final plan AND the initial plan — count
+    // exchanges in the final-plan section only
+    val planStr = out.queryExecution.executedPlan.toString
+    val finalSection = planStr.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(hashEx == 1, s"scd2 should need one user_id exchange, saw $hashEx")
+  }
+
   test("GraftExtensions injects native functions into a plain-SQL session") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
