@@ -133,6 +133,8 @@ object SparkEntry {
       ((s, dir) => graft.operators.Quantization.embQuantizedTopK(s, dir)),
     "ts_scd2" ->
       ((s, dir) => graft.operators.TimeSeries.scd2Intervals(s, dir)),
+    "q04c_salted_join" ->
+      ((s, dir) => graft.operators.SkewJoin.q04cSaltedJoin(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -714,6 +716,15 @@ object SparkEntry {
         "COUNT(DISTINCT w.user_id) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events " +
         "FROM weekly w JOIN cohort c USING (user_id) " +
         "GROUP BY cohort_us, week_no ORDER BY cohort_us, week_no"),
+    // the salted join's contract IS identity with the plain join — same
+    // oracle text as q04b on purpose
+    "q04c_salted_join" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue, " +
+        "COUNT(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q04b_bucketed_join" ->
       ("SELECT o_orderpriority, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +

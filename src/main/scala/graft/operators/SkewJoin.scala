@@ -34,4 +34,26 @@ object SkewJoin {
     bigSalted.join(smallSalted, Seq(key, "__salt"), "inner")
       .drop("__salt")
   }
+
+  /** Driver-gate query: the lineitem⋈orders fact join through the salted
+    * path (salt 8), aggregated per order priority. The salt never leaks,
+    * so the oracle is the PLAIN join's SQL — identity with the unsalted
+    * result is exactly the operator's contract.
+    */
+  def q04cSaltedJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import graft.Tables.t
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedInnerJoin(li, o, "l_orderkey", 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -122,6 +122,30 @@ class PlanSpec extends SparkSpecBase {
       "zorder layout must not global-sort")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Spark's runtime row-level filtering (on by default in Spark 4) only
+    // fires past size thresholds sized for clusters; scale them to the
+    // test SF. At 100 TB the defaults fire naturally — this asserts the
+    // lever works on our join shapes, not a config change in the engine.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = graft.Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val li = graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val f = formatted(li.join(o, li("l_orderkey") === o("o_orderkey")))
+      assert(f.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact scan side:\n$f")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed join: co-located fact-fact join plans with ZERO exchanges") {
     import graft.operators.Bucketing
     Bucketing.writeBucketed(Tables.t(spark, sfDir, "orders")
