@@ -31,6 +31,28 @@ object Layout {
       .drop("__z")
   }
 
+  /** Small-files compaction: rewrite `df` into files of roughly
+    * `targetBytes` each. File count is derived from the optimizer's size
+    * estimate (for parquet scans that is the real input byte size), so a
+    * directory of ten thousand 1 MB files becomes ~80 × 128 MB files in
+    * one shuffle-free-read → repartition → write pass. This is the
+    * maintenance half of the layout story: streaming ingestion and
+    * fine-grained upserts fragment tables, and 100 TB scan throughput
+    * dies on per-file open costs long before it dies on bytes.
+    *
+    * Returns the partition count used. `repartition` (round-robin) keeps
+    * output sizes even; use [[zorderCluster]] ahead of the write when the
+    * table also wants clustering.
+    */
+  def compact(df: DataFrame, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1, math.ceil(
+      inputBytes.toDouble / targetBytes.toDouble).toInt)
+    df.repartition(n).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Driver-gate query: the interleave itself, oracled bit-for-bit (the
     * DuckDB side reproduces it as an unrolled shift/mask sum).
     */

@@ -204,6 +204,17 @@ class Round4Spec extends SparkSpecBase {
     assert(hashEx == 1, s"scd2 should need one user_id exchange, saw $hashEx")
   }
 
+  test("compact: rewrites to the computed file count, preserves rows") {
+    val src = Tables.t(spark, sfDir, "lineitem")
+    val out = "/tmp/graft_compact_test"
+    val n = graft.operators.Layout.compact(src, out, 32 * 1024)
+    val files = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == n, s"expected $n parquet files, found $files")
+    assert(n > 1, "target chosen so compaction must split")
+    assert(spark.read.parquet(out).count() == src.count())
+  }
+
   test("GraftExtensions injects native functions into a plain-SQL session") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
