@@ -135,6 +135,7 @@ object SparkEntry {
       ((s, dir) => graft.operators.TimeSeries.scd2Intervals(s, dir)),
     "q04c_salted_join" ->
       ((s, dir) => graft.operators.SkewJoin.q04cSaltedJoin(s, dir)),
+    "q16c_topk_per_group" -> Relational.q16cTopKPerGroup _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -716,6 +717,11 @@ object SparkEntry {
         "COUNT(DISTINCT w.user_id) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events " +
         "FROM weekly w JOIN cohort c USING (user_id) " +
         "GROUP BY cohort_us, week_no ORDER BY cohort_us, week_no"),
+    "q16c_topk_per_group" ->
+      ("SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders " +
+        "QUALIFY row_number() OVER (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 3 " +
+        "ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"),
     // the salted join's contract IS identity with the plain join — same
     // oracle text as q04b on purpose
     "q04c_salted_join" ->

@@ -786,6 +786,27 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("mass"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Q16c — top-k per group through the bounded-heap AGGREGATE
+    * (graft.functions.TopKByValue), not a window: the window form sorts
+    * each group's entire row set (few-key workloads degenerate to
+    * single-task sorts at scale); the aggregate keeps k elements per
+    * group per partition map-side, so the shuffle carries at most
+    * k·partitions rows per group and memory stays O(k). Top-3 orders by
+    * price per priority, deterministic via the unique orderkey tiebreak.
+    */
+  def q16cTopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKFunctions
+        .topkByValue(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("t"))
+      .select(col("o_orderpriority"),
+        col("t.v").as("o_totalprice"), col("t.id").as("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
   /** Q10i — equi-DEPTH histogram (quantile binning): bucket boundaries
     * are the exact per-group quartiles from the sketch-pruned percentile
     * operator; a map-side comparison then assigns each row its depth

@@ -215,6 +215,23 @@ class Round4Spec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == src.count())
   }
 
+  test("topk aggregate: equals the window form and plans a partial agg") {
+    val viaAgg = Relational.q16cTopKPerGroup(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = Tables.t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+    assert(viaAgg.collect().toSeq == viaWindow.collect().toSeq)
+    // the scale property: a PARTIAL ObjectHashAggregate runs map-side —
+    // each partition ships at most k rows per group, no group-wide sort
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by_value"),
+      s"expected map-side partial top-k aggregation in:\n$plan")
+  }
+
   test("GraftExtensions injects native functions into a plain-SQL session") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
