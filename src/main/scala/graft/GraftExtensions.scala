@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[functions.ZOrder2], "zorder2",
         "zorder2(x, y) - 2-D Morton interleave of two bigints"),
       (e: Seq[Expression]) => functions.ZOrder2(e(0), e(1))))
+    // window-rank top-k → bounded-heap aggregate (see plans.TopKRewrite
+    // for the exact safety conditions)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

@@ -255,6 +255,56 @@ class Round4Spec extends SparkSpecBase {
     }
   }
 
+  test("TopKRewrite: window-rank top-k optimizes to the heap aggregate") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      import s2.implicits._
+      val df = (1 to 100).map(i =>
+        ((i % 4).toString, (i % 10).toDouble, i.toLong))
+        .toDF("g", "v", "id")
+      df.createOrReplaceTempView("tk")
+      val q = s2.sql(
+        """SELECT g, v, id FROM (
+          |  SELECT g, v, id,
+          |    row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+          |  FROM tk) WHERE rn <= 3""".stripMargin)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("topk_by_value"),
+        s"rewrite should fire on the safe pattern:\n$opt")
+      assert(!opt.contains("row_number"), "window should be gone")
+      // identical results to the un-rewritten session
+      val viaRule = q.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(t => (t._1, -t._2, t._3))
+      val plainDf = spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
+        df.schema)
+      plainDf.createOrReplaceTempView("tk_plain")
+      val viaWindow = spark.sql(
+        """SELECT g, v, id FROM (
+          |  SELECT g, v, id,
+          |    row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+          |  FROM tk_plain) WHERE rn <= 3""".stripMargin)
+        .collect().map(r =>
+          (r.getString(0), r.getDouble(1), r.getLong(2))).sortBy(t => (t._1, -t._2, t._3))
+      assert(viaRule.toSeq == viaWindow.toSeq)
+      // safety: rn escaping the filter blocks the rewrite
+      val unsafe = s2.sql(
+        """SELECT g, v, id, rn FROM (
+          |  SELECT g, v, id,
+          |    row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+          |  FROM tk) WHERE rn <= 3""".stripMargin)
+      assert(!unsafe.queryExecution.optimizedPlan.toString.contains("topk_by_value"),
+        "rewrite must not fire when the rank column is projected")
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("hyperplane bucket: shared helper equals the expression over the corpus") {
     graft.functions.VectorFunctions.register(spark)
     val planes = Array(
