@@ -167,3 +167,70 @@ object ZOrderProps extends Properties("ZOrder2") {
       z(lo, y) <= z(hi, y) && z(y, lo) <= z(y, hi)
     }
 }
+
+object TopKAggProps extends Properties("TopKByValue") {
+  import graft.functions.TopKByValue
+  import scala.collection.mutable
+
+  private val genRow = Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0L, 1e6.toLong))
+  private val genRows = Gen.listOf(genRow)
+  private val genK = Gen.chooseNum(1, 8)
+
+  // reference semantics: sort all rows (v desc, id asc), take k
+  private def ref(rows: List[(Double, Long)], k: Int): List[(Double, Long)] =
+    rows.sortBy { case (v, id) => (-v, id) }.take(k)
+
+  private def drain(agg: TopKByValue,
+      buf: mutable.PriorityQueue[(Double, Long)]): List[(Double, Long)] =
+    buf.toList.sortBy { case (v, id) => (-v, id) }
+
+  private def heapOf(agg: TopKByValue, rows: Seq[(Double, Long)]) = {
+    val b = agg.createAggregationBuffer()
+    rows.foreach { e =>
+      b.enqueue(e); if (b.size > agg.k) b.dequeue()
+    }
+    b
+  }
+
+  property("heap contents = sort-take reference") =
+    forAll(genRows, genK) { (rows, k) =>
+      val agg = TopKByValue(null, null, k)
+      drain(agg, heapOf(agg, rows)) == ref(rows, k)
+    }
+
+  property("merge of any split = unsplit (partial aggregation soundness)") =
+    forAll(genRows, genK, Gen.chooseNum(0, 100)) { (rows, k, cut0) =>
+      val agg = TopKByValue(null, null, k)
+      val cut = if (rows.isEmpty) 0 else cut0 % (rows.size + 1)
+      val (l, r) = rows.splitAt(cut)
+      val merged = agg.merge(heapOf(agg, l), heapOf(agg, r))
+      drain(agg, merged) == ref(rows, k)
+    }
+
+  property("serialize/deserialize roundtrips the kept set") =
+    forAll(genRows, genK) { (rows, k) =>
+      val agg = TopKByValue(null, null, k)
+      val b = heapOf(agg, rows)
+      drain(agg, agg.deserialize(agg.serialize(b))) == drain(agg, b)
+    }
+}
+
+object SimhashMapSideProps extends Properties("SimhashHelper") {
+  import graft.functions.HyperplaneBucket
+
+  private val genVec = Gen.listOf(Gen.chooseNum(-10f, 10f)).map(_.toArray)
+  private val genPlanes = Gen.listOfN(6,
+    Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0)).map(_.toArray)).map(_.toArray)
+
+  property("bucket bits = sign of per-plane dot (truncated to min length)") =
+    forAll(genVec, genPlanes) { (v, planes) =>
+      val b = HyperplaneBucket.bucketOf(v, planes)
+      planes.indices.forall { p =>
+        val n = math.min(v.length, planes(p).length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v(i).toDouble * planes(p)(i); i += 1 }
+        ((b >> p) & 1L) == (if (dot >= 0.0) 1L else 0L)
+      }
+    }
+}
