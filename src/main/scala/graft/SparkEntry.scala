@@ -136,6 +136,7 @@ object SparkEntry {
     "q04c_salted_join" ->
       ((s, dir) => graft.operators.SkewJoin.q04cSaltedJoin(s, dir)),
     "q16c_topk_per_group" -> Relational.q16cTopKPerGroup _,
+    "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -717,6 +718,14 @@ object SparkEntry {
         "COUNT(DISTINCT w.user_id) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events " +
         "FROM weekly w JOIN cohort c USING (user_id) " +
         "GROUP BY cohort_us, week_no ORDER BY cohort_us, week_no"),
+    "text_chunk" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0), " +
+        "s AS (SELECT doc_id, toks, n, u.s AS start FROM d2, unnest(range(0, n, 48)) AS u(s)) " +
+        "SELECT doc_id, start // 48 AS chunk_no, " +
+        "array_to_string(toks[start+1 : start+64], ' ') AS chunk, " +
+        "least(64, n - start) AS n_tokens " +
+        "FROM s ORDER BY doc_id, chunk_no"),
     "q16c_topk_per_group" ->
       ("SELECT o_orderpriority, o_totalprice, o_orderkey FROM orders " +
         "QUALIFY row_number() OVER (PARTITION BY o_orderpriority " +

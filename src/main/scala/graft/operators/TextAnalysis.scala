@@ -162,6 +162,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-size overlapping chunking — the context-window splitter every
+    * pretraining/RAG pipeline runs before packing or embedding. Pure
+    * map-side: the token array is bound ONCE in a projection (the
+    * generator-adjacency lesson — an expression next to explode()
+    * re-evaluates per emitted row), the generator explodes only the
+    * cheap start-offset sequence, and each chunk row slices the bound
+    * array. No shuffle except the output sort; at 100 TB this is a scan.
+    */
+  def chunkDocs(s: SparkSession, dir: String, chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame =
+    chunkDocsOf(t(s, dir, "documents"), chunkTokens, stride)
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def chunkDocsOf(docs: DataFrame, chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast(LongType).as("chunk_no"),
+        concat_ws(" ",
+          slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens), col("n") - col("start"))
+          .cast(LongType).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
   /** Greedy sequential sequence-packing (token-budget binning): documents
     * are chunked, in doc_id order within each language, into training
     * sequences targeting `budget` tokens by exclusive-prefix-sum binning.

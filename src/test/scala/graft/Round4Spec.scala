@@ -232,6 +232,26 @@ class Round4Spec extends SparkSpecBase {
       s"expected map-side partial top-k aggregation in:\n$plan")
   }
 
+  test("chunking: strided chunks cover every token with the declared overlap") {
+    val out = graft.operators.TextAnalysis
+      .chunkDocsOf(Seq(
+        (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 150 tokens
+        (2L, "short doc"),                               // 2 tokens -> 1 chunk
+        (3L, "")).toDF("doc_id", "text"), 64, 48)        // empty -> no rows
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).split(" ").length, r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(3L), "empty docs emit no chunks")
+    assert(byDoc(2L).map(c => (c._2, c._4)).toSeq == Seq((0L, 2L)))
+    val d1 = byDoc(1L).sortBy(_._2)
+    // starts at 0,48,96,144 -> 4 chunks; sizes 64,64,54->? n=150:
+    // start 96 -> min(64,54)=54; start 144 -> 6
+    assert(d1.map(_._4).toSeq == Seq(64L, 64L, 54L, 6L))
+    assert(d1.map(_._3).toSeq == Seq(64, 64, 54, 6), "chunk text length = n_tokens")
+    // full coverage: last chunk reaches token n
+    assert(48 * (d1.size - 1) + d1.last._4 == 150L)
+  }
+
   test("GraftExtensions injects native functions into a plain-SQL session") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
