@@ -180,9 +180,13 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-      .filter(col("n") > 0)
+      // no `.filter(n > 0)`: alias substitution would push it into the
+      // scan as a second full tokenization per row. A NULL generator
+      // input drops the row inside Generate itself (outer=false), which
+      // is the same semantics for free.
       .select(col("doc_id"), col("toks"), col("n"),
-        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+        explode(when(col("n") > 0,
+          sequence(lit(0), col("n") - 1, lit(stride)))).as("start"))
       .select(col("doc_id"),
         (col("start") / stride).cast(LongType).as("chunk_no"),
         concat_ws(" ",

@@ -7,10 +7,9 @@ object PlanPeek {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val q = graft.operators.TimeSeries.scd2Intervals(spark, dir)
+    val q = graft.operators.TextAnalysis.chunkDocs(spark, dir)
     q.collect()
-    val p = q.queryExecution.executedPlan.toString
-    println(p)
+    println(q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
     spark.stop()
   }
 }
