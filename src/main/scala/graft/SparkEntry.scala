@@ -137,6 +137,8 @@ object SparkEntry {
       ((s, dir) => graft.operators.SkewJoin.q04cSaltedJoin(s, dir)),
     "q16c_topk_per_group" -> Relational.q16cTopKPerGroup _,
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
+    "skyline_parts" ->
+      ((s, dir) => graft.operators.Skyline.skylineParts(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -718,6 +720,15 @@ object SparkEntry {
         "COUNT(DISTINCT w.user_id) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events " +
         "FROM weekly w JOIN cohort c USING (user_id) " +
         "GROUP BY cohort_us, week_no ORDER BY cohort_us, week_no"),
+    // the quadratic NOT-EXISTS spelling IS the skyline definition — fine
+    // as an oracle at test SF, impossible at 100 TB (hence the two-phase
+    // operator)
+    "skyline_parts" ->
+      ("SELECT p_partkey, p_size, p_retailprice FROM part p1 " +
+        "WHERE NOT EXISTS (SELECT 1 FROM part p2 " +
+        "WHERE p2.p_size <= p1.p_size AND p2.p_retailprice <= p1.p_retailprice " +
+        "AND (p2.p_size < p1.p_size OR p2.p_retailprice < p1.p_retailprice)) " +
+        "ORDER BY p_size, p_retailprice, p_partkey"),
     "text_chunk" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         "d2 AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0), " +

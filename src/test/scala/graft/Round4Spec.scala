@@ -252,6 +252,41 @@ class Round4Spec extends SparkSpecBase {
     assert(48 * (d1.size - 1) + d1.last._4 == 150L)
   }
 
+  test("skyline: two-phase sweep equals brute-force dominance, ties kept") {
+    // crafted set: dominated points, a dominating chain, exact duplicates
+    val pts = Seq(
+      (1L, 1.0, 9.0), (2L, 3.0, 7.0), (3L, 3.0, 7.0), // 2,3 duplicates, kept
+      (4L, 3.0, 8.0),  // dominated by 2 (x equal, y worse)
+      (5L, 5.0, 7.0),  // dominated by 2 (y equal, x worse)
+      (6L, 6.0, 2.0), (7L, 9.0, 1.0),
+      (8L, 7.0, 3.0),  // dominated by 6
+      (9L, 0.5, 12.0)) // frontier: smallest x
+      .toDF("id", "x", "y").repartition(4) // exercise the local phase
+    val out = graft.operators.Skyline.skyline2D(pts, "x", "y")
+      .select($"id").as[Long].collect().toSet
+    def dominated(a: (Long, Double, Double)) =
+      Seq((1L, 1.0, 9.0), (2L, 3.0, 7.0), (3L, 3.0, 7.0), (4L, 3.0, 8.0),
+        (5L, 5.0, 7.0), (6L, 6.0, 2.0), (7L, 9.0, 1.0), (8L, 7.0, 3.0),
+        (9L, 0.5, 12.0)).exists(b => b._2 <= a._2 && b._3 <= a._3 &&
+        (b._2 < a._2 || b._3 < a._3))
+    val expected = Seq((1L, 1.0, 9.0), (2L, 3.0, 7.0), (3L, 3.0, 7.0),
+      (4L, 3.0, 8.0), (5L, 5.0, 7.0), (6L, 6.0, 2.0), (7L, 9.0, 1.0),
+      (8L, 7.0, 3.0), (9L, 0.5, 12.0)).filterNot(dominated).map(_._1).toSet
+    assert(out == expected)
+    assert(out == Set(1L, 2L, 3L, 6L, 7L, 9L))
+    // real-table cross-check against the quadratic definition
+    val part = Tables.t(spark, sfDir, "part")
+      .select($"p_partkey", $"p_size", $"p_retailprice")
+    val fast = graft.operators.Skyline
+      .skyline2D(part, "p_size", "p_retailprice")
+      .select($"p_partkey").as[Long].collect().toSet
+    val rows = part.as[(Long, Int, Double)].collect()
+    val brute = rows.filterNot(a => rows.exists(b =>
+      b._2 <= a._2 && b._3 <= a._3 &&
+        (b._2 < a._2 || b._3 < a._3))).map(_._1).toSet
+    assert(fast == brute)
+  }
+
   test("GraftExtensions injects native functions into a plain-SQL session") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
