@@ -93,8 +93,30 @@ object ScaleProbe {
         .filter(col("__rn") <= col("target"))
     }
 
+    // top-3 per priority: the window form sorts each of the 5 groups in
+    // one task each (k-invariant single-reducer sorts); the heap
+    // aggregate stays partial-agg-bound — measure both
+    graft.functions.TopKFunctions.register(spark)
+    def topkWin(o: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    }
+    def topkAgg(o: DataFrame) = o.groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKFunctions
+        .topkByValue(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+    // skyline: local sweeps are shuffle-free; only candidates move
+    def sky(li: DataFrame) = operators.Skyline.skyline2D(
+      li.select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "l_quantity", "l_extendedprice")
+
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
+      ("topk_window", time(noop(topkWin(o1))), time(noop(topkWin(oK)))),
+      ("topk_heapagg", time(noop(topkAgg(o1))), time(noop(topkAgg(oK)))),
+      ("skyline", time(noop(sky(li1))), time(noop(sky(liK)))),
       ("join_q04", time(noop(join(o1, c1))), time(noop(join(oK, cK)))),
       ("range_join", time(noop(rangeJoin(li1))), time(noop(rangeJoin(liK)))),
       ("ts_gapfill", time(noop(gapfill(e1))), time(noop(gapfill(eK)))),
