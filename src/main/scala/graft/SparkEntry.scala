@@ -139,6 +139,8 @@ object SparkEntry {
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
     "skyline_parts" ->
       ((s, dir) => graft.operators.Skyline.skylineParts(s, dir)),
+    "ts_similarity" ->
+      ((s, dir) => graft.operators.TimeSeries.tsSimilarity(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -720,6 +722,20 @@ object SparkEntry {
         "COUNT(DISTINCT w.user_id) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events " +
         "FROM weekly w JOIN cohort c USING (user_id) " +
         "GROUP BY cohort_us, week_no ORDER BY cohort_us, week_no"),
+    "ts_similarity" ->
+      ("WITH hourly AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS v " +
+        "FROM events GROUP BY user_id, h), " +
+        "p AS (SELECT h, v AS pv FROM hourly WHERE user_id = 1), " +
+        "j AS (SELECT user_id, v, pv FROM hourly JOIN p USING (h) WHERE user_id <> 1), " +
+        "a AS (SELECT user_id, COUNT(*) AS cnt, " +
+        "CAST(SUM(v) AS DOUBLE) AS sx, CAST(SUM(pv) AS DOUBLE) AS sy, " +
+        "CAST(SUM(v*pv) AS DOUBLE) AS sxy, CAST(SUM(v*v) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(pv*pv) AS DOUBLE) AS syy FROM j GROUP BY user_id) " +
+        "SELECT user_id, cnt, " +
+        "round((cnt*sxy - sx*sy)/sqrt((cnt*sxx - sx*sx)*(cnt*syy - sy*sy)), 6) AS corr_v " +
+        "FROM a WHERE cnt >= 4 AND (cnt*sxx - sx*sx) > 0 AND (cnt*syy - sy*sy) > 0 " +
+        "ORDER BY corr_v DESC, user_id LIMIT 10"),
     // the quadratic NOT-EXISTS spelling IS the skyline definition — fine
     // as an oracle at test SF, impossible at 100 TB (hence the two-phase
     // operator)

@@ -52,6 +52,47 @@ object TimeSeries {
       .orderBy(col("user_id"), col("hour_us"))
   }
 
+  /** Time-series similarity search (the distributed ts-similarity shape,
+    * EDBT 2019 — see PAPERS.md): rank users by Pearson correlation of
+    * their hourly activity series against a probe user's series. The
+    * series build is one keyed partial agg; the probe series (one user's
+    * hours) is broadcast; per-candidate scores are ONE aggregation over
+    * the hour-joined rows using exact decimal co-moments (the q10e
+    * recipe — shuffle-order-independent sums, doubles only in the final
+    * closed-form corr, rounded to 6 dp). No user×user pairing anywhere:
+    * cost is series-build + broadcast-join + one agg, at any corpus
+    * size. Degenerate (zero-variance) series are excluded — their corr
+    * is NaN on both engines but NaN ordering is not portable.
+    */
+  def tsSimilarity(s: SparkSession, dir: String, probeUser: Long = 1L,
+      minHours: Int = 4, k: Int = 10): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(12, 2)
+    val hourly = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("value").cast(D).as("v0"))
+      .groupBy(col("user_id"), col("h"))
+      .agg(sum(col("v0")).cast("decimal(14,2)").as("v"))
+    val probe = hourly.filter(col("user_id") === probeUser)
+      .select(col("h"), col("v").as("pv"))
+    val x = col("v"); val y = col("pv")
+    val sx = sum(x).cast("double"); val sy = sum(y).cast("double")
+    val sxy = sum(x * y).cast("double")
+    val sxx = sum(x * x).cast("double"); val syy = sum(y * y).cast("double")
+    val n = count(lit(1)).cast("double")
+    hourly.filter(col("user_id") =!= probeUser)
+      .join(broadcast(probe), "h")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        (n * sxx - sx * sx).as("__dx"),
+        (n * syy - sy * sy).as("__dy"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_v"))
+      .filter(col("cnt") >= minHours && col("__dx") > 0 && col("__dy") > 0)
+      .select(col("user_id"), col("cnt"), col("corr_v"))
+      .orderBy(col("corr_v").desc, col("user_id"))
+      .limit(k)
+  }
+
   /** SCD2 interval build: collapse each user's event_type history to
     * change rows with [valid_from, valid_to) validity — the slowly-
     * changing-dimension type-2 construction every warehouse needs when
