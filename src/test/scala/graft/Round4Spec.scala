@@ -315,6 +315,43 @@ class Round4Spec extends SparkSpecBase {
     assert(math.abs(r.getDouble(0) / r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("topk rewrite/aggregate edges: k exceeding group size keeps the group") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.GraftExtensions()).getOrCreate()
+      import s2.implicits._
+      // 2 groups of 3 rows, k=10 > group size: all rows survive, ordered
+      Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 2.0, 3L),
+        ("b", 5.0, 4L), ("b", 4.0, 5L), ("b", 3.0, 6L))
+        .toDF("g", "v", "id").createOrReplaceTempView("tk_small")
+      val q = s2.sql(
+        """SELECT g, v, id FROM (
+          |  SELECT g, v, id,
+          |    row_number() OVER (PARTITION BY g ORDER BY v DESC, id) AS rn
+          |  FROM tk_small) WHERE rn <= 10""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("topk_by_value"))
+      val rows = q.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      assert(rows.length == 6)
+      assert(rows.filter(_._1 == "a").sortBy(t => (-t._2, t._3)).map(_._3).toSeq
+        == Seq(2L, 3L, 1L), "ties on v must break by id ascending")
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("percentiles: minimum accuracy and single-element groups") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("b", 4.0)).toDF("k", "v")
+    val out = graft.operators.Percentiles
+      .grouped(df, "k", "v", Seq(0.0, 0.5, 1.0), accuracy = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((1.0, 1.0, 1.0)), "singleton group: all percentiles = the value")
+    assert(out("b") == ((2.0, 3.0, 4.0)), "p50 of {2,4} interpolates to 3")
+  }
+
   test("GraftExtensions injects native functions into a plain-SQL session") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
