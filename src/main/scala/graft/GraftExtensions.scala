@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[functions.ZOrder2], "zorder2",
         "zorder2(x, y) - 2-D Morton interleave of two bigints"),
       (e: Seq[Expression]) => functions.ZOrder2(e(0), e(1))))
+    ext.injectFunction((FunctionIdentifier("topk_by_value"),
+      info(classOf[functions.TopKByValue], "topk_by_value",
+        "topk_by_value(v, id, k) - top-k (v, id) pairs per group, v DESC"),
+      (e: Seq[Expression]) => functions.TopKByValue(e(0), e(1),
+        e(2).eval().asInstanceOf[Number].intValue())))
     // window-rank top-k → bounded-heap aggregate (see plans.TopKRewrite
     // for the exact safety conditions)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)

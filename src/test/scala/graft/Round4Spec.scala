@@ -365,6 +365,12 @@ class Round4Spec extends SparkSpecBase {
         "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
           "array(cast(1.0 as float), cast(0.0 as float))) AS c, " +
           "zorder2(3L, 5L) AS z, rolling_hash('abc') AS h").head
+      // the aggregate injects too: SQL-callable without the rewrite
+      val tk = s2.sql(
+        "SELECT topk_by_value(v, id, 2) AS t FROM VALUES " +
+          "(1.0D, 1L), (3.0D, 2L), (2.0D, 3L) AS tkv(v, id)")
+        .selectExpr("transform(t, e -> e.id) AS ids").head.getSeq[Long](0)
+      assert(tk == Seq(2L, 3L), s"expected ids (2,3) by value desc, got $tk")
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
       assert(r.getLong(1) == 39L)
       assert(r.getLong(2) == ("abc".getBytes.foldLeft(0L)(
