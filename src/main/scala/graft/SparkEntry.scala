@@ -141,6 +141,10 @@ object SparkEntry {
       ((s, dir) => graft.operators.Skyline.skylineParts(s, dir)),
     "ts_similarity" ->
       ((s, dir) => graft.operators.TimeSeries.tsSimilarity(s, dir)),
+    "freq_heavy_hitters" ->
+      ((s, dir) => graft.operators.HeavyHitters.freqHeavyHitters(s, dir)),
+    "ts_time_weighted" ->
+      ((s, dir) => graft.operators.TimeSeries.timeWeightedAvg(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -824,6 +828,27 @@ object SparkEntry {
         "SELECT user_id, event_id, event_type, epoch_us(ts) AS valid_from_us, " +
         "epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us " +
         "FROM ch ORDER BY user_id, valid_from_us, event_id"),
+    // exact two-phase heavy hitters: the oracle is the plain one-pass
+    // GROUP BY ... HAVING definition the sketch+recount must equal
+    "freq_heavy_hitters" ->
+      ("WITH f AS (SELECT CASE WHEN l_partkey % 10 < 3 THEN l_partkey % 10 " +
+        "ELSE l_partkey END AS item FROM lineitem), " +
+        "tot AS (SELECT count(*) AS n FROM f) " +
+        "SELECT item, count(*) AS cnt FROM f GROUP BY item " +
+        "HAVING count(*) >= (SELECT CAST(ceil(n * 0.01) AS BIGINT) FROM tot) " +
+        "ORDER BY cnt DESC, item"),
+    "ts_time_weighted" ->
+      ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "CAST(value AS DECIMAL(12,2)) AS v FROM events), " +
+        "i AS (SELECT user_id, v, " +
+        "epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "- epoch_us(ts) AS dur_us FROM o) " +
+        "SELECT user_id, count(*) AS n_intervals, " +
+        "CAST(sum(dur_us) AS BIGINT) AS total_us, " +
+        "round(CAST(sum(v * dur_us) AS DOUBLE) / " +
+        "CAST(sum(dur_us) AS DOUBLE), 6) AS twa_value " +
+        "FROM i WHERE dur_us IS NOT NULL " +
+        "GROUP BY user_id ORDER BY user_id"),
     // ANSI-shared statements: the Spark query IS this string (parser
     // fidelity is part of the check)
     "sql_tpch_q3" -> Analytics.tpchQ3Sql,

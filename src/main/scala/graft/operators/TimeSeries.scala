@@ -114,4 +114,41 @@ object TimeSeries {
         unix_micros(col("valid_to")).as("valid_to_us"))
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
+
+  /** Time-weighted average per user: each event's value holds from its
+    * timestamp until the user's next event (the step-function reading of
+    * an irregular series); the average weights each value by how long it
+    * was in force — the correct mean for sampled-on-change signals,
+    * where the plain avg() over-counts chatty periods. The last event
+    * per user has no successor and contributes no closed interval; a
+    * single-event user therefore drops out.
+    *
+    * Scale shape: ONE user-keyed exchange for the interval window, then
+    * a standard partial-aggregated groupBy on the same key (Catalyst
+    * reuses the window's partitioning — no second exchange). Weighted
+    * sums run over DECIMAL(12,2) values x BIGINT microsecond durations
+    * (exact, shuffle-order-independent; the q10e recipe); doubles appear
+    * only in the final ratio, rounded to 6 dp.
+    */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame =
+    timeWeightedAvgOf(t(s, dir, "events"))
+
+  /** Library-facing form over any (user_id, ts, event_id, value) frame. */
+  def timeWeightedAvgOf(events: DataFrame): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(12, 2)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast(D).as("v"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur_us",
+        unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("total_us"),
+        round(sum(col("v") * col("dur_us")).cast("double") /
+          sum(col("dur_us")).cast("double"), 6).as("twa_value"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.functions.FreqFunctions
+import graft.operators.{HeavyHitters, TimeSeries}
+
+/** Round-4 additions: Misra-Gries two-phase heavy hitters and the
+  * time-weighted average.
+  */
+class Round4bSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // planted-skew stream: 10 heavy items (100x each) + 1000 singletons;
+  // n = 2000, so with k = 30 the undercount bound n/(k+1) ~= 64.5 keeps
+  // every heavy item (count 100) in the sketch
+  private def plantedStream = {
+    val heavy = (0L until 10L).flatMap(i => Seq.fill(100)(i))
+    val tail = (1000L until 2000L)
+    (heavy ++ tail).toDF("item")
+  }
+
+  test("misra-gries: candidates are a superset of heavy items under any partitioning") {
+    FreqFunctions.register(spark)
+    for (parts <- Seq(1, 3, 7, 32)) {
+      val cands = plantedStream.repartition(parts)
+        .agg(FreqFunctions.mgFreqCandidates($"item", 30).as("c"))
+        .selectExpr("transform(c, e -> e.item) AS items")
+        .head.getSeq[Long](0).toSet
+      assert(cands.size <= 30, s"parts=$parts: sketch exceeded k")
+      assert((0L until 10L).toSet.subsetOf(cands),
+        s"parts=$parts: lost a guaranteed-heavy item; got $cands")
+    }
+  }
+
+  test("misra-gries: k >= distinct keys makes the sketch exact") {
+    FreqFunctions.register(spark)
+    val out = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("item").repartition(3)
+      .agg(FreqFunctions.mgFreqCandidates($"item", 10).as("c"))
+      .selectExpr("explode(c) AS e").select($"e.item", $"e.cnt")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((3L, 3L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("heavy hitters: two-phase result equals the plain GROUP BY answer") {
+    val fact = Tables.t(spark, sfDir, "lineitem")
+    val key = when($"l_partkey" % 10 < 3, $"l_partkey" % 10)
+      .otherwise($"l_partkey")
+    val got = HeavyHitters.freqHeavyHitters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val n = fact.count()
+    val thr = math.ceil(n * 0.01).toLong
+    val want = fact.select(key.cast("long").as("item"))
+      .groupBy($"item").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= thr)
+      .orderBy($"cnt".desc, $"item")
+      .as[(Long, Long)].collect().toSeq
+    assert(want.nonEmpty, "degenerate fixture: no heavy hitters")
+    assert(got == want)
+    // and the guarantee precondition is enforced
+    intercept[IllegalArgumentException] {
+      HeavyHitters.heavyHitters(fact, $"l_partkey", frac = 0.001, k = 128)
+    }
+  }
+
+  test("heavy hitters: recount phase broadcasts the candidate list") {
+    val q = HeavyHitters.freqHeavyHitters(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join should broadcast, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "recount must not shuffle the fact side for the join")
+  }
+
+  test("time-weighted avg: step-function golden case") {
+    def ts(sec: Int) = new Timestamp(sec * 1000L)
+    val events = Seq(
+      // user 1: v=10 for 10s, then v=20 for 30s -> twa 17.5
+      (1L, ts(0), 101L, 10.0),
+      (1L, ts(10), 102L, 20.0),
+      (1L, ts(40), 103L, 99.0), // open tail: excluded
+      // user 2: single event -> no closed interval -> absent
+      (2L, ts(5), 201L, 7.0),
+      // user 3: duplicate timestamp -> zero-length interval carries no
+      // weight; event_id breaks the tie deterministically
+      (3L, ts(0), 301L, 1.0),
+      (3L, ts(0), 302L, 5.0),
+      (3L, ts(8), 303L, 9.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.timeWeightedAvgOf(events)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 40000000L, 17.5),
+      (3L, 2L, 8000000L, 5.0))) // (1*0 + 5*8s) / 8s
+  }
+
+  test("time-weighted avg: window and groupBy share one exchange") {
+    val q = TimeSeries.timeWeightedAvg(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly one hashpartitioning exchange on user_id: the aggregation
+    // reuses the window's partitioning (the output sort adds a range one)
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+}
