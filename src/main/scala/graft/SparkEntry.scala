@@ -145,6 +145,12 @@ object SparkEntry {
       ((s, dir) => graft.operators.HeavyHitters.freqHeavyHitters(s, dir)),
     "ts_time_weighted" ->
       ((s, dir) => graft.operators.TimeSeries.timeWeightedAvg(s, dir)),
+    "mix_importance" ->
+      ((s, dir) => graft.operators.Mixing.importanceSample(s, dir)),
+    "drift_psi" ->
+      ((s, dir) => graft.operators.Drift.psiByType(s, dir)),
+    "profile_columns" ->
+      ((s, dir) => graft.operators.Profile.profileLineitem(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -849,6 +855,58 @@ object SparkEntry {
         "CAST(sum(dur_us) AS DOUBLE), 6) AS twa_value " +
         "FROM i WHERE dur_us IS NOT NULL " +
         "GROUP BY user_id ORDER BY user_id"),
+    // deterministic-coin importance sampling: md5-uniform < quality weight
+    "mix_importance" ->
+      ("SELECT doc_id, n_chars, source, " +
+        "round(least(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / 400), 6) AS keep_w " +
+        "FROM documents " +
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) " +
+        "/ 1152921504606846976.0 < least(CAST(1 AS DOUBLE), CAST(n_chars AS DOUBLE) / 400) " +
+        "ORDER BY doc_id"),
+    // PSI between even/odd epoch-days, width-50 buckets, +1 smoothing
+    // over the full 10-bucket spine; per-bucket terms quantized to
+    // DECIMAL(20,12) so the sum is order-independent in both engines
+    "drift_psi" ->
+      ("WITH e AS (SELECT event_type, " +
+        "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) % 2 AS p, " +
+        "CAST(floor(value / 50) AS INT) AS b FROM events), " +
+        "c AS (SELECT event_type, p, b, count(*) AS c FROM e GROUP BY 1, 2, 3), " +
+        "sp AS (SELECT DISTINCT event_type, pp.p, bb.b FROM e, " +
+        "(SELECT unnest(range(0, 2)) AS p) pp, " +
+        "(SELECT unnest(range(0, 10)) AS b) bb), " +
+        "f AS (SELECT sp.event_type, sp.p, sp.b, COALESCE(c.c, 0) + 1 AS c1 " +
+        "FROM sp LEFT JOIN c USING (event_type, p, b)), " +
+        "tot AS (SELECT event_type, sum(CASE WHEN p = 0 THEN c1 END) AS na, " +
+        "sum(CASE WHEN p = 1 THEN c1 END) AS nb FROM f GROUP BY 1), " +
+        "bk AS (SELECT event_type, b, sum(CASE WHEN p = 0 THEN c1 END) AS ca, " +
+        "sum(CASE WHEN p = 1 THEN c1 END) AS cb FROM f GROUP BY 1, 2), " +
+        "tm AS (SELECT bk.event_type, na, nb, " +
+        "CAST((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) " +
+        "* ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))) " +
+        "AS DECIMAL(20,12)) AS term FROM bk JOIN tot USING (event_type)) " +
+        "SELECT event_type, CAST(na - 10 AS BIGINT) AS n_a, " +
+        "CAST(nb - 10 AS BIGINT) AS n_b, " +
+        "round(CAST(sum(term) AS DOUBLE), 6) AS psi " +
+        "FROM tm GROUP BY event_type, na, nb ORDER BY event_type"),
+    // one UNION arm per lineitem column; strings carry NULL ranges,
+    // the timestamp exports as epoch micros
+    "profile_columns" -> {
+      def num(c: String) =
+        s"SELECT '$c' AS col_name, count($c) AS n_nonnull, " +
+          s"count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_d, " +
+          s"CAST(max($c) AS DOUBLE) AS max_d FROM lineitem"
+      def str(c: String) =
+        s"SELECT '$c', count($c), count(DISTINCT $c), " +
+          s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM lineitem"
+      def tsc(c: String) =
+        s"SELECT '$c', count($c), count(DISTINCT $c), " +
+          s"CAST(min(epoch_us($c)) AS DOUBLE), CAST(max(epoch_us($c)) AS DOUBLE) FROM lineitem"
+      Seq(num("l_orderkey"), num("l_partkey"), num("l_suppkey"),
+        num("l_linenumber"), num("l_quantity"), num("l_extendedprice"),
+        num("l_discount"), num("l_tax"), str("l_returnflag"),
+        str("l_linestatus"), tsc("l_shipdate"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     // ANSI-shared statements: the Spark query IS this string (parser
     // fidelity is part of the check)
     "sql_tpch_q3" -> Analytics.tpchQ3Sql,

@@ -68,4 +68,29 @@ object Mixing {
       .select(col("source"), col("doc_id"), col("n_docs"), col("target"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  /** Importance-weighted sampling: keep each document with probability
+    * proportional to a per-row quality weight — the data-mixing stage
+    * that up-samples long documents without an RNG. The coin is the
+    * md5-derived uniform u = int(md5(doc_id)[0:15 hex]) / 2^60 (same
+    * deterministic-hash trick as the train/val split, so the sample is
+    * reproducible row-locally at any scale: no seed state, no shuffle —
+    * the decision is a map-side expression). The weight here is
+    * least(1, n_chars/400): division by a power of 2 and by the integer
+    * constant are both exactly-rounded IEEE ops, so u < w compares
+    * identically on any engine.
+    */
+  def importanceSample(s: SparkSession, dir: String,
+      charsAtFull: Int = 400): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long").cast("double") / math.pow(2, 60))
+    val w = least(lit(1.0), col("n_chars").cast("double") / charsAtFull)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"),
+        w.as("__w"), u.as("__u"))
+      .filter(col("__u") < col("__w"))
+      .select(col("doc_id"), col("n_chars"), col("source"),
+        round(col("__w"), 6).as("keep_w"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType, TimestampType,
+  TimestampNTZType}
+
+/** One-pass column profiling — the schema-quality report every ingest
+  * runs before a table is trusted: per column, non-null count, exact
+  * distinct count, and numeric min/max (timestamps as epoch micros,
+  * strings unprofiled for range). ALL columns are profiled in a single
+  * scan: the multi-distinct aggregation plans as one Expand (one
+  * replicate per distinct column) with map-side partial aggs, so the
+  * shuffle carries per-partition distinct values, not rows x columns.
+  * The wide 1-row result is reshaped to a row per column with stack()
+  * — driver-side cost is one row either way.
+  *
+  * At 100 TB the exact distinct count is the expensive term (its
+  * shuffle is proportional to per-column cardinality); swapping
+  * `countDistinct` for `approx_count_distinct` collapses the Expand
+  * into plain partial HLL buffers with the same output schema — exact
+  * here because the gate hash-compares against DuckDB.
+  */
+object Profile {
+
+  def profileColumns(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def minMax(f: org.apache.spark.sql.types.StructField): (Column, Column) =
+      f.dataType match {
+        case _: NumericType =>
+          (min(col(f.name)).cast("double"), max(col(f.name)).cast("double"))
+        case TimestampType | TimestampNTZType =>
+          // NTZ reads as session-UTC wall time; the cast is a no-op
+          // instant-wise but unix_micros requires the zoned type
+          val z = col(f.name).cast(TimestampType)
+          (min(unix_micros(z)).cast("double"),
+            max(unix_micros(z)).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+    val aggs = fields.flatMap { f =>
+      val (mn, mx) = minMax(f)
+      Seq(count(col(f.name)).as(s"cnt_${f.name}"),
+        countDistinct(col(f.name)).as(s"dis_${f.name}"),
+        mn.as(s"mn_${f.name}"), mx.as(s"mx_${f.name}"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields.map(f =>
+      s"'${f.name}', cnt_${f.name}, dis_${f.name}, mn_${f.name}, mx_${f.name}")
+      .mkString(", ")
+    wide.selectExpr(s"stack(${fields.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_distinct, min_d, max_d)")
+      .orderBy(col("col_name"))
+  }
+
+  /** Gate query: profile every lineitem column. */
+  def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    profileColumns(t(s, dir, "lineitem"))
+}

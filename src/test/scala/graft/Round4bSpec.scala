@@ -97,6 +97,72 @@ class Round4bSpec extends SparkSpecBase {
       (3L, 2L, 8000000L, 5.0))) // (1*0 + 5*8s) / 8s
   }
 
+  test("importance sample: weight-1 docs always kept, lower cutoff keeps a superset") {
+    val all = Tables.t(spark, sfDir, "documents")
+    val kept400 = graft.operators.Mixing.importanceSample(spark, sfDir, 400)
+    val kept200 = graft.operators.Mixing.importanceSample(spark, sfDir, 200)
+    val ids400 = kept400.select($"doc_id").as[Long].collect().toSet
+    val ids200 = kept200.select($"doc_id").as[Long].collect().toSet
+    val certain = all.filter($"n_chars" >= 400).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(certain.subsetOf(ids400), "weight-1 docs must always be kept")
+    assert(ids400.subsetOf(ids200),
+      "halving the full-weight cutoff must only add docs")
+    assert(ids400.size < all.count(), "some short doc should be dropped")
+    // the coin is the doc_id hash: rerunning is bit-identical
+    assert(kept400.collect().toSeq ==
+      graft.operators.Mixing.importanceSample(spark, sfDir, 400).collect().toSeq)
+  }
+
+  test("psi: zero for identical periods, positive for shifted ones, counts add up") {
+    def ts(day: Int, sec: Int) = new Timestamp(day * 86400000L + sec * 1000L)
+    // same 100 values on day 0 (p=0) and day 1 (p=1) -> PSI exactly 0
+    val same = (0 until 100).flatMap(i =>
+      Seq(("a", ts(0, i), i * 4.9), ("a", ts(1, i), i * 4.9)))
+      .toDF("event_type", "ts", "value")
+    val z = graft.operators.Drift.psiOf(same).as[(String, Long, Long, Double)]
+      .collect()
+    assert(z.toSeq == Seq(("a", 100L, 100L, 0.0)))
+    // day-1 values pushed up a bucket -> strictly positive drift
+    val shifted = (0 until 100).flatMap(i =>
+      Seq(("a", ts(0, i), i % 5 * 50.0 + 1), ("a", ts(1, i), i % 5 * 50.0 + 51)))
+      .toDF("event_type", "ts", "value")
+    val p = graft.operators.Drift.psiOf(shifted)
+      .as[(String, Long, Long, Double)].head()
+    assert(p._4 > 0.0, s"shifted distribution should drift, got $p")
+    // real data: psi finite and >= 0 per type, totals partition the rows
+    val real = graft.operators.Drift.psiByType(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (t, na, nb, psi) =>
+      assert(psi >= 0.0 && !psi.isNaN && !psi.isInfinite, s"$t: bad psi $psi")
+      assert(na > 0 && nb > 0)
+    }
+    val events = Tables.t(spark, sfDir, "events")
+    assert(real.map(r => r._2 + r._3).sum == events.count())
+  }
+
+  test("profile: invariants per column and ONE scan for the whole report") {
+    val df = Tables.t(spark, sfDir, "lineitem")
+    val q = graft.operators.Profile.profileColumns(df)
+    val rows = q.collect()
+    assert(rows.map(_.getString(0)).toSet == df.schema.fieldNames.toSet)
+    val n = df.count()
+    rows.foreach { r =>
+      val (name, nn, nd) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nn <= n && nd <= nn && nd > 0, s"$name: bad counts $nn/$nd")
+      if (!r.isNullAt(3)) assert(r.getDouble(3) <= r.getDouble(4),
+        s"$name: min > max")
+    }
+    assert(rows.filter(_.isNullAt(3)).map(_.getString(0)).toSet ==
+      Set("l_returnflag", "l_linestatus"))
+    // the multi-distinct Expand must still read the parquet ONCE
+    val scans = "Scan parquet".r
+      .findAllIn(q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).length
+    assert(scans == 1, s"expected a single scan, found $scans")
+  }
+
   test("time-weighted avg: window and groupBy share one exchange") {
     val q = TimeSeries.timeWeightedAvg(spark, sfDir)
     q.collect()
