@@ -151,6 +151,10 @@ object SparkEntry {
       ((s, dir) => graft.operators.Drift.psiByType(s, dir)),
     "profile_columns" ->
       ((s, dir) => graft.operators.Profile.profileLineitem(s, dir)),
+    "ts_concurrency" ->
+      ((s, dir) => graft.operators.TimeSeries.concurrency(s, dir)),
+    "text_bigram_merges" ->
+      ((s, dir) => TextAnalysis.bigramMerges(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -855,6 +859,24 @@ object SparkEntry {
         "CAST(sum(dur_us) AS DOUBLE), 6) AS twa_value " +
         "FROM i WHERE dur_us IS NOT NULL " +
         "GROUP BY user_id ORDER BY user_id"),
+    // sweep-line concurrency: the oracle is the naive global ordered
+    // window the sharded prefix-sum must equal
+    "ts_concurrency" ->
+      ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "iv AS (SELECT epoch_us(ts) AS f, " +
+        "epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS g FROM o), " +
+        "d AS (SELECT f AS t, 1 AS d FROM iv WHERE g IS NOT NULL " +
+        "UNION ALL SELECT g, -1 FROM iv WHERE g IS NOT NULL), " +
+        "n AS (SELECT t, sum(d) AS nd FROM d GROUP BY t) " +
+        "SELECT t AS t_us, CAST(sum(nd) OVER (ORDER BY t) AS BIGINT) AS concurrency " +
+        "FROM n ORDER BY t_us"),
+    "text_bigram_merges" ->
+      ("WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]') AS tk " +
+        "FROM documents), " +
+        "p AS (SELECT tk[CAST(r.i AS INT)] || ' ' || tk[CAST(r.i AS INT) + 1] AS pair " +
+        "FROM d, unnest(range(1, len(tk))) AS r(i)) " +
+        "SELECT pair, count(*) AS cnt FROM p GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 20"),
     // deterministic-coin importance sampling: md5-uniform < quality weight
     "mix_importance" ->
       ("SELECT doc_id, n_chars, source, " +

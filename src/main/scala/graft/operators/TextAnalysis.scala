@@ -469,4 +469,30 @@ object TextAnalysis {
         count(when(col("rn") > 1, lit(1))).as("n_dup"))
       .orderBy(col("doc_id"))
   }
+
+  /** Adjacent-pair frequencies over the BPE-ish token stream — the
+    * counting step of a byte-pair-encoding merge round (tokenizer
+    * training's inner loop): the most frequent pair becomes the next
+    * vocabulary merge. Pure map-side pair construction (tokens bound in
+    * a projection, pairs exploded as the generator expression — the
+    * scan-pushdown-safe shape) + ONE keyed partial-agg count + a
+    * TakeOrderedAndProject top-k. Nothing holds per-document state; the
+    * shuffle carries per-partition pair partials only.
+    */
+  def bigramMerges(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bigramMergesOf(t(s, dir, "documents"), k)
+
+  /** Library-facing form over any (text) DataFrame. */
+  def bigramMergesOf(docs: DataFrame, k: Int): DataFrame = {
+    val toks = col("toks")
+    val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    docs.select(bpeishTokens(col("text")).as("toks"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
 }

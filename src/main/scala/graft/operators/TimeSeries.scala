@@ -151,4 +151,53 @@ object TimeSeries {
           sum(col("dur_us")).cast("double"), 6).as("twa_value"))
       .orderBy(col("user_id"))
   }
+
+  /** Concurrency timeline (sweep-line interval counting): how many
+    * users hold an open activity interval at each boundary instant,
+    * where each event opens an interval that its user's next event
+    * closes. The naive form — `sum(delta) OVER (ORDER BY t)` — is a
+    * GLOBAL ordered window: one task scans every boundary at any scale.
+    * This is the distributed prefix-sum instead: boundaries are sharded
+    * into fixed-width time ranges (a deterministic map-side bucket, not
+    * a sampled range partitioner), each shard cumsums independently
+    * under a keyed window, and a P-row shard-totals table (P = shard
+    * count, not data size) supplies each shard's starting offset via a
+    * broadcast join. The only globally-ordered object is that P-row
+    * cumsum; everything data-sized is keyed and parallel.
+    */
+  def concurrency(s: SparkSession, dir: String, nShards: Int = 32): DataFrame =
+    concurrencyOf(t(s, dir, "events"), nShards)
+
+  /** Library-facing form over any (user_id, ts, event_id) frame. */
+  def concurrencyOf(events: DataFrame, nShards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val iv = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(unix_micros(col("ts")).as("f"),
+        unix_micros(col("next_ts")).as("g"))
+    // net delta per unique boundary instant (+1 opens, -1 closes)
+    val deltas = iv.select(col("f").as("t"), lit(1L).as("d"))
+      .unionAll(iv.select(col("g").as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("nd"))
+    // fixed-width time shards from one broadcast min/max row: exact
+    // integer arithmetic, deterministic across re-evaluations (a sampled
+    // RangePartitioner's bounds are not)
+    val bounds = deltas.agg(min(col("t")).as("t0"),
+      (max(col("t")) - min(col("t")) + 1).as("span"))
+    val sharded = deltas.crossJoin(broadcast(bounds))
+      .withColumn("pid", expr(s"((t - t0) * $nShards) div span"))
+      .select(col("t"), col("nd"), col("pid"))
+    val localW = Window.partitionBy(col("pid")).orderBy(col("t"))
+    val local = sharded.withColumn("lc", sum(col("nd")).over(localW))
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("pid")).agg(sum(col("nd")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(offW), lit(0L)))
+      .select(col("pid"), col("off"))
+    local.join(broadcast(offsets), "pid")
+      .select(col("t").as("t_us"), (col("lc") + col("off")).as("concurrency"))
+      .orderBy(col("t_us"))
+  }
 }

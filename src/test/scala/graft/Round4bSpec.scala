@@ -163,6 +163,49 @@ class Round4bSpec extends SparkSpecBase {
     assert(scans == 1, s"expected a single scan, found $scans")
   }
 
+  test("concurrency: sharded prefix-sum equals the naive global window, any shard count") {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.t(spark, sfDir, "events")
+    // naive reference: one global ordered window (the form the operator
+    // exists to avoid)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val iv = events.select($"user_id", $"ts", $"event_id")
+      .withColumn("g", lead($"ts", 1).over(w)).filter($"g".isNotNull)
+      .select(unix_micros($"ts").as("f"), unix_micros($"g").as("g"))
+    val naive = iv.select($"f".as("t"), lit(1L).as("d"))
+      .unionAll(iv.select($"g".as("t"), lit(-1L).as("d")))
+      .groupBy($"t").agg(sum($"d").as("nd"))
+      .withColumn("concurrency", sum($"nd").over(Window.orderBy($"t")))
+      .select($"t".as("t_us"), $"concurrency")
+      .orderBy($"t_us")
+      .as[(Long, Long)].collect().toSeq
+    for (shards <- Seq(1, 5, 32)) {
+      val got = graft.operators.TimeSeries.concurrencyOf(events, shards)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == naive, s"shards=$shards diverged from the global window")
+    }
+    assert(naive.last._2 == 0, "sweep must close every interval")
+    assert(naive.map(_._2).max >= 1 && naive.map(_._2).min >= 0)
+    // the data-sized cumsum must be keyed by shard, not globally ordered
+    val q = graft.operators.TimeSeries.concurrencyOf(events, 32)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bigWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("sum(nd#")).toSeq
+    assert(bigWindows.nonEmpty && bigWindows.forall(_.contains("pid")),
+      s"delta cumsum must partition by shard id:\n$plan")
+  }
+
+  test("bigram merges: golden pair counts, punctuation is its own token") {
+    val docs = Seq("a b a b c", "x", "", "a,b").toDF("text")
+    val out = graft.operators.TextAnalysis.bigramMergesOf(docs, 10)
+      .as[(String, Long)].collect().toSeq
+    // "a b a b c": pairs (a b)x2, (b a), (b c); "a,b": (a ,), (, b)
+    assert(out == Seq(("a b", 2L), (", b", 1L), ("a ,", 1L),
+      ("b a", 1L), ("b c", 1L)))
+  }
+
   test("time-weighted avg: window and groupBy share one exchange") {
     val q = TimeSeries.timeWeightedAvg(spark, sfDir)
     q.collect()
