@@ -155,6 +155,15 @@ object SparkEntry {
       ((s, dir) => graft.operators.TimeSeries.concurrency(s, dir)),
     "text_bigram_merges" ->
       ((s, dir) => TextAnalysis.bigramMerges(s, dir)),
+    "q30b_cumulate" -> Windows.q30bCumulate _,
+    "ts_overlap" ->
+      ((s, dir) => graft.operators.RangeJoin.tsOverlap(s, dir)),
+    "dq_checks" ->
+      ((s, dir) => graft.operators.Quality.dqOrders(s, dir)),
+    "dedup_levenshtein" ->
+      ((s, dir) => Dedup.levenshteinPairs(s, dir)),
+    "q10j_spearman" -> Relational.q10jSpearman _,
+    "q09c_cross" -> Relational.q09cCross _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -964,6 +973,79 @@ object SparkEntry {
         "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 " +
         "THEN 'train' ELSE 'val' END AS split " +
         "FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contam) ORDER BY doc_id"),
+    // Flink-style CUMULATE windows: expanding 1-min slices of a 4-min max
+    // window; each event joins every slice whose end exceeds its ts
+    "q30b_cumulate" ->
+      ("WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tu, value FROM events), " +
+        "w AS (SELECT tu - tu % 240000000 AS w_start, tu, value FROM e), " +
+        "x AS (SELECT w_start, w_start + k.k * 60000000 AS w_end, value FROM w, " +
+        "(SELECT CAST(range + 1 AS BIGINT) AS k FROM range(4)) k " +
+        "WHERE tu < w_start + k.k * 60000000) " +
+        "SELECT w_start, w_end, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM x GROUP BY w_start, w_end ORDER BY w_start, w_end"),
+    // session intervals (q31_session recipe) then the exact overlap
+    // predicate — the naive theta form of operators.RangeJoin.tsOverlap
+    "ts_overlap" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events), " +
+        "m AS (SELECT user_id, tu, CASE WHEN LAG(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL " +
+        "OR tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 30000000 THEN 1 ELSE 0 END AS brk FROM e), " +
+        "g AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS grp FROM m), " +
+        "sess AS (SELECT user_id, MIN(tu) AS ws, MAX(tu) + 30000000 AS we FROM g GROUP BY user_id, grp) " +
+        "SELECT a.user_id AS user_a, b.user_id AS user_b, a.ws AS a_start, b.ws AS b_start, " +
+        "least(a.we, b.we) - greatest(a.ws, b.ws) AS overlap_us " +
+        "FROM sess a JOIN sess b ON a.user_id % 2 = 0 AND b.user_id % 2 = 1 " +
+        "AND a.ws < b.we AND b.ws < a.we " +
+        "ORDER BY user_a, a_start, user_b, b_start"),
+    "dq_checks" ->
+      ("WITH t AS (SELECT COUNT(*) AS total, " +
+        "COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS v_key_null, " +
+        "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_key_dup, " +
+        "COUNT(*) FILTER (WHERE o_totalprice <= 0) AS v_price_nonpos, " +
+        "COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS v_status_domain, " +
+        "COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01' " +
+        "OR o_orderdate >= TIMESTAMP '2001-01-01') AS v_date_range FROM orders), " +
+        "fk AS (SELECT COUNT(*) AS v_fk FROM orders o WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) " +
+        "SELECT check_name, violations, total, violations = 0 AS pass FROM (" +
+        "SELECT 'date_in_range' AS check_name, v_date_range AS violations, total FROM t " +
+        "UNION ALL SELECT 'fk_custkey_exists', v_fk, total FROM t, fk " +
+        "UNION ALL SELECT 'key_not_null', v_key_null, total FROM t " +
+        "UNION ALL SELECT 'key_unique', v_key_dup, total FROM t " +
+        "UNION ALL SELECT 'price_positive', v_price_nonpos, total FROM t " +
+        "UNION ALL SELECT 'status_in_domain', v_status_domain, total FROM t) " +
+        "ORDER BY check_name"),
+    // full pairwise within the ±4 length window (lev ≥ |Δlen| makes the
+    // band filter lossless) — the quadratic form of editDistancePairs
+    "dedup_levenshtein" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+        "p AS (SELECT a.doc_id AS i, b.doc_id AS j, a.text AS ta, b.text AS tb " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        "AND b.len >= a.len - 4 AND b.len <= a.len + 4) " +
+        "SELECT i, j, lev FROM " +
+        "(SELECT i, j, CAST(levenshtein(ta, tb) AS BIGINT) AS lev FROM p) " +
+        "WHERE lev <= 4 ORDER BY i, j"),
+    // mid-ranks as exact DECIMAL(19,0) twice-ranks; q10e co-moment recipe
+    "q10j_spearman" ->
+      ("WITH b AS (SELECT l_returnflag AS f, l_quantity AS x, l_extendedprice AS y, " +
+        "l_orderkey, l_linenumber FROM lineitem), " +
+        "r1 AS (SELECT f, x, y, " +
+        "row_number() OVER (PARTITION BY f ORDER BY x, l_orderkey, l_linenumber) AS rnx, " +
+        "row_number() OVER (PARTITION BY f ORDER BY y, l_orderkey, l_linenumber) AS rny FROM b), " +
+        "r2 AS (SELECT f, " +
+        "CAST(2 * avg(rnx) OVER (PARTITION BY f, x) AS DECIMAL(19,0)) AS rx, " +
+        "CAST(2 * avg(rny) OVER (PARTITION BY f, y) AS DECIMAL(19,0)) AS ry FROM r1), " +
+        "s AS (SELECT f, COUNT(*) AS cnt, " +
+        "CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy, " +
+        "CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx, " +
+        "CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy " +
+        "FROM r2 GROUP BY f) " +
+        "SELECT f AS l_returnflag, cnt, " +
+        "round((cnt * sxy - sx * sy) / sqrt((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)), 6) AS spearman " +
+        "FROM s ORDER BY l_returnflag"),
+    "q09c_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "layout_zorder" -> {
       // unrolled Morton interleave: bit i of x -> 2i, bit i of y -> 2i+1
       val terms = (0 until 16).flatMap(i =>

@@ -330,4 +330,45 @@ object Dedup {
       .distinct()
       .orderBy(col("i"), col("j"))
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs with EXACT recall at the
+    * threshold, blocked by text length: lev(a,b) ≥ |len(a)−len(b)|, so any
+    * qualifying pair sits within maxDist characters of length — with band
+    * width maxDist+1 that means the same or an adjacent length band. The
+    * lower-banded side of each candidate probes bands {f, f+1} (a bounded
+    * 2× explode), candidates meet on a partitioned equi-join, and the
+    * levenshtein kernel runs only on candidates — never the n²/2 raw
+    * pairs. Emission is exactly-once by construction (same band →
+    * id-ordered; adjacent band → only the lower side probes upward), so
+    * no distinct over text payloads.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
+    val bandW = maxDist + 1
+    val d = docs.select(col("doc_id"), col("text"))
+      .withColumn("len", length(col("text")))
+    val probe = d.withColumn("fband", floor(col("len") / bandW))
+      .withColumn("band", explode(array(col("fband"), col("fband") + 1)))
+    val build = d.select(col("doc_id").as("b_id"), col("text").as("b_text"),
+        col("len").as("b_len"))
+      .withColumn("band", floor(col("b_len") / bandW))
+    probe.join(build, Seq("band"))
+      .filter(when(col("fband") === col("band"), col("doc_id") < col("b_id"))
+        .otherwise(lit(true)))
+      .filter(abs(col("len") - col("b_len")) <= maxDist)
+      // threshold form = banded DP with early abandon: O(maxDist·len) per
+      // candidate instead of O(len²); yields -1 past the threshold
+      .withColumn("lev", levenshtein(col("text"), col("b_text"), maxDist))
+      .filter(col("lev") >= 0)
+      .select(least(col("doc_id"), col("b_id")).as("i"),
+        greatest(col("doc_id"), col("b_id")).as("j"),
+        col("lev").cast(LongType).as("lev"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** dedup_levenshtein — fuzzy (typo-level) duplicate pairs over the
+    * corpus at edit distance ≤ 4.
+    */
+  def levenshteinPairs(s: SparkSession, dir: String): DataFrame =
+    editDistancePairs(t(s, dir, "documents"), maxDist = 4)
 }

@@ -68,4 +68,55 @@ object RangeJoin {
       .agg(sum(col("n")).as("n_li"))
       .orderBy(col("p_partkey"))
   }
+
+  /** Interval × interval overlap join: rows of `a` × `b` whose half-open
+    * spans [aS, aE) and [bS, bE) intersect. Same banding idea as
+    * `banded`, extended to two exploded sides: each interval lands in
+    * every band it touches, candidates meet on the band key (a plain
+    * partitioned equi-join), and the exact predicate filters. A pair
+    * overlapping across several shared bands would match once per band,
+    * so each match is kept only in the canonical band — the one
+    * containing max(aS, bS), which both intervals provably cover — making
+    * the output exactly-once without a distinct (no wide-row shuffle
+    * dedup). Explosion factor is interval width / band, so pick `band` ≥
+    * the typical width. OSS Spark plans the bare predicate as a
+    * nested-loop — O(|A|·|B|) — this is the scale-safe shape.
+    */
+  def overlapBanded(a: DataFrame, aS: String, aE: String,
+      b: DataFrame, bS: String, bE: String, band: Long): DataFrame = {
+    require(band > 0, "band must be positive")
+    val ab = a.withColumn("__bucket",
+      explode(sequence(floor(col(aS) / band), floor((col(aE) - 1) / band))))
+    val bb = b.withColumn("__bucket",
+      explode(sequence(floor(col(bS) / band), floor((col(bE) - 1) / band))))
+    ab.join(bb, Seq("__bucket"))
+      .filter(col(aS) < col(bE) && col(bS) < col(aE))
+      .filter(col("__bucket") === floor(greatest(col(aS), col(bS)) / band))
+      .drop("__bucket")
+  }
+
+  /** ts_overlap — co-presence detection over the event stream: pairs of
+    * (even-user, odd-user) activity sessions (30 s gap, the Q31b
+    * sessionization) that overlap in time. Both session sets are narrow
+    * (start/end micros + user), the band is 2 minutes ≈ 2-4× the typical
+    * session width, and the join runs partitioned on the time band — no
+    * quadratic pairing of the ~1M sessions a 100 TB event log yields.
+    */
+  def tsOverlap(s: SparkSession, dir: String): DataFrame = {
+    def sessions(parity: Int, u: String, ws: String, we: String) =
+      t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(2)) === parity)
+        .groupBy(session_window(col("ts"), "30 seconds").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id").as(u),
+          unix_micros(col("w.start")).as(ws), unix_micros(col("w.end")).as(we))
+    val a = sessions(0, "user_a", "a_start", "a_end")
+    val b = sessions(1, "user_b", "b_start", "b_end")
+    overlapBanded(a, "a_start", "a_end", b, "b_start", "b_end",
+        band = 120L * 1000000L)
+      .withColumn("overlap_us",
+        least(col("a_end"), col("b_end")) - greatest(col("a_start"), col("b_start")))
+      .select("user_a", "user_b", "a_start", "b_start", "overlap_us")
+      .orderBy("user_a", "a_start", "user_b", "b_start")
+  }
 }

@@ -835,4 +835,55 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("mass"))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  /** Q09c — CROSS JOIN (explicit cartesian): the one join type the Q04-Q09
+    * family skips. Deliberately dimension × dimension (125 rows) — the
+    * only plan where a cartesian is acceptable; Spark broadcasts the
+    * 5-row side (BroadcastNestedLoopJoin), so nothing shuffles.
+    */
+  def q09cCross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(col("r_name"))
+      .crossJoin(t(s, dir, "nation").select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Q10j — Spearman rank correlation per group: Pearson on mid-rank
+    * (average-rank) transformed values, the tie-correct textbook form.
+    * Ranks come from a row_number over a unique total order plus a mean
+    * over the tie class, and the correlation itself reuses the q10e
+    * exact-decimal co-moment recipe on 2×rank (integers, so DECIMAL sums
+    * are exact). No engine-varying float enters the aggregation:
+    * mid-ranks are k/2 rationals both engines compute identically.
+    */
+  def q10jSpearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 19,0: two 19-digit operands multiply within DuckDB's 38-digit cap
+    val DD = DecimalType(19, 0)
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    // 2×mid-rank = 2·avg(row_number) over the tie class — integer-exact,
+    // and the ×2 (like any affine map) cancels in the correlation. The
+    // two row_number windows share one l_returnflag exchange; each tie-
+    // class mean re-keys on (flag, value).
+    val ranked = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .withColumn("rnx", row_number().over(byFlag.orderBy(
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("rny", row_number().over(byFlag.orderBy(
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("rx", (avg(col("rnx")).over(
+        Window.partitionBy(col("l_returnflag"), col("l_quantity"))) * 2).cast(DD))
+      .withColumn("ry", (avg(col("rny")).over(
+        Window.partitionBy(col("l_returnflag"), col("l_extendedprice"))) * 2).cast(DD))
+    val sx = sum(col("rx")).cast(DoubleType)
+    val sy = sum(col("ry")).cast(DoubleType)
+    val sxy = sum((col("rx") * col("ry")).cast(DecimalType(38, 0))).cast(DoubleType)
+    val sxx = sum((col("rx") * col("rx")).cast(DecimalType(38, 0))).cast(DoubleType)
+    val syy = sum((col("ry") * col("ry")).cast(DecimalType(38, 0))).cast(DoubleType)
+    val n = count(lit(1)).cast(DoubleType)
+    ranked.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        round((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("spearman"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -36,6 +36,35 @@ object Windows {
       .select(unix_micros(col("w.start")).as("w_start"), col("cnt"))
       .orderBy(col("w_start"))
 
+  /** Q30b (batch) — CUMULATE windows (Flink's windowing-TVF family:
+    * TUMBLE/HOP/CUMULATE/SESSION; the reference's Table API planner ships
+    * all four): expanding slices of a 4-minute max window emitted every
+    * 1-minute step, so each slice end reports the running aggregate since
+    * the 4-minute boundary. Spark has no cumulate primitive; an event at
+    * elapsed offset e lands in slices ⌈e/step⌉..max/step of its window,
+    * which is a bounded `sequence` explode (≤ max/step rows per event)
+    * followed by a plain keyed aggregation — map-side combined, one
+    * shuffle, no window function.
+    */
+  def q30bCumulate(s: SparkSession, dir: String): DataFrame = {
+    val stepUs = 60L * 1000000L
+    val slices = 4L // max window = slices × step = 4 minutes
+    t(s, dir, "events")
+      .select(col("value"), unix_micros(col("ts")).as("tu"))
+      .withColumn("w_start", col("tu") - pmod(col("tu"), lit(stepUs * slices)))
+      // first slice whose end exceeds tu: offsets are < 2.4e8 so the
+      // double division is exact well past the needed precision
+      .withColumn("k",
+        explode(sequence(
+          ((col("tu") - col("w_start")) / lit(stepUs)).cast(LongType) + 1,
+          lit(slices))))
+      .withColumn("w_end", col("w_start") + col("k") * lit(stepUs))
+      .groupBy(col("w_start"), col("w_end"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("w_start"), col("w_end"))
+  }
+
   /** Q31b (batch) — session windows per user, 30 s gap. */
   def q31Session(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

@@ -40,6 +40,37 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("cnt"))
 
+  /** Q30b — CUMULATE windows (Flink windowing-TVF family), streaming
+    * form: 4-minute max window emitting expanding 1-minute slices. Each
+    * event explodes to its remaining slice ends (bounded, ≤ 4 rows); the
+    * watermark rides the slice-end column itself, so a slice finalizes
+    * (append-mode emit) when the watermark passes its end — exactly
+    * Flink's cumulate firing. A late event past an already-emitted early
+    * slice still counts into its window's *open* later slices (its rows
+    * for closed slices are late; the rest are not), which is the
+    * per-slice-lateness semantic, state bounded by slices × steps in the
+    * watermark horizon. Batch twin: queries.Windows.q30bCumulate (same
+    * explode + aggregate expressions; equivalence replay-tested).
+    */
+  def cumulateCounts(events: DataFrame): DataFrame = {
+    val stepUs = 60L * 1000000L
+    val slices = 4L
+    events
+      .select(col("value"), unix_micros(col("ts")).as("tu"))
+      .withColumn("w_start", col("tu") - pmod(col("tu"), lit(stepUs * slices)))
+      .withColumn("k",
+        explode(sequence(
+          ((col("tu") - col("w_start")) / lit(stepUs)).cast("long") + 1,
+          lit(slices))))
+      .withColumn("slice_end", timestamp_micros(col("w_start") + col("k") * lit(stepUs)))
+      .withWatermark("slice_end", "5 seconds")
+      .groupBy(col("w_start"), col("slice_end"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+      .select(timestamp_micros(col("w_start")).as("w_start"),
+        col("slice_end").as("w_end"), col("cnt"), col("sum_value"))
+  }
+
   /** Q31b — session windows per user, 30 s gap. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,179 @@
+package graft
+
+import graft.operators.{Dedup, Quality, RangeJoin}
+import graft.queries.{Relational, Windows}
+import graft.streaming.StreamingOps
+import graft.StreamingSpec.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: CUMULATE windows (batch + streaming), the
+  * interval-overlap banded join, edit-distance near-dup, the data-quality
+  * gate, and Spearman correlation.
+  */
+class Round5Spec extends SparkSpecBase {
+
+  private def ev(id: Long, t: String, v: Double = 1.0) =
+    Ev(id, java.sql.Timestamp.valueOf(t), 1L, "click", v)
+
+  // ---- CUMULATE ----
+
+  test("cumulate (batch form on a golden frame): expanding slices per window") {
+    import spark.implicits._
+    // the streaming op on a bounded frame IS the batch semantics
+    // (watermark is a no-op on batch); events at 0:10 and 2:30 of window
+    // 00:00-00:04, one at 5:10 of window 00:04-00:08
+    val df = Seq(
+      ev(1, "2024-03-01 00:00:10"),
+      ev(2, "2024-03-01 00:02:30"),
+      ev(3, "2024-03-01 00:05:10")).toDF()
+    val out = StreamingOps.cumulateCounts(df)
+      .select($"w_start".cast("string"), $"w_end".cast("string"), $"cnt")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-03-01 00:00:00", "2024-03-01 00:01:00", 1L),
+      ("2024-03-01 00:00:00", "2024-03-01 00:02:00", 1L),
+      ("2024-03-01 00:00:00", "2024-03-01 00:03:00", 2L),
+      ("2024-03-01 00:00:00", "2024-03-01 00:04:00", 2L),
+      ("2024-03-01 00:04:00", "2024-03-01 00:06:00", 1L),
+      ("2024-03-01 00:04:00", "2024-03-01 00:07:00", 1L),
+      ("2024-03-01 00:04:00", "2024-03-01 00:08:00", 1L)))
+  }
+
+  test("cumulate: batch query ≡ streaming expressions over the testdata") {
+    val a = Windows.q30bCumulate(spark, sfDir)
+      .select(col("w_start"), col("w_end"), col("cnt"), col("sum_value"))
+    val b = StreamingOps.cumulateCounts(graft.Tables.t(spark, sfDir, "events"))
+      .select(unix_micros(col("w_start")).as("w_start"),
+        unix_micros(col("w_end")).as("w_end"), col("cnt"), col("sum_value"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("cumulate streaming: late event skips closed slices, lands in open ones") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.cumulateCounts(src.toDF())
+      .writeStream.format("memory").queryName("cml").outputMode("append").start()
+    // batch 1: ev1 fills slices :01-:04; ev2 only :04; watermark → 00:03:20
+    src.addData(ev(1, "2024-03-01 00:00:10"), ev(2, "2024-03-01 00:03:25"))
+    q.processAllAvailable()
+    // batch 2: ev3 is late for the emitted :01-:03 slices (those rows
+    // drop) but its :04 slice is still open and counts; ev4 advances the
+    // watermark past 00:04, flushing it
+    src.addData(ev(3, "2024-03-01 00:00:50"), ev(4, "2024-03-01 00:10:00"))
+    q.processAllAvailable()
+    src.addData(ev(5, "2024-03-01 00:30:00")) // flush ev4's window
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cml")
+      .select($"w_end".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    assert(out("2024-03-01 00:01:00") == 1L)
+    assert(out("2024-03-01 00:02:00") == 1L)
+    assert(out("2024-03-01 00:03:00") == 1L)
+    assert(out("2024-03-01 00:04:00") == 3L) // ev1 + ev2 + late ev3
+  }
+
+  // ---- interval-overlap join ----
+
+  test("overlapBanded ≡ naive theta join, exactly-once, across band widths") {
+    import spark.implicits._
+    // touching endpoints (no overlap, half-open), nesting, duplicates,
+    // an interval spanning many bands, zero-adjacent starts
+    val a = Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 5L, 105L), (4L, 40L, 45L),
+      (5L, 40L, 45L), (6L, 99L, 101L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((11L, 9L, 11L), (12L, 20L, 30L), (13L, 0L, 200L), (14L, 44L, 46L),
+      (15L, 100L, 110L))
+      .toDF("b_id", "b_s", "b_e")
+    val naive = a.crossJoin(b)
+      .filter($"a_s" < $"b_e" && $"b_s" < $"a_e")
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    for (band <- Seq(3L, 10L, 64L, 1000L)) {
+      val got = RangeJoin.overlapBanded(a, "a_s", "a_e", b, "b_s", "b_e", band)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"band=$band") // equality of sorted seqs ⇒ no dup
+    }
+  }
+
+  test("tsOverlap plans as a partitioned equi-join — no nested loop") {
+    val f = RangeJoin.tsOverlap(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!f.contains("BroadcastNestedLoopJoin") && !f.contains("CartesianProduct"))
+  }
+
+  // ---- edit-distance near-dup ----
+
+  test("editDistancePairs ≡ brute force, including cross-band pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),        // len 19
+      (2L, "the quick brown fox"),        // exact dup → lev 0
+      (3L, "the quick brown foxx"),       // len 20 (band boundary), lev 1
+      (4L, "the quicker brown fox"),      // lev 3 vs 1
+      (5L, "a completely different doc"),
+      (6L, "the quick brown foxes!!!"),   // lev 5 vs 1 → excluded at 4
+      (7L, "short"), (8L, "shorts"), (9L, "shor"))
+      .toDF("doc_id", "text")
+    val naive = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("lev", levenshtein(col("a.text"), col("b.text")))
+      .filter(col("lev") <= 4)
+      .select(col("a.doc_id"), col("b.doc_id"), col("lev").cast("long"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val got = Dedup.editDistancePairs(docs, 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == naive && got.nonEmpty)
+    assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 3L, 1L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 6L))
+  }
+
+  // ---- data-quality gate ----
+
+  test("dqOrders: six checks, one row each, date check fires on testdata") {
+    import spark.implicits._
+    val out = Quality.dqOrders(spark, sfDir)
+      .select($"check_name", $"violations", $"total", $"pass")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.length == 6 && out.map(_._1).distinct.length == 6)
+    val byName = out.map(r => r._1 -> r).toMap
+    assert(byName("key_not_null")._2 == 0L && byName("key_not_null")._4)
+    assert(byName("key_unique")._2 == 0L)
+    assert(byName("fk_custkey_exists")._2 == 0L)
+    assert(byName("date_in_range")._2 > 0L && !byName("date_in_range")._4)
+    assert(out.forall(_._3 == out.head._3)) // one shared total
+  }
+
+  test("dqOrders is one fact scan plus the FK anti-join") {
+    val plan = Quality.dqOrders(spark, sfDir).queryExecution.executedPlan.toString
+    val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
+    assert(ordersScans == 2, s"expected 2 orders scans (checks + FK), got $ordersScans")
+  }
+
+  // ---- Spearman ----
+
+  test("q10jSpearman: coefficients bounded, groups complete") {
+    import spark.implicits._
+    val out = Relational.q10jSpearman(spark, sfDir)
+      .select($"l_returnflag", $"cnt", $"spearman")
+      .as[(String, Long, Double)].collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
+    assert(out.map(_._2).sum ==
+      graft.Tables.t(spark, sfDir, "lineitem").count())
+  }
+
+  test("mid-rank Spearman matches the textbook value on a tied golden set") {
+    import spark.implicits._
+    // x = (1,2,2,4), y = (10,20,20,40): perfectly concordant with ties in
+    // the same places on both sides → spearman exactly 1
+    val df = Seq((1L, 1L, 1.0, 10.0), (2L, 1L, 2.0, 20.0),
+      (3L, 1L, 2.0, 20.0), (4L, 1L, 4.0, 40.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .withColumn("l_returnflag", lit("A"))
+    val tmp = java.nio.file.Files.createTempDirectory("spearman").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.q10jSpearman(spark, tmp)
+      .select($"spearman").as[Double].collect()
+    assert(out.toSeq == Seq(1.0))
+  }
+}
