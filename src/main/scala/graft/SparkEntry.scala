@@ -164,6 +164,11 @@ object SparkEntry {
       ((s, dir) => Dedup.levenshteinPairs(s, dir)),
     "q10j_spearman" -> Relational.q10jSpearman _,
     "q09c_cross" -> Relational.q09cCross _,
+    "q11c_bitmap_distinct" -> Relational.q11cBitmapDistinct _,
+    "q10k_mad" -> Relational.q10kMad _,
+    "recon_diff" ->
+      ((s, dir) => graft.operators.Reconcile.reconOrders(s, dir)),
+    "copurchase_pairs" -> Analytics.copurchasePairs _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1046,6 +1051,44 @@ object SparkEntry {
         "FROM s ORDER BY l_returnflag"),
     "q09c_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    // the bitmap two-level pattern is Spark-side plumbing; the oracle is
+    // the definitional COUNT(DISTINCT)
+    "q11c_bitmap_distinct" ->
+      ("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // MAD fence with 4dp boundary rounding on both engines (q10b contract)
+    "q10k_mad" ->
+      ("WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med " +
+        "FROM events GROUP BY 1), " +
+        "d AS (SELECT e.event_type, m.med, round(abs(e.value - m.med), 4) AS adev " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad " +
+        "FROM d GROUP BY 1) " +
+        "SELECT d.event_type, max(d.med) AS med, max(mad.mad) AS mad, " +
+        "COUNT(CASE WHEN d.adev > 3 * mad.mad THEN 1 END) AS n_outliers, " +
+        "COUNT(*) AS n_rows " +
+        "FROM d JOIN mad USING (event_type) GROUP BY d.event_type ORDER BY d.event_type"),
+    // synthetic next snapshot: %97 deleted, %13 price +10 (exact double),
+    // %101 re-inserted shifted — full-outer diff tags all three kinds
+    "recon_diff" ->
+      ("WITH nxt AS (SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10 ELSE o_totalprice END AS o_totalprice " +
+        "FROM orders WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 101 = 0) " +
+        "SELECT o_orderkey, change, price_a, price_b FROM (" +
+        "SELECT COALESCE(c.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN c.o_orderkey IS NULL THEN 'added' " +
+        "WHEN n.o_orderkey IS NULL THEN 'removed' " +
+        "WHEN c.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed' END AS change, " +
+        "c.o_totalprice AS price_a, n.o_totalprice AS price_b " +
+        "FROM orders c FULL JOIN nxt n ON c.o_orderkey = n.o_orderkey) " +
+        "WHERE change IS NOT NULL ORDER BY o_orderkey, change"),
+    "copurchase_pairs" ->
+      ("WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 FROM i a JOIN i b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) " +
+        "SELECT p1, p2, COUNT(*) AS n_orders FROM p GROUP BY p1, p2 " +
+        "ORDER BY n_orders DESC, p1, p2 LIMIT 20"),
     "layout_zorder" -> {
       // unrolled Morton interleave: bit i of x -> 2i, bit i of y -> 2i+1
       val terms = (0 until 16).flatMap(i =>

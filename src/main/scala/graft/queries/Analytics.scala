@@ -94,4 +94,25 @@ object Analytics {
         sum(col("n_events")).as("n_events"))
       .orderBy(col("cohort_us"), col("week_no"))
   }
+
+  /** copurchase_pairs — market-basket co-occurrence: the top part pairs
+    * appearing together in an order. The pair generation is a self-join
+    * keyed on the basket id (a partitioned equi-join; work bounded by
+    * Σ basket², never |lineitem|²) with the p1 < p2 triangle filter, then
+    * one partial-agg count and a TakeOrderedAndProject. At 100 TB the
+    * only hazard is a whale basket — cap basket size upstream (here max
+    * is single digits). Ties at the cut break on (count desc, p1, p2) so
+    * the top-k is deterministic.
+    */
+  def copurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
 }

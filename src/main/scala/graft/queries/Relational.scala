@@ -836,6 +836,48 @@ object Relational {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Q11c — COUNT DISTINCT via the two-level bitmap pattern
+    * (bitmap_bucket_number / bitmap_construct_agg / bitmap_count): each
+    * (group, bucket) partial is a fixed-4KB bitmap ORed map-side, so the
+    * shuffle carries one small buffer per bucket instead of every
+    * distinct value — the exact-distinct shape that survives high
+    * cardinality, vs. Q11's Expand-based distinct whose shuffle grows
+    * with the value count. Oracle is the plain COUNT(DISTINCT).
+    */
+  def q11cBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"),
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey)))")
+        .as("c"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("c")).as("n_cust"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Q10k — robust outlier gate on MAD (median absolute deviation), the
+    * heavy-tail-safe alternative to the q10h IQR fence: per-group median
+    * via the sketch-pruned exact percentile operator, a map-side absolute
+    * deviation, a second percentile pass over the deviations, then one
+    * counting aggregation. Boundaries round to 4 dp in BOTH engines
+    * (q10b's cross-engine interpolation contract).
+    */
+  def q10kMad(s: SparkSession, dir: String): DataFrame = {
+    val med = graft.operators.Percentiles.grouped(
+        t(s, dir, "events"), "event_type", "value", Seq(0.5))
+      .select(col("event_type"), round(col("p50"), 4).as("med"))
+    val dev = t(s, dir, "events").join(med, "event_type")
+      .withColumn("adev", round(abs(col("value") - col("med")), 4))
+    val mad = graft.operators.Percentiles.grouped(
+        dev.select(col("event_type"), col("adev")), "event_type", "adev", Seq(0.5))
+      .select(col("event_type"), round(col("p50"), 4).as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(when(col("adev") > col("mad") * 3, 1)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"))
+  }
+
   /** Q09c — CROSS JOIN (explicit cartesian): the one join type the Q04-Q09
     * family skips. Deliberately dimension × dimension (125 rows) — the
     * only plan where a cartesian is acceptable; Spark broadcasts the

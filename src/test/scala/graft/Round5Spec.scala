@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Quality, RangeJoin}
-import graft.queries.{Relational, Windows}
+import graft.queries.{Analytics, Relational, Windows}
 import graft.streaming.StreamingOps
 import graft.StreamingSpec.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -160,6 +160,65 @@ class Round5Spec extends SparkSpecBase {
     assert(out.forall(r => r._3 >= -1.0 && r._3 <= 1.0))
     assert(out.map(_._2).sum ==
       graft.Tables.t(spark, sfDir, "lineitem").count())
+  }
+
+  // ---- reconciliation ----
+
+  test("tableDiff: added/removed/changed/unchanged, null-safe compare") {
+    import spark.implicits._
+    val a = Seq((1L, Some(10.0), "x"), (2L, Some(20.0), "y"),
+      (3L, None: Option[Double], "z"), (4L, Some(40.0), "w"))
+      .toDF("k", "price", "tag")
+    val b = Seq((1L, Some(10.0), "x"),   // unchanged → absent from diff
+      (2L, Some(25.0), "y"),             // changed (value)
+      (3L, None: Option[Double], "z"),   // unchanged with NULL (null-safe)
+      (5L, Some(50.0), "v"))             // added; 4 removed
+      .toDF("k", "price", "tag")
+    val out = graft.operators.Reconcile
+      .tableDiff(a, b, "k", Seq("price", "tag"))
+      .select($"k", $"change").as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((2L, "changed"), (4L, "removed"), (5L, "added")))
+  }
+
+  // ---- bitmap distinct ----
+
+  test("bitmap two-level distinct ≡ countDistinct") {
+    import spark.implicits._
+    val got = Relational.q11cBitmapDistinct(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val want = graft.Tables.t(spark, sfDir, "orders")
+      .groupBy("o_orderstatus").agg(countDistinct("o_custkey"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  // ---- co-purchase ----
+
+  test("copurchasePairs: triangle order, bounded size, positive counts") {
+    import spark.implicits._
+    val out = Analytics.copurchasePairs(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 20)
+    assert(out.forall(r => r._1 < r._2 && r._3 >= 1))
+    assert(out.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  // ---- MAD ----
+
+  test("q10kMad golden: known median, MAD, and outlier count") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "value").withColumn("event_type", lit("t"))
+      // Tables.t("events") narrows a raw-nanos ts column; provide one
+      .withColumn("ts", lit(1700000000000000000L))
+    val tmp = java.nio.file.Files.createTempDirectory("mad").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Relational.q10kMad(spark, tmp)
+      .select($"med", $"mad", $"n_outliers", $"n_rows")
+      .as[(Double, Double, Long, Long)].collect().toSeq
+    // med 3.5; adevs (2.5,1.5,0.5,0.5,1.5,96.5) → mad 1.5; fence 4.5 → 1
+    assert(out == Seq((3.5, 1.5, 1L, 6L)))
   }
 
   test("mid-rank Spearman matches the textbook value on a tied golden set") {
