@@ -162,7 +162,7 @@ object SparkEntry {
       ((s, dir) => graft.operators.Quality.dqOrders(s, dir)),
     "dedup_levenshtein" ->
       ((s, dir) => Dedup.levenshteinPairs(s, dir)),
-    "q10j_spearman" -> Relational.q10jSpearman _,
+    "q10j_spearman" -> ((s: SparkSession, d: String) => Relational.q10jSpearman(s, d)),
     "q09c_cross" -> Relational.q09cCross _,
     "q11c_bitmap_distinct" -> Relational.q11cBitmapDistinct _,
     "q10k_mad" -> Relational.q10kMad _,

@@ -862,9 +862,13 @@ object Relational {
     * (q10b's cross-engine interpolation contract).
     */
   def q10kMad(s: SparkSession, dir: String): DataFrame = {
+    // materialize the (tiny, one-row-per-group) median frame: the dev
+    // frame sits in two branches below, and without this the whole
+    // percentile pass would execute once per branch
     val med = graft.operators.Percentiles.grouped(
         t(s, dir, "events"), "event_type", "value", Seq(0.5))
       .select(col("event_type"), round(col("p50"), 4).as("med"))
+      .localCheckpoint(true)
     val dev = t(s, dir, "events").join(med, "event_type")
       .withColumn("adev", round(abs(col("value") - col("med")), 4))
     val mad = graft.operators.Percentiles.grouped(
@@ -890,32 +894,61 @@ object Relational {
 
   /** Q10j — Spearman rank correlation per group: Pearson on mid-rank
     * (average-rank) transformed values, the tie-correct textbook form.
-    * Ranks come from a row_number over a unique total order plus a mean
-    * over the tie class, and the correlation itself reuses the q10e
-    * exact-decimal co-moment recipe on 2×rank (integers, so DECIMAL sums
-    * are exact). No engine-varying float enters the aggregation:
-    * mid-ranks are k/2 rationals both engines compute identically.
+    * 2×mid-rank for value v is 2·cum_incl(v) − ties(v) + 1 — an integer
+    * derivable from the per-group VALUE HISTOGRAM's prefix sums, so
+    * ranking is an aggregation plus the ts_concurrency distributed
+    * prefix-sum (value-range shards → per-shard cumsum → tiny offset
+    * table broadcast back), never a row-level sort: ranking 100 TB
+    * inside 3 single-task group-partitioned windows is the shape this
+    * avoids, and it stays parallel even when the value is continuous
+    * (extendedprice: |histogram| ≈ |rows|). The correlation reuses the
+    * q10e exact-decimal co-moment recipe on the 2×rank integers. No
+    * engine-varying float enters the aggregation (shard ids affect only
+    * partitioning, not values).
     */
-  def q10jSpearman(s: SparkSession, dir: String): DataFrame = {
+  def q10jSpearman(s: SparkSession, dir: String, nShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 19,0: two 19-digit operands multiply within DuckDB's 38-digit cap
     val DD = DecimalType(19, 0)
-    val byFlag = Window.partitionBy(col("l_returnflag"))
-    // 2×mid-rank = 2·avg(row_number) over the tie class — integer-exact,
-    // and the ×2 (like any affine map) cancels in the correlation. The
-    // two row_number windows share one l_returnflag exchange; each tie-
-    // class mean re-keys on (flag, value).
-    val ranked = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_extendedprice"))
-      .withColumn("rnx", row_number().over(byFlag.orderBy(
-        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))))
-      .withColumn("rny", row_number().over(byFlag.orderBy(
-        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))))
-      .withColumn("rx", (avg(col("rnx")).over(
-        Window.partitionBy(col("l_returnflag"), col("l_quantity"))) * 2).cast(DD))
-      .withColumn("ry", (avg(col("rny")).over(
-        Window.partitionBy(col("l_returnflag"), col("l_extendedprice"))) * 2).cast(DD))
+    val base = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    // ONE 3-row min/max pass serves both rank columns (checkpointed so
+    // neither branch re-runs it); shard totals come straight off the raw
+    // rows (map-side-combinable ~32-group count), so the value histogram
+    // — the only cardinality-heavy aggregation — is instantiated ONCE
+    val bounds = base.groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("q0"), max(col("l_quantity")).as("q1"),
+        min(col("l_extendedprice")).as("e0"),
+        max(col("l_extendedprice")).as("e1"))
+      .localCheckpoint(true)
+    def ranks2(v: String, lo: String, hi: String, out: String) = {
+      val withPid = base.join(broadcast(bounds), "l_returnflag")
+        .withColumn("pid",
+          when(col(hi) <= col(lo), lit(0L)).otherwise(
+            least(lit(nShards - 1L),
+              floor((col(v) - col(lo)) * nShards / (col(hi) - col(lo))))))
+        .select(col("l_returnflag"), col(v), col("pid"))
+      val localW = Window.partitionBy(col("l_returnflag"), col("pid"))
+        .orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offW = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withPid.groupBy(col("l_returnflag"), col("pid"))
+        .agg(count(lit(1)).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(offW), lit(0L)))
+        .select(col("l_returnflag"), col("pid"), col("off"))
+      withPid.groupBy(col("l_returnflag"), col(v), col("pid"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("lc", sum(col("c")).over(localW))
+        .join(broadcast(offsets), Seq("l_returnflag", "pid"))
+        .withColumn(out, ((col("lc") + col("off")) * 2 - col("c") + 1).cast(DD))
+        .select(col("l_returnflag"), col(v), col(out))
+    }
+    val ranked = base
+      .join(ranks2("l_quantity", "q0", "q1", "rx"),
+        Seq("l_returnflag", "l_quantity"))
+      .join(ranks2("l_extendedprice", "e0", "e1", "ry"),
+        Seq("l_returnflag", "l_extendedprice"))
     val sx = sum(col("rx")).cast(DoubleType)
     val sy = sum(col("ry")).cast(DoubleType)
     val sxy = sum((col("rx") * col("ry")).cast(DecimalType(38, 0))).cast(DoubleType)
