@@ -345,17 +345,36 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0)
     val bandW = maxDist + 1
+    // character-class count filter (Ed-Join-family count filtering): one
+    // edit moves at most two class counts by one each, so
+    // lev(a,b) ≥ L1(hist_a, hist_b)/2 — a pure-arithmetic, codegen'd
+    // pruner that kills random-pair candidates long before the
+    // per-candidate DP kernel (which costs ~len·maxDist char ops each)
+    val classes = Seq("a-e", "f-m", "n-s", "t-z", "A-Z", "0-9", "\\s")
+    def hists(c: Column): Seq[Column] = {
+      val known = classes.map(cl =>
+        length(regexp_replace(c, s"[^$cl]", "")))
+      known :+ (length(c) - known.reduce(_ + _)) // residual class
+    }
     val d = docs.select(col("doc_id"), col("text"))
       .withColumn("len", length(col("text")))
-    val probe = d.withColumn("fband", floor(col("len") / bandW))
+    val probe = d
+      .select(Seq(col("doc_id"), col("text"), col("len")) ++
+        hists(col("text")).zipWithIndex.map { case (h, i) => h.as(s"h$i") }: _*)
+      .withColumn("fband", floor(col("len") / bandW))
       .withColumn("band", explode(array(col("fband"), col("fband") + 1)))
-    val build = d.select(col("doc_id").as("b_id"), col("text").as("b_text"),
-        col("len").as("b_len"))
+    val build = d
+      .select(Seq(col("doc_id").as("b_id"), col("text").as("b_text"),
+        col("len").as("b_len")) ++
+        hists(col("text")).zipWithIndex.map { case (h, i) => h.as(s"g$i") }: _*)
       .withColumn("band", floor(col("b_len") / bandW))
+    val l1 = (0 to classes.size)
+      .map(i => abs(col(s"h$i") - col(s"g$i"))).reduce(_ + _)
     probe.join(build, Seq("band"))
       .filter(when(col("fband") === col("band"), col("doc_id") < col("b_id"))
         .otherwise(lit(true)))
       .filter(abs(col("len") - col("b_len")) <= maxDist)
+      .filter(l1 <= 2 * maxDist)
       // threshold form = banded DP with early abandon: O(maxDist·len) per
       // candidate instead of O(len²); yields -1 past the threshold
       .withColumn("lev", levenshtein(col("text"), col("b_text"), maxDist))
