@@ -169,6 +169,12 @@ object SparkEntry {
     "recon_diff" ->
       ((s, dir) => graft.operators.Reconcile.reconOrders(s, dir)),
     "copurchase_pairs" -> Analytics.copurchasePairs _,
+    "graph_triangles" ->
+      ((s, dir) => graft.operators.Graph.copurchaseTriangles(s, dir)),
+    "text_feature_hash" ->
+      ((s, dir) => TextAnalysis.featureHash(s, dir)),
+    "text_bigram_logprob" -> TextAnalysis.bigramLogprob _,
+    "q17c_union_by_name" -> Relational.q17cUnionByName _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1083,6 +1089,39 @@ object SparkEntry {
         "c.o_totalprice AS price_a, n.o_totalprice AS price_b " +
         "FROM orders c FULL JOIN nxt n ON c.o_orderkey = n.o_orderkey) " +
         "WHERE change IS NOT NULL ORDER BY o_orderkey, change"),
+    // triangle census: definitional 3-way self-join (the Spark side uses
+    // the degree-ordered wedge-close algorithm; counts must agree)
+    "graph_triangles" ->
+      ("WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+        "WHERE l_partkey % 4 = 0), " +
+        "e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM i a " +
+        "JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "n AS (SELECT COUNT(DISTINCT x) AS c FROM " +
+        "(SELECT u AS x FROM e UNION ALL SELECT v FROM e)), " +
+        "m AS (SELECT COUNT(*) AS c FROM e), " +
+        "tr AS (SELECT COUNT(*) AS c FROM e e1 " +
+        "JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+        "SELECT n.c AS n_vertices, m.c AS n_edges, tr.c AS n_triangles FROM n, m, tr"),
+    "text_feature_hash" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents) " +
+        "SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % 32 AS bucket, " +
+        "COUNT(*) AS cnt FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket"),
+    "text_bigram_logprob" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 " +
+        "FROM d, unnest(range(1, len(toks))) AS r(i)), " +
+        "bf AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2), " +
+        "cf AS (SELECT w1, SUM(c2) AS c1 FROM bf GROUP BY w1), " +
+        "x AS (SELECT doc_id, CAST(round(-ln(CAST(c2 AS DOUBLE) / c1), 6) AS DECIMAL(20,10)) AS nll " +
+        "FROM bi JOIN bf USING (w1, w2) JOIN cf USING (w1)) " +
+        "SELECT doc_id, round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll, " +
+        "COUNT(*) AS n_bigrams FROM x GROUP BY doc_id ORDER BY doc_id"),
+    "q17c_union_by_name" ->
+      ("SELECT o_orderkey, o_totalprice, status FROM (" +
+        "SELECT o_orderkey, o_totalprice, '<absent>' AS status FROM orders WHERE o_orderkey % 2 = 0 " +
+        "UNION ALL BY NAME " +
+        "SELECT o_orderkey, o_totalprice, COALESCE(o_orderstatus, '<absent>') AS status " +
+        "FROM orders WHERE o_orderkey % 2 <> 0) ORDER BY o_orderkey"),
     "copurchase_pairs" ->
       ("WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
         "p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 FROM i a JOIN i b " +

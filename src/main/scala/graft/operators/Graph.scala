@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relational edge lists. Companion to
+  * the connected-components operator in Dedup (label propagation): this
+  * file covers the counting side.
+  *
+  * Triangle counting uses the degree-ordered orientation (the classic
+  * MapReduce formulation, cf. Suri & Vassilvitskii WWW'11 via PAPERS.md
+  * themes): orient every undirected edge from its (degree, id)-smaller
+  * endpoint, build wedges only from co-oriented out-edge pairs, and close
+  * them with ONE equi-join. Orientation bounds every out-degree by
+  * O(√m), so the wedge volume is Σ out-deg² = O(m^1.5) regardless of how
+  * skewed the raw degree distribution is — the whale-vertex hazard (a
+  * part in every basket) becomes a bounded cost instead of a d² blow-up.
+  */
+object Graph {
+
+  /** Wedge-close triangle count over any undirected edge list (u < v,
+    * distinct). Returns one row: vertices, edges, triangles.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id); carry the head's degree so downstream
+    // comparisons reuse the same total order without re-joining deg
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+    // wedges from out-edge pairs, smaller (deg, id) endpoint first — the
+    // closing edge, if present, is then oriented exactly x→y
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"), col("a.src") === col("b.src") &&
+        (col("a.dd") < col("b.dd") ||
+          (col("a.dd") === col("b.dd") && col("a.dst") < col("b.dst"))))
+      .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+    val tri = wedges.join(oriented.select("src", "dst"), Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
+
+  /** graph_triangles — triangle census of the co-purchase graph (parts
+    * linked when some order contains both), scoped to a quarter of the
+    * part space: the full testdata graph is unusually dense (avg degree
+    * ~120 at sf0.1 → ~10⁸ wedges), which stresses nothing the orientation
+    * bound doesn't already govern — the scoped census keeps the same
+    * plan shape at demo cost.
+    */
+  def copurchaseTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = items.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("v")),
+        "l_orderkey")
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    triangleStats(edges)
+  }
+}

@@ -495,4 +495,56 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("pair"))
       .limit(k)
   }
+
+  /** text_feature_hash — the hashing trick: tokens mapped to a fixed
+    * `dim`-bucket space by the md5 coin (deterministic, no vocabulary
+    * pass, no dictionary state — the property that matters at 100 TB:
+    * featurization is one map-side expression + one keyed count, and two
+    * runs or two clusters hash identically). Long-format output
+    * (doc, bucket, count) — the sparse form downstream trainers consume.
+    */
+  def featureHash(s: SparkSession, dir: String, dim: Int = 32): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("token").cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType), lit(dim.toLong)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  /** text_bigram_logprob — bigram-LM fluency scoring: per-document mean
+    * negative log P(w_i | w_{i-1}) with conditional probabilities from
+    * the corpus itself (KenLM-proxy one step up from unigramLogprob).
+    * Both count tables are vocabulary-/bigram-vocabulary-sized →
+    * broadcast; scoring is map-side generate → two hash probes → partial
+    * agg, with each term 6dp-quantized into an exact decimal sum
+    * (order-independent, the q10e/unigram recipe).
+    */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val pairExpr = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast(ArrayType(
+        StructType(Seq(StructField("w1", StringType),
+          StructField("w2", StringType))))))
+    val bi = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(pairExpr).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val biFreq = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // context totals derived from the bigram table, not a third token pass
+    val ctxFreq = biFreq.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bi.join(broadcast(biFreq), Seq("w1", "w2"))
+      .join(broadcast(ctxFreq), Seq("w1"))
+      .select(col("doc_id"),
+        round(-log(col("c2").cast(DoubleType) / col("c1")), 6)
+          .cast(DecimalType(20, 10)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("nll")).cast(DoubleType) / count(lit(1)), 6)
+        .as("avg_nll"), count(lit(1)).as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -882,6 +882,24 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Q17c — schema-evolution union (`unionByName` with missing-column
+    * fill): the v1 projection lacks the column v2 added, and the union
+    * resolves by NAME with nulls filled — the drop-over-drop ingestion
+    * case where batches arrive under different schema versions. (A
+    * positional UNION would silently mis-bind here.)
+    */
+  def q17cUnionByName(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val v1 = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        coalesce(col("o_orderstatus"), lit("<absent>")).as("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Q09c — CROSS JOIN (explicit cartesian): the one join type the Q04-Q09
     * family skips. Deliberately dimension × dimension (125 rows) — the
     * only plan where a cartesian is acceptable; Spark broadcasts the

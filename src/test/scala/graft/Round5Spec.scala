@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Quality, RangeJoin}
+import graft.operators.{Dedup, Quality, RangeJoin, TextAnalysis}
 import graft.queries.{Analytics, Relational, Windows}
 import graft.streaming.StreamingOps
 import graft.StreamingSpec.Ev
@@ -219,6 +219,46 @@ class Round5Spec extends SparkSpecBase {
       .as[(Double, Double, Long, Long)].collect().toSeq
     // med 3.5; adevs (2.5,1.5,0.5,0.5,1.5,96.5) → mad 1.5; fence 4.5 → 1
     assert(out == Seq((3.5, 1.5, 1L, 6L)))
+  }
+
+  // ---- graph ----
+
+  test("triangleStats golden: K4 + pendant, and a triangle-free star") {
+    import spark.implicits._
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) :+ (1L, 5L)
+    val out1 = graft.operators.Graph.triangleStats(k4.toDF("u", "v"))
+      .as[(Long, Long, Long)].collect().head
+    assert(out1 == ((5L, 7L, 4L))) // K4 has 4 triangles; pendant adds none
+    val star = (2L to 6L).map(i => (1L, i))
+    val out2 = graft.operators.Graph.triangleStats(star.toDF("u", "v"))
+      .as[(Long, Long, Long)].collect().head
+    assert(out2 == ((6L, 5L, 0L)))
+  }
+
+  // ---- feature hashing / bigram LM ----
+
+  test("featureHash: buckets in range, counts conserve token totals") {
+    import spark.implicits._
+    val out = TextAnalysis.featureHash(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 >= 0 && r._2 < 32))
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val want = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().filter(_._2 > 0).toMap
+    assert(perDoc == want)
+  }
+
+  test("bigramLogprob golden: hand-computed conditional NLL") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bigram").toString
+    Seq((1L, "a b a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.bigramLogprob(spark, tmp)
+      .select($"avg_nll", $"n_bigrams").as[(Double, Long)].collect().toSeq
+    // P(b|a)=1/2, P(a|b)=1, P(c|a)=1/2 → (0.693147+0+0.693147)/3
+    assert(out == Seq((0.462098, 3L)))
   }
 
   test("mid-rank Spearman matches the textbook value on a tied golden set") {
