@@ -49,5 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // window-rank top-k → bounded-heap aggregate (see plans.TopKRewrite
     // for the exact safety conditions)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // native AS-OF join physical operator (plans.NativeAsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.NativeAsOfJoin.AsOfStrategy)
   }
 }

@@ -71,6 +71,7 @@ object SparkEntry {
     "q06b_nulls" -> Relational.q06bNulls _,
     "q25_dedup_exact" -> Relational.q25DedupExact _,
     "q25b_asof_join" -> AsOfJoin.clickToSignup _,
+    "q25d_asof_native" -> AsOfJoin.clickToSignupNative _,
     "q25c_funnel" -> Relational.q25cFunnel _,
     "q26_cosine_topk" -> Similarity.q26CosineTopK _,
     "q26c_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.q26cFilteredTopK(s, d)),
@@ -207,6 +208,17 @@ object SparkEntry {
       |      FROM embeddings b, q, idx WHERE b.vec_id <> 0 GROUP BY b.vec_id)
       |SELECT vec_id, round(dot/(sqrt(nb)*sqrt(nq)), 6) AS score
       |FROM s ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin
+
+  /** DuckDB ASOF join — shared by the compositional (q25b) and native
+    * physical-operator (q25d) implementations.
+    */
+  private val asofOracle =
+    "SELECT c.event_id, c.user_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us, " +
+      "s.event_id AS signup_event_id, epoch_us(CAST(s.ts AS TIMESTAMP)) AS signup_ts_us " +
+      "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+      "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s " +
+      "ON c.user_id = s.user_id AND c.ts >= s.ts " +
+      "ORDER BY c.event_id"
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan" ->
@@ -492,13 +504,10 @@ object SparkEntry {
         " AND MIN(CASE WHEN event_type='click' THEN ts END) < MIN(CASE WHEN event_type='purchase' THEN ts END)) AS funnel_complete, " +
         "COUNT(CASE WHEN prev_type='click' AND event_type='purchase' THEN 1 END) AS click_then_purchase " +
         "FROM ev GROUP BY user_id ORDER BY user_id"),
-    "q25b_asof_join" ->
-      ("SELECT c.event_id, c.user_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us, " +
-        "s.event_id AS signup_event_id, epoch_us(CAST(s.ts AS TIMESTAMP)) AS signup_ts_us " +
-        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
-        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s " +
-        "ON c.user_id = s.user_id AND c.ts >= s.ts " +
-        "ORDER BY c.event_id"),
+    "q25b_asof_join" -> asofOracle,
+    // the native physical operator answers the same question as the
+    // compositional form — one oracle text, two implementations
+    "q25d_asof_native" -> asofOracle,
     "q26_cosine_topk" -> cosineTopkOracle,
     "q26c_filtered_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),

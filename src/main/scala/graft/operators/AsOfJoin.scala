@@ -72,4 +72,25 @@ object AsOfJoin {
         col("signup_event_id"), col("signup_ts_us"))
       .orderBy(col("event_id"))
   }
+
+  /** Same query through the NATIVE physical operator
+    * (plans.NativeAsOfJoin): identical semantics and oracle, one ordered
+    * merge instead of union + window + filter. Gate q25d_asof_native.
+    */
+  def clickToSignupNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("sid"), unix_micros(col("ts")).as("sts"))
+    graft.plans.NativeAsOfJoin.asOf(clicks, signups,
+        key = "user_id", ts = "ts", tiebreak = "sid",
+        rightPayload = Seq("sid" -> "signup_event_id",
+          "sts" -> "signup_ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("signup_event_id"), col("signup_ts_us"))
+      .orderBy(col("event_id"))
+  }
 }

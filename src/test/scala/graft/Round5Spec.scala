@@ -221,6 +221,43 @@ class Round5Spec extends SparkSpecBase {
     assert(out == Seq((3.5, 1.5, 1L, 6L)))
   }
 
+  // ---- native as-of join (custom SparkPlan) ----
+
+  test("native as-of ≡ compositional as-of on the testdata") {
+    val a = graft.operators.AsOfJoin.clickToSignup(spark, sfDir)
+    val b = graft.operators.AsOfJoin.clickToSignupNative(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == b.count() && a.count() > 0)
+  }
+
+  test("native as-of plans AsOfJoinExec: no window, one exchange per side") {
+    val q = graft.operators.AsOfJoin.clickToSignupNative(spark, sfDir)
+    q.collect() // finalize AQE
+    // AQE prints Final + Initial sections; assert on the final plan only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin ")) // AsOfJoinExec renders sans suffix
+    assert(!plan.contains("Window"), "native form must not fall back to window")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges\n$plan")
+  }
+
+  test("native as-of golden: ties, tiebreak, unmatched, right-only keys") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (2L, 30L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 5L), (1L, 10L, 6L), (1L, 15L, 7L),
+      (1L, 25L, 9L), (3L, 1L, 8L))
+      .toDF("k", "t", "rid")
+    val out = graft.plans.NativeAsOfJoin
+      .asOf(left, right, key = "k", ts = "t", tiebreak = "rid",
+        rightPayload = Seq("rid" -> "matched_rid"))
+      .select($"tag", $"matched_rid".cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(out("l1") == "6")  // same-ts rows visible; larger tiebreak wins
+    assert(out("l2") == "7")  // 15 <= 20 < 25
+    assert(out("l3") == null) // key 2 has no right rows; key 3 ignored
+  }
+
   // ---- graph ----
 
   test("triangleStats golden: K4 + pendant, and a triangle-free star") {
