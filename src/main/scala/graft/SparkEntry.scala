@@ -176,6 +176,10 @@ object SparkEntry {
       ((s, dir) => TextAnalysis.featureHash(s, dir)),
     "text_bigram_logprob" -> TextAnalysis.bigramLogprob _,
     "q17c_union_by_name" -> Relational.q17cUnionByName _,
+    "q30c_sliding_distinct" -> Windows.q30cSlidingDistinct _,
+    "q30d_trending" -> Windows.q30dTrending _,
+    "q10l_corr_matrix" -> Relational.q10lCorrMatrix _,
+    "q04d_join_hints" -> Relational.q04dJoinHints _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1066,6 +1070,43 @@ object SparkEntry {
         "FROM s ORDER BY l_returnflag"),
     "q09c_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    // trailing 7-day distinct actives: range-join definitional form
+    "q30c_sliding_distinct" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day FROM events), " +
+        "days AS (SELECT DISTINCT day FROM ud), " +
+        "x AS (SELECT DISTINCT ud.user_id, d.day AS wday FROM ud JOIN days d " +
+        "ON d.day BETWEEN ud.day AND ud.day + 6) " +
+        "SELECT wday AS day, COUNT(*) AS n_users FROM x GROUP BY wday ORDER BY day"),
+    "q30d_trending" ->
+      ("WITH c AS (SELECT epoch_us(time_bucket(INTERVAL 10 minutes, CAST(ts AS TIMESTAMP))) AS w_start, " +
+        "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY w_start ORDER BY cnt DESC, event_type) AS rk FROM c) " +
+        "SELECT w_start, CAST(rk AS BIGINT) AS rk, event_type, cnt FROM r " +
+        "WHERE rk <= 2 ORDER BY w_start, rk"),
+    "q10l_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def d(c: String) = s"CAST($c AS DECIMAL(12,2))"
+      val prs = for { i <- cs.indices; j <- (i + 1) until cs.size }
+        yield (cs(i), cs(j))
+      val sums = cs.map(c => s"CAST(SUM(${d(c)}) AS DOUBLE) AS s_$c") ++
+        cs.map(c => s"CAST(SUM(${d(c)} * ${d(c)}) AS DOUBLE) AS q_$c") ++
+        prs.map { case (a, b) =>
+          s"CAST(SUM(${d(a)} * ${d(b)}) AS DOUBLE) AS x_${a}_$b" } :+
+        "CAST(COUNT(*) AS DOUBLE) AS n"
+      val arms = prs.map { case (a, b) =>
+        s"SELECT '$a' AS var_a, '$b' AS var_b, " +
+          s"round((n * x_${a}_$b - s_$a * s_$b) / " +
+          s"sqrt((n * q_$a - s_$a * s_$a) * (n * q_$b - s_$b * s_$b)), 6) AS corr FROM s" }
+      s"WITH s AS (SELECT ${sums.mkString(", ")} FROM lineitem) " +
+        arms.mkString(" UNION ALL ") + " ORDER BY var_a, var_b"
+    },
+    // the hint changes the physical strategy, never the rows
+    "q04d_join_hints" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // the bitmap two-level pattern is Spark-side plumbing; the oracle is
     // the definitional COUNT(DISTINCT)
     "q11c_bitmap_distinct" ->

@@ -882,6 +882,58 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Q10l — pairwise correlation MATRIX of four lineitem measures in ONE
+    * scan: all 4 sums, 4 sums-of-squares, and 6 cross-products accumulate
+    * in a single map-side-combined aggregation (exact decimals, q10e
+    * recipe), and the 6 matrix entries project off that one row. The
+    * naive form runs corr() 6 times = 6 scans; feature-correlation
+    * screens at 100 TB live or die on this collapse.
+    */
+  def q10lCorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def sName(c: String) = s"s_$c"
+    def qName(c: String) = s"q_$c"
+    def xName(a: String, b: String) = s"x_${a}_$b"
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.map(c => sum(col(c).cast(D)).cast(DoubleType).as(sName(c))) ++
+      cols.map(c => sum((col(c).cast(D) * col(c).cast(D))).cast(DoubleType)
+        .as(qName(c))) ++
+      pairs.map { case (a, b) =>
+        sum((col(a).cast(D) * col(b).cast(D))).cast(DoubleType)
+          .as(xName(a, b)) } :+
+      count(lit(1)).cast(DoubleType).as("n")
+    val one = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        round((col("n") * col(xName(a, b)) - col(sName(a)) * col(sName(b))) /
+          sqrt((col("n") * col(qName(a)) - col(sName(a)) * col(sName(a))) *
+            (col("n") * col(qName(b)) - col(sName(b)) * col(sName(b)))), 6)
+          .as("corr"))
+    }
+    one.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.var_a").as("var_a"), col("e.var_b").as("var_b"),
+        col("e.corr").as("corr"))
+      .orderBy(col("var_a"), col("var_b"))
+  }
+
+  /** Q04d — join-strategy hints: the same orders⋈customer aggregation
+    * with the build side explicitly hinted SHUFFLE_HASH (plan-asserted in
+    * Round5Spec; the MERGE variant is asserted there too). Hints matter
+    * operationally at scale: a sort-merge join of two pre-bucketed or
+    * hash-favorable inputs wastes two sorts, and AQE can't always see it.
+    */
+  def q04dJoinHints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer").hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast(DoubleType).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
   /** Q17c — schema-evolution union (`unionByName` with missing-column
     * fill): the v1 projection lacks the column v2 added, and the union
     * resolves by NAME with nulls filled — the drop-over-drop ingestion

@@ -65,6 +65,50 @@ object Windows {
       .orderBy(col("w_start"), col("w_end"))
   }
 
+  /** Q30c — trailing 7-day DISTINCT users per day (the DAU/WAU family).
+    * A naive sliding `COUNT(DISTINCT)` re-scans the window per day; the
+    * scalable form materializes (user, active-day) once, explodes each
+    * activity into the ≤7 trailing windows it is visible in (bounded
+    * map-side fan-out), and distinct-counts per window day — three keyed
+    * shuffles, none proportional to window-length × rows.
+    */
+  def q30cSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    ud.withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+      .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+      .select(col("user_id"), col("wday")).distinct()
+      .groupBy(col("wday")).agg(count(lit(1)).as("n_users"))
+      .withColumnRenamed("wday", "day")
+      .orderBy(col("day"))
+  }
+
+  /** Q30d — trending items per window: top-2 event types by count in
+    * each 10-minute tumbling window (tie-break on type name). Composition
+    * of the window aggregation with per-window ranking; the per-window
+    * rank input is already collapsed to ≤|event types| rows per window,
+    * so the window function sorts tiny groups.
+    */
+  def q30dTrending(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("w.start")).as("w_start"), col("event_type"),
+        col("cnt"))
+    counts
+      .withColumn("rk", row_number().over(Window.partitionBy(col("w_start"))
+        .orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rk") <= 2)
+      .select(col("w_start"), col("rk").cast(LongType).as("rk"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("w_start"), col("rk"))
+  }
+
   /** Q31b (batch) — session windows per user, 30 s gap. */
   def q31Session(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

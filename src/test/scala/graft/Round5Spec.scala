@@ -221,6 +221,75 @@ class Round5Spec extends SparkSpecBase {
     assert(out == Seq((3.5, 1.5, 1L, 6L)))
   }
 
+  // ---- sliding distinct / corr matrix / hints / trending ----
+
+  test("slidingDistinct golden: trailing-7-day membership on a temp table") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // user 1 active day 0 and day 10, user 2 active days 0 and 1
+    val df = Seq((1L, 0L), (1L, 10L), (2L, 0L), (2L, 1L)).zipWithIndex
+      .map { case ((u, d), i) => (i.toLong, u, d * dayNs + 1000L) }
+      .toDF("event_id", "user_id", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("sliding").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Windows.q30cSlidingDistinct(spark, tmp)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 2L, 1L -> 2L, 10L -> 1L))
+  }
+
+  test("slidingDistinct ≡ naive per-day COUNT DISTINCT over the range") {
+    import spark.implicits._
+    val got = Windows.q30cSlidingDistinct(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val ud = graft.Tables.t(spark, sfDir, "events")
+      .select($"user_id", (unix_micros($"ts") / 86400000000L).cast("long").as("day"))
+      .distinct().as[(Long, Long)].collect()
+    val days = ud.map(_._2).distinct
+    val naive = days.map(d =>
+      d -> ud.filter(r => r._2 >= d - 6 && r._2 <= d).map(_._1).distinct.length.toLong).toMap
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("corr matrix: 6 unique ordered pairs, all within [-1, 1]") {
+    import spark.implicits._
+    val out = Relational.q10lCorrMatrix(spark, sfDir)
+      .as[(String, String, Double)].collect()
+    assert(out.length == 6)
+    assert(out.map(r => (r._1, r._2)).distinct.length == 6)
+    assert(out.forall(r => r._1 != r._2 && math.abs(r._3) <= 1.0))
+  }
+
+  test("join hints force the hinted physical strategy") {
+    val shuffle = Relational.q04dJoinHints(spark, sfDir)
+    shuffle.collect()
+    val p1 = shuffle.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p1.contains("ShuffledHashJoin"), p1)
+    val merge = graft.Tables.t(spark, sfDir, "orders")
+      .join(graft.Tables.t(spark, sfDir, "customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+    merge.collect()
+    val p2 = merge.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p2.contains("SortMergeJoin"), p2)
+  }
+
+  test("overlapBanded ≡ naive on 200 seeded random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def mk(n: Int, tag: Long) = Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(1000).toLong
+      (tag * 1000 + i, s, s + 1 + rnd.nextInt(80))
+    }
+    val a = mk(200, 1L).toDF("a_id", "a_s", "a_e")
+    val b = mk(200, 2L).toDF("b_id", "b_s", "b_e")
+    val naive = a.crossJoin(b).filter($"a_s" < $"b_e" && $"b_s" < $"a_e")
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    val got = RangeJoin.overlapBanded(a, "a_s", "a_e", b, "b_s", "b_e", 50L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == naive && got.nonEmpty)
+  }
+
   // ---- native as-of join (custom SparkPlan) ----
 
   test("native as-of ≡ compositional as-of on the testdata") {
