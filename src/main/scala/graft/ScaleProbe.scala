@@ -112,6 +112,51 @@ object ScaleProbe {
       li.select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
       "l_quantity", "l_extendedprice")
 
+    // Spearman: 3 fixed groups with k× rows — the histogram-prefix-sum
+    // rank path must NOT degrade to per-group sorts as groups grow
+    def spear(li: DataFrame) = queries.Relational.spearmanOf(
+      li.select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")))
+
+    // edit-distance dedup: replicas padded to length gaps > maxDist so
+    // the length-band blocking keeps replicas apart (linear candidates);
+    // same-length replicas would BE near-dups (quadratic by construction)
+    val docsLev1 = docs1.localCheckpoint(true)
+    val docsLevK = (0 until k).map { r =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000L))
+        .withColumn("text", concat(col("text"), lit("x" * (6 * r))))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    def lev(docs: DataFrame) = operators.Dedup.editDistancePairs(docs, 4)
+
+    // interval overlap: 2-minute activity spans banded at 4 minutes
+    def overlap(e: DataFrame) = {
+      val iv = e.select(col("user_id"), unix_micros(col("ts")).as("s"))
+        .withColumn("t", col("s") + 120000000L)
+      val a = iv.filter(col("user_id") % 2 === 0)
+        .select(col("user_id").as("ua"), col("s").as("a_s"), col("t").as("a_e"))
+      val b = iv.filter(col("user_id") % 2 =!= 0)
+        .select(col("user_id").as("ub"), col("s").as("b_s"), col("t").as("b_e"))
+      operators.RangeJoin.overlapBanded(a, "a_s", "a_e", b, "b_s", "b_e",
+        240000000L)
+    }
+
+    // triangles: disjoint replica graphs (both keys offset) — expect
+    // near-linear; the orientation bound keeps wedge volume O(m^1.5)
+    val liG1 = Tables.t(spark, dir, "lineitem")
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey")).localCheckpoint(true)
+    val liGK = replicate(Tables.t(spark, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey")), k,
+      Seq("l_orderkey", "l_partkey"), 10000000L).localCheckpoint(true)
+    def tri(items0: DataFrame) = {
+      val items = items0.distinct()
+      val edges = items.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("v")),
+          "l_orderkey")
+        .filter(col("u") < col("v")).select(col("u"), col("v")).distinct()
+      operators.Graph.triangleStats(edges)
+    }
+
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
       ("topk_window", time(noop(topkWin(o1))), time(noop(topkWin(oK)))),
@@ -122,6 +167,10 @@ object ScaleProbe {
       ("ts_gapfill", time(noop(gapfill(e1))), time(noop(gapfill(eK)))),
       ("percentile", time(noop(pctl(li1))), time(noop(pctl(liK)))),
       ("temp_mix", time(noop(mix(docs1c))), time(noop(mix(docsK)))),
+      ("spearman", time(noop(spear(li1))), time(noop(spear(liK)))),
+      ("edit_distance", time(noop(lev(docsLev1))), time(noop(lev(docsLevK)))),
+      ("interval_ovlp", time(noop(overlap(e1))), time(noop(overlap(eK)))),
+      ("triangles", time(noop(tri(liG1))), time(noop(tri(liGK)))),
       ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>

@@ -976,12 +976,18 @@ object Relational {
     * engine-varying float enters the aggregation (shard ids affect only
     * partitioning, not values).
     */
-  def q10jSpearman(s: SparkSession, dir: String, nShards: Int = 32): DataFrame = {
+  def q10jSpearman(s: SparkSession, dir: String, nShards: Int = 32): DataFrame =
+    spearmanOf(t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+      nShards)
+
+  /** Library-facing form over any (l_returnflag, l_quantity,
+    * l_extendedprice)-shaped frame (also the ScaleProbe entry).
+    */
+  def spearmanOf(base: DataFrame, nShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 19,0: two 19-digit operands multiply within DuckDB's 38-digit cap
     val DD = DecimalType(19, 0)
-    val base = t(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
     // ONE 3-row min/max pass serves both rank columns (checkpointed so
     // neither branch re-runs it); shard totals come straight off the raw
     // rows (map-side-combinable ~32-group count), so the value histogram
