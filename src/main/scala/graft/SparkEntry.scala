@@ -180,6 +180,11 @@ object SparkEntry {
     "q30d_trending" -> Windows.q30dTrending _,
     "q10l_corr_matrix" -> Relational.q10lCorrMatrix _,
     "q04d_join_hints" -> Relational.q04dJoinHints _,
+    "mix_pps_sample" ->
+      ((s, dir) => graft.operators.Mixing.ppsSample(s, dir)),
+    // approximate (HLL) — no oracle, spec envelope vs the exact q30c
+    "sketch_sliding_users" ->
+      ((s, dir) => graft.operators.SketchRollup.slidingUserSketches(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1101,6 +1106,17 @@ object SparkEntry {
       s"WITH s AS (SELECT ${sums.mkString(", ")} FROM lineitem) " +
         arms.mkString(" UNION ALL ") + " ORDER BY var_a, var_b"
     },
+    // systematic PPS sampling: integer-exact hits on the cumulative
+    // weight axis (the oracle's global window is the naive form the
+    // Spark side's distributed prefix-sum avoids)
+    "mix_pps_sample" ->
+      ("WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w FROM documents), " +
+        "c AS (SELECT doc_id, w, SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d), " +
+        "t AS (SELECT SUM(w) AS tot FROM d) " +
+        "SELECT doc_id, w, CAST(cum AS BIGINT) AS cum, " +
+        "CAST(cum // (tot // 50) - (cum - w) // (tot // 50) AS BIGINT) AS hits " +
+        "FROM c, t WHERE cum // (tot // 50) > (cum - w) // (tot // 50) " +
+        "ORDER BY doc_id"),
     // the hint changes the physical strategy, never the rows
     "q04d_join_hints" ->
       ("SELECT c_mktsegment, COUNT(*) AS n_orders, " +

@@ -93,4 +93,50 @@ object Mixing {
         round(col("__w"), 6).as("keep_w"))
       .orderBy(col("doc_id"))
   }
+
+  /** mix_pps_sample — weighted (probability-proportional-to-size)
+    * SYSTEMATIC sampling: walk the cumulative weight axis and take a hit
+    * at every multiple of step = totalW div m. Selection probability is
+    * ∝ weight, heavy docs can be drawn multiple times (`hits` > 1 when
+    * w > step), and — unlike exponential-key A-ES reservoirs — the whole
+    * decision is INTEGER arithmetic on character counts, so there is no
+    * libm-ulp dependence anywhere (the mix_temperature lesson).
+    *
+    * The cumulative sum is the ts_concurrency distributed prefix-sum
+    * (fixed doc-id shards → per-shard cumsum → P-row offset broadcast):
+    * no global-window single task, which is what a naive
+    * `SUM() OVER (ORDER BY doc_id)` costs at 100 TB. The sampling anchor
+    * is deterministic (offset 0) — production would draw one random
+    * offset per run.
+    */
+  def ppsSample(s: SparkSession, dir: String, m: Int = 50,
+      nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+    val bounds = d.agg(min(col("doc_id")).as("d0"),
+        (max(col("doc_id")) - min(col("doc_id")) + 1).as("span"),
+        sum(col("w")).as("tot"))
+      .localCheckpoint(true) // one row; two consumers below
+    val sharded = d.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        expr(s"((doc_id - d0) * $nShards) div span"))
+    val localW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("pid")).agg(sum(col("w")).as("t"))
+      .withColumn("off", coalesce(sum(col("t")).over(offW), lit(0L)))
+      .select(col("pid"), col("off"))
+    sharded
+      .withColumn("lc", sum(col("w")).over(localW))
+      .join(broadcast(offsets), "pid")
+      .withColumn("cum", col("lc") + col("off"))
+      .withColumn("step", expr(s"tot div $m"))
+      .withColumn("hits",
+        expr("(cum div step) - ((cum - w) div step)"))
+      .filter(col("hits") > 0)
+      .select(col("doc_id"), col("w"), col("cum"), col("hits"))
+      .orderBy(col("doc_id"))
+  }
 }

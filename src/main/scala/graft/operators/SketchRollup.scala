@@ -48,4 +48,30 @@ object SketchRollup {
       .select(unix_micros(col("week")).as("week_us"), col("event_type"),
         col("approx_users"), col("n_events"))
       .orderBy(col("week_us"), col("event_type"))
+
+  /** sketch_sliding_users — the approximate path for the trailing-7-day
+    * distinct-user series (q30c's exact twin): ONE day-grain sketch per
+    * day, each sliding window merges its ≤7 fixed-size sketch buffers.
+    * Where the exact form re-shuffles (user, window) pairs — ×7 the
+    * distinct activity volume — this moves 7 × 16KB per window
+    * regardless of user cardinality: the only DAU/WAU shape that
+    * survives when users number in the billions. Approximate by contract
+    * (like q12/sketch_rollup) → spec envelope vs q30c + rows-only gate.
+    */
+  def slidingUserSketches(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val daily = t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val days = daily.select(col("day")).distinct()
+    daily
+      .withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+      .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+      .groupBy(col("wday"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .withColumnRenamed("wday", "day")
+      .orderBy(col("day"))
+  }
 }

@@ -290,6 +290,40 @@ class Round5Spec extends SparkSpecBase {
     assert(got == naive && got.nonEmpty)
   }
 
+  // ---- PPS systematic sampling ----
+
+  test("ppsSample: hit totals, heavy-doc guarantee, shard invariance") {
+    import spark.implicits._
+    val base = graft.operators.Mixing.ppsSample(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val d = graft.Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", length($"text").cast("long")).as[(Long, Long)].collect()
+    val tot = d.map(_._2).sum; val step = tot / 50
+    assert(base.map(_._4).sum == tot / step) // every multiple of step hits
+    // any doc at least one full step wide must be selected
+    val heavy = d.filter(_._2 >= step).map(_._1).toSet
+    assert(heavy.subsetOf(base.map(_._1).toSet))
+    // selection is ∝ weight by construction and shard-count-invariant
+    for (shards <- Seq(1, 5, 32)) {
+      val alt = graft.operators.Mixing.ppsSample(spark, sfDir, nShards = shards)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(alt == base, s"nShards=$shards")
+    }
+  }
+
+  test("sliding sketch estimates track the exact sliding distinct within 5%") {
+    import spark.implicits._
+    val exact = Windows.q30cSlidingDistinct(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val approx = graft.operators.SketchRollup.slidingUserSketches(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet && exact.nonEmpty)
+    exact.foreach { case (d, n) =>
+      assert(math.abs(approx(d) - n) <= math.max(1L, (0.05 * n).toLong),
+        s"day $d: exact $n approx ${approx(d)}")
+    }
+  }
+
   // ---- native as-of join (custom SparkPlan) ----
 
   test("native as-of ≡ compositional as-of on the testdata") {
