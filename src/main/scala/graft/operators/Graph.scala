@@ -22,7 +22,12 @@ object Graph {
   /** Wedge-close triangle count over any undirected edge list (u < v,
     * distinct). Returns one row: vertices, edges, triangles.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges0: DataFrame): DataFrame = {
+    // materialize the edge list and the oriented form: oriented feeds
+    // three consumers (both wedge sides + the closing join) and would
+    // otherwise re-run the whole upstream per consumer (the simhash
+    // materialize-before-self-join lesson)
+    val edges = edges0.localCheckpoint(true)
     val deg = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -39,6 +44,7 @@ object Graph {
             struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint(true)
     // wedges from out-edge pairs, smaller (deg, id) endpoint first — the
     // closing edge, if present, is then oriented exactly x→y
     val wedges = oriented.as("a")

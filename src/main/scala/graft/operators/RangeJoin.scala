@@ -81,6 +81,9 @@ object RangeJoin {
     * dedup). Explosion factor is interval width / band, so pick `band` ≥
     * the typical width. OSS Spark plans the bare predicate as a
     * nested-loop — O(|A|·|B|) — this is the scale-safe shape.
+    * Intervals must be non-empty (`s < e`, half-open): a degenerate
+    * [s, s) row band-explodes descending and can still satisfy the
+    * strict predicate against an interval containing s.
     */
   def overlapBanded(a: DataFrame, aS: String, aE: String,
       b: DataFrame, bS: String, bE: String, band: Long): DataFrame = {
