@@ -117,6 +117,10 @@ object SparkEntry {
     "q28b_cohort" -> Analytics.q28bCohort _,
     "sql_tpch_q3" -> Analytics.sqlTpchQ3 _,
     "sql_tpch_q5" -> Analytics.sqlTpchQ5 _,
+    "sql_tpch_q1" -> Analytics.sqlTpchQ1 _,
+    "sql_tpch_q6" -> Analytics.sqlTpchQ6 _,
+    "sql_tpch_q10" -> Analytics.sqlTpchQ10 _,
+    "sql_tpch_q18" -> Analytics.sqlTpchQ18 _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
@@ -971,6 +975,10 @@ object SparkEntry {
     // fidelity is part of the check)
     "sql_tpch_q3" -> Analytics.tpchQ3Sql,
     "sql_tpch_q5" -> Analytics.tpchQ5Sql,
+    "sql_tpch_q1" -> Analytics.tpchQ1Sql,
+    "sql_tpch_q6" -> Analytics.tpchQ6Sql,
+    "sql_tpch_q10" -> Analytics.tpchQ10Sql,
+    "sql_tpch_q18" -> Analytics.tpchQ18Sql,
     "text_decontam" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS s FROM d), " +

@@ -67,6 +67,84 @@ object Analytics {
     s.sql(tpchQ5Sql)
   }
 
+  /** TPC-H Q1 verbatim (pricing summary): the canonical wide-aggregate
+    * scan — 8 aggregates, 2 group keys, one partial-agg shuffle.
+    */
+  val tpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
+      |           (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 verbatim (forecast revenue change): the pure-scan filter
+    * aggregate — every predicate pushes to the parquet reader.
+    */
+  val tpchQ6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q18 verbatim (large-volume customers): HAVING-subquery over a
+    * fact aggregation feeding a 3-way join — the aggregate-then-semi-join
+    * decorrelation exercise.
+    */
+  val tpchQ18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(90 AS DECIMAL(12,2)))
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item reporting, adapted to the available
+    * customer columns): fact-side filter + 4-way join + top-20 by lost
+    * revenue.
+    */
+  val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  private def runSql(s: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(sql)
+  }
+  def sqlTpchQ1(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ1Sql)
+  def sqlTpchQ6(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ6Sql)
+  def sqlTpchQ10(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ10Sql)
+  def sqlTpchQ18(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ18Sql)
+
   /** Weekly cohort retention over `events`: users grouped by first-active
     * week, activity counted per (cohort, weeks-since-cohort). Two keyed
     * aggregations + one equi-join on user_id — the classic product-
