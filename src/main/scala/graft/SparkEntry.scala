@@ -73,6 +73,7 @@ object SparkEntry {
     "q25b_asof_join" -> AsOfJoin.clickToSignup _,
     "q25d_asof_native" -> AsOfJoin.clickToSignupNative _,
     "q25c_funnel" -> Relational.q25cFunnel _,
+    "q25e_funnel_windowed" -> Relational.q25eFunnelWindowed _,
     "q26_cosine_topk" -> Similarity.q26CosineTopK _,
     "q26c_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.q26cFilteredTopK(s, d)),
     "q26_ann_lsh" -> Similarity.annLsh _,
@@ -518,6 +519,16 @@ object SparkEntry {
         "COUNT(CASE WHEN prev_type='click' AND event_type='purchase' THEN 1 END) AS click_then_purchase " +
         "FROM ev GROUP BY user_id ORDER BY user_id"),
     "q25b_asof_join" -> asofOracle,
+    "q25e_funnel_windowed" ->
+      ("WITH ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tu, " +
+        "LAG(event_type) OVER w AS prev_type, " +
+        "LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_tu " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "SELECT user_id, COUNT(*) AS n_fast_conversions, " +
+        "MIN(tu - prev_tu) AS min_latency_us " +
+        "FROM ev WHERE prev_type = 'click' AND event_type = 'purchase' " +
+        "AND tu - prev_tu <= 120000000 " +
+        "GROUP BY user_id ORDER BY user_id"),
     // the native physical operator answers the same question as the
     // compositional form — one oracle text, two implementations
     "q25d_asof_native" -> asofOracle,

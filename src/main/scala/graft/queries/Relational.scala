@@ -659,6 +659,28 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Q25e — TIME-CONSTRAINED sequence detection (the within-interval CEP
+    * pattern Flink writes as MATCH_RECOGNIZE / interval joins): adjacent
+    * click→purchase transitions that complete within 2 minutes, with
+    * per-user conversion latency. Same one-key-shuffle window as q25c —
+    * the time bound is a map-side filter on the lagged timestamp, no
+    * extra shuffle, no self-join.
+    */
+  def q25eFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_type") === "click" && col("event_type") === "purchase")
+      .withColumn("latency_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .filter(col("latency_us") <= 120000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_fast_conversions"),
+        min(col("latency_us")).as("min_latency_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Q25 — exact dedup: latest event per (user_id, event_type), the
     * window-rank form of `dropDuplicates` (reference extension; SURVEY.md
     * §2.3 Q25). Timestamps exported as epoch micros so DuckDB's ns
