@@ -356,17 +356,22 @@ object Dedup {
         length(regexp_replace(c, s"[^$cl]", "")))
       known :+ (length(c) - known.reduce(_ + _)) // residual class
     }
-    val d = docs.select(col("doc_id"), col("text"))
-      .withColumn("len", length(col("text")))
-    val probe = d
-      .select(Seq(col("doc_id"), col("text"), col("len")) ++
+    // ONE histogram projection, materialized: it feeds both join sides,
+    // and without the barrier the inferred not-null filter on the join
+    // attributes pushes BELOW this projection and re-inlines all eight
+    // regexes into the filter condition (computed twice per row per side)
+    val d = docs
+      .select(Seq(col("doc_id"), col("text"),
+        length(col("text")).as("len")) ++
         hists(col("text")).zipWithIndex.map { case (h, i) => h.as(s"h$i") }: _*)
+      .localCheckpoint(true)
+    val probe = d
       .withColumn("fband", floor(col("len") / bandW))
       .withColumn("band", explode(array(col("fband"), col("fband") + 1)))
     val build = d
       .select(Seq(col("doc_id").as("b_id"), col("text").as("b_text"),
         col("len").as("b_len")) ++
-        hists(col("text")).zipWithIndex.map { case (h, i) => h.as(s"g$i") }: _*)
+        (0 until classes.size + 1).map(i => col(s"h$i").as(s"g$i")): _*)
       .withColumn("band", floor(col("b_len") / bandW))
     val l1 = (0 to classes.size)
       .map(i => abs(col(s"h$i") - col(s"g$i"))).reduce(_ + _)
