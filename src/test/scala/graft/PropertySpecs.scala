@@ -215,6 +215,73 @@ object TopKAggProps extends Properties("TopKByValue") {
     }
 }
 
+/** The recall-losslessness theorem behind Dedup.editDistancePairs'
+  * pruning: every edit moves at most two character-class counts by one
+  * each, so lev(a,b) ≥ L1(hist(a), hist(b))/2 and ≥ |len(a)−len(b)| —
+  * checked against an independent textbook DP implementation. If these
+  * bounds ever failed, the count/band filters would silently drop true
+  * pairs.
+  */
+object EditDistanceBoundProps extends Properties("EditDistanceBounds") {
+
+  private val classes = Seq(('a', 'e'), ('f', 'm'), ('n', 's'), ('t', 'z'),
+    ('A', 'Z'), ('0', '9'))
+  private def hist(s: String): Array[Int] = {
+    val h = new Array[Int](classes.size + 2)
+    s.foreach { c =>
+      val i = classes.indexWhere { case (lo, hi) => c >= lo && c <= hi }
+      if (i >= 0) h(i) += 1
+      else if (c.isWhitespace) h(classes.size) += 1
+      else h(classes.size + 1) += 1
+    }
+    h
+  }
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  private val genS = Gen.listOf(Gen.frequency(
+    (8, Gen.alphaNumChar), (1, Gen.const(' ')), (1, Gen.const('!'))))
+    .map(_.mkString.take(60))
+
+  property("lev ≥ L1(class hist)/2 and lev ≥ |Δlen|") =
+    forAll(genS, genS) { (a, b) =>
+      val l1 = hist(a).zip(hist(b)).map { case (x, y) => math.abs(x - y) }.sum
+      val d = lev(a, b)
+      d * 2 >= l1 && d >= math.abs(a.length - b.length)
+    }
+}
+
+/** Systematic-PPS hit arithmetic (Mixing.ppsSample): hits over the
+  * cumulative axis partition the multiples of `step`, and every item at
+  * least one step wide is hit.
+  */
+object PpsSampleProps extends Properties("PpsSample") {
+
+  private val genW = Gen.nonEmptyListOf(Gen.chooseNum(1L, 1000L)).map(_.take(200))
+
+  property("hit totals partition tot div step; heavy items always hit") =
+    forAll(genW, Gen.chooseNum(1, 50)) { (ws, m) =>
+      val tot = ws.sum
+      val step = math.max(1L, tot / m)
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val hits = ws.zip(cums).map { case (w, c) => c / step - (c - w) / step }
+      hits.sum == tot / step &&
+        ws.zip(hits).forall { case (w, h) => w < step || h >= 1 } &&
+        hits.forall(_ >= 0)
+    }
+}
+
 object SimhashMapSideProps extends Properties("SimhashHelper") {
   import graft.functions.HyperplaneBucket
 

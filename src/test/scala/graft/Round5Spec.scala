@@ -363,6 +363,24 @@ class Round5Spec extends SparkSpecBase {
 
   // ---- graph ----
 
+  test("triangleStats ≡ brute force on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 30
+    val edges = (for {
+      u <- 1 to n; v <- (u + 1) to n if rnd.nextDouble() < 0.25
+    } yield (u.toLong, v.toLong)).toSeq
+    val eset = edges.toSet
+    val brute = (for {
+      a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+      if eset((a.toLong, b.toLong)) && eset((b.toLong, c.toLong)) &&
+        eset((a.toLong, c.toLong))
+    } yield 1).size.toLong
+    val got = graft.operators.Graph.triangleStats(edges.toDF("u", "v"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got._2 == edges.size.toLong && got._3 == brute && brute > 0)
+  }
+
   test("triangleStats golden: K4 + pendant, and a triangle-free star") {
     import spark.implicits._
     val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) :+ (1L, 5L)
