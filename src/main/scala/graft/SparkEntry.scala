@@ -59,6 +59,7 @@ object SparkEntry {
     "q21_arrays" -> Relational.q21Arrays _,
     "q21_explode" -> Relational.q21Explode _,
     "q21c_higher_order" -> Relational.q21cHigherOrder _,
+    "q21e_array_fns" -> Relational.q21eArrayFns _,
     "q21d_struct" -> Relational.q21dStruct _,
     "q19c_parse" -> Relational.q19cParse _,
     "q22_maps" -> Relational.q22Maps _,
@@ -473,6 +474,19 @@ object SparkEntry {
         "round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b), 4) AS l1, " +
         "round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS head8_sum " +
         "FROM embeddings ORDER BY vec_id"),
+    "q21e_array_fns" ->
+      ("WITH d AS (SELECT vec_id, " +
+        "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 10) AS BIGINT) for i in range(1, 7)] AS a " +
+        "FROM embeddings) " +
+        "SELECT vec_id, " +
+        "array_to_string(list_sort(a), ',') AS sorted_a, " +
+        "array_to_string(list_reverse_sort(a), ',') AS sorted_desc, " +
+        "list_contains(a, 1) AS has_one, " +
+        "CAST(COALESCE(list_position(a, 1), 0) AS BIGINT) AS pos_one, " +
+        "len(list_intersect(a, [0, 1])) > 0 AS ovl_01, " +
+        "array_to_string(list_sort(list_distinct(a)), ',') AS dedup_a, " +
+        "array_to_string(a[2:4], ',') AS mid3 " +
+        "FROM d ORDER BY vec_id"),
     "q19c_parse" ->
       ("SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS rendered, " +
         "epoch_us(strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS reparsed_us " +

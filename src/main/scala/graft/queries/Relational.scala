@@ -483,7 +483,30 @@ object Relational {
           (acc, x) => acc + x.cast(DoubleType)), 4).as("head8_sum"))
       .orderBy(col("vec_id"))
 
-  /** Q19c — string→temporal parsing round-trip. */
+  /** Q21e — the remaining declared array surface (Q21's sort_array /
+    * array_contains family): ordering, membership, position, overlap and
+    * slicing over a small integer array derived per row (float arrays
+    * would make sort output float-compare-sensitive; the int projection
+    * keeps the oracle exact).
+    */
+  def q21eArrayFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        // per-row int array: first 6 dims quantized to ints
+        transform(slice(col("embedding"), 1, 6),
+          x => floor(x.cast(DoubleType) * 10).cast(LongType)).as("a"))
+      .select(
+        col("vec_id"),
+        // arrays exported as joined strings: the compare layer is
+        // scalar-typed (same reason window bounds export as micros)
+        array_join(sort_array(col("a")), ",").as("sorted_a"),
+        array_join(sort_array(col("a"), asc = false), ",").as("sorted_desc"),
+        array_contains(col("a"), 1L).as("has_one"),
+        array_position(col("a"), 1L).cast(LongType).as("pos_one"),
+        arrays_overlap(col("a"), array(lit(0L), lit(1L))).as("ovl_01"),
+        array_join(sort_array(array_distinct(col("a"))), ",").as("dedup_a"),
+        array_join(slice(col("a"), 2, 3), ",").as("mid3"))
+      .orderBy(col("vec_id"))
   def q19cParse(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_id"),
