@@ -64,6 +64,7 @@ object SparkEntry {
     "q19c_parse" -> Relational.q19cParse _,
     "q22_maps" -> Relational.q22Maps _,
     "q23_json" -> Relational.q23Json _,
+    "q23b_json_quarantine" -> Relational.q23bJsonQuarantine _,
     "q16b_offset" -> Relational.q16bOffset _,
     "q24_subquery" -> Relational.q24Subquery _,
     "q24b_in_subquery" -> Relational.q24bInSubquery _,
@@ -498,6 +499,15 @@ object SparkEntry {
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, " +
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct " +
         "FROM events ORDER BY event_id"),
+    "q23b_json_quarantine" ->
+      ("WITH synth AS (SELECT event_id, CASE " +
+        "WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 2) " +
+        "WHEN event_id % 11 = 0 THEN 'not json' ELSE props END AS raw FROM events), " +
+        "p AS (SELECT event_id, CASE WHEN json_valid(raw) " +
+        "THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k FROM synth) " +
+        "SELECT CASE WHEN k IS NOT NULL THEN 'good' ELSE 'quarantined' END AS status, " +
+        "COUNT(*) AS cnt, MIN(event_id) AS min_id, MAX(event_id) AS max_id " +
+        "FROM p GROUP BY 1 ORDER BY 1"),
     "q24_subquery" -> Relational.q24Sql,
     "q24b_in_subquery" -> Relational.q24bSql,
     "q21d_struct" ->

@@ -551,6 +551,30 @@ object Relational {
           .getField("k").as("k_struct"))
       .orderBy(col("event_id"))
 
+  /** Q23b — malformed-input quarantine: the ingest-robustness split every
+    * production pipeline needs. Corruption is synthesized
+    * deterministically (truncated JSON for id≡0 mod 7, non-JSON for
+    * id≡0 mod 11), parsing failure is detected row-local
+    * (get_json_object → NULL ≡ DuckDB json_valid=false for these
+    * corruptions), and the good/quarantined split is one conditional
+    * aggregation — bad rows never kill the batch, and the report costs
+    * no second scan.
+    */
+  def q23bJsonQuarantine(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("raw",
+        when(pmod(col("event_id"), lit(7)) === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .when(pmod(col("event_id"), lit(11)) === 0, lit("not json"))
+          .otherwise(col("props")))
+      .withColumn("k", get_json_object(col("raw"), "$.k").cast(LongType))
+      .withColumn("status",
+        when(col("k").isNotNull, "good").otherwise("quarantined"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("status"))
+
   /** Q24 — correlated subqueries through the SQL surface, exercising
     * Catalyst decorrelation. The FP-safe formulation compares
     * `price * n > exact_sum` (single-op arithmetic on both engines)
