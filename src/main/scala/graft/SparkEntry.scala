@@ -84,6 +84,7 @@ object SparkEntry {
     "q30_tumble" -> Windows.q30Tumble _,
     "q31_slide" -> Windows.q31Slide _,
     "q31_session" -> Windows.q31Session _,
+    "q31c_dynamic_session" -> Windows.q31cDynamicSession _,
     "dedup_exact_text" -> Dedup.exactText _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
@@ -595,6 +596,15 @@ object SparkEntry {
         "g AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS grp FROM m) " +
         "SELECT user_id, MIN(tu) AS w_start, MAX(tu) + 30000000 AS w_end, COUNT(*) AS cnt " +
         "FROM g GROUP BY user_id, grp ORDER BY user_id, w_start"),
+    "q31c_dynamic_session" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu, " +
+        "CASE WHEN event_type = 'purchase' THEN 60000000 ELSE 30000000 END AS gap FROM events), " +
+        "m AS (SELECT user_id, tu, gap, MAX(tu + gap) OVER (PARTITION BY user_id ORDER BY tu " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend FROM e), " +
+        "g AS (SELECT user_id, tu, gap, CASE WHEN pend IS NULL OR tu >= pend THEN 1 ELSE 0 END AS brk FROM m), " +
+        "s AS (SELECT user_id, tu, gap, SUM(brk) OVER (PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) AS grp FROM g) " +
+        "SELECT user_id, MIN(tu) AS w_start, MAX(tu + gap) AS w_end, COUNT(*) AS cnt " +
+        "FROM s GROUP BY user_id, grp ORDER BY user_id, w_start"),
     "dedup_exact_text" ->
       ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY keep_id"),

@@ -109,6 +109,24 @@ object Windows {
       .orderBy(col("w_start"), col("rk"))
   }
 
+  /** Q31c (batch) — DYNAMIC-gap session windows (Flink's dynamic session
+    * gap): each event extends its session by a gap depending on the event
+    * itself (purchases hold sessions open 60 s, everything else 30 s).
+    * `session_window` takes the gap as an expression; semantics are
+    * interval-merge of [ts, ts+gap), which the oracle reproduces with a
+    * running max of prior interval ends.
+    */
+  def q31cDynamicSession(s: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "purchase", "60 seconds")
+      .otherwise("30 seconds")
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("w_start"),
+        unix_micros(col("w.end")).as("w_end"), col("cnt"))
+      .orderBy(col("user_id"), col("w_start"))
+  }
+
   /** Q31b (batch) — session windows per user, 30 s gap. */
   def q31Session(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
