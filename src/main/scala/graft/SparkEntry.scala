@@ -65,6 +65,7 @@ object SparkEntry {
     "q22_maps" -> Relational.q22Maps _,
     "q23_json" -> Relational.q23Json _,
     "q23b_json_quarantine" -> Relational.q23bJsonQuarantine _,
+    "q06d_nullsafe_join" -> Relational.q06dNullSafeJoin _,
     "q16b_offset" -> Relational.q16bOffset _,
     "q24_subquery" -> Relational.q24Subquery _,
     "q24b_in_subquery" -> Relational.q24bInSubquery _,
@@ -500,6 +501,13 @@ object SparkEntry {
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, " +
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct " +
         "FROM events ORDER BY event_id"),
+    "q06d_nullsafe_join" ->
+      ("WITH n AS (SELECT n_nationkey, n_name, " +
+        "CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_regionkey END AS k FROM nation), " +
+        "r AS (SELECT r_name, CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END AS rk FROM region) " +
+        "SELECT n_nationkey, n_name, r_name, k IS NULL AS matched_on_null " +
+        "FROM n JOIN r ON k IS NOT DISTINCT FROM rk " +
+        "ORDER BY n_nationkey, r_name"),
     "q23b_json_quarantine" ->
       ("WITH synth AS (SELECT event_id, CASE " +
         "WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 2) " +

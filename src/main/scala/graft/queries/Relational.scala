@@ -551,6 +551,26 @@ object Relational {
           .getField("k").as("k_struct"))
       .orderBy(col("event_id"))
 
+  /** Q06d — NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM):
+    * synthesized NULL keys on both dims match each other instead of
+    * dropping. Deliberately dimension-sized: every NULL-keyed left row
+    * pairs with every NULL-keyed right row, so on fact tables the NULL
+    * bucket is a hidden cross join — keep `<=>` for keys whose NULL
+    * population is bounded (or pre-split the NULL partition).
+    */
+  def q06dNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+      .withColumn("k", when(pmod(col("n_nationkey"), lit(7)) === 0,
+        lit(null).cast(LongType)).otherwise(col("n_regionkey")))
+    val r = t(s, dir, "region")
+      .withColumn("rk", when(col("r_regionkey") === 0,
+        lit(null).cast(LongType)).otherwise(col("r_regionkey")))
+    n.join(r, col("k") <=> col("rk"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"),
+        col("k").isNull.as("matched_on_null"))
+      .orderBy(col("n_nationkey"), col("r_name"))
+  }
+
   /** Q23b — malformed-input quarantine: the ingest-robustness split every
     * production pipeline needs. Corruption is synthesized
     * deterministically (truncated JSON for id≡0 mod 7, non-JSON for
