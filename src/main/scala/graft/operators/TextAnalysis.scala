@@ -516,10 +516,12 @@ object TextAnalysis {
   /** text_bigram_logprob — bigram-LM fluency scoring: per-document mean
     * negative log P(w_i | w_{i-1}) with conditional probabilities from
     * the corpus itself (KenLM-proxy one step up from unigramLogprob).
-    * Both count tables are vocabulary-/bigram-vocabulary-sized →
-    * broadcast; scoring is map-side generate → two hash probes → partial
-    * agg, with each term 6dp-quantized into an exact decimal sum
-    * (order-independent, the q10e/unigram recipe).
+    * The CONTEXT table is unigram-vocabulary-bounded → broadcast; the
+    * bigram table is NOT (it grows with corpus diversity, heavy-tailed),
+    * so its join stays un-hinted — AQE broadcasts it while it fits and
+    * falls back to the keyed shuffle join when it doesn't (the
+    * percentile de-hinting lesson). Each term is 6dp-quantized into an
+    * exact decimal sum (order-independent, the q10e/unigram recipe).
     */
   def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val toks = col("toks")
@@ -537,7 +539,7 @@ object TextAnalysis {
     val biFreq = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // context totals derived from the bigram table, not a third token pass
     val ctxFreq = biFreq.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    bi.join(broadcast(biFreq), Seq("w1", "w2"))
+    bi.join(biFreq, Seq("w1", "w2"))
       .join(broadcast(ctxFreq), Seq("w1"))
       .select(col("doc_id"),
         round(-log(col("c2").cast(DoubleType) / col("c1")), 6)
