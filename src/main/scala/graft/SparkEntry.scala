@@ -81,6 +81,7 @@ object SparkEntry {
     "q26c_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.q26cFilteredTopK(s, d)),
     "q26_ann_lsh" -> Similarity.annLsh _,
     "q26_ann_ivf" -> Similarity.annIvf _,
+    "q26_ann_pq" -> Similarity.annPq _,
     "q27_top_tokens" -> TextAnalysis.q27TopTokens _,
     "q30_tumble" -> Windows.q30Tumble _,
     "q31_slide" -> Windows.q31Slide _,

@@ -208,6 +208,100 @@ object Similarity {
 
   def annIvf(s: SparkSession, dir: String): DataFrame = annIvfTopK(s, dir)
 
+  /** Product-quantization ANN (the third index family after LSH and IVF,
+    * completing the vector-search set: brute / LSH / IVF / int8 / PQ):
+    * the 64-dim space splits into `m` subspaces, each with its own
+    * `ksub`-centroid codebook (seeded per-subspace k-means), so every
+    * corpus vector compresses to m small codes — 8 bytes here, a 32×
+    * shrink, the RAM-resident scan form real vector stores use.
+    * Query-time ADC (asymmetric distance computation): the probe
+    * precomputes dot/norm lookup tables per (subspace, code) — driver
+    * state the size of the codebook, like IVF's quantizer — the coarse
+    * scan is table lookups over the codes column (no float vectors
+    * touched), TakeOrdered keeps `rerank` candidates, and the exact
+    * codegen'd cosine re-ranks the survivors. Same approximation
+    * contract as LSH/IVF: returned scores exact, candidate set a subset.
+    *
+    * At 100 TB the codes column is what you materialize (cf.
+    * writeIvfIndex): the fleet scans 8-byte codes, and only `rerank`
+    * full vectors per query are ever read.
+    */
+  def annPqTopK(s: SparkSession, dir: String, probeId: Long = 0, k: Int = 5,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 32): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings").cache()
+    val dim = 64
+    require(dim % m == 0); val dsub = dim / m
+    // codebooks train on a deterministic quarter sample, few iterations:
+    // quantizer training is the offline step of a real index build, and
+    // subspace centroids converge on far less data than the corpus
+    val train = emb.filter(pmod(col("vec_id"), lit(4)) === 0).cache()
+    // the m fits are independent seeded jobs — submit them concurrently
+    // (per-fit driver/job overhead otherwise serializes m× for nothing)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val codebook: Array[Array[Array[Double]]] = Await.result(
+      Future.sequence((0 until m).map { mi => Future {
+        val sub = train.select(array_to_vector(
+          slice(col("embedding"), mi * dsub + 1, dsub)).as("features"))
+        new KMeans().setK(ksub).setSeed(42L + mi).setMaxIter(5)
+          .fit(sub).clusterCenters.map(_.toArray)
+      }}), Duration.Inf).toArray
+    val bcCb = s.sparkContext.broadcast(codebook)
+    val encode = udf { (e: Seq[Float]) =>
+      val cb = bcCb.value
+      (0 until m).map { mi =>
+        var best = 0; var bestD = Double.MaxValue; var kk = 0
+        while (kk < ksub) {
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val diff = e(mi * dsub + i) - cb(mi)(kk)(i); d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = kk }
+          kk += 1
+        }
+        best
+      }
+    }
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    // ADC tables: dot(q_mi, c) and ||c||² per (subspace, code) — tiny
+    val dots = Array.tabulate(m, ksub) { (mi, kk) =>
+      var d = 0.0; var i = 0
+      while (i < dsub) { d += probeVec(mi * dsub + i) * codebook(mi)(kk)(i); i += 1 }
+      d
+    }
+    val nrm2 = Array.tabulate(m, ksub) { (mi, kk) =>
+      var n = 0.0; var i = 0
+      while (i < dsub) { n += codebook(mi)(kk)(i) * codebook(mi)(kk)(i); i += 1 }
+      n
+    }
+    val qn = math.sqrt(probeVec.map(x => x.toDouble * x).sum)
+    val adcScore = udf { (codes: Seq[Int]) =>
+      var d = 0.0; var n2 = 0.0; var mi = 0
+      while (mi < m) { d += dots(mi)(codes(mi)); n2 += nrm2(mi)(codes(mi)); mi += 1 }
+      if (n2 == 0 || qn == 0) -2.0 else d / (qn * math.sqrt(n2))
+    }
+    val probe = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"))
+    emb.filter(col("vec_id") =!= probeId)
+      .withColumn("codes", encode(col("embedding")))
+      .withColumn("adc", adcScore(col("codes")))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("probe_emb")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def annPq(s: SparkSession, dir: String): DataFrame = annPqTopK(s, dir)
+
   /** Exact all-pairs embedding near-dup (cosine ≥ thr). Exactness makes
     * the n²/2 kernel evaluations inherent; what must NOT be inherent is
     * the nested-loop broadcast of the whole corpus that a bare `i < j`
