@@ -80,6 +80,22 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("w_start"),
         col("w.end").as("w_end"), col("cnt"))
 
+  /** Q31c — DYNAMIC-gap session windows (Flink's dynamic session gap):
+    * purchases hold their session open 60 s, everything else 30 s; the
+    * gap rides each event, so state TTL follows the event mix. Batch
+    * twin: queries.Windows.q31cDynamicSession (same gap expression).
+    */
+  def dynamicSessionCounts(events: DataFrame): DataFrame = {
+    val gap = when(col("event_type") === "purchase", "60 seconds")
+      .otherwise("30 seconds")
+    events
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("cnt"))
+  }
+
   /** Q32 — stateful streaming dedup on event_id with watermark-scoped
     * state TTL: state for ids older than the watermark is evicted, so
     * memory is bounded by the out-of-orderness window, not the stream.

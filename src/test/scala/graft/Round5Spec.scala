@@ -74,6 +74,28 @@ class Round5Spec extends SparkSpecBase {
     assert(out("2024-03-01 00:04:00") == 3L) // ev1 + ev2 + late ev3
   }
 
+  test("dynamic-gap session streaming: a purchase holds the session open") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.dynamicSessionCounts(src.toDF())
+      .writeStream.format("memory").queryName("dyns").outputMode("append").start()
+    src.addData(
+      Ev(1, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 7, "click", 1.0),
+      // purchase's 60s gap holds the session to 00:01:25...
+      Ev(2, java.sql.Timestamp.valueOf("2024-03-01 00:00:25"), 7, "purchase", 1.0),
+      // ...so this event MERGES (a fixed 30s gap would have closed at 00:00:55)
+      Ev(3, java.sql.Timestamp.valueOf("2024-03-01 00:01:20"), 7, "click", 1.0))
+    q.processAllAvailable()
+    src.addData(Ev(9, java.sql.Timestamp.valueOf("2024-03-01 01:00:00"), 8, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dyns")
+      .select($"user_id", $"w_start".cast("string"), $"w_end".cast("string"), $"cnt")
+      .as[(Long, String, String, Long)].collect().filter(_._1 == 7L).toSeq
+    assert(out == Seq((7L, "2024-03-01 00:00:00", "2024-03-01 00:01:50", 3L)))
+  }
+
   // ---- interval-overlap join ----
 
   test("overlapBanded ≡ naive theta join, exactly-once, across band widths") {
