@@ -189,6 +189,8 @@ object SparkEntry {
     "q30c_sliding_distinct" -> Windows.q30cSlidingDistinct _,
     "q30d_trending" -> Windows.q30dTrending _,
     "q10l_corr_matrix" -> Relational.q10lCorrMatrix _,
+    "q10m_weighted_median" ->
+      ((s: SparkSession, d: String) => Relational.q10mWeightedMedian(s, d)),
     "q04d_join_hints" -> Relational.q04dJoinHints _,
     "mix_pps_sample" ->
       ((s, dir) => graft.operators.Mixing.ppsSample(s, dir)),
@@ -1151,6 +1153,16 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY w_start ORDER BY cnt DESC, event_type) AS rk FROM c) " +
         "SELECT w_start, CAST(rk AS BIGINT) AS rk, event_type, cnt FROM r " +
         "WHERE rk <= 2 ORDER BY w_start, rk"),
+    "q10m_weighted_median" ->
+      ("WITH h AS (SELECT l_returnflag AS f, l_extendedprice AS v, " +
+        "SUM(CAST(l_quantity AS BIGINT)) AS w FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT f, v, w, SUM(w) OVER (PARTITION BY f ORDER BY v " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM h), " +
+        "t AS (SELECT f, SUM(w) AS tot FROM h GROUP BY f) " +
+        "SELECT c.f AS l_returnflag, " +
+        "MIN(CASE WHEN 2 * cum >= tot THEN v END) AS weighted_median, " +
+        "MAX(tot) AS total_units " +
+        "FROM c JOIN t ON c.f = t.f GROUP BY c.f ORDER BY l_returnflag"),
     "q10l_corr_matrix" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       def d(c: String) = s"CAST($c AS DECIMAL(12,2))"

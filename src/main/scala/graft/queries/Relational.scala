@@ -1041,6 +1041,51 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Q10m — WEIGHTED median per group (quantity-weighted price): smallest
+    * value whose cumulative weight reaches half the group total, i.e. the
+    * point where half the shipped units cost less. Weights are integer
+    * unit counts, the comparison is `2·cum ≥ tot` (integer-only, no
+    * halves), and the cumulative weight over the per-group value
+    * histogram runs through the same sharded prefix-sum as q10j — no
+    * group-wide sort, no single-task window, scale-safe for continuous
+    * values where the histogram is row-sized.
+    */
+  def q10mWeightedMedian(s: SparkSession, dir: String, nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("w"))
+    val bounds = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("v0"),
+        max(col("l_extendedprice")).as("v1"),
+        sum(col("l_quantity").cast(LongType)).as("tot"))
+      .localCheckpoint(true)
+    val sharded = hist.join(broadcast(bounds), "l_returnflag")
+      .withColumn("pid",
+        when(col("v1") <= col("v0"), lit(0L)).otherwise(
+          least(lit(nShards - 1L),
+            floor((col("l_extendedprice") - col("v0")) * nShards /
+              (col("v1") - col("v0"))))))
+    val localW = Window.partitionBy(col("l_returnflag"), col("pid"))
+      .orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("l_returnflag"), col("pid"))
+      .agg(sum(col("w")).as("t"))
+      .withColumn("off", coalesce(sum(col("t")).over(offW), lit(0L)))
+      .select(col("l_returnflag"), col("pid"), col("off"))
+    sharded
+      .withColumn("cum", sum(col("w")).over(localW))
+      .join(broadcast(offsets), Seq("l_returnflag", "pid"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when((col("cum") + col("off")) * 2 >= col("tot"),
+        col("l_extendedprice"))).as("weighted_median"),
+        max(col("tot")).as("total_units"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q09c — CROSS JOIN (explicit cartesian): the one join type the Q04-Q09
     * family skips. Deliberately dimension × dimension (125 rows) — the
     * only plan where a cartesian is acceptable; Spark broadcasts the
