@@ -111,7 +111,6 @@ object Mixing {
     */
   def ppsSample(s: SparkSession, dir: String, m: Int = 50,
       nShards: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
       .select(col("doc_id"), length(col("text")).cast("long").as("w"))
     val bounds = d.agg(min(col("doc_id")).as("d0"),
@@ -121,18 +120,10 @@ object Mixing {
     val sharded = d.crossJoin(broadcast(bounds))
       .withColumn("pid",
         expr(s"((doc_id - d0) * $nShards) div span"))
-    val localW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offW = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(col("pid")).agg(sum(col("w")).as("t"))
-      .withColumn("off", coalesce(sum(col("t")).over(offW), lit(0L)))
-      .select(col("pid"), col("off"))
-    sharded
-      .withColumn("lc", sum(col("w")).over(localW))
-      .join(broadcast(offsets), "pid")
-      .withColumn("cum", col("lc") + col("off"))
-      .withColumn("step", expr(s"tot div $m"))
+    PrefixSum.shardedCumSum(sharded, Seq.empty, "pid", "doc_id", "w")
+      // floor at 1: a corpus lighter than m units would otherwise
+      // divide by zero (ANSI error) — step 1 degenerates to "take all"
+      .withColumn("step", greatest(expr(s"tot div $m"), lit(1L)))
       .withColumn("hits",
         expr("(cum div step) - ((cum - w) div step)"))
       .filter(col("hits") > 0)

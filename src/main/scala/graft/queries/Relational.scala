@@ -507,6 +507,8 @@ object Relational {
         array_join(sort_array(array_distinct(col("a"))), ",").as("dedup_a"),
         array_join(slice(col("a"), 2, 3), ",").as("mid3"))
       .orderBy(col("vec_id"))
+
+  /** Q19c — string→temporal parsing round-trip. */
   def q19cParse(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(col("event_id"),
@@ -1051,10 +1053,13 @@ object Relational {
     * values where the histogram is row-sized.
     */
   def q10mWeightedMedian(s: SparkSession, dir: String, nShards: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PrefixSum
     val hist = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(sum(col("l_quantity").cast(LongType)).as("w"))
+      // the cumsum helper instantiates its input twice; materialize the
+      // (group, value) histogram once
+      .localCheckpoint(true)
     val bounds = t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("v0"),
@@ -1062,25 +1067,12 @@ object Relational {
         sum(col("l_quantity").cast(LongType)).as("tot"))
       .localCheckpoint(true)
     val sharded = hist.join(broadcast(bounds), "l_returnflag")
-      .withColumn("pid",
-        when(col("v1") <= col("v0"), lit(0L)).otherwise(
-          least(lit(nShards - 1L),
-            floor((col("l_extendedprice") - col("v0")) * nShards /
-              (col("v1") - col("v0"))))))
-    val localW = Window.partitionBy(col("l_returnflag"), col("pid"))
-      .orderBy(col("l_extendedprice"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offW = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(col("l_returnflag"), col("pid"))
-      .agg(sum(col("w")).as("t"))
-      .withColumn("off", coalesce(sum(col("t")).over(offW), lit(0L)))
-      .select(col("l_returnflag"), col("pid"), col("off"))
-    sharded
-      .withColumn("cum", sum(col("w")).over(localW))
-      .join(broadcast(offsets), Seq("l_returnflag", "pid"))
+      .withColumn("pid", PrefixSum.rangePid(col("l_extendedprice"),
+        col("v0"), col("v1"), nShards))
+    PrefixSum.shardedCumSum(sharded, Seq("l_returnflag"), "pid",
+        "l_extendedprice", "w")
       .groupBy(col("l_returnflag"))
-      .agg(min(when((col("cum") + col("off")) * 2 >= col("tot"),
+      .agg(min(when(col("cum") * 2 >= col("tot"),
         col("l_extendedprice"))).as("weighted_median"),
         max(col("tot")).as("total_units"))
       .orderBy(col("l_returnflag"))
@@ -1119,39 +1111,26 @@ object Relational {
     * l_extendedprice)-shaped frame (also the ScaleProbe entry).
     */
   def spearmanOf(base: DataFrame, nShards: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.PrefixSum
     // 19,0: two 19-digit operands multiply within DuckDB's 38-digit cap
     val DD = DecimalType(19, 0)
     // ONE 3-row min/max pass serves both rank columns (checkpointed so
-    // neither branch re-runs it); shard totals come straight off the raw
-    // rows (map-side-combinable ~32-group count), so the value histogram
-    // — the only cardinality-heavy aggregation — is instantiated ONCE
+    // neither branch re-runs it); each value histogram — the only
+    // cardinality-heavy aggregation — is materialized once before the
+    // cumsum helper's two passes over it
     val bounds = base.groupBy(col("l_returnflag"))
       .agg(min(col("l_quantity")).as("q0"), max(col("l_quantity")).as("q1"),
         min(col("l_extendedprice")).as("e0"),
         max(col("l_extendedprice")).as("e1"))
       .localCheckpoint(true)
     def ranks2(v: String, lo: String, hi: String, out: String) = {
-      val withPid = base.join(broadcast(bounds), "l_returnflag")
-        .withColumn("pid",
-          when(col(hi) <= col(lo), lit(0L)).otherwise(
-            least(lit(nShards - 1L),
-              floor((col(v) - col(lo)) * nShards / (col(hi) - col(lo))))))
-        .select(col("l_returnflag"), col(v), col("pid"))
-      val localW = Window.partitionBy(col("l_returnflag"), col("pid"))
-        .orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offW = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = withPid.groupBy(col("l_returnflag"), col("pid"))
-        .agg(count(lit(1)).as("tot"))
-        .withColumn("off", coalesce(sum(col("tot")).over(offW), lit(0L)))
-        .select(col("l_returnflag"), col("pid"), col("off"))
-      withPid.groupBy(col("l_returnflag"), col(v), col("pid"))
+      val hist = base.join(broadcast(bounds), "l_returnflag")
+        .withColumn("pid", PrefixSum.rangePid(col(v), col(lo), col(hi), nShards))
+        .groupBy(col("l_returnflag"), col(v), col("pid"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("lc", sum(col("c")).over(localW))
-        .join(broadcast(offsets), Seq("l_returnflag", "pid"))
-        .withColumn(out, ((col("lc") + col("off")) * 2 - col("c") + 1).cast(DD))
+        .localCheckpoint(true)
+      PrefixSum.shardedCumSum(hist, Seq("l_returnflag"), "pid", v, "c")
+        .withColumn(out, (col("cum") * 2 - col("c") + 1).cast(DD))
         .select(col("l_returnflag"), col(v), col(out))
     }
     val ranked = base

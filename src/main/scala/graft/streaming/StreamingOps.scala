@@ -42,15 +42,22 @@ object StreamingOps {
 
   /** Q30b — CUMULATE windows (Flink windowing-TVF family), streaming
     * form: 4-minute max window emitting expanding 1-minute slices. Each
-    * event explodes to its remaining slice ends (bounded, ≤ 4 rows); the
-    * watermark rides the slice-end column itself, so a slice finalizes
-    * (append-mode emit) when the watermark passes its end — exactly
-    * Flink's cumulate firing. A late event past an already-emitted early
-    * slice still counts into its window's *open* later slices (its rows
-    * for closed slices are late; the rest are not), which is the
-    * per-slice-lateness semantic, state bounded by slices × steps in the
-    * watermark horizon. Batch twin: queries.Windows.q30bCumulate (same
-    * explode + aggregate expressions; equivalence replay-tested).
+    * event explodes to its remaining slice ends (bounded, ≤ 4 rows) and
+    * the watermark rides the slice-end column — but a slice end leads
+    * its event's time by up to the FULL window size, so the delay must
+    * compensate: maxSize + 5 s. The derived watermark is then
+    * max(window_end seen) − maxSize − 5s ≤ max event time − 5s — a true
+    * event-time lower bound, so an in-order event can never lose its
+    * open slices to a watermark that sprinted ahead (a bare 5 s delay
+    * here would run up to 3 minutes AHEAD of event time and silently
+    * drop in-order slice rows whenever one window spans micro-batches).
+    * A genuinely late event still drops exactly its already-closed
+    * slices and lands in the open ones — the per-slice-lateness
+    * semantic; firing is watermark-conservative relative to Flink's
+    * (admitted lateness per slice is 5 s plus the event's remaining
+    * window lead). State stays bounded by the watermark horizon. Batch
+    * twin: queries.Windows.q30bCumulate (same explode + aggregate
+    * expressions; equivalence replay-tested).
     */
   def cumulateCounts(events: DataFrame): DataFrame = {
     val stepUs = 60L * 1000000L
@@ -63,7 +70,7 @@ object StreamingOps {
           ((col("tu") - col("w_start")) / lit(stepUs)).cast("long") + 1,
           lit(slices))))
       .withColumn("slice_end", timestamp_micros(col("w_start") + col("k") * lit(stepUs)))
-      .withWatermark("slice_end", "5 seconds")
+      .withWatermark("slice_end", "245 seconds") // maxSize (240s) + 5s
       .groupBy(col("w_start"), col("slice_end"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))

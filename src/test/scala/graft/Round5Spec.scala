@@ -49,21 +49,43 @@ class Round5Spec extends SparkSpecBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("cumulate streaming: in-order events across micro-batches never drop") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.cumulateCounts(src.toDF())
+      .writeStream.format("memory").queryName("cmlA").outputMode("append").start()
+    // the watermark-sprint regression case: one window spanning batches,
+    // all events strictly in order
+    src.addData(ev(1, "2024-03-01 00:00:10"))
+    q.processAllAvailable()
+    src.addData(ev(2, "2024-03-01 00:02:30")) // in-order, same window
+    q.processAllAvailable()
+    src.addData(ev(3, "2024-03-01 00:10:00")) // advancer: flush window 1
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cmlA")
+      .select($"w_end".cast("string"), $"cnt").as[(String, Long)].collect().toMap
+    assert(out("2024-03-01 00:01:00") == 1L)
+    assert(out("2024-03-01 00:02:00") == 1L)
+    assert(out("2024-03-01 00:03:00") == 2L) // ev2 counted — not dropped
+    assert(out("2024-03-01 00:04:00") == 2L)
+  }
+
   test("cumulate streaming: late event skips closed slices, lands in open ones") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val src = MemoryStream[Ev]
     val q = StreamingOps.cumulateCounts(src.toDF())
       .writeStream.format("memory").queryName("cml").outputMode("append").start()
-    // batch 1: ev1 fills slices :01-:04; ev2 only :04; watermark → 00:03:20
-    src.addData(ev(1, "2024-03-01 00:00:10"), ev(2, "2024-03-01 00:03:25"))
+    // batch 1: ev1 fills :01-:04; the advancer's window ends 00:08, so
+    // the event-time watermark lands at 00:08 − 4:05 = 00:03:55 and
+    // slices :01-:03 finalize with cnt 1
+    src.addData(ev(1, "2024-03-01 00:00:10"), ev(2, "2024-03-01 00:06:30"))
     q.processAllAvailable()
-    // batch 2: ev3 is late for the emitted :01-:03 slices (those rows
-    // drop) but its :04 slice is still open and counts; ev4 advances the
-    // watermark past 00:04, flushing it
-    src.addData(ev(3, "2024-03-01 00:00:50"), ev(4, "2024-03-01 00:10:00"))
-    q.processAllAvailable()
-    src.addData(ev(5, "2024-03-01 00:30:00")) // flush ev4's window
+    // batch 2: ev3 is late past the emitted :01-:03 slices (those rows
+    // drop) but its :04 slice is still open and counts; ev4 flushes it
+    src.addData(ev(3, "2024-03-01 00:00:50"), ev(4, "2024-03-01 00:20:00"))
     q.processAllAvailable()
     q.stop()
     val out = spark.table("cml")
@@ -71,7 +93,7 @@ class Round5Spec extends SparkSpecBase {
     assert(out("2024-03-01 00:01:00") == 1L)
     assert(out("2024-03-01 00:02:00") == 1L)
     assert(out("2024-03-01 00:03:00") == 1L)
-    assert(out("2024-03-01 00:04:00") == 3L) // ev1 + ev2 + late ev3
+    assert(out("2024-03-01 00:04:00") == 2L) // ev1 + late ev3's open slice
   }
 
   test("dynamic-gap session streaming: a purchase holds the session open") {
