@@ -183,21 +183,15 @@ object TimeSeries {
       .groupBy(col("t")).agg(sum(col("d")).as("nd"))
     // fixed-width time shards from one broadcast min/max row: exact
     // integer arithmetic, deterministic across re-evaluations (a sampled
-    // RangePartitioner's bounds are not)
+    // RangePartitioner's bounds are not); cumsum via the shared
+    // distributed prefix-sum (operators.PrefixSum)
     val bounds = deltas.agg(min(col("t")).as("t0"),
       (max(col("t")) - min(col("t")) + 1).as("span"))
     val sharded = deltas.crossJoin(broadcast(bounds))
       .withColumn("pid", expr(s"((t - t0) * $nShards) div span"))
       .select(col("t"), col("nd"), col("pid"))
-    val localW = Window.partitionBy(col("pid")).orderBy(col("t"))
-    val local = sharded.withColumn("lc", sum(col("nd")).over(localW))
-    val offW = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = sharded.groupBy(col("pid")).agg(sum(col("nd")).as("tot"))
-      .withColumn("off", coalesce(sum(col("tot")).over(offW), lit(0L)))
-      .select(col("pid"), col("off"))
-    local.join(broadcast(offsets), "pid")
-      .select(col("t").as("t_us"), (col("lc") + col("off")).as("concurrency"))
+    PrefixSum.shardedCumSum(sharded, Seq.empty, "pid", "t", "nd")
+      .select(col("t").as("t_us"), col("cum").as("concurrency"))
       .orderBy(col("t_us"))
   }
 }
