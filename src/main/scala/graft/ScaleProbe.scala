@@ -120,7 +120,6 @@ object ScaleProbe {
     // edit-distance dedup: replicas padded to length gaps > maxDist so
     // the length-band blocking keeps replicas apart (linear candidates);
     // same-length replicas would BE near-dups (quadratic by construction)
-    val docsLev1 = docs1.localCheckpoint(true)
     val docsLevK = (0 until k).map { r =>
       docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000L))
         .withColumn("text", concat(col("text"), lit("x" * (6 * r))))
@@ -148,14 +147,8 @@ object ScaleProbe {
         .filter(col("l_partkey") % 4 === 0)
         .select(col("l_orderkey"), col("l_partkey")), k,
       Seq("l_orderkey", "l_partkey"), 10000000L).localCheckpoint(true)
-    def tri(items0: DataFrame) = {
-      val items = items0.distinct()
-      val edges = items.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("v")),
-          "l_orderkey")
-        .filter(col("u") < col("v")).select(col("u"), col("v")).distinct()
-      operators.Graph.triangleStats(edges)
-    }
+    def tri(items: DataFrame) =
+      operators.Graph.triangleStats(operators.Graph.basketEdges(items))
 
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
@@ -168,7 +161,7 @@ object ScaleProbe {
       ("percentile", time(noop(pctl(li1))), time(noop(pctl(liK)))),
       ("temp_mix", time(noop(mix(docs1c))), time(noop(mix(docsK)))),
       ("spearman", time(noop(spear(li1))), time(noop(spear(liK)))),
-      ("edit_distance", time(noop(lev(docsLev1))), time(noop(lev(docsLevK)))),
+      ("edit_distance", time(noop(lev(docs1c))), time(noop(lev(docsLevK)))),
       ("interval_ovlp", time(noop(overlap(e1))), time(noop(overlap(eK)))),
       ("triangles", time(noop(tri(liG1))), time(noop(tri(liGK)))),
       ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))

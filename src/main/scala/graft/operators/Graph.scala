@@ -66,15 +66,21 @@ object Graph {
     * bound doesn't already govern — the scoped census keeps the same
     * plan shape at demo cost.
     */
-  def copurchaseTriangles(s: SparkSession, dir: String): DataFrame = {
-    val items = t(s, dir, "lineitem")
+  def copurchaseTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleStats(basketEdges(t(s, dir, "lineitem")
       .filter(pmod(col("l_partkey"), lit(4)) === 0)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = items.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .select(col("l_orderkey"), col("l_partkey"))))
+
+  /** (basket, item) rows → undirected co-occurrence edge list (u < v,
+    * distinct) — shared by the gate query and ScaleProbe so the probed
+    * shape can't drift from the shipped one.
+    */
+  def basketEdges(items0: DataFrame): DataFrame = {
+    val items = items0.distinct()
+    items.select(col("l_orderkey"), col("l_partkey").as("u"))
       .join(items.select(col("l_orderkey"), col("l_partkey").as("v")),
         "l_orderkey")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-    triangleStats(edges)
   }
 }
