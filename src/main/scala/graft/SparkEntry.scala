@@ -60,6 +60,7 @@ object SparkEntry {
     "q21_explode" -> Relational.q21Explode _,
     "q21c_higher_order" -> Relational.q21cHigherOrder _,
     "q21e_array_fns" -> Relational.q21eArrayFns _,
+    "q21f_outer_explode" -> Relational.q21fOuterExplode _,
     "q21d_struct" -> Relational.q21dStruct _,
     "q19c_parse" -> Relational.q19cParse _,
     "q22_maps" -> Relational.q22Maps _,
@@ -480,6 +481,12 @@ object SparkEntry {
         "round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b), 4) AS l1, " +
         "round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS head8_sum " +
         "FROM embeddings ORDER BY vec_id"),
+    "q21f_outer_explode" ->
+      ("WITH d AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +
+        "t -> t <> '' AND t LIKE 'z%') AS zt FROM documents) " +
+        "SELECT doc_id, unnest(CASE WHEN len(zt) = 0 THEN [NULL] ELSE zt END) AS ztoken " +
+        "FROM d ORDER BY doc_id, ztoken"),
     "q21e_array_fns" ->
       ("WITH d AS (SELECT vec_id, " +
         "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 10) AS BIGINT) for i in range(1, 7)] AS a " +

@@ -508,6 +508,21 @@ object Relational {
         array_join(slice(col("a"), 2, 3), ",").as("mid3"))
       .orderBy(col("vec_id"))
 
+  /** Q21f — OUTER explode (LATERAL VIEW OUTER semantics): rows whose
+    * array is empty survive with a NULL element instead of vanishing —
+    * the left-join flavor of the generator. Plain explode silently drops
+    * such rows (q21's inner form); here docs without any z-token still
+    * report.
+    */
+  def q21fOuterExplode(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(filter(tokens(col("text")),
+          t => t.startsWith("z"))).as("ztoken"))
+      .orderBy(col("doc_id"), col("ztoken"))
+  }
+
   /** Q19c — string→temporal parsing round-trip. */
   def q19cParse(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
