@@ -128,6 +128,7 @@ object SparkEntry {
     "sql_tpch_q6" -> Analytics.sqlTpchQ6 _,
     "sql_tpch_q10" -> Analytics.sqlTpchQ10 _,
     "sql_tpch_q18" -> Analytics.sqlTpchQ18 _,
+    "sql_tpch_q14" -> Analytics.sqlTpchQ14 _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
@@ -1042,6 +1043,7 @@ object SparkEntry {
     "sql_tpch_q6" -> Analytics.tpchQ6Sql,
     "sql_tpch_q10" -> Analytics.tpchQ10Sql,
     "sql_tpch_q18" -> Analytics.tpchQ18Sql,
+    "sql_tpch_q14" -> Analytics.tpchQ14Sql,
     "text_decontam" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS s FROM d), " +

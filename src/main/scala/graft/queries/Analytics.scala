@@ -136,6 +136,23 @@ object Analytics {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q14 verbatim (promotion effect): conditional-revenue ratio
+    * over a fact⋈dim join with a tight fact-side date window.
+    */
+  val tpchQ14Sql: String =
+    """SELECT CAST(100 AS DOUBLE) *
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |         (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+      |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |  AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
+
   private def runSql(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(sql)
@@ -144,6 +161,7 @@ object Analytics {
   def sqlTpchQ6(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ6Sql)
   def sqlTpchQ10(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ10Sql)
   def sqlTpchQ18(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ18Sql)
+  def sqlTpchQ14(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ14Sql)
 
   /** Weekly cohort retention over `events`: users grouped by first-active
     * week, activity counted per (cohort, weeks-since-cohort). Two keyed
