@@ -64,6 +64,7 @@ object SparkEntry {
     "q21d_struct" -> Relational.q21dStruct _,
     "q19c_parse" -> Relational.q19cParse _,
     "q22_maps" -> Relational.q22Maps _,
+    "q22b_map_hof" -> Relational.q22bMapHof _,
     "q23_json" -> Relational.q23Json _,
     "q23b_json_quarantine" -> Relational.q23bJsonQuarantine _,
     "q06d_nullsafe_join" -> Relational.q06dNullSafeJoin _,
@@ -508,6 +509,11 @@ object SparkEntry {
     "q22_maps" ->
       ("SELECT event_id, event_type AS mt, CAST(2 AS BIGINT) AS msz, " +
         "'type,uid' AS mkeys FROM events ORDER BY event_id"),
+    "q22b_map_hof" ->
+      ("SELECT event_id, upper(event_type) AS mval, 'uid' AS kept, " +
+        "CAST(3 AS BIGINT) AS merged_n, " +
+        "'type=' || event_type || ',uid=' || CAST(user_id AS VARCHAR) AS entries " +
+        "FROM events ORDER BY event_id"),
     "q23_json" ->
       ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, " +
         "CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct " +

@@ -558,6 +558,27 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Q22b — map higher-order functions (transform_values / map_filter /
+    * map_concat / map_entries): the MAP-typed counterpart of q21c's array
+    * HOFs, over the same per-row map q22 builds. Entries export as a
+    * key-sorted joined string (scalar compare layer); the oracle rebuilds
+    * every expected value relationally from the source columns, so no
+    * cross-engine map semantics enter the check.
+    */
+  def q22bMapHof(s: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("type"), col("event_type"),
+      lit("uid"), col("user_id").cast(StringType))
+    t(s, dir, "events")
+      .select(col("event_id"),
+        element_at(transform_values(m, (_, v) => upper(v)), "type").as("mval"),
+        array_join(map_keys(map_filter(m, (k, _) => k === "uid")), ",").as("kept"),
+        size(map_concat(m, map(lit("src"), lit("x")))).cast(LongType).as("merged_n"),
+        array_join(transform(sort_array(map_entries(m)),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+          .as("entries"))
+      .orderBy(col("event_id"))
+  }
+
   /** Q23 — JSON functions over the `props` JSON string column. */
   def q23Json(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
