@@ -130,6 +130,8 @@ object SparkEntry {
     "sql_tpch_q10" -> Analytics.sqlTpchQ10 _,
     "sql_tpch_q18" -> Analytics.sqlTpchQ18 _,
     "sql_tpch_q14" -> Analytics.sqlTpchQ14 _,
+    "sql_tpch_q15" -> Analytics.sqlTpchQ15 _,
+    "sql_tpch_q17" -> Analytics.sqlTpchQ17 _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
@@ -1050,6 +1052,8 @@ object SparkEntry {
     "sql_tpch_q10" -> Analytics.tpchQ10Sql,
     "sql_tpch_q18" -> Analytics.tpchQ18Sql,
     "sql_tpch_q14" -> Analytics.tpchQ14Sql,
+    "sql_tpch_q15" -> Analytics.tpchQ15Sql,
+    "sql_tpch_q17" -> Analytics.tpchQ17Sql,
     "text_decontam" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS s FROM d), " +

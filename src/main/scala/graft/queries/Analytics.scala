@@ -153,6 +153,38 @@ object Analytics {
       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
 
+  /** TPC-H Q15 verbatim (top supplier): CTE revenue view consumed twice —
+    * once joined, once inside a scalar MAX subquery.
+    */
+  val tpchQ15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity-order revenue, brand-scoped): the
+    * correlated aggregate scalar subquery — THE decorrelation benchmark;
+    * Catalyst rewrites it to an aggregate-then-join.
+    */
+  val tpchQ17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+      |  AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * AVG(CAST(l_quantity AS DOUBLE))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   private def runSql(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(sql)
@@ -162,6 +194,8 @@ object Analytics {
   def sqlTpchQ10(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ10Sql)
   def sqlTpchQ18(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ18Sql)
   def sqlTpchQ14(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ14Sql)
+  def sqlTpchQ15(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ15Sql)
+  def sqlTpchQ17(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ17Sql)
 
   /** Weekly cohort retention over `events`: users grouped by first-active
     * week, activity counted per (cohort, weeks-since-cohort). Two keyed
