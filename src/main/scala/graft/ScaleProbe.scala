@@ -150,6 +150,30 @@ object ScaleProbe {
     def tri(items: DataFrame) =
       operators.Graph.triangleStats(operators.Graph.basketEdges(items))
 
+    // as-of head-to-head: the custom exec (2 exchanges + merge) vs the
+    // union-carry-forward composition (union + window + filter)
+    val eA1 = Tables.t(spark, dir, "events").localCheckpoint(true)
+    val eAK = replicate(Tables.t(spark, dir, "events"), k,
+      Seq("event_id", "user_id"), 10000000L).localCheckpoint(true)
+    def asofParts(e: DataFrame) = {
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("sid"),
+          unix_micros(col("ts")).as("sts"))
+      (clicks, signups)
+    }
+    def asofNative(e: DataFrame) = {
+      val (clicks, signups) = asofParts(e)
+      plans.NativeAsOfJoin.asOf(clicks, signups, "user_id", "ts", "sid",
+        Seq("sid" -> "signup_event_id", "sts" -> "signup_ts_us"))
+    }
+    def asofComposed(e: DataFrame) = {
+      val (clicks, signups) = asofParts(e)
+      operators.AsOfJoin.asOfJoin(clicks, signups, "user_id", "ts",
+        Seq("sid", "sts"), "sid")
+    }
+
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
       ("topk_window", time(noop(topkWin(o1))), time(noop(topkWin(oK)))),
@@ -164,6 +188,8 @@ object ScaleProbe {
       ("edit_distance", time(noop(lev(docs1c))), time(noop(lev(docsLevK)))),
       ("interval_ovlp", time(noop(overlap(e1))), time(noop(overlap(eK)))),
       ("triangles", time(noop(tri(liG1))), time(noop(tri(liGK)))),
+      ("asof_native", time(noop(asofNative(eA1))), time(noop(asofNative(eAK)))),
+      ("asof_composed", time(noop(asofComposed(eA1))), time(noop(asofComposed(eAK)))),
       ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
