@@ -1109,14 +1109,16 @@ object SparkEntry {
         "FROM sess a JOIN sess b ON a.user_id % 2 = 0 AND b.user_id % 2 = 1 " +
         "AND a.ws < b.we AND b.ws < a.we " +
         "ORDER BY user_a, a_start, user_b, b_start"),
+    // violation = predicate not TRUE (nulls fail): each arm counts
+    // COUNT(*) − passing rows, mirroring Quality.report exactly
     "dq_checks" ->
       ("WITH t AS (SELECT COUNT(*) AS total, " +
-        "COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS v_key_null, " +
+        "COUNT(*) - COUNT(*) FILTER (WHERE o_orderkey IS NOT NULL) AS v_key_null, " +
         "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v_key_dup, " +
-        "COUNT(*) FILTER (WHERE o_totalprice <= 0) AS v_price_nonpos, " +
-        "COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS v_status_domain, " +
-        "COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01' " +
-        "OR o_orderdate >= TIMESTAMP '2001-01-01') AS v_date_range FROM orders), " +
+        "COUNT(*) - COUNT(*) FILTER (WHERE o_totalprice > 0) AS v_price_nonpos, " +
+        "COUNT(*) - COUNT(*) FILTER (WHERE o_orderstatus IN ('O','F','P')) AS v_status_domain, " +
+        "COUNT(*) - COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1995-01-01' " +
+        "AND o_orderdate < TIMESTAMP '2001-01-01') AS v_date_range FROM orders), " +
         "fk AS (SELECT COUNT(*) AS v_fk FROM orders o WHERE NOT EXISTS " +
         "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) " +
         "SELECT check_name, violations, total, violations = 0 AS pass FROM (" +

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality gate — the validation stage a training-data
@@ -21,38 +21,58 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Library-facing form: one-scan violation report over arbitrary named
+    * row predicates (a row violates a check when its predicate is FALSE
+    * or NULL) and aggregate-expression checks (a violation COUNT
+    * expression, e.g. `count − countDistinct` for uniqueness) — both
+    * tiers fold into the SAME single aggregation/scan. `extra` adds
+    * single-row (name → count) frames for checks needing their own plan
+    * (FK integrity via anti-join, …).
+    */
+  def report(df: DataFrame, rowChecks: Seq[(String, Column)],
+      aggChecks: Seq[(String, Column)] = Seq.empty,
+      extra: Seq[(String, DataFrame)] = Seq.empty): DataFrame = {
+    require(rowChecks.nonEmpty)
+    def vName(n: String) = s"__v_$n"
+    val aggCols = (count(lit(1)).as("total") +:
+      rowChecks.map { case (n, pred) =>
+        sum(when(pred, 0L).otherwise(1L)).as(vName(n)) }) ++
+      aggChecks.map { case (n, e) => e.as(vName(n)) }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val joined = extra.foldLeft(one) { case (acc, (n, f)) =>
+      acc.crossJoin(f.toDF(vName(n))) // single-row frames
+    }
+    val names =
+      (rowChecks.map(_._1) ++ aggChecks.map(_._1) ++ extra.map(_._1))
+    val stackArgs = names
+      .map(n => s"'$n', ${vName(n)}").mkString(", ")
+    joined
+      .select(expr(s"stack(${names.size}, $stackArgs) " +
+        "AS (check_name, violations)"), col("total"))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("check_name")
+  }
+
   /** dq_checks — the six-constraint suite over `orders` (FK → customer).
     * `date_in_range` genuinely fires on the testdata (orders spill past
     * 2001-01-01): a report with a failing row is the interesting case.
     */
   def dqOrders(s: SparkSession, dir: String): DataFrame = {
     val orders = t(s, dir, "orders")
-    val agg = orders.agg(
-      count(lit(1)).as("total"),
-      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_key_null"),
-      (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
-        .as("v_key_dup"),
-      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))
-        .as("v_price_nonpos"),
-      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
-        .as("v_status_domain"),
-      sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp") ||
-          col("o_orderdate") >= lit("2001-01-01").cast("timestamp"), 1L)
-        .otherwise(0L)).as("v_date_range"))
     val fk = orders
       .join(t(s, dir, "customer").select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
-      .agg(count(lit(1)).as("v_fk_custkey"))
-    agg.crossJoin(fk) // two single-row frames
-      .select(expr("stack(6, " +
-        "'date_in_range', v_date_range, " +
-        "'fk_custkey_exists', v_fk_custkey, " +
-        "'key_not_null', v_key_null, " +
-        "'key_unique', v_key_dup, " +
-        "'price_positive', v_price_nonpos, " +
-        "'status_in_domain', v_status_domain) AS (check_name, violations)"),
-        col("total"))
-      .withColumn("pass", col("violations") === 0L)
-      .orderBy("check_name")
+      .agg(count(lit(1)).as("v"))
+    report(orders,
+      rowChecks = Seq(
+        "key_not_null" -> col("o_orderkey").isNotNull,
+        "price_positive" -> (col("o_totalprice") > 0.0),
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "date_in_range" ->
+          (col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("2001-01-01").cast("timestamp"))),
+      aggChecks = Seq("key_unique" ->
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))),
+      extra = Seq("fk_custkey_exists" -> fk))
   }
 }
