@@ -187,6 +187,22 @@ class Round5Spec extends SparkSpecBase {
     assert(out.forall(_._3 == out.head._3)) // one shared total
   }
 
+  test("Quality.report: null predicate counts as violation; tiers compose") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None: Option[Double]),
+      (3L, Some(2.0))).toDF("k", "v")
+    val out = Quality.report(df,
+      rowChecks = Seq("v_positive" -> ($"v" > 0.0)),
+      aggChecks = Seq("k_unique" -> (count($"k") - countDistinct($"k"))),
+      extra = Seq("external" -> df.limit(1).agg(lit(7L).as("v"))))
+      .select($"check_name", $"violations", $"pass")
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("v_positive") == ((2L, false))) // -1 AND the NULL both fail
+    assert(out("k_unique") == ((1L, false)))   // duplicated k=3
+    assert(out("external") == ((7L, false)))
+  }
+
   test("dqOrders is one fact scan plus the FK anti-join") {
     val plan = Quality.dqOrders(spark, sfDir).queryExecution.executedPlan.toString
     val ordersScans = "orders\\.parquet".r.findAllIn(plan).length
