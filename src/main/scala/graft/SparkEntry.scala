@@ -49,6 +49,8 @@ object SparkEntry {
     "ts_gapfill" -> ((s: SparkSession, d: String) => graft.operators.TimeSeries.gapFillHourly(s, d)),
     "q26b_topk_multi" -> ((s: SparkSession, d: String) => Similarity.q26bTopKMulti(s, d)),
     "emb_label_centroids" -> Similarity.labelCentroids _,
+    "emb_hard_negatives" ->
+      ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "q16_topk" -> Relational.q16TopK _,
     "q17_setops" -> Relational.q17SetOps _,
     "q18_strings" -> Relational.q18Strings _,
@@ -417,6 +419,22 @@ object SparkEntry {
         |      FROM s)
         |SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id, score
         |FROM r WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin.replace("\n", " ")),
+    "emb_hard_negatives" ->
+      ("""WITH idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)),
+        |a AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS ae
+        |      FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT a.anchor_id, b.vec_id, b.label,
+        |        SUM(CAST(b.embedding[idx.x] AS DOUBLE) * CAST(a.ae[idx.x] AS DOUBLE)) AS dot,
+        |        SUM(CAST(b.embedding[idx.x] AS DOUBLE) * CAST(b.embedding[idx.x] AS DOUBLE)) AS nb,
+        |        SUM(CAST(a.ae[idx.x] AS DOUBLE) * CAST(a.ae[idx.x] AS DOUBLE)) AS na
+        |      FROM embeddings b, a, idx WHERE b.label <> a.anchor_label
+        |      GROUP BY a.anchor_id, b.vec_id, b.label),
+        |r AS (SELECT anchor_id, vec_id, label, round(dot/(sqrt(nb)*sqrt(na)), 6) AS score,
+        |        row_number() OVER (PARTITION BY anchor_id
+        |          ORDER BY round(dot/(sqrt(nb)*sqrt(na)), 6) DESC, vec_id ASC) AS rk
+        |      FROM s)
+        |SELECT anchor_id, CAST(rk AS BIGINT) AS rk, vec_id, label, score
+        |FROM r WHERE rk <= 3 ORDER BY anchor_id, rk""".stripMargin.replace("\n", " ")),
     "emb_label_centroids" ->
       ("WITH idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)) " +
         "SELECT label, CAST(idx.x AS BIGINT) AS idx, " +

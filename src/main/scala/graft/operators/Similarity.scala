@@ -84,6 +84,35 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** emb_hard_negatives — hard-negative mining for contrastive training:
+    * for each anchor, the most-similar vectors carrying a DIFFERENT
+    * label (high-similarity wrong-class examples are the gradient-rich
+    * negatives). Same one-corpus-pass multi-probe shape as q26b with the
+    * label-inequality predicate fused into the scan; per-anchor ranking
+    * over the already-scored rows. At index scale the exact pass swaps
+    * for any of the ANN families (LSH/IVF/PQ) unchanged.
+    */
+  def hardNegatives(s: SparkSession, dir: String, nAnchors: Int = 5,
+      k: Int = 3): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("anchor_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("score").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("vec_id"), col("label"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("anchor_emb")), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("rk").cast(LongType).as("rk"),
+        col("vec_id"), col("label"), col("score"))
+      .orderBy(col("anchor_id"), col("rk"))
+  }
+
   /** Per-label embedding centroids — the class-prototype aggregation a
     * training pipeline runs (nearest-centroid classification, cluster
     * seeding). posexplode → one key-partitioned aggregation on
