@@ -187,6 +187,7 @@ object SparkEntry {
     "recon_diff" ->
       ((s, dir) => graft.operators.Reconcile.reconOrders(s, dir)),
     "copurchase_pairs" -> Analytics.copurchasePairs _,
+    "feat_user_rfm" -> Analytics.userRfmFeatures _,
     "graph_triangles" ->
       ((s, dir) => graft.operators.Graph.copurchaseTriangles(s, dir)),
     "text_feature_hash" ->
@@ -1268,6 +1269,15 @@ object SparkEntry {
         "c.o_totalprice AS price_a, n.o_totalprice AS price_b " +
         "FROM orders c FULL JOIN nxt n ON c.o_orderkey = n.o_orderkey) " +
         "WHERE change IS NOT NULL ORDER BY o_orderkey, change"),
+    "feat_user_rfm" ->
+      ("SELECT user_id, epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS last_seen_us, " +
+        "COUNT(*) AS n_events, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value, " +
+        "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase, " +
+        "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click, " +
+        "COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup, " +
+        "round(CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS purchase_rate " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
     // triangle census: definitional 3-way self-join (the Spark side uses
     // the degree-ordered wedge-close algorithm; counts must agree)
     "graph_triangles" ->

@@ -225,6 +225,28 @@ object Analytics {
       .orderBy(col("cohort_us"), col("week_no"))
   }
 
+  /** feat_user_rfm — per-entity feature extraction (the feature-store
+    * export): recency / frequency / monetary plus per-type behavioral
+    * counts, ALL in one map-side-combined aggregation pass — a feature
+    * set per key costs one scan regardless of feature count (the same
+    * collapse as the DQ gate and the correlation matrix). Monetary runs
+    * through exact decimals; recency exports as epoch micros.
+    */
+  def userRfmFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        unix_micros(max(col("ts"))).as("last_seen_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).cast(DoubleType)
+          .as("total_value"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "signup", 1)).as("n_signup"),
+        round(count(when(col("event_type") === "purchase", 1))
+          .cast(DoubleType) / count(lit(1)), 6).as("purchase_rate"))
+      .orderBy(col("user_id"))
+
   /** copurchase_pairs — market-basket co-occurrence: the top part pairs
     * appearing together in an order. The pair generation is a self-join
     * keyed on the basket id (a partitioned equi-join; work bounded by
