@@ -145,6 +145,25 @@ class Round5Spec extends SparkSpecBase {
     assert(!f.contains("BroadcastNestedLoopJoin") && !f.contains("CartesianProduct"))
   }
 
+  test("cumulate batch plans as generate + keyed agg — no window function") {
+    val plan = Windows.q30bCumulate(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Generate") && plan.contains("HashAggregate"))
+    assert(!plan.contains("Window"), "cumulate must not fall back to a window")
+  }
+
+  test("edit-distance plan: band equi-join, no cartesian, one hist source") {
+    val q = Dedup.levenshteinPairs(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // the checkpointed histogram projection appears as scan-from-RDD on
+    // both join sides — the eight regexes never re-enter the plan
+    assert(!plan.contains("regexp_replace"),
+      "hist regexes must stay behind the checkpoint barrier")
+  }
+
   // ---- edit-distance near-dup ----
 
   test("editDistancePairs ≡ brute force, including cross-band pairs") {
