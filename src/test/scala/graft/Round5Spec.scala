@@ -118,6 +118,33 @@ class Round5Spec extends SparkSpecBase {
     assert(out == Seq((7L, "2024-03-01 00:00:00", "2024-03-01 00:01:50", 3L)))
   }
 
+  test("complete output mode re-emits the full aggregate state per batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    // complete mode: no watermark requirement; every batch rewrites the
+    // whole result table — the mode the append-based suite never touches
+    val q = src.toDF()
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"w.start".as("w_start"), $"cnt")
+      .writeStream.format("memory").queryName("cmpl")
+      .outputMode("complete").start()
+    src.addData(ev(1, "2024-03-01 00:00:10"))
+    q.processAllAvailable()
+    val after1 = spark.table("cmpl").count()
+    // a LATE row for the same window updates the already-emitted count —
+    // complete mode keeps all state live (no finalization)
+    src.addData(ev(2, "2024-03-01 00:05:00"), ev(3, "2024-03-01 00:00:20"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cmpl")
+      .select($"w_start".cast("string"), $"cnt").as[(String, Long)]
+      .collect().toMap
+    assert(after1 == 1L)
+    assert(out == Map("2024-03-01 00:00:00" -> 2L, "2024-03-01 00:05:00" -> 1L))
+  }
+
   // ---- interval-overlap join ----
 
   test("overlapBanded ≡ naive theta join, exactly-once, across band widths") {
