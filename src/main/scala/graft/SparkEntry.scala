@@ -63,6 +63,7 @@ object SparkEntry {
     "q21c_higher_order" -> Relational.q21cHigherOrder _,
     "q21e_array_fns" -> Relational.q21eArrayFns _,
     "q21f_outer_explode" -> Relational.q21fOuterExplode _,
+    "q21g_array_set_ops" -> Relational.q21gArraySetOps _,
     "q21d_struct" -> Relational.q21dStruct _,
     "q19c_parse" -> Relational.q19cParse _,
     "q22_maps" -> Relational.q22Maps _,
@@ -504,6 +505,15 @@ object SparkEntry {
         "round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b), 4) AS l1, " +
         "round(list_reduce([CAST(0 AS DOUBLE)] || list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS head8_sum " +
         "FROM embeddings ORDER BY vec_id"),
+    "q21g_array_set_ops" ->
+      ("WITH d AS (SELECT vec_id, " +
+        "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 10) AS BIGINT) for i in range(1, 7)] AS a " +
+        "FROM embeddings), r AS (SELECT [0, 1, 2, 3] AS ref) " +
+        "SELECT vec_id, " +
+        "COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, ref))), ','), '') AS u, " +
+        "COALESCE(array_to_string(list_sort(list_filter(list_distinct(a), x -> list_contains(ref, x))), ','), '') AS i, " +
+        "COALESCE(array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(ref, x))), ','), '') AS x " +
+        "FROM d, r ORDER BY vec_id"),
     "q21f_outer_explode" ->
       ("WITH d AS (SELECT doc_id, " +
         "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), " +

@@ -523,6 +523,26 @@ object Relational {
       .orderBy(col("doc_id"), col("ztoken"))
   }
 
+  /** Q21g — set-like array algebra (array_union / array_intersect /
+    * array_except) between each row's head-int array and a constant
+    * reference set; outputs sorted before export so the order contract
+    * is the same on both engines (Spark preserves first-appearance
+    * order, DuckDB composes from concat/filter — sorting removes the
+    * difference without weakening the set semantics under test).
+    */
+  def q21gArraySetOps(s: SparkSession, dir: String): DataFrame = {
+    val ref = array((0L to 3L).map(lit): _*)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, 6),
+          x => floor(x.cast(DoubleType) * 10).cast(LongType)).as("a"))
+      .select(col("vec_id"),
+        array_join(sort_array(array_union(col("a"), ref)), ",").as("u"),
+        array_join(sort_array(array_intersect(col("a"), ref)), ",").as("i"),
+        array_join(sort_array(array_except(col("a"), ref)), ",").as("x"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Q19c — string→temporal parsing round-trip. */
   def q19cParse(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
