@@ -74,6 +74,7 @@ object SparkEntry {
     "q16b_offset" -> Relational.q16bOffset _,
     "q24_subquery" -> Relational.q24Subquery _,
     "q24b_in_subquery" -> Relational.q24bInSubquery _,
+    "q24d_anti_argmax" -> Relational.q24dAntiArgmax _,
     "q24c_lateral" -> Relational.q24cLateral _,
     "q12b_approx_percentile" -> Relational.q12bApproxPercentile _,
     "q06b_nulls" -> Relational.q06bNulls _,
@@ -567,6 +568,7 @@ object SparkEntry {
         "FROM p GROUP BY 1 ORDER BY 1"),
     "q24_subquery" -> Relational.q24Sql,
     "q24b_in_subquery" -> Relational.q24bSql,
+    "q24d_anti_argmax" -> Relational.q24dSql,
     "q21d_struct" ->
       ("SELECT o_orderkey, s.k AS cust, s.p AS price, " +
         "s = struct_pack(k := s.k, p := s.p) AS self_eq " +

@@ -688,6 +688,27 @@ object Relational {
     s.sql(q24bSql)
   }
 
+  /** Q24d — INEQUALITY-correlated NOT EXISTS (the argmax-as-anti-join
+    * idiom: an order survives iff no same-customer order outprices it).
+    * Catalyst decorrelates to a left-anti join with the non-equi
+    * conjunct riding the equi key — no per-row subquery execution. Ties
+    * keep every maximal row on both engines (set semantics, no
+    * tie-break gamble).
+    */
+  val q24dSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o2
+      |  WHERE o2.o_custkey = o.o_custkey
+      |    AND o2.o_totalprice > o.o_totalprice)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  def q24dAntiArgmax(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(s, dir)
+    s.sql(q24dSql)
+  }
+
   /** Q24c — correlated LATERAL subquery with per-row LIMIT (top-2 orders
     * per customer via the SQL-standard lateral form): Catalyst
     * decorrelates it into a ranked window join — no per-row subquery
