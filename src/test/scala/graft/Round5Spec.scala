@@ -396,6 +396,31 @@ class Round5Spec extends SparkSpecBase {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("anti-join argmax ≡ groupBy max (every kept row is its group max)") {
+    import spark.implicits._
+    val got = Relational.q24dAntiArgmax(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val maxes = graft.Tables.t(spark, sfDir, "orders")
+      .groupBy("o_custkey").agg(max("o_totalprice"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.nonEmpty && got.forall { case (c, _, p) => maxes(c) == p })
+    assert(got.map(_._1).distinct.length == maxes.size) // every customer kept
+  }
+
+  test("weighted median golden: half the units sit at or below it") {
+    import spark.implicits._
+    // values 10,20,30 with weights 1,2,7 → cum 1,3,10; 2*cum>=10 first at 30
+    val df = Seq((10.0, 1.0), (20.0, 2.0), (30.0, 7.0)).zipWithIndex
+      .map { case ((v, q), i) => (i.toLong, 1L, v, q) }
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .withColumn("l_returnflag", lit("A"))
+    val tmp = java.nio.file.Files.createTempDirectory("wmed").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Relational.q10mWeightedMedian(spark, tmp)
+      .select($"weighted_median", $"total_units").as[(Double, Long)].collect()
+    assert(out.toSeq == Seq((30.0, 10L)))
+  }
+
   // ---- PPS systematic sampling ----
 
   test("ppsSample: hit totals, heavy-doc guarantee, shard invariance") {
