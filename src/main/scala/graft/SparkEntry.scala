@@ -136,6 +136,14 @@ object SparkEntry {
     "sql_tpch_q14" -> Analytics.sqlTpchQ14 _,
     "sql_tpch_q15" -> Analytics.sqlTpchQ15 _,
     "sql_tpch_q17" -> Analytics.sqlTpchQ17 _,
+    "sql_tpch_q4" -> Analytics.sqlTpchQ4 _,
+    "sql_tpch_q7" -> Analytics.sqlTpchQ7 _,
+    "sql_tpch_q8" -> Analytics.sqlTpchQ8 _,
+    "sql_tpch_q12" -> Analytics.sqlTpchQ12 _,
+    "sql_tpch_q13" -> Analytics.sqlTpchQ13 _,
+    "sql_tpch_q19" -> Analytics.sqlTpchQ19 _,
+    "sql_tpch_q21" -> Analytics.sqlTpchQ21 _,
+    "sql_tpch_q22" -> Analytics.sqlTpchQ22 _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
@@ -1085,6 +1093,14 @@ object SparkEntry {
     "sql_tpch_q14" -> Analytics.tpchQ14Sql,
     "sql_tpch_q15" -> Analytics.tpchQ15Sql,
     "sql_tpch_q17" -> Analytics.tpchQ17Sql,
+    "sql_tpch_q4" -> Analytics.tpchQ4Sql,
+    "sql_tpch_q7" -> Analytics.tpchQ7Sql,
+    "sql_tpch_q8" -> Analytics.tpchQ8Sql,
+    "sql_tpch_q12" -> Analytics.tpchQ12Sql,
+    "sql_tpch_q13" -> Analytics.tpchQ13Sql,
+    "sql_tpch_q19" -> Analytics.tpchQ19Sql,
+    "sql_tpch_q21" -> Analytics.tpchQ21Sql,
+    "sql_tpch_q22" -> Analytics.tpchQ22Sql,
     "text_decontam" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS s FROM d), " +

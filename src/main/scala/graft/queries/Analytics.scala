@@ -185,6 +185,174 @@ object Analytics {
       |    SELECT 0.2 * AVG(CAST(l_quantity AS DOUBLE))
       |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** TPC-H Q4 shape (order priority checking; the lateness predicate is
+    * adapted to the available columns — EXISTS a line shipped after a
+    * cutoff). The point of the shape: an uncorrelatable-looking EXISTS
+    * that Catalyst decorrelates into a left-semi join on o_orderkey, with
+    * the date filters pushed to both scans. No per-row subquery anywhere.
+    */
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 verbatim-shape (volume shipping between two nations): the
+    * same dimension table joined TWICE under different aliases with a
+    * disjunctive pair predicate — join-graph cycles + alias resolution.
+    * At scale both nation sides broadcast; the only big shuffle is
+    * lineitem⋈orders on orderkey.
+    */
+  val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): 8-table join feeding a
+    * conditional-share ratio per year — the widest join-reorder exercise
+    * in the suite (both facts + every dimension, nation aliased twice).
+    * The share division happens on DOUBLE after exact decimal sums, so
+    * the quotient bits match any engine computing the same two sums.
+    */
+  val tpchQ8Sql: String =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+      |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) /
+      |  CAST(SUM(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND p_type = 'PROMO'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-priority split; l_returnflag stands in for
+    * the absent l_shipmode): fact⋈fact join with BOTH conditional counts
+    * folded into one aggregation pass — the filter-aggregate pattern that
+    * avoids two scans.
+    */
+  val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q13 verbatim-shape (customer order-count distribution): LEFT
+    * OUTER join with a non-key join-side predicate (it must NOT filter
+    * unmatched customers — a WHERE would), then an aggregation OF an
+    * aggregation. Zero-order customers survive as c_count = 0.
+    */
+  val tpchQ13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q19 verbatim-shape (discounted revenue, disjunctive
+    * predicates): three OR-arms that each repeat the p_partkey =
+    * l_partkey equi-conjunct — the optimizer test is extracting that
+    * common conjunct so the join is a hash join with an OR-residual, not
+    * a nested-loop over the full cross product.
+    */
+  val tpchQ19Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |  (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+      |       AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 21)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+      |       AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+      |       AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting; l_returnflag =
+    * 'R' stands in for the absent receipt>commit lateness): one
+    * correlated EXISTS and one correlated NOT EXISTS over the same fact,
+    * both with a non-equi conjunct (l_suppkey <>) — the double-
+    * decorrelation stress: Catalyst plans a semi AND an anti join against
+    * lineitem on l_orderkey, each carrying the inequality as a residual.
+    */
+  val tpchQ21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 shape (dormant rich customers; cntrycode = c_nationkey
+    * mod 5, dormancy = no orders since 1999): an uncorrelated scalar
+    * aggregate subquery gating the fact scan PLUS a correlated NOT
+    * EXISTS. The above-average comparison is done as bal·count > sum on
+    * exact decimals — an AVG() would be a float whose last bit differs
+    * between engines and could flip boundary rows.
+    */
+  val tpchQ22Sql: String =
+    """SELECT cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal
+      |  FROM customer
+      |  WHERE CAST(c_acctbal AS DECIMAL(12,2)) *
+      |          (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0.0) >
+      |        (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+      |         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |    AND NOT EXISTS (SELECT 1 FROM orders
+      |                    WHERE o_custkey = c_custkey
+      |                      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
   private def runSql(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(sql)
@@ -196,6 +364,14 @@ object Analytics {
   def sqlTpchQ14(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ14Sql)
   def sqlTpchQ15(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ15Sql)
   def sqlTpchQ17(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ17Sql)
+  def sqlTpchQ4(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ4Sql)
+  def sqlTpchQ7(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ7Sql)
+  def sqlTpchQ8(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ8Sql)
+  def sqlTpchQ12(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ12Sql)
+  def sqlTpchQ13(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ13Sql)
+  def sqlTpchQ19(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ19Sql)
+  def sqlTpchQ21(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ21Sql)
+  def sqlTpchQ22(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ22Sql)
 
   /** Weekly cohort retention over `events`: users grouped by first-active
     * week, activity counted per (cohort, weeks-since-cohort). Two keyed
