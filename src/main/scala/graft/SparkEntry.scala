@@ -136,6 +136,11 @@ object SparkEntry {
     "sql_tpch_q14" -> Analytics.sqlTpchQ14 _,
     "sql_tpch_q15" -> Analytics.sqlTpchQ15 _,
     "sql_tpch_q17" -> Analytics.sqlTpchQ17 _,
+    "graph_pagerank" -> graft.operators.Graph.copurchasePageRank _,
+    "q13e_cube" -> Relational.q13eCube _,
+    "q14c_ratio_to_report" -> Relational.q14cRatioToReport _,
+    "mix_group_sample" ->
+      ((s, dir) => graft.operators.Mixing.groupSample(s, dir)),
     "sql_tpch_q4" -> Analytics.sqlTpchQ4 _,
     "sql_tpch_q7" -> Analytics.sqlTpchQ7 _,
     "sql_tpch_q8" -> Analytics.sqlTpchQ8 _,
@@ -1093,6 +1098,50 @@ object SparkEntry {
     "sql_tpch_q14" -> Analytics.tpchQ14Sql,
     "sql_tpch_q15" -> Analytics.tpchQ15Sql,
     "sql_tpch_q17" -> Analytics.tpchQ17Sql,
+    // 3-iteration quantized power iteration, replayed verbatim as CTEs:
+    // same 9dp contribution rounding, same DECIMAL(20,10) sums, same
+    // 6dp-then-order final cut — bit-parity by construction
+    "graph_pagerank" -> {
+      val items = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+        "WHERE l_partkey % 4 = 0"
+      def step(i: Int) =
+        s"s$i AS (SELECT e.v AS n, SUM(CAST(ROUND(r.r / r.d, 9) AS DECIMAL(20,10))) AS s " +
+          s"FROM edges e JOIN r${i - 1} r ON e.u = r.n GROUP BY e.v), " +
+          s"r$i AS (SELECT deg.n, deg.d, ROUND(0.15 + 0.85 * CAST(COALESCE(s$i.s, 0) AS DOUBLE), 9) AS r " +
+          s"FROM deg LEFT JOIN s$i ON deg.n = s$i.n), "
+      s"WITH items AS ($items), " +
+        "e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey " +
+        "WHERE a.l_partkey < b.l_partkey), " +
+        "edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0), " +
+        "deg AS (SELECT u AS n, COUNT(*) AS d FROM edges GROUP BY u), " +
+        "r0 AS (SELECT n, d, CAST(1.0 AS DOUBLE) AS r FROM deg), " +
+        step(1) + step(2) + step(3).stripSuffix(", ") +
+        " SELECT n AS part_id, ROUND(r, 6) AS pagerank FROM r3 " +
+        "ORDER BY pagerank DESC, part_id LIMIT 20"
+    },
+    "q13e_cube" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +
+        "COALESCE(l_linestatus, 'ALL') AS lstatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "COUNT(*) AS cnt FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rflag, lstatus"),
+    "q14c_ratio_to_report" ->
+      ("WITH bn AS (SELECT n_name, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue " +
+        "FROM customer, orders, nation " +
+        "WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey " +
+        "GROUP BY n_name) " +
+        "SELECT n_name, ROUND(revenue, 2) AS revenue, " +
+        "ROUND(revenue / SUM(revenue) OVER (), 6) AS rev_share " +
+        "FROM bn ORDER BY n_name"),
+    "mix_group_sample" ->
+      ("WITH h AS (SELECT lang, doc_id, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h " +
+        "FROM documents) " +
+        "SELECT lang, doc_id, h FROM h " +
+        "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) <= 25 " +
+        "ORDER BY lang, h DESC, doc_id"),
     "sql_tpch_q4" -> Analytics.tpchQ4Sql,
     "sql_tpch_q7" -> Analytics.tpchQ7Sql,
     "sql_tpch_q8" -> Analytics.tpchQ8Sql,

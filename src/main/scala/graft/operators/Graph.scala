@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Distributed graph analytics over relational edge lists. Companion to
   * the connected-components operator in Dedup (label propagation): this
@@ -70,6 +71,57 @@ object Graph {
     triangleStats(basketEdges(t(s, dir, "lineitem")
       .filter(pmod(col("l_partkey"), lit(4)) === 0)
       .select(col("l_orderkey"), col("l_partkey"))))
+
+  /** Fixed-iteration PageRank over an undirected edge list (u < v). Each
+    * iteration is exactly one hash-partitioned equi-join (edges ⋈ ranks
+    * on the source vertex) plus one keyed aggregation of contributions —
+    * the classic power-iteration as a relational plan, nothing keyed by
+    * anything but the 8-byte vertex id, no driver-side state, iteration
+    * count fixed up front (the production form runs to an epsilon; a
+    * bounded count keeps the plan static and the oracle expressible).
+    *
+    * Cross-engine exactness: each per-edge contribution rank/degree is
+    * rounded to 9 dp and summed as DECIMAL(20,10) — the shuffle-order-
+    * independent aggregation recipe (see emb_label_centroids) — so every
+    * iteration's ranks are bit-reproducible against any engine doing the
+    * same quantized arithmetic, and the top-k cut cannot flip on float
+    * noise. Ranks round to 6 dp BEFORE the final ordering for the same
+    * reason.
+    */
+  def pageRank(edges0: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val und = edges0.select(col("u"), col("v"))
+    // symmetrize: undirected PageRank = directed over both orientations
+    val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var ranks = deg.select(col("n"), col("d"), lit(1.0).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("n").as("u"),
+          round(col("r") / col("d"), 9).cast(DecimalType(20, 10)).as("c")), "u")
+        .groupBy(col("v").as("n")).agg(sum(col("c")).as("s"))
+      ranks = deg.join(contrib, Seq("n"), "left")
+        .select(col("n"), col("d"),
+          round(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("s").cast(DoubleType), lit(0.0)), 9)
+            .as("r"))
+        .localCheckpoint(true) // keep each iteration's plan flat
+    }
+    ranks.select(col("n"), col("r"))
+  }
+
+  /** graph_pagerank — 3-iteration PageRank of the scoped co-purchase
+    * graph (same quarter-of-parts scope as the triangle census), top-20
+    * most central parts.
+    */
+  def copurchasePageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(basketEdges(t(s, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))))
+      .select(col("n").as("part_id"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("part_id"))
+      .limit(20)
 
   /** (basket, item) rows → undirected co-occurrence edge list (u < v,
     * distinct) — shared by the gate query and ScaleProbe so the probed

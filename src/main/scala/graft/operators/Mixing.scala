@@ -94,6 +94,35 @@ object Mixing {
       .orderBy(col("doc_id"))
   }
 
+  /** mix_group_sample — EXACT-k-per-stratum deterministic sample: every
+    * language keeps exactly k documents, chosen by md5-hash order (the
+    * same engine-independent coin as the rate-based samplers, so the
+    * subset is reproducible across runs and clusters with no RNG state).
+    * Rate-based sampling (text_stratified_sample) can't promise a count;
+    * this is the "give me exactly 1000 eval docs per language" form.
+    *
+    * Scale shape: the hash rank runs through the bounded k-heap aggregate
+    * ([[graft.functions.TopKByValue]]) — map-side partials ship ≤k rows
+    * per (stratum, partition) and no group is ever sorted whole, unlike
+    * the row_number() window form that sorts each stratum inside one
+    * task. Only 12 hex chars (48 bits) of the md5 enter the Double-typed
+    * heap value so the ordering is integer-exact in IEEE-754.
+    */
+  def groupSample(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 12), 16, 10).cast("long").cast("double")
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), h.as("__h"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKFunctions
+        .topkByValue(col("__h"), col("doc_id"), k).as("top"))
+      .select(col("lang"), explode(col("top")).as("t"))
+      .select(col("lang"), col("t.id").as("doc_id"),
+        col("t.v").cast("long").as("h"))
+      .orderBy(col("lang"), col("h").desc, col("doc_id"))
+  }
+
   /** mix_pps_sample — weighted (probability-proportional-to-size)
     * SYSTEMATIC sampling: walk the cumulative weight axis and take a hit
     * at every multiple of step = totalW div m. Selection probability is

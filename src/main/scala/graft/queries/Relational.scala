@@ -219,6 +219,44 @@ object Relational {
         col("sum_qty"), col("cnt"))
       .orderBy(col("rflag"), col("lstatus"))
 
+  /** Q13e — CUBE over (returnflag, linestatus): all four grouping-set
+    * combinations (both keys, each alone, grand total) from ONE pass —
+    * Catalyst plans the same Expand + partial-agg shape as ROLLUP /
+    * GROUPING SETS, so the fact scan count stays 1 no matter how many
+    * grouping sets the cube implies. NULL group keys are coalesced to a
+    * sentinel so both engines order the output rows identically.
+    */
+  def q13eCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("cnt"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  /** Q14c — ratio-to-report (percent of total): each nation's share of
+    * global revenue. The input to the unpartitioned share window is the
+    * PRE-AGGREGATED per-nation table — group-count rows, not fact rows —
+    * so the "global window" that would be a single-task disaster on raw
+    * data is a no-op here; the fact-sized work is all in the partial-agg
+    * groupBy. That pre-collapse-then-window order is the whole operator.
+    */
+  def q14cRatioToReport(s: SparkSession, dir: String): DataFrame = {
+    val byNation = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    byNation
+      .select(col("n_name"), round(col("revenue"), 2).as("revenue"),
+        round(col("revenue") / sum(col("revenue"))
+          .over(Window.partitionBy()), 6).as("rev_share"))
+      .orderBy(col("n_name"))
+  }
+
   /** Q14 — ranking window functions, top-3 per customer (rank ties share
     * values in both engines; row_number is made unique by the o_orderkey
     * tiebreak).

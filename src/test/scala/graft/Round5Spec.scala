@@ -524,6 +524,72 @@ class Round5Spec extends SparkSpecBase {
     assert(out2 == ((6L, 5L, 0L)))
   }
 
+  test("pageRank golden: 4-cycle is uniform, star centre dominates") {
+    import spark.implicits._
+    // 4-cycle: perfectly symmetric -> every rank stays exactly 1.0
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val out1 = graft.operators.Graph.pageRank(cyc.toDF("u", "v"))
+      .as[(Long, Double)].collect().toMap
+    assert(out1.size == 4 && out1.values.forall(r => math.abs(r - 1.0) < 1e-9))
+    // star K1,4: the centre receives all four leaves' full rank each
+    // round; leaves split the centre's. Centre must dominate and the
+    // leaves must be identical by symmetry.
+    val star = (2L to 5L).map(i => (1L, i))
+    val out2 = graft.operators.Graph.pageRank(star.toDF("u", "v"))
+      .as[(Long, Double)].collect().toMap
+    val leaves = (2L to 5L).map(out2)
+    assert(leaves.distinct.size == 1 && out2(1L) > 2 * leaves.head)
+    // total rank is conserved up to the damping leak: n*(1-d) + d*sum
+    assert(math.abs(out2.values.sum - 5.0) < 1e-6)
+  }
+
+  test("pageRank ≡ driver-side power iteration on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 25
+    val edges = (for {
+      u <- 1 to n; v <- (u + 1) to n if rnd.nextDouble() < 0.2
+    } yield (u.toLong, v.toLong)).toSeq
+    // reference: same quantized arithmetic, plain Scala
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    var r = adj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, BigDecimal]
+      for ((u, vs) <- adj; v <- vs)
+        contrib(v) = contrib.getOrElse(v, BigDecimal(0)) +
+          BigDecimal(r(u) / deg(u)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      r = adj.keys.map(k => k -> BigDecimal(
+        0.15 + 0.85 * contrib.getOrElse(k, BigDecimal(0)).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    val got = graft.operators.Graph.pageRank(edges.toDF("u", "v"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == r.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - r(k)) < 1e-8, s"node $k") }
+  }
+
+  test("groupSample: exactly k per stratum, deterministic, subset of corpus") {
+    import spark.implicits._
+    val out = graft.operators.Mixing.groupSample(spark, sfDir, k = 7)
+      .as[(String, Long, Long)].collect()
+    val byLang = out.groupBy(_._1)
+    val sizes = graft.Tables.t(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    // every stratum with >= 7 docs yields exactly 7; smaller ones all
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length == math.min(7L, sizes(lang)),
+        s"$lang: ${rows.length}")
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+    assert(byLang.keySet == sizes.keySet.filter(sizes(_) > 0))
+    // rerun identical (no RNG state anywhere)
+    val again = graft.operators.Mixing.groupSample(spark, sfDir, k = 7)
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   // ---- feature hashing / bigram LM ----
 
   test("featureHash: buckets in range, counts conserve token totals") {
