@@ -95,6 +95,13 @@ object Graph {
       .localCheckpoint(true)
     val deg = edges.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
+    // the iterations stay ONE linear DAG — no per-iteration checkpoint:
+    // each rank table is consumed exactly once by the next iteration, so
+    // materializing it would only serialize 3 extra jobs. Only edges and
+    // deg fan out (3 resp. 4 consumers) and are checkpointed above. The
+    // rank side of each edge join is vertex-sized; AQE broadcasts it at
+    // dimension scale and falls back to the vertex-keyed shuffle join
+    // when the vertex set is itself fact-sized.
     var ranks = deg.select(col("n"), col("d"), lit(1.0).as("r"))
     for (_ <- 1 to iters) {
       val contrib = edges
@@ -106,7 +113,6 @@ object Graph {
           round(lit(1.0 - damping) +
             lit(damping) * coalesce(col("s").cast(DoubleType), lit(0.0)), 9)
             .as("r"))
-        .localCheckpoint(true) // keep each iteration's plan flat
     }
     ranks.select(col("n"), col("r"))
   }
