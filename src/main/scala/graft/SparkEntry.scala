@@ -137,6 +137,11 @@ object SparkEntry {
     "sql_tpch_q15" -> Analytics.sqlTpchQ15 _,
     "sql_tpch_q17" -> Analytics.sqlTpchQ17 _,
     "graph_pagerank" -> graft.operators.Graph.copurchasePageRank _,
+    "ts_ohlc" -> graft.operators.TimeSeries.tsOhlc _,
+    "q10n_winsorize" -> Relational.q10nWinsorize _,
+    "emb_label_balance" -> Similarity.labelBalance _,
+    "emb_kmeans" ->
+      ((s, dir) => graft.operators.KMeans.kmeansClusters(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
     "q14c_ratio_to_report" -> Relational.q14cRatioToReport _,
     "mix_group_sample" ->
@@ -1119,6 +1124,67 @@ object SparkEntry {
         step(1) + step(2) + step(3).stripSuffix(", ") +
         " SELECT n AS part_id, ROUND(r, 6) AS pagerank FROM r3 " +
         "ORDER BY pagerank DESC, part_id LIMIT 20"
+    },
+    "ts_ohlc" ->
+      ("WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, ts, " +
+        "event_id, value FROM events), " +
+        "o AS (SELECT event_type, day, value AS open FROM e " +
+        "QUALIFY row_number() OVER (PARTITION BY event_type, day " +
+        "ORDER BY ts, event_id) = 1), " +
+        "c AS (SELECT event_type, day, value AS close FROM e " +
+        "QUALIFY row_number() OVER (PARTITION BY event_type, day " +
+        "ORDER BY ts DESC, event_id DESC) = 1), " +
+        "a AS (SELECT event_type, day, max(value) AS high, min(value) AS low, " +
+        "COUNT(*) AS volume FROM e GROUP BY event_type, day) " +
+        "SELECT a.event_type, a.day, o.open, a.high, a.low, c.close, a.volume " +
+        "FROM a JOIN o USING (event_type, day) JOIN c USING (event_type, day) " +
+        "ORDER BY a.event_type, a.day"),
+    "q10n_winsorize" ->
+      ("WITH q AS (SELECT l_returnflag, " +
+        "round(quantile_cont(l_extendedprice, 0.05), 4) AS lo, " +
+        "round(quantile_cont(l_extendedprice, 0.95), 4) AS hi " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, " +
+        "CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo, " +
+        "CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi, " +
+        "round(CAST(SUM(CAST(CASE WHEN l_extendedprice < lo THEN lo " +
+        "WHEN l_extendedprice > hi THEN hi ELSE l_extendedprice END " +
+        "AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS wins_mean " +
+        "FROM lineitem JOIN q USING (l_returnflag) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "emb_label_balance" ->
+      ("WITH c AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label), " +
+        "t AS (SELECT SUM(n_vecs) AS tot FROM c), " +
+        "w AS (SELECT label, n_vecs, CAST(n_vecs AS DOUBLE) / tot AS share FROM c, t), " +
+        "s AS (SELECT round(CAST(SUM(CAST(round(-ln(share) * share, 8) " +
+        "AS DECIMAL(20,10))) AS DOUBLE), 6) AS entropy_nats, " +
+        "round(CAST(MAX(n_vecs) AS DOUBLE) / MIN(n_vecs), 6) AS imbalance FROM w) " +
+        "SELECT label, n_vecs, round(share, 6) AS share, entropy_nats, imbalance " +
+        "FROM w, s ORDER BY label"),
+    // Lloyd's iterations replayed as chained CTEs with the same quantized
+    // arithmetic (9dp-rounded squared diffs into DECIMAL(22,12), 6dp
+    // decimal-mean centroids) — assignments and inertia match bit-exactly
+    "emb_kmeans" -> {
+      def d(i: Int, cPrev: String) =
+        s"d$i AS (SELECT v.vec_id, c.cid, " +
+          "SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(22,12))) AS d2 " +
+          s"FROM v JOIN $cPrev c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), "
+      def a(i: Int) =
+        s"a$i AS (SELECT vec_id, cid, d2 FROM d$i " +
+          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1), "
+      def c(i: Int) =
+        s"c$i AS (SELECT a.cid, v.dim, " +
+          "round(CAST(SUM(CAST(v.x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
+          s"FROM v JOIN a$i a ON v.vec_id = a.vec_id GROUP BY a.cid, v.dim), "
+      "WITH idx AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)), " +
+        "v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x " +
+        "FROM embeddings, idx), " +
+        "c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < 4), " +
+        d(1, "c0") + a(1) + c(1) + d(2, "c1") + a(2) + c(2) +
+        d(3, "c2") + a(3).stripSuffix(", ") +
+        " SELECT cid AS cluster, COUNT(*) AS n_members, " +
+        "round(CAST(SUM(d2) AS DOUBLE), 4) AS inertia " +
+        "FROM a3 GROUP BY cid ORDER BY cluster"
     },
     "q13e_cube" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Distributed Lloyd's k-means as a pure relational plan — the embedding-
+  * clustering stage of a training pipeline (corpus partitioning, coreset
+  * selection, IVF coarse quantizers), expressed so every step is a keyed
+  * aggregation Catalyst plans with map-side partials:
+  *
+  *   - vectors live in LONG format (vec_id, dim, x) — one explode, done
+  *     once and checkpointed (every Lloyd's pass re-reads it);
+  *   - the assignment pass joins vectors to the PARAMETER-sized centroid
+  *     table on `dim` (k·d rows — broadcast by construction, it scales
+  *     with the algorithm, not the data), accumulates per-(vec, cid)
+  *     squared distances, and argmins with one more keyed agg (a
+  *     min-of-struct, not a window);
+  *   - the update pass is one (cid, dim)-keyed mean.
+  *
+  * Nothing anywhere pairs vectors with vectors; per-iteration cost is
+  * O(n·d·k) spread over every partition, exactly Lloyd's. Iteration count
+  * is fixed (production would run to convergence; a fixed count keeps the
+  * plan static and the oracle expressible as chained CTEs).
+  *
+  * Cross-engine exactness (the PageRank recipe): per-dim squared
+  * differences are rounded to 9 dp and summed as DECIMAL(22,12), so
+  * distances — and therefore assignments, which tiebreak on cid — are
+  * shuffle-order-independent and reproducible bit-for-bit against any
+  * engine doing the same quantized arithmetic. Centroid means are
+  * 6dp-quantized decimal sums over exact float→double casts.
+  */
+object KMeans {
+
+  /** Long-format (vec_id, dim, x) view of the embeddings table. */
+  private def longVecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"),
+        col("col").cast(DoubleType).as("x"))
+
+  /** One assignment pass: nearest centroid per vector under the quantized
+    * squared L2, ties to the lowest cid. Returns (vec_id, cid, d2).
+    */
+  private def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.join(broadcast(cent), "dim")
+      .select(col("vec_id"), col("cid"),
+        round((col("x") - col("c")) * (col("x") - col("c")), 9)
+          .cast(DecimalType(22, 12)).as("t"))
+      .groupBy(col("vec_id"), col("cid")).agg(sum(col("t")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"), col("b.d2").as("d2"))
+
+  /** emb_kmeans — k clusters, `iters` Lloyd's iterations, seeded from the
+    * k lowest vec_ids (deterministic; production would k-means++ with a
+    * seeded coin). Output: one row per cluster with its final membership
+    * count and quantized inertia (sum of squared distances) — the
+    * convergence diagnostics a pipeline actually monitors.
+    */
+  def kmeansClusters(s: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val vecs = longVecs(s, dir).localCheckpoint(true)
+    var cent = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("dim"), col("x").as("c"))
+    for (_ <- 1 to iters) {
+      val a = assign(vecs, cent)
+      cent = vecs.join(a.select(col("vec_id"), col("cid")), "vec_id")
+        .groupBy(col("cid"), col("dim"))
+        .agg(round(sum(col("x").cast(DecimalType(20, 10))).cast(DoubleType) /
+          count(lit(1)), 6).as("c"))
+    }
+    assign(vecs, cent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("d2")).cast(DoubleType), 4).as("inertia"))
+      .select(col("cid").cast("long").as("cluster"),
+        col("n_members"), col("inertia"))
+      .orderBy(col("cluster"))
+  }
+}

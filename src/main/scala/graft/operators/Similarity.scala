@@ -130,6 +130,31 @@ object Similarity {
       .select(col("label"), (col("pos") + 1).cast(LongType).as("idx"), col("c"))
       .orderBy(col("label"), col("idx"))
 
+  /** emb_label_balance — class-balance report for a labeled training set:
+    * per-label counts and shares, plus the whole-distribution diagnostics
+    * (Shannon entropy in nats, max/min imbalance ratio) every training
+    * pipeline checks before sampling weights are chosen. One keyed count
+    * + one label-cardinality-sized summary aggregation, cross-joined back
+    * onto the label rows (1-row broadcast). Entropy terms go through the
+    * round-then-decimal-sum recipe so the report is engine-reproducible.
+    */
+  def labelBalance(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val withTot = counts.crossJoin(
+      broadcast(counts.agg(sum(col("n_vecs")).as("__tot"))))
+      .withColumn("__share", col("n_vecs").cast(DoubleType) / col("__tot"))
+    val summary = withTot.agg(
+      round(sum(round(-log(col("__share")) * col("__share"), 8)
+        .cast(DecimalType(20, 10))).cast(DoubleType), 6).as("entropy_nats"),
+      round(max(col("n_vecs")).cast(DoubleType) / min(col("n_vecs")), 6)
+        .as("imbalance"))
+    withTot.crossJoin(broadcast(summary))
+      .select(col("label"), col("n_vecs"), round(col("__share"), 6).as("share"),
+        col("entropy_nats"), col("imbalance"))
+      .orderBy(col("label"))
+  }
+
   /** Random-hyperplane signs for LSH bucketing, derived from a fixed seed
     * so plans are stable across runs/engines. nPlanes sign bits → bucket id.
     */

@@ -194,4 +194,26 @@ object TimeSeries {
       .select(col("t").as("t_us"), col("cum").as("concurrency"))
       .orderBy(col("t_us"))
   }
+
+  /** ts_ohlc — downsample the event stream to per-(type, day) OHLC bars
+    * (open/high/low/close + volume), the classic time-series resample.
+    * Open and close are arg-min/arg-max by (ts, event_id) — the event_id
+    * tiebreak makes bars deterministic when multiple events share a
+    * timestamp. ONE partial-agg pass: min_by/max_by buffers carry a
+    * single (value, key) candidate per group per partition, so the bar
+    * table costs one keyed shuffle of group-count rows regardless of how
+    * many events a day holds — no per-day sort, no window.
+    */
+  def tsOhlc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy(col("event_type"), col("day"))
 }

@@ -978,6 +978,35 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Q10n — winsorization (percentile clipping): values outside the
+    * per-group [p5, p95] band are clamped to the boundary, the standard
+    * heavy-tail taming before a mean/feature export. Boundaries come from
+    * the sketch-pruned exact percentile operator (4dp cross-engine
+    * rounding, the q10h contract) and join back as a broadcast; the clip
+    * itself is one map-side CASE, the report one partial-agg pass with
+    * the clamped sum running through exact DECIMAL(18,4).
+    */
+  def q10nWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Percentiles.grouped(
+      t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq(0.05, 0.95))
+    val b = q.select(col("l_returnflag"),
+      round(col("p5"), 4).as("lo"), round(col("p95"), 4).as("hi"))
+    t(s, dir, "lineitem")
+      .join(broadcast(b), "l_returnflag")
+      .select(col("l_returnflag"),
+        when(col("l_extendedprice") < col("lo"), col("lo"))
+          .when(col("l_extendedprice") > col("hi"), col("hi"))
+          .otherwise(col("l_extendedprice")).as("w"),
+        (col("l_extendedprice") < col("lo")).cast("long").as("cl"),
+        (col("l_extendedprice") > col("hi")).cast("long").as("ch"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("cl")).as("n_clip_lo"), sum(col("ch")).as("n_clip_hi"),
+        round(sum(col("w").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1)), 4).as("wins_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q10f — equi-width histogram: bucket = min(⌊value/25⌋, 19), counts +
     * exact decimal mass per (event_type, bucket). The bucketing is a
     * map-side integer expression, so the histogram is one partial-agg

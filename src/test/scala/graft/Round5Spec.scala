@@ -590,6 +590,52 @@ class Round5Spec extends SparkSpecBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("kmeans: clusters separate, counts partition the corpus, inertia sane") {
+    import spark.implicits._
+    val out = graft.operators.KMeans.kmeansClusters(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet.subsetOf((0L until 4L).toSet))
+    val total = graft.Tables.t(spark, sfDir, "embeddings").count()
+    assert(out.map(_._2).sum == total) // every vector assigned exactly once
+    assert(out.forall(_._3 >= 0.0))
+  }
+
+  test("tsOhlc golden: open/close respect the (ts, event_id) tiebreak") {
+    import spark.implicits._
+    // same-timestamp open: ids 1,2 at 00:00 -> open is id 1's value;
+    // close at the last ts regardless of value ordering
+    val rows = Seq(
+      Ev(2, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 1L, "click", 9.0),
+      Ev(1, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 1L, "click", 3.0),
+      Ev(3, java.sql.Timestamp.valueOf("2024-03-01 07:00:00"), 1L, "click", 1.0),
+      Ev(4, java.sql.Timestamp.valueOf("2024-03-01 09:00:00"), 1L, "click", 5.0),
+      Ev(5, java.sql.Timestamp.valueOf("2024-03-02 01:00:00"), 1L, "click", 7.0))
+      .toDF()
+    rows.createOrReplaceTempView("__ohlc_in")
+    val out = rows.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy(col("day"))
+      .select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Long)].collect()
+    assert(out(0) == ((3.0, 9.0, 1.0, 5.0, 4L))) // open=id1, close=id4
+    assert(out(1) == ((7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("labelBalance: shares sum to 1, entropy bounded by ln(k)") {
+    import spark.implicits._
+    val out = graft.operators.Similarity.labelBalance(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val k = out.length
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    val ent = out.head._4
+    assert(out.forall(_._4 == ent) && ent > 0 && ent <= math.log(k) + 1e-9)
+    assert(out.forall(_._5 >= 1.0))
+  }
+
   // ---- feature hashing / bigram LM ----
 
   test("featureHash: buckets in range, counts conserve token totals") {
