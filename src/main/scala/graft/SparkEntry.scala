@@ -138,6 +138,7 @@ object SparkEntry {
     "sql_tpch_q17" -> Analytics.sqlTpchQ17 _,
     "graph_pagerank" -> graft.operators.Graph.copurchasePageRank _,
     "ts_ohlc" -> graft.operators.TimeSeries.tsOhlc _,
+    "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
     "q10n_winsorize" -> Relational.q10nWinsorize _,
     "emb_label_balance" -> Similarity.labelBalance _,
     "emb_kmeans" ->
@@ -1125,6 +1126,16 @@ object SparkEntry {
         " SELECT n AS part_id, ROUND(r, 6) AS pagerank FROM r3 " +
         "ORDER BY pagerank DESC, part_id LIMIT 20"
     },
+    // XOR-fold fingerprints are order-independent by algebra; the md5
+    // rendering must match Spark's concat_ws('|') byte-for-byte
+    "recon_fingerprint" ->
+      ("WITH h AS (SELECT " +
+        "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket, " +
+        "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || " +
+        "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus), 1, 15))::BIGINT AS rh " +
+        "FROM orders) " +
+        "SELECT bucket, COUNT(*) AS n_rows, bit_xor(rh) AS xor_fp " +
+        "FROM h GROUP BY bucket ORDER BY bucket"),
     "ts_ohlc" ->
       ("WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, ts, " +
         "event_id, value FROM events), " +

@@ -20,6 +20,45 @@ object Reconcile {
     * with any of `cols` differing (null-safe). Output: key, change tag,
     * and both value structs (null on the absent side).
     */
+  /** Bucketed content fingerprint of a keyed table — the 100 TB-friendly
+    * FIRST pass of snapshot reconciliation: before paying the full-outer
+    * diff join, compare two tables' fingerprints (buckets × 16 bytes) and
+    * drill [[tableDiff]] into mismatched buckets only. One scan, all
+    * hashing map-side, one `buckets`-row aggregation:
+    *
+    *   bucket  = md5-uniform hash of the key, mod `buckets`
+    *   xor_fp  = bit-XOR of each row's 60-bit md5 over its canonical
+    *             `|`-joined column rendering (XOR is commutative — the
+    *             fold is shuffle-order-independent by algebra, no decimal
+    *             quantization needed)
+    *
+    * Any single-row difference flips its bucket's fingerprint; a pair of
+    * differences colliding to the same fp is a 2^-60 event per bucket.
+    * Columns are rendered as strings so the fingerprint is engine- and
+    * layout-independent (ints/strings render identically everywhere;
+    * float columns should be rounded by the caller first).
+    */
+  def fingerprint(df: DataFrame, key: String, cols: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    val rendered = concat_ws("|", (key +: cols).map(c => col(c).cast("string")): _*)
+    val keyHash = conv(substring(md5(col(key).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val rowHash = conv(substring(md5(rendered.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.select((keyHash % buckets).as("bucket"), rowHash.as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_fp"))
+      .orderBy(col("bucket"))
+  }
+
+  /** recon_fingerprint — bucketed fingerprint of the orders table over
+    * its key/status/customer columns.
+    */
+  def ordersFingerprint(s: SparkSession, dir: String): DataFrame =
+    fingerprint(t(s, dir, "orders"), "o_orderkey",
+      Seq("o_custkey", "o_orderstatus"))
+
   def tableDiff(a: DataFrame, b: DataFrame, key: String,
       cols: Seq[String]): DataFrame = {
     val ja = a.select(col(key).as("__k"), struct(cols.map(col): _*).as("val_a"))

