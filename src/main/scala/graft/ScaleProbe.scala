@@ -150,6 +150,19 @@ object ScaleProbe {
     def tri(items: DataFrame) =
       operators.Graph.triangleStats(operators.Graph.basketEdges(items))
 
+    // pagerank on the same disjoint replica graphs: per-iteration work is
+    // one edge join + one keyed agg — expect near-linear in edge count
+    def pr(items: DataFrame) = operators.Graph
+      .pageRank(operators.Graph.basketEdges(items))
+      .orderBy(col("r").desc, col("n")).limit(20)
+
+    // kmeans: vector count scales k×, parameter table (4×64 centroids)
+    // fixed — per-pass cost O(n·d·k) should track n linearly
+    val emb1 = Tables.t(spark, dir, "embeddings").localCheckpoint(true)
+    val embK = replicate(Tables.t(spark, dir, "embeddings"), k,
+      Seq("vec_id"), 10000000L).localCheckpoint(true)
+    def km(e: DataFrame) = operators.KMeans.kmeansOf(e, 4, 2)
+
     // as-of head-to-head: the custom exec (2 exchanges + merge) vs the
     // union-carry-forward composition (union + window + filter)
     val eA1 = Tables.t(spark, dir, "events").localCheckpoint(true)
@@ -188,6 +201,8 @@ object ScaleProbe {
       ("edit_distance", time(noop(lev(docs1c))), time(noop(lev(docsLevK)))),
       ("interval_ovlp", time(noop(overlap(e1))), time(noop(overlap(eK)))),
       ("triangles", time(noop(tri(liG1))), time(noop(tri(liGK)))),
+      ("pagerank", time(noop(pr(liG1))), time(noop(pr(liGK)))),
+      ("kmeans", time(noop(km(emb1))), time(noop(km(embK)))),
       ("asof_native", time(noop(asofNative(eA1))), time(noop(asofNative(eAK)))),
       ("asof_composed", time(noop(asofComposed(eA1))), time(noop(asofComposed(eAK)))),
       ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))

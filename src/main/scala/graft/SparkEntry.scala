@@ -139,6 +139,9 @@ object SparkEntry {
     "graph_pagerank" -> graft.operators.Graph.copurchasePageRank _,
     "ts_ohlc" -> graft.operators.TimeSeries.tsOhlc _,
     "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
+    "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
+    "dedup_containment" ->
+      ((s, dir) => graft.operators.Dedup.containmentPairs(s, dir)),
     "q10n_winsorize" -> Relational.q10nWinsorize _,
     "emb_label_balance" -> Similarity.labelBalance _,
     "emb_kmeans" ->
@@ -1128,6 +1131,24 @@ object SparkEntry {
     },
     // XOR-fold fingerprints are order-independent by algebra; the md5
     // rendering must match Spark's concat_ws('|') byte-for-byte
+    // merge ≡ direct is the contract: the oracle aggregates facts at
+    // month grain directly; the query only ever merges daily partials
+    "agg_incremental_rollup" ->
+      ("SELECT date_trunc('month', ts) AS month, event_type, " +
+        "COUNT(*) AS n_events, " +
+        "round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_value, " +
+        "min(value) AS min_value, max(value) AS max_value, " +
+        "round(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value " +
+        "FROM events GROUP BY month, event_type ORDER BY month, event_type"),
+    "dedup_containment" ->
+      (s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM d),
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |        len(list_intersect(a.s, b.s)) AS common, len(a.s) AS sa
+         |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+         |SELECT i, j, round(CAST(common AS DOUBLE) / sa, 6) AS containment
+         |FROM p WHERE sa > 0 AND common * 10 >= 9 * sa
+         |ORDER BY i, j""".stripMargin.replace("\n", " ")),
     "recon_fingerprint" ->
       ("WITH h AS (SELECT " +
         "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket, " +

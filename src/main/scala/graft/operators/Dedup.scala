@@ -162,6 +162,67 @@ object Dedup {
     verifyJaccard(cand, sh, thr)
   }
 
+  /** Exact asymmetric CONTAINMENT join: ordered pairs (i, j) where doc j
+    * holds ≥ τ of doc i's distinct shingles — the sub-document duplicate
+    * detector (quoted articles, boilerplate-wrapped copies, snippet
+    * expansion) that symmetric Jaccard misses: a short doc fully quoted
+    * inside a long one has high containment but low Jaccard, because the
+    * union in Jaccard's denominator is dominated by the long side.
+    *
+    * Prefix filter, asymmetric form: C(i→j) ≥ τ means at most
+    * (1−τ)·|S_i| of i's shingles are absent from j, so i's rarest
+    * ⌊(1−τ)·|S_i|⌋+1 shingles (the same rarest-first prefix as the
+    * Jaccard pruner) must intersect S_j — indexing only i's prefix
+    * against j's FULL shingle set is lossless. The B-side can't be
+    * pruned (containment has no upper length bound), but the candidate
+    * join is still Σ (prefix-df × df) over RARE shingles: a common
+    * shingle enters a prefix only for docs that have nothing rarer.
+    * |S_j| ≥ τ·|S_i| is necessary (the intersection can't exceed |S_j|)
+    * and drops size-incompatible pairs before verification.
+    *
+    * τ is a RATIONAL (thrNum/thrDen) and every threshold comparison is
+    * integer cross-multiplication: `common·den ≥ num·sz` — a double
+    * `0.9·sz` is off by an ulp exactly when containment lands ON the
+    * threshold (DuckDB parses 0.9 as exact DECIMAL; doubles don't have
+    * it), and a boundary pair is precisely the case a dedup gate must
+    * not lose.
+    */
+  def containmentPairs(s: SparkSession, dir: String,
+      thrNum: Int = 9, thrDen: Int = 10): DataFrame =
+    containmentOf(graft.Tables.t(s, dir, "documents"), thrNum, thrDen)
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def containmentOf(docs: DataFrame, thrNum: Int, thrDen: Int): DataFrame = {
+    require(0 < thrNum && thrNum <= thrDen, "need 0 < thrNum/thrDen <= 1")
+    val sh = docShinglesOf(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)
+    // prefix length ⌊(1−τ)·sz⌋+1 = (den−num)·sz div den + 1, integers only
+    val prefixes = sh.join(df, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <=
+        floor(lit(thrDen - thrNum) * col("sz") / lit(thrDen)) + 1)
+      .select(col("doc_id").as("i"), col("shingle"), col("sz").as("sz_i"))
+    val full = sh.join(sizes, "doc_id")
+      .select(col("doc_id").as("j"), col("shingle"), col("sz").as("sz_j"))
+    val cand = prefixes.join(full, "shingle")
+      .filter(col("i") =!= col("j") &&
+        col("sz_j") * thrDen >= col("sz_i") * thrNum)
+      .select(col("i"), col("j")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("i"), col("shingle")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("shingle")), Seq("j", "shingle"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("common"))
+    inter.join(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i")), "i")
+      .filter(col("common") * thrDen >= col("sz_i") * thrNum)
+      .select(col("i"), col("j"),
+        round(col("common").cast("double") / col("sz_i"), 6).as("containment"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Signature width: 60 bits = 15 hex chars of md5, chosen because md5
     * is the one hash both this engine and the DuckDB oracle implement
     * identically (xxhash64 seeds differ across engines), and 60 bits

@@ -33,10 +33,9 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object KMeans {
 
-  /** Long-format (vec_id, dim, x) view of the embeddings table. */
-  private def longVecs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")))
+  /** Long-format (vec_id, dim, x) view of a (vec_id, embedding) frame. */
+  private def longVecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim"),
         col("col").cast(DoubleType).as("x"))
 
@@ -60,10 +59,22 @@ object KMeans {
     * convergence diagnostics a pipeline actually monitors.
     */
   def kmeansClusters(s: SparkSession, dir: String, k: Int = 4,
-      iters: Int = 2): DataFrame = {
-    val vecs = longVecs(s, dir).localCheckpoint(true)
-    var cent = vecs.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("dim"), col("x").as("c"))
+      iters: Int = 2): DataFrame =
+    kmeansOf(t(s, dir, "embeddings"), k, iters)
+
+  /** Library-facing form over any (vec_id, embedding) DataFrame; seeds
+    * from the k lowest vec_ids present.
+    */
+  def kmeansOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = longVecs(emb).localCheckpoint(true)
+    val seedIds = vecs.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
+    val seedCid = seedIds.foldLeft(lit(null).cast("int")) {
+      case (acc, (vid, cid)) => when(col("vec_id") === vid, cid).otherwise(acc)
+    }
+    var cent = vecs.withColumn("cid", seedCid).filter(col("cid").isNotNull)
+      .select(col("cid"), col("dim"), col("x").as("c"))
     for (_ <- 1 to iters) {
       val a = assign(vecs, cent)
       cent = vecs.join(a.select(col("vec_id"), col("cid")), "vec_id")

@@ -636,6 +636,38 @@ class Round5Spec extends SparkSpecBase {
     assert(out.forall(_._5 >= 1.0))
   }
 
+  test("containment ≡ brute force, including an exactly-on-threshold pair") {
+    import spark.implicits._
+    // doc 1: 12 tokens -> 10 distinct 3-shingles; doc 2 drops the last
+    // token -> shares exactly 9 of them: containment 9/10 = 0.9, ON the
+    // τ = 9/10 boundary (the case double-threshold arithmetic loses)
+    val w = (1 to 12).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, w.dropRight(1).mkString(" ")),
+      (3L, "totally different content with no overlap at all here"),
+      (4L, w.mkString(" ") + " plus trailing extras appended")) // superset of 1
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.containmentOf(docs, 9, 10)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // brute force on distinct shingle sets
+    def shingles(t: String): Set[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val m = Seq(1L, 2L, 3L, 4L)
+      .map(i => i -> shingles(docs.filter(col("doc_id") === i)
+        .head.getString(1))).toMap
+    val want = (for {
+      i <- m.keys; j <- m.keys if i != j && m(i).nonEmpty
+      common = (m(i) & m(j)).size
+      if common * 10 >= 9 * m(i).size
+    } yield (i, j)).toSet
+    assert(got == want)
+    assert(got.contains((2L, 1L)), "exact-boundary 0.9 pair must survive")
+    assert(got.contains((1L, 4L)), "doc contained in its superset")
+    assert(!got.contains((4L, 1L)), "containment is asymmetric")
+  }
+
   test("fingerprint: identical tables match, one changed row flips one bucket") {
     import spark.implicits._
     val base = (1L to 300L).map(i => (i, i % 7, s"S${i % 3}"))
