@@ -147,6 +147,7 @@ object SparkEntry {
     "emb_kmeans" ->
       ((s, dir) => graft.operators.KMeans.kmeansClusters(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
+    "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
     "q14c_ratio_to_report" -> Relational.q14cRatioToReport _,
     "mix_group_sample" ->
       ((s, dir) => graft.operators.Mixing.groupSample(s, dir)),
@@ -1224,6 +1225,16 @@ object SparkEntry {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
         "COUNT(*) AS cnt FROM lineitem " +
         "GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rflag, lstatus"),
+    // user_id < 50 commutes with the per-user window — both engines may
+    // filter before or after partitioning without changing LOCF values
+    "q15d_ignore_nulls" ->
+      ("SELECT user_id, event_id, round(last_value(pv IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_purchase_value " +
+        "FROM (SELECT user_id, event_id, ts, " +
+        "CASE WHEN event_type = 'purchase' THEN value END AS pv " +
+        "FROM events WHERE user_id < 50) " +
+        "ORDER BY user_id, event_id"),
     "q14c_ratio_to_report" ->
       ("WITH bn AS (SELECT n_name, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue " +

@@ -367,6 +367,28 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Q15d — IGNORE NULLS navigation: per-user last-observation-carried-
+    * forward of the purchase value over the full event stream (`last(…,
+    * ignoreNulls)` over an explicit ROWS frame — the frame is spelled out
+    * because the default RANGE frame includes ORDER-BY peers, and the
+    * LOCF contract is "strictly what has happened so far"). One keyed
+    * window on user_id, no self-join, no gap table.
+    */
+  def q15dIgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("pv",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"),
+        last(col("pv"), ignoreNulls = true).over(w).as("last_purchase_value"))
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        round(col("last_purchase_value"), 2).as("last_purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Q10d — deterministic arg-max/arg-min aggregation (max_by/min_by
     * keyed on the globally unique event_id): the "latest/first row per
     * key" class as a single hash aggregation — no window, no self-join.
