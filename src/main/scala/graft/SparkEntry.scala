@@ -140,6 +140,7 @@ object SparkEntry {
     "ts_ohlc" -> graft.operators.TimeSeries.tsOhlc _,
     "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
     "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
+    "recon_merge" -> graft.operators.Reconcile.ordersMerge _,
     "dedup_containment" ->
       ((s, dir) => graft.operators.Dedup.containmentPairs(s, dir)),
     "q10n_winsorize" -> Relational.q10nWinsorize _,
@@ -1130,6 +1131,26 @@ object SparkEntry {
         " SELECT n AS part_id, ROUND(r, 6) AS pagerank FROM r3 " +
         "ORDER BY pagerank DESC, part_id LIMIT 20"
     },
+    // MERGE semantics in plain SQL: deletes filtered, I/U rows take the
+    // changeset values, untouched keys keep the base row
+    "recon_merge" ->
+      ("WITH ch AS (" +
+        "SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, " +
+        "o_orderstatus, o_totalprice + 5 AS o_totalprice, 'I' AS op " +
+        "FROM orders WHERE o_orderkey % 101 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "o_totalprice + 10, 'U' FROM orders " +
+        "WHERE o_orderkey % 13 = 0 AND o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey, NULL, NULL, NULL, 'D' FROM orders " +
+        "WHERE o_orderkey % 97 = 0), " +
+        "b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders) " +
+        "SELECT COALESCE(b.o_orderkey, ch.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN ch.op IN ('I','U') THEN ch.o_custkey ELSE b.o_custkey END AS o_custkey, " +
+        "CASE WHEN ch.op IN ('I','U') THEN ch.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus, " +
+        "CASE WHEN ch.op IN ('I','U') THEN ch.o_totalprice ELSE b.o_totalprice END AS o_totalprice " +
+        "FROM b FULL OUTER JOIN ch ON b.o_orderkey = ch.o_orderkey " +
+        "WHERE ch.op IS NULL OR ch.op <> 'D' " +
+        "ORDER BY o_orderkey"),
     // XOR-fold fingerprints are order-independent by algebra; the md5
     // rendering must match Spark's concat_ws('|') byte-for-byte
     // merge ≡ direct is the contract: the oracle aggregates facts at

@@ -16,6 +16,55 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
+  /** Batch MERGE (SCD1 upsert semantics): apply a changeset of
+    * inserts/updates/deletes to a keyed snapshot in ONE key-partitioned
+    * full-outer join — the inverse of [[tableDiff]], and the batch twin
+    * of the streaming upsert sink. Row rules: D drops the key, I/U take
+    * the changeset's values, keys absent from the changeset keep the
+    * base row. The changeset is normally ≪ base, so AQE broadcasts it;
+    * at comparable sizes the join degrades to a key shuffle — either
+    * way nothing rescans or sorts the snapshot.
+    *
+    * `changes` must carry `op` ('I' | 'U' | 'D'), the key, and the value
+    * columns (ignored for D). One row per key on each side (CDC compact
+    * form — collapse upstream if a batch can touch a key twice).
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+      cols: Seq[String]): DataFrame = {
+    val b = base.select(col(key).as("__k"), struct(cols.map(col): _*).as("__vb"))
+    val c = changes.select(col(key).as("__k"), col("op"),
+      struct(cols.map(col): _*).as("__vc"))
+    b.join(c, Seq("__k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(Seq(col("__k").as(key)) ++ cols.map(n =>
+        when(col("op").isin("I", "U"), col("__vc").getField(n))
+          .otherwise(col("__vb").getField(n)).as(n)): _*)
+  }
+
+  /** recon_merge — orders with a deterministic synthetic changeset
+    * applied (same congruence classes as recon_diff: %97 deleted, %13
+    * price-bumped, %101 re-inserted shifted): the merged snapshot.
+    */
+  def ordersMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    val changes =
+      o.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 5.0).as("o_totalprice"), lit("I").as("op"))
+      .unionAll(o.filter(col("o_orderkey") % 13 === 0 &&
+          col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 10.0).as("o_totalprice"), lit("U").as("op")))
+      .unionAll(o.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"), lit("D").as("op")))
+    applyChanges(o, changes, "o_orderkey", cols)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Rows whose `key` is present in exactly one side, or present in both
     * with any of `cols` differing (null-safe). Output: key, change tag,
     * and both value structs (null on the absent side).

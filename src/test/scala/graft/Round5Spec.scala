@@ -668,6 +668,23 @@ class Round5Spec extends SparkSpecBase {
     assert(!got.contains((4L, 1L)), "containment is asymmetric")
   }
 
+  test("applyChanges ∘ tableDiff reproduces the target snapshot exactly") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+      .toDF("k", "x", "y")
+    val b = Seq((1L, 10L, "a"), (2L, 99L, "b"), (4L, 40L, "D4"), (5L, 50L, "e"))
+      .toDF("k", "x", "y") // 3 removed, 2+4 changed, 5 added, 1 untouched
+    val diff = graft.operators.Reconcile.tableDiff(a, b, "k", Seq("x", "y"))
+    val changes = diff.select(col("k"),
+      when(col("change") === "added", "I")
+        .when(col("change") === "removed", "D").otherwise("U").as("op"),
+      col("val_b.x").as("x"), col("val_b.y").as("y"))
+    val merged = graft.operators.Reconcile
+      .applyChanges(a, changes, "k", Seq("x", "y"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(merged == b.as[(Long, Long, String)].collect().toSet)
+  }
+
   test("fingerprint: identical tables match, one changed row flips one bucket") {
     import spark.implicits._
     val base = (1L to 300L).map(i => (i, i % 7, s"S${i % 3}"))
