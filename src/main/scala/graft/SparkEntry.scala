@@ -149,6 +149,8 @@ object SparkEntry {
       ((s, dir) => graft.operators.KMeans.kmeansClusters(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
     "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
+    "q10p_percentile_disc" ->
+      ((s: SparkSession, d: String) => Relational.q10pPercentileDisc(s, d)),
     "q14c_ratio_to_report" -> Relational.q14cRatioToReport _,
     "mix_group_sample" ->
       ((s, dir) => graft.operators.Mixing.groupSample(s, dir)),
@@ -1246,6 +1248,20 @@ object SparkEntry {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
         "COUNT(*) AS cnt FROM lineitem " +
         "GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rflag, lstatus"),
+    // definitional PERCENTILE_DISC (smallest value with cum >= p*n,
+    // integer cross-multiplied) rather than quantile_disc, whose
+    // index convention differs across engines
+    "q10p_percentile_disc" ->
+      ("WITH h AS (SELECT l_returnflag, l_extendedprice, COUNT(*) AS w " +
+        "FROM lineitem GROUP BY l_returnflag, l_extendedprice), " +
+        "c AS (SELECT l_returnflag, l_extendedprice, " +
+        "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum, " +
+        "SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM h) " +
+        "SELECT l_returnflag, " +
+        "MIN(CASE WHEN cum * 10 >= 3 * tot THEN l_extendedprice END) AS p30_disc, " +
+        "MIN(CASE WHEN cum * 10 >= 7 * tot THEN l_extendedprice END) AS p70_disc, " +
+        "MAX(tot) AS n_rows " +
+        "FROM c GROUP BY l_returnflag ORDER BY l_returnflag"),
     // user_id < 50 commutes with the per-user window — both engines may
     // filter before or after partitioning without changing LOCF values
     "q15d_ignore_nulls" ->

@@ -1244,6 +1244,42 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Q10p — PERCENTILE_DISC (SQL-standard discrete percentile: the
+    * smallest value whose cumulative count reaches p·n — an actual data
+    * value, never an interpolation; the form regulatory reports require).
+    * Same machinery as the weighted median: per-group value histogram →
+    * sharded prefix sum → one conditional-min aggregation; thresholds
+    * are integer cross-multiplications (cum·10 ≥ p10·tot), no float ever
+    * compares. No group-wide sort anywhere, row-sized histograms fine.
+    */
+  def q10pPercentileDisc(s: SparkSession, dir: String,
+      nShards: Int = 32): DataFrame = {
+    import graft.operators.PrefixSum
+    val hist = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val bounds = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("v0"),
+        max(col("l_extendedprice")).as("v1"),
+        count(lit(1)).as("tot"))
+      .localCheckpoint(true)
+    val sharded = hist.join(broadcast(bounds), "l_returnflag")
+      .withColumn("pid", PrefixSum.rangePid(col("l_extendedprice"),
+        col("v0"), col("v1"), nShards))
+    PrefixSum.shardedCumSum(sharded, Seq("l_returnflag"), "pid",
+        "l_extendedprice", "w")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") * 10 >= col("tot") * 3,
+          col("l_extendedprice"))).as("p30_disc"),
+        min(when(col("cum") * 10 >= col("tot") * 7,
+          col("l_extendedprice"))).as("p70_disc"),
+        max(col("tot")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Q09c — CROSS JOIN (explicit cartesian): the one join type the Q04-Q09
     * family skips. Deliberately dimension × dimension (125 rows) — the
     * only plan where a cartesian is acceptable; Spark broadcasts the
