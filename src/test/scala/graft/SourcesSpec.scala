@@ -70,4 +70,18 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.orderBy("r_regionkey").collect().toSeq ==
       in.orderBy("r_regionkey").collect().toSeq)
   }
+
+  test("orc round-trip preserves schema and rows, pushes filters") {
+    val in = Tables.t(spark, sfDir, "supplier")
+    in.write.mode("overwrite").orc(s"$tmp/supplier_orc")
+    val back = spark.read.orc(s"$tmp/supplier_orc")
+    assert(back.schema == in.schema)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      in.orderBy("s_suppkey").collect().toSeq)
+    // ORC scans take pushed filters like parquet ones do
+    val plan = back.filter(col("s_suppkey") > 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"no pushed filter in ORC scan:\n$plan")
+  }
 }
