@@ -141,6 +141,7 @@ object SparkEntry {
     "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
     "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
     "recon_merge" -> graft.operators.Reconcile.ordersMerge _,
+    "mm_binary_dedup" -> Multimodal.binaryDedup _,
     "dedup_containment" ->
       ((s, dir) => graft.operators.Dedup.containmentPairs(s, dir)),
     "q10n_winsorize" -> Relational.q10nWinsorize _,
@@ -1133,6 +1134,12 @@ object SparkEntry {
         " SELECT n AS part_id, ROUND(r, 6) AS pagerank FROM r3 " +
         "ORDER BY pagerank DESC, part_id LIMIT 20"
     },
+    // payload = UTF-8 text bytes, so DuckDB's md5(text) hashes the same
+    // byte stream the Spark side hashes
+    "mm_binary_dedup" ->
+      ("SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper, " +
+        "COUNT(*) AS n_copies FROM documents " +
+        "GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY content_md5"),
     // MERGE semantics in plain SQL: deletes filtered, I/U rows take the
     // changeset values, untouched keys keep the base row
     "recon_merge" ->

@@ -143,4 +143,19 @@ object Multimodal {
       .select(col("doc_id"), col("lang"),
         size(col("embedding")).cast(LongType).as("dim"), col("label"))
       .orderBy(col("doc_id"))
+
+  /** mm_binary_dedup — exact dedup of OPAQUE binary payloads by content
+    * hash: the store-level dedup of a media lake. The payload collapses
+    * to its md5 map-side, so the shuffle carries 16-byte digests — never
+    * megabyte blobs (grouping by the payload itself, the text-dedup
+    * shape, would ship every asset through the exchange). Keeper = lowest
+    * doc_id; only duplicated digests are reported.
+    */
+  def binaryDedup(s: SparkSession, dir: String): DataFrame =
+    assets(s, dir).toDF()
+      .select(col("doc_id"), md5(col("payload")).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("content_md5"))
 }
