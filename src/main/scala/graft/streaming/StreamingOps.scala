@@ -241,6 +241,83 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long)
+
+  /** Timer-closed sessionization: sessions are emitted EXACTLY ONCE, when
+    * the event-time watermark passes their close (last event + gap) — the
+    * semantics `session_window` in append mode provides, rebuilt on
+    * transformWithState EVENT-TIME TIMERS to own the lifecycle: arbitrary
+    * per-session state (here a count; production carries funnels or
+    * carts), in-batch gap splitting, and a close decision that can't leak
+    * a session twice (every timer firing re-checks against the CURRENT
+    * session end, so a stale timer from an extended session is a no-op).
+    * State per key is one fixed-size tuple regardless of session length.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), ClosedSession] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)](
+        "sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[ClosedSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var cur = if (sess.exists()) Option(sess.get()) else None
+      rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+        cur = cur match {
+          case Some((s0, e0, n)) if ts - e0 <= gapMs =>
+            Some((s0, math.max(e0, ts), n + 1))
+          case Some((s0, e0, n)) => // gap exceeded inside the batch
+            out += ClosedSession(key, s0, e0, n)
+            Some((ts, ts, 1L))
+          case None => Some((ts, ts, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.registerTimer(c._2 + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[ClosedSession] = {
+      if (!sess.exists()) return Iterator.empty
+      val (s0, e0, n) = sess.get()
+      // stale timer from a since-extended session: the real close timer
+      // (e0 + gap) is still registered and will fire later
+      if (expiredTimerInfo.getExpiryTimeInMs() < e0 + gapMs) Iterator.empty
+      else { sess.clear(); Iterator.single(ClosedSession(key, s0, e0, n)) }
+    }
+  }
+
+  /** Events → exactly-once closed sessions (30 s gap by default). */
+  def timerSessions(events: DataFrame, gapMs: Long = 30000L):
+      Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 seconds")
+      .select(col("user_id"), unix_millis(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   final case class ShardCandidates(shard: Int, token: String, cnt: Long)
 
   /** Streaming Misra-Gries heavy hitters: the batch operator's sketch

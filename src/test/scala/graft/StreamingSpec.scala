@@ -353,6 +353,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(last == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("timerSessions: sessions close exactly once when the watermark passes") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Ev]
+      val q = StreamingOps.timerSessions(src.toDF())
+        .writeStream.format("memory").queryName("tsn").outputMode("append").start()
+      // user 1: two events 10 s apart (one session); user 2: one event
+      src.addData(ev(1, "2024-03-01 00:00:00", user = 1),
+        ev(2, "2024-03-01 00:00:10", user = 1),
+        ev(3, "2024-03-01 00:00:05", user = 2))
+      q.processAllAvailable()
+      // nothing closed yet: watermark hasn't passed end + gap
+      assert(spark.table("tsn").count() == 0)
+      // advance the watermark far past both sessions' close
+      src.addData(ev(9, "2024-03-01 00:05:00", user = 3))
+      q.processAllAvailable()
+      src.addData(ev(10, "2024-03-01 00:10:00", user = 3))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tsn").as[StreamingOps.ClosedSession].collect()
+        .filter(s => s.user_id == 1 || s.user_id == 2)
+      def ms(t: String) = java.sql.Timestamp.valueOf(t).getTime
+      assert(out.count(_.user_id == 1) == 1, s"user 1 closed once: ${out.toSeq}")
+      val s1 = out.find(_.user_id == 1).get
+      assert(s1.start_ms == ms("2024-03-01 00:00:00") &&
+        s1.end_ms == ms("2024-03-01 00:00:10") && s1.n_events == 2)
+      val s2 = out.find(_.user_id == 2).get
+      assert(s2.start_ms == s2.end_ms && s2.n_events == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("heavyHitterStream: live MG state bounded at k, supersets true heavies") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
