@@ -142,6 +142,8 @@ object SparkEntry {
     "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
     "recon_merge" -> graft.operators.Reconcile.ordersMerge _,
     "mm_binary_dedup" -> Multimodal.binaryDedup _,
+    "pipe_media_curation" ->
+      ((s: SparkSession, d: String) => Multimodal.mediaCuration(s, d)),
     "dedup_containment" ->
       ((s, dir) => graft.operators.Dedup.containmentPairs(s, dir)),
     "q10n_winsorize" -> Relational.q10nWinsorize _,
@@ -1134,6 +1136,21 @@ object SparkEntry {
         " SELECT n AS part_id, ROUND(r, 6) AS pagerank FROM r3 " +
         "ORDER BY pagerank DESC, part_id LIMIT 20"
     },
+    // the full curation chain restated over the stub decode arithmetic:
+    // gate -> digest-dedup keeper -> embedding join -> label report
+    "pipe_media_curation" ->
+      ("WITH meta AS (SELECT doc_id, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(16 + ascii(substring(text, 1, 1)) % 64 AS BIGINT) AS width, " +
+        "md5(text) AS content_md5 FROM documents), " +
+        "gated AS (SELECT * FROM meta WHERE width >= 40 AND n_bytes >= 120), " +
+        "keepers AS (SELECT content_md5, MIN(doc_id) AS doc_id FROM gated " +
+        "GROUP BY content_md5) " +
+        "SELECT e.label, COUNT(*) AS n_assets, " +
+        "CAST(SUM(g.n_bytes) AS BIGINT) AS total_bytes " +
+        "FROM gated g JOIN keepers k ON g.doc_id = k.doc_id " +
+        "JOIN embeddings e ON g.doc_id = e.vec_id " +
+        "GROUP BY e.label ORDER BY e.label"),
     // payload = UTF-8 text bytes, so DuckDB's md5(text) hashes the same
     // byte stream the Spark side hashes
     "mm_binary_dedup" ->

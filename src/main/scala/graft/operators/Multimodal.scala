@@ -144,6 +144,32 @@ object Multimodal {
         size(col("embedding")).cast(LongType).as("dim"), col("label"))
       .orderBy(col("doc_id"))
 
+  /** pipe_media_curation — the multimodal curation chain as ONE
+    * declarative plan (the mm twin of pipe_clean_corpus): decode metadata
+    * (stub codec, real mapPartitions plumbing) → gate on decoded
+    * properties (minimum width + byte floor) → exact content dedup
+    * keeping the lowest doc_id per digest → join embeddings → per-label
+    * survivor report. Every stage keeps its standalone scale shape: the
+    * decode is partition-local, the gate map-side, the dedup shuffles
+    * 16-byte digests, the embedding join is key-partitioned, and the
+    * final report is one keyed count.
+    */
+  def mediaCuration(s: SparkSession, dir: String, minWidth: Long = 40,
+      minBytes: Long = 120): DataFrame = {
+    val meta = decodeMeta(s, dir).toDF()
+      .filter(col("width") >= minWidth && col("n_bytes") >= minBytes)
+    val digests = assets(s, dir).toDF()
+      .select(col("doc_id"), md5(col("payload")).as("content_md5"))
+    val keepers = meta.join(digests, "doc_id")
+      .groupBy(col("content_md5")).agg(min(col("doc_id")).as("doc_id"))
+    meta.join(keepers, "doc_id")
+      .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("label"))
+  }
+
   /** mm_binary_dedup — exact dedup of OPAQUE binary payloads by content
     * hash: the store-level dedup of a media lake. The payload collapses
     * to its md5 map-side, so the shuffle carries 16-byte digests — never
