@@ -154,6 +154,7 @@ object SparkEntry {
     "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
     "q10p_percentile_disc" ->
       ((s: SparkSession, d: String) => Relational.q10pPercentileDisc(s, d)),
+    "q23c_variant" -> Relational.q23cVariant _,
     "q14c_ratio_to_report" -> Relational.q14cRatioToReport _,
     "mix_group_sample" ->
       ((s, dir) => graft.operators.Mixing.groupSample(s, dir)),
@@ -1272,6 +1273,12 @@ object SparkEntry {
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
         "COUNT(*) AS cnt FROM lineitem " +
         "GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rflag, lstatus"),
+    "q23c_variant" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k, " +
+        "CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     // definitional PERCENTILE_DISC (smallest value with cum >= p*n,
     // integer cross-multiplied) rather than quantile_disc, whose
     // index convention differs across engines

@@ -1280,6 +1280,23 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Q23c — VARIANT (Spark 4's semi-structured type): props parsed ONCE
+    * into the binary variant encoding, fields then extracted with typed
+    * `variant_get` paths — at scale this replaces per-access JSON
+    * re-parsing (`get_json_object` ×N re-tokenizes the string N times)
+    * with one parse + O(1) binary field reads, and it's the encoding
+    * shredded parquet columns use. Aggregation over the extracted field
+    * proves the value round-trips as a real BIGINT, not a string.
+    */
+  def q23cVariant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** Q09c — CROSS JOIN (explicit cartesian): the one join type the Q04-Q09
     * family skips. Deliberately dimension × dimension (125 rows) — the
     * only plan where a cartesian is acceptable; Spark broadcasts the
