@@ -166,6 +166,7 @@ object SparkEntry {
     "sql_tpch_q19" -> Analytics.sqlTpchQ19 _,
     "sql_tpch_q21" -> Analytics.sqlTpchQ21 _,
     "sql_tpch_q22" -> Analytics.sqlTpchQ22 _,
+    "sql_null_semantics" -> Analytics.sqlNullSemantics _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
@@ -1327,6 +1328,7 @@ object SparkEntry {
     "sql_tpch_q19" -> Analytics.tpchQ19Sql,
     "sql_tpch_q21" -> Analytics.tpchQ21Sql,
     "sql_tpch_q22" -> Analytics.tpchQ22Sql,
+    "sql_null_semantics" -> Analytics.nullSemanticsSql,
     "text_decontam" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS s FROM d), " +

@@ -353,6 +353,36 @@ object Analytics {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** The NOT IN / NOT EXISTS null-semantics trap, demonstrated: one NULL
+    * in a NOT IN subquery makes every `x NOT IN (…)` predicate UNKNOWN
+    * (tri-valued logic: x <> NULL is never TRUE), so the whole query
+    * returns zero rows — while the NOT EXISTS form anti-joins on the
+    * non-null values and returns the real answer. Both engines implement
+    * the standard the same way; shipping the demo as one shared-ANSI
+    * statement gates that agreement (and documents why every anti-join
+    * in this library is written with NOT EXISTS / left_anti, never
+    * NOT IN against a nullable column).
+    */
+  val nullSemanticsSql: String =
+    """SELECT 'not_in' AS form, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+      |               ELSE o_custkey END FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |UNION ALL
+      |SELECT 'not_exists' AS form, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |     AND CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+      |              ELSE o_custkey END = c_custkey)
+      |ORDER BY form""".stripMargin
+
+  def sqlNullSemantics(s: SparkSession, dir: String): DataFrame =
+    runSql(s, dir, nullSemanticsSql)
+
   private def runSql(s: SparkSession, dir: String, sql: String): DataFrame = {
     Tables.registerAll(s, dir)
     s.sql(sql)
