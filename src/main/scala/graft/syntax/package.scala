@@ -47,6 +47,13 @@ package object syntax {
     /** Token-budget sequence packing; expects (doc_id, lang, text). */
     def packSequences(budget: Int = 512): DataFrame =
       operators.TextAnalysis.packSequencesOf(df, budget)
+
+    /** Asymmetric containment pairs: (i, j) where j holds ≥ num/den of
+      * i's shingles — the sub-document duplicate detector. Expects
+      * (doc_id, text).
+      */
+    def containmentPairs(thrNum: Int = 9, thrDen: Int = 10): DataFrame =
+      operators.Dedup.containmentOf(df, thrNum, thrDen)
   }
 
   implicit class GraftAggOps(private val df: DataFrame) {
@@ -59,7 +66,47 @@ package object syntax {
       operators.Percentiles.grouped(df, keyCol, valCol, ps)
   }
 
+  implicit class GraftGraphOps(private val df: DataFrame) {
+
+    /** Fixed-iteration PageRank over this (u, v) undirected edge list;
+      * returns (n, r). Quantized-decimal contribution sums keep results
+      * independent of shuffle order.
+      */
+    def pageRank(iters: Int = 3, damping: Double = 0.85): DataFrame =
+      operators.Graph.pageRank(df, iters, damping)
+
+    /** Triangle census of this (u, v) undirected edge list. */
+    def triangleStats(): DataFrame = operators.Graph.triangleStats(df)
+  }
+
+  implicit class GraftReconcileOps(private val df: DataFrame) {
+
+    /** Bucketed XOR content fingerprint — cheap first-pass snapshot
+      * comparison (buckets × 16 bytes).
+      */
+    def fingerprint(key: String, cols: Seq[String],
+        buckets: Int = 64): DataFrame =
+      operators.Reconcile.fingerprint(df, key, cols, buckets)
+
+    /** Added/removed/changed diff vs another keyed snapshot. */
+    def diffAgainst(other: DataFrame, key: String,
+        cols: Seq[String]): DataFrame =
+      operators.Reconcile.tableDiff(df, other, key, cols)
+
+    /** Apply an I/U/D changeset (MERGE semantics) to this snapshot. */
+    def applyChanges(changes: DataFrame, key: String,
+        cols: Seq[String]): DataFrame =
+      operators.Reconcile.applyChanges(df, changes, key, cols)
+  }
+
   implicit class GraftVectorOps(private val df: DataFrame) {
+
+    /** Lloyd's k-means over this (vec_id, embedding) frame: per-cluster
+      * counts + inertia; everything keyed aggregations, vectors never
+      * pair with vectors.
+      */
+    def kmeans(k: Int = 4, iters: Int = 2): DataFrame =
+      operators.KMeans.kmeansOf(df, k, iters)
 
     /** Exact cosine top-k against a broadcast probe vector column. */
     def cosineTopK(probe: DataFrame, embCol: String, idCol: String,

@@ -71,6 +71,33 @@ class SourcesSpec extends SparkSpecBase {
       in.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("malformed csv: PERMISSIVE quarantines bad rows, DROPMALFORMED drops them") {
+    import org.apache.spark.sql.types._
+    val dir = s"$tmp/bad_csv"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part.csv"),
+      "1,alpha,10.5\n2,beta,oops\n3,gamma,30.25\nnot,even,close,extra\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType), StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir).cache()
+    assert(permissive.count() == 4) // every line survives the batch
+    val bad = permissive.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0)).toSet
+    assert(bad == Set("2,beta,oops", "not,even,close,extra"))
+    permissive.unpersist()
+    // note: a bare count() parses no fields (CSV column pruning) and
+    // drops nothing — malformedness is only detected for parsed columns
+    val dropped = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(dir)
+      .collect()
+    assert(dropped.length == 2 && dropped.map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("orc round-trip preserves schema and rows, pushes filters") {
     val in = Tables.t(spark, sfDir, "supplier")
     in.write.mode("overwrite").orc(s"$tmp/supplier_orc")
