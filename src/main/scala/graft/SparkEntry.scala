@@ -166,6 +166,11 @@ object SparkEntry {
     "sql_tpch_q19" -> Analytics.sqlTpchQ19 _,
     "sql_tpch_q21" -> Analytics.sqlTpchQ21 _,
     "sql_tpch_q22" -> Analytics.sqlTpchQ22 _,
+    "sql_tpch_q2" -> Analytics.sqlTpchQ2 _,
+    "sql_tpch_q9" -> Analytics.sqlTpchQ9 _,
+    "sql_tpch_q11" -> Analytics.sqlTpchQ11 _,
+    "sql_tpch_q16" -> Analytics.sqlTpchQ16 _,
+    "sql_tpch_q20" -> Analytics.sqlTpchQ20 _,
     "sql_null_semantics" -> Analytics.sqlNullSemantics _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
@@ -1328,6 +1333,11 @@ object SparkEntry {
     "sql_tpch_q19" -> Analytics.tpchQ19Sql,
     "sql_tpch_q21" -> Analytics.tpchQ21Sql,
     "sql_tpch_q22" -> Analytics.tpchQ22Sql,
+    "sql_tpch_q2" -> Analytics.tpchQ2Sql,
+    "sql_tpch_q9" -> Analytics.tpchQ9Sql,
+    "sql_tpch_q11" -> Analytics.tpchQ11Sql,
+    "sql_tpch_q16" -> Analytics.tpchQ16Sql,
+    "sql_tpch_q20" -> Analytics.tpchQ20Sql,
     "sql_null_semantics" -> Analytics.nullSemanticsSql,
     "text_decontam" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +

@@ -353,6 +353,131 @@ object Analytics {
       |GROUP BY cntrycode
       |ORDER BY cntrycode""".stripMargin
 
+  /** TPC-H Q2 shape (minimum-cost supplier; lineitem stands in for the
+    * absent partsupp, l_extendedprice for ps_supplycost): the correlated
+    * MIN scalar subquery whose inner block repeats the outer's 4-table
+    * region-scoped join. Catalyst decorrelates to a per-part min
+    * aggregate joined back on (partkey, price); at scale that is one
+    * extra keyed aggregation of the already-filtered fact — never a
+    * per-row re-execution of the inner join. Equality on the raw DOUBLE
+    * is exact because both sides read the same stored column.
+    */
+  val tpchQ2Sql: String =
+    """SELECT p_partkey, p_name, s_name, n_name, l_extendedprice
+      |FROM part, lineitem, supplier, nation, region
+      |WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE' AND p_size < 15
+      |  AND l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY l_extendedprice, p_partkey, s_name, n_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit by nation and year;
+    * 0.1·p_retailprice stands in for the absent ps_supplycost): 5-way
+    * join with a LIKE-scoped part filter feeding a two-key aggregate.
+    * All amount arithmetic stays in exact decimal until the final cast,
+    * so the per-(nation, year) sums are shuffle-order-independent.
+    */
+  val tpchQ9Sql: String =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) -
+      |    CAST(l_quantity AS DECIMAL(12,2)) *
+      |      CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(3,1))
+      |      AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q11 shape (important stock; lineitem value per part stands in
+    * for partsupp): group-level HAVING gated on an UNCORRELATED scalar
+    * aggregate over the same join — the fraction comparison is an
+    * integer cross-multiplication on exact decimals (value·300 > total)
+    * so no engine-float division decides a boundary group. Catalyst
+    * evaluates the scalar subquery once and broadcasts the 1-row result
+    * into the HAVING filter.
+    */
+  val tpchQ11Sql: String =
+    """SELECT l_partkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,4))
+      |         * 300 >
+      |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |                   CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,4))
+      |   FROM lineitem, supplier, nation
+      |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |     AND n_name = 'NATION_3')
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q16 shape (supplier count by part attributes, excluding a
+    * complaint list): multi-attribute grouping over COUNT(DISTINCT) with
+    * a NOT IN subquery on a NON-NULLABLE key (s_suppkey) — the one
+    * place NOT IN is safe; sql_null_semantics documents why a nullable
+    * column would poison it. Catalyst plans the NOT IN as a broadcast
+    * anti-join ahead of the distinct aggregation.
+    */
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%001%')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape (suppliers holding excess share of a part's flow;
+    * shipped quantity stands in for ps_availqty): the deepest nesting in
+    * the suite — an IN over a GROUPED subquery whose HAVING compares
+    * against a CORRELATED scalar aggregate (this supplier shipped more
+    * than half the part's year volume). The share threshold is the exact
+    * cross-multiplication 2·mine > all. Catalyst decorrelates the inner
+    * scalar into a per-part aggregate joined on l_partkey; the IN
+    * becomes a semi-join on s_suppkey — zero per-row subqueries.
+    */
+  val tpchQ20Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey AND n_regionkey < 3
+      |  AND s_suppkey IN (
+      |    SELECT l1.l_suppkey
+      |    FROM lineitem l1
+      |    WHERE l1.l_partkey IN
+      |        (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |      AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l1.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    GROUP BY l1.l_suppkey, l1.l_partkey
+      |    HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(12,2)))
+      |             AS DECIMAL(20,2)) * 2 >
+      |      (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+      |                AS DECIMAL(20,2))
+      |       FROM lineitem l2
+      |       WHERE l2.l_partkey = l1.l_partkey
+      |         AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |         AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s_suppkey""".stripMargin
+
   /** The NOT IN / NOT EXISTS null-semantics trap, demonstrated: one NULL
     * in a NOT IN subquery makes every `x NOT IN (…)` predicate UNKNOWN
     * (tri-valued logic: x <> NULL is never TRUE), so the whole query
@@ -402,6 +527,11 @@ object Analytics {
   def sqlTpchQ19(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ19Sql)
   def sqlTpchQ21(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ21Sql)
   def sqlTpchQ22(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ22Sql)
+  def sqlTpchQ2(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ2Sql)
+  def sqlTpchQ9(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ9Sql)
+  def sqlTpchQ11(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ11Sql)
+  def sqlTpchQ16(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ16Sql)
+  def sqlTpchQ20(s: SparkSession, dir: String): DataFrame = runSql(s, dir, tpchQ20Sql)
 
   /** Weekly cohort retention over `events`: users grouped by first-active
     * week, activity counted per (cohort, weeks-since-cohort). Two keyed
