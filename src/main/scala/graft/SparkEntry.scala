@@ -243,6 +243,11 @@ object SparkEntry {
     // approximate (HLL) — no oracle, spec envelope vs the exact q30c
     "sketch_sliding_users" ->
       ((s, dir) => graft.operators.SketchRollup.slidingUserSketches(s, dir)),
+    // approximate (KLL) — no oracle, spec envelope + mergeability contract
+    "sketch_quantile_rollup" ->
+      ((s, dir) => graft.operators.SketchRollup.quantileRollup(s, dir)),
+    "sketch_theta_audience" ->
+      ((s, dir) => graft.operators.SketchRollup.thetaAudience(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1338,6 +1343,23 @@ object SparkEntry {
     "sql_tpch_q11" -> Analytics.tpchQ11Sql,
     "sql_tpch_q16" -> Analytics.tpchQ16Sql,
     "sql_tpch_q20" -> Analytics.tpchQ20Sql,
+    // exact below the sketch's nominal capacity (the gate's scale);
+    // the same plan is ~1.6%-error approximate beyond it by contract
+    "sketch_theta_audience" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase' AND value > 200.0),
+        |     b AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'error' AND value > 200.0)
+        |SELECT (SELECT COUNT(*) FROM a) AS big_purchase_users,
+        |       (SELECT COUNT(*) FROM b) AS big_error_users,
+        |       (SELECT COUNT(*) FROM a
+        |        WHERE user_id IN (SELECT user_id FROM b)) AS both_users,
+        |       (SELECT COUNT(*) FROM a
+        |        WHERE user_id NOT IN (SELECT user_id FROM b))
+        |         AS only_purchase_users,
+        |       (SELECT COUNT(*) FROM
+        |         (SELECT user_id FROM a UNION SELECT user_id FROM b))
+        |         AS either_users""".stripMargin,
     "sql_null_semantics" -> Analytics.nullSemanticsSql,
     "text_decontam" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +

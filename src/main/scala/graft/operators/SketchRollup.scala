@@ -49,6 +49,70 @@ object SketchRollup {
         col("approx_users"), col("n_events"))
       .orderBy(col("week_us"), col("event_type"))
 
+  /** sketch_quantile_rollup — the QUANTILE twin of the HLL distinct-count
+    * cube: one mergeable KLL sketch of `value` per (day, event_type)
+    * cell, weekly p50/p95 read off the MERGED day sketches — the fact
+    * table is scanned once at day grain, every coarser grain is a merge
+    * of fixed-size buffers (≤3·k doubles each) regardless of fact
+    * cardinality. The exact-percentile path (q10b) re-scans values per
+    * grain; this is the only shape that survives a quantile CUBE over
+    * 100 TB. Approximate by contract at scale (KLL rank error ~1.65% at
+    * the default k=200); below k retained values the sketch is exact —
+    * the spec pins the merge ≡ direct-sketch mergeability contract and
+    * the error envelope vs the exact percentiles.
+    */
+  def quantileRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(kll_sketch_agg_double(col("value")).as("sk"),
+        count(lit(1)).as("n_events"))
+    daily
+      .groupBy(date_trunc("week", col("day")).as("week"), col("event_type"))
+      .agg(kll_merge_agg_double(col("sk")).as("wsk"),
+        sum(col("n_events")).as("n_events"))
+      .select(unix_micros(col("week")).as("week_us"), col("event_type"),
+        round(kll_sketch_get_quantile_double(col("wsk"), lit(0.5)), 6)
+          .as("p50_approx"),
+        round(kll_sketch_get_quantile_double(col("wsk"), lit(0.95)), 6)
+          .as("p95_approx"),
+        col("n_events"))
+      .orderBy(col("week_us"), col("event_type"))
+  }
+
+  /** sketch_theta_audience — distinct-count SET ALGEBRA via Theta
+    * sketches: audience overlap (users with a big purchase ∩ users with
+    * a big error), difference, and union, all from ONE fact scan that
+    * builds one fixed-size sketch per segment as conditional aggregates.
+    * HLL can only union; Theta's intersect/difference is what answers
+    * "how many users did BOTH" at 100 TB without ever shuffling raw user
+    * ids — the alternative is a distinct-key self-join whose shuffle
+    * scales with audience size. Below the sketch's nominal capacity
+    * (2^12 entries) Theta is EXACT, so at the gate's scale this
+    * hash-matches the definitional DuckDB COUNT(DISTINCT) oracle;
+    * beyond it the same plan degrades gracefully to ~1.6%-error
+    * estimates — that trade is the operator's contract.
+    */
+  def thetaAudience(s: SparkSession, dir: String): DataFrame = {
+    val sk = t(s, dir, "events").agg(
+      theta_sketch_agg(
+        when(col("event_type") === "purchase" && col("value") > 200.0,
+          col("user_id"))).as("buy_sk"),
+      theta_sketch_agg(
+        when(col("event_type") === "error" && col("value") > 200.0,
+          col("user_id"))).as("err_sk"))
+    sk.select(
+      theta_sketch_estimate(col("buy_sk")).cast("long")
+        .as("big_purchase_users"),
+      theta_sketch_estimate(col("err_sk")).cast("long")
+        .as("big_error_users"),
+      theta_sketch_estimate(theta_intersection(col("buy_sk"), col("err_sk")))
+        .cast("long").as("both_users"),
+      theta_sketch_estimate(theta_difference(col("buy_sk"), col("err_sk")))
+        .cast("long").as("only_purchase_users"),
+      theta_sketch_estimate(theta_union(col("buy_sk"), col("err_sk")))
+        .cast("long").as("either_users"))
+  }
+
   /** sketch_sliding_users — the approximate path for the trailing-7-day
     * distinct-user series (q30c's exact twin): ONE day-grain sketch per
     * day, each sliding window merges its ≤7 fixed-size sketch buffers.

@@ -748,4 +748,70 @@ class Round5Spec extends SparkSpecBase {
       .select($"spearman").as[Double].collect()
     assert(out.toSeq == Seq(1.0))
   }
+
+  // ---- mergeable sketch cube: KLL quantiles + Theta set algebra ----
+
+  test("KLL quantile rollup: merged day sketches track exact weekly p50/p95") {
+    import spark.implicits._
+    val events = Tables.t(spark, sfDir, "events")
+    val merged = graft.operators.SketchRollup.quantileRollup(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // exact DISCRETE percentile (smallest value with cum rank ≥ p — the
+    // convention KLL's inclusive getQuantile implements; interpolated
+    // percentile() would differ by construction, not by sketch error)
+    val grouped = events
+      .select(unix_micros(date_trunc("week", $"ts")).as("week_us"),
+        $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rows) => k -> rows.map(_._3).sorted }
+    def disc(vs: Array[Double], p: Double): Double =
+      vs(math.ceil(p * vs.length).toInt - 1)
+    assert(merged.keySet == grouped.keySet)
+    merged.foreach { case (k, (p50, p95)) =>
+      val vs = grouped(k)
+      // weekly groups at this sf stay below k retained values → the
+      // sketch is in exact mode and must return the data value itself
+      assert(math.abs(p50 - disc(vs, 0.5)) <= 1e-6,
+        s"$k: p50 $p50 vs exact-disc ${disc(vs, 0.5)} (n=${vs.length})")
+      assert(math.abs(p95 - disc(vs, 0.95)) <= 1e-6,
+        s"$k: p95 $p95 vs exact-disc ${disc(vs, 0.95)} (n=${vs.length})")
+    }
+    // mergeability contract: day-sketch merge ≡ sketching the week
+    // directly (same stream, same k → same compaction decisions here)
+    val direct = events
+      .groupBy(date_trunc("week", $"ts").as("week"), $"event_type")
+      .agg(round(kll_sketch_get_quantile_double(
+        kll_sketch_agg_double($"value"), lit(0.5)), 6).as("p50"))
+      .select(unix_micros($"week"), $"event_type", $"p50")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    merged.foreach { case (k, (p50, _)) =>
+      val d = direct(k)
+      assert(math.abs(p50 - d) <= 1e-6,
+        s"$k: daily-merge p50 $p50 diverges from direct sketch $d")
+    }
+  }
+
+  test("theta audience: exact-mode sketch matches definitional set algebra") {
+    import spark.implicits._
+    val events = Tables.t(spark, sfDir, "events")
+    val Array(row) = graft.operators.SketchRollup.thetaAudience(spark, sfDir)
+      .collect()
+    val a = events.filter($"event_type" === "purchase" && $"value" > 200.0)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    val b = events.filter($"event_type" === "error" && $"value" > 200.0)
+      .select($"user_id").distinct().as[Long].collect().toSet
+    // 150 users ≪ the sketch's 2^12 nominal entries → exact mode: the
+    // estimates ARE the set cardinalities, not approximations
+    assert(row.getLong(0) == a.size, "big_purchase_users")
+    assert(row.getLong(1) == b.size, "big_error_users")
+    assert(row.getLong(2) == (a & b).size, "both_users")
+    assert(row.getLong(3) == (a -- b).size, "only_purchase_users")
+    assert(row.getLong(4) == (a | b).size, "either_users")
+    // the segments must be non-trivial or the algebra is vacuous
+    assert(a.nonEmpty && b.nonEmpty && (a & b) != a)
+  }
 }
