@@ -187,8 +187,16 @@ object ScaleProbe {
         Seq("sid", "sts"), "sid")
     }
 
+    // sketch cube: shuffled bytes are fixed-size sketch buffers per
+    // (day, type) cell — cell count is k-invariant here, so the agg
+    // input scales k× but the exchanges stay constant-width
+    def qcube(e: DataFrame) = operators.SketchRollup.quantileRollupOf(e)
+    def theta(e: DataFrame) = operators.SketchRollup.thetaAudienceOf(e)
+
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
+      ("kll_cube", time(noop(qcube(eA1))), time(noop(qcube(eAK)))),
+      ("theta_sets", time(noop(theta(eA1))), time(noop(theta(eAK)))),
       ("topk_window", time(noop(topkWin(o1))), time(noop(topkWin(oK)))),
       ("topk_heapagg", time(noop(topkAgg(o1))), time(noop(topkAgg(oK)))),
       ("skyline", time(noop(sky(li1))), time(noop(sky(liK)))),

@@ -61,8 +61,11 @@ object SketchRollup {
     * the spec pins the merge ≡ direct-sketch mergeability contract and
     * the error envelope vs the exact percentiles.
     */
-  def quantileRollup(s: SparkSession, dir: String): DataFrame = {
-    val daily = t(s, dir, "events")
+  def quantileRollup(s: SparkSession, dir: String): DataFrame =
+    quantileRollupOf(t(s, dir, "events"))
+
+  def quantileRollupOf(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(kll_sketch_agg_double(col("value")).as("sk"),
         count(lit(1)).as("n_events"))
@@ -92,8 +95,11 @@ object SketchRollup {
     * beyond it the same plan degrades gracefully to ~1.6%-error
     * estimates — that trade is the operator's contract.
     */
-  def thetaAudience(s: SparkSession, dir: String): DataFrame = {
-    val sk = t(s, dir, "events").agg(
+  def thetaAudience(s: SparkSession, dir: String): DataFrame =
+    thetaAudienceOf(t(s, dir, "events"))
+
+  def thetaAudienceOf(events: DataFrame): DataFrame = {
+    val sk = events.agg(
       theta_sketch_agg(
         when(col("event_type") === "purchase" && col("value") > 200.0,
           col("user_id"))).as("buy_sk"),

@@ -1,0 +1,51 @@
+package graft
+
+/** The nested-loop ban as a WHOLE-SURFACE regression gate: every
+  * SparkEntry query's physical plan is checked for BroadcastNestedLoopJoin
+  * / CartesianProduct, and the set of queries containing one must equal
+  * the reviewed allowlist below exactly. A new operator that accidentally
+  * plans a nested loop (the classic 100 TB killer: a theta join that
+  * stopped extracting its equi-conjunct, a broadcast that silently became
+  * a cross) fails here, not on the cluster.
+  *
+  * Every allowlisted instance is a PARAMETER-sized build side, audited in
+  * PLANS.md: scalar aggregates (corpus counts, edge totals, FK-exists
+  * bits, shard offset tables), ≤5-row probe sets (q26 family), the 64-row
+  * centroid/codebook tables, or the intentional 5-row dim×dim cartesian
+  * (q09c). None grows with fact cardinality.
+  */
+class PlanHygieneSpec extends SparkSpecBase {
+
+  private val allowed: Set[String] = Set(
+    "dq_checks",           // FK-exists scalar bit
+    "emb_hard_negatives",  // scalar corpus stats
+    "emb_label_balance",   // 1-row label-cardinality summary
+    "emb_quantize_topk",   // codebook scalar + probe row
+    "graph_triangles",     // n_edges scalar (×2)
+    "mix_pps_sample",      // P-row shard offset table
+    "q09c_cross",          // intentional 5-row dim×dim cartesian
+    "q26_ann_ivf",         // probe row vs centroid table
+    "q26_ann_pq",          // probe row vs codebook
+    "q26_cosine_topk",     // 1 probe row
+    "q26b_topk_multi",     // ≤5 probe rows
+    "q26c_filtered_topk",  // 1 probe row
+    "text_tfidf",          // 1-row corpus doc count
+    "text_unigram_logprob", // 1-row corpus token count
+    "ts_concurrency")      // P-row shard offset table
+
+  test("no query plans a nested loop outside the reviewed allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val hasNl = plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")
+        if (hasNl) Some(name) else None
+    }.toSet
+    val fresh = offenders -- allowed
+    assert(fresh.isEmpty,
+      s"NEW nested-loop plans (audit + allowlist or fix): $fresh")
+    val stale = allowed -- offenders
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning nested loops (prune): $stale")
+  }
+}
