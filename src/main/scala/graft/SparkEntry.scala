@@ -138,6 +138,8 @@ object SparkEntry {
     "sql_tpch_q17" -> Analytics.sqlTpchQ17 _,
     "graph_pagerank" -> graft.operators.Graph.copurchasePageRank _,
     "ts_ohlc" -> graft.operators.TimeSeries.tsOhlc _,
+    "ts_ewma" -> graft.operators.TimeSeries.tsEwma _,
+    "ts_ewma_anomaly" -> graft.operators.TimeSeries.tsEwmaAnomaly _,
     "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
     "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
     "recon_merge" -> graft.operators.Reconcile.ordersMerge _,
@@ -1217,6 +1219,30 @@ object SparkEntry {
         "FROM orders) " +
         "SELECT bucket, COUNT(*) AS n_rows, bit_xor(rh) AS xor_fp " +
         "FROM h GROUP BY bucket ORDER BY bucket"),
+    // the sequential EWMA recurrence reproduced as an ordered left fold:
+    // same literals, same order → bit-identical doubles on both engines
+    "ts_ewma" ->
+      ("SELECT user_id, " +
+        "round(list_reduce(list(value ORDER BY ts, event_id), " +
+        "(acc, x) -> CAST(0.2 AS DOUBLE)*x + CAST(0.8 AS DOUBLE)*acc), 6) " +
+        "AS ewma_final, COUNT(*) AS n_points " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+    // two-variable (mean, variance) recurrence folded via a LIST-typed
+    // accumulator: [ewma, evar, n_anomalies, max_abs_dev]; the anomaly
+    // test reads the PRIOR state exactly like the scan does
+    "ts_ewma_anomaly" ->
+      ("WITH f AS (SELECT user_id, list_reduce(" +
+        "list_transform(list(value ORDER BY ts, event_id), " +
+        "x -> [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]), " +
+        "(acc, e) -> [" +
+        "CAST(0.2 AS DOUBLE)*e[1] + CAST(0.8 AS DOUBLE)*acc[1], " +
+        "CAST(0.8 AS DOUBLE)*(acc[2] + CAST(0.2 AS DOUBLE)*(e[1]-acc[1])*(e[1]-acc[1])), " +
+        "acc[3] + CASE WHEN acc[2] > 0 AND abs(e[1]-acc[1]) > 3.0*sqrt(acc[2]) " +
+        "THEN 1 ELSE 0 END, " +
+        "greatest(acc[4], abs(e[1]-acc[1]))]) AS st, " +
+        "COUNT(*) AS n_points FROM events GROUP BY user_id) " +
+        "SELECT user_id, CAST(st[3] AS BIGINT) AS n_anomalies, " +
+        "round(st[4], 6) AS max_abs_dev, n_points FROM f ORDER BY user_id"),
     "ts_ohlc" ->
       ("WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, ts, " +
         "event_id, value FROM events), " +

@@ -216,4 +216,87 @@ object TimeSeries {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"))
       .orderBy(col("event_type"), col("day"))
+
+  /** One output point of the per-key ordered EWMA/anomaly scan. */
+  case class EwmaPoint(user_id: Long, ts_us: Long, event_id: Long,
+    value: Double, ewma: Double, forecast_dev: Double, is_anomaly: Boolean)
+
+  /** Per-key EWMA smoothing + exponentially-weighted-variance anomaly
+    * flags — the SEGMENTED SEQUENTIAL SCAN primitive. EWMA's recurrence
+    * (s_t = α·x_t + (1−α)·s_{t−1}) is non-associative, so no aggregate
+    * or window function expresses it; the distributed form is Spark's
+    * secondary-sort idiom: ONE hash shuffle on the key, a per-partition
+    * (key, ts, id) sort, then a streaming `mapPartitions` whose state is
+    * O(1) per key and resets on key change. At 100 TB this moves each
+    * series once and never materializes a per-key collection — the
+    * degenerate alternatives (collect_list per key, or a window over an
+    * exploded prefix) hold whole series in memory or go quadratic.
+    *
+    * A point is anomalous when its forecast error exceeds z standard
+    * EW-deviations of the PRIOR state (variance updates West-style:
+    * v_t = (1−α)(v_{t−1} + α·dev²) — the error is absorbed after the
+    * test, so an outlier cannot mask itself). The first point of a key
+    * seeds s=x, v=0 and is never anomalous.
+    *
+    * mapPartitions here is the documented last-resort tier (genuine
+    * per-partition imperative logic): the plan stays exchange+sort+
+    * scan, nothing leaves the executor, and the scan is rewindable from
+    * the shuffle files like any narrow stage.
+    */
+  def ewmaScanOf(events: DataFrame, alpha: Double = 0.2,
+      z: Double = 3.0): org.apache.spark.sql.Dataset[EwmaPoint] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val beta = 1.0 - alpha // == the decimal literal 0.8 bit-for-bit
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var key = Long.MinValue
+        var seeded = false
+        var ewma = 0.0
+        var evar = 0.0
+        it.map { case (u, ts, id, x) =>
+          if (u != key || !seeded) {
+            key = u; seeded = true; ewma = x; evar = 0.0
+            EwmaPoint(u, ts, id, x, x, 0.0, is_anomaly = false)
+          } else {
+            val dev = x - ewma
+            val anomaly = evar > 0.0 && math.abs(dev) > z * math.sqrt(evar)
+            evar = beta * (evar + alpha * dev * dev)
+            ewma = alpha * x + beta * ewma
+            EwmaPoint(u, ts, id, x, ewma, dev, anomaly)
+          }
+        }
+      }
+  }
+
+  /** Driver gate: final EWMA per user — the sequential recurrence is
+    * reproduced verbatim by the DuckDB oracle's ordered `list_reduce`
+    * fold (same literals, same order → bit-identical doubles).
+    */
+  def tsEwma(s: SparkSession, dir: String): DataFrame =
+    ewmaScanOf(t(s, dir, "events"))
+      .groupBy(col("user_id"))
+      .agg(
+        round(max_by(col("ewma"), struct(col("ts_us"), col("event_id"))), 6)
+          .as("ewma_final"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("user_id"))
+
+  /** Driver gate: per-user anomaly census off the same scan — the
+    * two-variable (mean, variance) recurrence folds in the oracle as a
+    * LIST-typed accumulator, so even the flag count is hash-gated.
+    */
+  def tsEwmaAnomaly(s: SparkSession, dir: String): DataFrame =
+    ewmaScanOf(t(s, dir, "events"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(abs(col("forecast_dev"))), 6).as("max_abs_dev"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("user_id"))
 }

@@ -814,4 +814,44 @@ class Round5Spec extends SparkSpecBase {
     // the segments must be non-trivial or the algebra is vacuous
     assert(a.nonEmpty && b.nonEmpty && (a & b) != a)
   }
+
+  // ---- per-key ordered EWMA / anomaly scan ----
+
+  test("ewma scan: golden recurrence, seed semantics, key reset, anomaly flag") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // user 1: steady 10s then a spike; user 2 single point (seed only)
+    val rows = Seq(
+      (1L, ts(0), 10L, "click", 10.0), (1L, ts(1), 11L, "click", 10.0),
+      (1L, ts(2), 12L, "click", 12.0), (1L, ts(3), 13L, "click", 10.0),
+      (1L, ts(4), 14L, "click", 500.0), // spike ≫ 3σ of prior state
+      (2L, ts(5), 20L, "click", 7.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.operators.TimeSeries.ewmaScanOf(rows)
+      .collect().sortBy(p => (p.user_id, p.ts_us)).toSeq
+    // hand fold (α=0.2): seed 10 → 10 → 10.4 → 10.32 → spike
+    val e = out.map(_.ewma)
+    assert(math.abs(e(0) - 10.0) < 1e-12 && math.abs(e(1) - 10.0) < 1e-12)
+    assert(math.abs(e(2) - 10.4) < 1e-12, s"got ${e(2)}")
+    assert(math.abs(e(3) - 10.32) < 1e-12, s"got ${e(3)}")
+    assert(out.map(_.is_anomaly) ==
+      Seq(false, false, false, false, true, false),
+      "only the spike may flag; seeds and the fresh key must not")
+    // user 2's seed must not inherit user 1's state
+    assert(out.last.ewma == 7.0 && out.last.forecast_dev == 0.0)
+  }
+
+  test("ewma scan: result invariant to input partitioning") {
+    val events = Tables.t(spark, sfDir, "events")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries.ewmaScanOf(df)
+        .collect().map(p => (p.user_id, p.event_id) -> (p.ewma, p.is_anomaly))
+        .toMap
+    val base = run(events)
+    val shuffled = run(events.repartition(32,
+      org.apache.spark.sql.functions.col("event_id")))
+    val single = run(events.coalesce(1))
+    assert(base == shuffled && base == single,
+      "per-key scan must not depend on the incoming layout")
+  }
 }
