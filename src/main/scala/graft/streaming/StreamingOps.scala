@@ -481,4 +481,66 @@ object StreamingOps {
     q.processAllAvailable()
     q.stop()
   }
+
+  final case class EwmaFlag(user_id: Long, ts_us: Long, event_id: Long,
+      value: Double, ewma: Double, is_anomaly: Boolean)
+
+  /** The batch EWMA scan's STREAMING twin — the same non-associative
+    * recurrence (TimeSeries.ewmaScanOf, α/z semantics identical) run
+    * live: per-key (ewma, EW-variance) as ONE fixed-size ValueState
+    * tuple, each micro-batch folding its rows in (ts, id) order on top
+    * of the carried state. A flag raised mid-stream is therefore
+    * bit-identical to the one the batch scan would assign the same
+    * prefix — the spec replays a split stream and asserts exactly that.
+    * State size is independent of stream length; no timers, no buffers.
+    */
+  class EwmaProcessor(alpha: Double, z: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Double), EwmaFlag] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Double, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Double, Double)](
+        "ewma",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[EwmaFlag] = {
+      val beta = 1.0 - alpha
+      var state = if (st.exists()) Option(st.get()) else None
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+        case (_, ts, id, x) =>
+          state match {
+            case None =>
+              state = Some((x, 0.0))
+              EwmaFlag(key, ts, id, x, x, is_anomaly = false)
+            case Some((ewma, evar)) =>
+              val dev = x - ewma
+              val anomaly = evar > 0.0 && math.abs(dev) > z * math.sqrt(evar)
+              state = Some((alpha * x + beta * ewma,
+                beta * (evar + alpha * dev * dev)))
+              EwmaFlag(key, ts, id, x, state.get._1, anomaly)
+          }
+      }
+      state.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** (user_id, ts_us, event_id, value) stream → live EWMA anomaly flags. */
+  def ewmaStream(events: Dataset[(Long, Long, Long, Double)],
+      alpha: Double = 0.2, z: Double = 3.0): Dataset[EwmaFlag] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new EwmaProcessor(alpha, z),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }

@@ -438,6 +438,48 @@ class StreamingSpec extends SparkSpecBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("ewma stream: flags across a batch split are bit-identical to the batch scan") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 1: steady then spike (the spike lands in batch 2, so its
+      // flag depends entirely on state carried across the batch seam);
+      // user 2 seeds in batch 2
+      val series = Seq(
+        (1L, 1000L, 10L, 10.0), (1L, 2000L, 11L, 10.0),
+        (1L, 3000L, 12L, 12.0), (1L, 4000L, 13L, 10.0),
+        (1L, 5000L, 14L, 500.0), (2L, 6000L, 20L, 7.0))
+      val src = MemoryStream[(Long, Long, Long, Double)]
+      val q = StreamingOps.ewmaStream(src.toDS())
+        .writeStream.format("memory").queryName("ewmas")
+        .outputMode("update").start()
+      src.addData(series.take(3): _*)
+      q.processAllAvailable()
+      src.addData(series.drop(3): _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("ewmas").as[StreamingOps.EwmaFlag].collect()
+        .map(f => (f.user_id, f.event_id) -> (f.ewma, f.is_anomaly)).toMap
+      // batch twin over the concatenated series
+      val batchDf = series
+        .map { case (u, ts, id, v) =>
+          (u, new java.sql.Timestamp(ts), id, "click", v) }
+        .toDF("user_id", "ts", "event_id", "event_type", "value")
+      val batch = graft.operators.TimeSeries.ewmaScanOf(batchDf).collect()
+        .map(p => (p.user_id, p.event_id) -> (p.ewma, p.is_anomaly)).toMap
+      assert(streamed == batch,
+        "live flags must equal the batch scan on the same prefix")
+      assert(streamed((1L, 14L))._2, "the spike must flag mid-stream")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object StreamingSpec {
