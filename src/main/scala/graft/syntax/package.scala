@@ -64,6 +64,18 @@ package object syntax {
     def exactPercentiles(keyCol: String, valCol: String,
         ps: Seq[Double]): DataFrame =
       operators.Percentiles.grouped(df, keyCol, valCol, ps)
+
+    /** Per-key EWMA + EW-variance anomaly flags via the secondary-sort
+      * segmented scan. Expects (user_id, ts, event_id, value) columns.
+      */
+    def ewmaScan(alpha: Double = 0.2, z: Double = 3.0): DataFrame =
+      operators.TimeSeries.ewmaScanOf(df, alpha, z).toDF()
+
+    /** Mergeable KLL quantile cube at (day, event_type) grain with
+      * weekly merged p50/p95. Expects (ts, event_type, value) columns.
+      */
+    def quantileCube(): DataFrame =
+      operators.SketchRollup.quantileRollupOf(df)
   }
 
   implicit class GraftGraphOps(private val df: DataFrame) {

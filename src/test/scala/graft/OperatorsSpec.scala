@@ -417,6 +417,9 @@ class OperatorsSpec extends SparkSpecBase {
     val top = Tables.t(spark, sfDir, "embeddings").filter(col("vec_id") =!= 0)
       .cosineTopK(probe, embCol = "embedding", idCol = "vec_id", k = 3)
     assert(top.count() == 3)
+    val events = Tables.t(spark, sfDir, "events")
+    assert(events.ewmaScan().count() == events.count())
+    assert(events.quantileCube().count() > 0)
   }
 
   test("udx: geometric mean matches closed form on a known group") {
