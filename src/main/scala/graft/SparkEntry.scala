@@ -248,6 +248,7 @@ object SparkEntry {
     // approximate (KLL) — no oracle, spec envelope + mergeability contract
     "sketch_quantile_rollup" ->
       ((s, dir) => graft.operators.SketchRollup.quantileRollup(s, dir)),
+    // theta IS duckdb-gated: exact mode below the 2^12 nominal capacity
     "sketch_theta_audience" ->
       ((s, dir) => graft.operators.SketchRollup.thetaAudience(s, dir)),
   )

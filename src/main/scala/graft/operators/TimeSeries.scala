@@ -221,6 +221,22 @@ object TimeSeries {
   case class EwmaPoint(user_id: Long, ts_us: Long, event_id: Long,
     value: Double, ewma: Double, forecast_dev: Double, is_anomaly: Boolean)
 
+  /** THE EWMA/EW-variance step — the single definition both the batch
+    * scan and the streaming processor fold with, so their bit-identity
+    * is structural, not spec-enforced: given the prior (ewma, evar) and
+    * the next value, returns (ewma', evar', dev, is_anomaly). The
+    * anomaly test reads the PRIOR state; the variance absorbs the
+    * squared forecast error after the test (West-style), so an outlier
+    * cannot mask itself.
+    */
+  def ewmaStep(ewma: Double, evar: Double, x: Double, alpha: Double,
+      z: Double): (Double, Double, Double, Boolean) = {
+    val beta = 1.0 - alpha // == the decimal literal 0.8 bit-for-bit at α=0.2
+    val dev = x - ewma
+    val anomaly = evar > 0.0 && math.abs(dev) > z * math.sqrt(evar)
+    (alpha * x + beta * ewma, beta * (evar + alpha * dev * dev), dev, anomaly)
+  }
+
   /** Per-key EWMA smoothing + exponentially-weighted-variance anomaly
     * flags — the SEGMENTED SEQUENTIAL SCAN primitive. EWMA's recurrence
     * (s_t = α·x_t + (1−α)·s_{t−1}) is non-associative, so no aggregate
@@ -247,7 +263,6 @@ object TimeSeries {
       z: Double = 3.0): org.apache.spark.sql.Dataset[EwmaPoint] = {
     val ss = events.sparkSession
     import ss.implicits._
-    val beta = 1.0 - alpha // == the decimal literal 0.8 bit-for-bit
     events
       .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
         col("event_id").cast("long"), col("value").cast("double"))
@@ -264,10 +279,8 @@ object TimeSeries {
             key = u; seeded = true; ewma = x; evar = 0.0
             EwmaPoint(u, ts, id, x, x, 0.0, is_anomaly = false)
           } else {
-            val dev = x - ewma
-            val anomaly = evar > 0.0 && math.abs(dev) > z * math.sqrt(evar)
-            evar = beta * (evar + alpha * dev * dev)
-            ewma = alpha * x + beta * ewma
+            val (e2, v2, dev, anomaly) = ewmaStep(ewma, evar, x, alpha, z)
+            ewma = e2; evar = v2
             EwmaPoint(u, ts, id, x, ewma, dev, anomaly)
           }
         }

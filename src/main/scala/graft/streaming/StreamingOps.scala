@@ -485,48 +485,60 @@ object StreamingOps {
   final case class EwmaFlag(user_id: Long, ts_us: Long, event_id: Long,
       value: Double, ewma: Double, is_anomaly: Boolean)
 
-  /** The batch EWMA scan's STREAMING twin — the same non-associative
-    * recurrence (TimeSeries.ewmaScanOf, α/z semantics identical) run
-    * live: per-key (ewma, EW-variance) as ONE fixed-size ValueState
-    * tuple, each micro-batch folding its rows in (ts, id) order on top
-    * of the carried state. A flag raised mid-stream is therefore
-    * bit-identical to the one the batch scan would assign the same
-    * prefix — the spec replays a split stream and asserts exactly that.
-    * State size is independent of stream length; no timers, no buffers.
+  /** The batch EWMA scan's STREAMING twin — the same recurrence (the
+    * shared `TimeSeries.ewmaStep`, so batch/stream bit-identity is
+    * structural) run live: per-key (ewma, EW-variance, last-(ts,id)) as
+    * ONE fixed-size ValueState tuple, each micro-batch folding its rows
+    * in (ts, id) order on top of the carried state. A flag raised
+    * mid-stream on in-order data is therefore bit-identical to the one
+    * the batch scan would assign the same prefix.
+    *
+    * Ordering contract: rows are sorted WITHIN a micro-batch, but a row
+    * arriving in a later batch with (ts, id) at or below the folded
+    * prefix cannot be retro-folded (the recurrence is sequential and
+    * the state is O(1) — there is no buffer to reorder against). Such
+    * rows are DROPPED, not folded out of order: the live answer stays a
+    * prefix of the batch scan's, never a divergent trajectory. The
+    * batch scan over the at-rest data is the replayable source of
+    * truth for late rows, exactly like watermark-dropped events in the
+    * windowed aggregations. State size is independent of stream length.
     */
   class EwmaProcessor(alpha: Double, z: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, Double), EwmaFlag] {
     @transient private var st:
-      org.apache.spark.sql.streaming.ValueState[(Double, Double)] = _
+      org.apache.spark.sql.streaming.ValueState[(Double, Double, Long, Long)] = _
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      st = getHandle.getValueState[(Double, Double)](
+      st = getHandle.getValueState[(Double, Double, Long, Long)](
         "ewma",
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaDouble),
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long, Double)],
         timerValues: org.apache.spark.sql.streaming.TimerValues):
         Iterator[EwmaFlag] = {
-      val beta = 1.0 - alpha
       var state = if (st.exists()) Option(st.get()) else None
-      val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
         case (_, ts, id, x) =>
           state match {
             case None =>
-              state = Some((x, 0.0))
-              EwmaFlag(key, ts, id, x, x, is_anomaly = false)
-            case Some((ewma, evar)) =>
-              val dev = x - ewma
-              val anomaly = evar > 0.0 && math.abs(dev) > z * math.sqrt(evar)
-              state = Some((alpha * x + beta * ewma,
-                beta * (evar + alpha * dev * dev)))
-              EwmaFlag(key, ts, id, x, state.get._1, anomaly)
+              state = Some((x, 0.0, ts, id))
+              Some(EwmaFlag(key, ts, id, x, x, is_anomaly = false))
+            case Some((_, _, lastTs, lastId))
+                if ts < lastTs || (ts == lastTs && id <= lastId) =>
+              None // out-of-order vs the folded prefix: drop, never corrupt
+            case Some((ewma, evar, _, _)) =>
+              val (e2, v2, _, anomaly) =
+                graft.operators.TimeSeries.ewmaStep(ewma, evar, x, alpha, z)
+              state = Some((e2, v2, ts, id))
+              Some(EwmaFlag(key, ts, id, x, e2, anomaly))
           }
       }
       state.foreach(st.update)

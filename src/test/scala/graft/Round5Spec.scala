@@ -804,8 +804,9 @@ class Round5Spec extends SparkSpecBase {
       .select($"user_id").distinct().as[Long].collect().toSet
     val b = events.filter($"event_type" === "error" && $"value" > 200.0)
       .select($"user_id").distinct().as[Long].collect().toSet
-    // 150 users ≪ the sketch's 2^12 nominal entries → exact mode: the
-    // estimates ARE the set cardinalities, not approximations
+    // distinct users at this sf (15) ≪ the sketch's 2^12 nominal
+    // entries → exact mode: the estimates ARE the set cardinalities
+    // (the sf0.01 gate has 150, the sf0.1 bench 1500 — all exact-mode)
     assert(row.getLong(0) == a.size, "big_purchase_users")
     assert(row.getLong(1) == b.size, "big_error_users")
     assert(row.getLong(2) == (a & b).size, "both_users")

@@ -460,11 +460,15 @@ class StreamingSpec extends SparkSpecBase {
         .outputMode("update").start()
       src.addData(series.take(3): _*)
       q.processAllAvailable()
-      src.addData(series.drop(3): _*)
+      // the late row (ts below batch 1's folded prefix) must be DROPPED,
+      // not folded out of order into the carried state
+      src.addData(series.drop(3) :+ (1L, 1500L, 99L, 1000.0): _*)
       q.processAllAvailable()
       q.stop()
       val streamed = spark.table("ewmas").as[StreamingOps.EwmaFlag].collect()
         .map(f => (f.user_id, f.event_id) -> (f.ewma, f.is_anomaly)).toMap
+      assert(!streamed.contains((1L, 99L)),
+        "out-of-order row must not be emitted")
       // batch twin over the concatenated series
       val batchDf = series
         .map { case (u, ts, id, v) =>
