@@ -251,6 +251,8 @@ object SparkEntry {
     // theta IS duckdb-gated: exact mode below the 2^12 nominal capacity
     "sketch_theta_audience" ->
       ((s, dir) => graft.operators.SketchRollup.thetaAudience(s, dir)),
+    "sketch_overlap_matrix" ->
+      ((s, dir) => graft.operators.SketchRollup.overlapMatrix(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1387,6 +1389,26 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM
         |         (SELECT user_id FROM a UNION SELECT user_id FROM b))
         |         AS either_users""".stripMargin,
+    // pairs generated from the segment table itself (not the overlap
+    // join) so a zero-overlap pair still emits a row, like the sketches
+    "sketch_overlap_matrix" ->
+      ("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |     c AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+        |     o AS (SELECT x.event_type AS ta, y.event_type AS tb,
+        |             COUNT(*) AS ov
+        |           FROM u x JOIN u y ON x.user_id = y.user_id
+        |             AND x.event_type < y.event_type
+        |           GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  ca.n AS users_a, cb.n AS users_b,
+        |  COALESCE(o.ov, 0) AS overlap,
+        |  ca.n + cb.n - COALESCE(o.ov, 0) AS either_users,
+        |  round(CAST(COALESCE(o.ov, 0) AS DOUBLE) /
+        |        CAST(ca.n + cb.n - COALESCE(o.ov, 0) AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN o ON o.ta = ca.event_type AND o.tb = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin),
     "sql_null_semantics" -> Analytics.nullSemanticsSql,
     "text_decontam" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +

@@ -119,6 +119,40 @@ object SketchRollup {
         .cast("long").as("either_users"))
   }
 
+  /** sketch_overlap_matrix — every pairwise audience overlap from ONE
+    * fact scan: one Theta sketch per segment (5 rows), then a
+    * segment×segment self-join computing |A∩B| and Jaccard per pair.
+    * The sketches are first-class COLUMN VALUES flowing through a
+    * relational join — the pair count is segments², never users², and
+    * the fact table is read once no matter how many pairs are asked.
+    * The classic alternative (a distinct-user self-join per pair)
+    * re-shuffles raw ids pair-many times. Exact below the 2^12 nominal
+    * capacity (the gate's scale), ~1.6%-error beyond by contract. The
+    * 10-row pair join is an intentional parameter-sized nested loop
+    * (PlanHygieneSpec allowlists it).
+    */
+  def overlapMatrix(s: SparkSession, dir: String): DataFrame =
+    overlapMatrixOf(t(s, dir, "events"))
+
+  def overlapMatrixOf(events: DataFrame): DataFrame = {
+    val sk = events.groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id")).as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        theta_sketch_estimate(col("ska")).cast("long").as("users_a"),
+        theta_sketch_estimate(col("skb")).cast("long").as("users_b"),
+        theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+          .cast("long").as("overlap"),
+        theta_sketch_estimate(theta_union(col("ska"), col("skb")))
+          .cast("long").as("either_users"))
+      .withColumn("jaccard",
+        round(col("overlap").cast("double") /
+          col("either_users").cast("double"), 6))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** sketch_sliding_users — the approximate path for the trailing-7-day
     * distinct-user series (q30c's exact twin): ONE day-grain sketch per
     * day, each sliding window merges its ≤7 fixed-size sketch buffers.

@@ -374,11 +374,16 @@ object StreamingOps {
   }
 
   /** Stream-static enrichment join: the unbounded stream joined to a
-    * bounded dimension (re-read per micro-batch; broadcast when small) —
-    * the lookup-join class.
+    * bounded dimension (re-read per micro-batch) — the lookup-join
+    * class. `forceBroadcast` defaults true for the dimension-table case;
+    * pass false for a dim that may not fit executor memory (the join
+    * then shuffles the micro-batch, and AQE still broadcasts at runtime
+    * when the dim turns out small) — a forced hint on an oversized dim
+    * is a driver OOM, not a slow plan.
     */
-  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
-    stream.join(broadcast(dim), Seq(key), "left")
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+      forceBroadcast: Boolean = true): DataFrame =
+    stream.join(if (forceBroadcast) broadcast(dim) else dim, Seq(key), "left")
 
   /** Temporal-table (versioned-dimension) enrichment — the Flink Table
     * API temporal-join class: each event is joined to the dimension
