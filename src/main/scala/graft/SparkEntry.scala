@@ -253,6 +253,8 @@ object SparkEntry {
       ((s, dir) => graft.operators.SketchRollup.thetaAudience(s, dir)),
     "sketch_overlap_matrix" ->
       ((s, dir) => graft.operators.SketchRollup.overlapMatrix(s, dir)),
+    "sketch_rank_sla" ->
+      ((s, dir) => graft.operators.SketchRollup.slaAttainment(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1389,6 +1391,13 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM
         |         (SELECT user_id FROM a UNION SELECT user_id FROM b))
         |         AS either_users""".stripMargin,
+    // exact-mode inclusive rank ≡ count(value ≤ x)/n per (week, type)
+    "sketch_rank_sla" ->
+      ("SELECT epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP))) AS week_us, " +
+        "event_type, " +
+        "round(CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 6) AS sla_share, COUNT(*) AS n_events " +
+        "FROM events GROUP BY 1, 2 ORDER BY week_us, event_type"),
     // pairs generated from the segment table itself (not the overlap
     // join) so a zero-overlap pair still emits a row, like the sketches
     "sketch_overlap_matrix" ->
