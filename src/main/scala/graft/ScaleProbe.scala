@@ -192,11 +192,13 @@ object ScaleProbe {
     // input scales k× but the exchanges stay constant-width
     def qcube(e: DataFrame) = operators.SketchRollup.quantileRollupOf(e)
     def theta(e: DataFrame) = operators.SketchRollup.thetaAudienceOf(e)
+    def omatrix(e: DataFrame) = operators.SketchRollup.overlapMatrixOf(e)
 
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
       ("kll_cube", time(noop(qcube(eA1))), time(noop(qcube(eAK)))),
       ("theta_sets", time(noop(theta(eA1))), time(noop(theta(eAK)))),
+      ("overlap_matrix", time(noop(omatrix(eA1))), time(noop(omatrix(eAK)))),
       ("topk_window", time(noop(topkWin(o1))), time(noop(topkWin(oK)))),
       ("topk_heapagg", time(noop(topkAgg(o1))), time(noop(topkAgg(oK)))),
       ("skyline", time(noop(sky(li1))), time(noop(sky(liK)))),
