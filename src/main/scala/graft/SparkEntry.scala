@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
+    "dedup_canonical" -> ((s: SparkSession, d: String) => Dedup.nearDupCanonical(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
     "text_token_stats" -> TextAnalysis.tokenStats _,
     "text_langid" -> TextAnalysis.langId _,
@@ -730,6 +731,28 @@ object SparkEntry {
          |  UNION SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a)
          |SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach
          |GROUP BY node ORDER BY doc_id""".stripMargin),
+    // same recursive cluster CTE + the keep policy as a window argmax
+    "dedup_canonical" ->
+      (s"""WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM d),
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pairs AS (SELECT i, j FROM p
+         |          WHERE (sa+sb-inter) > 0 AND CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.7),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs
+         |          UNION SELECT i, i FROM pairs UNION SELECT j, j FROM pairs),
+         |reach(node, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+         |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node),
+         |g AS (SELECT dd.doc_id, COALESCE(cl.cluster_rep, dd.doc_id) AS grp, dd.n_chars
+         |      FROM documents dd LEFT JOIN cl ON cl.doc_id = dd.doc_id)
+         |SELECT grp AS cluster_rep, doc_id AS kept_doc_id,
+         |  n_chars AS kept_n_chars, n_docs
+         |FROM (SELECT g.*, COUNT(*) OVER (PARTITION BY grp) AS n_docs,
+         |        row_number() OVER (PARTITION BY grp
+         |          ORDER BY n_chars DESC, doc_id) AS rn FROM g)
+         |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin),
     "text_redact" ->
       ("SELECT doc_id, " +
         "CAST(len(regexp_extract_all(synth, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails, " +

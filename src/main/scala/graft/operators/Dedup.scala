@@ -241,6 +241,34 @@ object Dedup {
   def nearDupClusters(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame =
     clustersOfPairs(minhashLsh(s, dir, thr).select(col("i"), col("j")))
 
+  /** The last mile of near-dup dedup: WHICH copy to keep. Every doc is
+    * assigned its cluster (its own id if unclustered — singleton groups
+    * make the policy uniform), and each group keeps its best doc under a
+    * deterministic policy (longest text, doc_id tiebreak; production
+    * swaps in a quality score — the plan is policy-invariant). One left
+    * join of documents to the cluster table + one keyed max_by: the
+    * argmax ships one candidate struct per group per partition, no group
+    * is ever sorted. Keeping the LATEST is exact dedup's job (q25); this
+    * is the near-dup twin where "duplicates" are only similar.
+    */
+  def nearDupCanonical(s: SparkSession, dir: String,
+      thr: Double = 0.7): DataFrame = {
+    val clusters = nearDupClusters(s, dir, thr)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_rep"), col("doc_id")))
+      .groupBy(col("grp"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), negate(col("doc_id"))))
+          .as("kept_doc_id"),
+        max_by(col("n_chars"), struct(col("n_chars"), negate(col("doc_id"))))
+          .as("kept_n_chars"),
+        count(lit(1)).as("n_docs"))
+      .select(col("grp").as("cluster_rep"), col("kept_doc_id"),
+        col("kept_n_chars"), col("n_docs"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Connected components over an (i, j) pair graph. Each round takes,
     * per node, the min over {own label} ∪ {labels of all ORIGINAL-edge
     * neighbors} ∪ {label(label)} — the edge relaxation is what guarantees
