@@ -1356,7 +1356,7 @@ object SparkEntry {
         "SELECT l_returnflag, " +
         "MIN(CASE WHEN cum * 10 >= 3 * tot THEN l_extendedprice END) AS p30_disc, " +
         "MIN(CASE WHEN cum * 10 >= 7 * tot THEN l_extendedprice END) AS p70_disc, " +
-        "MAX(tot) AS n_rows " +
+        "CAST(MAX(tot) AS BIGINT) AS n_rows " +
         "FROM c GROUP BY l_returnflag ORDER BY l_returnflag"),
     // user_id < 50 commutes with the per-user window — both engines may
     // filter before or after partitioning without changing LOCF values
@@ -1570,7 +1570,7 @@ object SparkEntry {
         "t AS (SELECT f, SUM(w) AS tot FROM h GROUP BY f) " +
         "SELECT c.f AS l_returnflag, " +
         "MIN(CASE WHEN 2 * cum >= tot THEN v END) AS weighted_median, " +
-        "MAX(tot) AS total_units " +
+        "CAST(MAX(tot) AS BIGINT) AS total_units " +
         "FROM c JOIN t ON c.f = t.f GROUP BY c.f ORDER BY l_returnflag"),
     "q10l_corr_matrix" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
