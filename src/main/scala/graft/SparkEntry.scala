@@ -34,7 +34,7 @@ object SparkEntry {
     "q11_count_distinct" -> Relational.q11CountDistinct _,
     "q13b_grouping_sets" -> Relational.q13bGroupingSets _,
     "q13c_pivot" -> Relational.q13cPivot _,
-    "q12_approx_distinct" -> Relational.q12ApproxDistinct _,
+    "q12_approx_distinct" -> Relational.q12ApproxDistinctChecked _,
     "q13_rollup" -> Relational.q13Rollup _,
     "q14_window_rank" -> Relational.q14WindowRank _,
     "q14b_window_dist" -> Relational.q14bWindowDist _,
@@ -76,7 +76,7 @@ object SparkEntry {
     "q24b_in_subquery" -> Relational.q24bInSubquery _,
     "q24d_anti_argmax" -> Relational.q24dAntiArgmax _,
     "q24c_lateral" -> Relational.q24cLateral _,
-    "q12b_approx_percentile" -> Relational.q12bApproxPercentile _,
+    "q12b_approx_percentile" -> Relational.q12bApproxPercentileChecked _,
     "q06b_nulls" -> Relational.q06bNulls _,
     "q25_dedup_exact" -> Relational.q25DedupExact _,
     "q25b_asof_join" -> AsOfJoin.clickToSignup _,
@@ -85,9 +85,9 @@ object SparkEntry {
     "q25e_funnel_windowed" -> Relational.q25eFunnelWindowed _,
     "q26_cosine_topk" -> Similarity.q26CosineTopK _,
     "q26c_filtered_topk" -> ((s: SparkSession, d: String) => Similarity.q26cFilteredTopK(s, d)),
-    "q26_ann_lsh" -> Similarity.annLsh _,
-    "q26_ann_ivf" -> Similarity.annIvf _,
-    "q26_ann_pq" -> Similarity.annPq _,
+    "q26_ann_lsh" -> Similarity.annLshChecked _,
+    "q26_ann_ivf" -> Similarity.annIvfChecked _,
+    "q26_ann_pq" -> Similarity.annPqChecked _,
     "q27_top_tokens" -> TextAnalysis.q27TopTokens _,
     "q30_tumble" -> Windows.q30Tumble _,
     "q31_slide" -> Windows.q31Slide _,
@@ -100,6 +100,10 @@ object SparkEntry {
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
     "dedup_canonical" -> ((s: SparkSession, d: String) => Dedup.nearDupCanonical(s, d)),
     "dedup_embedding" -> ((s: SparkSession, d: String) => Similarity.embeddingNearDup(s, d)),
+    // the scale path for the same semantics: banded-LSH candidate
+    // pruning + exact re-rank, gated on its subset/recall contract
+    "dedup_embedding_lsh" ->
+      ((s: SparkSession, d: String) => Similarity.embeddingNearDupLshChecked(s, d)),
     "text_token_stats" -> TextAnalysis.tokenStats _,
     "text_langid" -> TextAnalysis.langId _,
     "text_quality" -> TextAnalysis.qualityScore _,
@@ -187,7 +191,7 @@ object SparkEntry {
       ((s, dir) => graft.operators.Mixing.temperatureMix(s, dir)),
     "q10i_equidepth" -> Relational.q10iEquidepth _,
     "sketch_rollup" ->
-      ((s, dir) => graft.operators.SketchRollup.sketchRollup(s, dir)),
+      ((s, dir) => graft.operators.SketchRollup.sketchRollupChecked(s, dir)),
     "emb_quantize_topk" ->
       ((s, dir) => graft.operators.Quantization.embQuantizedTopK(s, dir)),
     "ts_scd2" ->
@@ -210,6 +214,9 @@ object SparkEntry {
       ((s, dir) => graft.operators.Drift.psiByType(s, dir)),
     "profile_columns" ->
       ((s, dir) => graft.operators.Profile.profileLineitem(s, dir)),
+    // the 100 TB profiling path (HLL distincts), gated on its envelope
+    "profile_columns_approx" ->
+      ((s, dir) => graft.operators.Profile.profileApproxLineitem(s, dir)),
     "ts_concurrency" ->
       ((s, dir) => graft.operators.TimeSeries.concurrency(s, dir)),
     "text_bigram_merges" ->
@@ -243,12 +250,13 @@ object SparkEntry {
     "q04d_join_hints" -> Relational.q04dJoinHints _,
     "mix_pps_sample" ->
       ((s, dir) => graft.operators.Mixing.ppsSample(s, dir)),
-    // approximate (HLL) — no oracle, spec envelope vs the exact q30c
+    // approximate (HLL) — gated via the self-checking form: exact twin
+    // + within_2pct contract verdict, hash-checked by the oracle
     "sketch_sliding_users" ->
-      ((s, dir) => graft.operators.SketchRollup.slidingUserSketches(s, dir)),
-    // approximate (KLL) — no oracle, spec envelope + mergeability contract
+      ((s, dir) => graft.operators.SketchRollup.slidingUserSketchesChecked(s, dir)),
+    // approximate (KLL) — gated via the rank-audited self-checking form
     "sketch_quantile_rollup" ->
-      ((s, dir) => graft.operators.SketchRollup.quantileRollup(s, dir)),
+      ((s, dir) => graft.operators.SketchRollup.quantileRollupChecked(s, dir)),
     // theta IS duckdb-gated: exact mode below the 2^12 nominal capacity
     "sketch_theta_audience" ->
       ((s, dir) => graft.operators.SketchRollup.thetaAudience(s, dir)),
@@ -277,6 +285,26 @@ object SparkEntry {
        |SELECT i, j, round(CAST(inter AS DOUBLE)/(sa+sb-inter), 6) AS jac
        |FROM p WHERE (sa+sb-inter) > 0 AND CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.7
        |ORDER BY i, j""".stripMargin
+  /** Definitional oracle for the self-checking ANN gate rows: exact
+    * top-1 (id + score) from the raw vectors, plus the contract
+    * verdicts pinned to their required values (`extra` appends the
+    * per-family recall addenda).
+    */
+  private def annCheckedOracle(extra: String): String =
+    """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+      |idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)),
+      |s AS (SELECT b.vec_id,
+      |        SUM(CAST(b.embedding[idx.x] AS DOUBLE) * CAST(q.e[idx.x] AS DOUBLE)) AS dot,
+      |        SUM(CAST(b.embedding[idx.x] AS DOUBLE) * CAST(b.embedding[idx.x] AS DOUBLE)) AS nb,
+      |        SUM(CAST(q.e[idx.x] AS DOUBLE) * CAST(q.e[idx.x] AS DOUBLE)) AS nq
+      |      FROM embeddings b, q, idx WHERE b.vec_id <> 0 GROUP BY b.vec_id),
+      |top1 AS (SELECT vec_id, round(dot/(sqrt(nb)*sqrt(nq)), 6) AS score
+      |         FROM s ORDER BY score DESC, vec_id ASC LIMIT 1)
+      |SELECT CAST(vec_id AS BIGINT) AS exact_top1_id,
+      |  score AS exact_top1_score, CAST(5 AS BIGINT) AS ann_k,
+      |  CAST(5 AS BIGINT) AS scores_exact, CAST(5 AS BIGINT) AS bounded"""
+      .stripMargin.replace("\n", " ") + extra + " FROM top1"
+
   /** Double-precision cosine top-5 for probe vec_id=0. */
   private val cosineTopkOracle =
     """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
@@ -678,10 +706,60 @@ object SparkEntry {
         |      FROM f, q, idx GROUP BY f.vec_id, f.lang, f.label)
         |SELECT vec_id, lang, label, round(dot/(sqrt(nb)*sqrt(nq)), 6) AS score
         |FROM s ORDER BY score DESC, vec_id ASC LIMIT 5""".stripMargin.replace("\n", " "),
-    // q26_ann_lsh: no hash oracle — ANN is approximate by contract (this
-    // corpus is near-orthogonal, max pairwise cosine 0.37, so any
-    // sublinear method trades recall); SimilaritySpec asserts its scores
-    // are a correct subset of the brute-force ranking.
+    // ANN families are approximate by contract (this corpus is
+    // near-orthogonal, max pairwise cosine 0.37, so any sublinear method
+    // trades recall) — the gate queries therefore emit the CONTRACT as
+    // data: the definitional exact top-1 plus verdict counters the oracle
+    // pins (k results, true-cosine scores, bounded by the global best;
+    // IVF/PQ additionally find the true top-1, PQ recalls ≥3 of top-5).
+    // OperatorsSpec asserts the same subset/score contract on the raw
+    // top-k forms.
+    "q26_ann_lsh" -> annCheckedOracle(""),
+    "q26_ann_ivf" -> annCheckedOracle(
+      ", CAST(1 AS BIGINT) AS top1_found"),
+    "q26_ann_pq" -> annCheckedOracle(
+      ", CAST(1 AS BIGINT) AS top1_found, CAST(1 AS BIGINT) AS recall_ge_3"),
+    // approximate-by-contract rows made hash-checkable the same way:
+    // definitional exact values + contract verdicts pinned to 1
+    "q12_approx_distinct" ->
+      ("SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, " +
+        "CAST(1 AS BIGINT) AS within_5pct FROM lineitem"),
+    "q12b_approx_percentile" ->
+      ("WITH h AS (SELECT l_returnflag, l_extendedprice, COUNT(*) AS w " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, l_extendedprice, " +
+        "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum, " +
+        "SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM h) " +
+        "SELECT l_returnflag, CAST(MAX(tot) AS BIGINT) AS n_rows, " +
+        "MIN(CASE WHEN cum * 2 >= tot THEN l_extendedprice END) AS exact_p50, " +
+        "MIN(CASE WHEN cum * 10 >= 9 * tot THEN l_extendedprice END) AS exact_p90, " +
+        "CAST(1 AS BIGINT) AS p50_rank_ok, CAST(1 AS BIGINT) AS p90_rank_ok " +
+        "FROM c GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "sketch_rollup" ->
+      ("SELECT epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP))) AS week_us, " +
+        "event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+        "COUNT(*) AS n_events, CAST(1 AS BIGINT) AS within_2pct " +
+        "FROM events GROUP BY 1, 2 ORDER BY week_us, event_type"),
+    "sketch_sliding_users" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, " +
+        "CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "days AS (SELECT DISTINCT day FROM ud), " +
+        "x AS (SELECT DISTINCT ud.user_id, d.day AS wday FROM ud JOIN days d " +
+        "ON d.day BETWEEN ud.day AND ud.day + 6) " +
+        "SELECT wday AS day, COUNT(*) AS exact_users, " +
+        "CAST(1 AS BIGINT) AS within_2pct FROM x GROUP BY wday ORDER BY day"),
+    "sketch_quantile_rollup" ->
+      ("WITH h AS (SELECT epoch_us(date_trunc('week', CAST(ts AS TIMESTAMP))) AS week_us, " +
+        "event_type, value, COUNT(*) AS w FROM events GROUP BY 1, 2, 3), " +
+        "c AS (SELECT week_us, event_type, value, " +
+        "SUM(w) OVER (PARTITION BY week_us, event_type ORDER BY value) AS cum, " +
+        "SUM(w) OVER (PARTITION BY week_us, event_type) AS tot FROM h) " +
+        "SELECT week_us, event_type, CAST(MAX(tot) AS BIGINT) AS n_events, " +
+        "MIN(CASE WHEN cum * 2 >= tot THEN value END) AS exact_p50, " +
+        "MIN(CASE WHEN cum * 100 >= 95 * tot THEN value END) AS exact_p95, " +
+        "CAST(1 AS BIGINT) AS p50_rank_ok, CAST(1 AS BIGINT) AS p95_rank_ok " +
+        "FROM c GROUP BY 1, 2 ORDER BY week_us, event_type"),
     "q27_top_tokens" ->
       (s"SELECT token, COUNT(*) AS cnt FROM " +
         s"(SELECT unnest($toksSql) AS token FROM documents) " +
@@ -825,6 +903,20 @@ object SparkEntry {
         |      FROM p, idx GROUP BY i, j)
         |SELECT i, j, round(dot/(sqrt(na)*sqrt(nb)), 6) AS score
         |FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4 ORDER BY i, j""".stripMargin,
+    // n_exact is definitional (same pair computation as dedup_embedding);
+    // subset_ok / recall_ge_80 are the LSH contract verdicts pinned to 1
+    "dedup_embedding_lsh" ->
+      """WITH idx AS (SELECT CAST(range + 1 AS INT) AS x FROM range(64)),
+        |p AS (SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS ea, b.embedding AS eb
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |s AS (SELECT i, j,
+        |        SUM(CAST(ea[idx.x] AS DOUBLE) * CAST(eb[idx.x] AS DOUBLE)) AS dot,
+        |        SUM(CAST(ea[idx.x] AS DOUBLE) * CAST(ea[idx.x] AS DOUBLE)) AS na,
+        |        SUM(CAST(eb[idx.x] AS DOUBLE) * CAST(eb[idx.x] AS DOUBLE)) AS nb
+        |      FROM p, idx GROUP BY i, j)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS subset_ok, CAST(1 AS BIGINT) AS recall_ge_80
+        |FROM s WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4""".stripMargin,
     "text_token_stats" ->
       (s"SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
         "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, " +
@@ -1145,6 +1237,26 @@ object SparkEntry {
         str("l_linestatus"), tsc("l_shipdate"))
         .mkString("", " UNION ALL ", " ORDER BY col_name")
     },
+    // same definitional profile + the HLL envelope verdict pinned to 1
+    "profile_columns_approx" -> {
+      def num(c: String) =
+        s"SELECT '$c' AS col_name, count($c) AS n_nonnull, " +
+          s"count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_d, " +
+          s"CAST(max($c) AS DOUBLE) AS max_d, CAST(1 AS BIGINT) AS within_10pct " +
+          "FROM lineitem"
+      def str(c: String) =
+        s"SELECT '$c', count($c), count(DISTINCT $c), " +
+          s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1 AS BIGINT) FROM lineitem"
+      def tsc(c: String) =
+        s"SELECT '$c', count($c), count(DISTINCT $c), " +
+          s"CAST(min(epoch_us($c)) AS DOUBLE), CAST(max(epoch_us($c)) AS DOUBLE), " +
+          "CAST(1 AS BIGINT) FROM lineitem"
+      Seq(num("l_orderkey"), num("l_partkey"), num("l_suppkey"),
+        num("l_linenumber"), num("l_quantity"), num("l_extendedprice"),
+        num("l_discount"), num("l_tax"), str("l_returnflag"),
+        str("l_linestatus"), tsc("l_shipdate"))
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     // ANSI-shared statements: the Spark query IS this string (parser
     // fidelity is part of the check)
     "sql_tpch_q3" -> Analytics.tpchQ3Sql,
@@ -1401,9 +1513,11 @@ object SparkEntry {
     // the same plan is ~1.6%-error approximate beyond it by contract
     "sketch_theta_audience" ->
       """WITH a AS (SELECT DISTINCT user_id FROM events
-        |           WHERE event_type = 'purchase' AND value > 200.0),
+        |           WHERE event_type = 'purchase' AND value > 200.0
+        |             AND user_id IS NOT NULL),
         |     b AS (SELECT DISTINCT user_id FROM events
-        |           WHERE event_type = 'error' AND value > 200.0)
+        |           WHERE event_type = 'error' AND value > 200.0
+        |             AND user_id IS NOT NULL)
         |SELECT (SELECT COUNT(*) FROM a) AS big_purchase_users,
         |       (SELECT COUNT(*) FROM b) AS big_error_users,
         |       (SELECT COUNT(*) FROM a
@@ -1424,7 +1538,8 @@ object SparkEntry {
     // pairs generated from the segment table itself (not the overlap
     // join) so a zero-overlap pair still emits a row, like the sketches
     "sketch_overlap_matrix" ->
-      ("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      ("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+        |            WHERE user_id IS NOT NULL),
         |     c AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
         |     o AS (SELECT x.event_type AS ta, y.event_type AS tb,
         |             COUNT(*) AS ov

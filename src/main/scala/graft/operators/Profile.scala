@@ -56,4 +56,81 @@ object Profile {
   /** Gate query: profile every lineitem column. */
   def profileLineitem(s: SparkSession, dir: String): DataFrame =
     profileColumns(t(s, dir, "lineitem"))
+
+  /** The production profiling path at 100 TB: identical output schema,
+    * `approx_count_distinct` instead of exact — the Expand (one input
+    * duplicate per distinct-agg column) collapses into fixed-size HLL
+    * buffers, so profiling cost stops scaling with per-column
+    * cardinality. ±5% rsd by contract.
+    */
+  def profileColumnsApprox(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def minMax(f: org.apache.spark.sql.types.StructField): (Column, Column) =
+      f.dataType match {
+        case _: NumericType =>
+          (min(col(f.name)).cast("double"), max(col(f.name)).cast("double"))
+        case TimestampType | TimestampNTZType =>
+          val z = col(f.name).cast(TimestampType)
+          (min(unix_micros(z)).cast("double"),
+            max(unix_micros(z)).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+    val aggs = fields.flatMap { f =>
+      val (mn, mx) = minMax(f)
+      Seq(count(col(f.name)).as(s"cnt_${f.name}"),
+        approx_count_distinct(col(f.name)).as(s"dis_${f.name}"),
+        mn.as(s"mn_${f.name}"), mx.as(s"mx_${f.name}"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields.map(f =>
+      s"'${f.name}', cnt_${f.name}, dis_${f.name}, mn_${f.name}, mx_${f.name}")
+      .mkString(", ")
+    wide.selectExpr(s"stack(${fields.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_distinct, min_d, max_d)")
+      .orderBy(col("col_name"))
+  }
+
+  /** Driver-gate self-check for [[profileColumnsApprox]]: exact and HLL
+    * distinct counts in the SAME single-scan aggregation, the exact
+    * values emitted definitionally (the DuckDB oracle recomputes them)
+    * and the approx path's ±10% envelope emitted as `within_10pct`
+    * pinned to 1. The exact side exists only to audit the estimate —
+    * production runs [[profileColumnsApprox]] alone.
+    */
+  def profileApproxChecked(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def minMax(f: org.apache.spark.sql.types.StructField): (Column, Column) =
+      f.dataType match {
+        case _: NumericType =>
+          (min(col(f.name)).cast("double"), max(col(f.name)).cast("double"))
+        case TimestampType | TimestampNTZType =>
+          val z = col(f.name).cast(TimestampType)
+          (min(unix_micros(z)).cast("double"),
+            max(unix_micros(z)).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+    val aggs = fields.flatMap { f =>
+      val (mn, mx) = minMax(f)
+      Seq(count(col(f.name)).as(s"cnt_${f.name}"),
+        countDistinct(col(f.name)).as(s"dis_${f.name}"),
+        approx_count_distinct(col(f.name)).as(s"apx_${f.name}"),
+        mn.as(s"mn_${f.name}"), mx.as(s"mx_${f.name}"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields.map(f =>
+      s"'${f.name}', cnt_${f.name}, dis_${f.name}, apx_${f.name}, " +
+        s"mn_${f.name}, mx_${f.name}")
+      .mkString(", ")
+    wide.selectExpr(s"stack(${fields.size}, $stackArgs) AS " +
+        "(col_name, n_nonnull, n_distinct, approx_distinct, min_d, max_d)")
+      .select(col("col_name"), col("n_nonnull"), col("n_distinct"),
+        col("min_d"), col("max_d"),
+        (abs(col("approx_distinct") - col("n_distinct")) * 10 <=
+          col("n_distinct")).cast("long").as("within_10pct"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Gate query: the audited approx profile over lineitem. */
+  def profileApproxLineitem(s: SparkSession, dir: String): DataFrame =
+    profileApproxChecked(t(s, dir, "lineitem"))
 }

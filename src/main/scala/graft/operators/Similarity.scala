@@ -356,6 +356,65 @@ object Similarity {
 
   def annPq(s: SparkSession, dir: String): DataFrame = annPqTopK(s, dir)
 
+  /** Driver-gate self-check harness for the ANN families: turns each
+    * family's approximation CONTRACT into hash-checkable data. The row
+    * carries (a) the definitional exact top-1 (id + score), which the
+    * DuckDB oracle recomputes from the raw vectors; (b) contract
+    * verdicts the oracle pins to their required values: `ann_k` results
+    * returned, `scores_exact` of them carrying the true cosine of their
+    * id (re-derived here with the same kernel — ANN may prune
+    * candidates but must never fabricate scores), and `bounded` of them
+    * at or below the global best score (the subset property). Per-family
+    * recall addenda (`top1_found`, `recall_at5 ≥ 3`) are only claimed
+    * where the family deterministically achieves them on this corpus —
+    * LSH multiprobe has recall ≈ 0 here (near-orthogonal vectors, no
+    * planted neighbors) and claims none, exactly as its scaladoc states.
+    */
+  private def annCheckedStats(s: SparkSession, dir: String,
+      ann: DataFrame): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    val exact = q26CosineTopK(s, dir) // (vec_id, score) — exact top-5
+    val top1 = exact.orderBy(col("score").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("exact_top1_id"),
+        col("score").as("exact_top1_score"))
+    val rescored = ann
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("score"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("probe_emb")), 6)
+          .as("true_score"))
+    val hits = exact.select(col("vec_id"), lit(1L).as("in_exact"))
+    rescored.join(hits, Seq("vec_id"), "left")
+      .crossJoin(broadcast(top1))
+      .groupBy(col("exact_top1_id"), col("exact_top1_score"))
+      .agg(count(lit(1)).as("ann_k"),
+        sum(when(col("score") === col("true_score"), 1L).otherwise(0L))
+          .as("scores_exact"),
+        sum(when(col("score") <= col("exact_top1_score"), 1L).otherwise(0L))
+          .as("bounded"),
+        sum(coalesce(col("in_exact"), lit(0L))).as("recall_at5"),
+        max(when(col("vec_id") === col("exact_top1_id"), 1L).otherwise(0L))
+          .as("top1_found"))
+  }
+
+  private val annBaseCols = Seq("exact_top1_id", "exact_top1_score",
+    "ann_k", "scores_exact", "bounded").map(col)
+
+  def annLshChecked(s: SparkSession, dir: String): DataFrame =
+    annCheckedStats(s, dir, annLshTopK(s, dir)).select(annBaseCols: _*)
+
+  def annIvfChecked(s: SparkSession, dir: String): DataFrame =
+    annCheckedStats(s, dir, annIvfTopK(s, dir))
+      .select(annBaseCols :+ col("top1_found"): _*)
+
+  def annPqChecked(s: SparkSession, dir: String): DataFrame =
+    annCheckedStats(s, dir, annPqTopK(s, dir))
+      .select(annBaseCols ++ Seq(col("top1_found"),
+        (col("recall_at5") >= 3).cast("long").as("recall_ge_3")): _*)
+
   /** Exact all-pairs embedding near-dup (cosine ≥ thr). Exactness makes
     * the n²/2 kernel evaluations inherent; what must NOT be inherent is
     * the nested-loop broadcast of the whole corpus that a bare `i < j`
@@ -381,6 +440,93 @@ object Similarity {
       .filter(col("score") >= thr)
       .select(col("i"), col("j"), round(col("score"), 6).as("score"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** LSH-pruned embedding near-dup — the 100 TB path the exact
+    * block-grid form ([[embeddingNearDup]]) deliberately is not: banded
+    * hyperplane signatures (nBands independent bands of planesPerBand
+    * planes; a pair is a CANDIDATE iff it collides in at least one
+    * band — the MinHash-LSH banding scheme transplanted to random
+    * hyperplanes), then the exact codegen'd cosine re-ranks candidates
+    * only. Kernel evaluations are candidate-proportional, not n²/B: the
+    * per-band self-join is a key-partitioned equi-join on the band
+    * bucket, the same shuffle shape as `Dedup.minhashLsh`. Collision
+    * probability for a pair at angle θ is 1 − (1 − (1−θ/π)^r)^b, so
+    * recall is a banding-parameter dial, not a hope — at the defaults
+    * (8 bands × 3 planes) a cosine-0.4 pair is caught w.p. ~0.90 and a
+    * cosine-0.7 pair w.p. ~0.996; missed pairs are the documented
+    * trade, audited by the checked gate form below.
+    *
+    * Output ⊆ [[embeddingNearDup]] with identical scores by
+    * construction (same kernel, same threshold, pruned candidates).
+    */
+  def embeddingNearDupLsh(s: SparkSession, dir: String, nBands: Int = 8,
+      planesPerBand: Int = 3, thr: Double = 0.4): DataFrame = {
+    VectorFunctions.register(s)
+    val dim = 64
+    // one seeded stream sliced into per-band plane matrices — bands are
+    // independent by construction, deterministic across runs
+    val rnd = new scala.util.Random(4242)
+    val all = Array.fill(nBands * planesPerBand, dim)(rnd.nextGaussian())
+    (0 until nBands).foreach { b =>
+      val planes = all.slice(b * planesPerBand, (b + 1) * planesPerBand)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        s"hp_band_$b",
+        exprs => graft.functions.HyperplaneBucket(exprs.head, planes),
+        "built-in")
+    }
+    val emb = t(s, dir, "embeddings")
+    // (band, bucket) signature rows: ids only — the candidate shuffle
+    // moves 16-byte pairs, never the 256-byte vectors
+    val sigs = emb.select(col("vec_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          call_function(s"hp_band_$b", col("embedding")).as("bucket"))): _*))
+        .as("sig"))
+      .select(col("vec_id"),
+        col("sig.band").as("band"), col("sig.bucket").as("bucket"))
+    val candidates = sigs.select(col("band"), col("bucket"),
+        col("vec_id").as("i"))
+      .join(sigs.select(col("band"), col("bucket"), col("vec_id").as("j")),
+        Seq("band", "bucket"))
+      .filter(col("i") < col("j"))
+      // a pair colliding in several bands is one candidate, not several
+      .select(col("i"), col("j")).distinct()
+    // vectors re-attach by key-partitioned hash joins at re-rank time
+    candidates
+      .join(emb.select(col("vec_id").as("i"), col("embedding").as("ea")),
+        Seq("i"))
+      .join(emb.select(col("vec_id").as("j"), col("embedding").as("eb")),
+        Seq("j"))
+      .withColumn("score", VectorFunctions.cosineSim(col("ea"), col("eb")))
+      .filter(col("score") >= thr)
+      .select(col("i"), col("j"), round(col("score"), 6).as("score"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Driver-gate self-check for [[embeddingNearDupLsh]]: one row
+    * carrying the definitional exact pair count (DuckDB recomputes it
+    * from the raw vectors) plus the two contract verdicts pinned to 1 —
+    * `subset_ok` (every LSH pair is an exact pair with the identical
+    * rounded score: LSH may prune, never invent) and `recall_ge_80`
+    * (the banding parameters catch ≥ 80% of true pairs on this corpus;
+    * cross-multiplied integers, no floats in the verdict).
+    */
+  def embeddingNearDupLshChecked(s: SparkSession, dir: String): DataFrame = {
+    val exact = embeddingNearDup(s, dir)
+      .select(col("i"), col("j"), col("score").as("exact_score"))
+    val lsh = embeddingNearDupLsh(s, dir)
+    val joined = lsh.join(exact, Seq("i", "j"), "left")
+    val lshStats = joined.agg(
+      count(lit(1)).as("n_lsh"),
+      sum(when(col("exact_score").isNotNull &&
+        col("score") === col("exact_score"), 1L).otherwise(0L)).as("n_matched"))
+    val exactStats = exact.agg(count(lit(1)).as("n_exact"))
+    lshStats.crossJoin(exactStats)
+      .select(col("n_exact"),
+        (col("n_matched") === col("n_lsh")).cast("long").as("subset_ok"),
+        (col("n_matched") * 5 >= col("n_exact") * 4).cast("long")
+          .as("recall_ge_80"))
   }
 
   /** Materialized LSH index: the corpus written parquet-PARTITIONED by

@@ -40,14 +40,37 @@ object SketchRollup {
           .as("approx_users"),
         sum(col("n_events")).as("n_events"))
 
-  /** Driver-gate query: weekly approximate distinct users per event_type
-    * via the daily-sketch merge path. Approximate → rows-only check.
+  /** Weekly approximate distinct users per event_type via the daily-sketch
+    * merge path (the raw operator output; SketchSpec pins its envelope).
     */
   def sketchRollup(s: SparkSession, dir: String): DataFrame =
     weeklyFromDaily(dailyUserSketches(t(s, dir, "events")))
       .select(unix_micros(col("week")).as("week_us"), col("event_type"),
         col("approx_users"), col("n_events"))
       .orderBy(col("week_us"), col("event_type"))
+
+  /** Driver-gate form of [[sketchRollup]]: the HLL estimate is joined to
+    * the exact weekly COUNT(DISTINCT) twin and the row carries the error
+    * contract AS DATA — `within_2pct` must be 1 on every row, and the
+    * DuckDB oracle pins it to 1 alongside the definitional exact count.
+    * The exact twin is the verification harness, not the production path
+    * (the whole point of the sketch cube is to never rescan facts); the
+    * gate query pays it once to make "approximate by contract" a
+    * hash-checkable statement instead of an untested claim.
+    */
+  def sketchRollupChecked(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val approx = weeklyFromDaily(dailyUserSketches(ev))
+    val exact = ev
+      .groupBy(date_trunc("week", col("ts")).as("week"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    approx.join(exact, Seq("week", "event_type"))
+      .select(unix_micros(col("week")).as("week_us"), col("event_type"),
+        col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")) * 50 <=
+          col("exact_users")).cast("long").as("within_2pct"))
+      .orderBy(col("week_us"), col("event_type"))
+  }
 
   /** sketch_quantile_rollup — the QUANTILE twin of the HLL distinct-count
     * cube: one mergeable KLL sketch of `value` per (day, event_type)
@@ -82,6 +105,58 @@ object SketchRollup {
       .orderBy(col("week_us"), col("event_type"))
   }
 
+  /** Driver-gate form of [[quantileRollup]]: each weekly KLL quantile is
+    * rank-audited against the raw values — the true rank interval
+    * [count(<q)/n, count(≤q)/n] of the returned quantile must intersect
+    * p ± 3% (KLL's k=200 contract is ~1.65% rank error at 99%
+    * confidence), checked with integer cross-multiplication and emitted
+    * as `p50_rank_ok`/`p95_rank_ok`. The row also carries the
+    * DEFINITIONAL exact inclusive-rank percentiles (smallest value whose
+    * cumulative count reaches p·n — KLL's own rank convention), which
+    * the DuckDB oracle recomputes verbatim, so the gate hash checks real
+    * values, not just the contract bits.
+    */
+  def quantileRollupChecked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(unix_micros(date_trunc("week", col("ts"))).as("week_us"),
+        col("event_type"), col("value"))
+    val approx = quantileRollupOf(t(s, dir, "events"))
+      .select(col("week_us"), col("event_type"),
+        col("p50_approx"), col("p95_approx"))
+    // rank audit: one keyed agg over the facts with the ~25-row approx
+    // table broadcast onto them
+    val ranks = ev.join(broadcast(approx), Seq("week_us", "event_type"))
+      .groupBy(col("week_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("p50_approx"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50_approx"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p95_approx"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("value") <= col("p95_approx"), 1L).otherwise(0L)).as("le95"))
+    // definitional exact percentiles from the value histogram (inclusive
+    // rank: smallest v with cum ≥ p·n, integer cross-multiplied)
+    val h = ev.groupBy(col("week_us"), col("event_type"), col("value"))
+      .agg(count(lit(1)).as("w"))
+    val win = Window.partitionBy(col("week_us"), col("event_type"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = h.withColumn("cum", sum(col("w")).over(win))
+      .withColumn("tot",
+        sum(col("w")).over(Window.partitionBy(col("week_us"), col("event_type"))))
+      .groupBy(col("week_us"), col("event_type"))
+      .agg(
+        min(when(col("cum") * 2 >= col("tot"), col("value"))).as("exact_p50"),
+        min(when(col("cum") * 100 >= col("tot") * 95, col("value"))).as("exact_p95"))
+    ranks.join(exact, Seq("week_us", "event_type"))
+      .select(col("week_us"), col("event_type"), col("n").as("n_events"),
+        col("exact_p50"), col("exact_p95"),
+        (col("lt50") * 100 <= col("n") * 53 &&
+          col("le50") * 100 >= col("n") * 47).cast("long").as("p50_rank_ok"),
+        (col("lt95") * 100 <= col("n") * 98 &&
+          col("le95") * 100 >= col("n") * 92).cast("long").as("p95_rank_ok"))
+      .orderBy(col("week_us"), col("event_type"))
+  }
+
   /** sketch_theta_audience — distinct-count SET ALGEBRA via Theta
     * sketches: audience overlap (users with a big purchase ∩ users with
     * a big error), difference, and union, all from ONE fact scan that
@@ -106,16 +181,21 @@ object SketchRollup {
       theta_sketch_agg(
         when(col("event_type") === "error" && col("value") > 200.0,
           col("user_id"))).as("err_sk"))
+    // round before the long cast: identical in exact mode, unbiased in
+    // the approximate regime (bare cast truncates toward zero, flooring
+    // every fractional estimate ~0.5 low)
     sk.select(
-      theta_sketch_estimate(col("buy_sk")).cast("long")
+      round(theta_sketch_estimate(col("buy_sk"))).cast("long")
         .as("big_purchase_users"),
-      theta_sketch_estimate(col("err_sk")).cast("long")
+      round(theta_sketch_estimate(col("err_sk"))).cast("long")
         .as("big_error_users"),
-      theta_sketch_estimate(theta_intersection(col("buy_sk"), col("err_sk")))
+      round(theta_sketch_estimate(
+        theta_intersection(col("buy_sk"), col("err_sk"))))
         .cast("long").as("both_users"),
-      theta_sketch_estimate(theta_difference(col("buy_sk"), col("err_sk")))
+      round(theta_sketch_estimate(
+        theta_difference(col("buy_sk"), col("err_sk"))))
         .cast("long").as("only_purchase_users"),
-      theta_sketch_estimate(theta_union(col("buy_sk"), col("err_sk")))
+      round(theta_sketch_estimate(theta_union(col("buy_sk"), col("err_sk"))))
         .cast("long").as("either_users"))
   }
 
@@ -170,11 +250,12 @@ object SketchRollup {
     val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
     a.join(b, col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"),
-        theta_sketch_estimate(col("ska")).cast("long").as("users_a"),
-        theta_sketch_estimate(col("skb")).cast("long").as("users_b"),
-        theta_sketch_estimate(theta_intersection(col("ska"), col("skb")))
+        round(theta_sketch_estimate(col("ska"))).cast("long").as("users_a"),
+        round(theta_sketch_estimate(col("skb"))).cast("long").as("users_b"),
+        round(theta_sketch_estimate(
+          theta_intersection(col("ska"), col("skb"))))
           .cast("long").as("overlap"),
-        theta_sketch_estimate(theta_union(col("ska"), col("skb")))
+        round(theta_sketch_estimate(theta_union(col("ska"), col("skb"))))
           .cast("long").as("either_users"))
       .withColumn("jaccard",
         round(col("overlap").cast("double") /
@@ -205,6 +286,31 @@ object SketchRollup {
       .groupBy(col("wday"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
       .withColumnRenamed("wday", "day")
+      .orderBy(col("day"))
+  }
+
+  /** Driver-gate form of [[slidingUserSketches]]: merged sliding-window
+    * HLL estimates joined to the exact trailing-7-day distinct twin
+    * (q30c's shape), with the ±2% contract emitted as `within_2pct` and
+    * pinned to 1 by the definitional DuckDB oracle.
+    */
+  def slidingUserSketchesChecked(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = t(s, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
+      .distinct()
+    val days = ud.select(col("day")).distinct()
+    val exact = ud
+      .withColumn("wday", explode(sequence(col("day"), col("day") + 6)))
+      .join(days.withColumnRenamed("day", "wday"), Seq("wday"), "left_semi")
+      .groupBy(col("wday"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .withColumnRenamed("wday", "day")
+    slidingUserSketches(s, dir).join(exact, Seq("day"))
+      .select(col("day"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) * 50 <=
+          col("exact_users")).cast("long").as("within_2pct"))
       .orderBy(col("day"))
   }
 }

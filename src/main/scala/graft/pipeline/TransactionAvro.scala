@@ -3,7 +3,7 @@ package graft.pipeline
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.{Row, SparkSession}
@@ -13,10 +13,22 @@ import graft.pipeline.TransactionPipeline.{ApprovedTransaction, Transaction}
 /** Hand-rolled Avro codec for the reference's Kafka wire format (O2,
   * SURVEY.md §7.3): Confluent framing = 1 magic byte (0x00) + 4-byte
   * big-endian schema id + Avro binary body. There is no spark-avro module
-  * on this classpath, so encode/decode run on avro-core directly; schemas
-  * are built programmatically to mirror Transaction.avsc /
-  * ApprovedTransaction.avsc (timestamp-millis longs, nullable unions with
-  * null default — /root/reference/src/main/avro/Transaction.avsc:1-53).
+  * on this classpath, so encode/decode run on avro-core directly.
+  *
+  * The `.avsc` files (src/main/resources/avro/, mirroring
+  * /root/reference/src/main/avro/Transaction.avsc:1-53) are the single
+  * source of truth: schemas are PARSED from them at class load, never
+  * re-declared in code — the dual-declaration drift hazard the reference
+  * itself carries (TransactionProcessor.java:93-107 re-types the same
+  * fields in Table DDL next to the generated Avro class) is closed by
+  * construction. AvroSchemaSpec cross-checks the parse against an
+  * independently built schema.
+  *
+  * Frame ids resolve through a [[SchemaResolver]] — the offline stand-in
+  * for the reference's registry client (TransactionProcessor.java:72-82,
+  * :113): known id → writer schema, reader-schema resolution applies
+  * Avro evolution rules, unknown id → loud failure (never a silent
+  * mis-decode).
   *
   * Thread-safety: readers/writers are stateless; per-call encoders are
   * cheap (BinaryEncoder without reuse) — adequate for the record sizes
@@ -26,38 +38,36 @@ object TransactionAvro {
 
   val MagicByte: Byte = 0x00
 
-  val transactionSchema: Schema = SchemaBuilder
-    .record("Transaction").namespace("graft.avro")
-    .fields()
-    .requiredString("id")
-    .requiredDouble("amount")
-    .requiredString("currency")
-    .name("timestamp").`type`(timestampMillis()).noDefault()
-    .name("description").`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
-    .requiredString("merchant")
-    .name("category").`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
-    .requiredString("status")
-    .requiredString("userId")
-    .name("metadata").`type`().unionOf().nullType().and().map().values().stringType().endUnion().nullDefault()
-    .endRecord()
+  /** Confluent schema ids for the two registered subjects. */
+  val TransactionSchemaId: Int = 1
+  val ApprovedSchemaId: Int = 2
 
-  val approvedSchema: Schema = SchemaBuilder
-    .record("ApprovedTransaction").namespace("graft.avro")
-    .fields()
-    .requiredString("id")
-    .requiredDouble("amount")
-    .requiredString("currency")
-    .name("timestamp").`type`(timestampMillis()).noDefault()
-    .requiredString("merchant")
-    .requiredString("userId")
-    .requiredDouble("amountInUsd")
-    .name("processingTimestamp").`type`(timestampMillis()).noDefault()
-    .endRecord()
-
-  private def timestampMillis(): Schema = {
-    val s = Schema.create(Schema.Type.LONG)
-    org.apache.avro.LogicalTypes.timestampMillis().addToSchema(s)
+  private def parseResource(path: String): Schema = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing classpath resource $path")
+    try new Schema.Parser().parse(in) finally in.close()
   }
+
+  val transactionSchema: Schema = parseResource("/avro/Transaction.avsc")
+  val approvedSchema: Schema = parseResource("/avro/ApprovedTransaction.avsc")
+
+  /** Registry surface: map a frame's schema id to the WRITER schema it
+    * was encoded with. The default resolver knows the two registered
+    * ids; decode against a frame from any other id fails loudly instead
+    * of mis-decoding bytes against the wrong schema.
+    */
+  trait SchemaResolver { def writerSchema(id: Int): Schema }
+
+  final case class MapSchemaResolver(byId: Map[Int, Schema])
+      extends SchemaResolver {
+    def writerSchema(id: Int): Schema = byId.getOrElse(id,
+      throw new IllegalArgumentException(s"unknown schema id $id " +
+        s"(registered: ${byId.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  val DefaultResolver: SchemaResolver = MapSchemaResolver(Map(
+    TransactionSchemaId -> transactionSchema,
+    ApprovedSchemaId -> approvedSchema))
 
   // ---- framing ----
 
@@ -87,10 +97,6 @@ object TransactionAvro {
     out.toByteArray
   }
 
-  private def fromBytes(bytes: Array[Byte], schema: Schema): GenericRecord =
-    new GenericDatumReader[GenericRecord](schema)
-      .read(null, DecoderFactory.get().binaryDecoder(bytes, null))
-
   /** Schema-resolution decode: reader schema may differ from the writer's
     * (dropped fields skipped, added nullable/defaulted fields filled) —
     * Avro's standard evolution rules, which the Confluent wire format
@@ -113,7 +119,8 @@ object TransactionAvro {
 
   // ---- Transaction ----
 
-  def encodeTransaction(t: Transaction, schemaId: Int = 1): Array[Byte] = {
+  def encodeTransaction(t: Transaction,
+      schemaId: Int = TransactionSchemaId): Array[Byte] = {
     val r = new GenericData.Record(transactionSchema)
     r.put("id", t.id)
     r.put("amount", t.amount)
@@ -132,9 +139,16 @@ object TransactionAvro {
     frame(schemaId, toBytes(r, transactionSchema))
   }
 
-  def decodeTransaction(bytes: Array[Byte]): Transaction = {
-    val (_, body) = unframe(bytes)
-    recordToTransaction(fromBytes(body, transactionSchema))
+  /** Decode a Confluent-framed Transaction: the frame's id resolves the
+    * WRITER schema through the resolver (unknown id → loud failure);
+    * the current [[transactionSchema]] is the reader, so registered
+    * older/newer writer versions decode via Avro evolution rules.
+    */
+  def decodeTransaction(bytes: Array[Byte],
+      resolver: SchemaResolver = DefaultResolver): Transaction = {
+    val (id, body) = unframe(bytes)
+    recordToTransaction(
+      fromBytesResolving(body, resolver.writerSchema(id), transactionSchema))
   }
 
   private def recordToTransaction(r: GenericRecord): Transaction = {
@@ -158,7 +172,8 @@ object TransactionAvro {
 
   // ---- ApprovedTransaction ----
 
-  def encodeApproved(a: ApprovedTransaction, schemaId: Int = 2): Array[Byte] = {
+  def encodeApproved(a: ApprovedTransaction,
+      schemaId: Int = ApprovedSchemaId): Array[Byte] = {
     val r = new GenericData.Record(approvedSchema)
     r.put("id", a.id)
     r.put("amount", a.amount)
@@ -171,9 +186,10 @@ object TransactionAvro {
     frame(schemaId, toBytes(r, approvedSchema))
   }
 
-  def decodeApproved(bytes: Array[Byte]): ApprovedTransaction = {
-    val (_, body) = unframe(bytes)
-    val r = fromBytes(body, approvedSchema)
+  def decodeApproved(bytes: Array[Byte],
+      resolver: SchemaResolver = DefaultResolver): ApprovedTransaction = {
+    val (id, body) = unframe(bytes)
+    val r = fromBytesResolving(body, resolver.writerSchema(id), approvedSchema)
     ApprovedTransaction(
       id = r.get("id").toString,
       amount = r.get("amount").asInstanceOf[Double],

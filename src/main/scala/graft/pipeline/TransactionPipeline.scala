@@ -71,26 +71,59 @@ object TransactionPipeline {
         fxToUsd(col("amount"), col("currency")).as("amountInUsd"),
         current_timestamp().as("processingTimestamp"))
 
-  /** O1/O2 — Kafka streaming source with Confluent-Avro value decode.
-    * (Requires the kafka connector on the runtime classpath; the
-    * deterministic test tier uses MemoryStream instead.)
+  /** O2 — the Confluent-Avro decode stage, shared by the streaming (O1)
+    * and bounded-batch (O11) sources: kafka-shaped rows (binary `value`
+    * plus topic/partition/offset metadata) → typed Transaction columns.
+    * The broker-less test tier drives this directly on framed fixture
+    * bytes, which is exactly what both `.load()` paths feed it.
     */
-  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame = {
-    import spark.implicits._
-    TransactionAvro.registerUdfs(spark)
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
+  def decodeValues(kafkaDf: DataFrame): DataFrame = {
+    TransactionAvro.registerUdfs(kafkaDf.sparkSession)
+    kafkaDf
       .select(call_udf("decode_transaction", col("value")).as("t"))
       .select(col("t.*"))
   }
 
-  /** O9 — Kafka sink carrying Confluent-framed Avro values. */
+  /** O1/O2 — Kafka streaming source with Confluent-Avro value decode.
+    * (Requires the kafka connector on the runtime classpath; the
+    * deterministic test tier uses MemoryStream instead.)
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+    decodeValues(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load())
+
+  /** O11 — bounded BATCH scan of a Kafka topic slice: the reference's
+    * own verification path (TransactionFlinkTest.java:142-171 sets
+    * `scan.bounded.mode = 'latest-offset'` and collects the table).
+    * Spark's batch Kafka relation with explicit starting/ending offsets
+    * is the same contract — a topic slice as a DataFrame, through the
+    * identical [[decodeValues]] stage as the streaming source, so a user
+    * validating a sink topic reads it back with one call. (Requires the
+    * kafka connector on the runtime classpath; the broker-less test tier
+    * drives [[decodeValues]] on a kafka-shaped frame instead.)
+    */
+  def fromKafkaBounded(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "earliest",
+      endingOffsets: String = "latest"): DataFrame =
+    decodeValues(spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("endingOffsets", endingOffsets)
+      .load())
+
+  /** O9 — Kafka sink carrying Confluent-framed Avro values (framed with
+    * the ApprovedTransaction subject's id, so a reader resolving the
+    * frame id gets the right writer schema).
+    */
   def toKafka(df: DataFrame, bootstrap: String, topic: String,
-      checkpoint: String, schemaId: Int = 1): StreamingQuery =
+      checkpoint: String,
+      schemaId: Int = TransactionAvro.ApprovedSchemaId): StreamingQuery =
     df.select(col("id").cast("string").as("key"),
         call_udf("encode_approved", struct(df.columns.map(col).toIndexedSeq: _*),
           lit(schemaId)).as("value"))

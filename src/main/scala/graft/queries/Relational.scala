@@ -146,6 +146,21 @@ object Relational {
     t(s, dir, "lineitem")
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
 
+  /** Driver-gate form of Q12: the HLL++ estimate and the exact distinct
+    * count are computed in the SAME aggregation, and the ±5% contract is
+    * emitted as data (`within_5pct`, integer cross-multiplied) next to
+    * the definitional exact count — the DuckDB oracle recomputes the
+    * exact count and pins the verdict to 1, so the approximate operator
+    * is hash-gated on its contract instead of skipped.
+    */
+  def q12ApproxDistinctChecked(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey")).as("a"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("exact_parts"),
+        (abs(col("a") - col("exact_parts")) * 20 <= col("exact_parts"))
+          .cast("long").as("within_5pct"))
+
   /** Q10b — exact percentiles (interpolated median/p90 per group); both
     * engines interpolate linearly on the sorted values, rounded to absorb
     * formula-order FP differences.
@@ -797,6 +812,55 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
         expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_approx"))
       .orderBy(col("l_returnflag"))
+
+  /** Driver-gate form of Q12b: each approx_percentile result is
+    * rank-audited against the raw column — the true rank interval
+    * [count(<q)/n, count(≤q)/n] must intersect p ± 1% (GK at
+    * accuracy=10000 guarantees ≤ 0.01% rank error; 1% is a generous
+    * envelope), integer cross-multiplied and emitted as
+    * `p50_rank_ok`/`p90_rank_ok`. The row also carries the definitional
+    * exact discrete percentiles (smallest value with cum ≥ p·n) and the
+    * group size, which the DuckDB oracle recomputes verbatim.
+    */
+  def q12bApproxPercentileChecked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val approx = q12bApproxPercentile(s, dir)
+    val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("p50_approx"), 1L)
+          .otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("p50_approx"), 1L)
+          .otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("p90_approx"), 1L)
+          .otherwise(0L)).as("lt90"),
+        sum(when(col("l_extendedprice") <= col("p90_approx"), 1L)
+          .otherwise(0L)).as("le90"))
+    val h = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("w"))
+    val win = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = h.withColumn("cum", sum(col("w")).over(win))
+      .withColumn("tot",
+        sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice")))
+          .as("exact_p50"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("l_extendedprice")))
+          .as("exact_p90"))
+    ranks.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n").as("n_rows"),
+        col("exact_p50"), col("exact_p90"),
+        (col("lt50") * 100 <= col("n") * 51 &&
+          col("le50") * 100 >= col("n") * 49).cast("long").as("p50_rank_ok"),
+        (col("lt90") * 100 <= col("n") * 91 &&
+          col("le90") * 100 >= col("n") * 89).cast("long").as("p90_rank_ok"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** Q21d — nested STRUCT round-trip: build, project through, compare,
     * and re-flatten named structs (the nested-row type class; the rest of

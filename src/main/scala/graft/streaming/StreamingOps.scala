@@ -507,6 +507,16 @@ object StreamingOps {
     * batch scan over the at-rest data is the replayable source of
     * truth for late rows, exactly like watermark-dropped events in the
     * windowed aggregations. State size is independent of stream length.
+    *
+    * Memory contract: the O(1) bound above is the STORED state only.
+    * `handleInputRows` materializes and sorts each key's rows WITHIN a
+    * micro-batch (`rows.toSeq.sortBy`) — peak executor memory is
+    * O(max per-key rows per micro-batch), not O(1). That is the
+    * standard trade for in-batch reordering; cap micro-batch size
+    * (`maxOffsetsPerTrigger` / trigger interval) so a hot key's batch
+    * share fits, or pre-sort with `sortWithinPartitions(key, ts, id)`
+    * ahead of `transformWithState` to shift the sort into Spark's
+    * spillable machinery and keep the processor a pure streaming fold.
     */
   class EwmaProcessor(alpha: Double, z: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[

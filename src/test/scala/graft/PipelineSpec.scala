@@ -80,7 +80,7 @@ class PipelineSpec extends SparkSpecBase {
       .outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val results = spark.table("wire").as[Array[Byte]].collect()
-      .map(TransactionAvro.decodeApproved)
+      .map(b => TransactionAvro.decodeApproved(b))
     assert(results.length == 4)
     val byId = results.map(a => a.id -> a.amountInUsd).toMap
     expected.foreach { case (id, usd) => assert(math.abs(byId(id) - usd) < 0.001) }
@@ -89,10 +89,10 @@ class PipelineSpec extends SparkSpecBase {
 
   test("Confluent-framed Avro round-trips every fixture row") {
     fixture.foreach { t =>
-      val bytes = TransactionAvro.encodeTransaction(t, schemaId = 7)
+      val bytes = TransactionAvro.encodeTransaction(t)
       assert(bytes(0) == 0x00)
       val (id, _) = TransactionAvro.unframe(bytes)
-      assert(id == 7)
+      assert(id == TransactionAvro.TransactionSchemaId)
       assert(TransactionAvro.decodeTransaction(bytes) == t)
     }
   }
@@ -101,6 +101,39 @@ class PipelineSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       TransactionAvro.unframe(Array[Byte](1, 2, 3))
     }
+  }
+
+  test("an unregistered schema id fails loudly; a registered one resolves") {
+    val bytes = TransactionAvro.encodeTransaction(fixture.head, schemaId = 7)
+    val e = intercept[IllegalArgumentException] {
+      TransactionAvro.decodeTransaction(bytes)
+    }
+    assert(e.getMessage.contains("unknown schema id 7"))
+    // registering 7 as a Transaction writer makes the same frame decode
+    val resolver = TransactionAvro.MapSchemaResolver(
+      Map(7 -> TransactionAvro.transactionSchema))
+    assert(TransactionAvro.decodeTransaction(bytes, resolver) == fixture.head)
+  }
+
+  test("O11: bounded batch read of a kafka-shaped topic slice decodes and transforms") {
+    // the reference's own verification path (TransactionFlinkTest.java:
+    // 142-171: scan.bounded.mode='latest-offset' + collect). No broker in
+    // this env, so the fixture is framed into exactly the kafka batch
+    // relation's row shape and driven through the shared decode stage
+    // fromKafkaBounded binds to `spark.read.format("kafka")`.
+    import spark.implicits._
+    val kafkaShaped = fixture.zipWithIndex.map { case (t, i) =>
+      (t.id.getBytes("UTF-8"), TransactionAvro.encodeTransaction(t),
+        "transactions", 0, i.toLong,
+        new java.sql.Timestamp(1700000000000L + i), 0)
+    }.toDF("key", "value", "topic", "partition", "offset",
+      "timestamp", "timestampType")
+    val out = TransactionPipeline.transform(
+      TransactionPipeline.decodeValues(kafkaShaped))
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("amountInUsd"))
+      .toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (id, usd) => assert(math.abs(out(id) - usd) < 0.001) }
   }
 
   test("schema evolution: decode an old-writer payload against the current reader") {
@@ -129,6 +162,52 @@ class PipelineSpec extends SparkSpecBase {
     val t = TransactionAvro.decodeTransactionEvolved(framed, writerV0)
     assert(t.id == "t1" && t.amount == 5.0 && t.currency == "EUR")
     assert(t.description.isEmpty && t.category.isEmpty && t.metadata.isEmpty)
+    // the same evolution through the resolver path: register v0 under a
+    // fresh id and decode the frame without naming the writer explicitly
+    val resolver = TransactionAvro.MapSchemaResolver(
+      Map(3 -> writerV0, 1 -> TransactionAvro.transactionSchema))
+    val t2 = TransactionAvro.decodeTransaction(
+      TransactionAvro.frame(3, out.toByteArray), resolver)
+    assert(t2 == t)
+  }
+
+  test("schema evolution: a NEWER writer with an added nullable field resolves down") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    // v2 writer = current schema + trailing nullable riskScore field;
+    // the current reader must skip it (Avro resolution drops unknown
+    // writer fields) — the frame a NEWER producer writes stays readable
+    val fields = new java.util.ArrayList[org.apache.avro.Schema.Field]()
+    TransactionAvro.transactionSchema.getFields.forEach { f =>
+      fields.add(new org.apache.avro.Schema.Field(
+        f.name(), f.schema(), f.doc(), f.defaultVal()))
+    }
+    val nullDouble = org.apache.avro.Schema.createUnion(
+      org.apache.avro.Schema.create(org.apache.avro.Schema.Type.NULL),
+      org.apache.avro.Schema.create(org.apache.avro.Schema.Type.DOUBLE))
+    fields.add(new org.apache.avro.Schema.Field(
+      "riskScore", nullDouble, null, org.apache.avro.JsonProperties.NULL_VALUE))
+    val writerV2 = org.apache.avro.Schema.createRecord(
+      "Transaction", null, "graft.avro", false, fields)
+    val src = fixture.head
+    val rec = new GenericData.Record(writerV2)
+    rec.put("id", src.id); rec.put("amount", src.amount)
+    rec.put("currency", src.currency)
+    rec.put("timestamp", src.timestamp.getTime)
+    rec.put("description", src.description.orNull)
+    rec.put("merchant", src.merchant); rec.put("category", src.category.orNull)
+    rec.put("status", src.status); rec.put("userId", src.userId)
+    rec.put("metadata", new java.util.HashMap[String, String]())
+    rec.put("riskScore", 0.42)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[org.apache.avro.generic.GenericRecord](writerV2)
+      .write(rec, enc)
+    enc.flush()
+    val resolver = TransactionAvro.MapSchemaResolver(Map(9 -> writerV2))
+    val t = TransactionAvro.decodeTransaction(
+      TransactionAvro.frame(9, out.toByteArray), resolver)
+    assert(t == src)
   }
 
   test("case-class encoder nullability mirrors the declared DDL (SURVEY §1.3)") {
@@ -142,5 +221,41 @@ class PipelineSpec extends SparkSpecBase {
   test("avro schemas declare millisecond timestamps (parity with TIMESTAMP(3))") {
     val f = TransactionAvro.transactionSchema.getField("timestamp").schema()
     assert(f.getLogicalType.getName == "timestamp-millis")
+  }
+
+  test(".avsc files are the schema source of truth: parse equals the independent build") {
+    import org.apache.avro.SchemaBuilder
+    def tsMillis = org.apache.avro.LogicalTypes.timestampMillis()
+      .addToSchema(org.apache.avro.Schema.create(org.apache.avro.Schema.Type.LONG))
+    // the pre-round-6 programmatic declarations, rebuilt here as the
+    // independent cross-check of the parsed files (main has exactly one
+    // declaration — the .avsc — so the two cannot drift)
+    val expectedTxn = SchemaBuilder.record("Transaction").namespace("graft.avro")
+      .fields()
+      .requiredString("id").requiredDouble("amount").requiredString("currency")
+      .name("timestamp").`type`(tsMillis).noDefault()
+      .name("description").`type`().unionOf().nullType().and().stringType()
+      .endUnion().nullDefault()
+      .requiredString("merchant")
+      .name("category").`type`().unionOf().nullType().and().stringType()
+      .endUnion().nullDefault()
+      .requiredString("status").requiredString("userId")
+      .name("metadata").`type`().unionOf().nullType().and().map().values()
+      .stringType().endUnion().nullDefault()
+      .endRecord()
+    val expectedApproved = SchemaBuilder.record("ApprovedTransaction")
+      .namespace("graft.avro")
+      .fields()
+      .requiredString("id").requiredDouble("amount").requiredString("currency")
+      .name("timestamp").`type`(tsMillis).noDefault()
+      .requiredString("merchant").requiredString("userId")
+      .requiredDouble("amountInUsd")
+      .name("processingTimestamp").`type`(tsMillis).noDefault()
+      .endRecord()
+    assert(TransactionAvro.transactionSchema == expectedTxn)
+    assert(TransactionAvro.approvedSchema == expectedApproved)
+    // and the wire contract matches the reference's field inventory
+    assert(TransactionAvro.transactionSchema.getFields.size() == 10)
+    assert(TransactionAvro.approvedSchema.getFields.size() == 8)
   }
 }

@@ -17,6 +17,7 @@ package graft
 class PlanHygieneSpec extends SparkSpecBase {
 
   private val allowed: Set[String] = Set(
+    "dedup_embedding_lsh", // checked form: two 1-row contract summaries
     "dq_checks",           // FK-exists scalar bit
     "emb_hard_negatives",  // scalar corpus stats
     "emb_label_balance",   // 1-row label-cardinality summary
@@ -25,6 +26,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "mix_pps_sample",      // P-row shard offset table
     "q09c_cross",          // intentional 5-row dim×dim cartesian
     "q26_ann_ivf",         // probe row vs centroid table
+    "q26_ann_lsh",         // checked form: 1 probe row + 1 exact-top1 row
     "q26_ann_pq",          // probe row vs codebook
     "q26_cosine_topk",     // 1 probe row
     "q26b_topk_multi",     // ≤5 probe rows
