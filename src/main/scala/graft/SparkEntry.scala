@@ -181,6 +181,8 @@ object SparkEntry {
     "sql_null_semantics" -> Analytics.sqlNullSemantics _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
+    // the 8-byte-key production plan, gated on ≡ the string-keyed form
+    "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
     "pipe_clean_corpus" -> TextAnalysis.cleanCorpus _,
     "q04b_bucketed_join" ->
@@ -1573,6 +1575,17 @@ object SparkEntry {
         "x AS (SELECT doc_id, chunk, span, " +
         "row_number() OVER (PARTITION BY span ORDER BY doc_id, chunk) AS rn FROM sp) " +
         "SELECT doc_id, COUNT(*) AS n_spans, COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dup " +
+        "FROM x GROUP BY doc_id ORDER BY doc_id"),
+    // same definitional counts + the hashed-plan equivalence verdict
+    "text_span_dedup_hashed" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "sp AS (SELECT doc_id, CAST(r.i AS BIGINT) AS chunk, " +
+        "array_to_string(toks[(CAST(r.i AS INT)*10+1):(CAST(r.i AS INT)*10+10)], ' ') AS span " +
+        "FROM d, unnest(range(0, len(toks)//10)) AS r(i)), " +
+        "x AS (SELECT doc_id, chunk, span, " +
+        "row_number() OVER (PARTITION BY span ORDER BY doc_id, chunk) AS rn FROM sp) " +
+        "SELECT doc_id, COUNT(*) AS n_spans, COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dup, " +
+        "CAST(1 AS BIGINT) AS hash_eq " +
         "FROM x GROUP BY doc_id ORDER BY doc_id"),
     "pipe_clean_corpus" ->
       (s"WITH d AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents), " +

@@ -470,6 +470,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The PRODUCTION form of [[spanDedupOf]]: the first-occurrence window
+    * keys on `xxhash64(span)` instead of the raw 10-token string, so the
+    * exchange carries 8-byte keys instead of ~60-byte span text — the
+    * shuffle-width fix the string form's scaladoc promises. Collision
+    * odds are ~n²/2⁶⁴ across distinct spans (vanishing at any real
+    * corpus size); a collision could only merge two spans' first-seen
+    * chains, never lose a row.
+    */
+  def spanDedupHashedOf(docs: DataFrame, span: Int): DataFrame = {
+    val toksBound = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val spans = toksBound
+      .select(col("doc_id"),
+        when(size(col("toks")) >= span,
+          transform(sequence(lit(0), (size(col("toks")) / span).cast(IntegerType) - 1),
+            i => concat_ws(" ", slice(col("toks"), i * span + 1, lit(span)))))
+          .otherwise(array().cast(ArrayType(StringType))).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("chunk", "span")))
+      .select(col("doc_id"), col("chunk"), xxhash64(col("span")).as("k"))
+    val firstSeen = Window.partitionBy(col("k"))
+      .orderBy(col("doc_id"), col("chunk"))
+    spans.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("rn") > 1, lit(1))).as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-gate self-check for the hashed form: the string-keyed
+    * result is the definitional answer (the DuckDB oracle reproduces it
+    * verbatim), and `hash_eq` — pinned to 1 — asserts the 8-byte-key
+    * production plan computes the identical per-doc counts on this
+    * corpus.
+    */
+  def spanDedupHashedChecked(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val byString = spanDedupOf(docs, 10)
+    val byHash = spanDedupHashedOf(docs, 10)
+      .select(col("doc_id"), col("n_spans").as("h_spans"),
+        col("n_dup").as("h_dup"))
+    byString.join(byHash, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        (col("n_spans") === col("h_spans") &&
+          col("n_dup") === col("h_dup")).cast("long").as("hash_eq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Adjacent-pair frequencies over the BPE-ish token stream — the
     * counting step of a byte-pair-encoding merge round (tokenizer
     * training's inner loop): the most frequent pair becomes the next

@@ -88,12 +88,14 @@ object TransactionPipeline {
     * (Requires the kafka connector on the runtime classpath; the
     * deterministic test tier uses MemoryStream instead.)
     */
-  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
     decodeValues(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", "earliest")
+      .options(extraOptions)
       .load())
 
   /** O11 — bounded BATCH scan of a Kafka topic slice: the reference's
@@ -108,13 +110,15 @@ object TransactionPipeline {
     */
   def fromKafkaBounded(spark: SparkSession, bootstrap: String, topic: String,
       startingOffsets: String = "earliest",
-      endingOffsets: String = "latest"): DataFrame =
+      endingOffsets: String = "latest",
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
     decodeValues(spark.read
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .option("endingOffsets", endingOffsets)
+      .options(extraOptions)
       .load())
 
   /** O9 — Kafka sink carrying Confluent-framed Avro values (framed with
@@ -123,7 +127,8 @@ object TransactionPipeline {
     */
   def toKafka(df: DataFrame, bootstrap: String, topic: String,
       checkpoint: String,
-      schemaId: Int = TransactionAvro.ApprovedSchemaId): StreamingQuery =
+      schemaId: Int = TransactionAvro.ApprovedSchemaId,
+      extraOptions: Map[String, String] = Map.empty): StreamingQuery =
     df.select(col("id").cast("string").as("key"),
         call_udf("encode_approved", struct(df.columns.map(col).toIndexedSeq: _*),
           lit(schemaId)).as("value"))
@@ -132,22 +137,33 @@ object TransactionPipeline {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+      .options(extraOptions)
       .start()
 
-  /** O13 — CLI entry mirroring the reference's positional args/defaults. */
+  /** O13 — CLI entry mirroring the reference's positional args/defaults,
+    * plus the `--config-file` / `kafka.*` pass-through the reference's
+    * ConfigUtils provides (any `kafka.`-prefixed config key forwards to
+    * the underlying client on both source and sink).
+    */
   def main(args: Array[String]): Unit = {
-    val bootstrap = if (args.length > 0) args(0) else "localhost:9092"
-    // args(1) would be the schema-registry URL in the reference; our
-    // hand-rolled codec only needs the numeric schema id.
-    val inTopic = if (args.length > 2) args(2) else "transactions"
-    val outTopic = if (args.length > 3) args(3) else "approved_transactions"
+    val positional = args.filterNot(_.startsWith("--"))
+    val conf = ConfigUtils.loadConfiguration(args)
+    val kafkaOpts = ConfigUtils.sparkKafkaOptions(conf)
+    val bootstrap = if (positional.length > 0) positional(0) else "localhost:9092"
+    // positional(1) would be the schema-registry URL in the reference;
+    // our hand-rolled codec only needs the numeric schema id.
+    val inTopic = if (positional.length > 2) positional(2) else "transactions"
+    val outTopic = if (positional.length > 3) positional(3)
+      else "approved_transactions"
     val spark = SparkSession.builder()
       .appName("transaction-processor")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val q = toKafka(transform(fromKafka(spark, bootstrap, inTopic)),
-      bootstrap, outTopic, s"/tmp/graft-ckpt-$outTopic")
+    val q = toKafka(
+      transform(fromKafka(spark, bootstrap, inTopic, kafkaOpts)),
+      bootstrap, outTopic, s"/tmp/graft-ckpt-$outTopic",
+      extraOptions = kafkaOpts)
     q.awaitTermination() // O10
   }
 }
