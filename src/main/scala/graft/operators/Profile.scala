@@ -90,12 +90,17 @@ object Profile {
       .orderBy(col("col_name"))
   }
 
-  /** Driver-gate self-check for [[profileColumnsApprox]]: exact and HLL
-    * distinct counts in the SAME single-scan aggregation, the exact
-    * values emitted definitionally (the DuckDB oracle recomputes them)
-    * and the approx path's ±10% envelope emitted as `within_10pct`
-    * pinned to 1. The exact side exists only to audit the estimate —
-    * production runs [[profileColumnsApprox]] alone.
+  /** Driver-gate self-check for [[profileColumnsApprox]]: the exact
+    * profile and the HLL estimates computed as SEPARATE aggregations —
+    * mixing 11 `countDistinct` with 11 HLL buffers in one agg drags the
+    * non-distinct aggregates through the 12-way Expand (measured 4.5×
+    * the exact profile's cost); split, each pass keeps its natural
+    * plan (Expand for the exact multi-distinct, plain partial agg for
+    * the HLL scan) and the two 1-row summaries cross-join for free.
+    * Exact values are emitted definitionally (the DuckDB oracle
+    * recomputes them) and the approx path's ±10% envelope is emitted as
+    * `within_10pct` pinned to 1. The exact side exists only to audit
+    * the estimate — production runs [[profileColumnsApprox]] alone.
     */
   def profileApproxChecked(df: DataFrame): DataFrame = {
     val fields = df.schema.fields.toSeq
@@ -109,14 +114,16 @@ object Profile {
             max(unix_micros(z)).cast("double"))
         case _ => (lit(null).cast("double"), lit(null).cast("double"))
       }
-    val aggs = fields.flatMap { f =>
+    val exactAggs = fields.flatMap { f =>
       val (mn, mx) = minMax(f)
       Seq(count(col(f.name)).as(s"cnt_${f.name}"),
         countDistinct(col(f.name)).as(s"dis_${f.name}"),
-        approx_count_distinct(col(f.name)).as(s"apx_${f.name}"),
         mn.as(s"mn_${f.name}"), mx.as(s"mx_${f.name}"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val apxAggs = fields.map(f =>
+      approx_count_distinct(col(f.name)).as(s"apx_${f.name}"))
+    val wide = df.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(apxAggs.head, apxAggs.tail: _*)))
     val stackArgs = fields.map(f =>
       s"'${f.name}', cnt_${f.name}, dis_${f.name}, apx_${f.name}, " +
         s"mn_${f.name}, mx_${f.name}")

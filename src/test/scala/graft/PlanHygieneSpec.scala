@@ -24,6 +24,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "emb_quantize_topk",   // codebook scalar + probe row
     "graph_triangles",     // n_edges scalar (×2)
     "mix_pps_sample",      // P-row shard offset table
+    "profile_columns_approx", // 1-row exact × 1-row HLL summary join
     "q09c_cross",          // intentional 5-row dim×dim cartesian
     "q26_ann_ivf",         // probe row vs centroid table
     "q26_ann_lsh",         // checked form: 1 probe row + 1 exact-top1 row
