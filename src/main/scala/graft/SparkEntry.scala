@@ -947,18 +947,25 @@ object SparkEntry {
     "text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(trim(lower(text)), '[^a-z0-9]+', ' ', 'g')) AS fp " +
         "FROM documents ORDER BY doc_id"),
+    // decoded-PNG closed forms: w=8+d%9, h=8+d%7, base=d%64, frames f
+    // (1 image / 1+d%4 video), pixel(x,y,k)=base+x+y+k on 3 channels —
+    // wrap-free, so px_sum = 3(wh(fb+f(f-1)/2)+f(h·w(w-1)/2+w·h(h-1)/2))
     "mm_media_meta" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind, " +
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "CAST(16 + ascii(substring(text, 1, 1)) % 64 AS BIGINT) AS width, " +
-        "CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height, " +
-        "CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + octet_length(encode(text)) % 8 END AS BIGINT) AS n_frames " +
-        "FROM documents ORDER BY doc_id"),
+      ("WITH p AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind, " +
+        "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, doc_id % 64 AS b, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS f " +
+        "FROM documents) " +
+        "SELECT doc_id, kind, CAST(w AS BIGINT) AS width, " +
+        "CAST(h AS BIGINT) AS height, CAST(3 AS BIGINT) AS channels, " +
+        "CAST(f AS BIGINT) AS n_frames, " +
+        "CAST(3 * (w*h*(f*b + f*(f-1)//2) + f*(h*(w*(w-1)//2) + w*(h*(h-1)//2))) AS BIGINT) AS px_sum " +
+        "FROM p ORDER BY doc_id"),
     "mm_frame_sample" ->
       ("SELECT doc_id, CAST(f.x AS BIGINT) AS frame_idx, " +
-        "CAST(16 + ascii(substring(text, 1, 1)) % 64 AS BIGINT) AS width, " +
-        "CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height " +
-        "FROM documents, unnest(range(0, 1 + octet_length(encode(text)) % 8, 2)) AS f(x) " +
+        "CAST(8 + doc_id % 9 AS BIGINT) AS width, " +
+        "CAST(8 + doc_id % 7 AS BIGINT) AS height " +
+        "FROM documents, unnest(range(0, 1 + doc_id % 4, 2)) AS f(x) " +
         "WHERE doc_id % 2 = 1 ORDER BY doc_id, frame_idx"),
     "mm_char_histogram" ->
       ("WITH e AS (SELECT doc_id, length(text) AS n, " +
@@ -969,10 +976,10 @@ object SparkEntry {
         "FROM b GROUP BY doc_id, n, bin ORDER BY doc_id, bin"),
     "mm_resize" ->
       ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind, " +
-        "CAST(16 + ascii(substring(text, 1, 1)) % 64 AS BIGINT) AS width, " +
-        "CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS height, " +
-        "CAST(least(16 + ascii(substring(text, 1, 1)) % 64, 32) AS BIGINT) AS new_w, " +
-        "CAST(least(16 + octet_length(encode(text)) % 64, 32) AS BIGINT) AS new_h " +
+        "CAST(8 + doc_id % 9 AS BIGINT) AS width, " +
+        "CAST(8 + doc_id % 7 AS BIGINT) AS height, " +
+        "CAST(least(8 + doc_id % 9, 12) AS BIGINT) AS new_w, " +
+        "CAST(least(8 + doc_id % 7, 12) AS BIGINT) AS new_h " +
         "FROM documents ORDER BY doc_id"),
     "mm_corpus_stats" ->
       ("SELECT lang, source, COUNT(*) AS n_docs, " +
@@ -1294,25 +1301,28 @@ object SparkEntry {
     },
     // the full curation chain restated over the stub decode arithmetic:
     // gate -> digest-dedup keeper -> embedding join -> label report
+    // gate on DECODED width/pixel-mass; md5-payload equality ≡ equality
+    // of the generation parameters ≡ doc_id mod lcm(64,9,7,4) = 4032
     "pipe_media_curation" ->
-      ("WITH meta AS (SELECT doc_id, " +
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
-        "CAST(16 + ascii(substring(text, 1, 1)) % 64 AS BIGINT) AS width, " +
-        "md5(text) AS content_md5 FROM documents), " +
-        "gated AS (SELECT * FROM meta WHERE width >= 40 AND n_bytes >= 120), " +
-        "keepers AS (SELECT content_md5, MIN(doc_id) AS doc_id FROM gated " +
-        "GROUP BY content_md5) " +
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "doc_id % 64 AS b, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS f " +
+        "FROM documents), " +
+        "m AS (SELECT doc_id, w, " +
+        "3 * (w*h*(f*b + f*(f-1)//2) + f*(h*(w*(w-1)//2) + w*(h*(h-1)//2))) AS px " +
+        "FROM p), " +
+        "gated AS (SELECT * FROM m WHERE w >= 12 AND px >= 20000), " +
+        "keepers AS (SELECT MIN(doc_id) AS doc_id FROM gated " +
+        "GROUP BY doc_id % 4032) " +
         "SELECT e.label, COUNT(*) AS n_assets, " +
-        "CAST(SUM(g.n_bytes) AS BIGINT) AS total_bytes " +
+        "CAST(SUM(g.px) AS BIGINT) AS total_px " +
         "FROM gated g JOIN keepers k ON g.doc_id = k.doc_id " +
         "JOIN embeddings e ON g.doc_id = e.vec_id " +
         "GROUP BY e.label ORDER BY e.label"),
-    // payload = UTF-8 text bytes, so DuckDB's md5(text) hashes the same
-    // byte stream the Spark side hashes
+    // md5-payload equality ≡ generation-parameter equality (see above)
     "mm_binary_dedup" ->
-      ("SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper, " +
-        "COUNT(*) AS n_copies FROM documents " +
-        "GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY content_md5"),
+      ("SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies FROM documents " +
+        "GROUP BY doc_id % 4032 HAVING COUNT(*) > 1 ORDER BY keeper"),
     // MERGE semantics in plain SQL: deletes filtered, I/U rows take the
     // changeset values, untouched keys keep the base row
     "recon_merge" ->

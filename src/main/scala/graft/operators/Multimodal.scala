@@ -8,74 +8,181 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted in distributed batches.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake (derives "media properties" from the
-  * bytes themselves); everything around it — binary schema, typed
-  * Dataset encoders, mapPartitions batch shape, partition-local decode,
-  * metadata join-back — is the real Spark plumbing a codec would slot
-  * into. In production replace `decodeStub`'s body with the codec call;
-  * signatures stay identical.
+  * The media payloads are REAL encoded images: each document gets a
+  * deterministic PNG (or, for "video" assets, a length-prefixed container
+  * of per-frame PNGs) generated with `javax.imageio` partition-locally,
+  * and the decode stage genuinely parses the container and decodes the
+  * PNG bytes back with `ImageIO.read` — byte-level codec work, not
+  * arithmetic on the payload. The generation rule is chosen so every
+  * decoded property (width, height, channels, frame count, pixel sum)
+  * has a closed-form integer expression in the doc_id, which is what the
+  * DuckDB oracle recomputes: a hash match therefore certifies the decoded
+  * bytes, not the generator.
+  *
+  * Generation rule (doc d): width = 8 + d%9, height = 8 + d%7,
+  * base = d%64, kind = image (even d, raw PNG) / video (odd d, GMV1
+  * container of 1 + d%4 frames); pixel (x,y) of frame k carries gray
+  * value base + x + y + k on all three RGB channels. The value never
+  * exceeds 63+15+13+3 = 94 < 256, so the per-asset pixel sum has the
+  * wrap-free closed form
+  * `3·(w·h·(F·base + F(F−1)/2) + F·(h·w(w−1)/2 + w·h(h−1)/2))`.
   */
 object Multimodal {
 
-  /** A media asset: id + raw payload + declared kind. */
+  /** A media asset: id + raw encoded payload + declared kind. */
   final case class MediaAsset(doc_id: Long, payload: Array[Byte], kind: String)
 
-  /** Decoded metadata a real decoder would emit. */
+  /** Decoded metadata: everything below `n_bytes` comes out of the codec
+    * (ImageIO raster reads), not the generator's parameters.
+    */
   final case class MediaMeta(doc_id: Long, kind: String, n_bytes: Long,
-      width: Long, height: Long, n_frames: Long)
+      width: Long, height: Long, channels: Long, n_frames: Long, px_sum: Long)
 
-  /** Documents' text re-materialized as binary payloads — the parquet
-    * `binary` column shape a real multimodal table would carry.
+  private val ContainerMagic = "GMV1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def framesFor(d: Long, kind: String): Int =
+    if (kind == "image") 1 else 1 + (d % 4).toInt
+
+  /** One deterministic RGB PNG frame for doc `d`: real `ImageIO.write`
+    * output (zlib-compressed truecolor PNG), not a synthetic header.
+    */
+  private def pngFrame(d: Long, frame: Int): Array[Byte] = {
+    val w = 8 + (d % 9).toInt
+    val h = 8 + (d % 7).toInt
+    val base = (d % 64).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = base + x + y + frame // ≤ 94, no wrap
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Full payload for doc `d`: a raw PNG for images; for videos the GMV1
+    * container — magic, int32 frame count, then per frame int32 length +
+    * PNG bytes (a real multi-frame binary format the decoder must parse).
+    */
+  private[graft] def encodePayload(d: Long, kind: String): Array[Byte] =
+    if (kind == "image") pngFrame(d, 0)
+    else {
+      val f = framesFor(d, kind)
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write(ContainerMagic)
+      out.writeInt(f)
+      (0 until f).foreach { k =>
+        val png = pngFrame(d, k)
+        out.writeInt(png.length)
+        out.write(png)
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+  /** REAL DECODE of one asset: container parse + `ImageIO.read` of every
+    * frame, pixel sum accumulated from the decoded raster samples. Throws
+    * on any malformed payload — decode errors must surface, not corrupt
+    * downstream stats.
+    */
+  private[graft] def decodePayload(a: MediaAsset): MediaMeta = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    val frames: Seq[Array[Byte]] =
+      if (a.payload.length >= 8 && (a.payload(0) & 0xff) == 0x89 &&
+          a.payload(1) == 'P' && a.payload(2) == 'N' && a.payload(3) == 'G')
+        Seq(a.payload)
+      else {
+        val in = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(java.util.Arrays.equals(magic, ContainerMagic),
+          s"doc ${a.doc_id}: unknown media magic")
+        val f = in.readInt()
+        (0 until f).map { _ =>
+          val len = in.readInt()
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          buf
+        }
+      }
+    var pxSum = 0L
+    var w = 0L; var h = 0L; var bands = 0L
+    frames.foreach { png =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null, s"doc ${a.doc_id}: ImageIO failed to decode frame")
+      val r = img.getRaster
+      w = img.getWidth.toLong; h = img.getHeight.toLong
+      bands = r.getNumBands.toLong
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          var b = 0
+          while (b < r.getNumBands) {
+            pxSum += r.getSample(x, y, b)
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    MediaMeta(a.doc_id, a.kind, a.payload.length.toLong,
+      w, h, bands, frames.size.toLong, pxSum)
+  }
+
+  /** The asset table: deterministic encoded payloads generated
+    * partition-locally (one JVM codec per partition, no driver
+    * involvement) — the parquet `binary` column shape a real multimodal
+    * table carries, with genuinely decodable contents.
     */
   def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
     t(s, dir, "documents")
       .select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
         when(col("doc_id") % 2 === 0, "image").otherwise("video").as("kind"))
-      .as[MediaAsset]
-  }
-
-  /** STUB DECODER — deterministic fake standing in for an image/video
-    * codec (none available in this container). Real implementation would
-    * batch-decode `a.payload` here, partition-locally.
-    */
-  private def decodeStub(a: MediaAsset): MediaMeta = {
-    val n = a.payload.length.toLong
-    // first *code point* of the decoded payload (not first byte): the
-    // DuckDB oracle's ascii(substring(text,1,1)) is code-point-based, so
-    // byte-based width would diverge on non-ASCII leading characters
-    val s = new String(a.payload, java.nio.charset.StandardCharsets.UTF_8)
-    val b0 = if (s.nonEmpty) s.codePointAt(0).toLong else 0L
-    MediaMeta(a.doc_id, a.kind, n,
-      width = 16 + b0 % 64,
-      height = 16 + n % 64,
-      n_frames = if (a.kind == "video") 1 + n % 8 else 1)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (d, kind) =>
+        MediaAsset(d, encodePayload(d, kind), kind)
+      })
   }
 
   /** Distributed decode: mapPartitions over the typed Dataset — one
-    * decoder instance per partition (where a real codec would amortize
-    * init cost), no driver involvement, output re-enters Catalyst with a
-    * full schema.
+    * decoder per partition (ImageIO init amortized), no driver
+    * involvement, output re-enters Catalyst with a full schema. The
+    * mapPartitions is load-bearing: no Catalyst expression can run an
+    * image codec.
     */
   def decodeMeta(s: SparkSession, dir: String): Dataset[MediaMeta] = {
     import s.implicits._
-    assets(s, dir).mapPartitions(_.map(decodeStub))
+    assets(s, dir).mapPartitions(_.map(decodePayload))
   }
 
-  /** Per-kind media stats over the decoded metadata (oracle-checked: the
-    * stub is deterministic, so DuckDB reproduces it from the text bytes).
+  /** mm_media_meta — per-asset decoded properties. Every emitted column
+    * is read back out of the decoded raster (or the parsed container);
+    * the oracle recomputes them from the closed-form generation rule, so
+    * the hash gate certifies the decode. `n_bytes` (the real compressed
+    * payload size) is codec-dependent and therefore spec-checked, not
+    * emitted here.
     */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
     decodeMeta(s, dir).toDF()
-      .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
-        col("height"), col("n_frames"))
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("channels"), col("n_frames"), col("px_sum"))
       .orderBy(col("doc_id"))
 
-  /** Frame sampling plumbing: every k-th "frame" of video assets as its
+  /** Frame sampling plumbing: every k-th frame of video assets as its
     * own row — the explode shape a video pipeline uses, driven by the
-    * stub's n_frames.
+    * DECODED frame count.
     */
   def frameSample(s: SparkSession, dir: String, every: Int = 2): DataFrame = {
     import s.implicits._
@@ -87,12 +194,11 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** Feature extraction over the payload: 16-bin character-distribution
-    * histogram per document — a REAL feature extractor (not a stub; no
-    * codec needed), the per-asset fingerprint shape an image/audio
-    * featurizer would emit. Fully distributed: explode to one row per
-    * character position, one keyed aggregation, fractions via the
-    * carried length.
+  /** Feature extraction over the documents' text: 16-bin
+    * character-distribution histogram per document — the per-asset
+    * fingerprint shape an image/audio featurizer would emit. Fully
+    * distributed: explode to one row per character position, one keyed
+    * aggregation, fractions via the carried length.
     */
   def charHistogram(s: SparkSession, dir: String, bins: Int = 16): DataFrame =
     t(s, dir, "documents")
@@ -115,11 +221,12 @@ object Multimodal {
       .orderBy(col("doc_id"), col("bin"))
 
   /** Resize plumbing over the decoded metadata: clamp both dimensions to
-    * `maxDim` preserving the stub decoder's values — the metadata half of
-    * a resize stage (a real codec would transform payload bytes in the
-    * same mapPartitions pass that decodeMeta models).
+    * `maxDim` (12 by default so the clamp genuinely bites on the 8–16
+    * pixel corpus) — the metadata half of a resize stage; a real pipeline
+    * would rescale payload bytes in the same mapPartitions pass that
+    * decodeMeta models.
     */
-  def resizeMeta(s: SparkSession, dir: String, maxDim: Int = 32): DataFrame =
+  def resizeMeta(s: SparkSession, dir: String, maxDim: Int = 12): DataFrame =
     decodeMeta(s, dir).toDF()
       .select(col("doc_id"), col("kind"), col("width"), col("height"),
         least(col("width"), lit(maxDim.toLong)).as("new_w"),
@@ -145,19 +252,19 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   /** pipe_media_curation — the multimodal curation chain as ONE
-    * declarative plan (the mm twin of pipe_clean_corpus): decode metadata
-    * (stub codec, real mapPartitions plumbing) → gate on decoded
-    * properties (minimum width + byte floor) → exact content dedup
-    * keeping the lowest doc_id per digest → join embeddings → per-label
+    * declarative plan (the mm twin of pipe_clean_corpus): decode payloads
+    * (real ImageIO, partition-local) → gate on decoded properties
+    * (minimum width + pixel-mass floor) → exact content dedup keeping the
+    * lowest doc_id per payload digest → join embeddings → per-label
     * survivor report. Every stage keeps its standalone scale shape: the
     * decode is partition-local, the gate map-side, the dedup shuffles
-    * 16-byte digests, the embedding join is key-partitioned, and the
-    * final report is one keyed count.
+    * 16-byte digests (never the payload blobs), the embedding join is
+    * key-partitioned, and the final report is one keyed count.
     */
-  def mediaCuration(s: SparkSession, dir: String, minWidth: Long = 40,
-      minBytes: Long = 120): DataFrame = {
+  def mediaCuration(s: SparkSession, dir: String, minWidth: Long = 12,
+      minPx: Long = 20000): DataFrame = {
     val meta = decodeMeta(s, dir).toDF()
-      .filter(col("width") >= minWidth && col("n_bytes") >= minBytes)
+      .filter(col("width") >= minWidth && col("px_sum") >= minPx)
     val digests = assets(s, dir).toDF()
       .select(col("doc_id"), md5(col("payload")).as("content_md5"))
     val keepers = meta.join(digests, "doc_id")
@@ -166,7 +273,7 @@ object Multimodal {
       .join(t(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_assets"),
-        sum(col("n_bytes")).as("total_bytes"))
+        sum(col("px_sum")).as("total_px"))
       .orderBy(col("label"))
   }
 
@@ -175,7 +282,10 @@ object Multimodal {
     * to its md5 map-side, so the shuffle carries 16-byte digests — never
     * megabyte blobs (grouping by the payload itself, the text-dedup
     * shape, would ship every asset through the exchange). Keeper = lowest
-    * doc_id; only duplicated digests are reported.
+    * doc_id; only duplicated digests are reported. The digest itself is
+    * codec-dependent, so the gate emits (keeper, n_copies) — md5 equality
+    * is payload equality, which the oracle reproduces as equality of the
+    * generation parameters (doc_id mod lcm(64,9,7,4) = 4032).
     */
   def binaryDedup(s: SparkSession, dir: String): DataFrame =
     assets(s, dir).toDF()
@@ -183,5 +293,6 @@ object Multimodal {
       .groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
-      .orderBy(col("content_md5"))
+      .select(col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
 }

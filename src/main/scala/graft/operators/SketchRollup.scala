@@ -274,7 +274,11 @@ object SketchRollup {
     */
   def slidingUserSketches(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
+    // user_id IS NOT NULL before building the day domain: the aggregates
+    // ignore nulls anyway, but a day whose events ALL carry null user_id
+    // must not contribute a zero-user row the null-filtered oracle lacks.
     val daily = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"),
         (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
       .groupBy(col("day"))
@@ -297,6 +301,7 @@ object SketchRollup {
   def slidingUserSketchesChecked(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val ud = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"),
         (unix_micros(col("ts")) / dayUs).cast("long").as("day"))
       .distinct()

@@ -19,8 +19,19 @@ object ConfigUtils {
     * precedence, like the reference's `mergeWith` order
     * (ConfigUtils.java:30).
     */
-  def loadConfiguration(args: Array[String]): Map[String, String] = {
+  def loadConfiguration(args: Array[String]): Map[String, String] =
+    parseArgs(args)._1
+
+  /** Like [[loadConfiguration]], but also returns the positional
+    * arguments — the tokens NOT consumed as an option key or the value
+    * of a space-separated `--key value` pair. Deriving positionals from
+    * the unconsumed indices (rather than `filterNot(_.startsWith("--"))`)
+    * keeps option values like `--config-file app.properties` out of the
+    * positional list regardless of argument order.
+    */
+  def parseArgs(args: Array[String]): (Map[String, String], Seq[String]) = {
     val cli = scala.collection.mutable.LinkedHashMap[String, String]()
+    val positional = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < args.length) {
       val a = args(i)
@@ -31,7 +42,7 @@ object ConfigUtils {
         else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
           cli += body -> args(i + 1); i += 2
         } else { cli += body -> "true"; i += 1 }
-      } else i += 1
+      } else { positional += a; i += 1 }
     }
     val fromFile: Map[String, String] = cli.get("config-file") match {
       case Some(path) =>
@@ -42,7 +53,7 @@ object ConfigUtils {
         p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
       case None => Map.empty
     }
-    fromFile ++ cli // CLI wins on conflict
+    (fromFile ++ cli, positional.toSeq) // CLI wins on conflict
   }
 
   /** The reference's shape: keys with `prefix`, prefix STRIPPED — raw

@@ -84,6 +84,32 @@ object TransactionPipeline {
       .select(col("t.*"))
   }
 
+  /** Quarantine twin of [[decodeValues]] (the q23b pattern at the ingest
+    * edge): every frame decodes permissively into (`t` struct,
+    * `frame` bytes, `decode_error`) — malformed or unknown-id frames
+    * carry their error and raw bytes as a dead-letter row instead of
+    * failing the batch. Split with [[goodRows]] / [[deadLetters]].
+    */
+  def decodeValuesPermissive(kafkaDf: DataFrame): DataFrame = {
+    TransactionAvro.registerUdfs(kafkaDf.sparkSession)
+    kafkaDf
+      .select(col("value"),
+        call_udf("decode_transaction_safe", col("value")).as("r"))
+      .select(col("r.t").as("t"), col("value").as("frame"),
+        col("r.error").as("decode_error"))
+  }
+
+  /** Successfully decoded rows of a [[decodeValuesPermissive]] frame. */
+  def goodRows(permissive: DataFrame): DataFrame =
+    permissive.filter(col("decode_error").isNull).select(col("t.*"))
+
+  /** Dead-letter rows: raw frame bytes + the decode error, ready for a
+    * quarantine sink / replay after a codec fix.
+    */
+  def deadLetters(permissive: DataFrame): DataFrame =
+    permissive.filter(col("decode_error").isNotNull)
+      .select(col("frame"), col("decode_error"))
+
   /** O1/O2 — Kafka streaming source with Confluent-Avro value decode.
     * (Requires the kafka connector on the runtime classpath; the
     * deterministic test tier uses MemoryStream instead.)
@@ -146,8 +172,7 @@ object TransactionPipeline {
     * the underlying client on both source and sink).
     */
   def main(args: Array[String]): Unit = {
-    val positional = args.filterNot(_.startsWith("--"))
-    val conf = ConfigUtils.loadConfiguration(args)
+    val (conf, positional) = ConfigUtils.parseArgs(args)
     val kafkaOpts = ConfigUtils.sparkKafkaOptions(conf)
     val bootstrap = if (positional.length > 0) positional(0) else "localhost:9092"
     // positional(1) would be the schema-registry URL in the reference;
