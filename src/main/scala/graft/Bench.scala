@@ -77,7 +77,7 @@ object Bench {
     * compilation isn't charged to the alphabetically first measured
     * query — the bench measures query cost, not JVM startup.
     */
-  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+  private[graft] def warmup(spark: SparkSession, sfDir: String): Unit = {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val li = Tables.t(spark, sfDir, "lineitem").limit(20000).cache()

@@ -266,6 +266,15 @@ object SparkEntry {
       ((s, dir) => graft.operators.SketchRollup.overlapMatrix(s, dir)),
     "sketch_rank_sla" ->
       ((s, dir) => graft.operators.SketchRollup.slaAttainment(s, dir)),
+    // Q29 — the reference replay through a REAL streaming write path
+    // (MemoryStream → transform → foreachBatch parquet), gated against
+    // the literal 4-row contract
+    "q29_replay" ->
+      ((s, dir) => graft.pipeline.TransactionPipeline.replayGate(s, dir)),
+    // Avro ingest-edge quarantine: 5 good + 3 poison frames, gated on
+    // per-disposition counts + decoded amount mass
+    "pipe_avro_quarantine" ->
+      ((s, dir) => graft.pipeline.TransactionPipeline.avroQuarantineGate(s, dir)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1834,5 +1843,25 @@ object SparkEntry {
         "CAST(floor(value) AS BIGINT) % 65536 AS y FROM events) " +
         "ORDER BY event_id"
     },
+    // the reference's 4-row replay contract as literals (epoch-second
+    // fixture timestamps; amount_usd values are the FX doubles rounded
+    // by the gate's 6dp canonicalization; processed = the null-check
+    // verdict on the wall-clock processingTimestamp)
+    "q29_replay" ->
+      ("SELECT * FROM (VALUES " +
+        "('t1', CAST(100.0 AS DOUBLE), 'USD', TIMESTAMP '1970-01-01 00:00:01', 'Test Merchant', 'u1', CAST(100.0 AS DOUBLE), CAST(1 AS BIGINT)), " +
+        "('t2', CAST(200.0 AS DOUBLE), 'EUR', TIMESTAMP '1970-01-01 00:00:02', 'Test Merchant', 'u2', CAST(220.0 AS DOUBLE), CAST(1 AS BIGINT)), " +
+        "('t3', CAST(150.0 AS DOUBLE), 'GBP', TIMESTAMP '1970-01-01 00:00:03', 'Test Merchant', 'u3', CAST(195.0 AS DOUBLE), CAST(1 AS BIGINT)), " +
+        "('t5', CAST(250.0 AS DOUBLE), 'EUR', TIMESTAMP '1970-01-01 00:00:05', 'Test Merchant', 'u5', CAST(275.0 AS DOUBLE), CAST(1 AS BIGINT))" +
+        ") AS v(id, amount, currency, event_ts, merchant, user_id, amount_usd, processed) " +
+        "ORDER BY id"),
+    // 5 good frames decode (amount mass 1000.0); the unknown-id frame
+    // and the 2 malformed frames (wrong magic, truncated body) quarantine
+    "pipe_avro_quarantine" ->
+      ("SELECT * FROM (VALUES " +
+        "('malformed', CAST(2 AS BIGINT), CAST(0.0 AS DOUBLE)), " +
+        "('ok', CAST(5 AS BIGINT), CAST(1000.0 AS DOUBLE)), " +
+        "('unknown_id', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE))" +
+        ") AS v(disposition, n, amount_sum) ORDER BY disposition"),
   )
 }

@@ -592,6 +592,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental LSH index maintenance: hash NEW vectors into the
+    * existing bands (the hyperplanes are deterministic quantizer state,
+    * so generation-0 and appended buckets are bit-compatible) and append
+    * them to the same partitioned layout — no rebuild, no touch of the
+    * existing files. A probe reads both generations through the one
+    * directory tree. At 100 TB this is the serving story: the daily
+    * ingest appends its delta, the full corpus is never rewritten.
+    */
+  def appendToLshIndex(s: SparkSession, newEmb: DataFrame, indexDir: String,
+      nPlanes: Int = 6): Unit = {
+    val planes = hyperplanes(nPlanes, 64)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bucket",
+      exprs => graft.functions.HyperplaneBucket(exprs.head, planes), "built-in")
+    newEmb.withColumn("bucket",
+        call_function("hyperplane_bucket", col("embedding")))
+      .write.partitionBy("bucket").mode("append").parquet(indexDir)
+  }
+
+  /** Assign vectors to their nearest EXISTING centroid (squared-L2, the
+    * quantizer's own training metric): broadcast of the parameter-sized
+    * centroid table, per-row distance via array HOFs, one keyed argmin —
+    * the batch never joins the corpus, so the cost is |batch|·nlist
+    * kernel evals plus one shuffle of the batch.
+    */
+  private def assignCells(newEmb: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val s = newEmb.sparkSession
+    import s.implicits._
+    val cdf = centroids.zipWithIndex.toSeq.toDF("centroid", "cell")
+    val cells = newEmb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cdf))
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("centroid"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), col("d2")).as("cell"))
+    newEmb.join(cells, "vec_id")
+  }
+
+  /** Incremental IVF index maintenance: assign NEW vectors to the
+    * nearest existing centroid (the quantizer is NOT retrained — exactly
+    * how a production IVF index absorbs deltas) and append them to the
+    * existing cell partitions. Probes read both generations via the one
+    * directory tree; directory pruning still holds because the cell
+    * domain is unchanged.
+    */
+  def appendToIvfIndex(s: SparkSession, newEmb: DataFrame, indexDir: String,
+      centroids: Array[Array[Double]]): Unit =
+    assignCells(newEmb, centroids)
+      .write.partitionBy("cell").mode("append").parquet(indexDir)
+
+  /** Full write of an IVF layout under a FIXED quantizer (no retrain) —
+    * the reference point incremental append must reproduce: append(B) on
+    * an index of A is file-for-row equivalent to this over A ∪ B.
+    */
+  def writeIvfIndexAssigned(s: SparkSession, emb: DataFrame, outDir: String,
+      centroids: Array[Array[Double]]): Unit =
+    assignCells(emb, centroids)
+      .write.partitionBy("cell").mode("overwrite").parquet(outDir)
+
   /** Probe a [[writeLshIndex]] index: multiprobe buckets are computed
     * driver-side from the probe vector (the quantizer is driver state,
     * like a real index), and the `bucket IN (…)` filter prunes to those

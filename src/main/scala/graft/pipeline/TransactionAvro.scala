@@ -151,6 +151,22 @@ object TransactionAvro {
       fromBytesResolving(body, resolver.writerSchema(id), transactionSchema))
   }
 
+  /** Permissive decode result: exactly one of `t` / `error` is set. */
+  final case class SafeDecoded(t: Transaction, error: String)
+
+  /** Quarantine-tier decode (the q23b pattern at the ingest edge): a
+    * malformed or unknown-id frame yields an error string instead of
+    * killing the batch — at 100 TB a single poison frame must become a
+    * dead-letter row, not a job failure. The strict [[decodeTransaction]]
+    * stays the O2-parity path; this is the production edge.
+    */
+  def decodeTransactionSafe(bytes: Array[Byte],
+      resolver: SchemaResolver = DefaultResolver): SafeDecoded =
+    try SafeDecoded(decodeTransaction(bytes, resolver), null)
+    catch { case scala.util.control.NonFatal(e) =>
+      SafeDecoded(null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
   private def recordToTransaction(r: GenericRecord): Transaction = {
     def str(f: String): String = Option(r.get(f)).map(_.toString).orNull
     Transaction(
@@ -210,6 +226,8 @@ object TransactionAvro {
   def registerUdfs(spark: SparkSession): Unit = {
     spark.udf.register("decode_transaction",
       (bytes: Array[Byte]) => decodeTransaction(bytes))
+    spark.udf.register("decode_transaction_safe",
+      (bytes: Array[Byte]) => decodeTransactionSafe(bytes))
     spark.udf.register("encode_approved", (row: Row, schemaId: Int) =>
       encodeApproved(ApprovedTransaction(
         id = row.getAs[String]("id"),

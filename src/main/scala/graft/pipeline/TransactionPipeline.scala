@@ -166,6 +166,85 @@ object TransactionPipeline {
       .options(extraOptions)
       .start()
 
+  /** The canonical 5-transaction replay fixture (FIXTURES.md §A.3, from
+    * the reference's BaseTransactionTest.java:145-156), with epoch-based
+    * timestamps so the gate parquet and the DuckDB literal oracle agree
+    * regardless of JVM timezone. Shared by PipelineSpec and the two gate
+    * rows below.
+    */
+  def replayFixture: Seq[Transaction] = {
+    def ts(i: Int) = new java.sql.Timestamp(i * 1000L)
+    Seq(
+      Transaction("t1", 100.0, "USD", ts(1), Some("Test transaction"),
+        "Test Merchant", Some("Test"), "APPROVED", "u1", Some(Map.empty)),
+      Transaction("t2", 200.0, "EUR", ts(2), Some("Test transaction"),
+        "Test Merchant", Some("Test"), "APPROVED", "u2", Some(Map.empty)),
+      Transaction("t3", 150.0, "GBP", ts(3), Some("Test transaction"),
+        "Test Merchant", Some("Test"), "APPROVED", "u3", Some(Map.empty)),
+      Transaction("t4", 300.0, "USD", ts(4), Some("Test transaction"),
+        "Test Merchant", Some("Test"), "CANCELLED", "u4", Some(Map.empty)),
+      Transaction("t5", 250.0, "EUR", ts(5), Some("Test transaction"),
+        "Test Merchant", Some("Test"), "PENDING", "u5", Some(Map.empty)))
+  }
+
+  /** q29_replay — the reference replay as a DRIVER-GATED row: the fixture
+    * streams through MemoryStream → [[transform]] → foreachBatch parquet
+    * sink (a real streaming write path, not .collect), and the re-read
+    * result is hashed against a literal DuckDB oracle of the reference's
+    * 4-row contract. `processingTimestamp` is wall-clock, so it gates as
+    * a null-check verdict (`processed`), exactly the reference's own
+    * assertion tier (TransactionConsumerTest.java:126).
+    */
+  def replayGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Transaction]
+    src.addData(replayFixture: _*)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-q29-replay").toString
+    val q = transform(src.toDF()).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    s.read.parquet(outDir)
+      .select(col("id"), col("amount"), col("currency"),
+        col("timestamp").as("event_ts"), col("merchant"),
+        col("userId").as("user_id"), col("amountInUsd").as("amount_usd"),
+        col("processingTimestamp").isNotNull.cast("long").as("processed"))
+      .orderBy(col("id"))
+  }
+
+  /** pipe_avro_quarantine — the quarantine edge as a DRIVER-GATED row:
+    * the 5 fixture frames plus 3 planted poison frames (unknown schema
+    * id, wrong magic, truncated Avro body) run through
+    * [[decodeValuesPermissive]]; the gate pins per-disposition counts and
+    * the decoded amount mass. Good rows decode untouched, poison rows
+    * land as dead letters — nothing throws.
+    */
+  def avroQuarantineGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val good = replayFixture.map(t => TransactionAvro.encodeTransaction(t))
+    val unknownId =
+      TransactionAvro.encodeTransaction(replayFixture.head, schemaId = 99)
+    val wrongMagic: Array[Byte] = Array[Byte](1, 2, 3, 4, 5, 6)
+    val truncated = good.head.dropRight(10)
+    val frames = good ++ Seq(unknownId, wrongMagic, truncated)
+    decodeValuesPermissive(frames.toDF("value"))
+      .select(
+        when(col("decode_error").isNull, "ok")
+          .when(col("decode_error").contains("unknown schema id"),
+            "unknown_id")
+          .otherwise("malformed").as("disposition"),
+        col("t.amount").as("amount"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("amount")), lit(0.0)).as("amount_sum"))
+      .orderBy(col("disposition"))
+  }
+
   /** O13 — CLI entry mirroring the reference's positional args/defaults,
     * plus the `--config-file` / `kafka.*` pass-through the reference's
     * ConfigUtils provides (any `kafka.`-prefixed config key forwards to

@@ -68,4 +68,208 @@ class Round7Spec extends SparkSpecBase {
       assert(d % 2 == 1 && idx % 2 == 0 && idx < 1 + d % 4)
     }
   }
+
+  // ---- Avro quarantine edge ----
+
+  test("permissive decode quarantines poison frames without touching good rows") {
+    import graft.pipeline.{TransactionAvro, TransactionPipeline}
+    import spark.implicits._
+    val fixture = TransactionPipeline.replayFixture
+    val frames = fixture.map(t => TransactionAvro.encodeTransaction(t)) ++ Seq(
+      TransactionAvro.encodeTransaction(fixture.head, schemaId = 42),
+      Array[Byte](9, 9, 9, 9, 9, 9))
+    val dec = TransactionPipeline.decodeValuesPermissive(frames.toDF("value"))
+    val good = TransactionPipeline.goodRows(dec)
+      .select("id", "amount").as[(String, Double)].collect().toMap
+    assert(good == fixture.map(t => t.id -> t.amount).toMap)
+    val dead = TransactionPipeline.deadLetters(dec)
+      .select("decode_error").as[String].collect()
+    assert(dead.length == 2)
+    assert(dead.count(_.contains("unknown schema id 42")) == 1)
+    // dead letters keep the raw frame bytes for replay
+    val frameBytes = TransactionPipeline.deadLetters(dec)
+      .select("frame").as[Array[Byte]].collect()
+    assert(frameBytes.map(_.length).sorted.sameElements(
+      Array(6, frames(5).length).sorted))
+  }
+
+  test("quarantine gate pins dispositions: 5 ok / 1 unknown_id / 2 malformed") {
+    val rows = graft.pipeline.TransactionPipeline
+      .avroQuarantineGate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows == Map("ok" -> (5L, 1000.0), "unknown_id" -> (1L, 0.0),
+      "malformed" -> (2L, 0.0)))
+  }
+
+  test("q29 replay gate emits the reference 4-row contract through a streaming write") {
+    val rows = graft.pipeline.TransactionPipeline.replayGate(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("t1", "t2", "t3", "t5"))
+    val usd = rows.map(r => r.getString(0) -> r.getDouble(6)).toMap
+    Seq("t1" -> 100.0, "t2" -> 220.0, "t3" -> 195.0, "t5" -> 275.0).foreach {
+      case (id, v) => assert(math.abs(usd(id) - v) < 0.001)
+    }
+    assert(rows.forall(_.getLong(7) == 1L)) // processingTimestamp non-null
+  }
+
+  // ---- checkpoint recovery (Flink-checkpointing parity) ----
+
+  test("mapGroupsWithState state survives a query restart on the same checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-restart").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+
+    // memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape, so each run appends to its own parquet dir
+    def start(outDir: String) =
+      graft.streaming.StreamingOps.runningUserCounts(src.toDS())
+        .toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt).start()
+
+    // run 1: users 1,1,2 → counts u1=2, u2=1; then KILL the query
+    val out1 = java.nio.file.Files
+      .createTempDirectory("graft-restart-out1").toString
+    src.addData((1L, 10L), (1L, 11L), (2L, 12L))
+    val q1 = start(out1)
+    q1.processAllAvailable(); q1.stop()
+    val run1 = spark.read.parquet(out1).as[(Long, Long)].collect().toMap
+    assert(run1 == Map(1L -> 2L, 2L -> 1L))
+
+    // run 2: a NEW query instance on the SAME checkpoint; feed users 1,3
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft-restart-out2").toString
+    src.addData((1L, 13L), (3L, 14L))
+    val q2 = start(out2)
+    q2.processAllAvailable(); q2.stop()
+    val run2 = spark.read.parquet(out2).as[(Long, Long)].collect().toMap
+    // u1 = 3 proves state MERGED across the restart seam (not reset to 1);
+    // u2 absent proves batch 1 was NOT replayed (offsets recovered too)
+    assert(run2 == Map(1L -> 3L, 3L -> 1L))
+  }
+
+  // ---- incremental ANN index maintenance ----
+
+  test("incremental ANN index append ≡ fixed-quantizer rebuild on the union corpus") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val genA = emb.filter(col("vec_id") % 5 =!= 0)
+    val genB = emb.filter(col("vec_id") % 5 === 0)
+    val probeVec = emb.orderBy(col("vec_id")).limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    def res(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // LSH: the delta hashes into the existing bands
+    val lshInc = tmp("lsh-inc"); val lshFull = tmp("lsh-full")
+    Similarity.writeLshIndex(spark, genA, lshInc)
+    Similarity.appendToLshIndex(spark, genB, lshInc)
+    Similarity.writeLshIndex(spark, emb, lshFull)
+    assert(res(Similarity.probeLshIndex(spark, lshInc, probeVec)) ==
+      res(Similarity.probeLshIndex(spark, lshFull, probeVec)))
+
+    // IVF: quantizer trained on generation 0 only; the delta is assigned
+    // to existing cells, never retrained
+    val ivfInc = tmp("ivf-inc"); val ivfFull = tmp("ivf-full")
+    val cents = Similarity.writeIvfIndex(spark, genA, ivfInc)
+    Similarity.appendToIvfIndex(spark, genB, ivfInc, cents)
+    Similarity.writeIvfIndexAssigned(spark, emb, ivfFull, cents)
+    assert(res(Similarity.probeIvfIndex(spark, ivfInc, cents, probeVec)) ==
+      res(Similarity.probeIvfIndex(spark, ivfFull, cents, probeVec)))
+
+    // appended vectors are genuinely servable: probing with a gen-B
+    // vector finds that vector itself as top-1 in both index families
+    val bRow = genB.orderBy(col("vec_id")).limit(1)
+      .select("vec_id", "embedding").collect()(0)
+    val bId = bRow.getLong(0)
+    val bVec = bRow.getSeq[Float](1).toArray
+    assert(Similarity.probeLshIndex(spark, lshInc, bVec)
+      .collect()(0).getLong(0) == bId)
+    assert(Similarity.probeIvfIndex(spark, ivfInc, cents, bVec)
+      .collect()(0).getLong(0) == bId)
+  }
+
+  // ---- z-order data skipping, proven end-to-end ----
+
+  test("z-order layout concentrates a 2-D range predicate into strictly fewer files") {
+    import graft.operators.Layout
+    graft.functions.ZOrderFunction.register(spark)
+    // synthetic 2-D grid keyed off event_id so both dims have spread
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("event_id"), (col("event_id") % 256L).as("x"),
+        ((col("event_id") / 256L) % 256L).as("y"))
+    val nParts = 16
+    val dirZ = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dirU = java.nio.file.Files.createTempDirectory("unclustered").toString
+    Layout.zorderCluster(ev, "x", "y", nParts)
+      .write.mode("overwrite").parquet(dirZ)
+    // round-robin: matching rows scattered across every file
+    ev.repartition(nParts).write.mode("overwrite").parquet(dirU)
+    def pred(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("x") < 32 && col("y") < 4)
+    def filesTouched(dir: String): Long =
+      pred(spark.read.parquet(dir))
+        .select(input_file_name()).distinct().count()
+    val matched = pred(spark.read.parquet(dirU)).count()
+    assert(matched > 0)
+    val (fz, fu) = (filesTouched(dirZ), filesTouched(dirU))
+    // the clustered layout serves the box from strictly fewer files —
+    // the row-group min/max narrowness that makes 100 TB scans prune
+    assert(fz < fu, s"zordered=$fz unclustered=$fu")
+    // results identical either way
+    assert(pred(spark.read.parquet(dirZ)).count() == matched)
+  }
+
+  // ---- AQE skew-join posture ----
+
+  test("AQE splits a skewed join partition and still matches the plain join") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // skew split applies to sort-merge joins: keep broadcast out
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 50k-row fact, 90% on key 0, with a payload wide enough to trip
+      // the byte threshold; 100-key dim
+      val big = spark.range(50000)
+        .select((when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 100))
+          .as("k"), concat(lit("x" * 64), col("id")).as("payload"))
+      val dim = spark.range(100).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("dname"))
+      val joined = big.join(dim, "k")
+      // execute joined ITSELF (a .count() would run a different plan and
+      // leave joined's adaptive plan unfinalized)
+      val n = joined.collect().length
+      // same cardinality as the unsplit logical join
+      assert(n == 50000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew"),
+        s"expected a skew-split shuffle read in:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
