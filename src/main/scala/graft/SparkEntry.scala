@@ -275,6 +275,24 @@ object SparkEntry {
     // per-disposition counts + decoded amount mass
     "pipe_avro_quarantine" ->
       ((s, dir) => graft.pipeline.TransactionPipeline.avroQuarantineGate(s, dir)),
+    // real pixel resize: decode → NN resample to 4×4 → re-encode →
+    // re-decode; stats read from the second decode
+    "mm_resize_px" ->
+      ((s: SparkSession, d: String) => Multimodal.resizeDecoded(s, d)),
+    // per-frame decoded pixel sums (video featurizer shape)
+    "mm_frame_stats" -> Multimodal.frameStats _,
+    // audio modality: JDK WAV codec round-trip, decoded header + sums
+    "mm_audio_meta" -> Multimodal.audioMeta _,
+    // fps-style temporal sampling, pixel half: decode only every 2nd
+    // frame, skip the rest at the container layer
+    "mm_frame_sample_px" ->
+      ((s: SparkSession, d: String) => Multimodal.frameSampleDecoded(s, d)),
+    // fixed 16-sample analysis windows over decoded PCM (spectrogram
+    // front-end shape): per-window counts, amplitude mass, energy
+    "mm_audio_windows" ->
+      ((s: SparkSession, d: String) => Multimodal.audioWindows(s, d)),
+    // perceptual-hash (aHash) image dedup over genuinely decoded pixels
+    "mm_ahash_dedup" -> Multimodal.ahashDedup _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1863,5 +1881,81 @@ object SparkEntry {
         "('ok', CAST(5 AS BIGINT), CAST(1000.0 AS DOUBLE)), " +
         "('unknown_id', CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE))" +
         ") AS v(disposition, n, amount_sum) ORDER BY disposition"),
+    // nearest-neighbor 4×4 resample restated as floor sampling: resized
+    // pixel (x',y') of frame k = base + (x'·w)//4 + (y'·h)//4 + k
+    "mm_resize_px" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind, " +
+        "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, doc_id % 64 AS b, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS f " +
+        "FROM documents), " +
+        "s AS (SELECT p.*, gx.x AS xp, gy.x AS yp, gk.x AS k FROM p, " +
+        "unnest(range(4)) AS gx(x), unnest(range(4)) AS gy(x), " +
+        "unnest(range(f)) AS gk(x)) " +
+        "SELECT doc_id, kind, CAST(4 AS BIGINT) AS new_w, " +
+        "CAST(4 AS BIGINT) AS new_h, CAST(3 AS BIGINT) AS channels, " +
+        "CAST(f AS BIGINT) AS n_frames, " +
+        "CAST(3 * SUM(b + (xp*w)//4 + (yp*h)//4 + k) AS BIGINT) AS px_sum " +
+        "FROM s GROUP BY doc_id, kind, f ORDER BY doc_id"),
+    "mm_frame_stats" ->
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "doc_id % 64 AS b, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS f " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(gk.x AS BIGINT) AS frame_idx, " +
+        "CAST(3 * (w*h*(b + gk.x) + h*(w*(w-1)//2) + w*(h*(h-1)//2)) AS BIGINT) AS f_px_sum " +
+        "FROM p, unnest(range(f)) AS gk(x) ORDER BY doc_id, frame_idx"),
+    // WAV: n = 64 + d%64 samples of amplitude b+i (b = d%64) —
+    // Σ = nb + n(n-1)/2, Σ² = nb² + bn(n-1) + (n-1)n(2n-1)/6
+    "mm_audio_meta" ->
+      ("SELECT doc_id, CAST(1 AS BIGINT) AS channels, " +
+        "CAST(8000 AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(n*b + n*(n-1)//2 AS BIGINT) AS amp_sum, " +
+        "CAST(n*b*b + b*n*(n-1) + (n-1)*n*(2*n-1)//6 AS BIGINT) AS amp_sq_sum " +
+        "FROM (SELECT doc_id, 64 + doc_id % 64 AS n, doc_id % 64 AS b " +
+        "FROM documents) ORDER BY doc_id"),
+    // stride-2 sampling: frames k ≡ 0 (mod 2); per-frame pixel sum is the
+    // mm_frame_stats closed form, summed over sampled k only
+    "mm_frame_sample_px" ->
+      ("WITH p AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind, " +
+        "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, doc_id % 64 AS b, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS f " +
+        "FROM documents), " +
+        "s AS (SELECT p.*, gk.x AS k FROM p, unnest(range(f)) AS gk(x) " +
+        "WHERE gk.x % 2 = 0) " +
+        "SELECT doc_id, kind, CAST(f AS BIGINT) AS n_frames, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_sampled, " +
+        "CAST(3 * SUM(w*h*(b + k) + h*(w*(w-1)//2) + w*(h*(h-1)//2)) AS BIGINT) " +
+        "AS px_sum_sampled FROM s GROUP BY doc_id, kind, f ORDER BY doc_id"),
+    // sample i of doc d has amplitude b+i; window = i//16, ragged tail kept
+    "mm_audio_windows" ->
+      ("WITH p AS (SELECT doc_id, 64 + doc_id % 64 AS n, doc_id % 64 AS b " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, b, g.x AS i, g.x // 16 AS wi " +
+        "FROM p, unnest(range(n)) AS g(x)) " +
+        "SELECT doc_id, CAST(wi AS BIGINT) AS window_idx, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_samples_w, " +
+        "CAST(SUM(b + i) AS BIGINT) AS amp_sum, " +
+        "CAST(SUM((b+i)*(b+i)) AS BIGINT) AS energy " +
+        "FROM s GROUP BY doc_id, wi ORDER BY doc_id, window_idx"),
+    // aHash restated: frame-0 NN-resampled brightness s = 3·(b+(x·w)//8+
+    // (y·h)//8), bit(y·8+x) = 64·s > Σs; hex = two unsigned 32-bit halves
+    "mm_ahash_dedup" ->
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "doc_id % 64 AS b FROM documents), " +
+        "px AS (SELECT doc_id, gy.x*8 + gx.x AS idx, " +
+        "3*(b + (gx.x*w)//8 + (gy.x*h)//8) AS s FROM p, " +
+        "unnest(range(8)) AS gx(x), unnest(range(8)) AS gy(x)), " +
+        "bits AS (SELECT doc_id, idx, CASE WHEN 64*s > " +
+        "SUM(s) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit FROM px), " +
+        "hh AS (SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN idx >= 32 THEN bit * (CAST(1 AS BIGINT) << (idx-32)) " +
+        "ELSE 0 END) AS BIGINT) AS hi, " +
+        "CAST(SUM(CASE WHEN idx < 32 THEN bit * (CAST(1 AS BIGINT) << idx) " +
+        "ELSE 0 END) AS BIGINT) AS lo FROM bits GROUP BY doc_id) " +
+        "SELECT printf('%08x%08x', hi, lo) AS ahash, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper " +
+        "FROM hh GROUP BY 1 ORDER BY ahash"),
   )
 }

@@ -88,32 +88,37 @@ object Multimodal {
       bos.toByteArray
     }
 
+  /** Container parse: raw PNG → one frame; GMV1 → the framed PNG list.
+    * Throws on any malformed payload — decode errors must surface, not
+    * corrupt downstream stats (the permissive tier is the Avro-edge
+    * pattern, applied where a pipeline wants dead-lettering instead).
+    */
+  private def splitFrames(docId: Long, payload: Array[Byte]): Seq[Array[Byte]] =
+    if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
+      Seq(payload)
+    else {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, ContainerMagic),
+        s"doc $docId: unknown media magic")
+      val f = in.readInt()
+      (0 until f).map { _ =>
+        val len = in.readInt()
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        buf
+      }
+    }
+
   /** REAL DECODE of one asset: container parse + `ImageIO.read` of every
-    * frame, pixel sum accumulated from the decoded raster samples. Throws
-    * on any malformed payload — decode errors must surface, not corrupt
-    * downstream stats.
+    * frame, pixel sum accumulated from the decoded raster samples.
     */
   private[graft] def decodePayload(a: MediaAsset): MediaMeta = {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
-    val frames: Seq[Array[Byte]] =
-      if (a.payload.length >= 8 && (a.payload(0) & 0xff) == 0x89 &&
-          a.payload(1) == 'P' && a.payload(2) == 'N' && a.payload(3) == 'G')
-        Seq(a.payload)
-      else {
-        val in = new java.io.DataInputStream(
-          new java.io.ByteArrayInputStream(a.payload))
-        val magic = new Array[Byte](4)
-        in.readFully(magic)
-        require(java.util.Arrays.equals(magic, ContainerMagic),
-          s"doc ${a.doc_id}: unknown media magic")
-        val f = in.readInt()
-        (0 until f).map { _ =>
-          val len = in.readInt()
-          val buf = new Array[Byte](len)
-          in.readFully(buf)
-          buf
-        }
-      }
+    val frames = splitFrames(a.doc_id, a.payload)
     var pxSum = 0L
     var w = 0L; var h = 0L; var bands = 0L
     frames.foreach { png =>
@@ -222,9 +227,8 @@ object Multimodal {
 
   /** Resize plumbing over the decoded metadata: clamp both dimensions to
     * `maxDim` (12 by default so the clamp genuinely bites on the 8–16
-    * pixel corpus) — the metadata half of a resize stage; a real pipeline
-    * would rescale payload bytes in the same mapPartitions pass that
-    * decodeMeta models.
+    * pixel corpus) — the metadata half of a resize stage; the pixel half
+    * is [[resizeDecoded]].
     */
   def resizeMeta(s: SparkSession, dir: String, maxDim: Int = 12): DataFrame =
     decodeMeta(s, dir).toDF()
@@ -232,6 +236,317 @@ object Multimodal {
         least(col("width"), lit(maxDim.toLong)).as("new_w"),
         least(col("height"), lit(maxDim.toLong)).as("new_h"))
       .orderBy(col("doc_id"))
+
+  /** REAL pixel resize of one payload: every frame is decoded, resampled
+    * to dim×dim by nearest neighbor (src pixel = (x'·w/dim, y'·h/dim),
+    * integer floor — the deterministic sampling rule the oracle can
+    * restate), re-encoded PNG, and the container reassembled. Byte-level
+    * work end to end: ImageIO decode → raster loop → ImageIO encode.
+    */
+  private[graft] def resizePayload(docId: Long, payload: Array[Byte],
+      dim: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val resized = splitFrames(docId, payload).map { png =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null, s"doc $docId: ImageIO failed to decode frame")
+      val out = new java.awt.image.BufferedImage(
+        dim, dim, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var yp = 0
+      while (yp < dim) {
+        var xp = 0
+        while (xp < dim) {
+          out.setRGB(xp, yp,
+            img.getRGB(xp * img.getWidth / dim, yp * img.getHeight / dim))
+          xp += 1
+        }
+        yp += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    if (resized.size == 1) resized.head
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.write(ContainerMagic)
+      o.writeInt(resized.size)
+      resized.foreach { png => o.writeInt(png.length); o.write(png) }
+      o.flush()
+      bos.toByteArray
+    }
+  }
+
+  /** mm_resize_px — the pixel half of the resize stage, driver-gated:
+    * decode → nearest-neighbor resample to 4×4 → re-encode → re-decode,
+    * all in one mapPartitions pass (the production shape: transformed
+    * payload bytes come out next to their new metadata). The emitted
+    * stats are read from the SECOND decode, so the gate certifies the
+    * full encode→transform→encode→decode chain; the oracle restates the
+    * sampling rule as floor arithmetic.
+    */
+  def resizeDecoded(s: SparkSession, dir: String, dim: Int = 4): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .mapPartitions(_.map { a =>
+        decodePayload(MediaAsset(a.doc_id,
+          resizePayload(a.doc_id, a.payload, dim), a.kind))
+      })
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("width").as("new_w"),
+        col("height").as("new_h"), col("channels"), col("n_frames"),
+        col("px_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** mm_frame_stats — per-frame decode statistics: every frame of every
+    * asset as its own row with its own decoded pixel sum (the per-frame
+    * feature shape a video featurizer emits; images contribute their
+    * single frame). flatMap keeps it one partition-local pass.
+    */
+  def frameStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .flatMap { a =>
+        javax.imageio.ImageIO.setUseCache(false)
+        splitFrames(a.doc_id, a.payload).zipWithIndex.map { case (png, k) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          require(img != null, s"doc ${a.doc_id}: frame $k decode failed")
+          val r = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              var b = 0
+              while (b < r.getNumBands) { sum += r.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          (a.doc_id, k.toLong, sum)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "f_px_sum")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // ---- audio modality (WAV via javax.sound.sampled) ----
+
+  /** An audio asset: doc_id + a REAL RIFF/WAVE payload written by
+    * `AudioSystem.write` — 16-bit signed little-endian mono PCM at 8 kHz,
+    * n = 64 + d%64 samples with amplitude base + i (base = d%64; peaks
+    * ≤ 190, so sums are wrap-free and closed-form in d).
+    */
+  private[graft] def encodeWav(d: Long): Array[Byte] = {
+    val n = 64 + (d % 64).toInt
+    val base = (d % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = base + i
+      pcm(2 * i) = (v & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV DECODE: `AudioSystem.getAudioInputStream` parses the RIFF
+    * header (format, rate, channels come from the codec, not the
+    * generator), the PCM body is drained and the signed little-endian
+    * samples summed (amplitude mass + energy).
+    */
+  private[graft] def decodeWav(docId: Long, payload: Array[Byte]):
+      (Long, Long, Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"doc $docId: unexpected WAV encoding $fmt")
+    val n = ais.getFrameLength
+    val body = ais.readAllBytes()
+    var ampSum = 0L; var ampSq = 0L
+    var i = 0
+    while (i + 1 < body.length) {
+      val v = ((body(i) & 0xff) | (body(i + 1) << 8)).toShort.toLong
+      ampSum += v; ampSq += v * v
+      i += 2
+    }
+    (fmt.getChannels.toLong, fmt.getSampleRate.toLong, n, ampSum, ampSq)
+  }
+
+  /** mm_audio_meta — the audio modality end to end: WAV payloads
+    * generated and decoded with the JDK codec partition-locally, gated
+    * on decoded header fields + amplitude sums against the closed form
+    * (Σ(b+i) = nb + n(n−1)/2, Σ(b+i)² = nb² + bn(n−1) + (n−1)n(2n−1)/6).
+    */
+  def audioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val (ch, rate, n, ampSum, ampSq) = decodeWav(d, encodeWav(d))
+        (d, ch, rate, n, ampSum, ampSq)
+      })
+      .toDF("doc_id", "channels", "sample_rate", "n_samples",
+        "amp_sum", "amp_sq_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Container parse that decodes ONLY the frames `k % stride == 0`,
+    * skipping the bytes of unsampled frames without touching the PNG
+    * codec — the IO shape of fps-style video sampling: work proportional
+    * to frames KEPT, not frames stored. Returns (totalFrames, decoded
+    * sampled frames in order).
+    */
+  private def sampleFrames(docId: Long, payload: Array[Byte], stride: Int):
+      (Int, Seq[java.awt.image.BufferedImage]) = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames = splitFrames(docId, payload)
+    val sampled = frames.zipWithIndex.collect {
+      case (png, k) if k % stride == 0 =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(png))
+        require(img != null, s"doc $docId: sampled frame $k decode failed")
+        img
+    }
+    (frames.size, sampled)
+  }
+
+  /** mm_frame_sample_px — the pixel half of temporal subsampling (the
+    * metadata half is [[frameSample]]): keep every `stride`-th frame,
+    * decode only those, and emit per-doc counts + the pixel mass of the
+    * KEPT frames. The oracle recomputes the closed form over the sampled
+    * frame indices, so a hash match certifies both the sampling rule and
+    * the decoded pixel values.
+    */
+  def frameSampleDecoded(s: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .mapPartitions(_.map { a =>
+        val (total, sampled) = sampleFrames(a.doc_id, a.payload, stride)
+        var pxSum = 0L
+        sampled.foreach { img =>
+          val r = img.getRaster
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              var b = 0
+              while (b < r.getNumBands) { pxSum += r.getSample(x, y, b); b += 1 }
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (a.doc_id, a.kind, total.toLong, sampled.size.toLong, pxSum)
+      })
+      .toDF("doc_id", "kind", "n_frames", "n_sampled", "px_sum_sampled")
+      .orderBy(col("doc_id"))
+  }
+
+  /** mm_audio_windows — fixed-size analysis windows over decoded PCM (the
+    * spectrogram front-end shape): the WAV payload is decoded with the
+    * JDK codec, then each run of `win` samples becomes one row carrying
+    * its sample count, amplitude mass, and energy (Σ amp²) — all integer
+    * sums so the DuckDB oracle reproduces them bit-exactly from the
+    * closed-form sample rule. Windowing happens in the same partition-
+    * local pass as the decode; the only shuffle is the gate's ORDER BY.
+    */
+  def audioWindows(s: SparkSession, dir: String, win: Int = 16): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { d =>
+        val payload = encodeWav(d)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val body = ais.readAllBytes()
+        val n = body.length / 2
+        (0 until (n + win - 1) / win).map { wi =>
+          val lo = wi * win
+          val hi = math.min(n, lo + win)
+          var ampSum = 0L; var ampSq = 0L
+          var i = lo
+          while (i < hi) {
+            val v = ((body(2 * i) & 0xff) | (body(2 * i + 1) << 8)).toShort.toLong
+            ampSum += v; ampSq += v * v
+            i += 1
+          }
+          (d, wi.toLong, (hi - lo).toLong, ampSum, ampSq)
+        }
+      })
+      .toDF("doc_id", "window_idx", "n_samples_w", "amp_sum", "energy")
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
+
+  /** 64-bit average hash (aHash) of one decoded frame: nearest-neighbor
+    * resample to 8×8 (same floor rule as [[resizePayload]]), per-pixel
+    * brightness s = r+g+b, bit(y·8+x) = 1 iff 64·s > Σs (mean threshold,
+    * integer cross-multiplied — no floating-point mean). Returned as two
+    * unsigned 32-bit halves so the hex form never touches the sign bit.
+    */
+  private[graft] def aHash(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val s = new Array[Long](64)
+    var total = 0L
+    var yp = 0
+    while (yp < 8) {
+      var xp = 0
+      while (xp < 8) {
+        val rgb = img.getRGB(xp * img.getWidth / 8, yp * img.getHeight / 8)
+        val v = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        s(yp * 8 + xp) = v.toLong
+        total += v
+        xp += 1
+      }
+      yp += 1
+    }
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * s(i) > total) {
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** mm_ahash_dedup — perceptual-hash image dedup: every asset's FIRST
+    * frame is decoded and aHashed from real pixels, assets sharing an
+    * aHash form a duplicate group, and each group emits (hash, size,
+    * keeper = min doc_id). The hash ignores brightness offsets by
+    * construction (mean-threshold), so the generator's `base = d%64`
+    * shift is invisible and the groups are exactly the (w,h,frame-0)
+    * shape classes — which is what the oracle recomputes. At 100 TB this
+    * is a map-side 8-byte hash + one keyed agg, the same posture as
+    * exact dedup; hamming-near aHash pairing would reuse the SimHash
+    * band-join (`Dedup.simhash`) over the same 64 bits.
+    */
+  def ahashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .mapPartitions(_.map { a =>
+        val first = splitFrames(a.doc_id, a.payload).head
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(first))
+        require(img != null, s"doc ${a.doc_id}: frame 0 decode failed")
+        val (hi, lo) = aHash(img)
+        (a.doc_id, f"$hi%08x$lo%08x")
+      })
+      .toDF("doc_id", "ahash")
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("ahash"))
+  }
 
   /** Corpus stats over mixed text/vector tables (SURVEY.md Q28): per
     * (lang, source) doc counts + exact avg char length, and the

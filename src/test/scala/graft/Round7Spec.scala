@@ -69,6 +69,121 @@ class Round7Spec extends SparkSpecBase {
     }
   }
 
+  test("pixel resize really resamples: decode→NN 4×4→re-encode→re-decode matches floor rule") {
+    (0L to 20L).foreach { d =>
+      val kind = if (d % 2 == 0) "image" else "video"
+      val payload = Multimodal.encodePayload(d, kind)
+      val m = Multimodal.decodePayload(Multimodal.MediaAsset(d,
+        Multimodal.resizePayload(d, payload, 4), kind))
+      val (w, h, f, _, _) = expectedMeta(d)
+      val b = d % 64
+      var expect = 0L
+      for (k <- 0L until f; yp <- 0L until 4L; xp <- 0L until 4L)
+        expect += 3 * (b + (xp * w) / 4 + (yp * h) / 4 + k)
+      assert(m.width == 4 && m.height == 4 && m.channels == 3 &&
+        m.n_frames == f && m.px_sum == expect, s"doc $d")
+    }
+  }
+
+  test("WAV audio codec round-trips header and amplitude sums") {
+    (0L to 20L).foreach { d =>
+      val wav = Multimodal.encodeWav(d)
+      // genuine RIFF/WAVE container on the wire
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+        new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+      val (ch, rate, n, ampSum, ampSq) = Multimodal.decodeWav(d, wav)
+      val nn = 64 + d % 64; val b = d % 64
+      assert(ch == 1 && rate == 8000 && n == nn)
+      assert(ampSum == nn * b + nn * (nn - 1) / 2, s"doc $d sum")
+      assert(ampSq == nn * b * b + b * nn * (nn - 1) +
+        (nn - 1) * nn * (2 * nn - 1) / 6, s"doc $d sq")
+    }
+  }
+
+  test("pixel frame sampling decodes only every 2nd frame and sums its real pixels") {
+    val rows = Multimodal.frameSampleDecoded(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val (w, h, f, _, _) = expectedMeta(d)
+      val b = d % 64
+      assert(r.getLong(2) == f, s"doc $d total frames")
+      assert(r.getLong(3) == (f + 1) / 2, s"doc $d sampled count")
+      var expect = 0L
+      for (k <- 0L until f if k % 2 == 0)
+        expect += 3 * (w * h * (b + k) +
+          h * (w * (w - 1) / 2) + w * (h * (h - 1) / 2))
+      assert(r.getLong(4) == expect, s"doc $d sampled px sum")
+    }
+  }
+
+  test("audio windows partition the decoded PCM exactly, ragged tail included") {
+    // doc 5: n = 69 samples → windows 16,16,16,16,5 — tail is ragged
+    val rows = Multimodal.audioWindows(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (d, wr) =>
+      val n = 64 + d % 64; val b = d % 64
+      assert(wr.map(_.getLong(2)).sum == n, s"doc $d sample coverage")
+      assert(wr.length == (n + 15) / 16, s"doc $d window count")
+      wr.foreach { r =>
+        val wi = r.getLong(1)
+        val lo = wi * 16; val hi = math.min(n, lo + 16)
+        val amps = (lo until hi).map(b + _)
+        assert(r.getLong(2) == hi - lo && r.getLong(3) == amps.sum &&
+          r.getLong(4) == amps.map(a => a * a).sum, s"doc $d window $wi")
+      }
+    }
+    assert(rows(5L).length == 5 && rows(5L).last.getLong(2) == 5)
+  }
+
+  test("aHash is brightness-invariant and matches the integer threshold rule") {
+    def hashOf(d: Long): (Long, Long) = {
+      val kind = if (d % 2 == 0) "image" else "video"
+      val png = Multimodal.encodePayload(d, kind)
+      val first =
+        if (kind == "image") png
+        else { // frame 0 of the container: skip magic + count, read len
+          val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(png))
+          in.skipBytes(8); val len = in.readInt()
+          val buf = new Array[Byte](len); in.readFully(buf); buf
+        }
+      Multimodal.aHash(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(first)))
+    }
+    (0L to 20L).foreach { d =>
+      // independent restatement of the oracle's floor/threshold arithmetic
+      val w = 8 + d % 9; val h = 8 + d % 7; val b = d % 64
+      val s = for (yp <- 0 until 8; xp <- 0 until 8)
+        yield 3 * (b + (xp * w) / 8 + (yp * h) / 8)
+      val total = s.sum
+      var hi = 0L; var lo = 0L
+      s.zipWithIndex.foreach { case (v, i) =>
+        if (64L * v > total) {
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        }
+      }
+      assert(hashOf(d) == (hi, lo), s"doc $d hash")
+      // base b drops out of the mean threshold: doc d+63 has the same
+      // (w,h) but base (d+63)%64 ≠ b — perceptually identical, same hash
+      assert(hashOf(d) == hashOf(d + 63), s"doc $d brightness invariance")
+    }
+  }
+
+  test("frame stats emit one decoded row per frame") {
+    val rows = Multimodal.frameStats(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (d, fr) =>
+      val (w, h, f, _, _) = expectedMeta(d)
+      assert(fr.length == f, s"doc $d frame count")
+      fr.foreach { r =>
+        val k = r.getLong(1); val b = d % 64
+        val expect = 3 * (w * h * (b + k) +
+          h * (w * (w - 1) / 2) + w * (h * (h - 1) / 2))
+        assert(r.getLong(2) == expect, s"doc $d frame $k")
+      }
+    }
+  }
+
   // ---- Avro quarantine edge ----
 
   test("permissive decode quarantines poison frames without touching good rows") {
