@@ -293,6 +293,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.audioWindows(s, d)),
     // perceptual-hash (aHash) image dedup over genuinely decoded pixels
     "mm_ahash_dedup" -> Multimodal.ahashDedup _,
+    // hamming-banded perceptual NEAR-dup pairing (byte-band candidates,
+    // exact popcount verify)
+    "mm_ahash_near_dup" ->
+      ((s: SparkSession, d: String) => Multimodal.ahashNearDup(s, d)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1957,5 +1961,29 @@ object SparkEntry {
         "SELECT printf('%08x%08x', hi, lo) AS ahash, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper " +
         "FROM hh GROUP BY 1 ORDER BY ahash"),
+    // near-dup: the oracle brute-forces class pairs (banding is a
+    // complete candidate generator for hamming ≤ 7, so results agree);
+    // hamming via per-half popcounts — no signed 64-bit reassembly
+    "mm_ahash_near_dup" ->
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "doc_id % 64 AS b FROM documents), " +
+        "px AS (SELECT doc_id, gy.x*8 + gx.x AS idx, " +
+        "3*(b + (gx.x*w)//8 + (gy.x*h)//8) AS s FROM p, " +
+        "unnest(range(8)) AS gx(x), unnest(range(8)) AS gy(x)), " +
+        "bits AS (SELECT doc_id, idx, CASE WHEN 64*s > " +
+        "SUM(s) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit FROM px), " +
+        "hh AS (SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN idx >= 32 THEN bit * (CAST(1 AS BIGINT) << (idx-32)) " +
+        "ELSE 0 END) AS BIGINT) AS hi, " +
+        "CAST(SUM(CASE WHEN idx < 32 THEN bit * (CAST(1 AS BIGINT) << idx) " +
+        "ELSE 0 END) AS BIGINT) AS lo FROM bits GROUP BY doc_id), " +
+        "cls AS (SELECT hi, lo, printf('%08x%08x', hi, lo) AS ahash, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM hh GROUP BY hi, lo) " +
+        "SELECT a.ahash AS ahash_a, b.ahash AS ahash_b, " +
+        "CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) " +
+        "AS hamming, a.n_docs AS n_docs_a, b.n_docs AS n_docs_b " +
+        "FROM cls a, cls b WHERE a.ahash < b.ahash " +
+        "AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2 " +
+        "ORDER BY ahash_a, ahash_b"),
   )
 }

@@ -548,6 +548,68 @@ object Multimodal {
       .orderBy(col("ahash"))
   }
 
+  /** Distinct aHash classes of the corpus: (hi, lo, hex, member count).
+    * The class table is the near-dup working set — at 100 TB the corpus
+    * collapses to |distinct hashes| rows before any pairing happens.
+    */
+  private def ahashClasses(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .mapPartitions(_.map { a =>
+        val first = splitFrames(a.doc_id, a.payload).head
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(first))
+        require(img != null, s"doc ${a.doc_id}: frame 0 decode failed")
+        val (hi, lo) = aHash(img)
+        (a.doc_id, hi, lo)
+      })
+      .toDF("doc_id", "hi", "lo")
+      .groupBy(col("hi"), col("lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("ahash", format_string("%08x%08x", col("hi"), col("lo")))
+  }
+
+  /** mm_ahash_near_dup — perceptual NEAR-duplicate pairing: aHash classes
+    * within hamming distance `maxHamming` of each other. Candidates come
+    * from a band self-join on the hash's 8 bytes — by pigeonhole, two
+    * 64-bit hashes within hamming 7 differ in at most 7 of the 8 bytes,
+    * so they agree on at least one band: the banding is COMPLETE for
+    * `maxHamming ≤ 7`, never a heuristic (same recall argument as
+    * `Dedup.simhash`, restated per byte). Verification is an exact
+    * popcount over the two 32-bit halves (`bit_count(a^b)`), avoiding
+    * any signed 64-bit reassembly in either engine. 100 TB posture: the
+    * corpus collapses to distinct classes first, band join fans out 8
+    * rows per class, and kernel work is proportional to candidate pairs
+    * sharing a byte — never classes².
+    */
+  def ahashNearDup(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 7, "byte banding is only complete for hamming <= 7")
+    val cls = ahashClasses(s, dir)
+    val banded = cls.select(col("ahash"), col("hi"), col("lo"), col("n_docs"),
+      explode(array((0 until 8).map { j =>
+        val half = if (j < 4) col("lo") else col("hi")
+        struct(lit(j).as("band"),
+          shiftright(half, 8 * (j % 4)).bitwiseAND(lit(255L)).as("v"))
+      }: _*)).as("bv"))
+      .select(col("ahash"), col("hi"), col("lo"), col("n_docs"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val a = banded.select(banded.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = banded.select(banded.columns.map(c => col(c).as(s"b_$c")): _*)
+    a.join(b, col("a_band") === col("b_band") && col("a_v") === col("b_v") &&
+        col("a_ahash") < col("b_ahash"))
+      .select(col("a_ahash").as("ahash_a"), col("b_ahash").as("ahash_b"),
+        (bitCount(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bitCount(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast(LongType).as("hamming"),
+        col("a_n_docs").as("n_docs_a"), col("b_n_docs").as("n_docs_b"))
+      .distinct() // classes sharing several bands collide in several bands
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("ahash_a"), col("ahash_b"))
+  }
+
+  private def bitCount(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.bit_count(c)
+
   /** Corpus stats over mixed text/vector tables (SURVEY.md Q28): per
     * (lang, source) doc counts + exact avg char length, and the
     * embedding-dimension check join documents ⋈ embeddings.

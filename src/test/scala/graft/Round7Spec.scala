@@ -169,6 +169,38 @@ class Round7Spec extends SparkSpecBase {
     }
   }
 
+  test("aHash near-dup band join ≡ brute-force pairing at the completeness bound") {
+    import org.apache.spark.sql.functions.col
+    val got = Multimodal.ahashNearDup(spark, sfDir, maxHamming = 7).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // brute force from the closed-form hash rule (the oracle's arithmetic)
+    def hashOf(d: Long): (Long, Long) = {
+      val w = 8 + d % 9; val h = 8 + d % 7; val b = d % 64
+      val s = for (yp <- 0 until 8; xp <- 0 until 8)
+        yield 3 * (b + (xp * w) / 8 + (yp * h) / 8)
+      val total = s.sum
+      var hi = 0L; var lo = 0L
+      s.zipWithIndex.foreach { case (v, i) =>
+        if (64L * v > total) {
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        }
+      }
+      (hi, lo)
+    }
+    val classes = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(hashOf).toSeq.distinct
+    val want = (for {
+      a @ (ahi, alo) <- classes; b @ (bhi, blo) <- classes
+      ha = f"$ahi%08x$alo%08x"; hb = f"$bhi%08x$blo%08x"
+      if ha < hb
+      d = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if d <= 7
+    } yield (ha, hb, d.toLong)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 1) && want.nonEmpty) // non-degenerate corpus
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
