@@ -297,6 +297,8 @@ object SparkEntry {
     // exact popcount verify)
     "mm_ahash_near_dup" ->
       ((s: SparkSession, d: String) => Multimodal.ahashNearDup(s, d)),
+    // media-as-files ingest through the binaryFile source + glob filter
+    "mm_binary_files" -> Multimodal.binaryFileIngest _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -1985,5 +1987,14 @@ object SparkEntry {
         "FROM cls a, cls b WHERE a.ahash < b.ahash " +
         "AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2 " +
         "ORDER BY ahash_a, ahash_b"),
+    // only *.png files pass the glob → even doc_ids; single frame, so
+    // px_sum is the f=1 closed form; len_ok pinned to 1
+    "mm_binary_files" ->
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "doc_id % 64 AS b FROM documents WHERE doc_id % 2 = 0) " +
+        "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, " +
+        "CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS n_frames, " +
+        "CAST(3*(w*h*b + h*(w*(w-1)//2) + w*(h*(h-1)//2)) AS BIGINT) AS px_sum, " +
+        "CAST(1 AS BIGINT) AS len_ok FROM p ORDER BY doc_id"),
   )
 }

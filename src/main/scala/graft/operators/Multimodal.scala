@@ -610,6 +610,71 @@ object Multimodal {
   private def bitCount(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.bit_count(c)
 
+  /** Materialize the corpus' media payloads as real files on disk —
+    * the fixture stand-in for an object store full of media: one
+    * `.png` per image doc, one `.gmv` container per video doc, written
+    * by the EXECUTORS (foreachPartition; the driver never sees a
+    * payload). Idempotent: names and bytes are deterministic, rewrite
+    * via temp+rename so concurrent runs can't expose torn files.
+    */
+  private def materializeMediaDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_media_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .foreachPartition { (it: Iterator[Long]) =>
+        new java.io.File(base).mkdirs()
+        it.foreach { d =>
+          val kind = if (d % 2 == 0) "image" else "video"
+          val ext = if (kind == "image") "png" else "gmv"
+          val target = new java.io.File(base, f"doc_$d%06d.$ext")
+          if (!target.exists) {
+            val tmp = java.io.File.createTempFile(s"doc_$d", s".$ext.tmp",
+              new java.io.File(base))
+            val fos = new java.io.FileOutputStream(tmp)
+            try fos.write(encodePayload(d, kind)) finally fos.close()
+            if (!tmp.renameTo(target)) tmp.delete() // a peer won the race
+          }
+        }
+      }
+    base
+  }
+
+  /** mm_binary_files — media ingest through Spark's `binaryFile` source,
+    * the production path for training data that lives as FILES in an
+    * object store: `format("binaryFile")` with a `pathGlobFilter` so only
+    * `*.png` images are listed (the same directory also holds `.gmv`
+    * video containers — the filter is load-bearing), doc ids recovered
+    * from the path, payloads decoded partition-locally. `len_ok` pins
+    * the source's `length`/`content` contract against the decoder's own
+    * byte count. At 100 TB the only change is the load path: an object
+    * store URI with `recursiveFileLookup`, partition-parallel listing
+    * and per-file decode exactly as here.
+    */
+  def binaryFileIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mediaDir = materializeMediaDir(s, dir)
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(mediaDir)
+      .select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val id = "doc_(\\d+)\\.png".r
+        it.map { case (path, len, content) =>
+          val d = id.findFirstMatchIn(path)
+            .getOrElse(sys.error(s"unrecognized media path $path"))
+            .group(1).toLong
+          val m = decodePayload(MediaAsset(d, content, "image"))
+          (d, m.width, m.height, m.channels, m.n_frames, m.px_sum,
+            if (len == content.length && len == m.n_bytes) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels", "n_frames", "px_sum",
+        "len_ok")
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus stats over mixed text/vector tables (SURVEY.md Q28): per
     * (lang, source) doc counts + exact avg char length, and the
     * embedding-dimension check join documents ⋈ embeddings.

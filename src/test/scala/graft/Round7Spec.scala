@@ -201,6 +201,21 @@ class Round7Spec extends SparkSpecBase {
     assert(want.exists(_._3 > 1) && want.nonEmpty) // non-degenerate corpus
   }
 
+  test("binaryFile ingest lists only *.png through the glob and decodes real file bytes") {
+    val rows = Multimodal.binaryFileIngest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // glob filter: image docs only (even ids), videos (.gmv) invisible
+    assert(rows.forall(_.getLong(0) % 2 == 0))
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val (w, h, _, _, _) = expectedMeta(d)
+      val b = d % 64
+      val px = 3 * (w * h * b + h * (w * (w - 1) / 2) + w * (h * (h - 1) / 2))
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(5) == px &&
+        r.getLong(6) == 1L, s"doc $d")
+    }
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
