@@ -652,11 +652,13 @@ object Multimodal {
     * store URI with `recursiveFileLookup`, partition-parallel listing
     * and per-file decode exactly as here.
     */
-  def binaryFileIngest(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val mediaDir = materializeMediaDir(s, dir)
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png").load(mediaDir)
+  /** Shared decode stage for file-borne PNGs (batch and streaming take
+    * the same path): doc id from the file name, payload through the real
+    * codec, `len_ok` pinning the source's length/content contract.
+    */
+  private def decodePngFiles(files: DataFrame): DataFrame = {
+    import files.sparkSession.implicits._
+    files
       .select(col("path"), col("length"), col("content"))
       .as[(String, Long, Array[Byte])]
       .mapPartitions { it =>
@@ -672,8 +674,37 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height", "channels", "n_frames", "px_sum",
         "len_ok")
-      .orderBy(col("doc_id"))
   }
+
+  def binaryFileIngest(s: SparkSession, dir: String): DataFrame =
+    decodePngFiles(
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(materializeMediaDir(s, dir)))
+      .orderBy(col("doc_id"))
+
+  /** The binaryFile source's fixed schema — file streams require it
+    * declared up front (no inference on a stream).
+    */
+  private val BinaryFileSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** STREAMING media ingest: the same binaryFile + glob + decode chain
+    * run as a file stream — media files landing in the directory are
+    * discovered per micro-batch and decoded incrementally, which is how
+    * a continuously-fed object-store prefix is consumed at 100 TB
+    * (`maxFilesPerTrigger` bounds batch size there). Unordered: the
+    * sink, not the source, owns ordering on a stream.
+    */
+  def binaryFileStream(s: SparkSession, mediaDir: String): DataFrame =
+    decodePngFiles(
+      s.readStream.format("binaryFile")
+        .schema(BinaryFileSchema)
+        .option("pathGlobFilter", "*.png")
+        .load(mediaDir))
 
   /** Corpus stats over mixed text/vector tables (SURVEY.md Q28): per
     * (lang, source) doc counts + exact avg char length, and the

@@ -216,6 +216,34 @@ class Round7Spec extends SparkSpecBase {
     }
   }
 
+  test("binaryFile STREAM discovers newly landed media files per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mstream").toFile
+    def land(d: Long): Unit = {
+      val f = new java.io.File(dir, f"doc_$d%06d.png")
+      val fos = new java.io.FileOutputStream(f)
+      try fos.write(Multimodal.encodePayload(d, "image")) finally fos.close()
+    }
+    land(0L); land(2L)
+    val q = Multimodal.binaryFileStream(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("mstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mstream").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(0L, 2L))
+      land(4L) // a new file lands; the next batch must pick up ONLY it
+      q.processAllAvailable()
+      val rows = spark.table("mstream").collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L))
+      rows.foreach { r =>
+        val d = r.getLong(0)
+        val w = 8 + d % 9; val h = 8 + d % 7; val b = d % 64
+        val px = 3 * (w * h * b + h * (w * (w - 1) / 2) + w * (h * (h - 1) / 2))
+        assert(r.getLong(1) == w && r.getLong(5) == px && r.getLong(6) == 1L)
+      }
+    } finally q.stop()
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
