@@ -95,6 +95,10 @@ object SparkEntry {
     "q31c_dynamic_session" -> Windows.q31cDynamicSession _,
     "dedup_exact_text" -> Dedup.exactText _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    // bucket-occupancy cap contract: loose cap ≡ unbounded, tight cap
+    // subset-only (the LSH megabucket guardrail)
+    "dedup_minhash_bounded" ->
+      ((s: SparkSession, d: String) => Dedup.minhashBoundedChecked(s, d)),
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash" -> ((s: SparkSession, d: String) => Dedup.simhash(s, d)),
     "dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d)),
@@ -829,6 +833,10 @@ object SparkEntry {
       ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY keep_id"),
     "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_minhash_bounded" ->
+      (s"SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(1 AS BIGINT) AS loose_cap_eq, " +
+        s"CAST(1 AS BIGINT) AS tight_cap_subset FROM ($jaccardOracle) t"),
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_clusters" ->
       (s"""WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -114,14 +114,69 @@ object Dedup {
   /** Library-facing form over any (doc_id, text) DataFrame. */
   def minhashLshPairs(docs: DataFrame, thr: Double): DataFrame = {
     val sh = docShinglesOf(docs).cache()
-    val bands = bandTable(sh)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    bandPairs(bandTable(sh), sh, thr, None)
+  }
+
+  /** Band-bucket candidate join with an optional OCCUPANCY CAP — the
+    * production guardrail for the LSH worst case: a megabucket (a band
+    * hash shared by m docs) contributes m²/2 candidate pairs, so one
+    * pathological bucket can quadratic-bomb an otherwise linear job.
+    * With a cap, buckets holding more than `maxBucket` docs are excluded
+    * from candidate generation BEFORE the self-join — cost becomes
+    * ≤ 32·cap²/2 pairs per bucket by construction, at a bounded, known
+    * recall cost (a true near-dup pair is lost only if ALL 32 of its
+    * shared bands are oversubscribed; with 50 %-collision bands that
+    * probability decays geometrically). The occupancy count is one keyed
+    * agg over the band table — no extra scan of the corpus.
+    */
+  private def bandPairs(bands: DataFrame, sh: DataFrame, thr: Double,
+      maxBucket: Option[Long]): DataFrame = {
+    val kept = maxBucket.map { c =>
+      val ok = bands.groupBy(col("band"), col("bhash"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= c)
+        .select(col("band"), col("bhash"))
+      bands.join(ok, Seq("band", "bhash"))
+    }.getOrElse(bands)
+    val cand = kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
     verifyJaccard(cand, sh, thr)
+  }
+
+  /** Bounded form of [[minhashLshPairs]]: see [[bandPairs]]. */
+  def minhashLshPairsBounded(docs: DataFrame, thr: Double,
+      maxBucket: Long): DataFrame = {
+    val sh = docShinglesOf(docs).cache()
+    bandPairs(bandTable(sh), sh, thr, Some(maxBucket))
+  }
+
+  /** dedup_minhash_bounded — self-checking contract for the cap:
+    * `n_pairs` (the unbounded pair count, which the DuckDB oracle
+    * recomputes definitionally), `loose_cap_eq` = a cap far above any
+    * real occupancy changes nothing, `tight_cap_subset` = a biting cap
+    * only ever REMOVES pairs. One shingle table and one band table feed
+    * all three runs.
+    */
+  def minhashBoundedChecked(s: SparkSession, dir: String,
+      thr: Double = 0.7): DataFrame = {
+    val sh = docShinglesOf(t(s, dir, "documents")).cache()
+    val bands = bandTable(sh).cache()
+    val full = bandPairs(bands, sh, thr, None).select(col("i"), col("j"))
+    val loose = bandPairs(bands, sh, thr, Some(1L << 30))
+      .select(col("i"), col("j"))
+    val tight = bandPairs(bands, sh, thr, Some(2L)).select(col("i"), col("j"))
+    val nFull = full.agg(count(lit(1)).as("n_pairs"))
+    val dEq = full.exceptAll(loose).union(loose.exceptAll(full))
+      .agg(count(lit(1)).as("d1"))
+    val dSub = tight.exceptAll(full).agg(count(lit(1)).as("d2"))
+    nFull.crossJoin(dEq).crossJoin(dSub)
+      .select(col("n_pairs"),
+        when(col("d1") === 0, 1L).otherwise(0L).as("loose_cap_eq"),
+        when(col("d2") === 0, 1L).otherwise(0L).as("tight_cap_subset"))
   }
 
   /** Exact n-gram Jaccard via prefix filtering (the PPJoin-family

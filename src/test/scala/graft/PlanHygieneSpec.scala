@@ -18,6 +18,7 @@ class PlanHygieneSpec extends SparkSpecBase {
 
   private val allowed: Set[String] = Set(
     "dedup_embedding_lsh", // checked form: two 1-row contract summaries
+    "dedup_minhash_bounded", // checked form: three 1-row contract summaries
     "dq_checks",           // FK-exists scalar bit
     "emb_hard_negatives",  // scalar corpus stats
     "emb_label_balance",   // 1-row label-cardinality summary

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 import org.apache.spark.sql.functions._
 
 /** Round-7 additions: the real ImageIO media codec (stub replacement).
@@ -242,6 +242,19 @@ class Round7Spec extends SparkSpecBase {
         assert(r.getLong(1) == w && r.getLong(5) == px && r.getLong(6) == 1L)
       }
     } finally q.stop()
+  }
+
+  test("LSH bucket cap: cap=1 kills candidates, loose cap ≡ unbounded, tight cap ⊆") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.minhashLshPairs(docs, 0.7))
+    assert(full.nonEmpty)
+    // a pair needs 2 docs in one bucket, so occupancy cap 1 yields nothing
+    assert(Dedup.minhashLshPairsBounded(docs, 0.7, 1L).count() == 0)
+    assert(pairSet(Dedup.minhashLshPairsBounded(docs, 0.7, 1L << 30)) == full)
+    assert(pairSet(Dedup.minhashLshPairsBounded(docs, 0.7, 2L)).subsetOf(full))
   }
 
   test("frame stats emit one decoded row per frame") {
