@@ -357,6 +357,58 @@ class Round7Spec extends SparkSpecBase {
     assert(run2 == Map(1L -> 3L, 3L -> 1L))
   }
 
+  test("transformWithState ValueState survives a query restart on the same checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-tws-restart").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+
+    // the v2 state API has its own store format (RocksDB column
+    // families); recovery there is a separate claim from the
+    // mapGroupsWithState spec above
+    val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pkey)
+    spark.conf.set(pkey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def start(outDir: String) =
+      graft.streaming.StreamingOps.runningUserSpend(src.toDS())
+        .toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt).start()
+
+    try {
+      val out1 = java.nio.file.Files
+        .createTempDirectory("graft-tws-out1").toString
+      src.addData((1L, 10.0), (1L, 2.5), (2L, 4.0))
+      val q1 = start(out1)
+      q1.processAllAvailable(); q1.stop()
+      val run1 = spark.read.parquet(out1).as[(Long, Double, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(run1 == Map(1L -> ((12.5, 2L)), 2L -> ((4.0, 1L))))
+
+      val out2 = java.nio.file.Files
+        .createTempDirectory("graft-tws-out2").toString
+      src.addData((1L, 0.5), (3L, 7.0))
+      val q2 = start(out2)
+      q2.processAllAvailable(); q2.stop()
+      val run2 = spark.read.parquet(out2).as[(Long, Double, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // u1 sum 13.0 / n=3 proves ValueState recovered; u2 absent proves
+      // batch 1 offsets weren't replayed
+      assert(run2 == Map(1L -> ((13.0, 3L)), 3L -> ((7.0, 1L))))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(pkey, v)
+        case None => spark.conf.unset(pkey)
+      }
+    }
+  }
+
   // ---- incremental ANN index maintenance ----
 
   test("incremental ANN index append ≡ fixed-quantizer rebuild on the union corpus") {
