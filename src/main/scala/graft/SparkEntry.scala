@@ -115,6 +115,9 @@ object SparkEntry {
     "text_rolling_fp" -> TextAnalysis.rollingFingerprint _,
     "text_redact" -> TextAnalysis.redactPii _,
     "text_train_split" -> TextAnalysis.trainValSplit _,
+    // leakage-safe split: near-dup clusters never straddle train/val
+    "text_leakage_split" ->
+      ((s: SparkSession, d: String) => TextAnalysis.leakageSafeSplit(s, d)),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_stratified_sample" -> TextAnalysis.stratifiedSample _,
     "text_repetition" -> TextAnalysis.repetitionScore _,
@@ -885,6 +888,29 @@ object SparkEntry {
       ("SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split " +
         "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket FROM documents) " +
         "ORDER BY doc_id"),
+    // the cluster CTE of dedup_clusters + the md5 bucket of
+    // text_train_split, computed on the cluster rep
+    "text_leakage_split" ->
+      (s"""WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM d),
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pairs AS (SELECT i, j FROM p
+         |          WHERE (sa+sb-inter) > 0 AND CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.7),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs
+         |          UNION SELECT i, i FROM pairs UNION SELECT j, j FROM pairs),
+         |reach(node, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+         |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node),
+         |j AS (SELECT d0.doc_id, COALESCE(cl.cluster_rep, d0.doc_id) AS cluster_rep
+         |      FROM documents d0 LEFT JOIN cl USING(doc_id)),
+         |b AS (SELECT doc_id, cluster_rep,
+         |        ('0x' || substr(md5(CAST(cluster_rep AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         |      FROM j)
+         |SELECT doc_id, cluster_rep, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin),
     "text_tfidf" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         "tok AS (SELECT doc_id, unnest(toks) AS token FROM d), " +

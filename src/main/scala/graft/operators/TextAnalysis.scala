@@ -277,6 +277,29 @@ object TextAnalysis {
         when(col("bucket") < 90, "train").otherwise("val").as("split"))
       .orderBy(col("doc_id"))
 
+  /** text_leakage_split — LEAKAGE-SAFE train/val split: the assignment
+    * unit is the near-dup CLUSTER, not the document, so near-duplicate
+    * copies can never straddle the train/val boundary (the classic
+    * eval-contamination failure of per-doc splits — a val doc whose
+    * near-copy sits in train). Unclustered docs are their own singleton
+    * cluster (rep = doc_id), keeping the policy uniform; the md5 bucket
+    * is computed on the cluster REP and inherited by every member, so
+    * membership alone decides the side. Plan: the cluster table is
+    * pair-graph-sized (≪ corpus); one key-shuffle left join attaches it,
+    * bucketing is map-side arithmetic.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String,
+      thr: Double = 0.7): DataFrame = {
+    val clusters = graft.operators.Dedup.nearDupClusters(s, dir, thr)
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .select(col("doc_id"), col("rep").as("cluster_rep"),
+        md5Bucket(col("rep")).as("bucket"),
+        when(md5Bucket(col("rep")) < 90, "train").otherwise("val").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top terms per document: tf = in-doc occurrences, idf =
     * ln(N/df) over the corpus, top-k by rounded score with token
     * tie-break. Two key-partitioned aggregations (doc,token → token) +

@@ -257,6 +257,29 @@ class Round7Spec extends SparkSpecBase {
     assert(pairSet(Dedup.minhashLshPairsBounded(docs, 0.7, 2L)).subsetOf(full))
   }
 
+  test("leakage-safe split: no near-dup pair straddles the train/val boundary") {
+    import graft.operators.TextAnalysis
+    val split = TextAnalysis.leakageSafeSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(1))).toMap
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, 0.7).select("i", "j").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      val (i, j) = (p.getLong(0), p.getLong(1))
+      assert(split(i)._1 == split(j)._1, s"pair ($i,$j) straddles the split")
+      assert(split(i)._2 == split(j)._2, s"pair ($i,$j) cluster reps differ")
+    }
+    // the per-doc splitter DOES leak on this corpus — the guard is real:
+    // at least one near-dup pair gets different per-doc md5 buckets
+    val perDoc = TextAnalysis.trainValSplit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(pairs.exists(p => perDoc(p.getLong(0)) != perDoc(p.getLong(1))),
+      "corpus cannot demonstrate the leak the cluster split prevents")
+    // both sides of the split are populated
+    val sides = split.values.map(_._1).toSet
+    assert(sides == Set("train", "val"))
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
