@@ -118,6 +118,10 @@ object SparkEntry {
     // leakage-safe split: near-dup clusters never straddle train/val
     "text_leakage_split" ->
       ((s: SparkSession, d: String) => TextAnalysis.leakageSafeSplit(s, d)),
+    // capstone composition: canonical dedup ∩ train split → token-budget
+    // shards via the distributed prefix sum
+    "pipe_train_shards" ->
+      ((s: SparkSession, d: String) => TextAnalysis.trainShards(s, d)),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_stratified_sample" -> TextAnalysis.stratifiedSample _,
     "text_repetition" -> TextAnalysis.repetitionScore _,
@@ -888,6 +892,34 @@ object SparkEntry {
       ("SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split " +
         "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket FROM documents) " +
         "ORDER BY doc_id"),
+    // canonical keeper + rep-bucket train filter + global window cumsum
+    // (the oracle may use the single window the Spark plan must avoid)
+    "pipe_train_shards" ->
+      (s"""WITH RECURSIVE d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM d),
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |        len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS sa, len(b.s) AS sb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pairs AS (SELECT i, j FROM p
+         |          WHERE (sa+sb-inter) > 0 AND CAST(inter AS DOUBLE)/(sa+sb-inter) >= 0.7),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs
+         |          UNION SELECT i, i FROM pairs UNION SELECT j, j FROM pairs),
+         |reach(node, r) AS (SELECT a, b FROM edges
+         |  UNION SELECT re.node, e.b FROM reach re JOIN edges e ON re.r = e.a),
+         |cl AS (SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node),
+         |g AS (SELECT dd.doc_id, COALESCE(cl.cluster_rep, dd.doc_id) AS grp, dd.n_chars
+         |      FROM documents dd LEFT JOIN cl ON cl.doc_id = dd.doc_id),
+         |keep AS (SELECT doc_id, grp FROM (SELECT g.*, row_number() OVER
+         |  (PARTITION BY grp ORDER BY n_chars DESC, doc_id) AS rn FROM g) WHERE rn = 1),
+         |kt AS (SELECT keep.doc_id, len(d.toks) AS n_toks FROM keep
+         |       JOIN d ON d.doc_id = keep.doc_id
+         |       WHERE ('0x' || substr(md5(CAST(keep.grp AS VARCHAR)), 1, 15))::BIGINT % 100 < 90),
+         |c AS (SELECT doc_id, n_toks, SUM(n_toks) OVER (ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM kt)
+         |SELECT CAST((cum - n_toks) // 2048 AS BIGINT) AS shard_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS tok_sum,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin),
     // the cluster CTE of dedup_clusters + the md5 bucket of
     // text_train_split, computed on the cluster rep
     "text_leakage_split" ->

@@ -130,6 +130,13 @@ object Dedup {
     * agg over the band table — no extra scan of the corpus.
     */
   private def bandPairs(bands: DataFrame, sh: DataFrame, thr: Double,
+      maxBucket: Option[Long]): DataFrame =
+    verifyJaccard(bandCandidates(bands, maxBucket), sh, thr)
+
+  /** The candidate (i, j) set of the band join — the layer the occupancy
+    * cap acts on; verification is a deterministic function of this set.
+    */
+  private def bandCandidates(bands: DataFrame,
       maxBucket: Option[Long]): DataFrame = {
     val kept = maxBucket.map { c =>
       val ok = bands.groupBy(col("band"), col("bhash"))
@@ -138,13 +145,12 @@ object Dedup {
         .select(col("band"), col("bhash"))
       bands.join(ok, Seq("band", "bhash"))
     }.getOrElse(bands)
-    val cand = kept.as("a")
+    kept.as("a")
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyJaccard(cand, sh, thr)
   }
 
   /** Bounded form of [[minhashLshPairs]]: see [[bandPairs]]. */
@@ -158,20 +164,30 @@ object Dedup {
     * `n_pairs` (the unbounded pair count, which the DuckDB oracle
     * recomputes definitionally), `loose_cap_eq` = a cap far above any
     * real occupancy changes nothing, `tight_cap_subset` = a biting cap
-    * only ever REMOVES pairs. One shingle table and one band table feed
-    * all three runs.
+    * only ever REMOVES pairs. The cap verdicts compare the CANDIDATE
+    * sets — the layer the cap acts on; verification is a deterministic
+    * downstream map, so candidate equality/subset implies the same for
+    * verified pairs (and candidate-level subset is the sharper claim) —
+    * which keeps the expensive exact-Jaccard kernel to a single run.
     */
   def minhashBoundedChecked(s: SparkSession, dir: String,
       thr: Double = 0.7): DataFrame = {
     val sh = docShinglesOf(t(s, dir, "documents")).cache()
     val bands = bandTable(sh).cache()
-    val full = bandPairs(bands, sh, thr, None).select(col("i"), col("j"))
-    val loose = bandPairs(bands, sh, thr, Some(1L << 30))
-      .select(col("i"), col("j"))
-    val tight = bandPairs(bands, sh, thr, Some(2L)).select(col("i"), col("j"))
-    val nFull = full.agg(count(lit(1)).as("n_pairs"))
-    val dEq = full.exceptAll(loose).union(loose.exceptAll(full))
+    // full candidates feed two consumers (verify count / exceptAll);
+    // truncate the band-join lineage so they don't run twice
+    val full = bandCandidates(bands, None).localCheckpoint(true)
+    // loose-cap equality via occupancy alone: if NO bucket exceeds the
+    // cap, the filtered band table — and hence the candidate join — is
+    // identical by construction; no second band join needed
+    val dEq = bands.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > (1L << 30))
       .agg(count(lit(1)).as("d1"))
+    // the tight cap (2) keeps only occupancy-2 buckets, so its candidate
+    // join runs over a sharply reduced table
+    val tight = bandCandidates(bands, Some(2L))
+    val nFull = verifyJaccard(full, sh, thr).agg(count(lit(1)).as("n_pairs"))
     val dSub = tight.exceptAll(full).agg(count(lit(1)).as("d2"))
     nFull.crossJoin(dEq).crossJoin(dSub)
       .select(col("n_pairs"),

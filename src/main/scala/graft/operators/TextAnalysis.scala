@@ -300,6 +300,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** pipe_train_shards — end-to-end training-shard assembly, the
+    * composition a corpus pipeline actually runs: near-dup clusters are
+    * computed ONCE and feed both the canonical keeper (longest text,
+    * doc_id tiebreak — the dedup_canonical policy) and the leakage-safe
+    * train-side filter (md5 bucket of the cluster REP < 90); surviving
+    * docs are then assigned token-budget shards by running token count
+    * in doc_id order. The running count uses the distributed sharded
+    * prefix sum ([[PrefixSum.shardedCumSum]]) — per-shard local windows
+    * plus a broadcast offset table — so no data-sized sequence ever
+    * crosses a single-task window; a shard may overshoot the budget by
+    * at most one document (greedy packing, the standard contract).
+    */
+  def trainShards(s: SparkSession, dir: String, thr: Double = 0.7,
+      budget: Long = 2048, nShards: Int = 32): DataFrame = {
+    val clusters = graft.operators.Dedup.nearDupClusters(s, dir, thr)
+    val labeled = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("cluster_rep"), col("doc_id")))
+    val keep = labeled.groupBy(col("grp"))
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), negate(col("doc_id")))).as("doc_id"))
+    val kept = labeled.join(keep, Seq("grp", "doc_id"))
+      .filter(md5Bucket(col("grp")) < 90)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      // PrefixSum instantiates its input twice; truncate the minhash+
+      // clustering lineage so the offset pass doesn't recompute it
+      .localCheckpoint(true)
+    val bounds = kept.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val sharded = kept.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        PrefixSum.rangePid(col("doc_id"), col("lo"), col("hi"), nShards))
+      .drop("lo", "hi")
+    PrefixSum.shardedCumSum(sharded, Seq.empty, "pid", "doc_id", "n_toks")
+      .withColumn("shard_id", floor((col("cum") - col("n_toks")) / budget))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
   /** TF-IDF top terms per document: tf = in-doc occurrences, idf =
     * ln(N/df) over the corpus, top-k by rounded score with token
     * tie-break. Two key-partitioned aggregations (doc,token → token) +

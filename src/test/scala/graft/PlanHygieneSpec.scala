@@ -25,6 +25,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "emb_quantize_topk",   // codebook scalar + probe row
     "graph_triangles",     // n_edges scalar (×2)
     "mix_pps_sample",      // P-row shard offset table
+    "pipe_train_shards",   // 1-row doc_id bounds + P-row shard offsets
     "profile_columns_approx", // 1-row exact × 1-row HLL summary join
     "q09c_cross",          // intentional 5-row dim×dim cartesian
     "q26_ann_ivf",         // probe row vs centroid table

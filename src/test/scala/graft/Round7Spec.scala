@@ -280,6 +280,29 @@ class Round7Spec extends SparkSpecBase {
     assert(sides == Set("train", "val"))
   }
 
+  test("train shards: consecutive ids, ordered doc ranges, budget-bounded overshoot") {
+    import graft.operators.TextAnalysis
+    val budget = 256L // small so sf0.001 yields several shards
+    val rows = TextAnalysis.trainShards(spark, sfDir, budget = budget).collect()
+    assert(rows.length > 2, s"expected several shards, got ${rows.length}")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i, "shard ids must be consecutive from 0")
+    }
+    // doc ranges are disjoint and ordered: shard i ends before i+1 starts
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) < b.getLong(3), "shard doc ranges must not overlap")
+    }
+    // greedy packing: every shard's exclusive prefix is < (id+1)*budget,
+    // so tok_sum can overshoot only by its last doc; all but the final
+    // shard must have crossed their budget boundary
+    val cums = rows.map(_.getLong(2)).scanLeft(0L)(_ + _)
+    rows.dropRight(1).zipWithIndex.foreach { case (r, i) =>
+      assert(cums(i + 1) >= (i + 1) * budget,
+        s"shard $i ended before reaching its budget boundary")
+      assert(cums(i) < (i + 1) * budget, s"shard $i started past its boundary")
+    }
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
