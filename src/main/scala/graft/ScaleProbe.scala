@@ -187,6 +187,19 @@ object ScaleProbe {
         Seq("sid", "sts"), "sid")
     }
 
+    // media/audio: pure map-side codec work (encode+decode per doc) —
+    // expect near-linear; aHash near-dup pairs over DISTINCT classes,
+    // so its join cost tracks class count, not corpus size
+    def audioW(docs: DataFrame) =
+      operators.Multimodal.audioWindowsOf(docs.select(col("doc_id")), 16)
+    def ahashNd(docs: DataFrame) =
+      operators.Multimodal.ahashNearDupOf(docs.select(col("doc_id")), 2)
+
+    // capstone: minhash clusters + canonical + split + sharded prefix
+    // sum — the full composition; clustering dominates
+    def shards(docs: DataFrame) =
+      operators.TextAnalysis.trainShardsOf(docs, 0.7, 2048, 32)
+
     // sketch cube: shuffled bytes are fixed-size sketch buffers per
     // (day, type) cell — cell count is k-invariant here, so the agg
     // input scales k× but the exchanges stay constant-width
@@ -215,7 +228,10 @@ object ScaleProbe {
       ("kmeans", time(noop(km(emb1))), time(noop(km(embK)))),
       ("asof_native", time(noop(asofNative(eA1))), time(noop(asofNative(eAK)))),
       ("asof_composed", time(noop(asofComposed(eA1))), time(noop(asofComposed(eAK)))),
-      ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))))
+      ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))),
+      ("audio_windows", time(noop(audioW(docs1c))), time(noop(audioW(docsK)))),
+      ("ahash_near_dup", time(noop(ahashNd(docs1c))), time(noop(ahashNd(docsK)))),
+      ("train_shards", time(noop(shards(docs1c))), time(noop(shards(docsK)))))
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

@@ -150,9 +150,14 @@ object Multimodal {
     * involvement) — the parquet `binary` column shape a real multimodal
     * table carries, with genuinely decodable contents.
     */
-  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] =
+    assetsOf(t(s, dir, "documents"))
+
+  /** Library-facing form over any DataFrame with a doc_id column. */
+  def assetsOf(ids: DataFrame): Dataset[MediaAsset] = {
+    val s = ids.sparkSession
     import s.implicits._
-    t(s, dir, "documents")
+    ids
       .select(col("doc_id"),
         when(col("doc_id") % 2 === 0, "image").otherwise("video").as("kind"))
       .as[(Long, String)]
@@ -461,9 +466,14 @@ object Multimodal {
     * closed-form sample rule. Windowing happens in the same partition-
     * local pass as the decode; the only shuffle is the gate's ORDER BY.
     */
-  def audioWindows(s: SparkSession, dir: String, win: Int = 16): DataFrame = {
+  def audioWindows(s: SparkSession, dir: String, win: Int = 16): DataFrame =
+    audioWindowsOf(t(s, dir, "documents"), win)
+
+  /** Library-facing form over any DataFrame with a doc_id column. */
+  def audioWindowsOf(ids: DataFrame, win: Int): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    t(s, dir, "documents")
+    ids
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { d =>
         val payload = encodeWav(d)
@@ -552,9 +562,10 @@ object Multimodal {
     * The class table is the near-dup working set — at 100 TB the corpus
     * collapses to |distinct hashes| rows before any pairing happens.
     */
-  private def ahashClasses(s: SparkSession, dir: String): DataFrame = {
+  private def ahashClasses(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    assets(s, dir)
+    assetsOf(ids)
       .mapPartitions(_.map { a =>
         val first = splitFrames(a.doc_id, a.payload).head
         val img = javax.imageio.ImageIO.read(
@@ -582,9 +593,13 @@ object Multimodal {
     * rows per class, and kernel work is proportional to candidate pairs
     * sharing a byte — never classes².
     */
-  def ahashNearDup(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+  def ahashNearDup(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame =
+    ahashNearDupOf(t(s, dir, "documents"), maxHamming)
+
+  /** Library-facing form over any DataFrame with a doc_id column. */
+  def ahashNearDupOf(ids: DataFrame, maxHamming: Int = 2): DataFrame = {
     require(maxHamming <= 7, "byte banding is only complete for hamming <= 7")
-    val cls = ahashClasses(s, dir)
+    val cls = ahashClasses(ids)
     val banded = cls.select(col("ahash"), col("hi"), col("lo"), col("n_docs"),
       explode(array((0 until 8).map { j =>
         val half = if (j < 4) col("lo") else col("hi")

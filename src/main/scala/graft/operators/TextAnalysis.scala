@@ -313,9 +313,16 @@ object TextAnalysis {
     * at most one document (greedy packing, the standard contract).
     */
   def trainShards(s: SparkSession, dir: String, thr: Double = 0.7,
+      budget: Long = 2048, nShards: Int = 32): DataFrame =
+    trainShardsOf(t(s, dir, "documents"), thr, budget, nShards)
+
+  /** Library-facing form over any (doc_id, n_chars, text) DataFrame. */
+  def trainShardsOf(docs: DataFrame, thr: Double = 0.7,
       budget: Long = 2048, nShards: Int = 32): DataFrame = {
-    val clusters = graft.operators.Dedup.nearDupClusters(s, dir, thr)
-    val labeled = t(s, dir, "documents")
+    val clusters = graft.operators.Dedup.clustersOfPairs(
+      graft.operators.Dedup.minhashLshPairs(docs, thr)
+        .select(col("i"), col("j")))
+    val labeled = docs
       .select(col("doc_id"), col("n_chars"), col("text"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("cluster_rep"), col("doc_id")))
