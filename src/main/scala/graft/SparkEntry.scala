@@ -310,6 +310,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.ahashNearDup(s, d)),
     // media-as-files ingest through the binaryFile source + glob filter
     "mm_binary_files" -> Multimodal.binaryFileIngest _,
+    // audio near-dup on decoded envelope signatures (bucket-blocked,
+    // exact max-|Δ| verify) — the audio member of the near-dup family
+    "mm_audio_near_dup" ->
+      ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -2053,6 +2057,17 @@ object SparkEntry {
         "FROM cls a, cls b WHERE a.ahash < b.ahash " +
         "AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2 " +
         "ORDER BY ahash_a, ahash_b"),
+    // envelope window w mean = (16b + Σ(16w..16w+15))//16 = b+16w+7;
+    // class = b, pairwise max |Δ| = |Δb|, sig hex order = b order
+    "mm_audio_near_dup" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 64 AS b FROM documents), " +
+        "cls AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs FROM p GROUP BY b), " +
+        "sig AS (SELECT b, printf('%02x%02x%02x%02x', b+7, b+23, b+39, b+55) AS sig, " +
+        "n_docs FROM cls) " +
+        "SELECT a.sig AS sig_a, c.sig AS sig_b, CAST(c.b - a.b AS BIGINT) AS max_delta, " +
+        "a.n_docs AS n_docs_a, c.n_docs AS n_docs_b " +
+        "FROM sig a, sig c WHERE a.b < c.b AND c.b - a.b <= 2 " +
+        "ORDER BY sig_a, sig_b"),
     // only *.png files pass the glob → even doc_ids; single frame, so
     // px_sum is the f=1 closed form; len_ok pinned to 1
     "mm_binary_files" ->

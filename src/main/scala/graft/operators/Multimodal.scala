@@ -498,6 +498,76 @@ object Multimodal {
       .orderBy(col("doc_id"), col("window_idx"))
   }
 
+  /** Audio envelope signature of one decoded payload: integer mean
+    * amplitude of the first `nWin` full 16-sample windows — the coarse
+    * loudness contour an audio fingerprinter keys on. Read from the
+    * REAL codec output (the PCM bytes behind `getAudioInputStream`),
+    * not the generator.
+    */
+  private def envelopeOf(payload: Array[Byte], nWin: Int): Array[Long] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val body = ais.readAllBytes()
+    Array.tabulate(nWin) { w =>
+      var sum = 0L
+      var i = 16 * w
+      while (i < 16 * (w + 1)) {
+        sum += ((body(2 * i) & 0xff) | (body(2 * i + 1) << 8)).toShort.toLong
+        i += 1
+      }
+      sum / 16
+    }
+  }
+
+  /** mm_audio_near_dup — audio near-duplicate pairing on the envelope
+    * signature (the audio member of the near-dup family: text MinHash,
+    * image aHash, audio envelope). Docs collapse to DISTINCT signatures
+    * first; candidate pairs come from a width-(ε+1) bucket join on the
+    * envelope's first window (a signature pair within ε everywhere has
+    * first-window buckets differing by ≤ 1, so probing own+adjacent
+    * buckets is COMPLETE); the exact verify checks max per-window |Δ|
+    * ≤ ε. Kernel work ∝ candidate signature pairs — never corpus², the
+    * same posture as every other near-dup family here.
+    */
+  def audioNearDup(s: SparkSession, dir: String, eps: Long = 2,
+      nWin: Int = 4): DataFrame =
+    audioNearDupOf(t(s, dir, "documents"), eps, nWin)
+
+  /** Library-facing form over any DataFrame with a doc_id column. */
+  def audioNearDupOf(ids: DataFrame, eps: Long, nWin: Int): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val sigs = ids.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val env = envelopeOf(encodeWav(d), nWin)
+        (d, env.toSeq, env.map(v => f"$v%02x").mkString)
+      })
+      .toDF("doc_id", "env", "sig")
+    val cls = sigs.groupBy(col("sig"))
+      .agg(first(col("env")).as("env"), count(lit(1)).as("n_docs"),
+        min(element_at(col("env"), 1)).as("v0"))
+    // probe own + both adjacent buckets: a qualifying pair's buckets
+    // differ by ≤ 1, and the a<b output orientation must be reachable
+    // whichever side is lexically smaller
+    val probe = cls.select(col("sig"), col("env"), col("n_docs"),
+      explode(array(floor(col("v0") / (eps + 1)) - 1,
+        floor(col("v0") / (eps + 1)),
+        floor(col("v0") / (eps + 1)) + 1)).as("bkt"))
+    val build = cls.select(col("sig").as("b_sig"), col("env").as("b_env"),
+      col("n_docs").as("b_n_docs"),
+      floor(col("v0") / (eps + 1)).as("bkt"))
+    probe.join(build, Seq("bkt"))
+      .filter(col("sig") < col("b_sig"))
+      .select(col("sig").as("sig_a"), col("b_sig").as("sig_b"),
+        aggregate(zip_with(col("env"), col("b_env"),
+            (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => greatest(acc, x)).as("max_delta"),
+        col("n_docs").as("n_docs_a"), col("b_n_docs").as("n_docs_b"))
+      .distinct() // a pair can meet in two buckets
+      .filter(col("max_delta") <= eps)
+      .orderBy(col("sig_a"), col("sig_b"))
+  }
+
   /** 64-bit average hash (aHash) of one decoded frame: nearest-neighbor
     * resample to 8×8 (same floor rule as [[resizePayload]]), per-pixel
     * brightness s = r+g+b, bit(y·8+x) = 1 iff 64·s > Σs (mean threshold,

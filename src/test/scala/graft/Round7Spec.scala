@@ -303,6 +303,24 @@ class Round7Spec extends SparkSpecBase {
     }
   }
 
+  test("audio near-dup: bucket blocking ≡ brute force over envelope classes") {
+    val got = Multimodal.audioNearDupOf(
+        graft.Tables.t(spark, sfDir, "documents"), 2L, 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // brute force from the closed-form envelope (b+16w+7)
+    val bs = graft.Tables.t(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id")).collect()
+      .map(_.getLong(0) % 64).distinct.sorted
+    val want = (for {
+      a <- bs; b <- bs if a < b && b - a <= 2
+    } yield {
+      def sig(x: Long) = (0 until 4).map(w => f"${x + 16 * w + 7}%02x").mkString
+      (sig(a), sig(b), b - a)
+    }).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.exists(_._3 == 2) && got.exists(_._3 == 1)) // non-degenerate
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
