@@ -336,6 +336,20 @@ object TextAnalysis {
       // PrefixSum instantiates its input twice; truncate the minhash+
       // clustering lineage so the offset pass doesn't recompute it
       .localCheckpoint(true)
+    packShards(kept, budget, nShards)
+  }
+
+  /** The packing stage alone: greedy token-budget shard assignment of a
+    * (doc_id, n_toks) table by exclusive running token count in doc_id
+    * order, offset by `baseToks` tokens already packed. `baseToks` is
+    * what makes the stage INCREMENTAL: packing a batch that starts
+    * after `baseToks` accumulated tokens continues the exact global
+    * prefix a full rebuild would compute (prefix sums compose by
+    * offset), so append ≡ rebuild as long as batches arrive in doc_id
+    * order — the rebuild's own order. See [[appendShards]].
+    */
+  def packShards(kept: DataFrame, budget: Long, nShards: Int,
+      baseToks: Long = 0L): DataFrame = {
     val bounds = kept.agg(min(col("doc_id")).as("lo"),
       max(col("doc_id")).as("hi"))
     val sharded = kept.crossJoin(broadcast(bounds))
@@ -343,10 +357,31 @@ object TextAnalysis {
         PrefixSum.rangePid(col("doc_id"), col("lo"), col("hi"), nShards))
       .drop("lo", "hi")
     PrefixSum.shardedCumSum(sharded, Seq.empty, "pid", "doc_id", "n_toks")
-      .withColumn("shard_id", floor((col("cum") - col("n_toks")) / budget))
+      .withColumn("shard_id",
+        floor((col("cum") - col("n_toks") + baseToks) / budget))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** Incremental shard maintenance: pack a NEW batch (doc ids strictly
+    * above the packed range) continuing from the existing table's tail —
+    * old docs are never re-read; only their token total (one scalar off
+    * the existing SHARD table, not the corpus) seeds the offset, and the
+    * possibly half-full last shard merges with the batch's first rows.
+    * The append analogue of `Similarity.appendToLshIndex` for the shard
+    * layout.
+    */
+  def appendShards(existing: DataFrame, newKept: DataFrame, budget: Long,
+      nShards: Int): DataFrame = {
+    val prev = existing.agg(
+      coalesce(sum(col("tok_sum")), lit(0L)).as("base")).head.getLong(0)
+    existing.unionByName(packShards(newKept, budget, nShards, prev))
+      .groupBy(col("shard_id"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tok_sum")).as("tok_sum"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
       .orderBy(col("shard_id"))
   }
 

@@ -321,6 +321,28 @@ class Round7Spec extends SparkSpecBase {
     assert(got.exists(_._3 == 2) && got.exists(_._3 == 1)) // non-degenerate
   }
 
+  test("incremental shard append ≡ full rebuild on the union") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.{col, length}
+    val kept = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (length(col("text")).cast("long") % 97 + 1).as("n_toks"))
+      .localCheckpoint(true)
+    val cut = 250L // sf0.001 has doc_ids 0..499 — split mid-corpus
+    val gen0 = kept.filter(col("doc_id") < cut)
+    val delta = kept.filter(col("doc_id") >= cut)
+    val full = TextAnalysis.packShards(kept, 256L, 32).collect()
+    val incr = TextAnalysis.appendShards(
+      TextAnalysis.packShards(gen0, 256L, 32), delta, 256L, 32).collect()
+    def rows(a: Array[org.apache.spark.sql.Row]) =
+      a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows(incr) == rows(full))
+    // the seam is real: the rebuild's shard at the cut spans both gens
+    val seam = full.find(r => r.getLong(3) < cut && r.getLong(4) >= cut)
+    assert(seam.nonEmpty, "cut must land inside a shard for a real test")
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
