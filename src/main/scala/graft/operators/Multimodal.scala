@@ -704,9 +704,16 @@ object Multimodal {
     */
   private def materializeMediaDir(s: SparkSession, dir: String): String = {
     import s.implicits._
+    // key the fixture dir on the corpus SHAPE, not just the path: a
+    // regenerated corpus under the same path lands in a fresh directory
+    // instead of mixing with stale files the glob would still list
+    val shape = t(s, dir, "documents")
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_media_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      "graft_media_" + Integer.toHexString(
+        (dir, shape.getLong(0), shape.getLong(1), shape.getLong(2))
+          .hashCode)).getAbsolutePath
     t(s, dir, "documents").select(col("doc_id")).as[Long]
       .foreachPartition { (it: Iterator[Long]) =>
         new java.io.File(base).mkdirs()
