@@ -314,6 +314,9 @@ object SparkEntry {
     // exact max-|Δ| verify) — the audio member of the near-dup family
     "mm_audio_near_dup" ->
       ((s: SparkSession, d: String) => Multimodal.audioNearDup(s, d)),
+    // media dead-letter edge: poisoned payloads quarantine by error
+    // class, survivors decode untouched
+    "mm_media_quarantine" -> Multimodal.mediaQuarantine _,
   )
 
   /** DuckDB SQL fragments shared by several oracles. */
@@ -2057,6 +2060,20 @@ object SparkEntry {
         "FROM cls a, cls b WHERE a.ahash < b.ahash " +
         "AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2 " +
         "ORDER BY ahash_a, ahash_b"),
+    // poison ⇔ doc_id % 25 == 0 (even → bad magic, odd → truncation);
+    // survivor pixel mass is the mm_media_meta closed form
+    "mm_media_quarantine" ->
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "doc_id % 64 AS b, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS f, " +
+        "CASE WHEN doc_id % 25 <> 0 THEN 'ok' " +
+        "WHEN doc_id % 2 = 0 THEN 'bad_magic' ELSE 'truncated' END AS disposition " +
+        "FROM documents) " +
+        "SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN disposition = 'ok' THEN " +
+        "3*(w*h*(f*b + f*(f-1)//2) + f*(h*(w*(w-1)//2) + w*(h*(h-1)//2))) " +
+        "ELSE 0 END) AS BIGINT) AS px_sum " +
+        "FROM p GROUP BY 1 ORDER BY disposition"),
     // envelope window w mean = (16b + Σ(16w..16w+15))//16 = b+16w+7;
     // class = b, pairwise max |Δ| = |Δb|, sig hex order = b order
     "mm_audio_near_dup" ->

@@ -498,6 +498,44 @@ object Multimodal {
       .orderBy(col("doc_id"), col("window_idx"))
   }
 
+  /** mm_media_quarantine — the media-codec twin of the Avro dead-letter
+    * edge (`pipe_avro_quarantine`): a 100 TB media ingest WILL meet
+    * corrupt files, and a decode error must quarantine the asset, not
+    * kill the batch. Deterministic poison (every 25th doc: images get a
+    * garbage magic, video containers lose their tail so the last
+    * frame's `readFully` hits EOF) flows through a per-asset try/catch
+    * in the same partition-local decode pass; errors classify by type
+    * (`bad_magic` / `truncated`), good rows decode untouched. Gated on
+    * per-disposition counts + the decoded pixel mass of the survivors —
+    * which the oracle recomputes closed-form, proving the poison never
+    * leaked into good rows.
+    */
+  def mediaQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir)
+      .mapPartitions(_.map { a =>
+        val payload =
+          if (a.doc_id % 25 != 0) a.payload
+          else if (a.kind == "image") {
+            val p = a.payload.clone()
+            p(0) = 0xde.toByte; p(1) = 0xad.toByte
+            p(2) = 0xbe.toByte; p(3) = 0xef.toByte
+            p
+          } else a.payload.dropRight(10)
+        try {
+          val m = decodePayload(MediaAsset(a.doc_id, payload, a.kind))
+          ("ok", m.px_sum)
+        } catch {
+          case _: IllegalArgumentException => ("bad_magic", 0L)
+          case _: java.io.IOException => ("truncated", 0L)
+        }
+      })
+      .toDF("disposition", "px")
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n"), sum(col("px")).as("px_sum"))
+      .orderBy(col("disposition"))
+  }
+
   /** Audio envelope signature of one decoded payload: integer mean
     * amplitude of the first `nWin` full 16-sample windows — the coarse
     * loudness contour an audio fingerprinter keys on. Read from the

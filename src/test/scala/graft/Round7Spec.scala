@@ -343,6 +343,21 @@ class Round7Spec extends SparkSpecBase {
     assert(seam.nonEmpty, "cut must land inside a shard for a real test")
   }
 
+  test("media quarantine: poison classifies by error type, survivors decode untouched") {
+    val rows = Multimodal.mediaQuarantine(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ids = graft.Tables.t(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id")).collect()
+      .map(_.getLong(0))
+    val ok = ids.filter(_ % 25 != 0)
+    assert(rows("ok")._1 == ok.length)
+    assert(rows("bad_magic")._1 == ids.count(d => d % 25 == 0 && d % 2 == 0))
+    assert(rows("truncated")._1 == ids.count(d => d % 25 == 0 && d % 2 == 1))
+    val expectPx = ok.map(d => expectedMeta(d)._5).sum
+    assert(rows("ok")._2 == expectPx, "survivor pixel mass must be untouched")
+    assert(rows("bad_magic")._2 == 0 && rows("truncated")._2 == 0)
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
