@@ -546,6 +546,8 @@ object Multimodal {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     val body = ais.readAllBytes()
+    require(body.length >= 32 * nWin,
+      s"clip has ${body.length / 2} samples, needs ${16 * nWin} for $nWin windows")
     Array.tabulate(nWin) { w =>
       var sum = 0L
       var i = 16 * w
