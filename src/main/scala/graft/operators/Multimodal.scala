@@ -838,6 +838,38 @@ object Multimodal {
         .option("pathGlobFilter", "*.png")
         .load(mediaDir))
 
+  /** STREAMING quarantine — where the dead-letter tier stops being
+    * optional: a corrupt file in a FILE STREAM is not one lost batch
+    * but a permanently poisoned source (the failed batch replays from
+    * the checkpoint on every restart and kills the query again). The
+    * permissive decode classifies per file in the same pass — good
+    * files emit their decoded stats, poison emits a dead-letter row
+    * with the error — and the stream keeps committing offsets past it.
+    */
+  def binaryFileStreamPermissive(s: SparkSession, mediaDir: String): DataFrame = {
+    import s.implicits._
+    s.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", "*.png")
+      .load(mediaDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val id = "doc_(\\d+)\\.png".r
+        it.map { case (path, content) =>
+          val d = id.findFirstMatchIn(path).map(_.group(1).toLong).getOrElse(-1L)
+          try {
+            val m = decodePayload(MediaAsset(d, content, "image"))
+            (d, "ok", m.px_sum, null: String)
+          } catch {
+            case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
+              (d, "dead_letter", 0L, e.getMessage)
+          }
+        }
+      }
+      .toDF("doc_id", "disposition", "px_sum", "error")
+  }
+
   /** Corpus stats over mixed text/vector tables (SURVEY.md Q28): per
     * (lang, source) doc counts + exact avg char length, and the
     * embedding-dimension check join documents ⋈ embeddings.

@@ -358,6 +358,37 @@ class Round7Spec extends SparkSpecBase {
     assert(rows("bad_magic")._2 == 0 && rows("truncated")._2 == 0)
   }
 
+  test("streaming quarantine: a corrupt file dead-letters; the stream keeps going") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mstream_q").toFile
+    def land(d: Long, corrupt: Boolean): Unit = {
+      val bytes = Multimodal.encodePayload(d, "image")
+      if (corrupt) { bytes(0) = 0; bytes(1) = 0 }
+      val f = new java.io.FileOutputStream(
+        new java.io.File(dir, f"doc_$d%06d.png"))
+      try f.write(bytes) finally f.close()
+    }
+    land(0L, corrupt = false); land(2L, corrupt = true)
+    val q = Multimodal.binaryFileStreamPermissive(spark, dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("mstreamq")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("mstreamq").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(r1 == Map(0L -> "ok", 2L -> "dead_letter"))
+      // the poisoned source did NOT wedge the stream: new files flow
+      land(4L, corrupt = false)
+      q.processAllAvailable()
+      val r2 = spark.table("mstreamq").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(r2 == Map(0L -> "ok", 2L -> "dead_letter", 4L -> "ok"))
+      // good rows carry real decoded stats even next to poison
+      val px0 = spark.table("mstreamq").collect()
+        .find(_.getLong(0) == 0L).get.getLong(2)
+      assert(px0 == expectedMeta(0L)._5)
+    } finally q.stop()
+  }
+
   test("frame stats emit one decoded row per frame") {
     val rows = Multimodal.frameStats(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0))
