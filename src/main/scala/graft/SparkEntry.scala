@@ -122,6 +122,9 @@ object SparkEntry {
     // shards via the distributed prefix sum
     "pipe_train_shards" ->
       ((s: SparkSession, d: String) => TextAnalysis.trainShards(s, d)),
+    // within-document tile dedup (C4-family repetition removal)
+    "text_intra_dedup" ->
+      ((s: SparkSession, d: String) => TextAnalysis.intraDocDedup(s, d)),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_stratified_sample" -> TextAnalysis.stratifiedSample _,
     "text_repetition" -> TextAnalysis.repetitionScore _,
@@ -899,6 +902,21 @@ object SparkEntry {
       ("SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split " +
         "FROM (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket FROM documents) " +
         "ORDER BY doc_id"),
+    // tiles of 3 tokens, first occurrence kept per doc, survivors
+    // rejoin in order; string_agg skips the NULL dropped tiles
+    "text_intra_dedup" ->
+      (s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |nz AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0),
+         |t AS (SELECT doc_id, g.x AS pos,
+         |        array_to_string(list_slice(toks, g.x*3 + 1, g.x*3 + 3), ' ') AS tile_str
+         |      FROM nz, unnest(range((len(toks) + 2) // 3)) AS g(x)),
+         |f AS (SELECT doc_id, pos, tile_str,
+         |        MIN(pos) OVER (PARTITION BY doc_id, tile_str) AS first_pos FROM t)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         |  CAST(SUM(CASE WHEN pos = first_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(COUNT(*) - SUM(CASE WHEN pos = first_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  md5(string_agg(CASE WHEN pos = first_pos THEN tile_str END, ' ' ORDER BY pos)) AS cleaned_md5
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // canonical keeper + rep-bucket train filter + global window cumsum
     // (the oracle may use the single window the Spark plan must avoid)
     "pipe_train_shards" ->

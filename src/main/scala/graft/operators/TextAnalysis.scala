@@ -385,6 +385,55 @@ object TextAnalysis {
       .orderBy(col("shard_id"))
   }
 
+  /** text_intra_dedup — WITHIN-document repetition removal (the C4-family
+    * step; `text_span_dedup` is its ACROSS-corpus sibling): the token
+    * stream tiles into fixed 3-token chunks, a tile equal to an earlier
+    * tile of the same document is dropped, and the survivors rejoin in
+    * order. Keyed on an md5 of the tile text so neither engine needs
+    * array-valued grouping; wholly map-side + one (doc, tile)-keyed
+    * window + one doc-keyed agg — no cross-document work at all, so it
+    * scales embarrassingly. Emits counts plus the md5 of the cleaned
+    * text, which pins the reconstruction byte-for-byte.
+    */
+  def intraDocDedup(s: SparkSession, dir: String, tile: Int = 3): DataFrame =
+    intraDocDedupOf(t(s, dir, "documents"), tile)
+
+  /** Library-facing form over any (doc_id, text) DataFrame. */
+  def intraDocDedupOf(docs: DataFrame, tile: Int): DataFrame = {
+    // bind the token array in its own projection (the Catalyst no-CSE
+    // lesson), then tile with HOFs: tile i = slice(toks, i·t+1, t)
+    val tiles = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("toks")) + tile - 1) / lit(tile))
+              .cast(IntegerType) - 1),
+          i => concat_ws(" ", slice(col("toks"), i * tile + 1, tile)))))
+      .select(col("doc_id"), col("pos"), col("col").as("tile_str"))
+    val w = Window.partitionBy(col("doc_id"),
+      md5(col("tile_str").cast(BinaryType)))
+    tiles
+      .withColumn("first_pos", min(col("pos")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tiles"),
+        sum(when(col("pos") === col("first_pos"), 1L).otherwise(0L))
+          .as("n_kept"),
+        md5(array_join(
+          transform(
+            sort_array(filter(
+              collect_list(struct(col("pos"), col("tile_str"),
+                col("first_pos"))),
+              x => x.getField("pos") === x.getField("first_pos"))),
+            x => x.getField("tile_str")),
+          " ").cast(BinaryType)).as("cleaned_md5"))
+      .select(col("doc_id"), col("n_tiles"), col("n_kept"),
+        (col("n_tiles") - col("n_kept")).as("n_removed"), col("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top terms per document: tf = in-doc occurrences, idf =
     * ln(N/df) over the corpus, top-k by rounded score with token
     * tie-break. Two key-partitioned aggregations (doc,token → token) +
