@@ -410,7 +410,7 @@ object TextAnalysis {
           sequence(lit(0),
             floor((size(col("toks")) + tile - 1) / lit(tile))
               .cast(IntegerType) - 1),
-          i => concat_ws(" ", slice(col("toks"), i * tile + 1, tile)))))
+          i => concat_ws(" ", slice(col("toks"), i * tile + 1, lit(tile))))))
       .select(col("doc_id"), col("pos"), col("col").as("tile_str"))
     val w = Window.partitionBy(col("doc_id"),
       md5(col("tile_str").cast(BinaryType)))
