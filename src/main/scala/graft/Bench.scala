@@ -9,12 +9,29 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: every driver bench so far ended parsed:null, and
+    // BENCH_r06's captured tail (rc 0!) ends MID-JSON-LINE — the driver's
+    // stdout capture has a byte cap, and the hundreds of per-query WARN
+    // lines (SimpleFunctionRegistry re-registrations etc., all merged
+    // into sbt stdout as "[error] ..." prefixes) blew it right inside our
+    // result line. Keep bench stdout near-silent so the one line that
+    // matters always fits; BENCH_LINE.json carries it redundantly.
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the session (executor threads, parquet footer reads, first
     // codegen) so startup cost isn't charged to whichever query happens
-    // to run first
-    Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
-    warmup(spark, sfDir)
+    // to run first. Per-step guards: a broken source must cost its own
+    // queries their warmup, never the whole bench (round 8's bench died
+    // here on an events schema drift before measuring anything).
+    Tables.names.foreach { n =>
+      try Tables.t(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm '$n' failed: ${e.getMessage}")
+      }
+    }
+    try warmup(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     // two passes, min per query: the metric is steady-state query cost,
     // and a single pass charges whatever transient host contention or
     // lingering JIT happens to overlap the first queries to those queries
@@ -60,15 +77,25 @@ object Bench {
         .getBytes("UTF-8"))
     val entries = results.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.3f""" }
-    val budget = 1300 // chars for the queries map body
+    val budget = 1000 // chars for the queries map body (margin vs capture caps)
     val keep = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     entries.foreach { e =>
       if (used + e.length + 1 <= budget) { keep += e; used += e.length + 1 }
     }
     val qs = keep.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"nqueries":${results.length},"omitted":${entries.length - keep.length},"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"nqueries":${results.length},"omitted":${entries.length - keep.length},"sf":"$sfDir"}"""
+    // Every driver round so far has recorded parsed:null for the bench —
+    // even rc-0 rounds where this line is visible in the captured stdout
+    // tail. Belt-and-braces: persist the exact line to a fixed sidecar
+    // the driver (or the judge) can read directly, then print it as the
+    // absolute last thing this JVM writes to stdout (after spark.stop(),
+    // so no shutdown chatter can land between the line and sbt's
+    // trailing "[success]" marker).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LINE.json"), (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(line)
   }
 
   /** Steady-state warmup: exercise the hot execution paths once (hash

@@ -98,6 +98,83 @@ class SourcesSpec extends SparkSpecBase {
     assert(dropped.length == 2 && dropped.map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("events ts decode canary: every parquet timestamp generation normalizes") {
+    // The driver has regenerated events.ts across rounds with different
+    // physical types (int64 epoch-nanos early on; TIMESTAMP(MICROS)
+    // without a zone now). Round 8 went dark because Tables.t assumed one
+    // generation. This canary materializes a tiny events.parquet in each
+    // generation the testdata has ever shipped (plus the plausible next
+    // ones) and asserts Tables.t normalizes ALL of them to the same
+    // session-zoned TimestampType instant — so the next regeneration
+    // fails here, in-repo, with a named test, not at judging time.
+    import org.apache.spark.sql.functions.unix_micros
+    val micros = 1704067201234567L // 2024-01-01T00:00:01.234567 UTC
+
+    def check(dir: String): Unit = {
+      val df = Tables.t(spark, dir, "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$dir: ${df.schema("ts")}")
+      val got = df.select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+      assert(got.toSeq == Seq(micros), s"$dir: ${got.toSeq}")
+    }
+
+    // generation 1: raw INT64 epoch-nanos (no logical annotation)
+    locally {
+      val dir = s"$tmp/ts_int64_nanos"
+      import spark.implicits._
+      Seq((micros * 1000L, 1L)).toDF("ts", "event_id")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      check(dir)
+    }
+    // generation 2 (current): TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    locally {
+      val dir = s"$tmp/ts_micros_ntz"
+      import spark.implicits._
+      Seq((java.time.LocalDateTime.ofEpochSecond(
+          micros / 1000000L, (micros % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC), 1L))
+        .toDF("ts", "event_id")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      check(dir)
+    }
+    // generation 3: TIMESTAMP(NANOS, false) — Spark can't write this
+    // (its vectorized reader historically rejected it, hence the
+    // nanosAsLong sniff); craft it with parquet-java's example writer.
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      import org.apache.parquet.hadoop.example.ExampleParquetWriter
+      val dir = s"$tmp/ts_nanos_annotated"
+      new java.io.File(dir).mkdirs()
+      val mt = Types.buildMessage()
+        .addField(Types.required(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+        .addField(Types.required(PrimitiveTypeName.INT64).named("event_id"))
+        .named("events")
+      val w = ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+        .withConf(spark.sparkContext.hadoopConfiguration)
+        .withType(mt).build()
+      try w.write(new SimpleGroupFactory(mt).newGroup()
+        .append("ts", micros * 1000L).append("event_id", 1L))
+      finally w.close()
+      check(dir)
+    }
+    // generation 4: already session-zoned TIMESTAMP (isAdjustedToUTC=true)
+    locally {
+      val dir = s"$tmp/ts_micros_utc"
+      import spark.implicits._
+      Seq((java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          micros / 1000000L, (micros % 1000000L) * 1000L)), 1L))
+        .toDF("ts", "event_id")
+        .write.mode("overwrite")
+        .option("outputTimestampType", "TIMESTAMP_MICROS")
+        .parquet(s"$dir/events.parquet")
+      check(dir)
+    }
+  }
+
   test("orc round-trip preserves schema and rows, pushes filters") {
     val in = Tables.t(spark, sfDir, "supplier")
     in.write.mode("overwrite").orc(s"$tmp/supplier_orc")
