@@ -194,6 +194,10 @@ object SparkEntry {
     "sql_tpch_q20" -> Analytics.sqlTpchQ20 _,
     "sql_null_semantics" -> Analytics.sqlNullSemantics _,
     "text_decontam" -> TextAnalysis.decontamNgram _,
+    // bloom-prefiltered twin: identical output (no false negatives +
+    // exact confirm), fixed-size broadcast sketch instead of a broadcast
+    // gram table -- the non-broadcastable-eval-side scale path
+    "text_decontam_bloom" -> TextAnalysis.decontamBloom _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
     // the 8-byte-key production plan, gated on ≡ the string-keyed form
     "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
@@ -1694,6 +1698,17 @@ object SparkEntry {
         |ORDER BY type_a, type_b""".stripMargin),
     "sql_null_semantics" -> Analytics.nullSemanticsSql,
     "text_decontam" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        s"sh AS (SELECT doc_id, $shinglesSql AS s FROM d), " +
+        "ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0), " +
+        "tr AS (SELECT doc_id, len(s) AS n_grams, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0) " +
+        "SELECT doc_id, COUNT(*) AS n_shared, CAST(n_grams AS BIGINT) AS n_grams, " +
+        "round(COUNT(*) / CAST(n_grams AS DOUBLE), 6) AS frac " +
+        "FROM tr JOIN ev USING (g) GROUP BY doc_id, n_grams ORDER BY doc_id"),
+    // bloom twin gates against the SAME exact-decontam oracle: bloom has
+    // no false negatives and the plan exact-confirms candidates, so the
+    // sketch path must reproduce the exact answer row-for-row
+    "text_decontam_bloom" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         s"sh AS (SELECT doc_id, $shinglesSql AS s FROM d), " +
         "ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0), " +

@@ -550,6 +550,65 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-prefiltered benchmark decontamination — same answer as
+    * `decontamNgram` (same driver-gate split and oracle), different scale
+    * posture. Driver-gate split: eval = doc_id % 50 == 0.
+    */
+  def decontamBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomBridge.register(s)
+    val docs = t(s, dir, "documents")
+    decontamBloomOf(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Library-facing form. `decontamNgramOf` broadcasts the distinct eval
+    * gram TABLE; that posture caps out when the eval/blocklist side grows
+    * past broadcast size (large held-out suites, historical-corpus
+    * blocklists). Here the eval grams are first collapsed to a FIXED-SIZE
+    * bloom sketch (1 MiB regardless of row count — the same trick
+    * Catalyst's InjectRuntimeFilter plays on shuffle joins, via the same
+    * expressions), the train gram stream is prefiltered map-side against
+    * that broadcast sketch inside whole-stage codegen, and only the
+    * survivors — true matches + the fpp tail — reach the exact confirm
+    * join that removes false positives. Bloom filters have no false
+    * negatives, so prefilter + exact confirm ≡ the exact operator,
+    * row-for-row; the confirm join's input is candidate-proportional, so
+    * at 100 TB it can shuffle-join a non-broadcastable eval side without
+    * ever shuffling the full train gram stream.
+    */
+  def decontamBloomOf(train: DataFrame, evalSet: DataFrame): DataFrame = {
+    import graft.functions.BloomBridge
+    // same CSE-careful shingle build as decontamNgramOf (see the
+    // generator-pitfall notes there — binding order is load-bearing)
+    val trainSh = train
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(shingles3(col("toks"))).cast(LongType).as("n_grams"))
+      .select(col("doc_id"), col("n_grams"),
+        explode(shingles3(col("toks"))).as("g"))
+    val evalGrams = evalSet
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(shingles3(col("toks"))).as("g"))
+      .distinct()
+    // fixed-size sketch: 2^23 bits = 1 MiB, sized for ~1M grams at ~3% fpp;
+    // OR-merge makes the bytes order-deterministic. Enters the probe-side
+    // filter as a scalar subquery: executed once, inlined as a constant,
+    // so the train stream is filtered map-side with zero join machinery.
+    val sketch = evalGrams
+      .agg(BloomBridge.bloomAgg(BloomBridge.h(col("g")), 1L << 20, 1L << 23).as("bf"))
+    val candidates = trainSh
+      .filter(BloomBridge.mightContain(sketch, BloomBridge.h(col("g"))))
+    // exact confirm kills the fpp tail; eval fits broadcast at gate scale
+    // (at blocklist scale this becomes a shuffle join over candidates only)
+    candidates.join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared").cast(DoubleType) / col("n_grams"), 6).as("frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end corpus-prep pipeline — the composition a training-data
     * job actually runs, as ONE declarative plan Catalyst optimizes
     * whole: quality gate (token count) → exact dedup (first occurrence
