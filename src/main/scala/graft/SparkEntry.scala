@@ -94,6 +94,10 @@ object SparkEntry {
     "q31_session" -> Windows.q31Session _,
     "q31c_dynamic_session" -> Windows.q31cDynamicSession _,
     "dedup_exact_text" -> Dedup.exactText _,
+    // incremental ingest: batch-vs-snapshot novelty filter, bloom
+    // prefilter + digest-keyed exact confirm (row-identical to the
+    // anti-join the oracle runs)
+    "dedup_bloom_snapshot" -> Dedup.bloomSnapshotDedup _,
     "dedup_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     // bucket-occupancy cap contract: loose cap ≡ unbounded, tight cap
     // subset-only (the LSH megabucket guardrail)
@@ -853,6 +857,12 @@ object SparkEntry {
     "dedup_exact_text" ->
       ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents " +
         "GROUP BY text ORDER BY keep_id"),
+    // bloom path must reproduce the exact anti-join answer: no false
+    // negatives + exact confirm of sketch hits
+    "dedup_bloom_snapshot" ->
+      ("SELECT doc_id FROM documents b WHERE doc_id % 3 = 0 " +
+        "AND NOT EXISTS (SELECT 1 FROM documents s " +
+        "WHERE s.doc_id % 3 <> 0 AND s.text = b.text) ORDER BY doc_id"),
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_minhash_bounded" ->
       (s"SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, " +

@@ -1,17 +1,17 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+import org.apache.spark.sql.functions.xxhash64
 
 /** Column-API bridge to Spark's own bloom-filter machinery.
   *
   * Catalyst ships `BloomFilterAggregate` / `BloomFilterMightContain` for
-  * its runtime shuffle-join filters (InjectRuntimeFilter), but leaves
-  * them out of the public function registry. We register them under
-  * graft names through the same temp-function hook the analyzer uses for
-  * built-ins, so user plans can do explicitly what the optimizer does
+  * its runtime shuffle-join filters (InjectRuntimeFilter) but exposes
+  * neither in the public function registry, so this wraps the raw
+  * expressions into Columns directly — no session registration needed,
+  * any DataFrame plan can do explicitly what the optimizer does
   * implicitly: reduce a build side to a fixed-size bit-array sketch and
   * prefilter the probe side map-side before any join/shuffle.
   *
@@ -21,23 +21,15 @@ import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
   */
 object BloomBridge {
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    // bloom_agg(xxhash64-long, estimatedItems, numBits) -> binary sketch.
-    // Bit-OR merge is commutative, so the sketch bytes are deterministic
-    // under any partitioning/merge order.
-    reg.createOrReplaceTempFunction("graft_bloom_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
-      "built-in")
-    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
-      exprs => new BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
-  }
-
   /** Aggregate a LongType hash column into a bloom sketch of `numBits`
-    * bits sized for `estimatedItems` insertions.
+    * bits sized for `estimatedItems` insertions. Bit-OR merge is
+    * commutative, so the sketch bytes are deterministic under any
+    * partitioning/merge order.
     */
   def bloomAgg(hashed: Column, estimatedItems: Long, numBits: Long): Column =
-    call_function("graft_bloom_agg", hashed, lit(estimatedItems), lit(numBits))
+    GraftSqlShim.column(
+      new BloomFilterAggregate(GraftSqlShim.expression(hashed),
+        Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
 
   /** Membership probe; pair with the same xxhash64 used at build time.
     * No false negatives; false-positive rate set by numBits/items.
@@ -48,10 +40,10 @@ object BloomBridge {
     * executed once, result inlined).
     */
   def mightContain(sketchDf: org.apache.spark.sql.DataFrame, hashed: Column): Column =
-    org.apache.spark.sql.GraftSqlShim.column(
+    GraftSqlShim.column(
       new BloomFilterMightContain(
-        org.apache.spark.sql.GraftSqlShim.scalarSubquery(sketchDf),
-        org.apache.spark.sql.GraftSqlShim.expression(hashed)))
+        GraftSqlShim.scalarSubquery(sketchDf),
+        GraftSqlShim.expression(hashed)))
 
   /** Convenience: hash a value column the way the sketch expects. */
   def h(value: Column): Column = xxhash64(value)

@@ -27,6 +27,45 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Incremental-ingest dedup: which docs of a new batch are NOT already
+    * in the accumulated snapshot corpus? Driver-gate split: snapshot =
+    * doc_id % 3 ≠ 0, batch = doc_id % 3 = 0.
+    */
+  def bloomSnapshotDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    bloomSnapshotDedupOf(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 =!= 0))
+  }
+
+  /** Library-facing form. The naive plan anti-joins the batch against the
+    * full snapshot — at 100 TB that shuffles the accumulated corpus's
+    * digests every ingest tick. Here the snapshot collapses once into a
+    * fixed-size bloom sketch over xxhash64(text) (scalar subquery, same
+    * machinery as decontamBloom); batch rows that miss the sketch are
+    * definitively new (bloom has no false negatives) and short-circuit
+    * past any join, and only the sketch hits — true dups + the fpp tail,
+    * a candidate-proportional sliver — reach the exact anti-join confirm.
+    * The confirm joins on the 16-byte md5 digest, not the text payload,
+    * so its shuffle carries digests even when documents are megabytes.
+    */
+  def bloomSnapshotDedupOf(batch: DataFrame, snapshot: DataFrame): DataFrame = {
+    import graft.functions.BloomBridge
+    val sketch = snapshot
+      .select(xxhash64(col("text")).as("h")).distinct()
+      .agg(BloomBridge.bloomAgg(col("h"), 1L << 20, 1L << 23).as("bf"))
+    val probed = batch
+      .select(col("doc_id"), col("text"),
+        BloomBridge.mightContain(sketch, xxhash64(col("text"))).as("hit"))
+    val definitelyNew = probed.filter(!col("hit")).select(col("doc_id"))
+    val confirmedNew = probed.filter(col("hit"))
+      .select(col("doc_id"), md5(col("text")).as("d"))
+      .join(snapshot.select(md5(col("text")).as("d")).distinct(),
+        Seq("d"), "left_anti")
+      .select(col("doc_id"))
+    definitelyNew.union(confirmedNew).orderBy(col("doc_id"))
+  }
+
   /** (doc_id, shingle-hash) exploded pairs — the shared input of the
     * minhash and Jaccard paths. Shingles are collapsed to xxhash64 longs
     * immediately: every downstream join/groupBy/permutation then runs on

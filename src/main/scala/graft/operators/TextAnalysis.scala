@@ -555,7 +555,6 @@ object TextAnalysis {
     * posture. Driver-gate split: eval = doc_id % 50 == 0.
     */
   def decontamBloom(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.BloomBridge.register(s)
     val docs = t(s, dir, "documents")
     decontamBloomOf(
       docs.filter(col("doc_id") % 50 =!= 0),
