@@ -45,6 +45,19 @@ object BloomBridge {
         GraftSqlShim.scalarSubquery(sketchDf),
         GraftSqlShim.expression(hashed)))
 
+  /** Membership probe against already-materialized sketch bytes, inlined
+    * as a binary literal. The streaming-plan form: scalar subqueries
+    * don't exist inside a streaming query, but a bounded (1 MiB by
+    * construction) sketch computed once at query build is a legitimate
+    * plan constant — the micro-batches then filter map-side with zero
+    * per-batch joins or state.
+    */
+  def mightContain(sketchBytes: Array[Byte], hashed: Column): Column =
+    GraftSqlShim.column(
+      new BloomFilterMightContain(
+        Literal.create(sketchBytes, org.apache.spark.sql.types.BinaryType),
+        GraftSqlShim.expression(hashed)))
+
   /** Convenience: hash a value column the way the sketch expects. */
   def h(value: Column): Column = xxhash64(value)
 }

@@ -127,6 +127,39 @@ object StreamingOps {
       .withWatermark("ts", "5 seconds")
       .dropDuplicatesWithinWatermark("sig")
 
+  /** Streaming ingest novelty filter against an accumulated batch
+    * corpus — the streaming twin of the batch `dedup_bloom_snapshot`
+    * operator. The snapshot collapses ONCE at query build into a
+    * fixed-size bloom sketch whose bytes enter the streaming plan as a
+    * binary literal (a streaming query can't host the batch form's
+    * scalar subquery; a bounded 1 MiB constant is the equivalent), so
+    * every micro-batch probes map-side with no per-batch join and no
+    * state. Sketch misses pass through as definitively new (no false
+    * negatives); hits — true dups + the fpp tail — are exact-confirmed by
+    * a stream-static join against the snapshot digests that only ever
+    * sees the candidate sliver. Stream-static left_anti isn't in the
+    * supported-join matrix, so the confirm is the equivalent left-outer +
+    * null-filter, which is.
+    */
+  def noveltyFilterStream(docs: DataFrame, snapshot: DataFrame): DataFrame = {
+    import graft.functions.BloomBridge
+    val sketchBytes = snapshot
+      .select(xxhash64(col("text")).as("h")).distinct()
+      .agg(BloomBridge.bloomAgg(col("h"), 1L << 20, 1L << 23).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probed = docs.withColumn(
+      "hit", BloomBridge.mightContain(sketchBytes, xxhash64(col("text"))))
+    val fresh = probed.filter(!col("hit")).drop("hit")
+    val snapDigests = snapshot
+      .select(md5(col("text")).as("d"), lit(1).as("in_snap")).distinct()
+    val confirmed = probed.filter(col("hit")).drop("hit")
+      .withColumn("d", md5(col("text")))
+      .join(snapDigests, Seq("d"), "left_outer")
+      .filter(col("in_snap").isNull)
+      .drop("d", "in_snap")
+    fresh.unionByName(confirmed)
+  }
+
   /** Stream-stream interval join (Flink Table API's interval-join class):
     * clicks matched to purchases by the same user within 30 s after the
     * click. Both sides carry watermarks so the join state is bounded —

@@ -1,9 +1,11 @@
 package graft
 
+import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 
-/** Round-9 additions: the bloom-prefiltered decontamination twin and the
-  * BloomBridge expression surface it rides on.
+/** Round-9 additions: the bloom family (prefiltered decontamination,
+  * incremental snapshot dedup, streaming novelty filter) and the
+  * harness-robustness contracts from the round-8 verdict.
   */
 class Round9Spec extends SparkSpecBase {
 
@@ -53,6 +55,28 @@ class Round9Spec extends SparkSpecBase {
     val kept = operators.Dedup.bloomSnapshotDedupOf(b2, s2)
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(2L), s"expected only the novel doc, got $kept")
+  }
+
+  test("streaming novelty filter passes new docs and drops snapshot dups") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val snapshot = Seq((10L, "seen before"), (11L, "also seen"))
+      .toDF("doc_id", "text")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingOps
+      .noveltyFilterStream(src.toDF().toDF("doc_id", "text"), snapshot)
+      .writeStream.format("memory").queryName("novelty9")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "brand new"), (2L, "seen before"))
+      q.processAllAvailable()
+      src.addData((3L, "also seen"), (4L, "another new one"))
+      q.processAllAvailable()
+      val got = spark.table("novelty9").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == Set(1L, 4L), s"got $got")
+    } finally q.stop()
   }
 
   test("registerAll isolates a broken source: other views stay queryable") {
