@@ -7,7 +7,7 @@ object PlanPeek {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.local()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val q = graft.operators.TextAnalysis.decontamBloom(spark, dir)
+    val q = graft.operators.Dedup.bloomSnapshotDedup(spark, dir)
     q.collect()
     println(q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head)
     spark.stop()

@@ -110,6 +110,41 @@ class Round9Spec extends SparkSpecBase {
     }
   }
 
+  test("testdata schema pin: a driver regeneration that drifts fails HERE") {
+    // round 8 was lost to a silent testdata schema change discovered at
+    // judging. The events decode canary covers ts generations; this pin
+    // covers everything else — any column add/drop/retype in regenerated
+    // testdata now fails in-repo with a readable diff. Types are the
+    // POST-Tables.t view (events.ts normalized to session-zoned
+    // timestamp; NTZ elsewhere is the raw parquet type).
+    val expected = Map(
+      "region" -> "r_regionkey:int,r_name:string",
+      "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+      "customer" -> ("c_custkey:bigint,c_name:string,c_nationkey:int," +
+        "c_acctbal:double,c_mktsegment:string"),
+      "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+      "part" -> ("p_partkey:bigint,p_name:string,p_brand:string,p_type:string," +
+        "p_size:int,p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string," +
+        "o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint," +
+        "l_linenumber:int,l_quantity:double,l_extendedprice:double," +
+        "l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string," +
+        "l_shipdate:timestamp_ntz"),
+      "events" -> ("event_id:bigint,ts:timestamp,user_id:bigint," +
+        "event_type:string,value:double,props:string"),
+      "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+      "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+    val drift = Tables.names.flatMap { n =>
+      val got = Tables.t(spark, sfDir, n).schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      if (got == expected(n)) None
+      else Some(s"$n:\n  expected ${expected(n)}\n  got      $got")
+    }
+    assert(drift.isEmpty,
+      s"testdata schema drift — update Tables.t/queries for:\n${drift.mkString("\n")}")
+  }
+
   test("bloom prefilter runs map-side: no join for the sketch probe") {
     val bloom = operators.TextAnalysis.decontamBloom(spark, sfDir)
     bloom.collect()
