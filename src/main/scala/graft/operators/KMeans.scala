@@ -65,7 +65,21 @@ object KMeans {
   /** Library-facing form over any (vec_id, embedding) DataFrame; seeds
     * from the k lowest vec_ids present.
     */
-  def kmeansOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansOf(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    assignmentsOf(emb, k, iters)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("d2")).cast(DoubleType), 4).as("inertia"))
+      .select(col("cid").cast("long").as("cluster"),
+        col("n_members"), col("inertia"))
+      .orderBy(col("cluster"))
+
+  /** Final (vec_id, cid, d2) assignment table after `iters` Lloyd's
+    * iterations — the consumable form operators that PARTITION by cluster
+    * (SemDeDup-style semantic dedup) build on, with the same quantized
+    * arithmetic the emb_kmeans gate pins bit-exactly.
+    */
+  def assignmentsOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val vecs = longVecs(emb).localCheckpoint(true)
     val seedIds = vecs.select(col("vec_id")).distinct()
       .orderBy(col("vec_id")).limit(k)
@@ -83,11 +97,5 @@ object KMeans {
           count(lit(1)), 6).as("c"))
     }
     assign(vecs, cent)
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"),
-        round(sum(col("d2")).cast(DoubleType), 4).as("inertia"))
-      .select(col("cid").cast("long").as("cluster"),
-        col("n_members"), col("inertia"))
-      .orderBy(col("cluster"))
   }
 }

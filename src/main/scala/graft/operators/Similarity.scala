@@ -425,6 +425,39 @@ object Similarity {
     * the cluster's parallelism (B ≈ √cores); kernel-eval total is
     * unchanged, only the distribution strategy.
     */
+  /** SemDeDup-style semantic dedup: k-means partitions the corpus, then
+    * near-duplicate pruning runs WITHIN each cluster only — the pairwise
+    * kernel never crosses cluster boundaries, so total work is
+    * Σ|cluster|², bounded by choosing k proportional to corpus size
+    * (SemDeDup's own recipe: cluster count grows with the corpus so
+    * cluster cardinality stays fixed, keeping the per-cluster quadratic
+    * constant-sized while the clustering itself stays one broadcast-
+    * centroid assignment pass). Dedup rule, deterministic: within a
+    * cluster, any vector whose cosine to a LOWER-id cluster-mate meets
+    * the threshold is dropped; the lowest id of each semantic group
+    * survives. Output: every vector with its cluster and kept verdict.
+    */
+  def semDedup(s: SparkSession, dir: String, k: Int = 4, iters: Int = 2,
+      thr: Double = 0.4): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val asg = KMeans.assignmentsOf(emb, k, iters)
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    val e = emb.join(asg, "vec_id")
+    // cluster-blocked pair generation: equi-join on cid (key-partitioned
+    // shuffle), ids ordered so each unordered pair appears once
+    val a = e.select(col("cid"), col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = e.select(col("cid"), col("vec_id").as("j"), col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("i") < col("j"))
+      .filter(VectorFunctions.cosineSim(col("ea"), col("eb")) >= thr)
+      .select(col("j").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+        col("dup").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   def embeddingNearDup(s: SparkSession, dir: String, blocks: Int = 16,
       thr: Double = 0.4): DataFrame = {
     VectorFunctions.register(s)

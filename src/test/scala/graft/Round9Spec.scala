@@ -110,6 +110,35 @@ class Round9Spec extends SparkSpecBase {
     }
   }
 
+  test("semdedup: cluster-confined pruning, lowest id of each group survives") {
+    val out = operators.Similarity.semDedup(spark, sfDir).cache()
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    // total coverage: one verdict row per corpus vector
+    assert(out.count() == emb.count())
+    // every drop is justified: a dropped vector has a kept-or-dropped
+    // LOWER-id cluster-mate at cosine >= thr (the defining rule), and the
+    // minimum vec_id of every cluster is always kept
+    val minIds = out.groupBy(col("cluster")).agg(min(col("vec_id")).as("vec_id"))
+      .join(out, Seq("vec_id"))
+    assert(minIds.filter(!col("kept")).count() == 0,
+      "a cluster's lowest vec_id was dropped")
+    // cross-check against the unclustered blocked near-dup pairs: any
+    // SAME-CLUSTER pair at >= thr must have its higher id dropped
+    graft.functions.VectorFunctions.register(spark)
+    val asg = out.select(col("vec_id"), col("cluster"))
+    val pairs = operators.Similarity.embeddingNearDup(spark, sfDir)
+      .join(asg.withColumnRenamed("vec_id", "i")
+        .withColumnRenamed("cluster", "ca"), "i")
+      .join(asg.withColumnRenamed("vec_id", "j")
+        .withColumnRenamed("cluster", "cb"), "j")
+      .filter(col("ca") === col("cb"))
+    val undropped = pairs
+      .join(out.filter(col("kept")).select(col("vec_id").as("j")), "j")
+    assert(undropped.count() == 0,
+      s"${undropped.count()} same-cluster dup pairs whose higher id survived")
+    out.unpersist()
+  }
+
   test("testdata schema pin: a driver regeneration that drifts fails HERE") {
     // round 8 was lost to a silent testdata schema change discovered at
     // judging. The events decode canary covers ts generations; this pin
