@@ -207,6 +207,23 @@ object ScaleProbe {
     def theta(e: DataFrame) = operators.SketchRollup.thetaAudienceOf(e)
     def omatrix(e: DataFrame) = operators.SketchRollup.overlapMatrixOf(e)
 
+    // bloom decontam: 1 MiB sketch regardless of k; probe is map-side, so
+    // cost is one pass over the train grams — expect near-linear
+    def decb(docs: DataFrame) = operators.TextAnalysis.decontamBloomOf(
+      docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0))
+    // snapshot novelty: map-side probe + candidate-only confirm —
+    // near-linear (replica texts are distinct, so candidates stay sparse)
+    def snap(docs: DataFrame) = operators.Dedup.bloomSnapshotDedupOf(
+      docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 =!= 0))
+    // semdedup under the SemDeDup scaling recipe: cluster count grows
+    // with the corpus (4 → 4k), holding cell cardinality fixed so the
+    // within-cell quadratic kernel stays constant-sized per cell —
+    // expect near-linear. (Fixed k would grow cells k× and the kernel
+    // k²×; that is the documented anti-pattern, not a bug.)
+    graft.functions.VectorFunctions.register(spark)
+    def sem(e: DataFrame, clusters: Int) =
+      operators.Similarity.semDedupOf(e, clusters, 2, 0.4)
+
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
       ("kll_cube", time(noop(qcube(eA1))), time(noop(qcube(eAK)))),
@@ -231,7 +248,10 @@ object ScaleProbe {
       ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))),
       ("audio_windows", time(noop(audioW(docs1c))), time(noop(audioW(docsK)))),
       ("ahash_near_dup", time(noop(ahashNd(docs1c))), time(noop(ahashNd(docsK)))),
-      ("train_shards", time(noop(shards(docs1c))), time(noop(shards(docsK)))))
+      ("train_shards", time(noop(shards(docs1c))), time(noop(shards(docsK)))),
+      ("decontam_bloom", time(noop(decb(docs1c))), time(noop(decb(docsK)))),
+      ("snapshot_dedup", time(noop(snap(docs1c))), time(noop(snap(docsK)))),
+      ("semdedup", time(noop(sem(emb1, 4))), time(noop(sem(embK, 4 * k)))))
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

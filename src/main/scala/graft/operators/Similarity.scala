@@ -440,7 +440,14 @@ object Similarity {
   def semDedup(s: SparkSession, dir: String, k: Int = 4, iters: Int = 2,
       thr: Double = 0.4): DataFrame = {
     VectorFunctions.register(s)
-    val emb = t(s, dir, "embeddings")
+    semDedupOf(t(s, dir, "embeddings"), k, iters, thr)
+  }
+
+  /** Library-facing form over any (vec_id, embedding) DataFrame. Caller
+    * must have run `VectorFunctions.register` on the session (the cosine
+    * kernel resolves through the function registry).
+    */
+  def semDedupOf(emb: DataFrame, k: Int, iters: Int, thr: Double): DataFrame = {
     val asg = KMeans.assignmentsOf(emb, k, iters)
       .select(col("vec_id"), col("cid")).localCheckpoint(true)
     val e = emb.join(asg, "vec_id")
