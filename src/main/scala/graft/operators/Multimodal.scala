@@ -355,6 +355,45 @@ object Multimodal {
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
+    // canonical 44-byte RIFF/WAVE PCM container, byte-identical to what
+    // AudioSystem.write produces for this format (certified by the
+    // codec-equivalence spec against encodeWavJdk). Hand-assembled
+    // because AudioSystem's per-call provider lookup serializes on a
+    // JVM-global registry: measured wall time for the 8x corpus was the
+    // SAME at 4 and at 32 executor threads — the codec path flatlined
+    // multi-core throughput, which at cluster scale would cap every
+    // audio operator at single-thread speed per executor JVM.
+    val dataSize = pcm.length
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(16000) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      .put(pcm)
+    out.array()
+  }
+
+  /** The JDK-codec encoder the fast path is certified against (spec
+    * asserts byte-identity); not used on the hot path.
+    */
+  private[graft] def encodeWavJdk(d: Long): Array[Byte] = {
+    val n = 64 + (d % 64).toInt
+    val base = (d % 64).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = base + i
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
@@ -364,12 +403,77 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL WAV DECODE: `AudioSystem.getAudioInputStream` parses the RIFF
-    * header (format, rate, channels come from the codec, not the
-    * generator), the PCM body is drained and the signed little-endian
-    * samples summed (amplitude mass + energy).
+  /** Parsed WAV container: format fields from the fmt chunk, raw PCM
+    * bytes from the data chunk.
+    */
+  private[graft] final case class WavClip(
+      channels: Int, sampleRate: Int, bitsPerSample: Int, pcm: Array[Byte]) {
+    def frames: Long = pcm.length.toLong / (channels * bitsPerSample / 8)
+  }
+
+  /** REAL WAV DECODE, lock-free: a full RIFF chunk walk — verifies the
+    * RIFF/WAVE magic, locates the fmt and data chunks wherever they sit
+    * (skipping unknown chunks with even-byte padding, per spec), and
+    * reads format/rate/width from the container, not the generator.
+    * Replaces `AudioSystem.getAudioInputStream` on hot paths because the
+    * JDK entry point takes a JVM-global provider-registry lock per call
+    * (see encodeWav); decode-equivalence against the JDK codec is
+    * certified by spec (`decodeWavJdk`).
+    */
+  private[graft] def parseWav(docId: Long, payload: Array[Byte]): WavClip = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"doc $docId: not a RIFF container")
+    bb.getInt // declared riff size (trust the chunk walk, not this)
+    require(fourcc() == "WAVE", s"doc $docId: RIFF but not WAVE")
+    var channels = -1; var rate = -1; var bits = -1
+    var pcm: Array[Byte] = null
+    while (bb.remaining() >= 8 && (pcm == null || channels < 0)) {
+      val id = fourcc(); val sz = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + sz
+          val audioFormat = bb.getShort
+          require(audioFormat == 1, s"doc $docId: non-PCM WAV ($audioFormat)")
+          channels = bb.getShort.toInt
+          rate = bb.getInt
+          bb.getInt // byte rate
+          bb.getShort // block align
+          bits = bb.getShort.toInt
+          bb.position(fmtEnd)
+        case "data" =>
+          pcm = new Array[Byte](sz); bb.get(pcm)
+        case _ => // skip unknown chunk, padded to even length
+          bb.position(bb.position() + sz + (sz & 1))
+      }
+    }
+    require(channels > 0 && pcm != null, s"doc $docId: missing fmt/data chunk")
+    require(bits == 16, s"doc $docId: unexpected sample width $bits")
+    WavClip(channels, rate, bits, pcm)
+  }
+
+  /** Decoded header fields + amplitude mass/energy of the PCM body
+    * (signed little-endian 16-bit samples).
     */
   private[graft] def decodeWav(docId: Long, payload: Array[Byte]):
+      (Long, Long, Long, Long, Long) = {
+    val clip = parseWav(docId, payload)
+    val body = clip.pcm
+    var ampSum = 0L; var ampSq = 0L
+    var i = 0
+    while (i + 1 < body.length) {
+      val v = ((body(i) & 0xff) | (body(i + 1) << 8)).toShort.toLong
+      ampSum += v; ampSq += v * v
+      i += 2
+    }
+    (clip.channels.toLong, clip.sampleRate.toLong, clip.frames, ampSum, ampSq)
+  }
+
+  /** The JDK-codec decode the chunk walker is certified against. */
+  private[graft] def decodeWavJdk(docId: Long, payload: Array[Byte]):
       (Long, Long, Long, Long, Long) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -477,9 +581,7 @@ object Multimodal {
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { d =>
         val payload = encodeWav(d)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        val body = ais.readAllBytes()
+        val body = parseWav(d, payload).pcm
         val n = body.length / 2
         (0 until (n + win - 1) / win).map { wi =>
           val lo = wi * win
@@ -543,9 +645,7 @@ object Multimodal {
     * not the generator.
     */
   private def envelopeOf(payload: Array[Byte], nWin: Int): Array[Long] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val body = ais.readAllBytes()
+    val body = parseWav(-1L, payload).pcm
     require(body.length >= 32 * nWin,
       s"clip has ${body.length / 2} samples, needs ${16 * nWin} for $nWin windows")
     Array.tabulate(nWin) { w =>
