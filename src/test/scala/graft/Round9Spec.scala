@@ -174,6 +174,34 @@ class Round9Spec extends SparkSpecBase {
       s"testdata schema drift — update Tables.t/queries for:\n${drift.mkString("\n")}")
   }
 
+  test("fused tokens/shingles equal the regexp/composed reference forms") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    // corpus-wide: every document tokenizes and shingles identically
+    val docs = Tables.t(spark, sfDir, "documents")
+    val cmp = docs.select(
+      TextFunctions.tokens(col("text")).as("fast_t"),
+      TextFunctions.tokensRegex(col("text")).as("ref_t"))
+      .withColumn("fast_s", TextFunctions.shingles3(col("fast_t")))
+      .withColumn("ref_s", TextFunctions.shingles3Composed(col("ref_t")))
+    assert(cmp.filter(col("fast_t") =!= col("ref_t")).count() == 0, "token drift")
+    assert(cmp.filter(col("fast_s") =!= col("ref_s")).count() == 0, "shingle drift")
+    // adversarial: unicode case expansion (İ lowercases to i + combining
+    // dot — the ASCII scan must agree because it runs AFTER the same
+    // unicode lowercase), multi-byte chars, digits, empties, punct runs
+    val hard = Seq("", " ", "İstanbul ŞEHİR", "straße GROSS", "日本語 text42",
+      "a-b_c d", "42", "ALL CAPS!!!", "éclair", "x" * 5000,
+      "one two three four five one two three").toDF("text")
+    val hc = hard.select(
+      TextFunctions.tokens(col("text")).as("fast_t"),
+      TextFunctions.tokensRegex(col("text")).as("ref_t"))
+      .withColumn("fast_s", TextFunctions.shingles3(col("fast_t")))
+      .withColumn("ref_s", TextFunctions.shingles3Composed(col("ref_t")))
+    val bad = hc.filter(col("fast_t") =!= col("ref_t") ||
+      col("fast_s") =!= col("ref_s"))
+    assert(bad.count() == 0, s"adversarial drift:\n${bad.collect().mkString("\n")}")
+  }
+
   test("wav fast path is byte- and value-identical to the JDK codec") {
     // the hot paths hand-assemble/chunk-walk RIFF/WAVE because
     // AudioSystem's per-call provider lookup serializes on a JVM-global
