@@ -117,6 +117,9 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_rolling_fp" -> TextAnalysis.rollingFingerprint _,
+    // content-defined chunk dedup: shift-resistant boundaries from the
+    // trailing-window rolling hash; digest-keyed shuffles
+    "text_cdc_chunks" -> TextAnalysis.cdcChunkDedup _,
     "text_redact" -> TextAnalysis.redactPii _,
     "text_train_split" -> TextAnalysis.trainValSplit _,
     // leakage-safe split: near-dup clusters never straddle train/val
@@ -460,6 +463,21 @@ object SparkEntry {
         "COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f, " +
         "COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // boundary rule replicated positionally: window fold over bs[p-7:p],
+    // cut where hash % 64 == 0, final chunk to end; counts compare, the
+    // Spark side shuffles digests not strings
+    "text_cdc_chunks" ->
+      ("WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '[^a-z0-9]+', ' ', 'g') AS norm FROM documents), " +
+        "b AS (SELECT doc_id, norm, [CAST(ord(substr(norm, i, 1)) AS BIGINT) for i in range(1, length(norm)+1)] AS bs FROM d), " +
+        "c AS (SELECT doc_id, norm, len(bs) AS n, " +
+        "[p for p in range(8, len(bs)+1) " +
+        "if list_reduce([CAST(0 AS BIGINT)] || bs[p-7:p], (a, x) -> (a * 257 + x) % 1000000000000037) % 64 = 0] AS cuts FROM b), " +
+        "e AS (SELECT doc_id, norm, list_sort(list_distinct([0] || cuts || [n])) AS edges FROM c), " +
+        "ch AS (SELECT doc_id, unnest([substr(norm, edges[i] + 1, edges[i+1] - edges[i]) for i in range(1, len(edges))]) AS chunk FROM e), " +
+        "g AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk) " +
+        "SELECT ch.doc_id, COUNT(*) AS n_chunks, " +
+        "CAST(SUM(CASE WHEN g.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared " +
+        "FROM ch JOIN g USING (chunk) GROUP BY ch.doc_id ORDER BY ch.doc_id"),
     "text_rolling_fp" ->
       ("SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
         "[CAST(ord(substr(norm, i, 1)) AS BIGINT) for i in range(1, length(norm)+1)], " +

@@ -77,6 +77,58 @@ case class Shingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Content-defined chunking (the storage-dedup primitive applied to
+  * text): a cut falls after byte position p whenever the polynomial hash
+  * of the trailing 8-byte window — the same fold as [[RollingHash]],
+  * init 0, mod 10¹⁵+37 — is ≡ 0 (mod 64), giving ~64-byte
+  * expected chunks whose boundaries depend only on LOCAL content.
+  * Insertions/deletions re-align after one window, so shared runs
+  * between documents keep producing identical chunks — the
+  * shift-resistance the fixed-tile span dedup (`text_span_dedup`)
+  * definitionally lacks. The final chunk always ends at the last byte.
+  * Input is expected to be the normalized ASCII form (lower + non-alnum
+  * collapsed), which makes byte positions = character positions and the
+  * DuckDB oracle's `ord(substr(...))` replication exact.
+  */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  protected override def nullSafeEval(input: Any): Any =
+    CdcChunks.chunks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CdcChunks.chunks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  private val M = 1000000000000037L
+  private val W = 8
+
+  def chunks(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[UTF8String](8)
+    var prev = 0
+    var p = W // exclusive end of the candidate window, in bytes
+    while (p <= n) {
+      var h = 0L
+      var j = p - W
+      while (j < p) { h = (h * 257L + (b(j) & 0xffL)) % M; j += 1 }
+      if (h % 64L == 0L && p > prev) {
+        out.add(UTF8String.fromBytes(b, prev, p - prev)); prev = p
+      }
+      p += 1
+    }
+    if (prev < n) out.add(UTF8String.fromBytes(b, prev, n - prev))
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object Shingles3 {
   private val Space = ' '.toByte
 

@@ -550,6 +550,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunk dedup — per-document chunk counts plus how
+    * many of each doc's chunks also occur in OTHER documents. Chunk
+    * boundaries come from `CdcChunks` (trailing-window rolling hash, ~64
+    * byte expected size), so shared text runs chunk identically in every
+    * document that contains them regardless of surrounding insertions —
+    * the shift-resistant complement to the fixed-tile `text_span_dedup`.
+    * Scale posture: chunk strings never leave the map side — the
+    * frequency groupBy and the share join are keyed on the 8-byte
+    * xxhash64 digest of the chunk, so shuffle width is constant no
+    * matter how large chunks grow.
+    */
+  def cdcChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      regexp_replace(trim(lower(col("text"))), "[^a-z0-9]+", " ").as("norm"))
+    val ch = d.select(col("doc_id"),
+      explode(GraftSqlShim.column(graft.functions.CdcChunks(
+        GraftSqlShim.expression(col("norm"))))).as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+    val g = ch.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    ch.join(g, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom-prefiltered benchmark decontamination — same answer as
     * `decontamNgram` (same driver-gate split and oracle), different scale
     * posture. Driver-gate split: eval = doc_id % 50 == 0.

@@ -202,6 +202,34 @@ class Round9Spec extends SparkSpecBase {
     assert(bad.count() == 0, s"adversarial drift:\n${bad.collect().mkString("\n")}")
   }
 
+  test("cdc chunks are lossless and shift-resistant") {
+    import org.apache.spark.sql.GraftSqlShim
+    import spark.implicits._
+    def chunksOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      GraftSqlShim.column(graft.functions.CdcChunks(
+        GraftSqlShim.expression(col("norm")))).as("chunks"))
+    // losslessness: concatenating a doc's chunks reconstructs the input
+    val d = Tables.t(spark, sfDir, "documents").select(col("doc_id"),
+      regexp_replace(trim(lower(col("text"))), "[^a-z0-9]+", " ").as("norm"))
+    val bad = chunksOf(d).join(d, "doc_id")
+      .filter(concat_ws("", col("chunks")) =!= col("norm"))
+    assert(bad.count() == 0, "chunk concatenation does not reconstruct input")
+    // shift-resistance (the property fixed tiles lack): prepend an edit
+    // and the chunk sets must still largely agree — boundaries re-align
+    // once the 8-byte window clears the edit, so only the chunks touching
+    // the edit can change
+    val base = d.filter(col("doc_id") === 1).select(col("norm"))
+      .collect()(0).getString(0)
+    val orig = Seq((1L, base)).toDF("doc_id", "norm")
+    val shifted = Seq((1L, "zq9 edit prefix 17 " + base)).toDF("doc_id", "norm")
+    val a = chunksOf(orig).collect()(0).getSeq[String](1).toSet
+    val b = chunksOf(shifted).collect()(0).getSeq[String](1).toSet
+    assert(a.size >= 3, s"doc 1 too short for the property (got ${a.size} chunks)")
+    val surviving = (a intersect b).size
+    assert(surviving >= a.size - 2,
+      s"only $surviving/${a.size} chunks survived a prefix edit")
+  }
+
   test("wav fast path is byte- and value-identical to the JDK codec") {
     // the hot paths hand-assemble/chunk-walk RIFF/WAVE because
     // AudioSystem's per-call provider lookup serializes on a JVM-global
