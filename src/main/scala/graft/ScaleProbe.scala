@@ -215,6 +215,21 @@ object ScaleProbe {
     // near-linear (replica texts are distinct, so candidates stay sparse)
     def snap(docs: DataFrame) = operators.Dedup.bloomSnapshotDedupOf(
       docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 =!= 0))
+    // cdc chunking: map-side boundary scan + digest-keyed frequency join
+    // — expect near-linear (replica texts are distinct, sharing sparse)
+    def cdc(docs: DataFrame) = {
+      import org.apache.spark.sql.GraftSqlShim
+      val d = docs.select(col("doc_id"),
+        regexp_replace(trim(lower(col("text"))), "[^a-z0-9]+", " ").as("norm"))
+      val ch = d.select(col("doc_id"),
+        explode(GraftSqlShim.column(graft.functions.CdcChunks(
+          GraftSqlShim.expression(col("norm"))))).as("chunk"))
+        .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+      val g = ch.groupBy(col("h")).agg(count_distinct(col("doc_id")).as("nd"))
+      ch.join(g, "h").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    }
     // semdedup under the SemDeDup scaling recipe: cluster count grows
     // with the corpus (4 → 4k), holding cell cardinality fixed so the
     // within-cell quadratic kernel stays constant-sized per cell —
@@ -250,6 +265,7 @@ object ScaleProbe {
       ("ahash_near_dup", time(noop(ahashNd(docs1c))), time(noop(ahashNd(docsK)))),
       ("train_shards", time(noop(shards(docs1c))), time(noop(shards(docsK)))),
       ("decontam_bloom", time(noop(decb(docs1c))), time(noop(decb(docsK)))),
+      ("cdc_chunks", time(noop(cdc(docs1c))), time(noop(cdc(docsK)))),
       ("snapshot_dedup", time(noop(snap(docs1c))), time(noop(snap(docsK)))),
       ("semdedup", time(noop(sem(emb1, 4))), time(noop(sem(embK, 4 * k)))))
     println(f"k=$k  (ideal linear ratio = $k%d)")
