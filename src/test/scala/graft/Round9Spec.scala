@@ -263,6 +263,27 @@ class Round9Spec extends SparkSpecBase {
       "chunk walker mishandled a LIST chunk before data")
   }
 
+  test("plan hygiene: new operators never go cartesian, joins stay keyed") {
+    // semdedup's pair generation must be the cid equi-join, not a cross
+    // product that a predicate-pushdown regression could silently leave
+    val sem = operators.Similarity.semDedup(spark, sfDir)
+    sem.collect()
+    val semPlan = sem.queryExecution.executedPlan.toString
+    assert(!semPlan.contains("CartesianProduct"),
+      s"semdedup went cartesian:\n${semPlan.take(1200)}")
+    // cdc's share join is digest-keyed: chunk strings must not appear as
+    // join/partition keys anywhere in the physical plan
+    val cdc = operators.TextAnalysis.cdcChunkDedup(spark, sfDir)
+    cdc.collect()
+    val cdcPlan = cdc.queryExecution.executedPlan.toString
+    assert(!cdcPlan.contains("CartesianProduct"), "cdc went cartesian")
+    val chunkKeyed = cdcPlan.linesIterator.exists(l =>
+      (l.contains("Exchange hashpartitioning") || l.contains("HashJoin")) &&
+        l.contains("chunk#"))
+    assert(!chunkKeyed,
+      s"cdc shuffles/joins on chunk strings:\n${cdcPlan.take(1200)}")
+  }
+
   test("bloom prefilter runs map-side: no join for the sketch probe") {
     val bloom = operators.TextAnalysis.decontamBloom(spark, sfDir)
     bloom.collect()
