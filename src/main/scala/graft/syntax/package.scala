@@ -54,6 +54,27 @@ package object syntax {
       */
     def containmentPairs(thrNum: Int = 9, thrDen: Int = 10): DataFrame =
       operators.Dedup.containmentOf(df, thrNum, thrDen)
+
+    /** Benchmark decontamination against an eval set via the fixed-size
+      * bloom sketch (exact answer: no false negatives + exact confirm).
+      * Expects (doc_id, text) on both sides.
+      */
+    def decontamAgainst(evalSet: DataFrame): DataFrame =
+      operators.TextAnalysis.decontamBloomOf(df, evalSet)
+
+    /** Ingest novelty filter: doc_ids of rows NOT already in `snapshot`
+      * by exact text, bloom-prefiltered. Expects (doc_id, text).
+      */
+    def novelAgainst(snapshot: DataFrame): DataFrame =
+      operators.Dedup.bloomSnapshotDedupOf(df, snapshot)
+
+    /** Content-defined chunks of a string column — shift-resistant
+      * boundaries, ~64-byte expected size.
+      */
+    def cdcChunks(textCol: String): Column =
+      org.apache.spark.sql.GraftSqlShim.column(
+        graft.functions.CdcChunks(
+          org.apache.spark.sql.GraftSqlShim.expression(col(textCol))))
   }
 
   implicit class GraftAggOps(private val df: DataFrame) {
@@ -112,6 +133,15 @@ package object syntax {
   }
 
   implicit class GraftVectorOps(private val df: DataFrame) {
+
+    /** SemDeDup-style semantic dedup over this (vec_id, embedding)
+      * frame: k-means cells, within-cell cosine pruning, per-vector
+      * kept verdicts. Scale k with the corpus to bound cell size.
+      */
+    def semDedup(k: Int = 4, iters: Int = 2, thr: Double = 0.4): DataFrame = {
+      graft.functions.VectorFunctions.register(df.sparkSession)
+      operators.Similarity.semDedupOf(df, k, iters, thr)
+    }
 
     /** Lloyd's k-means over this (vec_id, embedding) frame: per-cluster
       * counts + inertia; everything keyed aggregations, vectors never

@@ -420,6 +420,22 @@ class OperatorsSpec extends SparkSpecBase {
     val events = Tables.t(spark, sfDir, "events")
     assert(events.ewmaScan().count() == events.count())
     assert(events.quantileCube().count() > 0)
+    // round-9 surface: bloom novelty, bloom decontam, cdc chunks, semdedup
+    val snap = Seq((9L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val novel = docs.toDF("doc_id", "text").novelAgainst(snap)
+      .collect().map(_.getLong(0)).toSet
+    assert(novel == Set(3L), s"novelty filter kept $novel")
+    val decon = docs.toDF("doc_id", "text")
+      .decontamAgainst(snap)
+    assert(decon.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val nChunks = docs.toDF("doc_id", "text")
+      .select(docs.cdcChunks("text").as("c")).selectExpr("size(c)")
+      .collect().map(_.getInt(0))
+    assert(nChunks.forall(_ >= 1))
+    val sem = Tables.t(spark, sfDir, "embeddings").semDedup()
+    assert(sem.columns.toSeq == Seq("vec_id", "cluster", "kept"))
+    assert(sem.count() == Tables.t(spark, sfDir, "embeddings").count())
   }
 
   test("udx: geometric mean matches closed form on a known group") {
