@@ -120,6 +120,10 @@ object SparkEntry {
     // content-defined chunk dedup: shift-resistant boundaries from the
     // trailing-window rolling hash; digest-keyed shuffles
     "text_cdc_chunks" -> TextAnalysis.cdcChunkDedup _,
+    // KMV bottom-k distinct sketch: bounded-heap mergeable estimator
+    // that doubles as a uniform distinct-sample; self-checking verdicts
+    "sketch_kmv_distinct" ->
+      ((s: SparkSession, d: String) => operators.SketchRollup.kmvDistinct(s, d)),
     "text_redact" -> TextAnalysis.redactPii _,
     "text_train_split" -> TextAnalysis.trainValSplit _,
     // leakage-safe split: near-dup clusters never straddle train/val
@@ -466,6 +470,12 @@ object SparkEntry {
     // boundary rule replicated positionally: window fold over bs[p-7:p],
     // cut where hash % 64 == 0, final chunk to end; counts compare, the
     // Spark side shuffles digests not strings
+    // exact distinct definitionally; the sample-completeness and
+    // 3-sigma estimate-envelope verdicts are pinned to 1
+    "sketch_kmv_distinct" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, " +
+        "CAST(1 AS BIGINT) AS sample_ok, CAST(1 AS BIGINT) AS est_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "text_cdc_chunks" ->
       ("WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '[^a-z0-9]+', ' ', 'g') AS norm FROM documents), " +
         "b AS (SELECT doc_id, norm, [CAST(ord(substr(norm, i, 1)) AS BIGINT) for i in range(1, length(norm)+1)] AS bs FROM d), " +

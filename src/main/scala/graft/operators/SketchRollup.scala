@@ -20,6 +20,43 @@ import org.apache.spark.sql.functions._
   */
 object SketchRollup {
 
+  /** KMV (bottom-k / k-minimum-values) distinct sketch — the classical
+    * mergeable estimator the HLL family can't replace when you ALSO need
+    * a uniform sample OF THE DISTINCT SET (the k smallest hashes are
+    * exactly that): D̂ = (k−1)/u₍k₎ where u₍k₎ is the k-th smallest
+    * normalized hash. State is the bounded k-element heap
+    * (`TopKByValue`, map-side partial agg, O(k log k) merge). The
+    * distinct pre-pass here is gate-definitional (the exact count is
+    * emitted alongside); a production KMV dedupes inside the buffer and
+    * skips it. Self-checking gate (q12 pattern): exact distinct count
+    * definitionally, sample-size and estimate-envelope verdicts pinned —
+    * k=64 gives ~12.7% expected relative error (1/√(k−2)); the verdict
+    * allows 3σ.
+    */
+  def kmvDistinct(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.TopKFunctions.register(s)
+    val du = t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      // drop the sign bit → 63-bit uniform hash, normalized into [0,1)
+      .withColumn("u",
+        shiftrightunsigned(xxhash64(col("user_id")), 1).cast("double") /
+          lit(9.223372036854776E18))
+    val sk = du.groupBy(col("event_type"))
+      .agg(graft.functions.TopKFunctions
+        .topkByValue(-col("u"), col("user_id"), k).as("bk"),
+        count(lit(1)).as("n_exact"))
+    // array is sorted by -u desc = u asc; the k-th struct's v is -u₍k₎
+    val uk = -element_at(col("bk"), k).getField("v")
+    val est = when(col("n_exact") < k, size(col("bk")).cast("double"))
+      .otherwise(lit(k - 1).cast("double") / uk)
+    sk.select(col("event_type"), col("n_exact"),
+      // the bottom-k IS a distinct sample: its size must be min(k, D)
+      (size(col("bk")) === least(col("n_exact"), lit(k.toLong)))
+        .cast("long").as("sample_ok"),
+      (abs(est / col("n_exact") - 1.0) <= 0.381).cast("long").as("est_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fine-grain pre-agg: one (day, event_type) row carrying an HLL
     * sketch of distinct users plus exact additive counters.
     */

