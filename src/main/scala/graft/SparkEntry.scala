@@ -124,6 +124,12 @@ object SparkEntry {
     // that doubles as a uniform distinct-sample; self-checking verdicts
     "sketch_kmv_distinct" ->
       ((s: SparkSession, d: String) => operators.SketchRollup.kmvDistinct(s, d)),
+    // entity resolution: banded blocking -> in-block levenshtein ->
+    // transitive clusters -> survivorship (lowest-id original wins)
+    "er_pairs" ->
+      ((s: SparkSession, d: String) => operators.EntityResolution.erPairs(s, d)),
+    "er_entities" ->
+      ((s: SparkSession, d: String) => operators.EntityResolution.erEntities(s, d)),
     "text_redact" -> TextAnalysis.redactPii _,
     "text_train_split" -> TextAnalysis.trainValSplit _,
     // leakage-safe split: near-dup clusters never straddle train/val
@@ -216,6 +222,11 @@ object SparkEntry {
     // the 8-byte-key production plan, gated on ≡ the string-keyed form
     "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
+    // equi-depth range partitioner: definitional-percentile boundaries
+    // via sharded prefix sum; per-shard count+range proves the layout
+    "layout_range_partition" ->
+      ((s: SparkSession, d: String) =>
+        graft.operators.Layout.rangePartitionOrders(s, d)),
     "pipe_clean_corpus" -> TextAnalysis.cleanCorpus _,
     "q04b_bucketed_join" ->
       ((s, dir) => graft.operators.Bucketing.q04bBucketedJoin(s, dir)),
@@ -343,6 +354,30 @@ object SparkEntry {
   /** DuckDB SQL fragments shared by several oracles. */
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  /** The entity-resolution dirty registry, rebuilt bit-for-bit from
+    * `customer` (mirrors EntityResolution.dirtyRegistry: originals +
+    * deletion-typo variant for custkey ≡ 0 mod 5 + substitution-typo
+    * variant mod 10; all balance drift int-mod → double).
+    */
+  private val erRegistrySql =
+    s"""r AS (
+       |  SELECT c_custkey*10 AS rec_id, c_name AS name,
+       |         c_nationkey AS nat, c_mktsegment AS seg, c_acctbal AS bal
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey*10 + 1,
+       |         concat(substr(c_name, 1, 10 + c_custkey%8 - 1),
+       |                substr(c_name, 10 + c_custkey%8 + 1, 32)),
+       |         c_nationkey, c_mktsegment,
+       |         c_acctbal + (c_custkey%9 - 4) * CAST(0.01 AS DOUBLE)
+       |  FROM customer WHERE c_custkey%5 = 0
+       |  UNION ALL
+       |  SELECT c_custkey*10 + 2,
+       |         concat(substr(c_name, 1, 10 + c_custkey%7 - 1), 'x',
+       |                substr(c_name, 10 + c_custkey%7 + 1, 32)),
+       |         c_nationkey, c_mktsegment,
+       |         c_acctbal + (c_custkey%7 - 3) * CAST(0.01 AS DOUBLE)
+       |  FROM customer WHERE c_custkey%10 = 0)""".stripMargin
   private val shinglesSql =
     s"""list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
        | for i in range(1, len(toks)-1)])""".stripMargin.replace("\n", " ")
@@ -476,6 +511,37 @@ object SparkEntry {
       ("SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, " +
         "CAST(1 AS BIGINT) AS sample_ok, CAST(1 AS BIGINT) AS est_ok " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    // the dirty registry rebuilt verbatim; the match replayed
+    // DEFINITIONALLY (full in-block join, no banding) — a candidate the
+    // Spark-side bands missed would surface as a missing row here
+    "er_pairs" ->
+      (s"""WITH $erRegistrySql,
+         |p AS (SELECT a.rec_id AS i, b.rec_id AS j,
+         |        levenshtein(a.name, b.name) AS lev, abs(a.bal - b.bal) AS gap
+         |      FROM r a JOIN r b ON a.rec_id < b.rec_id
+         |        AND a.nat = b.nat AND a.seg = b.seg
+         |      WHERE abs(a.bal - b.bal) <= CAST(0.10 AS DOUBLE)
+         |        AND levenshtein(a.name, b.name) <= 2)
+         |SELECT i, j, CAST(lev AS BIGINT) AS lev, round(gap, 6) AS bal_diff
+         |FROM p ORDER BY i, j""".stripMargin),
+    "er_entities" ->
+      (s"""WITH RECURSIVE $erRegistrySql,
+         |p AS (SELECT a.rec_id AS i, b.rec_id AS j
+         |      FROM r a JOIN r b ON a.rec_id < b.rec_id
+         |        AND a.nat = b.nat AND a.seg = b.seg
+         |      WHERE abs(a.bal - b.bal) <= CAST(0.10 AS DOUBLE)
+         |        AND levenshtein(a.name, b.name) <= 2),
+         |e AS (SELECT i AS a, j AS b FROM p UNION SELECT j, i FROM p
+         |      UNION SELECT i, i FROM p UNION SELECT j, j FROM p),
+         |reach(node, rl) AS (SELECT a, b FROM e
+         |  UNION SELECT re.node, e2.b FROM reach re JOIN e e2 ON re.rl = e2.a),
+         |lab AS (SELECT node, MIN(rl) AS rep FROM reach GROUP BY node),
+         |m AS (SELECT r.rec_id, COALESCE(l.rep, r.rec_id) AS rep, r.name, r.bal
+         |      FROM r LEFT JOIN lab l ON r.rec_id = l.node)
+         |SELECT rep AS cluster_rep, min_by(name, rec_id) AS canonical_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_recs,
+         |  round(MIN(bal), 6) AS bal_min, round(MAX(bal), 6) AS bal_max
+         |FROM m GROUP BY rep ORDER BY cluster_rep""".stripMargin),
     "text_cdc_chunks" ->
       ("WITH d AS (SELECT doc_id, regexp_replace(trim(lower(text)), '[^a-z0-9]+', ' ', 'g') AS norm FROM documents), " +
         "b AS (SELECT doc_id, norm, [CAST(ord(substr(norm, i, 1)) AS BIGINT) for i in range(1, length(norm)+1)] AS bs FROM d), " +
@@ -2047,6 +2113,21 @@ object SparkEntry {
         "CAST(floor(value) AS BIGINT) % 65536 AS y FROM events) " +
         "ORDER BY event_id"
     },
+    // definitional equi-depth boundaries (smallest v with cum*16 >= i*tot,
+    // integer cross-multiplied — same convention as q10p_percentile_disc),
+    // then every order assigned by boundary scan
+    "layout_range_partition" ->
+      ("""WITH h AS (SELECT o_totalprice AS v, COUNT(*) AS w FROM orders GROUP BY 1),
+        |c AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cum, SUM(w) OVER () AS tot FROM h),
+        |s AS (SELECT unnest(range(1, 16)) AS i),
+        |b AS (SELECT i, MIN(v) AS bv FROM c, s WHERE cum * 16 >= i * tot GROUP BY i),
+        |ba AS (SELECT list(bv ORDER BY i) AS barr FROM b),
+        |a AS (SELECT o_totalprice AS v,
+        |        len(list_filter(barr, x -> o_totalprice >= x)) AS shard
+        |      FROM orders, ba)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  round(MIN(v), 6) AS lo, round(MAX(v), 6) AS hi
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin),
     // the reference's 4-row replay contract as literals (epoch-second
     // fixture timestamps; amount_usd values are the FX doubles rounded
     // by the gate's 6dp canonicalization; processed = the null-check

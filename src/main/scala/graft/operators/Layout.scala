@@ -66,4 +66,64 @@ object Layout {
         ZOrderFunction.zorder2(col("x"), col("y")).as("z"))
       .orderBy(col("event_id"))
   }
+
+  /** Equi-depth range partitioner: split a sort key into `k` contiguous
+    * shards of (near-)equal row count — the boundary-computation half of
+    * `repartitionByRange`, made explicit so the layout is INSPECTABLE
+    * (per-shard count + min/max prove balance and disjointness in one
+    * output) and REUSABLE (persist the boundaries, route later batches
+    * through the same ranges — how write-time clustering keeps file
+    * ranges stable across daily loads while Spark's sampled
+    * RangePartitioner would re-draw them every run).
+    *
+    * Boundary b_i is the definitional discrete percentile (smallest key
+    * with cum·k ≥ i·tot). The scalable shape, hazard by hazard:
+    *   - cum comes from the sharded prefix sum ([[PrefixSum]]) over the
+    *     per-value histogram — no single-task global window anywhere;
+    *   - each histogram row knows locally which boundaries it crosses
+    *     (`(cum-w)·k div tot < i ≤ cum·k div tot` — the PPS systematic-
+    *     hit trick), so boundary extraction emits ≤ k rows total with no
+    *     k-way explode of the histogram;
+    *   - assignment broadcasts the ≤(k-1)-element boundary array and
+    *     scans it per row (the 15-compare equivalent of the binary
+    *     search inside RangePartitioner) — map-side, no shuffle.
+    * At gate scale the percentile is exact end-to-end; at 100 TB the
+    * same plan holds (the histogram is the only value-keyed shuffle),
+    * or swap the exact cum for approx_percentile boundaries when
+    * ±0.1%-sized shards are acceptable — assignment is unchanged.
+    */
+  def rangePartitionStats(fact: DataFrame, valueCol: String, k: Int,
+      nShards: Int = 32): DataFrame = {
+    val vals = fact.select(col(valueCol).cast("double").as("v"))
+    val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("w"))
+    val bounds = hist.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("w")).as("tot"))
+      .localCheckpoint(true) // one row; feeds every histogram shard pid
+    val cum = PrefixSum.shardedCumSum(
+      hist.crossJoin(broadcast(bounds))
+        .withColumn("pid",
+          PrefixSum.rangePid(col("v"), col("lo"), col("hi"), nShards)),
+      Seq.empty, "pid", "v", "w")
+    val boundaries = cum
+      .withColumn("ilo", expr(s"((cum - w) * $k) div tot"))
+      .withColumn("ihi", least(expr(s"(cum * $k) div tot"), lit(k - 1L)))
+      .filter(col("ihi") > col("ilo"))
+      .select(explode(sequence(col("ilo") + 1, col("ihi"))).as("i"),
+        col("v").as("bv"))
+    val barr = boundaries
+      .agg(sort_array(collect_list(col("bv"))).as("barr"))
+    vals.crossJoin(broadcast(barr))
+      .select(col("v"),
+        size(filter(col("barr"), b => col("v") >= b)).cast(LongType).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("v")), 6).as("lo"), round(max(col("v")), 6).as("hi"))
+      .orderBy(col("shard"))
+  }
+
+  /** layout_range_partition — 16-shard equi-depth layout of orders by
+    * o_totalprice: shard id, row count, and value range per shard.
+    */
+  def rangePartitionOrders(s: SparkSession, dir: String): DataFrame =
+    rangePartitionStats(t(s, dir, "orders"), "o_totalprice", 16)
 }

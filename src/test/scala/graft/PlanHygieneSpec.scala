@@ -24,6 +24,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "emb_label_balance",   // 1-row label-cardinality summary
     "emb_quantize_topk",   // codebook scalar + probe row
     "graph_triangles",     // n_edges scalar (×2)
+    "layout_range_partition", // 1-row bounds + 1-row boundary array
     "mix_pps_sample",      // P-row shard offset table
     "pipe_train_shards",   // 1-row doc_id bounds + P-row shard offsets
     "profile_columns_approx", // 1-row exact × 1-row HLL summary join
