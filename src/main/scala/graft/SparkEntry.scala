@@ -88,6 +88,8 @@ object SparkEntry {
     "q26_ann_lsh" -> Similarity.annLshChecked _,
     "q26_ann_ivf" -> Similarity.annIvfChecked _,
     "q26_ann_pq" -> Similarity.annPqChecked _,
+    // IVFADC: coarse cells + product-quantized residuals, ADC scan
+    "q26_ann_ivfpq" -> Similarity.annIvfPqChecked _,
     "q27_top_tokens" -> TextAnalysis.q27TopTokens _,
     "q30_tumble" -> Windows.q30Tumble _,
     "q31_slide" -> Windows.q31Slide _,
@@ -879,6 +881,8 @@ object SparkEntry {
     "q26_ann_ivf" -> annCheckedOracle(
       ", CAST(1 AS BIGINT) AS top1_found"),
     "q26_ann_pq" -> annCheckedOracle(
+      ", CAST(1 AS BIGINT) AS top1_found, CAST(1 AS BIGINT) AS recall_ge_3"),
+    "q26_ann_ivfpq" -> annCheckedOracle(
       ", CAST(1 AS BIGINT) AS top1_found, CAST(1 AS BIGINT) AS recall_ge_3"),
     // approximate-by-contract rows made hash-checkable the same way:
     // definitional exact values + contract verdicts pinned to 1

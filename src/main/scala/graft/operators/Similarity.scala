@@ -356,6 +356,140 @@ object Similarity {
 
   def annPq(s: SparkSession, dir: String): DataFrame = annPqTopK(s, dir)
 
+  /** IVF-PQ ANN — the two index families COMPOSED, i.e. the IVFADC
+    * layout production vector stores default to (FAISS's IVFPQ): the
+    * coarse IVF quantizer routes a query to `nprobe` of `nlist` cells,
+    * and within each cell vectors are stored as product-quantized
+    * RESIDUALS (vector − cell centroid). Residual encoding is what makes
+    * the composition better than either part: after subtracting the
+    * centroid the residual distribution is centered and much tighter
+    * than the raw vectors, so the same 8-byte code budget quantizes far
+    * more precisely than PQ over raw vectors.
+    *
+    * Query-time ADC reconstructs cosine against v̂ = c_cell + r̂ from
+    * driver-resident tables only (all parameter-sized, like IVF's
+    * quantizer and PQ's codebook):
+    *   dot(q, v̂)  = dot(q, c_cell) + Σ_mi dot(q_mi, cb[mi][code])
+    *   ‖v̂‖²       = ‖c_cell‖² + 2·Σ_mi dot(c_cell,mi, cb[mi][code])
+    *                 + Σ_mi ‖cb[mi][code]‖²
+    * The cell×subspace×code cross-table (nlist·m·ksub doubles) is the
+    * only IVFPQ-specific state. The scan touches nprobe/nlist of the
+    * corpus and reads only cell + codes (8 bytes + an int per row, no
+    * float vectors); `rerank` survivors re-rank with the exact codegen'd
+    * cosine. Approximation contract unchanged: returned scores exact,
+    * candidate set a subset of the corpus.
+    *
+    * At 100 TB this is exactly the shape to materialize (cf.
+    * writeIvfIndex): corpus partitioned by cell, codes column resident,
+    * full vectors fetched only for the rerank handful per query.
+    */
+  def annIvfPqTopK(s: SparkSession, dir: String, probeId: Long = 0,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 6, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 64): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    VectorFunctions.register(s)
+    val dim = 64
+    require(dim % m == 0); val dsub = dim / m
+    val emb = t(s, dir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+      .cache()
+    val coarse = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(emb.select(col("features")))
+    val centers: Array[Array[Double]] = coarse.clusterCenters.map(_.toArray)
+    val bcCenters = s.sparkContext.broadcast(centers)
+    val residOf = udf { (e: Seq[Float], cell: Int) =>
+      val c = bcCenters.value(cell)
+      Array.tabulate(dim)(i => e(i) - c(i))
+    }
+    val assigned = coarse.transform(emb)
+      .withColumnRenamed("prediction", "cell")
+      .withColumn("resid", residOf(col("embedding"), col("cell")))
+      .cache() // feeds codebook training AND encoding
+    // per-subspace codebooks on the quarter-sample RESIDUALS; the m
+    // seeded fits are independent — submit concurrently (cf. annPqTopK)
+    val train = assigned.filter(pmod(col("vec_id"), lit(4)) === 0)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val codebook: Array[Array[Array[Double]]] = Await.result(
+      Future.sequence((0 until m).map { mi => Future {
+        val sub = train.select(array_to_vector(
+          slice(col("resid"), mi * dsub + 1, dsub)).as("features"))
+        new KMeans().setK(ksub).setSeed(42L + mi).setMaxIter(5)
+          .fit(sub).clusterCenters.map(_.toArray)
+      }}), Duration.Inf).toArray
+    val bcCb = s.sparkContext.broadcast(codebook)
+    val encode = udf { (r: Seq[Double]) =>
+      val cb = bcCb.value
+      (0 until m).map { mi =>
+        var best = 0; var bestD = Double.MaxValue; var kk = 0
+        while (kk < ksub) {
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val diff = r(mi * dsub + i) - cb(mi)(kk)(i); d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = kk }
+          kk += 1
+        }
+        best
+      }
+    }
+    val probeVec = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val qn = math.sqrt(probeVec.map(x => x.toDouble * x).sum)
+    // driver-side ADC state, all parameter-sized
+    def dotRange(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < b.length) { d += a(off + i) * b(i); i += 1 }; d
+    }
+    val qdotc = centers.map(c => (0 until dim).map(i => probeVec(i) * c(i)).sum)
+    val cn2 = centers.map(c => c.map(x => x * x).sum)
+    val dotsR = Array.tabulate(m, ksub) { (mi, kk) =>
+      dotRange(probeVec.map(_.toDouble), mi * dsub, codebook(mi)(kk))
+    }
+    val rn2 = Array.tabulate(m, ksub)((mi, kk) =>
+      codebook(mi)(kk).map(x => x * x).sum)
+    val cdotr = Array.tabulate(nlist, m, ksub) { (c, mi, kk) =>
+      dotRange(centers(c), mi * dsub, codebook(mi)(kk))
+    }
+    val adcScore = udf { (cell: Int, codes: Seq[Int]) =>
+      var d = qdotc(cell); var n2 = cn2(cell); var mi = 0
+      while (mi < m) {
+        val code = codes(mi)
+        d += dotsR(mi)(code)
+        n2 += 2.0 * cdotr(cell)(mi)(code) + rn2(mi)(code)
+        mi += 1
+      }
+      if (n2 <= 0 || qn == 0) -2.0 else d / (qn * math.sqrt(n2))
+    }
+    // nprobe cells nearest the probe, by centroid cosine (driver state)
+    def cosC(c: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var i = 0
+      while (i < dim) { d += c(i) * probeVec(i); na += c(i) * c(i); i += 1 }
+      if (na == 0 || qn == 0) -2 else d / (math.sqrt(na) * qn)
+    }
+    val cells = centers.zipWithIndex.sortBy { case (c, _) => -cosC(c) }
+      .take(nprobe).map(_._2)
+    val probe = emb.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_emb"))
+    assigned
+      .filter(col("cell").isin(cells.toIndexedSeq: _*) &&
+        col("vec_id") =!= probeId)
+      .withColumn("codes", encode(col("resid")))
+      .withColumn("adc", adcScore(col("cell"), col("codes")))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(rerank)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), col("probe_emb")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = annIvfPqTopK(s, dir)
+
   /** Driver-gate self-check harness for the ANN families: turns each
     * family's approximation CONTRACT into hash-checkable data. The row
     * carries (a) the definitional exact top-1 (id + score), which the
@@ -412,6 +546,11 @@ object Similarity {
 
   def annPqChecked(s: SparkSession, dir: String): DataFrame =
     annCheckedStats(s, dir, annPqTopK(s, dir))
+      .select(annBaseCols ++ Seq(col("top1_found"),
+        (col("recall_at5") >= 3).cast("long").as("recall_ge_3")): _*)
+
+  def annIvfPqChecked(s: SparkSession, dir: String): DataFrame =
+    annCheckedStats(s, dir, annIvfPqTopK(s, dir))
       .select(annBaseCols ++ Seq(col("top1_found"),
         (col("recall_at5") >= 3).cast("long").as("recall_ge_3")): _*)
 

@@ -131,7 +131,8 @@ class OperatorsSpec extends SparkSpecBase {
     }
     for (annDf <- Seq(Similarity.annLsh(spark, sfDir),
         Similarity.annIvf(spark, sfDir),
-        Similarity.annPq(spark, sfDir))) {
+        Similarity.annPq(spark, sfDir),
+        Similarity.annIvfPq(spark, sfDir))) {
       val ann = annDf.collect().map(r => r.getLong(0) -> r.getDouble(1))
       assert(ann.nonEmpty && ann.length <= 5)
       ann.foreach { case (id, score) => assert(full(id) == score) } // exact scores

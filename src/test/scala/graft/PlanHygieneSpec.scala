@@ -30,6 +30,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "profile_columns_approx", // 1-row exact × 1-row HLL summary join
     "q09c_cross",          // intentional 5-row dim×dim cartesian
     "q26_ann_ivf",         // probe row vs centroid table
+    "q26_ann_ivfpq",       // probe/top1 rows + ADC codebook state
     "q26_ann_lsh",         // checked form: 1 probe row + 1 exact-top1 row
     "q26_ann_pq",          // probe row vs codebook
     "q26_cosine_topk",     // 1 probe row
