@@ -239,8 +239,32 @@ object ScaleProbe {
     def sem(e: DataFrame, clusters: Int) =
       operators.Similarity.semDedupOf(e, clusters, 2, 0.4)
 
+    // entity resolution: replicas get disjoint balance ranges (offset
+    // far beyond the acctbal domain), modeling MORE entities at the same
+    // per-block density — block occupancy is k-invariant, so the banded
+    // candidate volume (Σ block²) grows linearly. Replicating into the
+    // SAME bands would grow it k²× — that is the pathological
+    // self-similar-registry case, mitigated by finer blocking keys, not
+    // a plan property.
+    val cEr1 = c1
+    val cErK = (0 until k).map { r =>
+      Tables.t(spark, dir, "customer")
+        .withColumn("c_custkey", col("c_custkey") + lit(r * 10000000L))
+        .withColumn("c_acctbal", col("c_acctbal") + lit(r * 1000000.0))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    def er(c: DataFrame) = operators.EntityResolution.matchedPairs(
+      operators.EntityResolution.dirtyRegistry(c))
+
+    // range partitioner: replicated orders repeat the same price values,
+    // so the histogram/boundary path is k-invariant (distinct-value
+    // sized) and only the map-side assignment scales — expect ≤ linear
+    def rp(o: DataFrame) =
+      operators.Layout.rangePartitionStats(o, "o_totalprice", 16)
+
     val results = Seq(
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
+      ("er_pairs", time(noop(er(cEr1))), time(noop(er(cErK)))),
+      ("range_partition", time(noop(rp(o1))), time(noop(rp(oK)))),
       ("kll_cube", time(noop(qcube(eA1))), time(noop(qcube(eAK)))),
       ("theta_sets", time(noop(theta(eA1))), time(noop(theta(eAK)))),
       ("overlap_matrix", time(noop(omatrix(eA1))), time(noop(omatrix(eAK)))),
