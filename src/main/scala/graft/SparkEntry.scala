@@ -47,6 +47,10 @@ object SparkEntry {
     "q11b_multi_distinct" -> Relational.q11bMultiDistinct _,
     "q17b_setops_all" -> Relational.q17bSetOpsAll _,
     "ts_gapfill" -> ((s: SparkSession, d: String) => graft.operators.TimeSeries.gapFillHourly(s, d)),
+    // linear interpolation twin of the LOCF gapfill: both direction
+    // passes share one (user, hour) exchange + sort
+    "ts_interpolate" ->
+      ((s: SparkSession, d: String) => graft.operators.TimeSeries.interpolateHourly(s, d)),
     "q26b_topk_multi" -> ((s: SparkSession, d: String) => Similarity.q26bTopKMulti(s, d)),
     "emb_label_centroids" -> Similarity.labelCentroids _,
     "emb_hard_negatives" ->
@@ -241,6 +245,10 @@ object SparkEntry {
       ((s, dir) => graft.operators.SketchRollup.sketchRollupChecked(s, dir)),
     "emb_quantize_topk" ->
       ((s, dir) => graft.operators.Quantization.embQuantizedTopK(s, dir)),
+    // JL random projection 64→16 dims: fixed md5-parity sign matrix,
+    // one fused map-side loop, zero shuffles
+    "emb_random_projection" ->
+      ((s, dir) => graft.operators.Quantization.randomProjection(s, dir)),
     "ts_scd2" ->
       ((s, dir) => graft.operators.TimeSeries.scd2Intervals(s, dir)),
     "q04c_salted_join" ->
@@ -633,6 +641,31 @@ object SparkEntry {
         "  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h " +
         "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled, is_gap " +
         "FROM j ORDER BY user_id, hour_us"),
+    // identical arithmetic shape to the Spark side: pv + (nv-pv) * (Δt/ΔT)
+    // on exact integer microseconds — IEEE-identical per cell
+    "ts_interpolate" ->
+      ("WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value " +
+        "  FROM events WHERE user_id < 20), " +
+        "hv AS (SELECT user_id, h, value FROM " +
+        "  (SELECT user_id, h, value, row_number() OVER " +
+        "    (PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn FROM e) " +
+        "  WHERE rn = 1), " +
+        "span AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM e GROUP BY user_id), " +
+        "spine AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM span), " +
+        "j AS (SELECT s.user_id, epoch_us(s.h) AS hu, hv.value, hv.value IS NULL AS is_gap " +
+        "  FROM spine s LEFT JOIN hv ON s.user_id = hv.user_id AND s.h = hv.h), " +
+        "w AS (SELECT user_id, hu, value, is_gap, " +
+        "  last_value(value IGNORE NULLS) OVER wb AS pv, " +
+        "  last_value(CASE WHEN value IS NOT NULL THEN hu END IGNORE NULLS) OVER wb AS ph, " +
+        "  first_value(value IGNORE NULLS) OVER wf AS nv, " +
+        "  first_value(CASE WHEN value IS NOT NULL THEN hu END IGNORE NULLS) OVER wf AS nh " +
+        "  FROM j WINDOW " +
+        "  wb AS (PARTITION BY user_id ORDER BY hu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "  wf AS (PARTITION BY user_id ORDER BY hu ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, hu AS hour_us, " +
+        "  CASE WHEN NOT is_gap THEN value ELSE pv + (nv - pv) * " +
+        "    (CAST(hu - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END AS interp, is_gap " +
+        "FROM w ORDER BY user_id, hour_us"),
     "q06c_full_outer" ->
       ("SELECT c_custkey, o_orderkey, o_custkey " +
         "FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 500) c " +
@@ -1371,6 +1404,30 @@ object SparkEntry {
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mass " +
         "FROM events e JOIN q USING (event_type) " +
         "GROUP BY e.event_type, bucket ORDER BY event_type, bucket"),
+    // the ±0.25 sign matrix rebuilt from md5 parity; projections summed
+    // per (vec, out-dim); 6dp rounding absorbs sum-order float slop
+    "emb_random_projection" ->
+      ("""WITH m AS (SELECT j, i,
+        |  CASE WHEN CAST('0x' || substr(md5('rp_' || CAST(j AS VARCHAR) || '_' ||
+        |    CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+        |    THEN CAST(0.25 AS DOUBLE) ELSE CAST(-0.25 AS DOUBLE) END AS w
+        |  FROM (SELECT unnest(range(0, 16)) AS j), (SELECT unnest(range(0, 64)) AS i)),
+        |y AS (SELECT e.vec_id, m.j,
+        |        SUM(CAST(e.embedding[m.i + 1] AS DOUBLE) * m.w) AS yj
+        |      FROM embeddings e, m GROUP BY e.vec_id, m.j),
+        |n AS (SELECT vec_id, SUM(yj * yj) AS ny FROM y GROUP BY vec_id),
+        |x AS (SELECT e.vec_id,
+        |        SUM(CAST(e.embedding[ix.x] AS DOUBLE) * CAST(e.embedding[ix.x] AS DOUBLE)) AS nx
+        |      FROM embeddings e, (SELECT CAST(range + 1 AS INT) AS x FROM range(64)) ix
+        |      GROUP BY e.vec_id)
+        |SELECT y.vec_id,
+        |  round(MAX(CASE WHEN j = 0 THEN yj END), 6) AS y1,
+        |  round(MAX(CASE WHEN j = 1 THEN yj END), 6) AS y2,
+        |  round(MAX(CASE WHEN j = 2 THEN yj END), 6) AS y3,
+        |  round(MAX(CASE WHEN j = 3 THEN yj END), 6) AS y4,
+        |  round(MAX(n.ny) / MAX(x.nx), 6) AS norm_ratio
+        |FROM y JOIN n USING (vec_id) JOIN x USING (vec_id)
+        |GROUP BY y.vec_id ORDER BY y.vec_id""".stripMargin),
     "emb_quantize_topk" ->
       ("WITH prm AS (SELECT greatest(abs(CAST(MIN(u) AS DOUBLE)), " +
         "abs(CAST(MAX(u) AS DOUBLE))) / 127.0 AS step " +

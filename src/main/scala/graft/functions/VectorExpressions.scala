@@ -183,6 +183,73 @@ object HyperplaneBucket {
   }
 }
 
+/** y = M·x: dense projection of a float-vector column by a constant
+  * double matrix (rows = output dims), as ONE fused codegen'd loop nest
+  * with the matrix riding along as a referenced constant — same rationale
+  * as [[HyperplaneBucket]]: the Column-tree form is rows×dim arithmetic
+  * nodes (1024 for 16×64), past codegen method limits. Accumulation is
+  * sequential in index order per output row, so results are
+  * bit-reproducible. NULL vector → NULL projection; elements assumed
+  * non-null (embeddings table contract).
+  */
+case class MatrixProject(child: Expression, matrix: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "matrix_project"
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MatrixProject.projectOf(a.asInstanceOf[ArrayData].toFloatArray(), matrix))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val mRef = ctx.addReferenceObj("matrix", matrix, "double[][]")
+      val res = ctx.freshName("res")
+      val j = ctx.freshName("j")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $res = new double[$mRef.length];
+         |for (int $j = 0; $j < $mRef.length; $j++) {
+         |  final double[] $row = $mRef[$j];
+         |  final int $n = Math.min($x.numElements(), $row.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $x.getFloat($i) * $row[$i];
+         |  }
+         |  $res[$j] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MatrixProject {
+  /** Single source of truth for the projection loop (interpreted eval;
+    * the codegen template mirrors it line-for-line).
+    */
+  def projectOf(vec: Array[Float], matrix: Array[Array[Double]]): Array[Double] = {
+    val res = new Array[Double](matrix.length)
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      val n = math.min(vec.length, row.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += vec(i).toDouble * row(i); i += 1 }
+      res(j) = acc
+      j += 1
+    }
+    res
+  }
+}
+
 object VectorFunctions {
   /** Register the vector expressions in the session's function registry so
     * they are callable from both the Column API (via [[cosineSim]]) and

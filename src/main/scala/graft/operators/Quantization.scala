@@ -60,4 +60,54 @@ object Quantization {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Random-projection dimensionality reduction (the Johnson-
+    * Lindenstrauss play, Achlioptas sign-matrix form): project 64-dim
+    * float embeddings to `dOut` dims through a FIXED ±1/√dOut matrix —
+    * the database-friendly JL construction, since a sign matrix needs no
+    * gaussian sampling and the whole transform is one fused codegen'd
+    * loop ([[graft.functions.MatrixProject]], matrix as a referenced
+    * constant — the HyperplaneBucket rationale; the Column-tree form is
+    * 1024 arithmetic nodes).
+    *
+    * Scale shape: pure map-side projection, zero shuffles, zero state —
+    * the matrix is parameter-sized (dOut·64 doubles) and derived
+    * deterministically from md5 parity, so ANY engine (and the DuckDB
+    * oracle) rebuilds it bit-for-bit; at 100 TB this runs as a column
+    * transform inside whatever scan already touches the vectors,
+    * typically in front of ANN indexing (4× fewer bytes through every
+    * downstream shuffle at dOut=16).
+    *
+    * Gate output keeps the first 4 projected coordinates plus the
+    * per-vector norm ratio ‖y‖²/‖x‖² (the quantity JL says concentrates
+    * near 1) — all engine-deterministic equalities, not statistical
+    * envelopes.
+    */
+  def randomProjection(s: SparkSession, dir: String, dOut: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val dim = 64
+    def signOf(j: Int, i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp_${j}_${i}".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    val matrix = Array.tabulate(dOut, dim)((j, i) => signOf(j, i) * scale)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "matrix_project",
+      exprs => graft.functions.MatrixProject(exprs.head, matrix), "built-in")
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        call_function("matrix_project", col("embedding")).as("y"),
+        graft.functions.VectorFunctions
+          .dotProduct(col("embedding"), col("embedding")).as("nx"))
+      .select(col("vec_id"),
+        round(element_at(col("y"), 1), 6).as("y1"),
+        round(element_at(col("y"), 2), 6).as("y2"),
+        round(element_at(col("y"), 3), 6).as("y3"),
+        round(element_at(col("y"), 4), 6).as("y4"),
+        round(aggregate(col("y"), lit(0.0), (a, v) => a + v * v) / col("nx"), 6)
+          .as("norm_ratio"))
+      .orderBy(col("vec_id"))
+  }
 }

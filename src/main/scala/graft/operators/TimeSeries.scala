@@ -52,6 +52,65 @@ object TimeSeries {
       .orderBy(col("user_id"), col("hour_us"))
   }
 
+  /** ts_interpolate — linear interpolation on the hourly spine, the
+    * companion to [[gapFillHourlyOf]]'s LOCF: gap hours take
+    * v = prev + (next − prev)·Δt/ΔT between their neighboring
+    * observations (sensor-style signals where step-holding biases
+    * downstream aggregates). The spine's bounds are each user's first
+    * and last OBSERVED hours, so every gap has both neighbors — no edge
+    * policy needed.
+    *
+    * Scale shape: same as gapfill — per-user spine explode, then BOTH
+    * direction passes (last-non-null backward, first-non-null forward)
+    * as two window functions over the SAME (user, hour) partitioning
+    * and sort, so the plan carries one exchange and one sort for the
+    * whole fill. Gap spans are hour-bounded per user; nothing is
+    * proportional to the corpus.
+    */
+  def interpolateHourly(s: SparkSession, dir: String, maxUser: Long = 20): DataFrame =
+    interpolateHourlyOf(t(s, dir, "events").filter(col("user_id") < maxUser))
+
+  /** Library-facing form over any (user_id, ts, event_id, value) frame. */
+  def interpolateHourlyOf(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    val wPick = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hv = e.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("value"))
+    val spine = e.groupBy(col("user_id"))
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hv, Seq("user_id", "h"), "left")
+      .withColumn("hu", unix_micros(col("h")))
+      .withColumn("is_gap", col("value").isNull)
+      .withColumn("pv", last(col("value"), ignoreNulls = true).over(wB))
+      .withColumn("ph",
+        last(when(col("value").isNotNull, col("hu")), ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("value"), ignoreNulls = true).over(wF))
+      .withColumn("nh",
+        first(when(col("value").isNotNull, col("hu")), ignoreNulls = true).over(wF))
+      // no in-engine rounding: interpolation at dyadic Δt/ΔT fractions of
+      // 2dp values lands on exact .5·10⁻⁶ midpoints, where Spark
+      // (HALF_UP) and DuckDB (half-even) round apart — the raw doubles
+      // are IEEE-identical across engines, so emit those and let the
+      // gate's uniform canonicalization round once
+      .select(col("user_id"), col("hu").as("hour_us"),
+        when(!col("is_gap"), col("value"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("hu") - col("ph")).cast("double") /
+              (col("nh") - col("ph")).cast("double"))).as("interp"),
+        col("is_gap"))
+      .orderBy(col("user_id"), col("hour_us"))
+  }
+
   /** Time-series similarity search (the distributed ts-similarity shape,
     * EDBT 2019 — see PAPERS.md): rank users by Pearson correlation of
     * their hourly activity series against a probe user's series. The

@@ -61,6 +61,67 @@ class Round9bSpec extends SparkSpecBase {
     assert(levLines.nonEmpty && !levLines.exists(_.contains("NestedLoop")))
   }
 
+  test("random projection: codegen ≡ reference loop, JL mean ≈ 1, map-side only") {
+    val rp = operators.Quantization.randomProjection(spark, sfDir).cache()
+    // reference loop (MatrixProject.projectOf) replayed on one vector
+    // must reproduce the query's y1..y4 exactly
+    def signOf(j: Int, i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp_${j}_${i}".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+    val matrix = Array.tabulate(16, 64)((j, i) => signOf(j, i) * 0.25)
+    val v0 = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val yRef = functions.MatrixProject.projectOf(v0, matrix)
+    val row0 = rp.filter(col("vec_id") === 0).head
+    (1 to 4).foreach { c =>
+      assert(math.abs(row0.getDouble(c) - yRef(c - 1)) < 1e-6)
+    }
+    // JL: per-vector norm ratios concentrate around 1 in expectation
+    val meanRatio = rp.agg(avg(col("norm_ratio"))).head.getDouble(0)
+    assert(meanRatio > 0.8 && meanRatio < 1.2, s"mean norm ratio $meanRatio")
+    // pure map-side: the plan has no join of any kind
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"projection plan grew a join:\n${plan.take(800)}")
+    rp.unpersist()
+  }
+
+  test("interpolation: known rows exact, gaps linear between neighbors") {
+    val interp = operators.TimeSeries.interpolateHourly(spark, sfDir).cache()
+    val fill = operators.TimeSeries.gapFillHourly(spark, sfDir)
+      .select(col("user_id"), col("hour_us"), col("filled"), col("is_gap"))
+    // same spine, same gap verdicts as the LOCF twin
+    assert(interp.select("user_id", "hour_us", "is_gap")
+      .exceptAll(fill.select("user_id", "hour_us", "is_gap")).isEmpty)
+    // on non-gap rows the two fills agree exactly (both = observed value)
+    val together = interp.withColumnRenamed("is_gap", "ig")
+      .join(fill.drop("is_gap"), Seq("user_id", "hour_us"))
+    assert(together.filter(!col("ig") && col("interp") =!= col("filled")).isEmpty)
+    // every gap value lies within [min, max] of its two neighbors and is
+    // strictly between them when they differ — replay per user via collect
+    val rows = interp.orderBy(col("user_id"), col("hour_us")).collect()
+      .groupBy(_.getLong(0))
+    var gapsChecked = 0
+    rows.values.foreach { series =>
+      val vs = series.map(r => (r.getDouble(2), r.getBoolean(3)))
+      vs.indices.foreach { i =>
+        if (vs(i)._2) {
+          val prev = (i - 1 to 0 by -1).find(j => !vs(j)._2).map(vs(_)._1).get
+          val next = (i + 1 until vs.length).find(j => !vs(j)._2).map(vs(_)._1).get
+          val lo = math.min(prev, next); val hi = math.max(prev, next)
+          assert(vs(i)._1 >= lo - 1e-9 && vs(i)._1 <= hi + 1e-9,
+            s"gap value ${vs(i)._1} outside [$lo, $hi]")
+          gapsChecked += 1
+        }
+      }
+    }
+    assert(gapsChecked > 0, "corpus produced no gaps — test vacuous")
+    interp.unpersist()
+  }
+
   test("range partitioner: equi-depth, disjoint, exhaustive, shard-invariant") {
     val orders = Tables.t(spark, sfDir, "orders")
     val stats = Layout.rangePartitionStats(orders, "o_totalprice", 16).cache()
