@@ -121,8 +121,14 @@ object EntityResolution {
     * singletons, with the surviving (lowest-id = original) record's name
     * and the cluster's balance envelope.
     */
-  def erEntities(s: SparkSession, dir: String): DataFrame = {
-    val reg = dirtyRegistry(t(s, dir, "customer")).localCheckpoint(true)
+  def erEntities(s: SparkSession, dir: String): DataFrame =
+    resolveOf(dirtyRegistry(t(s, dir, "customer")))
+
+  /** Library-facing form: resolve any (rec_id, name, nat, seg, bal)
+    * registry into entities (see [[erEntities]] for the output shape).
+    */
+  def resolveOf(registry: DataFrame): DataFrame = {
+    val reg = registry.localCheckpoint(true)
     val labels = Dedup.clustersOfPairs(matchedPairs(reg).select("i", "j"))
       .select(col("doc_id").as("rec_id"), col("cluster_rep"))
     reg.join(labels, Seq("rec_id"), "left")

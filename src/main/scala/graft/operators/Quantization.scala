@@ -83,7 +83,12 @@ object Quantization {
     * near 1) — all engine-deterministic equalities, not statistical
     * envelopes.
     */
-  def randomProjection(s: SparkSession, dir: String, dOut: Int = 16): DataFrame = {
+  def randomProjection(s: SparkSession, dir: String, dOut: Int = 16): DataFrame =
+    randomProjectionOf(t(s, dir, "embeddings"), dOut)
+
+  /** Library-facing form over any (vec_id, embedding) frame. */
+  def randomProjectionOf(emb: DataFrame, dOut: Int = 16): DataFrame = {
+    val s = emb.sparkSession
     graft.functions.VectorFunctions.register(s)
     val dim = 64
     def signOf(j: Int, i: Int): Double = {
@@ -96,7 +101,7 @@ object Quantization {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "matrix_project",
       exprs => graft.functions.MatrixProject(exprs.head, matrix), "built-in")
-    t(s, dir, "embeddings")
+    emb
       .select(col("vec_id"),
         call_function("matrix_project", col("embedding")).as("y"),
         graft.functions.VectorFunctions

@@ -150,6 +150,13 @@ package object syntax {
     def kmeans(k: Int = 4, iters: Int = 2): DataFrame =
       operators.KMeans.kmeansOf(df, k, iters)
 
+    /** Johnson-Lindenstrauss random projection to `dOut` dims (fixed
+      * md5-parity sign matrix, one fused codegen'd loop; pure map-side).
+      * Expects (vec_id, embedding).
+      */
+    def randomProject(dOut: Int = 16): DataFrame =
+      operators.Quantization.randomProjectionOf(df, dOut)
+
     /** Exact cosine top-k against a broadcast probe vector column. */
     def cosineTopK(probe: DataFrame, embCol: String, idCol: String,
         k: Int): DataFrame = {
@@ -190,5 +197,39 @@ package object syntax {
       */
     def gapFillHourly(): DataFrame =
       operators.TimeSeries.gapFillHourlyOf(df)
+
+    /** Hourly gap-fill with LINEAR interpolation between the neighboring
+      * observations; expects (user_id, ts, event_id, value) columns.
+      */
+    def interpolateHourly(): DataFrame =
+      operators.TimeSeries.interpolateHourlyOf(df)
+  }
+
+  implicit class GraftEntityOps(private val df: DataFrame) {
+
+    /** Matched record pairs (i, j, lev, gap) via banded blocking +
+      * in-block levenshtein; expects (rec_id, name, nat, seg, bal).
+      */
+    def matchPairs(): DataFrame = operators.EntityResolution.matchedPairs(df)
+
+    /** Resolved entities: transitive match clusters + lowest-id
+      * survivorship; expects (rec_id, name, nat, seg, bal).
+      */
+    def resolveEntities(): DataFrame = operators.EntityResolution.resolveOf(df)
+  }
+
+  implicit class GraftLayoutOps(private val df: DataFrame) {
+
+    /** Equi-depth range-partition report for `valueCol` into `k` shards:
+      * per-shard count + [lo, hi], proving balance and disjointness.
+      */
+    def rangePartitionStats(valueCol: String, k: Int): DataFrame =
+      operators.Layout.rangePartitionStats(df, valueCol, k)
+
+    /** Cluster for writing: range-partition + locally sort by the Morton
+      * interleave of two quantized dimensions (min/max pruning in BOTH).
+      */
+    def zorderClustered(xCol: String, yCol: String, partitions: Int): DataFrame =
+      operators.Layout.zorderCluster(df, xCol, yCol, partitions)
   }
 }

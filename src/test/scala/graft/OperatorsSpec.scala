@@ -437,6 +437,20 @@ class OperatorsSpec extends SparkSpecBase {
     val sem = Tables.t(spark, sfDir, "embeddings").semDedup()
     assert(sem.columns.toSeq == Seq("vec_id", "cluster", "kept"))
     assert(sem.count() == Tables.t(spark, sfDir, "embeddings").count())
+    // round-9 session-3 surface: er, range layout, projection, interp
+    val reg = operators.EntityResolution.dirtyRegistry(
+      Tables.t(spark, sfDir, "customer"))
+    assert(reg.matchPairs().count() === reg.matchPairs().distinct().count())
+    val ents = reg.resolveEntities()
+    assert(ents.columns.toSeq == Seq("cluster_rep", "canonical_name",
+      "n_recs", "bal_min", "bal_max"))
+    val rps = Tables.t(spark, sfDir, "orders")
+      .rangePartitionStats("o_totalprice", 8)
+    assert(rps.count() === 8L)
+    val proj = Tables.t(spark, sfDir, "embeddings").randomProject()
+    assert(proj.columns.contains("norm_ratio"))
+    assert(events.interpolateHourly().columns.toSeq ==
+      Seq("user_id", "hour_us", "interp", "is_gap"))
   }
 
   test("udx: geometric mean matches closed form on a known group") {
