@@ -136,6 +136,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => operators.EntityResolution.erPairs(s, d)),
     "er_entities" ->
       ((s: SparkSession, d: String) => operators.EntityResolution.erEntities(s, d)),
+    // incremental linkage: delta joins lowest matched base entity or
+    // forms new clusters among unmatched deltas — base never re-pairs
+    "er_incremental" ->
+      ((s: SparkSession, d: String) => operators.EntityResolution.erIncremental(s, d)),
     "text_redact" -> TextAnalysis.redactPii _,
     "text_train_split" -> TextAnalysis.trainValSplit _,
     // leakage-safe split: near-dup clusters never straddle train/val
@@ -534,6 +538,37 @@ object SparkEntry {
          |        AND levenshtein(a.name, b.name) <= 2)
          |SELECT i, j, CAST(lev AS BIGINT) AS lev, round(gap, 6) AS bal_diff
          |FROM p ORDER BY i, j""".stripMargin),
+    // incremental rules replayed definitionally: direct delta-base
+    // matches take MIN base rep; both-unmatched delta pairs close
+    // recursively; everything else is a new singleton
+    "er_incremental" ->
+      (s"""WITH RECURSIVE $erRegistrySql,
+         |base AS (SELECT * FROM r WHERE rec_id % 10 = 0 AND rec_id % 40 <> 0),
+         |delta AS (SELECT * FROM r WHERE rec_id % 10 <> 0),
+         |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+         |p AS (SELECT a.rec_id AS i, b.rec_id AS j
+         |      FROM u a JOIN u b ON a.rec_id < b.rec_id
+         |        AND a.nat = b.nat AND a.seg = b.seg
+         |      WHERE abs(a.bal - b.bal) <= CAST(0.10 AS DOUBLE)
+         |        AND levenshtein(a.name, b.name) <= 2),
+         |db AS (SELECT p.j AS rec_id, p.i AS rep FROM p JOIN base ON p.i = base.rec_id
+         |       UNION ALL
+         |       SELECT p.i, p.j FROM p JOIN base ON p.j = base.rec_id),
+         |asg AS (SELECT rec_id, MIN(rep) AS rep FROM db GROUP BY rec_id),
+         |um AS (SELECT d.rec_id FROM delta d LEFT JOIN asg ON d.rec_id = asg.rec_id
+         |       WHERE asg.rec_id IS NULL),
+         |uu AS (SELECT i, j FROM p WHERE i IN (SELECT rec_id FROM um)
+         |         AND j IN (SELECT rec_id FROM um)),
+         |e AS (SELECT i AS a, j AS b FROM uu UNION SELECT j, i FROM uu
+         |      UNION SELECT i, i FROM uu UNION SELECT j, j FROM uu),
+         |reach(node, rl) AS (SELECT a, b FROM e
+         |  UNION SELECT re.node, e2.b FROM reach re JOIN e e2 ON re.rl = e2.a),
+         |lab AS (SELECT node, MIN(rl) AS rep FROM reach GROUP BY node)
+         |SELECT d.rec_id, COALESCE(asg.rep, lab.rep, d.rec_id) AS assigned_rep,
+         |  CAST(CASE WHEN asg.rec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new
+         |FROM delta d LEFT JOIN asg ON d.rec_id = asg.rec_id
+         |  LEFT JOIN lab ON d.rec_id = lab.node
+         |ORDER BY d.rec_id""".stripMargin),
     "er_entities" ->
       (s"""WITH RECURSIVE $erRegistrySql,
          |p AS (SELECT a.rec_id AS i, b.rec_id AS j

@@ -124,6 +124,72 @@ object EntityResolution {
   def erEntities(s: SparkSession, dir: String): DataFrame =
     resolveOf(dirtyRegistry(t(s, dir, "customer")))
 
+  /** er_incremental — incremental linkage, the production shape at
+    * 100 TB: a resolved base registry is NOT re-resolved when a delta
+    * batch arrives; delta records link against it. Rules, in order:
+    *   1. a delta record that matches base records joins the LOWEST
+    *      matched base rec_id (existing entity);
+    *   2. delta records with no base match cluster among THEMSELVES
+    *      (delta-delta pairs, transitive closure) — new entities keyed
+    *      by their lowest member;
+    *   3. one-hop semantics: a delta record d1 matching only an
+    *      assigned delta d2 (never base directly) still forms a NEW
+    *      entity with d2 excluded — base assignment does not propagate
+    *      through delta chains (re-resolution catches those; the
+    *      incremental pass must stay one keyed join deep to stay
+    *      incremental).
+    * Work is candidate-proportional exactly like the batch pass: one
+    * banded equi-join of delta against (base ∪ delta) and one closure
+    * over the (small) unmatched-delta pair graph — nothing rescans or
+    * re-pairs base against base.
+    *
+    * Gate split: base = originals of custkey ≢ 0 (mod 4); delta = every
+    * variant. Variants of mod-4 customers therefore have no base
+    * original and become new entities (singletons, and 2-clusters where
+    * both variants of a mod-20 customer land in the delta), while the
+    * rest join their base original — all three rule paths exercised.
+    */
+  def erIncremental(s: SparkSession, dir: String): DataFrame = {
+    val reg = dirtyRegistry(t(s, dir, "customer")).localCheckpoint(true)
+    // rec_id = 10·custkey, so rec_id % 40 ≠ 0 ⇔ custkey % 4 ≠ 0
+    val base = reg.filter(col("rec_id") % 10 === 0 &&
+      col("rec_id") % 40 =!= 0)
+    val delta = reg.filter(col("rec_id") % 10 =!= 0)
+    incrementalLink(base, delta)
+  }
+
+  /** Library-facing form: link `delta` records against resolved `base`
+    * (both (rec_id, name, nat, seg, bal); base rec_ids are the entity
+    * keys). Returns (rec_id, assigned_rep, is_new) per delta record.
+    */
+  def incrementalLink(base: DataFrame, delta: DataFrame): DataFrame = {
+    val pairs = matchedPairs(
+      base.unionByName(delta).localCheckpoint(true)).localCheckpoint(true)
+    val baseIds = base.select(col("rec_id").as("b"))
+    // delta-base direct matches (either pair side may hold the base rec)
+    val db = pairs.join(baseIds, col("i") === col("b"))
+      .select(col("j").as("rec_id"), col("i").as("rep"))
+      .unionAll(pairs.join(baseIds, col("j") === col("b"))
+        .select(col("i").as("rec_id"), col("j").as("rep")))
+    val assigned = db.groupBy(col("rec_id")).agg(min(col("rep")).as("rep"))
+    val unmatched = delta.join(assigned, Seq("rec_id"), "left_anti")
+      .select(col("rec_id"))
+    // closure over pairs where BOTH ends are unmatched deltas
+    val uu = pairs
+      .join(unmatched.select(col("rec_id").as("i")), Seq("i"))
+      .join(unmatched.select(col("rec_id").as("j")), Seq("j"))
+      .select(col("i"), col("j"))
+    val newLabels = Dedup.clustersOfPairs(uu)
+      .select(col("doc_id").as("rec_id"), col("cluster_rep").as("rep"))
+    delta.select(col("rec_id"))
+      .join(assigned.withColumn("is_new", lit(0L)), Seq("rec_id"), "left")
+      .join(newLabels.withColumnRenamed("rep", "nrep"), Seq("rec_id"), "left")
+      .select(col("rec_id"),
+        coalesce(col("rep"), col("nrep"), col("rec_id")).as("assigned_rep"),
+        coalesce(col("is_new"), lit(1L)).as("is_new"))
+      .orderBy(col("rec_id"))
+  }
+
   /** Library-facing form: resolve any (rec_id, name, nat, seg, bal)
     * registry into entities (see [[erEntities]] for the output shape).
     */

@@ -61,6 +61,27 @@ class Round9bSpec extends SparkSpecBase {
     assert(levLines.nonEmpty && !levLines.exists(_.contains("NestedLoop")))
   }
 
+  test("er incremental: join-existing, new-cluster, new-singleton, no chaining") {
+    import spark.implicits._
+    val base = Seq((10L, "alpha", 1, "A", 100.0))
+      .toDF("rec_id", "name", "nat", "seg", "bal")
+    val delta = Seq(
+      (21L, "alpha", 1, "A", 100.05), // exact name, in tolerance -> joins 10
+      (22L, "alphx", 1, "A", 100.08), // lev 1 to base -> joins 10
+      (23L, "alpxa", 1, "A", 100.02), // lev 1 to base -> joins 10
+      (31L, "gamma", 1, "A", 100.00), // lev 4 to base -> new singleton
+      (41L, "delta", 2, "A", 50.00),  // no base in nat 2; pairs with 42
+      (42L, "deltx", 2, "A", 50.05),  // -> new cluster rep 41
+      (61L, "blpxx", 1, "A", 100.10)) // lev 3 to base, lev 2 to ASSIGNED 23:
+      .toDF("rec_id", "name", "nat", "seg", "bal") // no chaining -> singleton
+    val out = operators.EntityResolution.incrementalLink(base, delta)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      21L -> (10L, 0L), 22L -> (10L, 0L), 23L -> (10L, 0L),
+      31L -> (31L, 1L), 41L -> (41L, 1L), 42L -> (41L, 1L),
+      61L -> (61L, 1L)))
+  }
+
   test("random projection: codegen ≡ reference loop, JL mean ≈ 1, map-side only") {
     val rp = operators.Quantization.randomProjection(spark, sfDir).cache()
     // reference loop (MatrixProject.projectOf) replayed on one vector
