@@ -153,6 +153,8 @@ object SparkEntry {
     "text_intra_dedup" ->
       ((s: SparkSession, d: String) => TextAnalysis.intraDocDedup(s, d)),
     "text_tfidf" -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_sim_pairs" ->
+      ((s: SparkSession, d: String) => TextAnalysis.tfidfSimilarPairs(s, d)),
     "text_stratified_sample" -> TextAnalysis.stratifiedSample _,
     "text_repetition" -> TextAnalysis.repetitionScore _,
     "text_unigram_logprob" -> TextAnalysis.unigramLogprob _,
@@ -186,6 +188,7 @@ object SparkEntry {
     "ts_ohlc" -> graft.operators.TimeSeries.tsOhlc _,
     "ts_ewma" -> graft.operators.TimeSeries.tsEwma _,
     "ts_ewma_anomaly" -> graft.operators.TimeSeries.tsEwmaAnomaly _,
+    "ts_cusum" -> graft.operators.TimeSeries.tsCusum _,
     "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
     "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
     "recon_merge" -> graft.operators.Reconcile.ordersMerge _,
@@ -1163,6 +1166,28 @@ object SparkEntry {
         "  (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk FROM sc) " +
         "SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tfidf FROM rk WHERE rk <= 3 " +
         "ORDER BY doc_id, rk"),
+    // sparse TF-IDF cosine pairs: identical weight/norm/quantization
+    // chain replayed — 6dp weights, 8dp-then-DECIMAL norm squares, 12dp
+    // DECIMAL(28,14) products; df ≤ 100 vocabulary on both engines
+    "text_sim_pairs" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS token FROM d), " +
+        "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token), " +
+        "dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token " +
+        "  HAVING COUNT(*) <= 100), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "w AS (SELECT doc_id, token, round(CAST(tf AS DOUBLE) * " +
+        "  ln(CAST(n_docs AS DOUBLE)/df), 6) AS w FROM tf JOIN dfx USING(token), n), " +
+        "nrm AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w*w, 8) AS DECIMAL(30,10))) " +
+        "  AS DOUBLE)) AS norm FROM w GROUP BY doc_id), " +
+        "nw AS (SELECT doc_id, token, w / norm AS nw FROM w JOIN nrm USING(doc_id)), " +
+        "p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, " +
+        "  CAST(round(a.nw * b.nw, 12) AS DECIMAL(28,14)) AS p " +
+        "  FROM nw a JOIN nw b ON a.token = b.token AND a.doc_id < b.doc_id) " +
+        "SELECT doc_i, doc_j, round(CAST(sum(p) AS DOUBLE), 6) AS cos " +
+        "FROM p GROUP BY doc_i, doc_j " +
+        "HAVING round(CAST(sum(p) AS DOUBLE), 6) >= 0.3 " +
+        "ORDER BY doc_i, doc_j"),
     "text_stratified_sample" ->
       ("SELECT doc_id, lang, bucket FROM (SELECT doc_id, lang, " +
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket FROM documents) " +
@@ -1726,6 +1751,39 @@ object SparkEntry {
         "COUNT(*) AS n_points FROM events GROUP BY user_id) " +
         "SELECT user_id, CAST(st[3] AS BIGINT) AS n_anomalies, " +
         "round(st[4], 6) AS max_abs_dev, n_points FROM f ORDER BY user_id"),
+    // two-sided CUSUM (Page's test) folded with a LIST accumulator
+    // [x, sp, sn, n_alarms, max_sp, max_sn]; the transform seeds the
+    // post-first-point state (list_reduce uses element 1 as the initial
+    // accumulator), pre-reset maxima tracked before the alarm reset;
+    // literals and parenthesization match TimeSeries.cusumStep exactly
+    "ts_cusum" ->
+      ("WITH f AS (SELECT user_id, list_reduce(" +
+        "list_transform(list(value ORDER BY ts, event_id), " +
+        "x -> [x, " +
+        "CASE WHEN greatest(CAST(0 AS DOUBLE), x - 50 - 10) > 200 THEN 0 " +
+        "ELSE greatest(CAST(0 AS DOUBLE), x - 50 - 10) END, " +
+        "CASE WHEN greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) > 200 THEN 0 " +
+        "ELSE greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) END, " +
+        "CASE WHEN greatest(CAST(0 AS DOUBLE), x - 50 - 10) > 200 " +
+        "OR greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) > 200 " +
+        "THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, " +
+        "greatest(CAST(0 AS DOUBLE), x - 50 - 10), " +
+        "greatest(CAST(0 AS DOUBLE), -(x - 50) - 10)]), " +
+        "(acc, e) -> [e[1], " +
+        "CASE WHEN greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) > 200 " +
+        "THEN 0 ELSE greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) END, " +
+        "CASE WHEN greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) > 200 " +
+        "THEN 0 ELSE greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) END, " +
+        "acc[4] + CASE WHEN " +
+        "greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) > 200 " +
+        "OR greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) > 200 " +
+        "THEN 1 ELSE 0 END, " +
+        "greatest(acc[5], greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10))), " +
+        "greatest(acc[6], greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10))]) " +
+        "AS st, COUNT(*) AS n_points FROM events GROUP BY user_id) " +
+        "SELECT user_id, CAST(st[4] AS BIGINT) AS n_alarms, " +
+        "round(st[5], 6) AS max_sp, round(st[6], 6) AS max_sn, n_points " +
+        "FROM f ORDER BY user_id"),
     "ts_ohlc" ->
       ("WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, ts, " +
         "event_id, value FROM events), " +

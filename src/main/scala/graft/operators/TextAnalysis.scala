@@ -467,6 +467,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  def tfidfSimilarPairs(s: SparkSession, dir: String): DataFrame =
+    tfidfSimilarPairsOf(t(s, dir, "documents"), dfCap = 100, tau = 0.3)
+
+  /** Sparse TF-IDF cosine similarity join — all document pairs with
+    * cosine ≥ tau over the df ≤ dfCap vocabulary, via the inverted-index
+    * posting join (the MapReduce pairwise-similarity shape): a pair is
+    * generated once per SHARED token, so total candidate work is
+    * Σ_token df², never corpus². This is the lexical member of the
+    * similarity family (embeddings: `Similarity`; shingle sets: `Dedup`)
+    * — it finds topical/templated similarity that exact-shingle overlap
+    * misses and that needs no embedding model.
+    *
+    * Scale levers, in order:
+    *   - `dfCap` drops tokens present in more than dfCap docs BEFORE
+    *     vectors are built (the vector space is "the df ≤ dfCap
+    *     vocabulary"): per-token join cost is capped at dfCap², and the
+    *     dropped terms are precisely the lowest-idf (least informative)
+    *     coordinates — at df = N, idf = ln(N/df) = 0 exactly.
+    *   - weights are L2-normalized per doc, so the pair aggregation is a
+    *     plain dot product: one (doc_i, doc_j)-keyed partial agg with
+    *     map-side combine; the shuffle carries quantized products, not
+    *     postings.
+    *   - products quantize to 12 dp DECIMAL before the sum (the q10e
+    *     recipe) — shuffle-order-independent, hash-gateable doubles out.
+    *
+    * The norm pass and the posting join both key on doc/token hash
+    * shuffles; nothing driver-sided, no all-pairs stage anywhere.
+    */
+  def tfidfSimilarPairsOf(docs: DataFrame, dfCap: Int,
+      tau: Double): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // same weight definition (and 6-dp pin) as tfidfTopTermsOf
+    val w = tf.join(broadcast(df_), "token").crossJoin(broadcast(n))
+      .withColumn("w", round(col("tf").cast(DoubleType) *
+        log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      .select(col("doc_id"), col("token"), col("w"))
+    // L2 norms: squares quantized to 8 dp before the decimal sum so the
+    // per-doc aggregation is exact and order-free; sqrt on the exact sum
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(round(col("w") * col("w"), 8)
+        .cast(DecimalType(30, 10))).cast(DoubleType)).as("norm"))
+    val nw = w.join(norms, "doc_id")
+      .select(col("doc_id"), col("token"), (col("w") / col("norm")).as("nw"))
+    nw.as("a").join(nw.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        round(col("a.nw") * col("b.nw"), 12)
+          .cast(DecimalType(28, 14)).as("p"))
+      .groupBy(col("doc_i"), col("doc_j"))
+      .agg(round(sum(col("p")).cast(DoubleType), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
   /** Deterministic hash-stratified sampling: per-language keep rates over
     * the same md5 bucket as [[trainValSplit]] — reproducible across runs
     * and engines, no RNG state, pure map-side filter (the sampling

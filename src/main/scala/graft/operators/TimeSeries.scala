@@ -371,4 +371,87 @@ object TimeSeries {
         round(max(abs(col("forecast_dev"))), 6).as("max_abs_dev"),
         count(lit(1)).as("n_points"))
       .orderBy(col("user_id"))
+
+  case class CusumPoint(user_id: Long, ts_us: Long, event_id: Long,
+    value: Double, sp_raw: Double, sn_raw: Double, alarmed: Boolean)
+
+  /** One two-sided CUSUM update (Page's test, the classic sequential
+    * changepoint detector): against target level `mu` with slack
+    * `kappa`, the one-sided sums accumulate only sustained drift
+    * (`S⁺ += x−mu−kappa` floored at 0; `S⁻` symmetric), alarm when a
+    * side crosses `h`, and the fired side resets to 0 (restart the
+    * test). Returns the PRE-reset sums (the gate reports their maxima),
+    * the carried post-reset state, and the alarm flag.
+    *
+    * Shared by the batch scan and the DuckDB oracle's fold — the
+    * arithmetic is written in the literal order the SQL repeats
+    * (`sp + (x - mu - kappa)`, `sn - (x - mu) - kappa`) so the doubles
+    * agree bit-for-bit; do not "simplify" the parenthesization.
+    */
+  def cusumStep(sp: Double, sn: Double, x: Double, mu: Double,
+      kappa: Double, h: Double): (Double, Double, Double, Double, Boolean) = {
+    val spRaw = math.max(0.0, sp + (x - mu - kappa))
+    val snRaw = math.max(0.0, sn - (x - mu) - kappa)
+    val alarmed = spRaw > h || snRaw > h
+    (spRaw, snRaw,
+      if (spRaw > h) 0.0 else spRaw,
+      if (snRaw > h) 0.0 else snRaw,
+      alarmed)
+  }
+
+  /** Per-key two-sided CUSUM changepoint scan — the second member of
+    * the SEGMENTED SEQUENTIAL SCAN family (see [[ewmaScanOf]] for the
+    * idiom's scale argument). CUSUM's recurrence is non-associative
+    * (each sum floors at 0 and resets on alarm), so like EWMA it cannot
+    * be a window/aggregate; the distributed form is the same ONE hash
+    * shuffle on the key + per-partition (key, ts, id) sort + streaming
+    * `mapPartitions` with O(1) state per key. At 100 TB each series
+    * moves exactly once and no per-key collection is ever materialized.
+    *
+    * Monitoring semantics: drift above `mu+kappa` (or below `mu−kappa`)
+    * accumulates; short excursions decay back to the 0 floor; a side
+    * crossing `h` raises an alarm for that point and restarts its test.
+    * Defaults are tuned to the events value distribution (mean ≈ 50):
+    * kappa = 10 ignores ±10 of noise around the target, h = 200 needs
+    * a sustained ~4σ excursion.
+    */
+  def cusumScanOf(events: DataFrame, mu: Double = 50.0,
+      kappa: Double = 10.0, h: Double = 200.0):
+      org.apache.spark.sql.Dataset[CusumPoint] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var key = Long.MinValue
+        var seeded = false
+        var sp = 0.0
+        var sn = 0.0
+        it.map { case (u, ts, id, x) =>
+          if (u != key || !seeded) { key = u; seeded = true; sp = 0.0; sn = 0.0 }
+          val (spRaw, snRaw, sp2, sn2, alarmed) = cusumStep(sp, sn, x, mu, kappa, h)
+          sp = sp2; sn = sn2
+          CusumPoint(u, ts, id, x, spRaw, snRaw, alarmed)
+        }
+      }
+  }
+
+  /** Driver gate: per-user CUSUM census — alarm count and the extreme
+    * pre-reset sums. The DuckDB oracle replays the recurrence as an
+    * ordered LIST fold with the identical literals (the ts_ewma_anomaly
+    * recipe), so every double is hash-compared bit-for-bit.
+    */
+  def tsCusum(s: SparkSession, dir: String): DataFrame =
+    cusumScanOf(t(s, dir, "events"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("alarmed"), 1L).otherwise(0L)).as("n_alarms"),
+        round(max(col("sp_raw")), 6).as("max_sp"),
+        round(max(col("sn_raw")), 6).as("max_sn"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("user_id"))
 }

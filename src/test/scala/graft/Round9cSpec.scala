@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 session-3 operators: CUSUM changepoint scan and the
+  * session's later additions.
+  */
+class Round9cSpec extends SparkSpecBase {
+
+  // ---- per-key CUSUM changepoint scan ----
+
+  test("cusum scan: golden recurrence, alarm reset, key isolation") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // user 1: three sustained high points drift S⁺ over a small h;
+    // user 2: one low point (S⁻ side seeds, no alarm)
+    val rows = Seq(
+      (1L, ts(0), 10L, "click", 90.0),  // sp = 30
+      (1L, ts(1), 11L, "click", 90.0),  // sp = 60 > h=50 → alarm, reset
+      (1L, ts(2), 12L, "click", 90.0),  // sp = 30 again (fresh test)
+      (2L, ts(3), 20L, "click", 10.0))  // sn = 30, no alarm
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.operators.TimeSeries.cusumScanOf(rows, mu = 50.0,
+        kappa = 10.0, h = 50.0)
+      .collect().sortBy(p => (p.user_id, p.ts_us)).toSeq
+    assert(out.map(_.sp_raw) == Seq(30.0, 60.0, 30.0, 0.0),
+      "S⁺ must accumulate, cross, then restart from the post-alarm reset")
+    assert(out.map(_.alarmed) == Seq(false, true, false, false))
+    // user 2 starts from zero state (no bleed from user 1's reset)
+    assert(out.last.sn_raw == 30.0 && out.last.sp_raw == 0.0)
+  }
+
+  test("cusum scan: slack floors noise at zero; below-target drift alarms S⁻") {
+    import spark.implicits._
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val noise = (0 until 5).map(i =>
+      (1L, ts(i), 10L + i, "click", if (i % 2 == 0) 55.0 else 45.0))
+    val low = (0 until 3).map(i => (2L, ts(i), 30L + i, "click", 10.0))
+    val rows = (noise ++ low)
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.operators.TimeSeries.cusumScanOf(rows, mu = 50.0,
+        kappa = 10.0, h = 70.0)
+      .collect().sortBy(p => (p.user_id, p.ts_us)).toSeq
+    // ±5 noise sits inside the ±10 slack: both sums stay pinned at 0
+    assert(out.take(5).forall(p => p.sp_raw == 0.0 && p.sn_raw == 0.0))
+    // sustained 10s: sn = 30, 60, 90 → alarm on the third point
+    assert(out.drop(5).map(_.sn_raw) == Seq(30.0, 60.0, 90.0))
+    assert(out.drop(5).map(_.alarmed) == Seq(false, false, true))
+  }
+
+  // ---- sparse TF-IDF cosine similarity join ----
+
+  test("tfidf sim join: verbatim duplicates score 1, disjoint docs never pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),    // verbatim dup of 1
+      (3L, "epsilon zeta eta theta"))    // token-disjoint
+      .toDF("doc_id", "text")
+    val out = operators.TextAnalysis
+      .tfidfSimilarPairsOf(docs, dfCap = 100, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 2L)),
+      "only the duplicate pair may emit; disjoint docs share no posting")
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-9,
+      s"identical normalized vectors must score 1, got ${out((1L, 2L))}")
+  }
+
+  test("tfidf sim join: df cap removes ubiquitous tokens from the space") {
+    import spark.implicits._
+    // every doc shares 'common'; distinctive tokens are disjoint — the
+    // only similarity signal is the ubiquitous token
+    val docs = Seq(
+      (1L, "common aaa bbb"), (2L, "common ccc ddd"), (3L, "common eee fff"))
+      .toDF("doc_id", "text")
+    val capped = operators.TextAnalysis
+      .tfidfSimilarPairsOf(docs, dfCap = 2, tau = 0.01)
+    assert(capped.isEmpty,
+      "df=3 token must be out of the df≤2 vocabulary — no pairs")
+    // with the cap open, idf(common) = ln(3/3) = 0 → weight 0 → the
+    // posting join still yields cos 0, filtered by any positive tau:
+    // ubiquitous tokens carry no signal even when admitted
+    val open = operators.TextAnalysis
+      .tfidfSimilarPairsOf(docs, dfCap = 100, tau = 0.01)
+    assert(open.isEmpty)
+  }
+
+  test("tfidf sim join: exactly-once pairs, ordered, invariant to layout") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val base = operators.TextAnalysis
+      .tfidfSimilarPairsOf(docs, dfCap = 100, tau = 0.3).collect()
+    assert(base.nonEmpty, "the near-dup-rich corpus must produce pairs")
+    val keys = base.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "duplicate (i,j) rows")
+    assert(keys.forall { case (i, j) => i < j }, "pair orientation broken")
+    val shuffled = operators.TextAnalysis
+      .tfidfSimilarPairsOf(docs.repartition(32, col("doc_id")),
+        dfCap = 100, tau = 0.3).collect()
+    assert(base.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      shuffled.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
+      "quantized-decimal dot products must not depend on layout")
+  }
+
+  test("cusum scan: result invariant to input partitioning") {
+    val events = Tables.t(spark, sfDir, "events")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries.cusumScanOf(df)
+        .collect().map(p => (p.user_id, p.event_id) ->
+          (p.sp_raw, p.sn_raw, p.alarmed)).toMap
+    val base = run(events)
+    val shuffled = run(events.repartition(32, col("event_id")))
+    val single = run(events.coalesce(1))
+    assert(base == shuffled && base == single,
+      "per-key scan must not depend on the incoming layout")
+  }
+}
