@@ -120,6 +120,14 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.embeddingNearDupLshChecked(s, d)),
     "text_token_stats" -> TextAnalysis.tokenStats _,
     "text_langid" -> TextAnalysis.langId _,
+    // reliability diagram for the langid confidence: decile bins,
+    // per-bin mean confidence vs empirical accuracy, ECE terms
+    "dq_calibration" -> TextAnalysis.calibrationReport _,
+    // per-group exact heavy hitters: one Misra-Gries sketch per group,
+    // broadcast recount of the bounded candidate set
+    "freq_heavy_hitters_grouped" ->
+      ((s: SparkSession, d: String) =>
+        operators.HeavyHitters.freqHeavyHittersGrouped(s, d)),
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_rolling_fp" -> TextAnalysis.rollingFingerprint _,
@@ -1269,6 +1277,34 @@ object SparkEntry {
         "WHEN h_fr > 0 AND h_fr >= h_en THEN 'fr' " +
         "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS pred_lang, lang " +
         "FROM h ORDER BY doc_id"),
+    // calibration: integer-exact decile binning ((h+1)*10 // denom),
+    // round-then-DECIMAL mean confidence, gap off the rounded means
+    "dq_calibration" ->
+      (s"WITH d AS (SELECT lang, $toksSql AS toks FROM documents), " +
+        "h AS (SELECT lang, " +
+        "len(list_filter(toks, t -> t IN ('der','die','das','und','nicht'))) AS h_de, " +
+        "len(list_filter(toks, t -> t IN ('el','los','una','por','con'))) AS h_es, " +
+        "len(list_filter(toks, t -> t IN ('le','les','des','est','dans'))) AS h_fr, " +
+        "len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS h_en FROM d), " +
+        "b AS (SELECT least((h_en + 1) * 10 // (h_de + h_es + h_fr + h_en + 4), 9) AS bin, " +
+        "CAST(h_en + 1 AS DOUBLE) / (h_de + h_es + h_fr + h_en + 4) AS conf, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en FROM h), " +
+        "a AS (SELECT bin, COUNT(*) AS n_docs, " +
+        "round(CAST(sum(CAST(round(conf, 9) AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*), 6) AS avg_conf, " +
+        "round(CAST(sum(is_en) AS DOUBLE) / COUNT(*), 6) AS frac_true " +
+        "FROM b GROUP BY bin) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n_docs, avg_conf, frac_true, " +
+        "round(abs(frac_true - avg_conf), 6) AS abs_gap FROM a ORDER BY bin"),
+    // per-group heavy hitters: definitional grouped GROUP BY/HAVING —
+    // the sketch+recount must equal the plain answer exactly
+    "freq_heavy_hitters_grouped" ->
+      ("WITH f AS (SELECT event_type AS grp, " +
+        "CASE WHEN user_id % 10 < 3 THEN user_id % 10 ELSE user_id END AS item " +
+        "FROM events), " +
+        "n AS (SELECT grp, COUNT(*) AS n FROM f GROUP BY grp) " +
+        "SELECT f.grp, f.item, COUNT(*) AS cnt FROM f JOIN n USING (grp) " +
+        "GROUP BY f.grp, f.item, n.n HAVING COUNT(*) >= ceil(n.n * 0.05) " +
+        "ORDER BY grp, cnt DESC, item"),
     "text_quality" ->
       (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(len(toks) AS BIGINT) AS n_tokens, " +

@@ -106,6 +106,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  def calibrationReport(s: SparkSession, dir: String): DataFrame =
+    calibrationReportOf(t(s, dir, "documents"))
+
+  /** Classifier-calibration report (reliability diagram + ECE terms)
+    * for the marker-based language classifier: the Laplace-smoothed
+    * 'en' share of marker hits is the model's CONFIDENCE, the corpus
+    * `lang` column the ground truth. Docs bin by confidence decile
+    * (bin boundary computed in INTEGER arithmetic — `(h+1)·10 div
+    * denom` — so no float-floor edge can straddle engines); per bin the
+    * report emits count, mean confidence, empirical accuracy, and the
+    * |accuracy − confidence| gap whose n-weighted sum is the Expected
+    * Calibration Error. Every pipeline that gates training data on a
+    * model score needs this: an uncalibrated quality/toxicity/langid
+    * score makes threshold choices meaningless.
+    *
+    * One scan + one 10-row aggregation; mean confidence goes through
+    * the round-then-DECIMAL-sum recipe so the per-bin means are
+    * shuffle-order-independent. The gap is computed from the ROUNDED
+    * per-bin means (both engines see identical inputs).
+    */
+  def calibrationReportOf(docs: DataFrame): DataFrame = {
+    val hitCols = markers.map { case (l, ws) =>
+      markerHits(col("toks"), ws).as(s"h_$l")
+    }
+    val binned = docs
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang") +: hitCols: _*)
+      .select(
+        expr("least((h_en + 1) * 10 div (h_de + h_es + h_fr + h_en + 4), 9)")
+          .as("bin"),
+        expr("cast(h_en + 1 as double) / (h_de + h_es + h_fr + h_en + 4)")
+          .as("conf"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("conf"), 9).cast(DecimalType(20, 12)))
+          .cast(DoubleType) / count(lit(1)), 6).as("avg_conf"),
+        round(sum(col("is_en")).cast(DoubleType) / count(lit(1)), 6)
+          .as("frac_true"))
+      .select(col("bin"), col("n_docs"), col("avg_conf"), col("frac_true"),
+        round(abs(col("frac_true") - col("avg_conf")), 6).as("abs_gap"))
+      .orderBy(col("bin"))
+  }
+
   /** Repetition filter (the Gopher/C4-family quality rule): fraction of
     * duplicated 3-gram shingles per document — boilerplate and
     * degenerate-loop text scores high. Pure map-side expression work.

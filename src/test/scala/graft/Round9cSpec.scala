@@ -101,6 +101,76 @@ class Round9cSpec extends SparkSpecBase {
       "quantized-decimal dot products must not depend on layout")
   }
 
+  // ---- per-group heavy hitters ----
+
+  test("grouped heavy hitters: equals the plain grouped GROUP BY answer") {
+    import spark.implicits._
+    val fact = Tables.t(spark, sfDir, "events")
+    val key = when($"user_id" % 10 < 3, $"user_id" % 10).otherwise($"user_id")
+    val got = operators.HeavyHitters.freqHeavyHittersGrouped(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSeq
+    val n = fact.groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val want = fact.select($"event_type".as("grp"), key.cast("long").as("item"))
+      .groupBy($"grp", $"item").agg(count(lit(1)).as("cnt"))
+      .join(n.select($"event_type".as("grp"), $"n"), "grp")
+      .filter($"cnt" >= ceil($"n" * 0.05))
+      .select($"grp", $"item", $"cnt")
+      .orderBy($"grp", $"cnt".desc, $"item")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(want.nonEmpty, "degenerate fixture: no per-group heavy hitters")
+    assert(got == want)
+    // every group with data must surface its planted hot keys
+    assert(got.map(_._1).distinct.size == 5, "all 5 event types must report")
+  }
+
+  test("grouped heavy hitters: sketches are per-group (no cross-group bleed)") {
+    import spark.implicits._
+    // item 1 is heavy ONLY in group a; group b's stream never sees it
+    val rows = Seq.fill(50)(("a", 1L)) ++ (0L until 50L).map(i => ("a", 100L + i)) ++
+      Seq.fill(60)(("b", 2L)) ++ (0L until 40L).map(i => ("b", 500L + i))
+    val out = operators.HeavyHitters.heavyHittersByGroup(
+        rows.toDF("g", "item").repartition(7), col("g"), col("item"),
+        frac = 0.2, k = 8)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L, 50L), ("b", 2L, 60L)),
+      s"got $out — thresholds must apply per group against that group's n")
+  }
+
+  // ---- calibration report ----
+
+  test("calibration: bins partition the corpus; gaps and shares are bounded") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val rep = operators.TextAnalysis.calibrationReportOf(docs).collect()
+    assert(rep.map(_.getLong(1)).sum == docs.count(), "bins must partition")
+    assert(rep.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    rep.foreach { r =>
+      val (conf, acc, gap) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(conf >= 0 && conf <= 1 && acc >= 0 && acc <= 1)
+      assert(math.abs(math.abs(acc - conf) - gap) < 2e-6,
+        "abs_gap must derive from the rounded per-bin means")
+    }
+    // the corpus has en and non-en docs: the report must not be a
+    // single degenerate bin
+    assert(rep.length > 1)
+  }
+
+  test("calibration: hand-built corpus lands in the exact bins with exact gaps") {
+    import spark.implicits._
+    // doc A: 4 en-marker tokens, nothing else → conf = 5/8, bin 6
+    // doc B: no markers → conf = 1/4, bin 10 div 4 = 2 (never 'und'-
+    // binned away)
+    val docs = Seq(
+      (1L, "the of and is", "en"),
+      (2L, "zzz yyy xxx", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val rep = operators.TextAnalysis.calibrationReportOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rep.keySet == Set(2L, 6L), s"got ${rep.keySet}")
+    assert(rep(6L) == ((1L, 0.625, 1.0)), "en doc: conf 5/8, accurate")
+    assert(rep(2L) == ((1L, 0.25, 0.0)), "fr doc: conf 1/4, inaccurate")
+  }
+
   test("cusum scan: result invariant to input partitioning") {
     val events = Tables.t(spark, sfDir, "events")
     def run(df: org.apache.spark.sql.DataFrame) =
