@@ -261,7 +261,32 @@ object ScaleProbe {
     def rp(o: DataFrame) =
       operators.Layout.rangePartitionStats(o, "o_totalprice", 16)
 
+    // cusum: same segmented-scan shape as the EWMA family — one key
+    // shuffle + per-partition sort + O(1)-state fold; expect near-linear
+    def cusum(e: DataFrame) = operators.TimeSeries.cusumScanOf(e)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("alarmed"), 1L).otherwise(0L)).as("n_alarms"))
+    // tfidf sim join under the FIXED absolute df cap (the occupancy
+    // guardrail): per-token candidate cost ≤ cap² by construction, so
+    // corpus growth pushes ubiquitous tokens OUT of the capped
+    // vocabulary instead of growing any posting join quadratically
+    def simPairs(docs: DataFrame) =
+      operators.TextAnalysis.tfidfSimilarPairsOf(docs, 100, 0.3)
+    // grouped heavy hitters: per-(group, partition) sketch buffers are
+    // O(k); recount joins the bounded candidate set — expect near-linear
+    def hhg(e: DataFrame) = operators.HeavyHitters.heavyHittersByGroup(
+      e, col("event_type"),
+      when(col("user_id") % 10 < 3, col("user_id") % 10)
+        .otherwise(col("user_id")), 0.05, 32)
+    // calibration: map-side binning + 10-row agg — expect near-linear
+    def calib(docs: DataFrame) =
+      operators.TextAnalysis.calibrationReportOf(docs)
+
     val results = Seq(
+      ("cusum_scan", time(noop(cusum(eA1))), time(noop(cusum(eAK)))),
+      ("tfidf_simpairs", time(noop(simPairs(docs1c))), time(noop(simPairs(docsK)))),
+      ("hh_grouped", time(noop(hhg(eA1))), time(noop(hhg(eAK)))),
+      ("calibration", time(noop(calib(docs1c))), time(noop(calib(docsK)))),
       ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
       ("er_pairs", time(noop(er(cEr1))), time(noop(er(cErK)))),
       ("range_partition", time(noop(rp(o1))), time(noop(rp(oK)))),

@@ -37,6 +37,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q26b_topk_multi",     // ≤5 probe rows
     "q26c_filtered_topk",  // 1 probe row
     "sketch_overlap_matrix", // segment-count (5-row) sketch pair join
+    "text_sim_pairs",      // 1-row corpus doc count (idf denominator)
     "text_tfidf",          // 1-row corpus doc count
     "text_unigram_logprob", // 1-row corpus token count
     "ts_concurrency")      // P-row shard offset table
