@@ -75,6 +75,19 @@ package object syntax {
       org.apache.spark.sql.GraftSqlShim.column(
         graft.functions.CdcChunks(
           org.apache.spark.sql.GraftSqlShim.expression(col(textCol))))
+
+    /** All-pairs document cosine ≥ tau over the df ≤ dfCap TF-IDF
+      * vocabulary (inverted-index posting join — candidate-bounded,
+      * never corpus²). Expects (doc_id, text).
+      */
+    def similarPairs(dfCap: Int = 100, tau: Double = 0.3): DataFrame =
+      operators.TextAnalysis.tfidfSimilarPairsOf(df, dfCap, tau)
+
+    /** Reliability diagram + ECE terms for the marker-langid confidence
+      * vs the ground-truth `lang` column. Expects (text, lang).
+      */
+    def calibrationReport(): DataFrame =
+      operators.TextAnalysis.calibrationReportOf(df)
   }
 
   implicit class GraftAggOps(private val df: DataFrame) {
@@ -97,6 +110,21 @@ package object syntax {
       */
     def quantileCube(): DataFrame =
       operators.SketchRollup.quantileRollupOf(df)
+
+    /** Per-key two-sided CUSUM changepoint flags (Page's test) via the
+      * secondary-sort segmented scan. Expects (user_id, ts, event_id,
+      * value) columns.
+      */
+    def cusumScan(mu: Double, kappa: Double, h: Double): DataFrame =
+      operators.TimeSeries.cusumScanOf(df, mu, kappa, h).toDF()
+
+    /** Exact per-group heavy hitters (items ≥ frac of the group's rows)
+      * via one Misra-Gries sketch per group + bounded recount.
+      */
+    def heavyHittersPerGroup(grpCol: String, itemCol: String,
+        frac: Double = 0.01, k: Int = 128): DataFrame =
+      operators.HeavyHitters.heavyHittersByGroup(
+        df, col(grpCol), col(itemCol), frac, k)
   }
 
   implicit class GraftGraphOps(private val df: DataFrame) {

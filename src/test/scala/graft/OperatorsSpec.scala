@@ -451,6 +451,18 @@ class OperatorsSpec extends SparkSpecBase {
     assert(proj.columns.contains("norm_ratio"))
     assert(events.interpolateHourly().columns.toSeq ==
       Seq("user_id", "hour_us", "interp", "is_gap"))
+    // round-9 session-4 surface: cusum, sim pairs, grouped hh, calibration
+    assert(events.cusumScan(mu = 50.0, kappa = 10.0, h = 200.0).count() ==
+      events.count())
+    val sim = docs.toDF("doc_id", "text").similarPairs(tau = 0.5)
+    assert(sim.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)), "only the verbatim dup pair clears tau")
+    val hh = events.heavyHittersPerGroup("event_type", "user_id",
+      frac = 0.001, k = 1024)
+    assert(hh.columns.toSeq == Seq("grp", "item", "cnt") && hh.count() > 0)
+    val calib = Tables.t(spark, sfDir, "documents").calibrationReport()
+    assert(calib.columns.toSeq ==
+      Seq("bin", "n_docs", "avg_conf", "frac_true", "abs_gap"))
   }
 
   test("udx: geometric mean matches closed form on a known group") {
