@@ -123,6 +123,9 @@ object SparkEntry {
     // reliability diagram for the langid confidence: decile bins,
     // per-bin mean confidence vs empirical accuracy, ECE terms
     "dq_calibration" -> TextAnalysis.calibrationReport _,
+    // vocabulary coverage curve: count-histogram + sharded prefix sums,
+    // boundary classes closed in exact integer arithmetic
+    "text_vocab_coverage" -> TextAnalysis.vocabCoverage _,
     // per-group exact heavy hitters: one Misra-Gries sketch per group,
     // broadcast recount of the bounded candidate set
     "freq_heavy_hitters_grouped" ->
@@ -1305,6 +1308,28 @@ object SparkEntry {
         "SELECT f.grp, f.item, COUNT(*) AS cnt FROM f JOIN n USING (grp) " +
         "GROUP BY f.grp, f.item, n.n HAVING COUNT(*) >= ceil(n.n * 0.05) " +
         "ORDER BY grp, cnt DESC, item"),
+    // vocab coverage: the oracle MAY use the global ordered window the
+    // Spark plan must avoid; boundary classes close in integer math
+    "text_vocab_coverage" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "tok AS (SELECT unnest(toks) AS token FROM d), " +
+        "freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token), " +
+        "hist AS (SELECT c, COUNT(*) AS n_types, c * COUNT(*) AS occ " +
+        "FROM freq GROUP BY c), " +
+        "cum AS (SELECT c, n_types, " +
+        "sum(n_types) OVER (ORDER BY c DESC) AS cum_types, " +
+        "sum(occ) OVER (ORDER BY c DESC) AS cum_occ FROM hist), " +
+        "tot AS (SELECT sum(n_types) AS vocab, sum(occ) AS total_occ FROM hist), " +
+        "k AS (SELECT unnest([5, 15, 30]) AS cutoff), " +
+        "b AS (SELECT cutoff, least(cutoff, vocab) AS k_eff, total_occ " +
+        "FROM k, tot) " +
+        "SELECT CAST(cutoff AS BIGINT) AS cutoff, " +
+        "CAST(k_eff AS BIGINT) AS vocab_used, " +
+        "CAST(cum_occ - (cum_types - k_eff) * c AS BIGINT) AS covered_occ, " +
+        "CAST(total_occ AS BIGINT) AS total_occ, " +
+        "round(CAST(cum_occ - (cum_types - k_eff) * c AS DOUBLE) / total_occ, 6) AS coverage " +
+        "FROM b JOIN cum ON cum_types >= k_eff AND cum_types - n_types < k_eff " +
+        "ORDER BY cutoff"),
     "text_quality" ->
       (s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "CAST(len(toks) AS BIGINT) AS n_tokens, " +

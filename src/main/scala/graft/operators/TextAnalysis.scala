@@ -106,6 +106,82 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gate: cutoffs sized to the synthetic corpus's 31-type vocabulary
+    * so the boundary math (including a cut INSIDE a 2-type count class)
+    * is actually exercised — production callers pass 2^15/2^16/2^17-ish
+    * candidate vocab sizes.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(t(s, dir, "documents"), Seq(5L, 15L, 30L), 32)
+
+  /** Vocabulary coverage curve — for each candidate vocabulary size k,
+    * the share of corpus token OCCURRENCES covered by the k most
+    * frequent token types (the tokenizer-design question: how big must
+    * the vocab be before OOV mass is negligible).
+    *
+    * The naive form ranks the whole vocabulary with a global ordered
+    * window — one task holding every type at 100 TB vocab sizes. This
+    * plan never ranks tokens at all:
+    *   1. type frequencies (one keyed agg, vocabulary-sized),
+    *   2. collapse to the COUNT HISTOGRAM (c, n_types) — its size is
+    *      bounded by the number of distinct count values ≤ √(total
+    *      occurrences) regardless of vocabulary size,
+    *   3. running totals of types and occurrences in c-DESC order via
+    *      the sharded prefix sum (both cumsums share one shard
+    *      structure; the only global window is the ≤ nShards offset
+    *      table — the accepted P-row pattern),
+    *   4. each cutoff k finds its boundary class (cum_types ≥ k >
+    *      cum_types − n_types) and closes the partial class in EXACT
+    *      integer arithmetic: covered = cum_occ − (cum_types − k)·c.
+    * Within a count class types are interchangeable for coverage, so no
+    * tie-break rank is ever needed — the k-th/k+1-th type ambiguity that
+    * forces a total order in the ranking formulation cancels out.
+    * Everything is integer until the final 6dp ratio.
+    */
+  def vocabCoverageOf(docs: DataFrame, cutoffs: Seq[Long],
+      nShards: Int): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val freq = docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val hist = freq.groupBy(col("c")).agg(count(lit(1)).as("n_types"))
+      .withColumn("occ", col("c") * col("n_types"))
+    val withNeg = hist.withColumn("negc", -col("c"))
+    val bounds = withNeg.agg(min(col("negc")).as("lo"),
+      (max(col("negc")) + 1L).as("hi"))
+    val sharded = withNeg.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        PrefixSum.rangePid(col("negc"), col("lo"), col("hi"), nShards))
+      .drop("lo", "hi")
+    val localW = Window.partitionBy(col("pid")).orderBy(col("negc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("pid"))
+      .agg(sum(col("n_types")).as("__t1"), sum(col("occ")).as("__t2"))
+      .withColumn("off_types", coalesce(sum(col("__t1")).over(offW), lit(0L)))
+      .withColumn("off_occ", coalesce(sum(col("__t2")).over(offW), lit(0L)))
+      .select(col("pid"), col("off_types"), col("off_occ"))
+    val cum = sharded
+      .withColumn("__lt", sum(col("n_types")).over(localW))
+      .withColumn("__lo", sum(col("occ")).over(localW))
+      .join(broadcast(offsets), "pid")
+      .select(col("c"), col("n_types"),
+        (col("__lt") + col("off_types")).as("cum_types"),
+        (col("__lo") + col("off_occ")).as("cum_occ"))
+    val tot = hist.agg(sum(col("n_types")).as("vocab"),
+      sum(col("occ")).as("total_occ"))
+    val covered = col("cum_occ") - (col("cum_types") - col("k_eff")) * col("c")
+    cutoffs.toDF("cutoff").crossJoin(broadcast(tot))
+      .withColumn("k_eff", least(col("cutoff"), col("vocab")))
+      .join(cum, col("cum_types") >= col("k_eff") &&
+        col("cum_types") - col("n_types") < col("k_eff"))
+      .select(col("cutoff"), col("k_eff").as("vocab_used"),
+        covered.as("covered_occ"), col("total_occ"),
+        round(covered.cast(DoubleType) / col("total_occ"), 6).as("coverage"))
+      .orderBy(col("cutoff"))
+  }
+
   def calibrationReport(s: SparkSession, dir: String): DataFrame =
     calibrationReportOf(t(s, dir, "documents"))
 

@@ -39,6 +39,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "sketch_overlap_matrix", // segment-count (5-row) sketch pair join
     "text_sim_pairs",      // 1-row corpus doc count (idf denominator)
     "text_tfidf",          // 1-row corpus doc count
+    "text_vocab_coverage", // 1-row bounds/totals + 3-row cutoff table
     "text_unigram_logprob", // 1-row corpus token count
     "ts_concurrency")      // P-row shard offset table
 

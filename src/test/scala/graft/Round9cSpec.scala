@@ -136,6 +136,38 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- vocabulary coverage curve ----
+
+  test("vocab coverage: golden curve incl. a cut inside a tied count class") {
+    import spark.implicits._
+    // freq: a=2, b=2, c=1 → hist { c=2: 2 types, c=1: 1 type }
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    def run(ks: Seq[Long], shards: Int) = operators.TextAnalysis
+      .vocabCoverageOf(docs, ks, shards)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val got = run(Seq(1L, 2L, 3L, 9L), 4)
+    // k=1 cuts INSIDE the two-type c=2 class: covered = 4 − (2−1)·2 = 2
+    assert(got == Seq(
+      (1L, 1L, 2L, 5L, 0.4),
+      (2L, 2L, 4L, 5L, 0.8),
+      (3L, 3L, 5L, 5L, 1.0),
+      (9L, 3L, 5L, 5L, 1.0)), s"got $got") // k > vocab clamps to vocab
+  }
+
+  test("vocab coverage: invariant to shard count; monotone on the corpus") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    def run(shards: Int) = operators.TextAnalysis
+      .vocabCoverageOf(docs, Seq(5L, 15L, 30L), shards)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSeq
+    val base = run(32)
+    assert(base == run(1) && base == run(5),
+      "sharded prefix sum must be shard-count invariant")
+    val covs = base.map(_._3)
+    assert(covs == covs.sorted && covs.distinct == covs,
+      "coverage must strictly increase across these cutoffs")
+  }
+
   // ---- calibration report ----
 
   test("calibration: bins partition the corpus; gaps and shares are bounded") {
