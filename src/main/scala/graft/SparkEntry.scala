@@ -200,6 +200,9 @@ object SparkEntry {
     "ts_ewma" -> graft.operators.TimeSeries.tsEwma _,
     "ts_ewma_anomaly" -> graft.operators.TimeSeries.tsEwmaAnomaly _,
     "ts_cusum" -> graft.operators.TimeSeries.tsCusum _,
+    // first/last-touch conversion attribution: one key exchange, two
+    // ignore-nulls frames over the same sorted layout
+    "feat_attribution" -> Analytics.touchAttribution _,
     "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
     "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
     "recon_merge" -> graft.operators.Reconcile.ordersMerge _,
@@ -1812,6 +1815,33 @@ object SparkEntry {
         "COUNT(*) AS n_points FROM events GROUP BY user_id) " +
         "SELECT user_id, CAST(st[3] AS BIGINT) AS n_anomalies, " +
         "round(st[4], 6) AS max_abs_dev, n_points FROM f ORDER BY user_id"),
+    // attribution: same two ignore-nulls frames; all last-touch (resp.
+    // first-touch) columns read null-together conditional fields, so
+    // every engine credits the same touch row
+    "feat_attribution" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us " +
+        "FROM events), " +
+        "t AS (SELECT *, " +
+        "CASE WHEN event_type IN ('click','view') THEN ts_us END AS t_ts, " +
+        "CASE WHEN event_type IN ('click','view') THEN event_id END AS t_id, " +
+        "CASE WHEN event_type IN ('click','view') THEN event_type END AS t_type " +
+        "FROM e), " +
+        "w AS (SELECT user_id, event_id, event_type, ts_us, " +
+        "last_value(t_ts IGNORE NULLS) OVER lw AS lt_ts, " +
+        "last_value(t_id IGNORE NULLS) OVER lw AS lt_id, " +
+        "last_value(t_type IGNORE NULLS) OVER lw AS lt_type, " +
+        "first_value(t_id IGNORE NULLS) OVER fw AS ft_id, " +
+        "first_value(t_type IGNORE NULLS) OVER fw AS ft_type " +
+        "FROM t WINDOW " +
+        "lw AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "fw AS (PARTITION BY user_id ORDER BY ts_us " +
+        "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us, " +
+        "ft_id AS first_touch_id, ft_type AS first_touch_type, " +
+        "lt_id AS last_touch_id, lt_type AS last_touch_type, " +
+        "ts_us - lt_ts AS last_touch_latency_us " +
+        "FROM w WHERE event_type = 'purchase' ORDER BY user_id, purchase_id"),
     // two-sided CUSUM (Page's test) folded with a LIST accumulator
     // [x, sp, sn, n_alarms, max_sp, max_sn]; the transform seeds the
     // post-first-point state (list_reduce uses element 1 as the initial

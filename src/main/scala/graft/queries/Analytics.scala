@@ -583,6 +583,54 @@ object Analytics {
           .cast(DoubleType) / count(lit(1)), 6).as("purchase_rate"))
       .orderBy(col("user_id"))
 
+  /** feat_attribution — first/last-touch conversion attribution: for
+    * each purchase, the user's most recent preceding touch (click/view,
+    * any age — the "last touch" credit) and the EARLIEST touch inside
+    * the 7-day attribution window (the "first touch" credit), plus the
+    * last-touch latency. The classic marketing-attribution join, done
+    * without any event×event pairing: ONE user-keyed exchange, a
+    * (ts, event_id) sort, and two IGNORE-NULLS window reads over the
+    * same sorted layout — the rows frame (unbounded…−1) for last touch,
+    * the RANGE frame (−7d…−1µs) for the windowed first touch. Catalyst
+    * plans both windows on one exchange+sort because (user, ts) is a
+    * prefix of (user, ts, id). At 100 TB this is exactly the q25c
+    * funnel shape: cost is the key shuffle, state is the frame.
+    *
+    * The touch struct is bound ONCE in a projection (the generator/
+    * multi-reference CSE lesson) and every credited field reads through
+    * it, so all first-touch (resp. last-touch) columns come from the
+    * SAME touch row by construction.
+    */
+  def touchAttribution(s: SparkSession, dir: String): DataFrame =
+    touchAttributionOf(t(s, dir, "events"),
+      windowUs = 7L * 24 * 3600 * 1000000L)
+
+  /** Library form over any (user_id, event_id, event_type, ts) frame. */
+  def touchAttributionOf(events: DataFrame, windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lastW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val firstW = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t", when(col("event_type").isin("click", "view"),
+        struct(col("ts_us"), col("event_id"), col("event_type"))))
+      .withColumn("last_touch", last(col("t"), ignoreNulls = true).over(lastW))
+      .withColumn("first_touch", first(col("t"), ignoreNulls = true).over(firstW))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("first_touch.event_id").as("first_touch_id"),
+        col("first_touch.event_type").as("first_touch_type"),
+        col("last_touch.event_id").as("last_touch_id"),
+        col("last_touch.event_type").as("last_touch_type"),
+        (col("ts_us") - col("last_touch.ts_us")).as("last_touch_latency_us"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
   /** copurchase_pairs — market-basket co-occurrence: the top part pairs
     * appearing together in an order. The pair generation is a self-join
     * keyed on the basket id (a partitioned equi-join; work bounded by

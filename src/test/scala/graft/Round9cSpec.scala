@@ -1,5 +1,6 @@
 package graft
 
+import graft.queries.Analytics
 import org.apache.spark.sql.functions._
 
 /** Round-9 session-3 operators: CUSUM changepoint scan and the
@@ -134,6 +135,49 @@ class Round9cSpec extends SparkSpecBase {
       .as[(String, Long, Long)].collect().toSeq
     assert(out == Seq(("a", 1L, 50L), ("b", 2L, 60L)),
       s"got $out — thresholds must apply per group against that group's n")
+  }
+
+  // ---- first/last-touch attribution ----
+
+  test("attribution: golden credits, window edge, cross-user isolation") {
+    import spark.implicits._
+    val d = 24L * 3600 * 1000000
+    def ts(us: Long) = new java.sql.Timestamp(1700000000000L + us / 1000)
+    val wk = 7 * d
+    val rows = Seq(
+      // user 1: click → view → purchase (credit first=click, last=view),
+      // then a late purchase whose 7-day window excludes the click
+      (1L, 10L, "click", ts(0L)),
+      (1L, 11L, "view", ts(2 * d)),
+      (1L, 12L, "purchase", ts(3 * d)),
+      (1L, 13L, "purchase", ts(wk + d)), // window [1d, 8d): click at 0 out
+      // user 2: purchase with no touches at all → both credits null
+      (2L, 20L, "purchase", ts(d)),
+      // user 3: click exactly 7d before the purchase → still included
+      (3L, 30L, "click", ts(0L)),
+      (3L, 31L, "purchase", ts(wk)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = Analytics.touchAttributionOf(rows, wk)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)), Option(r.get(5)), Option(r.get(7)))).toMap
+    assert(out(12L) == ((Some(10L), Some(11L), Some(d))),
+      "first=click, last=view, latency 1 day")
+    assert(out(13L) == ((Some(11L), Some(11L), Some(wk - d))),
+      "7-day window drops the old click; view credits both ends")
+    assert(out(20L) == ((None, None, None)), "no touches → null credits")
+    assert(out(31L) == ((Some(30L), Some(30L), Some(wk))),
+      "a touch exactly windowUs old is still inside the RANGE frame")
+  }
+
+  test("attribution: both window frames share one user exchange") {
+    val q = Analytics.touchAttribution(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val userExchanges = "hashpartitioning\\(user_id".r
+      .findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected ONE user_id exchange feeding both frames, got $userExchanges:\n$plan")
   }
 
   // ---- vocabulary coverage curve ----
