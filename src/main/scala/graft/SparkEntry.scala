@@ -196,6 +196,9 @@ object SparkEntry {
     "sql_tpch_q15" -> Analytics.sqlTpchQ15 _,
     "sql_tpch_q17" -> Analytics.sqlTpchQ17 _,
     "graph_pagerank" -> graft.operators.Graph.copurchasePageRank _,
+    // hash-ring negative sampling: deterministic link-prediction
+    // negatives, shard-banded successor lookup + anti-join rejection
+    "graph_negative_sample" -> graft.operators.Graph.negativeSample _,
     "ts_ohlc" -> graft.operators.TimeSeries.tsOhlc _,
     "ts_ewma" -> graft.operators.TimeSeries.tsEwma _,
     "ts_ewma_anomaly" -> graft.operators.TimeSeries.tsEwmaAnomaly _,
@@ -1700,6 +1703,31 @@ object SparkEntry {
     // 3-iteration quantized power iteration, replayed verbatim as CTEs:
     // same 9dp contribution rounding, same DECIMAL(20,10) sums, same
     // 6dp-then-order final cut — bit-parity by construction
+    // negative sampling: definitional ring replay — same md5 positions,
+    // same shard division, min-of-struct successor, NOT EXISTS rejection
+    "graph_negative_sample" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
+        "WHERE l_partkey % 4 = 0), " +
+        "e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey " +
+        "WHERE a.l_partkey < b.l_partkey), " +
+        "nodes AS (SELECT u AS nd FROM e0 UNION SELECT v FROM e0), " +
+        "hn AS (SELECT nd, ('0x' || substr(md5(CAST(nd AS VARCHAR)), 1, 15))::BIGINT AS hv " +
+        "FROM nodes), " +
+        "hs AS (SELECT nd, hv, hv // 72057594037927936 AS shard FROM hn), " +
+        "ps AS (SELECT nd AS u, i, " +
+        "('0x' || substr(md5(CAST(nd AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS pos " +
+        "FROM nodes, (SELECT unnest([0, 1, 2]) AS i) t), " +
+        "psh AS (SELECT u, i, pos, pos // 72057594037927936 AS shard FROM ps), " +
+        "j AS (SELECT p.u, p.i, " +
+        "min(CASE WHEN n.hv >= p.pos THEN struct_pack(hv := n.hv, nd := n.nd) END) AS succ, " +
+        "min(struct_pack(hv := n.hv, nd := n.nd)) AS frst " +
+        "FROM psh p JOIN hs n USING (shard) GROUP BY p.u, p.i), " +
+        "c AS (SELECT u, CAST(i AS BIGINT) AS i, coalesce(succ, frst).nd AS v FROM j) " +
+        "SELECT u, i, v AS neg_v FROM c " +
+        "WHERE v <> u AND NOT EXISTS (SELECT 1 FROM e0 e " +
+        "WHERE (e.u = c.u AND e.v = c.v) OR (e.u = c.v AND e.v = c.u)) " +
+        "ORDER BY u, i"),
     "graph_pagerank" -> {
       val items = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem " +
         "WHERE l_partkey % 4 = 0"

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -140,5 +140,66 @@ object Graph {
         "l_orderkey")
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
+  }
+
+  /** graph_negative_sample gate: k=3 hash-ring negatives per node of
+    * the copurchase graph (same edge definition as PageRank/triangles).
+    */
+  def negativeSample(s: SparkSession, dir: String): DataFrame =
+    negativeSampleOf(basketEdges(t(s, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))), k = 3, shardBits = 4)
+
+  /** Deterministic negative-edge sampling for link-prediction /
+    * contrastive training: for each node u and draw i < k, the
+    * candidate negative is the node at the next hash-ring position
+    * after md5(u:i) — consistent hashing as a SAMPLER. Uniform (node
+    * positions are md5-uniform), deterministic across runs/engines (no
+    * RNG state), and the ring lookup is a SHARDED banded join, never a
+    * sort: nodes and probes shard by their top hash bits, a probe joins
+    * only its shard's nodes (per-shard cost |shard_nodes|·|shard_probes|,
+    * the band-join bound), and the successor is one min-of-struct
+    * aggregate — `min(hv ≥ pos ? (hv, node) : null)` with the shard's
+    * first node as the wrap-around. Real edges (either orientation) and
+    * self-hits are then removed by one left-anti join, the standard
+    * rejection step — so a node yields UP TO k negatives.
+    *
+    * Scale: shardBits grows with the node count (shards ≪ nodes keeps
+    * empty shards improbable; an empty shard would drop its probes —
+    * documented, not silent: the spec pins exact counts). Nothing here
+    * is ever node×node: candidates are k per node, the anti-join is
+    * candidate-proportional, and the ring join is shard-banded.
+    */
+  def negativeSampleOf(edges: DataFrame, k: Int, shardBits: Int): DataFrame = {
+    require(k > 0 && shardBits >= 0 && shardBits <= 16)
+    val shardDiv = 1L << (60 - shardBits) // md5-15-hex = 60-bit positions
+    def h(c: Column) =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+    val nodes = edges.select(col("u").as("nd"))
+      .union(edges.select(col("v").as("nd"))).distinct()
+    val hn = nodes.select(col("nd").as("cand"), h(col("nd")).as("hv"))
+      .withColumn("shard", expr(s"hv div $shardDiv"))
+    val probes = nodes
+      .select(col("nd").as("u"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .withColumn("pos",
+        h(concat(col("u").cast("string"), lit(":"), col("i").cast("string"))))
+      .withColumn("shard", expr(s"pos div $shardDiv"))
+    val cand = probes.join(hn, Seq("shard"))
+      .groupBy(col("u"), col("i"))
+      .agg(
+        min(when(col("hv") >= col("pos"),
+          struct(col("hv"), col("cand")))).as("succ"),
+        min(struct(col("hv"), col("cand"))).as("first"))
+      .select(col("u"), col("i").cast("long").as("i"),
+        coalesce(col("succ.cand"), col("first.cand")).as("v"))
+      .filter(col("v") =!= col("u"))
+    cand.join(
+        edges.select(col("u"), col("v"))
+          .union(edges.select(col("v").as("u"), col("u").as("v"))),
+        Seq("u", "v"), "left_anti")
+      .select(col("u"), col("i"), col("v").as("neg_v"))
+      .orderBy(col("u"), col("i"))
   }
 }

@@ -137,6 +137,48 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- hash-ring negative sampling ----
+
+  test("negative sampling: never emits an edge or a self-pair; ≤ k per node") {
+    import spark.implicits._
+    val edges = operators.Graph.basketEdges(
+      Tables.t(spark, sfDir, "lineitem")
+        .filter(pmod($"l_partkey", lit(4)) === 0)
+        .select($"l_orderkey", $"l_partkey")).cache()
+    val neg = operators.Graph.negativeSample(spark, sfDir).cache()
+    assert(neg.count() > 0)
+    assert(neg.filter($"u" === $"neg_v").isEmpty, "self-pair leaked")
+    val undirected = edges.select($"u", $"v")
+      .union(edges.select($"v".as("u"), $"u".as("v")))
+    assert(neg.select($"u", $"neg_v".as("v")).intersect(undirected).isEmpty,
+      "a real edge survived rejection")
+    val perNode = neg.groupBy($"u").count().agg(max($"count")).head.getLong(0)
+    assert(perNode <= 3, "more than k draws for a node")
+    // deterministic: same output under different input layout
+    val again = operators.Graph
+      .negativeSampleOf(edges.repartition(17), k = 3, shardBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == neg.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    edges.unpersist(); neg.unpersist()
+  }
+
+  test("negative sampling: complete graph rejects everything; draws stay in range") {
+    import spark.implicits._
+    // K3: every cross-node candidate IS an edge → rejection leaves none
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    assert(operators.Graph.negativeSampleOf(k3, k = 2, shardBits = 0).isEmpty)
+    // two disjoint edges: any accepted negative must cross components
+    val comps = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+    val out = operators.Graph.negativeSampleOf(comps, k = 2, shardBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.nonEmpty, "4-node ring with 2 forbidden edges must accept some draw")
+    val cross = Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(out.forall { case (u, v) =>
+      cross.contains((math.min(u, v), math.max(u, v))) },
+      s"accepted pair inside a component: ${out.toSeq}")
+  }
+
   // ---- first/last-touch attribution ----
 
   test("attribution: golden credits, window edge, cross-user isolation") {
