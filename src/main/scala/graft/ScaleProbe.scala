@@ -282,7 +282,23 @@ object ScaleProbe {
     def calib(docs: DataFrame) =
       operators.TextAnalysis.calibrationReportOf(docs)
 
+    // vocab coverage: histogram-sized prefix sums — the vocabulary-sized
+    // stage is one keyed agg; expect near-linear in token volume
+    def vocab(docs: DataFrame) =
+      operators.TextAnalysis.vocabCoverageOf(docs, Seq(5L, 15L, 30L), 32)
+    // attribution: one user-keyed exchange + two frames; near-linear
+    def attr(e: DataFrame) = queries.Analytics
+      .touchAttributionOf(e, 7L * 24 * 3600 * 1000000L)
+    // negative sampling: k probes per node through the shard-banded
+    // ring join + candidate-proportional anti-join; near-linear with
+    // shardBits stepped up alongside the node count
+    def negs(items: DataFrame, bits: Int) = operators.Graph
+      .negativeSampleOf(operators.Graph.basketEdges(items), 3, bits)
+
     val results = Seq(
+      ("vocab_coverage", time(noop(vocab(docs1c))), time(noop(vocab(docsK)))),
+      ("attribution", time(noop(attr(eA1))), time(noop(attr(eAK)))),
+      ("neg_sampling", time(noop(negs(liG1, 4))), time(noop(negs(liGK, 7)))),
       ("cusum_scan", time(noop(cusum(eA1))), time(noop(cusum(eAK)))),
       ("tfidf_simpairs", time(noop(simPairs(docs1c))), time(noop(simPairs(docsK)))),
       ("hh_grouped", time(noop(hhg(eA1))), time(noop(hhg(eAK)))),

@@ -88,6 +88,12 @@ package object syntax {
       */
     def calibrationReport(): DataFrame =
       operators.TextAnalysis.calibrationReportOf(df)
+
+    /** Vocabulary coverage curve: per candidate vocab size, the share
+      * of token occurrences the top-k types cover. Expects (text).
+      */
+    def vocabCoverage(cutoffs: Seq[Long], nShards: Int = 32): DataFrame =
+      operators.TextAnalysis.vocabCoverageOf(df, cutoffs, nShards)
   }
 
   implicit class GraftAggOps(private val df: DataFrame) {
@@ -125,6 +131,21 @@ package object syntax {
         frac: Double = 0.01, k: Int = 128): DataFrame =
       operators.HeavyHitters.heavyHittersByGroup(
         df, col(grpCol), col(itemCol), frac, k)
+
+    /** First/last-touch conversion attribution per purchase. Expects
+      * (user_id, event_id, event_type, ts) columns.
+      */
+    def touchAttribution(windowUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame =
+      queries.Analytics.touchAttributionOf(df, windowUs)
+  }
+
+  implicit class GraftSamplingOps(private val df: DataFrame) {
+
+    /** Deterministic hash-ring negative sampling over this (u, v) edge
+      * list: up to k non-edge candidates per node, RNG-free.
+      */
+    def negativeSample(k: Int = 3, shardBits: Int = 4): DataFrame =
+      operators.Graph.negativeSampleOf(df, k, shardBits)
   }
 
   implicit class GraftGraphOps(private val df: DataFrame) {

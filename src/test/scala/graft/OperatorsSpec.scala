@@ -463,6 +463,14 @@ class OperatorsSpec extends SparkSpecBase {
     val calib = Tables.t(spark, sfDir, "documents").calibrationReport()
     assert(calib.columns.toSeq ==
       Seq("bin", "n_docs", "avg_conf", "frac_true", "abs_gap"))
+    val vc = Tables.t(spark, sfDir, "documents")
+      .vocabCoverage(Seq(5L, 30L))
+    assert(vc.count() == 2 &&
+      vc.columns.contains("coverage"))
+    assert(events.touchAttribution().columns.head == "user_id")
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
+    assert(edges.negativeSample(k = 2, shardBits = 0).columns.toSeq ==
+      Seq("u", "i", "neg_v"))
   }
 
   test("udx: geometric mean matches closed form on a known group") {
