@@ -131,6 +131,9 @@ object SparkEntry {
     "freq_heavy_hitters_grouped" ->
       ((s: SparkSession, d: String) =>
         operators.HeavyHitters.freqHeavyHittersGrouped(s, d)),
+    // join-key skew diagnostic: count-histogram collapse + sharded
+    // prefix sum; percentiles integer cross-multiplied
+    "dq_skew_report" -> operators.Quality.dqSkewReport _,
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_rolling_fp" -> TextAnalysis.rollingFingerprint _,
@@ -1304,6 +1307,24 @@ object SparkEntry {
         "FROM b GROUP BY bin) " +
         "SELECT CAST(bin AS BIGINT) AS bin, n_docs, avg_conf, frac_true, " +
         "round(abs(frac_true - avg_conf), 6) AS abs_gap FROM a ORDER BY bin"),
+    // skew report: definitional count-distribution stats; the oracle's
+    // global window is the thing the Spark plan replaces
+    "dq_skew_report" ->
+      ("WITH f AS (SELECT CASE WHEN l_partkey % 10 < 3 THEN l_partkey % 10 " +
+        "ELSE l_partkey END AS k FROM lineitem), " +
+        "counts AS (SELECT k, COUNT(*) AS c FROM f GROUP BY k), " +
+        "hist AS (SELECT c, COUNT(*) AS n_keys FROM counts GROUP BY c), " +
+        "cum AS (SELECT c, n_keys, sum(n_keys) OVER (ORDER BY c) AS cum FROM hist), " +
+        "tot AS (SELECT CAST(sum(c * n_keys) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_keys) AS BIGINT) AS n_keys, max(c) AS max_cnt FROM hist), " +
+        "p AS (SELECT min(CASE WHEN cum * 2 >= t.n_keys THEN c END) AS p50_cnt, " +
+        "min(CASE WHEN cum * 100 >= t.n_keys * 99 THEN c END) AS p99_cnt " +
+        "FROM cum, tot t), " +
+        "top AS (SELECT k AS top_key, c AS top_cnt FROM counts " +
+        "ORDER BY c DESC, k LIMIT 1) " +
+        "SELECT n_rows, n_keys, max_cnt, p50_cnt, p99_cnt, top_key, top_cnt, " +
+        "round(CAST(max_cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_ratio " +
+        "FROM tot, p, top"),
     // per-group heavy hitters: definitional grouped GROUP BY/HAVING —
     // the sketch+recount must equal the plain answer exactly
     "freq_heavy_hitters_grouped" ->

@@ -53,6 +53,61 @@ object Quality {
       .orderBy("check_name")
   }
 
+  /** Join-key skew diagnostic — the pre-flight check before shuffling
+    * 100 TB on a key: row/key cardinalities, the per-key count
+    * distribution's max/median/p99, the heaviest key, and the skew
+    * ratio (max over mean). This is what decides between a plain
+    * shuffle join, AQE skew splitting, and the salted join — measured,
+    * not guessed.
+    *
+    * Scale shape: per-key counts are one map-side-combined aggregation;
+    * everything after collapses to the COUNT HISTOGRAM (≤ √n rows by
+    * the pigeonhole on Σ c — the vocab-coverage collapse), whose
+    * cumulative pass rides the sharded prefix sum. Percentiles are
+    * integer cross-multiplied over the histogram (percentile_disc
+    * semantics); the heaviest key is one min-of-struct aggregate. The
+    * key universe is never sorted and never passes a single task.
+    */
+  def skewReport(fact: DataFrame, key: Column,
+      nShards: Int = 32): DataFrame = {
+    val counts = fact.select(key.cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy(col("c")).agg(count(lit(1)).as("n_keys"))
+    val bounds = hist.agg(min(col("c")).as("lo"), (max(col("c")) + 1L).as("hi"))
+    val cum = PrefixSum.shardedCumSum(
+      hist.crossJoin(broadcast(bounds))
+        .withColumn("pid",
+          PrefixSum.rangePid(col("c"), col("lo"), col("hi"), nShards))
+        .drop("lo", "hi"),
+      Seq.empty, "pid", "c", "n_keys")
+    val tot = hist.agg(
+      sum(col("c") * col("n_keys")).as("n_rows"),
+      sum(col("n_keys")).as("n_keys_tot"),
+      max(col("c")).as("max_cnt"))
+    val pcts = cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") * 2 >= col("n_keys_tot"), col("c"))).as("p50_cnt"),
+        min(when(col("cum") * 100 >= col("n_keys_tot") * 99, col("c")))
+          .as("p99_cnt"))
+    val top = counts
+      .agg(min(struct((-col("c")).as("nc"), col("k"))).as("t"))
+      .select(col("t.k").as("top_key"), (-col("t.nc")).as("top_cnt"))
+    tot.crossJoin(broadcast(pcts)).crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys_tot").as("n_keys"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"), col("top_key"), col("top_cnt"),
+        round(col("max_cnt").cast("double") * col("n_keys_tot") / col("n_rows"), 6)
+          .as("skew_ratio"))
+  }
+
+  /** dq_skew_report gate: the skew-planted key (residues 0-2 mod 10
+    * collapse onto 3 hot partkeys at ~10% of rows each) — the shape
+    * where the report must scream before the cluster does.
+    */
+  def dqSkewReport(s: SparkSession, dir: String): DataFrame =
+    skewReport(t(s, dir, "lineitem"),
+      when(col("l_partkey") % 10 < 3, col("l_partkey") % 10)
+        .otherwise(col("l_partkey")))
+
   /** dq_checks — the six-constraint suite over `orders` (FK → customer).
     * `date_in_range` genuinely fires on the testdata (orders spill past
     * 2001-01-01): a report with a failing row is the interesting case.

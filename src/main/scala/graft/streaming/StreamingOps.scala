@@ -603,4 +603,74 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
+
+  final case class CusumFlag(user_id: Long, ts_us: Long, event_id: Long,
+    value: Double, sp_raw: Double, sn_raw: Double, alarmed: Boolean)
+
+  /** Live CUSUM changepoint flags — the streaming twin of
+    * `TimeSeries.cusumScanOf`, same posture as [[EwmaProcessor]]: one
+    * fixed-size (sp, sn, lastTs, lastId) ValueState tuple per key, each
+    * micro-batch folds its rows in (ts, id) order on the carried state
+    * through the LITERAL batch step function
+    * ([[graft.operators.TimeSeries.cusumStep]]), so a mid-stream flag
+    * is bit-identical to the batch scan on the same prefix —
+    * structurally, not by spec assertion. Rows arriving out of order
+    * vs the already-folded prefix are dropped (never folded out of
+    * order); CUSUM starts from the zero state, so unlike EWMA there is
+    * no seed case — the first row already updates the sums.
+    */
+  class CusumProcessor(mu: Double, kappa: Double, h: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Double), CusumFlag] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Double, Double, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Double, Double, Long, Long)](
+        "cusum",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[CusumFlag] = {
+      var state = if (st.exists()) Option(st.get()) else None
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+        case (_, ts, id, x) =>
+          state match {
+            case Some((_, _, lastTs, lastId))
+                if ts < lastTs || (ts == lastTs && id <= lastId) =>
+              None // out-of-order vs the folded prefix: drop, never corrupt
+            case prior =>
+              val (sp0, sn0) = prior match {
+                case Some((sp, sn, _, _)) => (sp, sn)
+                case None => (0.0, 0.0)
+              }
+              val (spRaw, snRaw, sp2, sn2, alarmed) = graft.operators
+                .TimeSeries.cusumStep(sp0, sn0, x, mu, kappa, h)
+              state = Some((sp2, sn2, ts, id))
+              Some(CusumFlag(key, ts, id, x, spRaw, snRaw, alarmed))
+          }
+      }
+      state.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** (user_id, ts_us, event_id, value) stream → live CUSUM flags. */
+  def cusumStream(events: Dataset[(Long, Long, Long, Double)],
+      mu: Double = 50.0, kappa: Double = 10.0,
+      h: Double = 200.0): Dataset[CusumFlag] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new CusumProcessor(mu, kappa, h),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }

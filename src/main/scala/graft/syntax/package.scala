@@ -137,6 +137,13 @@ package object syntax {
       */
     def touchAttribution(windowUs: Long = 7L * 24 * 3600 * 1000000L): DataFrame =
       queries.Analytics.touchAttributionOf(df, windowUs)
+
+    /** Join-key skew diagnostic: per-key count distribution stats, the
+      * heaviest key, and the max/mean skew ratio — run this before
+      * shuffling 100 TB on `keyCol`.
+      */
+    def skewReport(keyCol: String): DataFrame =
+      operators.Quality.skewReport(df, col(keyCol))
   }
 
   implicit class GraftSamplingOps(private val df: DataFrame) {

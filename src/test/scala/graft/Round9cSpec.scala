@@ -137,6 +137,30 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- join-key skew report ----
+
+  test("skew report: golden distribution incl. discrete percentiles") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)(7L) ++ Seq(8L, 9L, 10L)).toDF("k")
+    val Array(r) = operators.Quality.skewReport(rows, col("k")).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((8L, 4L, 5L)),
+      "n_rows / n_keys / max_cnt")
+    assert((r.getLong(3), r.getLong(4)) == ((1L, 5L)),
+      "p50 = 1 (3 of 4 keys are singletons), p99 = 5 (the whale)")
+    assert((r.getLong(5), r.getLong(6)) == ((7L, 5L)), "heaviest key")
+    assert(r.getDouble(7) == 2.5, "skew = max/mean = 5/(8/4)")
+  }
+
+  test("skew report: the planted-skew gate key screams") {
+    val Array(r) = operators.Quality.dqSkewReport(spark, sfDir).collect()
+    val n = Tables.t(spark, sfDir, "lineitem").count()
+    assert(r.getLong(0) == n, "row total must match the fact table")
+    assert(Set(0L, 1L, 2L).contains(r.getLong(5)),
+      "the heaviest key must be one of the planted hot residues")
+    assert(r.getDouble(7) > 10.0,
+      s"planted 10%-keys must dominate the mean, got ratio ${r.getDouble(7)}")
+  }
+
   // ---- hash-ring negative sampling ----
 
   test("negative sampling: never emits an edge or a self-pair; ≤ k per node") {

@@ -484,6 +484,54 @@ class StreamingSpec extends SparkSpecBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("cusum stream: alarms across a batch split are bit-identical to the batch scan") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    // drift accumulates in batch 1, CROSSES in batch 1 (alarm+reset),
+    // re-accumulates across the seam; the below-target side seeds in
+    // batch 2; a late row must be dropped, not folded
+    val series = Seq(
+      (1L, 1000L, 10L, 90.0), (1L, 2000L, 11L, 90.0), // sp 30, 60 > 50 → alarm
+      (1L, 3000L, 12L, 90.0),                         // sp 30 (restarted test)
+      (2L, 4000L, 20L, 10.0))                         // sn 30
+    val src = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamingOps.cusumStream(src.toDS(), mu = 50.0, kappa = 10.0,
+        h = 50.0)
+      .writeStream.format("memory").queryName("cusums")
+      .outputMode("update").start()
+    src.addData(series.take(2): _*)
+    q.processAllAvailable()
+    src.addData(series.drop(2) :+ (1L, 1500L, 99L, 1000.0): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusums").as[StreamingOps.CusumFlag].collect()
+      .map(f => (f.user_id, f.event_id) -> (f.sp_raw, f.sn_raw, f.alarmed))
+      .toMap
+    assert(!streamed.contains((1L, 99L)), "out-of-order row must not emit")
+    val batchDf = series
+      .map { case (u, ts, id, v) =>
+        (u, new java.sql.Timestamp(ts), id, "click", v) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val batch = graft.operators.TimeSeries
+      .cusumScanOf(batchDf, mu = 50.0, kappa = 10.0, h = 50.0).collect()
+      .map(p => (p.user_id, p.event_id) -> (p.sp_raw, p.sn_raw, p.alarmed))
+      .toMap
+    assert(streamed == batch,
+      "live flags must equal the batch scan on the same prefix")
+    assert(streamed((1L, 11L))._3, "the crossing must alarm mid-stream")
+    assert(streamed((1L, 12L))._1 == 30.0,
+      "post-alarm restart must carry the RESET state across the seam")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object StreamingSpec {
