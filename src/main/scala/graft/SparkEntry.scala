@@ -206,9 +206,15 @@ object SparkEntry {
     "ts_ewma" -> graft.operators.TimeSeries.tsEwma _,
     "ts_ewma_anomaly" -> graft.operators.TimeSeries.tsEwmaAnomaly _,
     "ts_cusum" -> graft.operators.TimeSeries.tsCusum _,
+    // watermark-design report: sharded prefix-max over arrival order,
+    // lateness percentiles off a domain-bounded seconds histogram
+    "ts_watermark_report" -> graft.operators.TimeSeries.tsWatermarkReport _,
     // first/last-touch conversion attribution: one key exchange, two
     // ignore-nulls frames over the same sorted layout
     "feat_attribution" -> Analytics.touchAttribution _,
+    // behavioral path mining: top 3-step type sequences, gap-bounded
+    // transitions, one key exchange + leads
+    "path_trigrams" -> Analytics.pathTrigrams _,
     "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
     "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
     "recon_merge" -> graft.operators.Reconcile.ordersMerge _,
@@ -1864,6 +1870,41 @@ object SparkEntry {
         "COUNT(*) AS n_points FROM events GROUP BY user_id) " +
         "SELECT user_id, CAST(st[3] AS BIGINT) AS n_anomalies, " +
         "round(st[4], 6) AS max_abs_dev, n_points FROM f ORDER BY user_id"),
+    // path mining: same leads/gap filter; ties at the top-k cut break
+    // on (n desc, path)
+    "path_trigrams" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us " +
+        "FROM events), " +
+        "s AS (SELECT event_type, " +
+        "lead(event_type, 1) OVER w AS t2, lead(ts_us, 1) OVER w AS ts2, " +
+        "lead(event_type, 2) OVER w AS t3, lead(ts_us, 2) OVER w AS ts3, ts_us " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)) " +
+        "SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n " +
+        "FROM s WHERE t3 IS NOT NULL AND ts2 - ts_us <= 86400000000 " +
+        "AND ts3 - ts2 <= 86400000000 " +
+        "GROUP BY 1 ORDER BY n DESC, path LIMIT 10"),
+    // watermark report: global-window prefix max is the oracle's
+    // privilege; lateness quantized to seconds, integer percentiles
+    "ts_watermark_report" ->
+      ("WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, " +
+        "epoch_us(ts) + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 120000000) AS arrival_us " +
+        "FROM events), " +
+        "w AS (SELECT ts_us, max(ts_us) OVER (ORDER BY arrival_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max FROM e), " +
+        "l AS (SELECT CASE WHEN prior_max IS NULL THEN 0 " +
+        "ELSE greatest(0, prior_max - ts_us) // 1000000 END AS late_s FROM w), " +
+        "hist AS (SELECT late_s, COUNT(*) AS n FROM l GROUP BY late_s), " +
+        "cum AS (SELECT late_s, n, sum(n) OVER (ORDER BY late_s) AS cum FROM hist), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_events, " +
+        "CAST(sum(CASE WHEN late_s > 0 THEN n ELSE 0 END) AS BIGINT) AS n_late, " +
+        "max(late_s) AS max_late_s FROM hist), " +
+        "p AS (SELECT min(CASE WHEN cum * 2 >= t.n_events THEN late_s END) AS p50_late_s, " +
+        "min(CASE WHEN cum * 100 >= t.n_events * 95 THEN late_s END) AS p95_late_s, " +
+        "min(CASE WHEN cum * 100 >= t.n_events * 99 THEN late_s END) AS p99_late_s " +
+        "FROM cum, tot t) " +
+        "SELECT n_events, n_late, " +
+        "round(CAST(n_late AS DOUBLE) / n_events, 6) AS share_late, " +
+        "p50_late_s, p95_late_s, p99_late_s, max_late_s FROM tot, p"),
     // attribution: same two ignore-nulls frames; all last-touch (resp.
     // first-touch) columns read null-together conditional fields, so
     // every engine credits the same touch row

@@ -440,6 +440,89 @@ object TimeSeries {
       }
   }
 
+  /** Gate: arrival order synthesized as event time + a deterministic
+    * md5 jitter ≤ 120 s (the testdata's event_id order IS its ts order,
+    * so real arrival skew has to be planted); the report must recover
+    * the planted jitter's distribution.
+    */
+  def tsWatermarkReport(s: SparkSession, dir: String): DataFrame = {
+    val jitter = conv(substring(md5(col("event_id").cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long") % 120000000L
+    watermarkReportOf(
+      t(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("arrival_us", col("ts_us") + jitter),
+      nShards = 32)
+  }
+
+  /** Out-of-orderness / watermark-design report: given each event's
+    * EVENT time and ARRIVAL time, how late is each event relative to
+    * the maximum event time already arrived — i.e. what watermark delay
+    * would a streaming job need so that p50/p95/p99/100% of events beat
+    * the watermark? This is the measurement that turns the
+    * `withWatermark("ts", "<delay>")` guess into a number (reference
+    * analog: the watermark declaration O3, whose delay the reference
+    * hard-codes).
+    *
+    * The running max of event time over arrival order is a PREFIX MAX —
+    * same distributed shape as the sharded prefix sum (max is
+    * associative): deterministic arrival-range shards via [[PrefixSum
+    * .rangePid]], a per-shard running-max window, and a ≤ nShards-row
+    * shard-maxima table whose strictly-prior running max broadcasts
+    * back as each shard's carry-in. Lateness then quantizes to SECONDS
+    * and collapses to a histogram bounded by the lateness domain (a
+    * constant in seconds — 121 rows here), over which the percentile
+    * bounds are integer cross-multiplied percentile_disc; the single
+    * global window runs on that parameter-sized histogram only.
+    */
+  def watermarkReportOf(events: DataFrame, nShards: Int): DataFrame = {
+    val bounds = events.agg(min(col("arrival_us")).as("lo"),
+      (max(col("arrival_us")) + 1L).as("hi"))
+    val sharded = events.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        PrefixSum.rangePid(col("arrival_us"), col("lo"), col("hi"), nShards))
+      .drop("lo", "hi")
+    val ord = Window.partitionBy(col("pid"))
+      .orderBy(col("arrival_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy(col("pid"))
+      .agg(max(col("ts_us")).as("__m"))
+      .withColumn("carry", max(col("__m")).over(offW))
+      .select(col("pid"), col("carry"))
+    val late = sharded
+      .withColumn("__lp", max(col("ts_us")).over(ord))
+      .join(broadcast(offsets), "pid")
+      .withColumn("prior_max", greatest(
+        coalesce(col("__lp"), lit(Long.MinValue)),
+        coalesce(col("carry"), lit(Long.MinValue))))
+      .withColumn("late_s",
+        when(col("prior_max") === Long.MinValue, 0L)
+          .otherwise(expr("greatest(0, prior_max - ts_us) div 1000000")))
+    val hist = late.groupBy(col("late_s")).agg(count(lit(1)).as("n"))
+    val histW = Window.orderBy(col("late_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("n")).over(histW))
+    val tot = hist.agg(sum(col("n")).as("n_events"),
+      sum(when(col("late_s") > 0, col("n")).otherwise(0L)).as("n_late"),
+      max(col("late_s")).as("max_late_s"))
+    cum.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") * 2 >= col("n_events"), col("late_s")))
+          .as("p50_late_s"),
+        min(when(col("cum") * 100 >= col("n_events") * 95, col("late_s")))
+          .as("p95_late_s"),
+        min(when(col("cum") * 100 >= col("n_events") * 99, col("late_s")))
+          .as("p99_late_s"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_events"), col("n_late"),
+        round(col("n_late").cast("double") / col("n_events"), 6)
+          .as("share_late"),
+        col("p50_late_s"), col("p95_late_s"), col("p99_late_s"),
+        col("max_late_s"))
+  }
+
   /** Driver gate: per-user CUSUM census — alarm count and the extreme
     * pre-reset sums. The DuckDB oracle replays the recurrence as an
     * ordered LIST fold with the identical literals (the ts_ewma_anomaly

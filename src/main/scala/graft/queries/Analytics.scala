@@ -631,6 +631,44 @@ object Analytics {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** path_trigrams — behavioral path mining: the most common 3-step
+    * event-type sequences users actually walk, where consecutive steps
+    * must be ≤ the session gap apart (applied per-transition so a path
+    * never spans a session boundary; the gate uses 24 h — this corpus's
+    * per-user event density — so path counts genuinely accumulate). The
+    * funnel operators (q25c/q25e) ask about ONE prescribed sequence;
+    * this discovers which sequences dominate.
+    *
+    * Shape: one user-keyed exchange + (ts, id) sort, two `lead` reads
+    * over the same window, a map-side transition filter, then a
+    * partial-agg count over path strings (path cardinality ≤ |types|³ —
+    * a parameter, so the count shuffle is tiny) and a
+    * TakeOrderedAndProject. Nothing pairs events with events.
+    */
+  def pathTrigrams(s: SparkSession, dir: String): DataFrame =
+    pathTrigramsOf(t(s, dir, "events"), gapUs = 24L * 3600 * 1000000L, k = 10)
+
+  /** Library form over any (user_id, event_id, event_type, ts) frame. */
+  def pathTrigramsOf(events: DataFrame, gapUs: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("ts2", lead(col("ts_us"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .withColumn("ts3", lead(col("ts_us"), 2).over(w))
+      .filter(col("t3").isNotNull &&
+        col("ts2") - col("ts_us") <= gapUs && col("ts3") - col("ts2") <= gapUs)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** copurchase_pairs — market-basket co-occurrence: the top part pairs
     * appearing together in an order. The pair generation is a self-join
     * keyed on the basket id (a partitioned equi-join; work bounded by

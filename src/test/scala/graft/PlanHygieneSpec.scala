@@ -42,7 +42,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_tfidf",          // 1-row corpus doc count
     "text_vocab_coverage", // 1-row bounds/totals + 3-row cutoff table
     "text_unigram_logprob", // 1-row corpus token count
-    "ts_concurrency")      // P-row shard offset table
+    "ts_concurrency",      // P-row shard offset table
+    "ts_watermark_report") // 1-row arrival bounds + 1-row totals
 
   test("no query plans a nested loop outside the reviewed allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

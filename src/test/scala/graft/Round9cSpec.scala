@@ -137,6 +137,65 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- behavioral path mining ----
+
+  test("path trigrams: golden paths, gap break, cross-user isolation") {
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      // user 1: a→b→c→d tight, then a 40-min gap breaks the chain to e
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(5)),
+      (1L, 12L, "c", ts(10)), (1L, 13L, "d", ts(15)),
+      (1L, 14L, "e", ts(55)),
+      // user 2 repeats a→b→c once; their d is another user's event
+      (2L, 20L, "a", ts(0)), (2L, 21L, "b", ts(5)), (2L, 22L, "c", ts(10)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.pathTrigramsOf(rows, gapUs = 30L * 60 * 1000000L,
+        k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 2L), ("b>c>d", 1L)),
+      s"got $got — c>d>e must be gap-broken, users must not chain")
+  }
+
+  // ---- watermark / out-of-orderness report ----
+
+  test("watermark report: golden lateness distribution") {
+    import spark.implicits._
+    // arrival order: e1(ts 10s), e2(ts 5s → 5s late), e3(ts 20s),
+    // e4(ts 18s → 2s late)
+    val e = Seq(
+      (1L, 10000000L, 100L), (2L, 5000000L, 200L),
+      (3L, 20000000L, 300L), (4L, 18000000L, 400L))
+      .toDF("event_id", "ts_us", "arrival_us")
+    val Array(r) = graft.operators.TimeSeries
+      .watermarkReportOf(e, nShards = 2).collect()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 2L, 0.5)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((0L, 5L, 5L, 5L)), "p50/p95/p99/max of {0,5,0,2} seconds")
+  }
+
+  test("watermark report: in-order stream reports zero lateness; shard-invariant") {
+    import spark.implicits._
+    val inOrder = (0L until 100L)
+      .map(i => (i, i * 1000000L, i * 1000000L))
+      .toSeq.toDF("event_id", "ts_us", "arrival_us")
+    val Array(z) = graft.operators.TimeSeries
+      .watermarkReportOf(inOrder, nShards = 8).collect()
+    assert(z.getLong(1) == 0L && z.getLong(6) == 0L,
+      "already-ordered arrivals must report nothing late")
+    // the gate query's input under different internal shard counts
+    val events = Tables.t(spark, sfDir, "events")
+    val jitter = conv(substring(md5($"event_id".cast("string")
+      .cast("binary")), 1, 15), 16, 10).cast("long") % 120000000L
+    val withArrival = events
+      .select($"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("arrival_us", $"ts_us" + jitter)
+    def rep(n: Int) = graft.operators.TimeSeries
+      .watermarkReportOf(withArrival, n).collect().toSeq.toString
+    assert(rep(1) == rep(5) && rep(5) == rep(32),
+      "prefix max must be shard-count invariant")
+  }
+
   // ---- join-key skew report ----
 
   test("skew report: golden distribution incl. discrete percentiles") {
