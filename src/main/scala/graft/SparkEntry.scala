@@ -126,6 +126,12 @@ object SparkEntry {
     // vocabulary coverage curve: count-histogram + sharded prefix sums,
     // boundary classes closed in exact integer arithmetic
     "text_vocab_coverage" -> TextAnalysis.vocabCoverage _,
+    // tokenizer fertility per language: integer sums, ratio at the end
+    "text_fertility" -> TextAnalysis.textFertility _,
+    // audio silence-strip: real WAV decode, one PCM scan for the
+    // threshold span; oracle certifies from the closed generation form
+    "mm_audio_trim" ->
+      ((s: SparkSession, d: String) => Multimodal.audioTrim(s, d)),
     // per-group exact heavy hitters: one Misra-Gries sketch per group,
     // broadcast recount of the bounded candidate set
     "freq_heavy_hitters_grouped" ->
@@ -1341,6 +1347,27 @@ object SparkEntry {
         "SELECT f.grp, f.item, COUNT(*) AS cnt FROM f JOIN n USING (grp) " +
         "GROUP BY f.grp, f.item, n.n HAVING COUNT(*) >= ceil(n.n * 0.05) " +
         "ORDER BY grp, cnt DESC, item"),
+    "text_fertility" ->
+      (s"WITH d AS (SELECT lang, len($toksSql) AS n_toks, " +
+        "length(text) AS n_chars FROM documents) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(sum(n_toks) AS BIGINT) AS total_tokens, " +
+        "round(CAST(sum(n_toks) AS DOUBLE) / COUNT(*), 6) AS tokens_per_doc, " +
+        "round(CAST(sum(n_chars) AS DOUBLE) / sum(n_toks), 6) AS chars_per_token " +
+        "FROM d GROUP BY lang ORDER BY lang"),
+    // audio trim closed form: amplitude = base + i (monotone), so
+    // first-kept = max(0, 32 − base) and the kept sum is an arithmetic
+    // series — every column certifies the decoded scan
+    "mm_audio_trim" ->
+      ("WITH p AS (SELECT doc_id, doc_id % 64 AS base, " +
+        "64 + doc_id % 64 AS n FROM documents), " +
+        "f AS (SELECT doc_id, n, greatest(0, 32 - base) AS first, base FROM p) " +
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_samples, " +
+        "CAST(first AS BIGINT) AS trim_start, " +
+        "CAST(n - first AS BIGINT) AS n_kept, " +
+        "CAST((n - first) * base + (first + n - 1) * (n - first) // 2 AS BIGINT) " +
+        "AS kept_amp_sum " +
+        "FROM f ORDER BY doc_id"),
     // vocab coverage: the oracle MAY use the global ordered window the
     // Spark plan must avoid; boundary classes close in integer math
     "text_vocab_coverage" ->

@@ -510,6 +510,44 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm_audio_trim — amplitude-threshold trimming (the silence-strip /
+    * VAD-lite stage an audio-training pipeline runs before windowing):
+    * decode the REAL WAV container, scan the PCM once for the first and
+    * last sample with |amplitude| ≥ the threshold, and report the
+    * trimmed span plus its exact amplitude sum. Pure map-side codec
+    * work like the other audio operators; the oracle recomputes every
+    * column from the closed-form generation rule (amplitude = base + i,
+    * monotone — so the trim start is exactly max(0, τ − base) and the
+    * kept amplitude sum is a closed arithmetic series), which certifies
+    * the decode-side scan, not just the arithmetic.
+    */
+  def audioTrim(s: SparkSession, dir: String, threshold: Long = 32L): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { d =>
+        val body = parseWav(d, encodeWav(d)).pcm
+        val n = body.length / 2
+        def amp(i: Int): Long =
+          ((body(2 * i) & 0xff) | (body(2 * i + 1) << 8)).toShort.toLong
+        var first = n
+        var i = 0
+        while (i < n && first == n) {
+          if (math.abs(amp(i)) >= threshold) first = i; i += 1 }
+        var last = -1
+        i = n - 1
+        while (i >= 0 && last < 0) {
+          if (math.abs(amp(i)) >= threshold) last = i; i -= 1 }
+        val kept = if (last < first) 0L else (last - first + 1).toLong
+        var ampSum = 0L
+        i = first
+        while (i <= last) { ampSum += amp(i); i += 1 }
+        (d, n.toLong, first.toLong, kept, ampSum)
+      })
+      .toDF("doc_id", "n_samples", "trim_start", "n_kept", "kept_amp_sum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Container parse that decodes ONLY the frames `k % stride == 0`,
     * skipping the bytes of unsampled frames without touching the PNG
     * codec — the IO shape of fps-style video sampling: work proportional

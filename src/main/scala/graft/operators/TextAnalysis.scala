@@ -182,6 +182,27 @@ object TextAnalysis {
       .orderBy(col("cutoff"))
   }
 
+  /** Tokenizer fertility report — per language: document count, mean
+    * tokens per document, and mean characters per token (the
+    * "fertility" a tokenizer designer watches per language: high
+    * chars/token means the vocab under-serves that language). One
+    * map-side tokenize + one |langs|-row aggregation; all sums integer,
+    * doubles only in the final ratios.
+    */
+  def textFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(sum(col("n_toks")).cast(DoubleType) / count(lit(1)), 6)
+          .as("tokens_per_doc"),
+        round(sum(col("n_chars")).cast(DoubleType) / sum(col("n_toks")), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+
   def calibrationReport(s: SparkSession, dir: String): DataFrame =
     calibrationReportOf(t(s, dir, "documents"))
 

@@ -137,6 +137,30 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- audio trim + fertility ----
+
+  test("audio trim: known clip golden; impossible threshold trims everything") {
+    val out = operators.Multimodal.audioTrim(spark, sfDir)
+      .filter(col("doc_id") === 0L).collect()
+    // doc 0: base 0, n 64 → first |amp| ≥ 32 at i=32, kept 32,
+    // sum 32..63 = 1520
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq == Seq((64L, 32L, 32L, 1520L)))
+    val none = operators.Multimodal.audioTrim(spark, sfDir,
+      threshold = 1000000L).agg(max(col("n_kept"))).head.getLong(0)
+    assert(none == 0L, "a threshold above every amplitude must trim all")
+  }
+
+  test("fertility: langs partition the corpus; ratios are sane") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val rep = operators.TextAnalysis.textFertility(spark, sfDir).collect()
+    assert(rep.map(_.getLong(1)).sum == docs.count())
+    rep.foreach { r =>
+      assert(r.getDouble(3) > 1.0, "docs have more than one token")
+      assert(r.getDouble(4) > 1.0, "tokens span more than one char")
+    }
+  }
+
   // ---- behavioral path mining ----
 
   test("path trigrams: golden paths, gap break, cross-user isolation") {
