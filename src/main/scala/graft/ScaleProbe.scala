@@ -295,7 +295,25 @@ object ScaleProbe {
     def negs(items: DataFrame, bits: Int) = operators.Graph
       .negativeSampleOf(operators.Graph.basketEdges(items), 3, bits)
 
+    // skew report / watermark report: histogram-collapsed after one
+    // keyed agg — expect near-linear
+    def skew(o: DataFrame) =
+      operators.Quality.skewReport(o, col("o_custkey"))
+    def wmark(e: DataFrame) = {
+      val jitter = conv(substring(md5(col("event_id").cast("string")
+        .cast("binary")), 1, 15), 16, 10).cast("long") % 120000000L
+      operators.TimeSeries.watermarkReportOf(
+        e.select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .withColumn("arrival_us", col("ts_us") + jitter), 32)
+    }
+    // path mining: one key exchange + leads; |types|^3-bounded count
+    def paths(e: DataFrame) = queries.Analytics
+      .pathTrigramsOf(e, 24L * 3600 * 1000000L, 10)
+
     val results = Seq(
+      ("skew_report", time(noop(skew(o1))), time(noop(skew(oK)))),
+      ("watermark_rep", time(noop(wmark(eA1))), time(noop(wmark(eAK)))),
+      ("path_trigrams", time(noop(paths(eA1))), time(noop(paths(eAK)))),
       ("vocab_coverage", time(noop(vocab(docs1c))), time(noop(vocab(docsK)))),
       ("attribution", time(noop(attr(eA1))), time(noop(attr(eAK)))),
       ("neg_sampling", time(noop(negs(liG1, 4))), time(noop(negs(liGK, 7)))),
