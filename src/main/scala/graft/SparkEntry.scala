@@ -215,6 +215,9 @@ object SparkEntry {
     // watermark-design report: sharded prefix-max over arrival order,
     // lateness percentiles off a domain-bounded seconds histogram
     "ts_watermark_report" -> graft.operators.TimeSeries.tsWatermarkReport _,
+    // purged temporal split: exact p80 boundary via the q10p machinery,
+    // 1-day embargo applied in the same plan
+    "ts_embargo_split" -> graft.operators.TimeSeries.tsEmbargoSplit _,
     // first/last-touch conversion attribution: one key exchange, two
     // ignore-nulls frames over the same sorted layout
     "feat_attribution" -> Analytics.touchAttribution _,
@@ -1910,6 +1913,18 @@ object SparkEntry {
         "FROM s WHERE t3 IS NOT NULL AND ts2 - ts_us <= 86400000000 " +
         "AND ts3 - ts2 <= 86400000000 " +
         "GROUP BY 1 ORDER BY n DESC, path LIMIT 10"),
+    // embargo split: running-count boundary (RANGE-frame peers match
+    // the histogram cum), integer cross-multiplied threshold
+    "ts_embargo_split" ->
+      ("WITH e AS (SELECT epoch_us(ts) AS ts_us FROM events), " +
+        "c AS (SELECT ts_us, sum(1) OVER (ORDER BY ts_us) AS cum, " +
+        "count(*) OVER () AS tot FROM e), " +
+        "b AS (SELECT min(ts_us) AS b FROM c WHERE cum * 5 >= tot * 4), " +
+        "s AS (SELECT ts_us, CASE WHEN ts_us < b THEN 'train' " +
+        "WHEN ts_us < b + 86400000000 THEN 'embargo' ELSE 'test' END AS split " +
+        "FROM e, b) " +
+        "SELECT split, COUNT(*) AS n_events, min(ts_us) AS min_ts_us, " +
+        "max(ts_us) AS max_ts_us FROM s GROUP BY split ORDER BY split"),
     // watermark report: global-window prefix max is the oracle's
     // privilege; lateness quantized to seconds, integer percentiles
     "ts_watermark_report" ->

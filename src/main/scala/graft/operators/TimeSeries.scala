@@ -523,6 +523,51 @@ object TimeSeries {
         col("max_late_s"))
   }
 
+  def tsEmbargoSplit(s: SparkSession, dir: String): DataFrame =
+    embargoSplitOf(t(s, dir, "events"), pNum = 4, pDen = 5,
+      embargoUs = 86400000000L, nShards = 32)
+
+  /** Purged temporal train/test split (time-series cross-validation with
+    * an embargo): the split boundary is the EXACT p = pNum/pDen discrete
+    * time percentile of the events (the q10p machinery: timestamp
+    * histogram → sharded prefix sum → conditional min, thresholds
+    * integer cross-multiplied); rows inside [boundary, boundary +
+    * embargo) are assigned to neither side — the gap that stops lagged
+    * features computed at train time from leaking into test. Reported
+    * long-format: per split, count and time range.
+    *
+    * Why an operator and not two filters: the boundary must be an exact
+    * data quantile computed scalably (no global sort, no driver
+    * collect), and the embargo must be applied consistently with it in
+    * ONE plan, so a caller cannot mix a sampled boundary with an exact
+    * filter.
+    */
+  def embargoSplitOf(events: DataFrame, pNum: Int, pDen: Int,
+      embargoUs: Long, nShards: Int): DataFrame = {
+    val e = events.select(unix_micros(col("ts")).as("ts_us"))
+    val hist = e.groupBy(col("ts_us")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val bounds = hist.agg(min(col("ts_us")).as("v0"),
+      max(col("ts_us")).as("v1"), sum(col("w")).as("tot"))
+    val sharded = hist.crossJoin(broadcast(bounds))
+      .withColumn("pid",
+        PrefixSum.rangePid(col("ts_us"), col("v0"), col("v1"), nShards))
+    val boundary = PrefixSum
+      .shardedCumSum(sharded, Seq.empty, "pid", "ts_us", "w")
+      .agg(min(when(col("cum") * pDen >= col("tot") * pNum, col("ts_us")))
+        .as("b"))
+    e.crossJoin(broadcast(boundary))
+      .withColumn("split",
+        when(col("ts_us") < col("b"), "train")
+          .when(col("ts_us") < col("b") + embargoUs, "embargo")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+      .orderBy(col("split"))
+  }
+
   /** Driver gate: per-user CUSUM census — alarm count and the extreme
     * pre-reset sums. The DuckDB oracle replays the recurrence as an
     * ordered LIST fold with the identical literals (the ts_ewma_anomaly

@@ -43,6 +43,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_vocab_coverage", // 1-row bounds/totals + 3-row cutoff table
     "text_unigram_logprob", // 1-row corpus token count
     "ts_concurrency",      // P-row shard offset table
+    "ts_embargo_split",    // 1-row bounds + 1-row boundary scalar
     "ts_watermark_report") // 1-row arrival bounds + 1-row totals
 
   test("no query plans a nested loop outside the reviewed allowlist") {

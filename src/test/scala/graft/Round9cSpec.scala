@@ -137,6 +137,38 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- purged temporal split ----
+
+  test("embargo split: golden boundary, gap rows in neither side") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val e = (1 to 10).map(i => (i.toLong, ts(i))).toDF("event_id", "ts")
+    val got = graft.operators.TimeSeries
+      .embargoSplitOf(e, pNum = 4, pDen = 5, embargoUs = 2000000L,
+        nShards = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // p80 of 10 rows → boundary = 8th timestamp; embargo spans [8s, 10s)
+    assert(got("train")._1 == 7L && got("embargo")._1 == 2L &&
+      got("test")._1 == 1L, s"got $got")
+    assert(got("train")._3 < got("embargo")._2 &&
+      got("embargo")._3 < got("test")._2, "ranges must be disjoint, ordered")
+  }
+
+  test("embargo split: sides never overlap in time; shard-invariant") {
+    def run(n: Int) = graft.operators.TimeSeries
+      .embargoSplitOf(Tables.t(spark, sfDir, "events"), 4, 5,
+        86400000000L, n)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val base = run(32)
+    assert(base == run(1) && base == run(7))
+    val m = base.map(t => t._1 -> t).toMap
+    assert(m("train")._4 < m("embargo")._3 && m("embargo")._4 < m("test")._3)
+    // the embargo must cover exactly the configured span after boundary
+    assert(m("embargo")._4 - m("embargo")._3 < 86400000000L)
+  }
+
   // ---- audio trim + fertility ----
 
   test("audio trim: known clip golden; impossible threshold trims everything") {
