@@ -224,6 +224,10 @@ object SparkEntry {
     // behavioral path mining: top 3-step type sequences, gap-bounded
     // transitions, one key exchange + leads
     "path_trigrams" -> Analytics.pathTrigrams _,
+    // quantile/rank feature transform table: per-group ECDF positions
+    // via the histogram + sharded prefix sum
+    "feat_quantile_transform" ->
+      ((s: SparkSession, d: String) => Analytics.featQuantileTransform(s, d)),
     "recon_fingerprint" -> graft.operators.Reconcile.ordersFingerprint _,
     "agg_incremental_rollup" -> graft.operators.RollupMerge.monthlyFromDaily _,
     "recon_merge" -> graft.operators.Reconcile.ordersMerge _,
@@ -1900,6 +1904,20 @@ object SparkEntry {
         "COUNT(*) AS n_points FROM events GROUP BY user_id) " +
         "SELECT user_id, CAST(st[3] AS BIGINT) AS n_anomalies, " +
         "round(st[4], 6) AS max_abs_dev, n_points FROM f ORDER BY user_id"),
+    // quantile transform: default RANGE window includes value peers =
+    // the count-≤-value convention the sharded cumsum implements
+    "feat_quantile_transform" ->
+      ("WITH h AS (SELECT l_returnflag, l_extendedprice, COUNT(*) AS w " +
+        "FROM lineitem GROUP BY l_returnflag, l_extendedprice), " +
+        "t AS (SELECT l_returnflag, COUNT(*) AS tot FROM lineitem " +
+        "GROUP BY l_returnflag) " +
+        "SELECT h.l_returnflag, l_extendedprice, w, " +
+        "CAST(sum(w) OVER (PARTITION BY h.l_returnflag " +
+        "ORDER BY l_extendedprice) AS BIGINT) AS cum, " +
+        "round(CAST(sum(w) OVER (PARTITION BY h.l_returnflag " +
+        "ORDER BY l_extendedprice) AS DOUBLE) / tot, 6) AS ecdf " +
+        "FROM h JOIN t ON h.l_returnflag = t.l_returnflag " +
+        "ORDER BY h.l_returnflag, l_extendedprice"),
     // path mining: same leads/gap filter; ties at the top-k cut break
     // on (n desc, path)
     "path_trigrams" ->

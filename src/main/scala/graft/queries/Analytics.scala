@@ -631,6 +631,39 @@ object Analytics {
       .orderBy(col("user_id"), col("purchase_id"))
   }
 
+  /** feat_quantile_transform — the rank/quantile feature transform as
+    * an exportable TABLE: per (group, distinct value), the empirical
+    * CDF position cum/total with the count-≤-value (max-rank)
+    * convention — the artifact a feature pipeline broadcast-joins (or
+    * range-lookups) to map raw values onto [0,1] uniformly, robust to
+    * heavy tails where z-scoring is not. Same machinery as the
+    * percentile_disc family: per-group value histogram → sharded prefix
+    * sum → ratio at the end; the per-row application is then a
+    * value-keyed join the caller fuses into their own plan.
+    */
+  def featQuantileTransform(s: SparkSession, dir: String,
+      nShards: Int = 32): DataFrame = {
+    import graft.operators.PrefixSum
+    val hist = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val bounds = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("v0"),
+        max(col("l_extendedprice")).as("v1"),
+        count(lit(1)).as("tot"))
+    val sharded = hist.join(broadcast(bounds), "l_returnflag")
+      .withColumn("pid", PrefixSum.rangePid(col("l_extendedprice"),
+        col("v0"), col("v1"), nShards))
+    PrefixSum.shardedCumSum(sharded, Seq("l_returnflag"), "pid",
+        "l_extendedprice", "w")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("w"),
+        col("cum"), round(col("cum").cast(DoubleType) / col("tot"), 6)
+          .as("ecdf"))
+      .orderBy(col("l_returnflag"), col("l_extendedprice"))
+  }
+
   /** path_trigrams — behavioral path mining: the most common 3-step
     * event-type sequences users actually walk, where consecutive steps
     * must be ≤ the session gap apart (applied per-transition so a path

@@ -673,4 +673,81 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
+
+  final case class TouchCredit(user_id: Long, purchase_id: Long,
+    purchase_ts_us: Long, last_touch_id: Long, last_touch_type: String,
+    last_touch_latency_us: Long)
+
+  /** Live last-touch attribution — the streaming twin of
+    * `Analytics.touchAttributionOf`'s rows-frame half: one fixed-size
+    * (touch ts, id, type, lastTs, lastId) ValueState per user carries
+    * the most recent click/view; each purchase emits its credit
+    * immediately. The RANGE-frame first-touch column stays batch-only
+    * by design: first-touch-in-window needs the window's oldest
+    * surviving touch, i.e. a buffer proportional to the window — the
+    * batch operator reports it offline, the live path answers the
+    * on-conversion question. Out-of-order rows vs the folded prefix are
+    * dropped (same contract as the EWMA/CUSUM processors).
+    */
+  class TouchProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), TouchCredit] {
+    @transient private var st: org.apache.spark.sql.streaming
+      .ValueState[(Long, Long, String, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, String, Long, Long)](
+        "touch",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[TouchCredit] = {
+      // state: (touchTs, touchId, touchType, lastTs, lastId); touchId
+      // < 0 = no touch seen yet
+      var state = if (st.exists()) Option(st.get()) else None
+      val out = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+        case (_, ts, id, tpe) =>
+          state match {
+            case Some((_, _, _, lastTs, lastId))
+                if ts < lastTs || (ts == lastTs && id <= lastId) =>
+              None // out-of-order vs the folded prefix
+            case prior =>
+              val (tTs, tId, tType) = prior match {
+                case Some((a, b, c, _, _)) => (a, b, c)
+                case None => (0L, -1L, "")
+              }
+              val credit =
+                if (tpe == "purchase" && tId >= 0)
+                  Some(TouchCredit(key, id, ts, tId, tType, ts - tTs))
+                else None
+              val next =
+                if (tpe == "click" || tpe == "view") (ts, id, tpe, ts, id)
+                else (tTs, tId, tType, ts, id)
+              state = Some(next)
+              credit
+          }
+      }
+      state.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** (user_id, ts_us, event_id, event_type) stream → live credits. */
+  def attributionStream(events: Dataset[(Long, Long, Long, String)]):
+      Dataset[TouchCredit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TouchProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }

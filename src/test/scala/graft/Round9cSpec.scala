@@ -137,6 +137,25 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- quantile transform table ----
+
+  test("quantile transform: ECDF is monotone, closes at 1, conserves counts") {
+    val t = Analytics.featQuantileTransform(spark, sfDir).cache()
+    val byGrp = t.collect().groupBy(_.getString(0))
+    assert(byGrp.nonEmpty)
+    byGrp.foreach { case (g, rows) =>
+      val e = rows.map(_.getDouble(4))
+      assert(e.zip(e.tail).forall { case (a, b) => a < b },
+        s"$g: ecdf must strictly increase over distinct values")
+      assert(e.last == 1.0, s"$g: the max value must map to 1.0")
+      val n = Tables.t(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag") === g).count()
+      assert(rows.map(_.getLong(2)).sum == n, s"$g: counts must conserve")
+      assert(rows.last.getLong(3) == n, s"$g: cum must close at n")
+    }
+    t.unpersist()
+  }
+
   // ---- purged temporal split ----
 
   test("embargo split: golden boundary, gap rows in neither side") {

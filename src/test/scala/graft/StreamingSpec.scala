@@ -1,5 +1,6 @@
 package graft
 
+import graft.queries.Analytics
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
@@ -527,6 +528,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed((1L, 11L))._3, "the crossing must alarm mid-stream")
     assert(streamed((1L, 12L))._1 == 30.0,
       "post-alarm restart must carry the RESET state across the seam")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("attribution stream: credits across a batch seam match the batch last-touch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val M = 60000000L // one minute in micros
+      // user 1: click, purchase (credit click), then the CARRIED click
+      // credits a second purchase in batch 2; user 2 purchases with no
+      // touch (no live emission; batch reports null credit)
+      val series = Seq(
+        (1L, 1 * M, 10L, "click"), (1L, 2 * M, 11L, "purchase"),
+        (2L, 3 * M, 20L, "purchase"),
+        (1L, 4 * M, 12L, "purchase"), (1L, 5 * M, 13L, "view"),
+        (1L, 6 * M, 14L, "purchase"))
+      val src = MemoryStream[(Long, Long, Long, String)]
+      val q = StreamingOps.attributionStream(src.toDS())
+        .writeStream.format("memory").queryName("credits")
+        .outputMode("update").start()
+      src.addData(series.take(3): _*)
+      q.processAllAvailable()
+      src.addData(series.drop(3): _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("credits").as[StreamingOps.TouchCredit]
+        .collect()
+        .map(c => c.purchase_id ->
+          (c.last_touch_id, c.last_touch_type, c.last_touch_latency_us))
+        .toMap
+      // batch twin: last-touch columns of the attribution operator
+      val batchDf = series.map { case (u, ts, id, tpe) =>
+        (u, new java.sql.Timestamp(ts / 1000), id, tpe) }
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val batch = Analytics
+        .touchAttributionOf(batchDf, windowUs = 7L * 24 * 3600 * 1000000L)
+        .collect()
+        .filter(!_.isNullAt(5))
+        .map(r => r.getLong(1) -> (r.getLong(5), r.getString(6), r.getLong(7)))
+        .toMap
+      assert(streamed == batch,
+        s"live credits $streamed must equal batch last-touch $batch")
+      assert(!streamed.contains(20L), "touchless purchase emits nothing live")
+      assert(streamed(12L)._1 == 10L,
+        "the touch must carry across the batch seam")
+      assert(streamed(14L)._1 == 13L, "a newer touch must replace it")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
