@@ -140,6 +140,8 @@ object SparkEntry {
     // join-key skew diagnostic: count-histogram collapse + sharded
     // prefix sum; percentiles integer cross-multiplied
     "dq_skew_report" -> operators.Quality.dqSkewReport _,
+    // exact pre-join cardinality from the two per-key count tables
+    "dq_join_cardinality" -> operators.Quality.dqJoinCardinality _,
     "text_quality" -> TextAnalysis.qualityScore _,
     "text_fingerprint" -> TextAnalysis.fingerprint _,
     "text_rolling_fp" -> TextAnalysis.rollingFingerprint _,
@@ -1326,6 +1328,16 @@ object SparkEntry {
         "FROM b GROUP BY bin) " +
         "SELECT CAST(bin AS BIGINT) AS bin, n_docs, avg_conf, frac_true, " +
         "round(abs(frac_true - avg_conf), 6) AS abs_gap FROM a ORDER BY bin"),
+    // join cardinality: the definition replayed over count tables
+    "dq_join_cardinality" ->
+      ("WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1), " +
+        "cb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1), " +
+        "p AS (SELECT ca.k, ca * cb AS rows_out FROM ca JOIN cb USING (k)), " +
+        "tot AS (SELECT CAST(sum(rows_out) AS BIGINT) AS join_rows, " +
+        "COUNT(*) AS matched_keys FROM p), " +
+        "top AS (SELECT k AS top_key, rows_out AS top_rows FROM p " +
+        "ORDER BY rows_out DESC, k LIMIT 1) " +
+        "SELECT join_rows, matched_keys, top_key, top_rows FROM tot, top"),
     // skew report: definitional count-distribution stats; the oracle's
     // global window is the thing the Spark plan replaces
     "dq_skew_report" ->

@@ -108,6 +108,40 @@ object Quality {
       when(col("l_partkey") % 10 < 3, col("l_partkey") % 10)
         .otherwise(col("l_partkey")))
 
+  /** Exact pre-join cardinality: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k),
+    * computed from the two per-key count tables (key-cardinality-sized,
+    * never the fact product) — with the top contributing keys, the
+    * output-side complement of [[skewReport]]'s input-side view: run
+    * both before committing a 100 TB shuffle join. The count-table join
+    * is a plain keyed equi-join; products and their sum are exact
+    * integers.
+    */
+  def joinCardinality(left: DataFrame, lKey: Column, right: DataFrame,
+      rKey: Column, topK: Int = 3): DataFrame = {
+    val ca = left.select(lKey.cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val cb = right.select(rKey.cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    val prod = ca.join(cb, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("rows_out"))
+    val tot = prod.agg(sum(col("rows_out")).as("join_rows"),
+      count(lit(1)).as("matched_keys"))
+    val top = prod
+      .agg(min(struct((-col("rows_out")).as("nr"), col("k"))).as("t"))
+      .select(col("t.k").as("top_key"), (-col("t.nr")).as("top_rows"))
+    tot.crossJoin(broadcast(top))
+      .select(col("join_rows"), col("matched_keys"), col("top_key"),
+        col("top_rows"))
+  }
+
+  /** dq_join_cardinality gate: orders ⋈ lineitem on orderkey — the
+    * fact-fact join every TPC-H shape shuffles; the estimate here is
+    * EXACT (it is the definition), so the oracle replays it directly.
+    */
+  def dqJoinCardinality(s: SparkSession, dir: String): DataFrame =
+    joinCardinality(t(s, dir, "orders"), col("o_orderkey"),
+      t(s, dir, "lineitem"), col("l_orderkey"))
+
   /** dq_checks — the six-constraint suite over `orders` (FK → customer).
     * `date_in_range` genuinely fires on the testdata (orders spill past
     * 2001-01-01): a report with a failing row is the interesting case.

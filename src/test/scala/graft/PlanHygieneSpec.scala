@@ -20,6 +20,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "dedup_embedding_lsh", // checked form: two 1-row contract summaries
     "dedup_minhash_bounded", // checked form: three 1-row contract summaries
     "dq_checks",           // FK-exists scalar bit
+    "dq_join_cardinality", // 1-row totals × 1-row top-key join
     "dq_skew_report",      // 1-row bounds/totals/percentiles/top joins
     "emb_hard_negatives",  // scalar corpus stats
     "emb_label_balance",   // 1-row label-cardinality summary

@@ -137,6 +137,24 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- join cardinality ----
+
+  test("join cardinality: equals the real join size; golden with dup keys") {
+    import spark.implicits._
+    val Array(r) = operators.Quality.dqJoinCardinality(spark, sfDir).collect()
+    val actual = Tables.t(spark, sfDir, "orders").as("o")
+      .join(Tables.t(spark, sfDir, "lineitem").as("l"),
+        col("o.o_orderkey") === col("l.l_orderkey")).count()
+    assert(r.getLong(0) == actual, "the estimate IS the definition")
+    // 2x3 + 1x1 = 7 rows out; key 1 contributes 6
+    val a = Seq(1L, 1L, 2L).toDF("x")
+    val b = Seq(1L, 1L, 1L, 2L, 9L).toDF("y")
+    val Array(g) = operators.Quality
+      .joinCardinality(a, col("x"), b, col("y")).collect()
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3)) ==
+      ((7L, 2L, 1L, 6L)))
+  }
+
   // ---- quantile transform table ----
 
   test("quantile transform: ECDF is monotone, closes at 1, conserves counts") {
