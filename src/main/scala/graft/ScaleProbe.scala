@@ -310,7 +310,16 @@ object ScaleProbe {
     def paths(e: DataFrame) = queries.Analytics
       .pathTrigramsOf(e, 24L * 3600 * 1000000L, 10)
 
+    // embargo split / quantile transform / join cardinality: histogram
+    // or count-table sized after one keyed agg — expect near-linear
+    def embargo(e: DataFrame) = operators.TimeSeries
+      .embargoSplitOf(e, 4, 5, 86400000000L, 32)
+    def jcard(o: DataFrame, li: DataFrame) = operators.Quality
+      .joinCardinality(o, col("o_orderkey"), li, col("l_orderkey"))
+
     val results = Seq(
+      ("embargo_split", time(noop(embargo(eA1))), time(noop(embargo(eAK)))),
+      ("join_card", time(noop(jcard(o1, li1))), time(noop(jcard(oK, liK)))),
       ("skew_report", time(noop(skew(o1))), time(noop(skew(oK)))),
       ("watermark_rep", time(noop(wmark(eA1))), time(noop(wmark(eAK)))),
       ("path_trigrams", time(noop(paths(eA1))), time(noop(paths(eAK)))),
