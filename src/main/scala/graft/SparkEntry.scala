@@ -394,6 +394,10 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.audioWindows(s, d)),
     // perceptual-hash (aHash) image dedup over genuinely decoded pixels
     "mm_ahash_dedup" -> Multimodal.ahashDedup _,
+    // contrastive pair builder: decoded-aHash anchors + hash-ring
+    // negatives with the perceptual true-negative guard
+    "mm_pair_builder" ->
+      ((s: SparkSession, d: String) => Multimodal.pairBuilder(s, d)),
     // hamming-banded perceptual NEAR-dup pairing (byte-band candidates,
     // exact popcount verify)
     "mm_ahash_near_dup" ->
@@ -2631,6 +2635,42 @@ object SparkEntry {
         "SELECT printf('%08x%08x', hi, lo) AS ahash, " +
         "CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keeper " +
         "FROM hh GROUP BY 1 ORDER BY ahash"),
+    // pair builder: the aHash closed form + the ring replay + the
+    // min-draw-valid selection, all from proven fragments
+    "mm_pair_builder" ->
+      ("WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, " +
+        "doc_id % 64 AS b FROM documents), " +
+        "px AS (SELECT doc_id, gy.x*8 + gx.x AS idx, " +
+        "3*(b + (gx.x*w)//8 + (gy.x*h)//8) AS s FROM p, " +
+        "unnest(range(8)) AS gx(x), unnest(range(8)) AS gy(x)), " +
+        "bits AS (SELECT doc_id, idx, CASE WHEN 64*s > " +
+        "SUM(s) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS bit FROM px), " +
+        "hh AS (SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN idx >= 32 THEN bit * (CAST(1 AS BIGINT) << (idx-32)) " +
+        "ELSE 0 END) AS BIGINT) AS hi, " +
+        "CAST(SUM(CASE WHEN idx < 32 THEN bit * (CAST(1 AS BIGINT) << idx) " +
+        "ELSE 0 END) AS BIGINT) AS lo FROM bits GROUP BY doc_id), " +
+        "ah AS (SELECT doc_id, printf('%08x%08x', hi, lo) AS ahash FROM hh), " +
+        "hs AS (SELECT doc_id AS nd, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv " +
+        "FROM documents), " +
+        "hss AS (SELECT nd, hv, hv // 72057594037927936 AS shard FROM hs), " +
+        "ps AS (SELECT nd AS u, i, " +
+        "('0x' || substr(md5(CAST(nd AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS pos " +
+        "FROM hs, (SELECT unnest([0, 1]) AS i) t), " +
+        "psh AS (SELECT u, i, pos, pos // 72057594037927936 AS shard FROM ps), " +
+        "j AS (SELECT p2.u, p2.i, " +
+        "min(CASE WHEN n.hv >= p2.pos THEN struct_pack(hv := n.hv, nd := n.nd) END) AS succ, " +
+        "min(struct_pack(hv := n.hv, nd := n.nd)) AS frst " +
+        "FROM psh p2 JOIN hss n USING (shard) GROUP BY p2.u, p2.i), " +
+        "c AS (SELECT u, i, coalesce(succ, frst).nd AS v FROM j), " +
+        "valid AS (SELECT c.u, c.i, c.v, aa.ahash AS anchor_hash, " +
+        "ab.ahash AS neg_hash FROM c " +
+        "JOIN ah aa ON aa.doc_id = c.u JOIN ah ab ON ab.doc_id = c.v " +
+        "WHERE c.v <> c.u AND ab.ahash <> aa.ahash) " +
+        "SELECT u AS doc_id, anchor_hash, v AS neg_doc, neg_hash FROM valid " +
+        "QUALIFY row_number() OVER (PARTITION BY u ORDER BY i) = 1 " +
+        "ORDER BY doc_id"),
     // near-dup: the oracle brute-forces class pairs (banding is a
     // complete candidate generator for hamming ≤ 7, so results agree);
     // hamming via per-half popcounts — no signed 64-bit reassembly

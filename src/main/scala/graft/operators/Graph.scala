@@ -178,38 +178,9 @@ object Graph {
     * candidate-proportional.
     */
   def negativeSampleOf(edges: DataFrame, k: Int, shardBits: Int): DataFrame = {
-    require(k > 0 && shardBits >= 0 && shardBits <= 16)
-    val shardDiv = 1L << (60 - shardBits) // md5-15-hex = 60-bit positions
-    def h(c: Column) =
-      conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
     val nodes = edges.select(col("u").as("nd"))
       .union(edges.select(col("v").as("nd"))).distinct()
-    val ring = nodes
-      .select(h(col("nd")).as("p"), lit(0).as("kind"), col("nd"),
-        lit(null).cast("long").as("u"), lit(null).cast("int").as("i"))
-      .unionByName(nodes
-        .select(col("nd").as("u"), explode(sequence(lit(0), lit(k - 1))).as("i"))
-        .select(h(concat(col("u").cast("string"), lit(":"),
-            col("i").cast("string"))).as("p"),
-          lit(1).as("kind"), lit(null).cast(nodes.schema("nd").dataType).as("nd"),
-          col("u"), col("i")))
-      .withColumn("shard", expr(s"p div $shardDiv"))
-    // DESC traversal: at each probe, the last node seen so far is the
-    // smallest (hv, nd) with hv ≥ pos — kind ASC puts same-position
-    // nodes before their probes, nd DESC makes equal-hv ties resolve to
-    // the smallest node (the oracle's min-of-struct order)
-    val ord = Seq(col("p").desc, col("kind").asc, col("nd").desc_nulls_last)
-    val wSucc = Window.partitionBy(col("shard")).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wWrap = Window.partitionBy(col("shard")).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cand = ring
-      .withColumn("succ", last(col("nd"), ignoreNulls = true).over(wSucc))
-      .withColumn("frst", last(col("nd"), ignoreNulls = true).over(wWrap))
-      .filter(col("kind") === 1)
-      .select(col("u"), col("i").cast("long").as("i"),
-        coalesce(col("succ"), col("frst")).as("v"))
+    val cand = HashRing.successors(nodes, k, shardBits)
       .filter(col("v") =!= col("u"))
     cand.join(
         edges.select(col("u"), col("v"))

@@ -806,6 +806,49 @@ object Multimodal {
       .orderBy(col("ahash"))
   }
 
+  /** mm_pair_builder — contrastive (image, negative-image) training
+    * pairs, the capstone composition of the multimodal and sampling
+    * families: every asset's first frame is decoded and aHashed from
+    * real pixels (the anchor), candidate negatives come from the
+    * deterministic [[HashRing]] sampler (k draws per doc, RNG-free,
+    * engine-reproducible), and a draw is VALID only when it lands on a
+    * different doc whose image is perceptually different (aHash
+    * differs) — the true-negative guard that keeps near-duplicate
+    * images from becoming "negatives" and poisoning the contrastive
+    * loss. The first valid draw per anchor wins (min-of-struct on the
+    * draw index). Decode is partition-local; the ring lookup is the
+    * as-of merge; hash joins carry 16-hex strings, never payloads.
+    */
+  def pairBuilder(s: SparkSession, dir: String, k: Int = 2,
+      shardBits: Int = 4): DataFrame = {
+    import s.implicits._
+    val hashes = assets(s, dir)
+      .mapPartitions(_.map { a =>
+        val first = splitFrames(a.doc_id, a.payload).head
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(first))
+        require(img != null, s"doc ${a.doc_id}: frame 0 decode failed")
+        val (hi, lo) = aHash(img)
+        (a.doc_id, f"$hi%08x$lo%08x")
+      })
+      .toDF("doc_id", "ahash")
+    val draws = graft.operators.HashRing.successors(
+      hashes.select(col("doc_id").as("nd")), k, shardBits)
+    draws
+      .join(hashes.select(col("doc_id").as("u"),
+        col("ahash").as("anchor_hash")), "u")
+      .join(hashes.select(col("doc_id").as("v"),
+        col("ahash").as("neg_hash")), "v")
+      .filter(col("v") =!= col("u") &&
+        col("neg_hash") =!= col("anchor_hash"))
+      .groupBy(col("u"))
+      .agg(min(struct(col("i"), col("v"), col("neg_hash"))).as("c"),
+        min(col("anchor_hash")).as("anchor_hash"))
+      .select(col("u").as("doc_id"), col("anchor_hash"),
+        col("c.v").as("neg_doc"), col("c.neg_hash").as("neg_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct aHash classes of the corpus: (hi, lo, hex, member count).
     * The class table is the near-dup working set — at 100 TB the corpus
     * collapses to |distinct hashes| rows before any pairing happens.

@@ -137,6 +137,31 @@ class Round9cSpec extends SparkSpecBase {
       s"got $out — thresholds must apply per group against that group's n")
   }
 
+  // ---- contrastive pair builder ----
+
+  test("pair builder: negatives are perceptually distinct; anchors decode true") {
+    import spark.implicits._
+    val pairs = operators.Multimodal.pairBuilder(spark, sfDir).cache()
+    val n = pairs.count()
+    val docs = Tables.t(spark, sfDir, "documents").count()
+    assert(n > 0 && n <= docs, "at most one pair per anchor")
+    assert(pairs.filter($"doc_id" === $"neg_doc").isEmpty)
+    assert(pairs.filter($"anchor_hash" === $"neg_hash").isEmpty,
+      "the true-negative guard must hold in the output")
+    // the anchor hash must be the SAME 64-bit aHash the dedup operator
+    // computes from decoded pixels
+    val dedupKeepers = operators.Multimodal.ahashDedup(spark, sfDir)
+      .select($"ahash").distinct()
+    assert(pairs.select($"anchor_hash".as("ahash")).distinct()
+      .exceptAll(dedupKeepers).isEmpty,
+      "anchor hashes must come from the decoded-pixel hash space")
+    // deterministic across invocations
+    val again = operators.Multimodal.pairBuilder(spark, sfDir)
+      .collect().toSeq.toString
+    assert(again == pairs.orderBy($"doc_id").collect().toSeq.toString)
+    pairs.unpersist()
+  }
+
   // ---- join cardinality ----
 
   test("join cardinality: equals the real join size; golden with dup keys") {
