@@ -96,6 +96,9 @@ object SparkEntry {
     "q26_ann_ivfpq" -> Similarity.annIvfPqChecked _,
     "q27_top_tokens" -> TextAnalysis.q27TopTokens _,
     "q30_tumble" -> Windows.q30Tumble _,
+    // Flink Window Deduplication TVF parity: first row per key per
+    // window via one min-of-struct aggregate
+    "q30e_window_dedup" -> Windows.q30eWindowDedup _,
     "q31_slide" -> Windows.q31Slide _,
     "q31_session" -> Windows.q31Session _,
     "q31c_dynamic_session" -> Windows.q31cDynamicSession _,
@@ -1050,6 +1053,16 @@ object SparkEntry {
         "event_type, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type"),
+    "q30e_window_dedup" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), " +
+        "g AS (SELECT (ts_us // 600000000) * 600000000 AS w_start, user_id, " +
+        "min(struct_pack(ts_us := ts_us, event_id := event_id, " +
+        "event_type := event_type)) AS f, COUNT(*) AS n_in_window " +
+        "FROM e GROUP BY 1, 2) " +
+        "SELECT w_start, user_id, f.event_id AS first_event_id, " +
+        "f.event_type AS first_event_type, f.ts_us AS first_ts_us, " +
+        "n_in_window FROM g ORDER BY w_start, user_id"),
     "q31_slide" ->
       ("SELECT w_start, COUNT(*) AS cnt FROM " +
         "(SELECT epoch_us(time_bucket(INTERVAL 30 seconds, CAST(ts AS TIMESTAMP))) - u.o AS w_start " +

@@ -26,6 +26,26 @@ object Windows {
         col("cnt"), col("sum_value"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Q30e (batch) — Flink's Window Deduplication TVF (keep the FIRST
+    * row per key per window): one min-of-struct aggregate per
+    * (10-minute window, user) carries a single candidate per group per
+    * partition map-side — never a window-function sort; ties at the
+    * same timestamp break on event_id. The streaming form is
+    * `dropDuplicatesWithinWatermark` on (user, window) — the
+    * already-proven Q32 machinery with a window key.
+    */
+  def q30eWindowDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(min(struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"))).as("f"),
+        count(lit(1)).as("n_in_window"))
+      .select(unix_micros(col("w.start")).as("w_start"), col("user_id"),
+        col("f.event_id").as("first_event_id"),
+        col("f.event_type").as("first_event_type"),
+        col("f.ts_us").as("first_ts_us"), col("n_in_window"))
+      .orderBy(col("w_start"), col("user_id"))
+
   /** Q31a (batch) — 1-minute windows sliding every 30 s (each event lands
     * in exactly 2 windows).
     */

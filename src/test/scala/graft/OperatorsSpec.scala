@@ -18,6 +18,11 @@ class OperatorsSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
     val dangling = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(dangling.isEmpty, s"oracle SQL without a query: $dangling")
+    // and the other direction: every declared query must carry its
+    // oracle — an unoracled key silently downgrades to a rows-only
+    // check at the driver (the "dark query" class of round-8 bugs)
+    val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unoracled.isEmpty, s"query without an oracle: $unoracled")
   }
 
   test("Q12: approx_count_distinct within 5% of exact") {
