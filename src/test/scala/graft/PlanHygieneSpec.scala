@@ -47,6 +47,42 @@ class PlanHygieneSpec extends SparkSpecBase {
     "ts_embargo_split",    // 1-row bounds + 1-row boundary scalar
     "ts_watermark_report") // 1-row arrival bounds + 1-row totals
 
+  /** Queries whose optimized plan carries an UNPARTITIONED window — the
+    * single-task scale killer — where every instance is a reviewed
+    * PARAMETER-SIZED input: a ≤ nShards prefix-sum offset table, a
+    * domain-bounded histogram, a grain/cell table, or a pre-aggregated
+    * group table. A data-sized global window added anywhere else fails
+    * the test below.
+    */
+  private val allowedGlobalWindow: Set[String] = Set(
+    "dq_skew_report",        // count-histogram cum (≤ √n rows) + shard offsets
+    "layout_range_partition", // ≤ nShards shard-offset table
+    "mix_pps_sample",        // ≤ nShards shard-offset table
+    "mix_temperature",       // |sources|-row target table share
+    "pipe_train_shards",     // ≤ nShards shard-offset table
+    "q14c_ratio_to_report",  // pre-aggregated |groups|-row table
+    "text_vocab_coverage",   // count-histogram cums + shard offsets
+    "ts_concurrency",        // ≤ nShards shard-offset table
+    "ts_embargo_split",      // shard offsets feeding the boundary scalar
+    "ts_watermark_report")   // shard carry + ≤121-row lateness histogram
+
+  test("no query plans a data-sized global window outside the reviewed allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val global = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) Some(name) else None
+    }.toSet
+    val fresh = offenders -- allowedGlobalWindow
+    assert(fresh.isEmpty,
+      s"NEW unpartitioned-window plans (audit + allowlist or fix): $fresh")
+    val stale = allowedGlobalWindow -- offenders
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning global windows (prune): $stale")
+  }
+
   test("no query plans a nested loop outside the reviewed allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
