@@ -181,6 +181,29 @@ object StreamingOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Flink WINDOW JOIN parity: both streams bucket into the same
+    * tumbling window and join on (window, key) — unlike the interval
+    * join's per-event ±delta band, two events match iff they fall in
+    * the SAME fixed window, even 1 µs apart across a boundary misses
+    * (that boundary semantics is the point of the operator; it is what
+    * makes window joins state-bounded by windows, not event spans).
+    * State: one window per side per key retained until both watermarks
+    * pass the window end — the equi-join on the window struct lets the
+    * engine evict whole windows.
+    */
+  def windowJoin(clicks: DataFrame, purchases: DataFrame,
+      windowLen: String = "1 minute"): DataFrame = {
+    val l = clicks.withWatermark("ts", "5 seconds")
+      .select(col("event_id").as("click_id"), col("user_id").as("l_user"),
+        window(col("ts"), windowLen).as("w"))
+    val r = purchases.withWatermark("ts", "5 seconds")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+        window(col("ts"), windowLen).as("w"))
+    l.join(r, col("l_user") === col("r_user") && l("w") === r("w"))
+      .select(l("w.start").as("w_start"), col("l_user").as("user_id"),
+        col("click_id"), col("purchase_id"))
+  }
+
   /** Left-outer stream-stream interval join: clicks that never see a
     * purchase within the window emit a null-padded row once BOTH
     * watermarks pass the interval end (the engine can only then prove no

@@ -108,6 +108,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(out == Set((1L, 10L)))
   }
 
+  test("window join matches same-window pairs and misses across the boundary") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.windowJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("wjoin")
+      .outputMode("append").start()
+    clicks.addData(
+      ev(1, "2024-03-01 00:00:10", user = 1),
+      ev(2, "2024-03-01 00:00:59", user = 2))
+    purchases.addData(
+      ev(10, "2024-03-01 00:00:50", user = 1), // same minute window → match
+      // 2s after click 2 but the NEXT window — the boundary semantics
+      // that distinguish window joins from interval joins
+      ev(11, "2024-03-01 00:01:01", user = 2),
+      ev(12, "2024-03-01 00:00:30", user = 3)) // no click → no match
+    q.processAllAvailable()
+    clicks.addData(ev(99, "2024-03-01 01:00:00", user = 90))
+    purchases.addData(ev(98, "2024-03-01 01:00:00", user = 91))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wjoin").select($"click_id", $"purchase_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)),
+      "only the same-window pair may join; the cross-boundary 2s pair must miss")
+  }
+
   test("left-outer interval join emits null-padded rows at watermark expiry") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
