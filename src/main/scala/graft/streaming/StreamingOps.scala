@@ -204,6 +204,31 @@ object StreamingOps {
         col("click_id"), col("purchase_id"))
   }
 
+  /** Flink Window Deduplication TVF, streaming form: first arriving row
+    * per (key, tumbling window) via `dropDuplicates` with the
+    * EVENT-TIME window struct among the dedup keys — state is one
+    * marker per (key, window), evicted when the watermark passes the
+    * window end (the event-time-key form of streaming dedup;
+    * `dropDuplicatesWithinWatermark` is the WRONG tool here — it
+    * expires markers a mere watermark-delay after the first event, so a
+    * same-window row later than the delay would re-emit, which the spec
+    * would catch). On in-order input this equals the batch
+    * `Windows.q30eWindowDedup` winner (min event time); under disorder
+    * it keeps the first ARRIVAL — the TVF's processing-order semantics,
+    * spec-pinned rather than hidden.
+    */
+  def windowDedupStream(events: DataFrame,
+      windowLen: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", "5 seconds")
+      // the window struct REPLACES ts in the projection — carrying both
+      // leaves two event-time columns, which streaming dedup rejects
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        window(col("ts"), windowLen).as("w"))
+      .dropDuplicates("user_id", "w")
+      .select(unix_micros(col("w.start")).as("w_start"), col("user_id"),
+        col("event_id").as("first_event_id"),
+        col("event_type").as("first_event_type"))
+
   /** Left-outer stream-stream interval join: clicks that never see a
     * purchase within the window emit a null-padded row once BOTH
     * watermarks pass the interval end (the engine can only then prove no

@@ -136,6 +136,46 @@ class StreamingSpec extends SparkSpecBase {
       "only the same-window pair may join; the cross-boundary 2s pair must miss")
   }
 
+  test("window dedup stream: in-order replay equals the batch window winner") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.windowDedupStream(src.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("wdedup")
+      .outputMode("append").start()
+    src.addData(
+      ev(1, "2024-03-01 00:00:10", user = 1),  // first in (u1, w0) → kept
+      ev(2, "2024-03-01 00:00:40", user = 1))  // same window → dropped
+    q.processAllAvailable()
+    src.addData(
+      ev(3, "2024-03-01 00:00:50", user = 1),  // (u1, w0) marker held across seam
+      ev(4, "2024-03-01 00:01:10", user = 1),  // next window → kept
+      ev(5, "2024-03-01 00:00:30", user = 2))  // other key, w0 → kept
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wdedup")
+      .select($"user_id", $"first_event_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (1L, 4L), (2L, 5L)),
+      s"got $got — one winner per (key, window), marker survives the seam")
+    // batch twin on the same (in-order) input picks identical winners
+    val batch = Seq(
+      (1L, "2024-03-01 00:00:10"), (1L, "2024-03-01 00:00:40"),
+      (1L, "2024-03-01 00:00:50"), (1L, "2024-03-01 00:01:10"),
+      (2L, "2024-03-01 00:00:30"))
+      .zipWithIndex.map { case ((u, t), i) =>
+        ((i + 1).toLong, java.sql.Timestamp.valueOf(t), u, "click", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    batch.createOrReplaceTempView("wd_batch_in")
+    import org.apache.spark.sql.functions.{min, struct, unix_micros, window => fwindow}
+    val batchWinners = batch
+      .groupBy(fwindow($"ts", "1 minute"), $"user_id")
+      .agg(min(struct(unix_micros($"ts"), $"event_id")).as("f"))
+      .select($"user_id", $"f.event_id".as("first_event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == batchWinners,
+      "in-order streaming winners must equal the batch min-struct winners")
+  }
+
   test("left-outer interval join emits null-padded rows at watermark expiry") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
