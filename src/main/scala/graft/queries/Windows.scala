@@ -31,8 +31,10 @@ object Windows {
     * (10-minute window, user) carries a single candidate per group per
     * partition map-side — never a window-function sort; ties at the
     * same timestamp break on event_id. The streaming form is
-    * `dropDuplicatesWithinWatermark` on (user, window) — the
-    * already-proven Q32 machinery with a window key.
+    * `StreamingOps.windowDedupStream` — `dropDuplicates` with the
+    * EVENT-TIME window struct among the keys (NOT
+    * dropDuplicatesWithinWatermark, whose delay-based expiry re-emits
+    * late same-window rows — spec-caught; see the streaming scaladoc).
     */
   def q30eWindowDedup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
