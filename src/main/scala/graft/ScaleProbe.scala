@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * so cardinalities scale too) and time the heavy operators at 1× vs k×.
   * Near-linear ratios are the evidence behind PLANS.md's scale-up claims.
   *
-  * Usage: runMain graft.ScaleProbe [k]
+  * Usage: runMain graft.ScaleProbe [k] [probe1,probe2,…]
+  * The optional second arg restricts the run to the named probes (the
+  * 32×-tier re-checks don't need the whole book); replica tables are
+  * materialized lazily so a filtered run only builds what it times.
   */
 object ScaleProbe {
   def replicate(df: DataFrame, k: Int, idCols: Seq[String], n: Long): DataFrame =
@@ -17,6 +20,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8
+    val sel: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val dir = "/root/testdata/sf0.1"
     val spark = GraftSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
@@ -32,29 +37,29 @@ object ScaleProbe {
     // documents scaled with perturbed text (append a replica marker token
     // so replicas aren't exact dups of each other but keep shingle mass)
     val docs1 = Tables.t(spark, dir, "documents")
-    val docsK = (0 until k).map { r =>
+    lazy val docsK = (0 until k).map { r =>
       docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000L))
         .withColumn("text", concat(col("text"), lit(s" replica marker r$r")))
     }.reduce(_ unionByName _).localCheckpoint(true)
-    val docs1c = docs1.localCheckpoint(true)
+    lazy val docs1c = docs1.localCheckpoint(true)
 
-    val li1 = Tables.t(spark, dir, "lineitem").localCheckpoint(true)
-    val liK = replicate(Tables.t(spark, dir, "lineitem"), k,
+    lazy val li1 = Tables.t(spark, dir, "lineitem").localCheckpoint(true)
+    lazy val liK = replicate(Tables.t(spark, dir, "lineitem"), k,
       Seq("l_orderkey"), 10000000L).localCheckpoint(true)
-    val o1 = Tables.t(spark, dir, "orders").localCheckpoint(true)
-    val oK = replicate(Tables.t(spark, dir, "orders"), k,
+    lazy val o1 = Tables.t(spark, dir, "orders").localCheckpoint(true)
+    lazy val oK = replicate(Tables.t(spark, dir, "orders"), k,
       Seq("o_orderkey", "o_custkey"), 10000000L).localCheckpoint(true)
-    val c1 = Tables.t(spark, dir, "customer").localCheckpoint(true)
-    val cK = replicate(Tables.t(spark, dir, "customer"), k,
+    lazy val c1 = Tables.t(spark, dir, "customer").localCheckpoint(true)
+    lazy val cK = replicate(Tables.t(spark, dir, "customer"), k,
       Seq("c_custkey"), 10000000L).localCheckpoint(true)
 
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val e1 = Tables.t(spark, dir, "events")
+    lazy val e1 = Tables.t(spark, dir, "events")
       .filter(col("user_id") % 10000000L < 200).localCheckpoint(true)
-    val eK = replicate(Tables.t(spark, dir, "events"), k,
+    lazy val eK = replicate(Tables.t(spark, dir, "events"), k,
       Seq("event_id", "user_id"), 10000000L)
       .filter(col("user_id") % 10000000L < 200).localCheckpoint(true)
-    val pt = Tables.t(spark, dir, "part").filter(col("p_size") <= 10)
+    lazy val pt = Tables.t(spark, dir, "part").filter(col("p_size") <= 10)
       .select(col("p_partkey"),
         (col("p_size") - 2).cast(DoubleType).as("lo"),
         (col("p_size") + 2).cast(DoubleType).as("hi"))
@@ -120,7 +125,7 @@ object ScaleProbe {
     // edit-distance dedup: replicas padded to length gaps > maxDist so
     // the length-band blocking keeps replicas apart (linear candidates);
     // same-length replicas would BE near-dups (quadratic by construction)
-    val docsLevK = (0 until k).map { r =>
+    lazy val docsLevK = (0 until k).map { r =>
       docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000L))
         .withColumn("text", concat(col("text"), lit("x" * (6 * r))))
     }.reduce(_ unionByName _).localCheckpoint(true)
@@ -140,10 +145,10 @@ object ScaleProbe {
 
     // triangles: disjoint replica graphs (both keys offset) — expect
     // near-linear; the orientation bound keeps wedge volume O(m^1.5)
-    val liG1 = Tables.t(spark, dir, "lineitem")
+    lazy val liG1 = Tables.t(spark, dir, "lineitem")
       .filter(col("l_partkey") % 4 === 0)
       .select(col("l_orderkey"), col("l_partkey")).localCheckpoint(true)
-    val liGK = replicate(Tables.t(spark, dir, "lineitem")
+    lazy val liGK = replicate(Tables.t(spark, dir, "lineitem")
         .filter(col("l_partkey") % 4 === 0)
         .select(col("l_orderkey"), col("l_partkey")), k,
       Seq("l_orderkey", "l_partkey"), 10000000L).localCheckpoint(true)
@@ -158,15 +163,15 @@ object ScaleProbe {
 
     // kmeans: vector count scales k×, parameter table (4×64 centroids)
     // fixed — per-pass cost O(n·d·k) should track n linearly
-    val emb1 = Tables.t(spark, dir, "embeddings").localCheckpoint(true)
-    val embK = replicate(Tables.t(spark, dir, "embeddings"), k,
+    lazy val emb1 = Tables.t(spark, dir, "embeddings").localCheckpoint(true)
+    lazy val embK = replicate(Tables.t(spark, dir, "embeddings"), k,
       Seq("vec_id"), 10000000L).localCheckpoint(true)
     def km(e: DataFrame) = operators.KMeans.kmeansOf(e, 4, 2)
 
     // as-of head-to-head: the custom exec (2 exchanges + merge) vs the
     // union-carry-forward composition (union + window + filter)
-    val eA1 = Tables.t(spark, dir, "events").localCheckpoint(true)
-    val eAK = replicate(Tables.t(spark, dir, "events"), k,
+    lazy val eA1 = Tables.t(spark, dir, "events").localCheckpoint(true)
+    lazy val eAK = replicate(Tables.t(spark, dir, "events"), k,
       Seq("event_id", "user_id"), 10000000L).localCheckpoint(true)
     def asofParts(e: DataFrame) = {
       val clicks = e.filter(col("event_type") === "click")
@@ -238,6 +243,12 @@ object ScaleProbe {
     graft.functions.VectorFunctions.register(spark)
     def sem(e: DataFrame, clusters: Int) =
       operators.Similarity.semDedupOf(e, clusters, 2, 0.4)
+    // the guardrail under the ANTI-pattern (fixed k, growing corpus):
+    // cells grow k× and the uncapped kernel k²× — with the occupancy cap
+    // the per-cell pair work is constant by construction, so the probe
+    // must come back ≤ linear (the assignment pass is the linear part)
+    def semCap(e: DataFrame, clusters: Int, cap: Int) =
+      operators.Similarity.semDedupOf(e, clusters, 2, 0.4, Some(cap))
 
     // entity resolution: replicas get disjoint balance ranges (offset
     // far beyond the acctbal domain), modeling MORE entities at the same
@@ -246,8 +257,8 @@ object ScaleProbe {
     // SAME bands would grow it k²× — that is the pathological
     // self-similar-registry case, mitigated by finer blocking keys, not
     // a plan property.
-    val cEr1 = c1
-    val cErK = (0 until k).map { r =>
+    lazy val cEr1 = c1
+    lazy val cErK = (0 until k).map { r =>
       Tables.t(spark, dir, "customer")
         .withColumn("c_custkey", col("c_custkey") + lit(r * 10000000L))
         .withColumn("c_acctbal", col("c_acctbal") + lit(r * 1000000.0))
@@ -317,49 +328,54 @@ object ScaleProbe {
     def jcard(o: DataFrame, li: DataFrame) = operators.Quality
       .joinCardinality(o, col("o_orderkey"), li, col("l_orderkey"))
 
+    def probe(name: String)(f: => (Double, Double)): Option[(String, Double, Double)] =
+      if (sel.forall(_.contains(name))) { val (a, b) = f; Some((name, a, b)) }
+      else None
     val results = Seq(
-      ("embargo_split", time(noop(embargo(eA1))), time(noop(embargo(eAK)))),
-      ("join_card", time(noop(jcard(o1, li1))), time(noop(jcard(oK, liK)))),
-      ("skew_report", time(noop(skew(o1))), time(noop(skew(oK)))),
-      ("watermark_rep", time(noop(wmark(eA1))), time(noop(wmark(eAK)))),
-      ("path_trigrams", time(noop(paths(eA1))), time(noop(paths(eAK)))),
-      ("vocab_coverage", time(noop(vocab(docs1c))), time(noop(vocab(docsK)))),
-      ("attribution", time(noop(attr(eA1))), time(noop(attr(eAK)))),
-      ("neg_sampling", time(noop(negs(liG1, 4))), time(noop(negs(liGK, 7)))),
-      ("cusum_scan", time(noop(cusum(eA1))), time(noop(cusum(eAK)))),
-      ("tfidf_simpairs", time(noop(simPairs(docs1c))), time(noop(simPairs(docsK)))),
-      ("hh_grouped", time(noop(hhg(eA1))), time(noop(hhg(eAK)))),
-      ("calibration", time(noop(calib(docs1c))), time(noop(calib(docsK)))),
-      ("agg_q10", time(noop(agg(li1))), time(noop(agg(liK)))),
-      ("er_pairs", time(noop(er(cEr1))), time(noop(er(cErK)))),
-      ("range_partition", time(noop(rp(o1))), time(noop(rp(oK)))),
-      ("kll_cube", time(noop(qcube(eA1))), time(noop(qcube(eAK)))),
-      ("theta_sets", time(noop(theta(eA1))), time(noop(theta(eAK)))),
-      ("overlap_matrix", time(noop(omatrix(eA1))), time(noop(omatrix(eAK)))),
-      ("topk_window", time(noop(topkWin(o1))), time(noop(topkWin(oK)))),
-      ("topk_heapagg", time(noop(topkAgg(o1))), time(noop(topkAgg(oK)))),
-      ("skyline", time(noop(sky(li1))), time(noop(sky(liK)))),
-      ("join_q04", time(noop(join(o1, c1))), time(noop(join(oK, cK)))),
-      ("range_join", time(noop(rangeJoin(li1))), time(noop(rangeJoin(liK)))),
-      ("ts_gapfill", time(noop(gapfill(e1))), time(noop(gapfill(eK)))),
-      ("percentile", time(noop(pctl(li1))), time(noop(pctl(liK)))),
-      ("temp_mix", time(noop(mix(docs1c))), time(noop(mix(docsK)))),
-      ("spearman", time(noop(spear(li1))), time(noop(spear(liK)))),
-      ("edit_distance", time(noop(lev(docs1c))), time(noop(lev(docsLevK)))),
-      ("interval_ovlp", time(noop(overlap(e1))), time(noop(overlap(eK)))),
-      ("triangles", time(noop(tri(liG1))), time(noop(tri(liGK)))),
-      ("pagerank", time(noop(pr(liG1))), time(noop(pr(liGK)))),
-      ("kmeans", time(noop(km(emb1))), time(noop(km(embK)))),
-      ("asof_native", time(noop(asofNative(eA1))), time(noop(asofNative(eAK)))),
-      ("asof_composed", time(noop(asofComposed(eA1))), time(noop(asofComposed(eAK)))),
-      ("dedup_minhash", time(noop(dedup(docs1c))), time(noop(dedup(docsK)))),
-      ("audio_windows", time(noop(audioW(docs1c))), time(noop(audioW(docsK)))),
-      ("ahash_near_dup", time(noop(ahashNd(docs1c))), time(noop(ahashNd(docsK)))),
-      ("train_shards", time(noop(shards(docs1c))), time(noop(shards(docsK)))),
-      ("decontam_bloom", time(noop(decb(docs1c))), time(noop(decb(docsK)))),
-      ("cdc_chunks", time(noop(cdc(docs1c))), time(noop(cdc(docsK)))),
-      ("snapshot_dedup", time(noop(snap(docs1c))), time(noop(snap(docsK)))),
-      ("semdedup", time(noop(sem(emb1, 4))), time(noop(sem(embK, 4 * k)))))
+      probe("embargo_split")((time(noop(embargo(eA1))), time(noop(embargo(eAK))))),
+      probe("join_card")((time(noop(jcard(o1, li1))), time(noop(jcard(oK, liK))))),
+      probe("skew_report")((time(noop(skew(o1))), time(noop(skew(oK))))),
+      probe("watermark_rep")((time(noop(wmark(eA1))), time(noop(wmark(eAK))))),
+      probe("path_trigrams")((time(noop(paths(eA1))), time(noop(paths(eAK))))),
+      probe("vocab_coverage")((time(noop(vocab(docs1c))), time(noop(vocab(docsK))))),
+      probe("attribution")((time(noop(attr(eA1))), time(noop(attr(eAK))))),
+      probe("neg_sampling")((time(noop(negs(liG1, 4))), time(noop(negs(liGK, 7))))),
+      probe("cusum_scan")((time(noop(cusum(eA1))), time(noop(cusum(eAK))))),
+      probe("tfidf_simpairs")((time(noop(simPairs(docs1c))), time(noop(simPairs(docsK))))),
+      probe("hh_grouped")((time(noop(hhg(eA1))), time(noop(hhg(eAK))))),
+      probe("calibration")((time(noop(calib(docs1c))), time(noop(calib(docsK))))),
+      probe("agg_q10")((time(noop(agg(li1))), time(noop(agg(liK))))),
+      probe("er_pairs")((time(noop(er(cEr1))), time(noop(er(cErK))))),
+      probe("range_partition")((time(noop(rp(o1))), time(noop(rp(oK))))),
+      probe("kll_cube")((time(noop(qcube(eA1))), time(noop(qcube(eAK))))),
+      probe("theta_sets")((time(noop(theta(eA1))), time(noop(theta(eAK))))),
+      probe("overlap_matrix")((time(noop(omatrix(eA1))), time(noop(omatrix(eAK))))),
+      probe("topk_window")((time(noop(topkWin(o1))), time(noop(topkWin(oK))))),
+      probe("topk_heapagg")((time(noop(topkAgg(o1))), time(noop(topkAgg(oK))))),
+      probe("skyline")((time(noop(sky(li1))), time(noop(sky(liK))))),
+      probe("join_q04")((time(noop(join(o1, c1))), time(noop(join(oK, cK))))),
+      probe("range_join")((time(noop(rangeJoin(li1))), time(noop(rangeJoin(liK))))),
+      probe("ts_gapfill")((time(noop(gapfill(e1))), time(noop(gapfill(eK))))),
+      probe("percentile")((time(noop(pctl(li1))), time(noop(pctl(liK))))),
+      probe("temp_mix")((time(noop(mix(docs1c))), time(noop(mix(docsK))))),
+      probe("spearman")((time(noop(spear(li1))), time(noop(spear(liK))))),
+      probe("edit_distance")((time(noop(lev(docs1c))), time(noop(lev(docsLevK))))),
+      probe("interval_ovlp")((time(noop(overlap(e1))), time(noop(overlap(eK))))),
+      probe("triangles")((time(noop(tri(liG1))), time(noop(tri(liGK))))),
+      probe("pagerank")((time(noop(pr(liG1))), time(noop(pr(liGK))))),
+      probe("kmeans")((time(noop(km(emb1))), time(noop(km(embK))))),
+      probe("asof_native")((time(noop(asofNative(eA1))), time(noop(asofNative(eAK))))),
+      probe("asof_composed")((time(noop(asofComposed(eA1))), time(noop(asofComposed(eAK))))),
+      probe("dedup_minhash")((time(noop(dedup(docs1c))), time(noop(dedup(docsK))))),
+      probe("audio_windows")((time(noop(audioW(docs1c))), time(noop(audioW(docsK))))),
+      probe("ahash_near_dup")((time(noop(ahashNd(docs1c))), time(noop(ahashNd(docsK))))),
+      probe("train_shards")((time(noop(shards(docs1c))), time(noop(shards(docsK))))),
+      probe("decontam_bloom")((time(noop(decb(docs1c))), time(noop(decb(docsK))))),
+      probe("cdc_chunks")((time(noop(cdc(docs1c))), time(noop(cdc(docsK))))),
+      probe("snapshot_dedup")((time(noop(snap(docs1c))), time(noop(snap(docsK))))),
+      probe("semdedup")((time(noop(sem(emb1, 4))), time(noop(sem(embK, 4 * k))))),
+      probe("semdedup_cap")((time(noop(semCap(emb1, 4, 160))),
+        time(noop(semCap(embK, 4, 160)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

@@ -248,6 +248,8 @@ object SparkEntry {
     // SemDeDup: cluster-partitioned semantic near-dup pruning — pairwise
     // kernel confined within k-means cells, lowest id per group survives
     "emb_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    "emb_semdedup_bounded" ->
+      ((s, dir) => Similarity.semDedupBoundedChecked(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
     "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
     "q10p_percentile_disc" ->
@@ -1345,16 +1347,20 @@ object SparkEntry {
         "FROM b GROUP BY bin) " +
         "SELECT CAST(bin AS BIGINT) AS bin, n_docs, avg_conf, frac_true, " +
         "round(abs(frac_true - avg_conf), 6) AS abs_gap FROM a ORDER BY bin"),
-    // join cardinality: the definition replayed over count tables
+    // join cardinality: the definition replayed over count tables; the
+    // oracle's full rank over p is the key-universe sort the Spark
+    // bounded-heap plan replaces
     "dq_join_cardinality" ->
       ("WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1), " +
         "cb AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1), " +
         "p AS (SELECT ca.k, ca * cb AS rows_out FROM ca JOIN cb USING (k)), " +
         "tot AS (SELECT CAST(sum(rows_out) AS BIGINT) AS join_rows, " +
         "COUNT(*) AS matched_keys FROM p), " +
-        "top AS (SELECT k AS top_key, rows_out AS top_rows FROM p " +
-        "ORDER BY rows_out DESC, k LIMIT 1) " +
-        "SELECT join_rows, matched_keys, top_key, top_rows FROM tot, top"),
+        "top AS (SELECT CAST(row_number() OVER (ORDER BY rows_out DESC, k) AS BIGINT) " +
+        "AS rank, k AS top_key, rows_out AS top_rows FROM p " +
+        "ORDER BY rows_out DESC, k LIMIT 3) " +
+        "SELECT rank, top_key, top_rows, join_rows, matched_keys " +
+        "FROM top, tot ORDER BY rank"),
     // skew report: definitional count-distribution stats; the oracle's
     // global window is the thing the Spark plan replaces
     "dq_skew_report" ->
@@ -1994,30 +2000,33 @@ object SparkEntry {
         "SELECT n_events, n_late, " +
         "round(CAST(n_late AS DOUBLE) / n_events, 6) AS share_late, " +
         "p50_late_s, p95_late_s, p99_late_s, max_late_s FROM tot, p"),
-    // attribution: same two ignore-nulls frames; all last-touch (resp.
-    // first-touch) columns read null-together conditional fields, so
-    // every engine credits the same touch row
+    // attribution: the rows frame reads ignore-nulls conditional fields
+    // (deterministic — its ORDER BY carries the event_id tie-break); the
+    // RANGE frame orders on ts_us alone, so the first touch is a
+    // MIN-OF-STRUCT (lexicographic: ts, then id) — deterministic under
+    // shared timestamps in both engines, matching the Spark plan
     "feat_attribution" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us " +
         "FROM events), " +
         "t AS (SELECT *, " +
         "CASE WHEN event_type IN ('click','view') THEN ts_us END AS t_ts, " +
         "CASE WHEN event_type IN ('click','view') THEN event_id END AS t_id, " +
-        "CASE WHEN event_type IN ('click','view') THEN event_type END AS t_type " +
-        "FROM e), " +
+        "CASE WHEN event_type IN ('click','view') THEN event_type END AS t_type, " +
+        "CASE WHEN event_type IN ('click','view') THEN " +
+        "struct_pack(ts_us := ts_us, event_id := event_id, event_type := event_type) " +
+        "END AS t_struct FROM e), " +
         "w AS (SELECT user_id, event_id, event_type, ts_us, " +
         "last_value(t_ts IGNORE NULLS) OVER lw AS lt_ts, " +
         "last_value(t_id IGNORE NULLS) OVER lw AS lt_id, " +
         "last_value(t_type IGNORE NULLS) OVER lw AS lt_type, " +
-        "first_value(t_id IGNORE NULLS) OVER fw AS ft_id, " +
-        "first_value(t_type IGNORE NULLS) OVER fw AS ft_type " +
+        "min(t_struct) OVER fw AS ft " +
         "FROM t WINDOW " +
         "lw AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
         "fw AS (PARTITION BY user_id ORDER BY ts_us " +
         "RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)) " +
         "SELECT user_id, event_id AS purchase_id, ts_us AS purchase_ts_us, " +
-        "ft_id AS first_touch_id, ft_type AS first_touch_type, " +
+        "ft.event_id AS first_touch_id, ft.event_type AS first_touch_type, " +
         "lt_id AS last_touch_id, lt_type AS last_touch_type, " +
         "ts_us - lt_ts AS last_touch_latency_us " +
         "FROM w WHERE event_type = 'purchase' ORDER BY user_id, purchase_id"),
@@ -2147,6 +2156,40 @@ object SparkEntry {
         "SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster, " +
         "(du.vec_id IS NULL) AS kept " +
         "FROM a3 LEFT JOIN dups du ON du.vec_id = a3.vec_id ORDER BY a3.vec_id"
+    },
+    // same Lloyd's + within-cluster pair replay, collapsed to the
+    // definitional drop count; the cap verdicts are Spark-side
+    // set-algebra contracts (loose cap admits everything / tight cap
+    // only removes drops) the hash gate forces to hold
+    "emb_semdedup_bounded" -> {
+      def d(i: Int, cPrev: String) =
+        s"d$i AS (SELECT v.vec_id, c.cid, " +
+          "SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(22,12))) AS d2 " +
+          s"FROM v JOIN $cPrev c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), "
+      def a(i: Int) =
+        s"a$i AS (SELECT vec_id, cid, d2 FROM d$i " +
+          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1), "
+      def c(i: Int) =
+        s"c$i AS (SELECT a.cid, v.dim, " +
+          "round(CAST(SUM(CAST(v.x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
+          s"FROM v JOIN a$i a ON v.vec_id = a.vec_id GROUP BY a.cid, v.dim), "
+      "WITH idx AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)), " +
+        "v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x " +
+        "FROM embeddings, idx), " +
+        "c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < 4), " +
+        d(1, "c0") + a(1) + c(1) + d(2, "c1") + a(2) + c(2) + d(3, "c2") + a(3) +
+        "pp AS (SELECT x.vec_id AS i, y.vec_id AS j FROM a3 x " +
+        "JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id), " +
+        "s AS (SELECT pp.i, pp.j, SUM(va.x * vb.x) AS dot, " +
+        "SUM(va.x * va.x) AS na, SUM(vb.x * vb.x) AS nb " +
+        "FROM pp JOIN v va ON va.vec_id = pp.i " +
+        "JOIN v vb ON vb.vec_id = pp.j AND vb.dim = va.dim GROUP BY pp.i, pp.j), " +
+        "dups AS (SELECT DISTINCT j AS vec_id FROM s " +
+        "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4) " +
+        "SELECT (SELECT COUNT(*) FROM a3) AS n_vecs, " +
+        "(SELECT COUNT(*) FROM dups) AS n_dropped, " +
+        "CAST(1 AS BIGINT) AS loose_cap_eq, " +
+        "CAST(1 AS BIGINT) AS tight_cap_subset"
     },
     "q13e_cube" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +

@@ -78,9 +78,26 @@ object KMeans {
     * iterations — the consumable form operators that PARTITION by cluster
     * (SemDeDup-style semantic dedup) build on, with the same quantized
     * arithmetic the emb_kmeans gate pins bit-exactly.
+    *
+    * Lineage truncation: every Lloyd's pass re-reads the long-format
+    * vector table, so it must be materialized, not recomputed. With
+    * `checkpointDir` unset this uses `localCheckpoint` — blocks live on
+    * executors, which is the fast choice on a single JVM but means an
+    * executor loss mid-iteration kills the job on a real cluster. For
+    * the 100 TB run, pass a reliable (HDFS/S3) `checkpointDir` and the
+    * table checkpoints through the fault-tolerant store instead — the
+    * standard recompute-vs-durability trade, surfaced rather than baked
+    * in. Either mode yields bit-identical assignments (the spec runs
+    * both).
     */
-  def assignmentsOf(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val vecs = longVecs(emb).localCheckpoint(true)
+  def assignmentsOf(emb: DataFrame, k: Int, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val vecs = checkpointDir match {
+      case Some(d) =>
+        emb.sparkSession.sparkContext.setCheckpointDir(d)
+        longVecs(emb).checkpoint(eager = true)
+      case None => longVecs(emb).localCheckpoint(true)
+    }
     val seedIds = vecs.select(col("vec_id")).distinct()
       .orderBy(col("vec_id")).limit(k)
       .collect().map(_.getLong(0)).zipWithIndex.toMap

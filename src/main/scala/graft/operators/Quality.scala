@@ -108,30 +108,74 @@ object Quality {
       when(col("l_partkey") % 10 < 3, col("l_partkey") % 10)
         .otherwise(col("l_partkey")))
 
+  /** The decision [[skewReport]] exists to feed — measured skew ratio →
+    * join strategy, closing the measure-then-choose loop:
+    *
+    *   - `skew_ratio < aqeRatio` → "plain": the heaviest key is within
+    *     AQE's own skew tolerance (`skewedPartitionFactor` defaults to
+    *     5× median), so the unmodified shuffle join is balanced enough;
+    *   - `< saltRatio`           → "aqe_skew": let AQE's runtime
+    *     skew-split replicate the build side against the oversized
+    *     partitions — no plan rewrite, works when a handful of keys are
+    *     each a single-digit multiple of the mean;
+    *   - `≥ saltRatio`           → "salted": one key owns a material
+    *     share of ALL rows (the planted gate shape: 3 keys × ~10 %
+    *     each ⇒ ratio in the hundreds), so the fix belongs BEFORE the
+    *     exchange — [[SkewJoin.saltedInnerJoin]] fans the hot key's rows
+    *     across `salts` partitions and replicates only the small side's
+    *     matching rows, keeping every task bounded by construction
+    *     (AQE's post-shuffle split still funnels the hot key's map
+    *     output through one exchange partition's write path first).
+    *
+    * Pure function of the report's metrics (deterministic, spec-pinned);
+    * callers `collect()` the one-row report — parameter-sized by
+    * construction — and wire the verdict into their join build.
+    */
+  def recommendJoinStrategy(skewRatio: Double, aqeRatio: Double = 5.0,
+      saltRatio: Double = 20.0): String = {
+    require(aqeRatio <= saltRatio,
+      s"aqeRatio $aqeRatio must not exceed saltRatio $saltRatio")
+    if (skewRatio < aqeRatio) "plain"
+    else if (skewRatio < saltRatio) "aqe_skew"
+    else "salted"
+  }
+
   /** Exact pre-join cardinality: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k),
     * computed from the two per-key count tables (key-cardinality-sized,
-    * never the fact product) — with the top contributing keys, the
-    * output-side complement of [[skewReport]]'s input-side view: run
-    * both before committing a 100 TB shuffle join. The count-table join
-    * is a plain keyed equi-join; products and their sum are exact
-    * integers.
+    * never the fact product) — with the `topK` heaviest contributing
+    * keys, the output-side complement of [[skewReport]]'s input-side
+    * view: run both before committing a 100 TB shuffle join. The
+    * count-table join is a plain keyed equi-join; products and their
+    * sum are exact integers. Ranking the top keys uses the bounded
+    * k-heap aggregate (map-side partials, O(topK) state — never a
+    * key-universe sort); the heap orders on double(rows_out), exact
+    * below 2⁵³, ties on key ASC, and the reported counts come from an
+    * exact join-back on the winner keys. Output: one row per rank,
+    * totals repeated on each.
     */
   def joinCardinality(left: DataFrame, lKey: Column, right: DataFrame,
       rKey: Column, topK: Int = 3): DataFrame = {
+    graft.functions.TopKFunctions.register(left.sparkSession)
     val ca = left.select(lKey.cast("long").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("ca"))
     val cb = right.select(rKey.cast("long").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("cb"))
     val prod = ca.join(cb, "k")
       .select(col("k"), (col("ca") * col("cb")).as("rows_out"))
+      .localCheckpoint(true) // two consumers: totals + the top-K rank
     val tot = prod.agg(sum(col("rows_out")).as("join_rows"),
       count(lit(1)).as("matched_keys"))
     val top = prod
-      .agg(min(struct((-col("rows_out")).as("nr"), col("k"))).as("t"))
-      .select(col("t.k").as("top_key"), (-col("t.nr")).as("top_rows"))
-    tot.crossJoin(broadcast(top))
-      .select(col("join_rows"), col("matched_keys"), col("top_key"),
-        col("top_rows"))
+      .agg(graft.functions.TopKFunctions.topkByValue(
+        col("rows_out").cast("double"), col("k"), topK).as("t"))
+      .select(posexplode(col("t")))
+      .select((col("pos") + 1L).as("rank"), col("col.id").as("top_key"))
+      .join(prod.withColumnRenamed("k", "top_key"), "top_key")
+      .withColumnRenamed("rows_out", "top_rows")
+    top.crossJoin(broadcast(tot))
+      .select(col("rank"), col("top_key"), col("top_rows"),
+        col("join_rows"), col("matched_keys"))
+      .orderBy(col("rank"))
   }
 
   /** dq_join_cardinality gate: orders ⋈ lineitem on orderkey — the

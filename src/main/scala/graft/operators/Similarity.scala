@@ -585,23 +585,95 @@ object Similarity {
   /** Library-facing form over any (vec_id, embedding) DataFrame. Caller
     * must have run `VectorFunctions.register` on the session (the cosine
     * kernel resolves through the function registry).
+    *
+    * `maxCell` is the OCCUPANCY GUARDRAIL for the within-cell quadratic
+    * (the same cap-and-account pattern as
+    * [[Dedup.minhashLshPairsBounded]]'s bucket cap and the TF-IDF df
+    * cap): the SemDeDup recipe holds cell cardinality constant by
+    * scaling k with the corpus, but nothing about k-means *enforces*
+    * it — one near-duplicate-heavy semantic cluster (crawl corpora are
+    * exactly that) makes a single cell quadratic. With the cap, each
+    * cell admits only its `maxCell` LOWEST vec_ids into the pair join
+    * (selected by the bounded k-heap aggregate — map-side partials,
+    * O(cap) state, never a per-cell sort; id ordering is exact below
+    * 2⁵³), so candidate volume is ≤ k·cap²/2 BY CONSTRUCTION. Recall
+    * accounting, deterministic and one-sided: unadmitted vectors are
+    * KEPT (never compared, never dropped, and — because the survivor
+    * rule keeps the lowest id of a semantic group and admission takes
+    * the lowest ids — an unadmitted vector can only lose a comparison
+    * against a kept lower admitted id, so capped output drops a SUBSET
+    * of the uncapped drops). Production recipe stays "scale k with the
+    * corpus"; the cap is the backstop that turns the skewed-cell worst
+    * case from quadratic into a bounded, audited recall trade.
     */
-  def semDedupOf(emb: DataFrame, k: Int, iters: Int, thr: Double): DataFrame = {
+  def semDedupOf(emb: DataFrame, k: Int, iters: Int, thr: Double,
+      maxCell: Option[Int] = None): DataFrame = {
     val asg = KMeans.assignmentsOf(emb, k, iters)
       .select(col("vec_id"), col("cid")).localCheckpoint(true)
-    val e = emb.join(asg, "vec_id")
-    // cluster-blocked pair generation: equi-join on cid (key-partitioned
-    // shuffle), ids ordered so each unordered pair appears once
-    val a = e.select(col("cid"), col("vec_id").as("i"), col("embedding").as("ea"))
-    val b = e.select(col("cid"), col("vec_id").as("j"), col("embedding").as("eb"))
-    val dropped = a.join(b, Seq("cid"))
-      .filter(col("i") < col("j"))
-      .filter(VectorFunctions.cosineSim(col("ea"), col("eb")) >= thr)
-      .select(col("j").as("vec_id")).distinct()
+    val dropped = semDedupDropped(emb, asg, thr, maxCell)
     asg.join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cid").cast("long").as("cluster"),
         col("dup").isNull.as("kept"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The dropped-id set for a given (vec_id, cid) assignment table — the
+    * layer the occupancy cap acts on; the kept verdict is a
+    * deterministic left-outer read of this set.
+    */
+  private[graft] def semDedupDropped(emb: DataFrame, asg: DataFrame,
+      thr: Double, maxCell: Option[Int]): DataFrame = {
+    val admitted = maxCell.map { cap =>
+      graft.functions.TopKFunctions.register(emb.sparkSession)
+      asg.groupBy(col("cid"))
+        .agg(graft.functions.TopKFunctions.topkByValue(
+          -col("vec_id").cast("double"), col("vec_id"), cap).as("t"))
+        .select(col("cid"), explode(col("t.id")).as("vec_id"))
+    }.getOrElse(asg)
+    val e = emb.join(admitted, "vec_id")
+    // cluster-blocked pair generation: equi-join on cid (key-partitioned
+    // shuffle), ids ordered so each unordered pair appears once
+    val a = e.select(col("cid"), col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = e.select(col("cid"), col("vec_id").as("j"), col("embedding").as("eb"))
+    a.join(b, Seq("cid"))
+      .filter(col("i") < col("j"))
+      .filter(VectorFunctions.cosineSim(col("ea"), col("eb")) >= thr)
+      .select(col("j").as("vec_id")).distinct()
+  }
+
+  /** emb_semdedup_bounded — self-checking contract for the cap, the
+    * [[Dedup.minhashBoundedChecked]] shape transplanted: `n_vecs` and
+    * `n_dropped` (the UNCAPPED drop count, which the DuckDB oracle
+    * recomputes definitionally via its own Lloyd's + pair-join replay),
+    * `loose_cap_eq` = a cap at/above every cell's occupancy admits
+    * everything, proven from the occupancy table alone (no second pair
+    * join), and `tight_cap_subset` = a biting cap (3, well under the
+    * ~25-vector cells here) only ever REMOVES drops. Verdicts compare
+    * the dropped-id sets — the layer the cap acts on; the kept verdict
+    * is a deterministic downstream read.
+    */
+  def semDedupBoundedChecked(s: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 2, thr: Double = 0.4): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val asg = KMeans.assignmentsOf(emb, k, iters)
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    // full drops feed two consumers (count / exceptAll) — truncate the
+    // pair-join lineage so the quadratic kernel runs once
+    val full = semDedupDropped(emb, asg, thr, None).localCheckpoint(true)
+    val nVec = asg.agg(count(lit(1)).as("n_vecs"))
+    val nDrop = full.agg(count(lit(1)).as("n_dropped"))
+    // loose-cap equality via occupancy alone: if NO cell exceeds the
+    // cap, admission is the identity and the pair join is unchanged by
+    // construction
+    val dEq = asg.groupBy(col("cid")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > (1L << 30)).agg(count(lit(1)).as("d1"))
+    val tight = semDedupDropped(emb, asg, thr, Some(3))
+    val dSub = tight.exceptAll(full).agg(count(lit(1)).as("d2"))
+    nVec.crossJoin(nDrop).crossJoin(dEq).crossJoin(dSub)
+      .select(col("n_vecs"), col("n_dropped"),
+        when(col("d1") === 0, 1L).otherwise(0L).as("loose_cap_eq"),
+        when(col("d2") === 0, 1L).otherwise(0L).as("tight_cap_subset"))
   }
 
   def embeddingNearDup(s: SparkSession, dir: String, blocks: Int = 16,

@@ -144,8 +144,12 @@ object TextAnalysis {
     import ss.implicits._
     val freq = docs.select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // histogram-sized (≤ √total-occurrences rows) and consumed by four
+    // downstream lineages (bounds, offsets, the main cumsum pass, tot) —
+    // truncate here or the full corpus tokenizes once per consumer
     val hist = freq.groupBy(col("c")).agg(count(lit(1)).as("n_types"))
       .withColumn("occ", col("c") * col("n_types"))
+      .localCheckpoint(true)
     val withNeg = hist.withColumn("negc", -col("c"))
     val bounds = withNeg.agg(min(col("negc")).as("lo"),
       (max(col("negc")) + 1L).as("hi"))

@@ -600,6 +600,14 @@ object Analytics {
     * multi-reference CSE lesson) and every credited field reads through
     * it, so all first-touch (resp. last-touch) columns come from the
     * SAME touch row by construction.
+    *
+    * Determinism under timestamp ties: `rangeBetween` orders on the
+    * single numeric ts_us, so a positional read (first_value) over the
+    * RANGE frame would pick a sort-order-dependent row when two touches
+    * share a ts_us at the window edge. The first touch is therefore a
+    * MIN-OF-STRUCT over the frame — (ts_us, event_id, event_type)
+    * compares lexicographically, so ties break on event_id in every
+    * engine, same as the rows-frame half.
     */
   def touchAttribution(s: SparkSession, dir: String): DataFrame =
     touchAttributionOf(t(s, dir, "events"),
@@ -619,7 +627,7 @@ object Analytics {
       .withColumn("t", when(col("event_type").isin("click", "view"),
         struct(col("ts_us"), col("event_id"), col("event_type"))))
       .withColumn("last_touch", last(col("t"), ignoreNulls = true).over(lastW))
-      .withColumn("first_touch", first(col("t"), ignoreNulls = true).over(firstW))
+      .withColumn("first_touch", min(col("t")).over(firstW))
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
         col("ts_us").as("purchase_ts_us"),

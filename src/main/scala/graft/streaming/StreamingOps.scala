@@ -229,6 +229,88 @@ object StreamingOps {
         col("event_id").as("first_event_id"),
         col("event_type").as("first_event_type"))
 
+  final case class WindowTopN(w_start_us: Long, rk: Long, event_type: String,
+    cnt: Long)
+
+  /** Flink's Window Top-N TVF, streaming form — the streaming twin of
+    * the batch `Windows.q30dTrending`: per tumbling window, the top-n
+    * event types by count (ties on type name), emitted EXACTLY ONCE at
+    * window close. Spark has no ranking operator in a streaming plan
+    * (window functions are unsupported over unbounded input), so the
+    * operator owns its lifecycle on transformWithState EVENT-TIME
+    * TIMERS: per (window, type) counts accumulate in MapState — state
+    * is O(|event types|) per open window, the same collapse that makes
+    * the batch twin's rank input tiny — and the window's close timer
+    * fires once the watermark passes its end, emitting the ranked
+    * top-n and clearing the window's state. A row arriving after its
+    * window has closed (watermark ≥ window end) is DROPPED by the
+    * input guard — it can neither resurrect cleared state nor re-emit
+    * (Flink's Window Top-N drops the same rows to its watermark).
+    * Grouping key is the window start, so ranking never crosses
+    * windows and scale-out is by window; for high-cardinality ranked
+    * keys, swap the MapState for the bounded k-heap the batch
+    * `topk_by_value` aggregate uses.
+    */
+  class WindowTopNProcessor(n: Int, windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), WindowTopN] {
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[WindowTopN] = {
+      val endMs = (key + windowUs) / 1000L
+      // window already closed and emitted: late rows drop here
+      if (timerValues.getCurrentWatermarkInMs() >= endMs) return Iterator.empty
+      rows.foreach { case (_, tpe) =>
+        val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
+        counts.updateValue(tpe, cur + 1L)
+      }
+      // timers are keyed (key, expiry) pairs — re-registering the same
+      // close instant each batch is a no-op, not a duplicate firing
+      getHandle.registerTimer(endMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[WindowTopN] = {
+      val snap = counts.iterator().toSeq
+      counts.clear()
+      snap.sortBy { case (tpe, c) => (-c, tpe) }.take(n).zipWithIndex.map {
+        case ((tpe, c), i) => WindowTopN(key, i + 1L, tpe, c)
+      }.iterator
+    }
+  }
+
+  /** Events → per-window top-n event types, emitted at window close
+    * (10-minute tumble / top-2 mirrors the batch q30d gate).
+    */
+  def windowTopNStream(events: DataFrame, n: Int = 2,
+      windowUs: Long = 600000000L): Dataset[WindowTopN] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "5 seconds")
+      .select(
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(windowUs)))
+          .as("w_start_us"),
+        col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new WindowTopNProcessor(n, windowUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Left-outer stream-stream interval join: clicks that never see a
     * purchase within the window emit a null-padded row once BOTH
     * watermarks pass the interval end (the engine can only then prove no

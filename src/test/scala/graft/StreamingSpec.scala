@@ -602,6 +602,73 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("window top-N stream: top-2 emitted once at window close; late rows dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val inOrder = Seq(
+        ev(1, "2024-03-01 00:01:00"), ev(2, "2024-03-01 00:02:00"),
+        ev(3, "2024-03-01 00:03:00"), // 3 clicks
+        ev(4, "2024-03-01 00:04:00", typ = "view"),
+        ev(5, "2024-03-01 00:05:00", typ = "view"), // 2 views
+        ev(6, "2024-03-01 00:06:00", typ = "purchase"))
+      val advancer = ev(7, "2024-03-01 00:20:00")
+      val src = MemoryStream[Ev]
+      val q = StreamingOps.windowTopNStream(src.toDF())
+        .writeStream.format("memory").queryName("wtopn")
+        .outputMode("append").start()
+      src.addData(inOrder: _*)
+      q.processAllAvailable()
+      // Flink Window Top-N semantics: nothing before the window closes
+      assert(spark.table("wtopn").count() == 0,
+        "emitted before the watermark closed the window")
+      // watermark past 00:10 → the 00:00 window emits its ranked top-2
+      src.addData(advancer)
+      q.processAllAvailable()
+      val afterClose = spark.table("wtopn")
+        .as[StreamingOps.WindowTopN].collect().toSet
+      assert(afterClose.nonEmpty, "window close emitted nothing")
+      // a late row for the closed window: dropped — no re-emission, no
+      // state revival, ranks unchanged
+      src.addData(ev(8, "2024-03-01 00:07:00", typ = "view"))
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table("wtopn").as[StreamingOps.WindowTopN].collect()
+      assert(fin.length == afterClose.size && fin.toSet == afterClose,
+        "late row changed an already-emitted window")
+      // batch twin on the in-order rows: same per-window ranking
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w_start_us"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      val expected = (inOrder :+ advancer).toDF()
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("event_type"), col("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+      val closedW = afterClose.map(_.w_start_us).min
+      val expClosed = expected.filter(col("w_start_us") === closedW)
+        .select(col("w_start_us"), col("rk").cast("long"), col("event_type"),
+          col("cnt"))
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => StreamingOps.WindowTopN(r._1, r._2, r._3, r._4)).toSet
+      assert(afterClose == expClosed,
+        s"streamed $afterClose != batch twin $expClosed")
+      // the closed window really ranked click(3) over view(2)
+      assert(afterClose.toSeq.sortBy(_.rk).map(t => (t.event_type, t.cnt))
+        == Seq(("click", 3L), ("view", 2L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("attribution stream: credits across a batch seam match the batch last-touch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
