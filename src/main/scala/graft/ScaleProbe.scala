@@ -249,6 +249,12 @@ object ScaleProbe {
     // must come back ≤ linear (the assignment pass is the linear part)
     def semCap(e: DataFrame, clusters: Int, cap: Int) =
       operators.Similarity.semDedupOf(e, clusters, 2, 0.4, Some(cap))
+    // hierarchical: coarse k FIXED, per-cell sub-clustering refines —
+    // moves the superlinear stage from the pair join (occ²) to the
+    // grouped sub-assignment (occ·s = occ²/target), a factor-target
+    // reduction, recursively composable at real scale
+    def semHier(e: DataFrame, clusters: Int, target: Int) =
+      operators.Similarity.semDedupHierOf(e, clusters, 2, 0.4, target)
 
     // entity resolution: replicas get disjoint balance ranges (offset
     // far beyond the acctbal domain), modeling MORE entities at the same
@@ -339,7 +345,10 @@ object ScaleProbe {
       probe("path_trigrams")((time(noop(paths(eA1))), time(noop(paths(eAK))))),
       probe("vocab_coverage")((time(noop(vocab(docs1c))), time(noop(vocab(docsK))))),
       probe("attribution")((time(noop(attr(eA1))), time(noop(attr(eAK))))),
-      probe("neg_sampling")((time(noop(negs(liG1, 4))), time(noop(negs(liGK, 7))))),
+      // shardBits steps with log2(k): 8×→7 bits, 32×→9 bits — ring-shard
+      // occupancy stays constant as the node universe grows
+      probe("neg_sampling")((time(noop(negs(liG1, 4))),
+        time(noop(negs(liGK, 4 + (31 - Integer.numberOfLeadingZeros(k))))))),
       probe("cusum_scan")((time(noop(cusum(eA1))), time(noop(cusum(eAK))))),
       probe("tfidf_simpairs")((time(noop(simPairs(docs1c))), time(noop(simPairs(docsK))))),
       probe("hh_grouped")((time(noop(hhg(eA1))), time(noop(hhg(eAK))))),
@@ -375,7 +384,9 @@ object ScaleProbe {
       probe("snapshot_dedup")((time(noop(snap(docs1c))), time(noop(snap(docsK))))),
       probe("semdedup")((time(noop(sem(emb1, 4))), time(noop(sem(embK, 4 * k))))),
       probe("semdedup_cap")((time(noop(semCap(emb1, 4, 160))),
-        time(noop(semCap(embK, 4, 160)))))).flatten
+        time(noop(semCap(embK, 4, 160))))),
+      probe("semdedup_hier")((time(noop(semHier(emb1, 4, 160))),
+        time(noop(semHier(embK, 4, 160)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

@@ -250,6 +250,8 @@ object SparkEntry {
     "emb_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "emb_semdedup_bounded" ->
       ((s, dir) => Similarity.semDedupBoundedChecked(s, dir)),
+    "emb_semdedup_hier" ->
+      ((s, dir) => Similarity.semDedupHierChecked(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
     "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
     "q10p_percentile_disc" ->
@@ -2190,6 +2192,39 @@ object SparkEntry {
         "(SELECT COUNT(*) FROM dups) AS n_dropped, " +
         "CAST(1 AS BIGINT) AS loose_cap_eq, " +
         "CAST(1 AS BIGINT) AS tight_cap_subset"
+    },
+    // hierarchical form: same definitional flat-drop replay; the
+    // refinement verdicts (subset / no-growth) are Spark-side
+    // set-algebra contracts the hash gate forces to hold
+    "emb_semdedup_hier" -> {
+      def d(i: Int, cPrev: String) =
+        s"d$i AS (SELECT v.vec_id, c.cid, " +
+          "SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(22,12))) AS d2 " +
+          s"FROM v JOIN $cPrev c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), "
+      def a(i: Int) =
+        s"a$i AS (SELECT vec_id, cid, d2 FROM d$i " +
+          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1), "
+      def c(i: Int) =
+        s"c$i AS (SELECT a.cid, v.dim, " +
+          "round(CAST(SUM(CAST(v.x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
+          s"FROM v JOIN a$i a ON v.vec_id = a.vec_id GROUP BY a.cid, v.dim), "
+      "WITH idx AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)), " +
+        "v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x " +
+        "FROM embeddings, idx), " +
+        "c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < 4), " +
+        d(1, "c0") + a(1) + c(1) + d(2, "c1") + a(2) + c(2) + d(3, "c2") + a(3) +
+        "pp AS (SELECT x.vec_id AS i, y.vec_id AS j FROM a3 x " +
+        "JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id), " +
+        "s AS (SELECT pp.i, pp.j, SUM(va.x * vb.x) AS dot, " +
+        "SUM(va.x * va.x) AS na, SUM(vb.x * vb.x) AS nb " +
+        "FROM pp JOIN v va ON va.vec_id = pp.i " +
+        "JOIN v vb ON vb.vec_id = pp.j AND vb.dim = va.dim GROUP BY pp.i, pp.j), " +
+        "dups AS (SELECT DISTINCT j AS vec_id FROM s " +
+        "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4) " +
+        "SELECT (SELECT COUNT(*) FROM a3) AS n_vecs, " +
+        "(SELECT COUNT(*) FROM dups) AS n_dropped, " +
+        "CAST(1 AS BIGINT) AS hier_subset, " +
+        "CAST(1 AS BIGINT) AS refine_no_growth"
     },
     "q13e_cube" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +

@@ -115,4 +115,76 @@ object KMeans {
     }
     assign(vecs, cent)
   }
+
+  /** One GROUPED assignment pass: nearest SUB-centroid per vector within
+    * its own coarse cell. The centroid join is keyed on (cid, dim) — a
+    * plain equi-join, NOT a broadcast: the sub-centroid table scales
+    * with Σ s(cell) (corpus/targetCell rows × d), which outgrows
+    * broadcast at 100 TB but shuffles fine, and each cell's vectors
+    * only ever meet their own cell's centroids.
+    */
+  private def subAssign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.join(cent, Seq("cid", "dim"))
+      .select(col("vec_id"), col("cid"), col("sub"),
+        round((col("x") - col("c")) * (col("x") - col("c")), 9)
+          .cast(DecimalType(22, 12)).as("t"))
+      .groupBy(col("vec_id"), col("cid"), col("sub"))
+      .agg(sum(col("t")).as("d2"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(min(struct(col("d2"), col("sub"))).as("b"))
+      .select(col("vec_id"), col("cid"), col("b.sub").as("sub"))
+
+  /** Hierarchical refinement (the SemDeDup-at-scale recipe's second
+    * level): every coarse cell with occupancy above `targetCell` is
+    * sub-clustered by a grouped Lloyd's with s(cell) =
+    * ⌈occ/targetCell⌉ sub-centroids, ALL cells in one relational plan —
+    * seeds are each cell's s lowest vec_ids (bounded-heap selection, no
+    * per-cell sort), assignment is the (cid, dim)-keyed join above, the
+    * update one (cid, sub, dim)-keyed mean. Returns (vec_id, cid, sub).
+    *
+    * What refinement can and cannot do, honestly: it splits cells that
+    * are large because they span DIVERSE regions (the organic case —
+    * sub-centroids spread and occupancy drops toward targetCell), but a
+    * cell of near-IDENTICAL vectors cannot be split by any Lloyd's —
+    * every point is equidistant to every sub-centroid, the argmin
+    * tiebreak sends all of them to the lowest sub, and the refined cell
+    * is exactly the coarse cell. Refinement is therefore the
+    * typical-case cost reducer; the occupancy CAP
+    * ([[Similarity.semDedupOf]]'s `maxCell`) remains the adversarial
+    * backstop. The spec pins both behaviors.
+    */
+  def subAssignmentsOf(emb: DataFrame, asg: DataFrame, targetCell: Int,
+      iters: Int): DataFrame = {
+    require(targetCell > 0)
+    val vecs = longVecs(emb)
+      .join(asg.select(col("vec_id"), col("cid")), "vec_id")
+      .localCheckpoint(true)
+    val occ = asg.groupBy(col("cid")).agg(count(lit(1)).as("occ"))
+      .withColumn("s", ceil(col("occ") / lit(targetCell)).cast("int"))
+      .localCheckpoint(true)
+    // the widest cell's sub count — one scalar (parameter-sized collect,
+    // same class as the seed collect above)
+    val maxS = occ.agg(max(col("s")).as("m")).head().getInt(0)
+    if (maxS <= 1)
+      return asg.select(col("vec_id"), col("cid"), lit(0).as("sub"))
+    graft.functions.TopKFunctions.register(emb.sparkSession)
+    val seeds = asg.groupBy(col("cid"))
+      .agg(graft.functions.TopKFunctions.topkByValue(
+        -col("vec_id").cast("double"), col("vec_id"), maxS).as("t"))
+      .join(occ.select(col("cid"), col("s")), "cid")
+      .select(col("cid"), col("s"), posexplode(col("t.id")))
+      .filter(col("pos") < col("s"))
+      .select(col("cid"), col("pos").cast("int").as("sub"),
+        col("col").as("vec_id"))
+    var cent = vecs.join(seeds, Seq("vec_id", "cid"))
+      .select(col("cid"), col("sub"), col("dim"), col("x").as("c"))
+    for (_ <- 1 to iters) {
+      val a = subAssign(vecs, cent)
+      cent = vecs.join(a.select(col("vec_id"), col("sub")), "vec_id")
+        .groupBy(col("cid"), col("sub"), col("dim"))
+        .agg(round(sum(col("x").cast(DecimalType(20, 10))).cast(DoubleType) /
+          count(lit(1)), 6).as("c"))
+    }
+    subAssign(vecs, cent)
+  }
 }

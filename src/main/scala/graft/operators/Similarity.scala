@@ -676,6 +676,70 @@ object Similarity {
         when(col("d2") === 0, 1L).otherwise(0L).as("tight_cap_subset"))
   }
 
+  /** Hierarchical SemDeDup — the verdict's other named mitigation,
+    * alongside the cap: coarse k-means cells are REFINED by
+    * [[KMeans.subAssignmentsOf]] (per-cell grouped Lloyd's,
+    * s(cell) = ⌈occ/targetCell⌉ sub-centroids) and the pair join runs
+    * within REFINED cells, so the typical oversized-but-diverse cell's
+    * quadratic shrinks toward targetCell² per sub-cell. Refinement
+    * PARTITIONS coarse cells, so hierarchical drops ⊆ flat drops (the
+    * one-sided recall trade, same direction as the cap) — and a
+    * near-identical-vector cell, which no Lloyd's can split (all
+    * distances tie), falls through to `maxCell` as the hard backstop.
+    * Output adds the sub-cell id next to the coarse cluster.
+    */
+  def semDedupHierOf(emb: DataFrame, k: Int, iters: Int, thr: Double,
+      targetCell: Int, maxCell: Option[Int] = None): DataFrame = {
+    val asg = KMeans.assignmentsOf(emb, k, iters)
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    val sub = KMeans.subAssignmentsOf(emb, asg, targetCell, iters)
+      .localCheckpoint(true)
+    val refined = sub.select(col("vec_id"),
+      (col("cid").cast("long") * 4294967296L + col("sub")).as("cid"))
+    val dropped = semDedupDropped(emb, refined, thr, maxCell)
+    sub.join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+        col("sub").cast("long").as("subcluster"), col("dup").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** emb_semdedup_hier — contract gate for the hierarchical form:
+    * `n_vecs`/`n_dropped` are the FLAT (coarse-cell, uncapped) facts the
+    * DuckDB oracle replays definitionally; `hier_subset` forces
+    * "refinement only removes drops" (refined cells partition coarse
+    * cells, so refined pairs ⊆ coarse pairs) and `refine_no_growth`
+    * forces "no refined cell outgrows the widest coarse cell". The
+    * quantitative split behavior (diverse cells shrink toward
+    * targetCell; degenerate identical-vector cells don't split and the
+    * cap catches them) is spec-pinned, where it can be asserted against
+    * constructed corpora rather than hash-frozen.
+    */
+  def semDedupHierChecked(s: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 2, thr: Double = 0.4, targetCell: Int = 50): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val asg = KMeans.assignmentsOf(emb, k, iters)
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    val flat = semDedupDropped(emb, asg, thr, None).localCheckpoint(true)
+    val sub = KMeans.subAssignmentsOf(emb, asg, targetCell, iters)
+      .localCheckpoint(true)
+    val refined = sub.select(col("vec_id"),
+      (col("cid").cast("long") * 4294967296L + col("sub")).as("cid"))
+    val hier = semDedupDropped(emb, refined, thr, None)
+    val nVec = asg.agg(count(lit(1)).as("n_vecs"))
+    val nDrop = flat.agg(count(lit(1)).as("n_dropped"))
+    val dSub = hier.exceptAll(flat).agg(count(lit(1)).as("d1"))
+    val occCoarse = asg.groupBy(col("cid")).agg(count(lit(1)).as("o"))
+      .agg(max(col("o")).as("mc"))
+    val occRef = refined.groupBy(col("cid")).agg(count(lit(1)).as("o"))
+      .agg(max(col("o")).as("mr"))
+    nVec.crossJoin(nDrop).crossJoin(dSub)
+      .crossJoin(occCoarse).crossJoin(occRef)
+      .select(col("n_vecs"), col("n_dropped"),
+        when(col("d1") === 0, 1L).otherwise(0L).as("hier_subset"),
+        when(col("mr") <= col("mc"), 1L).otherwise(0L).as("refine_no_growth"))
+  }
+
   def embeddingNearDup(s: SparkSession, dir: String, blocks: Int = 16,
       thr: Double = 0.4): DataFrame = {
     VectorFunctions.register(s)

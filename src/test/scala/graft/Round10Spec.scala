@@ -62,6 +62,57 @@ class Round10Spec extends SparkSpecBase {
     full.unpersist(); capped.unpersist()
   }
 
+  test("semdedup hierarchical: diverse cells split; identical cells can't and fall to the cap") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // gate contract holds on the corpus tables
+    val g = operators.Similarity.semDedupHierChecked(spark, sfDir)
+      .collect().head
+    assert(g.getAs[Long]("n_vecs") > 0)
+    assert(g.getAs[Long]("hier_subset") == 1L)
+    assert(g.getAs[Long]("refine_no_growth") == 1L)
+    // ORGANIC case: the real (near-orthogonal) corpus — refinement
+    // splits wide cells, so the max refined occupancy strictly drops
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val asg = operators.KMeans.assignmentsOf(emb, 4, 2)
+      .select(col("vec_id"), col("cid")).cache()
+    val coarseMax = asg.groupBy(col("cid")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val sub = operators.KMeans.subAssignmentsOf(emb, asg, targetCell = 5, 2)
+    val refinedMax = sub.groupBy(col("cid"), col("sub")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(refinedMax < coarseMax,
+      s"diverse cells did not split: $refinedMax !< $coarseMax")
+    asg.unpersist()
+    // DEGENERATE case: 200 identical vectors — every point equidistant
+    // to every sub-centroid, the argmin tiebreak sends all to sub 0, so
+    // NO Lloyd's can split the cell…
+    val dim = 64
+    val degenerate = ((0L until 200L).map { i =>
+      (i, Array.tabulate(dim)(d => if (d == 0) 10.0f else 0.0f))
+    } ++ (200L until 210L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        if (d == (i % dim).toInt) -10.0f else 0.0f))
+    }).toDF("vec_id", "embedding")
+    val dAsg = operators.KMeans.assignmentsOf(degenerate, 2, 2)
+      .select(col("vec_id"), col("cid")).cache()
+    val dSub = operators.KMeans.subAssignmentsOf(degenerate, dAsg,
+      targetCell = 10, 2)
+    val dMax = dSub.groupBy(col("cid"), col("sub")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(dMax >= 200L, s"identical-vector cell split impossibly: $dMax")
+    // …which is exactly why the cap remains the hard backstop: the
+    // hierarchical form with maxCell bounds the drop set anyway
+    val capped = operators.Similarity
+      .semDedupHierOf(degenerate, 2, 2, 0.4, targetCell = 10,
+        maxCell = Some(10)).cache()
+    val nDropped = capped.filter(!col("kept")).count()
+    assert(nDropped > 0 && nDropped <= 2 * 10,
+      s"cap leaked through the hierarchical path: $nDropped")
+    assert(capped.count() == 210L)
+    capped.unpersist(); dAsg.unpersist()
+  }
+
   test("kmeans: reliable-checkpoint mode is bit-identical to local mode") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val local = operators.KMeans.assignmentsOf(emb, 4, 2)

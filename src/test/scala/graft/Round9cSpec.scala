@@ -166,18 +166,24 @@ class Round9cSpec extends SparkSpecBase {
 
   test("join cardinality: equals the real join size; golden with dup keys") {
     import spark.implicits._
-    val Array(r) = operators.Quality.dqJoinCardinality(spark, sfDir).collect()
+    // r10 shape: one row per rank, totals repeated on each
+    val rows = operators.Quality.dqJoinCardinality(spark, sfDir).collect()
     val actual = Tables.t(spark, sfDir, "orders").as("o")
       .join(Tables.t(spark, sfDir, "lineitem").as("l"),
         col("o.o_orderkey") === col("l.l_orderkey")).count()
-    assert(r.getLong(0) == actual, "the estimate IS the definition")
-    // 2x3 + 1x1 = 7 rows out; key 1 contributes 6
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("join_rows") == actual,
+      "the estimate IS the definition"))
+    // 2x3 + 1x1 = 7 rows out; key 1 contributes 6, key 2 contributes 1
     val a = Seq(1L, 1L, 2L).toDF("x")
     val b = Seq(1L, 1L, 1L, 2L, 9L).toDF("y")
-    val Array(g) = operators.Quality
+    val g = operators.Quality
       .joinCardinality(a, col("x"), b, col("y")).collect()
-    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3)) ==
-      ((7L, 2L, 1L, 6L)))
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("top_key"),
+        r.getAs[Long]("top_rows"), r.getAs[Long]("join_rows"),
+        r.getAs[Long]("matched_keys"))).toSeq
+    assert(g == Seq((1L, 1L, 6L, 7L, 2L), (2L, 2L, 1L, 7L, 2L)),
+      s"golden mismatch: $g")
   }
 
   // ---- quantile transform table ----
