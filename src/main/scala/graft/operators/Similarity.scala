@@ -712,7 +712,11 @@ object Similarity {
     * quantitative split behavior (diverse cells shrink toward
     * targetCell; degenerate identical-vector cells don't split and the
     * cap catches them) is spec-pinned, where it can be asserted against
-    * constructed corpora rather than hash-frozen.
+    * constructed corpora rather than hash-frozen. The refinement runs
+    * ONE sub-Lloyd's iteration — the contract (subset / no-growth)
+    * holds for ANY refinement quality, so the gate doesn't pay for
+    * convergence it doesn't assert; the coarse side keeps the oracle's
+    * pinned 2 iterations.
     */
   def semDedupHierChecked(s: SparkSession, dir: String, k: Int = 4,
       iters: Int = 2, thr: Double = 0.4, targetCell: Int = 50): DataFrame = {
@@ -721,7 +725,7 @@ object Similarity {
     val asg = KMeans.assignmentsOf(emb, k, iters)
       .select(col("vec_id"), col("cid")).localCheckpoint(true)
     val flat = semDedupDropped(emb, asg, thr, None).localCheckpoint(true)
-    val sub = KMeans.subAssignmentsOf(emb, asg, targetCell, iters)
+    val sub = KMeans.subAssignmentsOf(emb, asg, targetCell, iters = 1)
       .localCheckpoint(true)
     val refined = sub.select(col("vec_id"),
       (col("cid").cast("long") * 4294967296L + col("sub")).as("cid"))

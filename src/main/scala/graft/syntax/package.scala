@@ -192,11 +192,27 @@ package object syntax {
 
     /** SemDeDup-style semantic dedup over this (vec_id, embedding)
       * frame: k-means cells, within-cell cosine pruning, per-vector
-      * kept verdicts. Scale k with the corpus to bound cell size.
+      * kept verdicts. Scale k with the corpus to bound cell size — and
+      * pass `maxCell` as the occupancy guardrail so a skewed semantic
+      * cluster can never go quadratic (unadmitted vectors are kept;
+      * capped drops ⊆ uncapped drops).
       */
-    def semDedup(k: Int = 4, iters: Int = 2, thr: Double = 0.4): DataFrame = {
+    def semDedup(k: Int = 4, iters: Int = 2, thr: Double = 0.4,
+        maxCell: Option[Int] = None): DataFrame = {
       graft.functions.VectorFunctions.register(df.sparkSession)
-      operators.Similarity.semDedupOf(df, k, iters, thr)
+      operators.Similarity.semDedupOf(df, k, iters, thr, maxCell)
+    }
+
+    /** Hierarchical SemDeDup: coarse k-means plus per-cell grouped
+      * sub-clustering toward `targetCell`, pair-pruning within REFINED
+      * cells; `maxCell` remains the hard backstop for cells no Lloyd's
+      * can split (near-identical vectors).
+      */
+    def semDedupHier(k: Int = 4, iters: Int = 2, thr: Double = 0.4,
+        targetCell: Int = 50, maxCell: Option[Int] = None): DataFrame = {
+      graft.functions.VectorFunctions.register(df.sparkSession)
+      operators.Similarity.semDedupHierOf(df, k, iters, thr, targetCell,
+        maxCell)
     }
 
     /** Lloyd's k-means over this (vec_id, embedding) frame: per-cluster
