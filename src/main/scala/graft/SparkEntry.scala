@@ -506,6 +506,47 @@ object SparkEntry {
       "ON c.user_id = s.user_id AND c.ts >= s.ts " +
       "ORDER BY c.event_id"
 
+  /** Shared DuckDB Lloyd's replay (the emb_kmeans kernel): seeded from
+    * the 4 lowest vec_ids, 2 quantized iterations, chained CTEs through
+    * the final assignment table `a3`; trailing ", " included so callers
+    * can append further CTEs (strip it to SELECT directly). ONE source
+    * of truth — a quantization fix here reaches every consumer gate.
+    */
+  private def lloydsCtes: String = {
+    def d(i: Int, cPrev: String) =
+      s"d$i AS (SELECT v.vec_id, c.cid, " +
+        "SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(22,12))) AS d2 " +
+        s"FROM v JOIN $cPrev c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), "
+    def a(i: Int) =
+      s"a$i AS (SELECT vec_id, cid, d2 FROM d$i " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1), "
+    def c(i: Int) =
+      s"c$i AS (SELECT a.cid, v.dim, " +
+        "round(CAST(SUM(CAST(v.x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
+        s"FROM v JOIN a$i a ON v.vec_id = a.vec_id GROUP BY a.cid, v.dim), "
+    "WITH idx AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)), " +
+      "v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x " +
+      "FROM embeddings, idx), " +
+      "c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < 4), " +
+      d(1, "c0") + a(1) + c(1) + d(2, "c1") + a(2) + c(2) + d(3, "c2") + a(3)
+  }
+
+  /** [[lloydsCtes]] + the SemDeDup rule (within-cluster pairs, cosine
+    * ≥ 0.4 drops the higher id) through the `dups` CTE — the kernel the
+    * three emb_semdedup* oracles share; cosine arithmetic mirrors the
+    * dedup_embedding oracle exactly (double products, dim-ordered sums).
+    */
+  private def semDedupCtes: String =
+    lloydsCtes +
+      "pp AS (SELECT x.vec_id AS i, y.vec_id AS j FROM a3 x " +
+      "JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id), " +
+      "s AS (SELECT pp.i, pp.j, SUM(va.x * vb.x) AS dot, " +
+      "SUM(va.x * va.x) AS na, SUM(vb.x * vb.x) AS nb " +
+      "FROM pp JOIN v va ON va.vec_id = pp.i " +
+      "JOIN v vb ON vb.vec_id = pp.j AND vb.dim = va.dim GROUP BY pp.i, pp.j), " +
+      "dups AS (SELECT DISTINCT j AS vec_id FROM s " +
+      "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4) "
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan" ->
       ("SELECT * FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey, " +
@@ -2104,128 +2145,39 @@ object SparkEntry {
     // Lloyd's iterations replayed as chained CTEs with the same quantized
     // arithmetic (9dp-rounded squared diffs into DECIMAL(22,12), 6dp
     // decimal-mean centroids) — assignments and inertia match bit-exactly
-    "emb_kmeans" -> {
-      def d(i: Int, cPrev: String) =
-        s"d$i AS (SELECT v.vec_id, c.cid, " +
-          "SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(22,12))) AS d2 " +
-          s"FROM v JOIN $cPrev c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), "
-      def a(i: Int) =
-        s"a$i AS (SELECT vec_id, cid, d2 FROM d$i " +
-          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1), "
-      def c(i: Int) =
-        s"c$i AS (SELECT a.cid, v.dim, " +
-          "round(CAST(SUM(CAST(v.x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
-          s"FROM v JOIN a$i a ON v.vec_id = a.vec_id GROUP BY a.cid, v.dim), "
-      "WITH idx AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)), " +
-        "v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x " +
-        "FROM embeddings, idx), " +
-        "c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < 4), " +
-        d(1, "c0") + a(1) + c(1) + d(2, "c1") + a(2) + c(2) +
-        d(3, "c2") + a(3).stripSuffix(", ") +
+    "emb_kmeans" ->
+      (lloydsCtes.stripSuffix(", ") +
         " SELECT cid AS cluster, COUNT(*) AS n_members, " +
         "round(CAST(SUM(d2) AS DOUBLE), 4) AS inertia " +
-        "FROM a3 GROUP BY cid ORDER BY cluster"
-    },
+        "FROM a3 GROUP BY cid ORDER BY cluster"),
     // same Lloyd's replay to the final assignment table a3, then the
     // SemDeDup rule: within-cluster pairs, cosine >= 0.4 drops the
     // higher id; kept = never dropped. Cosine arithmetic mirrors the
     // dedup_embedding oracle exactly (double products, dim-ordered sums)
-    "emb_semdedup" -> {
-      def d(i: Int, cPrev: String) =
-        s"d$i AS (SELECT v.vec_id, c.cid, " +
-          "SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(22,12))) AS d2 " +
-          s"FROM v JOIN $cPrev c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), "
-      def a(i: Int) =
-        s"a$i AS (SELECT vec_id, cid, d2 FROM d$i " +
-          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1), "
-      def c(i: Int) =
-        s"c$i AS (SELECT a.cid, v.dim, " +
-          "round(CAST(SUM(CAST(v.x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
-          s"FROM v JOIN a$i a ON v.vec_id = a.vec_id GROUP BY a.cid, v.dim), "
-      "WITH idx AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)), " +
-        "v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x " +
-        "FROM embeddings, idx), " +
-        "c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < 4), " +
-        d(1, "c0") + a(1) + c(1) + d(2, "c1") + a(2) + c(2) + d(3, "c2") + a(3) +
-        "pp AS (SELECT x.vec_id AS i, y.vec_id AS j FROM a3 x " +
-        "JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id), " +
-        "s AS (SELECT pp.i, pp.j, SUM(va.x * vb.x) AS dot, " +
-        "SUM(va.x * va.x) AS na, SUM(vb.x * vb.x) AS nb " +
-        "FROM pp JOIN v va ON va.vec_id = pp.i " +
-        "JOIN v vb ON vb.vec_id = pp.j AND vb.dim = va.dim GROUP BY pp.i, pp.j), " +
-        "dups AS (SELECT DISTINCT j AS vec_id FROM s " +
-        "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4) " +
+    "emb_semdedup" ->
+      (semDedupCtes +
         "SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster, " +
         "(du.vec_id IS NULL) AS kept " +
-        "FROM a3 LEFT JOIN dups du ON du.vec_id = a3.vec_id ORDER BY a3.vec_id"
-    },
+        "FROM a3 LEFT JOIN dups du ON du.vec_id = a3.vec_id ORDER BY a3.vec_id"),
     // same Lloyd's + within-cluster pair replay, collapsed to the
     // definitional drop count; the cap verdicts are Spark-side
     // set-algebra contracts (loose cap admits everything / tight cap
     // only removes drops) the hash gate forces to hold
-    "emb_semdedup_bounded" -> {
-      def d(i: Int, cPrev: String) =
-        s"d$i AS (SELECT v.vec_id, c.cid, " +
-          "SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(22,12))) AS d2 " +
-          s"FROM v JOIN $cPrev c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), "
-      def a(i: Int) =
-        s"a$i AS (SELECT vec_id, cid, d2 FROM d$i " +
-          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1), "
-      def c(i: Int) =
-        s"c$i AS (SELECT a.cid, v.dim, " +
-          "round(CAST(SUM(CAST(v.x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
-          s"FROM v JOIN a$i a ON v.vec_id = a.vec_id GROUP BY a.cid, v.dim), "
-      "WITH idx AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)), " +
-        "v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x " +
-        "FROM embeddings, idx), " +
-        "c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < 4), " +
-        d(1, "c0") + a(1) + c(1) + d(2, "c1") + a(2) + c(2) + d(3, "c2") + a(3) +
-        "pp AS (SELECT x.vec_id AS i, y.vec_id AS j FROM a3 x " +
-        "JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id), " +
-        "s AS (SELECT pp.i, pp.j, SUM(va.x * vb.x) AS dot, " +
-        "SUM(va.x * va.x) AS na, SUM(vb.x * vb.x) AS nb " +
-        "FROM pp JOIN v va ON va.vec_id = pp.i " +
-        "JOIN v vb ON vb.vec_id = pp.j AND vb.dim = va.dim GROUP BY pp.i, pp.j), " +
-        "dups AS (SELECT DISTINCT j AS vec_id FROM s " +
-        "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4) " +
+    "emb_semdedup_bounded" ->
+      (semDedupCtes +
         "SELECT (SELECT COUNT(*) FROM a3) AS n_vecs, " +
         "(SELECT COUNT(*) FROM dups) AS n_dropped, " +
         "CAST(1 AS BIGINT) AS loose_cap_eq, " +
-        "CAST(1 AS BIGINT) AS tight_cap_subset"
-    },
+        "CAST(1 AS BIGINT) AS tight_cap_subset"),
     // hierarchical form: same definitional flat-drop replay; the
     // refinement verdicts (subset / no-growth) are Spark-side
     // set-algebra contracts the hash gate forces to hold
-    "emb_semdedup_hier" -> {
-      def d(i: Int, cPrev: String) =
-        s"d$i AS (SELECT v.vec_id, c.cid, " +
-          "SUM(CAST(round((v.x - c.c) * (v.x - c.c), 9) AS DECIMAL(22,12))) AS d2 " +
-          s"FROM v JOIN $cPrev c ON v.dim = c.dim GROUP BY v.vec_id, c.cid), "
-      def a(i: Int) =
-        s"a$i AS (SELECT vec_id, cid, d2 FROM d$i " +
-          "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1), "
-      def c(i: Int) =
-        s"c$i AS (SELECT a.cid, v.dim, " +
-          "round(CAST(SUM(CAST(v.x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c " +
-          s"FROM v JOIN a$i a ON v.vec_id = a.vec_id GROUP BY a.cid, v.dim), "
-      "WITH idx AS (SELECT CAST(range + 1 AS INT) AS i FROM range(64)), " +
-        "v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x " +
-        "FROM embeddings, idx), " +
-        "c0 AS (SELECT vec_id AS cid, dim, x AS c FROM v WHERE vec_id < 4), " +
-        d(1, "c0") + a(1) + c(1) + d(2, "c1") + a(2) + c(2) + d(3, "c2") + a(3) +
-        "pp AS (SELECT x.vec_id AS i, y.vec_id AS j FROM a3 x " +
-        "JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id), " +
-        "s AS (SELECT pp.i, pp.j, SUM(va.x * vb.x) AS dot, " +
-        "SUM(va.x * va.x) AS na, SUM(vb.x * vb.x) AS nb " +
-        "FROM pp JOIN v va ON va.vec_id = pp.i " +
-        "JOIN v vb ON vb.vec_id = pp.j AND vb.dim = va.dim GROUP BY pp.i, pp.j), " +
-        "dups AS (SELECT DISTINCT j AS vec_id FROM s " +
-        "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4) " +
+    "emb_semdedup_hier" ->
+      (semDedupCtes +
         "SELECT (SELECT COUNT(*) FROM a3) AS n_vecs, " +
         "(SELECT COUNT(*) FROM dups) AS n_dropped, " +
         "CAST(1 AS BIGINT) AS hier_subset, " +
-        "CAST(1 AS BIGINT) AS refine_no_growth"
-    },
+        "CAST(1 AS BIGINT) AS refine_no_growth"),
     "q13e_cube" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +
         "COALESCE(l_linestatus, 'ALL') AS lstatus, " +

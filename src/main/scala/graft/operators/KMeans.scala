@@ -94,8 +94,15 @@ object KMeans {
       checkpointDir: Option[String] = None): DataFrame = {
     val vecs = checkpointDir match {
       case Some(d) =>
-        emb.sparkSession.sparkContext.setCheckpointDir(d)
-        longVecs(emb).checkpoint(eager = true)
+        // scope the context-global checkpoint dir: set, eager-write,
+        // restore — an operator must not silently redirect every later
+        // .checkpoint() in the session to its own path (if no dir was
+        // set before, ours stays — the API has no unset)
+        val sc = emb.sparkSession.sparkContext
+        val prev = sc.getCheckpointDir
+        sc.setCheckpointDir(d)
+        try longVecs(emb).checkpoint(eager = true)
+        finally prev.foreach(sc.setCheckpointDir)
       case None => longVecs(emb).localCheckpoint(true)
     }
     val seedIds = vecs.select(col("vec_id")).distinct()

@@ -172,9 +172,13 @@ object Quality {
       .select((col("pos") + 1L).as("rank"), col("col.id").as("top_key"))
       .join(prod.withColumnRenamed("k", "top_key"), "top_key")
       .withColumnRenamed("rows_out", "top_rows")
-    top.crossJoin(broadcast(tot))
+    // left-outer from the totals: disjoint key sets (top empty) still
+    // report their one matched_keys=0 row — the case the pre-join audit
+    // exists for must not answer with silence
+    tot.join(broadcast(top), lit(true), "left_outer")
       .select(col("rank"), col("top_key"), col("top_rows"),
-        col("join_rows"), col("matched_keys"))
+        coalesce(col("join_rows"), lit(0L)).as("join_rows"),
+        col("matched_keys"))
       .orderBy(col("rank"))
   }
 

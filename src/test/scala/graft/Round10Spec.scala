@@ -55,6 +55,14 @@ class Round10Spec extends SparkSpecBase {
       s"cap leaked: ${cappedDropped.size} drops > k*cap=${k * cap}")
     // one-sided recall: the cap only ever KEEPS more
     assert(cappedDropped.subsetOf(fullDropped), "capped drops not a subset")
+    // loose-cap identity EXECUTED through the capped admission path (the
+    // gate's occupancy argument proves it by construction; this proves
+    // it by running it): a cap above every cell's occupancy must
+    // reproduce the uncapped output bit-for-bit
+    val loose = operators.Similarity
+      .semDedupOf(emb, k, 2, 0.4, Some(100000)).collect()
+    assert(loose.sameElements(full.collect()),
+      "a non-biting cap changed the output")
     // unadmitted vectors are all present and kept — total coverage holds
     assert(capped.count() == emb.count())
     assert(capped.filter(col("kept")).count() ==
@@ -124,8 +132,10 @@ class Round10Spec extends SparkSpecBase {
       .orderBy(col("vec_id")).collect()
     assert(local.sameElements(reliable))
     // the reliable mode really wrote through the fault-tolerant store
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
-      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+    val wrote =
+      try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally walk.close()
     assert(wrote > 0, "no reliable checkpoint files written")
   }
 
@@ -152,6 +162,17 @@ class Round10Spec extends SparkSpecBase {
       Tables.t(spark, sfDir, "orders"), col("o_orderkey"),
       Tables.t(spark, sfDir, "lineitem"), col("l_orderkey"), topK = 5)
     assert(five.count() == 5)
+    // disjoint key sets still answer with ONE totals row (null-ranked),
+    // not silence — the audit's whole point is the zero-match verdict
+    import spark.implicits._
+    val disj = operators.Quality.joinCardinality(
+      Seq(1L, 2L).toDF("x"), col("x"),
+      Seq(9L, 10L).toDF("y"), col("y")).collect()
+    assert(disj.length == 1)
+    val dr = disj.head
+    assert(dr.getAs[Long]("join_rows") == 0L)
+    assert(dr.getAs[Long]("matched_keys") == 0L)
+    assert(dr.isNullAt(dr.fieldIndex("rank")))
   }
 
   test("skew report's recommendation picks salted on the planted skew") {

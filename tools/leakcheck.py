@@ -16,17 +16,20 @@ import re
 import subprocess
 import time
 
-ALLOWED_URL = (
-    r"github\.com|raw\.githubusercontent|apache\.org|duckdb\.org|"
-    r"maven\.apache|repo1\.maven|docs\.oracle|openjdk|scala-lang\.org|"
-    r"scalatest\.org|scalacheck\.org|en\.wikipedia|arxiv\.org|dl\.acm|"
-    r"doi\.org|localhost|127\.0\.0\.1|example\.com|json-schema\.org|"
-    r"www\.w3\.org|confluent\.io|avro\.apache"
-)
+# exact hosts or registrable suffixes; a URL passes iff its host EQUALS
+# one of these or ends with "." + one of these (proper label boundary —
+# a prefix/lookahead test would wave through github.com.evil.example)
+ALLOWED_HOSTS = {
+    "github.com", "raw.githubusercontent.com", "apache.org", "duckdb.org",
+    "maven.apache.org", "repo1.maven.org", "docs.oracle.com", "openjdk.org",
+    "scala-lang.org", "scalatest.org", "scalacheck.org", "wikipedia.org",
+    "arxiv.org", "dl.acm.org", "doi.org", "localhost", "127.0.0.1",
+    "example.com", "json-schema.org", "www.w3.org", "confluent.io",
+}
+
+URL = re.compile(r"https?://([\w.-]+)")
 
 PATTERNS = {
-    "url-not-allowlisted": re.compile(
-        r"https?://(?!(?:" + ALLOWED_URL + r"))[\w.-]+"),
     "s3-bucket": re.compile(r"s3a?://[\w.-]+"),
     "gcs-bucket": re.compile(r"gs://[\w.-]+"),
     "abfs-bucket": re.compile(r"abfss?://[\w.-]+"),
@@ -37,11 +40,17 @@ PATTERNS = {
 }
 
 
+def host_allowed(host):
+    h = host.lower().rstrip(".")
+    return any(h == a or h.endswith("." + a) for a in ALLOWED_HOSTS)
+
+
 def main():
     files = subprocess.check_output(["git", "ls-files"]).decode().split("\n")
     head = subprocess.check_output(
         ["git", "rev-parse", "HEAD"]).decode().strip()
     hits = {k: [] for k in PATTERNS}
+    hits["url-not-allowlisted"] = []
     scanned = 0
     for f in files:
         if not f:
@@ -52,9 +61,14 @@ def main():
             continue  # binary fixtures / removed paths
         scanned += 1
         for ln, line in enumerate(text.split("\n"), 1):
+            for m in URL.finditer(line):
+                if not host_allowed(m.group(1)):
+                    hits["url-not-allowlisted"].append(
+                        f"{f}:{ln}: {m.group(0)[:80]}")
             for name, pat in PATTERNS.items():
-                m = pat.search(line)
-                if m:
+                # every match on the line, not just the first — the
+                # evidence trail must not undercount
+                for m in pat.finditer(line):
                     hits[name].append(f"{f}:{ln}: {m.group(0)[:80]}")
     n = sum(len(v) for v in hits.values())
     report = {
