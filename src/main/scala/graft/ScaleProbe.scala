@@ -255,6 +255,10 @@ object ScaleProbe {
     // reduction, recursively composable at real scale
     def semHier(e: DataFrame, clusters: Int, target: Int) =
       operators.Similarity.semDedupHierOf(e, clusters, 2, 0.4, target)
+    // bounded-fanout recursion: each level ≤ n·fanout·d vs the one-shot
+    // hierarchy's n·s — the multi-level k-means tree
+    def semRec(e: DataFrame, clusters: Int, target: Int) =
+      operators.Similarity.semDedupRecursiveOf(e, clusters, 2, 0.4, target)
 
     // entity resolution: replicas get disjoint balance ranges (offset
     // far beyond the acctbal domain), modeling MORE entities at the same
@@ -429,7 +433,9 @@ object ScaleProbe {
       probe("semdedup_cap", { emb1; embK; () })((
         time(noop(semCap(emb1, 4, 160))), time(noop(semCap(embK, 4, 160))))),
       probe("semdedup_hier", { emb1; embK; () })((
-        time(noop(semHier(emb1, 4, 160))), time(noop(semHier(embK, 4, 160)))))).flatten
+        time(noop(semHier(emb1, 4, 160))), time(noop(semHier(embK, 4, 160))))),
+      probe("semdedup_rec", { emb1; embK; () })((
+        time(noop(semRec(emb1, 4, 160))), time(noop(semRec(embK, 4, 160)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

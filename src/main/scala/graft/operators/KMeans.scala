@@ -161,13 +161,14 @@ object KMeans {
     * backstop. The spec pins both behaviors.
     */
   def subAssignmentsOf(emb: DataFrame, asg: DataFrame, targetCell: Int,
-      iters: Int): DataFrame = {
-    require(targetCell > 0)
+      iters: Int, maxFanout: Int = Int.MaxValue): DataFrame = {
+    require(targetCell > 0 && maxFanout > 1)
     val vecs = longVecs(emb)
       .join(asg.select(col("vec_id"), col("cid")), "vec_id")
       .localCheckpoint(true)
     val occ = asg.groupBy(col("cid")).agg(count(lit(1)).as("occ"))
-      .withColumn("s", ceil(col("occ") / lit(targetCell)).cast("int"))
+      .withColumn("s", least(ceil(col("occ") / lit(targetCell)),
+        lit(maxFanout.toLong)).cast("int"))
       .localCheckpoint(true)
     // the widest cell's sub count — one scalar (parameter-sized collect,
     // same class as the seed collect above)
@@ -193,5 +194,50 @@ object KMeans {
           count(lit(1)), 6).as("c"))
     }
     subAssign(vecs, cent)
+  }
+
+  /** Bounded-fanout RECURSIVE refinement — the near-linear form of the
+    * hierarchy: [[subAssignmentsOf]] with s = ⌈occ/target⌉ pays one
+    * sub-assignment join of n·s rows (quadratic in cell occupancy at
+    * fixed coarse k); capping the per-level split at `fanout` makes
+    * each level cost ≤ n·fanout·d and reaches target occupancy in
+    * ≈ log_fanout(occ/target) levels — total n·d·fanout·levels, the
+    * multi-level k-means tree every production coarse quantizer uses.
+    * Each level refines ONLY the still-oversized cells (the settled
+    * majority of the corpus is untouched); composite ids pack exactly
+    * as cid·fanout + sub (cid ≤ k·fanout^levels — Long-safe through
+    * every practical depth). A cell Lloyd's cannot split (identical
+    * vectors — every level sends all points to one sub) stays
+    * oversized and exits with the level budget; the occupancy CAP
+    * remains the hard bound for those. Returns (vec_id, cid) with the
+    * refined composite cid.
+    */
+  def refineToTarget(emb: DataFrame, asg0: DataFrame, targetCell: Int,
+      iters: Int, fanout: Int = 16, maxLevels: Int = 4): DataFrame = {
+    require(fanout > 1 && maxLevels >= 1)
+    var asg = asg0.select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .localCheckpoint(true)
+    var lvl = 0
+    var done = false
+    while (lvl < maxLevels && !done) {
+      val over = asg.groupBy(col("cid")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > targetCell).select(col("cid"))
+        .localCheckpoint(true)
+      // one scalar per level (level count is a parameter)
+      if (over.isEmpty) done = true
+      else {
+        val hot = asg.join(over, "cid")
+        val cold = asg.join(over, Seq("cid"), "left_anti")
+        val sub = subAssignmentsOf(
+          emb.join(hot.select(col("vec_id")), "vec_id"), hot,
+          targetCell, iters, maxFanout = fanout)
+        asg = cold.unionByName(
+          sub.select(col("vec_id"),
+            (col("cid") * fanout + col("sub")).as("cid")))
+          .localCheckpoint(true)
+        lvl += 1
+      }
+    }
+    asg
   }
 }

@@ -703,6 +703,30 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Recursive SemDeDup — the near-linear composition of the
+    * hierarchy: [[KMeans.refineToTarget]] splits oversized cells with a
+    * BOUNDED per-level fanout (each level ≤ n·fanout·d assignment work,
+    * ≈ log_fanout(occ/target) levels, only still-oversized cells
+    * touched), then the pair join runs within the final cells. Same
+    * one-sided recall direction as the single-level form (refinement
+    * partitions cells ⇒ drops ⊆ flat drops); `maxCell` remains the
+    * hard backstop for Lloyd's-unsplittable cells. This is the form
+    * whose cost survives a fixed coarse k at 100 TB.
+    */
+  def semDedupRecursiveOf(emb: DataFrame, k: Int, iters: Int, thr: Double,
+      targetCell: Int, fanout: Int = 16, maxLevels: Int = 4,
+      maxCell: Option[Int] = None): DataFrame = {
+    val asg = KMeans.assignmentsOf(emb, k, iters)
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    val refined = KMeans.refineToTarget(emb, asg, targetCell, iters,
+      fanout, maxLevels)
+    val dropped = semDedupDropped(emb, refined, thr, maxCell)
+    refined.join(dropped.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("dup").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** emb_semdedup_hier — contract gate for the hierarchical form:
     * `n_vecs`/`n_dropped` are the FLAT (coarse-cell, uncapped) facts the
     * DuckDB oracle replays definitionally; `hier_subset` forces

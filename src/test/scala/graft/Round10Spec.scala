@@ -121,6 +121,55 @@ class Round10Spec extends SparkSpecBase {
     capped.unpersist(); dAsg.unpersist()
   }
 
+  test("recursive refinement: bounded fanout reaches target occupancy in levels") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    // nested-diversity corpus: 2 coarse blobs × 4 sub-blobs × 8 points
+    // (distinct directions at two scales) — with fanout capped at 2 a
+    // single level CANNOT reach target occupancy 8; recursion must.
+    // Ids interleave across blob AND sub-blob so the lowest-id seeds of
+    // every Lloyd's level land in different sub-structures.
+    val dim = 64
+    val emb = (for {
+      blob <- 0 until 2; subBlob <- 0 until 4; pt <- 0 until 8
+    } yield {
+      val id = (pt * 8 + subBlob * 2 + blob).toLong
+      val v = Array.fill(dim)(0.0f)
+      v(blob) = 100.0f                 // coarse separation (dims 0-1)
+      v(8 + subBlob) = 10.0f           // sub-blob separation (dims 8-11)
+      v(16 + (pt % 4)) = 1.0f + (pt / 4) // point-level texture
+      (id, v)
+    }).toDF("vec_id", "embedding")
+    val asg = operators.KMeans.assignmentsOf(emb, 2, 2)
+      .select(col("vec_id"), col("cid")).cache()
+    def maxOcc(a: org.apache.spark.sql.DataFrame): Long =
+      a.groupBy(col("cid")).count().agg(max(col("count"))).head().getLong(0)
+    assert(maxOcc(asg.select(col("vec_id"), col("cid").cast("long").as("cid")))
+      == 32L, "coarse blobs must hold 32 points each")
+    // one fanout-2 level halves at best: still over target 8
+    val one = operators.KMeans.refineToTarget(emb, asg, targetCell = 8,
+      iters = 1, fanout = 2, maxLevels = 1)
+    assert(maxOcc(one) > 8L, "fanout 2 cannot reach target in one level")
+    // enough levels: every cell lands at or under target (this corpus is
+    // splittable at every scale)
+    val full = operators.KMeans.refineToTarget(emb, asg, targetCell = 8,
+      iters = 1, fanout = 2, maxLevels = 4)
+    assert(maxOcc(full) <= 8L, s"recursion stalled at ${maxOcc(full)}")
+    assert(full.count() == emb.count(), "refinement must not lose vectors")
+    // the recursive dedup form: coverage + one-sided recall vs flat
+    val rec = operators.Similarity.semDedupRecursiveOf(emb, 2, 2, 0.9,
+      targetCell = 8, fanout = 2, maxLevels = 4).cache()
+    assert(rec.count() == emb.count())
+    val flatDropped = operators.Similarity.semDedupOf(emb, 2, 2, 0.9)
+      .filter(!col("kept")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val recDropped = rec.filter(!col("kept")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(recDropped.subsetOf(flatDropped),
+      "recursive drops must be one-sided vs flat")
+    rec.unpersist(); asg.unpersist()
+  }
+
   test("kmeans: reliable-checkpoint mode is bit-identical to local mode") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val local = operators.KMeans.assignmentsOf(emb, 4, 2)
