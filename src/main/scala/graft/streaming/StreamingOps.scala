@@ -804,6 +804,139 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  final case class OverAgg(user_id: Long, ts_us: Long, event_id: Long,
+    value: Double, sum_w: Double, cnt_w: Long)
+
+  /** Flink's row-time bounded OVER aggregation (Table API
+    * `SUM(v) OVER (PARTITION BY key ORDER BY rowtime RANGE BETWEEN
+    * INTERVAL ... PRECEDING AND CURRENT ROW)`) — the per-event trailing
+    * aggregate Spark's Structured Streaming has no operator for (window
+    * functions are unsupported over unbounded input). Semantics match
+    * the BATCH RANGE frame exactly, ties included: a row's window spans
+    * (ts − w, ts] by VALUE, so same-timestamp peers — including ones
+    * that arrive later — are part of each other's aggregate. That is
+    * only decidable once no more rows at that timestamp can arrive,
+    * which is precisely what Flink's implementation waits for and what
+    * this one does: rows buffer in per-key MapState keyed by their
+    * timestamp, an event-time timer fires when the watermark passes
+    * each timestamp, and the fire emits every row at that instant with
+    * the aggregate over the buffered content in its range. Rows at or
+    * below the watermark on arrival are dropped (their emission
+    * already happened — the same late-row contract as every windowed
+    * operator here). State per key is the window CONTENT (exactly
+    * Flink's state shape for this operator), evicted once the
+    * watermark guarantees no future row's range can reach it.
+    *
+    * Batch twin: `Window.partitionBy(key).orderBy(ts).rangeBetween(-w,
+    * 0)` — the q15c range-frame family; the spec pins streaming ≡
+    * batch on a replay with a same-timestamp tie.
+    */
+  class OverWindowProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Double), OverAgg] {
+    // ts_us → (sum at ts, cnt at ts, UNEMITTED rows at ts). Aggregates
+    // stay after emission (later rows' windows still read them); the
+    // rows list empties, making the drain idempotent.
+    @transient private var content:
+      org.apache.spark.sql.streaming.MapState[Long,
+        (Double, Long, List[(Long, Double)])] = _
+    // the DRAINED FRONTIER: the highest instant this key has emitted.
+    // The late-row guard compares against it, not the raw watermark —
+    // the watermark's zero initial value would otherwise misclassify
+    // epoch-adjacent first-batch rows as already-emitted.
+    @transient private var drained:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      content = getHandle.getMapState[Long, (Double, Long, List[(Long, Double)])](
+        "content",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.kryo[(Double, Long, List[(Long, Double)])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      drained = getHandle.getValueState[Long]("drained",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[OverAgg] = {
+      val frontier = if (drained.exists()) drained.get() else Long.MinValue
+      rows.foreach { case (_, ts, id, v) =>
+        // a row at or below the drained frontier arrived after its
+        // instant emitted — drop (the late-row contract)
+        if (ts > frontier) {
+          val (s, c, rs) =
+            if (content.containsKey(ts)) content.getValue(ts)
+            else (0.0, 0L, Nil)
+          content.updateValue(ts, (s + v, c + 1, (id, v) :: rs))
+          // ceil to the next ms so the fire implies watermark ≥ ts even
+          // for non-ms-aligned microsecond timestamps
+          getHandle.registerTimer((ts + 999L) / 1000L)
+        }
+      }
+      Iterator.empty
+    }
+
+    /** Any fire drains EVERY ripe instant (ts ≤ watermark) in ascending
+      * order — idempotent across the batch's remaining timers, and
+      * immune to ms-truncation aliasing between timer and key.
+      */
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[OverAgg] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val snapshot = content.iterator().toList.sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[OverAgg]
+      var frontier = if (drained.exists()) drained.get() else Long.MinValue
+      snapshot.foreach { case (ts, (_, _, pending)) =>
+        if (ts <= wmUs && pending.nonEmpty) {
+          frontier = math.max(frontier, ts)
+          // [ts − w, ts] INCLUSIVE both ends — Spark's rangeBetween(−w,
+          // 0) and Flink's RANGE w PRECEDING both include the lower edge
+          var sum = 0.0; var cnt = 0L
+          snapshot.foreach { p =>
+            if (p._1 >= ts - windowUs && p._1 <= ts) {
+              sum += p._2._1; cnt += p._2._2
+            }
+          }
+          pending.reverse.foreach { case (id, v) =>
+            out += OverAgg(key, ts, id, v, sum, cnt)
+          }
+          val kept = content.getValue(ts)
+          content.updateValue(ts, (kept._1, kept._2, Nil))
+        }
+      }
+      drained.update(frontier)
+      // evict what no future emission can reach: every unemitted row
+      // has ts > watermark, so content at or below watermark − w is dead
+      snapshot.foreach(p =>
+        if (p._1 <= wmUs - windowUs) content.removeKey(p._1))
+      out.iterator
+    }
+  }
+
+  /** (user_id, ts_us, event_id, value) stream → per-event trailing
+    * RANGE-window aggregates (10-minute window by default), emitted at
+    * watermark passage with batch-exact tie semantics.
+    */
+  def overWindowStream(events: Dataset[(Long, Long, Long, Double)],
+      windowUs: Long = 600000000L): Dataset[OverAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", "5 seconds")
+      .select(col("_1"), col("_2"), col("_3"), col("_4"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new OverWindowProcessor(windowUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   final case class TouchCredit(user_id: Long, purchase_id: Long,
     purchase_ts_us: Long, last_touch_id: Long, last_touch_type: String,
     last_touch_latency_us: Long)

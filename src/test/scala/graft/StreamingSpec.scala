@@ -669,6 +669,65 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("over-window stream: per-event RANGE aggregates equal the batch frame, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val M = 60000000L // one minute in micros
+      // (user, ts_us, id, value): a same-timestamp TIE at 5m — each of
+      // the tied rows must see the OTHER in its aggregate (the batch
+      // RANGE-frame peer semantics only decidable at watermark passage)
+      val series = Seq(
+        (7L, 0 * M, 1L, 10.0), (7L, 5 * M, 2L, 20.0), (7L, 5 * M, 3L, 5.0),
+        (7L, 12 * M, 4L, 1.0))
+      val src = MemoryStream[(Long, Long, Long, Double)]
+      val q = StreamingOps.overWindowStream(src.toDS(), windowUs = 10 * M)
+        .writeStream.format("memory").queryName("overw")
+        .outputMode("append").start()
+      src.addData(series: _*)
+      q.processAllAvailable()
+      src.addData((8L, 30 * M, 90L, 0.0)) // watermark advancer
+      q.processAllAvailable()
+      src.addData((8L, 31 * M, 91L, 0.0)) // flush the 12m instant
+      q.processAllAvailable()
+      val afterFlush = spark.table("overw").as[StreamingOps.OverAgg]
+        .collect().filter(_.user_id == 7L)
+        .map(o => o.event_id -> (o.sum_w, o.cnt_w)).toMap
+      // a late row below the watermark: dropped, nothing re-emits
+      src.addData((7L, 1 * M, 9L, 99.0))
+      q.processAllAvailable()
+      q.stop()
+      val fin = spark.table("overw").as[StreamingOps.OverAgg]
+        .collect().filter(_.user_id == 7L)
+      assert(fin.length == afterFlush.size && !fin.exists(_.event_id == 9L),
+        "late row must not emit or mutate history")
+      // batch twin: the RANGE frame over the same in-order rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_1")).orderBy(col("_2"))
+        .rangeBetween(-10 * M, 0)
+      val expected = series.toDF()
+        .withColumn("sum_w", sum(col("_4")).over(w))
+        .withColumn("cnt_w", count(lit(1)).over(w))
+        .select(col("_3"), col("sum_w"), col("cnt_w"))
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(afterFlush == expected,
+        s"streamed $afterFlush != batch frame $expected")
+      // the tie really aggregated both peers, and the 12m window really
+      // slid past the 0m row
+      assert(afterFlush(2L) == ((35.0, 3L)) && afterFlush(3L) == ((35.0, 3L)))
+      assert(afterFlush(4L) == ((26.0, 3L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("attribution stream: credits across a batch seam match the batch last-touch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
