@@ -804,6 +804,68 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  final case class RankedEntry(group: Long, ver: Long, rk: Long, id: Long,
+    value: Double)
+
+  /** Flink's UNBOUNDED streaming Top-N (the non-windowed
+    * `ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) <= N` on a
+    * stream, update mode) — the running leaderboard. State per group is
+    * ONE bounded list of ≤ n (value, id) pairs regardless of stream
+    * length (the same bounded-heap collapse as the batch `topk_by_value`
+    * aggregate); each micro-batch folds its rows in as a set operation
+    * (old top-n ∪ batch, re-ranked by value DESC / id ASC), so the
+    * result is independent of intra-batch arrival order. When the
+    * ranking changes, the processor emits the group's FULL ranked
+    * snapshot stamped with a per-group monotone version — Spark has no
+    * retract streams, so the changelog Flink would emit as
+    * retract/upsert pairs is delivered as versioned snapshots instead;
+    * the latest version per group IS the current answer, and
+    * [[upsertSink]] materializes exactly that contract downstream.
+    */
+  class TopNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Double), RankedEntry] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, List[(Double, Long)])] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, List[(Double, Long)])](
+        "topn",
+        org.apache.spark.sql.Encoders.kryo[(Long, List[(Double, Long)])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[RankedEntry] = {
+      val (ver, old) = if (st.exists()) st.get() else (0L, Nil)
+      val merged = (old ++ rows.map { case (_, id, v) => (v, id) })
+        .distinct
+        .sortBy { case (v, id) => (-v, id) }
+        .take(n)
+      if (merged == old) Iterator.empty
+      else {
+        st.update((ver + 1, merged))
+        merged.zipWithIndex.iterator.map { case ((v, id), i) =>
+          RankedEntry(key, ver + 1, i + 1L, id, v)
+        }
+      }
+    }
+  }
+
+  /** (group, id, value) stream → versioned ranked snapshots (Update
+    * mode); the latest version per group is the live top-n.
+    */
+  def topNStream(events: Dataset[(Long, Long, Double)],
+      n: Int = 3): Dataset[RankedEntry] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TopNProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   final case class OverAgg(user_id: Long, ts_us: Long, event_id: Long,
     value: Double, sum_w: Double, cnt_w: Long)
 

@@ -669,6 +669,55 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("topN stream: latest version per group equals the batch top-N; no-change batches are silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (group, id, value); batch 2 reshuffles group 1's podium and
+      // leaves group 2 unchanged (its rows are strictly worse)
+      val b1 = Seq((1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 7.0),
+        (2L, 20L, 3.0), (2L, 23L, 2.0))
+      val b2 = Seq((1L, 13L, 8.0), (2L, 21L, 1.0), (2L, 22L, 0.5))
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = StreamingOps.topNStream(src.toDS(), n = 2)
+        .writeStream.format("memory").queryName("topn")
+        .outputMode("update").start()
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("topn").as[StreamingOps.RankedEntry].collect()
+      // group 2's batch-2 rows never entered its top-2: no new version
+      assert(all.filter(_.group == 2L).map(_.ver).max == 1L,
+        "an unchanged ranking must emit nothing")
+      // latest version per group == batch top-N over the full replay
+      val latest = all.groupBy(_.group).map { case (g, rows) =>
+        val v = rows.map(_.ver).max
+        g -> rows.filter(_.ver == v).sortBy(_.rk).map(r => (r.id, r.value)).toSeq
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_1")).orderBy(col("_3").desc, col("_2"))
+      val expected = (b1 ++ b2).toDF()
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+        .select(col("_1"), col("_2"), col("_3"), col("rk"))
+        .as[(Long, Long, Double, Int)].collect()
+        .groupBy(_._1).map { case (g, rows) =>
+          g -> rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+      assert(latest == expected, s"live $latest != batch $expected")
+      // the podium reshuffle really versioned: 13 displaced 12
+      assert(latest(1L) == Seq((11L, 9.0), (13L, 8.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("over-window stream: per-event RANGE aggregates equal the batch frame, ties included") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
