@@ -435,7 +435,16 @@ object ScaleProbe {
       probe("semdedup_hier", { emb1; embK; () })((
         time(noop(semHier(emb1, 4, 160))), time(noop(semHier(embK, 4, 160))))),
       probe("semdedup_rec", { emb1; embK; () })((
-        time(noop(semRec(emb1, 4, 160))), time(noop(semRec(embK, 4, 160)))))).flatten
+        time(noop(semRec(emb1, 4, 160))), time(noop(semRec(embK, 4, 160))))),
+      // the PRODUCTION RECIPE column (VERDICT r10 #6): k scales with the
+      // corpus for every form, so the k× side runs 4·k coarse cells —
+      // cell occupancy is held constant and refinement only tidies the
+      // occupancy tail. Run these alongside the fixed-k rows in ONE
+      // probe invocation so all forms share a host window.
+      probe("semdedup_hier_recipe", { emb1; embK; () })((
+        time(noop(semHier(emb1, 4, 160))), time(noop(semHier(embK, 4 * k, 160))))),
+      probe("semdedup_rec_recipe", { emb1; embK; () })((
+        time(noop(semRec(emb1, 4, 160))), time(noop(semRec(embK, 4 * k, 160)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

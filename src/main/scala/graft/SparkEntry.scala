@@ -252,6 +252,14 @@ object SparkEntry {
       ((s, dir) => Similarity.semDedupBoundedChecked(s, dir)),
     "emb_semdedup_hier" ->
       ((s, dir) => Similarity.semDedupHierChecked(s, dir)),
+    // recursive (bounded-fanout) refinement — the 100 TB production
+    // path, gated on flat facts + live subset/partition verdicts
+    "emb_semdedup_rec" ->
+      ((s, dir) => Similarity.semDedupRecChecked(s, dir)),
+    // changelog-source aggregation: I/U/D replay through
+    // transformWithState, latest snapshot per group vs the net state
+    "stream_changelog_agg" ->
+      ((s, dir) => graft.streaming.StreamingOps.changelogAggGate(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
     "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
     "q10p_percentile_disc" ->
@@ -2178,6 +2186,32 @@ object SparkEntry {
         "(SELECT COUNT(*) FROM dups) AS n_dropped, " +
         "CAST(1 AS BIGINT) AS hier_subset, " +
         "CAST(1 AS BIGINT) AS refine_no_growth"),
+    // recursive form: same definitional flat-drop replay; the live
+    // refinement's subset + partition verdicts are Spark-side
+    // set-algebra contracts the hash gate forces to hold
+    "emb_semdedup_rec" ->
+      (semDedupCtes +
+        "SELECT (SELECT COUNT(*) FROM a3) AS n_vecs, " +
+        "(SELECT COUNT(*) FROM dups) AS n_dropped, " +
+        "CAST(1 AS BIGINT) AS rec_subset, " +
+        "CAST(1 AS BIGINT) AS rec_partition"),
+    // changelog net state, definitionally: last op per (group, id) by
+    // seq wins, deletes remove the id, SUM/COUNT per group over what
+    // survives; groups whose ids were ALL deleted still emitted a
+    // snapshot, hence the DISTINCT-group left join
+    "stream_changelog_agg" ->
+      ("WITH ops AS (SELECT CASE WHEN event_type='purchase' THEN 'D' " +
+        "WHEN event_type='click' THEN 'U' ELSE 'I' END AS op, " +
+        "event_id AS seq, user_id % 8 AS grp, event_id % 97 AS id, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events), " +
+        "last AS (SELECT * FROM ops QUALIFY " +
+        "row_number() OVER (PARTITION BY grp, id ORDER BY seq DESC) = 1), " +
+        "net AS (SELECT grp, SUM(value_c) AS sum_c, COUNT(*) AS cnt " +
+        "FROM last WHERE op <> 'D' GROUP BY grp) " +
+        "SELECT g.grp, CAST(COALESCE(net.sum_c, 0) AS BIGINT) AS sum_c, " +
+        "CAST(COALESCE(net.cnt, 0) AS BIGINT) AS cnt " +
+        "FROM (SELECT DISTINCT grp FROM ops) g " +
+        "LEFT JOIN net ON net.grp = g.grp ORDER BY g.grp"),
     "q13e_cube" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +
         "COALESCE(l_linestatus, 'ALL') AS lstatus, " +

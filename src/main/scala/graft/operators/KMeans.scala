@@ -204,9 +204,16 @@ object KMeans {
     * ≈ log_fanout(occ/target) levels — total n·d·fanout·levels, the
     * multi-level k-means tree every production coarse quantizer uses.
     * Each level refines ONLY the still-oversized cells (the settled
-    * majority of the corpus is untouched); composite ids pack exactly
-    * as cid·fanout + sub (cid ≤ k·fanout^levels — Long-safe through
-    * every practical depth). A cell Lloyd's cannot split (identical
+    * majority of the corpus is untouched); composite ids pack the
+    * WHOLE id space each level — hot cells as cid·fanout + sub
+    * (sub ∈ [0, fanout)), cold cells as cid·fanout — so every coarse
+    * cid owns the disjoint interval [cid·fanout, (cid+1)·fanout) and
+    * refined ids can never collide across coarse cells (cid ≤
+    * k·fanout^levels — Long-safe through every practical depth). A
+    * cold cell left UNSHIFTED would alias a hot cell's sub ids (cold
+    * cid 5 vs hot cid 0 sub 5), silently merging unrelated cells in
+    * the refined assignment and breaking the drops ⊆ flat-drops
+    * contract downstream. A cell Lloyd's cannot split (identical
     * vectors — every level sends all points to one sub) stays
     * oversized and exits with the level budget; the occupancy CAP
     * remains the hard bound for those. Returns (vec_id, cid) with the
@@ -231,8 +238,11 @@ object KMeans {
         val sub = subAssignmentsOf(
           emb.join(hot.select(col("vec_id")), "vec_id"), hot,
           targetCell, iters, maxFanout = fanout)
-        asg = cold.unionByName(
-          sub.select(col("vec_id"),
+        // BOTH branches shift into the level's id space: hot and cold
+        // coarse cids are disjoint, so [cid·fanout, (cid+1)·fanout)
+        // intervals are too — no hot sub id can land on a cold id
+        asg = cold.select(col("vec_id"), (col("cid") * fanout).as("cid"))
+          .unionByName(sub.select(col("vec_id"),
             (col("cid") * fanout + col("sub")).as("cid")))
           .localCheckpoint(true)
         lvl += 1

@@ -605,9 +605,23 @@ object Similarity {
     * of the uncapped drops). Production recipe stays "scale k with the
     * corpus"; the cap is the backstop that turns the skewed-cell worst
     * case from quadratic into a bounded, audited recall trade.
+    *
+    * The cap is ON BY DEFAULT (10 000): a 100 TB library must make the
+    * bounded form the path of least resistance, so the unsafe
+    * (uncapped) variant is the explicit opt-out `maxCell = None`, not
+    * the signature default. The recall trade at the default: a cell
+    * must exceed 10 000 members before ANY comparison is skipped, and
+    * then only members above the 10 000 lowest ids go uncompared (and
+    * are KEPT — the one-sided direction above); candidate volume is
+    * ≤ k·5·10⁷ pairs by construction. Cells that small-corpus gates
+    * and typical SemDeDup recipes produce (10²–10⁴) are untouched —
+    * capped ≡ uncapped there, which is why the hash gate runs through
+    * the default cap.
     */
+  val DefaultMaxCell: Int = 10000
+
   def semDedupOf(emb: DataFrame, k: Int, iters: Int, thr: Double,
-      maxCell: Option[Int] = None): DataFrame = {
+      maxCell: Option[Int] = Some(DefaultMaxCell)): DataFrame = {
     val asg = KMeans.assignmentsOf(emb, k, iters)
       .select(col("vec_id"), col("cid")).localCheckpoint(true)
     val dropped = semDedupDropped(emb, asg, thr, maxCell)
@@ -645,12 +659,17 @@ object Similarity {
     * [[Dedup.minhashBoundedChecked]] shape transplanted: `n_vecs` and
     * `n_dropped` (the UNCAPPED drop count, which the DuckDB oracle
     * recomputes definitionally via its own Lloyd's + pair-join replay),
-    * `loose_cap_eq` = a cap at/above every cell's occupancy admits
-    * everything, proven from the occupancy table alone (no second pair
-    * join), and `tight_cap_subset` = a biting cap (3, well under the
-    * ~25-vector cells here) only ever REMOVES drops. Verdicts compare
-    * the dropped-id sets — the layer the cap acts on; the kept verdict
-    * is a deterministic downstream read.
+    * `loose_cap_eq` = a RUN of the capped kernel at a loose cap (1000,
+    * far above the ~25-vector cells here) drops EXACTLY the uncapped
+    * set — the admission code path itself executes and its output is
+    * set-compared both directions, so a broken admission (wrong heap
+    * order, off-by-one, dropped cell) flips the verdict; and
+    * `tight_cap_subset` = a biting cap (3) only ever REMOVES drops.
+    * The falsifiability of loose_cap_eq is itself spec-pinned: the
+    * same symmetric-difference test run at cap=1 is asserted NON-empty
+    * (the mutation case — a check that cannot fail proves nothing).
+    * Verdicts compare the dropped-id sets — the layer the cap acts on;
+    * the kept verdict is a deterministic downstream read.
     */
   def semDedupBoundedChecked(s: SparkSession, dir: String, k: Int = 4,
       iters: Int = 2, thr: Double = 0.4): DataFrame = {
@@ -663,11 +682,15 @@ object Similarity {
     val full = semDedupDropped(emb, asg, thr, None).localCheckpoint(true)
     val nVec = asg.agg(count(lit(1)).as("n_vecs"))
     val nDrop = full.agg(count(lit(1)).as("n_dropped"))
-    // loose-cap equality via occupancy alone: if NO cell exceeds the
-    // cap, admission is the identity and the pair join is unchanged by
-    // construction
-    val dEq = asg.groupBy(col("cid")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > (1L << 30)).agg(count(lit(1)).as("d1"))
+    // loose-cap equality by EXECUTION: run the capped kernel at a cap
+    // above every cell's occupancy and set-compare its drops against
+    // the uncapped run, both directions — this exercises the k-heap
+    // admission path the verdict claims to prove (the former
+    // occupancy-table shortcut was true by construction and could
+    // never fail)
+    val loose = semDedupDropped(emb, asg, thr, Some(1000))
+    val dEq = loose.exceptAll(full).unionAll(full.exceptAll(loose))
+      .agg(count(lit(1)).as("d1"))
     val tight = semDedupDropped(emb, asg, thr, Some(3))
     val dSub = tight.exceptAll(full).agg(count(lit(1)).as("d2"))
     nVec.crossJoin(nDrop).crossJoin(dEq).crossJoin(dSub)
@@ -689,7 +712,8 @@ object Similarity {
     * Output adds the sub-cell id next to the coarse cluster.
     */
   def semDedupHierOf(emb: DataFrame, k: Int, iters: Int, thr: Double,
-      targetCell: Int, maxCell: Option[Int] = None): DataFrame = {
+      targetCell: Int,
+      maxCell: Option[Int] = Some(DefaultMaxCell)): DataFrame = {
     val asg = KMeans.assignmentsOf(emb, k, iters)
       .select(col("vec_id"), col("cid")).localCheckpoint(true)
     val sub = KMeans.subAssignmentsOf(emb, asg, targetCell, iters)
@@ -715,7 +739,7 @@ object Similarity {
     */
   def semDedupRecursiveOf(emb: DataFrame, k: Int, iters: Int, thr: Double,
       targetCell: Int, fanout: Int = 16, maxLevels: Int = 4,
-      maxCell: Option[Int] = None): DataFrame = {
+      maxCell: Option[Int] = Some(DefaultMaxCell)): DataFrame = {
     val asg = KMeans.assignmentsOf(emb, k, iters)
       .select(col("vec_id"), col("cid")).localCheckpoint(true)
     val refined = KMeans.refineToTarget(emb, asg, targetCell, iters,
@@ -766,6 +790,46 @@ object Similarity {
       .select(col("n_vecs"), col("n_dropped"),
         when(col("d1") === 0, 1L).otherwise(0L).as("hier_subset"),
         when(col("mr") <= col("mc"), 1L).otherwise(0L).as("refine_no_growth"))
+  }
+
+  /** emb_semdedup_rec — contract gate for the RECURSIVE form, the
+    * declared 100 TB production path ([[semDedupRecursiveOf]] /
+    * [[KMeans.refineToTarget]]): `n_vecs`/`n_dropped` are the same
+    * flat (coarse-cell, uncapped) facts the DuckDB oracle replays
+    * definitionally; the recursive refinement then runs LIVE under the
+    * gate and two verdict columns force its contracts every round:
+    * `rec_subset` — recursive drops ⊆ flat drops (each refinement
+    * level PARTITIONS cells, so refined pairs ⊆ coarse pairs; this is
+    * exactly the invariant the round-10 id-collision bug violated —
+    * cold cells left unshifted aliased hot sub ids, merging unrelated
+    * cells and creating drops flat never made — so the gate would have
+    * caught it); `rec_partition` — the refined assignment is a
+    * PARTITION of the corpus (one row per vec_id, none lost, none
+    * duplicated across cells). The refinement runs 1 sub-Lloyd's
+    * iteration and a small fanout so the gate pays for the contract,
+    * not for convergence; the quantitative cost ladder lives in
+    * ScaleProbe/PLANS.
+    */
+  def semDedupRecChecked(s: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 2, thr: Double = 0.4, targetCell: Int = 50): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    val asg = KMeans.assignmentsOf(emb, k, iters)
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    val flat = semDedupDropped(emb, asg, thr, None).localCheckpoint(true)
+    val refined = KMeans.refineToTarget(emb, asg, targetCell, iters = 1,
+      fanout = 4, maxLevels = 3).localCheckpoint(true)
+    val rec = semDedupDropped(emb, refined, thr, None)
+    val nVec = asg.agg(count(lit(1)).as("n_vecs"))
+    val nDrop = flat.agg(count(lit(1)).as("n_dropped"))
+    val dSub = rec.exceptAll(flat).agg(count(lit(1)).as("d1"))
+    val part = refined.groupBy(col("vec_id")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_ids"), max(col("c")).as("mx"))
+    nVec.crossJoin(nDrop).crossJoin(dSub).crossJoin(part)
+      .select(col("n_vecs"), col("n_dropped"),
+        when(col("d1") === 0, 1L).otherwise(0L).as("rec_subset"),
+        when(col("n_ids") === col("n_vecs") && col("mx") === 1, 1L)
+          .otherwise(0L).as("rec_partition"))
   }
 
   def embeddingNearDup(s: SparkSession, dir: String, blocks: Int = 16,

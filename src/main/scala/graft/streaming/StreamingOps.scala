@@ -268,7 +268,9 @@ object StreamingOps {
     override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
         timerValues: org.apache.spark.sql.streaming.TimerValues):
         Iterator[WindowTopN] = {
-      val endMs = (key + windowUs) / 1000L
+      // ceil to the next ms (same as OverWindowProcessor): truncating
+      // division would close a non-ms-aligned window up to 1 ms early
+      val endMs = (key + windowUs + 999L) / 1000L
       // window already closed and emitted: late rows drop here
       if (timerValues.getCurrentWatermarkInMs() >= endMs) return Iterator.empty
       rows.foreach { case (_, tpe) =>
@@ -812,10 +814,19 @@ object StreamingOps {
     * stream, update mode) — the running leaderboard. State per group is
     * ONE bounded list of ≤ n (value, id) pairs regardless of stream
     * length (the same bounded-heap collapse as the batch `topk_by_value`
-    * aggregate); each micro-batch folds its rows in as a set operation
-    * (old top-n ∪ batch, re-ranked by value DESC / id ASC), so the
-    * result is independent of intra-batch arrival order. When the
-    * ranking changes, the processor emits the group's FULL ranked
+    * aggregate); each micro-batch folds its rows into the kept list and
+    * re-ranks by value DESC / id ASC, so the result is independent of
+    * intra-batch arrival order. APPEND-STREAM CONTRACT, exactly Flink's
+    * `AppendOnlyTopNFunction`: every input row is a separate record —
+    * two identical (id, value) rows occupy two ranks, and an id
+    * re-arriving with a new value is a NEW record that ranks alongside
+    * its earlier one (no upsert, no retraction; for keyed upsert
+    * semantics feed this from a changelog-collapsing stage like
+    * [[changelogAggStream]]'s). Bounded state is EXACT under this
+    * contract: values never retract, so the nth-place threshold is
+    * monotone and a row that misses the current top-n can never enter
+    * later. When the ranking changes, the processor emits the group's
+    * FULL ranked
     * snapshot stamped with a per-group monotone version — Spark has no
     * retract streams, so the changelog Flink would emit as
     * retract/upsert pairs is delivered as versioned snapshots instead;
@@ -840,8 +851,9 @@ object StreamingOps {
         timerValues: org.apache.spark.sql.streaming.TimerValues):
         Iterator[RankedEntry] = {
       val (ver, old) = if (st.exists()) st.get() else (0L, Nil)
+      // multiplicity preserved (append-stream contract): no dedup —
+      // identical rows are distinct records, as in Flink's append Top-N
       val merged = (old ++ rows.map { case (_, id, v) => (v, id) })
-        .distinct
         .sortBy { case (v, id) => (-v, id) }
         .take(n)
       if (merged == old) Iterator.empty
@@ -926,10 +938,21 @@ object StreamingOps {
         timerValues: org.apache.spark.sql.streaming.TimerValues):
         Iterator[OverAgg] = {
       val frontier = if (drained.exists()) drained.get() else Long.MinValue
+      // the late-row guard is the MAX of two signals: the key's drained
+      // frontier (what this key has emitted) and the global watermark
+      // (what the operator contract promises is final). The watermark
+      // alone would misclassify epoch-adjacent first-batch rows (its
+      // zero initial value), so it only engages once initialized; the
+      // frontier alone would admit a row on a key that sat idle while
+      // the watermark advanced — its in-range aggregates may already be
+      // evicted (ts ≤ wm − w), so emitting it later would undercount.
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val lateBelow =
+        if (wmMs > 0L) math.max(frontier, wmMs * 1000L) else frontier
       rows.foreach { case (_, ts, id, v) =>
-        // a row at or below the drained frontier arrived after its
-        // instant emitted — drop (the late-row contract)
-        if (ts > frontier) {
+        // a row at or below the guard arrived after its instant was
+        // emitted (or declared final) — drop (the late-row contract)
+        if (ts > lateBelow) {
           val (s, c, rs) =
             if (content.containsKey(ts)) content.getValue(ts)
             else (0.0, 0L, Nil)
@@ -1074,5 +1097,187 @@ object StreamingOps {
       .transformWithState(new TouchProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** One changelog operation: op ∈ {"I","U","D"} (insert / upsert /
+    * delete), a global monotone sequence number fixing apply order, the
+    * aggregation group, the changelog KEY within the group, and the
+    * new value (ignored for D). The upsert-kafka wire shape: key +
+    * latest value, or key + tombstone — no "old value" rides along.
+    */
+  final case class ChangeOp(op: String, seq: Long, group: Long, id: Long,
+    value_c: Long)
+
+  final case class GroupSnapshot(group: Long, ver: Long, sum_c: Long,
+    cnt: Long)
+
+  /** CHANGELOG-SOURCE aggregation — the retracting-source twin of
+    * [[upsertSink]]: consume a keyed I/U/D changelog stream and keep a
+    * downstream per-group aggregate correct under updates and deletes.
+    * This is the capability Flink's upsert-kafka source + retractable
+    * aggregate pair provides, fused into one `transformWithState`
+    * operator: the MapState (id → last value) is exactly Flink's
+    * ChangelogNormalize state (materialize last-row-per-key so the
+    * retraction amount is known — the wire carries no old value), and
+    * the running (sum, cnt) is the retractable SUM/COUNT accumulator
+    * (an arriving U retracts the remembered value and applies the new
+    * one; a D retracts and decrements; a D for an unknown id is a
+    * no-op, idempotent against replayed tombstones).
+    *
+    * Determinism: Spark's shuffle does not preserve per-key arrival
+    * order within a micro-batch, so each batch's rows are applied in
+    * `seq` order (the changelog's own order — what Flink gets for free
+    * from ordered Kafka partitions); across batches, order holds by
+    * construction. Values are integer (cents), so retraction is exact —
+    * a float accumulator would drift from the definitional
+    * sum-of-final-values under long add/retract sequences.
+    *
+    * Emission contract is the versioned-snapshot changelog every
+    * update-mode operator here uses: when a batch changes a group's
+    * aggregate, the group emits ONE (ver, sum, cnt) snapshot; the
+    * latest version per group IS the current answer, and it equals the
+    * batch aggregate over the changelog's NET state (last op per id,
+    * deletes removed) — the equivalence the gate and spec replay.
+    *
+    * Scale posture: state is O(live ids) per group — the irreducible
+    * cost of retraction without old-value-carrying input (Flink pays
+    * the same in ChangelogNormalize); keyed by group, so it shards
+    * with the groups. For changelogs whose producer CAN attach old
+    * values (Debezium-style -U/+U pairs), the MapState disappears and
+    * only the accumulator remains.
+    */
+  class ChangelogAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ChangeOp, GroupSnapshot] {
+    @transient private var live:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var acc:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      live = getHandle.getMapState[Long, Long]("live",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      acc = getHandle.getValueState[(Long, Long, Long)]("acc",
+        org.apache.spark.sql.Encoders.kryo[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeOp],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[GroupSnapshot] = {
+      val (ver, sum0, cnt0) = if (acc.exists()) acc.get() else (0L, 0L, 0L)
+      var sum = sum0; var cnt = cnt0
+      // seq order restores the changelog's sequence inside the batch
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        val prior = if (live.containsKey(r.id)) Some(live.getValue(r.id))
+                    else None
+        r.op match {
+          case "I" | "U" =>
+            prior match {
+              case Some(old) => sum += r.value_c - old
+              case None      => sum += r.value_c; cnt += 1
+            }
+            live.updateValue(r.id, r.value_c)
+          case "D" =>
+            prior.foreach { old =>
+              sum -= old; cnt -= 1; live.removeKey(r.id)
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"changelogAggStream: unknown op '$other' (want I/U/D)")
+        }
+      }
+      if (sum == sum0 && cnt == cnt0 && acc.exists()) Iterator.empty
+      else {
+        acc.update((ver + 1, sum, cnt))
+        Iterator.single(GroupSnapshot(key, ver + 1, sum, cnt))
+      }
+    }
+  }
+
+  /** ChangeOp stream → versioned per-group aggregate snapshots (Update
+    * mode); the latest version per group is the live SUM/COUNT over the
+    * changelog's net state.
+    */
+  def changelogAggStream(ops: Dataset[ChangeOp]): Dataset[GroupSnapshot] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.group)
+      .transformWithState(new ChangelogAggProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** Deterministic changelog derived from the events table — the
+    * replay fixture the gate and the DuckDB oracle both consume:
+    * event_type picks the op (purchase→D, click→U, else I), the id
+    * space is folded to 97 slots per group so updates and deletes hit
+    * ids earlier ops created, value is exact cents, and `seq` =
+    * event_id (unique, monotone with the generator) fixes the order.
+    */
+  def changelogFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      when(col("event_type") === "purchase", lit("D"))
+        .when(col("event_type") === "click", lit("U"))
+        .otherwise(lit("I")).as("op"),
+      col("event_id").as("seq"),
+      pmod(col("user_id"), lit(8)).cast("long").as("group"),
+      pmod(col("event_id"), lit(97)).cast("long").as("id"),
+      round(col("value") * 100).cast("long").as("value_c"))
+
+  /** stream_changelog_agg gate — MemoryStream replay of the derived
+    * changelog in 4 seq-ordered micro-batches through
+    * [[changelogAggStream]], reduced to the latest snapshot per group.
+    * The DuckDB oracle computes the same answer definitionally: last
+    * op per (group, id) by seq, deletes removed, SUM/COUNT per group.
+    */
+  def changelogAggGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    // fixture-sized driver materialization: MemoryStream only accepts
+    // local data — this is the replay HARNESS, not the operator; the
+    // operator itself is a fully distributed transformWithState
+    val fixture = changelogFromEvents(
+      graft.Tables.t(s, dir, "events"))
+      .as[ChangeOp].orderBy(col("seq")).collect()
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[ChangeOp]
+    val out = changelogAggStream(src.toDS())
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-changelog-replay").toString
+    // transformWithState needs a multi-column-family store (RocksDB);
+    // scoped set/restore so the harness session keeps its default
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("update").start()
+      // 4 batches exercise cross-batch state carry; each batch is a
+      // contiguous seq range so the replay IS the changelog's order
+      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+      quarters.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    val snaps = s.read.parquet(outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("ver").desc)
+    snaps.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      // `grp`, not `group`: the oracle compare sorts columns by name
+      // and `group` is a reserved word in the oracle engine's SQL
+      .select(col("group").as("grp"), col("sum_c"), col("cnt"))
+      .orderBy(col("grp"))
   }
 }

@@ -195,10 +195,13 @@ package object syntax {
       * kept verdicts. Scale k with the corpus to bound cell size — and
       * pass `maxCell` as the occupancy guardrail so a skewed semantic
       * cluster can never go quadratic (unadmitted vectors are kept;
-      * capped drops ⊆ uncapped drops).
+      * capped drops ⊆ uncapped drops). The cap defaults ON
+      * ([[operators.Similarity.DefaultMaxCell]]); pass `None` to opt
+      * out of the guardrail explicitly.
       */
     def semDedup(k: Int = 4, iters: Int = 2, thr: Double = 0.4,
-        maxCell: Option[Int] = None): DataFrame = {
+        maxCell: Option[Int] =
+          Some(operators.Similarity.DefaultMaxCell)): DataFrame = {
       graft.functions.VectorFunctions.register(df.sparkSession)
       operators.Similarity.semDedupOf(df, k, iters, thr, maxCell)
     }
@@ -209,7 +212,8 @@ package object syntax {
       * can split (near-identical vectors).
       */
     def semDedupHier(k: Int = 4, iters: Int = 2, thr: Double = 0.4,
-        targetCell: Int = 50, maxCell: Option[Int] = None): DataFrame = {
+        targetCell: Int = 50, maxCell: Option[Int] =
+          Some(operators.Similarity.DefaultMaxCell)): DataFrame = {
       graft.functions.VectorFunctions.register(df.sparkSession)
       operators.Similarity.semDedupHierOf(df, k, iters, thr, targetCell,
         maxCell)

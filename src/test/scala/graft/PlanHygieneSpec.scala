@@ -22,6 +22,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "dq_checks",           // FK-exists scalar bit
     "emb_semdedup_bounded", // checked form: four 1-row contract summaries
     "emb_semdedup_hier",   // checked form: four 1-row contract summaries
+    "emb_semdedup_rec",    // checked form: four 1-row contract summaries
     "dq_join_cardinality", // 1-row totals × 1-row top-key join
     "dq_skew_report",      // 1-row bounds/totals/percentiles/top joins
     "emb_hard_negatives",  // scalar corpus stats

@@ -39,7 +39,7 @@ class Round10Spec extends SparkSpecBase {
     val emb = (hot ++ cold).toDF("vec_id", "embedding")
     val k = 2
     val cap = 10
-    val full = operators.Similarity.semDedupOf(emb, k, 2, 0.4).cache()
+    val full = operators.Similarity.semDedupOf(emb, k, 2, 0.4, None).cache()
     val capped = operators.Similarity.semDedupOf(emb, k, 2, 0.4, Some(cap))
       .cache()
     val fullDropped = full.filter(!col("kept"))
@@ -160,7 +160,7 @@ class Round10Spec extends SparkSpecBase {
     val rec = operators.Similarity.semDedupRecursiveOf(emb, 2, 2, 0.9,
       targetCell = 8, fanout = 2, maxLevels = 4).cache()
     assert(rec.count() == emb.count())
-    val flatDropped = operators.Similarity.semDedupOf(emb, 2, 2, 0.9)
+    val flatDropped = operators.Similarity.semDedupOf(emb, 2, 2, 0.9, None)
       .filter(!col("kept")).select(col("vec_id"))
       .collect().map(_.getLong(0)).toSet
     val recDropped = rec.filter(!col("kept")).select(col("vec_id"))

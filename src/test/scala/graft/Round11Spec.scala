@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 hardening: the refineToTarget hot/cold id-space collision
+  * (ADVICE high), the recursive-SemDeDup gate contracts, the
+  * falsifiability of the bounded gate's loose-cap verdict, the capped
+  * default for semDedupOf, the q15c RANGE-frame planted-tie pin, and
+  * the changelog-source (I/U/D retraction) aggregate.
+  */
+class Round11Spec extends SparkSpecBase {
+
+  test("refineToTarget: cold cells shift into the level id space — no hot/cold collision") {
+    import spark.implicits._
+    val dim = 8
+    // hot coarse cell 0: 20 points spread along dims 0..4 (splittable,
+    // s = ceil(20/4) = 5 sub-centroids → subs 0..4); cold coarse cell 2:
+    // 3 points far away, at target. Pre-fix, cold kept cid 2 while hot
+    // emitted cid*fanout + sub = 0..4 — cold 2 aliased hot sub 2 and the
+    // two unrelated cells merged in the refined assignment.
+    val hot = (0L until 20L).map { i =>
+      val v = Array.fill(dim)(0.0f); v((i % 5).toInt) = 10.0f
+      v(5) = 0.01f * i // texture so Lloyd's has gradients
+      (i, v)
+    }
+    val cold = (100L until 103L).map { i =>
+      val v = Array.fill(dim)(0.0f); v(7) = -10.0f; v(6) = 0.01f * (i - 100)
+      (i, v)
+    }
+    val emb = (hot ++ cold).toDF("vec_id", "embedding")
+    val asg0 = (hot.map(_._1 -> 0L) ++ cold.map(_._1 -> 2L))
+      .toDF("vec_id", "cid")
+    val refined = operators.KMeans.refineToTarget(emb, asg0, targetCell = 4,
+      iters = 1, fanout = 16, maxLevels = 1).cache()
+    // partition: every vector exactly once
+    assert(refined.count() == 23L)
+    assert(refined.select(col("vec_id")).distinct().count() == 23L)
+    // purity: each refined cell's members come from ONE coarse cell
+    val mixed = refined.join(asg0.withColumnRenamed("cid", "coarse"), "vec_id")
+      .groupBy(col("cid"))
+      .agg(countDistinct(col("coarse")).as("nc"))
+      .filter(col("nc") > 1)
+    assert(mixed.isEmpty,
+      s"refined cells mix coarse cells: ${mixed.collect().mkString(",")}")
+    // the cold cell landed exactly at cid*fanout with all 3 members
+    val coldCell = refined.filter(col("vec_id") >= 100L)
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(coldCell == Seq(32L),
+      s"cold cell must map to 2*16=32, got $coldCell")
+    refined.unpersist()
+  }
+
+  test("emb_semdedup_rec gate: flat facts + subset/partition verdicts hold") {
+    val out = operators.Similarity.semDedupRecChecked(spark, sfDir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_vecs") == 500L)
+    assert(r.getAs[Long]("n_dropped") > 0L)
+    assert(r.getAs[Long]("rec_subset") == 1L,
+      "recursive drops must be a subset of flat drops")
+    assert(r.getAs[Long]("rec_partition") == 1L,
+      "refined assignment must partition the corpus")
+  }
+
+  test("loose_cap_eq is falsifiable: a biting cap flips the verdict") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val asg = operators.KMeans.assignmentsOf(emb, 4, 2)
+      .select(col("vec_id"), col("cid")).cache()
+    val full = operators.Similarity.semDedupDropped(emb, asg, 0.4, None)
+      .cache()
+    assert(full.count() > 0, "mutation spec needs a non-empty drop set")
+    // cap=1 admits one id per cell → zero pairs → the symmetric
+    // difference the gate's loose_cap_eq verdict counts is NON-empty.
+    // This is the mutation case: the verdict CAN fail, so its green
+    // state at cap=1000 proves the admission path, not a tautology.
+    val capped1 = operators.Similarity.semDedupDropped(emb, asg, 0.4, Some(1))
+    val symDiff = capped1.exceptAll(full).unionAll(full.exceptAll(capped1))
+    assert(symDiff.count() > 0, "cap=1 must change the drop set")
+    // and the loose cap really is the identity, executed
+    val loose = operators.Similarity
+      .semDedupDropped(emb, asg, 0.4, Some(1000))
+    assert(loose.exceptAll(full).unionAll(full.exceptAll(loose)).count() == 0)
+    full.unpersist(); asg.unpersist()
+  }
+
+  test("semDedupOf default runs the capped path and equals explicit cap") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => if (d == (i % 4).toInt) 1.0f else 0.01f * i))
+    }.toDF("vec_id", "embedding")
+    val byDefault = operators.Similarity.semDedupOf(emb, 2, 2, 0.4).collect()
+    val explicit = operators.Similarity
+      .semDedupOf(emb, 2, 2, 0.4,
+        Some(operators.Similarity.DefaultMaxCell)).collect()
+    assert(byDefault.sameElements(explicit),
+      "default signature must route through the documented cap")
+  }
+
+  test("q15c RANGE frame: planted timestamp tie — peers see each other, order-independent") {
+    import spark.implicits._
+    val day = java.sql.Timestamp.valueOf("2024-03-10 00:00:00")
+    val earlier = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val rows = Seq(
+      // custkey 1: two orders TIED on the date plus one earlier in-range
+      (101L, 1L, "O", 100.0, earlier, "1-URGENT"),
+      (102L, 1L, "O", 10.0, day, "1-URGENT"),
+      (103L, 1L, "O", 20.0, day, "1-URGENT"),
+      // custkey 2: no ties, a control row
+      (201L, 2L, "O", 7.0, day, "1-URGENT"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q15c-tie")
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(tmp.resolve("orders.parquet").toString)
+    def run() = queries.Relational.q15cRangeFrame(spark, tmp.toString)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val got = run()
+    // RANGE peers: both tied rows aggregate the SAME frame — earlier
+    // (in the 30d range) + both tied peers = 130
+    assert(got(102L) == 130.0 && got(103L) == 130.0,
+      s"tied rows must share the full peer frame: $got")
+    assert(got(101L) == 100.0 && got(201L) == 7.0)
+    // order independence: a reversed input layout changes nothing
+    rows.reverse.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      .repartition(3)
+      .write.mode("overwrite").parquet(tmp.resolve("orders.parquet").toString)
+    assert(run() == got, "RANGE frame result depended on input order")
+  }
+}

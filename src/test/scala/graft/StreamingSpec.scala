@@ -829,6 +829,158 @@ class StreamingSpec extends SparkSpecBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("over-window stream: idle-key row between frontier and watermark drops") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val M = 60000000L
+      val src = MemoryStream[(Long, Long, Long, Double)]
+      val q = StreamingOps.overWindowStream(src.toDS(), windowUs = 10 * M)
+        .writeStream.format("memory").queryName("overidle")
+        .outputMode("append").start()
+      // key 7 emits at 0m and 5m, then sits IDLE while key 8 drives the
+      // watermark far ahead
+      src.addData((7L, 0 * M, 1L, 10.0), (7L, 5 * M, 2L, 20.0))
+      q.processAllAvailable()
+      src.addData((8L, 40 * M, 90L, 0.0))
+      q.processAllAvailable()
+      src.addData((8L, 41 * M, 91L, 0.0)) // flush 40m; wm ≈ 41m − 5s
+      q.processAllAvailable()
+      // key 7's drained frontier is 5m but the WATERMARK is ~41m: a row
+      // at 20m is between them. Its in-range state (nothing above 10m)
+      // is already evicted — the pre-fix processor accepted it and later
+      // emitted an undercounted aggregate; the contract says drop.
+      src.addData((7L, 20 * M, 50L, 123.0))
+      q.processAllAvailable()
+      src.addData((8L, 60 * M, 92L, 0.0)) // would flush 20m if buffered
+      q.processAllAvailable()
+      src.addData((8L, 61 * M, 93L, 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val k7 = spark.table("overidle").as[StreamingOps.OverAgg]
+        .collect().filter(_.user_id == 7L).map(_.event_id).toSet
+      assert(k7 == Set(1L, 2L),
+        s"row below the watermark on an idle key must drop, got $k7")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("topN stream: append contract — re-arriving id and duplicate rows are separate records") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[(Long, Long, Double)]
+      val q = StreamingOps.topNStream(src.toDS(), n = 3)
+        .writeStream.format("memory").queryName("topnappend")
+        .outputMode("update").start()
+      // group 1: id 10 arrives twice with different values (two records,
+      // Flink append semantics: BOTH rank); group 2: the identical row
+      // twice in one batch (two records too — no set-collapse)
+      src.addData((1L, 10L, 5.0), (2L, 20L, 3.0), (2L, 20L, 3.0))
+      q.processAllAvailable()
+      src.addData((1L, 10L, 7.0))
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("topnappend").as[StreamingOps.RankedEntry]
+        .collect()
+      val latest1 = {
+        val v = all.filter(_.group == 1L).map(_.ver).max
+        all.filter(r => r.group == 1L && r.ver == v).sortBy(_.rk)
+          .map(r => (r.id, r.value)).toSeq
+      }
+      assert(latest1 == Seq((10L, 7.0), (10L, 5.0)),
+        s"re-arriving id must occupy two ranks (append stream): $latest1")
+      val latest2 = {
+        val v = all.filter(_.group == 2L).map(_.ver).max
+        all.filter(r => r.group == 2L && r.ver == v).sortBy(_.rk)
+          .map(r => (r.id, r.value)).toSeq
+      }
+      assert(latest2 == Seq((20L, 3.0), (20L, 3.0)),
+        s"duplicate rows are distinct records (append stream): $latest2")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("changelog source: I/U/D replay keeps the aggregate correct under retraction") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingOps.ChangeOp
+      // group 10: insert two ids, then UPDATE one (value replaced, count
+      // unchanged) and DELETE the other (value retracted, count down),
+      // plus a fresh insert; group 11: everything deleted → (0, 0);
+      // a D for an id never seen is an idempotent no-op
+      val b1 = Seq(
+        ChangeOp("I", 1L, 10L, 1L, 500L), ChangeOp("I", 2L, 10L, 2L, 700L),
+        ChangeOp("I", 3L, 11L, 9L, 300L))
+      val b2 = Seq(
+        ChangeOp("U", 4L, 10L, 1L, 600L), ChangeOp("D", 5L, 10L, 2L, 0L),
+        ChangeOp("I", 6L, 10L, 3L, 200L),
+        ChangeOp("D", 7L, 11L, 9L, 0L), ChangeOp("D", 8L, 11L, 42L, 0L))
+      val src = MemoryStream[ChangeOp]
+      val q = StreamingOps.changelogAggStream(src.toDS())
+        .writeStream.format("memory").queryName("chlog")
+        .outputMode("update").start()
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("chlog").as[StreamingOps.GroupSnapshot].collect()
+      val latest = all.groupBy(_.group).map { case (g, rows) =>
+        val r = rows.maxBy(_.ver); g -> (r.sum_c, r.cnt)
+      }
+      // net state by hand: 10 → {1:600 (updated), 3:200}; 11 → {} (all
+      // deleted; the unknown-id D was a no-op)
+      assert(latest == Map(10L -> ((600L + 200L, 2L)), 11L -> ((0L, 0L))),
+        s"retraction broke the aggregate: $latest")
+      // the delete really retracted a COUNTED row, not just its value
+      assert(latest(10L)._2 == 2L && latest(11L)._2 == 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("changelog gate equals the in-Spark net-state twin at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingOps.changelogAggGate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the same derivation + net-state rule, straight batch SQL
+    val ops = StreamingOps.changelogFromEvents(
+      Tables.t(spark, sfDir, "events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"), col("id")).orderBy(col("seq").desc)
+    val net = ops.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .groupBy(col("group"))
+      .agg(sum(col("value_c")).as("s"), count(lit(1)).as("c"))
+    val groups = ops.select(col("group")).distinct()
+    val expected = groups.join(net, Seq("group"), "left")
+      .select(col("group"), coalesce(col("s"), lit(0L)),
+        coalesce(col("c"), lit(0L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected,
+      s"gate ${got.toSeq.sortBy(_._1)} != twin ${expected.toSeq.sortBy(_._1)}")
+    assert(got.nonEmpty)
+  }
 }
 
 object StreamingSpec {
