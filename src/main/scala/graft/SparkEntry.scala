@@ -260,6 +260,10 @@ object SparkEntry {
     // transformWithState, latest snapshot per group vs the net state
     "stream_changelog_agg" ->
       ((s, dir) => graft.streaming.StreamingOps.changelogAggGate(s, dir)),
+    // retractable Top-N over the same changelog: a delete of a podium
+    // id must promote the best id outside it (full-state rank)
+    "stream_changelog_topn" ->
+      ((s, dir) => graft.streaming.StreamingOps.retractTopNGate(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
     "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
     "q10p_percentile_disc" ->
@@ -2212,6 +2216,20 @@ object SparkEntry {
         "CAST(COALESCE(net.cnt, 0) AS BIGINT) AS cnt " +
         "FROM (SELECT DISTINCT grp FROM ops) g " +
         "LEFT JOIN net ON net.grp = g.grp ORDER BY g.grp"),
+    // retractable Top-N: rank the definitional net state directly
+    // (value DESC, id ASC, top 3 per group); fully-deleted groups rank
+    // nothing — the gate drops the operator's rk=0 sentinel the same way
+    "stream_changelog_topn" ->
+      ("WITH ops AS (SELECT CASE WHEN event_type='purchase' THEN 'D' " +
+        "WHEN event_type='click' THEN 'U' ELSE 'I' END AS op, " +
+        "event_id AS seq, user_id % 8 AS grp, event_id % 97 AS id, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events), " +
+        "last AS (SELECT * FROM ops QUALIFY " +
+        "row_number() OVER (PARTITION BY grp, id ORDER BY seq DESC) = 1), " +
+        "net AS (SELECT grp, id, value_c FROM last WHERE op <> 'D') " +
+        "SELECT grp, CAST(row_number() OVER (PARTITION BY grp " +
+        "ORDER BY value_c DESC, id) AS BIGINT) AS rk, id, value_c " +
+        "FROM net QUALIFY rk <= 3 ORDER BY grp, rk"),
     "q13e_cube" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +
         "COALESCE(l_linestatus, 'ALL') AS lstatus, " +

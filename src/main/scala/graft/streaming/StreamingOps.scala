@@ -1210,6 +1210,292 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** One ranked row of a retractable Top-N snapshot. `rk = 0` is the
+    * EMPTY-RANKING sentinel (id = -1, value_c = 0): when deletes empty a
+    * group's live set, the consumer must learn the leaderboard emptied —
+    * a versioned snapshot with zero rows cannot say that, so the
+    * emptying emits one sentinel row. Readers keep the latest `ver` per
+    * group and drop rk = 0.
+    */
+  final case class RankedSnap(group: Long, ver: Long, rk: Long, id: Long,
+    value_c: Long)
+
+  /** RETRACTABLE streaming Top-N — rank over a keyed I/U/D changelog,
+    * Flink's `RetractableTopNFunction` (Top-N over an upsert stream),
+    * the rank twin of [[changelogAggStream]] and the retraction-aware
+    * counterpart of the append-stream [[TopNProcessor]]: here an id is
+    * ONE live entity whose value updates in place, and a DELETE of a
+    * top-n member must PROMOTE the best id outside the podium — which
+    * is exactly why bounded ≤n state cannot work (the append form's
+    * monotone-threshold argument dies with retraction) and why Flink's
+    * retractable rank keeps the full per-group data map. State here is
+    * the same MapState(id → last value) the changelog aggregate keeps —
+    * O(live ids) per group, the irreducible retraction cost — plus the
+    * current podium in ValueState.
+    *
+    * Per batch: ops apply to the live map in `seq` order, and the
+    * podium recomputes ONLY if some op could have changed it (a new or
+    * updated value at/above the nth-place value, or any touch of a
+    * current podium id — the dirty check that keeps the O(live) rescan
+    * off the hot path of podium-irrelevant churn). Ranking is value
+    * DESC, id ASC. Changes emit the group's FULL ranked snapshot under
+    * a monotone version (the versioned-snapshot changelog contract all
+    * update-mode operators here share); an emptied ranking emits the
+    * rk = 0 sentinel.
+    */
+  class RetractTopNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ChangeOp, RankedSnap] {
+    @transient private var live:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var podium:
+      org.apache.spark.sql.streaming.ValueState[
+        (Long, List[(Long, Long)])] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      live = getHandle.getMapState[Long, Long]("live",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      podium = getHandle.getValueState[(Long, List[(Long, Long)])]("podium",
+        org.apache.spark.sql.Encoders.kryo[(Long, List[(Long, Long)])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeOp],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[RankedSnap] = {
+      val (ver, top) = if (podium.exists()) podium.get() else (0L, Nil)
+      val topIds = top.map(_._1).toSet
+      // nth-place value: entries below it can never enter a FULL podium
+      val nthVal = if (top.length >= n) top.map(_._2).min else Long.MinValue
+      var dirty = !podium.exists()
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        r.op match {
+          case "I" | "U" =>
+            live.updateValue(r.id, r.value_c)
+            // >= not >: a tying value with a lower id outranks on the
+            // id tiebreak, and a podium id's own update always re-ranks
+            if (r.value_c >= nthVal || topIds.contains(r.id) ||
+                top.length < n) dirty = true
+          case "D" =>
+            if (live.containsKey(r.id)) {
+              live.removeKey(r.id)
+              if (topIds.contains(r.id)) dirty = true
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"retractTopNStream: unknown op '$other' (want I/U/D)")
+        }
+      }
+      if (!dirty) Iterator.empty
+      else {
+        // the promotion path: full live scan, O(live ids) — what
+        // retraction fundamentally requires (Flink's data-map rescan)
+        val ranked = live.iterator().toList
+          .sortBy { case (id, v) => (-v, id) }.take(n)
+        if (podium.exists() && ranked == top) Iterator.empty
+        else {
+          podium.update((ver + 1, ranked))
+          if (ranked.isEmpty)
+            Iterator.single(RankedSnap(key, ver + 1, 0L, -1L, 0L))
+          else ranked.zipWithIndex.iterator.map { case ((id, v), i) =>
+            RankedSnap(key, ver + 1, i + 1L, id, v)
+          }
+        }
+      }
+    }
+  }
+
+  /** ChangeOp stream → versioned ranked snapshots under retraction
+    * (Update mode); latest version per group = the live top-n over the
+    * changelog's net state (empty = the rk 0 sentinel).
+    */
+  def retractTopNStream(ops: Dataset[ChangeOp], n: Int = 3):
+      Dataset[RankedSnap] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.group)
+      .transformWithState(new RetractTopNProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** stream_changelog_topn gate — the same events-derived changelog
+    * replay as [[changelogAggGate]], through the retractable Top-N;
+    * reduced to the latest snapshot per group, sentinel rows dropped.
+    * The DuckDB oracle ranks the definitional net state directly.
+    */
+  def retractTopNGate(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = changelogFromEvents(
+      graft.Tables.t(s, dir, "events"))
+      .as[ChangeOp].orderBy(col("seq")).collect()
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[ChangeOp]
+    val out = retractTopNStream(src.toDS(), n)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-rtopn-replay").toString
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("update").start()
+      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+      quarters.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    val snaps = s.read.parquet(outDir)
+    snaps.withColumn("__mx", max(col("ver")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
+      .filter(col("ver") === col("__mx") && col("rk") > 0)
+      .select(col("group").as("grp"), col("rk"), col("id"), col("value_c"))
+      .orderBy(col("grp"), col("rk"))
+  }
+
+  /** One retract-stream row, Flink/Debezium row kinds: `+I` insert,
+    * `-U`/`+U` the update's retract/apply pair, `-D` delete-retract.
+    * `sub` orders the pair within one source op (retract 0, apply 1) —
+    * consumers sort (seq, sub), never parse the kind for order.
+    */
+  final case class ChangeRow(kind: String, seq: Long, sub: Int, group: Long,
+    id: Long, value_c: Long)
+
+  /** CHANGELOG NORMALIZE — Flink's `ChangelogNormalize` stage as its own
+    * operator: turn a keyed upsert stream (key + new value or tombstone,
+    * NO old values — the upsert-kafka wire) into a full RETRACT stream
+    * whose every update carries its retraction (-U old, +U new) and
+    * every delete its retracted row (-D old). This is the two-stage
+    * factoring of [[changelogAggStream]], and the split is a STATE
+    * PLACEMENT decision with a scale consequence: the O(live keys)
+    * last-row state lives HERE, keyed by the changelog KEY (group, id) —
+    * so it shards by id, and a hot GROUP no longer concentrates the
+    * whole id map on one task — while every DOWNSTREAM retract consumer
+    * (per-group aggregates, joins, ranks) runs with accumulator-only
+    * state. Flink pays exactly this exchange: one extra shuffle between
+    * the normalize keying and the aggregate keying buys per-stage
+    * minimal state. An insert for a live id is treated as an upsert
+    * (same as the fused form); a delete for an unknown id emits nothing
+    * (idempotent).
+    */
+  class ChangelogNormalizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, Long), ChangeOp, ChangeRow] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[ChangeOp],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[ChangeRow] = {
+      val (group, id) = key
+      val out = scala.collection.mutable.ArrayBuffer.empty[ChangeRow]
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        val prior = if (last.exists()) Some(last.get()) else None
+        r.op match {
+          case "I" | "U" =>
+            prior match {
+              case Some(old) =>
+                out += ChangeRow("-U", r.seq, 0, group, id, old)
+                out += ChangeRow("+U", r.seq, 1, group, id, r.value_c)
+              case None =>
+                out += ChangeRow("+I", r.seq, 1, group, id, r.value_c)
+            }
+            last.update(r.value_c)
+          case "D" =>
+            prior.foreach { old =>
+              out += ChangeRow("-D", r.seq, 0, group, id, old)
+              last.clear()
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"changelogNormalize: unknown op '$other' (want I/U/D)")
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** ChangeOp upsert stream → full retract stream, keyed by (group, id). */
+  def changelogNormalizeStream(ops: Dataset[ChangeOp]): Dataset[ChangeRow] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(r => (r.group, r.id))
+      .transformWithState(new ChangelogNormalizeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
+  /** Retract-consuming per-group SUM/COUNT — the downstream half of the
+    * two-stage split: because every row now CARRIES its retraction, the
+    * only state is the (ver, sum, cnt) accumulator — no id map, nothing
+    * proportional to live keys. cnt moves on +I (new entity) and -D
+    * (entity gone); -U/+U move only the sum. Rows apply in (seq, sub)
+    * order so an update's retract lands before its apply.
+    */
+  class RetractAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ChangeRow, GroupSnapshot] {
+    @transient private var acc:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      acc = getHandle.getValueState[(Long, Long, Long)]("acc",
+        org.apache.spark.sql.Encoders.kryo[(Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[GroupSnapshot] = {
+      val (ver, sum0, cnt0) = if (acc.exists()) acc.get() else (0L, 0L, 0L)
+      var sum = sum0; var cnt = cnt0
+      rows.toSeq.sortBy(r => (r.seq, r.sub)).foreach { r =>
+        r.kind match {
+          case "+I" => sum += r.value_c; cnt += 1
+          case "+U" => sum += r.value_c
+          case "-U" => sum -= r.value_c
+          case "-D" => sum -= r.value_c; cnt -= 1
+          case other => throw new IllegalArgumentException(
+            s"retractAgg: unknown row kind '$other'")
+        }
+      }
+      if (sum == sum0 && cnt == cnt0 && acc.exists()) Iterator.empty
+      else {
+        acc.update((ver + 1, sum, cnt))
+        Iterator.single(GroupSnapshot(key, ver + 1, sum, cnt))
+      }
+    }
+  }
+
+  /** Retract stream → versioned per-group SUM/COUNT snapshots. The
+    * composition `retractAggStream(changelogNormalizeStream(ops))` is
+    * semantically ≡ [[changelogAggStream]](ops) — the spec replays the
+    * equivalence — with the state split across the two keyings.
+    */
+  def retractAggStream(rows: Dataset[ChangeRow]): Dataset[GroupSnapshot] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.group)
+      .transformWithState(new RetractAggProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Deterministic changelog derived from the events table — the
     * replay fixture the gate and the DuckDB oracle both consume:
     * event_type picks the op (purchase→D, click→U, else I), the id

@@ -959,6 +959,145 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("retractable topN: deletes promote, updates re-rank, emptied group emits the sentinel") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingOps.ChangeOp
+      // group 1: four ids; batch 2 DELETES the leader (id 11, 90) — id
+      // 13 (40), previously OUTSIDE the top-3 podium, must be promoted
+      // (the full-state path bounded top-n state cannot take) — and
+      // UPDATES id 12 above id 10; group 2: both ids deleted → sentinel
+      val b1 = Seq(
+        ChangeOp("I", 1L, 1L, 10L, 70L), ChangeOp("I", 2L, 1L, 11L, 90L),
+        ChangeOp("I", 3L, 1L, 12L, 50L), ChangeOp("I", 4L, 1L, 13L, 40L),
+        ChangeOp("I", 5L, 2L, 20L, 10L), ChangeOp("I", 6L, 2L, 21L, 20L))
+      val b2 = Seq(
+        ChangeOp("D", 7L, 1L, 11L, 0L), ChangeOp("U", 8L, 1L, 12L, 80L),
+        ChangeOp("D", 9L, 2L, 20L, 0L), ChangeOp("D", 10L, 2L, 21L, 0L),
+        ChangeOp("D", 11L, 2L, 99L, 0L)) // unknown id: idempotent no-op
+      val src = MemoryStream[ChangeOp]
+      val q = StreamingOps.retractTopNStream(src.toDS(), n = 3)
+        .writeStream.format("memory").queryName("rtopn")
+        .outputMode("update").start()
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      val mid = spark.table("rtopn").as[StreamingOps.RankedSnap].collect()
+      // batch-1 podium: group 1 = 11(90), 10(70), 12(50); 13 missed it
+      val mid1 = mid.filter(_.group == 1L).sortBy(_.rk)
+        .map(r => (r.id, r.value_c)).toSeq
+      assert(mid1 == Seq((11L, 90L), (10L, 70L), (12L, 50L)), s"$mid1")
+      src.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      val all = spark.table("rtopn").as[StreamingOps.RankedSnap].collect()
+      def latest(g: Long) = {
+        val v = all.filter(_.group == g).map(_.ver).max
+        all.filter(r => r.group == g && r.ver == v).sortBy(_.rk)
+      }
+      // the delete PROMOTED 13 from outside the podium; the update
+      // re-ranked 12 above 10
+      assert(latest(1L).map(r => (r.rk, r.id, r.value_c)).toSeq ==
+        Seq((1L, 12L, 80L), (2L, 10L, 70L), (3L, 13L, 40L)),
+        s"retraction must promote from full state: ${latest(1L).toSeq}")
+      // group 2 emptied: exactly the rk=0 sentinel at the latest version
+      assert(latest(2L).map(r => (r.rk, r.id)).toSeq == Seq((0L, -1L)),
+        s"emptied group must emit the sentinel: ${latest(2L).toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("retractable topN gate equals the in-Spark net-state rank twin at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingOps.retractTopNGate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ops = StreamingOps.changelogFromEvents(
+      Tables.t(spark, sfDir, "events"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"), col("id")).orderBy(col("seq").desc)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("value_c").desc, col("id"))
+    val expected = ops.withColumn("rn", row_number().over(wl))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("group"), col("rk"), col("id"), col("value_c"))
+      .orderBy(col("group"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sameElements(expected),
+      s"gate ${got.take(8).toSeq}... != twin ${expected.take(8).toSeq}...")
+    assert(got.nonEmpty)
+  }
+
+  test("changelog normalize + retract agg two-stage split equals the fused aggregate") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingOps.{ChangeOp, ChangeRow}
+      val b1 = Seq(
+        ChangeOp("I", 1L, 10L, 1L, 500L), ChangeOp("I", 2L, 10L, 2L, 700L),
+        ChangeOp("I", 3L, 11L, 9L, 300L))
+      val b2 = Seq(
+        ChangeOp("U", 4L, 10L, 1L, 600L), ChangeOp("D", 5L, 10L, 2L, 0L),
+        ChangeOp("I", 6L, 10L, 3L, 200L),
+        ChangeOp("D", 7L, 11L, 9L, 0L), ChangeOp("D", 8L, 11L, 42L, 0L))
+      // stage 1: upsert ops → full retract rows (keyed by (group, id));
+      // the stage boundary is a CHANNEL (a topic in production — the
+      // exchange Flink pays between ChangelogNormalize and the
+      // aggregate), so the replay runs it as its own query
+      val src1 = MemoryStream[ChangeOp]
+      val q1 = StreamingOps.changelogNormalizeStream(src1.toDS())
+        .writeStream.format("memory").queryName("norm")
+        .outputMode("update").start()
+      src1.addData(b1: _*)
+      q1.processAllAvailable()
+      src1.addData(b2: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      val rows = spark.table("norm").as[ChangeRow].collect()
+        .sortBy(r => (r.seq, r.sub))
+      // the update carried its retraction; the delete its old row
+      assert(rows.filter(r => r.seq == 4L).map(r => (r.kind, r.value_c))
+        .toSeq == Seq(("-U", 500L), ("+U", 600L)),
+        s"update must emit its retract pair: ${rows.toSeq}")
+      assert(rows.filter(_.seq == 5L).map(r => (r.kind, r.value_c))
+        .toSeq == Seq(("-D", 700L)))
+      assert(!rows.exists(_.seq == 8L), "unknown-id delete emits nothing")
+      // stage 2: retract rows → accumulator-only per-group aggregate,
+      // replayed over the channel in the same batch split
+      val src2 = MemoryStream[ChangeRow]
+      val q2 = StreamingOps.retractAggStream(src2.toDS())
+        .writeStream.format("memory").queryName("ragg")
+        .outputMode("update").start()
+      val (r1, r2) = rows.partition(_.seq <= 3L)
+      src2.addData(r1.toSeq: _*)
+      q2.processAllAvailable()
+      src2.addData(r2.toSeq: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      val twoStage = spark.table("ragg").as[StreamingOps.GroupSnapshot]
+        .collect().groupBy(_.group).map { case (g, rs) =>
+          val r = rs.maxBy(_.ver); g -> (r.sum_c, r.cnt)
+        }
+      // ≡ the fused single-operator aggregate on the same ops
+      assert(twoStage == Map(10L -> ((800L, 2L)), 11L -> ((0L, 0L))),
+        s"two-stage split diverged from the fused form: $twoStage")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("changelog gate equals the in-Spark net-state twin at sf0.001") {
     import org.apache.spark.sql.functions._
     val got = StreamingOps.changelogAggGate(spark, sfDir).collect()
