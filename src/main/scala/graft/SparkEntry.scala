@@ -264,6 +264,10 @@ object SparkEntry {
     // id must promote the best id outside it (full-state rank)
     "stream_changelog_topn" ->
       ((s, dir) => graft.streaming.StreamingOps.retractTopNGate(s, dir)),
+    // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
+    // → purchase per user within 7d, SKIP PAST LAST ROW
+    "cep_funnel" ->
+      ((s, dir) => graft.operators.Cep.cepFunnel(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
     "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
     "q10p_percentile_disc" ->
@@ -2230,6 +2234,37 @@ object SparkEntry {
         "SELECT grp, CAST(row_number() OVER (PARTITION BY grp " +
         "ORDER BY value_c DESC, id) AS BIGINT) AS rk, id, value_c " +
         "FROM net QUALIFY rk <= 3 ORDER BY grp, rk"),
+    // contiguous CEP, definitionally as gaps-and-islands: a greedy
+    // click→view+→purchase match is (LAST row of a click island, a
+    // whole view island, FIRST row of the adjacent purchase island)
+    // completing within the window — exactly the automaton's answer
+    // for the distinct-symbol pattern class
+    "cep_funnel" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "f.event_id AS first_id, f.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i f ON f.user_id = g.user_id AND f.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000 " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
     "q13e_cube" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +
         "COALESCE(l_linestatus, 'ALL') AS lstatus, " +

@@ -1496,6 +1496,108 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** STREAMING CEP — the live twin of [[graft.operators.Cep.cepMatchOf]]
+    * (Flink's MATCH_RECOGNIZE on an unbounded stream): contiguous
+    * per-key pattern matching needs rows in exact (ts, id) order, which
+    * only the watermark can guarantee, so rows buffer in per-key
+    * MapState keyed by timestamp (the OverWindowProcessor shape) and an
+    * event-time timer DRAINS every ripe instant in order through the
+    * SAME automaton the batch fold runs — its 4-field state carried in
+    * a ValueState across micro-batches, so a pattern spanning batches
+    * (or idle hours) matches exactly as the batch scan would. Rows at
+    * or below the watermark on arrival are dropped (their instant
+    * already drained — the shared late-row contract); Flink CEP buffers
+    * out-of-order rows against the watermark identically. State per key
+    * = O(automaton) + the buffer inside the lateness horizon, never the
+    * stream.
+    */
+  class CepStreamProcessor(pattern: IndexedSeq[graft.operators.Cep.Step],
+      windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String), graft.operators.Cep.CepMatch] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.MapState[Long, List[(Long, String)]] = _
+    @transient private var mstate:
+      org.apache.spark.sql.streaming.ValueState[(Int, Long, Long, Long)] = _
+    @transient private var drained:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getMapState[Long, List[(Long, String)]]("buf",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.kryo[List[(Long, String)]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      mstate = getHandle.getValueState[(Int, Long, Long, Long)]("m",
+        org.apache.spark.sql.Encoders.kryo[(Int, Long, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      drained = getHandle.getValueState[Long]("drained",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[graft.operators.Cep.CepMatch] = {
+      val frontier = if (drained.exists()) drained.get() else Long.MinValue
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val lateBelow =
+        if (wmMs > 0L) math.max(frontier, wmMs * 1000L) else frontier
+      rows.foreach { case (_, ts, id, tpe) =>
+        if (ts > lateBelow) {
+          val cur = if (buf.containsKey(ts)) buf.getValue(ts) else Nil
+          buf.updateValue(ts, (id, tpe) :: cur)
+          getHandle.registerTimer((ts + 999L) / 1000L)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[graft.operators.Cep.CepMatch] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val ripe = buf.iterator().toList.filter(_._1 <= wmUs).sortBy(_._1)
+      if (ripe.isEmpty) return Iterator.empty
+      val m = new graft.operators.Cep.Machine(pattern, windowUs)
+      if (mstate.exists()) m.restore(mstate.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        graft.operators.Cep.CepMatch]
+      var frontier = if (drained.exists()) drained.get() else Long.MinValue
+      ripe.foreach { case (ts, entries) =>
+        frontier = math.max(frontier, ts)
+        entries.sortBy(_._1).foreach { case (id, tpe) =>
+          m.feed(ts, id, tpe).foreach(c => out += c.copy(user_id = key))
+        }
+        buf.removeKey(ts)
+      }
+      mstate.update(m.snapshot)
+      drained.update(frontier)
+      out.iterator
+    }
+  }
+
+  /** (user_id, ts_us, event_id, event_type) stream → completed pattern
+    * matches, emitted as the watermark makes their rows final.
+    */
+  def cepStream(events: Dataset[(Long, Long, Long, String)],
+      pattern: Seq[graft.operators.Cep.Step],
+      windowUs: Long): Dataset[graft.operators.Cep.CepMatch] = {
+    graft.operators.Cep.validate(pattern)
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", "5 seconds")
+      .select(col("_1"), col("_2"), col("_3"), col("_4"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new CepStreamProcessor(pattern.toIndexedSeq, windowUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Deterministic changelog derived from the events table — the
     * replay fixture the gate and the DuckDB oracle both consume:
     * event_type picks the op (purchase→D, click→U, else I), the id

@@ -279,6 +279,15 @@ package object syntax {
       */
     def interpolateHourly(): DataFrame =
       operators.TimeSeries.interpolateHourlyOf(df)
+
+    /** Greedy contiguous pattern matches (MATCH_RECOGNIZE-class: steps
+      * over event_type with optional OneOrMore greed, SKIP PAST LAST
+      * ROW, completion window); expects (user_id, ts, event_id,
+      * event_type) columns. Pattern symbols must be pairwise distinct
+      * and the last step One — see [[operators.Cep]].
+      */
+    def cepMatch(pattern: Seq[operators.Cep.Step], windowUs: Long): DataFrame =
+      operators.Cep.cepMatchOf(df, pattern, windowUs).toDF()
   }
 
   implicit class GraftEntityOps(private val df: DataFrame) {

@@ -98,6 +98,46 @@ class Round11Spec extends SparkSpecBase {
       "default signature must route through the documented cap")
   }
 
+  test("cep: greedy contiguous matching — restart, greed, break, window, skip-past-last-row") {
+    import spark.implicits._
+    import operators.Cep
+    val M = 60000000L
+    def ev(u: Long, minute: Long, id: Long, t: String) =
+      (u, new java.sql.Timestamp(minute * M / 1000), id, t)
+    val pattern = Seq(Cep.Step("click", plus = false),
+      Cep.Step("view", plus = true), Cep.Step("purchase", plus = false))
+    val rows = Seq(
+      // user 1: click click view view purchase — restart on the 2nd
+      // click makes IT the match start; greed takes both views
+      ev(1, 0, 10, "click"), ev(1, 1, 11, "click"), ev(1, 2, 12, "view"),
+      ev(1, 3, 13, "view"), ev(1, 4, 14, "purchase"),
+      // user 2: contiguity break (error between views and purchase)
+      ev(2, 0, 20, "click"), ev(2, 1, 21, "view"), ev(2, 2, 22, "error"),
+      ev(2, 3, 23, "purchase"),
+      // user 3: complete but outside the 10-minute window
+      ev(3, 0, 30, "click"), ev(3, 1, 31, "view"), ev(3, 20, 32, "purchase"),
+      // user 4: two back-to-back matches — SKIP PAST LAST ROW keeps
+      // them disjoint
+      ev(4, 0, 40, "click"), ev(4, 1, 41, "view"), ev(4, 2, 42, "purchase"),
+      ev(4, 3, 43, "click"), ev(4, 4, 44, "view"), ev(4, 5, 45, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Cep.cepMatchOf(rows, pattern, windowUs = 10 * M)
+      .collect().map(m => m.user_id ->
+        (m.start_event_id, m.end_event_id, m.n_rows)).toSeq.sorted
+    assert(got == Seq(
+      1L -> ((11L, 14L, 4L)),
+      4L -> ((40L, 42L, 3L)), 4L -> ((43L, 45L, 3L))),
+      s"unexpected match set: $got")
+    // the pattern-class contract is enforced, not silently wrong
+    intercept[IllegalArgumentException] {
+      Cep.validate(Seq(Cep.Step("a", false), Cep.Step("a", true)))
+    }
+    intercept[IllegalArgumentException] {
+      Cep.validate(Seq(Cep.Step("a", false), Cep.Step("b", true)).map(s =>
+        s.copy(plus = true)))
+    }
+  }
+
   test("q15c RANGE frame: planted timestamp tie — peers see each other, order-independent") {
     import spark.implicits._
     val day = java.sql.Timestamp.valueOf("2024-03-10 00:00:00")

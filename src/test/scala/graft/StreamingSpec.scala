@@ -1098,6 +1098,59 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("cep stream: pattern spanning a batch seam matches the batch fold; late rows drop") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.operators.Cep
+      val M = 60000000L
+      val pattern = Seq(Cep.Step("click", plus = false),
+        Cep.Step("view", plus = true), Cep.Step("purchase", plus = false))
+      // user 7's match STRADDLES the seam: click+view in batch 1,
+      // view+purchase in batch 2 — the carried automaton must finish it
+      val b1 = Seq((7L, 0 * M, 1L, "click"), (7L, 1 * M, 2L, "view"))
+      val b2 = Seq((7L, 2 * M, 3L, "view"), (7L, 3 * M, 4L, "purchase"))
+      val src = MemoryStream[(Long, Long, Long, String)]
+      val q = StreamingOps.cepStream(src.toDS(), pattern, windowUs = 10 * M)
+        .writeStream.format("memory").queryName("cep")
+        .outputMode("append").start()
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+      // advance the watermark so the purchase instant drains
+      src.addData((8L, 30 * M, 90L, "error"))
+      q.processAllAvailable()
+      src.addData((8L, 31 * M, 91L, "error"))
+      q.processAllAvailable()
+      // a late click below the watermark: dropped, opens nothing
+      src.addData((7L, 5 * M, 5L, "click"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("cep").as[Cep.CepMatch].collect()
+        .map(m => (m.user_id, m.start_event_id, m.end_event_id, m.n_rows))
+        .toSet
+      assert(got == Set((7L, 1L, 4L, 4L)),
+        s"seam-straddling match must complete exactly once: $got")
+      // batch twin on the same in-order rows
+      val batch = Cep.cepMatchOf(
+        (b1 ++ b2).map { case (u, ts, id, t) =>
+          (u, new java.sql.Timestamp(ts / 1000), id, t) }
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        pattern, windowUs = 10 * M)
+        .collect().map(m =>
+          (m.user_id, m.start_event_id, m.end_event_id, m.n_rows)).toSet
+      assert(got == batch, s"stream $got != batch fold $batch")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("changelog gate equals the in-Spark net-state twin at sf0.001") {
     import org.apache.spark.sql.functions._
     val got = StreamingOps.changelogAggGate(spark, sfDir).collect()
