@@ -58,52 +58,66 @@ object Cep {
 
   /** The exact single-pass automaton both the batch fold and the
     * streaming processor run. State: step index of the LAST matched
-    * step (-1 = idle), match start (ts, id), rows consumed. Returns the
-    * state transition for one row plus an optional completed match.
+    * step (-1 = idle), the OPENING-RUN candidate starts, rows consumed.
+    *
+    * The opening run matters because of the window under leftmost
+    * semantics: when step 0 is OneOrMore, every row of its run is a
+    * candidate start, and MATCH_RECOGNIZE tries starts left to right —
+    * so if the window kills the match from the earliest start, the
+    * match from the EARLIEST STILL-VIABLE run row (ts ≥ end_ts − w)
+    * wins instead, with the earlier run rows released. A counts-only
+    * automaton silently under-matches exactly there (the CepMachineProps
+    * reference-divergence property caught this); the fix keeps the
+    * opening run's (ts, id) rows — state O(opening run), the same
+    * partial-match buffering Flink's NFA does, and a single (ts, id)
+    * for One-quantified first steps.
     */
   private[graft] final class Machine(pattern: IndexedSeq[Step],
       windowUs: Long) extends Serializable {
     private var step = -1
-    private var startTs = 0L
-    private var startId = 0L
+    private var openRun = List.empty[(Long, Long)] // (ts, id), REVERSED
     private var rows = 0L
 
-    def reset(): Unit = { step = -1; rows = 0L }
+    def reset(): Unit = { step = -1; rows = 0L; openRun = Nil }
 
     /** Checkpointable automaton state — the streaming processor carries
       * it in a ValueState across micro-batches.
       */
-    def snapshot: (Int, Long, Long, Long) = (step, startTs, startId, rows)
-    def restore(s: (Int, Long, Long, Long)): Unit = {
-      step = s._1; startTs = s._2; startId = s._3; rows = s._4
+    def snapshot: (Int, Long, List[(Long, Long)]) = (step, rows, openRun)
+    def restore(s: (Int, Long, List[(Long, Long)])): Unit = {
+      step = s._1; rows = s._2; openRun = s._3
+    }
+
+    private def complete(ts: Long, id: Long): Option[CepMatch] = {
+      // leftmost viable start: earliest opening-run row within window
+      val starts = openRun.reverse
+      val m = starts.zipWithIndex.collectFirst {
+        case ((sTs, sId), k) if ts - sTs <= windowUs =>
+          CepMatch(-1L, sId, sTs, id, ts, rows - k)
+      }
+      reset() // SKIP PAST LAST ROW whether or not the window admitted it
+      m
     }
 
     /** Feed one row; emits the completed match if this row closes one. */
     def feed(ts: Long, id: Long, tpe: String): Option[CepMatch] = {
       if (step >= 0) {
         val cur = pattern(step)
-        if (cur.plus && tpe == cur.symbol) { rows += 1; return None }
+        if (cur.plus && tpe == cur.symbol) {
+          rows += 1
+          if (step == 0) openRun = (ts, id) :: openRun
+          return None
+        }
         if (step + 1 < pattern.length && tpe == pattern(step + 1).symbol) {
           step += 1; rows += 1
-          if (step == pattern.length - 1) {
-            // completion point: window is judged here (an over-window
-            // partial can never complete inside the window anyway)
-            val m =
-              if (ts - startTs <= windowUs)
-                Some(CepMatch(-1L, startId, startTs, id, ts, rows))
-              else None
-            reset() // SKIP PAST LAST ROW either way
-            return m
-          }
+          if (step == pattern.length - 1) return complete(ts, id)
           return None
         }
         reset() // mismatch: fall through — this row may open a new match
       }
       if (tpe == pattern(0).symbol) {
-        step = 0; startTs = ts; startId = id; rows = 1L
-        if (pattern.length == 1)
-          { val m = Some(CepMatch(-1L, id, ts, id, ts, 1L)); reset(); m }
-        else None
+        step = 0; openRun = List((ts, id)); rows = 1L
+        if (pattern.length == 1) complete(ts, id) else None
       } else None
     }
   }

@@ -301,3 +301,101 @@ object SimhashMapSideProps extends Properties("SimhashHelper") {
       }
     }
 }
+
+object CepMachineProps extends Properties("CepMachine") {
+  import graft.operators.Cep
+
+  /** Independent brute-force reference for the distinct-symbol greedy
+    * class: try a match at every start position left-to-right; a match
+    * at i consumes the One/OneOrMore steps with MAXIMAL greed over
+    * contiguous rows; on success (window included) jump past its last
+    * row, else advance one row. Written against the MATCH_RECOGNIZE
+    * semantics directly, sharing no code with the Machine under test.
+    */
+  private def brute(rows: IndexedSeq[(Long, Long, String)],
+      pat: IndexedSeq[Cep.Step], windowUs: Long): List[(Long, Long, Long)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+    var i = 0
+    while (i < rows.length) {
+      var j = i
+      var ok = true
+      var consumed = 0L
+      pat.foreach { st =>
+        if (ok) {
+          if (j < rows.length && rows(j)._3 == st.symbol) {
+            j += 1; consumed += 1
+            if (st.plus)
+              while (j < rows.length && rows(j)._3 == st.symbol) {
+                j += 1; consumed += 1
+              }
+          } else ok = false
+        }
+      }
+      if (ok && rows(j - 1)._1 - rows(i)._1 <= windowUs) {
+        out += ((rows(i)._2, rows(j - 1)._2, consumed))
+        i = j
+      } else i += 1
+    }
+    out.toList
+  }
+
+  private val genPattern: Gen[IndexedSeq[Cep.Step]] = for {
+    n <- Gen.chooseNum(1, 3)
+    syms <- Gen.pick(n, Seq("a", "b", "c", "d"))
+    plusFlags <- Gen.listOfN(n, Gen.oneOf(true, false))
+  } yield syms.toIndexedSeq.zip(plusFlags).zipWithIndex.map {
+    case ((s, p), i) => Cep.Step(s, plus = p && i < n - 1)
+  }
+
+  private val genRows: Gen[IndexedSeq[(Long, Long, String)]] = for {
+    n <- Gen.chooseNum(0, 60)
+    syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "x"))
+    gaps <- Gen.listOfN(n, Gen.chooseNum(1L, 50L))
+  } yield {
+    val ts = gaps.scanLeft(0L)(_ + _).tail
+    ts.zip(syms).zipWithIndex.map { case ((t, s), i) =>
+      (t, i.toLong, s)
+    }.toIndexedSeq
+  }
+
+  /** Shrinkers mutate args without regard for generator invariants, so
+    * each property re-checks the pattern-class contract and passes
+    * vacuously outside it (the class boundary is validate()'s job).
+    */
+  private def validPat(pat: IndexedSeq[Cep.Step]): Boolean =
+    pat.nonEmpty && pat.map(_.symbol).distinct.length == pat.length &&
+      !pat.last.plus
+
+  property("machine fold == brute-force greedy reference (matches, bounds, counts)") =
+    forAll(genPattern, genRows, Gen.chooseNum(5L, 2000L)) { (pat, rows, win) =>
+      !validPat(pat) || {
+        val m = new Cep.Machine(pat, win)
+        val got = rows.flatMap { case (ts, id, tpe) => m.feed(ts, id, tpe) }
+          .map(c => (c.start_event_id, c.end_event_id, c.n_rows)).toList
+        got == brute(rows, pat, win)
+      }
+    }
+
+  property("matches never overlap and consume contiguous rows") =
+    forAll(genPattern, genRows) { (pat, rows) =>
+      !validPat(pat) || check(pat, rows)
+    }
+
+  private def check(pat: IndexedSeq[Cep.Step],
+      rows: IndexedSeq[(Long, Long, String)]): Boolean = {
+      val m = new Cep.Machine(pat, Long.MaxValue / 4)
+      val got = rows.flatMap { case (ts, id, tpe) => m.feed(ts, id, tpe) }
+      val byId = rows.map(r => r._2 -> r).toMap
+      got.forall { c =>
+        c.start_event_id <= c.end_event_id &&
+          c.end_event_id - c.start_event_id + 1 == c.n_rows &&
+          byId(c.start_event_id)._3 == pat.head.symbol &&
+          byId(c.end_event_id)._3 == pat.last.symbol
+      } && got.map(_.start_event_id).toList ==
+        got.map(_.start_event_id).toList.sorted &&
+        got.sliding(2).forall {
+          case Seq(a, b) => b.start_event_id > a.end_event_id
+          case _ => true
+        }
+    }
+}

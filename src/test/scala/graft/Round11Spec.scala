@@ -138,6 +138,56 @@ class Round11Spec extends SparkSpecBase {
     }
   }
 
+  test("changelog aggregate state survives a query restart on the same checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps
+    import StreamingOps.ChangeOp
+    val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pkey)
+    spark.conf.set(pkey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-chlog-restart").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[ChangeOp]
+      def start(outDir: String) =
+        StreamingOps.changelogAggStream(src.toDS())
+          .toDF().writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+          }
+          .outputMode("update")
+          .option("checkpointLocation", ckpt).start()
+      // run 1: two inserts, then KILL the query
+      val out1 = java.nio.file.Files
+        .createTempDirectory("graft-chlog-out1").toString
+      src.addData(ChangeOp("I", 1L, 5L, 1L, 100L),
+        ChangeOp("I", 2L, 5L, 2L, 40L))
+      val q1 = start(out1)
+      q1.processAllAvailable(); q1.stop()
+      // run 2, same checkpoint: DELETE id 1 — the retraction amount
+      // (100) was learned BEFORE the restart, so a correct recovery
+      // must restore the MapState, not just the accumulator
+      val out2 = java.nio.file.Files
+        .createTempDirectory("graft-chlog-out2").toString
+      src.addData(ChangeOp("D", 3L, 5L, 1L, 0L))
+      val q2 = start(out2)
+      q2.processAllAvailable(); q2.stop()
+      val run2 = spark.read.parquet(out2)
+        .as[StreamingOps.GroupSnapshot].collect()
+      assert(run2.length == 1 &&
+        run2.head.sum_c == 40L && run2.head.cnt == 1L,
+        s"restart lost the id map or accumulator: ${run2.toSeq}")
+      // ver continued monotonically across the seam (state, not reset)
+      assert(run2.head.ver == 2L, s"version reset across restart: ${run2.head}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(pkey, v)
+      case None => spark.conf.unset(pkey)
+    }
+  }
+
   test("q15c RANGE frame: planted timestamp tie — peers see each other, order-independent") {
     import spark.implicits._
     val day = java.sql.Timestamp.valueOf("2024-03-10 00:00:00")
