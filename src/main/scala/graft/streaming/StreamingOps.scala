@@ -1519,7 +1519,7 @@ object StreamingOps {
       org.apache.spark.sql.streaming.MapState[Long, List[(Long, String)]] = _
     @transient private var mstate:
       org.apache.spark.sql.streaming.ValueState[
-        (Int, Long, List[(Long, Long)])] = _
+        List[(Long, Long, String)]] = _
     @transient private var drained:
       org.apache.spark.sql.streaming.ValueState[Long] = _
 
@@ -1529,8 +1529,8 @@ object StreamingOps {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.kryo[List[(Long, String)]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-      mstate = getHandle.getValueState[(Int, Long, List[(Long, Long)])]("m",
-        org.apache.spark.sql.Encoders.kryo[(Int, Long, List[(Long, Long)])],
+      mstate = getHandle.getValueState[List[(Long, Long, String)]]("m",
+        org.apache.spark.sql.Encoders.kryo[List[(Long, Long, String)]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       drained = getHandle.getValueState[Long]("drained",
         org.apache.spark.sql.Encoders.scalaLong,

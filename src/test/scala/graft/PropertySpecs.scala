@@ -339,12 +339,22 @@ object CepMachineProps extends Properties("CepMachine") {
     out.toList
   }
 
+  /** Patterns over a 3-symbol alphabet WITH non-adjacent repeats
+    * (A B A …) — the class the shared-buffer machine claims; adjacent
+    * duplicates are collapsed to keep greed deterministic (the
+    * validate() contract).
+    */
   private val genPattern: Gen[IndexedSeq[Cep.Step]] = for {
-    n <- Gen.chooseNum(1, 3)
-    syms <- Gen.pick(n, Seq("a", "b", "c", "d"))
+    n <- Gen.chooseNum(1, 4)
+    syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
     plusFlags <- Gen.listOfN(n, Gen.oneOf(true, false))
-  } yield syms.toIndexedSeq.zip(plusFlags).zipWithIndex.map {
-    case ((s, p), i) => Cep.Step(s, plus = p && i < n - 1)
+  } yield {
+    val fixed = syms.foldLeft(List.empty[String]) { (acc, s) =>
+      if (acc.headOption.contains(s)) acc else s :: acc
+    }.reverse.toIndexedSeq
+    fixed.zipWithIndex.map { case (s, i) =>
+      Cep.Step(s, plus = plusFlags(i) && i < fixed.length - 1)
+    }
   }
 
   private val genRows: Gen[IndexedSeq[(Long, Long, String)]] = for {
@@ -363,8 +373,11 @@ object CepMachineProps extends Properties("CepMachine") {
     * vacuously outside it (the class boundary is validate()'s job).
     */
   private def validPat(pat: IndexedSeq[Cep.Step]): Boolean =
-    pat.nonEmpty && pat.map(_.symbol).distinct.length == pat.length &&
-      !pat.last.plus
+    pat.nonEmpty && !pat.last.plus &&
+      pat.sliding(2).forall {
+        case Seq(a, b) => a.symbol != b.symbol
+        case _ => true
+      }
 
   property("machine fold == brute-force greedy reference (matches, bounds, counts)") =
     forAll(genPattern, genRows, Gen.chooseNum(5L, 2000L)) { (pat, rows, win) =>

@@ -1151,6 +1151,63 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("retractable topN: seeded random op storms equal the net-state rank (dirty-check audit)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingOps.ChangeOp
+      // deterministic random storms over a SMALL id space (forced
+      // update/delete collisions, podium churn in both directions) —
+      // the end-to-end audit of the dirty-check: a missed recompute
+      // serves a stale podium, and the net-state rank would expose it
+      val rng = new scala.util.Random(42)
+      val ops = (1 to 240).map { seq =>
+        val op = rng.nextInt(10) match {
+          case 0 | 1 | 2 => "D"
+          case 3 | 4 | 5 | 6 => "U"
+          case _ => "I"
+        }
+        ChangeOp(op, seq.toLong, rng.nextInt(3).toLong,
+          rng.nextInt(9).toLong, rng.nextInt(1000).toLong)
+      }
+      val src = MemoryStream[ChangeOp]
+      val q = StreamingOps.retractTopNStream(src.toDS(), n = 3)
+        .writeStream.format("memory").queryName("rtopnstorm")
+        .outputMode("update").start()
+      ops.grouped(40).foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val all = spark.table("rtopnstorm").as[StreamingOps.RankedSnap].collect()
+      val latest = all.groupBy(_.group).map { case (g, rs) =>
+        val v = rs.map(_.ver).max
+        g -> rs.filter(r => r.ver == v && r.rk > 0).sortBy(_.rk)
+          .map(r => (r.id, r.value_c)).toList
+      }
+      // net state replayed in memory: last op per (group, id) by seq
+      val net = ops.groupBy(o => (o.group, o.id)).flatMap { case ((g, id), os) =>
+        val lastOp = os.maxBy(_.seq)
+        if (lastOp.op == "D") None else Some((g, id, lastOp.value_c))
+      }
+      val expected = net.groupBy(_._1).map { case (g, rows) =>
+        g -> rows.toList.map(r => (r._3, r._2))
+          .sortBy { case (v, id) => (-v, id) }.take(3)
+          .map { case (v, id) => (id, v) }
+      }
+      // every group that ever saw an op has a latest snapshot
+      val groups = ops.map(_.group).distinct
+      groups.foreach { g =>
+        assert(latest.getOrElse(g, Nil) == expected.getOrElse(g, Nil),
+          s"group $g: live ${latest.get(g)} != net-state ${expected.get(g)}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("changelog gate equals the in-Spark net-state twin at sf0.001") {
     import org.apache.spark.sql.functions._
     val got = StreamingOps.changelogAggGate(spark, sfDir).collect()
