@@ -268,6 +268,18 @@ object SparkEntry {
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
       ((s, dir) => graft.operators.Cep.cepFunnel(s, dir)),
+    // the widened CEP class: non-adjacent repeat (view click view),
+    // 24h window binding — the shared-buffer fallback path in the gate
+    "cep_revisit" ->
+      ((s, dir) => graft.operators.Cep.cepRevisit(s, dir)),
+    // bounded-depth multi-source BFS over the sparse co-purchase graph
+    // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
+    "graph_bfs" ->
+      ((s, dir) => graft.operators.Graph.copurchaseBfs(s, dir)),
+    // BM25 ranked retrieval for a fixed query vs the definitional
+    // replay (6dp-quantized contributions, decimal sum)
+    "text_bm25" ->
+      ((s, dir) => TextAnalysis.bm25TopDocs(s, dir)),
     "q13e_cube" -> Relational.q13eCube _,
     "q15d_ignore_nulls" -> Relational.q15dIgnoreNulls _,
     "q10p_percentile_disc" ->
@@ -2265,6 +2277,76 @@ object SparkEntry {
         "WHERE c.event_type = 'click' " +
         "AND p.first_ts - c.last_ts <= 604800000000 " +
         "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // One-only pattern with a NON-ADJACENT repeat: greedy leftmost +
+    // SKIP PAST LAST ROW is definitionally "first window-valid
+    // contiguous (view, click, view) triple, then the next with
+    // start_rn > accepted_rn + 2" — replayed as a recursive CTE over
+    // precomputed next-candidate pointers (next = MIN rn past the
+    // accepted end; the chain from the first candidate IS the greedy
+    // selection)
+    "cep_revisit" ->
+      ("WITH RECURSIVE r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "c AS (SELECT a.user_id, a.rn, a.event_id AS sid, a.ts_us AS sts, " +
+        "w.event_id AS eid, w.ts_us AS ets " +
+        "FROM r a JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + 1 " +
+        "AND b.event_type = 'click' " +
+        "JOIN r w ON w.user_id = a.user_id AND w.rn = a.rn + 2 " +
+        "AND w.event_type = 'view' " +
+        "WHERE a.event_type = 'view' AND w.ts_us - a.ts_us <= 86400000000), " +
+        "nxt AS (SELECT c.*, (SELECT MIN(c2.rn) FROM c c2 " +
+        "WHERE c2.user_id = c.user_id AND c2.rn > c.rn + 2) AS nrn FROM c), " +
+        "f AS (SELECT user_id, MIN(rn) AS rn FROM c GROUP BY user_id), " +
+        "sel AS (SELECT user_id, rn FROM f " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.rn = s.rn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, n.sts AS start_ts_us, " +
+        "n.eid AS end_event_id, n.ets AS end_ts_us, " +
+        "CAST(3 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id AND n.rn = s.rn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // bounded-depth BFS: UNION-deduped recursive frontier, MIN(d) per
+    // vertex — the path-explosion-paying twin of the Spark frontier
+    // iteration (whose per-level distinct+anti-join collapse is the
+    // point of the operator)
+    "graph_bfs" ->
+      ("WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey " +
+        "FROM lineitem WHERE l_partkey % 4 = 0 AND l_linenumber <= 2), " +
+        "e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey " +
+        "WHERE a.l_partkey < b.l_partkey), " +
+        "edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0), " +
+        "nodes AS (SELECT DISTINCT u AS n FROM edges), " +
+        "reach AS (SELECT n, 0 AS d FROM nodes WHERE n % 400 = 0 " +
+        "UNION SELECT e.v AS n, r.d + 1 AS d FROM reach r " +
+        "JOIN edges e ON e.u = r.n WHERE r.d < 4) " +
+        "SELECT n AS part_id, CAST(MIN(d) AS BIGINT) AS dist FROM reach " +
+        "GROUP BY n ORDER BY dist, part_id"),
+    // definitional BM25 (Lucene +1 idf), the same 6dp-contribution /
+    // decimal-sum quantization as the Spark side
+    "text_bm25" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(toks) AS token FROM d), " +
+        "lens AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "st AS (SELECT round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 6) " +
+        "AS avgdl FROM lens), " +
+        "qtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok " +
+        "WHERE token IN ('join', 'stream', 'sort') " +
+        "GROUP BY doc_id, token), " +
+        "dfx AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY token), " +
+        "sc AS (SELECT q.doc_id, CAST(round(" +
+        "ln(1.0 + (n.n_docs - x.df + 0.5) / (x.df + 0.5)) * " +
+        "q.tf * 2.2 / (q.tf + 1.2 * (0.25 + 0.75 * " +
+        "CAST(l.len AS DOUBLE) / st.avgdl)), 6) AS DECIMAL(20,8)) AS c " +
+        "FROM qtf q JOIN dfx x USING(token) JOIN lens l USING(doc_id), n, st) " +
+        "SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
+        "COUNT(*) AS n_terms FROM sc GROUP BY doc_id " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
     "q13e_cube" ->
       ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, " +
         "COALESCE(l_linestatus, 'ALL') AS lstatus, " +

@@ -189,4 +189,71 @@ object Graph {
       .select(col("u"), col("i"), col("v").as("neg_v"))
       .orderBy(col("u"), col("i"))
   }
+
+  /** Bounded-depth multi-source BFS (minimum hop distance) — the
+    * frontier-expansion idiom every iterative graph traversal on Spark
+    * reduces to (Pregel's superstep with min-combine, connected
+    * components' neighborhood step): per level, ONE edge join keyed by
+    * the frontier's vertex id plus ONE left-anti join against the
+    * visited set, both vertex-keyed shuffles — never edge×edge, never
+    * a driver-side adjacency structure. `distinct()` inside the level
+    * collapses the multi-parent fan-in BEFORE the anti join, so the
+    * per-level working set is bounded by the vertex count, not the path
+    * count (the recursive-CTE oracle pays exactly that path explosion —
+    * the UNION dedup is DuckDB's version of this collapse).
+    *
+    * Both accumulators localCheckpoint per level: `visited` fans out to
+    * every later level's anti join and the final union, and lineage
+    * would otherwise double per level (the k-means/refineToTarget
+    * truncation rule). The early exit on an empty frontier is a
+    * count() on a FRONTIER-sized table — parameter-scale, and it stops
+    * dead levels from queueing jobs at all.
+    *
+    * 100 TB posture: levels are bounded by `maxDepth` up front (the
+    * plan and the oracle stay finitely expressible); each level's cost
+    * is one shuffle of frontier-incident edges; the visited set is the
+    * reachable-vertex set — vertex-scale state, the floor any BFS must
+    * hold. Seeds arrive as a DataFrame so callers can push an arbitrary
+    * predicate down to the scan.
+    */
+  def bfsOf(edges0: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val und = edges0.select(col("u"), col("v"))
+    val edges = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var visited = seeds.select(col("n")).distinct()
+      .select(col("n"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = visited.select(col("n"))
+    var depth = 0
+    while (depth < maxDepth && frontier.count() > 0) {
+      depth += 1
+      val next = frontier.join(edges, frontier("n") === edges("u"))
+        .select(col("v").as("n")).distinct()
+        .join(visited.select(col("n")), Seq("n"), "left_anti")
+        .select(col("n"), lit(depth.toLong).as("dist"))
+        .localCheckpoint(true)
+      visited = visited.unionAll(next).localCheckpoint(true)
+      frontier = next.select(col("n"))
+    }
+    visited
+  }
+
+  /** graph_bfs gate: hop distance ≤ 4 from the seed parts (part id ≡ 0
+    * mod 400) over a SPARSER co-purchase graph than the PageRank scope —
+    * baskets truncated to their first two lines keep the diameter > 4
+    * at sf0.01 (the full-basket graph saturates at 2 hops), so the
+    * depth bound genuinely binds and unreached vertices genuinely
+    * exist. Oracle: DuckDB `WITH RECURSIVE` over the same edge set —
+    * UNION-deduped frontier, MIN(d) per vertex.
+    */
+  def copurchaseBfs(s: SparkSession, dir: String): DataFrame = {
+    val edges = basketEdges(t(s, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(4)) === 0 &&
+        col("l_linenumber") <= 2)
+      .select(col("l_orderkey"), col("l_partkey")))
+    val nodes = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n"))).distinct()
+    bfsOf(edges, nodes.filter(pmod(col("n"), lit(400)) === 0), maxDepth = 4)
+      .select(col("n").as("part_id"), col("dist"))
+      .orderBy(col("dist"), col("part_id"))
+  }
 }

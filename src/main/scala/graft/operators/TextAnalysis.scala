@@ -612,6 +612,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  def bm25TopDocs(s: SparkSession, dir: String): DataFrame =
+    bm25TopDocsOf(t(s, dir, "documents"),
+      Seq("join", "stream", "sort"), k = 10)
+
+  /** BM25 ranked retrieval for a fixed query-term set — the lexical
+    * scoring function every retrieval / RAG corpus pipeline starts
+    * from (Robertson-Spärck Jones idf, Lucene's +1 form so scores stay
+    * positive at df > N/2):
+    *
+    *   score(d) = Σ_t ln(1 + (N − df + ½)/(df + ½)) ·
+    *              tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+    *
+    * Plan shape: the corpus tokenizes ONCE into a localCheckpointed
+    * (doc, token) stream feeding both consumers — per-doc lengths
+    * (full stream) and query-term tf (the `isin` filter prunes to
+    * |q| terms BEFORE the aggregation, so the scoring side shuffles
+    * query-proportional rows, not corpus-vocabulary rows). df and
+    * avgdl are |q|- resp. scalar-sized → broadcast; the score join
+    * never reshuffles the doc-keyed side.
+    *
+    * Cross-engine exactness (the tfidf/sim-pairs recipe): avgdl pins
+    * to 6 dp, each per-term contribution rounds to 6 dp and sums as
+    * DECIMAL(20,8) — shuffle-order-independent, and the top-k cut
+    * cannot flip on float noise. Ties break on doc_id.
+    */
+  def bm25TopDocsOf(docs: DataFrame, query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .localCheckpoint(true)
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val stats = lens.agg(
+      round(sum(col("len")).cast(DoubleType) / count(lit(1)), 6)
+        .as("avgdl"))
+    val qtf = tok.filter(col("token").isin(query: _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(df_), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("c",
+        round(col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("len").cast(DoubleType) / col("avgdl"))), 6)
+          .cast(DecimalType(20, 8)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast(DoubleType).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def tfidfSimilarPairs(s: SparkSession, dir: String): DataFrame =
     tfidfSimilarPairsOf(t(s, dir, "documents"), dfCap = 100, tau = 0.3)
 

@@ -218,4 +218,93 @@ class Round11Spec extends SparkSpecBase {
       .write.mode("overwrite").parquet(tmp.resolve("orders.parquet").toString)
     assert(run() == got, "RANGE frame result depended on input order")
   }
+
+  test("cep widened class: non-adjacent repeat with window-killed fallback to the trailing row") {
+    import spark.implicits._
+    import operators.Cep
+    val M = 60000000L
+    def ev(u: Long, minute: Long, id: Long, t: String) =
+      (u, new java.sql.Timestamp(minute * M / 1000), id, t)
+    val pattern = Seq(Cep.Step("view", plus = false),
+      Cep.Step("click", plus = false), Cep.Step("view", plus = false))
+    val rows = Seq(
+      // user 1: v c [19-min gap] v c v — the first triple completes but
+      // the 10-min window kills it; the buffer falls back to its
+      // TRAILING view (id 12), which then opens the accepted match.
+      // The round-10 pairwise-distinct automaton rejected this pattern
+      // outright; a buffer-less rebuild would also lose id 12 and match
+      // nothing.
+      ev(1, 0, 10, "view"), ev(1, 1, 11, "click"), ev(1, 19, 12, "view"),
+      ev(1, 20, 13, "click"), ev(1, 21, 14, "view"),
+      // user 2: v c v c v — leftmost greedy takes rows 1-3; SKIP PAST
+      // LAST ROW leaves [c v], which cannot match
+      ev(2, 0, 20, "view"), ev(2, 1, 21, "click"), ev(2, 2, 22, "view"),
+      ev(2, 3, 23, "click"), ev(2, 4, 24, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Cep.cepMatchOf(rows, pattern, windowUs = 10 * M)
+      .collect().map(m => m.user_id ->
+        (m.start_event_id, m.end_event_id, m.n_rows)).toSeq.sorted
+    assert(got == Seq(1L -> ((12L, 14L, 3L)), 2L -> ((20L, 22L, 3L))),
+      s"unexpected match set: $got")
+    // adjacent duplicates remain rejected — the class boundary moved,
+    // it did not dissolve
+    intercept[IllegalArgumentException] {
+      Cep.validate(Seq(Cep.Step("a", false), Cep.Step("a", false)))
+    }
+  }
+
+  test("bfsOf: min hop distance, depth bound binds, unreachable stays absent") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 with a branch 2-7 and a shortcut 6-8
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 7L), (6L, 8L), (100L, 101L)).toDF("u", "v")
+    val d1 = operators.Graph.bfsOf(edges, Seq(1L).toDF("n"), maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 7L -> 2L, 4L -> 3L),
+      s"single-seed distances wrong: $d1")
+    // multi-seed: distance is the MIN over seeds; 4 is reached at 2
+    // from BOTH sides, never 3; the disconnected 100-101 component
+    // stays absent
+    val d2 = operators.Graph.bfsOf(edges, Seq(1L, 6L).toDF("n"), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(1L -> 0L, 6L -> 0L, 2L -> 1L, 5L -> 1L, 8L -> 1L,
+      3L -> 2L, 7L -> 2L, 4L -> 2L), s"multi-seed distances wrong: $d2")
+    assert(!d1.contains(100L) && !d2.contains(100L))
+  }
+
+  test("bm25TopDocsOf matches the definitional score on a planted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join join stream extra words here"),
+      (2L, "join sort"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "sort sort sort sort")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis
+      .bm25TopDocsOf(docs, Seq("join", "stream", "sort"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // independent replay of the documented formula (N=4, avgdl pinned
+    // 6dp, per-term contributions rounded 6dp, exact sum)
+    val lens = Map(1L -> 6.0, 2L -> 2.0, 3L -> 4.0, 4L -> 4.0)
+    val avgdl = BigDecimal(lens.values.sum / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dfm = Map("join" -> 2.0, "stream" -> 1.0, "sort" -> 2.0)
+    def contrib(doc: Long, term: String, tf: Double): BigDecimal = {
+      val idf = math.log(1.0 + (4.0 - dfm(term) + 0.5) / (dfm(term) + 0.5))
+      val c = idf * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * lens(doc) / avgdl))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val exp = Map[Long, (BigDecimal, Long)](
+      1L -> ((contrib(1, "join", 2) + contrib(1, "stream", 1), 2L)),
+      2L -> ((contrib(2, "join", 1) + contrib(2, "sort", 1), 2L)),
+      4L -> ((contrib(4, "sort", 4), 1L)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L),
+      s"doc 3 has no query terms and must be absent: ${got.toSeq}")
+    got.foreach { case (d, score, nTerms) =>
+      assert(exp(d)._2 == nTerms && exp(d)._1.toDouble == score,
+        s"doc $d: got ($score, $nTerms), expected ${exp(d)}")
+    }
+    // ranked by score desc
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+  }
 }
