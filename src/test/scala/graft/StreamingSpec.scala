@@ -1151,6 +1151,60 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("cep stream widened class: window-killed fallback state carries across the seam") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.operators.Cep
+      val M = 60000000L
+      // non-adjacent repeat — the class the shared-buffer rebuild added;
+      // the buffer (not a counts tuple) is what ValueState must carry
+      val pattern = Seq(Cep.Step("view", plus = false),
+        Cep.Step("click", plus = false), Cep.Step("view", plus = false))
+      // batch 1 ends with a PARTIAL [v c] whose completion in batch 2
+      // violates the 10-min window; the machine must fall back to the
+      // trailing view (id 3) and finish the accepted match from it
+      val b1 = Seq((9L, 0 * M, 1L, "view"), (9L, 1 * M, 2L, "click"))
+      val b2 = Seq((9L, 19 * M, 3L, "view"), (9L, 20 * M, 4L, "click"),
+        (9L, 21 * M, 5L, "view"))
+      val src = MemoryStream[(Long, Long, Long, String)]
+      val q = StreamingOps.cepStream(src.toDS(), pattern, windowUs = 10 * M)
+        .writeStream.format("memory").queryName("cepwide")
+        .outputMode("append").start()
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+      // drive the watermark past the last row so it drains
+      src.addData((8L, 40 * M, 90L, "error"))
+      q.processAllAvailable()
+      src.addData((8L, 41 * M, 91L, "error"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("cepwide").as[Cep.CepMatch].collect()
+        .map(m => (m.user_id, m.start_event_id, m.end_event_id, m.n_rows))
+        .toSet
+      assert(got == Set((9L, 3L, 5L, 3L)),
+        s"fallback-start match must complete exactly once: $got")
+      // batch twin on the same in-order rows
+      val batch = Cep.cepMatchOf(
+        (b1 ++ b2).map { case (u, ts, id, t) =>
+          (u, new java.sql.Timestamp(ts / 1000), id, t) }
+          .toDF("user_id", "ts", "event_id", "event_type"),
+        pattern, windowUs = 10 * M)
+        .collect().map(m =>
+          (m.user_id, m.start_event_id, m.end_event_id, m.n_rows)).toSet
+      assert(got == batch, s"stream $got != batch fold $batch")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("retractable topN: seeded random op storms equal the net-state rank (dirty-check audit)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
