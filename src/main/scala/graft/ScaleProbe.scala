@@ -161,6 +161,23 @@ object ScaleProbe {
       .pageRank(operators.Graph.basketEdges(items))
       .orderBy(col("r").desc, col("n")).limit(20)
 
+    // bfs on the disjoint replica graphs: the replica offset is ≡ 0 mod
+    // 400, so seeds replicate with the graphs and every copy runs the
+    // same 4-level expansion — per-level work is frontier-incident
+    // edges + a visited anti join, expect near-linear in edge count
+    def bfs(items: DataFrame) = {
+      val edges = operators.Graph.basketEdges(items)
+      val nodes = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n"))).distinct()
+      operators.Graph.bfsOf(edges, nodes.filter(col("n") % 400 === 0), 4)
+    }
+
+    // bm25: fixed query terms, so the scoring side is query-proportional
+    // after the isin prune — cost is the single tokenize pass + the
+    // per-doc length agg, both linear in corpus size
+    def bm25(docs: DataFrame) = operators.TextAnalysis
+      .bm25TopDocsOf(docs, Seq("join", "stream", "sort"), 10)
+
     // kmeans: vector count scales k×, parameter table (4×64 centroids)
     // fixed — per-pass cost O(n·d·k) should track n linearly
     lazy val emb1 = Tables.t(spark, dir, "embeddings").localCheckpoint(true)
@@ -444,7 +461,11 @@ object ScaleProbe {
       probe("semdedup_hier_recipe", { emb1; embK; () })((
         time(noop(semHier(emb1, 4, 160))), time(noop(semHier(embK, 4 * k, 160))))),
       probe("semdedup_rec_recipe", { emb1; embK; () })((
-        time(noop(semRec(emb1, 4, 160))), time(noop(semRec(embK, 4 * k, 160)))))).flatten
+        time(noop(semRec(emb1, 4, 160))), time(noop(semRec(embK, 4 * k, 160))))),
+      probe("graph_bfs", { liG1; liGK; () })((
+        time(noop(bfs(liG1))), time(noop(bfs(liGK))))),
+      probe("bm25", { docs1c; docsK; () })((
+        time(noop(bm25(docs1c))), time(noop(bm25(docsK)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")
