@@ -624,46 +624,60 @@ object TextAnalysis {
     *   score(d) = Σ_t ln(1 + (N − df + ½)/(df + ½)) ·
     *              tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
     *
-    * Plan shape: the corpus tokenizes ONCE into a localCheckpointed
-    * (doc, token) stream feeding both consumers — per-doc lengths
-    * (full stream) and query-term tf (the `isin` filter prunes to
-    * |q| terms BEFORE the aggregation, so the scoring side shuffles
-    * query-proportional rows, not corpus-vocabulary rows). df and
-    * avgdl are |q|- resp. scalar-sized → broadcast; the score join
-    * never reshuffles the doc-keyed side.
+    * Plan shape — no explode, no token-stream shuffle, ever: per-doc
+    * tf for each query term is an ARRAY EXPRESSION over the token
+    * array (|q| is query-sized), so the whole corpus pass is map-side.
+    * The only aggregation is the parameter-sized stats row (n_docs,
+    * avgdl, one df per term — all from the same single scan), which
+    * broadcasts back onto the per-doc rows; scoring is then a pure
+    * projection, the no-hit filter prunes before the top-k, and the
+    * ORDER BY + LIMIT plans as TakeOrdered (per-partition heaps, no
+    * global sort). This is the minimal distributed shape for scoring
+    * a fixed query against an arbitrary-size corpus: one scan, one
+    * parameter-sized exchange.
     *
     * Cross-engine exactness (the tfidf/sim-pairs recipe): avgdl pins
-    * to 6 dp, each per-term contribution rounds to 6 dp and sums as
-    * DECIMAL(20,8) — shuffle-order-independent, and the top-k cut
-    * cannot flip on float noise. Ties break on doc_id.
+    * to 6 dp, each per-term contribution rounds to 6 dp and the
+    * per-doc sum adds DECIMAL(20,8) terms — exact, order-independent,
+    * and the top-k cut cannot flip on float noise. Ties break on
+    * doc_id.
     */
   def bm25TopDocsOf(docs: DataFrame, query: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .localCheckpoint(true)
-    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val stats = lens.agg(
+    // bind toks once, then the tf columns once (expression trees do
+    // not CSE — the langId two-stage-projection rule)
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +:
+        size(col("toks")).cast(LongType).as("len") +:
+        query.zipWithIndex.map { case (q, i) =>
+          size(filter(col("toks"), t => t === lit(q)))
+            .cast(LongType).as(s"tf_$i")
+        }: _*)
+    val statCols = count(lit(1)).as("n_docs") +:
       round(sum(col("len")).cast(DoubleType) / count(lit(1)), 6)
-        .as("avgdl"))
-    val qtf = tok.filter(col("token").isin(query: _*))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df_ = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    qtf.join(broadcast(df_), "token")
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(n)).crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))))
-      .withColumn("c",
-        round(col("idf") * col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) +
+        .as("avgdl") +:
+      query.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val contribs = query.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+          (col(s"df_$i") + lit(0.5)))
+      when(col(s"tf_$i") > 0,
+        round(idf * col(s"tf_$i") * lit(k1 + 1.0) /
+          (col(s"tf_$i") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("len").cast(DoubleType) / col("avgdl"))), 6)
           .cast(DecimalType(20, 8)))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).cast(DoubleType).as("score"),
-        count(lit(1)).as("n_terms"))
+        .otherwise(lit(null).cast(DecimalType(20, 8)))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        contribs.map(c => coalesce(c, lit(BigDecimal(0)).cast(DecimalType(20, 8))))
+          .reduce(_ + _).cast(DoubleType).as("score"),
+        contribs.map(c => when(c.isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_terms"))
+      .filter(col("n_terms") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

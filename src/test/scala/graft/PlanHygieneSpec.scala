@@ -42,6 +42,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q26b_topk_multi",     // ≤5 probe rows
     "q26c_filtered_topk",  // 1 probe row
     "sketch_overlap_matrix", // segment-count (5-row) sketch pair join
+    "text_bm25",           // 1-row stats (n_docs, avgdl, |q| dfs)
     "text_sim_pairs",      // 1-row corpus doc count (idf denominator)
     "text_tfidf",          // 1-row corpus doc count
     "text_vocab_coverage", // 1-row bounds/totals + 3-row cutoff table
