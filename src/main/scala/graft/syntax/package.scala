@@ -94,6 +94,12 @@ package object syntax {
       */
     def vocabCoverage(cutoffs: Seq[Long], nShards: Int = 32): DataFrame =
       operators.TextAnalysis.vocabCoverageOf(df, cutoffs, nShards)
+
+    /** BM25-ranked top-k docs for a fixed query-term set — single-scan,
+      * map-side scoring (no token-stream shuffle). Expects (doc_id, text).
+      */
+    def bm25TopDocs(query: Seq[String], k: Int = 10): DataFrame =
+      operators.TextAnalysis.bm25TopDocsOf(df, query, k)
   }
 
   implicit class GraftAggOps(private val df: DataFrame) {
@@ -166,6 +172,13 @@ package object syntax {
 
     /** Triangle census of this (u, v) undirected edge list. */
     def triangleStats(): DataFrame = operators.Graph.triangleStats(df)
+
+    /** Bounded-depth multi-source BFS over this (u, v) undirected edge
+      * list; returns (n, dist) = min hop distance from any seed, rows
+      * only for vertices reached within maxDepth.
+      */
+    def bfsFrom(seeds: DataFrame, maxDepth: Int): DataFrame =
+      operators.Graph.bfsOf(df, seeds, maxDepth)
   }
 
   implicit class GraftReconcileOps(private val df: DataFrame) {

@@ -1205,6 +1205,64 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("cep stream: seeded random corpora and seam splits equal the batch fold") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import graft.operators.Cep
+      // randomized end-to-end audit of the streaming drain: random
+      // per-user event sequences (repeat-bearing pattern), random
+      // MICRO-BATCH SEAMS, in-order arrival (the watermark contract) —
+      // the carried buffer state must make the stream's match set equal
+      // the batch fold exactly, wherever the seams land
+      val rng = new scala.util.Random(1117)
+      val pattern = Seq(Cep.Step("a", plus = false),
+        Cep.Step("b", plus = true), Cep.Step("a", plus = false))
+      val M = 60000000L
+      for (trial <- 1 to 4) {
+        val rows = (1 to 120).map { i =>
+          (rng.nextInt(3).toLong + 1L, i * M,
+            i.toLong, Seq("a", "b", "c")(rng.nextInt(3)))
+        }
+        val splits = (1 to 3).map(_ => rng.nextInt(rows.length)).sorted
+        val batches = (0 +: splits :+ rows.length).distinct.sorted
+          .sliding(2).map { case Seq(x, y) => rows.slice(x, y) }
+          .filter(_.nonEmpty).toSeq
+        val src = MemoryStream[(Long, Long, Long, String)]
+        val q = StreamingOps.cepStream(src.toDS(), pattern,
+            windowUs = 30 * M)
+          .writeStream.format("memory").queryName(s"cepfuzz$trial")
+          .outputMode("append").start()
+        batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+        // drain the tail past the watermark
+        src.addData((9L, 1000 * M, 9001L, "c"))
+        q.processAllAvailable()
+        src.addData((9L, 1001 * M, 9002L, "c"))
+        q.processAllAvailable()
+        q.stop()
+        val got = spark.table(s"cepfuzz$trial").as[Cep.CepMatch].collect()
+          .map(m => (m.user_id, m.start_event_id, m.end_event_id, m.n_rows))
+          .toSet
+        val batch = Cep.cepMatchOf(
+          rows.map { case (u, ts, id, t) =>
+            (u, new java.sql.Timestamp(ts / 1000), id, t) }
+            .toDF("user_id", "ts", "event_id", "event_type"),
+          pattern, windowUs = 30 * M)
+          .collect().map(m =>
+            (m.user_id, m.start_event_id, m.end_event_id, m.n_rows)).toSet
+        assert(got == batch,
+          s"trial $trial (seams at $splits): stream $got != batch $batch")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("retractable topN: seeded random op storms equal the net-state rank (dirty-check audit)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
