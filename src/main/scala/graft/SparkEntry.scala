@@ -264,6 +264,11 @@ object SparkEntry {
     // id must promote the best id outside it (full-state rank)
     "stream_changelog_topn" ->
       ((s, dir) => graft.streaming.StreamingOps.retractTopNGate(s, dir)),
+    // changelog equi-join: two I/U/D inputs -> joined-row changelog;
+    // the signed-count fold of the emitted deltas must equal the
+    // definitional net-state join
+    "stream_changelog_join" ->
+      ((s, dir) => graft.streaming.StreamingOps.changelogJoinGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -2246,6 +2251,28 @@ object SparkEntry {
         "SELECT grp, CAST(row_number() OVER (PARTITION BY grp " +
         "ORDER BY value_c DESC, id) AS BIGINT) AS rk, id, value_c " +
         "FROM net QUALIFY rk <= 3 ORDER BY grp, rk"),
+    // changelog equi-join: the signed-count fold of the operator's
+    // emitted deltas must equal the join of the two sides' net states
+    // (last op per (side, grp, id) by seq, deletes removed)
+    "stream_changelog_join" ->
+      ("WITH ops AS (SELECT CASE WHEN event_type='purchase' THEN 'D' " +
+        "WHEN event_type='click' THEN 'U' ELSE 'I' END AS op, " +
+        "event_id AS seq, user_id % 4 AS grp, event_id AS eid, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events), " +
+        "sided AS (SELECT CASE WHEN eid % 2 = 0 THEN 'L' ELSE 'R' END " +
+        "AS side, op, seq, grp, " +
+        "CASE WHEN eid % 2 = 0 THEN eid % 13 ELSE eid % 11 END AS id, " +
+        "value_c FROM ops), " +
+        "last AS (SELECT * FROM sided QUALIFY row_number() OVER " +
+        "(PARTITION BY side, grp, id ORDER BY seq DESC) = 1), " +
+        "netl AS (SELECT grp, id, value_c FROM last " +
+        "WHERE side = 'L' AND op <> 'D'), " +
+        "netr AS (SELECT grp, id, value_c FROM last " +
+        "WHERE side = 'R' AND op <> 'D') " +
+        "SELECT l.grp, CAST(l.id AS BIGINT) AS l_id, " +
+        "CAST(r.id AS BIGINT) AS r_id, l.value_c AS l_val, " +
+        "r.value_c AS r_val FROM netl l JOIN netr r ON l.grp = r.grp " +
+        "ORDER BY l.grp, l_id, r_id"),
     // contiguous CEP, definitionally as gaps-and-islands: a greedy
     // click→view+→purchase match is (LAST row of a click island, a
     // whole view island, FIRST row of the adjacent purchase island)

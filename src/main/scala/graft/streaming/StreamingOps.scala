@@ -1496,6 +1496,188 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** A two-sided changelog row: `side` tags which input the op belongs
+    * to ("L"/"R"); otherwise the upsert wire shape of [[ChangeOp]].
+    */
+  final case class SideOp(side: String, op: String, seq: Long, group: Long,
+      id: Long, value_c: Long)
+
+  /** One emitted join delta: "I" adds the joined row to the result,
+    * "D" retracts it — the changelog the join's own downstream
+    * consumers (retract aggregates, sinks) fold.
+    */
+  final case class JoinDelta(op: String, group: Long, l_id: Long,
+      r_id: Long, l_val: Long, r_val: Long)
+
+  /** CHANGELOG EQUI-JOIN — the join member of the retraction family
+    * (Flink's streaming regular join over two upsert/changelog inputs:
+    * `StreamingJoinOperator` with retraction), completing the chain
+    * changelog source → normalize → JOIN → retract agg → retract
+    * Top-N. Both inputs are keyed I/U/D changelogs in the upsert wire
+    * shape (key + new value or tombstone, no old value); the output is
+    * itself a changelog of joined rows:
+    *
+    *   - a new/updated row on one side emits D-deltas against the
+    *     other side's live rows for its PRIOR value (if any) and
+    *     I-deltas for its new value — an update is its own retraction;
+    *   - a delete emits only the D-deltas;
+    *   - an idempotent update (same value re-sent) emits nothing
+    *     (the normalize-stage dedup — without it every no-op U would
+    *     churn |other side| rows downstream);
+    *   - a delete of an unknown id is a silent no-op (at-least-once
+    *     producers re-send tombstones).
+    *
+    * The fold contract: summing +1 ("I") / −1 ("D") per distinct
+    * (group, l_id, r_id, l_val, r_val) row yields exactly the join of
+    * the two sides' net states, because every delta batch is the exact
+    * symmetric difference of consecutive join states (the spec and the
+    * `stream_changelog_join` gate both pin this against the
+    * definitional net-state join).
+    *
+    * State is the two live maps — O(live ids) per group per side, the
+    * same irreducible materialization Flink's streaming join holds —
+    * and per-op emission is O(|other side's live set|), the inherent
+    * changelog-join cost. The processor keys by `group`, which IS the
+    * equi-join key, so state shards exactly as the join requires; a
+    * hot join key concentrates its two live maps on one task in any
+    * engine (the skew remedy is upstream key salting plus re-merge,
+    * as in the batch salted join — out of scope here).
+    */
+  class ChangelogJoinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SideOp, JoinDelta] {
+    @transient private var lmap:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var rmap:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lmap = getHandle.getMapState[Long, Long]("lmap",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      rmap = getHandle.getMapState[Long, Long]("rmap",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SideOp],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[JoinDelta] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[JoinDelta]
+      // seq order restores the interleaved changelog's sequence
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        val isLeft = r.side == "L"
+        require(isLeft || r.side == "R",
+          s"changelogJoinStream: unknown side '${r.side}' (want L/R)")
+        val own = if (isLeft) lmap else rmap
+        val other = if (isLeft) rmap else lmap
+        val prior = if (own.containsKey(r.id)) Some(own.getValue(r.id))
+                    else None
+        val next = r.op match {
+          case "I" | "U" => Some(r.value_c)
+          case "D"       => None
+          case bad => throw new IllegalArgumentException(
+            s"changelogJoinStream: unknown op '$bad' (want I/U/D)")
+        }
+        if (prior != next) {
+          val others = other.iterator().toList
+          def emit(op: String, v: Long): Unit = others.foreach {
+            case (oid, oval) =>
+              out += (if (isLeft) JoinDelta(op, key, r.id, oid, v, oval)
+                      else JoinDelta(op, key, oid, r.id, oval, v))
+          }
+          prior.foreach(emit("D", _))
+          next.foreach(emit("I", _))
+          next match {
+            case Some(v) => own.updateValue(r.id, v)
+            case None    => own.removeKey(r.id)
+          }
+        }
+      }
+      out.iterator
+    }
+  }
+
+  def changelogJoinStream(ops: Dataset[SideOp]): Dataset[JoinDelta] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.group)
+      .transformWithState(new ChangelogJoinProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** stream_changelog_join gate — two events-derived changelogs (left:
+    * even event_ids folded to 13 id slots, right: odd folded to 11,
+    * groups = user_id mod 4, same op mapping as
+    * [[changelogFromEvents]]) interleaved by seq and replayed in 4
+    * micro-batches; the emitted deltas fold by signed count and must
+    * equal DuckDB's definitional net-state join. Fully-cancelled rows
+    * (sum 0) must vanish — the fold asserts no other multiplicity
+    * arises (any sum outside {0, 1} would be a dropped or duplicated
+    * retraction and fails loudly rather than filtering silently).
+    */
+  def changelogJoinGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = graft.Tables.t(s, dir, "events")
+      .select(
+        when(col("event_type") === "purchase", lit("D"))
+          .when(col("event_type") === "click", lit("U"))
+          .otherwise(lit("I")).as("op"),
+        col("event_id").as("seq"),
+        pmod(col("user_id"), lit(4)).cast("long").as("group"),
+        col("event_id").cast("long").as("eid"),
+        round(col("value") * 100).cast("long").as("value_c"))
+    val fixture = ev
+      .select(
+        when(pmod(col("eid"), lit(2)) === 0, lit("L")).otherwise(lit("R"))
+          .as("side"),
+        col("op"), col("seq"), col("group"),
+        when(pmod(col("eid"), lit(2)) === 0, pmod(col("eid"), lit(13)))
+          .otherwise(pmod(col("eid"), lit(11))).cast("long").as("id"),
+        col("value_c"))
+      .as[SideOp].orderBy(col("seq")).collect()
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SideOp]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-changelog-join").toString
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = changelogJoinStream(src.toDS()).toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append").start()
+      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+      quarters.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    val folded = s.read.parquet(outDir)
+      .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
+        col("l_val"), col("r_val"))
+      .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
+    val bad = folded.filter(col("m") =!= 0L && col("m") =!= 1L)
+    val badRows = bad.limit(5).collect()
+    require(badRows.isEmpty,
+      s"changelog join fold produced multiplicity outside {0,1}: " +
+        badRows.mkString(", "))
+    folded.filter(col("m") === 1L)
+      .select(col("grp"), col("l_id"), col("r_id"),
+        col("l_val"), col("r_val"))
+      .orderBy(col("grp"), col("l_id"), col("r_id"))
+  }
+
   /** STREAMING CEP — the live twin of [[graft.operators.Cep.cepMatchOf]]
     * (Flink's MATCH_RECOGNIZE on an unbounded stream): contiguous
     * per-key pattern matching needs rows in exact (ts, id) order, which

@@ -1320,6 +1320,98 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("changelog join: deltas track retraction — delete, update re-pair, idempotent U, unknown D") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingOps.{JoinDelta, SideOp}
+      val src = MemoryStream[SideOp]
+      val q = StreamingOps.changelogJoinStream(src.toDS())
+        .writeStream.format("memory").queryName("cjoin")
+        .outputMode("append").start()
+      def deltas(): Seq[(String, Long, Long, Long, Long, Long)] =
+        spark.table("cjoin").as[JoinDelta].collect()
+          .map(j => (j.op, j.group, j.l_id, j.r_id, j.l_val, j.r_val)).toSeq
+      // batch 1: L(id 1, v 10), R(id 5, v 100) -> one joined row
+      src.addData(SideOp("L", "I", 1, 0, 1, 10), SideOp("R", "I", 2, 0, 5, 100))
+      q.processAllAvailable()
+      assert(deltas().toSet == Set(("I", 0L, 1L, 5L, 10L, 100L)))
+      // batch 2: a second right row joins the live left; an IDEMPOTENT
+      // left update (same value) emits nothing
+      src.addData(SideOp("R", "I", 3, 0, 6, 200), SideOp("L", "U", 4, 0, 1, 10))
+      q.processAllAvailable()
+      assert(deltas().toSet == Set(
+        ("I", 0L, 1L, 5L, 10L, 100L), ("I", 0L, 1L, 6L, 10L, 200L)))
+      // batch 3: left update to v 11 retracts BOTH joined rows and
+      // re-emits them at the new value (an update is its own retraction)
+      src.addData(SideOp("L", "U", 5, 0, 1, 11))
+      q.processAllAvailable()
+      val afterUpdate = deltas()
+      assert(afterUpdate.toSet.contains(("D", 0L, 1L, 5L, 10L, 100L)) &&
+        afterUpdate.toSet.contains(("I", 0L, 1L, 5L, 11L, 100L)) &&
+        afterUpdate.toSet.contains(("D", 0L, 1L, 6L, 10L, 200L)) &&
+        afterUpdate.toSet.contains(("I", 0L, 1L, 6L, 11L, 200L)))
+      // batch 4: deleting right id 5 retracts its joined row; deleting
+      // an UNKNOWN id is silent
+      src.addData(SideOp("R", "D", 6, 0, 5, 0), SideOp("R", "D", 7, 0, 99, 0))
+      q.processAllAvailable()
+      val all = deltas()
+      q.stop()
+      assert(all.count(_ == ("D", 0L, 1L, 5L, 11L, 100L)) == 1)
+      // the signed-count fold = the net join: L(1,11) x R(6,200) only
+      val net = all.groupBy(d => (d._2, d._3, d._4, d._5, d._6))
+        .map { case (k, ds) =>
+          k -> ds.map(d => if (d._1 == "I") 1 else -1).sum
+        }.filter(_._2 != 0)
+      assert(net == Map((0L, 1L, 6L, 11L, 200L) -> 1),
+        s"net fold wrong: $net")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("changelog join gate equals the in-Spark net-state twin at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingOps.changelogJoinGate(spark, sfDir).collect()
+    // net-state twin computed relationally in Spark on the same fixture
+    val ev = graft.Tables.t(spark, sfDir, "events")
+      .select(
+        when(col("event_type") === "purchase", lit("D"))
+          .when(col("event_type") === "click", lit("U"))
+          .otherwise(lit("I")).as("op"),
+        col("event_id").as("seq"),
+        pmod(col("user_id"), lit(4)).cast("long").as("grp"),
+        col("event_id").cast("long").as("eid"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .select(col("op"), col("seq"), col("grp"),
+        when(pmod(col("eid"), lit(2)) === 0, lit("L")).otherwise(lit("R"))
+          .as("side"),
+        when(pmod(col("eid"), lit(2)) === 0, pmod(col("eid"), lit(13)))
+          .otherwise(pmod(col("eid"), lit(11))).cast("long").as("id"),
+        col("value_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("side"), col("grp"), col("id"))
+      .orderBy(col("seq").desc)
+    val net = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+    val twin = net.filter(col("side") === "L")
+      .select(col("grp"), col("id").as("l_id"), col("value_c").as("l_val"))
+      .join(net.filter(col("side") === "R")
+        .select(col("grp"), col("id").as("r_id"), col("value_c").as("r_val")),
+        "grp")
+      .select(col("grp"), col("l_id"), col("r_id"), col("l_val"), col("r_val"))
+      .orderBy(col("grp"), col("l_id"), col("r_id"))
+      .collect()
+    assert(got.toSeq == twin.toSeq,
+      s"gate (${got.length} rows) != twin (${twin.length} rows)")
+    assert(got.nonEmpty)
+  }
+
   test("changelog gate equals the in-Spark net-state twin at sf0.001") {
     import org.apache.spark.sql.functions._
     val got = StreamingOps.changelogAggGate(spark, sfDir).collect()
