@@ -269,6 +269,11 @@ object SparkEntry {
     // definitional net-state join
     "stream_changelog_join" ->
       ((s, dir) => graft.streaming.StreamingOps.changelogJoinGate(s, dir)),
+    // left-outer variant: null-padded rows for unmatched left ids are
+    // themselves retractable state (padding swaps on the right side's
+    // empty<->non-empty transitions)
+    "stream_changelog_join_left" ->
+      ((s, dir) => graft.streaming.StreamingOps.changelogLeftJoinGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -2273,6 +2278,28 @@ object SparkEntry {
         "CAST(r.id AS BIGINT) AS r_id, l.value_c AS l_val, " +
         "r.value_c AS r_val FROM netl l JOIN netr r ON l.grp = r.grp " +
         "ORDER BY l.grp, l_id, r_id"),
+    // left-outer twin on the thinned fixture: net-state LEFT JOIN,
+    // null padding included; NULLS LAST pins the cross-engine order
+    "stream_changelog_join_left" ->
+      ("WITH ops AS (SELECT CASE WHEN event_type='purchase' THEN 'D' " +
+        "WHEN event_type='click' THEN 'U' ELSE 'I' END AS op, " +
+        "event_id AS seq, user_id % 4 AS grp, event_id AS eid, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events " +
+        "WHERE event_id % 3 = 0), " +
+        "sided AS (SELECT CASE WHEN eid % 2 = 0 THEN 'L' ELSE 'R' END " +
+        "AS side, op, seq, grp, " +
+        "CASE WHEN eid % 2 = 0 THEN eid % 13 ELSE eid % 11 END AS id, " +
+        "value_c FROM ops WHERE NOT (eid % 2 = 1 AND grp = 3)), " +
+        "last AS (SELECT * FROM sided QUALIFY row_number() OVER " +
+        "(PARTITION BY side, grp, id ORDER BY seq DESC) = 1), " +
+        "netl AS (SELECT grp, id, value_c FROM last " +
+        "WHERE side = 'L' AND op <> 'D'), " +
+        "netr AS (SELECT grp, id, value_c FROM last " +
+        "WHERE side = 'R' AND op <> 'D') " +
+        "SELECT l.grp, CAST(l.id AS BIGINT) AS l_id, " +
+        "CAST(r.id AS BIGINT) AS r_id, l.value_c AS l_val, " +
+        "r.value_c AS r_val FROM netl l LEFT JOIN netr r ON l.grp = r.grp " +
+        "ORDER BY l.grp, l_id, r_id NULLS LAST"),
     // contiguous CEP, definitionally as gaps-and-islands: a greedy
     // click→view+→purchase match is (LAST row of a click island, a
     // whole view island, FIRST row of the adjacent purchase island)

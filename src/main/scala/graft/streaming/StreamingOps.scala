@@ -1543,6 +1543,203 @@ object StreamingOps {
     * engine (the skew remedy is upstream key salting plus re-merge,
     * as in the batch salted join — out of scope here).
     */
+  /** Delta row of the LEFT OUTER changelog join: `r_id`/`r_val` are
+    * None on the null-padded rows an unmatched left side emits.
+    */
+  final case class OuterJoinDelta(op: String, group: Long, l_id: Long,
+      r_id: Option[Long], l_val: Long, r_val: Option[Long])
+
+  /** LEFT OUTER changelog equi-join — the subtle half of Flink's
+    * retracting streaming join: an unmatched left row is VISIBLE as a
+    * null-padded result row, and that padding is itself retractable
+    * state. Beyond the inner join's delta rules, the right side's
+    * empty↔non-empty transitions drive padding swaps:
+    *
+    *   - right 0 → 1 live rows: every live left row RETRACTS its
+    *     (l, null) padding before the pair deltas emit;
+    *   - right 1 → 0 live rows: after the pair retractions, every
+    *     live left row re-emits its (l, null) padding;
+    *   - left ops emit padded deltas while the right side is empty and
+    *     pair deltas otherwise — same prior/next structure as inner.
+    *
+    * Same fold contract as the inner join (signed count per distinct
+    * row ≡ the net-state LEFT JOIN), same state (two live maps), same
+    * idempotent-update and unknown-delete suppression. Flink's
+    * `StreamingJoinOperator` tracks an association counter per row for
+    * exactly these padding swaps; here the counter is |right live
+    * set| = rmap.size at the transition points, O(1) per op via the
+    * tracked count below (iterating the map to count would be
+    * O(live) per op).
+    */
+  class ChangelogLeftJoinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SideOp, OuterJoinDelta] {
+    @transient private var lmap:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var rmap:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var rcount:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lmap = getHandle.getMapState[Long, Long]("lmap",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      rmap = getHandle.getMapState[Long, Long]("rmap",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      rcount = getHandle.getValueState[Long]("rcount",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SideOp],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[OuterJoinDelta] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[OuterJoinDelta]
+      var rc = if (rcount.exists()) rcount.get() else 0L
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        val isLeft = r.side == "L"
+        require(isLeft || r.side == "R",
+          s"changelogLeftJoinStream: unknown side '${r.side}' (want L/R)")
+        val own = if (isLeft) lmap else rmap
+        val prior = if (own.containsKey(r.id)) Some(own.getValue(r.id))
+                    else None
+        val next = r.op match {
+          case "I" | "U" => Some(r.value_c)
+          case "D"       => None
+          case bad => throw new IllegalArgumentException(
+            s"changelogLeftJoinStream: unknown op '$bad' (want I/U/D)")
+        }
+        if (prior != next) {
+          if (isLeft) {
+            if (rc == 0L) {
+              prior.foreach(v =>
+                out += OuterJoinDelta("D", key, r.id, None, v, None))
+              next.foreach(v =>
+                out += OuterJoinDelta("I", key, r.id, None, v, None))
+            } else {
+              val rights = rmap.iterator().toList
+              prior.foreach(v => rights.foreach { case (rid, rv) =>
+                out += OuterJoinDelta("D", key, r.id, Some(rid), v, Some(rv))
+              })
+              next.foreach(v => rights.foreach { case (rid, rv) =>
+                out += OuterJoinDelta("I", key, r.id, Some(rid), v, Some(rv))
+              })
+            }
+          } else {
+            lazy val lefts = lmap.iterator().toList
+            // 0 -> 1: the padding every left row held retracts first
+            if (rc == 0L && next.isDefined)
+              lefts.foreach { case (lid, lv) =>
+                out += OuterJoinDelta("D", key, lid, None, lv, None)
+              }
+            prior.foreach(v => lefts.foreach { case (lid, lv) =>
+              out += OuterJoinDelta("D", key, lid, Some(r.id), lv, Some(v))
+            })
+            next.foreach(v => lefts.foreach { case (lid, lv) =>
+              out += OuterJoinDelta("I", key, lid, Some(r.id), lv, Some(v))
+            })
+            // 1 -> 0: the padding comes back
+            if (rc == 1L && prior.isDefined && next.isEmpty)
+              lefts.foreach { case (lid, lv) =>
+                out += OuterJoinDelta("I", key, lid, None, lv, None)
+              }
+            if (prior.isEmpty && next.isDefined) rc += 1
+            if (prior.isDefined && next.isEmpty) rc -= 1
+          }
+          next match {
+            case Some(v) => own.updateValue(r.id, v)
+            case None    => own.removeKey(r.id)
+          }
+        }
+      }
+      rcount.update(rc)
+      out.iterator
+    }
+  }
+
+  def changelogLeftJoinStream(ops: Dataset[SideOp]): Dataset[OuterJoinDelta] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.group)
+      .transformWithState(new ChangelogLeftJoinProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** stream_changelog_join_left gate — the left-outer twin of
+    * [[changelogJoinGate]] on a thinned fixture (every third event, so
+    * the padding transitions stay exercised at a third of the replay
+    * cost) with group 3's right side REMOVED entirely — its left rows
+    * stay unmatched for the whole replay, so the final answer contains
+    * real null-padded rows, not just transient padding swaps; the
+    * folded deltas must equal DuckDB's net-state LEFT JOIN, padding
+    * included. NULLS LAST ordering on both engines.
+    */
+  def changelogLeftJoinGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = graft.Tables.t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(3)) === 0)
+      .select(
+        when(col("event_type") === "purchase", lit("D"))
+          .when(col("event_type") === "click", lit("U"))
+          .otherwise(lit("I")).as("op"),
+        col("event_id").as("seq"),
+        pmod(col("user_id"), lit(4)).cast("long").as("group"),
+        col("event_id").cast("long").as("eid"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .select(
+        when(pmod(col("eid"), lit(2)) === 0, lit("L")).otherwise(lit("R"))
+          .as("side"),
+        col("op"), col("seq"), col("group"),
+        when(pmod(col("eid"), lit(2)) === 0, pmod(col("eid"), lit(13)))
+          .otherwise(pmod(col("eid"), lit(11))).cast("long").as("id"),
+        col("value_c"))
+      .filter(!(col("side") === "R" && col("group") === 3L))
+      .as[SideOp].orderBy(col("seq")).collect()
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SideOp]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-changelog-ljoin").toString
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = changelogLeftJoinStream(src.toDS()).toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append").start()
+      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+      quarters.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    val folded = s.read.parquet(outDir)
+      .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
+        col("l_val"), col("r_val"))
+      .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
+    val badRows = folded.filter(col("m") =!= 0L && col("m") =!= 1L)
+      .limit(5).collect()
+    require(badRows.isEmpty,
+      s"left-outer changelog join fold produced multiplicity outside " +
+        s"{0,1}: ${badRows.mkString(", ")}")
+    folded.filter(col("m") === 1L)
+      .select(col("grp"), col("l_id"), col("r_id"),
+        col("l_val"), col("r_val"))
+      .orderBy(col("grp").asc, col("l_id").asc,
+        col("r_id").asc_nulls_last)
+  }
+
   class ChangelogJoinProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, SideOp, JoinDelta] {

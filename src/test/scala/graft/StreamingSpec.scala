@@ -1375,6 +1375,56 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("changelog left join: padding retracts on first right match and returns on last delete") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingOps.{OuterJoinDelta, SideOp}
+      val src = MemoryStream[SideOp]
+      val q = StreamingOps.changelogLeftJoinStream(src.toDS())
+        .writeStream.format("memory").queryName("cljoin")
+        .outputMode("append").start()
+      def deltas() = spark.table("cljoin").as[OuterJoinDelta].collect()
+        .map(j => (j.op, j.group, j.l_id, j.r_id, j.l_val, j.r_val)).toSeq
+      // two left rows, empty right: both visible null-padded
+      src.addData(SideOp("L", "I", 1, 0, 1, 10), SideOp("L", "I", 2, 0, 2, 20))
+      q.processAllAvailable()
+      assert(deltas().toSet == Set(
+        ("I", 0L, 1L, None, 10L, None), ("I", 0L, 2L, None, 20L, None)))
+      // first right row: BOTH paddings retract, pairs appear (0 -> 1)
+      src.addData(SideOp("R", "I", 3, 0, 7, 100))
+      q.processAllAvailable()
+      val afterFirst = deltas()
+      assert(afterFirst.toSet.contains(("D", 0L, 1L, None, 10L, None)) &&
+        afterFirst.toSet.contains(("D", 0L, 2L, None, 20L, None)) &&
+        afterFirst.toSet.contains(("I", 0L, 1L, Some(7L), 10L, Some(100L))) &&
+        afterFirst.toSet.contains(("I", 0L, 2L, Some(7L), 20L, Some(100L))))
+      // deleting the only right row: pairs retract, padding returns (1 -> 0)
+      src.addData(SideOp("R", "D", 4, 0, 7, 0))
+      q.processAllAvailable()
+      val all = deltas()
+      q.stop()
+      assert(all.toSet.contains(("D", 0L, 1L, Some(7L), 10L, Some(100L))) &&
+        all.count(_ == ("I", 0L, 1L, None, 10L, None)) == 2 &&
+        all.count(_ == ("I", 0L, 2L, None, 20L, None)) == 2)
+      // fold = the net LEFT JOIN: both lefts back to null-padded
+      val net = all.groupBy(d => (d._2, d._3, d._4, d._5, d._6))
+        .map { case (k, ds) =>
+          k -> ds.map(d => if (d._1 == "I") 1 else -1).sum
+        }.filter(_._2 != 0)
+      assert(net == Map(
+        (0L, 1L, None, 10L, None) -> 1, (0L, 2L, None, 20L, None) -> 1),
+        s"net fold wrong: $net")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("changelog join gate equals the in-Spark net-state twin at sf0.001") {
     import org.apache.spark.sql.functions._
     val got = StreamingOps.changelogJoinGate(spark, sfDir).collect()
