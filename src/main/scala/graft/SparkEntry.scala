@@ -274,6 +274,10 @@ object SparkEntry {
     // empty<->non-empty transitions)
     "stream_changelog_join_left" ->
       ((s, dir) => graft.streaming.StreamingOps.changelogLeftJoinGate(s, dir)),
+    // full-outer closure: padding in BOTH directions, two association
+    // counters
+    "stream_changelog_join_full" ->
+      ((s, dir) => graft.streaming.StreamingOps.changelogFullJoinGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -2300,6 +2304,31 @@ object SparkEntry {
         "CAST(r.id AS BIGINT) AS r_id, l.value_c AS l_val, " +
         "r.value_c AS r_val FROM netl l LEFT JOIN netr r ON l.grp = r.grp " +
         "ORDER BY l.grp, l_id, r_id NULLS LAST"),
+    // full-outer twin: both directions of padding survive to the final
+    // answer (group 3 right-free, group 2 left-free); COALESCE key for
+    // the null-safe ORDER BY grp
+    "stream_changelog_join_full" ->
+      ("WITH ops AS (SELECT CASE WHEN event_type='purchase' THEN 'D' " +
+        "WHEN event_type='click' THEN 'U' ELSE 'I' END AS op, " +
+        "event_id AS seq, user_id % 4 AS grp, event_id AS eid, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events " +
+        "WHERE event_id % 3 = 0), " +
+        "sided AS (SELECT CASE WHEN eid % 2 = 0 THEN 'L' ELSE 'R' END " +
+        "AS side, op, seq, grp, " +
+        "CASE WHEN eid % 2 = 0 THEN eid % 13 ELSE eid % 11 END AS id, " +
+        "value_c FROM ops WHERE NOT (eid % 2 = 1 AND grp = 3) " +
+        "AND NOT (eid % 2 = 0 AND grp = 2)), " +
+        "last AS (SELECT * FROM sided QUALIFY row_number() OVER " +
+        "(PARTITION BY side, grp, id ORDER BY seq DESC) = 1), " +
+        "netl AS (SELECT grp, id, value_c FROM last " +
+        "WHERE side = 'L' AND op <> 'D'), " +
+        "netr AS (SELECT grp, id, value_c FROM last " +
+        "WHERE side = 'R' AND op <> 'D') " +
+        "SELECT COALESCE(l.grp, r.grp) AS grp, " +
+        "CAST(l.id AS BIGINT) AS l_id, CAST(r.id AS BIGINT) AS r_id, " +
+        "l.value_c AS l_val, r.value_c AS r_val " +
+        "FROM netl l FULL JOIN netr r ON l.grp = r.grp " +
+        "ORDER BY grp, l_id NULLS LAST, r_id NULLS LAST"),
     // contiguous CEP, definitionally as gaps-and-islands: a greedy
     // click→view+→purchase match is (LAST row of a click island, a
     // whole view island, FIRST row of the adjacent purchase island)

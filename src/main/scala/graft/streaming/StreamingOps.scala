@@ -1740,6 +1740,195 @@ object StreamingOps {
         col("r_id").asc_nulls_last)
   }
 
+  /** Delta row of the FULL OUTER changelog join: either side may be
+    * the null-padded one (never both — a padded row exists only while
+    * its side is live and the other side is empty).
+    */
+  final case class FullJoinDelta(op: String, group: Long,
+      l_id: Option[Long], r_id: Option[Long],
+      l_val: Option[Long], r_val: Option[Long])
+
+  /** FULL OUTER changelog equi-join — the symmetric closure of the
+    * left-outer form: BOTH sides surface unmatched rows as null-padded
+    * results, so both sides carry an association counter and every
+    * op's emission follows one symmetric rule:
+    *
+    *   - other side empty  → the op swaps its OWN padding (D prior /
+    *     I next, other side null);
+    *   - other side live   → pair deltas, as the inner join;
+    *   - own 0→1 transition → the other side's live rows RETRACT
+    *     their padding first; own 1→0 → they take it back after.
+    *
+    * Same fold contract (signed count ≡ the net-state FULL JOIN),
+    * state (two live maps + two counters), and idempotent-update /
+    * unknown-delete suppression as the other variants.
+    */
+  class ChangelogFullJoinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SideOp, FullJoinDelta] {
+    @transient private var lmap:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var rmap:
+      org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    @transient private var counts:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      lmap = getHandle.getMapState[Long, Long]("lmap",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      rmap = getHandle.getMapState[Long, Long]("rmap",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      counts = getHandle.getValueState[(Long, Long)]("counts",
+        org.apache.spark.sql.Encoders.kryo[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SideOp],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[FullJoinDelta] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[FullJoinDelta]
+      var (lc, rc) = if (counts.exists()) counts.get() else (0L, 0L)
+      def pad(isLeft: Boolean, op: String, id: Long, v: Long): FullJoinDelta =
+        if (isLeft) FullJoinDelta(op, key, Some(id), None, Some(v), None)
+        else FullJoinDelta(op, key, None, Some(id), None, Some(v))
+      def pair(op: String, lid: Long, lv: Long, rid: Long, rv: Long) =
+        FullJoinDelta(op, key, Some(lid), Some(rid), Some(lv), Some(rv))
+      rows.toSeq.sortBy(_.seq).foreach { r =>
+        val isLeft = r.side == "L"
+        require(isLeft || r.side == "R",
+          s"changelogFullJoinStream: unknown side '${r.side}' (want L/R)")
+        val own = if (isLeft) lmap else rmap
+        val other = if (isLeft) rmap else lmap
+        val otherCount = if (isLeft) rc else lc
+        val prior = if (own.containsKey(r.id)) Some(own.getValue(r.id))
+                    else None
+        val next = r.op match {
+          case "I" | "U" => Some(r.value_c)
+          case "D"       => None
+          case bad => throw new IllegalArgumentException(
+            s"changelogFullJoinStream: unknown op '$bad' (want I/U/D)")
+        }
+        if (prior != next) {
+          if (otherCount == 0L) {
+            prior.foreach(v => out += pad(isLeft, "D", r.id, v))
+            next.foreach(v => out += pad(isLeft, "I", r.id, v))
+          } else {
+            val others = other.iterator().toList
+            def emit(op: String, v: Long): Unit = others.foreach {
+              case (oid, ov) =>
+                out += (if (isLeft) pair(op, r.id, v, oid, ov)
+                        else pair(op, oid, ov, r.id, v))
+            }
+            // own 0 -> 1: the other side's paddings retract first
+            if (prior.isEmpty && (if (isLeft) lc else rc) == 0L)
+              others.foreach { case (oid, ov) =>
+                out += pad(!isLeft, "D", oid, ov)
+              }
+            prior.foreach(emit("D", _))
+            next.foreach(emit("I", _))
+            // own 1 -> 0: the other side takes its padding back
+            if (next.isEmpty && (if (isLeft) lc else rc) == 1L)
+              others.foreach { case (oid, ov) =>
+                out += pad(!isLeft, "I", oid, ov)
+              }
+          }
+          val d = (prior, next) match {
+            case (None, Some(_)) => 1L
+            case (Some(_), None) => -1L
+            case _ => 0L
+          }
+          if (isLeft) lc += d else rc += d
+          next match {
+            case Some(v) => own.updateValue(r.id, v)
+            case None    => own.removeKey(r.id)
+          }
+        }
+      }
+      counts.update((lc, rc))
+      out.iterator
+    }
+  }
+
+  def changelogFullJoinStream(ops: Dataset[SideOp]): Dataset[FullJoinDelta] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.group)
+      .transformWithState(new ChangelogFullJoinProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** stream_changelog_join_full gate — the full-outer closure on the
+    * thinned fixture with group 3's RIGHT side and group 2's LEFT side
+    * removed, so the final answer carries real padding in BOTH
+    * directions; folded deltas ≡ DuckDB's net-state FULL JOIN.
+    */
+  def changelogFullJoinGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = graft.Tables.t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(3)) === 0)
+      .select(
+        when(col("event_type") === "purchase", lit("D"))
+          .when(col("event_type") === "click", lit("U"))
+          .otherwise(lit("I")).as("op"),
+        col("event_id").as("seq"),
+        pmod(col("user_id"), lit(4)).cast("long").as("group"),
+        col("event_id").cast("long").as("eid"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .select(
+        when(pmod(col("eid"), lit(2)) === 0, lit("L")).otherwise(lit("R"))
+          .as("side"),
+        col("op"), col("seq"), col("group"),
+        when(pmod(col("eid"), lit(2)) === 0, pmod(col("eid"), lit(13)))
+          .otherwise(pmod(col("eid"), lit(11))).cast("long").as("id"),
+        col("value_c"))
+      .filter(!(col("side") === "R" && col("group") === 3L) &&
+        !(col("side") === "L" && col("group") === 2L))
+      .as[SideOp].orderBy(col("seq")).collect()
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SideOp]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-changelog-fjoin").toString
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = changelogFullJoinStream(src.toDS()).toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append").start()
+      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+      quarters.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    val folded = s.read.parquet(outDir)
+      .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
+        col("l_val"), col("r_val"))
+      .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
+    val badRows = folded.filter(col("m") =!= 0L && col("m") =!= 1L)
+      .limit(5).collect()
+    require(badRows.isEmpty,
+      s"full-outer changelog join fold produced multiplicity outside " +
+        s"{0,1}: ${badRows.mkString(", ")}")
+    folded.filter(col("m") === 1L)
+      .select(col("grp"), col("l_id"), col("r_id"),
+        col("l_val"), col("r_val"))
+      .orderBy(col("grp").asc, col("l_id").asc_nulls_last,
+        col("r_id").asc_nulls_last)
+  }
+
   class ChangelogJoinProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, SideOp, JoinDelta] {

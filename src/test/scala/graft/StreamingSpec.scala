@@ -1425,6 +1425,55 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("changelog full join: both sides pad and the paddings swap on either side's transitions") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import StreamingOps.{FullJoinDelta, SideOp}
+      val src = MemoryStream[SideOp]
+      val q = StreamingOps.changelogFullJoinStream(src.toDS())
+        .writeStream.format("memory").queryName("cfjoin")
+        .outputMode("append").start()
+      def deltas() = spark.table("cfjoin").as[FullJoinDelta].collect()
+        .map(j => (j.op, j.group, j.l_id, j.r_id, j.l_val, j.r_val)).toSeq
+      // RIGHT rows first: they pad (null, r) — the direction the left
+      // join never emits
+      src.addData(SideOp("R", "I", 1, 0, 7, 100), SideOp("R", "I", 2, 0, 8, 200))
+      q.processAllAvailable()
+      assert(deltas().toSet == Set(
+        ("I", 0L, None, Some(7L), None, Some(100L)),
+        ("I", 0L, None, Some(8L), None, Some(200L))))
+      // first LEFT insert: both right paddings retract, pairs appear
+      src.addData(SideOp("L", "I", 3, 0, 1, 10))
+      q.processAllAvailable()
+      val afterLeft = deltas()
+      assert(afterLeft.toSet.contains(("D", 0L, None, Some(7L), None, Some(100L))) &&
+        afterLeft.toSet.contains(("D", 0L, None, Some(8L), None, Some(200L))) &&
+        afterLeft.toSet.contains(("I", 0L, Some(1L), Some(7L), Some(10L), Some(100L))) &&
+        afterLeft.toSet.contains(("I", 0L, Some(1L), Some(8L), Some(10L), Some(200L))))
+      // deleting the only left row: pairs retract, right paddings return
+      src.addData(SideOp("L", "D", 4, 0, 1, 0))
+      q.processAllAvailable()
+      val all = deltas()
+      q.stop()
+      val net = all.groupBy(d => (d._2, d._3, d._4, d._5, d._6))
+        .map { case (k, ds) =>
+          k -> ds.map(d => if (d._1 == "I") 1 else -1).sum
+        }.filter(_._2 != 0)
+      assert(net == Map(
+        (0L, None, Some(7L), None, Some(100L)) -> 1,
+        (0L, None, Some(8L), None, Some(200L)) -> 1),
+        s"net fold wrong: $net")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("changelog join gate equals the in-Spark net-state twin at sf0.001") {
     import org.apache.spark.sql.functions._
     val got = StreamingOps.changelogJoinGate(spark, sfDir).collect()
