@@ -278,6 +278,25 @@ object SparkEntry {
     // counters
     "stream_changelog_join_full" ->
       ((s, dir) => graft.streaming.StreamingOps.changelogFullJoinGate(s, dir)),
+    // event-time temporal join (FOR SYSTEM_TIME AS OF rowtime): each
+    // fact joins the dimension VERSION valid at its event time; facts
+    // buffer against the watermark, D ops close the key
+    "stream_temporal_join" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.temporalJoinGate(s, dir, false)),
+    // left-outer form: facts with no valid version (none yet, or
+    // D-closed) survive null-padded
+    "stream_temporal_join_left" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.temporalJoinGate(s, dir, true)),
+    // row-time ROWS-frame OVER aggregation: last-3-preceding trailing
+    // sums per event, (ts, id)-pinned total order, O(n) deque state
+    "stream_over_rows" ->
+      ((s, dir) => graft.streaming.StreamingOps.rowsOverGate(s, dir)),
+    // the r10 RANGE-frame OVER stream, upgraded from spec tier to a
+    // driver gate through the same replay harness
+    "stream_over_range" ->
+      ((s, dir) => graft.streaming.StreamingOps.rangeOverGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -2329,6 +2348,75 @@ object SparkEntry {
         "l.value_c AS l_val, r.value_c AS r_val " +
         "FROM netl l FULL JOIN netr r ON l.grp = r.grp " +
         "ORDER BY grp, l_id NULLS LAST, r_id NULLS LAST"),
+    // event-time temporal join, definitionally: per fact, the
+    // max-validity version at or before its timestamp (seq breaks
+    // same-instant version ties), D -> no value; inner drops the
+    // unmatched fact
+    "stream_temporal_join" ->
+      ("WITH ev AS (SELECT event_id AS eid, user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events), " +
+        "facts AS (SELECT CAST(user_id % 16 AS BIGINT) AS k, " +
+        "CAST(eid AS BIGINT) AS id, ts_us, value_c FROM ev " +
+        "WHERE eid % 2 = 0), " +
+        "vers AS (SELECT CAST(user_id % 16 AS BIGINT) AS k, " +
+        "ts_us AS vts, eid AS vseq, " +
+        "CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'I' END AS op, " +
+        "value_c AS vval FROM ev WHERE eid % 2 = 1), " +
+        "pick AS (SELECT f.k, f.id, f.ts_us, f.value_c, v.op, v.vval, " +
+        "row_number() OVER (PARTITION BY f.k, f.id " +
+        "ORDER BY v.vts DESC, v.vseq DESC) AS rn " +
+        "FROM facts f LEFT JOIN vers v ON v.k = f.k " +
+        "AND v.vts <= f.ts_us) " +
+        "SELECT k, id, ts_us, value_c AS l_val, vval AS r_val " +
+        "FROM pick WHERE rn = 1 AND op = 'I' ORDER BY k, id"),
+    // left-outer twin: unmatched facts (no version yet, or D-closed)
+    // survive with a NULL r_val
+    "stream_temporal_join_left" ->
+      ("WITH ev AS (SELECT event_id AS eid, user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events), " +
+        "facts AS (SELECT CAST(user_id % 16 AS BIGINT) AS k, " +
+        "CAST(eid AS BIGINT) AS id, ts_us, value_c FROM ev " +
+        "WHERE eid % 2 = 0), " +
+        "vers AS (SELECT CAST(user_id % 16 AS BIGINT) AS k, " +
+        "ts_us AS vts, eid AS vseq, " +
+        "CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'I' END AS op, " +
+        "value_c AS vval FROM ev WHERE eid % 2 = 1), " +
+        "pick AS (SELECT f.k, f.id, f.ts_us, f.value_c, v.op, v.vval, " +
+        "row_number() OVER (PARTITION BY f.k, f.id " +
+        "ORDER BY v.vts DESC, v.vseq DESC) AS rn " +
+        "FROM facts f LEFT JOIN vers v ON v.k = f.k " +
+        "AND v.vts <= f.ts_us) " +
+        "SELECT k, id, ts_us, value_c AS l_val, " +
+        "CASE WHEN op = 'I' THEN vval ELSE NULL END AS r_val " +
+        "FROM pick WHERE rn = 1 ORDER BY k, id"),
+    // ROWS-frame OVER stream: the batch frame IS the oracle — the
+    // operator pins the same (ts, id) total order
+    "stream_over_rows" ->
+      ("WITH base AS (SELECT CAST(user_id % 16 AS BIGINT) AS k, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(event_id AS BIGINT) AS id, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c FROM events) " +
+        "SELECT k, ts_us, id, value_c, " +
+        "CAST(SUM(value_c) OVER (PARTITION BY k ORDER BY ts_us, id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_w, " +
+        "COUNT(*) OVER (PARTITION BY k ORDER BY ts_us, id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt_w " +
+        "FROM base ORDER BY k, ts_us, id"),
+    // RANGE-frame OVER stream vs the definitional batch RANGE frame
+    // (10-minute trailing window, cents exact in doubles)
+    "stream_over_range" ->
+      ("WITH base AS (SELECT CAST(user_id % 16 AS BIGINT) AS k, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(event_id AS BIGINT) AS id, " +
+        "CAST(round(value * 100) AS DOUBLE) AS value_c FROM events) " +
+        "SELECT k, ts_us, id, value_c, " +
+        "SUM(value_c) OVER (PARTITION BY k ORDER BY ts_us " +
+        "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS sum_w, " +
+        "COUNT(*) OVER (PARTITION BY k ORDER BY ts_us " +
+        "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS cnt_w " +
+        "FROM base ORDER BY k, ts_us, id"),
     // contiguous CEP, definitionally as gaps-and-islands: a greedy
     // click→view+→purchase match is (LAST row of a click island, a
     // whole view island, FIRST row of the adjacent purchase island)

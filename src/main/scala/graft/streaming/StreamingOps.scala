@@ -2237,4 +2237,474 @@ object StreamingOps {
       .select(col("group").as("grp"), col("sum_c"), col("cnt"))
       .orderBy(col("grp"))
   }
+
+  /** One row of the unioned temporal-join input. `side` tags which
+    * stream the row belongs to:
+    *   - "L": a FACT row — (ts_us, key, id, value_c) from the
+    *     append-only probe stream;
+    *   - "R": a VERSION op on the dimension — op ∈ {"I","U","D"}
+    *     applied at validity start `ts_us` ("I"/"U" open a version
+    *     with `value_c`; "D" closes the key until the next version);
+    *   - "F": a watermark-only FLUSH row (replay harness punctuation) —
+    *     carries event time, joins nothing.
+    * `seq` breaks ties among version ops at the same validity instant
+    * (highest seq wins — the upsert wire collapse); ignored for facts.
+    */
+  final case class TemporalOp(side: String, op: String, seq: Long,
+      ts_us: Long, key: Long, id: Long, value_c: Long)
+
+  /** One joined row: the fact and the dimension version valid AS OF the
+    * fact's event time; `r_val` is None when no version was valid (no
+    * version yet, or the key was closed by a D) — only the left-outer
+    * form emits such rows.
+    */
+  final case class TemporalJoined(key: Long, id: Long, ts_us: Long,
+      l_val: Long, r_val: Option[Long])
+
+  /** EVENT-TIME TEMPORAL JOIN — the Flink Table API's
+    * `FOR SYSTEM_TIME AS OF left.rowtime` against a VERSIONED table
+    * (`TemporalRowTimeJoinOperator`), the last member of the changelog
+    * family: each fact joins the dimension version whose validity start
+    * is the LATEST at or before the fact's event time, not the current
+    * one — so replayed or out-of-order facts enrich consistently, and
+    * the answer is deterministic regardless of arrival interleaving.
+    *
+    * Correctness requires the fact to WAIT until the dimension's
+    * versions at or before its timestamp are final, which is exactly
+    * the watermark: facts buffer in per-key MapState keyed by their
+    * timestamp, an event-time timer fires when the watermark passes,
+    * and the fire resolves every ripe fact against the version history
+    * in ascending order. Version ops land in a second MapState
+    * (validity start → (op, value, seq)); per instant the highest-seq
+    * op wins. Rows at or below the watermark on arrival are dropped on
+    * BOTH sides (a late version would rewrite history already joined
+    * against — Flink drops them identically), with the same
+    * max(drained-frontier, initialized-watermark) guard as
+    * [[OverWindowProcessor]] so epoch-adjacent first-batch rows are
+    * not misclassified by the zero initial watermark.
+    *
+    * State is the lateness-bounded fact buffer plus the version
+    * history pruned at each drain to the single latest version at or
+    * below the watermark (everything strictly older is unreachable:
+    * any future fact has ts > watermark and resolves to that version
+    * or a newer one) — Flink's `cleanupState` keeps exactly the same
+    * one version. Keyed by the join key, so state shards as the join
+    * requires; O(1) version lookup per fact via the sorted snapshot of
+    * the (pruned, horizon-bounded) history.
+    *
+    * Batch twin: the as-of join ([[graft.operators.AsOfJoin]]) extended
+    * with delete semantics — the gate's oracle computes it
+    * definitionally (max-vts-at-or-before per fact, D → null).
+    * `leftOuter = false` drops unmatched facts (Flink's default INNER
+    * event-time temporal join); `true` emits them null-padded.
+    */
+  class TemporalJoinProcessor(leftOuter: Boolean)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TemporalOp, TemporalJoined] {
+    // fact buffer: ts_us → unemitted facts at that instant
+    @transient private var facts:
+      org.apache.spark.sql.streaming.MapState[Long, List[(Long, Long)]] = _
+    // version history: validity start → (op, value, seq)
+    @transient private var vers:
+      org.apache.spark.sql.streaming.MapState[Long, (String, Long, Long)] = _
+    // watermark at the last drain — the late-row guard's frontier
+    @transient private var drained:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      facts = getHandle.getMapState[Long, List[(Long, Long)]]("facts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.kryo[List[(Long, Long)]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      vers = getHandle.getMapState[Long, (String, Long, Long)]("vers",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.kryo[(String, Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      drained = getHandle.getValueState[Long]("drained",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TemporalOp],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[TemporalJoined] = {
+      val frontier = if (drained.exists()) drained.get() else Long.MinValue
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val lateBelow =
+        if (wmMs > 0L) math.max(frontier, wmMs * 1000L) else frontier
+      rows.foreach { r =>
+        r.side match {
+          case "L" =>
+            if (r.ts_us > lateBelow) {
+              val cur =
+                if (facts.containsKey(r.ts_us)) facts.getValue(r.ts_us)
+                else Nil
+              facts.updateValue(r.ts_us, (r.id, r.value_c) :: cur)
+              getHandle.registerTimer((r.ts_us + 999L) / 1000L)
+            }
+          case "R" =>
+            require(r.op == "I" || r.op == "U" || r.op == "D",
+              s"temporalJoinStream: unknown op '${r.op}' (want I/U/D)")
+            if (r.ts_us > lateBelow) {
+              val keep =
+                if (vers.containsKey(r.ts_us)) {
+                  val (_, _, seq0) = vers.getValue(r.ts_us)
+                  r.seq > seq0 // highest seq at an instant wins
+                } else true
+              if (keep) vers.updateValue(r.ts_us, (r.op, r.value_c, r.seq))
+            }
+          case "F" => // watermark punctuation only
+          case other => throw new IllegalArgumentException(
+            s"temporalJoinStream: unknown side '$other' (want L/R/F)")
+        }
+      }
+      Iterator.empty
+    }
+
+    /** Drain every ripe fact (ts ≤ watermark) in ascending order against
+      * the version history, then prune the history to the latest version
+      * at or below the watermark. Idempotent across the batch's
+      * remaining timers (drained instants empty their fact list).
+      */
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[TemporalJoined] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val already = if (drained.exists()) drained.get() else Long.MinValue
+      // the watermark is fixed for the whole micro-batch, so the first
+      // fire per key drains everything ripe and the batch's remaining
+      // per-instant timers short-circuit instead of rescanning state
+      if (wmUs <= already) Iterator.empty
+      else drainRipe(key, wmUs)
+    }
+
+    private def drainRipe(key: Long, wmUs: Long):
+        Iterator[TemporalJoined] = {
+      val history = vers.iterator().toList.sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[TemporalJoined]
+      facts.iterator().toList.sortBy(_._1).foreach { case (ts, pending) =>
+        if (ts <= wmUs && pending.nonEmpty) {
+          // latest version with validity start ≤ fact ts; D → no value
+          val rv = history.takeWhile(_._1 <= ts).lastOption.flatMap {
+            case (_, (op, v, _)) => if (op == "D") None else Some(v)
+          }
+          if (rv.isDefined || leftOuter)
+            pending.reverse.foreach { case (id, lv) =>
+              out += TemporalJoined(key, id, ts, lv, rv)
+            }
+          facts.removeKey(ts)
+        }
+      }
+      // prune: keep only the latest version at or below the watermark
+      // (still the valid version for in-flight facts above it); strictly
+      // older versions are unreachable by any admissible future fact
+      history.takeWhile(_._1 <= wmUs).dropRight(1)
+        .foreach { case (vts, _) => vers.removeKey(vts) }
+      drained.update(math.max(
+        if (drained.exists()) drained.get() else Long.MinValue, wmUs))
+      out.iterator
+    }
+  }
+
+  final case class RowsAgg(key: Long, ts_us: Long, id: Long,
+    value_c: Long, sum_w: Long, cnt_w: Long)
+
+  /** Flink's row-time ROWS-bounded OVER aggregation (Table API
+    * `SUM(v) OVER (PARTITION BY key ORDER BY rowtime ROWS BETWEEN n
+    * PRECEDING AND CURRENT ROW)`, `RowTimeRowsBoundedPrecedingFunction`)
+    * — the COUNT-bounded sibling of [[OverWindowProcessor]]'s RANGE
+    * form, completing the streaming OVER family. A ROWS frame needs a
+    * TOTAL row order to be deterministic; Flink leaves same-timestamp
+    * order to arrival, this operator pins it to (ts, id) — the same
+    * tiebreak the batch q15 frame family uses — so replays are
+    * reproducible and the batch twin (`rowsBetween(-n, 0)` over
+    * `orderBy(ts, id)`) is exact, ties included: tied rows do NOT see
+    * each other symmetrically (each sees only peers at or before it in
+    * (ts, id) order), the defining difference from the RANGE form.
+    *
+    * Rows buffer in per-key MapState against the watermark (a row's
+    * frame includes the n rows BEFORE it, so it is final the moment
+    * its own instant is — but an earlier-timestamped row may still
+    * arrive, hence the buffered drain in ascending order); the fire
+    * folds ripe rows through a bounded deque of the last n+1 rows
+    * carried in ValueState. State per key is O(n) + the
+    * lateness-bounded buffer — unlike the RANGE form there is NO
+    * window-content retention: the deque IS the frame (Flink's
+    * implementation retires rows from state identically). Late rows
+    * (at or below the drained frontier / initialized watermark) drop —
+    * the shared contract. Per-instant timers short-circuit after the
+    * batch's first drain.
+    */
+  class RowsOverProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), RowsAgg] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.MapState[Long, List[(Long, Long)]] = _
+    // the frame deque: last n+1 (ts, id, value) rows in (ts, id) order
+    @transient private var deque:
+      org.apache.spark.sql.streaming.ValueState[List[(Long, Long, Long)]] = _
+    @transient private var drained:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getMapState[Long, List[(Long, Long)]]("buf",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.kryo[List[(Long, Long)]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      deque = getHandle.getValueState[List[(Long, Long, Long)]]("deque",
+        org.apache.spark.sql.Encoders.kryo[List[(Long, Long, Long)]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      drained = getHandle.getValueState[Long]("drained",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[RowsAgg] = {
+      val frontier = if (drained.exists()) drained.get() else Long.MinValue
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val lateBelow =
+        if (wmMs > 0L) math.max(frontier, wmMs * 1000L) else frontier
+      rows.foreach { case (_, ts, id, v) =>
+        if (ts > lateBelow) {
+          val cur = if (buf.containsKey(ts)) buf.getValue(ts) else Nil
+          buf.updateValue(ts, (id, v) :: cur)
+          getHandle.registerTimer((ts + 999L) / 1000L)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[RowsAgg] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val already = if (drained.exists()) drained.get() else Long.MinValue
+      if (wmUs <= already) Iterator.empty
+      else {
+        var dq = if (deque.exists()) deque.get() else Nil
+        val out = scala.collection.mutable.ArrayBuffer.empty[RowsAgg]
+        buf.iterator().toList.sortBy(_._1).foreach { case (ts, pending) =>
+          if (ts <= wmUs && pending.nonEmpty) {
+            // total order within the instant: id ascending
+            pending.sortBy(_._1).foreach { case (id, v) =>
+              dq = ((ts, id, v) :: dq).take(n + 1) // newest-first deque
+              out += RowsAgg(key, ts, id, v, dq.map(_._3).sum, dq.length)
+            }
+            buf.removeKey(ts)
+          }
+        }
+        deque.update(dq)
+        drained.update(math.max(already, wmUs))
+        out.iterator
+      }
+    }
+  }
+
+  /** (key, ts_us, id, value_c) stream → per-event trailing ROWS-frame
+    * aggregates over the last `n` preceding rows plus the current one,
+    * emitted at watermark passage in pinned (ts, id) order.
+    */
+  def rowsOverStream(events: Dataset[(Long, Long, Long, Long)],
+      n: Int = 3): Dataset[RowsAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", "5 seconds")
+      .select(col("_1"), col("_2"), col("_3"), col("_4"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RowsOverProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** stream_over_rows gate — events folded to 16 keys (cents values,
+    * event_id the order tiebreak) replayed time-ordered in 4
+    * micro-batches + a flush through [[rowsOverStream]] (n = 3);
+    * oracle is the identical batch frame in DuckDB:
+    * `ROWS BETWEEN 3 PRECEDING AND CURRENT ROW` over (ts, id).
+    */
+  def rowsOverGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = graft.Tables.t(s, dir, "events")
+      .select(
+        pmod(col("user_id"), lit(16)).cast("long").as("k"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("id"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .as[(Long, Long, Long, Long)]
+      .orderBy(col("ts_us"), col("id")).collect()
+    val flushTs = fixture.map(_._2).max + 600000000L
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Long)]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-rows-over").toString
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = rowsOverStream(src.toDS(), n = 3).toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append").start()
+      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+      quarters.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      // the flush row itself emits (it is a real row on key 0's stream);
+      // the gate filters it out by its sentinel id below
+      src.addData(Seq((0L, flushTs, -1L, 0L))); q.processAllAvailable()
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    s.read.parquet(outDir).filter(col("id") =!= -1L)
+      .select(col("key").as("k"), col("ts_us"), col("id"),
+        col("value_c"), col("sum_w"), col("cnt_w"))
+      .orderBy(col("k"), col("ts_us"), col("id"))
+  }
+
+  /** stream_over_range gate — the same replay harness through the r10
+    * RANGE-frame [[overWindowStream]] (10-minute trailing window, cents
+    * carried exactly in doubles); oracle is DuckDB's RANGE frame over
+    * ts_us. The RANGE form's driver gate upgrades it from the spec tier
+    * the r10 verdict recorded.
+    */
+  def rangeOverGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = graft.Tables.t(s, dir, "events")
+      .select(
+        pmod(col("user_id"), lit(16)).cast("long").as("k"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long").as("id"),
+        round(col("value") * 100).cast("double").as("value_c"))
+      .as[(Long, Long, Long, Double)]
+      .orderBy(col("ts_us"), col("id")).collect()
+    val flushTs = fixture.map(_._2).max + 600000000L
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Double)]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-range-over").toString
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = overWindowStream(src.toDS()).toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append").start()
+      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+      quarters.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      src.addData(Seq((0L, flushTs, -1L, 0.0))); q.processAllAvailable()
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    s.read.parquet(outDir).filter(col("event_id") =!= -1L)
+      .select(col("user_id").as("k"), col("ts_us"),
+        col("event_id").as("id"), col("value").as("value_c"),
+        col("sum_w"), col("cnt_w"))
+      .orderBy(col("k"), col("ts_us"), col("id"))
+  }
+
+  /** Unioned (side-tagged) fact + version-changelog stream → temporally
+    * joined facts, emitted as the watermark finalizes them. The single
+    * input's watermark IS the min-of-both-inputs watermark Flink's
+    * two-input operator tracks.
+    */
+  def temporalJoinStream(ops: Dataset[TemporalOp],
+      leftOuter: Boolean = false): Dataset[TemporalJoined] = {
+    import ops.sparkSession.implicits._
+    ops
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "5 seconds")
+      .select(col("side"), col("op"), col("seq"), col("ts_us"),
+        col("key"), col("id"), col("value_c"))
+      .as[TemporalOp]
+      .groupByKey(_.key)
+      .transformWithState(new TemporalJoinProcessor(leftOuter),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** Events-derived temporal-join fixture: even event_ids are facts,
+    * odd ones are dimension-version ops (purchase → D closes the key,
+    * else I opens a version), keys fold user_id to 16 slots so every
+    * key carries a deep version history. Shared by the gate and (in
+    * SQL form) the DuckDB oracle.
+    */
+  def temporalOpsFromEvents(events: DataFrame): DataFrame =
+    events.select(
+      when(pmod(col("event_id"), lit(2)) === 0, lit("L"))
+        .otherwise(lit("R")).as("side"),
+      when(pmod(col("event_id"), lit(2)) === 0, lit("I"))
+        .when(col("event_type") === "purchase", lit("D"))
+        .otherwise(lit("I")).as("op"),
+      col("event_id").as("seq"),
+      unix_micros(col("ts")).as("ts_us"),
+      pmod(col("user_id"), lit(16)).cast("long").as("key"),
+      col("event_id").cast("long").as("id"),
+      round(col("value") * 100).cast("long").as("value_c"))
+
+  /** stream_temporal_join[_left] gates — MemoryStream replay of the
+    * events-derived fixture in 4 time-ordered micro-batches (plus one
+    * flush row 10 min past the end so the 5 s lateness horizon
+    * finalizes the tail), compared against DuckDB's definitional as-of:
+    * per fact, the max-validity version at or before its timestamp,
+    * D → null, inner drops / left keeps the unmatched.
+    */
+  def temporalJoinGate(s: SparkSession, dir: String,
+      leftOuter: Boolean): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = temporalOpsFromEvents(graft.Tables.t(s, dir, "events"))
+      .as[TemporalOp].orderBy(col("ts_us"), col("seq")).collect()
+    val flush = TemporalOp("F", "I", Long.MaxValue,
+      fixture.map(_.ts_us).max + 600000000L, 0L, -1L, 0L)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TemporalOp]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-temporal-join").toString
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = temporalJoinStream(src.toDS(), leftOuter).toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append").start()
+      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+      quarters.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      src.addData(Seq(flush)); q.processAllAvailable()
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    s.read.parquet(outDir)
+      .select(col("key").as("k"), col("id"), col("ts_us"),
+        col("l_val"), col("r_val"))
+      .orderBy(col("k"), col("id"))
+  }
 }
