@@ -967,40 +967,66 @@ object StreamingOps {
 
     /** Any fire drains EVERY ripe instant (ts ≤ watermark) in ascending
       * order — idempotent across the batch's remaining timers, and
-      * immune to ms-truncation aliasing between timer and key.
+      * immune to ms-truncation aliasing between timer and key. The
+      * watermark is fixed for the whole micro-batch, so after the first
+      * drain per key the batch's remaining per-instant timers
+      * short-circuit on the recorded drain watermark instead of
+      * rescanning state; the drain itself is ONE O(content) pass —
+      * prefix sums over the sorted snapshot plus a monotone
+      * window-start pointer — not a per-instant range rescan (which
+      * made the fire O(content²) and dominated the sf0.1 gate replay).
       */
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
         Iterator[OverAgg] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
-      val snapshot = content.iterator().toList.sortBy(_._1)
-      val out = scala.collection.mutable.ArrayBuffer.empty[OverAgg]
-      var frontier = if (drained.exists()) drained.get() else Long.MinValue
-      snapshot.foreach { case (ts, (_, _, pending)) =>
-        if (ts <= wmUs && pending.nonEmpty) {
-          frontier = math.max(frontier, ts)
-          // [ts − w, ts] INCLUSIVE both ends — Spark's rangeBetween(−w,
-          // 0) and Flink's RANGE w PRECEDING both include the lower edge
-          var sum = 0.0; var cnt = 0L
-          snapshot.foreach { p =>
-            if (p._1 >= ts - windowUs && p._1 <= ts) {
-              sum += p._2._1; cnt += p._2._2
-            }
-          }
-          pending.reverse.foreach { case (id, v) =>
-            out += OverAgg(key, ts, id, v, sum, cnt)
-          }
-          val kept = content.getValue(ts)
-          content.updateValue(ts, (kept._1, kept._2, Nil))
+      // `drained` is the watermark of the key's last drain. It is ≥
+      // every emitted instant, so the input-side guard max(frontier,
+      // initialized wm) admits exactly the same rows as the r10
+      // max-emitted-ts frontier did (rows between that ts and the
+      // watermark are late by the operator contract either way).
+      val already = if (drained.exists()) drained.get() else Long.MinValue
+      if (wmUs <= already) Iterator.empty
+      else {
+        val arr = content.iterator().toList.sortBy(_._1).toArray
+        val n = arr.length
+        // prefix aggregates over the sorted content: window sums become
+        // one subtraction, same rounding class as a fresh per-window sum
+        val ps = new Array[Double](n + 1)
+        val pc = new Array[Long](n + 1)
+        var i = 0
+        while (i < n) {
+          ps(i + 1) = ps(i) + arr(i)._2._1
+          pc(i + 1) = pc(i) + arr(i)._2._2
+          i += 1
         }
+        val out = scala.collection.mutable.ArrayBuffer.empty[OverAgg]
+        var lo = 0 // monotone: first index with ts ≥ current ts − w
+        var j = 0
+        while (j < n) {
+          val (ts, (_, _, pending)) = arr(j)
+          if (ts <= wmUs && pending.nonEmpty) {
+            // [ts − w, ts] INCLUSIVE both ends — Spark's rangeBetween(−w,
+            // 0) and Flink's RANGE w PRECEDING both include the lower edge
+            while (arr(lo)._1 < ts - windowUs) lo += 1
+            val sum = ps(j + 1) - ps(lo)
+            val cnt = pc(j + 1) - pc(lo)
+            pending.reverse.foreach { case (id, v) =>
+              out += OverAgg(key, ts, id, v, sum, cnt)
+            }
+            val kept = content.getValue(ts)
+            content.updateValue(ts, (kept._1, kept._2, Nil))
+          }
+          j += 1
+        }
+        drained.update(wmUs)
+        // evict what no future emission can reach: every unemitted row
+        // has ts > watermark, so content at or below watermark − w is dead
+        arr.foreach(p =>
+          if (p._1 <= wmUs - windowUs) content.removeKey(p._1))
+        out.iterator
       }
-      drained.update(frontier)
-      // evict what no future emission can reach: every unemitted row
-      // has ts > watermark, so content at or below watermark − w is dead
-      snapshot.foreach(p =>
-        if (p._1 <= wmUs - windowUs) content.removeKey(p._1))
-      out.iterator
     }
   }
 
