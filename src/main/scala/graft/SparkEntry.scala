@@ -297,6 +297,36 @@ object SparkEntry {
     // driver gate through the same replay harness
     "stream_over_range" ->
       ((s, dir) => graft.streaming.StreamingOps.rangeOverGate(s, dir)),
+    // streaming replay gates for the Q30/Q31 window family — each
+    // operator's append-mode output over a 4-batch day-folded replay
+    // must equal the definitional batch computation
+    "stream_tumble" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamTumbleGate(s, dir)),
+    "stream_slide" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamSlideGate(s, dir)),
+    "stream_cumulate" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamCumulateGate(s, dir)),
+    "stream_session" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamSessionGate(s, dir)),
+    "stream_dynamic_session" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamDynamicSessionGate(s, dir)),
+    // Window Top-N (transformWithState) over the same replay
+    "stream_window_topn" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamWindowTopNGate(s, dir)),
+    // stream-stream joins: interval (per-event ±delta band) and window
+    // (same-tumble-bucket) forms, both emitting pairs exactly once
+    "stream_interval_join" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamIntervalJoinGate(s, dir)),
+    "stream_window_join" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamWindowJoinGate(s, dir)),
+    // left-outer interval join: the null-padded row a never-matched
+    // click emits at watermark expiry — the outer path dominates
+    "stream_interval_join_left" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamIntervalJoinLeftGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -597,6 +627,16 @@ object SparkEntry {
     * three emb_semdedup* oracles share; cosine arithmetic mirrors the
     * dedup_embedding oracle exactly (double products, dim-ordered sums).
     */
+  /** Day-folded events fixture the streaming replay gates share with
+    * StreamingOps.gateEventsDayFolded: micros-of-day + 2024-01-01T00:00Z,
+    * users folded to 16 slots.
+    */
+  private def streamFoldedCte: String =
+    "WITH f AS (SELECT CAST(event_id AS BIGINT) AS event_id, " +
+      "CAST(user_id % 16 AS BIGINT) AS user_id, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 1704067200000000 " +
+      "AS tu, event_type, value FROM events) "
+
   private def semDedupCtes: String =
     lloydsCtes +
       "pp AS (SELECT x.vec_id AS i, y.vec_id AS j FROM a3 x " +
@@ -2417,6 +2457,89 @@ object SparkEntry {
         "COUNT(*) OVER (PARTITION BY k ORDER BY ts_us " +
         "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS cnt_w " +
         "FROM base ORDER BY k, ts_us, id"),
+    // streaming window-family replay gates: the day-folded fixture
+    // (micros-of-day + 2024-01-01T00:00Z, users % 16) shared with the
+    // Spark side; each oracle is the definitional batch computation
+    "stream_tumble" ->
+      (streamFoldedCte +
+        "SELECT (tu // 60000000) * 60000000 AS w_start, event_type, " +
+        "COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM f GROUP BY 1, 2 ORDER BY 1, 2"),
+    "stream_slide" ->
+      (streamFoldedCte +
+        "SELECT w_start, COUNT(*) AS cnt FROM " +
+        "(SELECT (tu // 30000000) * 30000000 - u.o AS w_start FROM f, " +
+        "(VALUES (CAST(0 AS BIGINT)), (CAST(30000000 AS BIGINT))) u(o)) " +
+        "GROUP BY w_start ORDER BY w_start"),
+    "stream_cumulate" ->
+      (streamFoldedCte +
+        ", w AS (SELECT tu - tu % 240000000 AS w_start, tu, value FROM f), " +
+        "x AS (SELECT w_start, w_start + k.k * 60000000 AS w_end, value " +
+        "FROM w, (SELECT CAST(range + 1 AS BIGINT) AS k FROM range(4)) k " +
+        "WHERE tu < w_start + k.k * 60000000) " +
+        "SELECT w_start, w_end, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value " +
+        "FROM x GROUP BY w_start, w_end ORDER BY w_start, w_end"),
+    "stream_session" ->
+      (streamFoldedCte +
+        ", m AS (SELECT user_id, tu, CASE WHEN LAG(tu) OVER " +
+        "(PARTITION BY user_id ORDER BY tu) IS NULL OR tu - LAG(tu) OVER " +
+        "(PARTITION BY user_id ORDER BY tu) >= 30000000 THEN 1 ELSE 0 END " +
+        "AS brk FROM f), " +
+        "g AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY tu ROWS UNBOUNDED PRECEDING) AS grp FROM m) " +
+        "SELECT user_id, MIN(tu) AS w_start, MAX(tu) + 30000000 AS w_end, " +
+        "COUNT(*) AS cnt FROM g GROUP BY user_id, grp " +
+        "ORDER BY user_id, w_start"),
+    "stream_dynamic_session" ->
+      (streamFoldedCte +
+        ", m AS (SELECT user_id, tu, CASE WHEN event_type = 'purchase' " +
+        "THEN 60000000 ELSE 30000000 END AS gap FROM f), " +
+        "p AS (SELECT user_id, tu, gap, MAX(tu + gap) OVER " +
+        "(PARTITION BY user_id ORDER BY tu " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pend FROM m), " +
+        "g AS (SELECT user_id, tu, gap, CASE WHEN pend IS NULL " +
+        "OR tu >= pend THEN 1 ELSE 0 END AS brk FROM p), " +
+        "s AS (SELECT user_id, tu, gap, SUM(brk) OVER " +
+        "(PARTITION BY user_id ORDER BY tu ROWS UNBOUNDED PRECEDING) " +
+        "AS grp FROM g) " +
+        "SELECT user_id, MIN(tu) AS w_start, MAX(tu + gap) AS w_end, " +
+        "COUNT(*) AS cnt FROM s GROUP BY user_id, grp " +
+        "ORDER BY user_id, w_start"),
+    "stream_interval_join_left" ->
+      (streamFoldedCte +
+        "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+        "c.user_id, c.tu AS click_ts, p.tu AS purchase_ts " +
+        "FROM (SELECT * FROM f WHERE event_type = 'click') c " +
+        "LEFT JOIN (SELECT * FROM f WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id AND p.tu >= c.tu " +
+        "AND p.tu <= c.tu + 30000000 " +
+        "ORDER BY click_id, purchase_id NULLS LAST"),
+    "stream_window_topn" ->
+      (streamFoldedCte +
+        ", g AS (SELECT (tu // 600000000) * 600000000 AS w_start_us, " +
+        "event_type, COUNT(*) AS cnt FROM f GROUP BY 1, 2) " +
+        "SELECT w_start_us, CAST(row_number() OVER (PARTITION BY " +
+        "w_start_us ORDER BY cnt DESC, event_type) AS BIGINT) AS rk, " +
+        "event_type, cnt FROM g QUALIFY rk <= 2 ORDER BY w_start_us, rk"),
+    "stream_interval_join" ->
+      (streamFoldedCte +
+        "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+        "c.user_id, c.tu AS click_ts, p.tu AS purchase_ts " +
+        "FROM (SELECT * FROM f WHERE event_type = 'click') c " +
+        "JOIN (SELECT * FROM f WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id AND p.tu >= c.tu " +
+        "AND p.tu <= c.tu + 30000000 ORDER BY click_id, purchase_id"),
+    "stream_window_join" ->
+      (streamFoldedCte +
+        "SELECT (c.tu // 60000000) * 60000000 AS w_start, c.user_id, " +
+        "c.event_id AS click_id, p.event_id AS purchase_id " +
+        "FROM (SELECT * FROM f WHERE event_type = 'click') c " +
+        "JOIN (SELECT * FROM f WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id " +
+        "AND c.tu // 60000000 = p.tu // 60000000 " +
+        "ORDER BY click_id, purchase_id"),
     // contiguous CEP, definitionally as gaps-and-islands: a greedy
     // click→view+→purchase match is (LAST row of a click island, a
     // whole view island, FIRST row of the adjacent purchase island)

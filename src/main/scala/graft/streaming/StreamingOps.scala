@@ -2650,6 +2650,273 @@ object StreamingOps {
       .orderBy(col("k"), col("ts_us"), col("id"))
   }
 
+  /** One fixture row for the streaming replay gates below — the events
+    * schema the window/join operators consume, so `src.toDF()` drops
+    * straight into them.
+    */
+  final case class GateEv(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, event_type: String, value: Double)
+
+  /** Day-folded events fixture shared by the streaming replay gates and
+    * (in SQL form) their DuckDB oracles: the 30-day span folds onto one
+    * day (micros-of-day + 2024-01-01T00:00Z) and users fold to 16 slots
+    * — 30× the temporal density, so 30 s interval matches, 1-minute
+    * window-join pairs and multi-row sessions all actually occur at
+    * gate SF (they are near-absent on the raw spacing). Ordered by
+    * (ts, event_id); no timestamp collisions at gate SFs.
+    */
+  def gateEventsDayFolded(s: SparkSession, dir: String): Array[GateEv] = {
+    import s.implicits._
+    graft.Tables.t(s, dir, "events")
+      .select(
+        col("event_id").cast("long").as("event_id"),
+        pmod(col("user_id"), lit(16)).cast("long").as("user_id"),
+        timestamp_micros(pmod(unix_micros(col("ts")), lit(86400000000L)) +
+          lit(1704067200000000L)).as("ts"),
+        col("event_type"), col("value").cast("double").as("value"))
+      .as[GateEv].orderBy(col("ts"), col("event_id")).collect()
+  }
+
+  /** Replay the fixture through `build` in 4 time-ordered micro-batches
+    * (+ an optional flush row that advances the watermark past every
+    * real window/session end), appending each batch's output to
+    * parquet; returns the accumulated output.
+    */
+  private def replayThrough(s: SparkSession, fixture: Array[GateEv],
+      flush: Option[GateEv])(build: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-gate").toString
+    val q = build(src.toDF()).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode("append").start()
+    val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
+    quarters.foreach { chunk =>
+      src.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    flush.foreach { f => src.addData(Seq(f)); q.processAllAvailable() }
+    q.stop()
+    s.read.parquet(outDir)
+  }
+
+  /** Two-input twin of [[replayThrough]] for the stream-stream joins:
+    * the fixture splits by event type into the two inputs, and BOTH
+    * sides advance through the SAME global time boundaries per
+    * micro-batch, so neither side's watermark can run ahead and evict
+    * join state the other side still needs.
+    */
+  private def replayJoinThrough(s: SparkSession, fixture: Array[GateEv],
+      leftType: String, rightType: String)(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val l = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val r = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-join-gate").toString
+    val q = build(l.toDF(), r.toDF()).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode("append").start()
+    // TWO batches, not four: each micro-batch of a stream-stream join
+    // re-touches the accumulated per-side state, so batch count is the
+    // replay's cost driver; one seam already proves the cross-batch
+    // match path (a pair whose sides arrive in different batches)
+    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+    halves.foreach { chunk =>
+      val lc = chunk.filter(_.event_type == leftType)
+      val rc = chunk.filter(_.event_type == rightType)
+      if (lc.nonEmpty) l.addData(lc.toSeq)
+      if (rc.nonEmpty) r.addData(rc.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    s.read.parquet(outDir)
+  }
+
+  private def gateFlush(fixture: Array[GateEv]): (Long, GateEv) = {
+    val maxUs = fixture.map(e => e.ts.getTime * 1000L +
+      (e.ts.getNanos / 1000L) % 1000L).max
+    (maxUs, GateEv(-1L, -1L,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        maxUs / 1000000L + 600L, (maxUs % 1000000L) * 1000L)),
+      "flush", 0.0))
+  }
+
+  /** stream_tumble gate — [[tumblingCounts]] replayed over the
+    * day-folded fixture; append mode emits each 1-minute window exactly
+    * once at watermark close, so the accumulated output must equal the
+    * definitional batch GROUP BY (the flush row's own window is cut by
+    * the w_start bound).
+    */
+  def streamTumbleGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (maxUs, flush) = gateFlush(fixture)
+    replayThrough(s, fixture, Some(flush))(tumblingCounts)
+      .select(unix_micros(col("w_start")).as("w_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .filter(col("w_start") <= maxUs)
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** stream_slide gate — [[slidingCounts]] (1-minute window, 30 s
+    * slide): every event lands in exactly two windows; same
+    * close-once-at-watermark contract.
+    */
+  def streamSlideGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (maxUs, flush) = gateFlush(fixture)
+    replayThrough(s, fixture, Some(flush))(slidingCounts)
+      .select(unix_micros(col("w_start")).as("w_start"), col("cnt"))
+      .filter(col("w_start") <= maxUs)
+      .orderBy(col("w_start"))
+  }
+
+  /** stream_cumulate gate — [[cumulateCounts]] (Flink CUMULATE TVF,
+    * 4-minute max window / 1-minute expanding slices) with its
+    * lead-compensated watermark; each slice emits once at close.
+    */
+  def streamCumulateGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (maxUs, flush) = gateFlush(fixture)
+    replayThrough(s, fixture, Some(flush))(cumulateCounts)
+      .select(unix_micros(col("w_start")).as("w_start"),
+        unix_micros(col("w_end")).as("w_end"), col("cnt"), col("sum_value"))
+      .filter(col("w_start") <= maxUs)
+      .orderBy(col("w_start"), col("w_end"))
+  }
+
+  /** stream_session gate — [[sessionCounts]] (30 s gap) on the folded
+    * fixture (1556 multi-row sessions at sf0.01 — the merge path
+    * binds); the flush row sits on its own user and is cut by the
+    * user bound.
+    */
+  def streamSessionGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (_, flush) = gateFlush(fixture)
+    replayThrough(s, fixture, Some(flush))(sessionCounts)
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), unix_micros(col("w_start")).as("w_start"),
+        unix_micros(col("w_end")).as("w_end"), col("cnt"))
+      .orderBy(col("user_id"), col("w_start"))
+  }
+
+  /** stream_dynamic_session gate — [[dynamicSessionCounts]] (Flink's
+    * dynamic session gap: purchases hold 60 s, everything else 30 s)
+    * through the same replay; purchase-extended merges bind on the
+    * folded fixture.
+    */
+  def streamDynamicSessionGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (_, flush) = gateFlush(fixture)
+    replayThrough(s, fixture, Some(flush))(dynamicSessionCounts)
+      .filter(col("user_id") >= 0L)
+      .select(col("user_id"), unix_micros(col("w_start")).as("w_start"),
+        unix_micros(col("w_end")).as("w_end"), col("cnt"))
+      .orderBy(col("user_id"), col("w_start"))
+  }
+
+  /** stream_interval_join_left gate — [[intervalJoinLeftOuter]]: the
+    * OUTER stream-stream join's defining path is the null-padded row a
+    * never-matched click emits only once both watermarks pass its
+    * interval end (the engine can then prove no match will arrive) —
+    * ~3.2k padded vs 82 matched rows at sf0.01, so the padding path
+    * dominates the gate. Both sides get the watermark flush row; its
+    * own padded emission is cut by the user bound.
+    */
+  def streamIntervalJoinLeftGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = gateEventsDayFolded(s, dir)
+    val (_, flush) = gateFlush(fixture)
+    val l = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val r = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-lojoin-gate").toString
+    val q = intervalJoinLeftOuter(l.toDF(), r.toDF()).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode("append").start()
+    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+    halves.foreach { chunk =>
+      val lc = chunk.filter(_.event_type == "click")
+      val rc = chunk.filter(_.event_type == "purchase")
+      if (lc.nonEmpty) l.addData(lc.toSeq)
+      if (rc.nonEmpty) r.addData(rc.toSeq)
+      q.processAllAvailable()
+    }
+    l.addData(Seq(flush)); r.addData(Seq(flush)); q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts"),
+        unix_micros(col("purchase_ts")).as("purchase_ts"))
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_last)
+  }
+
+  /** stream_window_topn gate — [[windowTopNStream]] (10-minute tumble,
+    * top-2 event types, count desc / name asc): the transformWithState
+    * Window Top-N emits each closed window's ranking once; oracle ranks
+    * the definitional per-window counts.
+    */
+  def streamWindowTopNGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (maxUs, flush) = gateFlush(fixture)
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    val out =
+      try replayThrough(s, fixture, Some(flush))(df =>
+        windowTopNStream(df).toDF())
+      finally prev match {
+        case Some(v) => s.conf.set(pKey, v)
+        case None => s.conf.unset(pKey)
+      }
+    out.filter(col("w_start_us") <= maxUs)
+      .select(col("w_start_us"), col("rk"), col("event_type"), col("cnt"))
+      .orderBy(col("w_start_us"), col("rk"))
+  }
+
+  /** stream_interval_join gate — [[intervalJoin]] (purchases within
+    * 30 s after a click, same user): the inner stream-stream join
+    * emits each pair exactly once in the micro-batch where both sides
+    * are present; 82 pairs bind at sf0.01 on the folded fixture.
+    */
+  def streamIntervalJoinGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    replayJoinThrough(s, fixture, "click", "purchase")(intervalJoin)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts"),
+        unix_micros(col("purchase_ts")).as("purchase_ts"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  /** stream_window_join gate — [[windowJoin]] (same 1-minute tumbling
+    * window, same user — the boundary semantics that distinguish it
+    * from the interval join); 194 pairs bind at sf0.01.
+    */
+  def streamWindowJoinGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    replayJoinThrough(s, fixture, "click", "purchase")(
+      (l, r) => windowJoin(l, r))
+      .select(unix_micros(col("w_start")).as("w_start"), col("user_id"),
+        col("click_id"), col("purchase_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Unioned (side-tagged) fact + version-changelog stream → temporally
     * joined facts, emitted as the watermark finalizes them. The single
     * input's watermark IS the min-of-both-inputs watermark Flink's

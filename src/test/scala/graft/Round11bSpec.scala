@@ -146,6 +146,60 @@ class Round11bSpec extends SparkSpecBase {
       expectLeft.filter(_.r_val.isDefined))
   }
 
+  test("temporal join: version history, fact buffer and timers survive " +
+      "a query restart on the same checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pkey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(pkey)
+    spark.conf.set(pkey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-tj-restart").toString
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[TemporalOp]
+      def start(outDir: String) =
+        StreamingOps.temporalJoinStream(src.toDS(), leftOuter = false)
+          .toDF().writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+          }
+          .outputMode("append")
+          .option("checkpointLocation", ckpt).start()
+      // run 1: two versions, two ripe facts, one fact left buffered
+      // (ts 100 > watermark 95) — then KILL the query
+      val out1 = java.nio.file.Files
+        .createTempDirectory("graft-tj-out1").toString
+      src.addData(ver("I", 10, 6, 100, 1), ver("I", 30, 6, 200, 3),
+        fact(15, 6, 1, 11), fact(40, 6, 2, 12), fact(100, 6, 3, 13))
+      val q1 = start(out1)
+      q1.processAllAvailable(); q1.stop()
+      val got1 = spark.read.parquet(out1).as[TemporalJoined]
+        .collect().sortBy(_.id).toSeq
+      assert(got1 == Seq(
+        TemporalJoined(6, 1, sec(15), 11, Some(100)),
+        TemporalJoined(6, 2, sec(40), 12, Some(200))),
+        s"pre-restart drains wrong: $got1")
+      // run 2, same checkpoint: only a flush — the buffered fact must
+      // emit against the version LEARNED BEFORE the restart (so the
+      // recovery restored the pruned history, the fact buffer AND the
+      // registered timer), not against empty state
+      val out2 = java.nio.file.Files
+        .createTempDirectory("graft-tj-out2").toString
+      src.addData(flush(500))
+      val q2 = start(out2)
+      q2.processAllAvailable(); q2.stop()
+      val got2 = spark.read.parquet(out2).as[TemporalJoined]
+        .collect().toSeq
+      assert(got2 == Seq(TemporalJoined(6, 3, sec(100), 13, Some(200))),
+        s"restart lost buffered fact, history or timer: $got2")
+    } finally prev match {
+      case Some(v) => spark.conf.set(pkey, v)
+      case None => spark.conf.unset(pkey)
+    }
+  }
+
   private def replayRows(batches: Seq[Seq[(Long, Long, Long, Long)]],
       n: Int, name: String): Seq[StreamingOps.RowsAgg] = {
     import spark.implicits._
