@@ -311,6 +311,10 @@ object SparkEntry {
     "stream_dynamic_session" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamDynamicSessionGate(s, dir)),
+    // streaming drift monitor: per-window value-histogram PSI against
+    // a reference histogram, one stateful op (pivoted bucket counts)
+    "stream_drift_psi" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamDriftPsiGate(s, dir)),
     // Window Top-N (transformWithState) over the same replay
     "stream_window_topn" ->
       ((s, dir) => graft.streaming.StreamingOps.streamWindowTopNGate(s, dir)),
@@ -2516,6 +2520,35 @@ object SparkEntry {
         "ON c.user_id = p.user_id AND p.tu >= c.tu " +
         "AND p.tu <= c.tu + 30000000 " +
         "ORDER BY click_id, purchase_id NULLS LAST"),
+    // per-window PSI vs the corpus histogram, definitionally: +1
+    // smoothed proportions over the 10-bucket spine, DECIMAL(20,12)
+    // quantized terms (the batch drift_psi recipe), windows from ALL
+    // events (out-of-domain rows open the window but join no bucket)
+    "stream_drift_psi" ->
+      (streamFoldedCte +
+        ", sp AS (SELECT CAST(range AS INT) AS b FROM range(10)), " +
+        "base AS (SELECT CAST(FLOOR(value / 50) AS INT) AS b, " +
+        "COUNT(*) AS c FROM f WHERE FLOOR(value / 50) >= 0 " +
+        "AND FLOOR(value / 50) < 10 GROUP BY 1), " +
+        "bs AS (SELECT sp.b, COALESCE(base.c, 0) + 1 AS cb " +
+        "FROM sp LEFT JOIN base USING (b)), " +
+        "btot AS (SELECT CAST(SUM(cb) AS DOUBLE) AS tb FROM bs), " +
+        "ws AS (SELECT DISTINCT (tu // 3600000000) * 3600000000 " +
+        "AS w_start FROM f), " +
+        "wcnt AS (SELECT (tu // 3600000000) * 3600000000 AS w_start, " +
+        "CAST(FLOOR(value / 50) AS INT) AS b, COUNT(*) AS c FROM f " +
+        "WHERE FLOOR(value / 50) >= 0 AND FLOOR(value / 50) < 10 " +
+        "GROUP BY 1, 2), " +
+        "grid AS (SELECT ws.w_start, sp.b FROM ws, sp), " +
+        "wc AS (SELECT grid.w_start, grid.b, COALESCE(wcnt.c, 0) + 1 " +
+        "AS cw FROM grid LEFT JOIN wcnt USING (w_start, b)), " +
+        "wtot AS (SELECT w_start, CAST(SUM(cw) AS DOUBLE) AS tw " +
+        "FROM wc GROUP BY 1) " +
+        "SELECT wc.w_start, CAST(SUM(cw - 1) AS BIGINT) AS n_in_domain, " +
+        "ROUND(CAST(SUM(CAST((cw / tw - cb / tb) * " +
+        "LN((cw / tw) / (cb / tb)) AS DECIMAL(20,12))) AS DOUBLE), 6) " +
+        "AS psi FROM wc JOIN wtot USING (w_start) JOIN bs USING (b) " +
+        "CROSS JOIN btot GROUP BY wc.w_start ORDER BY wc.w_start"),
     "stream_window_topn" ->
       (streamFoldedCte +
         ", g AS (SELECT (tu // 600000000) * 600000000 AS w_start_us, " +

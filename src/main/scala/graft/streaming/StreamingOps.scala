@@ -2809,6 +2809,69 @@ object StreamingOps {
       .orderBy(col("user_id"), col("w_start"))
   }
 
+  /** STREAMING drift monitor — the live twin of the batch
+    * [[graft.operators.Drift]] PSI stage: per tumbling window, the
+    * value histogram's population stability index against a REFERENCE
+    * histogram (a prior period in production; the corpus histogram in
+    * the gate), emitted once at window close. The whole computation is
+    * ONE streaming aggregation: the per-bucket counts are pivoted into
+    * fixed columns (`nBuckets` is a parameter, so the pivot is
+    * schema-bounded — this is what keeps it a single stateful operator
+    * instead of the two-phase histogram→PSI chain Spark's append mode
+    * rejects), and the PSI fold over the bucket columns plus the
+    * broadcast-scalar baseline proportions is a stateless projection.
+    * Laplace +1 smoothing on both sides keeps empty buckets finite
+    * (the batch operator's exact convention); per-bucket terms are
+    * quantized to DECIMAL(20,12) before the sum so the fold is
+    * order-independent (the q10e recipe, shared with the batch PSI).
+    * Out-of-domain values (bucket outside [0, nBuckets)) are excluded
+    * from both histogram and totals — exactly the batch spine
+    * semantics. State per window is the nBuckets count columns.
+    */
+  def windowedPsiStream(events: DataFrame, baseline: Seq[Long],
+      width: Int = 50, windowLen: String = "1 hour"): DataFrame = {
+    val n = baseline.length
+    require(n > 0, "windowedPsiStream: empty baseline histogram")
+    val b = floor(col("value") / width).cast("int")
+    val cnts = (0 until n).map(i =>
+      sum(when(b === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val agged = events.withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(cnts.head, cnts.tail: _*)
+    val baseTot = baseline.map(_ + 1L).sum.toDouble
+    val winTot = (0 until n).map(i => col(s"__c$i") + 1L)
+      .reduce(_ + _).cast("double")
+    val psi = (0 until n).map { i =>
+      val pw = (col(s"__c$i") + 1L).cast("double") / winTot
+      val pb = lit((baseline(i) + 1L).toDouble / baseTot)
+      ((pw - pb) * log(pw / pb))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 12))
+    }.reduce(_ + _)
+    agged.select(
+      unix_micros(col("w.start")).as("w_start"),
+      ((0 until n).map(i => col(s"__c$i")).reduce(_ + _)).as("n_in_domain"),
+      round(psi.cast("double"), 6).as("psi"))
+  }
+
+  /** stream_drift_psi gate — [[windowedPsiStream]] over the day-folded
+    * fixture's 24 one-hour windows, baseline = the corpus's own global
+    * histogram (computed on the driver from the collected fixture, so
+    * gate and oracle share it definitionally); windows with drifted
+    * hourly mixes score high, uniform hours near zero.
+    */
+  def streamDriftPsiGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (maxUs, flush) = gateFlush(fixture)
+    val n = 10; val width = 50
+    val baseline = (0 until n).map(i =>
+      fixture.count(e => e.value >= 0 &&
+        math.floor(e.value / width).toInt == i).toLong)
+    replayThrough(s, fixture, Some(flush))(df =>
+      windowedPsiStream(df, baseline, width))
+      .filter(col("w_start") <= maxUs)
+      .orderBy(col("w_start"))
+  }
+
   /** stream_dynamic_session gate — [[dynamicSessionCounts]] (Flink's
     * dynamic session gap: purchases hold 60 s, everything else 30 s)
     * through the same replay; purchase-extended merges bind on the

@@ -1533,6 +1533,49 @@ class StreamingSpec extends SparkSpecBase {
       s"gate ${got.toSeq.sortBy(_._1)} != twin ${expected.toSeq.sortBy(_._1)}")
     assert(got.nonEmpty)
   }
+
+  test("drift psi stream: drifted window scores high, matched low, " +
+      "out-of-domain excluded, late rows dropped; equals the batch twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val baseline = Seq(10L, 20L, 10L, 0L) // 4 buckets, width 50 → [0, 200)
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.windowedPsiStream(src.toDF(), baseline, width = 50)
+      .writeStream.format("memory").queryName("psis")
+      .outputMode("append").start()
+    // window 00:00 tracks the baseline mix; 999/-5 are out-of-domain
+    // (they open no bucket and stay out of n_in_domain)
+    val w1 = Seq(
+      ev(1, "2024-03-01 00:10:00", v = 25), ev(2, "2024-03-01 00:20:00", v = 75),
+      ev(3, "2024-03-01 00:30:00", v = 80), ev(4, "2024-03-01 00:40:00", v = 125),
+      ev(5, "2024-03-01 00:41:00", v = 999), ev(6, "2024-03-01 00:42:00", v = -5))
+    // window 01:00 concentrates in the baseline-empty bucket 3
+    val w2 = Seq(
+      ev(7, "2024-03-01 01:10:00", v = 160), ev(8, "2024-03-01 01:20:00", v = 170),
+      ev(9, "2024-03-01 01:30:00", v = 180), ev(10, "2024-03-01 01:40:00", v = 190))
+    src.addData(w1); q.processAllAvailable()
+    src.addData(w2); q.processAllAvailable()
+    // flush past 02:00 + lateness, then a late window-00:00 row: its
+    // window already emitted and its state is evicted — it must vanish
+    src.addData(ev(11, "2024-03-01 02:30:00", v = 10)); q.processAllAvailable()
+    src.addData(ev(12, "2024-03-01 00:15:00", v = 25)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("psis").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // withWatermark is a no-op on a batch plan, so the SAME builder over
+    // the on-time rows is the definitional twin (late ev(12) excluded)
+    val batch = StreamingOps.windowedPsiStream(
+      (w1 ++ w2).toDF(), baseline, width = 50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got.size == 2) // late row resurrected no third window
+    val Seq(psiMatched, psiDrifted) =
+      got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(got.toSeq.sortBy(_._1).map(_._2._1) == Seq(4L, 4L)) // in-domain
+    assert(psiDrifted > 1.0, s"drifted window psi $psiDrifted")
+    assert(psiMatched < 0.2, s"matched window psi $psiMatched")
+    assert(psiDrifted > psiMatched * 5)
+  }
 }
 
 object StreamingSpec {
