@@ -298,7 +298,7 @@ object SparkEntry {
     "stream_over_range" ->
       ((s, dir) => graft.streaming.StreamingOps.rangeOverGate(s, dir)),
     // streaming replay gates for the Q30/Q31 window family — each
-    // operator's append-mode output over a 4-batch day-folded replay
+    // operator's append-mode output over a 2-batch day-folded replay
     // must equal the definitional batch computation
     "stream_tumble" ->
       ((s, dir) => graft.streaming.StreamingOps.streamTumbleGate(s, dir)),

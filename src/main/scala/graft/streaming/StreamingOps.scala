@@ -1373,8 +1373,8 @@ object StreamingOps {
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode("update").start()
-      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-      quarters.foreach { chunk =>
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
         src.addData(chunk.toSeq); q.processAllAvailable()
       }
       q.stop()
@@ -1741,8 +1741,8 @@ object StreamingOps {
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode("append").start()
-      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-      quarters.foreach { chunk =>
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
         src.addData(chunk.toSeq); q.processAllAvailable()
       }
       q.stop()
@@ -1930,8 +1930,8 @@ object StreamingOps {
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode("append").start()
-      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-      quarters.foreach { chunk =>
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
         src.addData(chunk.toSeq); q.processAllAvailable()
       }
       q.stop()
@@ -2066,8 +2066,8 @@ object StreamingOps {
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode("append").start()
-      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-      quarters.foreach { chunk =>
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
         src.addData(chunk.toSeq); q.processAllAvailable()
       }
       q.stop()
@@ -2244,8 +2244,8 @@ object StreamingOps {
         .outputMode("update").start()
       // 4 batches exercise cross-batch state carry; each batch is a
       // contiguous seq range so the replay IS the changelog's order
-      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-      quarters.foreach { chunk =>
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
         src.addData(chunk.toSeq); q.processAllAvailable()
       }
       q.stop()
@@ -2583,8 +2583,8 @@ object StreamingOps {
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode("append").start()
-      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-      quarters.foreach { chunk =>
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
         src.addData(chunk.toSeq); q.processAllAvailable()
       }
       // the flush row itself emits (it is a real row on key 0's stream);
@@ -2633,8 +2633,8 @@ object StreamingOps {
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode("append").start()
-      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-      quarters.foreach { chunk =>
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
         src.addData(chunk.toSeq); q.processAllAvailable()
       }
       src.addData(Seq((0L, flushTs, -1L, 0.0))); q.processAllAvailable()
@@ -2677,10 +2677,14 @@ object StreamingOps {
       .as[GateEv].orderBy(col("ts"), col("event_id")).collect()
   }
 
-  /** Replay the fixture through `build` in 4 time-ordered micro-batches
+  /** Replay the fixture through `build` in 2 time-ordered micro-batches
     * (+ an optional flush row that advances the watermark past every
     * real window/session end), appending each batch's output to
-    * parquet; returns the accumulated output.
+    * parquet; returns the accumulated output. Two batches, one seam:
+    * per-micro-batch state machinery is the replay's cost driver (the
+    * join harness measured 2x from the same cut), and one seam already
+    * exercises the cross-batch state path every gate needs; the specs
+    * own the finer-grained seam semantics.
     */
   private def replayThrough(s: SparkSession, fixture: Array[GateEv],
       flush: Option[GateEv])(build: DataFrame => DataFrame): DataFrame = {
@@ -2695,8 +2699,8 @@ object StreamingOps {
         b.write.mode("append").parquet(outDir); ()
       }
       .outputMode("append").start()
-    val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-    quarters.foreach { chunk =>
+    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+    halves.foreach { chunk =>
       src.addData(chunk.toSeq); q.processAllAvailable()
     }
     flush.foreach { f => src.addData(Seq(f)); q.processAllAvailable() }
@@ -3020,7 +3024,7 @@ object StreamingOps {
       round(col("value") * 100).cast("long").as("value_c"))
 
   /** stream_temporal_join[_left] gates — MemoryStream replay of the
-    * events-derived fixture in 4 time-ordered micro-batches (plus one
+    * events-derived fixture in 2 time-ordered micro-batches (plus one
     * flush row 10 min past the end so the 5 s lateness horizon
     * finalizes the tail), compared against DuckDB's definitional as-of:
     * per fact, the max-validity version at or before its timestamp,
@@ -3048,8 +3052,8 @@ object StreamingOps {
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode("append").start()
-      val quarters = fixture.grouped(math.max(1, (fixture.length + 3) / 4))
-      quarters.foreach { chunk =>
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
         src.addData(chunk.toSeq); q.processAllAvailable()
       }
       src.addData(Seq(flush)); q.processAllAvailable()
