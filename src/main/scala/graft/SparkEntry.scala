@@ -331,6 +331,15 @@ object SparkEntry {
     "stream_interval_join_left" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamIntervalJoinLeftGate(s, dir)),
+    // full-outer interval join: both padding directions at watermark
+    // expiry — the symmetric closure of the stream-stream join family
+    "stream_interval_join_full" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamIntervalJoinFullGate(s, dir)),
+    // Q32 dedup: cross-batch exactly-once per (user, type) key over a
+    // horizon longer than the fixture (TTL eviction is spec-tier)
+    "stream_dedup" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamDedupGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -2520,6 +2529,20 @@ object SparkEntry {
         "ON c.user_id = p.user_id AND p.tu >= c.tu " +
         "AND p.tu <= c.tu + 30000000 " +
         "ORDER BY click_id, purchase_id NULLS LAST"),
+    "stream_interval_join_full" ->
+      (streamFoldedCte +
+        "SELECT c.event_id AS click_id, p.event_id AS purchase_id, " +
+        "COALESCE(c.user_id, p.user_id) AS user_id, " +
+        "c.tu AS click_ts, p.tu AS purchase_ts " +
+        "FROM (SELECT * FROM f WHERE event_type = 'click') c " +
+        "FULL JOIN (SELECT * FROM f WHERE event_type = 'purchase') p " +
+        "ON c.user_id = p.user_id AND p.tu >= c.tu " +
+        "AND p.tu <= c.tu + 30000000 " +
+        "ORDER BY click_id NULLS LAST, purchase_id NULLS LAST"),
+    "stream_dedup" ->
+      (streamFoldedCte +
+        "SELECT DISTINCT user_id, event_type FROM f " +
+        "ORDER BY user_id, event_type"),
     // per-window PSI vs the corpus histogram, definitionally: +1
     // smoothed proportions over the 10-bucket spine, DECIMAL(20,12)
     // quantized terms (the batch drift_psi recipe), windows from ALL

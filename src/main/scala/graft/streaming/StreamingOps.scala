@@ -103,14 +103,18 @@ object StreamingOps {
         col("w.end").as("w_end"), col("cnt"))
   }
 
-  /** Q32 — stateful streaming dedup on event_id with watermark-scoped
-    * state TTL: state for ids older than the watermark is evicted, so
-    * memory is bounded by the out-of-orderness window, not the stream.
+  /** Q32 — stateful streaming dedup with watermark-scoped state TTL:
+    * state for keys older than the watermark is evicted, so memory is
+    * bounded by the out-of-orderness window (`horizon`), not the
+    * stream. A key recurring AFTER its state was evicted re-emits —
+    * that is the TTL contract, not a bug; size the horizon to the
+    * duplicate-arrival bound the source guarantees.
     */
-  def dedupStream(events: DataFrame): DataFrame =
+  def dedupStream(events: DataFrame, horizon: String = "5 seconds",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
     events
-      .withWatermark("ts", "5 seconds")
-      .dropDuplicatesWithinWatermark("event_id")
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Streaming INCREMENTAL near-dup dedup: each arriving doc gets its
     * 60-bit simhash from the map-side single-expression form (a stateless
@@ -333,6 +337,32 @@ object StreamingOps {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 seconds"),
       "left_outer")
       .select(col("click_id"), col("purchase_id"), col("l_user").as("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Full-outer stream-stream interval join — the symmetric closure of
+    * [[intervalJoinLeftOuter]]: never-matched CLICKS null-pad on the
+    * right and never-preceded PURCHASES null-pad on the left, each
+    * emitted once both watermarks pass the row's interval bound (only
+    * then can the engine prove no match will arrive). Same
+    * watermark-bounded state as the inner form; `user_id` coalesces
+    * the sides because either may be the null one.
+    */
+  def intervalJoinFullOuter(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val l = clicks.withWatermark("ts", "5 seconds")
+      .select(col("event_id").as("click_id"), col("user_id").as("l_user"),
+        col("ts").as("click_ts"))
+    val r = purchases.withWatermark("ts", "5 seconds")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("r_user"),
+        col("ts").as("purchase_ts"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 seconds"),
+      "full_outer")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("l_user"), col("r_user")).as("user_id"),
         col("click_ts"), col("purchase_ts"))
   }
 
@@ -2931,6 +2961,71 @@ object StreamingOps {
         unix_micros(col("click_ts")).as("click_ts"),
         unix_micros(col("purchase_ts")).as("purchase_ts"))
       .orderBy(col("click_id"), col("purchase_id").asc_nulls_last)
+  }
+
+  /** stream_interval_join_full gate — [[intervalJoinFullOuter]]: both
+    * padding directions bind (clicks with no purchase inside their
+    * 30 s window AND purchases with no click in the 30 s before them),
+    * plus the matched pairs — the symmetric closure over the same
+    * fixture as the inner/left gates. Both sides get the flush row;
+    * its own padded emissions are cut by the user bound.
+    */
+  def streamIntervalJoinFullGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = gateEventsDayFolded(s, dir)
+    val (_, flush) = gateFlush(fixture)
+    val l = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val r = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-fojoin-gate").toString
+    val q = intervalJoinFullOuter(l.toDF(), r.toDF()).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode("append").start()
+    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+    halves.foreach { chunk =>
+      val lc = chunk.filter(_.event_type == "click")
+      val rc = chunk.filter(_.event_type == "purchase")
+      if (lc.nonEmpty) l.addData(lc.toSeq)
+      if (rc.nonEmpty) r.addData(rc.toSeq)
+      q.processAllAvailable()
+    }
+    l.addData(Seq(flush)); r.addData(Seq(flush)); q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0L)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_ts"),
+        unix_micros(col("purchase_ts")).as("purchase_ts"))
+      .orderBy(col("click_id").asc_nulls_last,
+        col("purchase_id").asc_nulls_last)
+  }
+
+  /** stream_dedup gate — [[dedupStream]] (Q32) over the day-folded
+    * replay, keyed on (user_id, event_type) so real duplicates occur
+    * at gate SF, with a horizon longer than the fixture span so NO
+    * state is evicted during the replay: the gate pins the cross-batch
+    * exactly-once contract (a pair recurring in a later micro-batch
+    * must NOT re-emit — held state, one emission per key ever). The
+    * TTL/eviction half of the contract is batch-boundary-dependent and
+    * lives in the spec tier. Output projects the dedup keys themselves
+    * because which duplicate row survives within one micro-batch is
+    * arrival-order-dependent (Flink's deduplication leaves the same
+    * choice to arrival); the keys are the deterministic contract.
+    */
+  def streamDedupGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (_, flush) = gateFlush(fixture)
+    replayThrough(s, fixture, Some(flush))(df =>
+      dedupStream(df, horizon = "2 days",
+        keys = Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type")))
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("event_type"))
   }
 
   /** stream_window_topn gate — [[windowTopNStream]] (10-minute tumble,

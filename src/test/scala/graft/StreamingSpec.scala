@@ -1534,6 +1534,66 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("full-outer interval join: both sides pad at watermark expiry; matches emit once") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val l = MemoryStream[Ev]; val r = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoinFullOuter(l.toDF(), r.toDF())
+      .writeStream.format("memory").queryName("fojoin")
+      .outputMode("append").start()
+    // user 1: matched pair; user 2: click with no purchase (right pad);
+    // user 3: purchase with no click in the 30s before it (left pad)
+    l.addData(ev(1, "2024-03-01 00:00:00", user = 1, typ = "click"),
+      ev(2, "2024-03-01 00:00:05", user = 2, typ = "click"))
+    r.addData(ev(3, "2024-03-01 00:00:10", user = 1, typ = "purchase"),
+      ev(4, "2024-03-01 00:00:20", user = 3, typ = "purchase"))
+    q.processAllAvailable()
+    val early = spark.table("fojoin").count()
+    assert(early == 1L, s"only the matched pair may emit early, got $early")
+    // advance both watermarks past every interval end → padding emits
+    l.addData(ev(8, "2024-03-01 01:00:00", user = 9, typ = "click"))
+    r.addData(ev(9, "2024-03-01 01:00:00", user = 9, typ = "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fojoin")
+      .select($"click_id", $"purchase_id", $"user_id")
+      .collect().map(x => (Option(x.get(0)), Option(x.get(1)), x.getLong(2)))
+      .toSet
+    assert(rows.contains((Some(1L), Some(3L), 1L)))  // matched
+    assert(rows.contains((Some(2L), None, 2L)))      // right-padded click
+    assert(rows.contains((None, Some(4L), 3L)))      // left-padded purchase
+    assert(rows.filterNot(t => t._3 == 9L).size == 3)
+  }
+
+  test("dedup stream: cross-batch exactly-once inside the horizon; " +
+      "eviction past the horizon re-admits the key") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamingOps.dedupStream(src.toDF(), horizon = "1 minute",
+        keys = Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup32")
+      .outputMode("append").start()
+    src.addData(ev(1, "2024-03-01 00:00:00", user = 7),
+      ev(2, "2024-03-01 00:00:10", user = 7)) // same key, same batch
+    q.processAllAvailable()
+    // same key next batch, still inside the horizon → suppressed
+    src.addData(ev(3, "2024-03-01 00:00:30", user = 7))
+    q.processAllAvailable()
+    assert(spark.table("dedup32").count() == 1L)
+    // advance the watermark far past key 7's state, then recur: the
+    // state was evicted, so the key re-emits — the TTL contract
+    src.addData(ev(4, "2024-03-01 00:30:00", user = 8))
+    q.processAllAvailable()
+    src.addData(ev(5, "2024-03-01 00:29:30", user = 7))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup32").select($"event_id")
+      .as[Long].collect().toSet
+    assert(ids.contains(5L), s"evicted key must re-admit, got $ids")
+    assert(spark.table("dedup32").count() == 3L) // 1, 4, 5
+  }
+
   test("drift psi stream: drifted window scores high, matched low, " +
       "out-of-domain excluded, late rows dropped; equals the batch twin") {
     import spark.implicits._
