@@ -37,27 +37,35 @@ object Bench {
     // lingering JIT happens to overlap the first queries to those queries
     // (observed 3-10x on early queries in shared-host runs). min-of-2 is
     // the standard steady-state estimator; both raw passes land in
-    // BENCH_FULL.json.
+    // BENCH_FULL.json. EXCEPT the `stream_*` replay gates: their time is
+    // a fixed MemoryStream + state-store harness constant, not a
+    // data-parallel query — in the r11 273-key run pass2 was SLOWER for
+    // 13 of 19 (state/temp-dir churn; p1 120.3 s vs p2 146.0 s), so a
+    // second pass doubled ~2.3 min of wall for a ~2 s better min-sum.
+    // They run once, in pass1 only.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output row/column — count() would
-      // let Catalyst prune the projected expression work and understate
-      // query cost
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def onePass(skip: String => Boolean): Seq[(String, Double)] =
+      ordered.filterNot(kv => skip(kv._1)).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every output row/column — count() would
+        // let Catalyst prune the projected expression work and understate
+        // query cost
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query caches so memory pressure from one operator
+        // doesn't bleed into the next measurement
+        spark.catalog.clearCache()
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query caches so memory pressure from one operator
-      // doesn't bleed into the next measurement
-      spark.catalog.clearCache()
-      name -> dt
-    }
-    val pass1 = onePass()
-    val pass2 = onePass()
+    val pass1 = onePass(_ => false)
+    val pass2 = onePass(_.startsWith("stream_"))
     val p2 = pass2.toMap
-    val results = pass1.map { case (n, t1) => n -> math.min(t1, p2(n)) }
+    val results = pass1.map { case (n, t1) =>
+      n -> p2.get(n).fold(t1)(math.min(t1, _))
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The driver captures only the last 2000 chars of stdout and parses the
     // JSON line out of that tail; sbt appends a ~75-char "[success] ..." line

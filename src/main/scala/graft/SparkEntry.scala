@@ -340,6 +340,10 @@ object SparkEntry {
     // horizon longer than the fixture (TTL eviction is spec-tier)
     "stream_dedup" ->
       ((s, dir) => graft.streaming.StreamingOps.streamDedupGate(s, dir)),
+    // upsert sink: CDC replay through the write-then-swap materialized
+    // view; live view = latest per key, tombstoned keys absent
+    "stream_upsert_view" ->
+      ((s, dir) => graft.streaming.StreamingOps.upsertSinkGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -2543,6 +2547,17 @@ object SparkEntry {
       (streamFoldedCte +
         "SELECT DISTINCT user_id, event_type FROM f " +
         "ORDER BY user_id, event_type"),
+    // latest row per key by unique seq, tombstoned winners dropped from
+    // the live view (their markers stay in state — sink-side contract)
+    "stream_upsert_view" ->
+      ("WITH u AS (SELECT CAST(user_id % 64 AS BIGINT) AS key, " +
+        "CAST(event_id AS BIGINT) AS seq, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_c, " +
+        "event_type = 'purchase' AS del FROM events), " +
+        "w AS (SELECT *, row_number() OVER (PARTITION BY key " +
+        "ORDER BY seq DESC) AS rn FROM u) " +
+        "SELECT key, seq, value_c FROM w WHERE rn = 1 AND NOT del " +
+        "ORDER BY key"),
     // per-window PSI vs the corpus histogram, definitionally: +1
     // smoothed proportions over the 10-bucket spine, DECIMAL(20,12)
     // quantized terms (the batch drift_psi recipe), windows from ALL

@@ -2687,6 +2687,44 @@ object StreamingOps {
   final case class GateEv(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp, event_type: String, value: Double)
 
+  final case class UpsertOp(key: Long, seq: Long, value_c: Long,
+      del: Boolean)
+
+  /** stream_upsert_view gate — [[upsertSink]] + [[upsertLiveView]]
+    * driver-oracled: an events-derived CDC stream (64 key slots,
+    * seq = event_id — globally unique, so the per-key ts race is
+    * deterministic; purchases are tombstones) replays in 2
+    * micro-batches through the write-then-swap sink, and the gate reads
+    * the LIVE view of the final state: latest row per key, tombstoned
+    * keys absent (their markers stay in the state table to keep winning
+    * future races — exactly the sink's contract, which the oracle
+    * reproduces as argmax-by-seq then drop-if-deleted).
+    */
+  def upsertSinkGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = graft.Tables.t(s, dir, "events")
+      .select(pmod(col("user_id"), lit(64)).cast("long").as("key"),
+        col("event_id").cast("long").as("seq"),
+        round(col("value") * 100).cast("long").as("value_c"),
+        (col("event_type") === "purchase").as("del"))
+      .as[UpsertOp].orderBy(col("seq")).collect()
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[UpsertOp]
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-upsert-gate").toString + "/state"
+    val q = upsertSink(src.toDF(), stateDir, key = "key", tsCol = "seq",
+      tombstoneCol = Some("del"))
+    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+    halves.foreach { chunk =>
+      src.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    upsertLiveView(s, stateDir, Some("del"))
+      .select(col("key"), col("seq"), col("value_c"))
+      .orderBy(col("key"))
+  }
+
   /** Day-folded events fixture shared by the streaming replay gates and
     * (in SQL form) their DuckDB oracles: the 30-day span folds onto one
     * day (micros-of-day + 2024-01-01T00:00Z) and users fold to 16 slots
