@@ -459,6 +459,14 @@ object SparkEntry {
     "text_feature_hash" ->
       ((s, dir) => TextAnalysis.featureHash(s, dir)),
     "text_bigram_logprob" -> TextAnalysis.bigramLogprob _,
+    // model-based quality filter: linear classifier over hashed token
+    // features (broadcast weight table; gate uses the md5 stand-in)
+    "text_quality_classifier" ->
+      ((s, dir) => TextAnalysis.qualityClassifier(s, dir)),
+    // DSIR importance resampling: hashed-bigram log-ratio scoring +
+    // deterministic Gumbel top-k toward the English target slice
+    "text_dsir_select" ->
+      ((s, dir) => TextAnalysis.dsirSelect(s, dir)),
     "q17c_union_by_name" -> Relational.q17cUnionByName _,
     "q30c_sliding_distinct" -> Windows.q30cSlidingDistinct _,
     "q30d_trending" -> Windows.q30dTrending _,
@@ -3069,6 +3077,51 @@ object SparkEntry {
       (s"WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents) " +
         "SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % 32 AS bucket, " +
         "COUNT(*) AS cnt FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket"),
+    // linear classifier replayed definitionally: stand-in weights from
+    // the md5 coin, ⟨tf, w⟩ as mean of per-token weights (exact decimal
+    // sum), sigmoid(bias + mean) rounded 6dp
+    "text_quality_classifier" ->
+      (s"WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents), " +
+        "wt AS (SELECT r AS bucket, CAST(round(" +
+        "('0x' || substr(md5(CAST(r AS VARCHAR)), 1, 15))::BIGINT " +
+        "/ POW(16.0, 15) * 2 - 1, 6) AS DECIMAL(20,12)) AS w " +
+        "FROM range(64) t(r)), " +
+        "b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 " +
+        "AS bucket FROM tok), " +
+        "p AS (SELECT doc_id, COUNT(*) AS n_tokens, " +
+        "round(CAST(SUM(wt.w) AS DOUBLE) / COUNT(*), 9) AS mean_w " +
+        "FROM b JOIN wt USING (bucket) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, " +
+        "round(1 / (1 + exp(-(0.02 + COALESCE(p.mean_w, 0)))), 6) AS score, " +
+        "round(1 / (1 + exp(-(0.02 + COALESCE(p.mean_w, 0)))), 6) >= 0.5 AS kept " +
+        "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
+    // DSIR replayed definitionally: same md5 bucket coin, one-ln
+    // log-ratio with mirrored operand order, exact DECIMAL sums, the
+    // same Gumbel coin — ORDER BY the exact decimal key then LIMIT k
+    "text_dsir_select" ->
+      (s"WITH d AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS toks " +
+        "FROM documents), " +
+        "bi AS (SELECT doc_id, tgt, " +
+        "('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT " +
+        "% 256 AS bucket FROM d, unnest(range(1, len(toks))) AS r(i)), " +
+        "cnt AS (SELECT bucket, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS cp, " +
+        "COUNT(*) AS cq FROM bi GROUP BY bucket), " +
+        "tot AS (SELECT SUM(cp) AS tp, SUM(cq) AS tq FROM cnt), " +
+        "lr AS (SELECT bucket, CAST(round(ln(" +
+        "(CAST(cp + 1 AS DOUBLE) * (tq + 256)) / " +
+        "(CAST(tp + 256 AS DOUBLE) * (cq + 1))), 6) AS DECIMAL(20,10)) " +
+        "AS lr FROM cnt, tot), " +
+        "pd AS (SELECT doc_id, COUNT(*) AS n_feat, SUM(lr) AS slr " +
+        "FROM bi JOIN lr USING (bucket) GROUP BY doc_id), " +
+        "ky AS (SELECT d2.doc_id, COALESCE(pd.n_feat, 0) AS n_feat, " +
+        "COALESCE(pd.slr, CAST(0 AS DECIMAL(20,10))) AS slr, " +
+        "CAST(round(-ln(-ln(" +
+        "(('0x' || substr(md5(CAST(d2.doc_id AS VARCHAR)), 1, 15))::BIGINT " +
+        "+ 0.5) / POW(16.0, 15))), 6) AS DECIMAL(20,10)) AS g " +
+        "FROM documents d2 LEFT JOIN pd USING (doc_id)) " +
+        "SELECT doc_id, n_feat, round(CAST(slr AS DOUBLE), 6) AS logw, " +
+        "round(CAST(slr + g AS DOUBLE), 6) AS gkey " +
+        "FROM ky ORDER BY slr + g DESC, doc_id LIMIT 100"),
     "text_bigram_logprob" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
         "bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 " +

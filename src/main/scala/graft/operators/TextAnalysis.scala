@@ -1077,6 +1077,149 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("doc_id"), col("bucket"))
 
+  /** Linear-classifier scoring over hashed token features — the
+    * model-based quality-filter step of a CCNet/fastText-style curation
+    * pipeline ("score every document with a trained classifier, keep
+    * score ≥ τ"), as pure relational algebra: tokenize → hash each
+    * token to one of `dim` buckets (the [[featureHash]] md5 coin) →
+    * broadcast-join the parameter-sized weight table at TOKEN level —
+    * Σ w[bucket(tok)] / n IS the dot product ⟨tf, w⟩ without ever
+    * materializing a per-document vector — → ONE groupBy(doc_id).
+    * One shuffle at any corpus size; the model is a `dim`-row
+    * broadcast; everything else is map-side codegen'd expression work.
+    *
+    * `weights` (bucket → w, exact DECIMAL(20,12) so the sum is
+    * order-independent) is the plug-in point for real trained
+    * coefficients; the driver gate feeds [[hashWeights]], a
+    * deterministic stand-in, so the whole model replay is
+    * engine-independent and DuckDB-oracled end-to-end. Zero-token
+    * documents survive the left join and score sigmoid(bias).
+    */
+  def scoreLinearOf(docs: DataFrame, weights: DataFrame, dim: Int,
+      bias: Double): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("token").cast(BinaryType)), 1, 15),
+          16, 10).cast(LongType), lit(dim.toLong)))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("w")).cast(DoubleType) / count(lit(1)), 9)
+          .as("mean_w"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(lit(1.0) / (lit(1.0) +
+          exp((lit(bias) + coalesce(col("mean_w"), lit(0.0))) * -1)), 6)
+          .as("score"))
+      .withColumn("kept", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stand-in classifier weights for the driver gate:
+    * w(bucket) = round(md5-coin(bucket) · 2 − 1, 6) ∈ [−1, 1), exact
+    * DECIMAL(20,12) — replaces trained coefficients so the oracle can
+    * replay the model definitionally (same coin in both engines).
+    */
+  def hashWeights(s: SparkSession, dim: Int): DataFrame =
+    s.range(dim).select(col("id").as("bucket"),
+      round(conv(substring(md5(col("id").cast(StringType)
+            .cast(BinaryType)), 1, 15), 16, 10).cast(DoubleType) /
+          lit(math.pow(16.0, 15)) * 2 - 1, 6)
+        .cast(DecimalType(20, 12)).as("w"))
+
+  /** text_quality_classifier — [[scoreLinearOf]] on `documents` with
+    * the [[hashWeights]] stand-in model (dim 64, bias 0.02 so both
+    * classes appear at gate scale).
+    */
+  def qualityClassifier(s: SparkSession, dir: String, dim: Int = 64,
+      bias: Double = 0.02): DataFrame =
+    scoreLinearOf(t(s, dir, "documents"), hashWeights(s, dim), dim, bias)
+
+  /** Importance-resampling data selection (DSIR, Xie et al. 2023) —
+    * "select the k raw documents whose hashed-n-gram distribution best
+    * matches a target domain", the data-selection stage between quality
+    * filtering and mixing in an LLM curation pipeline. Wholly
+    * relational, three bounded stages:
+    *
+    *   1. featurize: token bigrams → `dim` hashed buckets (the
+    *      [[featureHash]] md5 coin) — one explode, map-side;
+    *   2. fit both bag-of-ngrams models in ONE `dim`-bounded groupBy
+    *      (target count is a conditional sum, not a second scan);
+    *      the per-bucket log-ratio table ln(p̂/q̂) (add-1 smoothing,
+    *      6dp-quantized) is `dim` rows → broadcast;
+    *   3. score: per-doc log importance weight Σ c_f·ln(p̂_f/q̂_f) as an
+    *      exact DECIMAL sum over the broadcast join (one doc_id
+    *      shuffle), then Gumbel top-k — g = −ln(−ln(u)) with u the
+    *      md5 coin of doc_id, so "sample ∝ importance weight" is
+    *      engine-bit-reproducible, no RNG state — via
+    *      `TakeOrderedAndProject` (per-partition k-heaps + driver
+    *      merge of k·partitions rows, never a global sort).
+    *
+    * Documents with <2 tokens have an empty feature bag (logw 0) and
+    * ride on their Gumbel key alone. Scale: the only data-sized
+    * shuffles are the bucket agg (collapses to `dim` rows map-side)
+    * and the doc_id agg; model tables are parameter-sized broadcasts.
+    */
+  def dsirSelectOf(docs: DataFrame, isTarget: Column, dim: Int,
+      k: Int): DataFrame = {
+    val toks = col("toks")
+    val pairExpr = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast(ArrayType(
+        StructType(Seq(StructField("w1", StringType),
+          StructField("w2", StringType))))))
+    val bi = docs
+      .select(col("doc_id"), isTarget.as("tgt"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("tgt"), explode(pairExpr).as("b"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("b.w1"), lit(" "), col("b.w2"))
+          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType),
+          lit(dim.toLong)))
+    // both models in one dim-bounded agg: q̂ over the raw corpus, p̂ over
+    // the target slice (conditional sum — no second tokenize/scan)
+    val cnt = bi.groupBy(col("bucket"))
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("cp"),
+        count(lit(1)).as("cq"))
+    val tot = cnt.agg(sum(col("cp")).as("tp"), sum(col("cq")).as("tq"))
+    // ln(p̂/q̂) = ln((cp+1)(tq+dim) / ((tp+dim)(cq+1))) — ONE libm call,
+    // operand order mirrored verbatim in the oracle, 6dp-quantized
+    val lr = cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(((col("cp") + 1).cast(DoubleType) * (col("tq") + dim)) /
+          ((col("tp") + dim).cast(DoubleType) * (col("cq") + 1))), 6)
+          .cast(DecimalType(20, 10)).as("lr"))
+    val perDoc = bi.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("lr")).as("slr"))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(20, 10))
+    val u = (conv(substring(md5(col("doc_id").cast(StringType)
+        .cast(BinaryType)), 1, 15), 16, 10).cast(DoubleType) + lit(0.5)) /
+      lit(math.pow(16.0, 15))
+    val keyed = docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("slr"), zero).as("slr"),
+        round(-log(-log(u)), 6).cast(DecimalType(20, 10)).as("g"))
+      .withColumn("key", col("slr") + col("g"))
+    keyed.orderBy(col("key").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("n_feat"),
+        round(col("slr").cast(DoubleType), 6).as("logw"),
+        round(col("key").cast(DoubleType), 6).as("gkey"))
+  }
+
+  /** text_dsir_select — [[dsirSelectOf]] on `documents` with the
+    * English slice as the target domain (dim 256, k 100): "resample the
+    * multilingual crawl toward English-looking n-gram statistics".
+    */
+  def dsirSelect(s: SparkSession, dir: String, dim: Int = 256,
+      k: Int = 100): DataFrame =
+    dsirSelectOf(t(s, dir, "documents"), col("lang") === "en", dim, k)
+
   /** text_bigram_logprob — bigram-LM fluency scoring: per-document mean
     * negative log P(w_i | w_{i-1}) with conditional probabilities from
     * the corpus itself (KenLM-proxy one step up from unigramLogprob).

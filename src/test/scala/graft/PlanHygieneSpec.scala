@@ -43,6 +43,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q26c_filtered_topk",  // 1 probe row
     "sketch_overlap_matrix", // segment-count (5-row) sketch pair join
     "text_bm25",           // 1-row stats (n_docs, avgdl, |q| dfs)
+    "text_dsir_select",    // 1-row model totals (tp, tq) vs dim-row counts
     "text_sim_pairs",      // 1-row corpus doc count (idf denominator)
     "text_tfidf",          // 1-row corpus doc count
     "text_vocab_coverage", // 1-row bounds/totals + 3-row cutoff table

@@ -159,4 +159,127 @@ class Round11cSpec extends SparkSpecBase {
       s"full: extra=${(gotFull -- expFull).take(3)} " +
         s"missing=${(expFull -- gotFull).take(3)}")
   }
+
+  test("quality classifier: plugged weights match an independent " +
+      "hand-rolled scorer; zero-token doc scores sigmoid(bias)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.DecimalType
+    val dim = 4
+    val bias = -0.1
+    val docs = Seq((1L, "aa bb aa cc"), (2L, ""), (3L, "zz"),
+      (4L, "bb bb bb bb bb")).toDF("doc_id", "text")
+    val wmap = Map(0L -> BigDecimal("0.5"), 1L -> BigDecimal("-0.25"),
+      2L -> BigDecimal("1.0"), 3L -> BigDecimal("-0.75"))
+    val weights = wmap.toSeq.toDF("bucket", "w")
+      .select(col("bucket"), col("w").cast(DecimalType(20, 12)).as("w"))
+
+    // independent scorer: own MD5, own arithmetic (same rounding
+    // contract: HALF_UP at 9dp on the mean, 6dp on the sigmoid)
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (BigInt(hex.take(15), 16) % dim).toLong
+    }
+    def expected(text: String): (Long, Double, Boolean) = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val mean =
+        if (toks.isEmpty) 0.0
+        else BigDecimal((toks.map(t => wmap(bucket(t))).sum.toDouble /
+            toks.length).toString)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s = BigDecimal((1.0 / (1.0 + math.exp(-(bias + mean)))).toString)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (toks.length.toLong, s, s >= 0.5)
+    }
+    val exp = Seq(1L -> "aa bb aa cc", 2L -> "", 3L -> "zz",
+      4L -> "bb bb bb bb bb").map { case (id, text) =>
+      val (n, s, k) = expected(text); (id, n, s, k)
+    }
+    // the corpus must exercise both classes and the zero-token path
+    assert(exp.exists(_._4) && exp.exists(!_._4), s"one-class corpus: $exp")
+    assert(exp.exists(_._2 == 0L))
+
+    val got = graft.operators.TextAnalysis
+      .scoreLinearOf(docs, weights, dim, bias)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == exp, s"got=$got exp=$exp")
+  }
+
+  test("DSIR selection ≡ independent importance-resampling replay; " +
+      "target-like docs outscore mismatched ones; <2-token doc rides " +
+      "its Gumbel key") {
+    import spark.implicits._
+    val dim = 8
+    val k = 6
+    // target vocab {alpha beta gamma}, off-domain vocab {delta epsilon
+    // zeta}; doc 20 mirrors the target distribution without being in
+    // the target slice, doc 21 is pure off-domain, doc 30 has 1 token
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma beta alpha", true),
+      (2L, "beta alpha beta gamma alpha beta", true),
+      (3L, "gamma alpha beta alpha gamma", true),
+      (10L, "delta epsilon zeta delta epsilon", false),
+      (11L, "epsilon delta zeta epsilon zeta delta", false),
+      (20L, "alpha beta alpha gamma beta", false),
+      (21L, "delta epsilon delta zeta", false),
+      (30L, "solo", false)
+    ).toDF("doc_id", "text", "tgt")
+
+    // independent replay: own MD5, own counting/arithmetic (shared
+    // rounding contract: 6dp HALF_UP quantization, exact decimal sums)
+    def h15(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BigInt(md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString.take(15), 16).toLong
+    }
+    def r6(d: Double): BigDecimal =
+      BigDecimal(d.toString).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val corpus = Seq(
+      1L -> ("alpha beta alpha gamma beta alpha", true),
+      2L -> ("beta alpha beta gamma alpha beta", true),
+      3L -> ("gamma alpha beta alpha gamma", true),
+      10L -> ("delta epsilon zeta delta epsilon", false),
+      11L -> ("epsilon delta zeta epsilon zeta delta", false),
+      20L -> ("alpha beta alpha gamma beta", false),
+      21L -> ("delta epsilon delta zeta", false),
+      30L -> ("solo", false))
+    val bags = corpus.map { case (id, (text, tgt)) =>
+      val t = text.split(" ").toSeq
+      (id, tgt, t.zip(t.tail).map { case (a, b) => h15(s"$a $b") % dim })
+    }
+    val cq = bags.flatMap(_._3).groupBy(identity).view.mapValues(_.size)
+    val cp = bags.filter(_._2).flatMap(_._3).groupBy(identity).view
+      .mapValues(_.size)
+    val (tp, tq) = (cp.values.sum, cq.values.sum)
+    val lr: Map[Long, BigDecimal] = cq.keys.map { b =>
+      b -> r6(math.log(((cp.getOrElse(b, 0) + 1).toDouble * (tq + dim)) /
+        ((tp + dim).toDouble * (cq(b) + 1))))
+    }.toMap
+    val exp = bags.map { case (id, _, feats) =>
+      val slr = feats.map(lr).sum
+      val u = (h15(id.toString).toDouble + 0.5) / math.pow(16.0, 15)
+      val g = r6(-math.log(-math.log(u)))
+      (id, feats.size.toLong, slr, slr + g)
+    }.sortBy { case (id, _, _, key) => (-key, id) }.take(k)
+      .map { case (id, n, slr, key) =>
+        (id, n, r6(slr.toDouble).toDouble, r6(key.toDouble).toDouble) }
+
+    val got = graft.operators.TextAnalysis
+      .dsirSelectOf(docs, $"tgt", dim, k)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == exp, s"got=$got exp=$exp")
+
+    // signal: the target-mirroring off-slice doc outscores the pure
+    // off-domain doc on importance weight alone
+    val byId = graft.operators.TextAnalysis
+      .dsirSelectOf(docs, $"tgt", dim, corpus.size)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byId(20L)._3 > byId(21L)._3,
+      s"mirror doc must outscore off-domain: ${byId(20L)} vs ${byId(21L)}")
+    assert(byId(30L)._2 == 0L && byId(30L)._3 == 0.0,
+      s"1-token doc must carry an empty bag: ${byId(30L)}")
+  }
 }
