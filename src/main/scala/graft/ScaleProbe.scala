@@ -465,7 +465,20 @@ object ScaleProbe {
       probe("graph_bfs", { liG1; liGK; () })((
         time(noop(bfs(liG1))), time(noop(bfs(liGK))))),
       probe("bm25", { docs1c; docsK; () })((
-        time(noop(bm25(docs1c))), time(noop(bm25(docsK)))))).flatten
+        time(noop(bm25(docs1c))), time(noop(bm25(docsK))))),
+      // classifier scoring: broadcast model + one doc agg — expect linear
+      probe("quality_clf", { docs1c; docsK; () })((
+        time(noop(operators.TextAnalysis.scoreLinearOf(docs1c,
+          operators.TextAnalysis.hashWeights(spark, 64), 64, 0.02))),
+        time(noop(operators.TextAnalysis.scoreLinearOf(docsK,
+          operators.TextAnalysis.hashWeights(spark, 64), 64, 0.02))))),
+      // DSIR: dim-bounded model agg + broadcast scoring + top-k heap —
+      // expect linear (the top-k cut is TakeOrderedAndProject)
+      probe("dsir_select", { docs1c; docsK; () })((
+        time(noop(operators.TextAnalysis.dsirSelectOf(docs1c,
+          col("lang") === "en", 256, 100))),
+        time(noop(operators.TextAnalysis.dsirSelectOf(docsK,
+          col("lang") === "en", 256, 100)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")
