@@ -478,7 +478,13 @@ object ScaleProbe {
         time(noop(operators.TextAnalysis.dsirSelectOf(docs1c,
           col("lang") === "en", 256, 100))),
         time(noop(operators.TextAnalysis.dsirSelectOf(docsK,
-          col("lang") === "en", 256, 100)))))).flatten
+          col("lang") === "en", 256, 100))))),
+      // BPE training: one linear corpus scan into the vocab table,
+      // then VOCAB-sized merge rounds — on a replicated corpus the
+      // vocab is invariant, so expect the ratio of one scan
+      probe("bpe_train", { docs1c; docsK; () })((
+        time(noop(operators.TextAnalysis.bpeTrainOf(docs1c, 6))),
+        time(noop(operators.TextAnalysis.bpeTrainOf(docsK, 6)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

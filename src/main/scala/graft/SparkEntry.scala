@@ -344,6 +344,31 @@ object SparkEntry {
     // view; live view = latest per key, tombstoned keys absent
     "stream_upsert_view" ->
       ((s, dir) => graft.streaming.StreamingOps.upsertSinkGate(s, dir)),
+    // streaming CEP: the cepStream transformWithState automaton over
+    // the day-folded replay with a 10-minute window that BINDS (the
+    // shared-buffer fallback runs against the oracle, not just specs)
+    "stream_cep" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamCepGate(s, dir)),
+    // unbounded append-stream Top-N: latest versioned snapshot per
+    // group == the definitional ROW_NUMBER cut (monotone threshold)
+    "stream_topn" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamTopNGate(s, dir)),
+    // live EWMA / CUSUM scans: per-user summaries of the emitted
+    // per-row flags vs the batch folds (shared step functions)
+    "stream_ewma" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamEwmaGate(s, dir)),
+    "stream_cusum" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamCusumGate(s, dir)),
+    // live last-touch attribution: one credit per preceded purchase
+    "stream_attribution" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamAttributionGate(s, dir)),
+    // windowed dedup: exactly one row per (10-min window, user) across
+    // the batch seam; surviving-row identity is spec-tier (intra-batch
+    // shuffle order is not deterministic)
+    "stream_window_dedup" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamWindowDedupGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -439,6 +464,10 @@ object SparkEntry {
       ((s, dir) => graft.operators.TimeSeries.concurrency(s, dir)),
     "text_bigram_merges" ->
       ((s, dir) => TextAnalysis.bigramMerges(s, dir)),
+    // BPE tokenizer training: first 6 learned merges over the corpus in
+    // the word-frequency formulation (iterations are vocab-sized)
+    "text_bpe_merges" ->
+      ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     "q30b_cumulate" -> Windows.q30bCumulate _,
     "ts_overlap" ->
       ((s, dir) => graft.operators.RangeJoin.tsOverlap(s, dir)),
@@ -539,6 +568,35 @@ object SparkEntry {
   /** DuckDB SQL fragments shared by several oracles. */
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Unrolled k-stage BPE training replay (the oracle for
+    * `text_bpe_merges`): stage i counts adjacent symbol pairs over the
+    * chr(31)-spelled vocab weighted by word count, picks the argmax by
+    * (count DESC, left, right), and applies it with left-to-right
+    * non-overlapping `replace` — exactly the trainer's loop.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"p$i AS (SELECT ts[g.i] AS l, ts[g.i+1] AS r, SUM(cnt) AS c " +
+        "FROM (SELECT cnt, list_filter(string_split(sp, chr(31)), " +
+        s"x -> x <> '') AS ts FROM s${i - 1}) x, " +
+        "LATERAL unnest(generate_series(1, len(x.ts)-1)) AS g(i) " +
+        "GROUP BY 1, 2), " +
+        s"t$i AS (SELECT CAST($i AS BIGINT) AS rank, l, r, c FROM p$i " +
+        "ORDER BY c DESC, l, r LIMIT 1), " +
+        s"s$i AS (SELECT cnt, replace(sp, " +
+        s"(SELECT l || chr(31) || r || chr(31) FROM t$i), " +
+        s"(SELECT l || r || chr(31) FROM t$i)) AS sp FROM s${i - 1})"
+    }.mkString(", ")
+    "WITH w AS (SELECT t AS word, COUNT(*) AS cnt FROM " +
+      s"(SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1), " +
+      "s0 AS (SELECT cnt, regexp_replace(word, '(.)', " +
+      "'\\1' || chr(31), 'g') AS sp FROM w), " + stages +
+      " SELECT rank, l AS lft, r AS rgt, l || r AS merged, " +
+      "CAST(c AS BIGINT) AS pair_cnt FROM (" +
+      (1 to k).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ") +
+      ") ORDER BY rank"
+  }
   /** The entity-resolution dirty registry, rebuilt bit-for-bit from
     * `customer` (mirrors EntityResolution.dirtyRegistry: originals +
     * deletion-typo variant for custkey ≡ 0 mod 5 + substitution-typo
@@ -661,6 +719,41 @@ object SparkEntry {
       "CAST(user_id % 16 AS BIGINT) AS user_id, " +
       "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 1704067200000000 " +
       "AS tu, event_type, value FROM events) "
+
+  /** Definitional two-sided CUSUM fold (mu 50, kappa 10, h 200) to the
+    * per-user (n_alarms, max_sp, max_sn, n_points) summary — shared by
+    * the batch `ts_cusum` gate and its streaming twin `stream_cusum`
+    * (the operators share the literal `cusumStep`, so one oracle IS
+    * the contract for both).
+    */
+  private def cusumFoldSql: String =
+    "WITH f AS (SELECT user_id, list_reduce(" +
+      "list_transform(list(value ORDER BY ts, event_id), " +
+      "x -> [x, " +
+      "CASE WHEN greatest(CAST(0 AS DOUBLE), x - 50 - 10) > 200 THEN 0 " +
+      "ELSE greatest(CAST(0 AS DOUBLE), x - 50 - 10) END, " +
+      "CASE WHEN greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) > 200 THEN 0 " +
+      "ELSE greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) END, " +
+      "CASE WHEN greatest(CAST(0 AS DOUBLE), x - 50 - 10) > 200 " +
+      "OR greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) > 200 " +
+      "THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, " +
+      "greatest(CAST(0 AS DOUBLE), x - 50 - 10), " +
+      "greatest(CAST(0 AS DOUBLE), -(x - 50) - 10)]), " +
+      "(acc, e) -> [e[1], " +
+      "CASE WHEN greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) > 200 " +
+      "THEN 0 ELSE greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) END, " +
+      "CASE WHEN greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) > 200 " +
+      "THEN 0 ELSE greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) END, " +
+      "acc[4] + CASE WHEN " +
+      "greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) > 200 " +
+      "OR greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) > 200 " +
+      "THEN 1 ELSE 0 END, " +
+      "greatest(acc[5], greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10))), " +
+      "greatest(acc[6], greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10))]) " +
+      "AS st, COUNT(*) AS n_points FROM events GROUP BY user_id) " +
+      "SELECT user_id, CAST(st[4] AS BIGINT) AS n_alarms, " +
+      "round(st[5], 6) AS max_sp, round(st[6], 6) AS max_sn, n_points " +
+      "FROM f ORDER BY user_id"
 
   private def semDedupCtes: String =
     lloydsCtes +
@@ -1875,6 +1968,10 @@ object SparkEntry {
         "n AS (SELECT t, sum(d) AS nd FROM d GROUP BY t) " +
         "SELECT t AS t_us, CAST(sum(nd) OVER (ORDER BY t) AS BIGINT) AS concurrency " +
         "FROM n ORDER BY t_us"),
+    // BPE training replay: per stage, adjacent-pair counts over the
+    // chr(31)-spelled vocab, argmax by (count DESC, l, r), then
+    // left-to-right replace — the trainer's exact loop, unrolled
+    "text_bpe_merges" -> bpeOracleSql(6),
     "text_bigram_merges" ->
       ("WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]') AS tk " +
         "FROM documents), " +
@@ -2204,34 +2301,7 @@ object SparkEntry {
     // post-first-point state (list_reduce uses element 1 as the initial
     // accumulator), pre-reset maxima tracked before the alarm reset;
     // literals and parenthesization match TimeSeries.cusumStep exactly
-    "ts_cusum" ->
-      ("WITH f AS (SELECT user_id, list_reduce(" +
-        "list_transform(list(value ORDER BY ts, event_id), " +
-        "x -> [x, " +
-        "CASE WHEN greatest(CAST(0 AS DOUBLE), x - 50 - 10) > 200 THEN 0 " +
-        "ELSE greatest(CAST(0 AS DOUBLE), x - 50 - 10) END, " +
-        "CASE WHEN greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) > 200 THEN 0 " +
-        "ELSE greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) END, " +
-        "CASE WHEN greatest(CAST(0 AS DOUBLE), x - 50 - 10) > 200 " +
-        "OR greatest(CAST(0 AS DOUBLE), -(x - 50) - 10) > 200 " +
-        "THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, " +
-        "greatest(CAST(0 AS DOUBLE), x - 50 - 10), " +
-        "greatest(CAST(0 AS DOUBLE), -(x - 50) - 10)]), " +
-        "(acc, e) -> [e[1], " +
-        "CASE WHEN greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) > 200 " +
-        "THEN 0 ELSE greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) END, " +
-        "CASE WHEN greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) > 200 " +
-        "THEN 0 ELSE greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) END, " +
-        "acc[4] + CASE WHEN " +
-        "greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10)) > 200 " +
-        "OR greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10) > 200 " +
-        "THEN 1 ELSE 0 END, " +
-        "greatest(acc[5], greatest(CAST(0 AS DOUBLE), acc[2] + (e[1] - 50 - 10))), " +
-        "greatest(acc[6], greatest(CAST(0 AS DOUBLE), acc[3] - (e[1] - 50) - 10))]) " +
-        "AS st, COUNT(*) AS n_points FROM events GROUP BY user_id) " +
-        "SELECT user_id, CAST(st[4] AS BIGINT) AS n_alarms, " +
-        "round(st[5], 6) AS max_sp, round(st[6], 6) AS max_sn, n_points " +
-        "FROM f ORDER BY user_id"),
+    "ts_cusum" -> cusumFoldSql,
     "ts_ohlc" ->
       ("WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, ts, " +
         "event_id, value FROM events), " +
@@ -2566,6 +2636,85 @@ object SparkEntry {
         "ORDER BY seq DESC) AS rn FROM u) " +
         "SELECT key, seq, value_c FROM w WHERE rn = 1 AND NOT del " +
         "ORDER BY key"),
+    // streaming CEP over the folded fixture: the batch cep_funnel
+    // islands CTE with the 10-minute window predicate (the machine's
+    // window is start→completion span, inclusive; binds: 87/99)
+    "stream_cep" ->
+      (streamFoldedCte +
+        ", r AS (SELECT user_id, event_id, event_type, tu AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 600000000 " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // unbounded append Top-N: the final leaderboard is the
+    // definitional ROW_NUMBER cut (value DESC, id ASC)
+    "stream_topn" ->
+      ("WITH e AS (SELECT CAST(user_id % 8 AS BIGINT) AS grp, " +
+        "CAST(event_id AS BIGINT) AS id, CAST(value AS DOUBLE) AS value " +
+        "FROM events), " +
+        "r AS (SELECT grp, id, value, row_number() OVER " +
+        "(PARTITION BY grp ORDER BY value DESC, id) AS rk FROM e) " +
+        "SELECT grp, CAST(rk AS BIGINT) AS rk, id, value FROM r " +
+        "WHERE rk <= 3 ORDER BY grp, rk"),
+    // live EWMA summary: the ts_ewma_anomaly fold's (ewma, evar,
+    // anomaly-count) triple — st[1] is the final post-fold EWMA
+    "stream_ewma" ->
+      ("WITH f AS (SELECT user_id, list_reduce(" +
+        "list_transform(list(value ORDER BY ts, event_id), " +
+        "x -> [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]), " +
+        "(acc, e) -> [" +
+        "CAST(0.2 AS DOUBLE)*e[1] + CAST(0.8 AS DOUBLE)*acc[1], " +
+        "CAST(0.8 AS DOUBLE)*(acc[2] + CAST(0.2 AS DOUBLE)*(e[1]-acc[1])*(e[1]-acc[1])), " +
+        "acc[3] + CASE WHEN acc[2] > 0 AND abs(e[1]-acc[1]) > 3.0*sqrt(acc[2]) " +
+        "THEN 1 ELSE 0 END]) AS st, " +
+        "COUNT(*) AS n_points FROM events GROUP BY user_id) " +
+        "SELECT user_id, round(st[1], 6) AS ewma_final, " +
+        "CAST(st[3] AS BIGINT) AS n_anomalies, n_points " +
+        "FROM f ORDER BY user_id"),
+    // live CUSUM summary: literally the batch ts_cusum oracle — the
+    // operators share cusumStep, so one fold is the contract for both
+    "stream_cusum" -> cusumFoldSql,
+    // last-touch attribution: latest click/view strictly before each
+    // purchase in (ts, id) row order
+    "stream_attribution" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn FROM events), " +
+        "t AS (SELECT r.*, max(CASE WHEN event_type IN ('click','view') " +
+        "THEN rn END) OVER (PARTITION BY user_id ORDER BY rn " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_rn " +
+        "FROM r) " +
+        "SELECT p.user_id, p.event_id AS purchase_id, " +
+        "p.ts_us AS purchase_ts_us, x.event_id AS last_touch_id, " +
+        "x.event_type AS last_touch_type, " +
+        "p.ts_us - x.ts_us AS last_touch_latency_us " +
+        "FROM t p JOIN r x ON x.user_id = p.user_id AND x.rn = p.touch_rn " +
+        "WHERE p.event_type = 'purchase' " +
+        "ORDER BY p.user_id, purchase_id"),
+    // windowed dedup key contract: the distinct (window, user) set
+    "stream_window_dedup" ->
+      (streamFoldedCte +
+        "SELECT DISTINCT tu - tu % 600000000 AS w_start, user_id FROM f " +
+        "ORDER BY w_start, user_id"),
     // per-window PSI vs the corpus histogram, definitionally: +1
     // smoothed proportions over the 10-bucket spine, DECIMAL(20,12)
     // quantized terms (the batch drift_psi recipe), windows from ALL

@@ -1256,4 +1256,82 @@ object TextAnalysis {
         .as("avg_nll"), count(lit(1)).as("n_bigrams"))
       .orderBy(col("doc_id"))
   }
+
+  /** BPE tokenizer TRAINING — learn the first `nMerges` byte-pair
+    * merges over the corpus, in the WORD-FREQUENCY formulation every
+    * production trainer uses (merges apply within words; the corpus
+    * collapses to a distinct-word table first, so iteration cost is
+    * VOCABULARY-sized, never corpus-sized — the difference between
+    * re-scanning 100 TB per merge and re-scanning ~10⁸ rows):
+    *
+    *  1. ONE corpus scan: explode word tokens → (word, cnt). Each word
+    *     spells as its characters joined by a separator byte
+    *     (`"chat"` → `"c␟h␟a␟t␟"`, trailing-sep form so adjacent-pair
+    *     replacement needs no boundary cases).
+    *  2. Per merge round, all on the vocab table: adjacent symbol
+    *     pairs weighted by word count (slice+zip, map-side) → one
+    *     keyed SUM → the argmax pair by (count DESC, left, right) —
+    *     a 1-row driver collect, the same parameter-sized pattern as
+    *     k-means seeding — then ONE map-side `replace` applies the
+    *     merge to every spelling. `replace` is left-to-right
+    *     non-overlapping, exactly BPE's greedy application order
+    *     (`"a a a"` + (a,a) → `"aa a"`), and the trailing-sep pattern
+    *     `l␟r␟ → lr␟` makes consecutive matches abut correctly.
+    *  3. Stops early when no pair repeats (best count < 2) — the
+    *     remaining merges would be arbitrary singletons.
+    *
+    * The vocab table localCheckpoints per round: it is small by
+    * construction and each round's lineage would otherwise stack k
+    * replaces deep. Returns the learned merge table
+    * (rank, lft, rgt, merged, pair_cnt) — parameter-sized, the
+    * artifact a tokenizer ships.
+    */
+  def bpeTrainOf(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    val sep = "\u001f"
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        regexp_replace(col("word"), "(.)", "$1" + sep).as("sp"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val ts = split(col("sp"), sep)
+      // split keeps a trailing empty element: drop it via size-2 slices
+      val pairs = vocab
+        .select(col("cnt"),
+          explode(zip_with(
+            slice(ts, lit(1), size(ts) - 2),
+            slice(ts, lit(2), size(ts) - 2),
+            (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .head(1)
+      if (pairs.isEmpty || pairs.head.getLong(2) < 2L) done = true
+      else {
+        val l: String = pairs.head.getString(0)
+        val r: String = pairs.head.getString(1)
+        val c: Long = pairs.head.getLong(2)
+        merges += ((i + 1L, l, r, l + r, c))
+        vocab = vocab
+          .select(col("cnt"),
+            replace(col("sp"), lit(l + sep + r + sep), lit(l + r + sep))
+              .as("sp"))
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("rank", "lft", "rgt", "merged", "pair_cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** text_bpe_merges — [[bpeTrainOf]] on `documents`, first 6 merges. */
+  def bpeMerges(s: SparkSession, dir: String, n: Int = 6): DataFrame =
+    bpeTrainOf(t(s, dir, "documents"), n)
 }

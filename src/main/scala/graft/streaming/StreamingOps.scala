@@ -3200,4 +3200,185 @@ object StreamingOps {
         col("l_val"), col("r_val"))
       .orderBy(col("k"), col("id"))
   }
+
+  /** Typed twin of [[replayThrough]] shared by the tuple-input
+    * processor gates: replays `fixture` in 2 ordered micro-batches
+    * (+ optional flush rows that advance the watermark) through
+    * `build` under a scoped RocksDB provider (transformWithState
+    * needs the multi-column-family store), appending each batch's
+    * output to parquet. 2 batches by the measured replay-cost cut
+    * (PLANS "2-batch replay harness"): one seam already exercises the
+    * cross-batch state path; the specs own finer seam semantics.
+    */
+  private def replayTypedThrough[T](s: SparkSession, fixture: Seq[T],
+      flush: Seq[T], mode: String)(build: Dataset[T] => DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[T]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-typed-gate").toString
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(pKey)
+    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val q = build(src.toDS()).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode(mode).start()
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      if (flush.nonEmpty) { src.addData(flush); q.processAllAvailable() }
+      q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set(pKey, v)
+      case None => s.conf.unset(pKey)
+    }
+    s.read.parquet(outDir)
+  }
+
+  /** GateEv timestamp → event-time micros (the [[gateFlush]] formula). */
+  private def gateEvUs(e: GateEv): Long =
+    e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+
+  /** stream_cep gate — [[cepStream]] (click → view+ → purchase,
+    * 10-minute completion window) replayed over the day-folded
+    * fixture: the streaming MATCH_RECOGNIZE twin of the batch
+    * `cep_funnel` gate. The fold's ~2-minute intra-user spacing makes
+    * the 10-minute window BIND in the gate itself (87 of 99 otherwise-
+    * complete funnels survive it at sf0.01 — window-killed partials
+    * exercise the shared-buffer fallback against the oracle, not just
+    * specs); the flush row pushes the watermark past every buffered
+    * instant + window so end-of-stream ripe rows drain. Oracle: the
+    * batch gate's islands CTE on the folded rows with the same window
+    * predicate.
+    */
+  def streamCepGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 600000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush")
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStream(ds,
+        Seq(graft.operators.Cep.Step("click", plus = false),
+          graft.operators.Cep.Step("view", plus = true),
+          graft.operators.Cep.Step("purchase", plus = false)),
+        windowUs).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
+  /** stream_topn gate — [[topNStream]] (unbounded append-stream Top-3
+    * per group) replayed in 2 batches; the append contract's monotone
+    * nth-place threshold makes the FINAL leaderboard equal the batch
+    * top-3 by (value DESC, id ASC) regardless of the batch split, so
+    * the latest versioned snapshot per group is the gate's answer and
+    * the oracle is the definitional ROW_NUMBER cut.
+    */
+  def streamTopNGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixture = graft.Tables.t(s, dir, "events")
+      .select(pmod(col("user_id"), lit(8)).cast("long"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Double)].orderBy(col("event_id")).collect().toSeq
+    val snaps = replayTypedThrough(s, fixture, Nil, "update")(ds =>
+      topNStream(ds).toDF())
+    snaps.withColumn("__mx", max(col("ver")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
+      .filter(col("ver") === col("__mx"))
+      .select(col("group").as("grp"), col("rk"), col("id"), col("value"))
+      .orderBy(col("grp"), col("rk"))
+  }
+
+  /** stream_ewma gate — [[ewmaStream]] replayed over the raw events in
+    * global (ts, id) order (TimeMode.None: the ordering contract is the
+    * replay's, not a watermark's); per-user summary of the emitted
+    * per-row flags (final EWMA = the last row's post-fold value,
+    * anomaly count, row count) against the DuckDB list_reduce fold the
+    * batch `ts_ewma_anomaly` gate already proves bit-compatible.
+    */
+  def streamEwmaGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixture = graft.Tables.t(s, dir, "events")
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .orderBy(col("ts"), col("event_id")).collect().toSeq
+    replayTypedThrough(s, fixture, Nil, "update")(ds =>
+      ewmaStream(ds).toDF())
+      .groupBy(col("user_id"))
+      .agg(round(max_by(col("ewma"),
+          struct(col("ts_us"), col("event_id"))), 6).as("ewma_final"),
+        sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("user_id"))
+  }
+
+  /** stream_cusum gate — [[cusumStream]] under the same ordered typed
+    * replay; summary columns match the batch `ts_cusum` gate exactly
+    * (alarm count, max raw sums, row count), so the oracle IS the
+    * batch fold — the literal shared `cusumStep` makes stream ≡ batch
+    * structural and this gate proves it against the driver's engine.
+    */
+  def streamCusumGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixture = graft.Tables.t(s, dir, "events")
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .orderBy(col("ts"), col("event_id")).collect().toSeq
+    replayTypedThrough(s, fixture, Nil, "update")(ds =>
+      cusumStream(ds).toDF())
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("alarmed"), 1L).otherwise(0L)).as("n_alarms"),
+        round(max(col("sp_raw")), 6).as("max_sp"),
+        round(max(col("sn_raw")), 6).as("max_sn"),
+        count(lit(1)).as("n_points"))
+      .orderBy(col("user_id"))
+  }
+
+  /** stream_attribution gate — [[attributionStream]] (live last-touch
+    * credits) replayed in global (ts, id) order: every purchase with a
+    * prior click/view emits exactly one credit naming that touch; the
+    * oracle replays the definitional "latest touch strictly before the
+    * purchase" with one window max over the row order.
+    */
+  def streamAttributionGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fixture = graft.Tables.t(s, dir, "events")
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .orderBy(col("ts"), col("event_id")).collect().toSeq
+    replayTypedThrough(s, fixture, Nil, "update")(ds =>
+      attributionStream(ds).toDF())
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts_us"),
+        col("last_touch_id"), col("last_touch_type"),
+        col("last_touch_latency_us"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  /** stream_window_dedup gate — [[windowDedupStream]] (first event per
+    * user per 10-minute window) over the day-folded replay. The gate
+    * pins the KEY contract — exactly one row per (window, user), late
+    * and repeat rows suppressed across the batch seam; the surviving
+    * row's identity is arbitrary WITHIN a micro-batch (dropDuplicates
+    * keeps the first row the state store sees, and intra-batch shuffle
+    * order is not deterministic), so first_event_id stays spec-tier on
+    * controlled fixtures and the gate projects the deterministic keys.
+    */
+  def streamWindowDedupGate(s: SparkSession, dir: String): DataFrame = {
+    val fixture = gateEventsDayFolded(s, dir)
+    val (_, flush) = gateFlush(fixture)
+    replayThrough(s, fixture, Some(flush))(df => windowDedupStream(df))
+      .filter(col("user_id") >= 0L)
+      .select(col("w_start"), col("user_id"))
+      .orderBy(col("w_start"), col("user_id"))
+  }
 }

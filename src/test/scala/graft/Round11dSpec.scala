@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round 11 session 4: BPE tokenizer training (`bpeTrainOf`) — the
+  * word-frequency trainer against an INDEPENDENT brute-force Scala
+  * replay (character lists folded by hand, no string replace, no
+  * Spark), plus the textbook corpus whose first merges are
+  * hand-derivable, greedy left-to-right application order, and the
+  * early-stop contract.
+  */
+class Round11dSpec extends SparkSpecBase {
+
+  /** Independent reference: trains nMerges BPE merges over (word, cnt)
+    * pairs using Seq[String] symbol lists — a different data structure
+    * and application algorithm than the operator's separator-string
+    * replace, so a mistake in either shows as divergence.
+    */
+  private def refBpe(words: Seq[(String, Long)], nMerges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var vocab: Seq[(Seq[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var stop = false
+    for (i <- 1 to nMerges if !stop) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      if (counts.isEmpty || counts.values.max < 2L) stop = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head
+        out += ((i.toLong, l, r, l + r, c))
+        // greedy left-to-right non-overlapping application
+        vocab = vocab.map { case (syms, cnt) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              merged += l + r; j += 2
+            } else { merged += syms(j); j += 1 }
+          }
+          (merged.toSeq, cnt)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def trainOn(rows: Seq[String], n: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    import spark.implicits._
+    TextAnalysis.bpeTrainOf(
+      rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), n)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+  }
+
+  test("bpe: textbook corpus — first merges match the hand derivation") {
+    // the classic BPE example word set, one word per doc, counts by
+    // repetition: low x5, lower x2, newest x6, widest x3
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val got = trainOn(docs, 4)
+    // pair counts: es = 9 (newest 6 + widest 3), st = 9; tie breaks on
+    // (l, r) lexicographic → (e, s) first, then (es, t) at 9
+    assert(got.head == (1L, "e", "s", "es", 9L), s"first merge: $got")
+    assert(got(1) == (2L, "es", "t", "est", 9L), s"second merge: $got")
+    // the full prefix must equal the independent reference
+    val ref = refBpe(Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L)), 4)
+    assert(got == ref, s"got $got\nref $ref")
+  }
+
+  test("bpe: greedy left-to-right on runs — aaaa collapses as (aa)(aa)") {
+    val got = trainOn(Seq.fill(3)("aaaa"), 2)
+    // merge 1: (a,a) count 9 (3 adjacent pairs x 3 words); application
+    // is non-overlapping left-to-right: aaaa -> aa aa (TWO symbols),
+    // so merge 2 is (aa,aa) count 3
+    assert(got.head == (1L, "a", "a", "aa", 9L), s"$got")
+    assert(got(1) == (2L, "aa", "aa", "aaaa", 3L), s"$got")
+  }
+
+  test("bpe: early stop when no pair repeats") {
+    // all distinct single-occurrence bigrams: every pair count is 1
+    val got = trainOn(Seq("ab", "cd", "ef"), 5)
+    assert(got.isEmpty, s"expected no merges, got $got")
+  }
+
+  test("bpe: random corpus equals the independent reference") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcde"
+    val words = Seq.fill(40)(
+      (1 to (2 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w))
+    val got = trainOn(docs, 8)
+    val wc = docs.groupBy(identity).map { case (w, g) =>
+      (w, g.size.toLong) }.toSeq
+    val ref = refBpe(wc, 8)
+    assert(got == ref, s"got $got\nref $ref")
+  }
+
+  test("bpe: corpus scanned once — iterations run on the vocab table") {
+    import spark.implicits._
+    val docs = (0 until 64).map(i => (i.toLong, s"alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainOf(docs, 3)
+    assert(out.count() == 3L)
+    // the returned merge table is driver-side parameter-sized rows —
+    // its plan must not re-reference the corpus at all
+    assert(!out.queryExecution.optimizedPlan.toString.contains("doc_id"))
+  }
+}
