@@ -468,6 +468,10 @@ object SparkEntry {
     // the word-frequency formulation (iterations are vocab-sized)
     "text_bpe_merges" ->
       ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
+    // BPE encode: apply the learned merges (rank-order chained
+    // replaces, map-side) and report per-doc tokenization stats
+    "text_bpe_encode" ->
+      ((s, dir) => TextAnalysis.bpeEncode(s, dir)),
     "q30b_cumulate" -> Windows.q30bCumulate _,
     "ts_overlap" ->
       ((s, dir) => graft.operators.RangeJoin.tsOverlap(s, dir)),
@@ -596,6 +600,45 @@ object SparkEntry {
       "CAST(c AS BIGINT) AS pair_cnt FROM (" +
       (1 to k).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ") +
       ") ORDER BY rank"
+  }
+
+  /** Oracle for `text_bpe_encode`: the [[bpeOracleSql]] training stages
+    * verbatim, then the k learned merges applied per (doc, word) in
+    * rank order via the same scalar-subquery replaces; token counting
+    * is the separator-count arithmetic the Spark side uses.
+    */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val trainStages = (1 to k).map { i =>
+      s"p$i AS (SELECT ts[g.i] AS l, ts[g.i+1] AS r, SUM(cnt) AS c " +
+        "FROM (SELECT cnt, list_filter(string_split(sp, chr(31)), " +
+        s"x -> x <> '') AS ts FROM s${i - 1}) x, " +
+        "LATERAL unnest(generate_series(1, len(x.ts)-1)) AS g(i) " +
+        "GROUP BY 1, 2), " +
+        s"t$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1), " +
+        s"s$i AS (SELECT cnt, replace(sp, " +
+        s"(SELECT l || chr(31) || r || chr(31) FROM t$i), " +
+        s"(SELECT l || r || chr(31) FROM t$i)) AS sp FROM s${i - 1})"
+    }.mkString(", ")
+    val encodeStages = (1 to k).map { i =>
+      s"q$i AS (SELECT doc_id, word, replace(sp, " +
+        s"(SELECT l || chr(31) || r || chr(31) FROM t$i), " +
+        s"(SELECT l || r || chr(31) FROM t$i)) AS sp FROM q${i - 1})"
+    }.mkString(", ")
+    "WITH w AS (SELECT t AS word, COUNT(*) AS cnt FROM " +
+      s"(SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1), " +
+      "s0 AS (SELECT cnt, regexp_replace(word, '(.)', " +
+      "'\\1' || chr(31), 'g') AS sp FROM w), " + trainStages + ", " +
+      "q0 AS (SELECT doc_id, t AS word, regexp_replace(t, '(.)', " +
+      "'\\1' || chr(31), 'g') AS sp FROM " +
+      s"(SELECT doc_id, unnest($toksSql) AS t FROM documents)), " +
+      encodeStages +
+      s" SELECT doc_id, COUNT(*) AS n_words, " +
+      "CAST(SUM(len(word)) AS BIGINT) AS n_chars, " +
+      "CAST(SUM(len(sp) - len(replace(sp, chr(31), ''))) AS BIGINT) " +
+      "AS n_bpe_tokens, " +
+      "round(CAST(SUM(len(word)) AS DOUBLE) / " +
+      "SUM(len(sp) - len(replace(sp, chr(31), ''))), 6) AS compression " +
+      s"FROM q$k GROUP BY doc_id ORDER BY doc_id"
   }
   /** The entity-resolution dirty registry, rebuilt bit-for-bit from
     * `customer` (mirrors EntityResolution.dirtyRegistry: originals +
@@ -1972,6 +2015,7 @@ object SparkEntry {
     // chr(31)-spelled vocab, argmax by (count DESC, l, r), then
     // left-to-right replace — the trainer's exact loop, unrolled
     "text_bpe_merges" -> bpeOracleSql(6),
+    "text_bpe_encode" -> bpeEncodeOracleSql(6),
     "text_bigram_merges" ->
       ("WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]') AS tk " +
         "FROM documents), " +

@@ -1334,4 +1334,49 @@ object TextAnalysis {
   /** text_bpe_merges — [[bpeTrainOf]] on `documents`, first 6 merges. */
   def bpeMerges(s: SparkSession, dir: String, n: Int = 6): DataFrame =
     bpeTrainOf(t(s, dir, "documents"), n)
+
+  /** BPE ENCODE — apply learned merges to the corpus and report per-doc
+    * tokenization stats (word/char/BPE-token counts, chars-per-token
+    * compression). The merge table is the parameter-sized artifact
+    * [[bpeTrainOf]] ships, so application is a fold of k chained
+    * map-side `replace`s over the trailing-separator spellings, in
+    * RANK order (BPE applies merges in learned priority) — one corpus
+    * scan, one doc_id shuffle for the final aggregate, nothing else.
+    * Post-merge symbol counting is codegen arithmetic, not a split:
+    * every symbol ends with exactly one separator, so
+    * `length(sp) − length(replace(sp, sep, ""))` IS the token count.
+    */
+  def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)])
+      : DataFrame = {
+    val sep = "\u001f"
+    val spelled = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .withColumn("sp", regexp_replace(col("word"), "(.)", "$1" + sep))
+    val encoded = merges.foldLeft(spelled) { case (df, (l, r)) =>
+      df.withColumn("sp",
+        replace(col("sp"), lit(l + sep + r + sep), lit(l + r + sep)))
+    }
+    encoded
+      .select(col("doc_id"), length(col("word")).cast("long").as("nc"),
+        (length(col("sp")) -
+          length(replace(col("sp"), lit(sep), lit(""))))
+          .cast("long").as("ns"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+        sum(col("ns")).as("n_bpe_tokens"),
+        round(sum(col("nc")).cast(DoubleType) / sum(col("ns")), 6)
+          .as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** text_bpe_encode — train 6 merges on `documents`, then encode the
+    * same corpus with them (the merge collect is parameter-sized —
+    * the model artifact, same class as k-means centroids).
+    */
+  def bpeEncode(s: SparkSession, dir: String, n: Int = 6): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = bpeTrainOf(docs, n).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeOf(docs, merges)
+  }
 }

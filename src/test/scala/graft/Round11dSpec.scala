@@ -110,6 +110,25 @@ class Round11dSpec extends SparkSpecBase {
     assert(got == ref, s"got $got\nref $ref")
   }
 
+  test("bpe encode: zero merges = char count; learned merges shrink newest to n/e/w/est") {
+    import spark.implicits._
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // identity encode: every symbol is still a single char
+    TextAnalysis.bpeEncodeOf(docs, Nil).collect()
+      .foreach(r => assert(r.getLong(2) == r.getLong(3),
+        s"zero-merge encode must have n_chars == n_bpe_tokens: $r"))
+    val merges = TextAnalysis.bpeTrainOf(docs, 2).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq // (e,s), (es,t)
+    val enc = TextAnalysis.bpeEncodeOf(docs, merges)
+      .filter(col("doc_id") === 7L).head() // a "newest" doc
+    // newest -> n e w est: 4 tokens from 6 chars
+    assert(enc.getLong(1) == 1L && enc.getLong(2) == 6L &&
+      enc.getLong(3) == 4L, s"$enc")
+  }
+
   test("bpe: corpus scanned once — iterations run on the vocab table") {
     import spark.implicits._
     val docs = (0 until 64).map(i => (i.toLong, s"alpha beta gamma delta"))
