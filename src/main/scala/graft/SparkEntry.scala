@@ -589,13 +589,13 @@ object SparkEntry {
         s"t$i AS (SELECT CAST($i AS BIGINT) AS rank, l, r, c FROM p$i " +
         "ORDER BY c DESC, l, r LIMIT 1), " +
         s"s$i AS (SELECT cnt, replace(sp, " +
-        s"(SELECT l || chr(31) || r || chr(31) FROM t$i), " +
-        s"(SELECT l || r || chr(31) FROM t$i)) AS sp FROM s${i - 1})"
+        s"(SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM t$i), " +
+        s"(SELECT chr(31) || l || r || chr(31) FROM t$i)) AS sp FROM s${i - 1})"
     }.mkString(", ")
     "WITH w AS (SELECT t AS word, COUNT(*) AS cnt FROM " +
       s"(SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1), " +
       "s0 AS (SELECT cnt, regexp_replace(word, '(.)', " +
-      "'\\1' || chr(31), 'g') AS sp FROM w), " + stages +
+      "chr(31) || '\\1' || chr(31), 'g') AS sp FROM w), " + stages +
       " SELECT rank, l AS lft, r AS rgt, l || r AS merged, " +
       "CAST(c AS BIGINT) AS pair_cnt FROM (" +
       (1 to k).map(i => s"SELECT * FROM t$i").mkString(" UNION ALL ") +
@@ -616,28 +616,28 @@ object SparkEntry {
         "GROUP BY 1, 2), " +
         s"t$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1), " +
         s"s$i AS (SELECT cnt, replace(sp, " +
-        s"(SELECT l || chr(31) || r || chr(31) FROM t$i), " +
-        s"(SELECT l || r || chr(31) FROM t$i)) AS sp FROM s${i - 1})"
+        s"(SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM t$i), " +
+        s"(SELECT chr(31) || l || r || chr(31) FROM t$i)) AS sp FROM s${i - 1})"
     }.mkString(", ")
     val encodeStages = (1 to k).map { i =>
       s"q$i AS (SELECT doc_id, word, replace(sp, " +
-        s"(SELECT l || chr(31) || r || chr(31) FROM t$i), " +
-        s"(SELECT l || r || chr(31) FROM t$i)) AS sp FROM q${i - 1})"
+        s"(SELECT chr(31) || l || chr(31) || chr(31) || r || chr(31) FROM t$i), " +
+        s"(SELECT chr(31) || l || r || chr(31) FROM t$i)) AS sp FROM q${i - 1})"
     }.mkString(", ")
     "WITH w AS (SELECT t AS word, COUNT(*) AS cnt FROM " +
       s"(SELECT unnest($toksSql) AS t FROM documents) GROUP BY 1), " +
       "s0 AS (SELECT cnt, regexp_replace(word, '(.)', " +
-      "'\\1' || chr(31), 'g') AS sp FROM w), " + trainStages + ", " +
+      "chr(31) || '\\1' || chr(31), 'g') AS sp FROM w), " + trainStages + ", " +
       "q0 AS (SELECT doc_id, t AS word, regexp_replace(t, '(.)', " +
-      "'\\1' || chr(31), 'g') AS sp FROM " +
+      "chr(31) || '\\1' || chr(31), 'g') AS sp FROM " +
       s"(SELECT doc_id, unnest($toksSql) AS t FROM documents)), " +
       encodeStages +
       s" SELECT doc_id, COUNT(*) AS n_words, " +
       "CAST(SUM(len(word)) AS BIGINT) AS n_chars, " +
-      "CAST(SUM(len(sp) - len(replace(sp, chr(31), ''))) AS BIGINT) " +
+      "CAST(SUM((len(sp) - len(replace(sp, chr(31), ''))) // 2) AS BIGINT) " +
       "AS n_bpe_tokens, " +
       "round(CAST(SUM(len(word)) AS DOUBLE) / " +
-      "SUM(len(sp) - len(replace(sp, chr(31), ''))), 6) AS compression " +
+      "SUM((len(sp) - len(replace(sp, chr(31), ''))) // 2), 6) AS compression " +
       s"FROM q$k GROUP BY doc_id ORDER BY doc_id"
   }
   /** The entity-resolution dirty registry, rebuilt bit-for-bit from

@@ -1265,18 +1265,25 @@ object TextAnalysis {
     * re-scanning 100 TB per merge and re-scanning ~10⁸ rows):
     *
     *  1. ONE corpus scan: explode word tokens → (word, cnt). Each word
-    *     spells as its characters joined by a separator byte
-    *     (`"chat"` → `"c␟h␟a␟t␟"`, trailing-sep form so adjacent-pair
-    *     replacement needs no boundary cases).
+    *     spells with every symbol WRAPPED in separators
+    *     (`"chat"` → `"␟c␟␟h␟␟a␟␟t␟"`). The merge pattern
+    *     `␟l␟␟r␟ → ␟lr␟` anchors BOTH symbol boundaries, so a longer
+    *     symbol that merely ENDS with `l` can never false-match — the
+    *     earlier trailing-sep-only encoding corrupted exactly that
+    *     case (symbols [xa, b] matched pattern `a␟b␟` inside `xa␟b␟`
+    *     and merged across the boundary; caught by the adversarial
+    *     spec corpus, invisible to the gate because the oracle shares
+    *     the encoding). Because the inter-symbol boundary is the
+    *     two-byte `␟␟` and the pattern consumes one trailing plus one
+    *     leading byte, consecutive occurrences still abut for
+    *     `replace`'s left-to-right non-overlapping scan = BPE's
+    *     greedy application order (`"aaaa"` + (a,a) → `(aa)(aa)`).
     *  2. Per merge round, all on the vocab table: adjacent symbol
-    *     pairs weighted by word count (slice+zip, map-side) → one
-    *     keyed SUM → the argmax pair by (count DESC, left, right) —
-    *     a 1-row driver collect, the same parameter-sized pattern as
-    *     k-means seeding — then ONE map-side `replace` applies the
-    *     merge to every spelling. `replace` is left-to-right
-    *     non-overlapping, exactly BPE's greedy application order
-    *     (`"a a a"` + (a,a) → `"aa a"`), and the trailing-sep pattern
-    *     `l␟r␟ → lr␟` makes consecutive matches abut correctly.
+    *     pairs weighted by word count (split → drop empties → zip,
+    *     map-side) → one keyed SUM → the argmax pair by (count DESC,
+    *     left, right) — a 1-row driver collect, the same
+    *     parameter-sized pattern as k-means seeding — then ONE
+    *     map-side `replace` applies the merge to every spelling.
     *  3. Stops early when no pair repeats (best count < 2) — the
     *     remaining merges would be arbitrary singletons.
     *
@@ -1293,20 +1300,22 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
-        regexp_replace(col("word"), "(.)", "$1" + sep).as("sp"))
+        regexp_replace(col("word"), "(.)", sep + "$1" + sep).as("sp"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var done = false
     var i = 0
     while (i < nMerges && !done) {
-      val ts = split(col("sp"), sep)
-      // split keeps a trailing empty element: drop it via size-2 slices
+      // wrapped encoding: split yields leading/interior/trailing empty
+      // strings around the separators — drop them, then zip adjacents
       val pairs = vocab
         .select(col("cnt"),
+          filter(split(col("sp"), sep), x => x =!= "").as("ts"))
+        .select(col("cnt"),
           explode(zip_with(
-            slice(ts, lit(1), size(ts) - 2),
-            slice(ts, lit(2), size(ts) - 2),
+            slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
             (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
@@ -1320,8 +1329,8 @@ object TextAnalysis {
         merges += ((i + 1L, l, r, l + r, c))
         vocab = vocab
           .select(col("cnt"),
-            replace(col("sp"), lit(l + sep + r + sep), lit(l + r + sep))
-              .as("sp"))
+            replace(col("sp"), lit(sep + l + sep + sep + r + sep),
+              lit(sep + l + r + sep)).as("sp"))
           .localCheckpoint()
         i += 1
       }
@@ -1343,23 +1352,27 @@ object TextAnalysis {
     * RANK order (BPE applies merges in learned priority) — one corpus
     * scan, one doc_id shuffle for the final aggregate, nothing else.
     * Post-merge symbol counting is codegen arithmetic, not a split:
-    * every symbol ends with exactly one separator, so
-    * `length(sp) − length(replace(sp, sep, ""))` IS the token count.
+    * every symbol carries exactly two separators (the wrapped
+    * `␟sym␟` encoding — see [[bpeTrainOf]] for why both boundaries
+    * must anchor), so the token count is
+    * `(length(sp) − length(replace(sp, sep, ""))) / 2`.
     */
   def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)])
       : DataFrame = {
     val sep = "\u001f"
     val spelled = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .withColumn("sp", regexp_replace(col("word"), "(.)", "$1" + sep))
+      .withColumn("sp",
+        regexp_replace(col("word"), "(.)", sep + "$1" + sep))
     val encoded = merges.foldLeft(spelled) { case (df, (l, r)) =>
       df.withColumn("sp",
-        replace(col("sp"), lit(l + sep + r + sep), lit(l + r + sep)))
+        replace(col("sp"), lit(sep + l + sep + sep + r + sep),
+          lit(sep + l + r + sep)))
     }
     encoded
       .select(col("doc_id"), length(col("word")).cast("long").as("nc"),
-        (length(col("sp")) -
-          length(replace(col("sp"), lit(sep), lit(""))))
+        ((length(col("sp")) -
+          length(replace(col("sp"), lit(sep), lit("")))) / 2)
           .cast("long").as("ns"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),

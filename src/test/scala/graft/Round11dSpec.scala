@@ -96,18 +96,48 @@ class Round11dSpec extends SparkSpecBase {
     assert(got.isEmpty, s"expected no merges, got $got")
   }
 
-  test("bpe: random corpus equals the independent reference") {
-    val rnd = new scala.util.Random(11)
-    val alphabet = "abcde"
-    val words = Seq.fill(40)(
-      (1 to (2 + rnd.nextInt(6)))
-        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
-    val docs = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w))
-    val got = trainOn(docs, 8)
-    val wc = docs.groupBy(identity).map { case (w, g) =>
-      (w, g.size.toLong) }.toSeq
-    val ref = refBpe(wc, 8)
+  test("bpe: a symbol ending with the merge's left side never false-matches") {
+    // merge 1 is (x,a) -> symbol "xa"; merge 2 is (a,b). In "xab" the
+    // adjacent symbols are (xa, b) — NOT (a, b) — so strict BPE leaves
+    // it as two symbols. The trailing-sep-only encoding matched the
+    // pattern a␟b␟ INSIDE xa␟b␟ and corrupted "xab" to one symbol
+    // (and its oracle, sharing the encoding, could not see it); the
+    // wrapped ␟sym␟ encoding anchors both boundaries.
+    val docs = Seq.fill(10)("xa") ++ Seq.fill(3)("xab") ++ Seq.fill(4)("ab")
+    val got = trainOn(docs, 2)
+    assert(got == Seq((1L, "x", "a", "xa", 13L), (2L, "a", "b", "ab", 4L)),
+      s"$got")
+    val ref = refBpe(Seq(("xa", 10L), ("xab", 3L), ("ab", 4L)), 2)
     assert(got == ref, s"got $got\nref $ref")
+    // and encode under those merges: "xab" must stay 2 tokens (xa, b)
+    import spark.implicits._
+    val enc = TextAnalysis.bpeEncodeOf(
+      Seq((0L, "xab")).toDF("doc_id", "text"),
+      got.map(m => (m._2, m._3)))
+      .head()
+    assert(enc.getLong(3) == 2L,
+      s"xab must encode as (xa)(b), 2 tokens: $enc")
+  }
+
+  test("bpe: random corpora equal the independent reference") {
+    // 3-letter alphabet + 10 merges: multi-char symbols quickly share
+    // prefixes/suffixes across merge rounds, so any boundary-anchoring
+    // mistake in the replace encoding diverges from the reference
+    // within a few rounds (seed 11 on the wider alphabet missed the
+    // suffix false-match the adversarial test above pins)
+    for (seed <- Seq(1, 7, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc"
+      val words = Seq.fill(30)(
+        (1 to (2 + rnd.nextInt(6)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w))
+      val got = trainOn(docs, 10)
+      val wc = docs.groupBy(identity).map { case (w, g) =>
+        (w, g.size.toLong) }.toSeq
+      val ref = refBpe(wc, 10)
+      assert(got == ref, s"seed $seed: got $got\nref $ref")
+    }
   }
 
   test("bpe encode: zero merges = char count; learned merges shrink newest to n/e/w/est") {
