@@ -1293,7 +1293,35 @@ object TextAnalysis {
     * (rank, lft, rgt, merged, pair_cnt) — parameter-sized, the
     * artifact a tokenizer ships.
     */
-  def bpeTrainOf(docs: DataFrame, nMerges: Int): DataFrame = {
+  def bpeTrainOf(docs: DataFrame, nMerges: Int): DataFrame =
+    bpeTrainBatchedOf(docs, nMerges, batchSize = 1).drop("round")
+
+  /** BATCHED BPE training — the production-merge-count form of
+    * [[bpeTrainOf]], which IS this operator at `batchSize = 1` (so the
+    * `text_bpe_merges` gate oracles the shared code path exactly).
+    * Strict BPE needs one driver round per merge; a real tokenizer has
+    * 30–50k merges, and 50k scheduling-dominated rounds is the actual
+    * bottleneck of the relational formulation at any data scale. This
+    * form selects the top `batchSize` pairwise SYMBOL-DISJOINT pairs
+    * per round (greedy in (count DESC, l, r) order over a bounded
+    * candidate slice) and applies them in ONE pass of chained
+    * replaces. Disjointness makes the batch exact with respect to its
+    * own counts: merging (a, b) only creates or destroys pairs that
+    * involve a or b, so the pre-round count of every other picked pair
+    * is invariant under it, and the chained replaces commute — the
+    * spec pins batched ≡ an independent symbol-list reference of the
+    * same policy. The SEQUENCE can defer a merge strict BPE would take
+    * next (strict #2 may share a symbol with #1 — e.g. (es, t) right
+    * after (e, s) — and waits one round); that is the trade every
+    * batched trainer makes, and `batchSize = 1` recovers strict BPE
+    * exactly (spec-pinned on random corpora). Rounds collapse from
+    * k to ~k/batchSize; the candidate slice is 4·batchSize + 8 rows —
+    * a parameter-sized collect (a round may pick fewer than batchSize
+    * if the slice is conflict-dense; the next round recounts).
+    */
+  def bpeTrainBatchedOf(docs: DataFrame, nMerges: Int,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     val s = docs.sparkSession
     val sep = "\u001f"
     var vocab = docs
@@ -1303,13 +1331,14 @@ object TextAnalysis {
         regexp_replace(col("word"), "(.)", sep + "$1" + sep).as("sp"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, String, String, Long)]
+      .empty[(Long, Long, String, String, String, Long)]
     var done = false
-    var i = 0
-    while (i < nMerges && !done) {
+    var round = 0L
+    while (merges.size < nMerges && !done) {
+      val want = math.min(batchSize, nMerges - merges.size)
       // wrapped encoding: split yields leading/interior/trailing empty
       // strings around the separators — drop them, then zip adjacents
-      val pairs = vocab
+      val cand = vocab
         .select(col("cnt"),
           filter(split(col("sp"), sep), x => x =!= "").as("ts"))
         .select(col("cnt"),
@@ -1320,23 +1349,36 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .head(1)
-      if (pairs.isEmpty || pairs.head.getLong(2) < 2L) done = true
+        .head(4 * batchSize + 8)
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      var j = 0
+      while (j < cand.length && picked.size < want) {
+        val l = cand(j).getString(0)
+        val r = cand(j).getString(1)
+        val c = cand(j).getLong(2)
+        if (c >= 2L && !used.contains(l) && !used.contains(r)) {
+          picked += ((l, r, c)); used += l; used += r
+        }
+        j += 1
+      }
+      if (picked.isEmpty) done = true
       else {
-        val l: String = pairs.head.getString(0)
-        val r: String = pairs.head.getString(1)
-        val c: Long = pairs.head.getLong(2)
-        merges += ((i + 1L, l, r, l + r, c))
-        vocab = vocab
-          .select(col("cnt"),
+        round += 1
+        picked.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1L, round, l, r, l + r, c))
+        }
+        vocab = picked.foldLeft(vocab) { case (df, (l, r, _)) =>
+          df.select(col("cnt"),
             replace(col("sp"), lit(sep + l + sep + sep + r + sep),
               lit(sep + l + r + sep)).as("sp"))
-          .localCheckpoint()
-        i += 1
+        }.localCheckpoint()
       }
     }
     import s.implicits._
-    merges.toSeq.toDF("rank", "lft", "rgt", "merged", "pair_cnt")
+    merges.toSeq
+      .toDF("rank", "round", "lft", "rgt", "merged", "pair_cnt")
       .orderBy(col("rank"))
   }
 

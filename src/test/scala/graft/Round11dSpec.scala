@@ -140,6 +140,109 @@ class Round11dSpec extends SparkSpecBase {
     }
   }
 
+  /** Independent reference for the BATCHED trainer: same greedy
+    * symbol-disjoint selection policy, but on symbol lists with a
+    * full recount per round — no candidate slice, no string replace.
+    */
+  private def refBpeBatched(words: Seq[(String, Long)], nMerges: Int,
+      batchSize: Int): Seq[(Long, Long, String, String, String, Long)] = {
+    var vocab: Seq[(Seq[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, String, String, Long)]
+    var round = 0L
+    var stop = false
+    while (out.size < nMerges && !stop) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+        }
+      }
+      val ordered = counts.toSeq.filter(_._2 >= 2L)
+        .sortBy { case ((a, b), n) => (-n, a, b) }
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked = ordered.iterator
+        .filter { case ((a, b), _) =>
+          if (used.contains(a) || used.contains(b)) false
+          else { used += a; used += b; true }
+        }
+        .take(math.min(batchSize, nMerges - out.size)).toSeq
+      if (picked.isEmpty) stop = true
+      else {
+        round += 1
+        picked.foreach { case ((a, b), n) =>
+          out += ((out.size + 1L, round, a, b, a + b, n))
+        }
+        picked.foreach { case ((a, b), _) =>
+          vocab = vocab.map { case (syms, cnt) =>
+            val merged = scala.collection.mutable.ArrayBuffer
+              .empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == a &&
+                  syms(j + 1) == b) { merged += a + b; j += 2 }
+              else { merged += syms(j); j += 1 }
+            }
+            (merged.toSeq, cnt)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe batched: M=1 is strict BPE; M=3 matches the independent batched reference") {
+    import spark.implicits._
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc"
+      val words = Seq.fill(30)(
+        (1 to (2 + rnd.nextInt(6)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w))
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val wc = docs.groupBy(identity).map { case (w, g) =>
+        (w, g.size.toLong) }.toSeq
+      // M = 1 ≡ strict (bpeTrainOf IS the batched form at 1)
+      val strict = trainOn(docs, 8)
+      assert(strict == refBpe(wc, 8), s"seed $seed strict: $strict")
+      // M = 3 ≡ the batched reference, round structure included
+      val got3 = TextAnalysis.bpeTrainBatchedOf(df, 9, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getLong(5))).toSeq
+      val ref3 = refBpeBatched(wc, 9, 3)
+      assert(got3 == ref3, s"seed $seed M=3:\ngot $got3\nref $ref3")
+      // within-round picks are pairwise symbol-disjoint (a self-pair
+      // like (c,c) owns ONE symbol — compare symbol SETS across picks)
+      got3.groupBy(_._2).values.foreach { roundPicks =>
+        val sets = roundPicks.map(m => Set(m._3, m._4))
+        assert(sets.flatten.distinct.size == sets.map(_.size).sum,
+          s"round picks share a symbol: $roundPicks")
+      }
+    }
+  }
+
+  test("bpe batched: defers a conflicting merge one round (textbook corpus)") {
+    import spark.implicits._
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrainBatchedOf(docs, 2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(5))).toSeq
+    // strict takes (e,s) then (es,t) — but (es,t) shares symbol "es"
+    // with round 1's pick, so the batch defers it and takes the next
+    // disjoint pair instead; (es,t) would come in round 2
+    assert(got.head == (1L, 1L, "e", "s", 9L), s"$got")
+    assert(got(1)._2 == 1L && got(1)._3 != "es" && got(1)._4 != "es",
+      s"round-1 second pick must be disjoint from (e,s): $got")
+  }
+
   test("bpe encode: zero merges = char count; learned merges shrink newest to n/e/w/est") {
     import spark.implicits._
     val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
