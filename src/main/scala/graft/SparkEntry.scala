@@ -377,6 +377,10 @@ object SparkEntry {
     // 24h window binding — the shared-buffer fallback path in the gate
     "cep_revisit" ->
       ((s, dir) => graft.operators.Cep.cepRevisit(s, dir)),
+    // OPTIONAL-step CEP class: click -> error? -> purchase, 12h window
+    // binding both shapes (direct pairs + error-mediated triples)
+    "cep_optional" ->
+      ((s, dir) => graft.operators.Cep.cepOptional(s, dir)),
     // bounded-depth multi-source BFS over the sparse co-purchase graph
     // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
     "graph_bfs" ->
@@ -2875,6 +2879,35 @@ object SparkEntry {
         "CAST(3 AS BIGINT) AS n_rows " +
         "FROM sel s JOIN nxt n ON n.user_id = s.user_id AND n.rn = s.rn " +
         "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // optional-step CEP: candidates are direct click→purchase pairs OR
+    // click→error→purchase triples (greedy consumes a present error;
+    // the shapes are mutually exclusive per start row). Candidate
+    // interiors are never clicks, so no candidate starts inside
+    // another — SKIP PAST LAST ROW excludes nothing and the answer is
+    // ALL window-valid candidates
+    "cep_optional" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events) " +
+        "SELECT a.user_id, a.event_id AS start_event_id, " +
+        "a.ts_us AS start_ts_us, b.event_id AS end_event_id, " +
+        "b.ts_us AS end_ts_us, CAST(2 AS BIGINT) AS n_rows " +
+        "FROM r a JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + 1 " +
+        "AND b.event_type = 'purchase' " +
+        "WHERE a.event_type = 'click' " +
+        "AND b.ts_us - a.ts_us <= 43200000000 " +
+        "UNION ALL " +
+        "SELECT a.user_id, a.event_id, a.ts_us, w.event_id, w.ts_us, " +
+        "CAST(3 AS BIGINT) " +
+        "FROM r a JOIN r e ON e.user_id = a.user_id AND e.rn = a.rn + 1 " +
+        "AND e.event_type = 'error' " +
+        "JOIN r w ON w.user_id = a.user_id AND w.rn = a.rn + 2 " +
+        "AND w.event_type = 'purchase' " +
+        "WHERE a.event_type = 'click' " +
+        "AND w.ts_us - a.ts_us <= 43200000000 " +
+        "ORDER BY user_id, start_ts_us, start_event_id"),
     // bounded-depth BFS: UNION-deduped recursive frontier, MIN(d) per
     // vertex — the path-explosion-paying twin of the Spark frontier
     // iteration (whose per-level distinct+anti-join collapse is the

@@ -41,10 +41,13 @@ import org.apache.spark.sql.functions._
   */
 object Cep {
 
-  /** One pattern step: match rows whose event_type equals `symbol`;
-    * `plus` = greedy OneOrMore (else exactly one row).
+  /** One pattern step: match rows whose event_type equals `symbol`.
+    * Quantifier flags: `plus` = greedy OneOrMore; `opt` = the step may
+    * match ZERO rows (ZeroOrOne, or with `plus` ZeroOrMore) — greedy:
+    * a matching row is always consumed.
     */
-  final case class Step(symbol: String, plus: Boolean)
+  final case class Step(symbol: String, plus: Boolean,
+    opt: Boolean = false)
 
   /** One completed match: the key, first/last matched row, total rows
     * consumed (n_rows − the One steps = rows taken by the plus steps).
@@ -54,15 +57,38 @@ object Cep {
 
   private[graft] def validate(pattern: Seq[Step]): Unit = {
     require(pattern.nonEmpty, "cep: empty pattern")
-    pattern.sliding(2).foreach {
-      case Seq(a, b) => require(a.symbol != b.symbol,
-        "cep: adjacent steps must have distinct symbols (greedy " +
-          "consumption is otherwise ambiguous — fold A A into A+ or A)")
-      case _ =>
+    // COLLAPSE-CLOSURE distinctness: any two steps separated only by
+    // OPTIONAL steps must have distinct symbols (with zero steps
+    // between, this is the plain adjacent-distinct rule). Optional
+    // steps can vanish, so such step pairs can become adjacent in a
+    // parse; if they shared a symbol, a row could extend/open either
+    // one and greedy consumption would need backtracking. Under the
+    // rule, consuming a matching row is always the unique viable
+    // choice: a parse that instead skips the current optional step
+    // must match the row at a later step reachable by skipping only
+    // optionals — whose symbol would equal the current step's,
+    // contradicting the rule. (The rule also stops a OneOrMore from
+    // overshooting into a same-symbol step behind a vanishing
+    // optional — e.g. A+ B? A is rejected, A B A stays supported.)
+    val pat = pattern.toIndexedSeq
+    for (i <- pat.indices) {
+      var j = i + 1
+      var chain = true
+      while (chain && j < pat.length) {
+        require(pat(i).symbol != pat(j).symbol,
+          "cep: steps separated only by optional steps must have " +
+            "distinct symbols (greedy consumption is otherwise " +
+            "ambiguous — fold A A into A+ or A)")
+        chain = pat(j).opt
+        j += 1
+      }
     }
-    require(!pattern.last.plus,
-      "cep: last step must be One (a trailing OneOrMore has no greedy " +
-        "completion point)")
+    require(!pat.head.opt,
+      "cep: first step must be required (candidate starts and window " +
+        "pruning key on the first step's symbol)")
+    require(!pat.last.plus && !pat.last.opt,
+      "cep: last step must be One (a trailing OneOrMore or optional " +
+        "has no greedy completion point)")
   }
 
   /** The exact automaton both the batch fold and the streaming
@@ -102,18 +128,25 @@ object Cep {
     private final val Complete = 1
     private final val Mismatch = 2
 
-    /** Greedy deterministic walk of the whole buffer from its head. */
+    /** Greedy deterministic walk of the whole buffer from its head.
+      * Optional steps skip when the row does not match; when it does,
+      * consuming is the unique viable choice (validate's
+      * collapse-closure rule — see there for the argument).
+      */
     private def walk(): Int = {
       var p = 0
       var s = 0
       while (s < pattern.length) {
         if (p >= buf.length) return Partial
         val st = pattern(s)
-        if (buf(p)._3 != st.symbol) return Mismatch
-        p += 1
-        if (st.plus)
-          while (p < buf.length && buf(p)._3 == st.symbol) p += 1
-        s += 1
+        if (buf(p)._3 == st.symbol) {
+          p += 1
+          if (st.plus)
+            while (p < buf.length && buf(p)._3 == st.symbol) p += 1
+          s += 1
+        } else if (st.opt) {
+          s += 1
+        } else return Mismatch
       }
       // completion always lands on the last buffered row: the buffer
       // held a strict partial before this row arrived (or was trimmed
@@ -221,6 +254,26 @@ object Cep {
       Seq(Step("view", plus = false), Step("click", plus = false),
         Step("view", plus = false)),
       windowUs = 24L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_optional — the OPTIONAL-step class in a driver gate:
+    * click → error? → purchase within 12 h (both shapes bind at gate
+    * SF: ~259 direct pairs and ~27 error-mediated triples survive the
+    * window, which kills ~30% of each). Oracle simplification this
+    * pattern affords: a candidate's interior rows are error/purchase
+    * (never click), so no candidate can start inside another — SKIP
+    * PAST LAST ROW excludes nothing, and greedy-leftmost selection is
+    * definitionally ALL window-valid candidates (the machine still
+    * runs its full fallback logic; the revisit gate covers the
+    * overlapping-candidate chain).
+    */
+  def cepOptional(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click", plus = false),
+        Step("error", plus = false, opt = true),
+        Step("purchase", plus = false)),
+      windowUs = 12L * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

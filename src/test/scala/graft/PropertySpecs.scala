@@ -305,12 +305,14 @@ object SimhashMapSideProps extends Properties("SimhashHelper") {
 object CepMachineProps extends Properties("CepMachine") {
   import graft.operators.Cep
 
-  /** Independent brute-force reference for the distinct-symbol greedy
+  /** Independent brute-force reference for the collapse-closure greedy
     * class: try a match at every start position left-to-right; a match
-    * at i consumes the One/OneOrMore steps with MAXIMAL greed over
-    * contiguous rows; on success (window included) jump past its last
-    * row, else advance one row. Written against the MATCH_RECOGNIZE
-    * semantics directly, sharing no code with the Machine under test.
+    * at i consumes One/OneOrMore steps with MAXIMAL greed over
+    * contiguous rows and skips an OPTIONAL step whose symbol the
+    * current row does not carry; on success (window included) jump
+    * past its last row, else advance one row. Written against the
+    * MATCH_RECOGNIZE semantics directly, sharing no code with the
+    * Machine under test.
     */
   private def brute(rows: IndexedSeq[(Long, Long, String)],
       pat: IndexedSeq[Cep.Step], windowUs: Long): List[(Long, Long, Long)] = {
@@ -328,7 +330,7 @@ object CepMachineProps extends Properties("CepMachine") {
               while (j < rows.length && rows(j)._3 == st.symbol) {
                 j += 1; consumed += 1
               }
-          } else ok = false
+          } else if (!st.opt) ok = false
         }
       }
       if (ok && rows(j - 1)._1 - rows(i)._1 <= windowUs) {
@@ -340,21 +342,46 @@ object CepMachineProps extends Properties("CepMachine") {
   }
 
   /** Patterns over a 3-symbol alphabet WITH non-adjacent repeats
-    * (A B A …) — the class the shared-buffer machine claims; adjacent
-    * duplicates are collapsed to keep greed deterministic (the
-    * validate() contract).
+    * (A B A …) and OPTIONAL steps — the class the shared-buffer
+    * machine claims; adjacent duplicates are collapsed and optional
+    * flags that would break the collapse-closure rule are cleared, to
+    * keep greed deterministic (the validate() contract).
     */
   private val genPattern: Gen[IndexedSeq[Cep.Step]] = for {
     n <- Gen.chooseNum(1, 4)
     syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
     plusFlags <- Gen.listOfN(n, Gen.oneOf(true, false))
+    optFlags <- Gen.listOfN(n, Gen.prob(0.4))
   } yield {
     val fixed = syms.foldLeft(List.empty[String]) { (acc, s) =>
       if (acc.headOption.contains(s)) acc else s :: acc
     }.reverse.toIndexedSeq
-    fixed.zipWithIndex.map { case (s, i) =>
-      Cep.Step(s, plus = plusFlags(i) && i < fixed.length - 1)
+    val raw = fixed.zipWithIndex.map { case (s, i) =>
+      Cep.Step(s, plus = plusFlags(i) && i < fixed.length - 1,
+        opt = optFlags(i) && i > 0 && i < fixed.length - 1)
     }
+    // clear opt flags (last-set first) until the collapse-closure
+    // rule holds (validate's contract): steps separated only by
+    // optionals must keep distinct symbols; with zero opts the rule
+    // reduces to the adjacent-distinct base the collapse guarantees
+    def closureOk(p: IndexedSeq[Cep.Step]): Boolean =
+      p.indices.forall { i =>
+        var j = i + 1
+        var chain = true
+        var ok = true
+        while (chain && j < p.length) {
+          ok = ok && p(i).symbol != p(j).symbol
+          chain = p(j).opt
+          j += 1
+        }
+        ok
+      }
+    var cur = raw
+    while (!closureOk(cur)) {
+      val k = cur.lastIndexWhere(_.opt)
+      cur = cur.updated(k, cur(k).copy(opt = false))
+    }
+    cur
   }
 
   private val genRows: Gen[IndexedSeq[(Long, Long, String)]] = for {
@@ -373,10 +400,17 @@ object CepMachineProps extends Properties("CepMachine") {
     * vacuously outside it (the class boundary is validate()'s job).
     */
   private def validPat(pat: IndexedSeq[Cep.Step]): Boolean =
-    pat.nonEmpty && !pat.last.plus &&
-      pat.sliding(2).forall {
-        case Seq(a, b) => a.symbol != b.symbol
-        case _ => true
+    pat.nonEmpty && !pat.last.plus && !pat.last.opt && !pat.head.opt &&
+      pat.indices.forall { i =>
+        var j = i + 1
+        var chain = true
+        var ok = true
+        while (chain && j < pat.length) {
+          ok = ok && pat(i).symbol != pat(j).symbol
+          chain = pat(j).opt
+          j += 1
+        }
+        ok
       }
 
   property("machine fold == brute-force greedy reference (matches, bounds, counts)") =

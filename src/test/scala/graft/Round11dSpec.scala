@@ -262,6 +262,62 @@ class Round11dSpec extends SparkSpecBase {
       enc.getLong(3) == 4L, s"$enc")
   }
 
+  test("cep optional steps: zero-or-one and zero-or-more, greedy consume, class bounds") {
+    import spark.implicits._
+    import graft.operators.Cep
+    val M = 60000000L
+    def ev(u: Long, minute: Long, id: Long, t: String) =
+      (u, new java.sql.Timestamp(minute * M / 1000), id, t)
+    val optPat = Seq(Cep.Step("click", plus = false),
+      Cep.Step("error", plus = false, opt = true),
+      Cep.Step("purchase", plus = false))
+    val rows = Seq(
+      // user 1: optional ABSENT — click purchase matches as 2 rows
+      ev(1, 0, 10, "click"), ev(1, 1, 11, "purchase"),
+      // user 2: optional PRESENT — greedy consumes the error (3 rows)
+      ev(2, 0, 20, "click"), ev(2, 1, 21, "error"),
+      ev(2, 2, 22, "purchase"),
+      // user 3: optional present but completion missing — error
+      // consumed, purchase never arrives contiguously → no match
+      ev(3, 0, 30, "click"), ev(3, 1, 31, "error"), ev(3, 2, 32, "view"),
+      ev(3, 3, 33, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Cep.cepMatchOf(rows, optPat, windowUs = 10 * M)
+      .collect().map(m => m.user_id ->
+        (m.start_event_id, m.end_event_id, m.n_rows)).toSeq.sorted
+    assert(got == Seq(1L -> (10L, 11L, 2L), 2L -> (20L, 22L, 3L)),
+      s"$got")
+    // zero-or-more: click view* purchase — 0, 1, 3 views all match
+    val starPat = Seq(Cep.Step("click", plus = false),
+      Cep.Step("view", plus = true, opt = true),
+      Cep.Step("purchase", plus = false))
+    val rows2 = Seq(
+      ev(1, 0, 10, "click"), ev(1, 1, 11, "purchase"),
+      ev(2, 0, 20, "click"), ev(2, 1, 21, "view"),
+      ev(2, 2, 22, "purchase"),
+      ev(3, 0, 30, "click"), ev(3, 1, 31, "view"), ev(3, 2, 32, "view"),
+      ev(3, 3, 33, "view"), ev(3, 4, 34, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got2 = Cep.cepMatchOf(rows2, starPat, windowUs = 10 * M)
+      .collect().map(m => m.user_id -> m.n_rows).toSeq.sorted
+    assert(got2 == Seq(1L -> 2L, 2L -> 3L, 3L -> 5L), s"$got2")
+    // class bounds: collapse-closure violation (A B? A), leading opt,
+    // trailing opt are all require-rejected
+    intercept[IllegalArgumentException] {
+      Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
+        Cep.Step("click", plus = false, opt = true),
+        Cep.Step("view", plus = false)), windowUs = M)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false, opt = true),
+        Cep.Step("click", plus = false)), windowUs = M)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
+        Cep.Step("click", plus = false, opt = true)), windowUs = M)
+    }
+  }
+
   test("bpe: corpus scanned once — iterations run on the vocab table") {
     import spark.implicits._
     val docs = (0 until 64).map(i => (i.toLong, s"alpha beta gamma delta"))
