@@ -100,6 +100,37 @@ package object syntax {
       */
     def bm25TopDocs(query: Seq[String], k: Int = 10): DataFrame =
       operators.TextAnalysis.bm25TopDocsOf(df, query, k)
+
+    /** Train the first n BPE merges (word-frequency formulation —
+      * iteration cost is vocab-sized; `batchSize` > 1 applies the
+      * top-batchSize symbol-disjoint merges per round, the
+      * production-merge-count path). Expects (text).
+      */
+    def bpeTrain(nMerges: Int, batchSize: Int = 1): DataFrame =
+      if (batchSize == 1) operators.TextAnalysis.bpeTrainOf(df, nMerges)
+      else operators.TextAnalysis.bpeTrainBatchedOf(df, nMerges, batchSize)
+
+    /** Apply learned BPE merges (rank order) and report per-doc
+      * word/char/BPE-token counts + compression. Expects (doc_id, text).
+      */
+    def bpeEncode(merges: Seq[(String, String)]): DataFrame =
+      operators.TextAnalysis.bpeEncodeOf(df, merges)
+
+    /** Linear-classifier quality scoring over hashed token features
+      * (CCNet/fastText-style inference; `weights` = (bucket, w) rows,
+      * broadcast). Expects (doc_id, text).
+      */
+    def scoreLinear(weights: DataFrame, dim: Int,
+        bias: Double = 0.0): DataFrame =
+      operators.TextAnalysis.scoreLinearOf(df, weights, dim, bias)
+
+    /** DSIR importance resampling: top-k docs whose hashed-bigram
+      * distribution looks like the `isTarget` slice. Expects
+      * (doc_id, text).
+      */
+    def dsirSelect(isTarget: Column, dim: Int = 256,
+        k: Int = 100): DataFrame =
+      operators.TextAnalysis.dsirSelectOf(df, isTarget, dim, k)
   }
 
   implicit class GraftAggOps(private val df: DataFrame) {

@@ -476,6 +476,22 @@ class OperatorsSpec extends SparkSpecBase {
     val edges = Seq((1L, 2L), (3L, 4L)).toDF("u", "v")
     assert(edges.negativeSample(k = 2, shardBits = 0).columns.toSeq ==
       Seq("u", "i", "neg_v"))
+    // round-11 session-4 surface: bpe train/encode, linear scoring, dsir
+    val corpus = docs.toDF("doc_id", "text")
+    val bm = corpus.bpeTrain(2)
+    assert(bm.columns.toSeq ==
+      Seq("rank", "lft", "rgt", "merged", "pair_cnt") && bm.count() == 2)
+    val bmb = corpus.bpeTrain(4, batchSize = 2)
+    assert(bmb.columns.contains("round") && bmb.count() == 4)
+    val encd = corpus.bpeEncode(bm.collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+    assert(encd.columns.toSeq == Seq("doc_id", "n_words", "n_chars",
+      "n_bpe_tokens", "compression") && encd.count() == 3)
+    val scored = corpus.scoreLinear(
+      operators.TextAnalysis.hashWeights(spark, 16), dim = 16)
+    assert(scored.columns.contains("score") && scored.count() == 3)
+    val sel = corpus.dsirSelect(col("doc_id") === 1L, dim = 32, k = 2)
+    assert(sel.count() == 2)
   }
 
   test("udx: geometric mean matches closed form on a known group") {
