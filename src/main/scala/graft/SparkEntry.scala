@@ -381,6 +381,10 @@ object SparkEntry {
     // binding both shapes (direct pairs + error-mediated triples)
     "cep_optional" ->
       ((s, dir) => graft.operators.Cep.cepOptional(s, dir)),
+    // ALTERNATION CEP class: click -> (view|error)+ -> purchase, 24h
+    // window binding (133/264 funnels survive)
+    "cep_alternation" ->
+      ((s, dir) => graft.operators.Cep.cepAlternation(s, dir)),
     // bounded-depth multi-source BFS over the sparse co-purchase graph
     // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
     "graph_bfs" ->
@@ -2908,6 +2912,38 @@ object SparkEntry {
         "WHERE a.event_type = 'click' " +
         "AND w.ts_us - a.ts_us <= 43200000000 " +
         "ORDER BY user_id, start_ts_us, start_event_id"),
+    // alternation CEP: the funnel islands CTE over the CLASS column
+    // (view/error collapse to one symbol class = the set step), 24h
+    // window predicate; killed candidates don't interact (funnel
+    // islands are disjoint)
+    "cep_alternation" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "CASE WHEN event_type IN ('view','error') THEN '_ve' " +
+        "ELSE event_type END AS cls, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, cls ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, cls, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.cls, g.srn, g.ern, g.n, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.cls = '_ve' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.cls = 'purchase' " +
+        "WHERE c.cls = 'click' " +
+        "AND p.first_ts - c.last_ts <= 86400000000 " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // bounded-depth BFS: UNION-deduped recursive frontier, MIN(d) per
     // vertex — the path-explosion-paying twin of the Spark frontier
     // iteration (whose per-level distinct+anti-join collapse is the

@@ -324,10 +324,10 @@ object CepMachineProps extends Properties("CepMachine") {
       var consumed = 0L
       pat.foreach { st =>
         if (ok) {
-          if (j < rows.length && rows(j)._3 == st.symbol) {
+          if (j < rows.length && st.matches(rows(j)._3)) {
             j += 1; consumed += 1
             if (st.plus)
-              while (j < rows.length && rows(j)._3 == st.symbol) {
+              while (j < rows.length && st.matches(rows(j)._3)) {
                 j += 1; consumed += 1
               }
           } else if (!st.opt) ok = false
@@ -352,13 +352,17 @@ object CepMachineProps extends Properties("CepMachine") {
     syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
     plusFlags <- Gen.listOfN(n, Gen.oneOf(true, false))
     optFlags <- Gen.listOfN(n, Gen.prob(0.4))
+    altFlags <- Gen.listOfN(n, Gen.prob(0.3))
+    altSyms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
   } yield {
     val fixed = syms.foldLeft(List.empty[String]) { (acc, s) =>
       if (acc.headOption.contains(s)) acc else s :: acc
     }.reverse.toIndexedSeq
     val raw = fixed.zipWithIndex.map { case (s, i) =>
       Cep.Step(s, plus = plusFlags(i) && i < fixed.length - 1,
-        opt = optFlags(i) && i > 0 && i < fixed.length - 1)
+        opt = optFlags(i) && i > 0 && i < fixed.length - 1,
+        alt = if (altFlags(i) && altSyms(i) != s) Set(altSyms(i))
+          else Set.empty)
     }
     // clear opt flags (last-set first) until the collapse-closure
     // rule holds (validate's contract): steps separated only by
@@ -370,16 +374,24 @@ object CepMachineProps extends Properties("CepMachine") {
         var chain = true
         var ok = true
         while (chain && j < p.length) {
-          ok = ok && p(i).symbol != p(j).symbol
+          ok = ok && (p(i).syms intersect p(j).syms).isEmpty
           chain = p(j).opt
           j += 1
         }
         ok
       }
+    // restore the closure rule by shedding generality: first drop alt
+    // sets (they widen symbol sets), then clear opt flags (they extend
+    // collapse chains); the alt-free opt-free pattern is valid by the
+    // adjacent-dedup collapse above
     var cur = raw
     while (!closureOk(cur)) {
-      val k = cur.lastIndexWhere(_.opt)
-      cur = cur.updated(k, cur(k).copy(opt = false))
+      val a = cur.lastIndexWhere(_.alt.nonEmpty)
+      if (a >= 0) cur = cur.updated(a, cur(a).copy(alt = Set.empty))
+      else {
+        val k = cur.lastIndexWhere(_.opt)
+        cur = cur.updated(k, cur(k).copy(opt = false))
+      }
     }
     cur
   }
@@ -406,7 +418,7 @@ object CepMachineProps extends Properties("CepMachine") {
         var chain = true
         var ok = true
         while (chain && j < pat.length) {
-          ok = ok && pat(i).symbol != pat(j).symbol
+          ok = ok && (pat(i).syms intersect pat(j).syms).isEmpty
           chain = pat(j).opt
           j += 1
         }
@@ -436,8 +448,8 @@ object CepMachineProps extends Properties("CepMachine") {
       got.forall { c =>
         c.start_event_id <= c.end_event_id &&
           c.end_event_id - c.start_event_id + 1 == c.n_rows &&
-          byId(c.start_event_id)._3 == pat.head.symbol &&
-          byId(c.end_event_id)._3 == pat.last.symbol
+          pat.head.matches(byId(c.start_event_id)._3) &&
+          pat.last.matches(byId(c.end_event_id)._3)
       } && got.map(_.start_event_id).toList ==
         got.map(_.start_event_id).toList.sorted &&
         got.sliding(2).forall {

@@ -318,6 +318,35 @@ class Round11dSpec extends SparkSpecBase {
     }
   }
 
+  test("cep alternation: symbol-set steps, greedy over the set, disjointness bound") {
+    import spark.implicits._
+    import graft.operators.Cep
+    val M = 60000000L
+    def ev(u: Long, minute: Long, id: Long, t: String) =
+      (u, new java.sql.Timestamp(minute * M / 1000), id, t)
+    // click → (view|error)+ → purchase: the plus run mixes both symbols
+    val pat = Seq(Cep.Step("click", plus = false),
+      Cep.Step("view", plus = true, alt = Set("error")),
+      Cep.Step("purchase", plus = false))
+    val rows = Seq(
+      ev(1, 0, 10, "click"), ev(1, 1, 11, "view"), ev(1, 2, 12, "error"),
+      ev(1, 3, 13, "view"), ev(1, 4, 14, "purchase"),
+      ev(2, 0, 20, "click"), ev(2, 1, 21, "error"),
+      ev(2, 2, 22, "purchase"),
+      // no (view|error) row between click and purchase → no match
+      ev(3, 0, 30, "click"), ev(3, 1, 31, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Cep.cepMatchOf(rows, pat, windowUs = 10 * M)
+      .collect().map(m => m.user_id -> m.n_rows).toSeq.sorted
+    assert(got == Seq(1L -> 5L, 2L -> 3L), s"$got")
+    // intersecting collapse-adjacent symbol sets are require-rejected
+    intercept[IllegalArgumentException] {
+      Cep.cepMatchOf(rows, Seq(Cep.Step("click", plus = false),
+        Cep.Step("view", plus = false, alt = Set("click"))),
+        windowUs = M)
+    }
+  }
+
   test("bpe: corpus scanned once — iterations run on the vocab table") {
     import spark.implicits._
     val docs = (0 until 64).map(i => (i.toLong, s"alpha beta gamma delta"))
