@@ -484,7 +484,21 @@ object ScaleProbe {
       // vocab is invariant, so expect the ratio of one scan
       probe("bpe_train", { docs1c; docsK; () })((
         time(noop(operators.TextAnalysis.bpeTrainOf(docs1c, 6))),
-        time(noop(operators.TextAnalysis.bpeTrainOf(docsK, 6)))))).flatten
+        time(noop(operators.TextAnalysis.bpeTrainOf(docsK, 6))))),
+      // CEP batch matcher (alternation funnel): segmented sequential
+      // scan — one key shuffle + per-partition fold, state = current
+      // partial; replicas are disjoint user universes → expect linear
+      probe("cep_match", { eA1; eAK; () })((
+        time(noop(operators.Cep.cepMatchOf(eA1,
+          Seq(operators.Cep.Step("click", plus = false),
+            operators.Cep.Step("view", plus = true, alt = Set("error")),
+            operators.Cep.Step("purchase", plus = false)),
+          windowUs = 24L * 3600 * 1000000).toDF())),
+        time(noop(operators.Cep.cepMatchOf(eAK,
+          Seq(operators.Cep.Step("click", plus = false),
+            operators.Cep.Step("view", plus = true, alt = Set("error")),
+            operators.Cep.Step("purchase", plus = false)),
+          windowUs = 24L * 3600 * 1000000).toDF()))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")
