@@ -385,6 +385,10 @@ object SparkEntry {
     // window binding (133/264 funnels survive)
     "cep_alternation" ->
       ((s, dir) => graft.operators.Cep.cepAlternation(s, dir)),
+    // BOUNDED-REPEAT CEP class: click -> view{2,3} -> purchase; both
+    // bounds bind (72 funnels below lo, 3 above hi; 15 match)
+    "cep_bounded" ->
+      ((s, dir) => graft.operators.Cep.cepBounded(s, dir)),
     // bounded-depth multi-source BFS over the sparse co-purchase graph
     // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
     "graph_bfs" ->
@@ -2943,6 +2947,35 @@ object SparkEntry {
         "AND p.cls = 'purchase' " +
         "WHERE c.cls = 'click' " +
         "AND p.first_ts - c.last_ts <= 86400000000 " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // bounded-repeat CEP: the funnel islands CTE with the view-island
+    // length BETWEEN the rep bounds (a longer run leaves a view the
+    // purchase step can't match — no parse from that start at all)
+    "cep_bounded" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' AND v.n BETWEEN 2 AND 3 " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000 " +
         "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // bounded-depth BFS: UNION-deduped recursive frontier, MIN(d) per
     // vertex — the path-explosion-paying twin of the Spark frontier

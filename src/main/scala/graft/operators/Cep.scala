@@ -49,11 +49,19 @@ object Cep {
     * consumed.
     */
   final case class Step(symbol: String, plus: Boolean,
-      opt: Boolean = false, alt: Set[String] = Set.empty) {
+      opt: Boolean = false, alt: Set[String] = Set.empty,
+      rep: Option[(Int, Int)] = None) {
     /** The step's full symbol set. */
     def syms: Set[String] = alt + symbol
     /** Row-match test (set membership). */
     def matches(tpe: String): Boolean = tpe == symbol || alt.contains(tpe)
+    /** Repetition bounds [lo, hi]: BOUNDED REPEAT `rep = Some((m, n))`
+      * (greedy A{m,n}; overrides the flags, which must be unset), else
+      * derived — One (1,1), OneOrMore (1,∞), ZeroOrOne (0,1),
+      * ZeroOrMore (0,∞).
+      */
+    def bounds: (Int, Int) = rep.getOrElse(
+      (if (opt) 0 else 1, if (plus) Int.MaxValue else 1))
   }
 
   /** One completed match: the key, first/last matched row, total rows
@@ -86,16 +94,26 @@ object Cep {
           "cep: steps separated only by optional steps must have " +
             "DISJOINT symbol sets (greedy consumption is otherwise " +
             "ambiguous — fold A A into A+ or A)")
-        chain = pat(j).opt
+        chain = pat(j).bounds._1 == 0
         j += 1
       }
     }
-    require(!pat.head.opt,
+    pat.foreach { st =>
+      st.rep.foreach { case (lo, hi) =>
+        require(!st.plus && !st.opt,
+          "cep: rep bounds override the quantifier flags — leave plus/" +
+            "opt unset on a bounded-repeat step")
+        require(0 <= lo && lo <= hi && hi >= 1,
+          s"cep: rep bounds must satisfy 0 <= lo <= hi, hi >= 1 " +
+            s"(got ($lo, $hi))")
+      }
+    }
+    require(pat.head.bounds._1 >= 1,
       "cep: first step must be required (candidate starts and window " +
         "pruning key on the first step's symbol)")
-    require(!pat.last.plus && !pat.last.opt,
-      "cep: last step must be One (a trailing OneOrMore or optional " +
-        "has no greedy completion point)")
+    require(pat.last.bounds == ((1, 1)),
+      "cep: last step must be One (a trailing repeat or optional has " +
+        "no greedy completion point)")
   }
 
   /** The exact automaton both the batch fold and the streaming
@@ -146,14 +164,19 @@ object Cep {
       while (s < pattern.length) {
         if (p >= buf.length) return Partial
         val st = pattern(s)
-        if (st.matches(buf(p)._3)) {
-          p += 1
-          if (st.plus)
-            while (p < buf.length && st.matches(buf(p)._3)) p += 1
-          s += 1
-        } else if (st.opt) {
-          s += 1
-        } else return Mismatch
+        val (lo, hi) = st.bounds
+        var c = 0
+        while (p < buf.length && c < hi && st.matches(buf(p)._3)) {
+          p += 1; c += 1
+        }
+        // buffer exhausted below the cap: the run may still extend (or
+        // later steps need rows either way) — wait for more input
+        if (p >= buf.length && c < hi) return Partial
+        // here the run ended naturally (next row doesn't match) or hit
+        // the cap; a leftover same-symbol row can never match the next
+        // step (collapse-closure disjointness), so c is THE run take
+        if (c >= lo) s += 1
+        else return Mismatch
       }
       // completion always lands on the last buffered row: the buffer
       // held a strict partial before this row arrived (or was trimmed
@@ -299,6 +322,24 @@ object Cep {
         Step("view", plus = true, alt = Set("error")),
         Step("purchase", plus = false)),
       windowUs = 24L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_bounded — the BOUNDED-REPEAT class in a driver gate:
+    * click → view{2,3} → purchase within 7 d. BOTH bounds bind at gate
+    * SF (72 one-view funnels fall below lo, 3 of ≥4 views exceed hi;
+    * 15 match): a view run longer than hi leaves a view the purchase
+    * step can't match — by collapse-closure disjointness no parse
+    * exists from that start at all, which is why the greedy capped
+    * take stays exact. Oracle: the funnel islands CTE with the island
+    * length BETWEEN the bounds.
+    */
+  def cepBounded(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click", plus = false),
+        Step("view", plus = false, rep = Some((2, 3))),
+        Step("purchase", plus = false)),
+      windowUs = 7L * 24 * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

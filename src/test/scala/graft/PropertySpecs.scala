@@ -324,13 +324,12 @@ object CepMachineProps extends Properties("CepMachine") {
       var consumed = 0L
       pat.foreach { st =>
         if (ok) {
-          if (j < rows.length && st.matches(rows(j)._3)) {
-            j += 1; consumed += 1
-            if (st.plus)
-              while (j < rows.length && st.matches(rows(j)._3)) {
-                j += 1; consumed += 1
-              }
-          } else if (!st.opt) ok = false
+          val (lo, hi) = st.bounds
+          var c = 0
+          while (j < rows.length && c < hi && st.matches(rows(j)._3)) {
+            j += 1; c += 1; consumed += 1
+          }
+          if (c < lo) ok = false
         }
       }
       if (ok && rows(j - 1)._1 - rows(i)._1 <= windowUs) {
@@ -354,15 +353,24 @@ object CepMachineProps extends Properties("CepMachine") {
     optFlags <- Gen.listOfN(n, Gen.prob(0.4))
     altFlags <- Gen.listOfN(n, Gen.prob(0.3))
     altSyms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    repFlags <- Gen.listOfN(n, Gen.prob(0.3))
+    repLos <- Gen.listOfN(n, Gen.chooseNum(0, 2))
+    repSpans <- Gen.listOfN(n, Gen.chooseNum(0, 2))
   } yield {
     val fixed = syms.foldLeft(List.empty[String]) { (acc, s) =>
       if (acc.headOption.contains(s)) acc else s :: acc
     }.reverse.toIndexedSeq
     val raw = fixed.zipWithIndex.map { case (s, i) =>
-      Cep.Step(s, plus = plusFlags(i) && i < fixed.length - 1,
-        opt = optFlags(i) && i > 0 && i < fixed.length - 1,
+      val mid = i > 0 && i < fixed.length - 1
+      val withRep = repFlags(i) && mid
+      Cep.Step(s,
+        plus = !withRep && plusFlags(i) && i < fixed.length - 1,
+        opt = !withRep && optFlags(i) && mid,
         alt = if (altFlags(i) && altSyms(i) != s) Set(altSyms(i))
-          else Set.empty)
+          else Set.empty,
+        rep = if (withRep)
+          Some((repLos(i), math.max(1, repLos(i) + repSpans(i))))
+          else None)
     }
     // clear opt flags (last-set first) until the collapse-closure
     // rule holds (validate's contract): steps separated only by
@@ -375,7 +383,7 @@ object CepMachineProps extends Properties("CepMachine") {
         var ok = true
         while (chain && j < p.length) {
           ok = ok && (p(i).syms intersect p(j).syms).isEmpty
-          chain = p(j).opt
+          chain = p(j).bounds._1 == 0
           j += 1
         }
         ok
@@ -390,7 +398,14 @@ object CepMachineProps extends Properties("CepMachine") {
       if (a >= 0) cur = cur.updated(a, cur(a).copy(alt = Set.empty))
       else {
         val k = cur.lastIndexWhere(_.opt)
-        cur = cur.updated(k, cur(k).copy(opt = false))
+        if (k >= 0) cur = cur.updated(k, cur(k).copy(opt = false))
+        else {
+          // the remaining zero-chains come from rep (0, n) steps —
+          // raise their lo to 1 (breaks the chain, keeps the repeat)
+          val m = cur.lastIndexWhere(st => st.rep.exists(_._1 == 0))
+          cur = cur.updated(m, cur(m).copy(rep = cur(m).rep.map {
+            case (_, hi) => (1, hi) }))
+        }
       }
     }
     cur
@@ -412,14 +427,17 @@ object CepMachineProps extends Properties("CepMachine") {
     * vacuously outside it (the class boundary is validate()'s job).
     */
   private def validPat(pat: IndexedSeq[Cep.Step]): Boolean =
-    pat.nonEmpty && !pat.last.plus && !pat.last.opt && !pat.head.opt &&
+    pat.nonEmpty && pat.last.bounds == ((1, 1)) &&
+      pat.head.bounds._1 >= 1 &&
+      pat.forall(st => st.rep.forall { case (lo, hi) =>
+        !st.plus && !st.opt && 0 <= lo && lo <= hi && hi >= 1 }) &&
       pat.indices.forall { i =>
         var j = i + 1
         var chain = true
         var ok = true
         while (chain && j < pat.length) {
           ok = ok && (pat(i).syms intersect pat(j).syms).isEmpty
-          chain = pat(j).opt
+          chain = pat(j).bounds._1 == 0
           j += 1
         }
         ok

@@ -347,6 +347,54 @@ class Round11dSpec extends SparkSpecBase {
     }
   }
 
+  test("cep bounded repeats: A{m,n} greedy take, both bounds bind, flag conflicts rejected") {
+    import spark.implicits._
+    import graft.operators.Cep
+    val M = 60000000L
+    def ev(u: Long, minute: Long, id: Long, t: String) =
+      (u, new java.sql.Timestamp(minute * M / 1000), id, t)
+    val pat = Seq(Cep.Step("click", plus = false),
+      Cep.Step("view", plus = false, rep = Some((2, 3))),
+      Cep.Step("purchase", plus = false))
+    def views(u: Long, n: Int) =
+      (1 to n).map(i => ev(u, i.toLong, u * 100 + i, "view"))
+    val rows = (
+      // 1 view: below lo — no match
+      Seq(ev(1, 0, 100, "click")) ++ views(1, 1) ++
+        Seq(ev(1, 9, 199, "purchase")) ++
+      // 2 views: lo edge — match, 4 rows
+      Seq(ev(2, 0, 200, "click")) ++ views(2, 2) ++
+        Seq(ev(2, 9, 299, "purchase")) ++
+      // 3 views: hi edge — match, 5 rows
+      Seq(ev(3, 0, 300, "click")) ++ views(3, 3) ++
+        Seq(ev(3, 9, 399, "purchase")) ++
+      // 4 views: above hi — the capped take leaves a view the next
+      // step can't match — no match
+      Seq(ev(4, 0, 400, "click")) ++ views(4, 4) ++
+        Seq(ev(4, 9, 499, "purchase")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Cep.cepMatchOf(rows, pat, windowUs = 100 * M)
+      .collect().map(m => m.user_id -> m.n_rows).toSeq.sorted
+    assert(got == Seq(2L -> 4L, 3L -> 5L), s"$got")
+    // rep overrides flags: setting both is rejected; bad bounds too
+    intercept[IllegalArgumentException] {
+      Cep.cepMatchOf(rows, Seq(Cep.Step("click", plus = false),
+        Cep.Step("view", plus = true, rep = Some((2, 3))),
+        Cep.Step("purchase", plus = false)), windowUs = M)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.cepMatchOf(rows, Seq(Cep.Step("click", plus = false),
+        Cep.Step("view", plus = false, rep = Some((3, 2))),
+        Cep.Step("purchase", plus = false)), windowUs = M)
+    }
+    // a rep (0, n) step chains for the closure rule: A B{0,2} A rejected
+    intercept[IllegalArgumentException] {
+      Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
+        Cep.Step("click", plus = false, rep = Some((0, 2))),
+        Cep.Step("view", plus = false)), windowUs = M)
+    }
+  }
+
   test("bpe: corpus scanned once — iterations run on the vocab table") {
     import spark.implicits._
     val docs = (0 until 64).map(i => (i.toLong, s"alpha beta gamma delta"))
