@@ -3001,8 +3001,11 @@ object SparkEntry {
         "tok AS (SELECT doc_id, unnest(toks) AS token FROM d), " +
         "lens AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id), " +
         "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
-        "st AS (SELECT round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 6) " +
-        "AS avgdl FROM lens), " +
+        // avgdl over ALL docs (a zero-token doc has no lens row but the
+        // Spark side counts it in the denominator) — SUM(len) is total
+        // tokens either way, so only the denominator needs the base table
+        "st AS (SELECT round(CAST(SUM(len) AS DOUBLE) / " +
+        "(SELECT COUNT(*) FROM documents), 6) AS avgdl FROM lens), " +
         "qtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok " +
         "WHERE token IN ('join', 'stream', 'sort') " +
         "GROUP BY doc_id, token), " +

@@ -139,19 +139,36 @@ object Cep {
     * at ts or later), and rows before the first viable start can never
     * join a future match, so they prune eagerly.
     */
+  /** Per-step MEASURES of one match: rows the step consumed, their
+    * cents-value sum, and the step's first/last event ids (None when an
+    * optional step matched zero rows) — COUNT/SUM/FIRST/LAST over a
+    * pattern variable, MATCH_RECOGNIZE's measure primitives (AVG is
+    * sum/cnt downstream).
+    */
+  final case class StepAgg(step: Int, symbol: String, cnt: Long,
+    sum_value_c: Long, first_event_id: Option[Long],
+    last_event_id: Option[Long])
+
   private[graft] final class Machine(pattern: IndexedSeq[Step],
-      windowUs: Long) extends Serializable {
-    private var buf = Vector.empty[(Long, Long, String)] // (ts, id, tpe)
+      windowUs: Long, skipToNext: Boolean = false) extends Serializable {
+    // (ts, id, tpe, value_c) — value_c rides along untouched by the
+    // walk; MEASURES folds it per step span at completion
+    private var buf = Vector.empty[(Long, Long, String, Long)]
 
     /** Checkpointable automaton state — the streaming processor carries
       * it in a ValueState across micro-batches.
       */
-    def snapshot: List[(Long, Long, String)] = buf.toList
-    def restore(s: List[(Long, Long, String)]): Unit = buf = s.toVector
+    def snapshot: List[(Long, Long, String, Long)] = buf.toList
+    def restore(s: List[(Long, Long, String, Long)]): Unit = buf = s.toVector
 
     private final val Partial = 0
     private final val Complete = 1
     private final val Mismatch = 2
+
+    // per-step (offset, take) in buf of the LAST walk — valid only
+    // when that walk returned Complete (the MEASURES spans)
+    private val spanOff = new Array[Int](pattern.length)
+    private val spanLen = new Array[Int](pattern.length)
 
     /** Greedy deterministic walk of the whole buffer from its head.
       * Optional steps skip when the row does not match; when it does,
@@ -166,6 +183,7 @@ object Cep {
         val st = pattern(s)
         val (lo, hi) = st.bounds
         var c = 0
+        spanOff(s) = p
         while (p < buf.length && c < hi && st.matches(buf(p)._3)) {
           p += 1; c += 1
         }
@@ -175,7 +193,7 @@ object Cep {
         // here the run ended naturally (next row doesn't match) or hit
         // the cap; a leftover same-symbol row can never match the next
         // step (collapse-closure disjointness), so c is THE run take
-        if (c >= lo) s += 1
+        if (c >= lo) { spanLen(s) = c; s += 1 }
         else return Mismatch
       }
       // completion always lands on the last buffered row: the buffer
@@ -194,29 +212,70 @@ object Cep {
       else { buf = buf.drop(i); true }
     }
 
-    /** Feed one row; emits the completed match if this row closes one. */
-    def feed(ts: Long, id: Long, tpe: String): Option[CepMatch] = {
+    /** MEASURES fold over the just-completed walk's spans. */
+    private def stepAggs(): List[StepAgg] =
+      pattern.indices.map { s =>
+        val off = spanOff(s)
+        val len = spanLen(s)
+        if (len == 0)
+          StepAgg(s, pattern(s).symbol, 0L, 0L, None, None)
+        else {
+          var sum = 0L
+          var i = off
+          while (i < off + len) { sum += buf(i)._4; i += 1 }
+          StepAgg(s, pattern(s).symbol, len.toLong, sum,
+            Some(buf(off)._2), Some(buf(off + len - 1)._2))
+        }
+      }.toList
+
+    /** Feed one row; emits every match this row closes, each with its
+      * per-step MEASURES. SKIP PAST LAST ROW machines emit at most one
+      * (acceptance clears the buffer); SKIP TO NEXT ROW machines
+      * restart at the row after the accepted match's FIRST row, so one
+      * fed row can close several overlapping matches (emitted in
+      * start order — the leftmost-preference scan order).
+      */
+    def feedM(ts: Long, id: Long, tpe: String,
+        valueC: Long): List[(CepMatch, List[StepAgg])] = {
       // window prune: heads that can no longer start a completing match
       while (buf.nonEmpty && ts - buf.head._1 > windowUs)
         if (!dropToNextStart()) ()
-      buf = buf :+ ((ts, id, tpe))
-      while (true) {
+      buf = buf :+ ((ts, id, tpe, valueC))
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(CepMatch, List[StepAgg])]
+      var going = true
+      while (going) {
         walk() match {
-          case Partial => return None
+          case Partial => going = false
           case Complete =>
-            val (sTs, sId, _) = buf.head
+            val (sTs, sId, _, _) = buf.head
             if (ts - sTs <= windowUs) {
-              val m = CepMatch(-1L, sId, sTs, id, ts, buf.length.toLong)
-              buf = Vector.empty // SKIP PAST LAST ROW
-              return Some(m)
-            }
-            if (!dropToNextStart()) return None
+              out += ((CepMatch(-1L, sId, sTs, id, ts, buf.length.toLong),
+                stepAggs()))
+              if (skipToNext) {
+                // resume at the row after the match's first row; the
+                // retained suffix may close further matches at this
+                // same fed row — keep walking
+                buf = buf.drop(1)
+                going = buf.nonEmpty
+              } else {
+                buf = Vector.empty // SKIP PAST LAST ROW
+                going = false
+              }
+            } else if (!dropToNextStart()) going = false
           case _ =>
-            if (!dropToNextStart()) return None
+            if (!dropToNextStart()) going = false
         }
       }
-      None // unreachable
+      out.toList
     }
+
+    /** Match-only convenience feed (value 0); at most one match under
+      * SKIP PAST LAST ROW — the historical single-emit surface the
+      * batch fold, streaming processor and property specs consume.
+      */
+    def feed(ts: Long, id: Long, tpe: String): Option[CepMatch] =
+      feedM(ts, id, tpe, 0L).headOption.map(_._1)
   }
 
   /** Library form over any (user_id, ts, event_id, event_type) frame. */

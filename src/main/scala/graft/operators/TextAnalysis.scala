@@ -1307,8 +1307,12 @@ object TextAnalysis {
     * candidate slice) and applies them in ONE pass of chained
     * replaces. Disjointness makes the batch exact with respect to its
     * own counts: merging (a, b) only creates or destroys pairs that
-    * involve a or b, so the pre-round count of every other picked pair
-    * is invariant under it, and the chained replaces commute — the
+    * involve a, b, or the new symbol a+b, so with operands AND merged
+    * outputs all distinct across the batch (the `used` set tracks
+    * both — a candidate whose operand equals an earlier pick's output,
+    * or whose output equals an earlier pick's operand, defers a
+    * round), the pre-round count of every other picked pair is
+    * invariant under it, and the chained replaces commute — the
     * spec pins batched ≡ an independent symbol-list reference of the
     * same policy. The SEQUENCE can defer a merge strict BPE would take
     * next (strict #2 may share a symbol with #1 — e.g. (es, t) right
@@ -1358,8 +1362,9 @@ object TextAnalysis {
         val l = cand(j).getString(0)
         val r = cand(j).getString(1)
         val c = cand(j).getLong(2)
-        if (c >= 2L && !used.contains(l) && !used.contains(r)) {
-          picked += ((l, r, c)); used += l; used += r
+        if (c >= 2L && !used.contains(l) && !used.contains(r) &&
+            !used.contains(l + r)) {
+          picked += ((l, r, c)); used += l; used += r; used += l + r
         }
         j += 1
       }
@@ -1389,17 +1394,30 @@ object TextAnalysis {
   /** BPE ENCODE — apply learned merges to the corpus and report per-doc
     * tokenization stats (word/char/BPE-token counts, chars-per-token
     * compression). The merge table is the parameter-sized artifact
-    * [[bpeTrainOf]] ships, so application is a fold of k chained
-    * map-side `replace`s over the trailing-separator spellings, in
-    * RANK order (BPE applies merges in learned priority) — one corpus
-    * scan, one doc_id shuffle for the final aggregate, nothing else.
-    * Post-merge symbol counting is codegen arithmetic, not a split:
-    * every symbol carries exactly two separators (the wrapped
-    * `␟sym␟` encoding — see [[bpeTrainOf]] for why both boundaries
-    * must anchor), so the token count is
-    * `(length(sp) − length(replace(sp, sep, ""))) / 2`.
+    * [[bpeTrainOf]] ships; both application forms are one corpus scan
+    * + one doc_id shuffle for the final aggregate, nothing else.
+    * Dispatches on merge count: ≤[[ChainedEncodeMaxMerges]] runs the
+    * codegen'd chained-replace form ([[bpeEncodeChainedOf]] — the
+    * wrapped `␟sym␟` spelling, one `replace` per merge in RANK order,
+    * symbol count = `(length(sp) − length(replace(sp, sep, ""))) / 2`);
+    * above it, the production greedy form ([[bpeEncodeGreedyOf]] —
+    * broadcast rank map + mapPartitions merge loop, whose plan does
+    * not grow with the merge count).
     */
   def bpeEncodeOf(docs: DataFrame, merges: Seq[(String, String)])
+      : DataFrame =
+    if (merges.size <= ChainedEncodeMaxMerges) bpeEncodeChainedOf(docs, merges)
+    else bpeEncodeGreedyOf(docs, merges)
+
+  /** Chained-replace encode — the gate-scale fast path behind
+    * [[bpeEncodeOf]]: one codegen'd `replace` per merge keeps the whole
+    * encode inside whole-stage codegen, but the projection grows with
+    * the merge count, so it is dispatch-capped at
+    * [[ChainedEncodeMaxMerges]] (Catalyst analysis and generated-method
+    * size scale with k; a production 30-50k-merge tokenizer would blow
+    * both long before any data-size limit).
+    */
+  def bpeEncodeChainedOf(docs: DataFrame, merges: Seq[(String, String)])
       : DataFrame = {
     val sep = "\u001f"
     val spelled = docs
@@ -1411,18 +1429,104 @@ object TextAnalysis {
         replace(col("sp"), lit(sep + l + sep + sep + r + sep),
           lit(sep + l + r + sep)))
     }
-    encoded
+    bpeEncodeStats(encoded
       .select(col("doc_id"), length(col("word")).cast("long").as("nc"),
         ((length(col("sp")) -
           length(replace(col("sp"), lit(sep), lit("")))) / 2)
-          .cast("long").as("ns"))
+          .cast("long").as("ns")))
+  }
+
+  /** Dispatch bound for the chained-replace encode: 64 nested
+    * `replace`s is comfortably inside codegen method limits; beyond it
+    * the greedy broadcast form wins anyway (its per-word cost is
+    * rank-lookup, independent of merge count).
+    */
+  val ChainedEncodeMaxMerges = 64
+
+  /** Production-form encode — the 100×-parameter-axis path behind
+    * [[bpeEncodeOf]]: the merge table broadcasts as a rank map
+    * (parameter-sized, the same artifact class as k-means centroids)
+    * and each word merges in a `mapPartitions` greedy loop —
+    * repeatedly fuse the lowest-rank (leftmost on ties) adjacent
+    * symbol pair. The PLAN is merge-count-independent: one explode
+    * projection, one deserialize/serialize around the loop, one
+    * doc_id aggregate — nothing in the tree grows with k (spec-pinned
+    * in Round12Spec against the optimized-plan string).
+    *
+    * Result-identical to [[bpeEncodeChainedOf]] on any rank-consistent
+    * table (every operand symbol of rank k is a base char or the
+    * output of a rank < k merge): under that invariant a later merge
+    * can never create an occurrence of an earlier pair, so "apply each
+    * merge to fixpoint in rank order" (the chained form — one
+    * left-to-right pass IS the fixpoint, since l+r can't recreate
+    * (l, r)) and "repeatedly fuse the globally lowest-rank pair" (this
+    * loop, the tokenizers-library algorithm) converge to the same
+    * symbol sequence. [[bpeTrainOf]]'s tables are rank-consistent by
+    * construction; Round12Spec proves the equivalence on a ≥100-merge
+    * trained table.
+    */
+  def bpeEncodeGreedyOf(docs: DataFrame, merges: Seq[(String, String)])
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    val counted = docs
+      .select(col("doc_id").cast("long"), explode(tokens(col("text"))))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { case (id, w) =>
+          (id, w.length.toLong, bpeGreedySymbolCount(w, rk))
+        }
+      }
+      .toDF("doc_id", "nc", "ns")
+    bpeEncodeStats(counted)
+  }
+
+  /** Number of BPE symbols `word` encodes to under `rank`: greedy
+    * lowest-rank-first (leftmost tie-break) pair fusion over a symbol
+    * array. O(L²) worst-case scans per word with L = |word| — words
+    * are natural-language short, and the cost is independent of the
+    * merge count, which is the axis that matters at production vocab
+    * sizes.
+    */
+  private[graft] def bpeGreedySymbolCount(word: String,
+      rank: Map[(String, String), Int]): Long = {
+    if (word.isEmpty) return 0L
+    val syms = scala.collection.mutable.ArrayBuffer
+      .tabulate(word.length)(i => word.substring(i, i + 1))
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; at = i }
+        i += 1
+      }
+      if (at < 0) done = true
+      else {
+        syms(at) = syms(at) + syms(at + 1)
+        syms.remove(at + 1)
+      }
+    }
+    syms.length.toLong
+  }
+
+  /** Shared per-doc aggregate of the two encode forms: word/char/token
+    * counts and the chars-per-token compression ratio.
+    */
+  private def bpeEncodeStats(counted: DataFrame): DataFrame =
+    counted
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
         sum(col("ns")).as("n_bpe_tokens"),
         round(sum(col("nc")).cast(DoubleType) / sum(col("ns")), 6)
           .as("compression"))
       .orderBy(col("doc_id"))
-  }
 
   /** text_bpe_encode — train 6 merges on `documents`, then encode the
     * same corpus with them (the merge collect is parameter-sized —

@@ -1384,35 +1384,9 @@ object StreamingOps {
     */
   def retractTopNGate(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val fixture = changelogFromEvents(
-      graft.Tables.t(s, dir, "events"))
-      .as[ChangeOp].orderBy(col("seq")).collect()
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[ChangeOp]
-    val out = retractTopNStream(src.toDS(), n)
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-rtopn-replay").toString
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
-      val q = out.toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-        }
-        .outputMode("update").start()
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
-    }
-    val snaps = s.read.parquet(outDir)
+    val fixture = changelogFixture(s, dir)
+    val snaps = replayTypedThrough(s, fixture, Nil, "update")(ds =>
+      retractTopNStream(ds, n).toDF())
     snaps.withColumn("__mx", max(col("ver")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
       .filter(col("ver") === col("__mx") && col("rk") > 0)
@@ -1737,50 +1711,11 @@ object StreamingOps {
     */
   def changelogLeftJoinGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val fixture = graft.Tables.t(s, dir, "events")
-      .filter(pmod(col("event_id"), lit(3)) === 0)
-      .select(
-        when(col("event_type") === "purchase", lit("D"))
-          .when(col("event_type") === "click", lit("U"))
-          .otherwise(lit("I")).as("op"),
-        col("event_id").as("seq"),
-        pmod(col("user_id"), lit(4)).cast("long").as("group"),
-        col("event_id").cast("long").as("eid"),
-        round(col("value") * 100).cast("long").as("value_c"))
-      .select(
-        when(pmod(col("eid"), lit(2)) === 0, lit("L")).otherwise(lit("R"))
-          .as("side"),
-        col("op"), col("seq"), col("group"),
-        when(pmod(col("eid"), lit(2)) === 0, pmod(col("eid"), lit(13)))
-          .otherwise(pmod(col("eid"), lit(11))).cast("long").as("id"),
-        col("value_c"))
-      .filter(!(col("side") === "R" && col("group") === 3L))
-      .as[SideOp].orderBy(col("seq")).collect()
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[SideOp]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-changelog-ljoin").toString
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
-      val q = changelogLeftJoinStream(src.toDS()).toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-        }
-        .outputMode("append").start()
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
-    }
-    val folded = s.read.parquet(outDir)
+    val fixture = sideOpFixture(s, dir).filter(o =>
+      o.seq % 3 == 0 && !(o.side == "R" && o.group == 3L))
+    val deltas = replayTypedThrough(s, fixture, Nil, "append")(ds =>
+      changelogLeftJoinStream(ds).toDF())
+    val folded = deltas
       .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
         col("l_val"), col("r_val"))
       .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
@@ -1925,51 +1860,12 @@ object StreamingOps {
     */
   def changelogFullJoinGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val fixture = graft.Tables.t(s, dir, "events")
-      .filter(pmod(col("event_id"), lit(3)) === 0)
-      .select(
-        when(col("event_type") === "purchase", lit("D"))
-          .when(col("event_type") === "click", lit("U"))
-          .otherwise(lit("I")).as("op"),
-        col("event_id").as("seq"),
-        pmod(col("user_id"), lit(4)).cast("long").as("group"),
-        col("event_id").cast("long").as("eid"),
-        round(col("value") * 100).cast("long").as("value_c"))
-      .select(
-        when(pmod(col("eid"), lit(2)) === 0, lit("L")).otherwise(lit("R"))
-          .as("side"),
-        col("op"), col("seq"), col("group"),
-        when(pmod(col("eid"), lit(2)) === 0, pmod(col("eid"), lit(13)))
-          .otherwise(pmod(col("eid"), lit(11))).cast("long").as("id"),
-        col("value_c"))
-      .filter(!(col("side") === "R" && col("group") === 3L) &&
-        !(col("side") === "L" && col("group") === 2L))
-      .as[SideOp].orderBy(col("seq")).collect()
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[SideOp]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-changelog-fjoin").toString
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
-      val q = changelogFullJoinStream(src.toDS()).toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-        }
-        .outputMode("append").start()
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
-    }
-    val folded = s.read.parquet(outDir)
+    val fixture = sideOpFixture(s, dir).filter(o =>
+      o.seq % 3 == 0 && !(o.side == "R" && o.group == 3L) &&
+        !(o.side == "L" && o.group == 2L))
+    val deltas = replayTypedThrough(s, fixture, Nil, "append")(ds =>
+      changelogFullJoinStream(ds).toDF())
+    val folded = deltas
       .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
         col("l_val"), col("r_val"))
       .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
@@ -2051,10 +1947,39 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Memoized seq-ordered SideOp fixture for the changelog-join gates:
+    * the inner form's unfiltered two-sided changelog (left: even
+    * event_ids folded to 13 id slots, right: odd folded to 11, groups =
+    * user_id mod 4). The left/full gates derive their thinned fixtures
+    * by driver-side filters on this one (`seq` IS the event_id), so the
+    * three gates share one Spark collect.
+    */
+  private def sideOpFixture(s: SparkSession, dir: String): Seq[SideOp] =
+    memoFixture("sideop", dir) {
+      import s.implicits._
+      graft.Tables.t(s, dir, "events")
+        .select(
+          when(col("event_type") === "purchase", lit("D"))
+            .when(col("event_type") === "click", lit("U"))
+            .otherwise(lit("I")).as("op"),
+          col("event_id").as("seq"),
+          pmod(col("user_id"), lit(4)).cast("long").as("group"),
+          col("event_id").cast("long").as("eid"),
+          round(col("value") * 100).cast("long").as("value_c"))
+        .select(
+          when(pmod(col("eid"), lit(2)) === 0, lit("L")).otherwise(lit("R"))
+            .as("side"),
+          col("op"), col("seq"), col("group"),
+          when(pmod(col("eid"), lit(2)) === 0, pmod(col("eid"), lit(13)))
+            .otherwise(pmod(col("eid"), lit(11))).cast("long").as("id"),
+          col("value_c"))
+        .as[SideOp].orderBy(col("seq")).collect().toIndexedSeq
+    }
+
   /** stream_changelog_join gate — two events-derived changelogs (left:
     * even event_ids folded to 13 id slots, right: odd folded to 11,
     * groups = user_id mod 4, same op mapping as
-    * [[changelogFromEvents]]) interleaved by seq and replayed in 4
+    * [[changelogFromEvents]]) interleaved by seq and replayed in 2
     * micro-batches; the emitted deltas fold by signed count and must
     * equal DuckDB's definitional net-state join. Fully-cancelled rows
     * (sum 0) must vanish — the fold asserts no other multiplicity
@@ -2063,49 +1988,10 @@ object StreamingOps {
     */
   def changelogJoinGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val ev = graft.Tables.t(s, dir, "events")
-      .select(
-        when(col("event_type") === "purchase", lit("D"))
-          .when(col("event_type") === "click", lit("U"))
-          .otherwise(lit("I")).as("op"),
-        col("event_id").as("seq"),
-        pmod(col("user_id"), lit(4)).cast("long").as("group"),
-        col("event_id").cast("long").as("eid"),
-        round(col("value") * 100).cast("long").as("value_c"))
-    val fixture = ev
-      .select(
-        when(pmod(col("eid"), lit(2)) === 0, lit("L")).otherwise(lit("R"))
-          .as("side"),
-        col("op"), col("seq"), col("group"),
-        when(pmod(col("eid"), lit(2)) === 0, pmod(col("eid"), lit(13)))
-          .otherwise(pmod(col("eid"), lit(11))).cast("long").as("id"),
-        col("value_c"))
-      .as[SideOp].orderBy(col("seq")).collect()
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[SideOp]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-changelog-join").toString
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
-      val q = changelogJoinStream(src.toDS()).toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-        }
-        .outputMode("append").start()
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
-    }
-    val folded = s.read.parquet(outDir)
+    val fixture = sideOpFixture(s, dir)
+    val deltas = replayTypedThrough(s, fixture, Nil, "append")(ds =>
+      changelogJoinStream(ds).toDF())
+    val folded = deltas
       .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
         col("l_val"), col("r_val"))
       .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
@@ -2143,7 +2029,7 @@ object StreamingOps {
       org.apache.spark.sql.streaming.MapState[Long, List[(Long, String)]] = _
     @transient private var mstate:
       org.apache.spark.sql.streaming.ValueState[
-        List[(Long, Long, String)]] = _
+        List[(Long, Long, String, Long)]] = _
     @transient private var drained:
       org.apache.spark.sql.streaming.ValueState[Long] = _
 
@@ -2153,8 +2039,8 @@ object StreamingOps {
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.kryo[List[(Long, String)]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-      mstate = getHandle.getValueState[List[(Long, Long, String)]]("m",
-        org.apache.spark.sql.Encoders.kryo[List[(Long, Long, String)]],
+      mstate = getHandle.getValueState[List[(Long, Long, String, Long)]]("m",
+        org.apache.spark.sql.Encoders.kryo[List[(Long, Long, String, Long)]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       drained = getHandle.getValueState[Long]("drained",
         org.apache.spark.sql.Encoders.scalaLong,
@@ -2249,50 +2135,30 @@ object StreamingOps {
       pmod(col("event_id"), lit(97)).cast("long").as("id"),
       round(col("value") * 100).cast("long").as("value_c"))
 
+  /** Memoized seq-ordered ChangeOp fixture shared by
+    * [[changelogAggGate]] and [[retractTopNGate]].
+    */
+  private def changelogFixture(s: SparkSession, dir: String): Seq[ChangeOp] =
+    memoFixture("changelog", dir) {
+      import s.implicits._
+      changelogFromEvents(graft.Tables.t(s, dir, "events"))
+        .as[ChangeOp].orderBy(col("seq")).collect().toIndexedSeq
+    }
+
   /** stream_changelog_agg gate — MemoryStream replay of the derived
-    * changelog in 4 seq-ordered micro-batches through
+    * changelog in 2 seq-ordered micro-batches through
     * [[changelogAggStream]], reduced to the latest snapshot per group.
     * The DuckDB oracle computes the same answer definitionally: last
     * op per (group, id) by seq, deletes removed, SUM/COUNT per group.
     */
   def changelogAggGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     // fixture-sized driver materialization: MemoryStream only accepts
     // local data — this is the replay HARNESS, not the operator; the
     // operator itself is a fully distributed transformWithState
-    val fixture = changelogFromEvents(
-      graft.Tables.t(s, dir, "events"))
-      .as[ChangeOp].orderBy(col("seq")).collect()
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[ChangeOp]
-    val out = changelogAggStream(src.toDS())
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-changelog-replay").toString
-    // transformWithState needs a multi-column-family store (RocksDB);
-    // scoped set/restore so the harness session keeps its default
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
-      val q = out.toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-        }
-        .outputMode("update").start()
-      // 4 batches exercise cross-batch state carry; each batch is a
-      // contiguous seq range so the replay IS the changelog's order
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
-    }
-    val snaps = s.read.parquet(outDir)
+    val fixture = changelogFixture(s, dir)
+    val snaps = replayTypedThrough(s, fixture, Nil, "update")(ds =>
+      changelogAggStream(ds).toDF())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("ver").desc)
     snaps.withColumn("__rn", row_number().over(w))
@@ -2590,51 +2456,39 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Memoized (key, ts_us, id, value_c) fixture shared by the OVER
+    * gates — events folded to 16 keys, cents values, (ts, id) order.
+    */
+  private def overFixture(s: SparkSession,
+      dir: String): Seq[(Long, Long, Long, Long)] =
+    memoFixture("over", dir) {
+      import s.implicits._
+      graft.Tables.t(s, dir, "events")
+        .select(
+          pmod(col("user_id"), lit(16)).cast("long").as("k"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id").cast("long").as("id"),
+          round(col("value") * 100).cast("long").as("value_c"))
+        .as[(Long, Long, Long, Long)]
+        .orderBy(col("ts_us"), col("id")).collect().toIndexedSeq
+    }
+
   /** stream_over_rows gate — events folded to 16 keys (cents values,
-    * event_id the order tiebreak) replayed time-ordered in 4
+    * event_id the order tiebreak) replayed time-ordered in 2
     * micro-batches + a flush through [[rowsOverStream]] (n = 3);
     * oracle is the identical batch frame in DuckDB:
     * `ROWS BETWEEN 3 PRECEDING AND CURRENT ROW` over (ts, id).
     */
   def rowsOverGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val fixture = graft.Tables.t(s, dir, "events")
-      .select(
-        pmod(col("user_id"), lit(16)).cast("long").as("k"),
-        unix_micros(col("ts")).as("ts_us"),
-        col("event_id").cast("long").as("id"),
-        round(col("value") * 100).cast("long").as("value_c"))
-      .as[(Long, Long, Long, Long)]
-      .orderBy(col("ts_us"), col("id")).collect()
+    val fixture = overFixture(s, dir)
     val flushTs = fixture.map(_._2).max + 600000000L
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, Long, Long)]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-rows-over").toString
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
-      val q = rowsOverStream(src.toDS(), n = 3).toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-        }
-        .outputMode("append").start()
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      // the flush row itself emits (it is a real row on key 0's stream);
-      // the gate filters it out by its sentinel id below
-      src.addData(Seq((0L, flushTs, -1L, 0L))); q.processAllAvailable()
-      q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
-    }
-    s.read.parquet(outDir).filter(col("id") =!= -1L)
+    // the flush row itself emits (it is a real row on key 0's stream);
+    // the gate filters it out by its sentinel id below
+    val out = replayTypedThrough(s, fixture,
+      Seq((0L, flushTs, -1L, 0L)), "append")(ds =>
+      rowsOverStream(ds, n = 3).toDF())
+    out.filter(col("id") =!= -1L)
       .select(col("key").as("k"), col("ts_us"), col("id"),
         col("value_c"), col("sum_w"), col("cnt_w"))
       .orderBy(col("k"), col("ts_us"), col("id"))
@@ -2648,41 +2502,15 @@ object StreamingOps {
     */
   def rangeOverGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val fixture = graft.Tables.t(s, dir, "events")
-      .select(
-        pmod(col("user_id"), lit(16)).cast("long").as("k"),
-        unix_micros(col("ts")).as("ts_us"),
-        col("event_id").cast("long").as("id"),
-        round(col("value") * 100).cast("double").as("value_c"))
-      .as[(Long, Long, Long, Double)]
-      .orderBy(col("ts_us"), col("id")).collect()
+    // cents carried exactly in doubles: the RANGE form consumes the
+    // same memoized fixture with value_c widened driver-side
+    val fixture = overFixture(s, dir)
+      .map(t => (t._1, t._2, t._3, t._4.toDouble))
     val flushTs = fixture.map(_._2).max + 600000000L
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, Long, Double)]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-range-over").toString
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
-      val q = overWindowStream(src.toDS()).toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-        }
-        .outputMode("append").start()
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      src.addData(Seq((0L, flushTs, -1L, 0.0))); q.processAllAvailable()
-      q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
-    }
-    s.read.parquet(outDir).filter(col("event_id") =!= -1L)
+    val out = replayTypedThrough(s, fixture,
+      Seq((0L, flushTs, -1L, 0.0)), "append")(ds =>
+      overWindowStream(ds).toDF())
+    out.filter(col("event_id") =!= -1L)
       .select(col("user_id").as("k"), col("ts_us"),
         col("event_id").as("id"), col("value").as("value_c"),
         col("sum_w"), col("cnt_w"))
@@ -2742,16 +2570,68 @@ object StreamingOps {
     * gate SF (they are near-absent on the raw spacing). Ordered by
     * (ts, event_id); no timestamp collisions at gate SFs.
     */
-  def gateEventsDayFolded(s: SparkSession, dir: String): Array[GateEv] = {
-    import s.implicits._
-    graft.Tables.t(s, dir, "events")
-      .select(
-        col("event_id").cast("long").as("event_id"),
-        pmod(col("user_id"), lit(16)).cast("long").as("user_id"),
-        timestamp_micros(pmod(unix_micros(col("ts")), lit(86400000000L)) +
-          lit(1704067200000000L)).as("ts"),
-        col("event_type"), col("value").cast("double").as("value"))
-      .as[GateEv].orderBy(col("ts"), col("event_id")).collect()
+  def gateEventsDayFolded(s: SparkSession, dir: String): Array[GateEv] =
+    memoFixture("dayfold", dir) {
+      import s.implicits._
+      graft.Tables.t(s, dir, "events")
+        .select(
+          col("event_id").cast("long").as("event_id"),
+          pmod(col("user_id"), lit(16)).cast("long").as("user_id"),
+          timestamp_micros(pmod(unix_micros(col("ts")), lit(86400000000L)) +
+            lit(1704067200000000L)).as("ts"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .as[GateEv].orderBy(col("ts"), col("event_id")).collect()
+    }
+
+  /** Memoized driver-side gate-fixture materialization, keyed by
+    * (fixture kind, sf dir). The 28 replay gates share a handful of
+    * deterministic events-derived fixtures but each gate used to
+    * re-run the derive+sort+collect job (r11 bench: ~0.5-1 s × 28 —
+    * pure harness cost, PLANS r12 item 1). The arrays are plain JVM
+    * data (no session handles), so the cache is session-independent
+    * and safe across the Verify/Bench/spec harnesses; gates treat
+    * fixtures as immutable. Gate-scale only: ≤100k rows per entry.
+    */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]
+  private def memoFixture[T <: AnyRef](kind: String, dir: String)(
+      build: => T): T =
+    fixtureCache.computeIfAbsent((kind, dir), _ => build).asInstanceOf[T]
+
+  /** Gate-harness conf scope shared by every streaming replay gate:
+    * the RocksDB state store (the production store; transformWithState
+    * requires its multi-column-family support) and a reduced
+    * shuffle/state partition count. The partition cut is pure harness
+    * economics: a local replay pays one store open+load+commit per
+    * state partition per stateful operator per micro-batch, so at
+    * gate-scale fixtures (≤100k rows) 32 partitions × 3 batches ×
+    * (1-4 stores/operator) dominates gate wall-clock (42% of the r11
+    * bench total). 4 partitions keeps the multi-partition shuffle and
+    * cross-partition state paths exercised while cutting that constant
+    * 8×; stateful-operator output is partition-invariant, so gate
+    * results (and the driver's hashes) are unchanged. Production runs
+    * size `spark.sql.shuffle.partitions` to the cluster, not this.
+    */
+  private def withGateConfs[T](s: SparkSession, rocksdb: Boolean = true)(
+      body: => T): T = {
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val sKey = "spark.sql.shuffle.partitions"
+    val prevP = s.conf.getOption(pKey)
+    val prevS = s.conf.getOption(sKey)
+    if (rocksdb)
+      s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+    s.conf.set(sKey, "4")
+    try body finally {
+      prevP match {
+        case Some(v) => s.conf.set(pKey, v)
+        case None => if (rocksdb) s.conf.unset(pKey)
+      }
+      prevS match {
+        case Some(v) => s.conf.set(sKey, v)
+        case None => s.conf.unset(sKey)
+      }
+    }
   }
 
   /** Replay the fixture through `build` in 2 time-ordered micro-batches
@@ -2766,23 +2646,8 @@ object StreamingOps {
   private def replayThrough(s: SparkSession, fixture: Array[GateEv],
       flush: Option[GateEv])(build: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[GateEv]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-stream-gate").toString
-    val q = build(src.toDF()).writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(outDir); ()
-      }
-      .outputMode("append").start()
-    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-    halves.foreach { chunk =>
-      src.addData(chunk.toSeq); q.processAllAvailable()
-    }
-    flush.foreach { f => src.addData(Seq(f)); q.processAllAvailable() }
-    q.stop()
-    s.read.parquet(outDir)
+    replayTypedThrough[GateEv](s, fixture.toIndexedSeq, flush.toSeq,
+      "append")(ds => build(ds.toDF()))
   }
 
   /** Two-input twin of [[replayThrough]] for the stream-stream joins:
@@ -2792,36 +2657,47 @@ object StreamingOps {
     * join state the other side still needs.
     */
   private def replayJoinThrough(s: SparkSession, fixture: Array[GateEv],
-      leftType: String, rightType: String)(
-      build: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val l = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[GateEv]
-    val r = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[GateEv]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-stream-join-gate").toString
-    val q = build(l.toDF(), r.toDF()).writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(outDir); ()
+      leftType: String, rightType: String, flush: Option[GateEv] = None)(
+      build: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    // partitions-only scope: Spark's symmetric-hash join keeps FOUR
+    // stores per partition (keyToNumValues/keyWithIndexToValue × 2
+    // sides), so a per-gate RocksDB instance per store is pure harness
+    // cost; the default store is what these gates always ran on
+    withGateConfs(s, rocksdb = false) {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val l = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[GateEv]
+      val r = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[GateEv]
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-join-gate").toString
+      val q = build(l.toDF(), r.toDF()).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .outputMode("append").start()
+      // TWO batches, not four: each micro-batch of a stream-stream join
+      // re-touches the accumulated per-side state, so batch count is the
+      // replay's cost driver; one seam already proves the cross-batch
+      // match path (a pair whose sides arrive in different batches)
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
+        val lc = chunk.filter(_.event_type == leftType)
+        val rc = chunk.filter(_.event_type == rightType)
+        if (lc.nonEmpty) l.addData(lc.toSeq)
+        if (rc.nonEmpty) r.addData(rc.toSeq)
+        q.processAllAvailable()
       }
-      .outputMode("append").start()
-    // TWO batches, not four: each micro-batch of a stream-stream join
-    // re-touches the accumulated per-side state, so batch count is the
-    // replay's cost driver; one seam already proves the cross-batch
-    // match path (a pair whose sides arrive in different batches)
-    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-    halves.foreach { chunk =>
-      val lc = chunk.filter(_.event_type == leftType)
-      val rc = chunk.filter(_.event_type == rightType)
-      if (lc.nonEmpty) l.addData(lc.toSeq)
-      if (rc.nonEmpty) r.addData(rc.toSeq)
-      q.processAllAvailable()
+      // outer joins emit their null-padded rows only at watermark
+      // passage: the flush row advances BOTH sides past every
+      // interval's expiry so the unmatched state drains
+      flush.foreach { f =>
+        l.addData(Seq(f)); r.addData(Seq(f)); q.processAllAvailable()
+      }
+      q.stop()
+      s.read.parquet(outDir)
     }
-    q.stop()
-    s.read.parquet(outDir)
-  }
 
   private def gateFlush(fixture: Array[GateEv]): (Long, GateEv) = {
     val maxUs = fixture.map(e => e.ts.getTime * 1000L +
@@ -2977,32 +2853,10 @@ object StreamingOps {
     * own padded emission is cut by the user bound.
     */
   def streamIntervalJoinLeftGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val fixture = gateEventsDayFolded(s, dir)
     val (_, flush) = gateFlush(fixture)
-    val l = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[GateEv]
-    val r = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[GateEv]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-stream-lojoin-gate").toString
-    val q = intervalJoinLeftOuter(l.toDF(), r.toDF()).writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(outDir); ()
-      }
-      .outputMode("append").start()
-    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-    halves.foreach { chunk =>
-      val lc = chunk.filter(_.event_type == "click")
-      val rc = chunk.filter(_.event_type == "purchase")
-      if (lc.nonEmpty) l.addData(lc.toSeq)
-      if (rc.nonEmpty) r.addData(rc.toSeq)
-      q.processAllAvailable()
-    }
-    l.addData(Seq(flush)); r.addData(Seq(flush)); q.processAllAvailable()
-    q.stop()
-    s.read.parquet(outDir)
+    replayJoinThrough(s, fixture, "click", "purchase", Some(flush))(
+      intervalJoinLeftOuter)
       .filter(col("user_id") >= 0L)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_ts"),
@@ -3018,32 +2872,10 @@ object StreamingOps {
     * its own padded emissions are cut by the user bound.
     */
   def streamIntervalJoinFullGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val fixture = gateEventsDayFolded(s, dir)
     val (_, flush) = gateFlush(fixture)
-    val l = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[GateEv]
-    val r = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[GateEv]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-stream-fojoin-gate").toString
-    val q = intervalJoinFullOuter(l.toDF(), r.toDF()).writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(outDir); ()
-      }
-      .outputMode("append").start()
-    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-    halves.foreach { chunk =>
-      val lc = chunk.filter(_.event_type == "click")
-      val rc = chunk.filter(_.event_type == "purchase")
-      if (lc.nonEmpty) l.addData(lc.toSeq)
-      if (rc.nonEmpty) r.addData(rc.toSeq)
-      q.processAllAvailable()
-    }
-    l.addData(Seq(flush)); r.addData(Seq(flush)); q.processAllAvailable()
-    q.stop()
-    s.read.parquet(outDir)
+    replayJoinThrough(s, fixture, "click", "purchase", Some(flush))(
+      intervalJoinFullOuter)
       .filter(col("user_id") >= 0L)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_ts"),
@@ -3083,17 +2915,8 @@ object StreamingOps {
   def streamWindowTopNGate(s: SparkSession, dir: String): DataFrame = {
     val fixture = gateEventsDayFolded(s, dir)
     val (maxUs, flush) = gateFlush(fixture)
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    val out =
-      try replayThrough(s, fixture, Some(flush))(df =>
-        windowTopNStream(df).toDF())
-      finally prev match {
-        case Some(v) => s.conf.set(pKey, v)
-        case None => s.conf.unset(pKey)
-      }
+    val out = replayThrough(s, fixture, Some(flush))(df =>
+      windowTopNStream(df).toDF())
     out.filter(col("w_start_us") <= maxUs)
       .select(col("w_start_us"), col("rk"), col("event_type"), col("cnt"))
       .orderBy(col("w_start_us"), col("rk"))
@@ -3175,36 +2998,15 @@ object StreamingOps {
   def temporalJoinGate(s: SparkSession, dir: String,
       leftOuter: Boolean): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val fixture = temporalOpsFromEvents(graft.Tables.t(s, dir, "events"))
-      .as[TemporalOp].orderBy(col("ts_us"), col("seq")).collect()
+    val fixture = memoFixture("temporal", dir) {
+      temporalOpsFromEvents(graft.Tables.t(s, dir, "events"))
+        .as[TemporalOp].orderBy(col("ts_us"), col("seq")).collect()
+        .toIndexedSeq
+    }
     val flush = TemporalOp("F", "I", Long.MaxValue,
       fixture.map(_.ts_us).max + 600000000L, 0L, -1L, 0L)
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[TemporalOp]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-temporal-join").toString
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
-      val q = temporalJoinStream(src.toDS(), leftOuter).toDF().writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(outDir); ()
-        }
-        .outputMode("append").start()
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      src.addData(Seq(flush)); q.processAllAvailable()
-      q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
-    }
-    s.read.parquet(outDir)
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      temporalJoinStream(ds, leftOuter).toDF())
       .select(col("key").as("k"), col("id"), col("ts_us"),
         col("l_val"), col("r_val"))
       .orderBy(col("k"), col("id"))
@@ -3227,11 +3029,7 @@ object StreamingOps {
       .MemoryStream[T]
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-typed-gate").toString
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(pKey)
-    s.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    try {
+    withGateConfs(s) {
       val q = build(src.toDS()).writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(outDir); ()
@@ -3243,9 +3041,6 @@ object StreamingOps {
       }
       if (flush.nonEmpty) { src.addData(flush); q.processAllAvailable() }
       q.stop()
-    } finally prev match {
-      case Some(v) => s.conf.set(pKey, v)
-      case None => s.conf.unset(pKey)
     }
     s.read.parquet(outDir)
   }
@@ -3292,10 +3087,12 @@ object StreamingOps {
     */
   def streamTopNGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fixture = graft.Tables.t(s, dir, "events")
-      .select(pmod(col("user_id"), lit(8)).cast("long"),
-        col("event_id").cast("long"), col("value").cast("double"))
-      .as[(Long, Long, Double)].orderBy(col("event_id")).collect().toSeq
+    val fixture = memoFixture("topn8", dir) {
+      graft.Tables.t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(8)).cast("long"),
+          col("event_id").cast("long"), col("value").cast("double"))
+        .as[(Long, Long, Double)].orderBy(col("event_id")).collect().toSeq
+    }
     val snaps = replayTypedThrough(s, fixture, Nil, "update")(ds =>
       topNStream(ds).toDF())
     snaps.withColumn("__mx", max(col("ver")).over(
@@ -3304,6 +3101,20 @@ object StreamingOps {
       .select(col("group").as("grp"), col("rk"), col("id"), col("value"))
       .orderBy(col("grp"), col("rk"))
   }
+
+  /** Memoized (user, ts_us, id, value) fixture shared by the ewma and
+    * cusum gates — raw events in global (ts, id) order.
+    */
+  private def tsValFixture(s: SparkSession,
+      dir: String): Seq[(Long, Long, Long, Double)] =
+    memoFixture("ts_val", dir) {
+      import s.implicits._
+      graft.Tables.t(s, dir, "events")
+        .select(col("user_id").cast("long"), unix_micros(col("ts")),
+          col("event_id").cast("long"), col("value").cast("double"))
+        .as[(Long, Long, Long, Double)]
+        .orderBy(col("ts"), col("event_id")).collect().toSeq
+    }
 
   /** stream_ewma gate — [[ewmaStream]] replayed over the raw events in
     * global (ts, id) order (TimeMode.None: the ordering contract is the
@@ -3314,11 +3125,7 @@ object StreamingOps {
     */
   def streamEwmaGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fixture = graft.Tables.t(s, dir, "events")
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
-        col("event_id").cast("long"), col("value").cast("double"))
-      .as[(Long, Long, Long, Double)]
-      .orderBy(col("ts"), col("event_id")).collect().toSeq
+    val fixture = tsValFixture(s, dir)
     replayTypedThrough(s, fixture, Nil, "update")(ds =>
       ewmaStream(ds).toDF())
       .groupBy(col("user_id"))
@@ -3337,11 +3144,7 @@ object StreamingOps {
     */
   def streamCusumGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fixture = graft.Tables.t(s, dir, "events")
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
-        col("event_id").cast("long"), col("value").cast("double"))
-      .as[(Long, Long, Long, Double)]
-      .orderBy(col("ts"), col("event_id")).collect().toSeq
+    val fixture = tsValFixture(s, dir)
     replayTypedThrough(s, fixture, Nil, "update")(ds =>
       cusumStream(ds).toDF())
       .groupBy(col("user_id"))
@@ -3360,11 +3163,13 @@ object StreamingOps {
     */
   def streamAttributionGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fixture = graft.Tables.t(s, dir, "events")
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
-        col("event_id").cast("long"), col("event_type"))
-      .as[(Long, Long, Long, String)]
-      .orderBy(col("ts"), col("event_id")).collect().toSeq
+    val fixture = memoFixture("ts_type", dir) {
+      graft.Tables.t(s, dir, "events")
+        .select(col("user_id").cast("long"), unix_micros(col("ts")),
+          col("event_id").cast("long"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .orderBy(col("ts"), col("event_id")).collect().toSeq
+    }
     replayTypedThrough(s, fixture, Nil, "update")(ds =>
       attributionStream(ds).toDF())
       .select(col("user_id"), col("purchase_id"), col("purchase_ts_us"),

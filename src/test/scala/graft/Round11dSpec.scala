@@ -166,8 +166,11 @@ class Round11dSpec extends SparkSpecBase {
       val used = scala.collection.mutable.Set.empty[String]
       val picked = ordered.iterator
         .filter { case ((a, b), _) =>
-          if (used.contains(a) || used.contains(b)) false
-          else { used += a; used += b; true }
+          // operands AND outputs disjoint across the batch — the
+          // operator's exactness rule (see bpeTrainBatchedOf)
+          if (used.contains(a) || used.contains(b) ||
+            used.contains(a + b)) false
+          else { used += a; used += b; used += a + b; true }
         }
         .take(math.min(batchSize, nMerges - out.size)).toSeq
       if (picked.isEmpty) stop = true

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round 12 session 1: the production-form BPE encode
+  * (`bpeEncodeGreedyOf` — broadcast rank map + mapPartitions greedy
+  * loop) against the chained-replace form at production merge counts,
+  * the merge-count-independent-plan contract, the dispatcher cut, and
+  * the batched trainer's widened batch-disjointness rule (operands AND
+  * merged outputs distinct within a round).
+  */
+class Round12Spec extends SparkSpecBase {
+
+  private def docs = Tables.t(spark, sfDir, "documents")
+
+  test("bpe encode: greedy ≡ chained on the saturated documents table") {
+    // the synthetic documents vocabulary saturates at 89 merges (every
+    // SF — the token pool is fixed); that is already past the 64-merge
+    // dispatch cut, so this is the real-corpus equivalence at full
+    // trained depth
+    val merges = TextAnalysis.bpeTrainBatchedOf(docs, 200, batchSize = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(2), r.getString(3))).toSeq
+    assert(merges.size > TextAnalysis.ChainedEncodeMaxMerges,
+      s"corpus trained only ${merges.size} merges")
+    val a = TextAnalysis.bpeEncodeChainedOf(docs, merges)
+      .collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.bpeEncodeGreedyOf(docs, merges)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("bpe encode: greedy ≡ chained at ≥100 trained merges") {
+    import spark.implicits._
+    // a random-word corpus rich enough to train past 100 merges — the
+    // production-form threshold the r11 verdict set
+    val rnd = new scala.util.Random(42)
+    val corpus = (1 to 400).map { i =>
+      (i.toLong, (1 to 12).map(_ =>
+        (1 to (3 + rnd.nextInt(8))).map(_ =>
+          ('a' + rnd.nextInt(12)).toChar).mkString)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainBatchedOf(corpus, 150, batchSize = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(2), r.getString(3))).toSeq
+    assert(merges.size >= 100, s"corpus trained only ${merges.size} merges")
+    val a = TextAnalysis.bpeEncodeChainedOf(corpus, merges)
+      .collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.bpeEncodeGreedyOf(corpus, merges)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("bpe encode: greedy plan is merge-count-independent") {
+    val mk = (n: Int) => (0 until n).map(i => (s"x$i", s"y$i"))
+    val p80 = TextAnalysis.bpeEncodeGreedyOf(docs, mk(80))
+      .queryExecution.optimizedPlan
+    val p300 = TextAnalysis.bpeEncodeGreedyOf(docs, mk(300))
+      .queryExecution.optimizedPlan
+    // no chained replaces anywhere, and the tree does not grow with k
+    assert(!p80.toString.contains("replace("))
+    assert(p80.map(_ => 1).sum == p300.map(_ => 1).sum)
+    assert(p80.toString.length == p300.toString.length)
+  }
+
+  test("bpe encode: dispatcher cuts at ChainedEncodeMaxMerges") {
+    val mk = (n: Int) => (0 until n).map(i => (s"x$i", s"y$i"))
+    val small = TextAnalysis.bpeEncodeOf(docs, mk(4))
+      .queryExecution.optimizedPlan.toString
+    val large = TextAnalysis.bpeEncodeOf(
+      docs, mk(TextAnalysis.ChainedEncodeMaxMerges + 1))
+      .queryExecution.optimizedPlan.toString
+    assert(small.contains("replace("))
+    assert(!large.contains("replace("))
+  }
+
+  test("bpe greedy symbol count: hand cases") {
+    val rk = Seq(("a", "b"), ("ab", "c"), ("d", "d"))
+      .zipWithIndex.toMap
+    assert(TextAnalysis.bpeGreedySymbolCount("", rk) == 0L)
+    assert(TextAnalysis.bpeGreedySymbolCount("z", rk) == 1L)
+    // abc → (ab) c → (abc)
+    assert(TextAnalysis.bpeGreedySymbolCount("abc", rk) == 1L)
+    // greedy leftmost on runs: dddd → (dd)(dd); ddd → (dd) d
+    assert(TextAnalysis.bpeGreedySymbolCount("dddd", rk) == 2L)
+    assert(TextAnalysis.bpeGreedySymbolCount("ddd", rk) == 2L)
+    // rank priority: in "abd", (a,b) fires; nothing else applies
+    assert(TextAnalysis.bpeGreedySymbolCount("abd", rk) == 2L)
+    assert(TextAnalysis.bpeGreedySymbolCount("xyz", rk) == 3L)
+  }
+
+  test("bpe batched: a round's operands and outputs are all distinct") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (1 to 120).map { i =>
+      (i.toLong, (1 to 8).map(_ =>
+        "abcde".charAt(rnd.nextInt(5)).toString * (1 + rnd.nextInt(2)))
+        .mkString(""))
+    }.toDF("doc_id", "text")
+    val merges = TextAnalysis
+      .bpeTrainBatchedOf(corpus, 24, batchSize = 4)
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    merges.groupBy(_._1).foreach { case (round, picks) =>
+      // within one pick l may equal r (a run merge); ACROSS picks the
+      // {l, r, l+r} sets must be pairwise disjoint — the used-set rule
+      val sets = picks.map { case (_, l, r) => Set(l, r, l + r) }.toIndexedSeq
+      for (i <- sets.indices; j <- i + 1 until sets.size)
+        assert((sets(i) intersect sets(j)).isEmpty,
+          s"round $round picks ${picks(i)} and ${picks(j)} share a " +
+            s"symbol between operands/outputs")
+    }
+  }
+}
