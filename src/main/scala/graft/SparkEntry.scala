@@ -369,6 +369,10 @@ object SparkEntry {
     "stream_window_dedup" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamWindowDedupGate(s, dir)),
+    // streaming SKIP TO NEXT ROW: the revisit pattern's overlapping
+    // matches across the micro-batch seam (day-folded replay)
+    "stream_cep_skip" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamCepSkipGate(s, dir)),
     // MATCH_RECOGNIZE-class contiguous pattern matching: click → view+
     // → purchase per user within 7d, SKIP PAST LAST ROW
     "cep_funnel" ->
@@ -389,6 +393,14 @@ object SparkEntry {
     // bounds bind (72 funnels below lo, 3 above hi; 15 match)
     "cep_bounded" ->
       ((s, dir) => graft.operators.Cep.cepBounded(s, dir)),
+    // MEASURES clause: per-match per-step COUNT/SUM/FIRST/LAST over
+    // the funnel's pattern variables (3 rows per match)
+    "cep_measures" ->
+      ((s, dir) => graft.operators.Cep.cepMeasures(s, dir)),
+    // AFTER MATCH SKIP TO NEXT ROW: overlapping revisit triples all
+    // emit — provably differs from cep_revisit's SKIP PAST LAST ROW
+    "cep_skip_next" ->
+      ((s, dir) => graft.operators.Cep.cepSkipNext(s, dir)),
     // bounded-depth multi-source BFS over the sparse co-purchase graph
     // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
     "graph_bfs" ->
@@ -2720,6 +2732,23 @@ object SparkEntry {
         "WHERE c.event_type = 'click' " +
         "AND p.first_ts - c.last_ts <= 600000000 " +
         "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // streaming SKIP TO NEXT ROW on the folded corpus: ALL 10-minute-
+    // valid contiguous (view, click, view) triples — the overlapping
+    // selection the strategy definitionally yields
+    "stream_cep_skip" ->
+      (streamFoldedCte +
+        ", r AS (SELECT user_id, event_id, event_type, tu AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f) " +
+        "SELECT a.user_id, a.event_id AS start_event_id, " +
+        "a.ts_us AS start_ts_us, w.event_id AS end_event_id, " +
+        "w.ts_us AS end_ts_us, CAST(3 AS BIGINT) AS n_rows " +
+        "FROM r a JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + 1 " +
+        "AND b.event_type = 'click' " +
+        "JOIN r w ON w.user_id = a.user_id AND w.rn = a.rn + 2 " +
+        "AND w.event_type = 'view' " +
+        "WHERE a.event_type = 'view' AND w.ts_us - a.ts_us <= 600000000 " +
+        "ORDER BY a.user_id, start_ts_us, start_event_id"),
     // unbounded append Top-N: the final leaderboard is the
     // definitional ROW_NUMBER cut (value DESC, id ASC)
     "stream_topn" ->
@@ -2977,6 +3006,75 @@ object SparkEntry {
         "WHERE c.event_type = 'click' " +
         "AND p.first_ts - c.last_ts <= 604800000000 " +
         "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // MEASURES over the funnel: the islands CTE carries each island's
+    // value_c sum and boundary rows; a match expands to 3 step rows —
+    // click = its island's LAST row, view = the whole island,
+    // purchase = its island's FIRST row (definitionally the step
+    // spans the greedy automaton assigns for this pattern)
+    "cep_measures" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS sv FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, g.sv, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, fi.vc AS first_vc, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts, l.vc AS last_vc FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern), " +
+        "m AS (SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "c.last_id AS c_id, c.last_vc AS c_vc, " +
+        "CAST(v.n AS BIGINT) AS v_n, v.sv AS v_sv, " +
+        "v.first_id AS v_first, v.last_id AS v_last, " +
+        "p.first_id AS p_id, p.first_vc AS p_vc " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000) " +
+        "SELECT user_id, start_event_id, start_ts_us, end_event_id, " +
+        "end_ts_us, n_rows, CAST(0 AS INTEGER) AS step, " +
+        "'click' AS symbol, CAST(1 AS BIGINT) AS cnt, c_vc AS sum_value_c, " +
+        "c_id AS first_event_id, c_id AS last_event_id FROM m " +
+        "UNION ALL SELECT user_id, start_event_id, start_ts_us, " +
+        "end_event_id, end_ts_us, n_rows, CAST(1 AS INTEGER) AS step, " +
+        "'view' AS symbol, v_n AS cnt, v_sv AS sum_value_c, " +
+        "v_first AS first_event_id, v_last AS last_event_id FROM m " +
+        "UNION ALL SELECT user_id, start_event_id, start_ts_us, " +
+        "end_event_id, end_ts_us, n_rows, CAST(2 AS INTEGER) AS step, " +
+        "'purchase' AS symbol, CAST(1 AS BIGINT) AS cnt, " +
+        "p_vc AS sum_value_c, p_id AS first_event_id, " +
+        "p_id AS last_event_id FROM m " +
+        "ORDER BY user_id, start_ts_us, start_event_id, step"),
+    // SKIP TO NEXT ROW on the revisit pattern: overlapping matches all
+    // emit, so the answer is ALL window-valid contiguous triples — the
+    // cep_revisit candidate CTE with its recursive skip-selection
+    // removed (the two gates provably differ on this corpus)
+    "cep_skip_next" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events) " +
+        "SELECT a.user_id, a.event_id AS start_event_id, " +
+        "a.ts_us AS start_ts_us, w.event_id AS end_event_id, " +
+        "w.ts_us AS end_ts_us, CAST(3 AS BIGINT) AS n_rows " +
+        "FROM r a JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + 1 " +
+        "AND b.event_type = 'click' " +
+        "JOIN r w ON w.user_id = a.user_id AND w.rn = a.rn + 2 " +
+        "AND w.event_type = 'view' " +
+        "WHERE a.event_type = 'view' AND w.ts_us - a.ts_us <= 86400000000 " +
+        "ORDER BY a.user_id, start_ts_us, start_event_id"),
     // bounded-depth BFS: UNION-deduped recursive frontier, MIN(d) per
     // vertex — the path-explosion-paying twin of the Spark frontier
     // iteration (whose per-level distinct+anti-join collapse is the

@@ -278,9 +278,15 @@ object Cep {
       feedM(ts, id, tpe, 0L).headOption.map(_._1)
   }
 
-  /** Library form over any (user_id, ts, event_id, event_type) frame. */
+  /** Library form over any (user_id, ts, event_id, event_type) frame.
+    * `skipToNext` selects the AFTER MATCH strategy: false = SKIP PAST
+    * LAST ROW (matches never overlap — the default everywhere above);
+    * true = SKIP TO NEXT ROW (resume at the row after the accepted
+    * match's first row, so overlapping matches all emit — Flink's
+    * second MATCH_RECOGNIZE strategy).
+    */
   def cepMatchOf(events: DataFrame, pattern: Seq[Step],
-      windowUs: Long): Dataset[CepMatch] = {
+      windowUs: Long, skipToNext: Boolean = false): Dataset[CepMatch] = {
     validate(pattern)
     val ss = events.sparkSession
     import ss.implicits._
@@ -295,8 +301,58 @@ object Cep {
         var key = Long.MinValue
         var m: Machine = null
         it.flatMap { case (u, ts, id, tpe) =>
-          if (m == null || u != key) { key = u; m = new Machine(pat, windowUs) }
-          m.feed(ts, id, tpe).map(_.copy(user_id = u))
+          if (m == null || u != key) {
+            key = u; m = new Machine(pat, windowUs, skipToNext)
+          }
+          m.feedM(ts, id, tpe, 0L).map(_._1.copy(user_id = u))
+        }
+      }
+  }
+
+  /** One match × step row of [[cepMeasuresOf]]: the match identity
+    * columns plus the step's MEASURES (COUNT, SUM of cents value,
+    * FIRST/LAST event id — null when an optional step took no rows).
+    */
+  final case class CepMeasured(user_id: Long, start_event_id: Long,
+    start_ts_us: Long, end_event_id: Long, end_ts_us: Long, n_rows: Long,
+    step: Int, symbol: String, cnt: Long, sum_value_c: Long,
+    first_event_id: Option[Long], last_event_id: Option[Long])
+
+  /** MATCH_RECOGNIZE MEASURES — [[cepMatchOf]] with per-step
+    * aggregates over the pattern variables: one output row per
+    * (match, step), carrying COUNT/SUM/FIRST/LAST of the rows that
+    * step consumed (AVG is sum/cnt downstream; value is the events
+    * `value` in exact cents). The automaton already buffers the match
+    * rows, so the measures are a driver-free fold over the completed
+    * walk's step spans — same shuffle shape as the match-only form
+    * (one key repartition, per-partition sort, segmented scan).
+    */
+  def cepMeasuresOf(events: DataFrame, pattern: Seq[Step],
+      windowUs: Long, skipToNext: Boolean = false): Dataset[CepMeasured] = {
+    validate(pattern)
+    val ss = events.sparkSession
+    import ss.implicits._
+    val pat = pattern.toIndexedSeq
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .as[(Long, Long, Long, String, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var key = Long.MinValue
+        var m: Machine = null
+        it.flatMap { case (u, ts, id, tpe, vc) =>
+          if (m == null || u != key) {
+            key = u; m = new Machine(pat, windowUs, skipToNext)
+          }
+          m.feedM(ts, id, tpe, vc).flatMap { case (c, aggs) =>
+            aggs.map(a => CepMeasured(u, c.start_event_id, c.start_ts_us,
+              c.end_event_id, c.end_ts_us, c.n_rows,
+              a.step, a.symbol, a.cnt, a.sum_value_c,
+              a.first_event_id, a.last_event_id))
+          }
         }
       }
   }
@@ -399,6 +455,40 @@ object Cep {
         Step("view", plus = false, rep = Some((2, 3))),
         Step("purchase", plus = false)),
       windowUs = 7L * 24 * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_measures — the MEASURES clause over the gate funnel
+    * (click → view+ → purchase, 7 d window): per match, each step's
+    * COUNT / SUM(value_c) / FIRST / LAST. The funnel islands oracle
+    * extends naturally: the click step is the click island's LAST row
+    * (cnt 1), the view step the WHOLE view island (its count, value
+    * sum and boundary ids), the purchase step the purchase island's
+    * FIRST row — three rows per match, definitionally.
+    */
+  def cepMeasures(s: SparkSession, dir: String): DataFrame =
+    cepMeasuresOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click", plus = false), Step("view", plus = true),
+        Step("purchase", plus = false)),
+      windowUs = 7L * 24 * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"),
+        col("step"))
+
+  /** cep_skip_next — AFTER MATCH SKIP TO NEXT ROW on the revisit
+    * pattern (view → click → view, 24 h): acceptance resumes at the
+    * row after the match's first row, so overlapping matches all emit
+    * and the answer is definitionally ALL window-valid contiguous
+    * triples — provably different from cep_revisit's SKIP PAST LAST
+    * ROW subset (the strategies differ whenever consecutive valid
+    * triples overlap, which the gate corpus has). The oracle is the
+    * revisit candidate CTE with the recursive skip-selection removed.
+    */
+  def cepSkipNext(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("view", plus = false), Step("click", plus = false),
+        Step("view", plus = false)),
+      windowUs = 24L * 3600 * 1000000, skipToNext = true)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

@@ -1692,6 +1692,9 @@ object StreamingOps {
     }
   }
 
+  /** State placement: see the note at [[changelogJoinStream]] — the
+    * live maps are join-key-sharded in any factoring.
+    */
   def changelogLeftJoinStream(ops: Dataset[SideOp]): Dataset[OuterJoinDelta] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.group)
@@ -1845,6 +1848,9 @@ object StreamingOps {
     }
   }
 
+  /** State placement: see the note at [[changelogJoinStream]] — the
+    * live maps are join-key-sharded in any factoring.
+    */
   def changelogFullJoinStream(ops: Dataset[SideOp]): Dataset[FullJoinDelta] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.group)
@@ -1939,6 +1945,22 @@ object StreamingOps {
     }
   }
 
+  /** STATE PLACEMENT (all three changelog joins): both sides' live
+    * maps key by the EQUI-JOIN key (`group`), so a hot join key
+    * concentrates that key's state on one task. Unlike the aggregate
+    * family — where the [[changelogNormalizeStream]] retract split
+    * moves the O(live ids) last-row map to (group, id) sharding and
+    * leaves the aggregate accumulator-only — the split does NOT
+    * relieve a join: emitting pairs inherently requires BOTH sides'
+    * live rows co-located by the join key, so the pair-producing
+    * state is join-key-sharded in ANY factoring (a normalize stage in
+    * front would dedup upstream but leave these maps exactly where
+    * they are). Flink's retract joins carry the same shape (per-key
+    * association state on each side); the mitigations at 100 TB are
+    * upstream — key design (compound keys), pre-aggregation before the
+    * join, or a broadcast side when one input is parameter-sized —
+    * not a state-placement refactor.
+    */
   def changelogJoinStream(ops: Dataset[SideOp]): Dataset[JoinDelta] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.group)
@@ -2022,7 +2044,7 @@ object StreamingOps {
     * stream.
     */
   class CepStreamProcessor(pattern: IndexedSeq[graft.operators.Cep.Step],
-      windowUs: Long)
+      windowUs: Long, skipToNext: Boolean = false)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, String), graft.operators.Cep.CepMatch] {
     @transient private var buf:
@@ -2083,13 +2105,17 @@ object StreamingOps {
       if (wmUs <= already) return Iterator.empty
       val ripe = buf.iterator().toList.filter(_._1 <= wmUs).sortBy(_._1)
       if (ripe.isEmpty) { drained.update(wmUs); return Iterator.empty }
-      val m = new graft.operators.Cep.Machine(pattern, windowUs)
+      val m = new graft.operators.Cep.Machine(pattern, windowUs, skipToNext)
       if (mstate.exists()) m.restore(mstate.get())
       val out = scala.collection.mutable.ArrayBuffer.empty[
         graft.operators.Cep.CepMatch]
       ripe.foreach { case (ts, entries) =>
         entries.sortBy(_._1).foreach { case (id, tpe) =>
-          m.feed(ts, id, tpe).foreach(c => out += c.copy(user_id = key))
+          // feedM: SKIP TO NEXT ROW can close several overlapping
+          // matches on one drained row (SKIP PAST LAST ROW emits <= 1)
+          m.feedM(ts, id, tpe, 0L).foreach { case (c, _) =>
+            out += c.copy(user_id = key)
+          }
         }
         buf.removeKey(ts)
       }
@@ -2104,7 +2130,8 @@ object StreamingOps {
     */
   def cepStream(events: Dataset[(Long, Long, Long, String)],
       pattern: Seq[graft.operators.Cep.Step],
-      windowUs: Long): Dataset[graft.operators.Cep.CepMatch] = {
+      windowUs: Long,
+      skipToNext: Boolean = false): Dataset[graft.operators.Cep.CepMatch] = {
     graft.operators.Cep.validate(pattern)
     import events.sparkSession.implicits._
     events
@@ -2113,7 +2140,8 @@ object StreamingOps {
       .select(col("_1"), col("_2"), col("_3"), col("_4"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
-      .transformWithState(new CepStreamProcessor(pattern.toIndexedSeq, windowUs),
+      .transformWithState(
+        new CepStreamProcessor(pattern.toIndexedSeq, windowUs, skipToNext),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
@@ -3074,6 +3102,32 @@ object StreamingOps {
           graft.operators.Cep.Step("view", plus = true),
           graft.operators.Cep.Step("purchase", plus = false)),
         windowUs).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
+  /** stream_cep_skip gate — the STREAMING twin of `cep_skip_next`:
+    * the revisit pattern (view → click → view) under AFTER MATCH SKIP
+    * TO NEXT ROW over the day-folded replay (10-minute window).
+    * Overlapping matches all emit — on this fixture the answer is
+    * definitionally ALL window-valid contiguous triples, and the
+    * machine's drop(1)-and-keep-walking path crosses the micro-batch
+    * seam through the same ValueState snapshot the skip-past gate
+    * proves.
+    */
+  def streamCepSkipGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 600000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush")
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStream(ds,
+        Seq(graft.operators.Cep.Step("view", plus = false),
+          graft.operators.Cep.Step("click", plus = false),
+          graft.operators.Cep.Step("view", plus = false)),
+        windowUs, skipToNext = true).toDF())
       .filter(col("user_id") >= 0L)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
   }

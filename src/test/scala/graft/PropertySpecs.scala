@@ -453,6 +453,85 @@ object CepMachineProps extends Properties("CepMachine") {
       }
     }
 
+  /** Brute twin with MEASURES and both after-match strategies: at each
+    * start, the same maximal-greed walk, but recording each step's
+    * (cnt, value sum, first/last id); on success jump past the last
+    * row (SKIP PAST LAST ROW) or to start + 1 (SKIP TO NEXT ROW).
+    * Shares no code with the Machine.
+    */
+  private def bruteMeasured(rows: IndexedSeq[(Long, Long, String, Long)],
+      pat: IndexedSeq[Cep.Step], windowUs: Long, skipToNext: Boolean)
+      : List[(Long, Long, List[(Long, Long, Option[Long], Option[Long])])] = {
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, List[(Long, Long, Option[Long], Option[Long])])]
+    var i = 0
+    while (i < rows.length) {
+      var j = i
+      var ok = true
+      val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      pat.foreach { st =>
+        if (ok) {
+          val (lo, hi) = st.bounds
+          var c = 0
+          val off = j
+          while (j < rows.length && c < hi && st.matches(rows(j)._3)) {
+            j += 1; c += 1
+          }
+          if (c < lo) ok = false else spans += ((off, c))
+        }
+      }
+      if (ok && rows(j - 1)._1 - rows(i)._1 <= windowUs) {
+        val aggs = spans.toList.map { case (off, c) =>
+          if (c == 0) (0L, 0L, None, None)
+          else {
+            val slice = rows.slice(off, off + c)
+            (c.toLong, slice.map(_._4).sum,
+              Some(slice.head._2): Option[Long],
+              Some(slice.last._2): Option[Long])
+          }
+        }
+        out += ((rows(i)._2, rows(j - 1)._2, aggs))
+        i = if (skipToNext) i + 1 else j
+      } else i += 1
+    }
+    out.toList
+  }
+
+  private val genValuedRows: Gen[IndexedSeq[(Long, Long, String, Long)]] =
+    for {
+      rows <- genRows
+      vals <- Gen.listOfN(rows.length, Gen.chooseNum(-99L, 99L))
+    } yield rows.zip(vals).map { case ((t, i, s), v) => (t, i, s, v) }
+
+  property("machine MEASURES == brute per-step aggregates (both strategies)") =
+    forAll(genValuedRows, genPattern, Gen.chooseNum(5L, 2000L),
+        Gen.oneOf(true, false)) { (rows, pat, win, skipNext) =>
+      !validPat(pat) || {
+        val m = new Cep.Machine(pat, win, skipNext)
+        val got = rows.flatMap { case (ts, id, tpe, vc) =>
+          m.feedM(ts, id, tpe, vc)
+        }.map { case (c, aggs) =>
+          (c.start_event_id, c.end_event_id,
+            aggs.map(a => (a.cnt, a.sum_value_c,
+              a.first_event_id, a.last_event_id)))
+        }.toList
+        got == bruteMeasured(rows, pat, win, skipNext)
+      }
+    }
+
+  property("SKIP TO NEXT ROW == brute overlapping selection") =
+    forAll(genPattern, genRows, Gen.chooseNum(5L, 2000L)) { (pat, rows, win) =>
+      !validPat(pat) || {
+        val m = new Cep.Machine(pat, win, skipToNext = true)
+        val got = rows.flatMap { case (ts, id, tpe) =>
+          m.feedM(ts, id, tpe, 0L)
+        }.map(p => (p._1.start_event_id, p._1.end_event_id)).toList
+        got.sorted == bruteMeasured(
+          rows.map(r => (r._1, r._2, r._3, 0L)), pat, win,
+          skipToNext = true).map(t => (t._1, t._2)).sorted
+      }
+    }
+
   property("matches never overlap and consume contiguous rows") =
     forAll(genPattern, genRows) { (pat, rows) =>
       !validPat(pat) || check(pat, rows)

@@ -91,6 +91,49 @@ class Round12Spec extends SparkSpecBase {
     assert(TextAnalysis.bpeGreedySymbolCount("xyz", rk) == 3L)
   }
 
+  test("cep measures: funnel golden — per-step count/sum/first/last") {
+    import spark.implicits._
+    import graft.operators.Cep
+    val rows = Seq(
+      (1L, 1000000L, 1L, "click", 1.00),
+      (1L, 2000000L, 2L, "view", 0.50),
+      (1L, 3000000L, 3L, "view", 0.60),
+      (1L, 4000000L, 4L, "purchase", 2.00))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got = Cep.cepMeasuresOf(rows,
+      Seq(Cep.Step("click", plus = false), Cep.Step("view", plus = true),
+        Cep.Step("purchase", plus = false)),
+      windowUs = 10000000L)
+      .collect().sortBy(_.step)
+      .map(m => (m.step, m.symbol, m.cnt, m.sum_value_c,
+        m.first_event_id, m.last_event_id))
+    assert(got.toSeq == Seq(
+      (0, "click", 1L, 100L, Some(1L), Some(1L)),
+      (1, "view", 2L, 110L, Some(2L), Some(3L)),
+      (2, "purchase", 1L, 200L, Some(4L), Some(4L))))
+  }
+
+  test("cep skip to next row: overlapping revisit matches all emit") {
+    import spark.implicits._
+    import graft.operators.Cep
+    val rows = Seq(
+      (1L, 1000000L, 1L, "view"), (1L, 2000000L, 2L, "click"),
+      (1L, 3000000L, 3L, "view"), (1L, 4000000L, 4L, "click"),
+      (1L, 5000000L, 5L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pat = Seq(Cep.Step("view", plus = false),
+      Cep.Step("click", plus = false), Cep.Step("view", plus = false))
+    val skipPast = Cep.cepMatchOf(rows, pat, windowUs = 10000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
+    val skipNext = Cep.cepMatchOf(rows, pat, windowUs = 10000000L,
+      skipToNext = true)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
+    assert(skipPast == Seq((1L, 3L)))
+    assert(skipNext.sorted == Seq((1L, 3L), (3L, 5L)))
+  }
+
   test("bpe batched: a round's operands and outputs are all distinct") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

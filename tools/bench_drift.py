@@ -17,12 +17,21 @@ Reference medians come from the latest BENCH_STEADY.json entry (or a
 a second steady entry via --vs-label). Output: one summary line for
 PLANS.md plus a table of flagged queries; exit 1 if anything flagged.
 
+With --retime, flagged queries are re-run in ISOLATION (min-of-2 via
+graft.BenchOne) and classified: a query whose isolated time lands back
+inside thresh x reference is the transient class (suite contention /
+RocksDB harness stall — the one-per-run pattern every round close has
+triaged by hand); one that reproduces is code-attributable. The
+verdict's PLANS note is then the tool's own output, and the isolated
+times are annotated onto the steady entry ("retimes" field).
+
 Usage:
   tools/bench_drift.py                 # BENCH_FULL.json vs latest steady
   tools/bench_drift.py --label r10     # pick the steady reference entry
   tools/bench_drift.py --vs-label r11  # steady-vs-steady comparison
+  tools/bench_drift.py --retime        # isolation re-time flagged queries
 """
-import argparse, json, statistics, sys
+import argparse, json, re, statistics, subprocess, sys
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--steady", default="BENCH_STEADY.json")
@@ -32,6 +41,10 @@ ap.add_argument("--label", default=None,
 ap.add_argument("--vs-label", default=None,
                 help="compare this steady entry instead of BENCH_FULL")
 ap.add_argument("--thresh", type=float, default=2.0)
+ap.add_argument("--retime", action="store_true",
+                help="re-run flagged queries in isolation and classify")
+ap.add_argument("--sfdir", default="/root/testdata/sf0.1",
+                help="sf dir for --retime runs")
 args = ap.parse_args()
 
 entries = json.load(open(args.steady))
@@ -68,4 +81,45 @@ for q, norm, raw in flagged:
 if not flagged:
     print("[drift] all per-query drift within the run's host window — "
           "no code-attributable regressions")
+
+if flagged and args.retime:
+    names = [q for q, _, _ in flagged]
+    print(f"[drift] isolation re-time (min-of-2, BenchOne): {names}")
+    env = dict(__import__("os").environ, SPARK_GRAFT_CPUS="32")
+    out = subprocess.run(
+        ["sbt", "-batch", "runMain graft.BenchOne " + args.sfdir + " "
+         + " ".join(names)],
+        capture_output=True, text=True, env=env)
+    times = {}
+    for m in re.finditer(r"\[benchone\] (\S+) run\d: ([0-9.]+) s",
+                         out.stdout):
+        q, t = m.group(1), float(m.group(2))
+        times[q] = min(times.get(q, t), t)
+    retimes, persistent = {}, []
+    for q in names:
+        if q not in times:
+            print(f"  RETIME {q}: no BenchOne result (run failed?)")
+            persistent.append(q)
+            continue
+        iso = times[q]
+        refm = ref["medians"][q]
+        # the isolated run has its own (unknown) host window — compare
+        # raw against the reference median, no suite-H scaling
+        transient = iso <= args.thresh * refm
+        retimes[q] = round(iso, 3)
+        cls = "TRANSIENT (suite contention)" if transient \
+            else "PERSISTENT (code-attributable)"
+        print(f"  RETIME {q}: isolated {iso:.2f}s vs ref {refm:.2f}s -> {cls}")
+        if not transient:
+            persistent.append(q)
+    # annotate the steady entry the comparison keyed on
+    ref["retimes"] = retimes
+    json.dump(entries, open(args.steady, "w"), indent=1)
+    note = (f"flagged {len(flagged)}, isolation re-timed: "
+            + ", ".join(f"{q} {retimes.get(q, float('nan'))}s" for q in names)
+            + ("; PERSISTENT: " + ", ".join(persistent) if persistent
+               else "; all transient"))
+    print(f"[drift] PLANS note: {note}")
+    sys.exit(1 if persistent else 0)
+
 sys.exit(1 if flagged else 0)
