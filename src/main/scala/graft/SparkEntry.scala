@@ -401,6 +401,26 @@ object SparkEntry {
     // emit — provably differs from cep_revisit's SKIP PAST LAST ROW
     "cep_skip_next" ->
       ((s, dir) => graft.operators.Cep.cepSkipNext(s, dir)),
+    // AFTER MATCH SKIP TO FIRST click: the selective strategy between
+    // PAST LAST ROW and TO NEXT ROW (window-kill fallback binds)
+    "cep_skip_first" ->
+      ((s, dir) => graft.operators.Cep.cepSkipFirst(s, dir)),
+    // relaxed contiguity (Flink CEP followedBy): subsequence funnel,
+    // rows between steps skipped; window + non-overlap cuts both bind
+    "cep_followed_by" ->
+      ((s, dir) => graft.operators.Cep.cepFollowedBy(s, dir)),
+    // BACKTRACKING walk: view+ view (outside the collapse-closure
+    // class) — greedy back-off, window chunking, pending-tail rules
+    "cep_backtrack" ->
+      ((s, dir) => graft.operators.Cep.cepBacktrack(s, dir)),
+    // the streaming twin over the day-folded replay (3-min window)
+    "stream_cep_backtrack" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepBacktrackGate(s, dir)),
+    // the streaming twin over the day-folded replay (5-min window)
+    "stream_cep_followed" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepFollowedGate(s, dir)),
     // bounded-depth multi-source BFS over the sparse co-purchase graph
     // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
     "graph_bfs" ->
@@ -3022,8 +3042,11 @@ object SparkEntry {
         "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
         "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
         "MAX(rn) AS ern, COUNT(*) AS n, " +
-        "CAST(SUM(vc) AS BIGINT) AS sv FROM i GROUP BY 1, 2, 3), " +
+        "CAST(SUM(vc) AS BIGINT) AS sv, " +
+        "CAST(MIN(vc) AS BIGINT) AS mnv, " +
+        "CAST(MAX(vc) AS BIGINT) AS mxv FROM i GROUP BY 1, 2, 3), " +
         "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, g.sv, " +
+        "g.mnv, g.mxv, " +
         "fi.event_id AS first_id, fi.ts_us AS first_ts, fi.vc AS first_vc, " +
         "l.event_id AS last_id, l.ts_us AS last_ts, l.vc AS last_vc FROM g " +
         "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
@@ -3033,6 +3056,7 @@ object SparkEntry {
         "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
         "c.last_id AS c_id, c.last_vc AS c_vc, " +
         "CAST(v.n AS BIGINT) AS v_n, v.sv AS v_sv, " +
+        "v.mnv AS v_mn, v.mxv AS v_mx, " +
         "v.first_id AS v_first, v.last_id AS v_last, " +
         "p.first_id AS p_id, p.first_vc AS p_vc " +
         "FROM gi c " +
@@ -3045,17 +3069,203 @@ object SparkEntry {
         "SELECT user_id, start_event_id, start_ts_us, end_event_id, " +
         "end_ts_us, n_rows, CAST(0 AS INTEGER) AS step, " +
         "'click' AS symbol, CAST(1 AS BIGINT) AS cnt, c_vc AS sum_value_c, " +
+        "c_vc AS min_value_c, c_vc AS max_value_c, " +
         "c_id AS first_event_id, c_id AS last_event_id FROM m " +
         "UNION ALL SELECT user_id, start_event_id, start_ts_us, " +
         "end_event_id, end_ts_us, n_rows, CAST(1 AS INTEGER) AS step, " +
         "'view' AS symbol, v_n AS cnt, v_sv AS sum_value_c, " +
+        "v_mn AS min_value_c, v_mx AS max_value_c, " +
         "v_first AS first_event_id, v_last AS last_event_id FROM m " +
         "UNION ALL SELECT user_id, start_event_id, start_ts_us, " +
         "end_event_id, end_ts_us, n_rows, CAST(2 AS INTEGER) AS step, " +
         "'purchase' AS symbol, CAST(1 AS BIGINT) AS cnt, " +
-        "p_vc AS sum_value_c, p_id AS first_event_id, " +
-        "p_id AS last_event_id FROM m " +
+        "p_vc AS sum_value_c, p_vc AS min_value_c, p_vc AS max_value_c, " +
+        "p_id AS first_event_id, p_id AS last_event_id FROM m " +
         "ORDER BY user_id, start_ts_us, start_event_id, step"),
+    // SKIP TO FIRST click on view+ click view: per (view-island,
+    // single-click island, view-island) adjacency, ONE match starting
+    // at the leftmost window-valid view of the run (the automaton's
+    // window-kill fallback) and ending at the next island's first view
+    "cep_skip_first" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "cand AS (SELECT v.user_id, v.srn AS vsrn, v.ern AS vern, " +
+        "w.srn AS wsrn FROM g v " +
+        "JOIN g c ON c.user_id = v.user_id AND c.event_type = 'click' " +
+        "AND c.n = 1 AND c.srn = v.ern + 1 " +
+        "JOIN g w ON w.user_id = v.user_id AND w.event_type = 'view' " +
+        "AND w.srn = c.srn + 1 " +
+        "WHERE v.event_type = 'view'), " +
+        "wrow AS (SELECT cand.*, rw.event_id AS end_event_id, " +
+        "rw.ts_us AS end_ts FROM cand JOIN r rw " +
+        "ON rw.user_id = cand.user_id AND rw.rn = cand.wsrn), " +
+        "pick AS (SELECT w.user_id, w.vern, w.end_event_id, w.end_ts, " +
+        "MIN(rv.rn) AS srn FROM wrow w JOIN r rv " +
+        "ON rv.user_id = w.user_id AND rv.rn BETWEEN w.vsrn AND w.vern " +
+        "WHERE w.end_ts - rv.ts_us <= 86400000000 " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT p.user_id, rs.event_id AS start_event_id, " +
+        "rs.ts_us AS start_ts_us, p.end_event_id, p.end_ts AS end_ts_us, " +
+        "CAST(p.vern - p.srn + 3 AS BIGINT) AS n_rows " +
+        "FROM pick p JOIN r rs " +
+        "ON rs.user_id = p.user_id AND rs.rn = p.srn " +
+        "ORDER BY p.user_id, start_ts_us, start_event_id"),
+    // backtracking walk: per view island the greedy window-chunking
+    // recursion — e(start) = last view within the window; emit chunks
+    // resolved by a bounding row or a same-user row past the window;
+    // a final unbroken chunk stays pending (the streaming contract)
+    "cep_backtrack" ->
+      (        "WITH RECURSIVE r AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn FROM events), " +
+        "mx AS (SELECT user_id, MAX(rn) AS maxrn FROM r GROUP BY 1), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "v AS (SELECT user_id, isl, rn, event_id, ts_us FROM i " +
+        "WHERE event_type = 'view'), " +
+        "g0 AS (SELECT user_id, isl, MIN(rn) AS srn, MAX(rn) AS ern, " +
+        "COUNT(*) AS n FROM v GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "g AS (SELECT g0.*, CASE WHEN mx.maxrn > g0.ern THEN 1 ELSE 0 END " +
+        "AS broken FROM g0 JOIN mx ON mx.user_id = g0.user_id), " +
+        "ve AS (SELECT v.*, g.ern AS iern, g.broken, " +
+        "(SELECT MAX(v2.rn) FROM v v2 WHERE v2.user_id = v.user_id " +
+        "AND v2.isl = v.isl AND v2.rn > v.rn " +
+        "AND v2.ts_us <= v.ts_us + 86400000000) AS e " +
+        "FROM v JOIN g ON g.user_id = v.user_id AND g.isl = v.isl), " +
+        "sel AS (SELECT user_id, isl, srn AS strt, ern FROM g " +
+        "UNION ALL SELECT s.user_id, s.isl, " +
+        "(SELECT CASE WHEN ve.e IS NOT NULL THEN ve.e + 1 ELSE ve.rn + 1 END " +
+        "FROM ve WHERE ve.user_id = s.user_id AND ve.isl = s.isl " +
+        "AND ve.rn = s.strt) AS strt, s.ern FROM sel s " +
+        "WHERE (SELECT CASE WHEN ve.e IS NOT NULL THEN ve.e + 1 " +
+        "ELSE ve.rn + 1 END FROM ve WHERE ve.user_id = s.user_id " +
+        "AND ve.isl = s.isl AND ve.rn = s.strt) < s.ern) " +
+        "SELECT ve.user_id, ve.event_id AS start_event_id, " +
+        "ve.ts_us AS start_ts_us, we.event_id AS end_event_id, " +
+        "we.ts_us AS end_ts_us, CAST(ve.e - ve.rn + 1 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN ve ON ve.user_id = s.user_id AND ve.isl = s.isl " +
+        "AND ve.rn = s.strt " +
+        "JOIN v we ON we.user_id = s.user_id AND we.isl = s.isl " +
+        "AND we.rn = ve.e " +
+        "WHERE ve.e IS NOT NULL AND (ve.e < ve.iern OR ve.broken = 1) " +
+        "ORDER BY ve.user_id, start_ts_us, start_event_id"),
+    // the streaming twin on the folded corpus, 3-minute window
+    "stream_cep_backtrack" ->
+      (        "WITH RECURSIVE f AS (SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id % 16 AS BIGINT) AS user_id, epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 1704067200000000 AS tu, event_type FROM events), r AS (SELECT user_id, event_id, tu AS ts_us, event_type, row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS rn FROM f), " +
+        "mx AS (SELECT user_id, MAX(rn) AS maxrn FROM r GROUP BY 1), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "v AS (SELECT user_id, isl, rn, event_id, ts_us FROM i " +
+        "WHERE event_type = 'view'), " +
+        "g0 AS (SELECT user_id, isl, MIN(rn) AS srn, MAX(rn) AS ern, " +
+        "COUNT(*) AS n FROM v GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "g AS (SELECT g0.*, CASE WHEN mx.maxrn > g0.ern THEN 1 ELSE 0 END " +
+        "AS broken FROM g0 JOIN mx ON mx.user_id = g0.user_id), " +
+        "ve AS (SELECT v.*, g.ern AS iern, g.broken, " +
+        "(SELECT MAX(v2.rn) FROM v v2 WHERE v2.user_id = v.user_id " +
+        "AND v2.isl = v.isl AND v2.rn > v.rn " +
+        "AND v2.ts_us <= v.ts_us + 180000000) AS e " +
+        "FROM v JOIN g ON g.user_id = v.user_id AND g.isl = v.isl), " +
+        "sel AS (SELECT user_id, isl, srn AS strt, ern FROM g " +
+        "UNION ALL SELECT s.user_id, s.isl, " +
+        "(SELECT CASE WHEN ve.e IS NOT NULL THEN ve.e + 1 ELSE ve.rn + 1 END " +
+        "FROM ve WHERE ve.user_id = s.user_id AND ve.isl = s.isl " +
+        "AND ve.rn = s.strt) AS strt, s.ern FROM sel s " +
+        "WHERE (SELECT CASE WHEN ve.e IS NOT NULL THEN ve.e + 1 " +
+        "ELSE ve.rn + 1 END FROM ve WHERE ve.user_id = s.user_id " +
+        "AND ve.isl = s.isl AND ve.rn = s.strt) < s.ern) " +
+        "SELECT ve.user_id, ve.event_id AS start_event_id, " +
+        "ve.ts_us AS start_ts_us, we.event_id AS end_event_id, " +
+        "we.ts_us AS end_ts_us, CAST(ve.e - ve.rn + 1 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN ve ON ve.user_id = s.user_id AND ve.isl = s.isl " +
+        "AND ve.rn = s.strt " +
+        "JOIN v we ON we.user_id = s.user_id AND we.isl = s.isl " +
+        "AND we.rn = ve.e " +
+        "WHERE ve.e IS NOT NULL AND (ve.e < ve.iern OR ve.broken = 1) " +
+        "ORDER BY ve.user_id, start_ts_us, start_event_id"),
+    // relaxed contiguity: candidates = per click, the EARLIEST view
+    // after it then the EARLIEST purchase after that (subsequence,
+    // rows between steps skipped), window-valid; greedy SKIP PAST LAST
+    // selection via the recursive next-candidate walk (crn > prev prn)
+    "cep_followed_by" ->
+      ("WITH RECURSIVE r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "cand AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, p.rn AS prn, p.event_id AS eid, p.ts_us AS ets " +
+        "FROM r c " +
+        "JOIN r v ON v.user_id = c.user_id AND v.event_type = 'view' " +
+        "AND v.rn = (SELECT MIN(v2.rn) FROM r v2 " +
+        "WHERE v2.user_id = c.user_id AND v2.event_type = 'view' " +
+        "AND v2.rn > c.rn) " +
+        "JOIN r p ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' " +
+        "AND p.rn = (SELECT MIN(p2.rn) FROM r p2 " +
+        "WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase' " +
+        "AND p2.rn > v.rn) " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.ts_us - c.ts_us <= 43200000000), " +
+        "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
+        "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
+        "FROM cand), " +
+        "fs AS (SELECT user_id, MIN(crn) AS crn FROM cand " +
+        "GROUP BY user_id), " +
+        "sel AS (SELECT user_id, crn FROM fs " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.crn = s.crn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, " +
+        "n.sts AS start_ts_us, n.eid AS end_event_id, " +
+        "n.ets AS end_ts_us, CAST(3 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id " +
+        "AND n.crn = s.crn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // the streaming twin: same definitional candidates + greedy
+    // selection over the day-folded corpus, 5-minute window
+    "stream_cep_followed" ->
+      ("WITH RECURSIVE f AS (SELECT CAST(event_id AS BIGINT) " +
+        "AS event_id, CAST(user_id % 16 AS BIGINT) AS user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 " +
+        "+ 1704067200000000 AS tu, event_type, value FROM events), " +
+        "r AS (SELECT user_id, event_id, tu AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "cand AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, p.rn AS prn, p.event_id AS eid, p.ts_us AS ets " +
+        "FROM r c " +
+        "JOIN r v ON v.user_id = c.user_id AND v.event_type = 'view' " +
+        "AND v.rn = (SELECT MIN(v2.rn) FROM r v2 " +
+        "WHERE v2.user_id = c.user_id AND v2.event_type = 'view' " +
+        "AND v2.rn > c.rn) " +
+        "JOIN r p ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' " +
+        "AND p.rn = (SELECT MIN(p2.rn) FROM r p2 " +
+        "WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase' " +
+        "AND p2.rn > v.rn) " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.ts_us - c.ts_us <= 300000000), " +
+        "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
+        "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
+        "FROM cand), " +
+        "fs AS (SELECT user_id, MIN(crn) AS crn FROM cand " +
+        "GROUP BY user_id), " +
+        "sel AS (SELECT user_id, crn FROM fs " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.crn = s.crn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, " +
+        "n.sts AS start_ts_us, n.eid AS end_event_id, " +
+        "n.ets AS end_ts_us, CAST(3 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id " +
+        "AND n.crn = s.crn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
     // SKIP TO NEXT ROW on the revisit pattern: overlapping matches all
     // emit, so the answer is ALL window-valid contiguous triples — the
     // cep_revisit candidate CTE with its recursive skip-selection

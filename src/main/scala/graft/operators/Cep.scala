@@ -15,18 +15,23 @@ import org.apache.spark.sql.functions._
   * (matches never overlap); the optional window bounds last-row ts −
   * first-row ts, checked at completion.
   *
-  * SUPPORTED PATTERN CLASS, enforced by `require`: ADJACENT step
-  * symbols are distinct (so greedy consumption is deterministic — a
-  * row can never extend the current step AND open the next one) and
-  * the last step is `One` (a trailing OneOrMore has no greedy
-  * completion point). Non-adjacent repeats (A B A) are fully
-  * supported: the automaton is a shared-buffer matcher — it holds the
-  * current partial's rows and, on a mismatch or a window-killed
-  * completion, falls back to the next candidate start INSIDE the
-  * buffer (the leftmost-start preference MATCH_RECOGNIZE defines),
-  * which is exactly the partial-match buffering Flink's CEP NFA
-  * carries. Exactness is pinned by CepMachineProps against an
-  * independent try-every-start brute-force reference over random
+  * PATTERN CLASSES (r12: the full regex-greedy class is supported):
+  * patterns whose adjacent step symbols are distinct (the collapse-
+  * closure class, where greedy consumption is deterministic — a row
+  * can never extend the current step AND open the next one) run the
+  * O(buffer) greedy walk; patterns OUTSIDE the class (A A, A+ B? A,
+  * intersecting adjacent alternation sets) automatically take the
+  * memoized BACKTRACKING walk with identical regex-greedy semantics
+  * (see [[closureHolds]] and `walkBack`). Two requirements remain for
+  * every contiguous pattern: a required first step (candidate starts
+  * key on it) and a One last step (a trailing repeat has no greedy
+  * completion point on a stream). The automaton is a shared-buffer
+  * matcher — it holds the current partial's rows and, on a mismatch or
+  * a window-killed completion, falls back to the next candidate start
+  * INSIDE the buffer (the leftmost-start preference MATCH_RECOGNIZE
+  * defines), which is exactly the partial-match buffering Flink's CEP
+  * NFA carries. Exactness is pinned by CepMachineProps against
+  * independent brute-force AND java.util.regex references over random
   * patterns (repeats included), corpora, and windows.
   *
   * Scale shape: the SEGMENTED SEQUENTIAL SCAN family (see
@@ -70,34 +75,97 @@ object Cep {
   final case class CepMatch(user_id: Long, start_event_id: Long,
     start_ts_us: Long, end_event_id: Long, end_ts_us: Long, n_rows: Long)
 
-  private[graft] def validate(pattern: Seq[Step]): Unit = {
+  /** AFTER MATCH strategy — where matching resumes after an accepted
+    * match, MATCH_RECOGNIZE's full strategy set (Flink ships the same
+    * four): [[SkipPastLast]] drops the whole match (matches never
+    * overlap — the default); [[SkipToNextRow]] resumes at the row
+    * after the match's FIRST row (all overlapping matches emit);
+    * [[SkipToFirst]]/[[SkipToLast]] resume at the first/last row the
+    * given pattern step consumed — the selective middle ground (skips
+    * re-matches starting inside the prefix before that step, keeps
+    * ones from it onward). FIRST/LAST require `1 <= step` and a
+    * required step (`lo >= 1`): step 0 or an empty variable could
+    * resume at the match's own start and loop forever — the same
+    * cases Flink rejects at runtime, rejected here up front.
+    */
+  sealed trait AfterMatch extends Serializable
+  case object SkipPastLast extends AfterMatch
+  case object SkipToNextRow extends AfterMatch
+  final case class SkipToFirst(step: Int) extends AfterMatch
+  final case class SkipToLast(step: Int) extends AfterMatch
+
+  private[graft] def validateAfter(pattern: Seq[Step],
+      after: AfterMatch): Unit = {
+    def checkStep(s: Int, name: String): Unit = {
+      require(s >= 1 && s < pattern.length,
+        s"cep: $name step must be in [1, ${pattern.length - 1}] — " +
+          "resuming at step 0's first row would re-match the same start")
+      require(pattern(s).bounds._1 >= 1,
+        s"cep: $name target step must be required (lo >= 1) — an " +
+          "empty pattern variable has no first/last row to resume at")
+    }
+    after match {
+      case SkipToFirst(s) => checkStep(s, "SKIP TO FIRST")
+      case SkipToLast(s)  => checkStep(s, "SKIP TO LAST")
+      case _              => ()
+    }
+  }
+
+  /** Relaxed-contiguity (followedBy) pattern class: One steps only —
+    * see the [[Machine]] constructor note. Alternation and repeated
+    * symbols are fine (earliest-next parsing needs no closure rule).
+    */
+  private[graft] def validateSubseq(pattern: Seq[Step]): Unit = {
     require(pattern.nonEmpty, "cep: empty pattern")
-    // COLLAPSE-CLOSURE distinctness: any two steps separated only by
-    // OPTIONAL steps must have distinct symbols (with zero steps
-    // between, this is the plain adjacent-distinct rule). Optional
-    // steps can vanish, so such step pairs can become adjacent in a
-    // parse; if they shared a symbol, a row could extend/open either
-    // one and greedy consumption would need backtracking. Under the
-    // rule, consuming a matching row is always the unique viable
-    // choice: a parse that instead skips the current optional step
-    // must match the row at a later step reachable by skipping only
-    // optionals — whose symbol would equal the current step's,
-    // contradicting the rule. (The rule also stops a OneOrMore from
-    // overshooting into a same-symbol step behind a vanishing
-    // optional — e.g. A+ B? A is rejected, A B A stays supported.)
-    val pat = pattern.toIndexedSeq
-    for (i <- pat.indices) {
+    pattern.foreach { st =>
+      require(st.bounds == ((1, 1)),
+        "cep: relaxed contiguity (followedBy) supports One steps only " +
+          "— a quantified step has no deterministic greedy take when " +
+          "non-matching rows can sit inside its run")
+    }
+  }
+
+  /** COLLAPSE-CLOSURE distinctness: any two steps separated only by
+    * OPTIONAL steps have distinct symbols (with zero steps between,
+    * this is the plain adjacent-distinct rule). Optional steps can
+    * vanish, so such step pairs can become adjacent in a parse; if
+    * they shared a symbol, a row could extend/open either one and
+    * greedy consumption would need backtracking. Under the rule,
+    * consuming a matching row is always the unique viable choice: a
+    * parse that instead skips the current optional step must match the
+    * row at a later step reachable by skipping only optionals — whose
+    * symbol would equal the current step's, contradicting the rule.
+    * (The rule also stops a OneOrMore from overshooting into a
+    * same-symbol step behind a vanishing optional.)
+    *
+    * Patterns INSIDE the class run the O(buffer) greedy walk; patterns
+    * outside it (A A, A+ B? A, intersecting adjacent sets) fall back
+    * to the memoized BACKTRACKING walk — same semantics class as
+    * regex/Flink-NFA greedy matching (since r12 the class is a fast
+    * path, not a boundary).
+    */
+  private[graft] def closureHolds(pattern: IndexedSeq[Step]): Boolean =
+    pattern.indices.forall { i =>
       var j = i + 1
       var chain = true
-      while (chain && j < pat.length) {
-        require((pat(i).syms intersect pat(j).syms).isEmpty,
-          "cep: steps separated only by optional steps must have " +
-            "DISJOINT symbol sets (greedy consumption is otherwise " +
-            "ambiguous — fold A A into A+ or A)")
-        chain = pat(j).bounds._1 == 0
+      var ok = true
+      while (chain && j < pattern.length) {
+        ok = ok && (pattern(i).syms intersect pattern(j).syms).isEmpty
+        chain = pattern(j).bounds._1 == 0
         j += 1
       }
+      ok
     }
+
+  /** The checks every contiguous pattern needs regardless of walk
+    * strategy: non-empty, sane rep bounds, required first step
+    * (candidate starts and pruning key on it), One last step (a
+    * trailing repeat or optional has no greedy completion point even
+    * with backtracking — the walk could never commit).
+    */
+  private[graft] def validateCommon(pattern: Seq[Step]): Unit = {
+    require(pattern.nonEmpty, "cep: empty pattern")
+    val pat = pattern.toIndexedSeq
     pat.foreach { st =>
       st.rep.foreach { case (lo, hi) =>
         require(!st.plus && !st.opt,
@@ -114,6 +182,19 @@ object Cep {
     require(pat.last.bounds == ((1, 1)),
       "cep: last step must be One (a trailing repeat or optional has " +
         "no greedy completion point)")
+  }
+
+  /** The strict collapse-closure class check — [[validateCommon]] plus
+    * the closure rule. Retained for callers that want to ASSERT a
+    * pattern takes the O(buffer) greedy fast path rather than the
+    * backtracking walk.
+    */
+  private[graft] def validate(pattern: Seq[Step]): Unit = {
+    validateCommon(pattern)
+    require(closureHolds(pattern.toIndexedSeq),
+      "cep: steps separated only by optional steps must have " +
+        "DISJOINT symbol sets (greedy consumption is otherwise " +
+        "ambiguous — fold A A into A+ or A)")
   }
 
   /** The exact automaton both the batch fold and the streaming
@@ -140,17 +221,36 @@ object Cep {
     * join a future match, so they prune eagerly.
     */
   /** Per-step MEASURES of one match: rows the step consumed, their
-    * cents-value sum, and the step's first/last event ids (None when an
-    * optional step matched zero rows) — COUNT/SUM/FIRST/LAST over a
-    * pattern variable, MATCH_RECOGNIZE's measure primitives (AVG is
-    * sum/cnt downstream).
+    * cents-value sum and min/max, and the step's first/last event ids
+    * (None when an optional step matched zero rows) — COUNT/SUM/MIN/
+    * MAX/FIRST/LAST over a pattern variable, MATCH_RECOGNIZE's full
+    * measure primitive set (AVG is sum/cnt downstream).
     */
   final case class StepAgg(step: Int, symbol: String, cnt: Long,
-    sum_value_c: Long, first_event_id: Option[Long],
+    sum_value_c: Long, min_value_c: Option[Long],
+    max_value_c: Option[Long], first_event_id: Option[Long],
     last_event_id: Option[Long])
 
   private[graft] final class Machine(pattern: IndexedSeq[Step],
-      windowUs: Long, skipToNext: Boolean = false) extends Serializable {
+      windowUs: Long, after: AfterMatch = SkipPastLast,
+      contiguous: Boolean = true)
+      extends Serializable {
+    validateAfter(pattern, after)
+    // relaxed contiguity (Flink CEP's followedBy): rows between step
+    // matches are skipped, so a step run has no greedy termination
+    // point — restricted to One steps (alternation sets allowed,
+    // repeated symbols allowed: A B A and even A A are unambiguous
+    // under earliest-next subsequence semantics)
+    if (!contiguous) validateSubseq(pattern)
+    // rows outside the alphabet can never join a match in relaxed
+    // mode — they are dropped at the door (they still advance pruning)
+    private val alphabet: Set[String] = pattern.flatMap(_.syms).toSet
+    // patterns outside the collapse-closure class (A A, A+ B? A,
+    // intersecting adjacent symbol sets) take the memoized BACKTRACKING
+    // walk — regex-greedy semantics; closure patterns keep the O(n)
+    // greedy walk (behavior identical on that class, where exactly one
+    // parse per start exists)
+    private val backtrack = contiguous && !closureHolds(pattern)
     // (ts, id, tpe, value_c) — value_c rides along untouched by the
     // walk; MEASURES folds it per step span at completion
     private var buf = Vector.empty[(Long, Long, String, Long)]
@@ -175,7 +275,110 @@ object Cep {
       * consuming is the unique viable choice (validate's
       * collapse-closure rule — see there for the argument).
       */
-    private def walk(): Int = {
+    /** Relaxed-contiguity walk: each One step consumes the EARLIEST
+      * matching row at or after the previous step's row, skipping
+      * non-matching rows (which stay in the buffer for later starts).
+      * Deterministic without any symbol-distinctness rule — earliest-
+      * next is a unique choice, and parse existence is MONOTONE in the
+      * start (a later start's step rows are never earlier), which is
+      * what makes the leftmost-preference fold complete: a later
+      * start's match can never be ready while an earlier start's parse
+      * is still pending.
+      */
+    private def walkSubseq(): Int = {
+      var p = 0
+      var s = 0
+      while (s < pattern.length) {
+        while (p < buf.length && !pattern(s).matches(buf(p)._3)) p += 1
+        if (p >= buf.length) return Partial
+        spanOff(s) = p
+        spanLen(s) = 1
+        p += 1
+        s += 1
+      }
+      Complete
+    }
+
+    /** Memoized backtracking walk — regex-greedy semantics for
+      * patterns OUTSIDE the collapse-closure class. At each step,
+      * takes are tried LONGEST FIRST (greedy); on a dead end the walk
+      * backs off to a shorter take (the choice closure-class patterns
+      * never face). Two stream-correctness rules the batch-regex view
+      * doesn't have:
+      *
+      *   - A step whose run reaches the buffer end below its cap may
+      *     still grow with FUTURE rows; greedy must prefer that longer
+      *     take over any shorter-take completion available now, so the
+      *     walk returns Partial (wait) — UNLESS the window already
+      *     excludes future ends (fedTs > start + window), in which
+      *     case the decision is forced now.
+      *   - The window check lives INSIDE the walk (a parse ending
+      *     beyond the window is a dead branch, and a SHORTER take may
+      *     still fit — Flink's within() prunes NFA branches the same
+      *     way). Completions may therefore land MID-buffer: the
+      *     longest window-valid end can precede rows that arrived
+      *     after it. This is also why [[feedM]] skips the head ts
+      *     prune in backtrack mode: a stale head may still own a
+      *     window-valid mid-buffer completion, and this walk resolves
+      *     every stale head to Complete or Mismatch at the next feed,
+      *     which keeps state window-bounded without the prune.
+      *
+      * Memoizing failed (step, pos) states bounds the walk at
+      * O(|pattern| · |buffer|²) — Flink's shared-buffer NFA pays the
+      * same order per event.
+      */
+    private def walkBack(fedTs: Long): Int = {
+      val n = buf.length
+      if (n == 0) return Partial
+      val startTs = buf(0)._1
+      val futureOk = fedTs <= startTs + windowUs
+      val memo = Array.ofDim[Byte](pattern.length, n + 1)
+      def go(s: Int, p: Int): Int = {
+        if (s == pattern.length) {
+          // p >= 1: the first step is required (validateCommon)
+          return if (buf(p - 1)._1 - startTs <= windowUs) Complete
+            else Mismatch
+        }
+        if (memo(s)(p) != 0) return memo(s)(p)
+        val st = pattern(s)
+        val (lo, hi) = st.bounds
+        var c = 0
+        while (p + c < n && c < hi && st.matches(buf(p + c)._3)) c += 1
+        if (p + c >= n && c < hi && futureOk) {
+          // the run may still grow — greedy prefers the longer take
+          memo(s)(p) = 1
+          return Partial
+        }
+        // takes are tried LONGEST FIRST, so the first non-Mismatch
+        // outcome decides: Complete commits greedily; Partial means a
+        // longer-preferred branch is still undecidable (some run
+        // below it can grow with future rows), and committing to any
+        // SHORTER take now would violate greed — wait instead. The
+        // blocked shorter completion is not lost: when the longer
+        // branch resolves to Mismatch at a later feed (or the window
+        // forces futureOk false, which eliminates every Partial
+        // source), the loop reaches it then.
+        var take = c
+        while (take >= lo) {
+          go(s + 1, p + take) match {
+            case Complete =>
+              spanOff(s) = p; spanLen(s) = take
+              return Complete
+            case Partial =>
+              memo(s)(p) = 1
+              return Partial
+            case _ => take -= 1
+          }
+        }
+        memo(s)(p) = 2
+        Mismatch
+      }
+      go(0, 0)
+    }
+
+    private def walk(fedTs: Long): Int = {
+      if (!contiguous) return walkSubseq()
+      if (backtrack) return walkBack(fedTs)
       var p = 0
       var s = 0
       while (s < pattern.length) {
@@ -196,10 +399,15 @@ object Cep {
         if (c >= lo) { spanLen(s) = c; s += 1 }
         else return Mismatch
       }
-      // completion always lands on the last buffered row: the buffer
-      // held a strict partial before this row arrived (or was trimmed
-      // to a candidate-start suffix of one), so no rows can trail
-      if (p == buf.length) Complete else Mismatch
+      // Complete even if rows trail (p < buf.length). In the plain
+      // feed flow completion lands on the fed row (the buffer held a
+      // strict partial before it arrived), but a buffer RETAINED by an
+      // overlap after-match resume, or re-walked after a fallback, is
+      // an incremental REPLAY of already-seen rows — a parse ending
+      // mid-buffer is one that a fresh machine fed those rows one at a
+      // time would have emitted at its own completing feed, so it must
+      // count here too (the going-loop then continues on the rest).
+      Complete
     }
 
     /** Drop through the next candidate start (a pattern[0]-symbol row
@@ -218,50 +426,81 @@ object Cep {
         val off = spanOff(s)
         val len = spanLen(s)
         if (len == 0)
-          StepAgg(s, pattern(s).symbol, 0L, 0L, None, None)
+          StepAgg(s, pattern(s).symbol, 0L, 0L, None, None, None, None)
         else {
           var sum = 0L
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
           var i = off
-          while (i < off + len) { sum += buf(i)._4; i += 1 }
-          StepAgg(s, pattern(s).symbol, len.toLong, sum,
+          while (i < off + len) {
+            val v = buf(i)._4
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          StepAgg(s, pattern(s).symbol, len.toLong, sum, Some(mn), Some(mx),
             Some(buf(off)._2), Some(buf(off + len - 1)._2))
         }
       }.toList
 
     /** Feed one row; emits every match this row closes, each with its
       * per-step MEASURES. SKIP PAST LAST ROW machines emit at most one
-      * (acceptance clears the buffer); SKIP TO NEXT ROW machines
-      * restart at the row after the accepted match's FIRST row, so one
-      * fed row can close several overlapping matches (emitted in
-      * start order — the leftmost-preference scan order).
+      * (acceptance clears the buffer); the other strategies resume
+      * INSIDE the accepted match ([[AfterMatch]]), so one fed row can
+      * close several overlapping matches (emitted in start order —
+      * the leftmost-preference scan order).
       */
     def feedM(ts: Long, id: Long, tpe: String,
         valueC: Long): List[(CepMatch, List[StepAgg])] = {
-      // window prune: heads that can no longer start a completing match
-      while (buf.nonEmpty && ts - buf.head._1 > windowUs)
-        if (!dropToNextStart()) ()
+      // window prune: heads that can no longer start a completing
+      // match. Sound because in the greedy/subseq walks completions
+      // always land on the fed row (end ts >= ts, so a stale head's
+      // parse is window-dead). NOT sound in backtrack mode — a stale
+      // head may still own a window-valid MID-buffer completion — so
+      // there walkBack resolves stale heads itself (Complete or
+      // Mismatch at this very feed; see its scaladoc).
+      if (!backtrack)
+        while (buf.nonEmpty && ts - buf.head._1 > windowUs)
+          if (!dropToNextStart()) ()
+      // relaxed mode: a row outside the alphabet can never join a
+      // match — skip it after the prune. No re-walk is needed: parse
+      // existence is monotone in the start (walkSubseq's doc), so a
+      // pruned head can never have been shadowing a completed later
+      // start — pending completions only arise at alphabet feeds.
+      if (!contiguous && !alphabet.contains(tpe)) return Nil
       buf = buf :+ ((ts, id, tpe, valueC))
       val out = scala.collection.mutable.ListBuffer
         .empty[(CepMatch, List[StepAgg])]
       var going = true
       while (going) {
-        walk() match {
+        walk(ts) match {
           case Partial => going = false
           case Complete =>
-            val (sTs, sId, _, _) = buf.head
-            if (ts - sTs <= windowUs) {
-              out += ((CepMatch(-1L, sId, sTs, id, ts, buf.length.toLong),
-                stepAggs()))
-              if (skipToNext) {
-                // resume at the row after the match's first row; the
-                // retained suffix may close further matches at this
-                // same fed row — keep walking
-                buf = buf.drop(1)
-                going = buf.nonEmpty
-              } else {
-                buf = Vector.empty // SKIP PAST LAST ROW
-                going = false
+            // match boundaries from the walk's spans (start = step 0's
+            // first row; end = the last step's last row — in the
+            // contiguous walk these are the buffer head and tail)
+            val endIdx = spanOff(pattern.length - 1) +
+              spanLen(pattern.length - 1) - 1
+            val (sTs, sId, _, _) = buf(spanOff(0))
+            val (eTs, eId, _, _) = buf(endIdx)
+            if (eTs - sTs <= windowUs) {
+              var n = 0L
+              var s = 0
+              while (s < pattern.length) { n += spanLen(s); s += 1 }
+              out += ((CepMatch(-1L, sId, sTs, eId, eTs, n), stepAggs()))
+              // resume point per strategy; every case drops >= 1 row
+              // (validateAfter), so the loop strictly progresses —
+              // the retained suffix may close further matches at this
+              // same fed row, keep walking
+              val resume = after match {
+                case SkipPastLast   => endIdx + 1
+                case SkipToNextRow  => spanOff(0) + 1
+                case SkipToFirst(k) => spanOff(k)
+                case SkipToLast(k)  => spanOff(k) + spanLen(k) - 1
               }
+              buf = buf.drop(resume)
+              going = buf.nonEmpty
             } else if (!dropToNextStart()) going = false
           case _ =>
             if (!dropToNextStart()) going = false
@@ -279,15 +518,39 @@ object Cep {
   }
 
   /** Library form over any (user_id, ts, event_id, event_type) frame.
-    * `skipToNext` selects the AFTER MATCH strategy: false = SKIP PAST
-    * LAST ROW (matches never overlap — the default everywhere above);
-    * true = SKIP TO NEXT ROW (resume at the row after the accepted
-    * match's first row, so overlapping matches all emit — Flink's
-    * second MATCH_RECOGNIZE strategy).
+    * `after` selects the AFTER MATCH strategy — see [[AfterMatch]]
+    * (default SKIP PAST LAST ROW, matches never overlap).
     */
   def cepMatchOf(events: DataFrame, pattern: Seq[Step],
-      windowUs: Long, skipToNext: Boolean = false): Dataset[CepMatch] = {
-    validate(pattern)
+      windowUs: Long, after: AfterMatch = SkipPastLast)
+      : Dataset[CepMatch] = {
+    validateCommon(pattern)
+    matchInternal(events, pattern, windowUs, after, contiguous = true)
+  }
+
+  /** RELAXED-CONTIGUITY pattern matching — Flink CEP's `followedBy`
+    * class: rows between step matches are skipped (each step takes the
+    * EARLIEST matching row after the previous step's), vs
+    * [[cepMatchOf]]'s MATCH_RECOGNIZE strict contiguity where an
+    * intervening non-matching row breaks the partial. One steps only
+    * (alternation sets allowed; repeated symbols allowed — no
+    * collapse-closure rule is needed because earliest-next subsequence
+    * parsing is deterministic by construction). Same scale shape: one
+    * key shuffle + segmented scan; per-key state is bounded by the
+    * window span of ALPHABET rows only — rows outside the pattern's
+    * symbols are dropped at the door, never buffered.
+    */
+  def cepFollowedByOf(events: DataFrame, pattern: Seq[Step],
+      windowUs: Long, after: AfterMatch = SkipPastLast)
+      : Dataset[CepMatch] = {
+    validateSubseq(pattern)
+    matchInternal(events, pattern, windowUs, after, contiguous = false)
+  }
+
+  private def matchInternal(events: DataFrame, pattern: Seq[Step],
+      windowUs: Long, after: AfterMatch, contiguous: Boolean)
+      : Dataset[CepMatch] = {
+    validateAfter(pattern, after)
     val ss = events.sparkSession
     import ss.implicits._
     val pat = pattern.toIndexedSeq
@@ -302,7 +565,7 @@ object Cep {
         var m: Machine = null
         it.flatMap { case (u, ts, id, tpe) =>
           if (m == null || u != key) {
-            key = u; m = new Machine(pat, windowUs, skipToNext)
+            key = u; m = new Machine(pat, windowUs, after, contiguous)
           }
           m.feedM(ts, id, tpe, 0L).map(_._1.copy(user_id = u))
         }
@@ -316,20 +579,21 @@ object Cep {
   final case class CepMeasured(user_id: Long, start_event_id: Long,
     start_ts_us: Long, end_event_id: Long, end_ts_us: Long, n_rows: Long,
     step: Int, symbol: String, cnt: Long, sum_value_c: Long,
+    min_value_c: Option[Long], max_value_c: Option[Long],
     first_event_id: Option[Long], last_event_id: Option[Long])
 
   /** MATCH_RECOGNIZE MEASURES — [[cepMatchOf]] with per-step
     * aggregates over the pattern variables: one output row per
-    * (match, step), carrying COUNT/SUM/FIRST/LAST of the rows that
-    * step consumed (AVG is sum/cnt downstream; value is the events
+    * (match, step), carrying COUNT/SUM/MIN/MAX/FIRST/LAST of the rows
+    * that step consumed (AVG is sum/cnt downstream; value is the events
     * `value` in exact cents). The automaton already buffers the match
     * rows, so the measures are a driver-free fold over the completed
     * walk's step spans — same shuffle shape as the match-only form
     * (one key repartition, per-partition sort, segmented scan).
     */
   def cepMeasuresOf(events: DataFrame, pattern: Seq[Step],
-      windowUs: Long, skipToNext: Boolean = false): Dataset[CepMeasured] = {
-    validate(pattern)
+      windowUs: Long, after: AfterMatch = SkipPastLast): Dataset[CepMeasured] = {
+    validateCommon(pattern)
     val ss = events.sparkSession
     import ss.implicits._
     val pat = pattern.toIndexedSeq
@@ -345,12 +609,13 @@ object Cep {
         var m: Machine = null
         it.flatMap { case (u, ts, id, tpe, vc) =>
           if (m == null || u != key) {
-            key = u; m = new Machine(pat, windowUs, skipToNext)
+            key = u; m = new Machine(pat, windowUs, after)
           }
           m.feedM(ts, id, tpe, vc).flatMap { case (c, aggs) =>
             aggs.map(a => CepMeasured(u, c.start_event_id, c.start_ts_us,
               c.end_event_id, c.end_ts_us, c.n_rows,
               a.step, a.symbol, a.cnt, a.sum_value_c,
+              a.min_value_c, a.max_value_c,
               a.first_event_id, a.last_event_id))
           }
         }
@@ -488,7 +753,70 @@ object Cep {
     cepMatchOf(graft.Tables.t(s, dir, "events"),
       Seq(Step("view", plus = false), Step("click", plus = false),
         Step("view", plus = false)),
-      windowUs = 24L * 3600 * 1000000, skipToNext = true)
+      windowUs = 24L * 3600 * 1000000, after = SkipToNextRow)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_skip_first — AFTER MATCH SKIP TO FIRST click on
+    * view+ click view (24 h): acceptance resumes at the click row, so
+    * the view-run suffix re-matches SKIP TO NEXT ROW would emit are
+    * skipped, but a chain continuing from the trailing view still
+    * emits — the selective strategy, provably between the other two
+    * (Round12Spec pins a corpus where all three differ). On the gate
+    * corpus the answer is definitional: one match per (view-island,
+    * single-click island, view-island) adjacency, starting at the
+    * island's LEFTMOST window-valid view (the window-kill fallback
+    * binds: 2 of the 50 emitting candidates at sf0.01 lose their
+    * leftmost start to the 24 h window and emit a later one; 24
+    * candidates die entirely).
+    */
+  def cepSkipFirst(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("view", plus = true), Step("click", plus = false),
+        Step("view", plus = false)),
+      windowUs = 24L * 3600 * 1000000, after = SkipToFirst(1))
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_followed_by — the RELAXED-CONTIGUITY funnel (click → view →
+    * purchase with arbitrary rows between steps, 12 h window, SKIP
+    * PAST LAST ROW): each step takes the earliest matching row after
+    * the previous step's. Both selection mechanisms bind at sf0.01:
+    * the window kills 1677 of 1722 subsequence parses, and the greedy
+    * non-overlap cut drops 3 of the 45 valid candidates (42 emit).
+    * The oracle is the definitional candidate set (per click, the
+    * earliest following view then earliest following purchase) under
+    * the same recursive greedy selection cep_revisit uses.
+    */
+  def cepFollowedBy(s: SparkSession, dir: String): DataFrame =
+    cepFollowedByOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click", plus = false), Step("view", plus = false),
+        Step("purchase", plus = false)),
+      windowUs = 12L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_backtrack — a pattern OUTSIDE the collapse-closure class:
+    * view+ view (adjacent same symbol — regex `a+a`), 24 h window.
+    * Greedy view+ must BACK OFF one row so the final One step can take
+    * the run's last view, and the in-walk window check makes the
+    * backtracking bind further: a run spanning beyond the window emits
+    * the LONGEST window-valid prefix, then re-chunks the remainder
+    * under SKIP PAST LAST. A chunk RESOLVES when a later row proves it
+    * can't grow — a non-view row bounding the run, or any same-user
+    * row past the chunk start's window; a final chunk reaching an
+    * unbroken end-of-data run stays pending forever (exactly the
+    * streaming contract — greed needs the next row to commit). Every
+    * mechanism binds at sf0.01 / 24 h: 280 chunks emit, 5 multi-chunk
+    * islands, 32 interior starts skipped by the start-advance
+    * fallback, 5 end-of-data chunks withheld — while one end-of-data
+    * island whose run outlives the window DOES emit its resolved
+    * prefix chunk (the resolution rule cuts both ways).
+    */
+  def cepBacktrack(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("view", plus = true), Step("view", plus = false)),
+      windowUs = 24L * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

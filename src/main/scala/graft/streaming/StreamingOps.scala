@@ -2044,7 +2044,9 @@ object StreamingOps {
     * stream.
     */
   class CepStreamProcessor(pattern: IndexedSeq[graft.operators.Cep.Step],
-      windowUs: Long, skipToNext: Boolean = false)
+      windowUs: Long,
+      after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
+      contiguous: Boolean = true)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, String), graft.operators.Cep.CepMatch] {
     @transient private var buf:
@@ -2105,7 +2107,7 @@ object StreamingOps {
       if (wmUs <= already) return Iterator.empty
       val ripe = buf.iterator().toList.filter(_._1 <= wmUs).sortBy(_._1)
       if (ripe.isEmpty) { drained.update(wmUs); return Iterator.empty }
-      val m = new graft.operators.Cep.Machine(pattern, windowUs, skipToNext)
+      val m = new graft.operators.Cep.Machine(pattern, windowUs, after, contiguous)
       if (mstate.exists()) m.restore(mstate.get())
       val out = scala.collection.mutable.ArrayBuffer.empty[
         graft.operators.Cep.CepMatch]
@@ -2131,8 +2133,12 @@ object StreamingOps {
   def cepStream(events: Dataset[(Long, Long, Long, String)],
       pattern: Seq[graft.operators.Cep.Step],
       windowUs: Long,
-      skipToNext: Boolean = false): Dataset[graft.operators.Cep.CepMatch] = {
-    graft.operators.Cep.validate(pattern)
+      after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
+      contiguous: Boolean = true)
+      : Dataset[graft.operators.Cep.CepMatch] = {
+    if (contiguous) graft.operators.Cep.validateCommon(pattern)
+    else graft.operators.Cep.validateSubseq(pattern)
+    graft.operators.Cep.validateAfter(pattern, after)
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_micros(col("_2")))
@@ -2141,7 +2147,7 @@ object StreamingOps {
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .transformWithState(
-        new CepStreamProcessor(pattern.toIndexedSeq, windowUs, skipToNext),
+        new CepStreamProcessor(pattern.toIndexedSeq, windowUs, after, contiguous),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
@@ -3106,6 +3112,60 @@ object StreamingOps {
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
   }
 
+  /** stream_cep_backtrack gate — the STREAMING twin of
+    * `cep_backtrack`: view+ view (outside the collapse-closure class,
+    * so the machine auto-selects the memoized BACKTRACKING walk) over
+    * the day-folded replay with a 3-minute window. The backtracking
+    * resolution rules run against real micro-batch state: chunks
+    * resolve at the bounding row or at the first same-user row past
+    * the chunk window, mid-buffer completions cross the batch seam
+    * through the ValueState snapshot, and a final unbroken run stays
+    * pending (the flush row only advances the watermark — it is
+    * another user's key, so per-user greed correctly never commits).
+    */
+  def streamCepBacktrackGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 180000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush")
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStream(ds,
+        Seq(graft.operators.Cep.Step("view", plus = true),
+          graft.operators.Cep.Step("view", plus = false)),
+        windowUs).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
+  /** stream_cep_followed gate — the STREAMING twin of
+    * `cep_followed_by`: the relaxed-contiguity funnel (click → view →
+    * purchase, rows between steps skipped, 5-minute window, SKIP PAST
+    * LAST ROW) over the day-folded replay. Non-alphabet rows (signup,
+    * error) are dropped at the machine's door, so the per-key state is
+    * window-bounded over alphabet rows only; the subsequence walk and
+    * its kill-fallback cross the micro-batch seam through the same
+    * ValueState snapshot as the contiguous gates. Both cuts bind on
+    * the fixture: 147 window-valid parses, 117 survive non-overlap.
+    */
+  def streamCepFollowedGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 300000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush")
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStream(ds,
+        Seq(graft.operators.Cep.Step("click", plus = false),
+          graft.operators.Cep.Step("view", plus = false),
+          graft.operators.Cep.Step("purchase", plus = false)),
+        windowUs, contiguous = false).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
   /** stream_cep_skip gate — the STREAMING twin of `cep_skip_next`:
     * the revisit pattern (view → click → view) under AFTER MATCH SKIP
     * TO NEXT ROW over the day-folded replay (10-minute window).
@@ -3127,7 +3187,7 @@ object StreamingOps {
         Seq(graft.operators.Cep.Step("view", plus = false),
           graft.operators.Cep.Step("click", plus = false),
           graft.operators.Cep.Step("view", plus = false)),
-        windowUs, skipToNext = true).toDF())
+        windowUs, after = graft.operators.Cep.SkipToNextRow).toDF())
       .filter(col("user_id") >= 0L)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
   }

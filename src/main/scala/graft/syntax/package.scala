@@ -330,8 +330,28 @@ package object syntax {
       * event_type) columns. Pattern symbols must be pairwise distinct
       * and the last step One — see [[operators.Cep]].
       */
-    def cepMatch(pattern: Seq[operators.Cep.Step], windowUs: Long): DataFrame =
-      operators.Cep.cepMatchOf(df, pattern, windowUs).toDF()
+    def cepMatch(pattern: Seq[operators.Cep.Step], windowUs: Long,
+        after: operators.Cep.AfterMatch = operators.Cep.SkipPastLast)
+        : DataFrame =
+      operators.Cep.cepMatchOf(df, pattern, windowUs, after).toDF()
+
+    /** Per-match per-step MEASURES (COUNT/SUM of cents value/FIRST/
+      * LAST event id) — [[operators.Cep.cepMeasuresOf]]; expects the
+      * cepMatch columns plus `value`.
+      */
+    def cepMeasures(pattern: Seq[operators.Cep.Step], windowUs: Long,
+        after: operators.Cep.AfterMatch = operators.Cep.SkipPastLast)
+        : DataFrame =
+      operators.Cep.cepMeasuresOf(df, pattern, windowUs, after).toDF()
+
+    /** Relaxed-contiguity pattern matches (Flink CEP `followedBy`:
+      * rows between steps are skipped; One steps only) — see
+      * [[operators.Cep.cepFollowedByOf]].
+      */
+    def cepFollowedBy(pattern: Seq[operators.Cep.Step], windowUs: Long,
+        after: operators.Cep.AfterMatch = operators.Cep.SkipPastLast)
+        : DataFrame =
+      operators.Cep.cepFollowedByOf(df, pattern, windowUs, after).toDF()
   }
 
   implicit class GraftEntityOps(private val df: DataFrame) {

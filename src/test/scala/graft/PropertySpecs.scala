@@ -453,17 +453,21 @@ object CepMachineProps extends Properties("CepMachine") {
       }
     }
 
-  /** Brute twin with MEASURES and both after-match strategies: at each
-    * start, the same maximal-greed walk, but recording each step's
-    * (cnt, value sum, first/last id); on success jump past the last
-    * row (SKIP PAST LAST ROW) or to start + 1 (SKIP TO NEXT ROW).
-    * Shares no code with the Machine.
+  /** Brute twin with MEASURES and all four after-match strategies: at
+    * each start, the same maximal-greed walk, but recording each
+    * step's (cnt, value sum, first/last id); on success the next start
+    * index follows the strategy — past the last row, start + 1, or
+    * the chosen step's first/last consumed row. Shares no code with
+    * the Machine.
     */
+  private type BruteAgg =
+    (Long, Long, Option[Long], Option[Long], Option[Long], Option[Long])
+
   private def bruteMeasured(rows: IndexedSeq[(Long, Long, String, Long)],
-      pat: IndexedSeq[Cep.Step], windowUs: Long, skipToNext: Boolean)
-      : List[(Long, Long, List[(Long, Long, Option[Long], Option[Long])])] = {
+      pat: IndexedSeq[Cep.Step], windowUs: Long, after: Cep.AfterMatch)
+      : List[(Long, Long, List[BruteAgg])] = {
     val out = scala.collection.mutable.ListBuffer
-      .empty[(Long, Long, List[(Long, Long, Option[Long], Option[Long])])]
+      .empty[(Long, Long, List[BruteAgg])]
     var i = 0
     while (i < rows.length) {
       var j = i
@@ -481,17 +485,25 @@ object CepMachineProps extends Properties("CepMachine") {
         }
       }
       if (ok && rows(j - 1)._1 - rows(i)._1 <= windowUs) {
-        val aggs = spans.toList.map { case (off, c) =>
-          if (c == 0) (0L, 0L, None, None)
+        val aggs: List[BruteAgg] = spans.toList.map { case (off, c) =>
+          if (c == 0) (0L, 0L, None, None, None, None)
           else {
             val slice = rows.slice(off, off + c)
             (c.toLong, slice.map(_._4).sum,
+              Some(slice.map(_._4).min): Option[Long],
+              Some(slice.map(_._4).max): Option[Long],
               Some(slice.head._2): Option[Long],
               Some(slice.last._2): Option[Long])
           }
         }
         out += ((rows(i)._2, rows(j - 1)._2, aggs))
-        i = if (skipToNext) i + 1 else j
+        val sp = spans.toIndexedSeq
+        i = after match {
+          case Cep.SkipPastLast   => j
+          case Cep.SkipToNextRow  => i + 1
+          case Cep.SkipToFirst(k) => sp(k)._1
+          case Cep.SkipToLast(k)  => sp(k)._1 + sp(k)._2 - 1
+        }
       } else i += 1
     }
     out.toList
@@ -503,32 +515,259 @@ object CepMachineProps extends Properties("CepMachine") {
       vals <- Gen.listOfN(rows.length, Gen.chooseNum(-99L, 99L))
     } yield rows.zip(vals).map { case ((t, i, s), v) => (t, i, s, v) }
 
-  property("machine MEASURES == brute per-step aggregates (both strategies)") =
-    forAll(genValuedRows, genPattern, Gen.chooseNum(5L, 2000L),
-        Gen.oneOf(true, false)) { (rows, pat, win, skipNext) =>
-      !validPat(pat) || {
-        val m = new Cep.Machine(pat, win, skipNext)
+  /** A strategy valid for the pattern: FIRST/LAST only target required
+    * steps at index >= 1 (validateAfter's rule); falls back to the two
+    * always-valid strategies when the pattern has no eligible step.
+    */
+  private def genAfter(pat: IndexedSeq[Cep.Step]): Gen[Cep.AfterMatch] = {
+    val eligible = (1 until pat.length).filter(pat(_).bounds._1 >= 1)
+    val base: List[Gen[Cep.AfterMatch]] =
+      List(Gen.const(Cep.SkipPastLast), Gen.const(Cep.SkipToNextRow))
+    val targeted: List[Gen[Cep.AfterMatch]] =
+      if (eligible.isEmpty) Nil
+      else List(
+        Gen.oneOf(eligible).map(Cep.SkipToFirst(_): Cep.AfterMatch),
+        Gen.oneOf(eligible).map(Cep.SkipToLast(_): Cep.AfterMatch))
+    Gen.oneOf(base ++ targeted).flatMap(identity)
+  }
+
+  property("machine MEASURES == brute per-step aggregates (all 4 strategies)") =
+    forAll(genValuedRows, genPattern, Gen.chooseNum(5L, 2000L)) {
+      (rows, pat, win) =>
+      if (!validPat(pat)) Prop.passed
+      else forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, win, after)
         val got = rows.flatMap { case (ts, id, tpe, vc) =>
           m.feedM(ts, id, tpe, vc)
         }.map { case (c, aggs) =>
           (c.start_event_id, c.end_event_id,
             aggs.map(a => (a.cnt, a.sum_value_c,
+              a.min_value_c, a.max_value_c,
               a.first_event_id, a.last_event_id)))
         }.toList
-        got == bruteMeasured(rows, pat, win, skipNext)
+        got == bruteMeasured(rows, pat, win, after)
       }
     }
 
   property("SKIP TO NEXT ROW == brute overlapping selection") =
     forAll(genPattern, genRows, Gen.chooseNum(5L, 2000L)) { (pat, rows, win) =>
       !validPat(pat) || {
-        val m = new Cep.Machine(pat, win, skipToNext = true)
+        val m = new Cep.Machine(pat, win, Cep.SkipToNextRow)
         val got = rows.flatMap { case (ts, id, tpe) =>
           m.feedM(ts, id, tpe, 0L)
         }.map(p => (p._1.start_event_id, p._1.end_event_id)).toList
         got.sorted == bruteMeasured(
           rows.map(r => (r._1, r._2, r._3, 0L)), pat, win,
-          skipToNext = true).map(t => (t._1, t._2)).sorted
+          Cep.SkipToNextRow).map(t => (t._1, t._2)).sorted
+      }
+    }
+
+  /** RELAXED-CONTIGUITY brute: One-step patterns, each step takes the
+    * EARLIEST matching row after the previous step's (rows between are
+    * skipped); starts tried left to right, resume per strategy over
+    * the consumed rows' absolute positions. Independent of the
+    * Machine's subsequence walk.
+    */
+  private def bruteSubseq(rows: IndexedSeq[(Long, Long, String)],
+      pat: IndexedSeq[Cep.Step], windowUs: Long, after: Cep.AfterMatch)
+      : List[(Long, Long)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < rows.length) {
+      if (!pat(0).matches(rows(i)._3)) i += 1
+      else {
+        val taken = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var j = i
+        var ok = true
+        pat.foreach { st =>
+          if (ok) {
+            while (j < rows.length && !st.matches(rows(j)._3)) j += 1
+            if (j >= rows.length) ok = false
+            else { taken += j; j += 1 }
+          }
+        }
+        if (ok && rows(taken.last)._1 - rows(taken.head)._1 <= windowUs) {
+          out += ((rows(taken.head)._2, rows(taken.last)._2))
+          i = after match {
+            case Cep.SkipPastLast   => taken.last + 1
+            case Cep.SkipToNextRow  => taken.head + 1
+            case Cep.SkipToFirst(k) => taken(k)
+            case Cep.SkipToLast(k)  => taken(k)
+          }
+        } else i += 1
+      }
+    }
+    out.toList
+  }
+
+  /** One-step patterns for the relaxed mode: repeated symbols allowed
+    * (A B A, even A A), occasional alternation sets.
+    */
+  private val genSubseqPattern: Gen[IndexedSeq[Cep.Step]] = for {
+    n <- Gen.chooseNum(1, 4)
+    syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    altFlags <- Gen.listOfN(n, Gen.prob(0.3))
+    altSyms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+  } yield syms.zipWithIndex.map { case (s, i) =>
+    Cep.Step(s, plus = false,
+      alt = if (altFlags(i) && altSyms(i) != s) Set(altSyms(i))
+        else Set.empty)
+  }.toIndexedSeq
+
+  property("followedBy machine == brute subsequence (all 4 strategies)") =
+    forAll(genSubseqPattern, genRows, Gen.chooseNum(5L, 2000L)) {
+      (pat, rows, win) =>
+      forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, win, after, contiguous = false)
+        val got = rows.flatMap { case (ts, id, tpe) =>
+          m.feedM(ts, id, tpe, 0L)
+        }.map(p => (p._1.start_event_id, p._1.end_event_id)).toList
+        got == bruteSubseq(rows, pat, win, after)
+      }
+    }
+
+  /** Patterns WITHOUT the closure repair — the backtracking class
+    * (A A, A+ B? A, intersecting adjacent sets all allowed). Only the
+    * strategy-independent requirements hold: required first step, One
+    * last step, sane rep bounds.
+    */
+  private val genAnyPattern: Gen[IndexedSeq[Cep.Step]] = for {
+    n <- Gen.chooseNum(1, 4)
+    syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    plusFlags <- Gen.listOfN(n, Gen.oneOf(true, false))
+    optFlags <- Gen.listOfN(n, Gen.prob(0.3))
+    altFlags <- Gen.listOfN(n, Gen.prob(0.3))
+    altSyms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    repFlags <- Gen.listOfN(n, Gen.prob(0.25))
+    repLos <- Gen.listOfN(n, Gen.chooseNum(0, 2))
+    repSpans <- Gen.listOfN(n, Gen.chooseNum(0, 2))
+  } yield (0 until n).map { i =>
+    val first = i == 0
+    val last = i == n - 1
+    val withRep = repFlags(i) && !last
+    Cep.Step(syms(i),
+      plus = !withRep && plusFlags(i) && !last,
+      opt = !withRep && optFlags(i) && !first && !last,
+      alt = if (altFlags(i) && altSyms(i) != syms(i)) Set(altSyms(i))
+        else Set.empty,
+      rep = if (withRep) {
+        val lo = math.max(if (first) 1 else 0, repLos(i))
+        Some((lo, math.max(1, lo + repSpans(i))))
+      } else None)
+  }.toIndexedSeq
+
+  /** java.util.regex IS a backtracking-greedy matcher — the fully
+    * independent reference for the backtracking class (window-free;
+    * the windowed twin below uses the DFS brute). Each step compiles
+    * to a capturing group over its symbol class with a greedy
+    * quantifier; starts are scanned left to right with an anchored
+    * lookingAt; strategy resume indices come from the group spans.
+    */
+  private def regexRef(rows: IndexedSeq[(Long, Long, String)],
+      pat: IndexedSeq[Cep.Step], after: Cep.AfterMatch)
+      : List[(Long, Long)] = {
+    val str = rows.map(_._3).mkString
+    val rx = pat.map { st =>
+      val cls = "[" + st.syms.toSeq.sorted.mkString + "]"
+      val (lo, hi) = st.bounds
+      val q =
+        if (lo == 1 && hi == 1) ""
+        else if (hi == Int.MaxValue) {
+          if (lo == 1) "+" else if (lo == 0) "*" else s"{$lo,}"
+        }
+        else if (lo == 0 && hi == 1) "?"
+        else s"{$lo,$hi}"
+      "(" + cls + q + ")"
+    }.mkString
+    val m = java.util.regex.Pattern.compile(rx).matcher(str)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < str.length) {
+      m.region(i, str.length)
+      if (m.lookingAt()) {
+        out += ((rows(i)._2, rows(m.end() - 1)._2))
+        i = after match {
+          case Cep.SkipPastLast   => m.end()
+          case Cep.SkipToNextRow  => i + 1
+          case Cep.SkipToFirst(k) => m.start(k + 1)
+          case Cep.SkipToLast(k)  => m.end(k + 1) - 1
+        }
+      } else i += 1
+    }
+    out.toList
+  }
+
+  /** Windowed DFS twin: at each start, the first WINDOW-VALID parse in
+    * longest-take-first (greedy) order — the within()-pruned-branches
+    * semantics — over the global row sequence.
+    */
+  private def bruteBacktrack(rows: IndexedSeq[(Long, Long, String)],
+      pat: IndexedSeq[Cep.Step], win: Long, after: Cep.AfterMatch)
+      : List[(Long, Long)] = {
+    val n = rows.length
+    def parse(i: Int): Option[IndexedSeq[(Int, Int)]] = {
+      val spans = Array.fill(pat.length)((0, 0))
+      def go(s: Int, p: Int): Boolean = {
+        if (s == pat.length) return rows(p - 1)._1 - rows(i)._1 <= win
+        val (lo, hi) = pat(s).bounds
+        var c = 0
+        while (p + c < n && c < hi && pat(s).matches(rows(p + c)._3)) c += 1
+        var take = c
+        while (take >= lo) {
+          if (go(s + 1, p + take)) { spans(s) = (p, take); return true }
+          take -= 1
+        }
+        false
+      }
+      if (go(0, i)) Some(spans.toIndexedSeq) else None
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < n) {
+      parse(i) match {
+        case Some(sp) =>
+          val endIdx = sp.last._1 + sp.last._2 - 1
+          out += ((rows(i)._2, rows(endIdx)._2))
+          i = after match {
+            case Cep.SkipPastLast   => endIdx + 1
+            case Cep.SkipToNextRow  => i + 1
+            case Cep.SkipToFirst(k) => sp(k)._1
+            case Cep.SkipToLast(k)  => sp(k)._1 + sp(k)._2 - 1
+          }
+        case None => i += 1
+      }
+    }
+    out.toList
+  }
+
+  /** The machine only commits a run once a later row proves it can't
+    * grow; a trailing sentinel outside every pattern alphabet forces
+    * that resolution so end-of-stream pending parses (correct
+    * streaming behavior, invisible to the batch references) don't
+    * diverge the comparison.
+    */
+  private def feedWithSentinel(m: Cep.Machine,
+      rows: IndexedSeq[(Long, Long, String)]): List[(Long, Long)] = {
+    val fed = rows :+ ((rows.lastOption.map(_._1 + 1).getOrElse(1L),
+      -1L, "!"))
+    fed.flatMap { case (ts, id, tpe) => m.feedM(ts, id, tpe, 0L) }
+      .map(p => (p._1.start_event_id, p._1.end_event_id)).toList
+  }
+
+  property("backtracking machine == java regex greedy (all strategies)") =
+    forAll(genAnyPattern, genRows) { (pat, rows) =>
+      forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, Long.MaxValue / 4, after)
+        feedWithSentinel(m, rows) == regexRef(rows, pat, after)
+      }
+    }
+
+  property("backtracking machine == windowed DFS brute (all strategies)") =
+    forAll(genAnyPattern, genRows, Gen.chooseNum(5L, 2000L)) {
+      (pat, rows, win) =>
+      forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, win, after)
+        feedWithSentinel(m, rows) == bruteBacktrack(rows, pat, win, after)
       }
     }
 

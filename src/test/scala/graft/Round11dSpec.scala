@@ -304,13 +304,13 @@ class Round11dSpec extends SparkSpecBase {
     val got2 = Cep.cepMatchOf(rows2, starPat, windowUs = 10 * M)
       .collect().map(m => m.user_id -> m.n_rows).toSeq.sorted
     assert(got2 == Seq(1L -> 2L, 2L -> 3L, 3L -> 5L), s"$got2")
-    // class bounds: collapse-closure violation (A B? A), leading opt,
-    // trailing opt are all require-rejected
-    intercept[IllegalArgumentException] {
-      Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
-        Cep.Step("click", plus = false, opt = true),
-        Cep.Step("view", plus = false)), windowUs = M)
-    }
+    // class bounds: a collapse-closure violation (A B? A) now takes
+    // the r12 BACKTRACKING walk instead of being rejected — on this
+    // corpus (no two views in any window) it correctly finds nothing;
+    // leading opt and trailing opt remain require-rejected
+    assert(Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
+      Cep.Step("click", plus = false, opt = true),
+      Cep.Step("view", plus = false)), windowUs = M).count() == 0)
     intercept[IllegalArgumentException] {
       Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false, opt = true),
         Cep.Step("click", plus = false)), windowUs = M)
@@ -342,12 +342,15 @@ class Round11dSpec extends SparkSpecBase {
     val got = Cep.cepMatchOf(rows, pat, windowUs = 10 * M)
       .collect().map(m => m.user_id -> m.n_rows).toSeq.sorted
     assert(got == Seq(1L -> 5L, 2L -> 3L), s"$got")
-    // intersecting collapse-adjacent symbol sets are require-rejected
-    intercept[IllegalArgumentException] {
-      Cep.cepMatchOf(rows, Seq(Cep.Step("click", plus = false),
-        Cep.Step("view", plus = false, alt = Set("click"))),
-        windowUs = M)
-    }
+    // intersecting collapse-adjacent symbol sets take the r12
+    // backtracking walk: click → (view|click) binds on user 1 only
+    // (click10 view11); users 2/3 have no (view|click) row after a
+    // click contiguously
+    val overlap = Cep.cepMatchOf(rows, Seq(Cep.Step("click", plus = false),
+      Cep.Step("view", plus = false, alt = Set("click"))),
+      windowUs = 10 * M)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
+    assert(overlap == Seq((10L, 11L)), s"$overlap")
   }
 
   test("cep bounded repeats: A{m,n} greedy take, both bounds bind, flag conflicts rejected") {
@@ -390,12 +393,16 @@ class Round11dSpec extends SparkSpecBase {
         Cep.Step("view", plus = false, rep = Some((3, 2))),
         Cep.Step("purchase", plus = false)), windowUs = M)
     }
-    // a rep (0, n) step chains for the closure rule: A B{0,2} A rejected
-    intercept[IllegalArgumentException] {
-      Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
-        Cep.Step("click", plus = false, rep = Some((0, 2))),
-        Cep.Step("view", plus = false)), windowUs = M)
-    }
+    // a rep (0, n) step chains A to A through a vanishing repeat —
+    // outside the closure class, so the r12 backtracking walk runs it:
+    // view click{0,2} view finds every adjacent view pair (the repeat
+    // takes zero) — users 2/3 one pair each, user 4 two disjoint pairs
+    val chained = Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
+      Cep.Step("click", plus = false, rep = Some((0, 2))),
+      Cep.Step("view", plus = false)), windowUs = 100 * M)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq.sorted
+    assert(chained == Seq((201L, 202L), (301L, 302L),
+      (401L, 402L), (403L, 404L)), s"$chained")
   }
 
   test("bpe: corpus scanned once — iterations run on the vocab table") {

@@ -107,11 +107,12 @@ class Round12Spec extends SparkSpecBase {
       windowUs = 10000000L)
       .collect().sortBy(_.step)
       .map(m => (m.step, m.symbol, m.cnt, m.sum_value_c,
-        m.first_event_id, m.last_event_id))
+        m.min_value_c, m.max_value_c, m.first_event_id, m.last_event_id))
     assert(got.toSeq == Seq(
-      (0, "click", 1L, 100L, Some(1L), Some(1L)),
-      (1, "view", 2L, 110L, Some(2L), Some(3L)),
-      (2, "purchase", 1L, 200L, Some(4L), Some(4L))))
+      (0, "click", 1L, 100L, Some(100L), Some(100L), Some(1L), Some(1L)),
+      (1, "view", 2L, 110L, Some(50L), Some(60L), Some(2L), Some(3L)),
+      (2, "purchase", 1L, 200L, Some(200L), Some(200L),
+        Some(4L), Some(4L))))
   }
 
   test("cep skip to next row: overlapping revisit matches all emit") {
@@ -128,10 +129,175 @@ class Round12Spec extends SparkSpecBase {
     val skipPast = Cep.cepMatchOf(rows, pat, windowUs = 10000000L)
       .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
     val skipNext = Cep.cepMatchOf(rows, pat, windowUs = 10000000L,
-      skipToNext = true)
+      after = Cep.SkipToNextRow)
       .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
     assert(skipPast == Seq((1L, 3L)))
     assert(skipNext.sorted == Seq((1L, 3L), (3L, 5L)))
+  }
+
+  test("cep skip to first: all three strategies provably differ") {
+    import spark.implicits._
+    import graft.operators.Cep
+    // view+ click view over V V C V C V: PAST LAST accepts (1,4) and
+    // stops; NEXT ROW also re-matches the run suffix (2,4); FIRST(click)
+    // skips the suffix re-match but keeps the trailing-view restart
+    val rows = Seq(
+      (1L, 1000000L, 1L, "view"), (1L, 2000000L, 2L, "view"),
+      (1L, 3000000L, 3L, "click"), (1L, 4000000L, 4L, "view"),
+      (1L, 5000000L, 5L, "click"), (1L, 6000000L, 6L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pat = Seq(Cep.Step("view", plus = true),
+      Cep.Step("click", plus = false), Cep.Step("view", plus = false))
+    def run(after: Cep.AfterMatch) =
+      Cep.cepMatchOf(rows, pat, windowUs = 10000000L, after)
+        .collect().map(m => (m.start_event_id, m.end_event_id))
+        .toSeq.sorted
+    assert(run(Cep.SkipPastLast) == Seq((1L, 4L)))
+    assert(run(Cep.SkipToNextRow) == Seq((1L, 4L), (2L, 4L), (4L, 6L)))
+    assert(run(Cep.SkipToFirst(1)) == Seq((1L, 4L), (4L, 6L)))
+    assert(run(Cep.SkipToLast(2)) == Seq((1L, 4L), (4L, 6L)))
+  }
+
+  test("cep followedBy: gaps skipped, strict contiguity finds nothing") {
+    import spark.implicits._
+    import graft.operators.Cep
+    val rows = Seq(
+      (1L, 1000000L, 1L, "click"), (1L, 2000000L, 2L, "signup"),
+      (1L, 3000000L, 3L, "view"), (1L, 4000000L, 4L, "error"),
+      (1L, 5000000L, 5L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pat = Seq(Cep.Step("click", plus = false),
+      Cep.Step("view", plus = false), Cep.Step("purchase", plus = false))
+    val relaxed = Cep.cepFollowedByOf(rows, pat, windowUs = 10000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id, m.n_rows))
+    val strict = Cep.cepMatchOf(rows, pat, windowUs = 10000000L).collect()
+    assert(relaxed.toSeq == Seq((1L, 5L, 3L)))
+    assert(strict.isEmpty)
+  }
+
+  test("cep followedBy: window kill falls back to a later start") {
+    import spark.implicits._
+    import graft.operators.Cep
+    // click1's subsequence (1,view3) spans 9s > 5s window; click2's
+    // (2,3) fits — the kill-fallback must surface it, and SKIP PAST
+    // LAST then blocks nothing else
+    val rows = Seq(
+      (1L, 1000000L, 1L, "click"), (1L, 6000000L, 2L, "click"),
+      (1L, 10000000L, 3L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pat = Seq(Cep.Step("click", plus = false),
+      Cep.Step("view", plus = false))
+    val got = Cep.cepFollowedByOf(rows, pat, windowUs = 5000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
+    assert(got == Seq((2L, 3L)))
+    intercept[IllegalArgumentException](
+      Cep.cepFollowedByOf(rows,
+        Seq(Cep.Step("click", plus = true), Cep.Step("view", plus = false)),
+        windowUs = 5000000L))
+  }
+
+  test("syntax facade: cepFollowedBy / cepMeasures delegate") {
+    import spark.implicits._
+    import graft.syntax._
+    import graft.operators.Cep
+    val rows = Seq(
+      (1L, 1000000L, 1L, "click", 1.00), (1L, 2000000L, 2L, "signup", 0.0),
+      (1L, 3000000L, 3L, "view", 0.5), (1L, 4000000L, 4L, "purchase", 2.0))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pat = Seq(Cep.Step("click", plus = false),
+      Cep.Step("view", plus = false), Cep.Step("purchase", plus = false))
+    assert(rows.cepFollowedBy(pat, windowUs = 10000000L).count() == 1)
+    assert(rows.cepMeasures(
+      Seq(Cep.Step("view", plus = false)), windowUs = 10000000L)
+      .count() == 1)
+  }
+
+  test("cep backtracking: view+ view — back-off, chunking, pending tail") {
+    import spark.implicits._
+    import graft.operators.Cep
+    // one view run v1..v5 at 0/10/30/40/70s bounded by a click, then a
+    // pair v6,v7 at 100/110s left UNBOUNDED at end-of-data. Window
+    // 35s: chunk 1 = (1,3) (v4 at 40s exceeds v1+35s — resolved the
+    // moment the window closes, not at the click), chunk 2 = (4,5)
+    // (resolved by the click); the trailing (6,7) is window-VALID but
+    // greed can never commit without a bounding row → pending
+    val rows = Seq(
+      (1L, 0L, 1L, "view"), (1L, 10000000L, 2L, "view"),
+      (1L, 30000000L, 3L, "view"), (1L, 40000000L, 4L, "view"),
+      (1L, 70000000L, 5L, "view"), (1L, 80000000L, 90L, "click"),
+      (1L, 100000000L, 6L, "view"), (1L, 110000000L, 7L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pat = Seq(Cep.Step("view", plus = true),
+      Cep.Step("view", plus = false))
+    val got = Cep.cepMatchOf(rows, pat, windowUs = 35000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id, m.n_rows))
+      .toSeq.sorted
+    // bounded run chunks to (1..3) and (4..5); the final (6,7) pair is
+    // window-valid but UNBOUNDED at end-of-data → pending, not emitted
+    assert(got == Seq((1L, 3L, 3L), (4L, 5L, 2L)), s"$got")
+  }
+
+  test("cep backtracking: stale feed resolves a mid-buffer chunk") {
+    import spark.implicits._
+    import graft.operators.Cep
+    // run v1(0s) v2(10s) v3(100s) v4(110s), no bounding row. At feed
+    // v3 the head's window (35s) is exceeded → the machine must emit
+    // (1,2) THEN (its longest window-valid prefix) without waiting for
+    // a breaking row; (3,4) stays pending at end-of-data
+    val rows = Seq(
+      (1L, 0L, 1L, "view"), (1L, 10000000L, 2L, "view"),
+      (1L, 100000000L, 3L, "view"), (1L, 110000000L, 4L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got = Cep.cepMatchOf(rows,
+      Seq(Cep.Step("view", plus = true), Cep.Step("view", plus = false)),
+      windowUs = 35000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
+    assert(got == Seq((1L, 2L)), s"$got")
+  }
+
+  test("cep backtracking: greedy waits — no premature shorter-take commit") {
+    import spark.implicits._
+    import graft.operators.Cep
+    // (a|d)+ c* (a|c) over d a d d c c a: the greedy parse takes the
+    // whole prefix through both c's... the last step then needs (a|c):
+    // a7 completes (1..7). A premature machine would emit (1,2) at the
+    // first c feed (shorter-take completion while c* could still grow)
+    val rows = Seq(
+      (1L, 1000000L, 1L, "d"), (1L, 2000000L, 2L, "a"),
+      (1L, 3000000L, 3L, "d"), (1L, 4000000L, 4L, "d"),
+      (1L, 5000000L, 5L, "c"), (1L, 6000000L, 6L, "c"),
+      (1L, 7000000L, 7L, "a"), (1L, 8000000L, 8L, "x"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val pat = Seq(Cep.Step("a", plus = true, alt = Set("d")),
+      Cep.Step("c", plus = true, opt = true),
+      Cep.Step("a", plus = false, alt = Set("c")))
+    val got = Cep.cepMatchOf(rows, pat, windowUs = 100000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id, m.n_rows))
+      .toSeq
+    assert(got == Seq((1L, 7L, 7L)), s"$got")
+  }
+
+  test("cep after-match validation rejects looping strategies") {
+    import graft.operators.Cep
+    val pat = IndexedSeq(Cep.Step("a", plus = true),
+      Cep.Step("b", plus = false, opt = true),
+      Cep.Step("c", plus = false))
+    intercept[IllegalArgumentException](
+      new Cep.Machine(pat, 100L, Cep.SkipToFirst(0)))
+    intercept[IllegalArgumentException](
+      new Cep.Machine(pat, 100L, Cep.SkipToLast(0)))
+    intercept[IllegalArgumentException](
+      new Cep.Machine(pat, 100L, Cep.SkipToFirst(1))) // optional target
+    intercept[IllegalArgumentException](
+      new Cep.Machine(pat, 100L, Cep.SkipToFirst(3))) // out of range
+    new Cep.Machine(pat, 100L, Cep.SkipToLast(2)) // required, >= 1: ok
   }
 
   test("bpe batched: a round's operands and outputs are all distinct") {
