@@ -409,6 +409,15 @@ object SparkEntry {
     // rows between steps skipped; window + non-overlap cuts both bind
     "cep_followed_by" ->
       ((s, dir) => graft.operators.Cep.cepFollowedBy(s, dir)),
+    // DEFINE predicates + wildcard + trailing quantifier: the SQL-
+    // standard V-pattern (STRT any, DOWN+ value<PREV, UP+ value>PREV)
+    "cep_vshape" ->
+      ((s, dir) => graft.operators.Cep.cepVshape(s, dir)),
+    // the streaming twin over the day-folded replay (1 h window),
+    // values riding the buffer state through cepStreamValued
+    "stream_cep_vshape" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepVshapeGate(s, dir)),
     // BACKTRACKING walk: view+ view (outside the collapse-closure
     // class) — greedy back-off, window chunking, pending-tail rules
     "cep_backtrack" ->
@@ -3117,6 +3126,81 @@ object SparkEntry {
         "FROM pick p JOIN r rs " +
         "ON rs.user_id = p.user_id AND rs.rn = p.srn " +
         "ORDER BY p.user_id, start_ts_us, start_event_id"),
+    // V-pattern DEFINE oracle: direction islands (vc vs physical prev,
+    // strict), descent/ascent adjacency pairs, then the floor
+    // recursion — a V's natural STRT (the previous peak) may be
+    // consumed by the preceding accepted match, pushing the start one
+    // row into the descent (or killing single-row descents); pending
+    // ascents at end-of-data withheld. Window predicate present but
+    // above every V span at gate scale (cep_backtrack oracles windowed
+    // chunking)
+    "cep_vshape" ->
+      (        "WITH RECURSIVE r AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, CAST(round(value * 100) AS BIGINT) AS vc, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn FROM events), " +
+        "d AS (SELECT *, CASE WHEN vc < lag(vc) OVER w THEN 'd' " +
+        "WHEN vc > lag(vc) OVER w THEN 'u' " +
+        "WHEN lag(vc) OVER w IS NULL THEN '0' ELSE 'f' END AS dir " +
+        "FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rn)), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, dir ORDER BY rn) AS isl FROM d), " +
+        "g AS (SELECT user_id, dir, isl, MIN(rn) AS srn, MAX(rn) AS ern " +
+        "FROM i GROUP BY 1, 2, 3), " +
+        "mx AS (SELECT user_id, MAX(rn) AS maxrn FROM r GROUP BY 1), " +
+        "pairs AS (SELECT dn.user_id, row_number() OVER " +
+        "(PARTITION BY dn.user_id ORDER BY dn.srn) AS k, " +
+        "dn.srn AS ds, dn.ern AS de, up.ern AS ue " +
+        "FROM g dn JOIN g up ON up.user_id = dn.user_id AND up.dir = 'u' " +
+        "AND up.srn = dn.ern + 1 WHERE dn.dir = 'd'), " +
+        "sel AS (SELECT user_id, k, ds, de, ue, ds - 1 AS s, " +
+        "CASE WHEN ds - 1 <= de - 1 THEN ue + 1 ELSE 1 END AS nf " +
+        "FROM pairs WHERE k = 1 " +
+        "UNION ALL SELECT p.user_id, p.k, p.ds, p.de, p.ue, " +
+        "GREATEST(p.ds - 1, s.nf) AS s, " +
+        "CASE WHEN GREATEST(p.ds - 1, s.nf) <= p.de - 1 THEN p.ue + 1 " +
+        "ELSE s.nf END AS nf FROM sel s " +
+        "JOIN pairs p ON p.user_id = s.user_id AND p.k = s.k + 1) " +
+        "SELECT sel.user_id, rs.event_id AS start_event_id, " +
+        "rs.ts_us AS start_ts_us, re.event_id AS end_event_id, " +
+        "re.ts_us AS end_ts_us, CAST(sel.ue - sel.s + 1 AS BIGINT) AS n_rows " +
+        "FROM sel JOIN mx ON mx.user_id = sel.user_id " +
+        "JOIN r rs ON rs.user_id = sel.user_id AND rs.rn = sel.s " +
+        "JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.ue " +
+        "WHERE sel.s <= sel.de - 1 AND sel.ue < mx.maxrn " +
+        "AND re.ts_us - rs.ts_us <= 604800000000 " +
+        "ORDER BY sel.user_id, start_ts_us, start_event_id"),
+    // the folded streaming twin, 1-hour window
+    "stream_cep_vshape" ->
+      (        "WITH RECURSIVE f AS (SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id % 16 AS BIGINT) AS user_id, epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 1704067200000000 AS tu, value FROM events), r AS (SELECT user_id, event_id, tu AS ts_us, CAST(round(value * 100) AS BIGINT) AS vc, row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS rn FROM f), " +
+        "d AS (SELECT *, CASE WHEN vc < lag(vc) OVER w THEN 'd' " +
+        "WHEN vc > lag(vc) OVER w THEN 'u' " +
+        "WHEN lag(vc) OVER w IS NULL THEN '0' ELSE 'f' END AS dir " +
+        "FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rn)), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, dir ORDER BY rn) AS isl FROM d), " +
+        "g AS (SELECT user_id, dir, isl, MIN(rn) AS srn, MAX(rn) AS ern " +
+        "FROM i GROUP BY 1, 2, 3), " +
+        "mx AS (SELECT user_id, MAX(rn) AS maxrn FROM r GROUP BY 1), " +
+        "pairs AS (SELECT dn.user_id, row_number() OVER " +
+        "(PARTITION BY dn.user_id ORDER BY dn.srn) AS k, " +
+        "dn.srn AS ds, dn.ern AS de, up.ern AS ue " +
+        "FROM g dn JOIN g up ON up.user_id = dn.user_id AND up.dir = 'u' " +
+        "AND up.srn = dn.ern + 1 WHERE dn.dir = 'd'), " +
+        "sel AS (SELECT user_id, k, ds, de, ue, ds - 1 AS s, " +
+        "CASE WHEN ds - 1 <= de - 1 THEN ue + 1 ELSE 1 END AS nf " +
+        "FROM pairs WHERE k = 1 " +
+        "UNION ALL SELECT p.user_id, p.k, p.ds, p.de, p.ue, " +
+        "GREATEST(p.ds - 1, s.nf) AS s, " +
+        "CASE WHEN GREATEST(p.ds - 1, s.nf) <= p.de - 1 THEN p.ue + 1 " +
+        "ELSE s.nf END AS nf FROM sel s " +
+        "JOIN pairs p ON p.user_id = s.user_id AND p.k = s.k + 1) " +
+        "SELECT sel.user_id, rs.event_id AS start_event_id, " +
+        "rs.ts_us AS start_ts_us, re.event_id AS end_event_id, " +
+        "re.ts_us AS end_ts_us, CAST(sel.ue - sel.s + 1 AS BIGINT) AS n_rows " +
+        "FROM sel JOIN mx ON mx.user_id = sel.user_id " +
+        "JOIN r rs ON rs.user_id = sel.user_id AND rs.rn = sel.s " +
+        "JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.ue " +
+        "WHERE sel.s <= sel.de - 1 AND sel.ue < mx.maxrn " +
+        "AND re.ts_us - rs.ts_us <= 3600000000 " +
+        "ORDER BY sel.user_id, start_ts_us, start_event_id"),
     // backtracking walk: per view island the greedy window-chunking
     // recursion — e(start) = last view within the window; emit chunks
     // resolved by a bounding row or a same-user row past the window;

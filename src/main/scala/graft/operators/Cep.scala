@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * O(buffer) greedy walk; patterns OUTSIDE the class (A A, A+ B? A,
   * intersecting adjacent alternation sets) automatically take the
   * memoized BACKTRACKING walk with identical regex-greedy semantics
-  * (see [[closureHolds]] and `walkBack`). Two requirements remain for
-  * every contiguous pattern: a required first step (candidate starts
-  * key on it) and a One last step (a trailing repeat has no greedy
-  * completion point on a stream). The automaton is a shared-buffer
+  * (see [[closureHolds]] and `walkBack` — which also carries DEFINE
+  * predicates, wildcard steps and TRAILING quantified steps, whose
+  * greedy runs resolve at the first bounding row or window-stale
+  * feed). One requirement remains for every contiguous pattern: a
+  * required predicate-free first step (candidate starts key on it).
+  * The automaton is a shared-buffer
   * matcher — it holds the current partial's rows and, on a mismatch or
   * a window-killed completion, falls back to the next candidate start
   * INSIDE the buffer (the leftmost-start preference MATCH_RECOGNIZE
@@ -46,20 +48,55 @@ import org.apache.spark.sql.functions._
   */
 object Cep {
 
+  /** A DEFINE-clause predicate comparing the row's value against the
+    * PHYSICALLY PREVIOUS row's value — MATCH_RECOGNIZE's
+    * `X.value < PREV(X.value)` family (PREV navigates input rows; in
+    * contiguous matching the previous input row is the previous match
+    * row for every step after the first). The canonical V-pattern
+    * (STRT DOWN+ UP+) is `PrevLt` / `PrevGt`.
+    */
+  sealed trait PrevCmp extends Serializable
+  case object PrevLt extends PrevCmp
+  case object PrevGt extends PrevCmp
+  case object PrevLe extends PrevCmp
+  case object PrevGe extends PrevCmp
+
   /** One pattern step: match rows whose event_type equals `symbol` or
     * any member of `alt` (ALTERNATION — `(a|b)` is
-    * `Step("a", …, alt = Set("b"))`). Quantifier flags: `plus` =
-    * greedy OneOrMore; `opt` = the step may match ZERO rows (ZeroOrOne,
-    * or with `plus` ZeroOrMore) — greedy: a matching row is always
-    * consumed.
+    * `Step("a", …, alt = Set("b"))`), or ANY type when `any` is set
+    * (MATCH_RECOGNIZE's undefined variable — always true). Quantifier
+    * flags: `plus` = greedy OneOrMore; `opt` = the step may match ZERO
+    * rows (ZeroOrOne, or with `plus` ZeroOrMore) — greedy: a matching
+    * row is always consumed. `cmp` adds a DEFINE predicate on the
+    * row's value vs the previous row's ([[PrevCmp]]); steps with `cmp`
+    * or `any`, like all non-closure shapes, run on the backtracking
+    * walk.
     */
   final case class Step(symbol: String, plus: Boolean,
       opt: Boolean = false, alt: Set[String] = Set.empty,
-      rep: Option[(Int, Int)] = None) {
-    /** The step's full symbol set. */
+      rep: Option[(Int, Int)] = None, any: Boolean = false,
+      cmp: Option[PrevCmp] = None) {
+    /** The step's full symbol set (alphabet contribution; meaningless
+      * under `any`).
+      */
     def syms: Set[String] = alt + symbol
-    /** Row-match test (set membership). */
-    def matches(tpe: String): Boolean = tpe == symbol || alt.contains(tpe)
+    /** Symbol-only row-match test (set membership / wildcard). */
+    def matches(tpe: String): Boolean =
+      any || tpe == symbol || alt.contains(tpe)
+    /** Full row-match: symbol test plus the DEFINE predicate against
+      * the previous row's value (None = no previous row — a `cmp`
+      * step never matches there, exactly NULL-comparison semantics).
+      */
+    def matchesRow(tpe: String, valueC: Long,
+        prevValueC: Option[Long]): Boolean =
+      matches(tpe) && cmp.forall(c => prevValueC.exists { pv =>
+        c match {
+          case PrevLt => valueC < pv
+          case PrevGt => valueC > pv
+          case PrevLe => valueC <= pv
+          case PrevGe => valueC >= pv
+        }
+      })
     /** Repetition bounds [lo, hi]: BOUNDED REPEAT `rep = Some((m, n))`
       * (greedy A{m,n}; overrides the flags, which must be unset), else
       * derived — One (1,1), OneOrMore (1,∞), ZeroOrOne (0,1),
@@ -122,6 +159,11 @@ object Cep {
         "cep: relaxed contiguity (followedBy) supports One steps only " +
           "— a quantified step has no deterministic greedy take when " +
           "non-matching rows can sit inside its run")
+      require(st.cmp.isEmpty && !st.any,
+        "cep: relaxed contiguity supports symbol steps only — a PREV " +
+          "predicate navigates physically adjacent rows, which " +
+          "followedBy deliberately skips, and a wildcard step would " +
+          "defeat the alphabet-bounded state contract")
     }
   }
 
@@ -144,18 +186,23 @@ object Cep {
     * regex/Flink-NFA greedy matching (since r12 the class is a fast
     * path, not a boundary).
     */
-  private[graft] def closureHolds(pattern: IndexedSeq[Step]): Boolean =
+  private[graft] def closureHolds(pattern: IndexedSeq[Step]): Boolean = {
+    // an `any` step's symbol set is universal — it intersects every
+    // other step's
+    def disjoint(a: Step, b: Step): Boolean =
+      !a.any && !b.any && (a.syms intersect b.syms).isEmpty
     pattern.indices.forall { i =>
       var j = i + 1
       var chain = true
       var ok = true
       while (chain && j < pattern.length) {
-        ok = ok && (pattern(i).syms intersect pattern(j).syms).isEmpty
+        ok = ok && disjoint(pattern(i), pattern(j))
         chain = pattern(j).bounds._1 == 0
         j += 1
       }
       ok
     }
+  }
 
   /** The checks every contiguous pattern needs regardless of walk
     * strategy: non-empty, sane rep bounds, required first step
@@ -179,9 +226,15 @@ object Cep {
     require(pat.head.bounds._1 >= 1,
       "cep: first step must be required (candidate starts and window " +
         "pruning key on the first step's symbol)")
-    require(pat.last.bounds == ((1, 1)),
-      "cep: last step must be One (a trailing repeat or optional has " +
-        "no greedy completion point)")
+    require(pat.head.cmp.isEmpty,
+      "cep: the first step cannot carry a PREV predicate — PREV " +
+        "navigates input rows, and the row before the match start is " +
+        "outside the machine's buffer (MATCH_RECOGNIZE patterns open " +
+        "with a predicate-free variable for the same reason)")
+    // a trailing quantified/optional step is allowed since r12: it
+    // routes the pattern to the BACKTRACKING walk, whose run-resolution
+    // rules (bounding row / window staleness) give the greedy trailing
+    // run a sound completion point on a stream
   }
 
   /** The strict collapse-closure class check — [[validateCommon]] plus
@@ -241,7 +294,7 @@ object Cep {
     // point — restricted to One steps (alternation sets allowed,
     // repeated symbols allowed: A B A and even A A are unambiguous
     // under earliest-next subsequence semantics)
-    if (!contiguous) validateSubseq(pattern)
+    if (contiguous) validateCommon(pattern) else validateSubseq(pattern)
     // rows outside the alphabet can never join a match in relaxed
     // mode — they are dropped at the door (they still advance pruning)
     private val alphabet: Set[String] = pattern.flatMap(_.syms).toSet
@@ -250,7 +303,9 @@ object Cep {
     // walk — regex-greedy semantics; closure patterns keep the O(n)
     // greedy walk (behavior identical on that class, where exactly one
     // parse per start exists)
-    private val backtrack = contiguous && !closureHolds(pattern)
+    private val backtrack = contiguous && (!closureHolds(pattern) ||
+      pattern.exists(st => st.cmp.isDefined || st.any) ||
+      pattern.last.bounds != ((1, 1)))
     // (ts, id, tpe, value_c) — value_c rides along untouched by the
     // walk; MEASURES folds it per step span at completion
     private var buf = Vector.empty[(Long, Long, String, Long)]
@@ -342,8 +397,16 @@ object Cep {
         if (memo(s)(p) != 0) return memo(s)(p)
         val st = pattern(s)
         val (lo, hi) = st.bounds
+        // DEFINE predicates compare against the PHYSICALLY previous
+        // row — buf(q-1), since contiguous-mode buffers append every
+        // fed row and drop prefixes only. q = 0 has no visible
+        // previous row (None — a cmp step never matches there, and
+        // validateCommon keeps cmp off step 0 so q >= 1 in practice).
+        def rowOk(q: Int): Boolean =
+          st.matchesRow(buf(q)._3, buf(q)._4,
+            if (q > 0) Some(buf(q - 1)._4) else None)
         var c = 0
-        while (p + c < n && c < hi && st.matches(buf(p + c)._3)) c += 1
+        while (p + c < n && c < hi && rowOk(p + c)) c += 1
         if (p + c >= n && c < hi && futureOk) {
           // the run may still grow — greedy prefers the longer take
           memo(s)(p) = 1
@@ -554,20 +617,27 @@ object Cep {
     val ss = events.sparkSession
     import ss.implicits._
     val pat = pattern.toIndexedSeq
+    // the value column rides along only when a DEFINE predicate needs
+    // it — symbol-only patterns keep working on frames without `value`
+    val valueC =
+      if (pat.exists(_.cmp.isDefined))
+        round(col("value") * 100).cast("long")
+      else lit(0L)
     events
       .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id").cast("long"), col("event_type"))
-      .as[(Long, Long, Long, String)]
+        col("event_id").cast("long"), col("event_type"),
+        valueC.as("value_c"))
+      .as[(Long, Long, Long, String, Long)]
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
         var key = Long.MinValue
         var m: Machine = null
-        it.flatMap { case (u, ts, id, tpe) =>
+        it.flatMap { case (u, ts, id, tpe, vc) =>
           if (m == null || u != key) {
             key = u; m = new Machine(pat, windowUs, after, contiguous)
           }
-          m.feedM(ts, id, tpe, 0L).map(_._1.copy(user_id = u))
+          m.feedM(ts, id, tpe, vc).map(_._1.copy(user_id = u))
         }
       }
   }
@@ -817,6 +887,32 @@ object Cep {
     cepMatchOf(graft.Tables.t(s, dir, "events"),
       Seq(Step("view", plus = true), Step("view", plus = false)),
       windowUs = 24L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_vshape — the SQL-standard MATCH_RECOGNIZE flagship: the
+    * V-pattern `STRT DOWN+ UP+` with DEFINE predicates over the value
+    * column (DOWN: value < PREV(value); UP: value > PREV(value);
+    * STRT: any row). Exercises three r12 capabilities at once:
+    * wildcard steps, PREV predicates, and a trailing quantified step
+    * (the UP+ run resolves at the first non-ascending row — the
+    * backtracking walk's run-resolution rule; a V whose ascent reaches
+    * end-of-data stays pending, 77 of 3233 descent/ascent adjacencies
+    * at sf0.01). SKIP PAST LAST makes consecutive Vs interact: a new
+    * descent starting right after an accepted V has its natural STRT
+    * (the previous V's peak) already consumed, so its start is pushed
+    * one row in — the oracle's floor recursion, binding on 1928 of
+    * the selections (1212 pairs die entirely to the push). 1972
+    * matches; the 7-day window exceeds every V span at gate scale
+    * (max 6.4 d — verified), so windowed chunking (oracled by
+    * cep_backtrack) stays out of this gate's oracle.
+    */
+  def cepVshape(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("*", plus = false, any = true),
+        Step("*", plus = true, any = true, cmp = Some(PrevLt)),
+        Step("*", plus = true, any = true, cmp = Some(PrevGt))),
+      windowUs = 7L * 24 * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

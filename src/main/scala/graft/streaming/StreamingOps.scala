@@ -2048,9 +2048,11 @@ object StreamingOps {
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
       contiguous: Boolean = true)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long, Long, String), graft.operators.Cep.CepMatch] {
+        Long, (Long, Long, Long, String, Long),
+        graft.operators.Cep.CepMatch] {
     @transient private var buf:
-      org.apache.spark.sql.streaming.MapState[Long, List[(Long, String)]] = _
+      org.apache.spark.sql.streaming.MapState[
+        Long, List[(Long, String, Long)]] = _
     @transient private var mstate:
       org.apache.spark.sql.streaming.ValueState[
         List[(Long, Long, String, Long)]] = _
@@ -2059,9 +2061,9 @@ object StreamingOps {
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      buf = getHandle.getMapState[Long, List[(Long, String)]]("buf",
+      buf = getHandle.getMapState[Long, List[(Long, String, Long)]]("buf",
         org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.kryo[List[(Long, String)]],
+        org.apache.spark.sql.Encoders.kryo[List[(Long, String, Long)]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       mstate = getHandle.getValueState[List[(Long, Long, String, Long)]]("m",
         org.apache.spark.sql.Encoders.kryo[List[(Long, Long, String, Long)]],
@@ -2072,17 +2074,17 @@ object StreamingOps {
     }
 
     override def handleInputRows(key: Long,
-        rows: Iterator[(Long, Long, Long, String)],
+        rows: Iterator[(Long, Long, Long, String, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues):
         Iterator[graft.operators.Cep.CepMatch] = {
       val frontier = if (drained.exists()) drained.get() else Long.MinValue
       val wmMs = timerValues.getCurrentWatermarkInMs()
       val lateBelow =
         if (wmMs > 0L) math.max(frontier, wmMs * 1000L) else frontier
-      rows.foreach { case (_, ts, id, tpe) =>
+      rows.foreach { case (_, ts, id, tpe, vc) =>
         if (ts > lateBelow) {
           val cur = if (buf.containsKey(ts)) buf.getValue(ts) else Nil
-          buf.updateValue(ts, (id, tpe) :: cur)
+          buf.updateValue(ts, (id, tpe, vc) :: cur)
           getHandle.registerTimer((ts + 999L) / 1000L)
         }
       }
@@ -2112,10 +2114,10 @@ object StreamingOps {
       val out = scala.collection.mutable.ArrayBuffer.empty[
         graft.operators.Cep.CepMatch]
       ripe.foreach { case (ts, entries) =>
-        entries.sortBy(_._1).foreach { case (id, tpe) =>
+        entries.sortBy(_._1).foreach { case (id, tpe, vc) =>
           // feedM: SKIP TO NEXT ROW can close several overlapping
           // matches on one drained row (SKIP PAST LAST ROW emits <= 1)
-          m.feedM(ts, id, tpe, 0L).foreach { case (c, _) =>
+          m.feedM(ts, id, tpe, vc).foreach { case (c, _) =>
             out += c.copy(user_id = key)
           }
         }
@@ -2128,9 +2130,26 @@ object StreamingOps {
   }
 
   /** (user_id, ts_us, event_id, event_type) stream → completed pattern
-    * matches, emitted as the watermark makes their rows final.
+    * matches, emitted as the watermark makes their rows final. Symbol
+    * patterns only carry a zero value; DEFINE-predicate patterns take
+    * [[cepStreamValued]].
     */
   def cepStream(events: Dataset[(Long, Long, Long, String)],
+      pattern: Seq[graft.operators.Cep.Step],
+      windowUs: Long,
+      after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
+      contiguous: Boolean = true)
+      : Dataset[graft.operators.Cep.CepMatch] = {
+    import events.sparkSession.implicits._
+    cepStreamValued(events.map(r => (r._1, r._2, r._3, r._4, 0L)),
+      pattern, windowUs, after, contiguous)
+  }
+
+  /** (user_id, ts_us, event_id, event_type, value_c) stream — the
+    * valued form [[cepStream]] wraps, required when the pattern
+    * carries DEFINE predicates (value vs PREV comparisons).
+    */
+  def cepStreamValued(events: Dataset[(Long, Long, Long, String, Long)],
       pattern: Seq[graft.operators.Cep.Step],
       windowUs: Long,
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
@@ -2143,8 +2162,8 @@ object StreamingOps {
     events
       .withColumn("ts", timestamp_micros(col("_2")))
       .withWatermark("ts", "5 seconds")
-      .select(col("_1"), col("_2"), col("_3"), col("_4"))
-      .as[(Long, Long, Long, String)]
+      .select(col("_1"), col("_2"), col("_3"), col("_4"), col("_5"))
+      .as[(Long, Long, Long, String, Long)]
       .groupByKey(_._1)
       .transformWithState(
         new CepStreamProcessor(pattern.toIndexedSeq, windowUs, after, contiguous),
@@ -3107,6 +3126,36 @@ object StreamingOps {
         Seq(graft.operators.Cep.Step("click", plus = false),
           graft.operators.Cep.Step("view", plus = true),
           graft.operators.Cep.Step("purchase", plus = false)),
+        windowUs).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
+  /** stream_cep_vshape gate — the STREAMING twin of `cep_vshape`: the
+    * V-pattern (STRT any, DOWN+ value<PREV, UP+ value>PREV) over the
+    * day-folded replay through [[cepStreamValued]] (values ride the
+    * buffer MapState). 1-hour window (above the folded corpus's 36-min
+    * max V span — windowed chunking is cep_backtrack's gate); ascents
+    * resolve at the first non-ascending drained row, the final
+    * unbroken ascent per user stays pending.
+    */
+  def streamCepVshapeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 3600000000L
+    val fixture = gateEventsDayFolded(s, dir).map { e =>
+      (e.user_id, gateEvUs(e), e.event_id, e.event_type,
+        BigDecimal(e.value * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush", 0L)
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStreamValued(ds,
+        Seq(graft.operators.Cep.Step("*", plus = false, any = true),
+          graft.operators.Cep.Step("*", plus = true, any = true,
+            cmp = Some(graft.operators.Cep.PrevLt)),
+          graft.operators.Cep.Step("*", plus = true, any = true,
+            cmp = Some(graft.operators.Cep.PrevGt))),
         windowUs).toDF())
       .filter(col("user_id") >= 0L)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))

@@ -625,11 +625,12 @@ object CepMachineProps extends Properties("CepMachine") {
         got == bruteSubseq(rows, pat, win, after)
       }
     }
-
   /** Patterns WITHOUT the closure repair — the backtracking class
-    * (A A, A+ B? A, intersecting adjacent sets all allowed). Only the
-    * strategy-independent requirements hold: required first step, One
-    * last step, sane rep bounds.
+    * (A A, A+ B? A, intersecting adjacent sets all allowed), with
+    * DEFINE predicates (PREV comparisons, steps >= 1) and, since the
+    * last-One lift, trailing quantified steps. Only the strategy-
+    * independent requirements hold: required predicate-free first
+    * step, sane rep bounds.
     */
   private val genAnyPattern: Gen[IndexedSeq[Cep.Step]] = for {
     n <- Gen.chooseNum(1, 4)
@@ -641,34 +642,76 @@ object CepMachineProps extends Properties("CepMachine") {
     repFlags <- Gen.listOfN(n, Gen.prob(0.25))
     repLos <- Gen.listOfN(n, Gen.chooseNum(0, 2))
     repSpans <- Gen.listOfN(n, Gen.chooseNum(0, 2))
+    cmpFlags <- Gen.listOfN(n, Gen.prob(0.35))
+    cmpKinds <- Gen.listOfN(n, Gen.oneOf[Cep.PrevCmp](Cep.PrevLt,
+      Cep.PrevGt, Cep.PrevLe, Cep.PrevGe))
+    lastQuant <- Gen.prob(0.4)
   } yield (0 until n).map { i =>
     val first = i == 0
     val last = i == n - 1
-    val withRep = repFlags(i) && !last
+    val quantOk = !last || lastQuant
+    val withRep = repFlags(i) && quantOk
     Cep.Step(syms(i),
-      plus = !withRep && plusFlags(i) && !last,
-      opt = !withRep && optFlags(i) && !first && !last,
+      plus = !withRep && plusFlags(i) && quantOk,
+      opt = !withRep && optFlags(i) && !first && quantOk,
       alt = if (altFlags(i) && altSyms(i) != syms(i)) Set(altSyms(i))
         else Set.empty,
       rep = if (withRep) {
         val lo = math.max(if (first) 1 else 0, repLos(i))
         Some((lo, math.max(1, lo + repSpans(i))))
-      } else None)
+      } else None,
+      cmp = if (cmpFlags(i) && !first) Some(cmpKinds(i)) else None)
   }.toIndexedSeq
+
+  /** Per-row composite symbol (type, direction-vs-physical-prev): a
+    * DEFINE predicate is row-local given the previous row, so a step's
+    * match set lifts to a CHARACTER CLASS over composites — which lets
+    * java.util.regex stay the independent reference even for
+    * predicated patterns.
+    */
+  private val compositeSyms = "abcdx!"
+
+  private def compositeStr(rows: IndexedSeq[(Long, Long, String, Long)])
+      : String =
+    rows.indices.map { q =>
+      val dir =
+        if (q == 0) 0
+        else {
+          val d = java.lang.Long.compare(rows(q)._4, rows(q - 1)._4)
+          if (d < 0) 1 else if (d > 0) 2 else 3
+        }
+      val si = math.max(0, compositeSyms.indexOf(rows(q)._3.charAt(0)))
+      ('A' + si * 4 + dir).toChar
+    }.mkString
+
+  private def stepClass(st: Cep.Step): String = {
+    val chars = for {
+      si <- 0 until compositeSyms.length
+      dir <- 0 to 3
+      if st.matches(compositeSyms(si).toString)
+      if st.cmp.forall {
+        case Cep.PrevLt => dir == 1
+        case Cep.PrevGt => dir == 2
+        case Cep.PrevLe => dir == 1 || dir == 3
+        case Cep.PrevGe => dir == 2 || dir == 3
+      }
+    } yield ('A' + si * 4 + dir).toChar
+    "[" + chars.mkString + "]"
+  }
 
   /** java.util.regex IS a backtracking-greedy matcher — the fully
     * independent reference for the backtracking class (window-free;
     * the windowed twin below uses the DFS brute). Each step compiles
-    * to a capturing group over its symbol class with a greedy
-    * quantifier; starts are scanned left to right with an anchored
-    * lookingAt; strategy resume indices come from the group spans.
+    * to a capturing group over its composite-symbol class with a
+    * greedy quantifier; starts are scanned left to right with an
+    * anchored lookingAt; strategy resume indices come from the group
+    * spans.
     */
-  private def regexRef(rows: IndexedSeq[(Long, Long, String)],
+  private def regexRef(rows: IndexedSeq[(Long, Long, String, Long)],
       pat: IndexedSeq[Cep.Step], after: Cep.AfterMatch)
       : List[(Long, Long)] = {
-    val str = rows.map(_._3).mkString
+    val str = compositeStr(rows)
     val rx = pat.map { st =>
-      val cls = "[" + st.syms.toSeq.sorted.mkString + "]"
       val (lo, hi) = st.bounds
       val q =
         if (lo == 1 && hi == 1) ""
@@ -677,7 +720,7 @@ object CepMachineProps extends Properties("CepMachine") {
         }
         else if (lo == 0 && hi == 1) "?"
         else s"{$lo,$hi}"
-      "(" + cls + q + ")"
+      "(" + stepClass(st) + q + ")"
     }.mkString
     val m = java.util.regex.Pattern.compile(rx).matcher(str)
     val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
@@ -699,19 +742,23 @@ object CepMachineProps extends Properties("CepMachine") {
 
   /** Windowed DFS twin: at each start, the first WINDOW-VALID parse in
     * longest-take-first (greedy) order — the within()-pruned-branches
-    * semantics — over the global row sequence.
+    * semantics — over the global row sequence, predicates evaluated
+    * against the physical previous row.
     */
-  private def bruteBacktrack(rows: IndexedSeq[(Long, Long, String)],
+  private def bruteBacktrack(rows: IndexedSeq[(Long, Long, String, Long)],
       pat: IndexedSeq[Cep.Step], win: Long, after: Cep.AfterMatch)
       : List[(Long, Long)] = {
     val n = rows.length
+    def rowOk(st: Cep.Step, q: Int): Boolean =
+      st.matchesRow(rows(q)._3, rows(q)._4,
+        if (q > 0) Some(rows(q - 1)._4) else None)
     def parse(i: Int): Option[IndexedSeq[(Int, Int)]] = {
       val spans = Array.fill(pat.length)((0, 0))
       def go(s: Int, p: Int): Boolean = {
         if (s == pat.length) return rows(p - 1)._1 - rows(i)._1 <= win
         val (lo, hi) = pat(s).bounds
         var c = 0
-        while (p + c < n && c < hi && pat(s).matches(rows(p + c)._3)) c += 1
+        while (p + c < n && c < hi && rowOk(pat(s), p + c)) c += 1
         var take = c
         while (take >= lo) {
           if (go(s + 1, p + take)) { spans(s) = (p, take); return true }
@@ -747,15 +794,15 @@ object CepMachineProps extends Properties("CepMachine") {
     * diverge the comparison.
     */
   private def feedWithSentinel(m: Cep.Machine,
-      rows: IndexedSeq[(Long, Long, String)]): List[(Long, Long)] = {
+      rows: IndexedSeq[(Long, Long, String, Long)]): List[(Long, Long)] = {
     val fed = rows :+ ((rows.lastOption.map(_._1 + 1).getOrElse(1L),
-      -1L, "!"))
-    fed.flatMap { case (ts, id, tpe) => m.feedM(ts, id, tpe, 0L) }
+      -1L, "!", 0L))
+    fed.flatMap { case (ts, id, tpe, vc) => m.feedM(ts, id, tpe, vc) }
       .map(p => (p._1.start_event_id, p._1.end_event_id)).toList
   }
 
   property("backtracking machine == java regex greedy (all strategies)") =
-    forAll(genAnyPattern, genRows) { (pat, rows) =>
+    forAll(genAnyPattern, genValuedRows) { (pat, rows) =>
       forAll(genAfter(pat)) { after =>
         val m = new Cep.Machine(pat, Long.MaxValue / 4, after)
         feedWithSentinel(m, rows) == regexRef(rows, pat, after)
@@ -763,13 +810,14 @@ object CepMachineProps extends Properties("CepMachine") {
     }
 
   property("backtracking machine == windowed DFS brute (all strategies)") =
-    forAll(genAnyPattern, genRows, Gen.chooseNum(5L, 2000L)) {
+    forAll(genAnyPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
       (pat, rows, win) =>
       forAll(genAfter(pat)) { after =>
         val m = new Cep.Machine(pat, win, after)
         feedWithSentinel(m, rows) == bruteBacktrack(rows, pat, win, after)
       }
     }
+
 
   property("matches never overlap and consume contiguous rows") =
     forAll(genPattern, genRows) { (pat, rows) =>

@@ -128,14 +128,20 @@ class Round11Spec extends SparkSpecBase {
       1L -> ((11L, 14L, 4L)),
       4L -> ((40L, 42L, 3L)), 4L -> ((43L, 45L, 3L))),
       s"unexpected match set: $got")
-    // the pattern-class contract is enforced, not silently wrong
+    // the strict (greedy fast-path) class contract is enforced, not
+    // silently wrong — adjacent same symbols fail the closure check
     intercept[IllegalArgumentException] {
       Cep.validate(Seq(Cep.Step("a", false), Cep.Step("a", true)))
     }
+    // a leading optional stays rejected in every class (candidate
+    // starts key on a required first step); a trailing quantifier is
+    // LEGAL since the r12 last-step lift (it routes the pattern to
+    // the backtracking walk)
     intercept[IllegalArgumentException] {
-      Cep.validate(Seq(Cep.Step("a", false), Cep.Step("b", true)).map(s =>
-        s.copy(plus = true)))
+      Cep.validateCommon(Seq(Cep.Step("a", false, opt = true),
+        Cep.Step("b", false)))
     }
+    Cep.validateCommon(Seq(Cep.Step("a", false), Cep.Step("b", true)))
   }
 
   test("changelog aggregate state survives a query restart on the same checkpoint") {

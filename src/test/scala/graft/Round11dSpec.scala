@@ -315,10 +315,14 @@ class Round11dSpec extends SparkSpecBase {
       Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false, opt = true),
         Cep.Step("click", plus = false)), windowUs = M)
     }
-    intercept[IllegalArgumentException] {
-      Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
-        Cep.Step("click", plus = false, opt = true)), windowUs = M)
-    }
+    // a TRAILING optional is legal since the r12 last-step lift: it
+    // routes to the backtracking walk, which resolves the optional
+    // greedily when the next row bounds it — view (click?) takes the
+    // zero-click branch at user 3's view (purchase bounds it)
+    val trailingOpt = Cep.cepMatchOf(rows, Seq(Cep.Step("view", plus = false),
+      Cep.Step("click", plus = false, opt = true)), windowUs = 10 * M)
+      .collect().map(m => (m.start_event_id, m.end_event_id, m.n_rows)).toSeq
+    assert(trailingOpt == Seq((32L, 32L, 1L)), s"$trailingOpt")
   }
 
   test("cep alternation: symbol-set steps, greedy over the set, disjointness bound") {
