@@ -409,6 +409,14 @@ object SparkEntry {
     // rows between steps skipped; window + non-overlap cuts both bind
     "cep_followed_by" ->
       ((s, dir) => graft.operators.Cep.cepFollowedBy(s, dir)),
+    // LAZY quantifiers (+?): view+? view resolves islands into
+    // consecutive disjoint pairs, eager completion, window frame-shift
+    "cep_reluctant" ->
+      ((s, dir) => graft.operators.Cep.cepReluctant(s, dir)),
+    // the streaming twin over the day-folded replay (5-min window)
+    "stream_cep_reluctant" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepReluctantGate(s, dir)),
     // DEFINE predicates + wildcard + trailing quantifier: the SQL-
     // standard V-pattern (STRT any, DOWN+ value<PREV, UP+ value>PREV)
     "cep_vshape" ->
@@ -3126,6 +3134,55 @@ object SparkEntry {
         "FROM pick p JOIN r rs " +
         "ON rs.user_id = p.user_id AND rs.rn = p.srn " +
         "ORDER BY p.user_id, start_ts_us, start_event_id"),
+    // lazy pairing oracle: per view island, the frame recursion — a
+    // window-valid adjacent pair emits and pairing advances two rows,
+    // a killed pair advances one (the machine's drop-to-next-start);
+    // no bounding-row condition (reluctant completion is eager)
+    "cep_reluctant" ->
+      (        "WITH RECURSIVE r AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "v AS (SELECT user_id, isl, rn, event_id, ts_us FROM i " +
+        "WHERE event_type = 'view'), " +
+        "g AS (SELECT user_id, isl, MIN(rn) AS srn, MAX(rn) AS ern FROM v " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "st AS (SELECT g.user_id, g.isl, g.srn AS s, g.ern FROM g " +
+        "UNION ALL SELECT s.user_id, s.isl, " +
+        "CASE WHEN (SELECT v2.ts_us FROM v v2 WHERE v2.user_id = s.user_id AND v2.isl = s.isl AND v2.rn = s.s + 1) - (SELECT v1.ts_us FROM v v1 WHERE v1.user_id = s.user_id AND v1.isl = s.isl AND v1.rn = s.s) <= 21600000000 " +
+        "THEN s.s + 2 ELSE s.s + 1 END AS s, s.ern " +
+        "FROM st s WHERE s.s + 1 <= s.ern) " +
+        "SELECT st.user_id, v1.event_id AS start_event_id, " +
+        "v1.ts_us AS start_ts_us, v2.event_id AS end_event_id, " +
+        "v2.ts_us AS end_ts_us, CAST(2 AS BIGINT) AS n_rows " +
+        "FROM st JOIN v v1 ON v1.user_id = st.user_id AND v1.isl = st.isl " +
+        "AND v1.rn = st.s " +
+        "JOIN v v2 ON v2.user_id = st.user_id AND v2.isl = st.isl " +
+        "AND v2.rn = st.s + 1 " +
+        "WHERE st.s + 1 <= st.ern AND v2.ts_us - v1.ts_us <= 21600000000 " +
+        "ORDER BY st.user_id, start_ts_us, start_event_id"),
+    // the folded streaming twin, 5-minute window
+    "stream_cep_reluctant" ->
+      (        "WITH RECURSIVE f AS (SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id % 16 AS BIGINT) AS user_id, epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 1704067200000000 AS tu, event_type FROM events), r AS (SELECT user_id, event_id, tu AS ts_us, event_type, row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS rn FROM f), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "v AS (SELECT user_id, isl, rn, event_id, ts_us FROM i " +
+        "WHERE event_type = 'view'), " +
+        "g AS (SELECT user_id, isl, MIN(rn) AS srn, MAX(rn) AS ern FROM v " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
+        "st AS (SELECT g.user_id, g.isl, g.srn AS s, g.ern FROM g " +
+        "UNION ALL SELECT s.user_id, s.isl, " +
+        "CASE WHEN (SELECT v2.ts_us FROM v v2 WHERE v2.user_id = s.user_id AND v2.isl = s.isl AND v2.rn = s.s + 1) - (SELECT v1.ts_us FROM v v1 WHERE v1.user_id = s.user_id AND v1.isl = s.isl AND v1.rn = s.s) <= 300000000 " +
+        "THEN s.s + 2 ELSE s.s + 1 END AS s, s.ern " +
+        "FROM st s WHERE s.s + 1 <= s.ern) " +
+        "SELECT st.user_id, v1.event_id AS start_event_id, " +
+        "v1.ts_us AS start_ts_us, v2.event_id AS end_event_id, " +
+        "v2.ts_us AS end_ts_us, CAST(2 AS BIGINT) AS n_rows " +
+        "FROM st JOIN v v1 ON v1.user_id = st.user_id AND v1.isl = st.isl " +
+        "AND v1.rn = st.s " +
+        "JOIN v v2 ON v2.user_id = st.user_id AND v2.isl = st.isl " +
+        "AND v2.rn = st.s + 1 " +
+        "WHERE st.s + 1 <= st.ern AND v2.ts_us - v1.ts_us <= 300000000 " +
+        "ORDER BY st.user_id, start_ts_us, start_event_id"),
     // V-pattern DEFINE oracle: direction islands (vc vs physical prev,
     // strict), descent/ascent adjacency pairs, then the floor
     // recursion — a V's natural STRT (the previous peak) may be

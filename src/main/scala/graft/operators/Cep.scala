@@ -68,14 +68,16 @@ object Cep {
     * flags: `plus` = greedy OneOrMore; `opt` = the step may match ZERO
     * rows (ZeroOrOne, or with `plus` ZeroOrMore) — greedy: a matching
     * row is always consumed. `cmp` adds a DEFINE predicate on the
-    * row's value vs the previous row's ([[PrevCmp]]); steps with `cmp`
-    * or `any`, like all non-closure shapes, run on the backtracking
-    * walk.
+    * row's value vs the previous row's ([[PrevCmp]]); `reluctant`
+    * flips the quantifier to LAZY (regex `+?`: the SHORTEST take that
+    * lets the rest of the pattern match wins — MATCH_RECOGNIZE's
+    * reluctant quantifiers). Steps with `cmp`, `any` or `reluctant`,
+    * like all non-closure shapes, run on the backtracking walk.
     */
   final case class Step(symbol: String, plus: Boolean,
       opt: Boolean = false, alt: Set[String] = Set.empty,
       rep: Option[(Int, Int)] = None, any: Boolean = false,
-      cmp: Option[PrevCmp] = None) {
+      cmp: Option[PrevCmp] = None, reluctant: Boolean = false) {
     /** The step's full symbol set (alphabet contribution; meaningless
       * under `any`).
       */
@@ -304,7 +306,7 @@ object Cep {
     // greedy walk (behavior identical on that class, where exactly one
     // parse per start exists)
     private val backtrack = contiguous && (!closureHolds(pattern) ||
-      pattern.exists(st => st.cmp.isDefined || st.any) ||
+      pattern.exists(st => st.cmp.isDefined || st.any || st.reluctant) ||
       pattern.last.bounds != ((1, 1)))
     // (ts, id, tpe, value_c) — value_c rides along untouched by the
     // walk; MEASURES folds it per step span at completion
@@ -407,30 +409,54 @@ object Cep {
             if (q > 0) Some(buf(q - 1)._4) else None)
         var c = 0
         while (p + c < n && c < hi && rowOk(p + c)) c += 1
-        if (p + c >= n && c < hi && futureOk) {
-          // the run may still grow — greedy prefers the longer take
-          memo(s)(p) = 1
-          return Partial
-        }
-        // takes are tried LONGEST FIRST, so the first non-Mismatch
-        // outcome decides: Complete commits greedily; Partial means a
-        // longer-preferred branch is still undecidable (some run
-        // below it can grow with future rows), and committing to any
-        // SHORTER take now would violate greed — wait instead. The
-        // blocked shorter completion is not lost: when the longer
-        // branch resolves to Mismatch at a later feed (or the window
-        // forces futureOk false, which eliminates every Partial
-        // source), the loop reaches it then.
-        var take = c
-        while (take >= lo) {
-          go(s + 1, p + take) match {
-            case Complete =>
-              spanOff(s) = p; spanLen(s) = take
-              return Complete
-            case Partial =>
-              memo(s)(p) = 1
-              return Partial
-            case _ => take -= 1
+        // Takes are tried in the step's PREFERENCE order and the first
+        // non-Mismatch outcome decides: Complete commits; Partial
+        // means a MORE-PREFERRED branch is still undecidable, and
+        // committing to a less-preferred take now would violate the
+        // quantifier's bias — wait instead (the blocked completion is
+        // not lost: when the preferred branch resolves to Mismatch at
+        // a later feed, or the window forces futureOk false and
+        // eliminates every Partial source, the loop reaches it then).
+        //   GREEDY preference:    [future extension?, c, c-1, …, lo]
+        //   RELUCTANT preference: [lo, lo+1, …, c, future extension?]
+        // "future extension?" — the run reaching the buffer end below
+        // its cap might still grow; it is the MOST preferred branch
+        // for greedy and the LEAST for reluctant, hence the asymmetric
+        // placement of the canExtend check.
+        val canExtend = p + c >= n && c < hi
+        if (!st.reluctant) {
+          if (canExtend && futureOk) {
+            memo(s)(p) = 1
+            return Partial
+          }
+          var take = c
+          while (take >= lo) {
+            go(s + 1, p + take) match {
+              case Complete =>
+                spanOff(s) = p; spanLen(s) = take
+                return Complete
+              case Partial =>
+                memo(s)(p) = 1
+                return Partial
+              case _ => take -= 1
+            }
+          }
+        } else {
+          var take = lo
+          while (take <= c) {
+            go(s + 1, p + take) match {
+              case Complete =>
+                spanOff(s) = p; spanLen(s) = take
+                return Complete
+              case Partial =>
+                memo(s)(p) = 1
+                return Partial
+              case _ => take += 1
+            }
+          }
+          if (canExtend && futureOk) {
+            memo(s)(p) = 1
+            return Partial
           }
         }
         memo(s)(p) = 2
@@ -907,6 +933,25 @@ object Cep {
     * (max 6.4 d — verified), so windowed chunking (oracled by
     * cep_backtrack) stays out of this gate's oracle.
     */
+  /** cep_reluctant — LAZY quantifiers (MATCH_RECOGNIZE's `+?`):
+    * view+? view takes the SHORTEST run that lets the final step
+    * match, so a view island resolves into consecutive disjoint PAIRS
+    * — provably different from the greedy twin (cep_backtrack's
+    * view+ view consumes whole islands). Eager completion: a pair
+    * emits at its second row's feed, no bounding row needed, so
+    * end-of-data islands participate fully (only trailing singletons
+    * pend). The 6 h window binds as a FRAME SHIFT: a pair whose gap
+    * exceeds the window is skipped and pairing resumes one row later
+    * (165 pairs / 197 shifts at sf0.01).
+    */
+  def cepReluctant(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("view", plus = true, reluctant = true),
+        Step("view", plus = false)),
+      windowUs = 6L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
   def cepVshape(s: SparkSession, dir: String): DataFrame =
     cepMatchOf(graft.Tables.t(s, dir, "events"),
       Seq(Step("*", plus = false, any = true),

@@ -3131,6 +3131,30 @@ object StreamingOps {
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
   }
 
+  /** stream_cep_reluctant gate — the STREAMING twin of
+    * `cep_reluctant`: lazy view+? view over the day-folded replay
+    * (5-minute window). Pairs complete EAGERLY at their second row —
+    * the reluctant walk never waits on a run that could grow — so
+    * emission timing differs fundamentally from the greedy gates;
+    * window-killed pairs shift the pairing frame by one row.
+    */
+  def streamCepReluctantGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 300000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush")
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStream(ds,
+        Seq(graft.operators.Cep.Step("view", plus = true,
+          reluctant = true),
+          graft.operators.Cep.Step("view", plus = false)),
+        windowUs).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
   /** stream_cep_vshape gate — the STREAMING twin of `cep_vshape`: the
     * V-pattern (STRT any, DOWN+ value<PREV, UP+ value>PREV) over the
     * day-folded replay through [[cepStreamValued]] (values ride the

@@ -645,6 +645,7 @@ object CepMachineProps extends Properties("CepMachine") {
     cmpFlags <- Gen.listOfN(n, Gen.prob(0.35))
     cmpKinds <- Gen.listOfN(n, Gen.oneOf[Cep.PrevCmp](Cep.PrevLt,
       Cep.PrevGt, Cep.PrevLe, Cep.PrevGe))
+    relFlags <- Gen.listOfN(n, Gen.prob(0.35))
     lastQuant <- Gen.prob(0.4)
   } yield (0 until n).map { i =>
     val first = i == 0
@@ -660,7 +661,8 @@ object CepMachineProps extends Properties("CepMachine") {
         val lo = math.max(if (first) 1 else 0, repLos(i))
         Some((lo, math.max(1, lo + repSpans(i))))
       } else None,
-      cmp = if (cmpFlags(i) && !first) Some(cmpKinds(i)) else None)
+      cmp = if (cmpFlags(i) && !first) Some(cmpKinds(i)) else None,
+      reluctant = relFlags(i))
   }.toIndexedSeq
 
   /** Per-row composite symbol (type, direction-vs-physical-prev): a
@@ -713,13 +715,15 @@ object CepMachineProps extends Properties("CepMachine") {
     val str = compositeStr(rows)
     val rx = pat.map { st =>
       val (lo, hi) = st.bounds
-      val q =
+      val base =
         if (lo == 1 && hi == 1) ""
         else if (hi == Int.MaxValue) {
           if (lo == 1) "+" else if (lo == 0) "*" else s"{$lo,}"
         }
         else if (lo == 0 && hi == 1) "?"
         else s"{$lo,$hi}"
+      // reluctant flips the quantifier lazy — regex's own `+?` family
+      val q = if (st.reluctant && base.nonEmpty) base + "?" else base
       "(" + stepClass(st) + q + ")"
     }.mkString
     val m = java.util.regex.Pattern.compile(rx).matcher(str)
@@ -759,10 +763,20 @@ object CepMachineProps extends Properties("CepMachine") {
         val (lo, hi) = pat(s).bounds
         var c = 0
         while (p + c < n && c < hi && rowOk(pat(s), p + c)) c += 1
-        var take = c
-        while (take >= lo) {
-          if (go(s + 1, p + take)) { spans(s) = (p, take); return true }
-          take -= 1
+        // preference order: greedy tries longest first, reluctant
+        // shortest first
+        if (!pat(s).reluctant) {
+          var take = c
+          while (take >= lo) {
+            if (go(s + 1, p + take)) { spans(s) = (p, take); return true }
+            take -= 1
+          }
+        } else {
+          var take = lo
+          while (take <= c) {
+            if (go(s + 1, p + take)) { spans(s) = (p, take); return true }
+            take += 1
+          }
         }
         false
       }

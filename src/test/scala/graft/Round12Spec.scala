@@ -321,6 +321,47 @@ class Round12Spec extends SparkSpecBase {
     assert(got == Seq((1L, 1L, 5L, 5L)), s"$got")
   }
 
+  test("cep reluctant: lazy pairing vs greedy whole-run, frame shift") {
+    import spark.implicits._
+    import graft.operators.Cep
+    // island of 5 views (1..5) bounded by a click, then v6,v7 at
+    // end-of-data. Greedy view+ view = whole runs; lazy view+? view =
+    // consecutive pairs, EAGER (the end-of-data pair still emits)
+    val rows = Seq(
+      (1L, 1000000L, 1L, "view"), (1L, 2000000L, 2L, "view"),
+      (1L, 3000000L, 3L, "view"), (1L, 4000000L, 4L, "view"),
+      (1L, 5000000L, 5L, "view"), (1L, 6000000L, 90L, "click"),
+      (1L, 7000000L, 6L, "view"), (1L, 8000000L, 7L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val lazyPat = Seq(Cep.Step("view", plus = true, reluctant = true),
+      Cep.Step("view", plus = false))
+    val greedyPat = Seq(Cep.Step("view", plus = true),
+      Cep.Step("view", plus = false))
+    val lazyGot = Cep.cepMatchOf(rows, lazyPat, windowUs = 100000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq.sorted
+    val greedyGot = Cep.cepMatchOf(rows, greedyPat, windowUs = 100000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq.sorted
+    // lazy: pairs (1,2),(3,4) [5 is a singleton], eager (6,7) at
+    // end-of-data; greedy: whole first island (1,5), the unbounded
+    // (6,7) run PENDS (greed waits for a bounding row)
+    assert(lazyGot == Seq((1L, 2L), (3L, 4L), (6L, 7L)), s"$lazyGot")
+    assert(greedyGot == Seq((1L, 5L)), s"$greedyGot")
+    // window frame shift: gap 2→3 exceeds a 1.5s window → (2,3)
+    // killed, pairing resumes at 3: pairs (1,2) and (3,4)... with the
+    // island's own gaps all 1s only the start pair differs; use a
+    // corpus with one long gap
+    val rows2 = Seq(
+      (1L, 1000000L, 1L, "view"), (1L, 2000000L, 2L, "view"),
+      (1L, 9000000L, 3L, "view"), (1L, 10000000L, 4L, "view"),
+      (1L, 11000000L, 5L, "click"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got2 = Cep.cepMatchOf(rows2, lazyPat, windowUs = 1500000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq.sorted
+    assert(got2 == Seq((1L, 2L), (3L, 4L)), s"$got2")
+  }
+
   test("cep define predicates: validation bounds") {
     import graft.operators.Cep
     // cmp on step 0: the row before the match start is outside the
