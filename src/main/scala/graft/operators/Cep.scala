@@ -396,7 +396,15 @@ object Cep {
           return if (buf(p - 1)._1 - startTs <= windowUs) Complete
             else Mismatch
         }
-        if (memo(s)(p) != 0) return memo(s)(p)
+        // memo codes are DISTINCT from the status constants: 3 =
+        // Partial, 2 = Mismatch (1 is never stored — Complete returns
+        // carry span state and short-circuit the walk). Partial today
+        // unwinds the whole walk immediately, so the 3-branch is never
+        // re-read in practice, but encoding it distinctly keeps any
+        // future keep-exploring refactor from reading a memoized
+        // Partial back as Complete with stale span arrays.
+        if (memo(s)(p) != 0)
+          return if (memo(s)(p) == 3) Partial else Mismatch
         val st = pattern(s)
         val (lo, hi) = st.bounds
         // DEFINE predicates compare against the PHYSICALLY previous
@@ -426,7 +434,7 @@ object Cep {
         val canExtend = p + c >= n && c < hi
         if (!st.reluctant) {
           if (canExtend && futureOk) {
-            memo(s)(p) = 1
+            memo(s)(p) = 3
             return Partial
           }
           var take = c
@@ -436,7 +444,7 @@ object Cep {
                 spanOff(s) = p; spanLen(s) = take
                 return Complete
               case Partial =>
-                memo(s)(p) = 1
+                memo(s)(p) = 3
                 return Partial
               case _ => take -= 1
             }
@@ -449,13 +457,13 @@ object Cep {
                 spanOff(s) = p; spanLen(s) = take
                 return Complete
               case Partial =>
-                memo(s)(p) = 1
+                memo(s)(p) = 3
                 return Partial
               case _ => take += 1
             }
           }
           if (canExtend && futureOk) {
-            memo(s)(p) = 1
+            memo(s)(p) = 3
             return Partial
           }
         }
@@ -609,6 +617,18 @@ object Cep {
   /** Library form over any (user_id, ts, event_id, event_type) frame.
     * `after` selects the AFTER MATCH strategy — see [[AfterMatch]]
     * (default SKIP PAST LAST ROW, matches never overlap).
+    *
+    * COST MODEL: patterns inside the collapse-closure class (adjacent
+    * step symbols distinct — see [[closureHolds]]) run the O(buffer)
+    * greedy walk per fed row; patterns outside it take the memoized
+    * backtracking walk at O(pattern · buffer²) worst case per feed —
+    * the same complexity class as Flink's shared-buffer NFA. In both
+    * cases the buffer is WINDOW-BOUNDED (a head older than the window
+    * can never complete), so per-key state and per-feed work scale
+    * with the window span's row count, never the series length. A
+    * pathological key (single-symbol stream under a wide window) pays
+    * the quadratic-in-window worst case; narrow the window, not the
+    * data, to bound it.
     */
   def cepMatchOf(events: DataFrame, pattern: Seq[Step],
       windowUs: Long, after: AfterMatch = SkipPastLast)

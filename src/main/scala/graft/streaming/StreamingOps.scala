@@ -2061,11 +2061,21 @@ object StreamingOps {
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
-      buf = getHandle.getMapState[Long, List[(Long, String, Long)]]("buf",
+      // state names carry a FORMAT VERSION suffix: r12 widened both the
+      // buffer entries and the machine snapshot from 3- to 4-tuples
+      // (value_c rides along for DEFINE predicates) with no migration
+      // path — the Kryo payloads are not forward-compatible, so a
+      // checkpoint written before the widening must NOT silently
+      // mis-decode into the new shape. Bumping the store names ("buf2"/
+      // "m2") makes the incompatibility structural: an old checkpoint
+      // fails the transformWithState state-variable validation loudly
+      // instead of replaying garbage. Any future state-shape change
+      // must bump again.
+      buf = getHandle.getMapState[Long, List[(Long, String, Long)]]("buf2",
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.kryo[List[(Long, String, Long)]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-      mstate = getHandle.getValueState[List[(Long, Long, String, Long)]]("m",
+      mstate = getHandle.getValueState[List[(Long, Long, String, Long)]]("m2",
         org.apache.spark.sql.Encoders.kryo[List[(Long, Long, String, Long)]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
       drained = getHandle.getValueState[Long]("drained",
@@ -2645,6 +2655,13 @@ object StreamingOps {
     * and safe across the Verify/Bench/spec harnesses; gates treat
     * fixtures as immutable. Gate-scale only: ≤100k rows per entry.
     */
+  // SHARED-INSTANCE contract: every caller receives the SAME cached
+  // array/seq for the process lifetime — gates must treat fixtures as
+  // strictly read-only (no in-place sort/mutation; derive with map/
+  // sorted/grouped copies), or they corrupt every other gate. The
+  // cache never invalidates: regenerating testdata under the same dir
+  // within one JVM would serve stale fixtures (never happens in the
+  // driver/bench/spec harnesses, which start fresh JVMs per run).
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]
   private def memoFixture[T <: AnyRef](kind: String, dir: String)(

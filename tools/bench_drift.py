@@ -102,7 +102,13 @@ if flagged and args.retime:
             persistent.append(q)
             continue
         iso = times[q]
-        refm = ref["medians"][q]
+        refm = ref["medians"].get(q)
+        if not refm:
+            # flagged via a non-steady reference path (or a zero
+            # median): nothing to classify against — report raw only
+            print(f"  RETIME {q}: isolated {iso:.2f}s (no steady ref)")
+            retimes[q] = round(iso, 3)
+            continue
         # the isolated run has its own (unknown) host window — compare
         # raw against the reference median, no suite-H scaling
         transient = iso <= args.thresh * refm
@@ -112,9 +118,16 @@ if flagged and args.retime:
         print(f"  RETIME {q}: isolated {iso:.2f}s vs ref {refm:.2f}s -> {cls}")
         if not transient:
             persistent.append(q)
-    # annotate the steady entry the comparison keyed on
+    # annotate the steady entry the comparison keyed on. Serialize
+    # BEFORE touching the file and rename atomically: open(path, "w")
+    # truncates first, so an exception mid-dump would otherwise corrupt
+    # the benchmark history.
     ref["retimes"] = retimes
-    json.dump(entries, open(args.steady, "w"), indent=1)
+    payload = json.dumps(entries, indent=1)
+    tmp = args.steady + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    __import__("os").replace(tmp, args.steady)
     note = (f"flagged {len(flagged)}, isolation re-timed: "
             + ", ".join(f"{q} {retimes.get(q, float('nan'))}s" for q in names)
             + ("; PERSISTENT: " + ", ".join(persistent) if persistent
