@@ -3188,9 +3188,10 @@ object SparkEntry {
     // recursion — a V's natural STRT (the previous peak) may be
     // consumed by the preceding accepted match, pushing the start one
     // row into the descent (or killing single-row descents); pending
-    // ascents at end-of-data withheld. Window predicate present but
-    // above every V span at gate scale (cep_backtrack oracles windowed
-    // chunking)
+    // ascents at end-of-data RESOLVE at the batch end-of-input flush
+    // (r13 — SQL finite-input semantics; the stream twin keeps the
+    // pending exclusion). Window predicate present but above every V
+    // span at gate scale (cep_backtrack oracles windowed chunking)
     "cep_vshape" ->
       (        "WITH RECURSIVE r AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, CAST(round(value * 100) AS BIGINT) AS vc, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn FROM events), " +
         "d AS (SELECT *, CASE WHEN vc < lag(vc) OVER w THEN 'd' " +
@@ -3201,7 +3202,6 @@ object SparkEntry {
         "(PARTITION BY user_id, dir ORDER BY rn) AS isl FROM d), " +
         "g AS (SELECT user_id, dir, isl, MIN(rn) AS srn, MAX(rn) AS ern " +
         "FROM i GROUP BY 1, 2, 3), " +
-        "mx AS (SELECT user_id, MAX(rn) AS maxrn FROM r GROUP BY 1), " +
         "pairs AS (SELECT dn.user_id, row_number() OVER " +
         "(PARTITION BY dn.user_id ORDER BY dn.srn) AS k, " +
         "dn.srn AS ds, dn.ern AS de, up.ern AS ue " +
@@ -3218,10 +3218,10 @@ object SparkEntry {
         "SELECT sel.user_id, rs.event_id AS start_event_id, " +
         "rs.ts_us AS start_ts_us, re.event_id AS end_event_id, " +
         "re.ts_us AS end_ts_us, CAST(sel.ue - sel.s + 1 AS BIGINT) AS n_rows " +
-        "FROM sel JOIN mx ON mx.user_id = sel.user_id " +
+        "FROM sel " +
         "JOIN r rs ON rs.user_id = sel.user_id AND rs.rn = sel.s " +
         "JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.ue " +
-        "WHERE sel.s <= sel.de - 1 AND sel.ue < mx.maxrn " +
+        "WHERE sel.s <= sel.de - 1 " +
         "AND re.ts_us - rs.ts_us <= 604800000000 " +
         "ORDER BY sel.user_id, start_ts_us, start_event_id"),
     // the folded streaming twin, 1-hour window
@@ -3259,21 +3259,19 @@ object SparkEntry {
         "AND re.ts_us - rs.ts_us <= 3600000000 " +
         "ORDER BY sel.user_id, start_ts_us, start_event_id"),
     // backtracking walk: per view island the greedy window-chunking
-    // recursion — e(start) = last view within the window; emit chunks
-    // resolved by a bounding row or a same-user row past the window;
-    // a final unbroken chunk stays pending (the streaming contract)
+    // recursion — e(start) = last view within the window; chunks
+    // resolve by a bounding row, a same-user row past the window, or
+    // (r13) the batch end-of-input flush — EVERY chunk with >= 2 rows
+    // emits (only the stream twin withholds unbroken final chunks)
     "cep_backtrack" ->
       (        "WITH RECURSIVE r AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn FROM events), " +
-        "mx AS (SELECT user_id, MAX(rn) AS maxrn FROM r GROUP BY 1), " +
         "i AS (SELECT *, rn - row_number() OVER " +
         "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
         "v AS (SELECT user_id, isl, rn, event_id, ts_us FROM i " +
         "WHERE event_type = 'view'), " +
-        "g0 AS (SELECT user_id, isl, MIN(rn) AS srn, MAX(rn) AS ern, " +
+        "g AS (SELECT user_id, isl, MIN(rn) AS srn, MAX(rn) AS ern, " +
         "COUNT(*) AS n FROM v GROUP BY 1, 2 HAVING COUNT(*) >= 2), " +
-        "g AS (SELECT g0.*, CASE WHEN mx.maxrn > g0.ern THEN 1 ELSE 0 END " +
-        "AS broken FROM g0 JOIN mx ON mx.user_id = g0.user_id), " +
-        "ve AS (SELECT v.*, g.ern AS iern, g.broken, " +
+        "ve AS (SELECT v.*, g.ern AS iern, " +
         "(SELECT MAX(v2.rn) FROM v v2 WHERE v2.user_id = v.user_id " +
         "AND v2.isl = v.isl AND v2.rn > v.rn " +
         "AND v2.ts_us <= v.ts_us + 86400000000) AS e " +
@@ -3293,7 +3291,7 @@ object SparkEntry {
         "AND ve.rn = s.strt " +
         "JOIN v we ON we.user_id = s.user_id AND we.isl = s.isl " +
         "AND we.rn = ve.e " +
-        "WHERE ve.e IS NOT NULL AND (ve.e < ve.iern OR ve.broken = 1) " +
+        "WHERE ve.e IS NOT NULL " +
         "ORDER BY ve.user_id, start_ts_us, start_event_id"),
     // the streaming twin on the folded corpus, 3-minute window
     "stream_cep_backtrack" ->

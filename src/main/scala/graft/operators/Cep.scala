@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * memoized BACKTRACKING walk with identical regex-greedy semantics
   * (see [[closureHolds]] and `walkBack` — which also carries DEFINE
   * predicates, wildcard steps and TRAILING quantified steps, whose
-  * greedy runs resolve at the first bounding row or window-stale
-  * feed). One requirement remains for every contiguous pattern: a
+  * greedy runs resolve at the first bounding row, a window-stale
+  * feed, or — batch only — the end-of-input flush). One requirement
+  * remains for every contiguous pattern: a
   * required predicate-free first step (candidate starts key on it).
   * The automaton is a shared-buffer
   * matcher — it holds the current partial's rows and, on a mismatch or
@@ -473,9 +474,15 @@ object Cep {
       go(0, 0)
     }
 
+    // end-of-input flush in progress: force the backtracking walk (its
+    // futureOk gate is the only place run-extension pending lives, and
+    // it is semantically identical to the greedy walk on the closure
+    // class), with a fedTs past every window so greed resolves NOW
+    private var flushing = false
+
     private def walk(fedTs: Long): Int = {
       if (!contiguous) return walkSubseq()
-      if (backtrack) return walkBack(fedTs)
+      if (backtrack || flushing) return walkBack(fedTs)
       var p = 0
       var s = 0
       while (s < pattern.length) {
@@ -569,9 +576,21 @@ object Cep {
       buf = buf :+ ((ts, id, tpe, valueC))
       val out = scala.collection.mutable.ListBuffer
         .empty[(CepMatch, List[StepAgg])]
-      var going = true
+      emitLoop(ts, out)
+      out.toList
+    }
+
+    /** The walk-emit-fallback loop shared by [[feedM]] and [[flush]]:
+      * walk the buffer, emit completions (resuming per the after-match
+      * strategy), fall back through candidate starts on mismatches and
+      * window kills, stop on Partial.
+      */
+    private def emitLoop(fedTs: Long,
+        out: scala.collection.mutable.ListBuffer[(CepMatch, List[StepAgg])])
+        : Unit = {
+      var going = buf.nonEmpty
       while (going) {
-        walk(ts) match {
+        walk(fedTs) match {
           case Partial => going = false
           case Complete =>
             // match boundaries from the walk's spans (start = step 0's
@@ -603,6 +622,32 @@ object Cep {
             if (!dropToNextStart()) going = false
         }
       }
+    }
+
+    /** END-OF-INPUT flush — SQL MATCH_RECOGNIZE finite-input semantics:
+      * end of partition RESOLVES greed. A pending greedy run (a
+      * trailing quantified step whose take could still grow with future
+      * rows) commits its current take because no future row exists; the
+      * walk runs with a fedTs past every window, so the futureOk gate —
+      * the only source of run-extension pending — is closed and every
+      * buffered candidate resolves to Complete or Mismatch. The batch
+      * folds call this at each key boundary and at partition end; the
+      * STREAMING processor never does (a stream has no end — pending
+      * runs stay pending, the documented streaming contract, which is
+      * why the stream twins of trailing-quantified gates emit strict
+      * subsets of their batch twins). Relaxed-contiguity (followedBy)
+      * machines have no greedy pending (One-step subsequence parses
+      * wait only for missing rows, which end-of-input cannot supply) —
+      * flush clears state and emits nothing.
+      */
+    def flush(): List[(CepMatch, List[StepAgg])] = {
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(CepMatch, List[StepAgg])]
+      if (contiguous) {
+        flushing = true
+        try emitLoop(Long.MaxValue, out) finally flushing = false
+      }
+      buf = Vector.empty
       out.toList
     }
 
@@ -617,6 +662,16 @@ object Cep {
   /** Library form over any (user_id, ts, event_id, event_type) frame.
     * `after` selects the AFTER MATCH strategy — see [[AfterMatch]]
     * (default SKIP PAST LAST ROW, matches never overlap).
+    *
+    * END-OF-INPUT: batch input is FINITE, and per SQL MATCH_RECOGNIZE /
+    * Flink batch semantics the end of a partition resolves greed — a
+    * trailing quantified step's run that reaches end-of-data commits
+    * its current take ([[Machine.flush]] at each key boundary and
+    * partition end). The STREAMING twin
+    * (`StreamingOps.cepStream`) deliberately differs: a stream has no
+    * end, so such runs stay pending forever — its results are a strict
+    * subset of this operator's on the same finite prefix whenever the
+    * pattern ends in a quantified/optional step.
     *
     * COST MODEL: patterns inside the collapse-closure class (adjacent
     * step symbols distinct — see [[closureHolds]]) run the O(buffer)
@@ -656,6 +711,39 @@ object Cep {
     matchInternal(events, pattern, windowUs, after, contiguous = false)
   }
 
+  /** The per-partition segmented scan shared by the batch folds: one
+    * machine per key, every feed's emissions drained in order, and a
+    * [[Machine.flush]] at each key boundary and at partition end (the
+    * SQL finite-input contract — end of partition resolves greed).
+    * Lazy single-pass iterator: holds the one live machine plus a
+    * small emission queue, never the partition.
+    */
+  private def segmentedScan[O](it: Iterator[(Long, Long, Long, String, Long)],
+      mk: () => Machine)(
+      conv: (Long, (CepMatch, List[StepAgg])) => Iterator[O]): Iterator[O] =
+    new Iterator[O] {
+      private var key = Long.MinValue
+      private var m: Machine = null
+      private val q = scala.collection.mutable.Queue.empty[O]
+      private def pump(): Unit = {
+        while (q.isEmpty && it.hasNext) {
+          val (u, ts, id, tpe, vc) = it.next()
+          if (m == null) { key = u; m = mk() }
+          else if (u != key) {
+            m.flush().foreach(r => q ++= conv(key, r))
+            key = u; m = mk()
+          }
+          m.feedM(ts, id, tpe, vc).foreach(r => q ++= conv(u, r))
+        }
+        if (q.isEmpty && !it.hasNext && m != null) {
+          m.flush().foreach(r => q ++= conv(key, r))
+          m = null
+        }
+      }
+      def hasNext: Boolean = { pump(); q.nonEmpty }
+      def next(): O = { pump(); q.dequeue() }
+    }
+
   private def matchInternal(events: DataFrame, pattern: Seq[Step],
       windowUs: Long, after: AfterMatch, contiguous: Boolean)
       : Dataset[CepMatch] = {
@@ -677,14 +765,8 @@ object Cep {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
-        var key = Long.MinValue
-        var m: Machine = null
-        it.flatMap { case (u, ts, id, tpe, vc) =>
-          if (m == null || u != key) {
-            key = u; m = new Machine(pat, windowUs, after, contiguous)
-          }
-          m.feedM(ts, id, tpe, vc).map(_._1.copy(user_id = u))
-        }
+        segmentedScan(it, () => new Machine(pat, windowUs, after, contiguous))(
+          (u, r) => Iterator.single(r._1.copy(user_id = u)))
       }
   }
 
@@ -721,19 +803,13 @@ object Cep {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
-        var key = Long.MinValue
-        var m: Machine = null
-        it.flatMap { case (u, ts, id, tpe, vc) =>
-          if (m == null || u != key) {
-            key = u; m = new Machine(pat, windowUs, after)
-          }
-          m.feedM(ts, id, tpe, vc).flatMap { case (c, aggs) =>
-            aggs.map(a => CepMeasured(u, c.start_event_id, c.start_ts_us,
-              c.end_event_id, c.end_ts_us, c.n_rows,
+        segmentedScan(it, () => new Machine(pat, windowUs, after)) {
+          case (u, (c, aggs)) =>
+            aggs.iterator.map(a => CepMeasured(u, c.start_event_id,
+              c.start_ts_us, c.end_event_id, c.end_ts_us, c.n_rows,
               a.step, a.symbol, a.cnt, a.sum_value_c,
               a.min_value_c, a.max_value_c,
               a.first_event_id, a.last_event_id))
-          }
         }
       }
   }
@@ -923,11 +999,13 @@ object Cep {
     * row past the chunk start's window; a final chunk reaching an
     * unbroken end-of-data run stays pending forever (exactly the
     * streaming contract — greed needs the next row to commit). Every
-    * mechanism binds at sf0.01 / 24 h: 280 chunks emit, 5 multi-chunk
-    * islands, 32 interior starts skipped by the start-advance
-    * fallback, 5 end-of-data chunks withheld — while one end-of-data
-    * island whose run outlives the window DOES emit its resolved
-    * prefix chunk (the resolution rule cuts both ways).
+    * a final chunk reaching an unbroken end-of-data run resolves at
+    * the batch END-OF-INPUT flush (SQL finite-input semantics — see
+    * [[cepMatchOf]]; only the STREAMING twin keeps it pending).
+    * Every mechanism binds at sf0.01 / 24 h: 285 chunks emit (280 by
+    * bounding row or window staleness + 5 by the end-of-input flush),
+    * 5 multi-chunk islands, 32 interior starts skipped by the
+    * start-advance fallback.
     */
   def cepBacktrack(s: SparkSession, dir: String): DataFrame =
     cepMatchOf(graft.Tables.t(s, dir, "events"),
@@ -942,13 +1020,15 @@ object Cep {
     * STRT: any row). Exercises three r12 capabilities at once:
     * wildcard steps, PREV predicates, and a trailing quantified step
     * (the UP+ run resolves at the first non-ascending row — the
-    * backtracking walk's run-resolution rule; a V whose ascent reaches
-    * end-of-data stays pending, 77 of 3233 descent/ascent adjacencies
-    * at sf0.01). SKIP PAST LAST makes consecutive Vs interact: a new
+    * backtracking walk's run-resolution rule — or at the batch
+    * END-OF-INPUT flush: 49 pending end-of-data ascents resolve there
+    * at sf0.01, the finite-input semantics [[cepMatchOf]] documents;
+    * the streaming twin keeps them pending). SKIP PAST LAST makes
+    * consecutive Vs interact: a new
     * descent starting right after an accepted V has its natural STRT
     * (the previous V's peak) already consumed, so its start is pushed
     * one row in — the oracle's floor recursion, binding on 1928 of
-    * the selections (1212 pairs die entirely to the push). 1972
+    * the selections (1212 pairs die entirely to the push). 2021
     * matches; the 7-day window exceeds every V span at gate scale
     * (max 6.4 d — verified), so windowed chunking (oracled by
     * cep_backtrack) stays out of this gate's oracle.

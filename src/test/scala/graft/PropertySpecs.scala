@@ -832,6 +832,36 @@ object CepMachineProps extends Properties("CepMachine") {
       }
     }
 
+  /** The BATCH end-of-input contract (r13): feed the rows then flush()
+    * — no resolving sentinel — and the result must STILL equal the
+    * batch references, because SQL MATCH_RECOGNIZE finite input
+    * resolves trailing greed at end of partition exactly as a bounding
+    * row would. (The streaming processor never flushes; its pending
+    * contract is pinned by the sentinel-free StreamingSpec goldens.)
+    */
+  private def feedWithFlush(m: Cep.Machine,
+      rows: IndexedSeq[(Long, Long, String, Long)]): List[(Long, Long)] =
+    (rows.flatMap { case (ts, id, tpe, vc) => m.feedM(ts, id, tpe, vc) }
+      ++ m.flush())
+      .map(p => (p._1.start_event_id, p._1.end_event_id)).toList
+
+  property("feed+flush == java regex greedy (end-of-input resolves greed)") =
+    forAll(genAnyPattern, genValuedRows) { (pat, rows) =>
+      forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, Long.MaxValue / 4, after)
+        feedWithFlush(m, rows) == regexRef(rows, pat, after)
+      }
+    }
+
+  property("feed+flush == windowed DFS brute (all strategies)") =
+    forAll(genAnyPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (pat, rows, win) =>
+      forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, win, after)
+        feedWithFlush(m, rows) == bruteBacktrack(rows, pat, win, after)
+      }
+    }
+
 
   property("matches never overlap and consume contiguous rows") =
     forAll(genPattern, genRows) { (pat, rows) =>

@@ -222,15 +222,17 @@ class Round12Spec extends SparkSpecBase {
       .count() == 1)
   }
 
-  test("cep backtracking: view+ view — back-off, chunking, pending tail") {
+  test("cep backtracking: view+ view — back-off, chunking, eoi flush") {
     import spark.implicits._
     import graft.operators.Cep
     // one view run v1..v5 at 0/10/30/40/70s bounded by a click, then a
     // pair v6,v7 at 100/110s left UNBOUNDED at end-of-data. Window
     // 35s: chunk 1 = (1,3) (v4 at 40s exceeds v1+35s — resolved the
     // moment the window closes, not at the click), chunk 2 = (4,5)
-    // (resolved by the click); the trailing (6,7) is window-VALID but
-    // greed can never commit without a bounding row → pending
+    // (resolved by the click); the trailing (6,7) has no bounding row
+    // but BATCH input is finite — the end-of-input flush resolves its
+    // greed (SQL MATCH_RECOGNIZE finite-input semantics; the STREAMING
+    // twin keeps it pending, pinned in StreamingSpec)
     val rows = Seq(
       (1L, 0L, 1L, "view"), (1L, 10000000L, 2L, "view"),
       (1L, 30000000L, 3L, "view"), (1L, 40000000L, 4L, "view"),
@@ -243,9 +245,9 @@ class Round12Spec extends SparkSpecBase {
     val got = Cep.cepMatchOf(rows, pat, windowUs = 35000000L)
       .collect().map(m => (m.start_event_id, m.end_event_id, m.n_rows))
       .toSeq.sorted
-    // bounded run chunks to (1..3) and (4..5); the final (6,7) pair is
-    // window-valid but UNBOUNDED at end-of-data → pending, not emitted
-    assert(got == Seq((1L, 3L, 3L), (4L, 5L, 2L)), s"$got")
+    // bounded run chunks to (1..3) and (4..5); the final (6,7) pair
+    // emits at the end-of-input flush
+    assert(got == Seq((1L, 3L, 3L), (4L, 5L, 2L), (6L, 7L, 2L)), s"$got")
   }
 
   test("cep backtracking: stale feed resolves a mid-buffer chunk") {
@@ -254,7 +256,7 @@ class Round12Spec extends SparkSpecBase {
     // run v1(0s) v2(10s) v3(100s) v4(110s), no bounding row. At feed
     // v3 the head's window (35s) is exceeded → the machine must emit
     // (1,2) THEN (its longest window-valid prefix) without waiting for
-    // a breaking row; (3,4) stays pending at end-of-data
+    // a breaking row; (3,4) resolves at the batch end-of-input flush
     val rows = Seq(
       (1L, 0L, 1L, "view"), (1L, 10000000L, 2L, "view"),
       (1L, 100000000L, 3L, "view"), (1L, 110000000L, 4L, "view"))
@@ -263,8 +265,8 @@ class Round12Spec extends SparkSpecBase {
     val got = Cep.cepMatchOf(rows,
       Seq(Cep.Step("view", plus = true), Cep.Step("view", plus = false)),
       windowUs = 35000000L)
-      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
-    assert(got == Seq((1L, 2L)), s"$got")
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq.sorted
+    assert(got == Seq((1L, 2L), (3L, 4L)), s"$got")
   }
 
   test("cep backtracking: greedy waits — no premature shorter-take commit") {
@@ -299,8 +301,9 @@ class Round12Spec extends SparkSpecBase {
     // (value 2): descent needs value < prev — row6(2) < row5(6) but
     // row5 is V2's STRT now... STRT=6(2), descent from 7: 9 > 2 fails
     // → V2 dies; the trailing ascent 2→9 never forms a V without a
-    // descent. One match total, then a second user pins the pending
-    // rule (ascent unbounded at end-of-data)
+    // descent. One match for user 1; user 2's ascent is unbounded at
+    // end-of-data and resolves at the BATCH end-of-input flush (the
+    // streaming twin would keep it pending)
     val rows = Seq(
       (1L, 1L, 5.0), (1L, 2L, 3.0), (1L, 3L, 1.0), (1L, 4L, 4.0),
       (1L, 5L, 6.0), (1L, 6L, 2.0), (1L, 7L, 9.0), (1L, 8L, 9.0),
@@ -316,9 +319,9 @@ class Round12Spec extends SparkSpecBase {
       .collect().map(m => (m.user_id, m.start_event_id, m.end_event_id,
         m.n_rows)).toSeq.sorted
     // user 1: V = (1..5); the 2→9 ascent resolves at row 8 (flat) but
-    // has no descent before it. user 2: V (11..13) ascent UNBOUNDED at
-    // end-of-data → pending, absent
-    assert(got == Seq((1L, 1L, 5L, 5L)), s"$got")
+    // has no descent before it. user 2: V (11..13) ascent unbounded at
+    // end-of-data → emits at the end-of-input flush
+    assert(got == Seq((1L, 1L, 5L, 5L), (2L, 11L, 13L, 3L)), s"$got")
   }
 
   test("cep reluctant: lazy pairing vs greedy whole-run, frame shift") {
@@ -343,10 +346,11 @@ class Round12Spec extends SparkSpecBase {
     val greedyGot = Cep.cepMatchOf(rows, greedyPat, windowUs = 100000000L)
       .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq.sorted
     // lazy: pairs (1,2),(3,4) [5 is a singleton], eager (6,7) at
-    // end-of-data; greedy: whole first island (1,5), the unbounded
-    // (6,7) run PENDS (greed waits for a bounding row)
+    // end-of-data; greedy: whole first island (1,5), and the unbounded
+    // (6,7) run — pending at its feed — resolves at the end-of-input
+    // flush (batch finite-input semantics)
     assert(lazyGot == Seq((1L, 2L), (3L, 4L), (6L, 7L)), s"$lazyGot")
-    assert(greedyGot == Seq((1L, 5L)), s"$greedyGot")
+    assert(greedyGot == Seq((1L, 5L), (6L, 7L)), s"$greedyGot")
     // window frame shift: gap 2→3 exceeds a 1.5s window → (2,3)
     // killed, pairing resumes at 3: pairs (1,2) and (3,4)... with the
     // island's own gaps all 1s only the start pair differs; use a
