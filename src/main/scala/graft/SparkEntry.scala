@@ -467,6 +467,11 @@ object SparkEntry {
     // PREV(value, 2) offset DEFINE over a trailing quantified run
     "cep_prev2" ->
       ((s, dir) => graft.operators.Cep.cepPrev2(s, dir)),
+    // the SQL-string surface: the standard's V-pattern MATCH_RECOGNIZE
+    // clause parsed to the programmatic form (oracle = cep_vshape's)
+    "sql_match_recognize" ->
+      ((s, dir) =>
+        graft.operators.MatchRecognize.sqlMatchRecognize(s, dir)),
     // bounded-depth multi-source BFS over the sparse co-purchase graph
     // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
     "graph_bfs" ->
@@ -898,6 +903,43 @@ object SparkEntry {
       "JOIN v vb ON vb.vec_id = pp.j AND vb.dim = va.dim GROUP BY pp.i, pp.j), " +
       "dups AS (SELECT DISTINCT j AS vec_id FROM s " +
       "WHERE dot/(sqrt(na)*sqrt(nb)) >= 0.4) "
+
+  /** The cep_vshape definitional oracle (direction islands +
+    * consumed-peak floor recursion) — shared verbatim by the
+    * sql_match_recognize gate, whose parsed pattern IS the V.
+    */
+  private val vshapeOracleSql: String =
+      (        "WITH RECURSIVE r AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, CAST(round(value * 100) AS BIGINT) AS vc, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn FROM events), " +
+        "d AS (SELECT *, CASE WHEN vc < lag(vc) OVER w THEN 'd' " +
+        "WHEN vc > lag(vc) OVER w THEN 'u' " +
+        "WHEN lag(vc) OVER w IS NULL THEN '0' ELSE 'f' END AS dir " +
+        "FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rn)), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, dir ORDER BY rn) AS isl FROM d), " +
+        "g AS (SELECT user_id, dir, isl, MIN(rn) AS srn, MAX(rn) AS ern " +
+        "FROM i GROUP BY 1, 2, 3), " +
+        "pairs AS (SELECT dn.user_id, row_number() OVER " +
+        "(PARTITION BY dn.user_id ORDER BY dn.srn) AS k, " +
+        "dn.srn AS ds, dn.ern AS de, up.ern AS ue " +
+        "FROM g dn JOIN g up ON up.user_id = dn.user_id AND up.dir = 'u' " +
+        "AND up.srn = dn.ern + 1 WHERE dn.dir = 'd'), " +
+        "sel AS (SELECT user_id, k, ds, de, ue, ds - 1 AS s, " +
+        "CASE WHEN ds - 1 <= de - 1 THEN ue + 1 ELSE 1 END AS nf " +
+        "FROM pairs WHERE k = 1 " +
+        "UNION ALL SELECT p.user_id, p.k, p.ds, p.de, p.ue, " +
+        "GREATEST(p.ds - 1, s.nf) AS s, " +
+        "CASE WHEN GREATEST(p.ds - 1, s.nf) <= p.de - 1 THEN p.ue + 1 " +
+        "ELSE s.nf END AS nf FROM sel s " +
+        "JOIN pairs p ON p.user_id = s.user_id AND p.k = s.k + 1) " +
+        "SELECT sel.user_id, rs.event_id AS start_event_id, " +
+        "rs.ts_us AS start_ts_us, re.event_id AS end_event_id, " +
+        "re.ts_us AS end_ts_us, CAST(sel.ue - sel.s + 1 AS BIGINT) AS n_rows " +
+        "FROM sel " +
+        "JOIN r rs ON rs.user_id = sel.user_id AND rs.rn = sel.s " +
+        "JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.ue " +
+        "WHERE sel.s <= sel.de - 1 " +
+        "AND re.ts_us - rs.ts_us <= 604800000000 " +
+        "ORDER BY sel.user_id, start_ts_us, start_event_id")
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan" ->
@@ -3221,38 +3263,11 @@ object SparkEntry {
     // (r13 — SQL finite-input semantics; the stream twin keeps the
     // pending exclusion). Window predicate present but above every V
     // span at gate scale (cep_backtrack oracles windowed chunking)
-    "cep_vshape" ->
-      (        "WITH RECURSIVE r AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, CAST(round(value * 100) AS BIGINT) AS vc, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn FROM events), " +
-        "d AS (SELECT *, CASE WHEN vc < lag(vc) OVER w THEN 'd' " +
-        "WHEN vc > lag(vc) OVER w THEN 'u' " +
-        "WHEN lag(vc) OVER w IS NULL THEN '0' ELSE 'f' END AS dir " +
-        "FROM r WINDOW w AS (PARTITION BY user_id ORDER BY rn)), " +
-        "i AS (SELECT *, rn - row_number() OVER " +
-        "(PARTITION BY user_id, dir ORDER BY rn) AS isl FROM d), " +
-        "g AS (SELECT user_id, dir, isl, MIN(rn) AS srn, MAX(rn) AS ern " +
-        "FROM i GROUP BY 1, 2, 3), " +
-        "pairs AS (SELECT dn.user_id, row_number() OVER " +
-        "(PARTITION BY dn.user_id ORDER BY dn.srn) AS k, " +
-        "dn.srn AS ds, dn.ern AS de, up.ern AS ue " +
-        "FROM g dn JOIN g up ON up.user_id = dn.user_id AND up.dir = 'u' " +
-        "AND up.srn = dn.ern + 1 WHERE dn.dir = 'd'), " +
-        "sel AS (SELECT user_id, k, ds, de, ue, ds - 1 AS s, " +
-        "CASE WHEN ds - 1 <= de - 1 THEN ue + 1 ELSE 1 END AS nf " +
-        "FROM pairs WHERE k = 1 " +
-        "UNION ALL SELECT p.user_id, p.k, p.ds, p.de, p.ue, " +
-        "GREATEST(p.ds - 1, s.nf) AS s, " +
-        "CASE WHEN GREATEST(p.ds - 1, s.nf) <= p.de - 1 THEN p.ue + 1 " +
-        "ELSE s.nf END AS nf FROM sel s " +
-        "JOIN pairs p ON p.user_id = s.user_id AND p.k = s.k + 1) " +
-        "SELECT sel.user_id, rs.event_id AS start_event_id, " +
-        "rs.ts_us AS start_ts_us, re.event_id AS end_event_id, " +
-        "re.ts_us AS end_ts_us, CAST(sel.ue - sel.s + 1 AS BIGINT) AS n_rows " +
-        "FROM sel " +
-        "JOIN r rs ON rs.user_id = sel.user_id AND rs.rn = sel.s " +
-        "JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.ue " +
-        "WHERE sel.s <= sel.de - 1 " +
-        "AND re.ts_us - rs.ts_us <= 604800000000 " +
-        "ORDER BY sel.user_id, start_ts_us, start_event_id"),
+    "cep_vshape" -> vshapeOracleSql,
+    // the SQL-surface gate answers with exactly the V-pattern's rows —
+    // parse(sql) ≡ the programmatic form is additionally pinned
+    // structurally in Round13bSpec
+    "sql_match_recognize" -> vshapeOracleSql,
     // the folded streaming twin, 1-hour window
     "stream_cep_vshape" ->
       (        "WITH RECURSIVE f AS (SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id % 16 AS BIGINT) AS user_id, epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 1704067200000000 AS tu, value FROM events), r AS (SELECT user_id, event_id, tu AS ts_us, CAST(round(value * 100) AS BIGINT) AS vc, row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS rn FROM f), " +

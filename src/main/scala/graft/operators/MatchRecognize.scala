@@ -1,0 +1,369 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-string surface for the CEP machine: a parser from the SQL
+  * MATCH_RECOGNIZE clause (the way the reference's planner stack
+  * exposes pattern matching — Flink SQL's `FROM t MATCH_RECOGNIZE
+  * (...)`; reference: flink-kafka-table-api's planner ships the same
+  * clause) to the [[Cep]] programmatic form: `Seq[Step]` +
+  * [[Cep.AfterMatch]] + window micros. Supported grammar — exactly the
+  * machine's capability class, with every unsupported construct
+  * REJECTED loudly (the parser's requires mirror the machine's):
+  *
+  * {{{
+  * MATCH_RECOGNIZE (
+  *   PARTITION BY user_id
+  *   ORDER BY ts [, event_id]
+  *   [MEASURES ...]                  -- accepted, skipped (outputs are
+  *                                   -- the fixed CepMatch columns;
+  *                                   -- per-step aggregates live on
+  *                                   -- cepMeasuresOf)
+  *   [ONE ROW PER MATCH]
+  *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+  *                | SKIP TO {FIRST|LAST} var]
+  *   PATTERN ( var [quant] ... )     -- quant: + ? * {m,n} +? *? ??
+  *   [WITHIN INTERVAL 'n' {DAY|HOUR|MINUTE|SECOND}]
+  *   [DEFINE var AS cond [AND cond] [, ...] ]
+  * )
+  * }}}
+  *
+  * DEFINE conditions per variable (conjoined with AND):
+  *   - `V.event_type = 'sym'`            → the step's symbol
+  *   - `V.event_type IN ('a', 'b', …)`   → alternation set
+  *   - `V.value < PREV(V.value [, k])`   → [[Cep.PrevCmp]] (+ offset);
+  *     also <=, >, >=
+  *   - `SUM(V.value) <= c`               → running-sum cap (cents)
+  * An UNDEFINED variable is MATCH_RECOGNIZE's always-true variable →
+  * a wildcard step. The canonical V-pattern parses as written in the
+  * standard: PATTERN (STRT DOWN+ UP+) with DOWN/UP PREV predicates.
+  *
+  * DuckDB has no MATCH_RECOGNIZE, so the gate's oracle stays the
+  * definitional CTE of the equivalent programmatic key; the
+  * sql_match_recognize gate runs the PARSED form of the cep_vshape SQL
+  * against that key's oracle, and Round13bSpec asserts parse(sql) ≡
+  * the programmatic pattern structurally.
+  */
+object MatchRecognize {
+
+  /** The parsed clause: everything the runner needs. */
+  final case class Parsed(partitionCol: String, orderCols: Seq[String],
+      pattern: Seq[Cep.Step], after: Cep.AfterMatch, windowUs: Long)
+
+  // ---------------------------------------------------------- lexer
+  private def lex(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val j = s.indexOf('\'', i + 1)
+        require(j >= 0, s"match_recognize: unterminated string at $i")
+        out += s.substring(i, j + 1) // keep quotes to mark a literal
+        i = j + 1
+      } else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        out += s.substring(i, j).toUpperCase
+        i = j
+      } else if (c.isDigit) {
+        var j = i
+        while (j < s.length && (s(j).isDigit || s(j) == '.')) j += 1
+        out += s.substring(i, j)
+        i = j
+      } else if (c == '<' || c == '>') {
+        if (i + 1 < s.length && (s(i + 1) == '=' || s(i + 1) == '>')) {
+          out += s.substring(i, i + 2); i += 2
+        } else { out += c.toString; i += 1 }
+      } else { out += c.toString; i += 1 }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------- parser
+  private final class P(toks: Vector[String]) {
+    private var i = 0
+    def peek: String = if (i < toks.length) toks(i) else ""
+    def next(): String = { val t = peek; i += 1; t }
+    def expect(t: String): Unit = {
+      val g = next()
+      require(g == t, s"match_recognize: expected '$t' but found '$g'")
+    }
+    def accept(t: String): Boolean =
+      if (peek == t) { i += 1; true } else false
+    def acceptSeq(ts: String*): Boolean = {
+      if (ts.indices.forall(k => i + k < toks.length && toks(i + k) == ts(k))) {
+        i += ts.length; true
+      } else false
+    }
+    def done: Boolean = i >= toks.length
+  }
+
+  /** Per-variable DEFINE condition accumulator. */
+  private final case class VarDef(symbol: Option[String] = None,
+      alt: Set[String] = Set.empty, cmp: Option[Cep.PrevCmp] = None,
+      cmpOff: Int = 1, sumCap: Option[Long] = None)
+
+  def parse(sql: String): Parsed = {
+    val p = new P(lex(sql))
+    p.expect("MATCH_RECOGNIZE")
+    p.expect("(")
+
+    // PARTITION BY <ident>
+    p.expect("PARTITION"); p.expect("BY")
+    val partitionCol = p.next().toLowerCase
+    require(partitionCol.headOption.exists(_.isLetter),
+      s"match_recognize: bad PARTITION BY column '$partitionCol'")
+
+    // ORDER BY <ident> [, <ident>]
+    p.expect("ORDER"); p.expect("BY")
+    val orderCols = scala.collection.mutable.ListBuffer(p.next().toLowerCase)
+    while (p.accept(",") &&
+        { orderCols += p.next().toLowerCase; true }) ()
+
+    // MEASURES ... — accepted and skipped up to the next section
+    if (p.accept("MEASURES")) {
+      val stops = Set("ONE", "AFTER", "PATTERN")
+      while (!stops.contains(p.peek)) {
+        require(!p.done, "match_recognize: MEASURES never ends")
+        p.next()
+      }
+    }
+    // ONE ROW PER MATCH — our output shape; accepted
+    if (p.accept("ONE")) { p.expect("ROW"); p.expect("PER"); p.expect("MATCH") }
+
+    // AFTER MATCH SKIP ...
+    var after: Cep.AfterMatch = Cep.SkipPastLast
+    var afterVar: Option[(String, Boolean)] = None // (var, isFirst)
+    if (p.accept("AFTER")) {
+      p.expect("MATCH"); p.expect("SKIP")
+      if (p.acceptSeq("PAST", "LAST", "ROW")) after = Cep.SkipPastLast
+      else if (p.acceptSeq("TO", "NEXT", "ROW")) after = Cep.SkipToNextRow
+      else if (p.accept("TO")) {
+        val isFirst = p.peek match {
+          case "FIRST" => p.next(); true
+          case "LAST"  => p.next(); false
+          case t => throw new IllegalArgumentException(
+            s"match_recognize: SKIP TO must name FIRST or LAST (found '$t')")
+        }
+        afterVar = Some((p.next(), isFirst))
+      } else throw new IllegalArgumentException(
+        s"match_recognize: unsupported AFTER MATCH SKIP form at '${p.peek}'")
+    }
+
+    // PATTERN ( var [quant] ... )
+    p.expect("PATTERN"); p.expect("(")
+    final case class PatItem(name: String, lo: Int, hi: Int,
+      reluctant: Boolean, explicitRep: Boolean)
+    val items = scala.collection.mutable.ListBuffer.empty[PatItem]
+    while (p.peek != ")") {
+      val name = p.next()
+      require(name.headOption.exists(_.isLetter),
+        s"match_recognize: bad pattern variable '$name'")
+      var (lo, hi) = (1, 1)
+      var explicitRep = false
+      p.peek match {
+        case "+" => p.next(); lo = 1; hi = Int.MaxValue
+        case "*" => p.next(); lo = 0; hi = Int.MaxValue
+        case "?" => p.next(); lo = 0; hi = 1
+        case "{" =>
+          p.next()
+          lo = p.next().toInt
+          p.expect(",")
+          hi = p.next().toInt
+          p.expect("}")
+          explicitRep = true
+        case _ => ()
+      }
+      // a second '?' flips the quantifier LAZY (reluctant)
+      val reluctant = (lo, hi) != ((1, 1)) && p.accept("?")
+      items += PatItem(name, lo, hi, reluctant, explicitRep)
+    }
+    p.expect(")")
+    require(items.nonEmpty, "match_recognize: empty PATTERN")
+
+    // WITHIN INTERVAL 'n' UNIT
+    var windowUs = Long.MaxValue / 4
+    if (p.accept("WITHIN")) {
+      p.expect("INTERVAL")
+      val lit = p.next()
+      require(lit.startsWith("'") && lit.endsWith("'"),
+        s"match_recognize: INTERVAL needs a quoted magnitude (found $lit)")
+      val n = lit.substring(1, lit.length - 1).trim.toLong
+      val unitUs = p.next() match {
+        case "DAY" | "DAYS"       => 86400000000L
+        case "HOUR" | "HOURS"     => 3600000000L
+        case "MINUTE" | "MINUTES" => 60000000L
+        case "SECOND" | "SECONDS" => 1000000L
+        case u => throw new IllegalArgumentException(
+          s"match_recognize: unsupported INTERVAL unit '$u'")
+      }
+      windowUs = n * unitUs
+    }
+
+    // DEFINE var AS cond [AND cond] [, ...]
+    val defs = scala.collection.mutable.Map.empty[String, VarDef]
+    if (p.accept("DEFINE")) {
+      var more = true
+      while (more) {
+        val v = p.next()
+        p.expect("AS")
+        var d = defs.getOrElse(v, VarDef())
+        var conj = true
+        while (conj) {
+          d = parseCond(p, v, d)
+          conj = p.accept("AND")
+        }
+        defs(v) = d
+        more = p.accept(",")
+      }
+    }
+    p.expect(")")
+    require(p.done,
+      s"match_recognize: trailing tokens after the clause: '${p.peek}'")
+
+    // assemble steps; names may repeat in PATTERN (each occurrence is
+    // its own step with the variable's shared definition)
+    defs.keys.foreach { v =>
+      require(items.exists(_.name == v),
+        s"match_recognize: DEFINE names '$v' which PATTERN never uses")
+    }
+    val steps = items.toList.map { it =>
+      val d = defs.getOrElse(it.name, VarDef())
+      val any = d.symbol.isEmpty
+      Cep.Step(
+        symbol = d.symbol.getOrElse("*"),
+        plus = !it.explicitRep && it.hi == Int.MaxValue,
+        opt = !it.explicitRep && it.lo == 0,
+        alt = d.alt,
+        rep = if (it.explicitRep) Some((it.lo, it.hi)) else None,
+        any = any,
+        cmp = d.cmp,
+        reluctant = it.reluctant,
+        cmpOff = d.cmpOff,
+        sumCap = d.sumCap)
+    }
+    val resolvedAfter = afterVar match {
+      case Some((v, isFirst)) =>
+        val idx = items.indexWhere(_.name == v)
+        require(idx >= 0,
+          s"match_recognize: AFTER MATCH SKIP TO names '$v' which " +
+            "PATTERN never uses")
+        if (isFirst) Cep.SkipToFirst(idx) else Cep.SkipToLast(idx)
+      case None => after
+    }
+    // the machine's own validation runs too (cepMatchOf) — these
+    // parser-level requires exist so the SQL surface fails with SQL-
+    // level messages before the machine's
+    Cep.validateCommon(steps)
+    Cep.validateAfter(steps, resolvedAfter)
+    Parsed(partitionCol, orderCols.toList, steps, resolvedAfter, windowUs)
+  }
+
+  /** One DEFINE condition for variable `v`, folded into its VarDef. */
+  private def parseCond(p: P, v: String, d: VarDef): VarDef = {
+    if (p.accept("SUM")) {
+      // SUM(V.value) <= c
+      p.expect("("); val sv = p.next()
+      require(sv == v, s"match_recognize: SUM over '$sv' inside " +
+        s"'$v's definition — aggregates range over the variable itself")
+      p.expect("."); p.expect("VALUE"); p.expect(")")
+      p.expect("<=")
+      val capTok = p.next()
+      val cap = BigDecimal(capTok).*(100).setScale(0,
+        BigDecimal.RoundingMode.HALF_UP).toLong
+      d.copy(sumCap = Some(cap))
+    } else {
+      val lhsVar = p.next()
+      require(lhsVar == v, s"match_recognize: '$v' defined via " +
+        s"'$lhsVar' — DEFINE conditions reference their own variable")
+      p.expect(".")
+      p.next() match {
+        case "EVENT_TYPE" =>
+          if (p.accept("=")) {
+            val lit = p.next()
+            require(lit.startsWith("'"),
+              "match_recognize: event_type compares against a string")
+            d.copy(symbol = Some(unq(lit)))
+          } else {
+            p.expect("IN"); p.expect("(")
+            val syms = scala.collection.mutable.ListBuffer(unq(p.next()))
+            while (p.accept(",")) syms += unq(p.next())
+            p.expect(")")
+            d.copy(symbol = Some(syms.head), alt = syms.tail.toSet)
+          }
+        case "VALUE" =>
+          val cmp = p.next() match {
+            case "<"  => Cep.PrevLt
+            case ">"  => Cep.PrevGt
+            case "<=" => Cep.PrevLe
+            case ">=" => Cep.PrevGe
+            case op => throw new IllegalArgumentException(
+              s"match_recognize: unsupported value comparison '$op'")
+          }
+          p.expect("PREV"); p.expect("(")
+          val pv = p.next()
+          require(pv == v, s"match_recognize: PREV over '$pv' inside " +
+            s"'$v's definition — PREV navigates the same variable")
+          p.expect("."); p.expect("VALUE")
+          val off = if (p.accept(",")) p.next().toInt else 1
+          p.expect(")")
+          d.copy(cmp = Some(cmp), cmpOff = off)
+        case f => throw new IllegalArgumentException(
+          s"match_recognize: unsupported DEFINE field '$f' (event_type " +
+            "and value only)")
+      }
+    }
+  }
+
+  private def unq(t: String): String = {
+    require(t.startsWith("'") && t.endsWith("'") && t.length >= 2,
+      s"match_recognize: expected a string literal, found $t")
+    t.substring(1, t.length - 1)
+  }
+
+  /** Run a MATCH_RECOGNIZE clause against an events-shaped frame: parse
+    * and delegate to [[Cep.cepMatchOf]]. The clause's PARTITION BY /
+    * ORDER BY must be the frame's key/time shape (user_id; ts then
+    * optionally event_id) — the machine's segmented scan is keyed on
+    * exactly that, so anything else is rejected rather than silently
+    * re-mapped.
+    */
+  def matchRecognizeOf(events: DataFrame, sql: String): Dataset[Cep.CepMatch] = {
+    val parsed = parse(sql)
+    require(parsed.partitionCol == "user_id",
+      s"match_recognize: PARTITION BY ${parsed.partitionCol} — this " +
+        "runner keys on user_id")
+    require(parsed.orderCols == Seq("ts") ||
+        parsed.orderCols == Seq("ts", "event_id"),
+      s"match_recognize: ORDER BY ${parsed.orderCols.mkString(", ")} — " +
+        "this runner orders by ts, event_id")
+    Cep.cepMatchOf(events, parsed.pattern, parsed.windowUs, parsed.after)
+  }
+
+  /** sql_match_recognize — the SQL surface gate: the V-pattern as the
+    * standard writes it, parsed and run against the cep_vshape oracle
+    * (same answer by construction — Round13bSpec additionally asserts
+    * the parse is structurally the programmatic pattern).
+    */
+  val VshapeSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  MEASURES STRT.ts AS start_ts, LAST(UP.ts) AS end_ts
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (STRT DOWN+ UP+)
+      |  WITHIN INTERVAL '7' DAY
+      |  DEFINE
+      |    DOWN AS DOWN.value < PREV(DOWN.value),
+      |    UP AS UP.value > PREV(UP.value)
+      |)""".stripMargin
+
+  def sqlMatchRecognize(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeOf(graft.Tables.t(s, dir, "events"), VshapeSql)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+}
