@@ -472,6 +472,11 @@ object SparkEntry {
     "sql_match_recognize" ->
       ((s, dir) =>
         graft.operators.MatchRecognize.sqlMatchRecognize(s, dir)),
+    // late-data observability: the per-operator dropped-late counter,
+    // oracled against the definitional watermark formula on a
+    // deliberately disordered two-batch replay
+    "stream_late_obs" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamLateObsGate(s, dir)),
     // bounded-depth multi-source BFS over the sparse co-purchase graph
     // vs DuckDB WITH RECURSIVE — the iterative-fixpoint capability row
     "graph_bfs" ->
@@ -3268,6 +3273,22 @@ object SparkEntry {
     // parse(sql) ≡ the programmatic form is additionally pinned
     // structurally in Round13bSpec
     "sql_match_recognize" -> vshapeOracleSql,
+    // late-drop counter, definitionally: held-back rows = every 7th
+    // event_id plus the 3 globally-latest (ts, id) rows; after batch 1
+    // the watermark is (max batch-1 event-ms − 5000), and a held-back
+    // row at or below it drops — the counter must equal that count
+    // exactly (the 3 latest rows land above it: the admit path)
+    "stream_late_obs" ->
+      ("WITH f AS (SELECT CAST(event_id AS BIGINT) AS event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 " +
+        "+ 1704067200000000 AS tu FROM events), " +
+        "rk AS (SELECT *, row_number() OVER " +
+        "(ORDER BY tu DESC, event_id DESC) AS r FROM f), " +
+        "b1 AS (SELECT MAX(tu) AS m FROM rk " +
+        "WHERE event_id % 7 <> 0 AND r > 3) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS late_dropped FROM rk, b1 " +
+        "WHERE (event_id % 7 = 0 OR r <= 3) " +
+        "AND tu <= (CAST(FLOOR(m / 1000) AS BIGINT) - 5000) * 1000"),
     // the folded streaming twin, 1-hour window
     "stream_cep_vshape" ->
       (        "WITH RECURSIVE f AS (SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id % 16 AS BIGINT) AS user_id, epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 1704067200000000 AS tu, value FROM events), r AS (SELECT user_id, event_id, tu AS ts_us, CAST(round(value * 100) AS BIGINT) AS vc, row_number() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS rn FROM f), " +

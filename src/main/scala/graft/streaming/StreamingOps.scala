@@ -2046,7 +2046,8 @@ object StreamingOps {
   class CepStreamProcessor(pattern: IndexedSeq[graft.operators.Cep.Step],
       windowUs: Long,
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
-      contiguous: Boolean = true)
+      contiguous: Boolean = true,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, String, Long),
         graft.operators.Cep.CepMatch] {
@@ -2103,6 +2104,16 @@ object StreamingOps {
           val cur = if (buf.containsKey(ts)) buf.getValue(ts) else Nil
           buf.updateValue(ts, (id, tpe, vc) :: cur)
           getHandle.registerTimer((ts + 999L) / 1000L)
+        } else {
+          // LATE-DATA OBSERVABILITY: the row's instant already drained
+          // (or sits at/below the watermark on arrival) — it is dropped
+          // per the shared late-row contract, and the drop is COUNTED
+          // so operators surface it instead of losing it silently
+          // (Flink's late-data side-output, reduced to the counter).
+          // Accumulator semantics: operational metric — exact on a
+          // clean run, may over-count under task retries, exactly like
+          // Spark's own SQL metrics.
+          lateCounter.foreach(_.add(1L))
         }
       }
       Iterator.empty
@@ -2178,11 +2189,12 @@ object StreamingOps {
       pattern: Seq[graft.operators.Cep.Step],
       windowUs: Long,
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
-      contiguous: Boolean = true)
+      contiguous: Boolean = true,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[graft.operators.Cep.CepMatch] = {
     import events.sparkSession.implicits._
     cepStreamValued(events.map(r => (r._1, r._2, r._3, r._4, 0L)),
-      pattern, windowUs, after, contiguous)
+      pattern, windowUs, after, contiguous, lateCounter)
   }
 
   /** (user_id, ts_us, event_id, event_type, value_c) stream — the
@@ -2193,7 +2205,8 @@ object StreamingOps {
       pattern: Seq[graft.operators.Cep.Step],
       windowUs: Long,
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
-      contiguous: Boolean = true)
+      contiguous: Boolean = true,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[graft.operators.Cep.CepMatch] = {
     if (contiguous) graft.operators.Cep.validateCommon(pattern)
     else graft.operators.Cep.validateSubseq(pattern)
@@ -2206,10 +2219,27 @@ object StreamingOps {
       .as[(Long, Long, Long, String, Long)]
       .groupByKey(_._1)
       .transformWithState(
-        new CepStreamProcessor(pattern.toIndexedSeq, windowUs, after, contiguous),
+        new CepStreamProcessor(pattern.toIndexedSeq, windowUs, after,
+          contiguous, lateCounter),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
+
+  /** Late-data observability for the SPARK-NATIVE stateful operators
+    * (windowed aggregations, dedup, stream-stream joins): Spark counts
+    * watermark-dropped rows per stateful operator in each progress
+    * entry — sum them across the query's recent progress (deduped by
+    * batch, so repeated polls don't double-count). Custom
+    * transformWithState processors drop inside their own logic where
+    * Spark cannot see; those take an explicit accumulator instead
+    * (e.g. [[cepStreamValued]]'s `lateCounter`).
+    */
+  def lateDropsOf(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress
+      .groupBy(_.batchId).map(_._2.head)
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark)
+      .sum
 
   /** Deterministic changelog derived from the events table — the
     * replay fixture the gate and the DuckDB oracle both consume:
@@ -3339,6 +3369,53 @@ object StreamingOps {
         windowUs, contiguous = false).toDF())
       .filter(col("user_id") >= 0L)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
+  /** stream_late_obs gate — LATE-DATA OBSERVABILITY end-to-end: the
+    * day-folded fixture replays through [[cepStream]] (the funnel
+    * pattern) in two DELIBERATELY disordered batches — batch 1 holds
+    * every row except the held-back set, batch 2 delivers the held-back
+    * set (every 7th event_id, scattered across the whole day, plus the
+    * 3 globally-latest rows so the late-batch ADMIT path binds too).
+    * After batch 1 the watermark W sits 5 s under the day's last
+    * batch-1 instant, so the scattered rows arrive at-or-below it and
+    * the processor DROPS them into the late counter; the 3 latest rows
+    * arrive above W and are admitted. The gate's answer is the counter
+    * value — the DuckDB oracle computes the same number definitionally
+    * from the split predicate and the watermark formula (max batch-1
+    * event-ms − 5000), so a single silently-lost or wrongly-dropped
+    * row mismatches. Accumulator caveat: exact on a clean run (the
+    * replay), may over-count under task retries — Spark's own SQL
+    * metric semantics.
+    */
+  def streamLateObsGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val windowUs = 600000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val latest3 = fixture.map(r => (r._2, r._3))
+      .sortBy { case (ts, id) => (-ts, -id) }.take(3)
+      .map(_._2).toSet
+    val held = (r: (Long, Long, Long, String)) =>
+      r._3 % 7 == 0 || latest3.contains(r._3)
+    val counter = s.sparkContext.longAccumulator("graft.cep.lateDropped")
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    withGateConfs(s) {
+      val q = cepStream(src.toDS(),
+        Seq(graft.operators.Cep.Step("click", plus = false),
+          graft.operators.Cep.Step("view", plus = true),
+          graft.operators.Cep.Step("purchase", plus = false)),
+        windowUs, lateCounter = Some(counter))
+        .writeStream.format("noop").start()
+      src.addData(fixture.filterNot(held))
+      q.processAllAvailable()
+      src.addData(fixture.filter(held))
+      q.processAllAvailable()
+      q.stop()
+    }
+    Seq(counter.value).toDF("late_dropped")
   }
 
   /** stream_cep_skip gate — the STREAMING twin of `cep_skip_next`:

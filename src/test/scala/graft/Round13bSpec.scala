@@ -71,6 +71,47 @@ class Round13bSpec extends SparkSpecBase {
     assert(viaSql == viaApi && viaSql.nonEmpty, s"$viaSql vs $viaApi")
   }
 
+  test("cep stream: the late-drop counter counts exactly the rows the " +
+      "watermark contract rejects") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // transformWithState requires the RocksDB store (multi-column-
+    // family support) — scope it to this test like the gate harness
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+    val counter = spark.sparkContext.longAccumulator("test.cep.late")
+    val src = MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.StreamingOps.cepStream(src.toDS(),
+      Seq(Cep.Step("click"), Cep.Step("view", plus = true),
+        Cep.Step("purchase")),
+      windowUs = 600000000L, lateCounter = Some(counter))
+      .writeStream.format("memory").queryName("ceplate")
+      .outputMode("append").start()
+    // batch 1: a funnel at 0-20s plus an advancer at 100s → the
+    // watermark lands at 95s
+    src.addData((1L, 0L, 1L, "click"), (1L, 10000000L, 2L, "view"),
+      (1L, 20000000L, 3L, "purchase"), (1L, 100000000L, 4L, "signup"))
+    q.processAllAvailable()
+    // batch 2: two rows at/below the 95s watermark (DROPPED + counted),
+    // one above it (admitted)
+    src.addData((1L, 30000000L, 5L, "view"), (1L, 95000000L, 6L, "view"),
+      (1L, 96000000L, 7L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    assert(counter.value == 2L, s"late counter: ${counter.value}")
+    // the admitted funnel still completed (drops didn't break matching)
+    val got = spark.table("ceplate").count()
+    assert(got == 1L, s"matches: $got")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("match_recognize: rejections mirror the machine's requires") {
     def bad(sql: String): String =
       intercept[IllegalArgumentException](MR.parse(sql)).getMessage

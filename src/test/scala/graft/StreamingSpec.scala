@@ -40,6 +40,11 @@ class StreamingSpec extends SparkSpecBase {
       .select($"w_start".cast("string"), $"cnt").as[(String, Long)].collect().toMap
     assert(out("2024-03-01 00:00:00") == 2L) // late event 4 NOT counted
     assert(out("2024-03-01 00:02:00") == 1L)
+    // LATE-DATA OBSERVABILITY (r13): the drop is not silent — Spark's
+    // per-stateful-operator watermark-drop metric surfaces it through
+    // StreamingQueryProgress, summed by lateDropsOf (event 4, exactly)
+    assert(StreamingOps.lateDropsOf(q) == 1L,
+      s"late-drop counter: ${StreamingOps.lateDropsOf(q)}")
   }
 
   test("Q31: session windows merge events within the 30s gap") {
