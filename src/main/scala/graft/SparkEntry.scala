@@ -472,6 +472,10 @@ object SparkEntry {
     "sql_match_recognize" ->
       ((s, dir) =>
         graft.operators.MatchRecognize.sqlMatchRecognize(s, dir)),
+    // the MEASURES side of the SQL surface: per-variable aggregates
+    // pivoted to one named column per measure, one row per match
+    "sql_mr_measures" ->
+      ((s, dir) => graft.operators.MatchRecognize.sqlMrMeasures(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -3175,6 +3179,41 @@ object SparkEntry {
         "p_vc AS sum_value_c, p_vc AS min_value_c, p_vc AS max_value_c, " +
         "p_id AS first_event_id, p_id AS last_event_id FROM m " +
         "ORDER BY user_id, start_ts_us, start_event_id, step"),
+    // the MEASURES SQL surface: the same islands pivot (m CTE) shaped
+    // one row per match with the clause's aliases as columns
+    "sql_mr_measures" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS sv, " +
+        "CAST(MAX(vc) AS BIGINT) AS mxv FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "g.sv, g.mxv, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "c.last_id AS click_id, CAST(v.n AS BIGINT) AS views_cnt, " +
+        "v.sv AS views_sum_c, v.mxv AS views_max_c, " +
+        "p.first_id AS purchase_id " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000 " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // SKIP TO FIRST click on view+ click view: per (view-island,
     // single-click island, view-island) adjacency, ONE match starting
     // at the leftmost window-valid view of the run (the automaton's

@@ -47,9 +47,24 @@ import org.apache.spark.sql.functions._
   */
 object MatchRecognize {
 
-  /** The parsed clause: everything the runner needs. */
+  /** One parsed MEASURES entry: aggregate function, pattern variable,
+    * output alias. Supported aggregates (the machine's per-step
+    * primitive set): COUNT(V.*), SUM/MIN/MAX(V.value) — exact CENTS,
+    * like [[Cep.StepAgg]] — and FIRST/LAST(V.event_id). AVG is
+    * sum/cnt downstream, as everywhere in the library.
+    */
+  final case class Measure(func: String, varName: String, alias: String)
+
+  /** The parsed clause: everything the runners need. `rawMeasures`
+    * holds the MEASURES clause's tokens verbatim — [[matchRecognizeOf]]
+    * ignores them (its output is the fixed CepMatch shape), while
+    * [[matchRecognizeMeasuresOf]] parses them STRICTLY into
+    * [[Measure]]s.
+    */
   final case class Parsed(partitionCol: String, orderCols: Seq[String],
-      pattern: Seq[Cep.Step], after: Cep.AfterMatch, windowUs: Long)
+      pattern: Seq[Cep.Step], after: Cep.AfterMatch, windowUs: Long,
+      rawMeasures: Vector[String] = Vector.empty,
+      varNames: Seq[String] = Nil)
 
   // ---------------------------------------------------------- lexer
   private def lex(s: String): Vector[String] = {
@@ -123,12 +138,14 @@ object MatchRecognize {
     while (p.accept(",") &&
         { orderCols += p.next().toLowerCase; true }) ()
 
-    // MEASURES ... — accepted and skipped up to the next section
+    // MEASURES ... — tokens captured verbatim up to the next section
+    // (strictly parsed only by the measures runner)
+    val rawMeasures = Vector.newBuilder[String]
     if (p.accept("MEASURES")) {
       val stops = Set("ONE", "AFTER", "PATTERN")
       while (!stops.contains(p.peek)) {
         require(!p.done, "match_recognize: MEASURES never ends")
-        p.next()
+        rawMeasures += p.next()
       }
     }
     // ONE ROW PER MATCH — our output shape; accepted
@@ -259,7 +276,48 @@ object MatchRecognize {
     // level messages before the machine's
     Cep.validateCommon(steps)
     Cep.validateAfter(steps, resolvedAfter)
-    Parsed(partitionCol, orderCols.toList, steps, resolvedAfter, windowUs)
+    Parsed(partitionCol, orderCols.toList, steps, resolvedAfter, windowUs,
+      rawMeasures.result(), items.toList.map(_.name))
+  }
+
+  /** Strict MEASURES parse: `FUNC(VAR.field) AS alias` entries, comma
+    * separated — used by [[matchRecognizeMeasuresOf]] (the match-only
+    * runner ignores measures). Fields are fixed per function: COUNT
+    * takes `V.*`, SUM/MIN/MAX take `V.value`, FIRST/LAST take
+    * `V.event_id` — the machine's per-step primitive set.
+    */
+  private[graft] def parseMeasures(raw: Vector[String]): Seq[Measure] = {
+    require(raw.nonEmpty, "match_recognize: MEASURES clause is empty " +
+      "(the measures runner needs at least one)")
+    val p = new P(raw)
+    val out = scala.collection.mutable.ListBuffer.empty[Measure]
+    var more = true
+    while (more) {
+      val fn = p.next()
+      require(Set("COUNT", "SUM", "MIN", "MAX", "FIRST", "LAST")(fn),
+        s"match_recognize: unsupported MEASURES aggregate '$fn' " +
+          "(COUNT/SUM/MIN/MAX/FIRST/LAST)")
+      p.expect("(")
+      val v = p.next()
+      p.expect(".")
+      val field = p.next()
+      fn match {
+        case "COUNT" => require(field == "*",
+          s"match_recognize: COUNT measures rows — write COUNT($v.*)")
+        case "SUM" | "MIN" | "MAX" => require(field == "VALUE",
+          s"match_recognize: $fn ranges over $v.value (exact cents)")
+        case _ => require(field == "EVENT_ID",
+          s"match_recognize: $fn navigates $v.event_id")
+      }
+      p.expect(")")
+      p.expect("AS")
+      val alias = p.next().toLowerCase
+      out += Measure(fn, v, alias)
+      more = p.accept(",")
+    }
+    require(p.done,
+      s"match_recognize: trailing MEASURES tokens at '${p.peek}'")
+    out.toList
   }
 
   /** One DEFINE condition for variable `v`, folded into its VarDef. */
@@ -342,6 +400,78 @@ object MatchRecognize {
         "this runner orders by ts, event_id")
     Cep.cepMatchOf(events, parsed.pattern, parsed.windowUs, parsed.after)
   }
+
+  /** ONE-ROW-PER-MATCH with the clause's MEASURES as columns: parse,
+    * run [[Cep.cepMeasuresOf]], and PIVOT the per-(match, step) rows
+    * into one row per match carrying each measure under its alias —
+    * match identity columns (user_id, start/end ids and timestamps,
+    * n_rows) ride along for joinability. Measure variables must occur
+    * exactly ONCE in PATTERN (a repeated variable's occurrences are
+    * distinct steps here; aggregate across them downstream). The
+    * pivot is one hash aggregation keyed on the match identity — no
+    * extra shuffle beyond cepMeasuresOf's own segmented scan.
+    */
+  def matchRecognizeMeasuresOf(events: DataFrame, sql: String): DataFrame = {
+    val parsed = parse(sql)
+    require(parsed.partitionCol == "user_id" &&
+      (parsed.orderCols == Seq("ts") ||
+        parsed.orderCols == Seq("ts", "event_id")),
+      "match_recognize: this runner keys on user_id and orders by " +
+        "ts, event_id")
+    val measures = parseMeasures(parsed.rawMeasures)
+    val stepOf: Map[String, Int] = measures.map(_.varName).distinct.map {
+      v =>
+        val occ = parsed.varNames.zipWithIndex.filter(_._1 == v)
+        require(occ.nonEmpty,
+          s"match_recognize: MEASURES names '$v' which PATTERN never uses")
+        require(occ.length == 1,
+          s"match_recognize: MEASURES over '$v', which PATTERN uses " +
+            s"${occ.length} times — each occurrence is a distinct step")
+        v -> occ.head._2
+    }.toMap
+    val md = Cep.cepMeasuresOf(events, parsed.pattern, parsed.windowUs,
+      parsed.after).toDF()
+    val aggs = measures.map { m =>
+      val src = m.func match {
+        case "COUNT" => col("cnt")
+        case "SUM"   => col("sum_value_c")
+        case "MIN"   => col("min_value_c")
+        case "MAX"   => col("max_value_c")
+        case "FIRST" => col("first_event_id")
+        case "LAST"  => col("last_event_id")
+      }
+      // one row per (match, step): max() just selects that row's value
+      max(when(col("step") === stepOf(m.varName), src)).as(m.alias)
+    }
+    md.groupBy(col("user_id"), col("start_event_id"), col("start_ts_us"),
+        col("end_event_id"), col("end_ts_us"), col("n_rows"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** sql_mr_measures — the MEASURES side of the SQL surface: the gate
+    * funnel with per-variable aggregates as named columns, against a
+    * pivot reshape of the cep_measures islands oracle.
+    */
+  val FunnelMeasuresSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  MEASURES FIRST(C.event_id) AS click_id, COUNT(V.*) AS views_cnt,
+      |           SUM(V.value) AS views_sum_c, MAX(V.value) AS views_max_c,
+      |           LAST(P.event_id) AS purchase_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |)""".stripMargin
+
+  def sqlMrMeasures(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeMeasuresOf(graft.Tables.t(s, dir, "events"),
+      FunnelMeasuresSql)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 
   /** sql_match_recognize — the SQL surface gate: the V-pattern as the
     * standard writes it, parsed and run against the cep_vshape oracle

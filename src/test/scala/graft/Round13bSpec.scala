@@ -71,6 +71,63 @@ class Round13bSpec extends SparkSpecBase {
     assert(viaSql == viaApi && viaSql.nonEmpty, s"$viaSql vs $viaApi")
   }
 
+  test("match_recognize MEASURES: pivot runner == cepMeasuresOf columns") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, "click", 0.10), (1L, 2L, "view", 0.30),
+      (1L, 3L, "view", 0.50), (1L, 4L, "purchase", 9.99),
+      (1L, 5L, "click", 0.20), (1L, 6L, "purchase", 1.00))
+      .map { case (u, id, t, v) => (u, id * 1000000L, id, t, v) }
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got = MR.matchRecognizeMeasuresOf(rows, MR.FunnelMeasuresSql)
+      .select("click_id", "views_cnt", "views_sum_c", "views_max_c",
+        "purchase_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // one funnel: click1, views 2+3 (30c + 50c), purchase4; the second
+    // click has no view before its purchase → no match
+    assert(got == Seq((1L, 2L, 80L, 50L, 4L)), s"$got")
+  }
+
+  test("match_recognize MEASURES: strict-parse rejections") {
+    def bad(sql: String): String =
+      intercept[IllegalArgumentException](
+        MR.matchRecognizeMeasuresOf(null, sql)).getMessage
+    val base =
+      """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+        | MEASURES %s
+        | PATTERN (A B+) WITHIN INTERVAL '1' HOUR
+        | DEFINE A AS A.event_type = 'click',
+        | B AS B.event_type = 'view')""".stripMargin
+    // unsupported aggregate
+    assert(bad(base.format("MEDIAN(B.value) AS m"))
+      .contains("unsupported MEASURES aggregate"))
+    // wrong field per function
+    assert(bad(base.format("SUM(B.event_id) AS s"))
+      .contains("exact cents"))
+    assert(bad(base.format("FIRST(B.value) AS f"))
+      .contains("event_id"))
+    assert(bad(base.format("COUNT(B.value) AS c"))
+      .contains("COUNT(B.*)"))
+    // a measure over a variable PATTERN never uses
+    assert(bad(base.format("COUNT(Z.*) AS z"))
+      .contains("never uses"))
+    // repeated pattern variable — ambiguous step
+    assert(intercept[IllegalArgumentException](
+      MR.matchRecognizeMeasuresOf(null,
+        """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+          | MEASURES COUNT(A.*) AS n PATTERN (A B A)
+          | DEFINE A AS A.event_type = 'view',
+          | B AS B.event_type = 'click')""".stripMargin))
+      .getMessage.contains("2 times"))
+    // no MEASURES clause at all
+    assert(intercept[IllegalArgumentException](
+      MR.matchRecognizeMeasuresOf(null,
+        """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+          | PATTERN (A) DEFINE A AS A.event_type = 'click')""".stripMargin))
+      .getMessage.contains("MEASURES clause is empty"))
+  }
+
   test("cep stream: the late-drop counter counts exactly the rows the " +
       "watermark contract rejects") {
     import spark.implicits._
