@@ -71,7 +71,14 @@ object Cep {
     * row is always consumed. `cmp` adds a DEFINE predicate on the
     * row's value vs a previous row's ([[PrevCmp]]) — `cmpOff` selects
     * WHICH previous row, MATCH_RECOGNIZE's `PREV(X.value, k)` offset
-    * (default 1 = the physically previous row). `sumCap` adds a
+    * (default 1 = the physically previous row). PREV is MATCH-SCOPED:
+    * a k-back position falling before the match candidate's first row
+    * evaluates as NULL (the row never matches) — full-input PREV would
+    * need a k-row look-behind over rows the segmented scan and the
+    * streaming state have deliberately dropped, so the machine keeps
+    * the scoped reading (with k = 1 the two coincide everywhere a cmp
+    * step can legally sit, since step 0 cannot carry cmp). `sumCap`
+    * adds a
     * RUNNING-AGGREGATE DEFINE predicate: each row of the step's run
     * matches only while the run's cumulative cents value INCLUDING the
     * row stays <= the cap — `SUM(X.value) <= c`, evaluated per row

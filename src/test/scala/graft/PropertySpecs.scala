@@ -762,10 +762,13 @@ object CepMachineProps extends Properties("CepMachine") {
       pat: IndexedSeq[Cep.Step], win: Long, after: Cep.AfterMatch)
       : List[(Long, Long)] = {
     val n = rows.length
-    def rowOk(st: Cep.Step, q: Int): Boolean =
-      st.matchesRow(rows(q)._3, rows(q)._4,
-        if (q >= st.cmpOff) Some(rows(q - st.cmpOff)._4) else None)
     def parse(i: Int): Option[IndexedSeq[(Int, Int)]] = {
+      // PREV is MATCH-SCOPED (the machine's documented contract): a
+      // k-back position falling before the match's first row (< i)
+      // evaluates as NULL — the cmp row never matches there
+      def rowOk(st: Cep.Step, q: Int): Boolean =
+        st.matchesRow(rows(q)._3, rows(q)._4,
+          if (q - st.cmpOff >= i) Some(rows(q - st.cmpOff)._4) else None)
       val spans = Array.fill(pat.length)((0, 0))
       def go(s: Int, p: Int): Boolean = {
         if (s == pat.length) return rows(p - 1)._1 - rows(i)._1 <= win
@@ -918,6 +921,24 @@ object CepMachineProps extends Properties("CepMachine") {
     (tuned.take(at) :+ neg) ++ tuned.drop(at)
   }
 
+  /** Shrink guard for the negation/extension properties: shrinkers
+    * mutate args without regard for generator invariants, so re-check
+    * the machine's structural requires and pass vacuously outside them
+    * (same pattern as validPat above).
+    */
+  private def validNegPat(pat: IndexedSeq[Cep.Step]): Boolean =
+    pat.nonEmpty &&
+      pat.head.bounds._1 >= 1 && !pat.head.neg && pat.head.cmp.isEmpty &&
+      pat.forall(st => st.cmpOff >= 1 &&
+        st.rep.forall { case (lo, hi) =>
+          !st.plus && !st.opt && 0 <= lo && lo <= hi && hi >= 1 }) &&
+      pat.indices.forall { i =>
+        val st = pat(i)
+        !st.neg || (!st.plus && !st.opt && st.rep.isEmpty &&
+          !st.reluctant && st.cmp.isEmpty && st.sumCap.isEmpty &&
+          !st.any && i > 0 && !pat(i - 1).neg)
+      }
+
   /** Negation as regex NEGATIVE LOOKAHEAD — window-free so the regex
     * view is exact (the horizon-expiry pass branch needs the windowed
     * brute below); sum caps stripped (regex cannot express running
@@ -928,7 +949,7 @@ object CepMachineProps extends Properties("CepMachine") {
     forAll(genNegPattern, genValuedRows) { (pat0, rows) =>
       val pat = pat0.map(st => st.copy(sumCap = None,
         cmpOff = if (st.cmp.isDefined) 1 else st.cmpOff))
-      forAll(genAfter(pat)) { after =>
+      !validNegPat(pat) || forAll(genAfter(pat)) { after =>
         val m = new Cep.Machine(pat, Long.MaxValue / 4, after)
         feedWithFlush(m, rows) == regexRef(rows, pat, after)
       }
@@ -937,7 +958,7 @@ object CepMachineProps extends Properties("CepMachine") {
   property("negation + PREV(k) + SUM cap == windowed DFS brute") =
     forAll(genNegPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
       (pat, rows, win) =>
-      forAll(genAfter(pat)) { after =>
+      !validNegPat(pat) || forAll(genAfter(pat)) { after =>
         val m = new Cep.Machine(pat, win, after)
         feedWithFlush(m, rows) == bruteBacktrack(rows, pat, win, after)
       }
@@ -1056,10 +1077,24 @@ object CepMachineProps extends Properties("CepMachine") {
     }
   }
 
+  /** Shrink guard mirroring validateSubseq + validateNeg. */
+  private def validRelaxedQPat(pat: IndexedSeq[Cep.Step]): Boolean =
+    pat.nonEmpty &&
+      pat.head.bounds._1 >= 1 && !pat.head.neg &&
+      pat.forall(st => st.cmp.isEmpty && !st.any && st.sumCap.isEmpty &&
+        st.rep.forall { case (lo, hi) =>
+          !st.plus && !st.opt && 0 <= lo && lo <= hi && hi >= 1 }) &&
+      pat.indices.forall { i =>
+        val st = pat(i)
+        !st.neg || (!st.plus && !st.opt && st.rep.isEmpty &&
+          !st.reluctant && i > 0 && !pat(i - 1).neg &&
+          (i == pat.length - 1 || pat(i + 1).bounds._1 >= 1))
+      }
+
   property("relaxed quantified/negation: feed+flush == subsequence DFS brute") =
     forAll(genRelaxedQPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
       (pat, rows, win) =>
-      forAll(genAfter(pat)) { after =>
+      !validRelaxedQPat(pat) || forAll(genAfter(pat)) { after =>
         val m = new Cep.Machine(pat, win, after, contiguous = false)
         feedWithFlush(m, rows) == bruteRelaxedQ(rows, pat, win, after)
       }
