@@ -467,6 +467,14 @@ object SparkEntry {
     // PREV(value, 2) offset DEFINE over a trailing quantified run
     "cep_prev2" ->
       ((s, dir) => graft.operators.Cep.cepPrev2(s, dir)),
+    // GROUP QUANTIFIERS: PATTERN ((A B)+ C) — repetition of a
+    // SEQUENCE via the compiled split-program machine
+    "cep_group" ->
+      ((s, dir) => graft.operators.Cep.cepGroup(s, dir)),
+    // the streaming twin over the day-folded replay (10-min window)
+    "stream_cep_group" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepGroupGate(s, dir)),
     // the SQL-string surface: the standard's V-pattern MATCH_RECOGNIZE
     // clause parsed to the programmatic form (oracle = cep_vshape's)
     "sql_match_recognize" ->
@@ -3762,6 +3770,78 @@ object SparkEntry {
         "FROM sel s JOIN r e ON e.user_id = s.user_id " +
         "AND e.rn = s.crn + 1 + s.tk " +
         "ORDER BY s.user_id, start_ts_us, start_event_id"),
+    // group quantifiers: per purchase, the maximal alternating
+    // A(click|view) B(signup|error) chain ending right before it —
+    // leftmost A = (parity-partitioned running MAX of alternation
+    // breaks) + 2; a window-killed leftmost start shifts at stride 2
+    // to the longest window-valid suffix (MIN over same-parity chain
+    // positions inside the horizon). Chains contain no purchases, so
+    // matches never overlap and SKIP PAST LAST excludes nothing.
+    "cep_group" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "CASE WHEN event_type IN ('click','view') THEN 'A' " +
+        "WHEN event_type IN ('signup','error') THEN 'B' " +
+        "ELSE 'P' END AS cls, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "a AS (SELECT r.*, CASE WHEN cls = 'A' " +
+        "AND lead(cls) OVER (PARTITION BY user_id ORDER BY rn) = 'B' " +
+        "THEN 1 ELSE 0 END AS alt FROM r), " +
+        "lb AS (SELECT a.*, MAX(CASE WHEN alt = 0 THEN rn END) OVER " +
+        "(PARTITION BY user_id, rn % 2 ORDER BY rn " +
+        "ROWS UNBOUNDED PRECEDING) AS lastbad FROM a), " +
+        "m0 AS (SELECT p.user_id, p.rn AS prn, p.event_id AS eid, " +
+        "p.ts_us AS ets, COALESCE(lb2.lastbad + 2, " +
+        "CASE WHEN p.rn % 2 = 0 THEN 2 ELSE 1 END) AS srn0 " +
+        "FROM lb p JOIN lb lb2 ON lb2.user_id = p.user_id " +
+        "AND lb2.rn = p.rn - 2 " +
+        "WHERE p.cls = 'P' AND lb2.alt = 1), " +
+        "m AS (SELECT m0.*, (SELECT MIN(j.rn) FROM r j " +
+        "WHERE j.user_id = m0.user_id AND j.rn >= m0.srn0 " +
+        "AND j.rn <= m0.prn - 2 AND (j.rn - m0.prn) % 2 = 0 " +
+        "AND j.ts_us >= m0.ets - 86400000000) AS srn FROM m0) " +
+        "SELECT m.user_id, s.event_id AS start_event_id, " +
+        "s.ts_us AS start_ts_us, m.eid AS end_event_id, " +
+        "m.ets AS end_ts_us, CAST(m.prn - m.srn + 1 AS BIGINT) AS n_rows " +
+        "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
+        "WHERE m.srn IS NOT NULL " +
+        "ORDER BY m.user_id, start_ts_us, start_event_id"),
+    // the streaming twin on the folded corpus, 10-minute window
+    "stream_cep_group" ->
+      ("WITH f AS (SELECT CAST(event_id AS BIGINT) AS event_id, " +
+        "CAST(user_id % 16 AS BIGINT) AS user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 " +
+        "+ 1704067200000000 AS tu, event_type FROM events), " +
+        "r AS (SELECT user_id, event_id, tu AS ts_us, event_type, " +
+        "CASE WHEN event_type IN ('click','view') THEN 'A' " +
+        "WHEN event_type IN ('signup','error') THEN 'B' " +
+        "ELSE 'P' END AS cls, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "a AS (SELECT r.*, CASE WHEN cls = 'A' " +
+        "AND lead(cls) OVER (PARTITION BY user_id ORDER BY rn) = 'B' " +
+        "THEN 1 ELSE 0 END AS alt FROM r), " +
+        "lb AS (SELECT a.*, MAX(CASE WHEN alt = 0 THEN rn END) OVER " +
+        "(PARTITION BY user_id, rn % 2 ORDER BY rn " +
+        "ROWS UNBOUNDED PRECEDING) AS lastbad FROM a), " +
+        "m0 AS (SELECT p.user_id, p.rn AS prn, p.event_id AS eid, " +
+        "p.ts_us AS ets, COALESCE(lb2.lastbad + 2, " +
+        "CASE WHEN p.rn % 2 = 0 THEN 2 ELSE 1 END) AS srn0 " +
+        "FROM lb p JOIN lb lb2 ON lb2.user_id = p.user_id " +
+        "AND lb2.rn = p.rn - 2 " +
+        "WHERE p.cls = 'P' AND lb2.alt = 1), " +
+        "m AS (SELECT m0.*, (SELECT MIN(j.rn) FROM r j " +
+        "WHERE j.user_id = m0.user_id AND j.rn >= m0.srn0 " +
+        "AND j.rn <= m0.prn - 2 AND (j.rn - m0.prn) % 2 = 0 " +
+        "AND j.ts_us >= m0.ets - 600000000) AS srn FROM m0) " +
+        "SELECT m.user_id, s.event_id AS start_event_id, " +
+        "s.ts_us AS start_ts_us, m.eid AS end_event_id, " +
+        "m.ets AS end_ts_us, CAST(m.prn - m.srn + 1 AS BIGINT) AS n_rows " +
+        "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
+        "WHERE m.srn IS NOT NULL " +
+        "ORDER BY m.user_id, start_ts_us, start_event_id"),
     // SKIP TO NEXT ROW on the revisit pattern: overlapping matches all
     // emit, so the answer is ALL window-valid contiguous triples — the
     // cep_revisit candidate CTE with its recursive skip-selection

@@ -138,6 +138,151 @@ object Cep {
   final case class CepMatch(user_id: Long, start_event_id: Long,
     start_ts_us: Long, end_event_id: Long, end_ts_us: Long, n_rows: Long)
 
+  /** GROUP-QUANTIFIER pattern tree — quantifiers over SEQUENCES, the
+    * one MATCH_RECOGNIZE shape a flat step list cannot express:
+    * `PATTERN ((A B)+ C)` repeats the two-step sequence A B. [[GLf]]
+    * wraps an ordinary [[Step]] (its own quantifier/alternation/DEFINE
+    * fields all apply), [[GCat]] concatenates, [[GRep]] repeats a
+    * sub-pattern `{lo, hi}` with greedy (default) or reluctant bias —
+    * `(…)+` is GRep(_, 1, Int.MaxValue), `(…)?` GRep(_, 0, 1), `(…)*`
+    * GRep(_, 0, Int.MaxValue). The tree compiles to a tiny
+    * Thompson-style program (RunM / SplitI / JumpI / AcceptI) the
+    * machine walks with the SAME memoized backtracking discipline as
+    * the flat class: split branches try the preferred arm first
+    * (greedy = loop-continue, reluctant = exit), the first
+    * non-Mismatch outcome decides, a leaf run reaching the buffer end
+    * below its cap waits (Partial) while the window still admits
+    * future rows, and the window check lives at Accept so shorter
+    * parses survive a window-killed longest one. Bounded group repeats
+    * unroll at compile time (hi − lo ≤ 16 enforced); unbounded ones
+    * compile to a split-back loop whose body must consume ≥ 1 row
+    * (validated — a nullable starred body would loop forever).
+    */
+  sealed trait GPat extends Serializable
+  final case class GLf(step: Step) extends GPat
+  final case class GCat(items: Seq[GPat]) extends GPat
+  final case class GRep(body: GPat, lo: Int, hi: Int,
+    reluctant: Boolean = false) extends GPat
+
+  private[graft] sealed trait GInstr extends Serializable
+  private[graft] final case class RunM(step: Step) extends GInstr
+  private[graft] final case class SplitI(var a: Int, var b: Int)
+    extends GInstr
+  private[graft] final case class JumpI(k: Int) extends GInstr
+  private[graft] case object AcceptI extends GInstr
+
+  /** Minimal rows a sub-pattern must consume. */
+  private[graft] def gMinLen(p: GPat): Int = p match {
+    case GLf(st)            => st.bounds._1
+    case GCat(items)        => items.map(gMinLen).sum
+    case GRep(b, lo, _, _)  => lo * gMinLen(b)
+  }
+
+  private[graft] def gLeaves(p: GPat): Seq[Step] = p match {
+    case GLf(st)     => Seq(st)
+    case GCat(items) => items.flatMap(gLeaves)
+    case GRep(b, _, _, _) => gLeaves(b)
+  }
+
+  /** The FIRST set: leaves that can consume a match's first row
+    * (nullable-aware). Candidate-start pruning keys on it.
+    */
+  private[graft] def gFirstSteps(p: GPat): Seq[Step] = {
+    val out = Seq.newBuilder[Step]
+    // returns nullable
+    def walk(n: GPat): Boolean = n match {
+      case GLf(st) => out += st; st.bounds._1 == 0
+      case GCat(items) =>
+        var nullable = true
+        val it = items.iterator
+        while (nullable && it.hasNext) nullable = walk(it.next())
+        nullable
+      case GRep(b, lo, _, _) => walk(b) || lo == 0
+    }
+    walk(p)
+    out.result()
+  }
+
+  private[graft] def validateGrouped(p: GPat): Unit = {
+    val ls = gLeaves(p)
+    require(ls.nonEmpty, "cep: empty grouped pattern")
+    require(gMinLen(p) >= 1,
+      "cep: a grouped pattern must consume at least one row (an " +
+        "all-optional pattern would accept the empty match)")
+    ls.foreach { st =>
+      require(!st.neg,
+        "cep: negation steps are the linear machine's — compose " +
+          "absence with cepMatchOf/cepFollowedByOf patterns")
+      require(st.cmpOff >= 1, "cep: PREV offset must be >= 1")
+      st.rep.foreach { case (lo, hi) =>
+        require(!st.plus && !st.opt && 0 <= lo && lo <= hi && hi >= 1,
+          "cep: bad leaf rep bounds")
+      }
+    }
+    def walkReps(n: GPat): Unit = n match {
+      case GLf(_) => ()
+      case GCat(items) => items.foreach(walkReps)
+      case GRep(b, lo, hi, _) =>
+        require(0 <= lo && lo <= hi && hi >= 1,
+          s"cep: group rep bounds must satisfy 0 <= lo <= hi ($lo, $hi)")
+        require(hi == Int.MaxValue || hi - lo <= 16,
+          "cep: bounded group repeats unroll at compile time — keep " +
+            "hi - lo <= 16 (use an unbounded repeat + window otherwise)")
+        require(gMinLen(b) >= 1,
+          "cep: a repeated group's body must consume at least one row " +
+            "per iteration (a nullable body loops forever)")
+        walkReps(b)
+    }
+    walkReps(p)
+    gFirstSteps(p).foreach(st => require(st.cmp.isEmpty,
+      "cep: a leaf that can open the match cannot carry a PREV " +
+        "predicate — the row before the match start is outside the " +
+        "buffer (same rule as the linear machine's step 0)"))
+  }
+
+  /** Compile the tree to the split-program. Greedy GRep loops prefer
+    * another body iteration; reluctant ones prefer the exit.
+    */
+  private[graft] def compileGrouped(p: GPat): Vector[GInstr] = {
+    validateGrouped(p)
+    val prog = Vector.newBuilder[GInstr]
+    var pc = 0
+    def emit(i: GInstr): Unit = { prog += i; pc += 1 }
+    def gen(n: GPat): Unit = n match {
+      case GLf(st)     => emit(RunM(st))
+      case GCat(items) => items.foreach(gen)
+      case GRep(b, lo, hi, rel) =>
+        (0 until lo).foreach(_ => gen(b))
+        if (hi == Int.MaxValue) {
+          val s = SplitI(-1, -1)
+          val l1 = pc
+          emit(s)
+          gen(b)
+          emit(JumpI(l1))
+          if (rel) { s.a = pc; s.b = l1 + 1 }
+          else { s.a = l1 + 1; s.b = pc }
+        } else {
+          // each optional copy: continue into the copy's body or exit
+          // straight past the whole unrolled block
+          val exits =
+            scala.collection.mutable.ListBuffer.empty[(SplitI, Int)]
+          (0 until hi - lo).foreach { _ =>
+            val s = SplitI(-1, -1)
+            val at = pc
+            emit(s); exits += ((s, at))
+            gen(b)
+          }
+          exits.foreach { case (s, at) =>
+            if (rel) { s.a = pc; s.b = at + 1 }
+            else { s.a = at + 1; s.b = pc }
+          }
+        }
+    }
+    gen(p)
+    emit(AcceptI)
+    prog.result()
+  }
+
   /** AFTER MATCH strategy — where matching resumes after an accepted
     * match, MATCH_RECOGNIZE's full strategy set (Flink ships the same
     * four): [[SkipPastLast]] drops the whole match (matches never
@@ -369,15 +514,37 @@ object Cep {
 
   private[graft] final class Machine(pattern: IndexedSeq[Step],
       windowUs: Long, after: AfterMatch = SkipPastLast,
-      contiguous: Boolean = true)
+      contiguous: Boolean = true, grouped: Option[GPat] = None)
       extends Serializable {
-    validateAfter(pattern, after)
+    // GROUP-QUANTIFIER mode: the compiled split-program replaces the
+    // linear walks entirely (pattern then only feeds the alphabet);
+    // after-match is restricted to the two whole-match strategies —
+    // FIRST/LAST target FLAT step indices, which a repeated group's
+    // leaves don't have
+    private val program: Vector[GInstr] = grouped match {
+      case Some(g) =>
+        require(contiguous, "cep: grouped patterns are contiguous-mode")
+        require(after == SkipPastLast || after == SkipToNextRow,
+          "cep: grouped patterns support AFTER MATCH SKIP PAST LAST " +
+            "ROW / TO NEXT ROW (FIRST/LAST name flat steps)")
+        compileGrouped(g)
+      case None => null
+    }
+    private val firstPred: String => Boolean = grouped match {
+      case Some(g) =>
+        val fs = gFirstSteps(g).toIndexedSeq
+        tpe => fs.exists(_.matches(tpe))
+      case None => null
+    }
+    if (grouped.isEmpty) validateAfter(pattern, after)
     // relaxed contiguity (Flink CEP's followedBy): rows between step
     // matches are skipped (alternation sets allowed, repeated symbols
     // allowed: A B A and even A A are unambiguous under earliest-next
     // subsequence semantics; quantified/negation steps take the
     // generalized walk — see `relaxedQ`)
-    if (contiguous) validateCommon(pattern) else validateSubseq(pattern)
+    if (grouped.isEmpty) {
+      if (contiguous) validateCommon(pattern) else validateSubseq(pattern)
+    }
     // rows outside the alphabet can never join a match in relaxed
     // mode — they are dropped at the door (they still advance pruning)
     private val alphabet: Set[String] = pattern.flatMap(_.syms).toSet
@@ -727,8 +894,89 @@ object Cep {
     // class), with a fedTs past every window so greed resolves NOW
     private var flushing = false
 
+    // exclusive end position (in buf) of the last COMPLETE program
+    // walk — the grouped machine's whole-match span (consumption is
+    // contiguous from the buffer head, so [0, progEnd) IS the match)
+    private var progEnd = -1
+
+    /** GROUP-PROGRAM walk: interpret the compiled split-program with
+      * the shared backtracking discipline — split arms in preference
+      * order (first non-Mismatch decides, Partial short-circuits), a
+      * leaf run take-loop identical to walkBack's (sum caps, PREV
+      * offsets, reluctant bias, the futureOk pending gate), and the
+      * window check at Accept so shorter parses survive a
+      * window-killed longest one. Memo on (pc, position) — the
+      * continuation is fixed by pc, which is what makes the program
+      * form memoizable where a tree walk with continuations is not.
+      * Same bound as walkBack: O(program · buffer²) per feed.
+      */
+    private def walkProg(fedTs: Long): Int = {
+      val n = buf.length
+      if (n == 0) return Partial
+      val startTs = buf(0)._1
+      val futureOk = fedTs <= startTs + windowUs
+      val memo = Array.ofDim[Byte](program.length, n + 1)
+      def go(pc: Int, p: Int): Int = program(pc) match {
+        case AcceptI =>
+          if (p == 0) Mismatch // gMinLen >= 1 makes this unreachable
+          else if (buf(p - 1)._1 - startTs <= windowUs) {
+            progEnd = p
+            Complete
+          } else Mismatch
+        case JumpI(k) => go(k, p)
+        case SplitI(a, b) =>
+          val r = go(a, p)
+          if (r != Mismatch) r else go(b, p)
+        case RunM(st) =>
+          if (memo(pc)(p) != 0)
+            return if (memo(pc)(p) == 3) Partial else Mismatch
+          val (lo, hi) = st.bounds
+          def rowOk(q: Int): Boolean =
+            st.matchesRow(buf(q)._3, buf(q)._4,
+              if (q >= st.cmpOff) Some(buf(q - st.cmpOff)._4) else None)
+          var c = 0
+          var runSum = 0L
+          var capped = false
+          while (p + c < n && c < hi && !capped && rowOk(p + c)) {
+            st.sumCap match {
+              case Some(cap) =>
+                if (runSum + buf(p + c)._4 > cap) capped = true
+                else { runSum += buf(p + c)._4; c += 1 }
+              case None => c += 1
+            }
+          }
+          val canExtend = p + c >= n && c < hi && !capped
+          if (!st.reluctant) {
+            if (canExtend && futureOk) { memo(pc)(p) = 3; return Partial }
+            var take = c
+            while (take >= lo) {
+              go(pc + 1, p + take) match {
+                case Complete => return Complete
+                case Partial  => memo(pc)(p) = 3; return Partial
+                case _        => take -= 1
+              }
+            }
+          } else {
+            var take = lo
+            while (take <= c) {
+              go(pc + 1, p + take) match {
+                case Complete => return Complete
+                case Partial  => memo(pc)(p) = 3; return Partial
+                case _        => take += 1
+              }
+            }
+            if (canExtend && futureOk) { memo(pc)(p) = 3; return Partial }
+          }
+          memo(pc)(p) = 2
+          Mismatch
+      }
+      go(0, 0)
+    }
+
     private def walk(fedTs: Long): Int = {
       spanPos = null
+      progEnd = -1
+      if (program != null) return walkProg(fedTs)
       if (!contiguous)
         return if (relaxedQ) walkRelaxedQ(fedTs) else walkSubseq()
       if (backtrack || flushing) return walkBack(fedTs)
@@ -768,7 +1016,9 @@ object Cep {
       * emptied).
       */
     private def dropToNextStart(): Boolean = {
-      val i = buf.indexWhere(r => pattern(0).matches(r._3), 1)
+      val i =
+        if (program != null) buf.indexWhere(r => firstPred(r._3), 1)
+        else buf.indexWhere(r => pattern(0).matches(r._3), 1)
       if (i < 0) { buf = Vector.empty; false }
       else { buf = buf.drop(i); true }
     }
@@ -835,8 +1085,9 @@ object Cep {
       // head may still own a window-valid MID-buffer completion — so
       // there walkBack resolves stale heads itself (Complete or
       // Mismatch at this very feed; see its scaladoc). The generalized
-      // relaxed walk resolves its own stale heads the same way.
-      if (!backtrack && !relaxedQ)
+      // relaxed walk and the group program resolve their own stale
+      // heads the same way.
+      if (!backtrack && !relaxedQ && program == null)
         while (buf.nonEmpty && ts - buf.head._1 > windowUs)
           if (!dropToNextStart()) ()
       // relaxed mode: a row outside the alphabet can never join a
@@ -896,14 +1147,18 @@ object Cep {
             // first row; end = the LAST CONSUMING step's last row (a
             // trailing zero-width negation consumes nothing). The
             // generalized relaxed walk reports non-contiguous
-            // consumption via spanPos; the others via (off, len).
+            // consumption via spanPos, the GROUP PROGRAM its exclusive
+            // end (consumption contiguous from the head); the others
+            // via (off, len).
             val startIdx =
-              if (spanPos != null) spanPos(0).head else spanOff(0)
+              if (progEnd >= 0) 0
+              else if (spanPos != null) spanPos(0).head else spanOff(0)
             // contiguous walks: a trailing zero-width/empty step has
             // spanOff = p and spanLen = 0, so off + len - 1 is still
             // the last CONSUMED row's index
             val endIdx =
-              if (spanPos != null)
+              if (progEnd >= 0) progEnd - 1
+              else if (spanPos != null)
                 spanPos.reverseIterator.collectFirst {
                   case l if l.nonEmpty => l.last
                 }.get
@@ -913,13 +1168,17 @@ object Cep {
             val (eTs, eId, _, _) = buf(endIdx)
             if (eTs - sTs <= windowUs) {
               var n = 0L
-              var s = 0
-              while (s < pattern.length) {
-                n += (if (spanPos != null) spanPos(s).length.toLong
-                  else spanLen(s).toLong)
-                s += 1
+              if (progEnd >= 0) n = progEnd.toLong
+              else {
+                var s = 0
+                while (s < pattern.length) {
+                  n += (if (spanPos != null) spanPos(s).length.toLong
+                    else spanLen(s).toLong)
+                  s += 1
+                }
               }
-              out += ((CepMatch(-1L, sId, sTs, eId, eTs, n), stepAggs()))
+              val aggs = if (progEnd >= 0) Nil else stepAggs()
+              out += ((CepMatch(-1L, sId, sTs, eId, eTs, n), aggs))
               // resume point per strategy; every case drops >= 1 row
               // (validateAfter), so the loop strictly progresses —
               // the retained suffix may close further matches at this
@@ -1489,6 +1748,69 @@ object Cep {
       Seq(Step("click"),
         Step("purchase", plus = true, sumCap = Some(15000L))),
       windowUs = 12L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** GROUP-QUANTIFIER pattern matching — `PATTERN ((A B)+ C)`:
+    * quantifiers over sub-SEQUENCES (see [[GPat]]), strict contiguity,
+    * compiled to a split-program the machine walks with the shared
+    * backtracking discipline. AFTER MATCH SKIP PAST LAST ROW / TO NEXT
+    * ROW (FIRST/LAST name flat steps, which repeated-group leaves
+    * don't have); MEASURES are the flat machine's — compose
+    * downstream. Same scale shape and cost model as [[cepMatchOf]]'s
+    * backtracking class (one key shuffle, segmented scan,
+    * window-bounded buffers, O(program · buffer²) worst-case feeds).
+    */
+  def cepMatchGroupedOf(events: DataFrame, gpat: GPat,
+      windowUs: Long, after: AfterMatch = SkipPastLast)
+      : Dataset[CepMatch] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val leaves = gLeaves(gpat).toIndexedSeq
+    val valueC =
+      if (leaves.exists(st => st.cmp.isDefined || st.sumCap.isDefined))
+        round(col("value") * 100).cast("long")
+      else lit(0L)
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"),
+        valueC.as("value_c"))
+      .as[(Long, Long, Long, String, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        segmentedScan(it, () => new Machine(leaves, windowUs, after,
+          contiguous = true, grouped = Some(gpat)))(
+          (u, r) => Iterator.single(r._1.copy(user_id = u)))
+      }
+  }
+
+  /** cep_group — the GROUP-QUANTIFIER gate: ((click|view)(signup|
+    * error))+ purchase within 24 h — an alternating two-symbol-CLASS
+    * run (A B repeated) closed by a purchase. Greedy repetition takes
+    * the maximal alternating chain; leftmost preference makes the
+    * match start the EARLIEST A chaining unbroken to the purchase, and
+    * a window-killed leftmost start falls back along the chain at
+    * stride 2 to the longest window-valid SUFFIX (the machine's
+    * dropToNextStart walks first-set rows — here every interior B is
+    * outside the first set, so the stride is exactly the chain's A
+    * positions). Every mechanism binds at sf0.01 / 24 h: 208 matches,
+    * 13 with >= 2 group iterations, 22 window-shifted starts, 116
+    * candidates dead to the window. Oracle: a parity-partitioned
+    * running MAX finds each purchase's last alternation break (the
+    * chain's leftmost A = break + 2), then the window shift is a MIN
+    * over the chain's same-parity positions inside the horizon — no
+    * recursion needed because chains never overlap (they contain no
+    * purchase rows, and matches end at theirs).
+    */
+  def cepGroup(s: SparkSession, dir: String): DataFrame =
+    cepMatchGroupedOf(graft.Tables.t(s, dir, "events"),
+      GCat(Seq(
+        GRep(GCat(Seq(
+          GLf(Step("click", alt = Set("view"))),
+          GLf(Step("signup", alt = Set("error"))))), 1, Int.MaxValue),
+        GLf(Step("purchase")))),
+      windowUs = 24L * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 

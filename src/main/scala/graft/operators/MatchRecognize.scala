@@ -64,7 +64,8 @@ object MatchRecognize {
   final case class Parsed(partitionCol: String, orderCols: Seq[String],
       pattern: Seq[Cep.Step], after: Cep.AfterMatch, windowUs: Long,
       rawMeasures: Vector[String] = Vector.empty,
-      varNames: Seq[String] = Nil)
+      varNames: Seq[String] = Nil,
+      grouped: Option[Cep.GPat] = None)
 
   // ---------------------------------------------------------- lexer
   private def lex(s: String): Vector[String] = {
@@ -170,15 +171,17 @@ object MatchRecognize {
         s"match_recognize: unsupported AFTER MATCH SKIP form at '${p.peek}'")
     }
 
-    // PATTERN ( var [quant] ... )
+    // PATTERN ( elem ... ) where elem := var [quant]
+    //                                  | '(' elem ... ')' [quant]
+    // — GROUPS quantify SUB-SEQUENCES (the split-program machine)
     p.expect("PATTERN"); p.expect("(")
     final case class PatItem(name: String, lo: Int, hi: Int,
       reluctant: Boolean, explicitRep: Boolean)
-    val items = scala.collection.mutable.ListBuffer.empty[PatItem]
-    while (p.peek != ")") {
-      val name = p.next()
-      require(name.headOption.exists(_.isLetter),
-        s"match_recognize: bad pattern variable '$name'")
+    sealed trait PNode
+    final case class PLeaf(item: PatItem) extends PNode
+    final case class PGroup(children: List[PNode], lo: Int, hi: Int,
+      reluctant: Boolean) extends PNode
+    def parseQuant(): (Int, Int, Boolean, Boolean) = {
       var (lo, hi) = (1, 1)
       var explicitRep = false
       p.peek match {
@@ -196,9 +199,41 @@ object MatchRecognize {
       }
       // a second '?' flips the quantifier LAZY (reluctant)
       val reluctant = (lo, hi) != ((1, 1)) && p.accept("?")
-      items += PatItem(name, lo, hi, reluctant, explicitRep)
+      (lo, hi, reluctant, explicitRep)
     }
+    def parseElems(): List[PNode] = {
+      val out = scala.collection.mutable.ListBuffer.empty[PNode]
+      while (p.peek != ")") {
+        if (p.accept("(")) {
+          val children = parseElems()
+          p.expect(")")
+          require(children.nonEmpty, "match_recognize: empty group")
+          val (lo, hi, rel, _) = parseQuant()
+          out += PGroup(children, lo, hi, rel)
+        } else {
+          val name = p.next()
+          require(name.headOption.exists(_.isLetter),
+            s"match_recognize: bad pattern variable '$name'")
+          val (lo, hi, rel, xr) = parseQuant()
+          out += PLeaf(PatItem(name, lo, hi, rel, xr))
+        }
+      }
+      out.toList
+    }
+    val tree = parseElems()
     p.expect(")")
+    def leafItems(ns: List[PNode]): List[PatItem] = ns.flatMap {
+      case PLeaf(it) => List(it)
+      case PGroup(cs, _, _, _) => leafItems(cs)
+    }
+    val items = scala.collection.mutable.ListBuffer.empty[PatItem]
+    items ++= leafItems(tree)
+    // a group nested anywhere sits under a top-level group, so the
+    // top-level scan decides the machine class
+    val hasGroups = tree.exists {
+      case PGroup(_, _, _, _) => true
+      case _ => false
+    }
     require(items.nonEmpty, "match_recognize: empty PATTERN")
 
     // WITHIN INTERVAL 'n' UNIT
@@ -247,7 +282,7 @@ object MatchRecognize {
       require(items.exists(_.name == v),
         s"match_recognize: DEFINE names '$v' which PATTERN never uses")
     }
-    val steps = items.toList.map { it =>
+    def mkStep(it: PatItem): Cep.Step = {
       val d = defs.getOrElse(it.name, VarDef())
       val any = d.symbol.isEmpty
       Cep.Step(
@@ -262,6 +297,7 @@ object MatchRecognize {
         cmpOff = d.cmpOff,
         sumCap = d.sumCap)
     }
+    val steps = items.toList.map(mkStep)
     val resolvedAfter = afterVar match {
       case Some((v, isFirst)) =>
         val idx = items.indexWhere(_.name == v)
@@ -271,13 +307,33 @@ object MatchRecognize {
         if (isFirst) Cep.SkipToFirst(idx) else Cep.SkipToLast(idx)
       case None => after
     }
-    // the machine's own validation runs too (cepMatchOf) — these
-    // parser-level requires exist so the SQL surface fails with SQL-
-    // level messages before the machine's
-    Cep.validateCommon(steps)
-    Cep.validateAfter(steps, resolvedAfter)
-    Parsed(partitionCol, orderCols.toList, steps, resolvedAfter, windowUs,
-      rawMeasures.result(), items.toList.map(_.name))
+    if (hasGroups) {
+      // GROUP QUANTIFIERS: build the pattern TREE; the split-program
+      // machine validates it (group bodies must consume, no negs,
+      // after-match restricted) — run its checks now so the SQL
+      // surface fails at parse time, not first execution
+      def mkG(ns: List[PNode]): Cep.GPat = Cep.GCat(ns.map {
+        case PLeaf(it) => Cep.GLf(mkStep(it))
+        case PGroup(cs, lo, hi, rel) => Cep.GRep(mkG(cs), lo, hi, rel)
+      })
+      val g = mkG(tree)
+      Cep.validateGrouped(g)
+      require(resolvedAfter == Cep.SkipPastLast ||
+          resolvedAfter == Cep.SkipToNextRow,
+        "match_recognize: grouped patterns support AFTER MATCH SKIP " +
+          "PAST LAST ROW / TO NEXT ROW (FIRST/LAST name flat steps)")
+      Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
+        windowUs, rawMeasures.result(), items.toList.map(_.name),
+        grouped = Some(g))
+    } else {
+      // the machine's own validation runs too (cepMatchOf) — these
+      // parser-level requires exist so the SQL surface fails with SQL-
+      // level messages before the machine's
+      Cep.validateCommon(steps)
+      Cep.validateAfter(steps, resolvedAfter)
+      Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
+        windowUs, rawMeasures.result(), items.toList.map(_.name))
+    }
   }
 
   /** Strict MEASURES parse: `FUNC(VAR.field) AS alias` entries, comma
@@ -398,7 +454,12 @@ object MatchRecognize {
         parsed.orderCols == Seq("ts", "event_id"),
       s"match_recognize: ORDER BY ${parsed.orderCols.mkString(", ")} — " +
         "this runner orders by ts, event_id")
-    Cep.cepMatchOf(events, parsed.pattern, parsed.windowUs, parsed.after)
+    parsed.grouped match {
+      case Some(g) =>
+        Cep.cepMatchGroupedOf(events, g, parsed.windowUs, parsed.after)
+      case None =>
+        Cep.cepMatchOf(events, parsed.pattern, parsed.windowUs, parsed.after)
+    }
   }
 
   /** ONE-ROW-PER-MATCH with the clause's MEASURES as columns: parse,
@@ -418,6 +479,10 @@ object MatchRecognize {
         parsed.orderCols == Seq("ts", "event_id")),
       "match_recognize: this runner keys on user_id and orders by " +
         "ts, event_id")
+    require(parsed.grouped.isEmpty,
+      "match_recognize: MEASURES range over FLAT pattern variables — " +
+        "a repeated group's leaves have no single step to aggregate " +
+        "(aggregate the grouped match rows downstream)")
     val measures = parseMeasures(parsed.rawMeasures)
     val stepOf: Map[String, Int] = measures.map(_.varName).distinct.map {
       v =>

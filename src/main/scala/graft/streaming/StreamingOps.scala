@@ -2047,7 +2047,8 @@ object StreamingOps {
       windowUs: Long,
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
       contiguous: Boolean = true,
-      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      grouped: Option[graft.operators.Cep.GPat] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, String, Long),
         graft.operators.Cep.CepMatch] {
@@ -2143,7 +2144,8 @@ object StreamingOps {
       if (ripe.isEmpty && !needsAdvance) {
         drained.update(wmUs); return Iterator.empty
       }
-      val m = new graft.operators.Cep.Machine(pattern, windowUs, after, contiguous)
+      val m = new graft.operators.Cep.Machine(pattern, windowUs, after,
+        contiguous, grouped)
       if (mstate.exists()) m.restore(mstate.get())
       val out = scala.collection.mutable.ArrayBuffer.empty[
         graft.operators.Cep.CepMatch]
@@ -2206,11 +2208,14 @@ object StreamingOps {
       windowUs: Long,
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
       contiguous: Boolean = true,
-      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
+      grouped: Option[graft.operators.Cep.GPat] = None)
       : Dataset[graft.operators.Cep.CepMatch] = {
-    if (contiguous) graft.operators.Cep.validateCommon(pattern)
-    else graft.operators.Cep.validateSubseq(pattern)
-    graft.operators.Cep.validateAfter(pattern, after)
+    if (grouped.isEmpty) {
+      if (contiguous) graft.operators.Cep.validateCommon(pattern)
+      else graft.operators.Cep.validateSubseq(pattern)
+      graft.operators.Cep.validateAfter(pattern, after)
+    }
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_micros(col("_2")))
@@ -2220,9 +2225,55 @@ object StreamingOps {
       .groupByKey(_._1)
       .transformWithState(
         new CepStreamProcessor(pattern.toIndexedSeq, windowUs, after,
-          contiguous, lateCounter),
+          contiguous, lateCounter, grouped),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** GROUP-QUANTIFIER streaming CEP — the live twin of
+    * `Cep.cepMatchGroupedOf` (quantified sub-sequences, `(A B)+ C`):
+    * the same compiled split-program runs inside the shared
+    * watermark-ordered drain, its buffer crossing micro-batch seams
+    * through the same ValueState snapshot.
+    */
+  def cepStreamGrouped(events: Dataset[(Long, Long, Long, String)],
+      gpat: graft.operators.Cep.GPat, windowUs: Long,
+      after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast)
+      : Dataset[graft.operators.Cep.CepMatch] = {
+    import events.sparkSession.implicits._
+    cepStreamValued(events.map(r => (r._1, r._2, r._3, r._4, 0L)),
+      graft.operators.Cep.gLeaves(gpat), windowUs, after,
+      grouped = Some(gpat))
+  }
+
+  /** stream_cep_group gate — the STREAMING twin of `cep_group`:
+    * ((click|view)(signup|error))+ purchase over the day-folded replay
+    * with a 10-minute window. Group iterations and window-shifted
+    * starts cross the micro-batch seam through the machine snapshot;
+    * matches emit eagerly at their purchase's drain (the pattern ends
+    * on a required One leaf, so the group's extension pending always
+    * resolves at the closing row — stream ≡ batch on the folded
+    * corpus, 290 matches / 36 multi-iteration at sf0.01).
+    */
+  def streamCepGroupGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowUs = 600000000L
+    val fixture = gateEventsDayFolded(s, dir)
+      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
+      -1L, "flush")
+    val g = graft.operators.Cep.GCat(Seq(
+      graft.operators.Cep.GRep(graft.operators.Cep.GCat(Seq(
+        graft.operators.Cep.GLf(
+          graft.operators.Cep.Step("click", alt = Set("view"))),
+        graft.operators.Cep.GLf(
+          graft.operators.Cep.Step("signup", alt = Set("error"))))),
+        1, Int.MaxValue),
+      graft.operators.Cep.GLf(graft.operators.Cep.Step("purchase"))))
+    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStreamGrouped(ds, g, windowUs).toDF())
+      .filter(col("user_id") >= 0L)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
   }
 
   /** Late-data observability for the SPARK-NATIVE stateful operators

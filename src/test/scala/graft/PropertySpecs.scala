@@ -949,18 +949,24 @@ object CepMachineProps extends Properties("CepMachine") {
     forAll(genNegPattern, genValuedRows) { (pat0, rows) =>
       val pat = pat0.map(st => st.copy(sumCap = None,
         cmpOff = if (st.cmp.isDefined) 1 else st.cmpOff))
-      !validNegPat(pat) || forAll(genAfter(pat)) { after =>
-        val m = new Cep.Machine(pat, Long.MaxValue / 4, after)
-        feedWithFlush(m, rows) == regexRef(rows, pat, after)
+      forAll(genAfter(pat)) { after =>
+        // Boolean guard INSIDE the closure: `bool || Prop` lifts to
+        // Prop.|| which evaluates BOTH sides — no short-circuit
+        !validNegPat(pat) || {
+          val m = new Cep.Machine(pat, Long.MaxValue / 4, after)
+          feedWithFlush(m, rows) == regexRef(rows, pat, after)
+        }
       }
     }
 
   property("negation + PREV(k) + SUM cap == windowed DFS brute") =
     forAll(genNegPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
       (pat, rows, win) =>
-      !validNegPat(pat) || forAll(genAfter(pat)) { after =>
-        val m = new Cep.Machine(pat, win, after)
-        feedWithFlush(m, rows) == bruteBacktrack(rows, pat, win, after)
+      forAll(genAfter(pat)) { after =>
+        !validNegPat(pat) || {
+          val m = new Cep.Machine(pat, win, after)
+          feedWithFlush(m, rows) == bruteBacktrack(rows, pat, win, after)
+        }
       }
     }
 
@@ -1094,12 +1100,203 @@ object CepMachineProps extends Properties("CepMachine") {
   property("relaxed quantified/negation: feed+flush == subsequence DFS brute") =
     forAll(genRelaxedQPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
       (pat, rows, win) =>
-      !validRelaxedQPat(pat) || forAll(genAfter(pat)) { after =>
-        val m = new Cep.Machine(pat, win, after, contiguous = false)
-        feedWithFlush(m, rows) == bruteRelaxedQ(rows, pat, win, after)
+      forAll(genAfter(pat)) { after =>
+        !validRelaxedQPat(pat) || {
+          val m = new Cep.Machine(pat, win, after, contiguous = false)
+          feedWithFlush(m, rows) == bruteRelaxedQ(rows, pat, win, after)
+        }
       }
     }
 
+
+  // ------------------------------------------------ group quantifiers
+
+  private def quantStr(lo: Int, hi: Int): String =
+    if (lo == 1 && hi == 1) ""
+    else if (hi == Int.MaxValue) {
+      if (lo == 1) "+" else if (lo == 0) "*" else s"{$lo,}"
+    }
+    else if (lo == 0 && hi == 1) "?"
+    else s"{$lo,$hi}"
+
+  /** GPat → java regex over the composite alphabet — non-capturing
+    * groups make java.util.regex the independent reference for
+    * quantified SUB-SEQUENCES too (window-free; strategies are the two
+    * whole-match ones, so no group spans are needed).
+    */
+  private def gpatToRegex(p: Cep.GPat): String = p match {
+    case Cep.GLf(st) =>
+      val (lo, hi) = st.bounds
+      val base = quantStr(lo, hi)
+      val q = if (st.reluctant && base.nonEmpty) base + "?" else base
+      "(?:" + stepClass(st) + ")" + q
+    case Cep.GCat(items) => items.map(gpatToRegex).mkString
+    case Cep.GRep(b, lo, hi, rel) =>
+      val base = quantStr(lo, hi)
+      "(?:" + gpatToRegex(b) + ")" +
+        (if (rel && base.nonEmpty) base + "?" else base)
+  }
+
+  private def regexGroupRef(rows: IndexedSeq[(Long, Long, String, Long)],
+      g: Cep.GPat, after: Cep.AfterMatch): List[(Long, Long)] = {
+    val str = compositeStr(rows)
+    val m = java.util.regex.Pattern.compile(gpatToRegex(g)).matcher(str)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < str.length) {
+      m.region(i, str.length)
+      if (m.lookingAt() && m.end() > i) {
+        out += ((rows(i)._2, rows(m.end() - 1)._2))
+        i = after match {
+          case Cep.SkipPastLast => m.end()
+          case _                => i + 1 // SkipToNextRow
+        }
+      } else i += 1
+    }
+    out.toList
+  }
+
+  /** Windowed TREE-RECURSIVE brute for grouped patterns: continuation-
+    * passing parse in the end-of-input view, preference order via ||
+    * short-circuit (greedy tries another iteration / the longest leaf
+    * take first), PREV match-scoped, window checked at accept.
+    * Structurally independent of the compiled split-program machine.
+    */
+  private def bruteGrouped(rows: IndexedSeq[(Long, Long, String, Long)],
+      g: Cep.GPat, win: Long, after: Cep.AfterMatch): List[(Long, Long)] = {
+    val n = rows.length
+    def parse(i: Int): Option[Int] = {
+      def rowOk(st: Cep.Step, q: Int): Boolean =
+        st.matchesRow(rows(q)._3, rows(q)._4,
+          if (q - st.cmpOff >= i) Some(rows(q - st.cmpOff)._4) else None)
+      def mat(node: Cep.GPat, p: Int, k: Int => Boolean): Boolean =
+        node match {
+          case Cep.GLf(st) =>
+            val (lo, hi) = st.bounds
+            var c = 0
+            var runSum = 0L
+            var capped = false
+            while (p + c < n && c < hi && !capped && rowOk(st, p + c)) {
+              st.sumCap match {
+                case Some(cap) =>
+                  if (runSum + rows(p + c)._4 > cap) capped = true
+                  else { runSum += rows(p + c)._4; c += 1 }
+                case None => c += 1
+              }
+            }
+            val takes =
+              if (st.reluctant) (lo to c).iterator
+              else (lo to c).reverseIterator
+            takes.exists(t => k(p + t))
+          case Cep.GCat(items) =>
+            def seq(xs: List[Cep.GPat], p2: Int): Boolean = xs match {
+              case Nil    => k(p2)
+              case h :: t => mat(h, p2, pp => seq(t, pp))
+            }
+            seq(items.toList, p)
+          case Cep.GRep(b, lo, hi, rel) =>
+            def rep(p2: Int, done: Int): Boolean =
+              if (rel)
+                (done >= lo && k(p2)) ||
+                  (done < hi && mat(b, p2, pp => rep(pp, done + 1)))
+              else
+                (done < hi && mat(b, p2, pp => rep(pp, done + 1))) ||
+                  (done >= lo && k(p2))
+            rep(p, 0)
+        }
+      var best = -1
+      val ok = mat(g, i, pEnd =>
+        if (pEnd > i && rows(pEnd - 1)._1 - rows(i)._1 <= win) {
+          best = pEnd; true
+        } else false)
+      if (ok) Some(best) else None
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < n) {
+      parse(i) match {
+        case Some(pEnd) =>
+          out += ((rows(i)._2, rows(pEnd - 1)._2))
+          i = after match {
+            case Cep.SkipPastLast => pEnd
+            case _                => i + 1
+          }
+        case None => i += 1
+      }
+    }
+    out.toList
+  }
+
+  private val genGLeaf: Gen[Cep.GPat] = for {
+    s <- Gen.oneOf("a", "b", "c")
+    plus <- Gen.prob(0.4)
+    opt <- Gen.prob(0.25)
+    altF <- Gen.prob(0.3)
+    altS <- Gen.oneOf("a", "b", "c", "d")
+    cmpF <- Gen.prob(0.25)
+    cmpK <- Gen.oneOf[Cep.PrevCmp](Cep.PrevLt, Cep.PrevGt, Cep.PrevLe,
+      Cep.PrevGe)
+    rel <- Gen.prob(0.3)
+  } yield Cep.GLf(Cep.Step(s, plus = plus, opt = opt && !plus,
+    alt = if (altF && altS != s) Set(altS) else Set.empty,
+    cmp = if (cmpF) Some(cmpK) else None, reluctant = rel))
+
+  private val genGroupPat: Gen[Cep.GPat] = for {
+    nTop <- Gen.chooseNum(1, 3)
+    elems <- Gen.listOfN(nTop, Gen.frequency(
+      2 -> genGLeaf,
+      3 -> (for {
+        nb <- Gen.chooseNum(1, 2)
+        body <- Gen.listOfN(nb, genGLeaf)
+        lo <- Gen.chooseNum(0, 2)
+        span <- Gen.oneOf(0, 1, Int.MaxValue)
+        rel <- Gen.prob(0.3)
+      } yield Cep.GRep(Cep.GCat(body), lo,
+        if (span == Int.MaxValue) Int.MaxValue else math.max(1, lo + span),
+        rel))))
+  } yield Cep.GCat(elems)
+
+  /** Mirror of validateGrouped as a guard (generator repairs are less
+    * readable than pass-vacuously — and shrinkers need the guard
+    * anyway).
+    */
+  private def validG(g: Cep.GPat): Boolean =
+    try { Cep.validateGrouped(g); true }
+    catch { case _: IllegalArgumentException => false }
+
+  private val genAfter2: Gen[Cep.AfterMatch] =
+    Gen.oneOf(Cep.SkipPastLast, Cep.SkipToNextRow)
+
+  property("group quantifiers: feed+flush == grouped regex (window-free)") =
+    forAll(genGroupPat, genValuedRows) { (g0, rows) =>
+      // regex composites carry direction-vs-physical-prev: exact for
+      // cmpOff = 1 off the first set; sum caps are regex-inexpressible
+      def strip(p: Cep.GPat): Cep.GPat = p match {
+        case Cep.GLf(st) => Cep.GLf(st.copy(sumCap = None, cmpOff = 1))
+        case Cep.GCat(items) => Cep.GCat(items.map(strip))
+        case Cep.GRep(b, lo, hi, rel) => Cep.GRep(strip(b), lo, hi, rel)
+      }
+      val g = strip(g0)
+      forAll(genAfter2) { after =>
+        !validG(g) || {
+          val m = new Cep.Machine(Cep.gLeaves(g).toIndexedSeq,
+            Long.MaxValue / 4, after, contiguous = true, grouped = Some(g))
+          feedWithFlush(m, rows) == regexGroupRef(rows, g, after)
+        }
+      }
+    }
+
+  property("group quantifiers: feed+flush == windowed tree brute") =
+    forAll(genGroupPat, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (g, rows, win) =>
+      forAll(genAfter2) { after =>
+        !validG(g) || {
+          val m = new Cep.Machine(Cep.gLeaves(g).toIndexedSeq, win, after,
+            contiguous = true, grouped = Some(g))
+          feedWithFlush(m, rows) == bruteGrouped(rows, g, win, after)
+        }
+      }
+    }
 
   property("matches never overlap and consume contiguous rows") =
     forAll(genPattern, genRows) { (pat, rows) =>
