@@ -475,6 +475,9 @@ object SparkEntry {
     "stream_cep_group" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamCepGroupGate(s, dir)),
+    // SEQUENCE ALTERNATION under repetition: ((c v | v c))+ purchase
+    "cep_alt_group" ->
+      ((s, dir) => graft.operators.Cep.cepAltGroup(s, dir)),
     // the SQL-string surface: the standard's V-pattern MATCH_RECOGNIZE
     // clause parsed to the programmatic form (oracle = cep_vshape's)
     "sql_match_recognize" ->
@@ -3836,6 +3839,42 @@ object SparkEntry {
         "WHERE j.user_id = m0.user_id AND j.rn >= m0.srn0 " +
         "AND j.rn <= m0.prn - 2 AND (j.rn - m0.prn) % 2 = 0 " +
         "AND j.ts_us >= m0.ets - 600000000) AS srn FROM m0) " +
+        "SELECT m.user_id, s.event_id AS start_event_id, " +
+        "s.ts_us AS start_ts_us, m.eid AS end_event_id, " +
+        "m.ets AS end_ts_us, CAST(m.prn - m.srn + 1 AS BIGINT) AS n_rows " +
+        "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
+        "WHERE m.srn IS NOT NULL " +
+        "ORDER BY m.user_id, start_ts_us, start_event_id"),
+    // sequence alternation: the cep_group parity-chain oracle with the
+    // pair predicate widened to EITHER-ORDER adjacent click/view pairs
+    // (a valid pair is any adjacent distinct pair over {click, view} —
+    // whichever alternation arm matched it); 7d window above every
+    // span at gate scale (cep_group oracles the window mechanics)
+    "cep_alt_group" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "a AS (SELECT r.*, CASE WHEN event_type IN ('click','view') " +
+        "AND lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) " +
+        "IN ('click','view') " +
+        "AND event_type <> lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY rn) " +
+        "THEN 1 ELSE 0 END AS alt FROM r), " +
+        "lb AS (SELECT a.*, MAX(CASE WHEN alt = 0 THEN rn END) OVER " +
+        "(PARTITION BY user_id, rn % 2 ORDER BY rn " +
+        "ROWS UNBOUNDED PRECEDING) AS lastbad FROM a), " +
+        "m0 AS (SELECT p.user_id, p.rn AS prn, p.event_id AS eid, " +
+        "p.ts_us AS ets, COALESCE(lb2.lastbad + 2, " +
+        "CASE WHEN p.rn % 2 = 0 THEN 2 ELSE 1 END) AS srn0 " +
+        "FROM lb p JOIN lb lb2 ON lb2.user_id = p.user_id " +
+        "AND lb2.rn = p.rn - 2 " +
+        "WHERE p.event_type = 'purchase' AND lb2.alt = 1), " +
+        "m AS (SELECT m0.*, (SELECT MIN(j.rn) FROM r j " +
+        "WHERE j.user_id = m0.user_id AND j.rn >= m0.srn0 " +
+        "AND j.rn <= m0.prn - 2 AND (j.rn - m0.prn) % 2 = 0 " +
+        "AND j.ts_us >= m0.ets - 604800000000) AS srn FROM m0) " +
         "SELECT m.user_id, s.event_id AS start_event_id, " +
         "s.ts_us AS start_ts_us, m.eid AS end_event_id, " +
         "m.ets AS end_ts_us, CAST(m.prn - m.srn + 1 AS BIGINT) AS n_rows " +

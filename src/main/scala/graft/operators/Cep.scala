@@ -163,6 +163,12 @@ object Cep {
   final case class GCat(items: Seq[GPat]) extends GPat
   final case class GRep(body: GPat, lo: Int, hi: Int,
     reluctant: Boolean = false) extends GPat
+  /** Alternation of SUB-SEQUENCES — `(A B | C D)`: arms tried in
+    * order, leftmost preferred (regex alternation's bias), each arm
+    * any sub-pattern. With [[GCat]]/[[GRep]]/leaf predicates this
+    * completes the full regex algebra over predicated symbols.
+    */
+  final case class GAlt(arms: Seq[GPat]) extends GPat
 
   private[graft] sealed trait GInstr extends Serializable
   private[graft] final case class RunM(step: Step) extends GInstr
@@ -176,12 +182,14 @@ object Cep {
     case GLf(st)            => st.bounds._1
     case GCat(items)        => items.map(gMinLen).sum
     case GRep(b, lo, _, _)  => lo * gMinLen(b)
+    case GAlt(arms)         => arms.map(gMinLen).min
   }
 
   private[graft] def gLeaves(p: GPat): Seq[Step] = p match {
     case GLf(st)     => Seq(st)
     case GCat(items) => items.flatMap(gLeaves)
     case GRep(b, _, _, _) => gLeaves(b)
+    case GAlt(arms)  => arms.flatMap(gLeaves)
   }
 
   /** The FIRST set: leaves that can consume a match's first row
@@ -198,6 +206,10 @@ object Cep {
         while (nullable && it.hasNext) nullable = walk(it.next())
         nullable
       case GRep(b, lo, _, _) => walk(b) || lo == 0
+      case GAlt(arms) =>
+        // every arm contributes firsts; the alternation is nullable
+        // iff SOME arm is (walk all arms eagerly for the first set)
+        arms.map(walk).exists(identity)
     }
     walk(p)
     out.result()
@@ -222,6 +234,9 @@ object Cep {
     def walkReps(n: GPat): Unit = n match {
       case GLf(_) => ()
       case GCat(items) => items.foreach(walkReps)
+      case GAlt(arms) =>
+        require(arms.nonEmpty, "cep: empty alternation")
+        arms.foreach(walkReps)
       case GRep(b, lo, hi, _) =>
         require(0 <= lo && lo <= hi && hi >= 1,
           s"cep: group rep bounds must satisfy 0 <= lo <= hi ($lo, $hi)")
@@ -241,46 +256,63 @@ object Cep {
   }
 
   /** Compile the tree to the split-program. Greedy GRep loops prefer
-    * another body iteration; reluctant ones prefer the exit.
+    * another body iteration, reluctant ones the exit; GAlt arms are
+    * tried leftmost-first (regex alternation's bias).
     */
   private[graft] def compileGrouped(p: GPat): Vector[GInstr] = {
     validateGrouped(p)
-    val prog = Vector.newBuilder[GInstr]
-    var pc = 0
-    def emit(i: GInstr): Unit = { prog += i; pc += 1 }
+    val prog = scala.collection.mutable.ArrayBuffer.empty[GInstr]
     def gen(n: GPat): Unit = n match {
-      case GLf(st)     => emit(RunM(st))
+      case GLf(st)     => prog += RunM(st)
       case GCat(items) => items.foreach(gen)
+      case GAlt(arms) =>
+        // split chain, leftmost arm preferred; every non-last arm
+        // jumps past the whole alternation (patched at the end)
+        val jumpAts = scala.collection.mutable.ListBuffer.empty[Int]
+        arms.zipWithIndex.foreach { case (arm, i) =>
+          if (i < arms.length - 1) {
+            val sp = SplitI(-1, -1)
+            val at = prog.length
+            prog += sp
+            gen(arm)
+            jumpAts += prog.length
+            prog += JumpI(-1) // patched below
+            sp.a = at + 1        // try this arm first...
+            sp.b = prog.length   // ...else fall through to the next
+          } else gen(arm)
+        }
+        val end = prog.length
+        jumpAts.foreach(j => prog(j) = JumpI(end))
       case GRep(b, lo, hi, rel) =>
         (0 until lo).foreach(_ => gen(b))
         if (hi == Int.MaxValue) {
-          val s = SplitI(-1, -1)
-          val l1 = pc
-          emit(s)
+          val sp = SplitI(-1, -1)
+          val l1 = prog.length
+          prog += sp
           gen(b)
-          emit(JumpI(l1))
-          if (rel) { s.a = pc; s.b = l1 + 1 }
-          else { s.a = l1 + 1; s.b = pc }
+          prog += JumpI(l1)
+          if (rel) { sp.a = prog.length; sp.b = l1 + 1 }
+          else { sp.a = l1 + 1; sp.b = prog.length }
         } else {
           // each optional copy: continue into the copy's body or exit
           // straight past the whole unrolled block
           val exits =
             scala.collection.mutable.ListBuffer.empty[(SplitI, Int)]
           (0 until hi - lo).foreach { _ =>
-            val s = SplitI(-1, -1)
-            val at = pc
-            emit(s); exits += ((s, at))
+            val sp = SplitI(-1, -1)
+            val at = prog.length
+            prog += sp; exits += ((sp, at))
             gen(b)
           }
-          exits.foreach { case (s, at) =>
-            if (rel) { s.a = pc; s.b = at + 1 }
-            else { s.a = at + 1; s.b = pc }
+          exits.foreach { case (sp, at) =>
+            if (rel) { sp.a = prog.length; sp.b = at + 1 }
+            else { sp.a = at + 1; sp.b = prog.length }
           }
         }
     }
     gen(p)
-    emit(AcceptI)
-    prog.result()
+    prog += AcceptI
+    prog.toVector
   }
 
   /** AFTER MATCH strategy — where matching resumes after an accepted
@@ -1811,6 +1843,30 @@ object Cep {
           GLf(Step("signup", alt = Set("error"))))), 1, Int.MaxValue),
         GLf(Step("purchase")))),
       windowUs = 24L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_alt_group — SEQUENCE ALTERNATION under group repetition:
+    * ((click view | view click))+ purchase within 7 d — either-order
+    * adjacent pairs repeated, then a purchase. Both arms bind at
+    * sf0.01 (49 click-first / 54 view-first single-pair candidates),
+    * iteration binds (11 multi-iteration matches of the 148), and the
+    * leftmost-arm preference is semantically invisible here (the arms
+    * are disjoint on their first symbol given the second — exactly why
+    * the parity-chain oracle stays closed-form: a valid pair is ANY
+    * adjacent click/view pair with distinct types, whichever arm
+    * matched it). Window mechanics are cep_group's (oracled there; the
+    * 7 d window exceeds every span at gate scale).
+    */
+  def cepAltGroup(s: SparkSession, dir: String): DataFrame =
+    cepMatchGroupedOf(graft.Tables.t(s, dir, "events"),
+      GCat(Seq(
+        GRep(GAlt(Seq(
+          GCat(Seq(GLf(Step("click")), GLf(Step("view")))),
+          GCat(Seq(GLf(Step("view")), GLf(Step("click")))))),
+          1, Int.MaxValue),
+        GLf(Step("purchase")))),
+      windowUs = 7L * 24 * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 

@@ -181,6 +181,7 @@ object MatchRecognize {
     final case class PLeaf(item: PatItem) extends PNode
     final case class PGroup(children: List[PNode], lo: Int, hi: Int,
       reluctant: Boolean) extends PNode
+    final case class PAlt(arms: List[List[PNode]]) extends PNode
     def parseQuant(): (Int, Int, Boolean, Boolean) = {
       var (lo, hi) = (1, 1)
       var explicitRep = false
@@ -201,9 +202,10 @@ object MatchRecognize {
       val reluctant = (lo, hi) != ((1, 1)) && p.accept("?")
       (lo, hi, reluctant, explicitRep)
     }
-    def parseElems(): List[PNode] = {
+    // elems := seq ('|' seq)*  — alternation binds loosest per level
+    def parseSeq(): List[PNode] = {
       val out = scala.collection.mutable.ListBuffer.empty[PNode]
-      while (p.peek != ")") {
+      while (p.peek != ")" && p.peek != "|") {
         if (p.accept("(")) {
           val children = parseElems()
           p.expect(")")
@@ -220,11 +222,22 @@ object MatchRecognize {
       }
       out.toList
     }
+    def parseElems(): List[PNode] = {
+      val arms = scala.collection.mutable.ListBuffer(parseSeq())
+      while (p.accept("|")) arms += parseSeq()
+      if (arms.length == 1) arms.head
+      else {
+        arms.foreach(a => require(a.nonEmpty,
+          "match_recognize: empty alternation arm"))
+        List(PAlt(arms.toList))
+      }
+    }
     val tree = parseElems()
     p.expect(")")
     def leafItems(ns: List[PNode]): List[PatItem] = ns.flatMap {
       case PLeaf(it) => List(it)
       case PGroup(cs, _, _, _) => leafItems(cs)
+      case PAlt(arms) => arms.flatMap(leafItems)
     }
     val items = scala.collection.mutable.ListBuffer.empty[PatItem]
     items ++= leafItems(tree)
@@ -232,6 +245,7 @@ object MatchRecognize {
     // top-level scan decides the machine class
     val hasGroups = tree.exists {
       case PGroup(_, _, _, _) => true
+      case PAlt(_) => true
       case _ => false
     }
     require(items.nonEmpty, "match_recognize: empty PATTERN")
@@ -312,10 +326,19 @@ object MatchRecognize {
       // machine validates it (group bodies must consume, no negs,
       // after-match restricted) — run its checks now so the SQL
       // surface fails at parse time, not first execution
-      def mkG(ns: List[PNode]): Cep.GPat = Cep.GCat(ns.map {
-        case PLeaf(it) => Cep.GLf(mkStep(it))
-        case PGroup(cs, lo, hi, rel) => Cep.GRep(mkG(cs), lo, hi, rel)
-      })
+      // singleton concatenations collapse so parsed trees are the
+      // canonical programmatic shapes (GRep over a bare GAlt, not over
+      // GCat(List(GAlt)))
+      def mkG(ns: List[PNode]): Cep.GPat = ns.map {
+        case PLeaf(it) => Cep.GLf(mkStep(it)): Cep.GPat
+        case PGroup(cs, lo, hi, rel) =>
+          if (lo == 1 && hi == 1 && !rel) mkG(cs)
+          else Cep.GRep(mkG(cs), lo, hi, rel)
+        case PAlt(arms) => Cep.GAlt(arms.map(mkG))
+      } match {
+        case List(one) => one
+        case many      => Cep.GCat(many)
+      }
       val g = mkG(tree)
       Cep.validateGrouped(g)
       require(resolvedAfter == Cep.SkipPastLast ||

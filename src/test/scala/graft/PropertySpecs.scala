@@ -1135,6 +1135,8 @@ object CepMachineProps extends Properties("CepMachine") {
       val base = quantStr(lo, hi)
       "(?:" + gpatToRegex(b) + ")" +
         (if (rel && base.nonEmpty) base + "?" else base)
+    case Cep.GAlt(arms) =>
+      "(?:" + arms.map(gpatToRegex).mkString("|") + ")"
   }
 
   private def regexGroupRef(rows: IndexedSeq[(Long, Long, String, Long)],
@@ -1203,6 +1205,9 @@ object CepMachineProps extends Properties("CepMachine") {
                 (done < hi && mat(b, p2, pp => rep(pp, done + 1))) ||
                   (done >= lo && k(p2))
             rep(p, 0)
+          case Cep.GAlt(arms) =>
+            // leftmost arm preferred — || short-circuit IS the bias
+            arms.exists(a => mat(a, p, k))
         }
       var best = -1
       val ok = mat(g, i, pEnd =>
@@ -1241,11 +1246,16 @@ object CepMachineProps extends Properties("CepMachine") {
     alt = if (altF && altS != s) Set(altS) else Set.empty,
     cmp = if (cmpF) Some(cmpK) else None, reluctant = rel))
 
+  private val genGAltArm: Gen[Cep.GPat] = for {
+    nb <- Gen.chooseNum(1, 2)
+    body <- Gen.listOfN(nb, genGLeaf)
+  } yield Cep.GCat(body)
+
   private val genGroupPat: Gen[Cep.GPat] = for {
     nTop <- Gen.chooseNum(1, 3)
     elems <- Gen.listOfN(nTop, Gen.frequency(
       2 -> genGLeaf,
-      3 -> (for {
+      2 -> (for {
         nb <- Gen.chooseNum(1, 2)
         body <- Gen.listOfN(nb, genGLeaf)
         lo <- Gen.chooseNum(0, 2)
@@ -1253,7 +1263,17 @@ object CepMachineProps extends Properties("CepMachine") {
         rel <- Gen.prob(0.3)
       } yield Cep.GRep(Cep.GCat(body), lo,
         if (span == Int.MaxValue) Int.MaxValue else math.max(1, lo + span),
-        rel))))
+        rel)),
+      // alternation of sub-sequences, bare or under a repeat
+      1 -> (for {
+        na <- Gen.chooseNum(2, 3)
+        arms <- Gen.listOfN(na, genGAltArm)
+        wrap <- Gen.prob(0.5)
+        lo <- Gen.chooseNum(0, 1)
+        rel <- Gen.prob(0.3)
+      } yield
+        if (wrap) Cep.GRep(Cep.GAlt(arms), lo, Int.MaxValue, rel)
+        else Cep.GAlt(arms))))
   } yield Cep.GCat(elems)
 
   /** Mirror of validateGrouped as a guard (generator repairs are less
@@ -1275,6 +1295,7 @@ object CepMachineProps extends Properties("CepMachine") {
         case Cep.GLf(st) => Cep.GLf(st.copy(sumCap = None, cmpOff = 1))
         case Cep.GCat(items) => Cep.GCat(items.map(strip))
         case Cep.GRep(b, lo, hi, rel) => Cep.GRep(strip(b), lo, hi, rel)
+        case Cep.GAlt(arms) => Cep.GAlt(arms.map(strip))
       }
       val g = strip(g0)
       forAll(genAfter2) { after =>

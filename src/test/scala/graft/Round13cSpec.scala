@@ -115,6 +115,51 @@ class Round13cSpec extends SparkSpecBase {
     assert(p.grouped.contains(abPlusC), s"${p.grouped}")
   }
 
+  test("sequence alternation: leftmost-arm bias, alternation under " +
+      "repetition, and the SQL '|' surface") {
+    import spark.implicits._
+    // c v v c p: iteration 1 matches arm (c v), iteration 2 arm (v c)
+    // — mixed arms inside ONE repeated group
+    val rows = Seq("c", "v", "v", "c", "p").zipWithIndex
+      .map { case (t, i) => (1L, (i + 1) * 1000000L, (i + 1).toLong, t) }
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val g = GCat(Seq(
+      GRep(Cep.GAlt(Seq(
+        GCat(Seq(GLf(Step("c")), GLf(Step("v")))),
+        GCat(Seq(GLf(Step("v")), GLf(Step("c")))))), 1, Int.MaxValue),
+      GLf(Step("p"))))
+    val got = Cep.cepMatchGroupedOf(rows, g, windowUs = 100000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id, m.n_rows))
+      .toSeq
+    assert(got == Seq((1L, 5L, 5L)), s"$got")
+    // leftmost-arm bias is observable through consumption: with arms
+    // (a | a b) over rows a b c, the leftmost single-a arm wins and b
+    // is left for the next leaf
+    val g2 = GCat(Seq(
+      Cep.GAlt(Seq(GCat(Seq(GLf(Step("a")))),
+        GCat(Seq(GLf(Step("a")), GLf(Step("b")))))),
+      GLf(Step("b"))))
+    val rows2 = Seq("a", "b").zipWithIndex
+      .map { case (t, i) => (1L, (i + 1) * 1000000L, (i + 1).toLong, t) }
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got2 = Cep.cepMatchGroupedOf(rows2, g2, windowUs = 100000000L)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSeq
+    assert(got2 == Seq((1L, 2L)), s"$got2")
+    // SQL surface: '|' inside a group parses to GAlt
+    val sql =
+      """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts, event_id
+        | PATTERN ((C V | V C)+ P) WITHIN INTERVAL '1' HOUR
+        | DEFINE C AS C.event_type = 'c', V AS V.event_type = 'v',
+        |        P AS P.event_type = 'p')""".stripMargin
+    val viaSql = MR.matchRecognizeOf(rows, sql)
+      .collect().map(m => (m.start_event_id, m.end_event_id, m.n_rows))
+      .toSeq
+    assert(viaSql == got, s"$viaSql vs $got")
+    assert(MR.parse(sql).grouped.contains(g), s"${MR.parse(sql).grouped}")
+  }
+
   test("group quantifiers: validation boundary") {
     import graft.operators.Cep
     // nullable star body — loops forever, rejected
