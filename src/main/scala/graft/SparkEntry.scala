@@ -478,6 +478,10 @@ object SparkEntry {
     // SEQUENCE ALTERNATION under repetition: ((c v | v c))+ purchase
     "cep_alt_group" ->
       ((s, dir) => graft.operators.Cep.cepAltGroup(s, dir)),
+    // MEASURES over a GROUP QUANTIFIER: per-leaf aggregates
+    // accumulated across iterations of ((click|view)(signup|error))+
+    "cep_group_measures" ->
+      ((s, dir) => graft.operators.Cep.cepGroupMeasures(s, dir)),
     // the SQL-string surface: the standard's V-pattern MATCH_RECOGNIZE
     // clause parsed to the programmatic form (oracle = cep_vshape's)
     "sql_match_recognize" ->
@@ -487,6 +491,10 @@ object SparkEntry {
     // pivoted to one named column per measure, one row per match
     "sql_mr_measures" ->
       ((s, dir) => graft.operators.MatchRecognize.sqlMrMeasures(s, dir)),
+    // ALL ROWS PER MATCH: every consumed row emitted under its
+    // CLASSIFIER (the standard's other output mode)
+    "sql_mr_all_rows" ->
+      ((s, dir) => graft.operators.MatchRecognize.sqlMrAllRows(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -3881,6 +3889,98 @@ object SparkEntry {
         "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
         "WHERE m.srn IS NOT NULL " +
         "ORDER BY m.user_id, start_ts_us, start_event_id"),
+    // MEASURES over the group quantifier: the cep_group parity-chain
+    // matches joined back to their dense rn spans — A rows are the
+    // start-parity positions, B rows the off-parity ones, the purchase
+    // the last — aggregated per class (arg_min/arg_max give FIRST/LAST)
+    "cep_group_measures" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "CASE WHEN event_type IN ('click','view') THEN 'A' " +
+        "WHEN event_type IN ('signup','error') THEN 'B' " +
+        "ELSE 'P' END AS cls, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "a AS (SELECT r.*, CASE WHEN cls = 'A' " +
+        "AND lead(cls) OVER (PARTITION BY user_id ORDER BY rn) = 'B' " +
+        "THEN 1 ELSE 0 END AS alt FROM r), " +
+        "lb AS (SELECT a.*, MAX(CASE WHEN alt = 0 THEN rn END) OVER " +
+        "(PARTITION BY user_id, rn % 2 ORDER BY rn " +
+        "ROWS UNBOUNDED PRECEDING) AS lastbad FROM a), " +
+        "m0 AS (SELECT p.user_id, p.rn AS prn, p.event_id AS eid, " +
+        "p.ts_us AS ets, COALESCE(lb2.lastbad + 2, " +
+        "CASE WHEN p.rn % 2 = 0 THEN 2 ELSE 1 END) AS srn0 " +
+        "FROM lb p JOIN lb lb2 ON lb2.user_id = p.user_id " +
+        "AND lb2.rn = p.rn - 2 " +
+        "WHERE p.cls = 'P' AND lb2.alt = 1), " +
+        "m AS (SELECT m0.*, (SELECT MIN(j.rn) FROM r j " +
+        "WHERE j.user_id = m0.user_id AND j.rn >= m0.srn0 " +
+        "AND j.rn <= m0.prn - 2 AND (j.rn - m0.prn) % 2 = 0 " +
+        "AND j.ts_us >= m0.ets - 86400000000) AS srn FROM m0), " +
+        "mm AS (SELECT m.user_id, s.event_id AS start_event_id, " +
+        "s.ts_us AS start_ts_us, m.eid AS end_event_id, " +
+        "m.ets AS end_ts_us, CAST(m.prn - m.srn + 1 AS BIGINT) AS " +
+        "n_rows, m.srn, m.prn " +
+        "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
+        "WHERE m.srn IS NOT NULL), " +
+        "x AS (SELECT mm.*, j.rn, j.event_id AS jid, j.vc, " +
+        "CASE WHEN j.rn = mm.prn THEN 2 " +
+        "WHEN (j.rn - mm.srn) % 2 = 0 THEN 0 ELSE 1 END AS stp " +
+        "FROM mm JOIN r j ON j.user_id = mm.user_id " +
+        "AND j.rn >= mm.srn AND j.rn <= mm.prn) " +
+        "SELECT user_id, start_event_id, start_ts_us, end_event_id, " +
+        "end_ts_us, n_rows, CAST(stp AS INTEGER) AS step, " +
+        "CASE stp WHEN 0 THEN 'click' WHEN 1 THEN 'signup' " +
+        "ELSE 'purchase' END AS symbol, " +
+        "COUNT(*) AS cnt, CAST(SUM(vc) AS BIGINT) AS sum_value_c, " +
+        "MIN(vc) AS min_value_c, MAX(vc) AS max_value_c, " +
+        "arg_min(jid, rn) AS first_event_id, " +
+        "arg_max(jid, rn) AS last_event_id " +
+        "FROM x GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 " +
+        "ORDER BY user_id, start_ts_us, start_event_id, step"),
+    // ALL ROWS PER MATCH: the funnel islands matches joined back to
+    // the rows on their dense rn span (click = its island's last row,
+    // views = the whole island, purchase = the next island's first)
+    "sql_mr_all_rows" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "f.event_id AS first_id, f.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i f ON f.user_id = g.user_id AND f.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern), " +
+        "m AS (SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "c.ern AS crn, p.srn AS prn " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000) " +
+        "SELECT m.user_id, m.start_event_id, m.start_ts_us, " +
+        "m.end_event_id, m.end_ts_us, m.n_rows, " +
+        "x.event_id, x.ts_us, x.event_type, x.vc AS value_c, " +
+        "CAST(CASE WHEN x.rn = m.crn THEN 0 WHEN x.rn = m.prn THEN 2 " +
+        "ELSE 1 END AS INTEGER) AS step, " +
+        "CASE WHEN x.rn = m.crn THEN 'C' WHEN x.rn = m.prn THEN 'P' " +
+        "ELSE 'V' END AS classifier " +
+        "FROM m JOIN i x ON x.user_id = m.user_id " +
+        "AND x.rn >= m.crn AND x.rn <= m.prn " +
+        "ORDER BY m.user_id, m.start_ts_us, m.start_event_id, " +
+        "x.ts_us, x.event_id"),
     // SKIP TO NEXT ROW on the revisit pattern: overlapping matches all
     // emit, so the answer is ALL window-valid contiguous triples — the
     // cep_revisit candidate CTE with its recursive skip-selection

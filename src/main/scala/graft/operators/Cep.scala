@@ -171,7 +171,13 @@ object Cep {
   final case class GAlt(arms: Seq[GPat]) extends GPat
 
   private[graft] sealed trait GInstr extends Serializable
-  private[graft] final case class RunM(step: Step) extends GInstr
+  /** `leaf` = the instruction's source leaf's index in [[gLeaves]]
+    * order — a bounded repeat unrolls one RunM copy per iteration, all
+    * sharing the source leaf's index, which is what lets the walk
+    * accumulate a repeated group's per-leaf consumed positions across
+    * iterations (grouped MEASURES / ALL ROWS output).
+    */
+  private[graft] final case class RunM(step: Step, leaf: Int) extends GInstr
   private[graft] final case class SplitI(var a: Int, var b: Int)
     extends GInstr
   private[graft] final case class JumpI(k: Int) extends GInstr
@@ -262,34 +268,42 @@ object Cep {
   private[graft] def compileGrouped(p: GPat): Vector[GInstr] = {
     validateGrouped(p)
     val prog = scala.collection.mutable.ArrayBuffer.empty[GInstr]
-    def gen(n: GPat): Unit = n match {
-      case GLf(st)     => prog += RunM(st)
-      case GCat(items) => items.foreach(gen)
+    // `base` threads each sub-pattern's first-leaf index through the
+    // generator so every RunM copy knows its source leaf (gLeaves
+    // preorder: GCat items in order, GAlt arms in order, GRep = body)
+    def leafCount(n: GPat): Int = gLeaves(n).length
+    def gen(n: GPat, base: Int): Unit = n match {
+      case GLf(st)     => prog += RunM(st, base)
+      case GCat(items) =>
+        var b = base
+        items.foreach { it => gen(it, b); b += leafCount(it) }
       case GAlt(arms) =>
         // split chain, leftmost arm preferred; every non-last arm
         // jumps past the whole alternation (patched at the end)
         val jumpAts = scala.collection.mutable.ListBuffer.empty[Int]
+        var armBase = base
         arms.zipWithIndex.foreach { case (arm, i) =>
           if (i < arms.length - 1) {
             val sp = SplitI(-1, -1)
             val at = prog.length
             prog += sp
-            gen(arm)
+            gen(arm, armBase)
             jumpAts += prog.length
             prog += JumpI(-1) // patched below
             sp.a = at + 1        // try this arm first...
             sp.b = prog.length   // ...else fall through to the next
-          } else gen(arm)
+          } else gen(arm, armBase)
+          armBase += leafCount(arm)
         }
         val end = prog.length
         jumpAts.foreach(j => prog(j) = JumpI(end))
       case GRep(b, lo, hi, rel) =>
-        (0 until lo).foreach(_ => gen(b))
+        (0 until lo).foreach(_ => gen(b, base))
         if (hi == Int.MaxValue) {
           val sp = SplitI(-1, -1)
           val l1 = prog.length
           prog += sp
-          gen(b)
+          gen(b, base)
           prog += JumpI(l1)
           if (rel) { sp.a = prog.length; sp.b = l1 + 1 }
           else { sp.a = l1 + 1; sp.b = prog.length }
@@ -302,7 +316,7 @@ object Cep {
             val sp = SplitI(-1, -1)
             val at = prog.length
             prog += sp; exits += ((sp, at))
-            gen(b)
+            gen(b, base)
           }
           exits.foreach { case (sp, at) =>
             if (rel) { sp.a = prog.length; sp.b = at + 1 }
@@ -310,7 +324,7 @@ object Cep {
           }
         }
     }
-    gen(p)
+    gen(p, 0)
     prog += AcceptI
     prog.toVector
   }
@@ -546,7 +560,8 @@ object Cep {
 
   private[graft] final class Machine(pattern: IndexedSeq[Step],
       windowUs: Long, after: AfterMatch = SkipPastLast,
-      contiguous: Boolean = true, grouped: Option[GPat] = None)
+      contiguous: Boolean = true, grouped: Option[GPat] = None,
+      withRows: Boolean = false)
       extends Serializable {
     // GROUP-QUANTIFIER mode: the compiled split-program replaces the
     // linear walks entirely (pattern then only feeds the alphabet);
@@ -604,6 +619,15 @@ object Cep {
       */
     def snapshot: List[(Long, Long, String, Long)] = buf.toList
     def restore(s: List[(Long, Long, String, Long)]): Unit = buf = s.toVector
+
+    // ALL-ROWS capture (withRows only): per emitted match, the consumed
+    // rows as (step-or-leaf, ts, id, tpe, value_c) in step order /
+    // ascending positions — queued 1:1 with emitted matches, so the
+    // rows fold pops exactly one entry per match it converts
+    private val rowsQ =
+      scala.collection.mutable.Queue.empty[
+        List[(Int, Long, Long, String, Long)]]
+    def popRows(): List[(Int, Long, Long, String, Long)] = rowsQ.dequeue()
 
     private final val Partial = 0
     private final val Complete = 1
@@ -948,6 +972,14 @@ object Cep {
       val startTs = buf(0)._1
       val futureOk = fedTs <= startTs + windowUs
       val memo = Array.ofDim[Byte](program.length, n + 1)
+      // per-LEAF consumed positions, accumulated across group
+      // iterations: each RunM frame on the accepting path prepends its
+      // take's block as the stack unwinds (unwind order is reverse
+      // execution order, so prepending restores execution order and
+      // ascending positions per leaf). Frames off the accepting path
+      // return Mismatch before recording; memo hits can't lose spans
+      // because Complete is never memoized (it short-circuits).
+      val taken = Array.fill(pattern.length)(List.empty[Int])
       def go(pc: Int, p: Int): Int = program(pc) match {
         case AcceptI =>
           if (p == 0) Mismatch // gMinLen >= 1 makes this unreachable
@@ -959,7 +991,7 @@ object Cep {
         case SplitI(a, b) =>
           val r = go(a, p)
           if (r != Mismatch) r else go(b, p)
-        case RunM(st) =>
+        case RunM(st, leaf) =>
           if (memo(pc)(p) != 0)
             return if (memo(pc)(p) == 3) Partial else Mismatch
           val (lo, hi) = st.bounds
@@ -983,7 +1015,9 @@ object Cep {
             var take = c
             while (take >= lo) {
               go(pc + 1, p + take) match {
-                case Complete => return Complete
+                case Complete =>
+                  taken(leaf) = (p until p + take).toList ::: taken(leaf)
+                  return Complete
                 case Partial  => memo(pc)(p) = 3; return Partial
                 case _        => take -= 1
               }
@@ -992,7 +1026,9 @@ object Cep {
             var take = lo
             while (take <= c) {
               go(pc + 1, p + take) match {
-                case Complete => return Complete
+                case Complete =>
+                  taken(leaf) = (p until p + take).toList ::: taken(leaf)
+                  return Complete
                 case Partial  => memo(pc)(p) = 3; return Partial
                 case _        => take += 1
               }
@@ -1002,7 +1038,9 @@ object Cep {
           memo(pc)(p) = 2
           Mismatch
       }
-      go(0, 0)
+      val r = go(0, 0)
+      if (r == Complete) spanPos = taken
+      r
     }
 
     private def walk(fedTs: Long): Int = {
@@ -1209,7 +1247,20 @@ object Cep {
                   s += 1
                 }
               }
-              val aggs = if (progEnd >= 0) Nil else stepAggs()
+              // the group program populates spanPos too (per-LEAF
+              // positions across iterations), so grouped matches carry
+              // real MEASURES since r14
+              val aggs = stepAggs()
+              if (withRows) rowsQ += pattern.indices.iterator.flatMap {
+                s =>
+                  val ps =
+                    if (spanPos != null) spanPos(s)
+                    else (spanOff(s) until spanOff(s) + spanLen(s)).toList
+                  ps.iterator.map { i =>
+                    val (ts, id, tpe, vc) = buf(i)
+                    (s, ts, id, tpe, vc)
+                  }
+              }.toList
               out += ((CepMatch(-1L, sId, sTs, eId, eTs, n), aggs))
               // resume point per strategy; every case drops >= 1 row
               // (validateAfter), so the loop strictly progresses —
@@ -1350,7 +1401,8 @@ object Cep {
     */
   private def segmentedScan[O](it: Iterator[(Long, Long, Long, String, Long)],
       mk: () => Machine)(
-      conv: (Long, (CepMatch, List[StepAgg])) => Iterator[O]): Iterator[O] =
+      conv: (Long, Machine, (CepMatch, List[StepAgg])) => Iterator[O])
+      : Iterator[O] =
     new Iterator[O] {
       private var key = Long.MinValue
       private var m: Machine = null
@@ -1360,13 +1412,16 @@ object Cep {
           val (u, ts, id, tpe, vc) = it.next()
           if (m == null) { key = u; m = mk() }
           else if (u != key) {
-            m.flush().foreach(r => q ++= conv(key, r))
+            val fm = m
+            fm.flush().foreach(r => q ++= conv(key, fm, r))
             key = u; m = mk()
           }
-          m.feedM(ts, id, tpe, vc).foreach(r => q ++= conv(u, r))
+          val cm = m
+          cm.feedM(ts, id, tpe, vc).foreach(r => q ++= conv(u, cm, r))
         }
         if (q.isEmpty && !it.hasNext && m != null) {
-          m.flush().foreach(r => q ++= conv(key, r))
+          val fm = m
+          fm.flush().foreach(r => q ++= conv(key, fm, r))
           m = null
         }
       }
@@ -1396,7 +1451,7 @@ object Cep {
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
         segmentedScan(it, () => new Machine(pat, windowUs, after, contiguous))(
-          (u, r) => Iterator.single(r._1.copy(user_id = u)))
+          (u, _, r) => Iterator.single(r._1.copy(user_id = u)))
       }
   }
 
@@ -1434,7 +1489,112 @@ object Cep {
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
         segmentedScan(it, () => new Machine(pat, windowUs, after)) {
-          case (u, (c, aggs)) =>
+          case (u, _, (c, aggs)) =>
+            aggs.iterator.map(a => CepMeasured(u, c.start_event_id,
+              c.start_ts_us, c.end_event_id, c.end_ts_us, c.n_rows,
+              a.step, a.symbol, a.cnt, a.sum_value_c,
+              a.min_value_c, a.max_value_c,
+              a.first_event_id, a.last_event_id))
+        }
+      }
+  }
+
+  /** One output row of the ALL-ROWS-PER-MATCH folds ([[cepRowsOf]] /
+    * [[cepRowsGroupedOf]]): a consumed input row with its match's
+    * identity columns riding along. `step` is the flat step index (or
+    * the leaf index in [[gLeaves]] order for grouped patterns) — the
+    * SQL surface maps it to the pattern variable name (CLASSIFIER).
+    * The match id is (user_id, start_event_id): start event ids are
+    * unique per key, so no extra match-numbering state is needed.
+    */
+  final case class CepRowMatched(user_id: Long, start_event_id: Long,
+    start_ts_us: Long, end_event_id: Long, end_ts_us: Long, n_rows: Long,
+    event_id: Long, ts_us: Long, event_type: String, value_c: Long,
+    step: Int)
+
+  private def rowsScan(events: DataFrame, leaves: IndexedSeq[Step],
+      windowUs: Long, after: AfterMatch, grouped: Option[GPat])
+      : Dataset[CepRowMatched] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .as[(Long, Long, Long, String, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        segmentedScan(it, () => new Machine(leaves, windowUs, after,
+          contiguous = true, grouped = grouped, withRows = true)) {
+          case (u, m, (c, _)) =>
+            m.popRows().iterator.map { case (step, ts, id, tpe, vc) =>
+              CepRowMatched(u, c.start_event_id, c.start_ts_us,
+                c.end_event_id, c.end_ts_us, c.n_rows, id, ts, tpe, vc,
+                step)
+            }
+        }
+      }
+  }
+
+  /** ALL ROWS PER MATCH — the SQL standard's other MATCH_RECOGNIZE
+    * output mode (Flink's planner ships both): one output row per
+    * CONSUMED input row instead of one per match, each carrying the
+    * match identity (user_id, start/end ids and timestamps, n_rows),
+    * the row's own columns, and the step index that consumed it (→
+    * CLASSIFIER at the SQL surface). Zero-width negation steps consume
+    * nothing and contribute no rows, exactly as the standard's
+    * excluded/empty variables. Same shuffle shape as [[cepMatchOf]];
+    * the only extra cost is the per-match row capture, paid only on
+    * this fold (`withRows` machines).
+    */
+  def cepRowsOf(events: DataFrame, pattern: Seq[Step],
+      windowUs: Long, after: AfterMatch = SkipPastLast)
+      : Dataset[CepRowMatched] = {
+    validateCommon(pattern)
+    validateAfter(pattern, after)
+    rowsScan(events, pattern.toIndexedSeq, windowUs, after, None)
+  }
+
+  /** ALL ROWS PER MATCH over a GROUP-QUANTIFIER pattern: `step` is the
+    * leaf's index in [[gLeaves]] order, and a repeated group's leaf
+    * accumulates rows across iterations (the split-program walk records
+    * per-leaf consumed positions on its accepting path since r14).
+    * Alternation arms not taken contribute no rows.
+    */
+  def cepRowsGroupedOf(events: DataFrame, gpat: GPat,
+      windowUs: Long, after: AfterMatch = SkipPastLast)
+      : Dataset[CepRowMatched] =
+    rowsScan(events, gLeaves(gpat).toIndexedSeq, windowUs, after,
+      Some(gpat))
+
+  /** MEASURES over GROUP-QUANTIFIER patterns — [[cepMeasuresOf]]'s
+    * grouped twin: one output row per (match, LEAF in [[gLeaves]]
+    * order), aggregating every row that leaf consumed ACROSS group
+    * iterations (`PATTERN ((A B)+ C)` answers `COUNT(A.*)` /
+    * `SUM(A.value)` over all iterations' A rows — Flink/Calcite's
+    * reading of measures over repeated groups). A leaf on no accepting
+    * path (an alternation arm not taken) emits the zero row (cnt 0,
+    * null min/max/first/last), like an optional flat step that took
+    * nothing. Same scan shape as [[cepMatchGroupedOf]].
+    */
+  def cepMeasuresGroupedOf(events: DataFrame, gpat: GPat,
+      windowUs: Long, after: AfterMatch = SkipPastLast)
+      : Dataset[CepMeasured] = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val leaves = gLeaves(gpat).toIndexedSeq
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .as[(Long, Long, Long, String, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        segmentedScan(it, () => new Machine(leaves, windowUs, after,
+          contiguous = true, grouped = Some(gpat))) {
+          case (u, _, (c, aggs)) =>
             aggs.iterator.map(a => CepMeasured(u, c.start_event_id,
               c.start_ts_us, c.end_event_id, c.end_ts_us, c.n_rows,
               a.step, a.symbol, a.cnt, a.sum_value_c,
@@ -1813,7 +1973,7 @@ object Cep {
       .mapPartitions { it =>
         segmentedScan(it, () => new Machine(leaves, windowUs, after,
           contiguous = true, grouped = Some(gpat)))(
-          (u, r) => Iterator.single(r._1.copy(user_id = u)))
+          (u, _, r) => Iterator.single(r._1.copy(user_id = u)))
       }
   }
 
@@ -1888,4 +2048,28 @@ object Cep {
       windowUs = 24L * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_group_measures — MEASURES over a GROUP QUANTIFIER: the
+    * cep_group pattern (((click|view)(signup|error))+ purchase, 24 h)
+    * with per-LEAF aggregates accumulated ACROSS iterations — leaf 0
+    * answers COUNT/SUM over every (click|view) row of every iteration,
+    * the ability the flat-only measures runner rejects. Matches are
+    * cep_group's (oracled there); the measures join back definitionally
+    * in the oracle: within a match's dense rn span, the A rows are the
+    * start-parity positions, the B rows the off-parity ones, the
+    * purchase the last — aggregated per class with arg_min/arg_max for
+    * FIRST/LAST. Multi-iteration accumulation binds at sf0.01
+    * (cep_group has 13 matches with >= 2 iterations → leaf 0 cnt >= 2).
+    */
+  def cepGroupMeasures(s: SparkSession, dir: String): DataFrame =
+    cepMeasuresGroupedOf(graft.Tables.t(s, dir, "events"),
+      GCat(Seq(
+        GRep(GCat(Seq(
+          GLf(Step("click", alt = Set("view"))),
+          GLf(Step("signup", alt = Set("error"))))), 1, Int.MaxValue),
+        GLf(Step("purchase")))),
+      windowUs = 24L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"),
+        col("step"))
 }

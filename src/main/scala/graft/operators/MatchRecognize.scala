@@ -33,7 +33,16 @@ import org.apache.spark.sql.functions._
   *   - `V.event_type = 'sym'`            → the step's symbol
   *   - `V.event_type IN ('a', 'b', …)`   → alternation set
   *   - `V.value < PREV(V.value [, k])`   → [[Cep.PrevCmp]] (+ offset);
-  *     also <=, >, >=
+  *     also <=, >, >=. PREV here is MATCH-SCOPED, a documented
+  *     deviation from the SQL-standard/Flink full-partition reading:
+  *     a k-back position falling before the match candidate's first
+  *     row evaluates as NULL, so the row does not match — full-input
+  *     PREV would need a k-row look-behind over rows the segmented
+  *     scan and the streaming state have deliberately dropped. With
+  *     k = 1 the readings coincide everywhere a PREV condition can
+  *     legally sit (the first pattern variable cannot carry one); with
+  *     k >= 2 they diverge on the first k-1 rows of each match — see
+  *     [[Cep.Step]] for the machine-side contract.
   *   - `SUM(V.value) <= c`               → running-sum cap (cents)
   * An UNDEFINED variable is MATCH_RECOGNIZE's always-true variable →
   * a wildcard step. The canonical V-pattern parses as written in the
@@ -65,7 +74,8 @@ object MatchRecognize {
       pattern: Seq[Cep.Step], after: Cep.AfterMatch, windowUs: Long,
       rawMeasures: Vector[String] = Vector.empty,
       varNames: Seq[String] = Nil,
-      grouped: Option[Cep.GPat] = None)
+      grouped: Option[Cep.GPat] = None,
+      allRows: Boolean = false)
 
   // ---------------------------------------------------------- lexer
   private def lex(s: String): Vector[String] = {
@@ -86,7 +96,16 @@ object MatchRecognize {
         i = j
       } else if (c.isDigit) {
         var j = i
-        while (j < s.length && (s(j).isDigit || s(j) == '.')) j += 1
+        var dots = 0
+        while (j < s.length && (s(j).isDigit || (s(j) == '.' && {
+          dots += 1; dots <= 1
+        }))) j += 1
+        // a second '.' ends the token above — catch the malformed
+        // literal here instead of surfacing a NumberFormatException
+        // from whatever parse rule consumes the fragment
+        require(j >= s.length || s(j) != '.',
+          s"match_recognize: malformed numeric literal at " +
+            s"'${s.substring(i, math.min(s.length, j + 2))}'")
         out += s.substring(i, j)
         i = j
       } else if (c == '<' || c == '>') {
@@ -143,14 +162,20 @@ object MatchRecognize {
     // (strictly parsed only by the measures runner)
     val rawMeasures = Vector.newBuilder[String]
     if (p.accept("MEASURES")) {
-      val stops = Set("ONE", "AFTER", "PATTERN")
+      val stops = Set("ONE", "ALL", "AFTER", "PATTERN")
       while (!stops.contains(p.peek)) {
         require(!p.done, "match_recognize: MEASURES never ends")
         rawMeasures += p.next()
       }
     }
-    // ONE ROW PER MATCH — our output shape; accepted
+    // ONE ROW PER MATCH (default) | ALL ROWS PER MATCH — the two
+    // standard output modes; ALL ROWS routes to the rows runner
+    var allRows = false
     if (p.accept("ONE")) { p.expect("ROW"); p.expect("PER"); p.expect("MATCH") }
+    else if (p.accept("ALL")) {
+      p.expect("ROWS"); p.expect("PER"); p.expect("MATCH")
+      allRows = true
+    }
 
     // AFTER MATCH SKIP ...
     var after: Cep.AfterMatch = Cep.SkipPastLast
@@ -191,9 +216,18 @@ object MatchRecognize {
         case "?" => p.next(); lo = 0; hi = 1
         case "{" =>
           p.next()
-          lo = p.next().toInt
+          def bound(which: String): Int = {
+            val t = p.next()
+            require(t.nonEmpty && t.forall(_.isDigit),
+              s"match_recognize: PATTERN quantifier {m,n} needs " +
+                s"explicit integer bounds — found '$t' for $which " +
+                "(the open-ended forms {m,} / {,n} / {m} are " +
+                "unsupported; write {m,n} or use + * ?)")
+            t.toInt
+          }
+          lo = bound("the lower bound")
           p.expect(",")
-          hi = p.next().toInt
+          hi = bound("the upper bound")
           p.expect("}")
           explicitRep = true
         case _ => ()
@@ -347,7 +381,7 @@ object MatchRecognize {
           "PAST LAST ROW / TO NEXT ROW (FIRST/LAST name flat steps)")
       Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
         windowUs, rawMeasures.result(), items.toList.map(_.name),
-        grouped = Some(g))
+        grouped = Some(g), allRows = allRows)
     } else {
       // the machine's own validation runs too (cepMatchOf) — these
       // parser-level requires exist so the SQL surface fails with SQL-
@@ -355,7 +389,8 @@ object MatchRecognize {
       Cep.validateCommon(steps)
       Cep.validateAfter(steps, resolvedAfter)
       Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
-        windowUs, rawMeasures.result(), items.toList.map(_.name))
+        windowUs, rawMeasures.result(), items.toList.map(_.name),
+        allRows = allRows)
     }
   }
 
@@ -477,6 +512,10 @@ object MatchRecognize {
         parsed.orderCols == Seq("ts", "event_id"),
       s"match_recognize: ORDER BY ${parsed.orderCols.mkString(", ")} — " +
         "this runner orders by ts, event_id")
+    require(!parsed.allRows,
+      "match_recognize: the clause asks for ALL ROWS PER MATCH — run " +
+        "it with matchRecognizeRowsOf (this runner emits one row per " +
+        "match)")
     parsed.grouped match {
       case Some(g) =>
         Cep.cepMatchGroupedOf(events, g, parsed.windowUs, parsed.after)
@@ -506,6 +545,11 @@ object MatchRecognize {
       "match_recognize: MEASURES range over FLAT pattern variables — " +
         "a repeated group's leaves have no single step to aggregate " +
         "(aggregate the grouped match rows downstream)")
+    require(!parsed.allRows,
+      "match_recognize: ALL ROWS PER MATCH + MEASURES needs the " +
+        "standard's RUNNING per-row semantics, which this runner does " +
+        "not implement — use matchRecognizeRowsOf (no MEASURES) and " +
+        "aggregate downstream, or ONE ROW PER MATCH here")
     val measures = parseMeasures(parsed.rawMeasures)
     val stepOf: Map[String, Int] = measures.map(_.varName).distinct.map {
       v =>
@@ -535,6 +579,74 @@ object MatchRecognize {
         col("end_event_id"), col("end_ts_us"), col("n_rows"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** ALL ROWS PER MATCH — the SQL standard's other output mode: one
+    * row per CONSUMED input row, carrying the match identity columns
+    * (user_id, start/end ids and timestamps, n_rows — start_event_id
+    * is the match id within a key), the row's own passthrough columns
+    * (event_id, ts_us, event_type, value_c), the consuming step index,
+    * and CLASSIFIER — the pattern variable name that consumed the row
+    * (for a repeated variable occurrence, the occurrence's name; for a
+    * grouped pattern, the leaf's name, accumulated across iterations).
+    * MEASURES with ALL ROWS means the standard's RUNNING per-row
+    * semantics — not implemented; rejected at parse-routing with a
+    * pointer (aggregate the rows downstream instead). Zero-width
+    * negation variables consume no rows and thus never classify one.
+    */
+  def matchRecognizeRowsOf(events: DataFrame, sql: String): DataFrame = {
+    val parsed = parse(sql)
+    require(parsed.partitionCol == "user_id" &&
+      (parsed.orderCols == Seq("ts") ||
+        parsed.orderCols == Seq("ts", "event_id")),
+      "match_recognize: this runner keys on user_id and orders by " +
+        "ts, event_id")
+    require(parsed.allRows,
+      "match_recognize: this runner implements ALL ROWS PER MATCH — " +
+        "the clause asks for one row per match (matchRecognizeOf)")
+    require(parsed.rawMeasures.isEmpty,
+      "match_recognize: ALL ROWS PER MATCH + MEASURES needs the " +
+        "standard's RUNNING per-row semantics, which is not " +
+        "implemented — drop MEASURES and aggregate the rows downstream")
+    val rows = parsed.grouped match {
+      case Some(g) =>
+        Cep.cepRowsGroupedOf(events, g, parsed.windowUs, parsed.after)
+      case None =>
+        Cep.cepRowsOf(events, parsed.pattern, parsed.windowUs,
+          parsed.after)
+    }
+    // CLASSIFIER: the step/leaf index resolves to the PATTERN variable
+    // name through a literal array — varNames is leaf-ordered for both
+    // the flat and the grouped tree (preorder, same as gLeaves)
+    rows.toDF().withColumn("classifier",
+      element_at(array(parsed.varNames.map(lit): _*), col("step") + 1))
+  }
+
+  /** sql_mr_all_rows — the ALL ROWS PER MATCH gate: the funnel pattern
+    * (C V+ P) with every consumed row emitted under its CLASSIFIER,
+    * against the funnel islands oracle joined back to the rows on the
+    * match span (contiguous consumption makes the span a dense rn
+    * range; the click is the island's last row, the views the whole
+    * island, the purchase the next island's first row). Binding at
+    * sf0.01: 88 matches / 285 output rows, 16 matches with >= 2 V
+    * rows (the per-row expansion is non-trivial, not 1:1).
+    */
+  val FunnelAllRowsSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |)""".stripMargin
+
+  def sqlMrAllRows(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeRowsOf(graft.Tables.t(s, dir, "events"), FunnelAllRowsSql)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"),
+        col("ts_us"), col("event_id"))
 
   /** sql_mr_measures — the MEASURES side of the SQL surface: the gate
     * funnel with per-variable aggregates as named columns, against a

@@ -2194,6 +2194,14 @@ object StreamingOps {
       contiguous: Boolean = true,
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[graft.operators.Cep.CepMatch] = {
+    // this unvalued surface feeds value_c = 0 for every row, so a
+    // value-dependent DEFINE predicate would evaluate against zeros —
+    // a sumCap that never binds, a cmp that never matches — silently.
+    // Route valued patterns to cepStreamValued with real cents.
+    require(pattern.forall(st => st.cmp.isEmpty && st.sumCap.isEmpty),
+      "cepStream: pattern carries value-dependent DEFINE predicates " +
+        "(PREV comparison / SUM cap) — use cepStreamValued with a " +
+        "value_c column (this surface feeds value 0)")
     import events.sparkSession.implicits._
     cepStreamValued(events.map(r => (r._1, r._2, r._3, r._4, 0L)),
       pattern, windowUs, after, contiguous, lateCounter)
@@ -2240,6 +2248,13 @@ object StreamingOps {
       gpat: graft.operators.Cep.GPat, windowUs: Long,
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast)
       : Dataset[graft.operators.Cep.CepMatch] = {
+    // same zero-value contract as cepStream: a cmp/sumCap leaf would
+    // silently evaluate against zeros — demand the valued surface
+    require(graft.operators.Cep.gLeaves(gpat)
+        .forall(st => st.cmp.isEmpty && st.sumCap.isEmpty),
+      "cepStreamGrouped: pattern carries value-dependent DEFINE " +
+        "predicates (PREV comparison / SUM cap) — use cepStreamValued " +
+        "with grouped = Some(gpat) and a value_c column")
     import events.sparkSession.implicits._
     cepStreamValued(events.map(r => (r._1, r._2, r._3, r._4, 0L)),
       graft.operators.Cep.gLeaves(gpat), windowUs, after,
@@ -2284,6 +2299,16 @@ object StreamingOps {
     * transformWithState processors drop inside their own logic where
     * Spark cannot see; those take an explicit accumulator instead
     * (e.g. [[cepStreamValued]]'s `lateCounter`).
+    *
+    * WINDOW, NOT LIFETIME: `recentProgress` is a bounded ring
+    * (`spark.sql.streaming.numRecentProgressUpdates`, default 100
+    * entries) — on a long-running query, batches evicted from the ring
+    * no longer contribute, so this sum UNDERCOUNTS the query's lifetime
+    * drops. Callers needing a lifetime total should poll per batch and
+    * accumulate, or attach a `StreamingQueryListener` and sum
+    * `numRowsDroppedByWatermark` from each progress event as it fires.
+    * The replay gates drain well under the ring bound, where the sum is
+    * exact.
     */
   def lateDropsOf(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
     q.recentProgress
@@ -2744,17 +2769,23 @@ object StreamingOps {
     * gate SF (they are near-absent on the raw spacing). Ordered by
     * (ts, event_id); no timestamp collisions at gate SFs.
     */
-  def gateEventsDayFolded(s: SparkSession, dir: String): Array[GateEv] =
+  def gateEventsDayFolded(s: SparkSession,
+      dir: String): scala.collection.immutable.ArraySeq[GateEv] =
     memoFixture("dayfold", dir) {
       import s.implicits._
-      graft.Tables.t(s, dir, "events")
-        .select(
-          col("event_id").cast("long").as("event_id"),
-          pmod(col("user_id"), lit(16)).cast("long").as("user_id"),
-          timestamp_micros(pmod(unix_micros(col("ts")), lit(86400000000L)) +
-            lit(1704067200000000L)).as("ts"),
-          col("event_type"), col("value").cast("double").as("value"))
-        .as[GateEv].orderBy(col("ts"), col("event_id")).collect()
+      // unsafeWrapArray: zero-copy, and the ONLY reference to the
+      // backing array is this immutable wrapper — type-level read-only
+      // for every cache consumer (the shared-instance contract below,
+      // enforced by the compiler instead of a comment)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        graft.Tables.t(s, dir, "events")
+          .select(
+            col("event_id").cast("long").as("event_id"),
+            pmod(col("user_id"), lit(16)).cast("long").as("user_id"),
+            timestamp_micros(pmod(unix_micros(col("ts")),
+              lit(86400000000L)) + lit(1704067200000000L)).as("ts"),
+            col("event_type"), col("value").cast("double").as("value"))
+          .as[GateEv].orderBy(col("ts"), col("event_id")).collect())
     }
 
   /** Memoized driver-side gate-fixture materialization, keyed by
@@ -2767,9 +2798,11 @@ object StreamingOps {
     * fixtures as immutable. Gate-scale only: ≤100k rows per entry.
     */
   // SHARED-INSTANCE contract: every caller receives the SAME cached
-  // array/seq for the process lifetime — gates must treat fixtures as
-  // strictly read-only (no in-place sort/mutation; derive with map/
-  // sorted/grouped copies), or they corrupt every other gate. The
+  // instance for the process lifetime. Every builder returns an
+  // IMMUTABLE wrapper (immutable.ArraySeq / toIndexedSeq / toSeq over
+  // the collected array, with no other reference to the backing
+  // array), so read-only is enforced at the type level — a gate
+  // cannot sortInPlace a fixture into cross-gate corruption. The
   // cache never invalidates: regenerating testdata under the same dir
   // within one JVM would serve stale fixtures (never happens in the
   // driver/bench/spec harnesses, which start fresh JVMs per run).
@@ -2824,10 +2857,10 @@ object StreamingOps {
     * exercises the cross-batch state path every gate needs; the specs
     * own the finer-grained seam semantics.
     */
-  private def replayThrough(s: SparkSession, fixture: Array[GateEv],
+  private def replayThrough(s: SparkSession, fixture: IndexedSeq[GateEv],
       flush: Option[GateEv])(build: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
-    replayTypedThrough[GateEv](s, fixture.toIndexedSeq, flush.toSeq,
+    replayTypedThrough[GateEv](s, fixture, flush.toSeq,
       "append")(ds => build(ds.toDF()))
   }
 
@@ -2837,7 +2870,7 @@ object StreamingOps {
     * micro-batch, so neither side's watermark can run ahead and evict
     * join state the other side still needs.
     */
-  private def replayJoinThrough(s: SparkSession, fixture: Array[GateEv],
+  private def replayJoinThrough(s: SparkSession, fixture: IndexedSeq[GateEv],
       leftType: String, rightType: String, flush: Option[GateEv] = None)(
       build: (DataFrame, DataFrame) => DataFrame): DataFrame =
     // partitions-only scope: Spark's symmetric-hash join keeps FOUR
@@ -2880,7 +2913,7 @@ object StreamingOps {
       s.read.parquet(outDir)
     }
 
-  private def gateFlush(fixture: Array[GateEv]): (Long, GateEv) = {
+  private def gateFlush(fixture: IndexedSeq[GateEv]): (Long, GateEv) = {
     val maxUs = fixture.map(e => e.ts.getTime * 1000L +
       (e.ts.getNanos / 1000L) % 1000L).max
     (maxUs, GateEv(-1L, -1L,

@@ -1341,4 +1341,84 @@ object CepMachineProps extends Properties("CepMachine") {
           case _ => true
         }
     }
+
+  // ---- r14: per-leaf spans (grouped MEASURES / ALL ROWS) ----
+
+  /** feedM + flush with the per-match consumed-rows capture popped
+    * 1:1 (the ALL-ROWS fold's contract).
+    */
+  private def feedMRows(m: Cep.Machine,
+      rows: IndexedSeq[(Long, Long, String, Long)])
+      : List[(Cep.CepMatch, List[Cep.StepAgg],
+        List[(Int, Long, Long, String, Long)])] =
+    (rows.flatMap { case (ts, id, tpe, vc) =>
+      m.feedM(ts, id, tpe, vc).map { case (c, a) => (c, a, m.popRows()) }
+    } ++ m.flush().map { case (c, a) => (c, a, m.popRows()) }).toList
+
+  property("grouped spans partition the match; aggs == fold of " +
+      "captured rows (random trees)") =
+    forAll(genGroupPat, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (g0, rows, win) =>
+      forAll(genAfter2) { after =>
+        // sum caps interact with the take loop, not the span record —
+        // keep them (they're span-observable); nothing to strip here
+        !validG(g0) || {
+          val leaves = Cep.gLeaves(g0).toIndexedSeq
+          val m = new Cep.Machine(leaves, win, after,
+            contiguous = true, grouped = Some(g0), withRows = true)
+          val byId = rows.map(r => r._2 -> r).toMap
+          val feedIdx = rows.zipWithIndex.map { case (r, i) => r._2 -> i }
+            .toMap
+          feedMRows(m, rows).forall { case (c, aggs, rws) =>
+            val si = feedIdx(c.start_event_id)
+            val ei = feedIdx(c.end_event_id)
+            val spanIds = rows.slice(si, ei + 1).map(_._2)
+            val capIds = rws.map(_._3).sortBy(feedIdx)
+            // contiguous consumption: captured rows are EXACTLY the
+            // fed span, each classified by a leaf whose symbol set
+            // (or wildcard) admits it, and the per-leaf aggs are the
+            // fold of that leaf's captured rows
+            capIds == spanIds &&
+              rws.forall { case (s, _, id, tpe, _) =>
+                leaves(s).matches(tpe) && byId(id)._3 == tpe
+              } &&
+              aggs.map(_.cnt).sum == c.n_rows &&
+              aggs.forall { a =>
+                val mine = rws.filter(_._1 == a.step)
+                  .sortBy(r => feedIdx(r._3))
+                a.cnt == mine.length &&
+                  a.sum_value_c == mine.map(_._5).sum &&
+                  a.min_value_c == (if (mine.isEmpty) None
+                    else Some(mine.map(_._5).min)) &&
+                  a.max_value_c == (if (mine.isEmpty) None
+                    else Some(mine.map(_._5).max)) &&
+                  a.first_event_id == mine.headOption.map(_._3) &&
+                  a.last_event_id == mine.lastOption.map(_._3)
+              }
+          }
+        }
+      }
+    }
+
+  property("flat pattern run as GCat of leaves: matches AND per-step " +
+      "MEASURES agree with the flat machine") =
+    forAll(genPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (pat, rows, win) =>
+      forAll(genAfter2) { after =>
+        val g = Cep.GCat(pat.map(st => Cep.GLf(st)).toList)
+        val ok = validPat(pat) && !pat.exists(_.neg) &&
+          (try { Cep.validateGrouped(g); true }
+          catch { case _: IllegalArgumentException => false })
+        !ok || {
+          val fm = new Cep.Machine(pat, win, after)
+          val gm = new Cep.Machine(pat, win, after,
+            contiguous = true, grouped = Some(g))
+          val fr = (rows.flatMap { case (ts, id, tpe, vc) =>
+            fm.feedM(ts, id, tpe, vc) } ++ fm.flush()).toList
+          val gr = (rows.flatMap { case (ts, id, tpe, vc) =>
+            gm.feedM(ts, id, tpe, vc) } ++ gm.flush()).toList
+          fr.map(_._1) == gr.map(_._1) && fr.map(_._2) == gr.map(_._2)
+        }
+      }
+    }
 }
