@@ -495,6 +495,15 @@ object SparkEntry {
     // CLASSIFIER (the standard's other output mode)
     "sql_mr_all_rows" ->
       ((s, dir) => graft.operators.MatchRecognize.sqlMrAllRows(s, dir)),
+    // the STREAMING SQL surface: the V clause parsed and asserted
+    // structurally == the programmatic machine, sharing the vshape
+    // replay (one store lifecycle for the two keys)
+    "stream_sql_mr" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamSqlMrGate(s, dir)),
+    // PERMUTE(A, B, C): all-orderings pattern, parsed to the 6-arm
+    // sequence alternation (Calcite's expansion) on the split-program
+    "cep_permute" ->
+      ((s, dir) => graft.operators.MatchRecognize.cepPermute(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -969,7 +978,17 @@ object SparkEntry {
         "AND re.ts_us - rs.ts_us <= 604800000000 " +
         "ORDER BY sel.user_id, start_ts_us, start_event_id")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // keys that REUSE another key's SQL verbatim (same machine by
+    // construction — asserted in the gate): the streaming
+    // MATCH_RECOGNIZE SQL surface answers against the programmatic
+    // stream twin's oracle, exactly as sql_match_recognize shares
+    // cep_vshape's
+    base + ("stream_sql_mr" -> base("stream_cep_vshape"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q01_scan" ->
       ("SELECT * FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey, " +
         "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, " +
@@ -3889,6 +3908,39 @@ object SparkEntry {
         "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
         "WHERE m.srn IS NOT NULL " +
         "ORDER BY m.user_id, start_ts_us, start_event_id"),
+    // PERMUTE: window-valid contiguous distinct-type triples under
+    // greedy leftmost non-overlap — the cep_revisit recursive
+    // skip-selection with the type predicate widened to set-equality
+    "cep_permute" ->
+      ("WITH RECURSIVE r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "c AS (SELECT a.user_id, a.rn, a.event_id AS sid, " +
+        "a.ts_us AS sts, w.event_id AS eid, w.ts_us AS ets " +
+        "FROM r a JOIN r b ON b.user_id = a.user_id AND b.rn = a.rn + 1 " +
+        "JOIN r w ON w.user_id = a.user_id AND w.rn = a.rn + 2 " +
+        "WHERE a.event_type IN ('click','view','signup') " +
+        "AND b.event_type IN ('click','view','signup') " +
+        "AND w.event_type IN ('click','view','signup') " +
+        "AND a.event_type <> b.event_type " +
+        "AND a.event_type <> w.event_type " +
+        "AND b.event_type <> w.event_type " +
+        "AND w.ts_us - a.ts_us <= 86400000000), " +
+        "nxt AS (SELECT c.*, (SELECT MIN(c2.rn) FROM c c2 " +
+        "WHERE c2.user_id = c.user_id AND c2.rn > c.rn + 2) AS nrn " +
+        "FROM c), " +
+        "f AS (SELECT user_id, MIN(rn) AS rn FROM c GROUP BY user_id), " +
+        "sel AS (SELECT user_id, rn FROM f " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.rn = s.rn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, n.sts AS " +
+        "start_ts_us, n.eid AS end_event_id, n.ets AS end_ts_us, " +
+        "CAST(3 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id AND n.rn = s.rn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
     // MEASURES over the group quantifier: the cep_group parity-chain
     // matches joined back to their dense rn spans — A rows are the
     // start-parity positions, B rows the off-parity ones, the purchase

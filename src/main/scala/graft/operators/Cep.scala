@@ -170,6 +170,21 @@ object Cep {
     */
   final case class GAlt(arms: Seq[GPat]) extends GPat
 
+  /** Calcite/Flink MATCH_RECOGNIZE `PERMUTE(A, B, …)` — all orderings
+    * of the given steps, expanded at build time to sequence
+    * alternation ([[GAlt]] of the n! [[GCat]] orderings, listed-order
+    * lexicographic like Calcite's expansion). Bounded at n <= 4 (24
+    * arms): the expansion is factorial and a larger n is a modeling
+    * smell — compose explicit alternation instead.
+    */
+  def permute(steps: Seq[Step]): GPat = {
+    require(steps.length >= 2 && steps.length <= 4,
+      s"cep: PERMUTE expands to n! alternation arms — supported for " +
+        s"2 <= n <= 4 steps (got ${steps.length})")
+    GAlt(steps.permutations.map(ord =>
+      GCat(ord.map(st => GLf(st)).toList): GPat).toList)
+  }
+
   private[graft] sealed trait GInstr extends Serializable
   /** `leaf` = the instruction's source leaf's index in [[gLeaves]]
     * order — a bounded repeat unrolls one RunM copy per iteration, all

