@@ -255,7 +255,8 @@ object StreamingOps {
     * keys, swap the MapState for the bounded k-heap the batch
     * `topk_by_value` aggregate uses.
     */
-  class WindowTopNProcessor(n: Int, windowUs: Long)
+  class WindowTopNProcessor(n: Int, windowUs: Long,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, String), WindowTopN] {
     @transient private var counts:
@@ -275,8 +276,14 @@ object StreamingOps {
       // ceil to the next ms (same as OverWindowProcessor): truncating
       // division would close a non-ms-aligned window up to 1 ms early
       val endMs = (key + windowUs + 999L) / 1000L
-      // window already closed and emitted: late rows drop here
-      if (timerValues.getCurrentWatermarkInMs() >= endMs) return Iterator.empty
+      // window already closed and emitted: late rows drop here —
+      // COUNTED when the caller asked for observability (same
+      // accumulator contract as CepStreamProcessor's lateCounter:
+      // exact on a clean run, may over-count under task retries)
+      if (timerValues.getCurrentWatermarkInMs() >= endMs) {
+        lateCounter.foreach(c => rows.foreach(_ => c.add(1L)))
+        return Iterator.empty
+      }
       rows.foreach { case (_, tpe) =>
         val cur = if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L
         counts.updateValue(tpe, cur + 1L)
@@ -303,7 +310,9 @@ object StreamingOps {
     * (10-minute tumble / top-2 mirrors the batch q30d gate).
     */
   def windowTopNStream(events: DataFrame, n: Int = 2,
-      windowUs: Long = 600000000L): Dataset[WindowTopN] = {
+      windowUs: Long = 600000000L,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[WindowTopN] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", "5 seconds")
       .select(
@@ -312,7 +321,7 @@ object StreamingOps {
         col("event_type"))
       .as[(Long, String)]
       .groupByKey(_._1)
-      .transformWithState(new WindowTopNProcessor(n, windowUs),
+      .transformWithState(new WindowTopNProcessor(n, windowUs, lateCounter),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
@@ -713,7 +722,8 @@ object StreamingOps {
     * ahead of `transformWithState` to shift the sort into Spark's
     * spillable machinery and keep the processor a pure streaming fold.
     */
-  class EwmaProcessor(alpha: Double, z: Double)
+  class EwmaProcessor(alpha: Double, z: Double,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, Double), EwmaFlag] {
     @transient private var st:
@@ -743,7 +753,9 @@ object StreamingOps {
               Some(EwmaFlag(key, ts, id, x, x, is_anomaly = false))
             case Some((_, _, lastTs, lastId))
                 if ts < lastTs || (ts == lastTs && id <= lastId) =>
-              None // out-of-order vs the folded prefix: drop, never corrupt
+              // out-of-order vs the folded prefix: drop, never corrupt
+              lateCounter.foreach(_.add(1L))
+              None
             case Some((ewma, evar, _, _)) =>
               val (e2, v2, _, anomaly) =
                 graft.operators.TimeSeries.ewmaStep(ewma, evar, x, alpha, z)
@@ -758,10 +770,12 @@ object StreamingOps {
 
   /** (user_id, ts_us, event_id, value) stream → live EWMA anomaly flags. */
   def ewmaStream(events: Dataset[(Long, Long, Long, Double)],
-      alpha: Double = 0.2, z: Double = 3.0): Dataset[EwmaFlag] = {
+      alpha: Double = 0.2, z: Double = 3.0,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[EwmaFlag] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .transformWithState(new EwmaProcessor(alpha, z),
+      .transformWithState(new EwmaProcessor(alpha, z, lateCounter),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
@@ -781,7 +795,8 @@ object StreamingOps {
     * order); CUSUM starts from the zero state, so unlike EWMA there is
     * no seed case — the first row already updates the sums.
     */
-  class CusumProcessor(mu: Double, kappa: Double, h: Double)
+  class CusumProcessor(mu: Double, kappa: Double, h: Double,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, Double), CusumFlag] {
     @transient private var st:
@@ -808,7 +823,9 @@ object StreamingOps {
           state match {
             case Some((_, _, lastTs, lastId))
                 if ts < lastTs || (ts == lastTs && id <= lastId) =>
-              None // out-of-order vs the folded prefix: drop, never corrupt
+              // out-of-order vs the folded prefix: drop, never corrupt
+              lateCounter.foreach(_.add(1L))
+              None
             case prior =>
               val (sp0, sn0) = prior match {
                 case Some((sp, sn, _, _)) => (sp, sn)
@@ -827,11 +844,12 @@ object StreamingOps {
 
   /** (user_id, ts_us, event_id, value) stream → live CUSUM flags. */
   def cusumStream(events: Dataset[(Long, Long, Long, Double)],
-      mu: Double = 50.0, kappa: Double = 10.0,
-      h: Double = 200.0): Dataset[CusumFlag] = {
+      mu: Double = 50.0, kappa: Double = 10.0, h: Double = 200.0,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CusumFlag] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .transformWithState(new CusumProcessor(mu, kappa, h),
+      .transformWithState(new CusumProcessor(mu, kappa, h, lateCounter),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
@@ -935,7 +953,8 @@ object StreamingOps {
     * 0)` — the q15c range-frame family; the spec pins streaming ≡
     * batch on a replay with a same-timestamp tie.
     */
-  class OverWindowProcessor(windowUs: Long)
+  class OverWindowProcessor(windowUs: Long,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, Double), OverAgg] {
     // ts_us → (sum at ts, cnt at ts, UNEMITTED rows at ts). Aggregates
@@ -990,7 +1009,7 @@ object StreamingOps {
           // ceil to the next ms so the fire implies watermark ≥ ts even
           // for non-ms-aligned microsecond timestamps
           getHandle.registerTimer((ts + 999L) / 1000L)
-        }
+        } else lateCounter.foreach(_.add(1L)) // dropped late row, counted
       }
       Iterator.empty
     }
@@ -1065,7 +1084,9 @@ object StreamingOps {
     * watermark passage with batch-exact tie semantics.
     */
   def overWindowStream(events: Dataset[(Long, Long, Long, Double)],
-      windowUs: Long = 600000000L): Dataset[OverAgg] = {
+      windowUs: Long = 600000000L,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[OverAgg] = {
     import events.sparkSession.implicits._
     events
       .withColumn("ts", timestamp_micros(col("_2")))
@@ -1073,7 +1094,7 @@ object StreamingOps {
       .select(col("_1"), col("_2"), col("_3"), col("_4"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
-      .transformWithState(new OverWindowProcessor(windowUs),
+      .transformWithState(new OverWindowProcessor(windowUs, lateCounter),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
@@ -2428,7 +2449,8 @@ object StreamingOps {
     * `leftOuter = false` drops unmatched facts (Flink's default INNER
     * event-time temporal join); `true` emits them null-padded.
     */
-  class TemporalJoinProcessor(leftOuter: Boolean)
+  class TemporalJoinProcessor(leftOuter: Boolean,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, TemporalOp, TemporalJoined] {
     // fact buffer: ts_us → unemitted facts at that instant
@@ -2472,7 +2494,7 @@ object StreamingOps {
                 else Nil
               facts.updateValue(r.ts_us, (r.id, r.value_c) :: cur)
               getHandle.registerTimer((r.ts_us + 999L) / 1000L)
-            }
+            } else lateCounter.foreach(_.add(1L)) // dropped late fact
           case "R" =>
             require(r.op == "I" || r.op == "U" || r.op == "D",
               s"temporalJoinStream: unknown op '${r.op}' (want I/U/D)")
@@ -2483,7 +2505,7 @@ object StreamingOps {
                   r.seq > seq0 // highest seq at an instant wins
                 } else true
               if (keep) vers.updateValue(r.ts_us, (r.op, r.value_c, r.seq))
-            }
+            } else lateCounter.foreach(_.add(1L)) // dropped late version
           case "F" => // watermark punctuation only
           case other => throw new IllegalArgumentException(
             s"temporalJoinStream: unknown side '$other' (want L/R/F)")
@@ -3169,7 +3191,9 @@ object StreamingOps {
     * two-input operator tracks.
     */
   def temporalJoinStream(ops: Dataset[TemporalOp],
-      leftOuter: Boolean = false): Dataset[TemporalJoined] = {
+      leftOuter: Boolean = false,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[TemporalJoined] = {
     import ops.sparkSession.implicits._
     ops
       .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -3178,7 +3202,7 @@ object StreamingOps {
         col("key"), col("id"), col("value_c"))
       .as[TemporalOp]
       .groupByKey(_.key)
-      .transformWithState(new TemporalJoinProcessor(leftOuter),
+      .transformWithState(new TemporalJoinProcessor(leftOuter, lateCounter),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }

@@ -376,6 +376,43 @@ class Round14Spec extends SparkSpecBase {
     assert(e2.getMessage.contains("2 <= n <= 4"))
   }
 
+  test("temporal join: late fact AND late version drops are counted " +
+      "(one per side)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOps
+    import StreamingOps.{TemporalOp, TemporalJoined}
+    def sec(s: Long) = s * 1000000L
+    withRocks {
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[TemporalOp]
+      val lateDrops = spark.sparkContext.longAccumulator("tj_late")
+      val q = StreamingOps.temporalJoinStream(src.toDS(),
+          lateCounter = Some(lateDrops))
+        .toDF().writeStream.format("memory").queryName("tj_late")
+        .outputMode("append").start()
+      // version + fact, then a flush far ahead so the watermark passes
+      src.addData(
+        TemporalOp("R", "I", 1L, sec(10), 1L, 0L, 100L),
+        TemporalOp("L", "I", 0L, sec(20), 1L, 2L, 20L))
+      q.processAllAvailable()
+      src.addData(TemporalOp("F", "I", Long.MaxValue, sec(300), 0L, -1L, 0L))
+      q.processAllAvailable()
+      // both below the watermark now: a late fact and a late version —
+      // dropped on their respective sides, each counted
+      src.addData(
+        TemporalOp("L", "I", 0L, sec(15), 1L, 9L, 99L),
+        TemporalOp("R", "I", 2L, sec(12), 1L, 0L, 500L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tj_late").as[TemporalJoined].collect().toSet
+      assert(got == Set(TemporalJoined(1L, 2L, sec(20), 20L, Some(100L))),
+        s"$got")
+      assert(lateDrops.value == 2L,
+        s"late fact + late version must both count: ${lateDrops.value}")
+    }
+  }
+
   test("cepStream rejects value-dependent patterns on the zero-value " +
       "surface") {
     import spark.implicits._

@@ -529,7 +529,9 @@ class StreamingSpec extends SparkSpecBase {
         (1L, 3000L, 12L, 12.0), (1L, 4000L, 13L, 10.0),
         (1L, 5000L, 14L, 500.0), (2L, 6000L, 20L, 7.0))
       val src = MemoryStream[(Long, Long, Long, Double)]
-      val q = StreamingOps.ewmaStream(src.toDS())
+      val lateDrops = spark.sparkContext.longAccumulator("ewma_late")
+      val q = StreamingOps.ewmaStream(src.toDS(),
+          lateCounter = Some(lateDrops))
         .writeStream.format("memory").queryName("ewmas")
         .outputMode("update").start()
       src.addData(series.take(3): _*)
@@ -543,6 +545,9 @@ class StreamingSpec extends SparkSpecBase {
         .map(f => (f.user_id, f.event_id) -> (f.ewma, f.is_anomaly)).toMap
       assert(!streamed.contains((1L, 99L)),
         "out-of-order row must not be emitted")
+      assert(lateDrops.value == 1L,
+        s"late-drop counter must see the folded-prefix drop: " +
+          s"${lateDrops.value}")
       // batch twin over the concatenated series
       val batchDf = series
         .map { case (u, ts, id, v) =>
@@ -624,7 +629,9 @@ class StreamingSpec extends SparkSpecBase {
         ev(6, "2024-03-01 00:06:00", typ = "purchase"))
       val advancer = ev(7, "2024-03-01 00:20:00")
       val src = MemoryStream[Ev]
-      val q = StreamingOps.windowTopNStream(src.toDF())
+      val lateDrops = spark.sparkContext.longAccumulator("wtopn_late")
+      val q = StreamingOps.windowTopNStream(src.toDF(),
+          lateCounter = Some(lateDrops))
         .writeStream.format("memory").queryName("wtopn")
         .outputMode("append").start()
       src.addData(inOrder: _*)
@@ -646,6 +653,9 @@ class StreamingSpec extends SparkSpecBase {
       val fin = spark.table("wtopn").as[StreamingOps.WindowTopN].collect()
       assert(fin.length == afterClose.size && fin.toSet == afterClose,
         "late row changed an already-emitted window")
+      // and the drop is OBSERVABLE: exactly the one late row counted
+      assert(lateDrops.value == 1L,
+        s"late-drop counter must see the dropped row: ${lateDrops.value}")
       // batch twin on the in-order rows: same per-window ranking
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("w_start_us"))
@@ -845,7 +855,9 @@ class StreamingSpec extends SparkSpecBase {
     try {
       val M = 60000000L
       val src = MemoryStream[(Long, Long, Long, Double)]
-      val q = StreamingOps.overWindowStream(src.toDS(), windowUs = 10 * M)
+      val lateDrops = spark.sparkContext.longAccumulator("over_late")
+      val q = StreamingOps.overWindowStream(src.toDS(), windowUs = 10 * M,
+          lateCounter = Some(lateDrops))
         .writeStream.format("memory").queryName("overidle")
         .outputMode("append").start()
       // key 7 emits at 0m and 5m, then sits IDLE while key 8 drives the
@@ -871,6 +883,8 @@ class StreamingSpec extends SparkSpecBase {
         .collect().filter(_.user_id == 7L).map(_.event_id).toSet
       assert(k7 == Set(1L, 2L),
         s"row below the watermark on an idle key must drop, got $k7")
+      assert(lateDrops.value == 1L,
+        s"late-drop counter must see the idle-key drop: ${lateDrops.value}")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
