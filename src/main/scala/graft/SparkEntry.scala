@@ -504,6 +504,14 @@ object SparkEntry {
     // sequence alternation (Calcite's expansion) on the split-program
     "cep_permute" ->
       ((s, dir) => graft.operators.MatchRecognize.cepPermute(s, dir)),
+    // SUBSET union variables + MATCH_NUMBER() on the ONE-ROW pivot:
+    // U = (V, P) pools members' steps; FINAL marker accepted-ignored
+    "sql_mr_subset" ->
+      ((s, dir) => graft.operators.MatchRecognize.sqlMrSubset(s, dir)),
+    // RUNNING/FINAL per-row MEASURES + CLASSIFIER() over ALL ROWS PER
+    // MATCH — prefix-frame vs whole-match window functions per row
+    "sql_mr_running" ->
+      ((s, dir) => graft.operators.MatchRecognize.sqlMrRunning(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -4033,6 +4041,113 @@ object SparkEntry {
         "AND x.rn >= m.crn AND x.rn <= m.prn " +
         "ORDER BY m.user_id, m.start_ts_us, m.start_event_id, " +
         "x.ts_us, x.event_id"),
+    // SUBSET union measures: the sql_mr_measures islands CTE with the
+    // purchase row's value joined in (U = (V, P) pools views+purchase)
+    // and a per-key row_number for MATCH_NUMBER()
+    "sql_mr_subset" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS sv, " +
+        "CAST(MAX(vc) AS BIGINT) AS mxv FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "g.sv, g.mxv, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "fi.vc AS first_vc, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern), " +
+        "m AS (SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "CAST(v.n + 1 AS BIGINT) AS u_cnt, " +
+        "CAST(v.sv + p.first_vc AS BIGINT) AS u_sum_c, " +
+        "v.first_id AS u_first_id, p.first_id AS u_last_id, " +
+        "v.mxv AS views_max_c " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000) " +
+        "SELECT user_id, start_event_id, start_ts_us, end_event_id, " +
+        "end_ts_us, n_rows, " +
+        "CAST(row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY start_ts_us, start_event_id) AS BIGINT) AS mn, " +
+        "u_cnt, u_sum_c, u_first_id, u_last_id, views_max_c " +
+        "FROM m ORDER BY user_id, start_ts_us, start_event_id"),
+    // RUNNING/FINAL per-row measures: the sql_mr_all_rows CTE wrapped
+    // with the equivalent window functions — prefix frame for RUNNING,
+    // whole-match frame for FINAL, classifier-pooled SUBSET membership,
+    // dense_rank over match starts for MATCH_NUMBER()
+    "sql_mr_running" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "f.event_id AS first_id, f.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i f ON f.user_id = g.user_id AND f.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern), " +
+        "m AS (SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "c.ern AS crn, p.srn AS prn " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000), " +
+        "o AS (SELECT m.user_id, m.start_event_id, m.start_ts_us, " +
+        "m.end_event_id, m.end_ts_us, m.n_rows, " +
+        "x.event_id, x.ts_us, x.event_type, x.vc AS value_c, " +
+        "CAST(CASE WHEN x.rn = m.crn THEN 0 WHEN x.rn = m.prn THEN 2 " +
+        "ELSE 1 END AS INTEGER) AS step, " +
+        "CASE WHEN x.rn = m.crn THEN 'C' WHEN x.rn = m.prn THEN 'P' " +
+        "ELSE 'V' END AS classifier " +
+        "FROM m JOIN i x ON x.user_id = m.user_id " +
+        "AND x.rn >= m.crn AND x.rn <= m.prn) " +
+        "SELECT user_id, start_event_id, start_ts_us, end_event_id, " +
+        "end_ts_us, n_rows, event_id, ts_us, event_type, value_c, " +
+        "step, classifier, " +
+        "CAST(dense_rank() OVER (PARTITION BY user_id " +
+        "ORDER BY start_ts_us, start_event_id) AS BIGINT) AS mn, " +
+        "classifier AS cls, " +
+        "count(CASE WHEN classifier = 'V' THEN 1 END) " +
+        "OVER run AS v_run_cnt, " +
+        "CAST(SUM(CASE WHEN classifier = 'V' THEN value_c END) " +
+        "OVER run AS BIGINT) AS v_run_sum_c, " +
+        "count(CASE WHEN classifier = 'V' THEN 1 END) " +
+        "OVER whole AS v_fin_cnt, " +
+        "last_value(CASE WHEN classifier = 'V' THEN event_id END " +
+        "IGNORE NULLS) OVER whole AS v_fin_last, " +
+        "last_value(CASE WHEN classifier IN ('C', 'P') THEN event_id " +
+        "END IGNORE NULLS) OVER run AS u_run_last " +
+        "FROM o " +
+        "WINDOW run AS (PARTITION BY user_id, start_event_id " +
+        "ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "whole AS (PARTITION BY user_id, start_event_id " +
+        "ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, start_ts_us, start_event_id, ts_us, event_id"),
     // SKIP TO NEXT ROW on the revisit pattern: overlapping matches all
     // emit, so the answer is ALL window-valid contiguous triples — the
     // cep_revisit candidate CTE with its recursive skip-selection

@@ -25,9 +25,18 @@ import org.apache.spark.sql.functions._
   *                | SKIP TO {FIRST|LAST} var]
   *   PATTERN ( var [quant] ... )     -- quant: + ? * {m,n} +? *? ??
   *   [WITHIN INTERVAL 'n' {DAY|HOUR|MINUTE|SECOND}]
+  *   [SUBSET u = (var, var [, ...]) [, ...] ]
   *   [DEFINE var AS cond [AND cond] [, ...] ]
   * )
   * }}}
+  *
+  * SUBSET declares the standard's UNION variables: a subset name used
+  * in MEASURES aggregates over the union of its member variables'
+  * consumed rows (COUNT/SUM/MIN/MAX pool the members; FIRST/LAST
+  * navigate to the union's first/last consumed row in match order).
+  * CLASSIFIER() always returns the BASE variable, never a subset name
+  * (the standard's reading). Subset names are not usable in DEFINE
+  * (rejected) — the machine evaluates predicates per step.
   *
   * DEFINE conditions per variable (conjoined with AND):
   *   - `V.event_type = 'sym'`            → the step's symbol
@@ -56,13 +65,24 @@ import org.apache.spark.sql.functions._
   */
 object MatchRecognize {
 
-  /** One parsed MEASURES entry: aggregate function, pattern variable,
-    * output alias. Supported aggregates (the machine's per-step
-    * primitive set): COUNT(V.*), SUM/MIN/MAX(V.value) — exact CENTS,
-    * like [[Cep.StepAgg]] — and FIRST/LAST(V.event_id). AVG is
-    * sum/cnt downstream, as everywhere in the library.
+  /** One parsed MEASURES entry: aggregate function, pattern variable
+    * (or SUBSET union variable), output alias, and the standard's
+    * per-row semantics marker. Supported aggregates (the machine's
+    * per-step primitive set): COUNT(V.*), SUM/MIN/MAX(V.value) — exact
+    * CENTS, like [[Cep.StepAgg]] — and FIRST/LAST(V.event_id); plus
+    * the niladic MATCH_NUMBER() (sequential match number within the
+    * partition, match order) and CLASSIFIER() (the row's consuming
+    * variable — ALL ROWS only, where a row exists to classify). AVG is
+    * sum/cnt downstream, as everywhere in the library. `mode` is ""
+    * (unspecified), "RUNNING", or "FINAL": in ONE ROW PER MATCH the
+    * two coincide (measures are evaluated at the match's final row —
+    * the standard's own equivalence) and the marker is accepted and
+    * ignored; in ALL ROWS PER MATCH an unspecified aggregate defaults
+    * to RUNNING (prefix-of-match up to the current row), FINAL reads
+    * the whole match from every row.
     */
-  final case class Measure(func: String, varName: String, alias: String)
+  final case class Measure(func: String, varName: String, alias: String,
+      mode: String = "")
 
   /** The parsed clause: everything the runners need. `rawMeasures`
     * holds the MEASURES clause's tokens verbatim — [[matchRecognizeOf]]
@@ -75,7 +95,8 @@ object MatchRecognize {
       rawMeasures: Vector[String] = Vector.empty,
       varNames: Seq[String] = Nil,
       grouped: Option[Cep.GPat] = None,
-      allRows: Boolean = false)
+      allRows: Boolean = false,
+      subsets: Map[String, List[String]] = Map.empty)
 
   // ---------------------------------------------------------- lexer
   private def lex(s: String): Vector[String] = {
@@ -322,6 +343,42 @@ object MatchRecognize {
       windowUs = n * unitUs
     }
 
+    // SUBSET u = (var, var [, ...]) [, ...] — union variables; member
+    // names must be PATTERN variables, subset names must be fresh
+    // (neither a PATTERN variable nor an earlier subset)
+    val subsets =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+    if (p.accept("SUBSET")) {
+      var more = true
+      while (more) {
+        val name = p.next()
+        require(name.headOption.exists(_.isLetter),
+          s"match_recognize: bad SUBSET name '$name'")
+        require(!items.exists(_.name == name),
+          s"match_recognize: SUBSET '$name' collides with a PATTERN " +
+            "variable of the same name")
+        require(!subsets.contains(name),
+          s"match_recognize: SUBSET '$name' declared twice")
+        p.expect("="); p.expect("(")
+        val members = scala.collection.mutable.ListBuffer(p.next())
+        while (p.accept(",")) members += p.next()
+        p.expect(")")
+        members.foreach { m =>
+          require(items.exists(_.name == m),
+            s"match_recognize: SUBSET '$name' names '$m' which " +
+              "PATTERN never uses (members are primary pattern " +
+              "variables, not other subsets)")
+        }
+        require(members.distinct.length == members.length,
+          s"match_recognize: SUBSET '$name' repeats a member")
+        require(members.length >= 2,
+          s"match_recognize: SUBSET '$name' needs at least two " +
+            "members (a one-member union IS its member)")
+        subsets(name) = members.toList
+        more = p.accept(",")
+      }
+    }
+
     // DEFINE var AS cond [AND cond] [, ...]
     val defs = scala.collection.mutable.Map.empty[String, VarDef]
     if (p.accept("DEFINE")) {
@@ -346,6 +403,10 @@ object MatchRecognize {
     // assemble steps; names may repeat in PATTERN (each occurrence is
     // its own step with the variable's shared definition)
     defs.keys.foreach { v =>
+      require(!subsets.contains(v),
+        s"match_recognize: DEFINE names the SUBSET '$v' — union " +
+          "variables carry no predicate of their own (define the " +
+          "member variables instead)")
       require(items.exists(_.name == v),
         s"match_recognize: DEFINE names '$v' which PATTERN never uses")
     }
@@ -400,7 +461,7 @@ object MatchRecognize {
           "PAST LAST ROW / TO NEXT ROW (FIRST/LAST name flat steps)")
       Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
         windowUs, rawMeasures.result(), items.toList.map(_.name),
-        grouped = Some(g), allRows = allRows)
+        grouped = Some(g), allRows = allRows, subsets = subsets.toMap)
     } else {
       // the machine's own validation runs too (cepMatchOf) — these
       // parser-level requires exist so the SQL surface fails with SQL-
@@ -409,7 +470,7 @@ object MatchRecognize {
       Cep.validateAfter(steps, resolvedAfter)
       Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
         windowUs, rawMeasures.result(), items.toList.map(_.name),
-        allRows = allRows)
+        allRows = allRows, subsets = subsets.toMap)
     }
   }
 
@@ -426,26 +487,41 @@ object MatchRecognize {
     val out = scala.collection.mutable.ListBuffer.empty[Measure]
     var more = true
     while (more) {
-      val fn = p.next()
-      require(Set("COUNT", "SUM", "MIN", "MAX", "FIRST", "LAST")(fn),
-        s"match_recognize: unsupported MEASURES aggregate '$fn' " +
-          "(COUNT/SUM/MIN/MAX/FIRST/LAST)")
-      p.expect("(")
-      val v = p.next()
-      p.expect(".")
-      val field = p.next()
-      fn match {
-        case "COUNT" => require(field == "*",
-          s"match_recognize: COUNT measures rows — write COUNT($v.*)")
-        case "SUM" | "MIN" | "MAX" => require(field == "VALUE",
-          s"match_recognize: $fn ranges over $v.value (exact cents)")
-        case _ => require(field == "EVENT_ID",
-          s"match_recognize: $fn navigates $v.event_id")
+      // optional per-measure semantics marker (the standard's RUNNING
+      // vs FINAL) — recorded verbatim; the runners interpret it
+      val mode = p.peek match {
+        case "RUNNING" => p.next(); "RUNNING"
+        case "FINAL"   => p.next(); "FINAL"
+        case _         => ""
       }
-      p.expect(")")
-      p.expect("AS")
-      val alias = p.next().toLowerCase
-      out += Measure(fn, v, alias)
+      val fn = p.next()
+      if (fn == "MATCH_NUMBER" || fn == "CLASSIFIER") {
+        require(mode.isEmpty,
+          s"match_recognize: $mode $fn() — the niladic measures are " +
+            "neither RUNNING nor FINAL (drop the marker)")
+        p.expect("("); p.expect(")")
+        p.expect("AS")
+        out += Measure(fn, "", p.next().toLowerCase)
+      } else {
+        require(Set("COUNT", "SUM", "MIN", "MAX", "FIRST", "LAST")(fn),
+          s"match_recognize: unsupported MEASURES aggregate '$fn' " +
+            "(COUNT/SUM/MIN/MAX/FIRST/LAST/MATCH_NUMBER/CLASSIFIER)")
+        p.expect("(")
+        val v = p.next()
+        p.expect(".")
+        val field = p.next()
+        fn match {
+          case "COUNT" => require(field == "*",
+            s"match_recognize: COUNT measures rows — write COUNT($v.*)")
+          case "SUM" | "MIN" | "MAX" => require(field == "VALUE",
+            s"match_recognize: $fn ranges over $v.value (exact cents)")
+          case _ => require(field == "EVENT_ID",
+            s"match_recognize: $fn navigates $v.event_id")
+        }
+        p.expect(")")
+        p.expect("AS")
+        out += Measure(fn, v, p.next().toLowerCase, mode)
+      }
       more = p.accept(",")
     }
     require(p.done,
@@ -549,9 +625,19 @@ object MatchRecognize {
     * match identity columns (user_id, start/end ids and timestamps,
     * n_rows) ride along for joinability. Measure variables must occur
     * exactly ONCE in PATTERN (a repeated variable's occurrences are
-    * distinct steps here; aggregate across them downstream). The
-    * pivot is one hash aggregation keyed on the match identity — no
-    * extra shuffle beyond cepMeasuresOf's own segmented scan.
+    * distinct steps here; aggregate across them downstream); a SUBSET
+    * union variable pools its members' steps (COUNT/SUM add, MIN/MAX
+    * pool, FIRST/LAST navigate to the union's first/last consumed row
+    * in match order — steps consume contiguously, so step order IS
+    * match order). MATCH_NUMBER() numbers a partition's matches
+    * sequentially in match order (one ranking window per key — the
+    * standard's partition-scoped numbering); CLASSIFIER() is per-row
+    * and rejected here (ALL ROWS PER MATCH is where a row exists to
+    * classify). RUNNING/FINAL markers are accepted and ignored: in
+    * ONE ROW PER MATCH the two coincide at the match's final row (the
+    * standard's own equivalence). The pivot is one hash aggregation
+    * keyed on the match identity — no extra shuffle beyond
+    * cepMeasuresOf's own segmented scan.
     */
   def matchRecognizeMeasuresOf(events: DataFrame, sql: String): DataFrame = {
     val parsed = parse(sql)
@@ -565,38 +651,71 @@ object MatchRecognize {
         "a repeated group's leaves have no single step to aggregate " +
         "(aggregate the grouped match rows downstream)")
     require(!parsed.allRows,
-      "match_recognize: ALL ROWS PER MATCH + MEASURES needs the " +
-        "standard's RUNNING per-row semantics, which this runner does " +
-        "not implement — use matchRecognizeRowsOf (no MEASURES) and " +
-        "aggregate downstream, or ONE ROW PER MATCH here")
+      "match_recognize: the clause asks for ALL ROWS PER MATCH — run " +
+        "it with matchRecognizeRowsOf (RUNNING/FINAL per-row measures " +
+        "live there)")
     val measures = parseMeasures(parsed.rawMeasures)
-    val stepOf: Map[String, Int] = measures.map(_.varName).distinct.map {
-      v =>
+    require(!measures.exists(_.func == "CLASSIFIER"),
+      "match_recognize: CLASSIFIER() names the row's consuming " +
+        "variable — ONE ROW PER MATCH has no row to classify (use " +
+        "ALL ROWS PER MATCH)")
+    // a measured name is a SUBSET union (→ its members' steps, pooled)
+    // or a pattern variable (→ its single step)
+    def stepsOf(name: String): Seq[Int] =
+      parsed.subsets.getOrElse(name, List(name)).map { v =>
         val occ = parsed.varNames.zipWithIndex.filter(_._1 == v)
         require(occ.nonEmpty,
           s"match_recognize: MEASURES names '$v' which PATTERN never uses")
         require(occ.length == 1,
           s"match_recognize: MEASURES over '$v', which PATTERN uses " +
             s"${occ.length} times — each occurrence is a distinct step")
-        v -> occ.head._2
-    }.toMap
+        occ.head._2
+      }
     val md = Cep.cepMeasuresOf(events, parsed.pattern, parsed.windowUs,
       parsed.after).toDF()
-    val aggs = measures.map { m =>
-      val src = m.func match {
-        case "COUNT" => col("cnt")
-        case "SUM"   => col("sum_value_c")
-        case "MIN"   => col("min_value_c")
-        case "MAX"   => col("max_value_c")
-        case "FIRST" => col("first_event_id")
-        case "LAST"  => col("last_event_id")
+    val aggs = measures.filter(_.func != "MATCH_NUMBER").map { m =>
+      val in = col("step").isin(stepsOf(m.varName): _*)
+      m.func match {
+        // single variable = one (match, step) row; union = its members'
+        // rows pooled — the additive/extremal forms are the same code
+        case "COUNT" => sum(when(in, col("cnt"))).as(m.alias)
+        case "SUM"   => sum(when(in, col("sum_value_c"))).as(m.alias)
+        case "MIN"   => min(when(in, col("min_value_c"))).as(m.alias)
+        case "MAX"   => max(when(in, col("max_value_c"))).as(m.alias)
+        // navigation: the union's first/last consumed row is the
+        // lowest/highest member step that took rows (contiguous
+        // consumption ⇒ step order = match order); the struct min/max
+        // orders by step first, then projects the id
+        case "FIRST" =>
+          min(when(in && col("cnt") > 0,
+            struct(col("step"), col("first_event_id"))))
+            .getField("first_event_id").as(m.alias)
+        case "LAST"  =>
+          max(when(in && col("cnt") > 0,
+            struct(col("step"), col("last_event_id"))))
+            .getField("last_event_id").as(m.alias)
       }
-      // one row per (match, step): max() just selects that row's value
-      max(when(col("step") === stepOf(m.varName), src)).as(m.alias)
     }
-    md.groupBy(col("user_id"), col("start_event_id"), col("start_ts_us"),
-        col("end_event_id"), col("end_ts_us"), col("n_rows"))
-      .agg(aggs.head, aggs.tail: _*)
+    val pivoted =
+      if (aggs.nonEmpty)
+        md.groupBy(col("user_id"), col("start_event_id"),
+            col("start_ts_us"), col("end_event_id"), col("end_ts_us"),
+            col("n_rows"))
+          .agg(aggs.head, aggs.tail: _*)
+      else // MEASURES held only MATCH_NUMBER(): distinct match identity
+        md.groupBy(col("user_id"), col("start_event_id"),
+            col("start_ts_us"), col("end_event_id"), col("end_ts_us"),
+            col("n_rows"))
+          .agg(max(lit(1)).as("__d")).drop("__d")
+    measures.find(_.func == "MATCH_NUMBER") match {
+      case Some(mn) =>
+        pivoted.withColumn(mn.alias,
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("start_ts_us"), col("start_event_id")))
+            .cast("long"))
+      case None => pivoted
+    }
   }
 
   /** ALL ROWS PER MATCH — the SQL standard's other output mode: one
@@ -607,10 +726,24 @@ object MatchRecognize {
     * and CLASSIFIER — the pattern variable name that consumed the row
     * (for a repeated variable occurrence, the occurrence's name; for a
     * grouped pattern, the leaf's name, accumulated across iterations).
-    * MEASURES with ALL ROWS means the standard's RUNNING per-row
-    * semantics — not implemented; rejected at parse-routing with a
-    * pointer (aggregate the rows downstream instead). Zero-width
-    * negation variables consume no rows and thus never classify one.
+    * Zero-width negation variables consume no rows and thus never
+    * classify one.
+    *
+    * MEASURES here carry the standard's PER-ROW semantics, computed as
+    * Spark window functions over the emitted rows (the match is fully
+    * materialized, so both readings are frame choices, not matcher
+    * state): an unmarked or RUNNING aggregate reads the match's prefix
+    * up to the current row (`ROWS UNBOUNDED PRECEDING..CURRENT ROW`
+    * over the match partition), FINAL reads the whole match from every
+    * row. A measured name may be a SUBSET union — membership is tested
+    * on CLASSIFIER, which also means a variable repeated in PATTERN
+    * pools across its occurrences here (the standard's classifier-keyed
+    * reading; the ONE-ROW pivot rejects that case). MATCH_NUMBER()
+    * dense-ranks matches within the key in match order; CLASSIFIER()
+    * re-emits the classifier column under the measure's alias. Window
+    * partitions are per-match (bounded by the WITHIN horizon) except
+    * MATCH_NUMBER's per-key rank — the same key-sized ordering the
+    * segmented scan already did.
     */
   def matchRecognizeRowsOf(events: DataFrame, sql: String): DataFrame = {
     val parsed = parse(sql)
@@ -622,10 +755,6 @@ object MatchRecognize {
     require(parsed.allRows,
       "match_recognize: this runner implements ALL ROWS PER MATCH — " +
         "the clause asks for one row per match (matchRecognizeOf)")
-    require(parsed.rawMeasures.isEmpty,
-      "match_recognize: ALL ROWS PER MATCH + MEASURES needs the " +
-        "standard's RUNNING per-row semantics, which is not " +
-        "implemented — drop MEASURES and aggregate the rows downstream")
     val rows = parsed.grouped match {
       case Some(g) =>
         Cep.cepRowsGroupedOf(events, g, parsed.windowUs, parsed.after)
@@ -636,8 +765,56 @@ object MatchRecognize {
     // CLASSIFIER: the step/leaf index resolves to the PATTERN variable
     // name through a literal array — varNames is leaf-ordered for both
     // the flat and the grouped tree (preorder, same as gLeaves)
-    rows.toDF().withColumn("classifier",
+    val out = rows.toDF().withColumn("classifier",
       element_at(array(parsed.varNames.map(lit): _*), col("step") + 1))
+    if (parsed.rawMeasures.isEmpty) out
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val measures = parseMeasures(parsed.rawMeasures)
+      def namesOf(name: String): Seq[String] = {
+        val vs = parsed.subsets.getOrElse(name, List(name))
+        vs.foreach { v =>
+          require(parsed.varNames.contains(v),
+            s"match_recognize: MEASURES names '$v' which PATTERN " +
+              "never uses")
+        }
+        vs
+      }
+      // (user_id, start_event_id) is the match id: start ids are
+      // unique per key (CepRowMatched's contract)
+      val matchW = Window
+        .partitionBy(col("user_id"), col("start_event_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val running =
+        matchW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = matchW.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val mnW = Window.partitionBy(col("user_id"))
+        .orderBy(col("start_ts_us"), col("start_event_id"))
+      val mcols = measures.map { m =>
+        m.func match {
+          case "MATCH_NUMBER" =>
+            dense_rank().over(mnW).cast("long").as(m.alias)
+          case "CLASSIFIER" => col("classifier").as(m.alias)
+          case _ =>
+            val in = col("classifier").isin(namesOf(m.varName): _*)
+            val w = if (m.mode == "FINAL") whole else running
+            m.func match {
+              case "COUNT" => count(when(in, lit(1))).over(w).as(m.alias)
+              case "SUM" => sum(when(in, col("value_c"))).over(w).as(m.alias)
+              case "MIN" => min(when(in, col("value_c"))).over(w).as(m.alias)
+              case "MAX" => max(when(in, col("value_c"))).over(w).as(m.alias)
+              case "FIRST" =>
+                first(when(in, col("event_id")), ignoreNulls = true)
+                  .over(w).as(m.alias)
+              case "LAST" =>
+                last(when(in, col("event_id")), ignoreNulls = true)
+                  .over(w).as(m.alias)
+            }
+        }
+      }
+      out.select(out.columns.map(col).toSeq ++ mcols: _*)
+    }
   }
 
   /** sql_mr_all_rows — the ALL ROWS PER MATCH gate: the funnel pattern
@@ -745,4 +922,71 @@ object MatchRecognize {
     matchRecognizeOf(graft.Tables.t(s, dir, "events"), PermuteSql)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** sql_mr_subset — SUBSET union variables + MATCH_NUMBER() on the
+    * ONE-ROW runner: U = (V, P) pools the views and the purchase, so
+    * COUNT/SUM add across members, FIRST navigates to the first view,
+    * LAST to the purchase; the FINAL marker on views_max_c exercises
+    * the accepted-and-ignored path (ONE ROW: RUNNING ≡ FINAL). Oracle:
+    * the sql_mr_measures islands CTE with the purchase row's value
+    * joined in and a row_number window for mn.
+    */
+  val FunnelSubsetSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  MEASURES MATCH_NUMBER() AS mn, COUNT(U.*) AS u_cnt,
+      |           SUM(U.value) AS u_sum_c, FIRST(U.event_id) AS u_first_id,
+      |           LAST(U.event_id) AS u_last_id,
+      |           FINAL MAX(V.value) AS views_max_c
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  SUBSET U = (V, P)
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |)""".stripMargin
+
+  def sqlMrSubset(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeMeasuresOf(graft.Tables.t(s, dir, "events"),
+      FunnelSubsetSql)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** sql_mr_running — the standard's per-row measure semantics over
+    * ALL ROWS PER MATCH: unmarked COUNT defaults to RUNNING (prefix of
+    * the match up to the row), explicit RUNNING SUM, FINAL COUNT and
+    * FINAL LAST read the whole match from every row, a SUBSET union is
+    * classifier-pooled, MATCH_NUMBER() dense-ranks the key's matches,
+    * CLASSIFIER() re-emits the consuming variable. Binding at sf0.01:
+    * the funnel's 88 matches / 285 rows include 16 matches with ≥ 2 V
+    * rows, so RUNNING and FINAL provably diverge row-by-row. Oracle:
+    * the sql_mr_all_rows CTE wrapped with the equivalent DuckDB window
+    * functions.
+    */
+  val FunnelRunningSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+      |           COUNT(V.*) AS v_run_cnt, RUNNING SUM(V.value) AS v_run_sum_c,
+      |           FINAL COUNT(V.*) AS v_fin_cnt,
+      |           FINAL LAST(V.event_id) AS v_fin_last,
+      |           RUNNING LAST(U.event_id) AS u_run_last
+      |  ALL ROWS PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  SUBSET U = (C, P)
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |)""".stripMargin
+
+  def sqlMrRunning(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeRowsOf(graft.Tables.t(s, dir, "events"),
+      FunnelRunningSql)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"),
+        col("ts_us"), col("event_id"))
 }

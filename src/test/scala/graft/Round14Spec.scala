@@ -267,11 +267,16 @@ class Round14Spec extends SparkSpecBase {
     val e2 = intercept[IllegalArgumentException](
       MatchRecognize.matchRecognizeRowsOf(events, oneRow))
     assert(e2.getMessage.contains("ALL ROWS PER MATCH"))
+    // ALL ROWS + MEASURES is implemented (RUNNING per-row semantics,
+    // Round14bSpec) — the MEASURES pivot runner still rejects the
+    // ALL ROWS clause with a pointer to the per-row runner
     val withMeasures = allRows.replace("  ALL ROWS PER MATCH",
       "  MEASURES COUNT(V.*) AS n\n  ALL ROWS PER MATCH")
     val e3 = intercept[IllegalArgumentException](
-      MatchRecognize.matchRecognizeRowsOf(events, withMeasures))
-    assert(e3.getMessage.contains("RUNNING"))
+      MatchRecognize.matchRecognizeMeasuresOf(events, withMeasures))
+    assert(e3.getMessage.contains("matchRecognizeRowsOf"))
+    assert(MatchRecognize.matchRecognizeRowsOf(events, withMeasures)
+      .columns.contains("n"))
   }
 
   test("parser guards: open-ended {m,} and malformed numeric " +

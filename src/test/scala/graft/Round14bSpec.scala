@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14b goldens: SUBSET union variables, RUNNING/FINAL per-row
+  * MEASURES over ALL ROWS PER MATCH, MATCH_NUMBER()/CLASSIFIER(), and
+  * the parse rejections that keep the new surface SQL-shaped.
+  */
+class Round14bSpec extends SparkSpecBase {
+
+  import graft.operators.MatchRecognize
+
+  private val M = 60000000L // one minute in micros
+
+  // two funnels for user 1 (the second a minimal click view purchase),
+  // one for user 2 — MATCH_NUMBER restarts per partition
+  private def funnelFrame() = {
+    import spark.implicits._
+    Seq(
+      (1L, 0L, 1L, "click", 1.00), (1L, 1 * M, 2L, "view", 2.25),
+      (1L, 2 * M, 3L, "view", 3.50), (1L, 3 * M, 4L, "purchase", 9.99),
+      (1L, 10 * M, 5L, "click", 0.50), (1L, 11 * M, 6L, "view", 7.00),
+      (1L, 12 * M, 7L, "purchase", 0.25),
+      (2L, 0L, 8L, "click", 2.00), (2L, 1 * M, 9L, "view", 4.00),
+      (2L, 2 * M, 10L, "purchase", 6.00))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us")
+  }
+
+  private val subsetHeader =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  MEASURES MATCH_NUMBER() AS mn, COUNT(U.*) AS u_cnt,
+      |           SUM(U.value) AS u_sum_c, FIRST(U.event_id) AS u_first_id,
+      |           LAST(U.event_id) AS u_last_id,
+      |           FINAL MAX(V.value) AS views_max_c
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  SUBSET U = (V, P)
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |)""".stripMargin
+
+  test("SUBSET on the ONE-ROW pivot: U = (V, P) pools members, " +
+      "FIRST/LAST navigate in match order, MATCH_NUMBER per key") {
+    val got = MatchRecognize
+      .matchRecognizeMeasuresOf(funnelFrame(), subsetHeader)
+      .orderBy("user_id", "start_ts_us")
+      .select("user_id", "mn", "u_cnt", "u_sum_c", "u_first_id",
+        "u_last_id", "views_max_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // funnel 1: views 225+350, purchase 999 → u pools all three
+      (1L, 1L, 3L, 225L + 350L + 999L, 2L, 4L, 350L),
+      (1L, 2L, 2L, 700L + 25L, 6L, 7L, 700L),
+      (2L, 1L, 2L, 400L + 600L, 9L, 10L, 400L)), s"${got.toSeq}")
+  }
+
+  test("ALL ROWS + MEASURES: unmarked defaults to RUNNING, FINAL reads " +
+      "the whole match, CLASSIFIER/MATCH_NUMBER per row") {
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls,
+        |           COUNT(V.*) AS v_run_cnt,
+        |           RUNNING SUM(V.value) AS v_run_sum_c,
+        |           FINAL COUNT(V.*) AS v_fin_cnt,
+        |           FINAL LAST(V.event_id) AS v_fin_last,
+        |           RUNNING LAST(U.event_id) AS u_run_last
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (C V+ P)
+        |  WITHIN INTERVAL '7' DAY
+        |  SUBSET U = (C, P)
+        |  DEFINE C AS C.event_type = 'click',
+        |         V AS V.event_type = 'view',
+        |         P AS P.event_type = 'purchase'
+        |)""".stripMargin
+    val got = MatchRecognize.matchRecognizeRowsOf(funnelFrame(), sql)
+      .filter(col("user_id") === 1 && col("start_event_id") === 1)
+      .orderBy("ts_us", "event_id")
+      .select("event_id", "mn", "cls", "v_run_cnt", "v_run_sum_c",
+        "v_fin_cnt", "v_fin_last", "u_run_last")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      // click: no V yet → RUNNING count 0 / sum null; FINAL sees both
+      (1L, 1L, "C", 0L, None, 2L, 3L, 1L),
+      (2L, 1L, "V", 1L, Some(225L), 2L, 3L, 1L),
+      (3L, 1L, "V", 2L, Some(575L), 2L, 3L, 1L),
+      // purchase joins U → u_run_last flips from the click to it
+      (4L, 1L, "P", 2L, Some(575L), 2L, 3L, 4L)), s"${got.toSeq}")
+    // second match of the same key numbers 2 (dense rank in match order)
+    val mn2 = MatchRecognize.matchRecognizeRowsOf(funnelFrame(), sql)
+      .filter(col("user_id") === 1 && col("start_event_id") === 5)
+      .select("mn").distinct().collect().map(_.getLong(0)).toSeq
+    assert(mn2 == Seq(2L), s"$mn2")
+  }
+
+  test("RUNNING at the match's last row == the ONE-ROW pivot (the " +
+      "standard's equivalence), on the sf corpus") {
+    val events = Tables.t(spark, sfDir, "events")
+    val perRow = MatchRecognize
+      .matchRecognizeRowsOf(events, MatchRecognize.FunnelRunningSql)
+    // the final row of each match carries the full-match RUNNING values
+    val lastRows = perRow.filter(col("event_id") === col("end_event_id"))
+      .select(col("user_id"), col("start_event_id"),
+        col("v_run_cnt"), col("v_run_sum_c"))
+    val pivot = MatchRecognize
+      .matchRecognizeMeasuresOf(events, MatchRecognize.FunnelMeasuresSql)
+      .select(col("user_id"), col("start_event_id"), col("views_cnt"),
+        col("views_sum_c"))
+    assert(pivot.count() > 0)
+    val joined = pivot.join(lastRows, Seq("user_id", "start_event_id"))
+    assert(joined.count() == pivot.count())
+    assert(joined.filter(col("views_cnt") =!= col("v_run_cnt") ||
+      col("views_sum_c") =!= col("v_run_sum_c")).count() == 0)
+  }
+
+  test("SUBSET parse rejections: collisions, unknown/duplicate " +
+      "members, one-member unions, DEFINE over a subset") {
+    def clause(subset: String, define: String =
+        "DEFINE A AS A.event_type = 'click'") =
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id ORDER BY ts, event_id
+         |  ONE ROW PER MATCH
+         |  PATTERN (A B)
+         |  $subset
+         |  $define
+         |)""".stripMargin
+    val collide = intercept[IllegalArgumentException](
+      MatchRecognize.parse(clause("SUBSET A = (A, B)")))
+    assert(collide.getMessage.contains("collides"), collide.getMessage)
+    val unknown = intercept[IllegalArgumentException](
+      MatchRecognize.parse(clause("SUBSET U = (A, Z)")))
+    assert(unknown.getMessage.contains("never uses"), unknown.getMessage)
+    val dup = intercept[IllegalArgumentException](
+      MatchRecognize.parse(clause("SUBSET U = (A, A)")))
+    assert(dup.getMessage.contains("repeats"), dup.getMessage)
+    val single = intercept[IllegalArgumentException](
+      MatchRecognize.parse(clause("SUBSET U = (A)")))
+    assert(single.getMessage.contains("two"), single.getMessage)
+    val twice = intercept[IllegalArgumentException](
+      MatchRecognize.parse(
+        clause("SUBSET U = (A, B), U = (B, A)")))
+    assert(twice.getMessage.contains("twice"), twice.getMessage)
+    val defOnSubset = intercept[IllegalArgumentException](
+      MatchRecognize.parse(clause("SUBSET U = (A, B)",
+        "DEFINE U AS U.event_type = 'click'")))
+    assert(defOnSubset.getMessage.contains("union"), defOnSubset.getMessage)
+    // and a valid declaration parses with its members recorded
+    val ok = MatchRecognize.parse(clause("SUBSET U = (A, B)"))
+    assert(ok.subsets == Map("U" -> List("A", "B")))
+  }
+
+  test("measure-shape rejections: CLASSIFIER needs ALL ROWS, niladic " +
+      "measures take no RUNNING/FINAL marker") {
+    val events = funnelFrame()
+    val classifierOneRow = subsetHeader.replace(
+      "MATCH_NUMBER() AS mn", "CLASSIFIER() AS cls")
+    val e1 = intercept[IllegalArgumentException](
+      MatchRecognize.matchRecognizeMeasuresOf(events, classifierOneRow))
+    assert(e1.getMessage.contains("ALL ROWS"), e1.getMessage)
+    val markedNiladic = subsetHeader.replace(
+      "MATCH_NUMBER() AS mn", "RUNNING MATCH_NUMBER() AS mn")
+    val e2 = intercept[IllegalArgumentException](
+      MatchRecognize.matchRecognizeMeasuresOf(events, markedNiladic))
+    assert(e2.getMessage.contains("niladic"), e2.getMessage)
+  }
+}
