@@ -2282,6 +2282,173 @@ object StreamingOps {
       grouped = Some(gpat))
   }
 
+  /** One machine of [[cepStreamMulti]]: a full CEP pattern spec —
+    * everything [[cepStreamValued]] takes, minus the stream itself.
+    */
+  final case class CepSpec(pattern: IndexedSeq[graft.operators.Cep.Step],
+      windowUs: Long,
+      after: graft.operators.Cep.AfterMatch =
+        graft.operators.Cep.SkipPastLast,
+      contiguous: Boolean = true,
+      grouped: Option[graft.operators.Cep.GPat] = None)
+
+  /** MULTI-PATTERN streaming CEP — N independent machines over ONE
+    * buffered scan of the stream (Flink users register many patterns
+    * on the same source; running N [[cepStreamValued]] queries stores
+    * the watermark buffer N times and pays N state-store lifecycles
+    * for identical row traffic). The row buffer, late-row guard,
+    * drain-frontier short-circuit, and timers are SHARED; only the
+    * per-machine snapshot (`m2_$i`) is per-pattern. Each drain feeds
+    * the ripe rows to every machine in the same order the single-
+    * machine processor would, so per-pattern emissions are identical
+    * to N separate queries (machines are deterministic functions of
+    * the fed row sequence; the watermark advance is the same one) —
+    * the gate layer pins that equality against the single-machine
+    * oracles. Output rows are (pattern index, match).
+    *
+    * Horizon timers: any machine's pending horizon registers a timer;
+    * at its firing every TIME-GATED machine advances (row-fed machines
+    * skip untouched when nothing drained — their state roundtrip is
+    * elided, not just identity). Late drops count ONCE per row into
+    * `lateCounter` (the buffer is shared — a late row is lost to all
+    * machines together).
+    */
+  class CepMultiStreamProcessor(specs: IndexedSeq[CepSpec],
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String, Long),
+        (Int, graft.operators.Cep.CepMatch)] {
+    @transient private var buf:
+      org.apache.spark.sql.streaming.MapState[
+        Long, List[(Long, String, Long)]] = _
+    @transient private var mstates:
+      Array[org.apache.spark.sql.streaming.ValueState[
+        List[(Long, Long, String, Long)]]] = _
+    @transient private var drained:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    private val needsAdvanceI: IndexedSeq[Boolean] = specs.map(sp =>
+      sp.pattern.exists(_.neg) ||
+        (!sp.contiguous && sp.pattern.exists(_.bounds != ((1, 1)))))
+    private val anyAdvance = needsAdvanceI.exists(identity)
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      // same format-versioned names as CepStreamProcessor ("buf2"
+      // entries are identical payloads); machine snapshots are indexed
+      // per spec — the spec LIST is part of the checkpoint contract
+      // (reordering specs across a restart mixes machine states; add
+      // new patterns at the end or start a fresh checkpoint)
+      buf = getHandle.getMapState[Long, List[(Long, String, Long)]]("buf2",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.kryo[List[(Long, String, Long)]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      mstates = specs.indices.map(i =>
+        getHandle.getValueState[List[(Long, Long, String, Long)]](s"m2_$i",
+          org.apache.spark.sql.Encoders
+            .kryo[List[(Long, Long, String, Long)]],
+          org.apache.spark.sql.streaming.TTLConfig.NONE)).toArray
+      drained = getHandle.getValueState[Long]("drained",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[(Int, graft.operators.Cep.CepMatch)] = {
+      val frontier = if (drained.exists()) drained.get() else Long.MinValue
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val lateBelow =
+        if (wmMs > 0L) math.max(frontier, wmMs * 1000L) else frontier
+      rows.foreach { case (_, ts, id, tpe, vc) =>
+        if (ts > lateBelow) {
+          val cur = if (buf.containsKey(ts)) buf.getValue(ts) else Nil
+          buf.updateValue(ts, (id, tpe, vc) :: cur)
+          getHandle.registerTimer((ts + 999L) / 1000L)
+        } else lateCounter.foreach(_.add(1L))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[(Int, graft.operators.Cep.CepMatch)] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val already = if (drained.exists()) drained.get() else Long.MinValue
+      if (wmUs <= already) return Iterator.empty
+      val ripe = buf.iterator().toList.filter(_._1 <= wmUs).sortBy(_._1)
+      if (ripe.isEmpty && !anyAdvance) {
+        drained.update(wmUs); return Iterator.empty
+      }
+      // the drain order every machine sees: instants ascending, ids
+      // ascending within an instant — the single-machine order
+      val ripeRows = ripe.flatMap { case (ts, entries) =>
+        entries.sortBy(_._1).map { case (id, tpe, vc) => (ts, id, tpe, vc) }
+      }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, graft.operators.Cep.CepMatch)]
+      var i = 0
+      while (i < specs.length) {
+        val sp = specs(i)
+        // nothing drained + row-fed machine: state provably untouched
+        if (ripeRows.nonEmpty || needsAdvanceI(i)) {
+          val m = new graft.operators.Cep.Machine(sp.pattern, sp.windowUs,
+            sp.after, sp.contiguous, sp.grouped)
+          if (mstates(i).exists()) m.restore(mstates(i).get())
+          ripeRows.foreach { case (ts, id, tpe, vc) =>
+            m.feedM(ts, id, tpe, vc).foreach { case (c, _) =>
+              out += ((i, c.copy(user_id = key)))
+            }
+          }
+          if (needsAdvanceI(i)) {
+            m.advance(wmUs).foreach { case (c, _) =>
+              out += ((i, c.copy(user_id = key)))
+            }
+            m.pendingHorizonUs.foreach(h =>
+              getHandle.registerTimer(h / 1000L + 1L))
+          }
+          mstates(i).update(m.snapshot)
+        }
+        i += 1
+      }
+      ripe.foreach { case (ts, _) => buf.removeKey(ts) }
+      drained.update(wmUs)
+      out.iterator
+    }
+  }
+
+  /** (user_id, ts_us, event_id, event_type, value_c) stream → tagged
+    * matches (spec index, match) from N machines over one shared
+    * buffer — see [[CepMultiStreamProcessor]]. Each spec validates
+    * exactly as its single-machine form would.
+    */
+  def cepStreamMulti(events: Dataset[(Long, Long, Long, String, Long)],
+      specs: Seq[CepSpec],
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(Int, graft.operators.Cep.CepMatch)] = {
+    require(specs.nonEmpty, "cepStreamMulti: no pattern specs")
+    specs.foreach { sp =>
+      if (sp.grouped.isEmpty) {
+        if (sp.contiguous) graft.operators.Cep.validateCommon(sp.pattern)
+        else graft.operators.Cep.validateSubseq(sp.pattern)
+        graft.operators.Cep.validateAfter(sp.pattern, sp.after)
+      }
+    }
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", "5 seconds")
+      .select(col("_1"), col("_2"), col("_3"), col("_4"), col("_5"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new CepMultiStreamProcessor(specs.toIndexedSeq, lateCounter),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** stream_cep_group gate — the STREAMING twin of `cep_group`:
     * ((click|view)(signup|error))+ purchase over the day-folded replay
     * with a 10-minute window. Group iterations and window-shifted
@@ -2291,26 +2458,8 @@ object StreamingOps {
     * resolves at the closing row — stream ≡ batch on the folded
     * corpus, 290 matches / 36 multi-iteration at sf0.01).
     */
-  def streamCepGroupGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val windowUs = 600000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-      -1L, "flush")
-    val g = graft.operators.Cep.GCat(Seq(
-      graft.operators.Cep.GRep(graft.operators.Cep.GCat(Seq(
-        graft.operators.Cep.GLf(
-          graft.operators.Cep.Step("click", alt = Set("view"))),
-        graft.operators.Cep.GLf(
-          graft.operators.Cep.Step("signup", alt = Set("error"))))),
-        1, Int.MaxValue),
-      graft.operators.Cep.GLf(graft.operators.Cep.Step("purchase"))))
-    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStreamGrouped(ds, g, windowUs).toDF())
-      .filter(col("user_id") >= 0L)
-      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
-  }
+  def streamCepGroupGate(s: SparkSession, dir: String): DataFrame =
+    cepGateOf(s, dir, 8)
 
   /** Late-data observability for the SPARK-NATIVE stateful operators
     * (windowed aggregations, dedup, stream-stream joins): Spark counts
@@ -3299,22 +3448,8 @@ object StreamingOps {
     * batch gate's islands CTE on the folded rows with the same window
     * predicate.
     */
-  def streamCepGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val windowUs = 600000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-      -1L, "flush")
-    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStream(ds,
-        Seq(graft.operators.Cep.Step("click", plus = false),
-          graft.operators.Cep.Step("view", plus = true),
-          graft.operators.Cep.Step("purchase", plus = false)),
-        windowUs).toDF())
-      .filter(col("user_id") >= 0L)
-      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
-  }
+  def streamCepGate(s: SparkSession, dir: String): DataFrame =
+    cepGateOf(s, dir, 0) // machine spec in CepGateSpecs; shared replay
 
   /** stream_cep_reluctant gate — the STREAMING twin of
     * `cep_reluctant`: lazy view+? view over the day-folded replay
@@ -3323,22 +3458,8 @@ object StreamingOps {
     * emission timing differs fundamentally from the greedy gates;
     * window-killed pairs shift the pairing frame by one row.
     */
-  def streamCepReluctantGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val windowUs = 300000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-      -1L, "flush")
-    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStream(ds,
-        Seq(graft.operators.Cep.Step("view", plus = true,
-          reluctant = true),
-          graft.operators.Cep.Step("view", plus = false)),
-        windowUs).toDF())
-      .filter(col("user_id") >= 0L)
-      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
-  }
+  def streamCepReluctantGate(s: SparkSession, dir: String): DataFrame =
+    cepGateOf(s, dir, 1)
 
   /** stream_cep_vshape gate — the STREAMING twin of `cep_vshape`: the
     * V-pattern (STRT any, DOWN+ value<PREV, UP+ value>PREV) over the
@@ -3359,32 +3480,91 @@ object StreamingOps {
         cmp = Some(graft.operators.Cep.PrevGt)))
   private val VshapeStreamWindowUs = 3600000000L
 
-  /** ONE shared replay for the two V-shape stream gates
-    * (stream_cep_vshape and stream_sql_mr): the SQL gate asserts its
-    * parse is STRUCTURALLY this machine before reusing, so running the
-    * replay twice would measure one extra store lifecycle and prove
-    * nothing — the r13 verdict's tier-budget consolidation lever
-    * (gates that are the same machine share one replay per process).
+  /** The group gate's pattern: ((click|view)(signup|error))+ purchase. */
+  private val CepGroupGatePattern: graft.operators.Cep.GPat =
+    graft.operators.Cep.GCat(Seq(
+      graft.operators.Cep.GRep(graft.operators.Cep.GCat(Seq(
+        graft.operators.Cep.GLf(
+          graft.operators.Cep.Step("click", alt = Set("view"))),
+        graft.operators.Cep.GLf(
+          graft.operators.Cep.Step("signup", alt = Set("error"))))),
+        1, Int.MaxValue),
+      graft.operators.Cep.GLf(graft.operators.Cep.Step("purchase"))))
+
+  /** The nine CEP stream gates' machines in TAG ORDER (the multi
+    * replay's `pat` column): funnel, reluctant pairing, V-shape,
+    * backtrack, relaxed funnel, abandoned cart (negation), relaxed
+    * greedy funnel, SKIP TO NEXT ROW revisit, group quantifier — every
+    * committed single-machine gate spec verbatim. ONE shared replay
+    * serves them all ([[cepMultiReplayed]]): the r13 verdict's
+    * tier-budget consolidation lever — N gates over identical row
+    * traffic paid N state-store lifecycles and stored the watermark
+    * buffer N times for provably identical per-machine emissions.
+    * The shared flush sits past the LARGEST window's horizon; each
+    * machine's own flush already exceeded every horizon it could
+    * have pending, so per-gate outputs (and the driver hashes) are
+    * unchanged — a pending that survives its own gate's flush
+    * (vshape's final unbroken ascent) survives here identically
+    * because its machine never advances on time.
     */
-  private def vshapeStreamReplayed(s: SparkSession, dir: String): DataFrame =
-    memoFixture("vshape_replay_df", dir) {
+  private val CepGateSpecs: IndexedSeq[CepSpec] = {
+    import graft.operators.Cep.{Step, SkipToNextRow, PrevLt, PrevGt}
+    IndexedSeq(
+      CepSpec(IndexedSeq(Step("click"), Step("view", plus = true),
+        Step("purchase")), 600000000L), // 0 stream_cep
+      CepSpec(IndexedSeq(Step("view", plus = true, reluctant = true),
+        Step("view")), 300000000L), // 1 stream_cep_reluctant
+      CepSpec(VshapeStreamPattern.toIndexedSeq,
+        VshapeStreamWindowUs), // 2 stream_cep_vshape / stream_sql_mr
+      CepSpec(IndexedSeq(Step("view", plus = true), Step("view")),
+        180000000L), // 3 stream_cep_backtrack
+      CepSpec(IndexedSeq(Step("click"), Step("view"), Step("purchase")),
+        300000000L, contiguous = false), // 4 stream_cep_followed
+      CepSpec(IndexedSeq(Step("click"), Step("purchase", neg = true)),
+        600000000L, contiguous = false), // 5 stream_cep_not_followed
+      CepSpec(IndexedSeq(Step("click"), Step("view", plus = true),
+        Step("purchase")), 600000000L,
+        contiguous = false), // 6 stream_cep_followed_plus
+      CepSpec(IndexedSeq(Step("view"), Step("click"), Step("view")),
+        600000000L, after = SkipToNextRow), // 7 stream_cep_skip
+      CepSpec(graft.operators.Cep.gLeaves(CepGroupGatePattern).toIndexedSeq,
+        600000000L,
+        grouped = Some(CepGroupGatePattern))) // 8 stream_cep_group
+  }
+
+  /** The one shared CEP-gate replay per (process, dir): the day-folded
+    * valued fixture through [[cepStreamMulti]] over [[CepGateSpecs]],
+    * memoized as a DataFrame. Machines that ignore values (the
+    * previously zero-value gates) see real cents ride the shared
+    * buffer — CepMatch carries no value column and symbol-only
+    * machines never read one, so outputs are bit-identical.
+    */
+  private def cepMultiReplayed(s: SparkSession, dir: String): DataFrame =
+    memoFixture("cep_multi_replay_df", dir) {
       import s.implicits._
-      val windowUs = VshapeStreamWindowUs
       val fixture = gateEventsDayFolded(s, dir).map { e =>
         (e.user_id, gateEvUs(e), e.event_id, e.event_type,
           BigDecimal(e.value * 100)
             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
       }.toSeq
-      val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-        -1L, "flush", 0L)
+      val flush = (-1L,
+        fixture.map(_._2).max + CepGateSpecs.map(_.windowUs).max +
+          600000000L, -1L, "flush", 0L)
       replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-        cepStreamValued(ds, VshapeStreamPattern, windowUs).toDF())
+        cepStreamMulti(ds, CepGateSpecs).toDF()
+          .select(col("_1").as("pat"), col("_2.*")))
         .filter(col("user_id") >= 0L)
-        .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
     }
 
+  /** One gate's slice of the shared replay: filter its tag, restore
+    * the single-machine gates' exact output shape and order.
+    */
+  private def cepGateOf(s: SparkSession, dir: String, tag: Int): DataFrame =
+    cepMultiReplayed(s, dir).filter(col("pat") === tag).drop("pat")
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
   def streamCepVshapeGate(s: SparkSession, dir: String): DataFrame =
-    vshapeStreamReplayed(s, dir)
+    cepGateOf(s, dir, 2)
 
   /** Streaming MATCH_RECOGNIZE SQL surface — the clause parsed by
     * [[graft.operators.MatchRecognize.parse]] and run on an UNBOUNDED
@@ -3452,7 +3632,7 @@ object StreamingOps {
       parsed.after == graft.operators.Cep.SkipPastLast && !parsed.allRows,
       s"stream_sql_mr: parsed clause diverged from the programmatic " +
         s"V machine: $parsed")
-    vshapeStreamReplayed(s, dir)
+    cepGateOf(s, dir, 2)
   }
 
   /** stream_cep_backtrack gate — the STREAMING twin of
@@ -3466,21 +3646,8 @@ object StreamingOps {
     * pending (the flush row only advances the watermark — it is
     * another user's key, so per-user greed correctly never commits).
     */
-  def streamCepBacktrackGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val windowUs = 180000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-      -1L, "flush")
-    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStream(ds,
-        Seq(graft.operators.Cep.Step("view", plus = true),
-          graft.operators.Cep.Step("view", plus = false)),
-        windowUs).toDF())
-      .filter(col("user_id") >= 0L)
-      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
-  }
+  def streamCepBacktrackGate(s: SparkSession, dir: String): DataFrame =
+    cepGateOf(s, dir, 3)
 
   /** stream_cep_followed gate — the STREAMING twin of
     * `cep_followed_by`: the relaxed-contiguity funnel (click → view →
@@ -3492,22 +3659,8 @@ object StreamingOps {
     * ValueState snapshot as the contiguous gates. Both cuts bind on
     * the fixture: 147 window-valid parses, 117 survive non-overlap.
     */
-  def streamCepFollowedGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val windowUs = 300000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-      -1L, "flush")
-    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStream(ds,
-        Seq(graft.operators.Cep.Step("click", plus = false),
-          graft.operators.Cep.Step("view", plus = false),
-          graft.operators.Cep.Step("purchase", plus = false)),
-        windowUs, contiguous = false).toDF())
-      .filter(col("user_id") >= 0L)
-      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
-  }
+  def streamCepFollowedGate(s: SparkSession, dir: String): DataFrame =
+    cepGateOf(s, dir, 4)
 
   /** stream_cep_not_followed gate — the STREAMING abandoned-cart
     * pattern (Flink `notFollowedBy` + within): click NOT followed by a
@@ -3521,21 +3674,8 @@ object StreamingOps {
     * NOT EXISTS on the folded corpus (839 of 2006 clicks abandoned at
     * sf0.01; the kill path binds on the other 1167).
     */
-  def streamCepNotFollowedGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val windowUs = 600000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-      -1L, "flush")
-    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStream(ds,
-        Seq(graft.operators.Cep.Step("click"),
-          graft.operators.Cep.Step("purchase", neg = true)),
-        windowUs, contiguous = false).toDF())
-      .filter(col("user_id") >= 0L)
-      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
-  }
+  def streamCepNotFollowedGate(s: SparkSession, dir: String): DataFrame =
+    cepGateOf(s, dir, 5)
 
   /** stream_cep_followed_plus gate — STREAMING looping relaxed states
     * (followedBy + greedy oneOrMore): click → view+ → purchase over
@@ -3547,22 +3687,8 @@ object StreamingOps {
     * at sf0.01, 84 consuming more than one view (maximality binds
     * against the oracle, not just specs).
     */
-  def streamCepFollowedPlusGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val windowUs = 600000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-      -1L, "flush")
-    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStream(ds,
-        Seq(graft.operators.Cep.Step("click"),
-          graft.operators.Cep.Step("view", plus = true),
-          graft.operators.Cep.Step("purchase")),
-        windowUs, contiguous = false).toDF())
-      .filter(col("user_id") >= 0L)
-      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
-  }
+  def streamCepFollowedPlusGate(s: SparkSession, dir: String): DataFrame =
+    cepGateOf(s, dir, 6)
 
   /** stream_late_obs gate — LATE-DATA OBSERVABILITY end-to-end: the
     * day-folded fixture replays through [[cepStream]] (the funnel
@@ -3620,22 +3746,8 @@ object StreamingOps {
     * seam through the same ValueState snapshot the skip-past gate
     * proves.
     */
-  def streamCepSkipGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val windowUs = 600000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val flush = (-1L, fixture.map(_._2).max + windowUs + 600000000L,
-      -1L, "flush")
-    replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStream(ds,
-        Seq(graft.operators.Cep.Step("view", plus = false),
-          graft.operators.Cep.Step("click", plus = false),
-          graft.operators.Cep.Step("view", plus = false)),
-        windowUs, after = graft.operators.Cep.SkipToNextRow).toDF())
-      .filter(col("user_id") >= 0L)
-      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
-  }
+  def streamCepSkipGate(s: SparkSession, dir: String): DataFrame =
+    cepGateOf(s, dir, 7)
 
   /** stream_topn gate — [[topNStream]] (unbounded append-stream Top-3
     * per group) replayed in 2 batches; the append contract's monotone

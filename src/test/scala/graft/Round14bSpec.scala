@@ -12,6 +12,17 @@ class Round14bSpec extends SparkSpecBase {
 
   private val M = 60000000L // one minute in micros
 
+  private def withRocks[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   // two funnels for user 1 (the second a minimal click view purchase),
   // one for user 2 — MATCH_NUMBER restarts per partition
   private def funnelFrame() = {
@@ -159,6 +170,75 @@ class Round14bSpec extends SparkSpecBase {
     // and a valid declaration parses with its members recorded
     val ok = MatchRecognize.parse(clause("SUBSET U = (A, B)"))
     assert(ok.subsets == Map("U" -> List("A", "B")))
+  }
+
+  test("cepStreamMulti: per-tag emissions == the single-machine " +
+      "queries, across a micro-batch seam, absence timers included") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Cep
+    import graft.streaming.StreamingOps
+    val specs = Seq(
+      // funnel (contiguous), abandoned-cart (negation, horizon timer),
+      // reluctant pair — three distinct machine classes on one buffer
+      StreamingOps.CepSpec(IndexedSeq(Cep.Step("click"),
+        Cep.Step("view", plus = true), Cep.Step("purchase")), 10 * M),
+      StreamingOps.CepSpec(IndexedSeq(Cep.Step("click"),
+        Cep.Step("purchase", neg = true)), 5 * M, contiguous = false),
+      StreamingOps.CepSpec(IndexedSeq(
+        Cep.Step("view", plus = true, reluctant = true),
+        Cep.Step("view")), 10 * M))
+    // user 7 completes the funnel across the seam; user 9's click sees
+    // no purchase inside 5 min (absence emits on the horizon timer);
+    // views pair reluctantly for both users
+    val batch1 = Seq((7L, 0L, 1L, "click", 0L), (7L, 1 * M, 2L, "view", 0L),
+      (9L, 0L, 10L, "click", 0L))
+    val batch2 = Seq((7L, 2 * M, 3L, "view", 0L),
+      (7L, 3 * M, 4L, "purchase", 0L), (9L, 2 * M, 11L, "view", 0L))
+    val flush = Seq((999L, 60 * M, 999L, "flush", 0L))
+    def runMulti(): Map[Int, Set[(Long, Long, Long, Long)]] = {
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Long)]
+      val name = s"multi_${System.nanoTime()}"
+      val q = StreamingOps.cepStreamMulti(src.toDS(), specs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      Seq(batch1, batch2, flush).foreach { b =>
+        src.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).as[(Int, Cep.CepMatch)].collect()
+        .groupBy(_._1).view.mapValues(_.map { case (_, m) =>
+          (m.user_id, m.start_event_id, m.end_event_id, m.n_rows)
+        }.toSet).toMap.withDefaultValue(Set.empty)
+    }
+    def runSingle(i: Int): Set[(Long, Long, Long, Long)] = {
+      val sp = specs(i)
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Long)]
+      val name = s"single${i}_${System.nanoTime()}"
+      val q = StreamingOps.cepStreamValued(src.toDS(), sp.pattern,
+        sp.windowUs, sp.after, sp.contiguous, None, sp.grouped)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      Seq(batch1, batch2, flush).foreach { b =>
+        src.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).as[Cep.CepMatch].collect()
+        .map(m => (m.user_id, m.start_event_id, m.end_event_id, m.n_rows))
+        .toSet
+    }
+    withRocks {
+      val multi = runMulti()
+      specs.indices.foreach { i =>
+        assert(multi(i) == runSingle(i), s"spec $i diverged: ${multi(i)}")
+      }
+      // every machine class actually fired something
+      assert(multi(0) == Set((7L, 1L, 4L, 4L)), s"${multi(0)}")
+      assert(multi(1).map(_._2) == Set(10L), s"${multi(1)}") // abandoned
+      assert(multi(2).nonEmpty, s"${multi(2)}")
+    }
   }
 
   test("measure-shape rejections: CLASSIFIER needs ALL ROWS, niladic " +
