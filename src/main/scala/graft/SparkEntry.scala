@@ -512,6 +512,10 @@ object SparkEntry {
     // MATCH — prefix-frame vs whole-match window functions per row
     "sql_mr_running" ->
       ((s, dir) => graft.operators.MatchRecognize.sqlMrRunning(s, dir)),
+    // WITH UNMATCHED ROWS: the full input rides along — non-consumed
+    // rows with null match identity/classifier/measures (one anti-join)
+    "sql_mr_unmatched" ->
+      ((s, dir) => graft.operators.MatchRecognize.sqlMrUnmatched(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -4148,6 +4152,59 @@ object SparkEntry {
         "ORDER BY ts_us, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY user_id, start_ts_us, start_event_id, ts_us, event_id"),
+    // WITH UNMATCHED ROWS: the all-rows matched CTE union the NOT
+    // EXISTS complement with null match columns and measures
+    "sql_mr_unmatched" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "f.event_id AS first_id, f.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i f ON f.user_id = g.user_id AND f.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern), " +
+        "m AS (SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "c.ern AS crn, p.srn AS prn " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000), " +
+        "o AS (SELECT m.user_id, m.start_event_id, m.start_ts_us, " +
+        "m.end_event_id, m.end_ts_us, m.n_rows, " +
+        "x.event_id, x.ts_us, x.event_type, x.vc AS value_c, " +
+        "CAST(CASE WHEN x.rn = m.crn THEN 0 WHEN x.rn = m.prn THEN 2 " +
+        "ELSE 1 END AS INTEGER) AS step, " +
+        "CASE WHEN x.rn = m.crn THEN 'C' WHEN x.rn = m.prn THEN 'P' " +
+        "ELSE 'V' END AS classifier " +
+        "FROM m JOIN i x ON x.user_id = m.user_id " +
+        "AND x.rn >= m.crn AND x.rn <= m.prn), " +
+        "mo AS (SELECT user_id, start_event_id, start_ts_us, " +
+        "end_event_id, end_ts_us, n_rows, event_id, ts_us, event_type, " +
+        "value_c, step, classifier, " +
+        "CAST(dense_rank() OVER (PARTITION BY user_id " +
+        "ORDER BY start_ts_us, start_event_id) AS BIGINT) AS mn, " +
+        "classifier AS cls FROM o) " +
+        "SELECT * FROM mo " +
+        "UNION ALL " +
+        "SELECT x.user_id, NULL, NULL, NULL, NULL, " +
+        "CAST(NULL AS BIGINT) AS n_rows, x.event_id, x.ts_us, " +
+        "x.event_type, x.vc, CAST(NULL AS INTEGER) AS step, NULL, " +
+        "CAST(NULL AS BIGINT) AS mn, NULL " +
+        "FROM i x WHERE NOT EXISTS (SELECT 1 FROM o " +
+        "WHERE o.user_id = x.user_id AND o.event_id = x.event_id) " +
+        "ORDER BY user_id, ts_us, event_id"),
     // SKIP TO NEXT ROW on the revisit pattern: overlapping matches all
     // emit, so the answer is ALL window-valid contiguous triples — the
     // cep_revisit candidate CTE with its recursive skip-selection

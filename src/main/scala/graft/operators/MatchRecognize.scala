@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *                                   -- the fixed CepMatch columns;
   *                                   -- per-step aggregates live on
   *                                   -- cepMeasuresOf)
-  *   [ONE ROW PER MATCH]
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH [WITH UNMATCHED ROWS]]
   *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
   *                | SKIP TO {FIRST|LAST} var]
   *   PATTERN ( var [quant] ... )     -- quant: + ? * {m,n} +? *? ??
@@ -96,7 +96,8 @@ object MatchRecognize {
       varNames: Seq[String] = Nil,
       grouped: Option[Cep.GPat] = None,
       allRows: Boolean = false,
-      subsets: Map[String, List[String]] = Map.empty)
+      subsets: Map[String, List[String]] = Map.empty,
+      withUnmatched: Boolean = false)
 
   // ---------------------------------------------------------- lexer
   private def lex(s: String): Vector[String] = {
@@ -190,12 +191,19 @@ object MatchRecognize {
       }
     }
     // ONE ROW PER MATCH (default) | ALL ROWS PER MATCH — the two
-    // standard output modes; ALL ROWS routes to the rows runner
+    // standard output modes; ALL ROWS routes to the rows runner.
+    // ALL ROWS takes the standard's WITH UNMATCHED ROWS option
+    // (non-consumed input rows emitted with null match columns).
     var allRows = false
+    var withUnmatched = false
     if (p.accept("ONE")) { p.expect("ROW"); p.expect("PER"); p.expect("MATCH") }
     else if (p.accept("ALL")) {
       p.expect("ROWS"); p.expect("PER"); p.expect("MATCH")
       allRows = true
+      if (p.accept("WITH")) {
+        p.expect("UNMATCHED"); p.expect("ROWS")
+        withUnmatched = true
+      }
     }
 
     // AFTER MATCH SKIP ...
@@ -461,7 +469,8 @@ object MatchRecognize {
           "PAST LAST ROW / TO NEXT ROW (FIRST/LAST name flat steps)")
       Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
         windowUs, rawMeasures.result(), items.toList.map(_.name),
-        grouped = Some(g), allRows = allRows, subsets = subsets.toMap)
+        grouped = Some(g), allRows = allRows, subsets = subsets.toMap,
+        withUnmatched = withUnmatched)
     } else {
       // the machine's own validation runs too (cepMatchOf) — these
       // parser-level requires exist so the SQL surface fails with SQL-
@@ -470,7 +479,8 @@ object MatchRecognize {
       Cep.validateAfter(steps, resolvedAfter)
       Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
         windowUs, rawMeasures.result(), items.toList.map(_.name),
-        allRows = allRows, subsets = subsets.toMap)
+        allRows = allRows, subsets = subsets.toMap,
+        withUnmatched = withUnmatched)
     }
   }
 
@@ -767,7 +777,7 @@ object MatchRecognize {
     // the flat and the grouped tree (preorder, same as gLeaves)
     val out = rows.toDF().withColumn("classifier",
       element_at(array(parsed.varNames.map(lit): _*), col("step") + 1))
-    if (parsed.rawMeasures.isEmpty) out
+    val matched = if (parsed.rawMeasures.isEmpty) out
     else {
       import org.apache.spark.sql.expressions.Window
       val measures = parseMeasures(parsed.rawMeasures)
@@ -814,6 +824,31 @@ object MatchRecognize {
         }
       }
       out.select(out.columns.map(col).toSeq ++ mcols: _*)
+    }
+    if (!parsed.withUnmatched) matched
+    else {
+      // WITH UNMATCHED ROWS — the standard's ALL ROWS option: every
+      // input row the pattern did NOT consume rides along with null
+      // match identity, step, CLASSIFIER, and measures (MATCH_NUMBER
+      // included — no match to number). One anti-join keyed on
+      // (user_id, event_id) against the distinct consumed set — a key
+      // shuffle, no new operator class at scale. A row consumed by
+      // overlapping matches (SKIP TO NEXT ROW) is matched, not
+      // unmatched, exactly once per consuming match as before.
+      val src = events.select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      val consumed = matched.select(col("user_id"), col("event_id"))
+        .distinct()
+      val srcCols = Set("user_id", "ts_us", "event_id", "event_type",
+        "value_c")
+      val un0 = src.join(consumed, Seq("user_id", "event_id"), "left_anti")
+      val un = matched.schema.fields.foldLeft(un0) { (df, f) =>
+        if (srcCols(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      matched.unionByName(un)
     }
   }
 
@@ -989,4 +1024,31 @@ object MatchRecognize {
       FunnelRunningSql)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"),
         col("ts_us"), col("event_id"))
+
+  /** sql_mr_unmatched — `ALL ROWS PER MATCH WITH UNMATCHED ROWS`: the
+    * full input rides along, consumed rows under their match identity
+    * and CLASSIFIER, everything else with nulls (MATCH_NUMBER and the
+    * CLASSIFIER measure included). Oracle: the all-rows CTE union the
+    * NOT EXISTS complement. The output is totally ordered by
+    * (user_id, ts_us, event_id) — the funnel's disjoint matches make
+    * the matched slice unique per row.
+    */
+  val FunnelUnmatchedSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+      |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |)""".stripMargin
+
+  def sqlMrUnmatched(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeRowsOf(graft.Tables.t(s, dir, "events"),
+      FunnelUnmatchedSql)
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
 }

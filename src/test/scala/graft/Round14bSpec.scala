@@ -241,6 +241,49 @@ class Round14bSpec extends SparkSpecBase {
     }
   }
 
+  test("WITH UNMATCHED ROWS: non-consumed rows ride with null match " +
+      "columns and measures; consumed rows unchanged") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 1L, "click", 1.00), (1L, 1 * M, 2L, "view", 2.25),
+      (1L, 2 * M, 3L, "purchase", 9.99), (1L, 3 * M, 4L, "error", 0.10),
+      (2L, 0L, 5L, "signup", 0.00))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us")
+    val sql =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+        |  ALL ROWS PER MATCH WITH UNMATCHED ROWS
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (C V+ P)
+        |  WITHIN INTERVAL '7' DAY
+        |  DEFINE C AS C.event_type = 'click',
+        |         V AS V.event_type = 'view',
+        |         P AS P.event_type = 'purchase'
+        |)""".stripMargin
+    val got = MatchRecognize.matchRecognizeRowsOf(rows, sql)
+      .orderBy("user_id", "ts_us", "event_id")
+      .select("user_id", "event_id", "cls", "mn", "start_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      (1L, 1L, Some("C"), Some(1L), Some(1L)),
+      (1L, 2L, Some("V"), Some(1L), Some(1L)),
+      (1L, 3L, Some("P"), Some(1L), Some(1L)),
+      (1L, 4L, None, None, None),
+      (2L, 5L, None, None, None)), s"${got.toSeq}")
+    // ONE ROW + WITH UNMATCHED is a parse error (the option is the
+    // ALL ROWS mode's)
+    val e = intercept[IllegalArgumentException](MatchRecognize.parse(
+      sql.replace("ALL ROWS PER MATCH WITH UNMATCHED ROWS",
+        "ONE ROW PER MATCH WITH UNMATCHED ROWS")))
+    assert(e.getMessage.nonEmpty)
+  }
+
   test("measure-shape rejections: CLASSIFIER needs ALL ROWS, niladic " +
       "measures take no RUNNING/FINAL marker") {
     val events = funnelFrame()
