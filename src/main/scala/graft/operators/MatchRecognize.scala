@@ -681,6 +681,11 @@ object MatchRecognize {
             s"${occ.length} times — each occurrence is a distinct step")
         occ.head._2
       }
+    // validate every measured name BEFORE touching the frame — parse
+    // and name errors must fire without a scan (the rejection specs
+    // probe with a null frame)
+    measures.filter(_.func != "MATCH_NUMBER")
+      .foreach(m => stepsOf(m.varName))
     val md = Cep.cepMeasuresOf(events, parsed.pattern, parsed.windowUs,
       parsed.after).toDF()
     val aggs = measures.filter(_.func != "MATCH_NUMBER").map { m =>
