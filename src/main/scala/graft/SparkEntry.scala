@@ -516,6 +516,10 @@ object SparkEntry {
     // rows with null match identity/classifier/measures (one anti-join)
     "sql_mr_unmatched" ->
       ((s, dir) => graft.operators.MatchRecognize.sqlMrUnmatched(s, dir)),
+    // Flink CEP timed-out partial matches (within + timeout handler):
+    // matches AND window-expired partials in one pass, kills silent
+    "cep_timeout" ->
+      ((s, dir) => graft.operators.Cep.cepTimeout(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -4205,6 +4209,48 @@ object SparkEntry {
         "FROM i x WHERE NOT EXISTS (SELECT 1 FROM o " +
         "WHERE o.user_id = x.user_id AND o.event_id = x.event_id) " +
         "ORDER BY user_id, ts_us, event_id"),
+    // timed-out partials: every click is independently a head (funnel
+    // spans contain no clicks), so classify each click — a run view
+    // past the horizon times out at that view (partial = rows before
+    // it), a non-view terminator past the horizon times out the whole
+    // run, end-of-data times out whatever survived, a purchase inside
+    // the horizon after >= 1 view matches, anything else kills silent
+    "cep_timeout" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "c AS (SELECT user_id, event_id AS cid, ts_us AS cts, rn AS crn " +
+        "FROM r WHERE event_type = 'click'), " +
+        "nx AS (SELECT c.*, (SELECT MIN(x.rn) FROM r x " +
+        "WHERE x.user_id = c.user_id AND x.rn > c.crn " +
+        "AND x.event_type <> 'view') AS nrn FROM c), " +
+        "b AS (SELECT nx.*, (SELECT MIN(v.rn) FROM r v " +
+        "WHERE v.user_id = nx.user_id AND v.rn > nx.crn " +
+        "AND (nx.nrn IS NULL OR v.rn < nx.nrn) " +
+        "AND v.ts_us > nx.cts + 86400000000) AS brn FROM nx), " +
+        "cls AS (SELECT b.user_id, b.cid, b.cts, b.crn, b.nrn, b.brn, " +
+        "n.event_type AS ntype, n.ts_us AS nts, n.event_id AS nid " +
+        "FROM b LEFT JOIN r n ON n.user_id = b.user_id AND n.rn = b.nrn), " +
+        "tmo AS (SELECT user_id, cid, cts, crn, " +
+        "CASE WHEN brn IS NOT NULL THEN brn - 1 " +
+        "WHEN nrn IS NULL THEN (SELECT MAX(m.rn) FROM r m " +
+        "WHERE m.user_id = cls.user_id) " +
+        "ELSE nrn - 1 END AS ern FROM cls " +
+        "WHERE brn IS NOT NULL OR nrn IS NULL " +
+        "OR nts > cts + 86400000000), " +
+        "mt AS (SELECT user_id, cid AS start_event_id, " +
+        "cts AS start_ts_us, nid AS end_event_id, nts AS end_ts_us, " +
+        "CAST(nrn - crn + 1 AS BIGINT) AS n_rows, FALSE AS timed_out " +
+        "FROM cls WHERE brn IS NULL AND nrn IS NOT NULL " +
+        "AND nts <= cts + 86400000000 AND ntype = 'purchase' " +
+        "AND nrn > crn + 1) " +
+        "SELECT * FROM mt UNION ALL " +
+        "SELECT t.user_id, t.cid, t.cts, e.event_id, e.ts_us, " +
+        "CAST(t.ern - t.crn + 1 AS BIGINT), TRUE " +
+        "FROM tmo t JOIN r e ON e.user_id = t.user_id AND e.rn = t.ern " +
+        "ORDER BY user_id, start_ts_us, start_event_id"),
     // SKIP TO NEXT ROW on the revisit pattern: overlapping matches all
     // emit, so the answer is ALL window-valid contiguous triples — the
     // cep_revisit candidate CTE with its recursive skip-selection

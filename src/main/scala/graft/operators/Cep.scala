@@ -576,7 +576,7 @@ object Cep {
   private[graft] final class Machine(pattern: IndexedSeq[Step],
       windowUs: Long, after: AfterMatch = SkipPastLast,
       contiguous: Boolean = true, grouped: Option[GPat] = None,
-      withRows: Boolean = false)
+      withRows: Boolean = false, withTimeouts: Boolean = false)
       extends Serializable {
     // GROUP-QUANTIFIER mode: the compiled split-program replaces the
     // linear walks entirely (pattern then only feeds the alphabet);
@@ -625,6 +625,20 @@ object Cep {
     // O(buffer) earliest-next walk
     private val relaxedQ = !contiguous &&
       pattern.exists(st => st.bounds != ((1, 1)) || st.neg)
+    // TIMED-OUT PARTIAL MATCHES (Flink CEP's TimedOutPartialMatchHandler
+    // — the abandoned-transaction surface) are implemented for the
+    // contiguous collapse-closure class with a required-One tail under
+    // SKIP PAST LAST ROW, where partial death is fully localized: the
+    // post-emit buffer invariantly walks Partial from its head with
+    // EVERY buffered row consumed, so a window-pruned head's partial
+    // match IS the buffer. The backtracking / relaxed / grouped walks
+    // resolve stale heads inside their own search where a single
+    // "the" partial is ambiguous — rejected rather than guessed.
+    if (withTimeouts) require(grouped.isEmpty && contiguous &&
+      !backtrack && after == SkipPastLast,
+      "cep: timed-out partials need a contiguous collapse-closure " +
+        "pattern with a required one-row tail under AFTER MATCH SKIP " +
+        "PAST LAST ROW (elsewhere the partial to surface is ambiguous)")
     // (ts, id, tpe, value_c) — value_c rides along untouched by the
     // walk; MEASURES folds it per step span at completion
     private var buf = Vector.empty[(Long, Long, String, Long)]
@@ -1173,8 +1187,20 @@ object Cep {
       // relaxed walk and the group program resolve their own stale
       // heads the same way.
       if (!backtrack && !relaxedQ && program == null)
-        while (buf.nonEmpty && ts - buf.head._1 > windowUs)
+        while (buf.nonEmpty && ts - buf.head._1 > windowUs) {
+          // TIMED-OUT PARTIAL (Flink's TimedOutPartialMatchHandler):
+          // this head's window expired before a completing row — if
+          // the buffer still walks Partial from it, its rows ARE the
+          // partial match (post-emit invariant: every buffered row is
+          // consumed by the prefix parse). Surfaced through the
+          // completion channel with the EMPTY-aggs sentinel that
+          // cepTimedOutOf keys on (a real match always carries one
+          // StepAgg per step).
+          if (withTimeouts && walk(ts) == Partial)
+            timeoutsQ += ((CepMatch(-1L, buf.head._2, buf.head._1,
+              buf.last._2, buf.last._1, buf.length.toLong), Nil))
           if (!dropToNextStart()) ()
+        }
       // relaxed mode: a row outside the alphabet can never join a
       // match — skip it after the prune. For the One-step subsequence
       // walk no re-walk is needed (parse existence is monotone in the
@@ -1188,8 +1214,19 @@ object Cep {
       val out = scala.collection.mutable.ListBuffer
         .empty[(CepMatch, List[StepAgg])]
       emitLoop(ts, out)
-      out.toList
+      if (timeoutsQ.isEmpty) out.toList
+      else {
+        // timeouts chronologically precede the fed row's own matches
+        val t = timeoutsQ.toList
+        timeoutsQ.clear()
+        t ++ out.toList
+      }
     }
+
+    // window-pruned partials awaiting this feed's return (withTimeouts
+    // only; drained within the same feed, never part of snapshot state)
+    private val timeoutsQ = scala.collection.mutable.ListBuffer
+      .empty[(CepMatch, List[StepAgg])]
 
     /** TIME-ADVANCE without a row: resolve every pending decision
       * whose window closes at or before `ts` — greedy relaxed runs
@@ -1320,6 +1357,27 @@ object Cep {
     def flush(): List[(CepMatch, List[StepAgg])] = {
       val out = scala.collection.mutable.ListBuffer
         .empty[(CepMatch, List[StepAgg])]
+      if (withTimeouts) {
+        // end-of-input under watermark → ∞ (Flink CEP's reading): the
+        // required-One tail means flush can complete nothing — the
+        // walk is row-pure and the post-emit buffer walks Partial — so
+        // every head surviving to here either TIMES OUT (Partial: its
+        // rows are the partial match) or already died to a mismatch
+        // fallback. Walk with the plain (non-flushing) dispatch: there
+        // is no trailing greed to resolve in this class.
+        var going = buf.nonEmpty
+        while (going) {
+          walk(Long.MaxValue) match {
+            case Partial =>
+              out += ((CepMatch(-1L, buf.head._2, buf.head._1,
+                buf.last._2, buf.last._1, buf.length.toLong), Nil))
+              going = dropToNextStart()
+            case _ => going = dropToNextStart()
+          }
+        }
+        buf = Vector.empty
+        return out.toList
+      }
       if (contiguous || relaxedQ) {
         flushing = true
         try emitLoop(Long.MaxValue, out) finally flushing = false
@@ -1526,6 +1584,80 @@ object Cep {
     start_ts_us: Long, end_event_id: Long, end_ts_us: Long, n_rows: Long,
     event_id: Long, ts_us: Long, event_type: String, value_c: Long,
     step: Int)
+
+  /** One outcome row of [[cepTimedOutOf]]: a completed match
+    * (`timed_out = false`, ends on the pattern's closing row) or a
+    * TIMED-OUT PARTIAL (`timed_out = true`, ends on the last row the
+    * partial consumed before its window expired; n_rows counts the
+    * partial's rows).
+    */
+  final case class CepOutcome(user_id: Long, start_event_id: Long,
+    start_ts_us: Long, end_event_id: Long, end_ts_us: Long, n_rows: Long,
+    timed_out: Boolean)
+
+  /** Flink CEP's TIMED-OUT PARTIAL MATCHES (`within` +
+    * `TimedOutPartialMatchHandler` — the abandoned-transaction
+    * surface): matches AND window-expired partials in one pass, each
+    * partial surfaced exactly once, at the first row past its head's
+    * horizon (row-driven, the batch analogue of Flink's timeout
+    * timer) or at end-of-input (watermark → ∞, Flink's bounded-job
+    * reading — every surviving partial resolves). Restricted to the
+    * contiguous collapse-closure class with a required one-row tail
+    * under SKIP PAST LAST ROW, where "the" partial is well-defined:
+    * the post-emit buffer invariantly holds exactly the head's prefix
+    * parse. Mismatch-killed heads (a contradicting row INSIDE the
+    * window) are kills, not timeouts — Flink's own distinction. Same
+    * one-shuffle segmented scan as every CEP fold.
+    */
+  def cepTimedOutOf(events: DataFrame, pattern: Seq[Step],
+      windowUs: Long): Dataset[CepOutcome] = {
+    validateCommon(pattern)
+    val pat = pattern.toIndexedSeq
+    // driver-side twin of the Machine's withTimeouts scope check — the
+    // rejection must fire before a task does
+    require(closureHolds(pat) &&
+      !pat.exists(st => st.cmp.isDefined || st.any || st.reluctant ||
+        st.neg || st.sumCap.isDefined) &&
+      pat.last.bounds == ((1, 1)),
+      "cep: timed-out partials need a contiguous collapse-closure " +
+        "pattern with a required one-row tail under AFTER MATCH SKIP " +
+        "PAST LAST ROW (elsewhere the partial to surface is ambiguous)")
+    val ss = events.sparkSession
+    import ss.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"),
+        lit(0L).as("value_c"))
+      .as[(Long, Long, Long, String, Long)]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        segmentedScan(it, () => new Machine(pat, windowUs, SkipPastLast,
+          contiguous = true, withTimeouts = true)) {
+          case (u, _, (c, aggs)) =>
+            // the empty-aggs sentinel marks a timeout (real matches
+            // carry one StepAgg per step — patterns are non-empty)
+            Iterator.single(CepOutcome(u, c.start_event_id, c.start_ts_us,
+              c.end_event_id, c.end_ts_us, c.n_rows, aggs.isEmpty))
+        }
+      }
+  }
+
+  /** cep_timeout gate — the funnel under a 1-day completion window
+    * with timed-out partials surfaced: every click is independently a
+    * head here (funnel spans contain no clicks), so the oracle
+    * classifies each click definitionally — a view run crossing the
+    * horizon times out at the first late view (partial = the rows
+    * before it), a completing purchase inside the horizon matches, a
+    * contradicting row inside the horizon kills silently, end-of-data
+    * times out whatever survived.
+    */
+  def cepTimeout(s: SparkSession, dir: String): DataFrame =
+    cepTimedOutOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click"), Step("view", plus = true), Step("purchase")),
+      86400000000L)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 
   private def rowsScan(events: DataFrame, leaves: IndexedSeq[Step],
       windowUs: Long, after: AfterMatch, grouped: Option[GPat])

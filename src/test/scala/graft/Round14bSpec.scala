@@ -284,6 +284,50 @@ class Round14bSpec extends SparkSpecBase {
     assert(e.getMessage.nonEmpty)
   }
 
+  test("cepTimedOutOf: all five outcomes — late-view timeout with a " +
+      "truncated partial, terminator timeout, flush timeout, match, " +
+      "silent kill") {
+    import spark.implicits._
+    import graft.operators.Cep
+    val W = 10 * M // 10-minute window
+    val rows = Seq(
+      // user 1: click, view@1m, view@11m (PAST horizon) — times out at
+      // the late view; partial = click + first view only
+      (1L, 0L, 1L, "click"), (1L, 1 * M, 2L, "view"),
+      (1L, 11 * M, 3L, "view"),
+      // user 2: click, view@1m, purchase@12m (terminator past horizon)
+      // — times out with the whole run
+      (2L, 0L, 4L, "click"), (2L, 1 * M, 5L, "view"),
+      (2L, 12 * M, 6L, "purchase"),
+      // user 3: click, view — stream ends: flush timeout (wm → ∞)
+      (3L, 0L, 7L, "click"), (3L, 1 * M, 8L, "view"),
+      // user 4: the completing funnel inside the window
+      (4L, 0L, 9L, "click"), (4L, 1 * M, 10L, "view"),
+      (4L, 2 * M, 11L, "purchase"),
+      // user 5: click, view, ERROR inside the window — a kill, not a
+      // timeout (Flink's own distinction); nothing emitted
+      (5L, 0L, 12L, "click"), (5L, 1 * M, 13L, "view"),
+      (5L, 2 * M, 14L, "error"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("value", lit(1.0))
+    val got = Cep.cepTimedOutOf(rows,
+      Seq(Cep.Step("click"), Cep.Step("view", plus = true),
+        Cep.Step("purchase")), W)
+      .collect().sortBy(_.user_id)
+      .map(o => (o.user_id, o.start_event_id, o.end_event_id, o.n_rows,
+        o.timed_out))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 2L, true),
+      (2L, 4L, 5L, 2L, true),
+      (3L, 7L, 8L, 2L, true),
+      (4L, 9L, 11L, 3L, false)), s"${got.toSeq}")
+    // out-of-scope pattern classes are rejected driver-side
+    val e = intercept[IllegalArgumentException](Cep.cepTimedOutOf(rows,
+      Seq(Cep.Step("view", plus = true), Cep.Step("view")), W))
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("measure-shape rejections: CLASSIFIER needs ALL ROWS, niladic " +
       "measures take no RUNNING/FINAL marker") {
     val events = funnelFrame()
