@@ -520,6 +520,12 @@ object SparkEntry {
     // matches AND window-expired partials in one pass, kills silent
     "cep_timeout" ->
       ((s, dir) => graft.operators.Cep.cepTimeout(s, dir)),
+    // the STREAMING timeout side output: row-driven + timer-driven
+    // expirations off the shared multi-pattern replay (tag 1000 rides
+    // the same store lifecycle as stream_cep's tag 0)
+    "stream_cep_timeout" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepTimeoutGate(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -2903,6 +2909,44 @@ object SparkEntry {
         "WHERE c.event_type = 'click' " +
         "AND p.first_ts - c.last_ts <= 600000000 " +
         "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // streaming timeout side output: the cep_timeout per-click
+    // classification on the FOLDED corpus at the stream gate's
+    // 10-minute window — matches + timed-out partials, kills silent
+    "stream_cep_timeout" ->
+      (streamFoldedCte +
+        ", r AS (SELECT user_id, event_id, event_type, tu AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "c AS (SELECT user_id, event_id AS cid, ts_us AS cts, rn AS crn " +
+        "FROM r WHERE event_type = 'click'), " +
+        "nx AS (SELECT c.*, (SELECT MIN(x.rn) FROM r x " +
+        "WHERE x.user_id = c.user_id AND x.rn > c.crn " +
+        "AND x.event_type <> 'view') AS nrn FROM c), " +
+        "b AS (SELECT nx.*, (SELECT MIN(v.rn) FROM r v " +
+        "WHERE v.user_id = nx.user_id AND v.rn > nx.crn " +
+        "AND (nx.nrn IS NULL OR v.rn < nx.nrn) " +
+        "AND v.ts_us > nx.cts + 600000000) AS brn FROM nx), " +
+        "cls AS (SELECT b.user_id, b.cid, b.cts, b.crn, b.nrn, b.brn, " +
+        "n.event_type AS ntype, n.ts_us AS nts, n.event_id AS nid " +
+        "FROM b LEFT JOIN r n ON n.user_id = b.user_id AND n.rn = b.nrn), " +
+        "tmo AS (SELECT user_id, cid, cts, crn, " +
+        "CASE WHEN brn IS NOT NULL THEN brn - 1 " +
+        "WHEN nrn IS NULL THEN (SELECT MAX(m.rn) FROM r m " +
+        "WHERE m.user_id = cls.user_id) " +
+        "ELSE nrn - 1 END AS ern FROM cls " +
+        "WHERE brn IS NOT NULL OR nrn IS NULL " +
+        "OR nts > cts + 600000000), " +
+        "mt AS (SELECT user_id, cid AS start_event_id, " +
+        "cts AS start_ts_us, nid AS end_event_id, nts AS end_ts_us, " +
+        "CAST(nrn - crn + 1 AS BIGINT) AS n_rows, FALSE AS timed_out " +
+        "FROM cls WHERE brn IS NULL AND nrn IS NOT NULL " +
+        "AND nts <= cts + 600000000 AND ntype = 'purchase' " +
+        "AND nrn > crn + 1) " +
+        "SELECT * FROM mt UNION ALL " +
+        "SELECT t.user_id, t.cid, t.cts, e.event_id, e.ts_us, " +
+        "CAST(t.ern - t.crn + 1 AS BIGINT), TRUE " +
+        "FROM tmo t JOIN r e ON e.user_id = t.user_id AND e.rn = t.ern " +
+        "ORDER BY user_id, start_ts_us, start_event_id"),
     // streaming SKIP TO NEXT ROW on the folded corpus: ALL 10-minute-
     // valid contiguous (view, click, view) triples — the overlapping
     // selection the strategy definitionally yields

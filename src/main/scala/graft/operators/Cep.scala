@@ -1187,20 +1187,7 @@ object Cep {
       // relaxed walk and the group program resolve their own stale
       // heads the same way.
       if (!backtrack && !relaxedQ && program == null)
-        while (buf.nonEmpty && ts - buf.head._1 > windowUs) {
-          // TIMED-OUT PARTIAL (Flink's TimedOutPartialMatchHandler):
-          // this head's window expired before a completing row — if
-          // the buffer still walks Partial from it, its rows ARE the
-          // partial match (post-emit invariant: every buffered row is
-          // consumed by the prefix parse). Surfaced through the
-          // completion channel with the EMPTY-aggs sentinel that
-          // cepTimedOutOf keys on (a real match always carries one
-          // StepAgg per step).
-          if (withTimeouts && walk(ts) == Partial)
-            timeoutsQ += ((CepMatch(-1L, buf.head._2, buf.head._1,
-              buf.last._2, buf.last._1, buf.length.toLong), Nil))
-          if (!dropToNextStart()) ()
-        }
+        pruneStaleHeads(ts)
       // relaxed mode: a row outside the alphabet can never join a
       // match — skip it after the prune. For the One-step subsequence
       // walk no re-walk is needed (parse existence is monotone in the
@@ -1228,6 +1215,23 @@ object Cep {
     private val timeoutsQ = scala.collection.mutable.ListBuffer
       .empty[(CepMatch, List[StepAgg])]
 
+    /** Drop heads whose window closed at `ts` (simple-walk classes
+      * only — the backtracking/relaxed/grouped walks resolve their own
+      * stale heads). With timeouts on, a dropped head still walking
+      * Partial surfaces first: its buffered rows ARE the partial match
+      * (post-emit invariant — every buffered row is consumed by the
+      * prefix parse), queued through the completion channel with the
+      * EMPTY-aggs sentinel the timeout surfaces key on (a real match
+      * always carries one StepAgg per step).
+      */
+    private def pruneStaleHeads(ts: Long): Unit =
+      while (buf.nonEmpty && ts - buf.head._1 > windowUs) {
+        if (withTimeouts && walk(ts) == Partial)
+          timeoutsQ += ((CepMatch(-1L, buf.head._2, buf.head._1,
+            buf.last._2, buf.last._1, buf.length.toLong), Nil))
+        if (!dropToNextStart()) ()
+      }
+
     /** TIME-ADVANCE without a row: resolve every pending decision
       * whose window closes at or before `ts` — greedy relaxed runs
       * commit their takes and trailing absences confirm once `ts`
@@ -1238,10 +1242,20 @@ object Cep {
       * whose pendings only wait for rows.
       */
     def advance(ts: Long): List[(CepMatch, List[StepAgg])] = {
+      // with timeouts on, a watermark advance expires stale heads the
+      // way a fed row's prune would — the streaming processor's
+      // horizon timers land here, so an abandoned partial times out
+      // even if no further row ever arrives for its key
+      if (withTimeouts) pruneStaleHeads(ts)
       val out = scala.collection.mutable.ListBuffer
         .empty[(CepMatch, List[StepAgg])]
       emitLoop(ts, out)
-      out.toList
+      if (timeoutsQ.isEmpty) out.toList
+      else {
+        val t = timeoutsQ.toList
+        timeoutsQ.clear()
+        t ++ out.toList
+      }
     }
 
     /** The earliest instant a pending decision could still be waiting
@@ -1609,12 +1623,11 @@ object Cep {
     * window) are kills, not timeouts — Flink's own distinction. Same
     * one-shuffle segmented scan as every CEP fold.
     */
-  def cepTimedOutOf(events: DataFrame, pattern: Seq[Step],
-      windowUs: Long): Dataset[CepOutcome] = {
-    validateCommon(pattern)
-    val pat = pattern.toIndexedSeq
-    // driver-side twin of the Machine's withTimeouts scope check — the
-    // rejection must fire before a task does
+  /** Driver-side twin of the Machine's withTimeouts scope check — the
+    * rejection must fire before a task does (batch and streaming
+    * timeout surfaces share it).
+    */
+  private[graft] def validateTimeoutScope(pat: IndexedSeq[Step]): Unit =
     require(closureHolds(pat) &&
       !pat.exists(st => st.cmp.isDefined || st.any || st.reluctant ||
         st.neg || st.sumCap.isDefined) &&
@@ -1622,6 +1635,12 @@ object Cep {
       "cep: timed-out partials need a contiguous collapse-closure " +
         "pattern with a required one-row tail under AFTER MATCH SKIP " +
         "PAST LAST ROW (elsewhere the partial to surface is ambiguous)")
+
+  def cepTimedOutOf(events: DataFrame, pattern: Seq[Step],
+      windowUs: Long): Dataset[CepOutcome] = {
+    validateCommon(pattern)
+    val pat = pattern.toIndexedSeq
+    validateTimeoutScope(pat)
     val ss = events.sparkSession
     import ss.implicits._
     events

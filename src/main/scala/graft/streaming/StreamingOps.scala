@@ -2290,7 +2290,14 @@ object StreamingOps {
       after: graft.operators.Cep.AfterMatch =
         graft.operators.Cep.SkipPastLast,
       contiguous: Boolean = true,
-      grouped: Option[graft.operators.Cep.GPat] = None)
+      grouped: Option[graft.operators.Cep.GPat] = None,
+      withTimeouts: Boolean = false)
+
+  /** Tag offset for timed-out partials in [[cepStreamMulti]]'s output:
+    * spec i's matches carry tag i, its window-expired partials tag
+    * i + CepTimeoutTag (only when the spec sets `withTimeouts`).
+    */
+  val CepTimeoutTag: Int = 1000
 
   /** MULTI-PATTERN streaming CEP — N independent machines over ONE
     * buffered scan of the stream (Flink users register many patterns
@@ -2327,8 +2334,10 @@ object StreamingOps {
     @transient private var drained:
       org.apache.spark.sql.streaming.ValueState[Long] = _
 
+    // withTimeouts machines also need timers + advances: an abandoned
+    // partial's emission point is its head's horizon, a TIME
     private val needsAdvanceI: IndexedSeq[Boolean] = specs.map(sp =>
-      sp.pattern.exists(_.neg) ||
+      sp.pattern.exists(_.neg) || sp.withTimeouts ||
         (!sp.contiguous && sp.pattern.exists(_.bounds != ((1, 1)))))
     private val anyAdvance = needsAdvanceI.exists(identity)
 
@@ -2395,16 +2404,22 @@ object StreamingOps {
         // nothing drained + row-fed machine: state provably untouched
         if (ripeRows.nonEmpty || needsAdvanceI(i)) {
           val m = new graft.operators.Cep.Machine(sp.pattern, sp.windowUs,
-            sp.after, sp.contiguous, sp.grouped)
+            sp.after, sp.contiguous, sp.grouped,
+            withTimeouts = sp.withTimeouts)
           if (mstates(i).exists()) m.restore(mstates(i).get())
+          // the empty-aggs sentinel marks a window-expired partial
+          // (withTimeouts specs only) — routed to the offset tag so
+          // the match channel stays byte-identical
+          def tagOf(aggs: List[graft.operators.Cep.StepAgg]): Int =
+            if (sp.withTimeouts && aggs.isEmpty) i + CepTimeoutTag else i
           ripeRows.foreach { case (ts, id, tpe, vc) =>
-            m.feedM(ts, id, tpe, vc).foreach { case (c, _) =>
-              out += ((i, c.copy(user_id = key)))
+            m.feedM(ts, id, tpe, vc).foreach { case (c, aggs) =>
+              out += ((tagOf(aggs), c.copy(user_id = key)))
             }
           }
           if (needsAdvanceI(i)) {
-            m.advance(wmUs).foreach { case (c, _) =>
-              out += ((i, c.copy(user_id = key)))
+            m.advance(wmUs).foreach { case (c, aggs) =>
+              out += ((tagOf(aggs), c.copy(user_id = key)))
             }
             m.pendingHorizonUs.foreach(h =>
               getHandle.registerTimer(h / 1000L + 1L))
@@ -2435,6 +2450,13 @@ object StreamingOps {
         else graft.operators.Cep.validateSubseq(sp.pattern)
         graft.operators.Cep.validateAfter(sp.pattern, sp.after)
       }
+      if (sp.withTimeouts) {
+        require(sp.grouped.isEmpty && sp.contiguous &&
+          sp.after == graft.operators.Cep.SkipPastLast,
+          "cepStreamMulti: withTimeouts needs a contiguous flat " +
+            "pattern under AFTER MATCH SKIP PAST LAST ROW")
+        graft.operators.Cep.validateTimeoutScope(sp.pattern)
+      }
     }
     import events.sparkSession.implicits._
     events
@@ -2447,6 +2469,29 @@ object StreamingOps {
         new CepMultiStreamProcessor(specs.toIndexedSeq, lateCounter),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** STREAMING timed-out partial matches — Flink CEP's `within` +
+    * `TimedOutPartialMatchHandler` side output on an unbounded stream:
+    * matches (`timed_out = false`) and window-expired partials
+    * (`timed_out = true`) in one query. Row-driven timeouts surface at
+    * the first drained row past the head's horizon; timer-driven ones
+    * at the horizon's event-time timer, so an abandoned partial emits
+    * even if no further row ever arrives for its key (the
+    * abandoned-cart shape, with the partial's rows instead of a bare
+    * absence flag). Same scope as [[graft.operators.Cep.cepTimedOutOf]].
+    */
+  def cepStreamTimedOut(events: Dataset[(Long, Long, Long, String, Long)],
+      pattern: Seq[graft.operators.Cep.Step], windowUs: Long)
+      : Dataset[graft.operators.Cep.CepOutcome] = {
+    import events.sparkSession.implicits._
+    cepStreamMulti(events, Seq(CepSpec(pattern.toIndexedSeq, windowUs,
+      withTimeouts = true)))
+      .map { case (tag, c) =>
+        graft.operators.Cep.CepOutcome(c.user_id, c.start_event_id,
+          c.start_ts_us, c.end_event_id, c.end_ts_us, c.n_rows,
+          timed_out = tag >= CepTimeoutTag)
+      }
   }
 
   /** stream_cep_group gate — the STREAMING twin of `cep_group`:
@@ -3451,6 +3496,23 @@ object StreamingOps {
   def streamCepGate(s: SparkSession, dir: String): DataFrame =
     cepGateOf(s, dir, 0) // machine spec in CepGateSpecs; shared replay
 
+  /** stream_cep_timeout gate — the funnel's full outcome stream off
+    * the SAME shared replay: tag 0 rows are stream_cep's matches, tag
+    * 1000 its timed-out partials (row-driven at the first late drained
+    * row, timer-driven at the horizon when no row ever comes — the
+    * shared flush advances the watermark past every horizon, so each
+    * of the folded corpus's clicks resolves). Oracle: the per-click
+    * classification CTE on the folded rows (match / silent kill /
+    * timeout with the partial's extent).
+    */
+  def streamCepTimeoutGate(s: SparkSession, dir: String): DataFrame = {
+    val df = cepMultiReplayed(s, dir)
+    df.filter(col("pat") === 0 || col("pat") === CepTimeoutTag)
+      .withColumn("timed_out", col("pat") === CepTimeoutTag)
+      .drop("pat")
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
   /** stream_cep_reluctant gate — the STREAMING twin of
     * `cep_reluctant`: lazy view+? view over the day-folded replay
     * (5-minute window). Pairs complete EAGERLY at their second row —
@@ -3510,8 +3572,12 @@ object StreamingOps {
   private val CepGateSpecs: IndexedSeq[CepSpec] = {
     import graft.operators.Cep.{Step, SkipToNextRow, PrevLt, PrevGt}
     IndexedSeq(
+      // withTimeouts surfaces the funnel's window-expired partials on
+      // the offset tag (stream_cep_timeout) — the match channel (tag 0,
+      // stream_cep) is byte-identical with or without it
       CepSpec(IndexedSeq(Step("click"), Step("view", plus = true),
-        Step("purchase")), 600000000L), // 0 stream_cep
+        Step("purchase")), 600000000L,
+        withTimeouts = true), // 0 stream_cep / stream_cep_timeout
       CepSpec(IndexedSeq(Step("view", plus = true, reluctant = true),
         Step("view")), 300000000L), // 1 stream_cep_reluctant
       CepSpec(VshapeStreamPattern.toIndexedSeq,

@@ -328,6 +328,44 @@ class Round14bSpec extends SparkSpecBase {
     assert(e.getMessage.contains("ambiguous"), e.getMessage)
   }
 
+  test("cepStreamTimedOut: a partial with NO further rows times out on " +
+      "its horizon timer; a completing funnel stays a match") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Cep
+    import graft.streaming.StreamingOps
+    withRocks {
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Long)]
+      val q = StreamingOps.cepStreamTimedOut(src.toDS(),
+        Seq(Cep.Step("click"), Cep.Step("view", plus = true),
+          Cep.Step("purchase")), 10 * M)
+        .writeStream.format("memory").queryName("cep_tmo")
+        .outputMode("append").start()
+      // user 7: click + view, then NOTHING ever again for that key;
+      // user 8 completes a funnel and keeps the stream alive
+      src.addData((7L, 0L, 1L, "click", 0L), (7L, 1 * M, 2L, "view", 0L),
+        (8L, 0L, 3L, "click", 0L))
+      q.processAllAvailable()
+      src.addData((8L, 1 * M, 4L, "view", 0L),
+        (8L, 2 * M, 5L, "purchase", 0L))
+      q.processAllAvailable()
+      // another key's far-future row advances the watermark past user
+      // 7's horizon — the timeout must ride the event-time timer alone
+      src.addData((9L, 60 * M, 90L, "error", 0L))
+      q.processAllAvailable()
+      src.addData((9L, 61 * M, 91L, "error", 0L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("cep_tmo").as[Cep.CepOutcome].collect()
+        .map(o => (o.user_id, o.start_event_id, o.end_event_id, o.n_rows,
+          o.timed_out)).toSet
+      assert(got == Set(
+        (7L, 1L, 2L, 2L, true),
+        (8L, 3L, 5L, 3L, false)), s"$got")
+    }
+  }
+
   test("measure-shape rejections: CLASSIFIER needs ALL ROWS, niladic " +
       "measures take no RUNNING/FINAL marker") {
     val events = funnelFrame()
