@@ -12,6 +12,9 @@ class Round14bSpec extends SparkSpecBase {
 
   private val M = 60000000L // one minute in micros
 
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
   private def withRocks[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -363,6 +366,116 @@ class Round14bSpec extends SparkSpecBase {
       assert(got == Set(
         (7L, 1L, 2L, 2L, true),
         (8L, 3L, 5L, 3L, false)), s"$got")
+    }
+  }
+
+  test("CepMultiStreamProcessor recovery: shared buf2, per-spec m2_$i " +
+      "and horizon timers survive kill+restart; committed batches not " +
+      "replayed") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Cep
+    import graft.streaming.StreamingOps
+    import graft.streaming.StreamingOps.CepSpec
+    withRocks {
+      // two machine classes on one buffer: the funnel WITH timeouts
+      // (simple walk + timeout timers) and the abandoned-cart negation
+      // (relaxed walk + absence timers)
+      val specs = Seq(
+        CepSpec(IndexedSeq(Cep.Step("click"),
+          Cep.Step("view", plus = true), Cep.Step("purchase")), 10 * M,
+          withTimeouts = true),
+        CepSpec(IndexedSeq(Cep.Step("click"),
+          Cep.Step("purchase", neg = true)), 10 * M, contiguous = false))
+      val ckpt = tmp("graft-multi-ckpt")
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Long)]
+      def start(outDir: String) =
+        StreamingOps.cepStreamMulti(src.toDS(), specs)
+          .toDF().select(col("_1").as("pat"), col("_2.*"))
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir); ()
+          }
+          .outputMode("append")
+          .option("checkpointLocation", ckpt).start()
+      def outcomes(dir: String): Set[(Int, Long, Long, Long)] =
+        spark.read.parquet(dir)
+          .select("pat", "user_id", "start_event_id", "n_rows")
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+
+      // run 1: key 3 completes a funnel; key 2's lone click expires
+      // inside run 1 (timeout + absence); key 1's click+view partial
+      // and key 4's click stay PENDING across the kill
+      val out1 = tmp("graft-multi-out1")
+      val q1 = start(out1)
+      src.addData(
+        (1L, 20 * M, 1L, "click", 0L), (1L, 21 * M, 2L, "view", 0L),
+        (2L, 5 * M, 3L, "click", 0L),
+        (3L, 0L, 4L, "click", 0L), (3L, 1 * M, 5L, "view", 0L),
+        (3L, 2 * M, 6L, "purchase", 0L),
+        (4L, 19 * M, 9L, "click", 0L))
+      q1.processAllAvailable()
+      q1.stop()
+      val run1 = outcomes(out1)
+      assert(run1 == Set(
+        (0, 3L, 4L, 3L), // key 3's funnel match
+        (1000, 2L, 3L, 1L), // key 2's click timed out inside run 1
+        (1, 2L, 3L, 1L)), // ... and its absence emitted
+        s"run1: $run1")
+
+      // run 2 on the SAME checkpoint: key 1's funnel completes ACROSS
+      // the seam (recovered buf2 + m2_0); key 4 resolves on recovered
+      // horizon TIMERS alone (the only new rows are another key's);
+      // nothing from run 1 re-emits
+      val out2 = tmp("graft-multi-out2")
+      val q2 = start(out2)
+      src.addData((1L, 22 * M, 7L, "view", 0L),
+        (1L, 23 * M, 8L, "purchase", 0L))
+      q2.processAllAvailable()
+      src.addData((9L, 40 * M, 90L, "error", 0L))
+      q2.processAllAvailable()
+      src.addData((9L, 40 * M + 1L, 91L, "error", 0L))
+      q2.processAllAvailable()
+      q2.stop()
+      val run2 = outcomes(out2)
+      assert(run2 == Set(
+        (0, 1L, 1L, 4L), // click view | view purchase across the seam
+        (1000, 4L, 9L, 1L), // key 4's timer-driven timeout
+        (1, 4L, 9L, 1L)), // ... and absence (no purchase ever came)
+        s"run2: $run2")
+
+      // unbroken twin: identical feeds, one query, fresh checkpoint
+      val src3 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Long)]
+      val out3 = tmp("graft-multi-out3")
+      val q3 = StreamingOps.cepStreamMulti(src3.toDS(), specs)
+        .toDF().select(col("_1").as("pat"), col("_2.*"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out3); ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", tmp("graft-multi-ckpt3")).start()
+      src3.addData(
+        (1L, 20 * M, 1L, "click", 0L), (1L, 21 * M, 2L, "view", 0L),
+        (2L, 5 * M, 3L, "click", 0L),
+        (3L, 0L, 4L, "click", 0L), (3L, 1 * M, 5L, "view", 0L),
+        (3L, 2 * M, 6L, "purchase", 0L),
+        (4L, 19 * M, 9L, "click", 0L))
+      q3.processAllAvailable()
+      src3.addData((1L, 22 * M, 7L, "view", 0L),
+        (1L, 23 * M, 8L, "purchase", 0L))
+      q3.processAllAvailable()
+      src3.addData((9L, 40 * M, 90L, "error", 0L))
+      q3.processAllAvailable()
+      src3.addData((9L, 40 * M + 1L, 91L, "error", 0L))
+      q3.processAllAvailable()
+      q3.stop()
+      assert(run1 ++ run2 == outcomes(out3),
+        s"split ${run1 ++ run2} != unbroken ${outcomes(out3)}")
     }
   }
 
