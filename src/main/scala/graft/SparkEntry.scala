@@ -526,6 +526,11 @@ object SparkEntry {
     "stream_cep_timeout" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamCepTimeoutGate(s, dir)),
+    // STREAMING MEASURES: per-(match, step) aggregates emitted live as
+    // matches complete, pivoted by the batch runner's own pivot
+    "stream_sql_mr_measures" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamSqlMrMeasuresGate(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -2947,6 +2952,40 @@ object SparkEntry {
         "CAST(t.ern - t.crn + 1 AS BIGINT), TRUE " +
         "FROM tmo t JOIN r e ON e.user_id = t.user_id AND e.rn = t.ern " +
         "ORDER BY user_id, start_ts_us, start_event_id"),
+    // streaming MEASURES: the sql_mr_measures islands oracle on the
+    // FOLDED corpus at the stream tier's 10-minute window
+    "stream_sql_mr_measures" ->
+      (streamFoldedCte +
+        ", r AS (SELECT user_id, event_id, event_type, tu AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS sv, " +
+        "CAST(MAX(vc) AS BIGINT) AS mxv FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "g.sv, g.mxv, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "c.last_id AS click_id, CAST(v.n AS BIGINT) AS views_cnt, " +
+        "v.sv AS views_sum_c, v.mxv AS views_max_c, " +
+        "p.first_id AS purchase_id " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 600000000 " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // streaming SKIP TO NEXT ROW on the folded corpus: ALL 10-minute-
     // valid contiguous (view, click, view) triples — the overlapping
     // selection the strategy definitionally yields

@@ -664,6 +664,22 @@ object MatchRecognize {
       "match_recognize: the clause asks for ALL ROWS PER MATCH — run " +
         "it with matchRecognizeRowsOf (RUNNING/FINAL per-row measures " +
         "live there)")
+    pivotMeasured(
+      Cep.cepMeasuresOf(events, parsed.pattern, parsed.windowUs,
+        parsed.after).toDF(),
+      parsed)
+  }
+
+  /** The MEASURES pivot over a CepMeasured-shaped frame (one row per
+    * match × step): per-(match, step) aggregates under their aliases,
+    * one hash aggregation keyed on the match identity, MATCH_NUMBER as
+    * a per-key rank. Shared by the batch pivot runner and the
+    * streaming gate (the streaming measures replay lands the same
+    * shape). `md` is BY-NAME: name validation runs before the frame
+    * is touched (the rejection specs probe with a null frame).
+    */
+  private[graft] def pivotMeasured(md: => DataFrame, parsed: Parsed)
+      : DataFrame = {
     val measures = parseMeasures(parsed.rawMeasures)
     require(!measures.exists(_.func == "CLASSIFIER"),
       "match_recognize: CLASSIFIER() names the row's consuming " +
@@ -686,8 +702,6 @@ object MatchRecognize {
     // probe with a null frame)
     measures.filter(_.func != "MATCH_NUMBER")
       .foreach(m => stepsOf(m.varName))
-    val md = Cep.cepMeasuresOf(events, parsed.pattern, parsed.windowUs,
-      parsed.after).toDF()
     val aggs = measures.filter(_.func != "MATCH_NUMBER").map { m =>
       val in = col("step").isin(stepsOf(m.varName): _*)
       m.func match {

@@ -2064,15 +2064,18 @@ object StreamingOps {
     * = O(automaton) + the buffer inside the lateness horizon, never the
     * stream.
     */
-  class CepStreamProcessor(pattern: IndexedSeq[graft.operators.Cep.Step],
+  class CepStreamProcessor[O](pattern: IndexedSeq[graft.operators.Cep.Step],
       windowUs: Long,
       after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
       contiguous: Boolean = true,
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
-      grouped: Option[graft.operators.Cep.GPat] = None)
+      grouped: Option[graft.operators.Cep.GPat] = None,
+      // output shape per completed match: the match-only surfaces emit
+      // one CepMatch, the MEASURES surface one CepMeasured per step
+      conv: (Long, graft.operators.Cep.CepMatch,
+        List[graft.operators.Cep.StepAgg]) => IterableOnce[O])
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long, Long, String, Long),
-        graft.operators.Cep.CepMatch] {
+        Long, (Long, Long, Long, String, Long), O] {
     @transient private var buf:
       org.apache.spark.sql.streaming.MapState[
         Long, List[(Long, String, Long)]] = _
@@ -2116,7 +2119,7 @@ object StreamingOps {
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long, String, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues):
-        Iterator[graft.operators.Cep.CepMatch] = {
+        Iterator[O] = {
       val frontier = if (drained.exists()) drained.get() else Long.MinValue
       val wmMs = timerValues.getCurrentWatermarkInMs()
       val lateBelow =
@@ -2144,7 +2147,7 @@ object StreamingOps {
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
-        Iterator[graft.operators.Cep.CepMatch] = {
+        Iterator[O] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       // `drained` is the watermark of the key's last drain (≥ every
       // drained instant) — the batch-constant-watermark short-circuit
@@ -2168,14 +2171,13 @@ object StreamingOps {
       val m = new graft.operators.Cep.Machine(pattern, windowUs, after,
         contiguous, grouped)
       if (mstate.exists()) m.restore(mstate.get())
-      val out = scala.collection.mutable.ArrayBuffer.empty[
-        graft.operators.Cep.CepMatch]
+      val out = scala.collection.mutable.ArrayBuffer.empty[O]
       ripe.foreach { case (ts, entries) =>
         entries.sortBy(_._1).foreach { case (id, tpe, vc) =>
           // feedM: SKIP TO NEXT ROW can close several overlapping
           // matches on one drained row (SKIP PAST LAST ROW emits <= 1)
-          m.feedM(ts, id, tpe, vc).foreach { case (c, _) =>
-            out += c.copy(user_id = key)
+          m.feedM(ts, id, tpe, vc).foreach { case (c, aggs) =>
+            out ++= conv(key, c, aggs)
           }
         }
         buf.removeKey(ts)
@@ -2191,8 +2193,8 @@ object StreamingOps {
       // gates (backtrack/vshape pending contracts) are deliberately
       // untouched.
       if (needsAdvance) {
-        m.advance(wmUs).foreach { case (c, _) =>
-          out += c.copy(user_id = key)
+        m.advance(wmUs).foreach { case (c, aggs) =>
+          out ++= conv(key, c, aggs)
         }
         m.pendingHorizonUs.foreach(h =>
           getHandle.registerTimer(h / 1000L + 1L))
@@ -2253,8 +2255,49 @@ object StreamingOps {
       .as[(Long, Long, Long, String, Long)]
       .groupByKey(_._1)
       .transformWithState(
-        new CepStreamProcessor(pattern.toIndexedSeq, windowUs, after,
-          contiguous, lateCounter, grouped),
+        new CepStreamProcessor[graft.operators.Cep.CepMatch](
+          pattern.toIndexedSeq, windowUs, after, contiguous, lateCounter,
+          grouped, (k, c, _) => Iterator.single(c.copy(user_id = k))),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** STREAMING MEASURES — the live twin of [[graft.operators.Cep
+    * .cepMeasuresOf]] (Flink's streaming MATCH_RECOGNIZE computes
+    * MEASURES, not just match spans): one [[graft.operators.Cep
+    * .CepMeasured]] row PER (completed match, step), emitted the
+    * instant the match completes — COUNT/SUM/MIN/MAX of the step's
+    * consumed rows in exact cents, FIRST/LAST event ids. The rows are
+    * self-contained (no downstream state needed), so the stream stays
+    * a plain append stream; pivot per match downstream exactly as the
+    * batch pivot does. Same processor, machine, state shape, and
+    * emission discipline as [[cepStreamValued]] — only the output
+    * conversion differs.
+    */
+  def cepStreamMeasures(events: Dataset[(Long, Long, Long, String, Long)],
+      pattern: Seq[graft.operators.Cep.Step],
+      windowUs: Long,
+      after: graft.operators.Cep.AfterMatch = graft.operators.Cep.SkipPastLast,
+      contiguous: Boolean = true)
+      : Dataset[graft.operators.Cep.CepMeasured] = {
+    if (contiguous) graft.operators.Cep.validateCommon(pattern)
+    else graft.operators.Cep.validateSubseq(pattern)
+    graft.operators.Cep.validateAfter(pattern, after)
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("_2")))
+      .withWatermark("ts", "5 seconds")
+      .select(col("_1"), col("_2"), col("_3"), col("_4"), col("_5"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new CepStreamProcessor[graft.operators.Cep.CepMeasured](
+          pattern.toIndexedSeq, windowUs, after, contiguous, None, None,
+          (k, c, aggs) => aggs.iterator.map(a =>
+            graft.operators.Cep.CepMeasured(k, c.start_event_id,
+              c.start_ts_us, c.end_event_id, c.end_ts_us, c.n_rows,
+              a.step, a.symbol, a.cnt, a.sum_value_c, a.min_value_c,
+              a.max_value_c, a.first_event_id, a.last_event_id))),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
@@ -2444,6 +2487,9 @@ object StreamingOps {
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[(Int, graft.operators.Cep.CepMatch)] = {
     require(specs.nonEmpty, "cepStreamMulti: no pattern specs")
+    require(specs.length < CepTimeoutTag,
+      s"cepStreamMulti: ${specs.length} specs — the timeout tag offset " +
+        s"($CepTimeoutTag) must stay disjoint from spec indices")
     specs.foreach { sp =>
       if (sp.grouped.isEmpty) {
         if (sp.contiguous) graft.operators.Cep.validateCommon(sp.pattern)
@@ -2492,6 +2538,38 @@ object StreamingOps {
           c.start_ts_us, c.end_event_id, c.end_ts_us, c.n_rows,
           timed_out = tag >= CepTimeoutTag)
       }
+  }
+
+  /** stream_sql_mr_measures gate — the STREAMING MEASURES surface end
+    * to end: the funnel MEASURES clause (at the stream tier's
+    * 10-minute window) parsed by [[graft.operators.MatchRecognize
+    * .parse]], run live through [[cepStreamMeasures]] over the
+    * day-folded replay (per-(match, step) rows emitted as matches
+    * complete), then pivoted to one named column per measure by the
+    * SAME pivot the batch runner uses — so the streaming and batch
+    * MEASURES surfaces provably share their aggregation semantics.
+    * Oracle: the sql_mr_measures islands CTE on the folded corpus at
+    * the 10-minute window.
+    */
+  def streamSqlMrMeasuresGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sql = graft.operators.MatchRecognize.FunnelMeasuresSql
+      .replace("INTERVAL '7' DAY", "INTERVAL '10' MINUTE")
+    val parsed = graft.operators.MatchRecognize.parse(sql)
+    require(parsed.windowUs == 600000000L, s"gate clause drifted: $parsed")
+    val fixture = gateEventsDayFolded(s, dir).map { e =>
+      (e.user_id, gateEvUs(e), e.event_id, e.event_type,
+        BigDecimal(e.value * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toSeq
+    val flush = (-1L, fixture.map(_._2).max + parsed.windowUs +
+      600000000L, -1L, "flush", 0L)
+    val md = replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      cepStreamMeasures(ds, parsed.pattern, parsed.windowUs,
+        parsed.after).toDF())
+      .filter(col("user_id") >= 0L)
+    graft.operators.MatchRecognize.pivotMeasured(md, parsed)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
   }
 
   /** stream_cep_group gate — the STREAMING twin of `cep_group`:

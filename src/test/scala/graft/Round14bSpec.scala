@@ -479,6 +479,40 @@ class Round14bSpec extends SparkSpecBase {
     }
   }
 
+  test("cepStreamMeasures: per-step aggregates emit live at match " +
+      "completion, spanning the micro-batch seam") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Cep
+    withRocks {
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Long)]
+      val q = graft.streaming.StreamingOps.cepStreamMeasures(src.toDS(),
+        Seq(Cep.Step("click"), Cep.Step("view", plus = true),
+          Cep.Step("purchase")), 10 * M)
+        .writeStream.format("memory").queryName("cep_sm")
+        .outputMode("append").start()
+      src.addData((7L, 0L, 1L, "click", 100L), (7L, 1 * M, 2L, "view", 225L))
+      q.processAllAvailable()
+      src.addData((7L, 2 * M, 3L, "view", 350L),
+        (7L, 3 * M, 4L, "purchase", 999L))
+      q.processAllAvailable()
+      src.addData((8L, 30 * M, 90L, "error", 0L))
+      q.processAllAvailable()
+      src.addData((8L, 31 * M, 91L, "error", 0L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("cep_sm").as[Cep.CepMeasured].collect()
+        .sortBy(_.step)
+        .map(m => (m.step, m.cnt, m.sum_value_c, m.first_event_id,
+          m.last_event_id))
+      assert(got.toSeq == Seq(
+        (0, 1L, 100L, Some(1L), Some(1L)),
+        (1, 2L, 575L, Some(2L), Some(3L)),
+        (2, 1L, 999L, Some(4L), Some(4L))), s"${got.toSeq}")
+    }
+  }
+
   test("measure-shape rejections: CLASSIFIER needs ALL ROWS, niladic " +
       "measures take no RUNNING/FINAL marker") {
     val events = funnelFrame()
