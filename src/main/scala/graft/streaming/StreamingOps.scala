@@ -2302,6 +2302,66 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** The SQL-string surface of [[cepStreamMeasures]]: the clause's
+    * MEASURES are strictly parsed (names/fields validated scan-free)
+    * and the pattern runs live; output is the per-(match, step) row
+    * stream — pivot per match downstream with
+    * [[graft.operators.MatchRecognize.pivotMeasured]] once the rows
+    * land in batch storage (the pivot is a per-match aggregation, a
+    * batch shape; the stream itself stays append-only).
+    */
+  def cepStreamSqlMeasures(events: Dataset[(Long, Long, Long, String, Long)],
+      sql: String): Dataset[graft.operators.Cep.CepMeasured] = {
+    val parsed = graft.operators.MatchRecognize.parse(sql)
+    require(parsed.partitionCol == "user_id" &&
+      (parsed.orderCols == Seq("ts") ||
+        parsed.orderCols == Seq("ts", "event_id")),
+      "match_recognize: the streaming runner keys on user_id and " +
+        "orders by ts, event_id")
+    require(!parsed.allRows,
+      "match_recognize: ALL ROWS PER MATCH is a batch output mode — " +
+        "the streaming measures runner emits per-step aggregate rows")
+    require(parsed.grouped.isEmpty,
+      "match_recognize: MEASURES range over FLAT pattern variables")
+    // strict-parse the MEASURES clause now — a malformed measure must
+    // fail at submission, not at the downstream pivot
+    graft.operators.MatchRecognize.parseMeasures(parsed.rawMeasures)
+    cepStreamMeasures(events, parsed.pattern, parsed.windowUs,
+      parsed.after)
+  }
+
+  /** NAMED MULTI-CLAUSE registration — the Flink-user shape "many
+    * MATCH_RECOGNIZE patterns on one stream" as SQL strings: each
+    * clause parses through the full [[graft.operators.MatchRecognize]]
+    * surface (quantifiers, alternation, DEFINE, WITHIN, AFTER MATCH,
+    * grouped patterns), all machines run over ONE shared buffer
+    * ([[cepStreamMulti]] — one state-store lifecycle, the buffer
+    * stored once), and matches come back under their clause's NAME.
+    */
+  def cepStreamSqlMulti(events: Dataset[(Long, Long, Long, String, Long)],
+      clauses: Seq[(String, String)])
+      : Dataset[(String, graft.operators.Cep.CepMatch)] = {
+    require(clauses.nonEmpty, "cepStreamSqlMulti: no clauses")
+    require(clauses.map(_._1).distinct.length == clauses.length,
+      "cepStreamSqlMulti: clause names repeat")
+    val specs = clauses.map { case (name, sql) =>
+      val p = graft.operators.MatchRecognize.parse(sql)
+      require(p.partitionCol == "user_id" &&
+        (p.orderCols == Seq("ts") || p.orderCols == Seq("ts", "event_id")),
+        s"match_recognize '$name': the streaming runner keys on " +
+          "user_id and orders by ts, event_id")
+      require(!p.allRows,
+        s"match_recognize '$name': ALL ROWS PER MATCH is a batch " +
+          "output mode — the streaming runner emits one row per match")
+      CepSpec(p.pattern.toIndexedSeq, p.windowUs, p.after,
+        grouped = p.grouped)
+    }
+    val names = clauses.map(_._1).toIndexedSeq
+    import events.sparkSession.implicits._
+    cepStreamMulti(events, specs)
+      .map { case (tag, c) => (names(tag), c) }
+  }
+
   /** GROUP-QUANTIFIER streaming CEP — the live twin of
     * `Cep.cepMatchGroupedOf` (quantified sub-sequences, `(A B)+ C`):
     * the same compiled split-program runs inside the shared

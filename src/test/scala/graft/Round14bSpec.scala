@@ -513,6 +513,61 @@ class Round14bSpec extends SparkSpecBase {
     }
   }
 
+  test("cepStreamSqlMulti: named clauses share one buffer; " +
+      "cepStreamSqlMeasures strict-parses at submission") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Cep
+    import graft.streaming.StreamingOps
+    withRocks {
+      def clause(pat: String, define: String) =
+        s"""MATCH_RECOGNIZE (
+           |  PARTITION BY user_id ORDER BY ts, event_id
+           |  ONE ROW PER MATCH
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN ($pat)
+           |  WITHIN INTERVAL '10' MINUTE
+           |  $define
+           |)""".stripMargin
+      val clauses = Seq(
+        "funnel" -> clause("C V+ P",
+          """DEFINE C AS C.event_type = 'click',
+            |       V AS V.event_type = 'view',
+            |       P AS P.event_type = 'purchase'""".stripMargin),
+        "pair" -> clause("A B",
+          """DEFINE A AS A.event_type = 'signup',
+            |       B AS B.event_type = 'error'""".stripMargin))
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Long)]
+      val q = StreamingOps.cepStreamSqlMulti(src.toDS(), clauses)
+        .writeStream.format("memory").queryName("sql_multi")
+        .outputMode("append").start()
+      src.addData((7L, 0L, 1L, "click", 0L), (7L, 1 * M, 2L, "view", 0L),
+        (7L, 2 * M, 3L, "purchase", 0L),
+        (8L, 0L, 4L, "signup", 0L), (8L, 1 * M, 5L, "error", 0L))
+      q.processAllAvailable()
+      src.addData((9L, 30 * M, 90L, "view", 0L))
+      q.processAllAvailable()
+      src.addData((9L, 31 * M, 91L, "view", 0L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sql_multi").as[(String, Cep.CepMatch)]
+        .collect().map { case (n, m) => (n, m.user_id, m.start_event_id) }
+        .toSet
+      assert(got == Set(("funnel", 7L, 1L), ("pair", 8L, 4L)), s"$got")
+      // duplicate names and a malformed measure reject at submission
+      val dup = intercept[IllegalArgumentException](
+        StreamingOps.cepStreamSqlMulti(src.toDS(),
+          clauses :+ clauses.head))
+      assert(dup.getMessage.contains("repeat"), dup.getMessage)
+      val badMeasure = clauses.head._2.replace("ONE ROW PER MATCH",
+        "MEASURES MEDIAN(V.value) AS m\n  ONE ROW PER MATCH")
+      val e = intercept[IllegalArgumentException](
+        StreamingOps.cepStreamSqlMeasures(src.toDS(), badMeasure))
+      assert(e.getMessage.contains("unsupported MEASURES"), e.getMessage)
+    }
+  }
+
   test("measure-shape rejections: CLASSIFIER needs ALL ROWS, niladic " +
       "measures take no RUNNING/FINAL marker") {
     val events = funnelFrame()
