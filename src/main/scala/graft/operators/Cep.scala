@@ -576,7 +576,12 @@ object Cep {
   private[graft] final class Machine(pattern: IndexedSeq[Step],
       windowUs: Long, after: AfterMatch = SkipPastLast,
       contiguous: Boolean = true, grouped: Option[GPat] = None,
-      withRows: Boolean = false, withTimeouts: Boolean = false)
+      withRows: Boolean = false, withTimeouts: Boolean = false,
+      // the per-step MEASURES fold is O(consumed rows) per match —
+      // match-only folds whose conversions discard aggs skip it.
+      // MUST stay true for cepTimedOutOf-class machines: the empty
+      // aggs list is the timeout sentinel, real matches must differ.
+      needsAggs: Boolean = true)
       extends Serializable {
     // GROUP-QUANTIFIER mode: the compiled split-program replaces the
     // linear walks entirely (pattern then only feeds the alphabet);
@@ -1316,7 +1321,7 @@ object Cep {
               // the group program populates spanPos too (per-LEAF
               // positions across iterations), so grouped matches carry
               // real MEASURES since r14
-              val aggs = stepAggs()
+              val aggs = if (needsAggs) stepAggs() else Nil
               if (withRows) rowsQ += pattern.indices.iterator.flatMap {
                 s =>
                   val ps =
@@ -1537,7 +1542,8 @@ object Cep {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
-        segmentedScan(it, () => new Machine(pat, windowUs, after, contiguous))(
+        segmentedScan(it, () => new Machine(pat, windowUs, after, contiguous,
+          needsAggs = false))(
           (u, _, r) => Iterator.single(r._1.copy(user_id = u)))
       }
   }
@@ -1692,7 +1698,8 @@ object Cep {
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
         segmentedScan(it, () => new Machine(leaves, windowUs, after,
-          contiguous = true, grouped = grouped, withRows = true)) {
+          contiguous = true, grouped = grouped, withRows = true,
+          needsAggs = false)) {
           case (u, m, (c, _)) =>
             m.popRows().iterator.map { case (step, ts, id, tpe, vc) =>
               CepRowMatched(u, c.start_event_id, c.start_ts_us,
@@ -1730,9 +1737,23 @@ object Cep {
     */
   def cepRowsGroupedOf(events: DataFrame, gpat: GPat,
       windowUs: Long, after: AfterMatch = SkipPastLast)
-      : Dataset[CepRowMatched] =
+      : Dataset[CepRowMatched] = {
+    validateGroupedEntry(gpat, after)
     rowsScan(events, gLeaves(gpat).toIndexedSeq, windowUs, after,
       Some(gpat))
+  }
+
+  /** Driver-side twin of the Machine's grouped-mode requires: the
+    * grouped entry points must reject bad trees and flat-step
+    * AFTER MATCH forms BEFORE a task runs (the Machine re-validates
+    * in-ctor as the backstop).
+    */
+  private def validateGroupedEntry(gpat: GPat, after: AfterMatch): Unit = {
+    validateGrouped(gpat)
+    require(after == SkipPastLast || after == SkipToNextRow,
+      "cep: grouped patterns support AFTER MATCH SKIP PAST LAST ROW " +
+        "/ TO NEXT ROW (FIRST/LAST name flat steps)")
+  }
 
   /** MEASURES over GROUP-QUANTIFIER patterns — [[cepMeasuresOf]]'s
     * grouped twin: one output row per (match, LEAF in [[gLeaves]]
@@ -1747,6 +1768,7 @@ object Cep {
   def cepMeasuresGroupedOf(events: DataFrame, gpat: GPat,
       windowUs: Long, after: AfterMatch = SkipPastLast)
       : Dataset[CepMeasured] = {
+    validateGroupedEntry(gpat, after)
     val ss = events.sparkSession
     import ss.implicits._
     val leaves = gLeaves(gpat).toIndexedSeq
@@ -2122,6 +2144,7 @@ object Cep {
   def cepMatchGroupedOf(events: DataFrame, gpat: GPat,
       windowUs: Long, after: AfterMatch = SkipPastLast)
       : Dataset[CepMatch] = {
+    validateGroupedEntry(gpat, after)
     val ss = events.sparkSession
     import ss.implicits._
     val leaves = gLeaves(gpat).toIndexedSeq
@@ -2138,7 +2161,7 @@ object Cep {
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .mapPartitions { it =>
         segmentedScan(it, () => new Machine(leaves, windowUs, after,
-          contiguous = true, grouped = Some(gpat)))(
+          contiguous = true, grouped = Some(gpat), needsAggs = false))(
           (u, _, r) => Iterator.single(r._1.copy(user_id = u)))
       }
   }

@@ -181,7 +181,11 @@ object MatchRecognize {
         { orderCols += p.next().toLowerCase; true }) ()
 
     // MEASURES ... — tokens captured verbatim up to the next section
-    // (strictly parsed only by the measures runner)
+    // (strictly parsed only by the measures runner). The stop words
+    // ONE/ALL/AFTER/PATTERN are RESERVED inside the clause: an alias
+    // spelled like one of them ends the capture early and the parse
+    // fails at the output-mode keywords — rename the alias (the SQL
+    // standard reserves them as keywords here too).
     val rawMeasures = Vector.newBuilder[String]
     if (p.accept("MEASURES")) {
       val stops = Set("ONE", "ALL", "AFTER", "PATTERN")
@@ -534,6 +538,9 @@ object MatchRecognize {
       }
       more = p.accept(",")
     }
+    require(out.map(_.alias).distinct.length == out.length,
+      "match_recognize: MEASURES aliases repeat — every measure needs " +
+        s"its own output column name (${out.map(_.alias).mkString(", ")})")
     require(p.done,
       s"match_recognize: trailing MEASURES tokens at '${p.peek}'")
     out.toList
@@ -736,14 +743,15 @@ object MatchRecognize {
             col("start_ts_us"), col("end_event_id"), col("end_ts_us"),
             col("n_rows"))
           .agg(max(lit(1)).as("__d")).drop("__d")
-    measures.find(_.func == "MATCH_NUMBER") match {
-      case Some(mn) =>
-        pivoted.withColumn(mn.alias,
+    // every MATCH_NUMBER alias materializes (aliases are distinct by
+    // parseMeasures; repeated MATCH_NUMBER entries are legal and equal)
+    measures.filter(_.func == "MATCH_NUMBER").foldLeft(pivoted) {
+      (df, mn) =>
+        df.withColumn(mn.alias,
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id"))
             .orderBy(col("start_ts_us"), col("start_event_id")))
             .cast("long"))
-      case None => pivoted
     }
   }
 
@@ -849,25 +857,19 @@ object MatchRecognize {
       // WITH UNMATCHED ROWS — the standard's ALL ROWS option: every
       // input row the pattern did NOT consume rides along with null
       // match identity, step, CLASSIFIER, and measures (MATCH_NUMBER
-      // included — no match to number). One anti-join keyed on
-      // (user_id, event_id) against the distinct consumed set — a key
-      // shuffle, no new operator class at scale. A row consumed by
-      // overlapping matches (SKIP TO NEXT ROW) is matched, not
-      // unmatched, exactly once per consuming match as before.
+      // included — no match to number). ONE LEFT JOIN from the
+      // normalized input to the matched rows on (user_id, event_id):
+      // matched rows surface under their match columns (a row in k
+      // overlapping SKIP TO NEXT ROW matches surfaces k times, exactly
+      // as the plain ALL ROWS output), unmatched rows with nulls —
+      // and the CEP scan is evaluated ONCE (a union + anti-join shape
+      // would walk the segmented scan twice).
       val src = events.select(col("user_id").cast("long"),
         unix_micros(col("ts")).as("ts_us"),
         col("event_id").cast("long"), col("event_type"),
         round(col("value") * 100).cast("long").as("value_c"))
-      val consumed = matched.select(col("user_id"), col("event_id"))
-        .distinct()
-      val srcCols = Set("user_id", "ts_us", "event_id", "event_type",
-        "value_c")
-      val un0 = src.join(consumed, Seq("user_id", "event_id"), "left_anti")
-      val un = matched.schema.fields.foldLeft(un0) { (df, f) =>
-        if (srcCols(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }
-      matched.unionByName(un)
+      src.join(matched.drop("ts_us", "event_type", "value_c"),
+        Seq("user_id", "event_id"), "left")
     }
   }
 

@@ -2071,9 +2071,11 @@ object StreamingOps {
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
       grouped: Option[graft.operators.Cep.GPat] = None,
       // output shape per completed match: the match-only surfaces emit
-      // one CepMatch, the MEASURES surface one CepMeasured per step
+      // one CepMatch, the MEASURES surface one CepMeasured per step.
+      // needsAggs must be true iff conv reads the aggregates.
       conv: (Long, graft.operators.Cep.CepMatch,
-        List[graft.operators.Cep.StepAgg]) => IterableOnce[O])
+        List[graft.operators.Cep.StepAgg]) => IterableOnce[O],
+      needsAggs: Boolean = true)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, String, Long), O] {
     @transient private var buf:
@@ -2169,7 +2171,7 @@ object StreamingOps {
         drained.update(wmUs); return Iterator.empty
       }
       val m = new graft.operators.Cep.Machine(pattern, windowUs, after,
-        contiguous, grouped)
+        contiguous, grouped, needsAggs = needsAggs)
       if (mstate.exists()) m.restore(mstate.get())
       val out = scala.collection.mutable.ArrayBuffer.empty[O]
       ripe.foreach { case (ts, entries) =>
@@ -2257,7 +2259,8 @@ object StreamingOps {
       .transformWithState(
         new CepStreamProcessor[graft.operators.Cep.CepMatch](
           pattern.toIndexedSeq, windowUs, after, contiguous, lateCounter,
-          grouped, (k, c, _) => Iterator.single(c.copy(user_id = k))),
+          grouped, (k, c, _) => Iterator.single(c.copy(user_id = k)),
+          needsAggs = false),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
@@ -2508,7 +2511,10 @@ object StreamingOps {
         if (ripeRows.nonEmpty || needsAdvanceI(i)) {
           val m = new graft.operators.Cep.Machine(sp.pattern, sp.windowUs,
             sp.after, sp.contiguous, sp.grouped,
-            withTimeouts = sp.withTimeouts)
+            withTimeouts = sp.withTimeouts,
+            // the empty-aggs timeout sentinel needs real aggs on
+            // matches; match-only specs skip the per-match fold
+            needsAggs = sp.withTimeouts)
           if (mstates(i).exists()) m.restore(mstates(i).get())
           // the empty-aggs sentinel marks a window-expired partial
           // (withTimeouts specs only) — routed to the offset tag so
@@ -3743,8 +3749,12 @@ object StreamingOps {
     * buffer — CepMatch carries no value column and symbol-only
     * machines never read one, so outputs are bit-identical.
     */
-  private def cepMultiReplayed(s: SparkSession, dir: String): DataFrame =
-    memoFixture("cep_multi_replay_df", dir) {
+  private def cepMultiReplayed(s: SparkSession, dir: String): DataFrame = {
+    // the cache holds the replay's parquet PATH, not a DataFrame —
+    // fixtureCache's contract is session-independent plain JVM data
+    // (a cached DataFrame would pin a stopped SparkSession); each call
+    // re-reads through the CURRENT session, paying one footer read
+    val path = memoFixture("cep_multi_replay_path", dir) {
       import s.implicits._
       val fixture = gateEventsDayFolded(s, dir).map { e =>
         (e.user_id, gateEvUs(e), e.event_id, e.event_type,
@@ -3754,11 +3764,17 @@ object StreamingOps {
       val flush = (-1L,
         fixture.map(_._2).max + CepGateSpecs.map(_.windowUs).max +
           600000000L, -1L, "flush", 0L)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-cep-multi-replay").toString
       replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
         cepStreamMulti(ds, CepGateSpecs).toDF()
           .select(col("_1").as("pat"), col("_2.*")))
         .filter(col("user_id") >= 0L)
+        .write.mode("overwrite").parquet(out)
+      out
     }
+    s.read.parquet(path)
+  }
 
   /** One gate's slice of the shared replay: filter its tag, restore
     * the single-machine gates' exact output shape and order.
