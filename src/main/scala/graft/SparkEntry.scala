@@ -531,6 +531,10 @@ object SparkEntry {
     "stream_sql_mr_measures" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamSqlMrMeasuresGate(s, dir)),
+    // the open-ended quantifier {m,} (Flink timesOrMore): the funnel
+    // needing AT LEAST two views — the bound kills single-view runs
+    "cep_rep_open" ->
+      ((s, dir) => graft.operators.MatchRecognize.cepRepOpen(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -4292,6 +4296,34 @@ object SparkEntry {
         "FROM i x WHERE NOT EXISTS (SELECT 1 FROM o " +
         "WHERE o.user_id = x.user_id AND o.event_id = x.event_id) " +
         "ORDER BY user_id, ts_us, event_id"),
+    // open-ended {2,}: the funnel islands selection with the view run
+    // required >= 2 (greedy {m,} == V+ except the lower-bound kill)
+    "cep_rep_open" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "f.event_id AS first_id, f.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts FROM g " +
+        "JOIN i f ON f.user_id = g.user_id AND f.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' AND v.n >= 2 " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000 " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // timed-out partials: every click is independently a head (funnel
     // spans contain no clicks), so classify each click — a run view
     // past the horizon times out at that view (partial = rows before

@@ -253,14 +253,19 @@ object MatchRecognize {
             val t = p.next()
             require(t.nonEmpty && t.forall(_.isDigit),
               s"match_recognize: PATTERN quantifier {m,n} needs " +
-                s"explicit integer bounds — found '$t' for $which " +
-                "(the open-ended forms {m,} / {,n} / {m} are " +
-                "unsupported; write {m,n} or use + * ?)")
+                s"integer bounds — found '$t' for $which " +
+                "(supported forms: {m,n} and the open-ended {m,} — " +
+                "Flink's timesOrMore; {,n} / {m} are not: write {0,n} " +
+                "or {m,m})")
             t.toInt
           }
           lo = bound("the lower bound")
           p.expect(",")
-          hi = bound("the upper bound")
+          // {m,} — SQL's open-ended repetition (Flink timesOrMore):
+          // the machine's bounds already carry (m, unbounded); only
+          // bounded GROUP repeats unroll, so leaves take it directly
+          if (p.peek == "}") hi = Int.MaxValue
+          else hi = bound("the upper bound")
           p.expect("}")
           explicitRep = true
         case _ => ()
@@ -1072,4 +1077,30 @@ object MatchRecognize {
     matchRecognizeRowsOf(graft.Tables.t(s, dir, "events"),
       FunnelUnmatchedSql)
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+
+  /** cep_rep_open — the open-ended quantifier `{m,}` (Flink's
+    * timesOrMore) end to end: the funnel with AT LEAST two views
+    * (`C V{2,} P`). Greedy `{2,}` consumes the whole contiguous view
+    * run exactly as `V+` does — the lower bound only KILLS runs of
+    * one — so the oracle is the funnel islands CTE with `v.n >= 2`.
+    * Binds hard at sf0.01: 88 funnel matches shrink to the 16 with
+    * two or more views.
+    */
+  val FunnelTwoPlusSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V{2,} P)
+      |  WITHIN INTERVAL '7' DAY
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |)""".stripMargin
+
+  def cepRepOpen(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeOf(graft.Tables.t(s, dir, "events"), FunnelTwoPlusSql)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

@@ -279,17 +279,26 @@ class Round14Spec extends SparkSpecBase {
       .columns.contains("n"))
   }
 
-  test("parser guards: open-ended {m,} and malformed numeric " +
-      "literals fail as parse errors, not NumberFormatException") {
+  test("parser guards: {m,} parses open-ended (timesOrMore), {,n} and " +
+      "malformed numeric literals fail as parse errors") {
     import graft.operators.MatchRecognize
-    val openEnded =
+    // {2,} — Flink's timesOrMore: lower bound 2, unbounded upper
+    val openEnded = MatchRecognize.parse(
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts, event_id
         |  PATTERN (A B{2,} C)
         |  DEFINE A AS A.event_type = 'click'
+        |)""".stripMargin)
+    assert(openEnded.pattern(1).rep.contains((2, Int.MaxValue)),
+      s"${openEnded.pattern(1)}")
+    val missingLo =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  PATTERN (A B{,2} C)
+        |  DEFINE A AS A.event_type = 'click'
         |)""".stripMargin
     val e1 = intercept[IllegalArgumentException](
-      MatchRecognize.parse(openEnded))
+      MatchRecognize.parse(missingLo))
     assert(e1.getMessage.contains("integer bounds"), e1.getMessage)
     val badNum =
       """MATCH_RECOGNIZE (
