@@ -355,6 +355,73 @@ object ScaleProbe {
     def jcard(o: DataFrame, li: DataFrame) = operators.Quality
       .joinCardinality(o, col("o_orderkey"), li, col("l_orderkey"))
 
+    // ALL ROWS PER MATCH WITH UNMATCHED ROWS (r14 surface): the
+    // segmented rows scan + ONE key-shuffled left join from the
+    // normalized input + per-match measure windows — all keyed by
+    // user_id; disjoint replica universes → expect near-linear
+    def mrUnmatched(e: DataFrame) = operators.MatchRecognize
+      .matchRecognizeRowsOf(e,
+        operators.MatchRecognize.FunnelUnmatchedSql)
+    // multi-pattern streaming CEP (r14 surface): N machines over ONE
+    // shared watermark buffer — state O(buffer + N·machine); replicas
+    // are disjoint keys, so drain work is per-key-linear. Replayed
+    // through a MemoryStream exactly like the stream gates; the r15
+    // measured channel rides spec 0.
+    def cepMulti(rows: Seq[(Long, Long, Long, String, Long)]): Unit = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val specs = {
+        import operators.Cep.{Step, SkipToNextRow}
+        Seq(
+          streaming.StreamingOps.CepSpec(IndexedSeq(Step("click"),
+            Step("view", plus = true), Step("purchase")), 600000000L,
+            withTimeouts = true, measured = true),
+          streaming.StreamingOps.CepSpec(IndexedSeq(
+            Step("view", plus = true), Step("view")), 180000000L),
+          streaming.StreamingOps.CepSpec(IndexedSeq(Step("view"),
+            Step("click"), Step("view")), 600000000L,
+            after = SkipToNextRow))
+      }
+      val src = MemoryStream[(Long, Long, Long, String, Long)]
+      val q = streaming.StreamingOps
+        .cepStreamMultiMeasured(src.toDS(), specs).toDF()
+        .writeStream.format("noop").outputMode("append").start()
+      val flushTs = rows.iterator.map(_._2).max + 1200000000L
+      src.addData(rows)
+      q.processAllAvailable()
+      src.addData((-1L, flushTs, -1L, "flush", 0L))
+      q.processAllAvailable()
+      q.stop()
+    }
+    import spark.implicits._
+    lazy val cepRows1: Seq[(Long, Long, Long, String, Long)] = {
+      e1.select(col("user_id"), unix_micros(col("ts")),
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long"))
+        .as[(Long, Long, Long, String, Long)].collect().sortBy(_._2).toSeq
+    }
+    lazy val cepRowsK: Seq[(Long, Long, Long, String, Long)] = {
+      eK.select(col("user_id"), unix_micros(col("ts")),
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long"))
+        .as[(Long, Long, Long, String, Long)].collect().sortBy(_._2).toSeq
+    }
+    // exact substring dedup (r15): shingle index + posting-capped
+    // candidate join + diagonal-island windows. Replica texts get a
+    // per-replica token suffix so cross-replica shingles are DISJOINT
+    // (replicating identical text would plant k² near-dup pairs by
+    // construction — the self-similar-corpus pathology, bounded by the
+    // df cap, not a plan property); candidates then scale linearly.
+    lazy val docsSubK = (0 until k).map { r =>
+      val d = docs1.withColumn("doc_id", col("doc_id") + lit(r * 10000L))
+      if (r == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1q" + r))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    def substr(docs: DataFrame) =
+      operators.TextAnalysis.substringDedupOf(docs, 5, 15)
+
     // warm forces the lazy replica tables' localCheckpoint OUTSIDE the
     // timers — otherwise the first probe touching a table absorbs its
     // build cost and reports a polluted ratio
@@ -498,7 +565,13 @@ object ScaleProbe {
           Seq(operators.Cep.Step("click", plus = false),
             operators.Cep.Step("view", plus = true, alt = Set("error")),
             operators.Cep.Step("purchase", plus = false)),
-          windowUs = 24L * 3600 * 1000000).toDF()))))).flatten
+          windowUs = 24L * 3600 * 1000000).toDF())))),
+      probe("mr_unmatched", { eA1; eAK; () })((
+        time(noop(mrUnmatched(eA1))), time(noop(mrUnmatched(eAK))))),
+      probe("cep_multi_stream", { cepRows1; cepRowsK; () })((
+        time(cepMulti(cepRows1)), time(cepMulti(cepRowsK)))),
+      probe("substr_dedup", { docs1c; docsSubK; () })((
+        time(noop(substr(docs1c))), time(noop(substr(docsSubK)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

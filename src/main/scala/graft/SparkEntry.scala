@@ -535,6 +535,15 @@ object SparkEntry {
     // needing AT LEAST two views — the bound kills single-view runs
     "cep_rep_open" ->
       ((s, dir) => graft.operators.MatchRecognize.cepRepOpen(s, dir)),
+    // CROSS-VARIABLE DEFINE navigation (r15): the purchase compared
+    // against FIRST(V.value) and the bare C.value — the Flink-canonical
+    // DEFINE class the parser previously rejected
+    "cep_cross_define" ->
+      ((s, dir) => graft.operators.MatchRecognize.cepCrossDefine(s, dir)),
+    // MEASURES expression breadth (r15): AVG(V.value) first-class and
+    // +/− arithmetic over aggregates inside the one-row pivot
+    "sql_mr_measures_ext" ->
+      ((s, dir) => graft.operators.MatchRecognize.sqlMrMeasuresExt(s, dir)),
     // late-data observability: the per-operator dropped-late counter,
     // oracled against the definitional watermark formula on a
     // deliberately disordered two-batch replay
@@ -576,6 +585,10 @@ object SparkEntry {
     // gram table -- the non-broadcastable-eval-side scale path
     "text_decontam_bloom" -> TextAnalysis.decontamBloom _,
     "text_span_dedup" -> TextAnalysis.spanDedup _,
+    // exact substring dedup (suffix family, Lee et al. 2021): maximal
+    // cross-doc token runs >= 15 via shingle-diagonal islands —
+    // arbitrary alignment, the class span tiling misses
+    "text_substring_dedup" -> TextAnalysis.substringDedup _,
     // the 8-byte-key production plan, gated on ≡ the string-keyed form
     "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
@@ -3355,6 +3368,73 @@ object SparkEntry {
         "WHERE c.event_type = 'click' " +
         "AND p.first_ts - c.last_ts <= 604800000000 " +
         "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // cross-variable DEFINE: the funnel islands CTE with the purchase
+    // row's value compared against the FIRST view's and the click's
+    // (the matched C row = the click island's LAST row)
+    "cep_cross_define" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "fi.vc AS first_vc, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts, l.vc AS last_vc " +
+        "FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000 " +
+        "AND p.first_vc > v.first_vc AND p.first_vc >= c.last_vc " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // MEASURES expression breadth: the funnel islands CTE computing
+    // AVG (double), a SUM difference, and a COUNT sum per match
+    "sql_mr_measures_ext" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n, " +
+        "CAST(SUM(vc) AS BIGINT) AS sv FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "g.sv, fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts, l.vc AS last_vc " +
+        "FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "CAST(v.sv AS DOUBLE) / v.n AS v_avg_c, " +
+        "CAST(v.sv - c.last_vc AS BIGINT) AS vc_diff_c, " +
+        "CAST(v.n + 1 AS BIGINT) AS vc_cnt " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000 " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // SKIP TO FIRST click on view+ click view: per (view-island,
     // single-click island, view-island) adjacency, ONE match starting
     // at the leftmost window-valid view of the run (the automaton's
@@ -4567,6 +4647,27 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY span ORDER BY doc_id, chunk) AS rn FROM sp) " +
         "SELECT doc_id, COUNT(*) AS n_spans, COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dup " +
         "FROM x GROUP BY doc_id ORDER BY doc_id"),
+    // exact substring dedup: the same 5-token shingle index, cross-doc
+    // same-shingle matches, and diagonal-islands maximal-run CTE the
+    // operator runs (string-keyed — definitional, cap-free; the
+    // operator's df cap provably does not bind at this scale)
+    "text_substring_dedup" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos, " +
+        "array_to_string(toks[(CAST(r.i AS INT)+1):(CAST(r.i AS INT)+5)], ' ') AS g " +
+        "FROM d, unnest(range(0, greatest(len(toks)-4, 0))) AS r(i)), " +
+        "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.pos AS pa, b.pos AS pb " +
+        "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        "isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, " +
+        "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb " +
+        "ORDER BY pa) AS grp FROM m), " +
+        "runs AS (SELECT doc_a, doc_b, diag, MIN(pa) AS a_start, " +
+        "MAX(pa) AS a_end FROM isl GROUP BY doc_a, doc_b, diag, grp) " +
+        "SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, " +
+        "CAST(a_end - a_start + 5 AS BIGINT) AS run_len " +
+        "FROM runs WHERE a_end - a_start + 5 >= 15 " +
+        "ORDER BY doc_a, doc_b, a_start, b_start"),
     // same definitional counts + the hashed-plan equivalence verdict
     "text_span_dedup_hashed" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +

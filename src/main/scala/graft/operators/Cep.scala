@@ -62,6 +62,36 @@ object Cep {
   case object PrevLe extends PrevCmp
   case object PrevGe extends PrevCmp
 
+  private[graft] def cmpHolds(c: PrevCmp, l: Long, r: Long): Boolean =
+    c match {
+      case PrevLt => l < r
+      case PrevGt => l > r
+      case PrevLe => l <= r
+      case PrevGe => l >= r
+    }
+
+  /** A CROSS-VARIABLE DEFINE predicate — the SQL-standard /
+    * Flink-canonical `A.value <op> FIRST/LAST(B.value)` family (and
+    * the bare `A.value <op> B.value`, the standard's implicit
+    * LAST(B.value)): the row's value compares against the FIRST or
+    * LAST row that ANOTHER, already-matched step consumed in the
+    * current parse. `step` is the referenced step's flat index and
+    * must be STRICTLY BEFORE the carrying step (a reference to a
+    * not-yet-matched variable has no rows to navigate — rejected as
+    * undecidable, the same rule Flink's planner applies). If the
+    * referenced step consumed ZERO rows (an optional that took
+    * nothing), the navigation is NULL and the row does not match —
+    * SQL NULL-comparison semantics, exactly like PREV off the buffer
+    * head. Cross-referencing steps run on the backtracking walk, and
+    * because the referenced span depends on the PATH (the referenced
+    * step's take), (step, position) memoization is disabled from the
+    * first position a later step's reference can reach back across
+    * (see walkBack's memoOkFrom) — the walk degrades to plain
+    * backtracking there, still window-bounded per feed.
+    */
+  final case class CrossRef(step: Int, first: Boolean, cmp: PrevCmp)
+    extends Serializable
+
   /** One pattern step: match rows whose event_type equals `symbol` or
     * any member of `alt` (ALTERNATION — `(a|b)` is
     * `Step("a", …, alt = Set("b"))`), or ANY type when `any` is set
@@ -101,7 +131,8 @@ object Cep {
       rep: Option[(Int, Int)] = None, any: Boolean = false,
       cmp: Option[PrevCmp] = None, reluctant: Boolean = false,
       neg: Boolean = false, cmpOff: Int = 1,
-      sumCap: Option[Long] = None) {
+      sumCap: Option[Long] = None,
+      cross: List[CrossRef] = Nil) {
     /** The step's full symbol set (alphabet contribution; meaningless
       * under `any`).
       */
@@ -115,14 +146,8 @@ object Cep {
       */
     def matchesRow(tpe: String, valueC: Long,
         prevValueC: Option[Long]): Boolean =
-      matches(tpe) && cmp.forall(c => prevValueC.exists { pv =>
-        c match {
-          case PrevLt => valueC < pv
-          case PrevGt => valueC > pv
-          case PrevLe => valueC <= pv
-          case PrevGe => valueC >= pv
-        }
-      })
+      matches(tpe) &&
+        cmp.forall(c => prevValueC.exists(pv => cmpHolds(c, valueC, pv)))
     /** Repetition bounds [lo, hi]: BOUNDED REPEAT `rep = Some((m, n))`
       * (greedy A{m,n}; overrides the flags, which must be unset), else
       * derived — One (1,1), OneOrMore (1,∞), ZeroOrOne (0,1),
@@ -246,6 +271,10 @@ object Cep {
       require(!st.neg,
         "cep: negation steps are the linear machine's — compose " +
           "absence with cepMatchOf/cepFollowedByOf patterns")
+      require(st.cross.isEmpty,
+        "cep: cross-variable DEFINE references are FLAT-pattern only " +
+          "— a repeated group's leaf accumulates rows across " +
+          "iterations, so the referenced occurrence is ambiguous")
       require(st.cmpOff >= 1, "cep: PREV offset must be >= 1")
       st.rep.foreach { case (lo, hi) =>
         require(!st.plus && !st.opt && 0 <= lo && lo <= hi && hi >= 1,
@@ -396,7 +425,8 @@ object Cep {
       if (st.neg) {
         require(!st.plus && !st.opt && st.rep.isEmpty && !st.reluctant,
           "cep: a negation step is zero-width — quantifiers don't apply")
-        require(st.cmp.isEmpty && st.sumCap.isEmpty && !st.any,
+        require(st.cmp.isEmpty && st.sumCap.isEmpty && st.cross.isEmpty &&
+          !st.any,
           "cep: a negation step asserts SYMBOL absence only (no value " +
             "predicates, no wildcard — a not-anything step can never " +
             "pass)")
@@ -436,6 +466,11 @@ object Cep {
         "cep: running-aggregate DEFINE predicates are contiguous-mode " +
           "only (a relaxed run's membership is not prefix-decidable " +
           "under a cap when rows can be skipped)")
+      require(st.cross.isEmpty,
+        "cep: cross-variable DEFINE references are contiguous-mode " +
+          "only — a relaxed parse's referenced span is a subsequence " +
+          "the (off, len) navigation the predicate reads cannot " +
+          "represent")
       st.rep.foreach { case (lo, hi) =>
         require(!st.plus && !st.opt,
           "cep: rep bounds override the quantifier flags")
@@ -510,6 +545,17 @@ object Cep {
       require(st.cmpOff >= 1,
         s"cep: PREV offset must be >= 1 (got ${st.cmpOff})")
       require(!st.neg || !st.any, "cep: negation of a wildcard")
+    }
+    pat.zipWithIndex.foreach { case (st, i) =>
+      st.cross.foreach { cr =>
+        require(cr.step >= 0 && cr.step < i,
+          s"cep: a cross-variable DEFINE reference must name an " +
+            s"EARLIER step (step $i references ${cr.step} — a " +
+            "not-yet-matched variable has no rows to navigate)")
+        require(!pat(cr.step).neg,
+          "cep: a cross-variable reference targets a zero-width " +
+            "negation step, which consumes no row to navigate")
+      }
     }
     require(pat.head.bounds._1 >= 1 && !pat.head.neg,
       "cep: first step must be required and consuming (candidate " +
@@ -622,8 +668,16 @@ object Cep {
     // parse per start exists)
     private val backtrack = contiguous && (!closureHolds(pattern) ||
       pattern.exists(st => st.cmp.isDefined || st.any || st.reluctant ||
-        st.neg || st.sumCap.isDefined) ||
+        st.neg || st.sumCap.isDefined || st.cross.nonEmpty) ||
       pattern.last.bounds != ((1, 1)))
+    // (step, position) memoization is sound at step s only if no step
+    // t >= s references back across s (a cross ref to a step < s makes
+    // go(s, p)'s outcome depend on the PATH's earlier takes, not just
+    // (s, p)); from the last such back-reference onward memo re-enables
+    private val memoOkFrom: Array[Boolean] =
+      Array.tabulate(pattern.length)(s =>
+        (s until pattern.length).forall(t =>
+          pattern(t).cross.forall(_.step >= s)))
     // relaxed patterns with quantified or negation steps run the
     // GENERALIZED subsequence walk (memoized backtracking over
     // subsequence takes); plain One-step relaxed patterns keep the
@@ -875,8 +929,12 @@ object Cep {
         // unwinds the whole walk immediately, so the 3-branch is never
         // re-read in practice, but encoding it distinctly keeps any
         // future keep-exploring refactor from reading a memoized
-        // Partial back as Complete with stale span arrays.
-        if (memo(s)(p) != 0)
+        // Partial back as Complete with stale span arrays. Reads AND
+        // writes are gated on memoOkFrom: a position a later step's
+        // cross-variable reference reaches back across is path-
+        // dependent and must not be cached.
+        val mOk = memoOkFrom(s)
+        if (mOk && memo(s)(p) != 0)
           return if (memo(s)(p) == 3) Partial else Mismatch
         val st = pattern(s)
         if (st.neg) {
@@ -886,6 +944,10 @@ object Cep {
           // assertion's scope (pass), and no-next-row stays Partial
           // until the window closes (then the assertion is vacuously
           // confirmed: any future row lands past the horizon).
+          // span set BEFORE the recursion: later steps' cross-variable
+          // references read the current path's spans (a zero-width
+          // step's span is (p, 0); cross refs to negs are rejected)
+          spanOff(s) = p; spanLen(s) = 0
           val r =
             if (p < n) {
               if (buf(p)._1 > startTs + windowUs) go(s + 1, p)
@@ -893,8 +955,7 @@ object Cep {
               else go(s + 1, p)
             } else if (futureOk) Partial
             else go(s + 1, p)
-          if (r == Complete) { spanOff(s) = p; spanLen(s) = 0 }
-          else memo(s)(p) = if (r == Partial) 3 else 2
+          if (r != Complete && mOk) memo(s)(p) = if (r == Partial) 3 else 2
           return r
         }
         val (lo, hi) = st.bounds
@@ -903,10 +964,18 @@ object Cep {
         // (contiguous-mode buffers append every fed row and drop
         // prefixes only). q < cmpOff has no such row (None — a cmp
         // step never matches there; validateCommon keeps cmp off
-        // step 0 so q >= 1 in practice).
+        // step 0 so q >= 1 in practice). CROSS-VARIABLE references
+        // read the current path's spans (set before each recursion):
+        // FIRST/LAST of the referenced step's consumed run — a
+        // zero-take referenced span is NULL, the row never matches.
         def rowOk(q: Int): Boolean =
           st.matchesRow(buf(q)._3, buf(q)._4,
-            if (q >= st.cmpOff) Some(buf(q - st.cmpOff)._4) else None)
+            if (q >= st.cmpOff) Some(buf(q - st.cmpOff)._4) else None) &&
+          st.cross.forall { cr =>
+            spanLen(cr.step) > 0 && cmpHolds(cr.cmp, buf(q)._4,
+              buf(if (cr.first) spanOff(cr.step)
+                  else spanOff(cr.step) + spanLen(cr.step) - 1)._4)
+          }
         var c = 0
         // the running-aggregate DEFINE (SUM <= cap): per-row
         // evaluation — the first row that would push the run's sum
@@ -937,19 +1006,23 @@ object Cep {
         // for greedy and the LEAST for reluctant, hence the asymmetric
         // placement of the canExtend check.
         val canExtend = p + c >= n && c < hi
+        // spans are set BEFORE each recursion (not on the Complete
+        // unwind): later steps' cross-variable references read the
+        // current path's takes; Complete short-circuits, so the
+        // accepted path's values are exactly what remains
         if (!st.reluctant) {
           if (canExtend && futureOk) {
-            memo(s)(p) = 3
+            if (mOk) memo(s)(p) = 3
             return Partial
           }
           var take = c
           while (take >= lo) {
+            spanOff(s) = p; spanLen(s) = take
             go(s + 1, p + take) match {
               case Complete =>
-                spanOff(s) = p; spanLen(s) = take
                 return Complete
               case Partial =>
-                memo(s)(p) = 3
+                if (mOk) memo(s)(p) = 3
                 return Partial
               case _ => take -= 1
             }
@@ -957,22 +1030,22 @@ object Cep {
         } else {
           var take = lo
           while (take <= c) {
+            spanOff(s) = p; spanLen(s) = take
             go(s + 1, p + take) match {
               case Complete =>
-                spanOff(s) = p; spanLen(s) = take
                 return Complete
               case Partial =>
-                memo(s)(p) = 3
+                if (mOk) memo(s)(p) = 3
                 return Partial
               case _ => take += 1
             }
           }
           if (canExtend && futureOk) {
-            memo(s)(p) = 3
+            if (mOk) memo(s)(p) = 3
             return Partial
           }
         }
-        memo(s)(p) = 2
+        if (mOk) memo(s)(p) = 2
         Mismatch
       }
       go(0, 0)
@@ -1531,7 +1604,8 @@ object Cep {
     // the value column rides along only when a DEFINE predicate needs
     // it — symbol-only patterns keep working on frames without `value`
     val valueC =
-      if (pat.exists(st => st.cmp.isDefined || st.sumCap.isDefined))
+      if (pat.exists(st => st.cmp.isDefined || st.sumCap.isDefined ||
+          st.cross.nonEmpty))
         round(col("value") * 100).cast("long")
       else lit(0L)
     events
@@ -1636,7 +1710,7 @@ object Cep {
   private[graft] def validateTimeoutScope(pat: IndexedSeq[Step]): Unit =
     require(closureHolds(pat) &&
       !pat.exists(st => st.cmp.isDefined || st.any || st.reluctant ||
-        st.neg || st.sumCap.isDefined) &&
+        st.neg || st.sumCap.isDefined || st.cross.nonEmpty) &&
       pat.last.bounds == ((1, 1)),
       "cep: timed-out partials need a contiguous collapse-closure " +
         "pattern with a required one-row tail under AFTER MATCH SKIP " +
@@ -2149,7 +2223,8 @@ object Cep {
     import ss.implicits._
     val leaves = gLeaves(gpat).toIndexedSeq
     val valueC =
-      if (leaves.exists(st => st.cmp.isDefined || st.sumCap.isDefined))
+      if (leaves.exists(st => st.cmp.isDefined || st.sumCap.isDefined ||
+          st.cross.nonEmpty))
         round(col("value") * 100).cast("long")
       else lit(0L)
     events

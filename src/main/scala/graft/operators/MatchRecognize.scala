@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SQL-string surface for the CEP machine: a parser from the SQL
@@ -65,24 +65,40 @@ import org.apache.spark.sql.functions._
   */
 object MatchRecognize {
 
-  /** One parsed MEASURES entry: aggregate function, pattern variable
-    * (or SUBSET union variable), output alias, and the standard's
-    * per-row semantics marker. Supported aggregates (the machine's
-    * per-step primitive set): COUNT(V.*), SUM/MIN/MAX(V.value) — exact
-    * CENTS, like [[Cep.StepAgg]] — and FIRST/LAST(V.event_id); plus
-    * the niladic MATCH_NUMBER() (sequential match number within the
-    * partition, match order) and CLASSIFIER() (the row's consuming
-    * variable — ALL ROWS only, where a row exists to classify). AVG is
-    * sum/cnt downstream, as everywhere in the library. `mode` is ""
-    * (unspecified), "RUNNING", or "FINAL": in ONE ROW PER MATCH the
-    * two coincide (measures are evaluated at the match's final row —
-    * the standard's own equivalence) and the marker is accepted and
-    * ignored; in ALL ROWS PER MATCH an unspecified aggregate defaults
-    * to RUNNING (prefix-of-match up to the current row), FINAL reads
-    * the whole match from every row.
+  /** A MEASURES expression: a single aggregate leaf ([[MAgg]]) or
+    * left-associated +/− arithmetic over aggregate leaves ([[MBin]]) —
+    * `SUM(A.value) - SUM(B.value)`, `COUNT(A.*) + COUNT(B.*)`.
+    * Arithmetic ranges over the numeric aggregates (COUNT/SUM/MIN/
+    * MAX/AVG); FIRST/LAST are event-id NAVIGATIONS and the niladic
+    * MATCH_NUMBER()/CLASSIFIER() are row markers — both stand alone
+    * (rejected inside arithmetic).
     */
-  final case class Measure(func: String, varName: String, alias: String,
-      mode: String = "")
+  sealed trait MExpr extends Serializable
+  final case class MAgg(func: String, varName: String) extends MExpr
+  final case class MBin(op: Char, l: MExpr, r: MExpr) extends MExpr
+
+  /** One parsed MEASURES entry: expression, output alias, and the
+    * standard's per-row semantics marker. Supported aggregate leaves
+    * (the machine's per-step primitive set): COUNT(V.*),
+    * SUM/MIN/MAX(V.value) — exact CENTS, like [[Cep.StepAgg]] —
+    * AVG(V.value) (cents sum over row count, double), and
+    * FIRST/LAST(V.event_id); plus the niladic MATCH_NUMBER()
+    * (sequential match number within the partition, match order) and
+    * CLASSIFIER() (the row's consuming variable — ALL ROWS only,
+    * where a row exists to classify). `mode` is "" (unspecified),
+    * "RUNNING", or "FINAL", prefixed to the whole expression: in ONE
+    * ROW PER MATCH the two coincide (measures are evaluated at the
+    * match's final row — the standard's own equivalence) and the
+    * marker is accepted and ignored; in ALL ROWS PER MATCH an
+    * unspecified aggregate defaults to RUNNING (prefix-of-match up to
+    * the current row), FINAL reads the whole match from every row.
+    */
+  final case class Measure(expr: MExpr, alias: String, mode: String = "")
+
+  private[graft] def mLeaves(e: MExpr): List[MAgg] = e match {
+    case a: MAgg => List(a)
+    case MBin(_, l, r) => mLeaves(l) ++ mLeaves(r)
+  }
 
   /** The parsed clause: everything the runners need. `rawMeasures`
     * holds the MEASURES clause's tokens verbatim — [[matchRecognizeOf]]
@@ -158,10 +174,14 @@ object MatchRecognize {
     def done: Boolean = i >= toks.length
   }
 
-  /** Per-variable DEFINE condition accumulator. */
+  /** Per-variable DEFINE condition accumulator. `cross` holds the
+    * clause's cross-variable navigations as (referenced variable,
+    * isFirst, comparison) — resolved to step indices at assembly.
+    */
   private final case class VarDef(symbol: Option[String] = None,
       alt: Set[String] = Set.empty, cmp: Option[Cep.PrevCmp] = None,
-      cmpOff: Int = 1, sumCap: Option[Long] = None)
+      cmpOff: Int = 1, sumCap: Option[Long] = None,
+      cross: List[(String, Boolean, Cep.PrevCmp)] = Nil)
 
   def parse(sql: String): Parsed = {
     val p = new P(lex(sql))
@@ -252,20 +272,26 @@ object MatchRecognize {
           def bound(which: String): Int = {
             val t = p.next()
             require(t.nonEmpty && t.forall(_.isDigit),
-              s"match_recognize: PATTERN quantifier {m,n} needs " +
-                s"integer bounds — found '$t' for $which " +
-                "(supported forms: {m,n} and the open-ended {m,} — " +
-                "Flink's timesOrMore; {,n} / {m} are not: write {0,n} " +
-                "or {m,m})")
+              s"match_recognize: PATTERN quantifier needs integer " +
+                s"bounds — found '$t' for $which (supported forms: " +
+                "{m,n}, the open-ended {m,} — Flink's timesOrMore — " +
+                "{,n} = {0,n}, and the exact {m} = {m,m})")
             t.toInt
           }
-          lo = bound("the lower bound")
-          p.expect(",")
-          // {m,} — SQL's open-ended repetition (Flink timesOrMore):
-          // the machine's bounds already carry (m, unbounded); only
-          // bounded GROUP repeats unroll, so leaves take it directly
-          if (p.peek == "}") hi = Int.MaxValue
-          else hi = bound("the upper bound")
+          // the full standard family, desugared at parse: {,n} →
+          // {0,n}; {m} → {m,m}; {m,} → (m, unbounded) — the machine's
+          // bounds carry open ends directly (only bounded GROUP
+          // repeats unroll)
+          if (p.accept(",")) {
+            lo = 0
+            hi = bound("the upper bound")
+          } else {
+            lo = bound("the lower bound")
+            if (p.accept(",")) {
+              if (p.peek == "}") hi = Int.MaxValue
+              else hi = bound("the upper bound")
+            } else hi = lo
+          }
           p.expect("}")
           explicitRep = true
         case _ => ()
@@ -427,6 +453,44 @@ object MatchRecognize {
       require(items.exists(_.name == v),
         s"match_recognize: DEFINE names '$v' which PATTERN never uses")
     }
+    // CROSS-VARIABLE navigation resolution: referenced names must be
+    // PATTERN variables (not SUBSET unions) occurring exactly ONCE
+    // (a repeated variable's occurrences are distinct steps — the
+    // navigated one would be ambiguous), and STRICTLY BEFORE every
+    // occurrence of the referencing variable (a not-yet-matched
+    // variable has no rows to navigate — the undecidable class)
+    val occIdx: Map[String, List[Int]] =
+      items.toList.map(_.name).zipWithIndex.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+    if (hasGroups)
+      require(defs.values.forall(_.cross.isEmpty),
+        "match_recognize: cross-variable DEFINE references need a " +
+          "FLAT pattern — a repeated group's leaf accumulates rows " +
+          "across iterations, so the navigated span is ambiguous")
+    def resolveCross(owner: String, d: VarDef): List[Cep.CrossRef] =
+      d.cross.map { case (bName, isFirst, cmp) =>
+        require(!subsets.contains(bName),
+          s"match_recognize: '$owner' navigates the SUBSET '$bName' " +
+            "— cross-variable navigation targets primary pattern " +
+            "variables, not union variables")
+        val occ = occIdx.getOrElse(bName, Nil)
+        require(occ.nonEmpty,
+          s"match_recognize: '$owner' references '$bName' which " +
+            "PATTERN never uses")
+        require(occ.length == 1,
+          s"match_recognize: '$owner' references '$bName', which " +
+            s"PATTERN uses ${occ.length} times — the navigated " +
+            "occurrence is ambiguous")
+        Cep.CrossRef(occ.head, isFirst, cmp)
+      }
+    items.toList.zipWithIndex.foreach { case (it, i) =>
+      defs.get(it.name).foreach(_.cross.foreach { case (bName, _, _) =>
+        require(occIdx.getOrElse(bName, Nil).forall(_ < i),
+          s"match_recognize: '${it.name}' references '$bName', which " +
+            "PATTERN has not yet matched at that position — " +
+            "cross-variable navigation reads EARLIER variables only")
+      })
+    }
     def mkStep(it: PatItem): Cep.Step = {
       val d = defs.getOrElse(it.name, VarDef())
       val any = d.symbol.isEmpty
@@ -440,7 +504,8 @@ object MatchRecognize {
         cmp = d.cmp,
         reluctant = it.reluctant,
         cmpOff = d.cmpOff,
-        sumCap = d.sumCap)
+        sumCap = d.sumCap,
+        cross = resolveCross(it.name, d))
     }
     val steps = items.toList.map(mkStep)
     val resolvedAfter = afterVar match {
@@ -493,38 +558,32 @@ object MatchRecognize {
     }
   }
 
-  /** Strict MEASURES parse: `FUNC(VAR.field) AS alias` entries, comma
-    * separated — used by [[matchRecognizeMeasuresOf]] (the match-only
-    * runner ignores measures). Fields are fixed per function: COUNT
-    * takes `V.*`, SUM/MIN/MAX take `V.value`, FIRST/LAST take
-    * `V.event_id` — the machine's per-step primitive set.
+  /** Strict MEASURES parse: `expr AS alias` entries, comma separated —
+    * used by [[matchRecognizeMeasuresOf]] (the match-only runner
+    * ignores measures). An expr is an aggregate leaf `FUNC(VAR.field)`
+    * or left-associated +/− arithmetic over leaves
+    * (`SUM(A.value) - SUM(B.value)`, `COUNT(A.*) + COUNT(B.*)`).
+    * Fields are fixed per function: COUNT takes `V.*`,
+    * SUM/MIN/MAX/AVG take `V.value`, FIRST/LAST take `V.event_id` —
+    * the machine's per-step primitive set. Arithmetic ranges over the
+    * numeric aggregates only; FIRST/LAST (event-id navigations) and
+    * the niladic MATCH_NUMBER()/CLASSIFIER() must stand alone.
     */
   private[graft] def parseMeasures(raw: Vector[String]): Seq[Measure] = {
     require(raw.nonEmpty, "match_recognize: MEASURES clause is empty " +
       "(the measures runner needs at least one)")
     val p = new P(raw)
     val out = scala.collection.mutable.ListBuffer.empty[Measure]
-    var more = true
-    while (more) {
-      // optional per-measure semantics marker (the standard's RUNNING
-      // vs FINAL) — recorded verbatim; the runners interpret it
-      val mode = p.peek match {
-        case "RUNNING" => p.next(); "RUNNING"
-        case "FINAL"   => p.next(); "FINAL"
-        case _         => ""
-      }
+    def parseTerm(): MAgg = {
       val fn = p.next()
       if (fn == "MATCH_NUMBER" || fn == "CLASSIFIER") {
-        require(mode.isEmpty,
-          s"match_recognize: $mode $fn() — the niladic measures are " +
-            "neither RUNNING nor FINAL (drop the marker)")
         p.expect("("); p.expect(")")
-        p.expect("AS")
-        out += Measure(fn, "", p.next().toLowerCase)
+        MAgg(fn, "")
       } else {
-        require(Set("COUNT", "SUM", "MIN", "MAX", "FIRST", "LAST")(fn),
+        require(
+          Set("COUNT", "SUM", "MIN", "MAX", "AVG", "FIRST", "LAST")(fn),
           s"match_recognize: unsupported MEASURES aggregate '$fn' " +
-            "(COUNT/SUM/MIN/MAX/FIRST/LAST/MATCH_NUMBER/CLASSIFIER)")
+            "(COUNT/SUM/MIN/MAX/AVG/FIRST/LAST/MATCH_NUMBER/CLASSIFIER)")
         p.expect("(")
         val v = p.next()
         p.expect(".")
@@ -532,15 +591,48 @@ object MatchRecognize {
         fn match {
           case "COUNT" => require(field == "*",
             s"match_recognize: COUNT measures rows — write COUNT($v.*)")
-          case "SUM" | "MIN" | "MAX" => require(field == "VALUE",
+          case "SUM" | "MIN" | "MAX" | "AVG" => require(field == "VALUE",
             s"match_recognize: $fn ranges over $v.value (exact cents)")
           case _ => require(field == "EVENT_ID",
             s"match_recognize: $fn navigates $v.event_id")
         }
         p.expect(")")
-        p.expect("AS")
-        out += Measure(fn, v, p.next().toLowerCase, mode)
+        MAgg(fn, v)
       }
+    }
+    var more = true
+    while (more) {
+      // optional per-expression semantics marker (the standard's
+      // RUNNING vs FINAL) — recorded verbatim; the runners interpret
+      // it. The marker prefixes the WHOLE expression; interior
+      // markers are rejected by the term parser (an unexpected token).
+      val mode = p.peek match {
+        case "RUNNING" => p.next(); "RUNNING"
+        case "FINAL"   => p.next(); "FINAL"
+        case _         => ""
+      }
+      var expr: MExpr = parseTerm()
+      while (p.peek == "+" || p.peek == "-") {
+        val op = p.next().head
+        expr = MBin(op, expr, parseTerm())
+      }
+      mLeaves(expr).foreach { a =>
+        if (a.func == "MATCH_NUMBER" || a.func == "CLASSIFIER") {
+          require(mode.isEmpty,
+            s"match_recognize: $mode ${a.func}() — the niladic " +
+              "measures are neither RUNNING nor FINAL (drop the marker)")
+          require(expr.isInstanceOf[MAgg],
+            s"match_recognize: ${a.func}() inside arithmetic — the " +
+              "niladic measures stand alone")
+        }
+        if (a.func == "FIRST" || a.func == "LAST")
+          require(expr.isInstanceOf[MAgg],
+            s"match_recognize: ${a.func} inside arithmetic — event-id " +
+              "navigations stand alone (arithmetic ranges over " +
+              "COUNT/SUM/MIN/MAX/AVG)")
+      }
+      p.expect("AS")
+      out += Measure(expr, p.next().toLowerCase, mode)
       more = p.accept(",")
     }
     require(out.map(_.alias).distinct.length == out.length,
@@ -592,14 +684,46 @@ object MatchRecognize {
             case op => throw new IllegalArgumentException(
               s"match_recognize: unsupported value comparison '$op'")
           }
-          p.expect("PREV"); p.expect("(")
-          val pv = p.next()
-          require(pv == v, s"match_recognize: PREV over '$pv' inside " +
-            s"'$v's definition — PREV navigates the same variable")
-          p.expect("."); p.expect("VALUE")
-          val off = if (p.accept(",")) p.next().toInt else 1
-          p.expect(")")
-          d.copy(cmp = Some(cmp), cmpOff = off)
+          // RHS forms: PREV(V.value[, k]) — same-variable physical
+          // navigation; FIRST/LAST(B.value) — CROSS-VARIABLE
+          // navigation into an earlier variable's consumed rows (the
+          // Flink-canonical DEFINE shape); bare B.value — the
+          // standard's implicit LAST(B.value)
+          p.peek match {
+            case "PREV" =>
+              p.next(); p.expect("(")
+              val pv = p.next()
+              require(pv == v, s"match_recognize: PREV over '$pv' " +
+                s"inside '$v's definition — PREV navigates the same " +
+                "variable (compare against another variable with " +
+                "FIRST/LAST(other.value) or bare other.value)")
+              p.expect("."); p.expect("VALUE")
+              val off = if (p.accept(",")) p.next().toInt else 1
+              p.expect(")")
+              d.copy(cmp = Some(cmp), cmpOff = off)
+            case "FIRST" | "LAST" =>
+              val isFirst = p.next() == "FIRST"
+              p.expect("(")
+              val bv = p.next()
+              require(bv != v, "match_recognize: " +
+                s"${if (isFirst) "FIRST" else "LAST"}($bv.value) " +
+                s"inside '$v's own definition — self-navigation is " +
+                "not supported (PREV navigates the running variable; " +
+                "cross-variable navigation names an EARLIER one)")
+              p.expect("."); p.expect("VALUE"); p.expect(")")
+              d.copy(cross = d.cross :+ ((bv, isFirst, cmp)))
+            case t if t.headOption.exists(c => c.isLetter || c == '_') =>
+              val bv = p.next()
+              require(bv != v, s"match_recognize: '$v.value' compared " +
+                s"against itself — a same-variable compare is PREV's " +
+                "job (PREV($v.value[, k]))")
+              p.expect("."); p.expect("VALUE")
+              d.copy(cross = d.cross :+ ((bv, false, cmp)))
+            case t => throw new IllegalArgumentException(
+              "match_recognize: unsupported value-comparison RHS at " +
+                s"'$t' — supported: PREV($v.value[, k]), " +
+                "FIRST/LAST(other.value), other.value")
+          }
         case f => throw new IllegalArgumentException(
           s"match_recognize: unsupported DEFINE field '$f' (event_type " +
             "and value only)")
@@ -693,7 +817,8 @@ object MatchRecognize {
   private[graft] def pivotMeasured(md: => DataFrame, parsed: Parsed)
       : DataFrame = {
     val measures = parseMeasures(parsed.rawMeasures)
-    require(!measures.exists(_.func == "CLASSIFIER"),
+    require(!measures.exists(m =>
+        mLeaves(m.expr).exists(_.func == "CLASSIFIER")),
       "match_recognize: CLASSIFIER() names the row's consuming " +
         "variable — ONE ROW PER MATCH has no row to classify (use " +
         "ALL ROWS PER MATCH)")
@@ -709,20 +834,31 @@ object MatchRecognize {
             s"${occ.length} times — each occurrence is a distinct step")
         occ.head._2
       }
+    def isMn(m: Measure): Boolean = m.expr match {
+      case MAgg("MATCH_NUMBER", _) => true
+      case _ => false
+    }
     // validate every measured name BEFORE touching the frame — parse
     // and name errors must fire without a scan (the rejection specs
     // probe with a null frame)
-    measures.filter(_.func != "MATCH_NUMBER")
-      .foreach(m => stepsOf(m.varName))
-    val aggs = measures.filter(_.func != "MATCH_NUMBER").map { m =>
-      val in = col("step").isin(stepsOf(m.varName): _*)
-      m.func match {
+    measures.filterNot(isMn)
+      .foreach(m => mLeaves(m.expr).foreach(a => stepsOf(a.varName)))
+    // one aggregate Column per leaf; +/− arithmetic composes the
+    // leaves INSIDE the same hash aggregation (expressions over
+    // aggregates — no second pass)
+    def aggCol(a: MAgg): Column = {
+      val in = col("step").isin(stepsOf(a.varName): _*)
+      a.func match {
         // single variable = one (match, step) row; union = its members'
         // rows pooled — the additive/extremal forms are the same code
-        case "COUNT" => sum(when(in, col("cnt"))).as(m.alias)
-        case "SUM"   => sum(when(in, col("sum_value_c"))).as(m.alias)
-        case "MIN"   => min(when(in, col("min_value_c"))).as(m.alias)
-        case "MAX"   => max(when(in, col("max_value_c"))).as(m.alias)
+        case "COUNT" => sum(when(in, col("cnt")))
+        case "SUM"   => sum(when(in, col("sum_value_c")))
+        case "MIN"   => min(when(in, col("min_value_c")))
+        case "MAX"   => max(when(in, col("max_value_c")))
+        // AVG = pooled cents sum over pooled row count (double — the
+        // one non-integral measure; the oracle casts the same way)
+        case "AVG"   =>
+          sum(when(in, col("sum_value_c"))) / sum(when(in, col("cnt")))
         // navigation: the union's first/last consumed row is the
         // lowest/highest member step that took rows (contiguous
         // consumption ⇒ step order = match order); the struct min/max
@@ -730,13 +866,20 @@ object MatchRecognize {
         case "FIRST" =>
           min(when(in && col("cnt") > 0,
             struct(col("step"), col("first_event_id"))))
-            .getField("first_event_id").as(m.alias)
+            .getField("first_event_id")
         case "LAST"  =>
           max(when(in && col("cnt") > 0,
             struct(col("step"), col("last_event_id"))))
-            .getField("last_event_id").as(m.alias)
+            .getField("last_event_id")
       }
     }
+    def evalM(e: MExpr): Column = e match {
+      case a: MAgg         => aggCol(a)
+      case MBin('+', l, r) => evalM(l) + evalM(r)
+      case MBin(_, l, r)   => evalM(l) - evalM(r)
+    }
+    val aggs = measures.filterNot(isMn)
+      .map(m => evalM(m.expr).as(m.alias))
     val pivoted =
       if (aggs.nonEmpty)
         md.groupBy(col("user_id"), col("start_event_id"),
@@ -750,7 +893,7 @@ object MatchRecognize {
           .agg(max(lit(1)).as("__d")).drop("__d")
     // every MATCH_NUMBER alias materializes (aliases are distinct by
     // parseMeasures; repeated MATCH_NUMBER entries are legal and equal)
-    measures.filter(_.func == "MATCH_NUMBER").foldLeft(pivoted) {
+    measures.filter(isMn).foldLeft(pivoted) {
       (df, mn) =>
         df.withColumn(mn.alias,
           row_number().over(org.apache.spark.sql.expressions.Window
@@ -833,27 +976,36 @@ object MatchRecognize {
         Window.unboundedFollowing)
       val mnW = Window.partitionBy(col("user_id"))
         .orderBy(col("start_ts_us"), col("start_event_id"))
-      val mcols = measures.map { m =>
-        m.func match {
-          case "MATCH_NUMBER" =>
-            dense_rank().over(mnW).cast("long").as(m.alias)
-          case "CLASSIFIER" => col("classifier").as(m.alias)
-          case _ =>
-            val in = col("classifier").isin(namesOf(m.varName): _*)
-            val w = if (m.mode == "FINAL") whole else running
-            m.func match {
-              case "COUNT" => count(when(in, lit(1))).over(w).as(m.alias)
-              case "SUM" => sum(when(in, col("value_c"))).over(w).as(m.alias)
-              case "MIN" => min(when(in, col("value_c"))).over(w).as(m.alias)
-              case "MAX" => max(when(in, col("value_c"))).over(w).as(m.alias)
-              case "FIRST" =>
-                first(when(in, col("event_id")), ignoreNulls = true)
-                  .over(w).as(m.alias)
-              case "LAST" =>
-                last(when(in, col("event_id")), ignoreNulls = true)
-                  .over(w).as(m.alias)
-            }
+      // one window-function Column per aggregate leaf (the expression's
+      // RUNNING/FINAL marker picks the frame for every leaf); +/−
+      // arithmetic composes leaves in the same projection
+      def aggColW(a: MAgg, w: org.apache.spark.sql.expressions.WindowSpec)
+          : Column = {
+        val in = col("classifier").isin(namesOf(a.varName): _*)
+        a.func match {
+          case "COUNT" => count(when(in, lit(1))).over(w)
+          case "SUM"   => sum(when(in, col("value_c"))).over(w)
+          case "MIN"   => min(when(in, col("value_c"))).over(w)
+          case "MAX"   => max(when(in, col("value_c"))).over(w)
+          case "AVG"   => sum(when(in, col("value_c"))).over(w) /
+            count(when(in, lit(1))).over(w)
+          case "FIRST" =>
+            first(when(in, col("event_id")), ignoreNulls = true).over(w)
+          case "LAST" =>
+            last(when(in, col("event_id")), ignoreNulls = true).over(w)
         }
+      }
+      val mcols = measures.map { m =>
+        val w = if (m.mode == "FINAL") whole else running
+        def evalM(e: MExpr): Column = e match {
+          case MAgg("MATCH_NUMBER", _) =>
+            dense_rank().over(mnW).cast("long")
+          case MAgg("CLASSIFIER", _) => col("classifier")
+          case a: MAgg               => aggColW(a, w)
+          case MBin('+', l, r)       => evalM(l) + evalM(r)
+          case MBin(_, l, r)         => evalM(l) - evalM(r)
+        }
+        evalM(m.expr).as(m.alias)
       }
       out.select(out.columns.map(col).toSeq ++ mcols: _*)
     }
@@ -1102,5 +1254,69 @@ object MatchRecognize {
   def cepRepOpen(s: SparkSession, dir: String): DataFrame =
     matchRecognizeOf(graft.Tables.t(s, dir, "events"), FunnelTwoPlusSql)
       .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_cross_define — CROSS-VARIABLE DEFINE navigation (the
+    * Flink-canonical `A.value <op> FIRST/LAST(B.value)` class, plus
+    * the bare `B.value` = implicit LAST): the funnel where the
+    * purchase must beat the FIRST view's value AND at least match the
+    * click's (`P.value > FIRST(V.value) AND P.value >= C.value`).
+    * Both new RHS forms run in one clause; FIRST provably binds
+    * against LAST on the multi-view matches (first ≠ last view
+    * value). A failed value predicate kills the whole candidate —
+    * shrinking the V take leaves a view at P's position (symbol
+    * mismatch), so no alternative parse exists and the oracle is the
+    * funnel islands CTE with the two value conditions, window
+    * included. Binding at sf0.01: 88 window-valid funnels → 35 (the
+    * FIRST(V) condition kills 40, the click bound 13 more); FIRST vs
+    * LAST provably diverge on 4 candidates (a LAST reading answers
+    * 36), and 10 survivors carry >= 2 views.
+    */
+  val FunnelCrossSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |           AND P.value > FIRST(V.value)
+      |           AND P.value >= C.value
+      |)""".stripMargin
+
+  def cepCrossDefine(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeOf(graft.Tables.t(s, dir, "events"), FunnelCrossSql)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** sql_mr_measures_ext — MEASURES expression breadth: AVG as a
+    * first-class aggregate (pooled cents over row count, double) and
+    * +/− arithmetic over aggregates (`SUM(V.value) - SUM(C.value)`,
+    * `COUNT(V.*) + COUNT(C.*)`), evaluated INSIDE the one-row pivot's
+    * hash aggregation. Oracle: the funnel islands CTE computing the
+    * same three expressions per match.
+    */
+  val FunnelMeasuresExtSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  MEASURES AVG(V.value) AS v_avg_c,
+      |           SUM(V.value) - SUM(C.value) AS vc_diff_c,
+      |           COUNT(V.*) + COUNT(C.*) AS vc_cnt
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view',
+      |         P AS P.event_type = 'purchase'
+      |)""".stripMargin
+
+  def sqlMrMeasuresExt(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeMeasuresOf(graft.Tables.t(s, dir, "events"),
+      FunnelMeasuresExtSql)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

@@ -1034,6 +1034,104 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** EXACT SUBSTRING DEDUP — the suffix-family method of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"): maximal token runs of length >= `minLen` repeated
+    * ACROSS documents, at arbitrary alignment — the class span
+    * dedup's fixed tiles and CDC's content-defined chunks only
+    * approximate (a quote shifted by one token defeats tiling; this
+    * catches it exactly). The paper builds a suffix array; the
+    * DISTRIBUTED shape here is equivalent on cross-doc runs and
+    * shuffle-friendly:
+    *
+    *   1. k-token shingle inverted index: one map pass per doc —
+    *      (doc, pos, shingle) for every k-token window (overlapping,
+    *      stride 1), keyed by `xxhash64(shingle)`.
+    *   2. Posting-length cap: shingles occurring more than `maxDf`
+    *      times drop out (one keyed count + semi join) — the
+    *      occupancy guardrail every dedup kernel here carries: the
+    *      candidate join below costs <= Σ posting², so a ubiquitous
+    *      boilerplate shingle can never go quadratic in the corpus.
+    *      The cap must not bind at gate scale (spec-asserted) so the
+    *      cap-free DuckDB oracle stays exact.
+    *   3. Cross-doc candidate join on (hash, shingle) with
+    *      doc_a < doc_b — candidate-proportional, never corpus². The
+    *      string rides as a join key only to make hash collisions
+    *      impossible in the gate's bit-exact compare; the production
+    *      form drops it (8-byte shuffle keys, collision odds
+    *      ~pairs²/2⁶⁴ — the spanDedupHashedOf precedent).
+    *   4. Maximal-run extension WITHOUT re-reading the corpus: a
+    *      shared token run of length L >= k is exactly a run of
+    *      L − k + 1 consecutive shingle matches on one DIAGONAL
+    *      (pa − pb constant), so islands of consecutive `pa` per
+    *      (doc_a, doc_b, diagonal) — one key-partitioned window —
+    *      recover every maximal run and its exact extent.
+    *
+    * Output: one row per maximal shared run of token length >=
+    * `minLen` — (doc_a, doc_b, a_start, b_start, run_len), positions
+    * 0-based in token space. Scale shape: one map pass, one keyed
+    * count, one shuffle join on the shingle key, one key-partitioned
+    * window — no global window, no nested loop.
+    */
+  def substringDedupOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
+      maxDf: Int = 5000): DataFrame = {
+    require(k >= 2, s"substring dedup: shingle width k >= 2 (got $k)")
+    require(minLen >= k,
+      s"substring dedup: minLen >= k ($minLen < $k — a run shorter " +
+        "than one shingle is undetectable)")
+    require(maxDf >= 2,
+      s"substring dedup: maxDf >= 2 (got $maxDf — cross-doc sharing " +
+        "needs at least two postings)")
+    val toksBound = docs.select(col("doc_id").cast("long").as("doc_id"),
+      tokens(col("text")).as("toks"))
+    // stride-1 shingles as ONE map-side array expression (toks bound in
+    // its own projection first — the CSE rule), exploded with position
+    val idx = toksBound
+      .select(col("doc_id"),
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+          .otherwise(array().cast(ArrayType(StringType))).as("spans"))
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("g"), xxhash64(col("g")).as("h"))
+    // the occupancy cap: posting lists longer than maxDf drop out
+    val keep = idx.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxDf).select(col("h"))
+    val pruned = idx.join(keep, Seq("h"))
+    val a = pruned.select(col("h"), col("g"),
+      col("doc_id").as("doc_a"), col("pos").as("pa"))
+    val b = pruned.select(col("h").as("h"), col("g").as("g"),
+      col("doc_id").as("doc_b"), col("pos").as("pb"))
+    val cand = a.join(b, Seq("h", "g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    // diagonal islands: consecutive pa per (doc_a, doc_b, pa − pb)
+    val diag = cand.withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    diag.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a_start"), max(col("pa")).as("a_end"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        (col("a_end") - col("a_start") + k).as("run_len"))
+      .filter(col("run_len") >= minLen)
+  }
+
+  /** text_substring_dedup gate: maximal cross-doc repeated runs of
+    * >= 15 tokens at 5-token shingles over `documents`, against the
+    * definitional DuckDB oracle (same shingle index, string-keyed,
+    * same diagonal-islands CTE — cap-free; the cap provably does not
+    * bind at gate scale, spec-asserted). Both parameters bind at
+    * sf0.01: the 5-token index surfaces 37 maximal runs, minLen = 15
+    * kills the 13 incidental short overlaps (5–11 tokens), 24 emit
+    * (max 93 tokens — the near-dup pairs' shared bodies).
+    */
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupOf(t(s, dir, "documents"), 5, 15)
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+
   /** Adjacent-pair frequencies over the BPE-ish token stream — the
     * counting step of a byte-pair-encoding merge round (tokenizer
     * training's inner loop): the most frequent pair becomes the next

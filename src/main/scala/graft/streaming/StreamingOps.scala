@@ -2223,10 +2223,12 @@ object StreamingOps {
     // value-dependent DEFINE predicate would evaluate against zeros —
     // a sumCap that never binds, a cmp that never matches — silently.
     // Route valued patterns to cepStreamValued with real cents.
-    require(pattern.forall(st => st.cmp.isEmpty && st.sumCap.isEmpty),
+    require(pattern.forall(st => st.cmp.isEmpty && st.sumCap.isEmpty &&
+        st.cross.isEmpty),
       "cepStream: pattern carries value-dependent DEFINE predicates " +
-        "(PREV comparison / SUM cap) — use cepStreamValued with a " +
-        "value_c column (this surface feeds value 0)")
+        "(PREV comparison / SUM cap / cross-variable navigation) — " +
+        "use cepStreamValued with a value_c column (this surface " +
+        "feeds value 0)")
     import events.sparkSession.implicits._
     cepStreamValued(events.map(r => (r._1, r._2, r._3, r._4, 0L)),
       pattern, windowUs, after, contiguous, lateCounter)
@@ -2397,13 +2399,22 @@ object StreamingOps {
         graft.operators.Cep.SkipPastLast,
       contiguous: Boolean = true,
       grouped: Option[graft.operators.Cep.GPat] = None,
-      withTimeouts: Boolean = false)
+      withTimeouts: Boolean = false,
+      measured: Boolean = false)
 
   /** Tag offset for timed-out partials in [[cepStreamMulti]]'s output:
     * spec i's matches carry tag i, its window-expired partials tag
     * i + CepTimeoutTag (only when the spec sets `withTimeouts`).
     */
   val CepTimeoutTag: Int = 1000
+
+  /** Tag offset for the MEASURED channel of [[cepStreamMultiMeasured]]:
+    * a spec with `measured = true` additionally emits its matches'
+    * per-(match, step) aggregate rows under tag i + CepMeasuredTag —
+    * same machine, same feeds, so the match channel (tag i) stays
+    * byte-identical with or without the flag.
+    */
+  val CepMeasuredTag: Int = 2000
 
   /** MULTI-PATTERN streaming CEP — N independent machines over ONE
     * buffered scan of the stream (Flink users register many patterns
@@ -2430,7 +2441,7 @@ object StreamingOps {
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, String, Long),
-        (Int, graft.operators.Cep.CepMatch)] {
+        (Int, graft.operators.Cep.CepMeasured)] {
     @transient private var buf:
       org.apache.spark.sql.streaming.MapState[
         Long, List[(Long, String, Long)]] = _
@@ -2468,10 +2479,21 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
+    /** The match channel's row shape: a CepMeasured SHELL carrying the
+      * match identity with step = −1 and empty aggregate fields —
+      * [[cepStreamMulti]] projects it back to CepMatch; the measured
+      * channel (tag i + CepMeasuredTag) carries real per-step rows.
+      */
+    private def shell(c: graft.operators.Cep.CepMatch)
+        : graft.operators.Cep.CepMeasured =
+      graft.operators.Cep.CepMeasured(c.user_id, c.start_event_id,
+        c.start_ts_us, c.end_event_id, c.end_ts_us, c.n_rows,
+        -1, "", 0L, 0L, None, None, None, None)
+
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, Long, Long, String, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues):
-        Iterator[(Int, graft.operators.Cep.CepMatch)] = {
+        Iterator[(Int, graft.operators.Cep.CepMeasured)] = {
       val frontier = if (drained.exists()) drained.get() else Long.MinValue
       val wmMs = timerValues.getCurrentWatermarkInMs()
       val lateBelow =
@@ -2489,7 +2511,7 @@ object StreamingOps {
     override def handleExpiredTimer(key: Long,
         timerValues: org.apache.spark.sql.streaming.TimerValues,
         expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo):
-        Iterator[(Int, graft.operators.Cep.CepMatch)] = {
+        Iterator[(Int, graft.operators.Cep.CepMeasured)] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       val already = if (drained.exists()) drained.get() else Long.MinValue
       if (wmUs <= already) return Iterator.empty
@@ -2503,7 +2525,7 @@ object StreamingOps {
         entries.sortBy(_._1).map { case (id, tpe, vc) => (ts, id, tpe, vc) }
       }
       val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, graft.operators.Cep.CepMatch)]
+        .empty[(Int, graft.operators.Cep.CepMeasured)]
       var i = 0
       while (i < specs.length) {
         val sp = specs(i)
@@ -2513,23 +2535,37 @@ object StreamingOps {
             sp.after, sp.contiguous, sp.grouped,
             withTimeouts = sp.withTimeouts,
             // the empty-aggs timeout sentinel needs real aggs on
-            // matches; match-only specs skip the per-match fold
-            needsAggs = sp.withTimeouts)
+            // matches, and the measured channel emits them; plain
+            // match-only specs skip the per-match fold
+            needsAggs = sp.withTimeouts || sp.measured)
           if (mstates(i).exists()) m.restore(mstates(i).get())
           // the empty-aggs sentinel marks a window-expired partial
           // (withTimeouts specs only) — routed to the offset tag so
-          // the match channel stays byte-identical
-          def tagOf(aggs: List[graft.operators.Cep.StepAgg]): Int =
-            if (sp.withTimeouts && aggs.isEmpty) i + CepTimeoutTag else i
+          // the match channel stays byte-identical; a measured spec's
+          // real matches ADDITIONALLY emit per-step aggregate rows on
+          // the measured tag (timeout sentinels carry no aggs to emit)
+          def emit(c: graft.operators.Cep.CepMatch,
+              aggs: List[graft.operators.Cep.StepAgg]): Unit = {
+            val cm = c.copy(user_id = key)
+            val tag =
+              if (sp.withTimeouts && aggs.isEmpty) i + CepTimeoutTag else i
+            out += ((tag, shell(cm)))
+            if (sp.measured) aggs.foreach { a =>
+              out += ((i + CepMeasuredTag,
+                graft.operators.Cep.CepMeasured(key, cm.start_event_id,
+                  cm.start_ts_us, cm.end_event_id, cm.end_ts_us,
+                  cm.n_rows, a.step, a.symbol, a.cnt, a.sum_value_c,
+                  a.min_value_c, a.max_value_c, a.first_event_id,
+                  a.last_event_id)))
+            }
+          }
           ripeRows.foreach { case (ts, id, tpe, vc) =>
             m.feedM(ts, id, tpe, vc).foreach { case (c, aggs) =>
-              out += ((tagOf(aggs), c.copy(user_id = key)))
+              emit(c, aggs)
             }
           }
           if (needsAdvanceI(i)) {
-            m.advance(wmUs).foreach { case (c, aggs) =>
-              out += ((tagOf(aggs), c.copy(user_id = key)))
-            }
+            m.advance(wmUs).foreach { case (c, aggs) => emit(c, aggs) }
             m.pendingHorizonUs.foreach(h =>
               getHandle.registerTimer(h / 1000L + 1L))
           }
@@ -2548,10 +2584,21 @@ object StreamingOps {
     * buffer — see [[CepMultiStreamProcessor]]. Each spec validates
     * exactly as its single-machine form would.
     */
-  def cepStreamMulti(events: Dataset[(Long, Long, Long, String, Long)],
+  /** The FULL multi-pattern channel: tagged [[graft.operators.Cep
+    * .CepMeasured]] rows — tag i = spec i's matches as step = −1
+    * SHELLS, tag i + [[CepTimeoutTag]] = its window-expired partials,
+    * tag i + [[CepMeasuredTag]] = its per-(match, step) MEASURES rows
+    * (specs with `measured = true` only; same machine, same feeds, so
+    * the match channel is byte-identical with or without the flag —
+    * the r14 verdict's channel generalization that lets the measured
+    * gate ride the shared replay instead of paying its own state-store
+    * lifecycle).
+    */
+  def cepStreamMultiMeasured(
+      events: Dataset[(Long, Long, Long, String, Long)],
       specs: Seq[CepSpec],
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
-      : Dataset[(Int, graft.operators.Cep.CepMatch)] = {
+      : Dataset[(Int, graft.operators.Cep.CepMeasured)] = {
     require(specs.nonEmpty, "cepStreamMulti: no pattern specs")
     require(specs.length < CepTimeoutTag,
       s"cepStreamMulti: ${specs.length} specs — the timeout tag offset " +
@@ -2569,6 +2616,11 @@ object StreamingOps {
             "pattern under AFTER MATCH SKIP PAST LAST ROW")
         graft.operators.Cep.validateTimeoutScope(sp.pattern)
       }
+      if (sp.measured)
+        require(sp.grouped.isEmpty,
+          "cepStreamMulti: the measured channel ranges over FLAT " +
+            "pattern steps (grouped leaves have no single step to " +
+            "aggregate — same rule as the batch measures runner)")
     }
     import events.sparkSession.implicits._
     events
@@ -2581,6 +2633,19 @@ object StreamingOps {
         new CepMultiStreamProcessor(specs.toIndexedSeq, lateCounter),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  def cepStreamMulti(events: Dataset[(Long, Long, Long, String, Long)],
+      specs: Seq[CepSpec],
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[(Int, graft.operators.Cep.CepMatch)] = {
+    import events.sparkSession.implicits._
+    cepStreamMultiMeasured(events, specs, lateCounter)
+      .filter(_._1 < CepMeasuredTag)
+      .map { case (tag, m) =>
+        (tag, graft.operators.Cep.CepMatch(m.user_id, m.start_event_id,
+          m.start_ts_us, m.end_event_id, m.end_ts_us, m.n_rows))
+      }
   }
 
   /** STREAMING timed-out partial matches — Flink CEP's `within` +
@@ -2618,22 +2683,25 @@ object StreamingOps {
     * the 10-minute window.
     */
   def streamSqlMrMeasuresGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val sql = graft.operators.MatchRecognize.FunnelMeasuresSql
       .replace("INTERVAL '7' DAY", "INTERVAL '10' MINUTE")
     val parsed = graft.operators.MatchRecognize.parse(sql)
     require(parsed.windowUs == 600000000L, s"gate clause drifted: $parsed")
-    val fixture = gateEventsDayFolded(s, dir).map { e =>
-      (e.user_id, gateEvUs(e), e.event_id, e.event_type,
-        BigDecimal(e.value * 100)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-    }.toSeq
-    val flush = (-1L, fixture.map(_._2).max + parsed.windowUs +
-      600000000L, -1L, "flush", 0L)
-    val md = replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-      cepStreamMeasures(ds, parsed.pattern, parsed.windowUs,
-        parsed.after).toDF())
-      .filter(col("user_id") >= 0L)
+    // the measured rows ride the SHARED multi-pattern replay (r15: the
+    // r14 verdict's channel generalization — this gate previously paid
+    // its own MemoryStream + state-store lifecycle for a machine
+    // identical to spec 0). The contract is structural, asserted here:
+    // the clause's machine IS spec 0's (pattern, window, after), so
+    // slicing spec 0's measured tag is definitionally the same stream
+    // the dedicated replay produced — re-dumped bit-identical at the
+    // r15 seam (the hash-contract discipline).
+    val sp = CepGateSpecs(0)
+    require(sp.measured && sp.pattern == parsed.pattern.toIndexedSeq &&
+      sp.windowUs == parsed.windowUs && sp.after == parsed.after,
+      "stream_sql_mr_measures: the gate clause no longer matches the " +
+        "shared replay's spec 0 — re-align CepGateSpecs")
+    val md = cepMultiReplayed(s, dir)
+      .filter(col("pat") === CepMeasuredTag).drop("pat")
     graft.operators.MatchRecognize.pivotMeasured(md, parsed)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
   }
@@ -3653,7 +3721,7 @@ object StreamingOps {
     val df = cepMultiReplayed(s, dir)
     df.filter(col("pat") === 0 || col("pat") === CepTimeoutTag)
       .withColumn("timed_out", col("pat") === CepTimeoutTag)
-      .drop("pat")
+      .select((CepMatchCols :+ "timed_out").map(col): _*)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
   }
 
@@ -3717,11 +3785,14 @@ object StreamingOps {
     import graft.operators.Cep.{Step, SkipToNextRow, PrevLt, PrevGt}
     IndexedSeq(
       // withTimeouts surfaces the funnel's window-expired partials on
-      // the offset tag (stream_cep_timeout) — the match channel (tag 0,
-      // stream_cep) is byte-identical with or without it
+      // the offset tag (stream_cep_timeout), measured its per-step
+      // MEASURES rows on the measured tag (stream_sql_mr_measures —
+      // r15: the last CEP gate folded into the shared lifecycle) —
+      // the match channel (tag 0, stream_cep) is byte-identical with
+      // or without either flag (same machine, same feeds)
       CepSpec(IndexedSeq(Step("click"), Step("view", plus = true),
-        Step("purchase")), 600000000L,
-        withTimeouts = true), // 0 stream_cep / stream_cep_timeout
+        Step("purchase")), 600000000L, withTimeouts = true,
+        measured = true), // 0 stream_cep / _timeout / _mr_measures
       CepSpec(IndexedSeq(Step("view", plus = true, reluctant = true),
         Step("view")), 300000000L), // 1 stream_cep_reluctant
       CepSpec(VshapeStreamPattern.toIndexedSeq,
@@ -3767,7 +3838,7 @@ object StreamingOps {
       val out = java.nio.file.Files
         .createTempDirectory("graft-cep-multi-replay").toString
       replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
-        cepStreamMulti(ds, CepGateSpecs).toDF()
+        cepStreamMultiMeasured(ds, CepGateSpecs).toDF()
           .select(col("_1").as("pat"), col("_2.*")))
         .filter(col("user_id") >= 0L)
         .write.mode("overwrite").parquet(out)
@@ -3776,11 +3847,19 @@ object StreamingOps {
     s.read.parquet(path)
   }
 
+  /** The match channel's column set (CepMatch's fields) — the measured
+    * replay rides extra per-step columns that the match-shaped gate
+    * slices must project away to keep their committed shapes.
+    */
+  private val CepMatchCols: Seq[String] = Seq("user_id",
+    "start_event_id", "start_ts_us", "end_event_id", "end_ts_us", "n_rows")
+
   /** One gate's slice of the shared replay: filter its tag, restore
     * the single-machine gates' exact output shape and order.
     */
   private def cepGateOf(s: SparkSession, dir: String, tag: Int): DataFrame =
-    cepMultiReplayed(s, dir).filter(col("pat") === tag).drop("pat")
+    cepMultiReplayed(s, dir).filter(col("pat") === tag)
+      .select(CepMatchCols.map(col): _*)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 
   def streamCepVshapeGate(s: SparkSession, dir: String): DataFrame =

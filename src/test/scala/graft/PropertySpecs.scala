@@ -763,13 +763,27 @@ object CepMachineProps extends Properties("CepMachine") {
       : List[(Long, Long)] = {
     val n = rows.length
     def parse(i: Int): Option[IndexedSeq[(Int, Int)]] = {
+      val spans = Array.fill(pat.length)((0, 0))
       // PREV is MATCH-SCOPED (the machine's documented contract): a
       // k-back position falling before the match's first row (< i)
-      // evaluates as NULL — the cmp row never matches there
+      // evaluates as NULL — the cmp row never matches there. CROSS
+      // references read the current path's spans (set before each
+      // recursion): a zero-take referenced span is NULL (no match).
       def rowOk(st: Cep.Step, q: Int): Boolean =
         st.matchesRow(rows(q)._3, rows(q)._4,
-          if (q - st.cmpOff >= i) Some(rows(q - st.cmpOff)._4) else None)
-      val spans = Array.fill(pat.length)((0, 0))
+          if (q - st.cmpOff >= i) Some(rows(q - st.cmpOff)._4) else None) &&
+        st.cross.forall { cr =>
+          val (off, len) = spans(cr.step)
+          len > 0 && {
+            val rv = rows(if (cr.first) off else off + len - 1)._4
+            cr.cmp match {
+              case Cep.PrevLt => rows(q)._4 < rv
+              case Cep.PrevGt => rows(q)._4 > rv
+              case Cep.PrevLe => rows(q)._4 <= rv
+              case Cep.PrevGe => rows(q)._4 >= rv
+            }
+          }
+        }
       def go(s: Int, p: Int): Boolean = {
         if (s == pat.length) return rows(p - 1)._1 - rows(i)._1 <= win
         if (pat(s).neg) {
@@ -781,7 +795,8 @@ object CepMachineProps extends Properties("CepMachine") {
               rows(p)._1 > rows(i)._1 + win || !pat(s).matches(rows(p)._3)
             else true
           if (!ok) return false
-          if (go(s + 1, p)) { spans(s) = (p, 0); return true }
+          spans(s) = (p, 0)
+          if (go(s + 1, p)) return true
           return false
         }
         val (lo, hi) = pat(s).bounds
@@ -797,17 +812,21 @@ object CepMachineProps extends Properties("CepMachine") {
           }
         }
         // preference order: greedy tries longest first, reluctant
-        // shortest first
+        // shortest first; spans set BEFORE recursing so cross
+        // references see the path's takes (success short-circuits,
+        // leaving exactly the accepted path's values)
         if (!pat(s).reluctant) {
           var take = c
           while (take >= lo) {
-            if (go(s + 1, p + take)) { spans(s) = (p, take); return true }
+            spans(s) = (p, take)
+            if (go(s + 1, p + take)) return true
             take -= 1
           }
         } else {
           var take = lo
           while (take <= c) {
-            if (go(s + 1, p + take)) { spans(s) = (p, take); return true }
+            spans(s) = (p, take)
+            if (go(s + 1, p + take)) return true
             take += 1
           }
         }
@@ -964,6 +983,58 @@ object CepMachineProps extends Properties("CepMachine") {
       (pat, rows, win) =>
       forAll(genAfter(pat)) { after =>
         !validNegPat(pat) || {
+          val m = new Cep.Machine(pat, win, after)
+          feedWithFlush(m, rows) == bruteBacktrack(rows, pat, win, after)
+        }
+      }
+    }
+
+  /** genAnyPattern with CROSS-VARIABLE references injected: each step
+    * past the first gets, with some probability, a FIRST/LAST
+    * navigation into a strictly earlier step (r15's DEFINE class).
+    * The earlier step may be optional or zero-take — exercising the
+    * NULL-navigation branch — and the references compose with PREV
+    * offsets, sum caps, reluctant bias, and repeats.
+    */
+  private val genCrossPattern: Gen[IndexedSeq[Cep.Step]] = for {
+    base <- genAnyPattern
+    crossFlags <- Gen.listOfN(base.length, Gen.prob(0.5))
+    refs <- Gen.listOfN(base.length, Gen.chooseNum(0, 8))
+    firsts <- Gen.listOfN(base.length, Gen.oneOf(true, false))
+    kinds <- Gen.listOfN(base.length, Gen.oneOf[Cep.PrevCmp](Cep.PrevLt,
+      Cep.PrevGt, Cep.PrevLe, Cep.PrevGe))
+  } yield base.zipWithIndex.map { case (st, i) =>
+    if (i >= 1 && crossFlags(i))
+      st.copy(cross = List(Cep.CrossRef(refs(i) % i, firsts(i), kinds(i))))
+    else st
+  }
+
+  /** Shrink guard for the cross properties (shrinkers ignore generator
+    * invariants): the base structural rules plus the cross ordering
+    * rules the machine requires.
+    */
+  private def validCrossPat(pat: IndexedSeq[Cep.Step]): Boolean =
+    validNegPat(pat) && pat.zipWithIndex.forall { case (st, i) =>
+      st.cross.forall(cr =>
+        cr.step >= 0 && cr.step < i && !pat(cr.step).neg)
+    }
+
+  property("cross-variable DEFINE: feed+sentinel == windowed DFS brute") =
+    forAll(genCrossPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (pat, rows, win) =>
+      forAll(genAfter(pat)) { after =>
+        !validCrossPat(pat) || {
+          val m = new Cep.Machine(pat, win, after)
+          feedWithSentinel(m, rows) == bruteBacktrack(rows, pat, win, after)
+        }
+      }
+    }
+
+  property("cross-variable DEFINE: feed+flush == windowed DFS brute") =
+    forAll(genCrossPattern, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (pat, rows, win) =>
+      forAll(genAfter(pat)) { after =>
+        !validCrossPat(pat) || {
           val m = new Cep.Machine(pat, win, after)
           feedWithFlush(m, rows) == bruteBacktrack(rows, pat, win, after)
         }
