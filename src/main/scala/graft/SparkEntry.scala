@@ -589,6 +589,13 @@ object SparkEntry {
     // cross-doc token runs >= 15 via shingle-diagonal islands —
     // arbitrary alignment, the class span tiling misses
     "text_substring_dedup" -> TextAnalysis.substringDedup _,
+    // the APPLY side: lower-doc-id keeps; per doc the UNION of removed
+    // token ranges across partners (no double-count on overlaps)
+    "text_substring_dedup_apply" -> TextAnalysis.substringDedupApply _,
+    // streaming cross-variable DEFINE: the cep_cross_define funnel live
+    // off the shared multi-pattern replay (spec 9, appended)
+    "stream_cep_cross" ->
+      ((s, dir) => graft.streaming.StreamingOps.streamCepCrossGate(s, dir)),
     // the 8-byte-key production plan, gated on ≡ the string-keyed form
     "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
@@ -4668,6 +4675,63 @@ object SparkEntry {
         "CAST(a_end - a_start + 5 AS BIGINT) AS run_len " +
         "FROM runs WHERE a_end - a_start + 5 >= 15 " +
         "ORDER BY doc_a, doc_b, a_start, b_start"),
+    // the apply accounting: per doc_b the COUNT(DISTINCT pos) union of
+    // removed ranges, left-joined onto every doc's token count
+    "text_substring_dedup_apply" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos, " +
+        "array_to_string(toks[(CAST(r.i AS INT)+1):(CAST(r.i AS INT)+5)], ' ') AS g " +
+        "FROM d, unnest(range(0, greatest(len(toks)-4, 0))) AS r(i)), " +
+        "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.pos AS pa, b.pos AS pb " +
+        "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        "isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, " +
+        "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb " +
+        "ORDER BY pa) AS grp FROM m), " +
+        "runs AS (SELECT doc_a, doc_b, diag, MIN(pa) AS a_start, " +
+        "MAX(pa) AS a_end FROM isl GROUP BY doc_a, doc_b, diag, grp), " +
+        "sel AS (SELECT doc_b, a_start - diag AS b_start, " +
+        "a_end - a_start + 5 AS run_len FROM runs " +
+        "WHERE a_end - a_start + 5 >= 15), " +
+        "rm AS (SELECT doc_b AS doc_id, " +
+        "COUNT(DISTINCT b_start + u.o) AS n_removed " +
+        "FROM sel, unnest(range(0, run_len)) AS u(o) GROUP BY doc_b) " +
+        "SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed " +
+        "FROM d LEFT JOIN rm ON rm.doc_id = d.doc_id " +
+        "ORDER BY d.doc_id"),
+    // streaming cross-variable DEFINE: the stream_cep islands CTE with
+    // the first-view / last-click value conditions (folded corpus,
+    // 10-minute window)
+    "stream_cep_cross" ->
+      (streamFoldedCte +
+        ", r AS (SELECT user_id, event_id, event_type, tu AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
+        "MAX(rn) AS ern, COUNT(*) AS n FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
+        "fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "fi.vc AS first_vc, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts, l.vc AS last_vc " +
+        "FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.event_type = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.event_type = 'purchase' " +
+        "WHERE c.event_type = 'click' " +
+        "AND p.first_ts - c.last_ts <= 600000000 " +
+        "AND p.first_vc > v.first_vc AND p.first_vc >= c.last_vc " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // same definitional counts + the hashed-plan equivalence verdict
     "text_span_dedup_hashed" ->
       (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +

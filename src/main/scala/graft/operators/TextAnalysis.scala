@@ -1132,6 +1132,41 @@ object TextAnalysis {
     substringDedupOf(t(s, dir, "documents"), 5, 15)
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
 
+  /** The APPLY side of exact substring dedup — Lee et al. remove all
+    * but one occurrence of each repeated substring; the deterministic
+    * keep policy here is LOWER-DOC-ID KEEPS: a run's doc_a copy stays,
+    * its doc_b token range is marked removed. Per document this
+    * returns (n_tokens, n_removed) where n_removed is the size of the
+    * UNION of the doc's removed ranges across all partners
+    * (overlapping runs from different partners must not double-count
+    * — positions are exploded and de-duplicated, output-proportional
+    * work: Σ run_len, never corpus²). The accounting surface a
+    * curation pipeline thresholds on before re-materializing texts.
+    */
+  def substringDedupApplyOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
+      maxDf: Int = 5000): DataFrame = {
+    val runs = substringDedupOf(docs, k, minLen, maxDf)
+    val counts = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val removed = runs
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("run_len") - 1)).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    counts.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** text_substring_dedup_apply gate: the removal accounting at the
+    * detection gate's parameters, all 500 docs (zero-removal docs
+    * included — the join coverage is part of the contract).
+    */
+  def substringDedupApply(s: SparkSession, dir: String): DataFrame =
+    substringDedupApplyOf(t(s, dir, "documents"), 5, 15)
+      .orderBy(col("doc_id"))
+
   /** Adjacent-pair frequencies over the BPE-ish token stream — the
     * counting step of a byte-pair-encoding merge round (tokenizer
     * training's inner loop): the most frequent pair becomes the next

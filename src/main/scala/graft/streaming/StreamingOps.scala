@@ -3810,7 +3810,16 @@ object StreamingOps {
         600000000L, after = SkipToNextRow), // 7 stream_cep_skip
       CepSpec(graft.operators.Cep.gLeaves(CepGroupGatePattern).toIndexedSeq,
         600000000L,
-        grouped = Some(CepGroupGatePattern))) // 8 stream_cep_group
+        grouped = Some(CepGroupGatePattern)), // 8 stream_cep_group
+      // r15, APPENDED (the spec list is checkpoint-append-only): the
+      // cross-variable DEFINE funnel — purchase > FIRST(V.value) and
+      // >= C.value — reading real cents off the shared valued buffer
+      CepSpec(IndexedSeq(Step("click"), Step("view", plus = true),
+        Step("purchase", cross = List(
+          graft.operators.Cep.CrossRef(1, first = true, PrevGt),
+          graft.operators.Cep.CrossRef(0, first = false,
+            graft.operators.Cep.PrevGe)))),
+        600000000L)) // 9 stream_cep_cross
   }
 
   /** The one shared CEP-gate replay per (process, dir): the day-folded
@@ -3864,6 +3873,31 @@ object StreamingOps {
 
   def streamCepVshapeGate(s: SparkSession, dir: String): DataFrame =
     cepGateOf(s, dir, 2)
+
+  /** stream_cep_cross gate — the STREAMING twin of `cep_cross_define`:
+    * the cross-variable DEFINE funnel live over the day-folded valued
+    * replay (10-minute window), sliced off the shared multi-pattern
+    * lifecycle (spec 9 — appended, honoring the checkpoint contract).
+    * The gate structurally asserts the SQL clause (window respelled)
+    * parses to EXACTLY spec 9's machine, so the slice is definitionally
+    * the clause's live execution. The value predicates evaluate
+    * against cents riding the shared buffer — the first gate-tier
+    * proof that cross-variable navigation works on the streaming
+    * state path (batch ≡ stream on the folded corpus: the pattern
+    * ends on a required One step, so no trailing-greed pending).
+    * Binding at sf0.01: 87 folded window-valid funnels → 34.
+    */
+  def streamCepCrossGate(s: SparkSession, dir: String): DataFrame = {
+    val sql = graft.operators.MatchRecognize.FunnelCrossSql
+      .replace("INTERVAL '7' DAY", "INTERVAL '10' MINUTE")
+    val parsed = graft.operators.MatchRecognize.parse(sql)
+    val sp = CepGateSpecs(9)
+    require(parsed.pattern.toIndexedSeq == sp.pattern &&
+      parsed.windowUs == sp.windowUs && parsed.after == sp.after,
+      "stream_cep_cross: the gate clause no longer matches the shared " +
+        "replay's spec 9 — re-align CepGateSpecs")
+    cepGateOf(s, dir, 9)
+  }
 
   /** Streaming MATCH_RECOGNIZE SQL surface — the clause parsed by
     * [[graft.operators.MatchRecognize.parse]] and run on an UNBOUNDED

@@ -291,15 +291,17 @@ class Round14Spec extends SparkSpecBase {
         |)""".stripMargin)
     assert(openEnded.pattern(1).rep.contains((2, Int.MaxValue)),
       s"${openEnded.pattern(1)}")
-    val missingLo =
+    // {,2} was rejected when this golden landed; r15 closed the family
+    // ({,n} → {0,n}) — the assertion tracks the support, and
+    // Round15Spec pins the full desugar set
+    val missingLo = MatchRecognize.parse(
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts, event_id
         |  PATTERN (A B{,2} C)
         |  DEFINE A AS A.event_type = 'click'
-        |)""".stripMargin
-    val e1 = intercept[IllegalArgumentException](
-      MatchRecognize.parse(missingLo))
-    assert(e1.getMessage.contains("integer bounds"), e1.getMessage)
+        |)""".stripMargin)
+    assert(missingLo.pattern(1).rep.contains((0, 2)),
+      s"${missingLo.pattern(1)}")
     val badNum =
       """MATCH_RECOGNIZE (
         |  PARTITION BY user_id ORDER BY ts, event_id
