@@ -371,6 +371,11 @@ object ScaleProbe {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // transformWithState needs column families — RocksDB, scoped to
+      // the probe (the same conf the stream gates' replay scope sets)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
       val specs = {
         import operators.Cep.{Step, SkipToNextRow}
         Seq(

@@ -592,6 +592,9 @@ object SparkEntry {
     // the APPLY side: lower-doc-id keeps; per doc the UNION of removed
     // token ranges across partners (no double-count on overlaps)
     "text_substring_dedup_apply" -> TextAnalysis.substringDedupApply _,
+    // the INCREMENTAL side: incoming docs vs the standing corpus only
+    // (ingestion-time contamination accounting, bloom-snapshot shape)
+    "text_substring_novelty" -> TextAnalysis.substringNovelty _,
     // streaming cross-variable DEFINE: the cep_cross_define funnel live
     // off the shared multi-pattern replay (spec 9, appended)
     "stream_cep_cross" ->
@@ -4700,6 +4703,32 @@ object SparkEntry {
         "CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed " +
         "FROM d LEFT JOIN rm ON rm.doc_id = d.doc_id " +
         "ORDER BY d.doc_id"),
+    // incremental substring novelty: corpus-vs-incoming shingle match
+    // runs >= 15, per incoming doc the distinct matched positions
+    "text_substring_novelty" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos, " +
+        "array_to_string(toks[(CAST(r.i AS INT)+1):(CAST(r.i AS INT)+5)], ' ') AS g " +
+        "FROM d, unnest(range(0, greatest(len(toks)-4, 0))) AS r(i)), " +
+        "m AS (SELECT c.doc_id AS doc_c, i.doc_id AS doc_i, " +
+        "c.pos AS pc, i.pos AS pi " +
+        "FROM sh c JOIN sh i ON c.g = i.g " +
+        "WHERE c.doc_id % 50 <> 0 AND i.doc_id % 50 = 0), " +
+        "isl AS (SELECT doc_c, doc_i, pi - pc AS diag, pi, " +
+        "pi - row_number() OVER (PARTITION BY doc_c, doc_i, pi - pc " +
+        "ORDER BY pi) AS grp FROM m), " +
+        "runs AS (SELECT doc_c, doc_i, MIN(pi) AS i_start, " +
+        "MAX(pi) AS i_end FROM isl GROUP BY doc_c, doc_i, diag, grp), " +
+        "sel AS (SELECT doc_i, i_start, i_end FROM runs " +
+        "WHERE i_end - i_start + 5 >= 15), " +
+        "mt AS (SELECT doc_i AS doc_id, " +
+        "COUNT(DISTINCT i_start + u.o) AS n_matched " +
+        "FROM sel, unnest(range(0, i_end - i_start + 5)) AS u(o) " +
+        "GROUP BY doc_i) " +
+        "SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(mt.n_matched, 0) AS BIGINT) AS n_matched " +
+        "FROM d LEFT JOIN mt ON mt.doc_id = d.doc_id " +
+        "WHERE d.doc_id % 50 = 0 ORDER BY d.doc_id"),
     // streaming cross-variable DEFINE: the stream_cep islands CTE with
     // the first-view / last-click value conditions (folded corpus,
     // 10-minute window)

@@ -1073,20 +1073,13 @@ object TextAnalysis {
     * count, one shuffle join on the shingle key, one key-partitioned
     * window — no global window, no nested loop.
     */
-  def substringDedupOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
-      maxDf: Int = 5000): DataFrame = {
-    require(k >= 2, s"substring dedup: shingle width k >= 2 (got $k)")
-    require(minLen >= k,
-      s"substring dedup: minLen >= k ($minLen < $k — a run shorter " +
-        "than one shingle is undetectable)")
-    require(maxDf >= 2,
-      s"substring dedup: maxDf >= 2 (got $maxDf — cross-doc sharing " +
-        "needs at least two postings)")
-    val toksBound = docs.select(col("doc_id").cast("long").as("doc_id"),
-      tokens(col("text")).as("toks"))
-    // stride-1 shingles as ONE map-side array expression (toks bound in
-    // its own projection first — the CSE rule), exploded with position
-    val idx = toksBound
+  /** The stride-1 k-token shingle inverted index shared by the
+    * substring-dedup family: (doc_id, pos, shingle, xxhash64 key) —
+    * one map pass, toks bound in its own projection (the CSE rule).
+    */
+  private def shingleIdx(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         when(size(col("toks")) >= k,
           transform(sequence(lit(0), size(col("toks")) - k),
@@ -1095,6 +1088,22 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("g"), xxhash64(col("g")).as("h"))
+
+  private def validateSubstringParams(k: Int, minLen: Int,
+      maxDf: Int): Unit = {
+    require(k >= 2, s"substring dedup: shingle width k >= 2 (got $k)")
+    require(minLen >= k,
+      s"substring dedup: minLen >= k ($minLen < $k — a run shorter " +
+        "than one shingle is undetectable)")
+    require(maxDf >= 2,
+      s"substring dedup: maxDf >= 2 (got $maxDf — cross-doc sharing " +
+        "needs at least two postings)")
+  }
+
+  def substringDedupOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
+      maxDf: Int = 5000): DataFrame = {
+    validateSubstringParams(k, minLen, maxDf)
+    val idx = shingleIdx(docs, k)
     // the occupancy cap: posting lists longer than maxDf drop out
     val keep = idx.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxDf).select(col("h"))
@@ -1166,6 +1175,65 @@ object TextAnalysis {
   def substringDedupApply(s: SparkSession, dir: String): DataFrame =
     substringDedupApplyOf(t(s, dir, "documents"), 5, 15)
       .orderBy(col("doc_id"))
+
+  /** INCREMENTAL substring dedup — the ingestion-time shape (the
+    * bloom-snapshot precedent for the suffix family): incoming docs
+    * checked against a STANDING corpus only, never against each
+    * other (batch-mode dedup owns within-set runs). One corpus-side
+    * shingle index ⋈ one incoming-side index on the shingle key
+    * (candidate-proportional; the corpus side is the posting-capped
+    * one — at scale it is the big, reusable side a pipeline
+    * materializes once), diagonal islands per (corpus doc, incoming
+    * doc), runs >= minLen, then per INCOMING doc the union of matched
+    * token positions. Output: (doc_id, n_tokens, n_matched) for every
+    * incoming doc — the contamination measure an ingestion filter
+    * thresholds on.
+    */
+  def substringNoveltyOf(corpus: DataFrame, incoming: DataFrame,
+      k: Int = 8, minLen: Int = 20, maxDf: Int = 5000): DataFrame = {
+    validateSubstringParams(k, minLen, maxDf)
+    val idxC = shingleIdx(corpus, k)
+    val keep = idxC.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxDf).select(col("h"))
+    val a = idxC.join(keep, Seq("h"))
+      .select(col("h"), col("g"), col("doc_id").as("doc_c"),
+        col("pos").as("pc"))
+    val b = shingleIdx(incoming, k)
+      .select(col("h").as("h"), col("g").as("g"),
+        col("doc_id").as("doc_i"), col("pos").as("pi"))
+    val cand = a.join(b, Seq("h", "g"))
+      .select(col("doc_c"), col("doc_i"), col("pc"), col("pi"))
+    val w = Window.partitionBy(col("doc_c"), col("doc_i"),
+      col("pi") - col("pc")).orderBy(col("pi"))
+    val runs = cand
+      .withColumn("diag", col("pi") - col("pc"))
+      .withColumn("grp", col("pi") - row_number().over(w))
+      .groupBy(col("doc_c"), col("doc_i"), col("diag"), col("grp"))
+      .agg(min(col("pi")).as("i_start"), max(col("pi")).as("i_end"))
+      .filter(col("i_end") - col("i_start") + k >= minLen)
+    val matched = runs
+      .select(col("doc_i").as("doc_id"),
+        explode(sequence(col("i_start"),
+          col("i_end") + k - 1)).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    incoming.select(col("doc_id").cast("long").as("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
+
+  /** text_substring_novelty gate: the decontam split (doc_id % 50 = 0
+    * is the incoming set, the rest the corpus) at the detection gate's
+    * parameters, every incoming doc accounted.
+    */
+  def substringNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    substringNoveltyOf(docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0), 5, 15)
+      .orderBy(col("doc_id"))
+  }
 
   /** Adjacent-pair frequencies over the BPE-ish token stream — the
     * counting step of a byte-pair-encoding merge round (tokenizer

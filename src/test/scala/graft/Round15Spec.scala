@@ -343,6 +343,27 @@ class Round15Spec extends SparkSpecBase {
     assert(runs == List((0L, 25L, 16L), (19L, 2L, 15L)), s"got $runs")
   }
 
+  test("substring novelty counts corpus-vs-incoming runs ONLY — " +
+      "incoming docs sharing text with each other stay novel") {
+    import spark.implicits._
+    val quoteA = (1 to 18).map(i => s"qa$i").mkString(" ")
+    val quoteB = (1 to 16).map(i => s"qb$i").mkString(" ")
+    val corpus = Seq((1L, s"corpus preamble $quoteA corpus tail"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, s"lead in $quoteA trailing words"),   // contaminated
+      (11L, s"fresh $quoteB first copy here"),    // shares with 12 only
+      (12L, s"other $quoteB second copy text"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .substringNoveltyOf(corpus, incoming, 5, 15)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out == List((10L, 22L, 18L), (11L, 20L, 0L),
+      (12L, 20L, 0L)), s"got $out")
+  }
+
   test("the df cap does not bind at gate scale (oracle stays cap-free)") {
     val docs = graft.Tables.t(spark, "/root/testdata/sf0.01", "documents")
     val toksBound = docs.select(
