@@ -3424,9 +3424,10 @@ object SparkEntry {
         "(PARTITION BY user_id, event_type ORDER BY rn) AS isl FROM r), " +
         "g AS (SELECT user_id, event_type, isl, MIN(rn) AS srn, " +
         "MAX(rn) AS ern, COUNT(*) AS n, " +
-        "CAST(SUM(vc) AS BIGINT) AS sv FROM i GROUP BY 1, 2, 3), " +
+        "CAST(SUM(vc) AS BIGINT) AS sv, " +
+        "CAST(MAX(vc) AS BIGINT) AS mxv FROM i GROUP BY 1, 2, 3), " +
         "gi AS (SELECT g.user_id, g.event_type, g.srn, g.ern, g.n, " +
-        "g.sv, fi.event_id AS first_id, fi.ts_us AS first_ts, " +
+        "g.sv, g.mxv, fi.event_id AS first_id, fi.ts_us AS first_ts, " +
         "l.event_id AS last_id, l.ts_us AS last_ts, l.vc AS last_vc " +
         "FROM g " +
         "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
@@ -3436,7 +3437,9 @@ object SparkEntry {
         "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
         "CAST(v.sv AS DOUBLE) / v.n AS v_avg_c, " +
         "CAST(v.sv - c.last_vc AS BIGINT) AS vc_diff_c, " +
-        "CAST(v.n + 1 AS BIGINT) AS vc_cnt " +
+        "CAST(v.n + 1 AS BIGINT) AS vc_cnt, " +
+        "CAST(v.sv AS DOUBLE) / v.n AS v_ratio_c, " +
+        "CAST(v.mxv * v.n AS BIGINT) AS v_scaled_c " +
         "FROM gi c " +
         "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
         "AND v.event_type = 'view' " +

@@ -66,12 +66,16 @@ import org.apache.spark.sql.functions._
 object MatchRecognize {
 
   /** A MEASURES expression: a single aggregate leaf ([[MAgg]]) or
-    * left-associated +/− arithmetic over aggregate leaves ([[MBin]]) —
-    * `SUM(A.value) - SUM(B.value)`, `COUNT(A.*) + COUNT(B.*)`.
-    * Arithmetic ranges over the numeric aggregates (COUNT/SUM/MIN/
-    * MAX/AVG); FIRST/LAST are event-id NAVIGATIONS and the niladic
-    * MATCH_NUMBER()/CLASSIFIER() are row markers — both stand alone
-    * (rejected inside arithmetic).
+    * arithmetic over aggregate leaves ([[MBin]]) — `SUM(A.value) -
+    * SUM(B.value)`, `COUNT(A.*) + COUNT(B.*)`, `SUM(V.value) /
+    * COUNT(V.*)`, `MAX(V.value) * COUNT(V.*)` — with standard
+    * precedence (* / bind tighter than + −, each level
+    * left-associated). Division is double (Spark's and DuckDB's own
+    * integer-division reading); the other operators stay integral
+    * over integral leaves. Arithmetic ranges over the numeric
+    * aggregates (COUNT/SUM/MIN/MAX/AVG); FIRST/LAST are event-id
+    * NAVIGATIONS and the niladic MATCH_NUMBER()/CLASSIFIER() are row
+    * markers — both stand alone (rejected inside arithmetic).
     */
   sealed trait MExpr extends Serializable
   final case class MAgg(func: String, varName: String) extends MExpr
@@ -611,10 +615,21 @@ object MatchRecognize {
         case "FINAL"   => p.next(); "FINAL"
         case _         => ""
       }
-      var expr: MExpr = parseTerm()
+      // precedence: * / bind tighter than + −; each level
+      // left-associates. The '*' after a closing paren is
+      // unambiguous — COUNT's V.* form is consumed inside parseTerm.
+      def parseProd(): MExpr = {
+        var e: MExpr = parseTerm()
+        while (p.peek == "*" || p.peek == "/") {
+          val op = p.next().head
+          e = MBin(op, e, parseTerm())
+        }
+        e
+      }
+      var expr: MExpr = parseProd()
       while (p.peek == "+" || p.peek == "-") {
         val op = p.next().head
-        expr = MBin(op, expr, parseTerm())
+        expr = MBin(op, expr, parseProd())
       }
       mLeaves(expr).foreach { a =>
         if (a.func == "MATCH_NUMBER" || a.func == "CLASSIFIER") {
@@ -876,6 +891,8 @@ object MatchRecognize {
     def evalM(e: MExpr): Column = e match {
       case a: MAgg         => aggCol(a)
       case MBin('+', l, r) => evalM(l) + evalM(r)
+      case MBin('*', l, r) => evalM(l) * evalM(r)
+      case MBin('/', l, r) => evalM(l) / evalM(r)
       case MBin(_, l, r)   => evalM(l) - evalM(r)
     }
     val aggs = measures.filterNot(isMn)
@@ -1003,6 +1020,8 @@ object MatchRecognize {
           case MAgg("CLASSIFIER", _) => col("classifier")
           case a: MAgg               => aggColW(a, w)
           case MBin('+', l, r)       => evalM(l) + evalM(r)
+          case MBin('*', l, r)       => evalM(l) * evalM(r)
+          case MBin('/', l, r)       => evalM(l) / evalM(r)
           case MBin(_, l, r)         => evalM(l) - evalM(r)
         }
         evalM(m.expr).as(m.alias)
@@ -1294,10 +1313,12 @@ object MatchRecognize {
 
   /** sql_mr_measures_ext — MEASURES expression breadth: AVG as a
     * first-class aggregate (pooled cents over row count, double) and
-    * +/− arithmetic over aggregates (`SUM(V.value) - SUM(C.value)`,
-    * `COUNT(V.*) + COUNT(C.*)`), evaluated INSIDE the one-row pivot's
-    * hash aggregation. Oracle: the funnel islands CTE computing the
-    * same three expressions per match.
+    * full +−*／ arithmetic over aggregates with standard precedence,
+    * evaluated INSIDE the one-row pivot's hash aggregation. The ratio
+    * measure `SUM(V.value) / COUNT(V.*)` must equal the AVG column
+    * row-for-row (an in-output cross-check of division against the
+    * native AVG); the product exercises '*'. Oracle: the funnel
+    * islands CTE computing the same five expressions per match.
     */
   val FunnelMeasuresExtSql: String =
     """MATCH_RECOGNIZE (
@@ -1305,7 +1326,9 @@ object MatchRecognize {
       |  ORDER BY ts, event_id
       |  MEASURES AVG(V.value) AS v_avg_c,
       |           SUM(V.value) - SUM(C.value) AS vc_diff_c,
-      |           COUNT(V.*) + COUNT(C.*) AS vc_cnt
+      |           COUNT(V.*) + COUNT(C.*) AS vc_cnt,
+      |           SUM(V.value) / COUNT(V.*) AS v_ratio_c,
+      |           MAX(V.value) * COUNT(V.*) AS v_scaled_c
       |  ONE ROW PER MATCH
       |  AFTER MATCH SKIP PAST LAST ROW
       |  PATTERN (C V+ P)

@@ -236,12 +236,30 @@ class Round15Spec extends SparkSpecBase {
   test("MEASURES expressions parse; malformed shapes reject by name") {
     val p = MR.parse(MR.FunnelMeasuresExtSql)
     val ms = MR.parseMeasures(p.rawMeasures)
-    assert(ms.map(_.alias) == Seq("v_avg_c", "vc_diff_c", "vc_cnt"))
+    assert(ms.map(_.alias) == Seq("v_avg_c", "vc_diff_c", "vc_cnt",
+      "v_ratio_c", "v_scaled_c"))
     assert(ms(0).expr == MR.MAgg("AVG", "V"))
     assert(ms(1).expr ==
       MR.MBin('-', MR.MAgg("SUM", "V"), MR.MAgg("SUM", "C")))
     assert(ms(2).expr ==
       MR.MBin('+', MR.MAgg("COUNT", "V"), MR.MAgg("COUNT", "C")))
+    assert(ms(3).expr ==
+      MR.MBin('/', MR.MAgg("SUM", "V"), MR.MAgg("COUNT", "V")))
+    assert(ms(4).expr ==
+      MR.MBin('*', MR.MAgg("MAX", "V"), MR.MAgg("COUNT", "V")))
+    // precedence: * binds tighter than −, levels left-associate
+    val prec = MR.parseMeasures(MR.parse(MR.FunnelMeasuresExtSql.replace(
+      """AVG(V.value) AS v_avg_c,
+        |           SUM(V.value) - SUM(C.value) AS vc_diff_c,
+        |           COUNT(V.*) + COUNT(C.*) AS vc_cnt,
+        |           SUM(V.value) / COUNT(V.*) AS v_ratio_c,
+        |           MAX(V.value) * COUNT(V.*) AS v_scaled_c""".stripMargin,
+      "SUM(V.value) - SUM(C.value) * COUNT(C.*) + COUNT(V.*) AS x"))
+      .rawMeasures)
+    assert(prec.head.expr == MR.MBin('+',
+      MR.MBin('-', MR.MAgg("SUM", "V"),
+        MR.MBin('*', MR.MAgg("SUM", "C"), MR.MAgg("COUNT", "C"))),
+      MR.MAgg("COUNT", "V")), s"got ${prec.head.expr}")
     def badM(measures: String, frag: String): Unit = {
       val sql = MR.FunnelMeasuresExtSql.replace(
         """AVG(V.value) AS v_avg_c,
