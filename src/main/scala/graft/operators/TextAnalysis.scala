@@ -1103,7 +1103,10 @@ object TextAnalysis {
   def substringDedupOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
       maxDf: Int = 5000): DataFrame = {
     validateSubstringParams(k, minLen, maxDf)
-    val idx = shingleIdx(docs, k)
+    // cached: referenced three times (the df count + both join sides)
+    // — without it Catalyst re-runs the tokenize+shingle build per
+    // reference (the Dedup.scala docShinglesOf idiom)
+    val idx = shingleIdx(docs, k).cache()
     // the occupancy cap: posting lists longer than maxDf drop out
     val keep = idx.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxDf).select(col("h"))
@@ -1192,7 +1195,8 @@ object TextAnalysis {
   def substringNoveltyOf(corpus: DataFrame, incoming: DataFrame,
       k: Int = 8, minLen: Int = 20, maxDf: Int = 5000): DataFrame = {
     validateSubstringParams(k, minLen, maxDf)
-    val idxC = shingleIdx(corpus, k)
+    // cached: the corpus index is referenced twice (df count + probe)
+    val idxC = shingleIdx(corpus, k).cache()
     val keep = idxC.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxDf).select(col("h"))
     val a = idxC.join(keep, Seq("h"))
