@@ -371,11 +371,15 @@ object ScaleProbe {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      // transformWithState needs column families — RocksDB, scoped to
-      // the probe (the same conf the stream gates' replay scope sets)
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // transformWithState needs column families — RocksDB, set for
+      // the probe and RESTORED after (a leaked provider would skew any
+      // later streaming probe's ratio)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
         "org.apache.spark.sql.execution.streaming.state" +
           ".RocksDBStateStoreProvider")
+      try {
       val specs = {
         import operators.Cep.{Step, SkipToNextRow}
         Seq(
@@ -398,6 +402,10 @@ object ScaleProbe {
       src.addData((-1L, flushTs, -1L, "flush", 0L))
       q.processAllAvailable()
       q.stop()
+      } finally prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
     }
     import spark.implicits._
     lazy val cepRows1: Seq[(Long, Long, Long, String, Long)] = {

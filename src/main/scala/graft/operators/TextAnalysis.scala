@@ -1100,6 +1100,42 @@ object TextAnalysis {
         "needs at least two postings)")
   }
 
+  /** Diagonal-islands maximal-run extraction shared by the substring
+    * family: candidates (docA, docB, posA, posB) — same-shingle
+    * position pairs — collapse to maximal shared runs per (docA, docB)
+    * on each DIAGONAL (posA − posB constant): islands of consecutive
+    * posA under one KEY-partitioned window. A shared token run of
+    * length L >= k is exactly L − k + 1 consecutive shingle matches on
+    * one diagonal, so the islands recover every maximal run and its
+    * exact extent. Output: (docA, docB, a_start, b_start, run_len),
+    * run_len >= minLen, positions on the A side.
+    */
+  private def diagonalRuns(cand: DataFrame, k: Int,
+      minLen: Int): DataFrame = {
+    val w = Window.partitionBy(col("docA"), col("docB"), col("diag"))
+      .orderBy(col("posA"))
+    cand.withColumn("diag", col("posA") - col("posB"))
+      .withColumn("grp", col("posA") - row_number().over(w))
+      .groupBy(col("docA"), col("docB"), col("diag"), col("grp"))
+      .agg(min(col("posA")).as("a_start"), max(col("posA")).as("a_end"))
+      .select(col("docA"), col("docB"), col("a_start"),
+        (col("a_start") - col("diag")).as("b_start"),
+        (col("a_end") - col("a_start") + k).as("run_len"))
+      .filter(col("run_len") >= minLen)
+  }
+
+  /** Per-doc size of the UNION of covered token positions over runs
+    * keyed by (docCol, startCol): exploded-distinct positions —
+    * Σ run_len work, overlap-safe across partners.
+    */
+  private def positionUnion(runs: DataFrame, docCol: String,
+      startCol: String): DataFrame =
+    runs.select(col(docCol).as("doc_id"),
+        explode(sequence(col(startCol),
+          col(startCol) + col("run_len") - 1)).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+
   def substringDedupOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
       maxDf: Int = 5000): DataFrame = {
     validateSubstringParams(k, minLen, maxDf)
@@ -1112,23 +1148,15 @@ object TextAnalysis {
       .filter(col("occ") <= maxDf).select(col("h"))
     val pruned = idx.join(keep, Seq("h"))
     val a = pruned.select(col("h"), col("g"),
-      col("doc_id").as("doc_a"), col("pos").as("pa"))
+      col("doc_id").as("docA"), col("pos").as("posA"))
     val b = pruned.select(col("h").as("h"), col("g").as("g"),
-      col("doc_id").as("doc_b"), col("pos").as("pb"))
+      col("doc_id").as("docB"), col("pos").as("posB"))
     val cand = a.join(b, Seq("h", "g"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
-    // diagonal islands: consecutive pa per (doc_a, doc_b, pa − pb)
-    val diag = cand.withColumn("diag", col("pa") - col("pb"))
-    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-      .orderBy(col("pa"))
-    diag.withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-      .agg(min(col("pa")).as("a_start"), max(col("pa")).as("a_end"))
-      .select(col("doc_a"), col("doc_b"), col("a_start"),
-        (col("a_start") - col("diag")).as("b_start"),
-        (col("a_end") - col("a_start") + k).as("run_len"))
-      .filter(col("run_len") >= minLen)
+      .filter(col("docA") < col("docB"))
+      .select(col("docA"), col("docB"), col("posA"), col("posB"))
+    diagonalRuns(cand, k, minLen)
+      .select(col("docA").as("doc_a"), col("docB").as("doc_b"),
+        col("a_start"), col("b_start"), col("run_len"))
   }
 
   /** text_substring_dedup gate: maximal cross-doc repeated runs of
@@ -1160,15 +1188,10 @@ object TextAnalysis {
     val runs = substringDedupOf(docs, k, minLen, maxDf)
     val counts = docs.select(col("doc_id").cast("long").as("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val removed = runs
-      .select(col("doc_b").as("doc_id"),
-        explode(sequence(col("b_start"),
-          col("b_start") + col("run_len") - 1)).as("pos"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    val removed = positionUnion(runs, "doc_b", "b_start")
     counts.join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        coalesce(col("n_covered"), lit(0L)).as("n_removed"))
   }
 
   /** text_substring_dedup_apply gate: the removal accounting at the
@@ -1199,33 +1222,23 @@ object TextAnalysis {
     val idxC = shingleIdx(corpus, k).cache()
     val keep = idxC.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxDf).select(col("h"))
+    // the INCOMING side is the A side: run extents land on incoming
+    // positions, which is what the per-doc union accounts
     val a = idxC.join(keep, Seq("h"))
-      .select(col("h"), col("g"), col("doc_id").as("doc_c"),
-        col("pos").as("pc"))
+      .select(col("h"), col("g"), col("doc_id").as("docB"),
+        col("pos").as("posB"))
     val b = shingleIdx(incoming, k)
       .select(col("h").as("h"), col("g").as("g"),
-        col("doc_id").as("doc_i"), col("pos").as("pi"))
+        col("doc_id").as("docA"), col("pos").as("posA"))
     val cand = a.join(b, Seq("h", "g"))
-      .select(col("doc_c"), col("doc_i"), col("pc"), col("pi"))
-    val w = Window.partitionBy(col("doc_c"), col("doc_i"),
-      col("pi") - col("pc")).orderBy(col("pi"))
-    val runs = cand
-      .withColumn("diag", col("pi") - col("pc"))
-      .withColumn("grp", col("pi") - row_number().over(w))
-      .groupBy(col("doc_c"), col("doc_i"), col("diag"), col("grp"))
-      .agg(min(col("pi")).as("i_start"), max(col("pi")).as("i_end"))
-      .filter(col("i_end") - col("i_start") + k >= minLen)
-    val matched = runs
-      .select(col("doc_i").as("doc_id"),
-        explode(sequence(col("i_start"),
-          col("i_end") + k - 1)).as("pos"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+      .select(col("docA"), col("docB"), col("posA"), col("posB"))
+    val matched = positionUnion(diagonalRuns(cand, k, minLen),
+      "docA", "a_start")
     incoming.select(col("doc_id").cast("long").as("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+        coalesce(col("n_covered"), lit(0L)).as("n_matched"))
   }
 
   /** text_substring_novelty gate: the decontam split (doc_id % 50 = 0

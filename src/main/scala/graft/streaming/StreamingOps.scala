@@ -2599,9 +2599,9 @@ object StreamingOps {
       specs: Seq[CepSpec],
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[(Int, graft.operators.Cep.CepMeasured)] = {
-    require(specs.nonEmpty, "cepStreamMulti: no pattern specs")
+    require(specs.nonEmpty, "cep multi-pattern stream: no pattern specs")
     require(specs.length < CepTimeoutTag,
-      s"cepStreamMulti: ${specs.length} specs — the timeout tag offset " +
+      s"cep multi-pattern stream: ${specs.length} specs — the timeout tag offset " +
         s"($CepTimeoutTag) must stay disjoint from spec indices")
     specs.foreach { sp =>
       if (sp.grouped.isEmpty) {
@@ -2612,13 +2612,13 @@ object StreamingOps {
       if (sp.withTimeouts) {
         require(sp.grouped.isEmpty && sp.contiguous &&
           sp.after == graft.operators.Cep.SkipPastLast,
-          "cepStreamMulti: withTimeouts needs a contiguous flat " +
+          "cep multi-pattern stream: withTimeouts needs a contiguous flat " +
             "pattern under AFTER MATCH SKIP PAST LAST ROW")
         graft.operators.Cep.validateTimeoutScope(sp.pattern)
       }
       if (sp.measured)
         require(sp.grouped.isEmpty,
-          "cepStreamMulti: the measured channel ranges over FLAT " +
+          "cep multi-pattern stream: the measured channel ranges over FLAT " +
             "pattern steps (grouped leaves have no single step to " +
             "aggregate — same rule as the batch measures runner)")
     }
