@@ -44,8 +44,11 @@ object Bench {
     // second pass doubled ~2.3 min of wall for a ~2 s better min-sum.
     // They run once, in pass1 only.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def onePass(skip: String => Boolean): Seq[(String, Double)] =
-      ordered.filterNot(kv => skip(kv._1)).map { case (name, fn) =>
+    def onePass(skip: String => Boolean,
+        afterEach: Seq[(String, Double)] => Unit = _ => ())
+        : Seq[(String, Double)] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      ordered.filterNot(kv => skip(kv._1)).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink materializes every output row/column — count() would
         // let Catalyst prune the projected expression work and understate
@@ -58,9 +61,30 @@ object Bench {
         // drop per-query caches so memory pressure from one operator
         // doesn't bleed into the next measurement
         spark.catalog.clearCache()
-        name -> dt
+        acc += (name -> dt)
+        afterEach(acc.toSeq)
       }
-    val pass1 = onePass(_ => false)
+      acc.toSeq
+    }
+    // BENCH SURVIVABILITY (the r15 lesson: the driver's run died on a
+    // timeout, rc 124, leaving parsed:null and NO number at all because
+    // the one parseable line printed only after both passes): refresh
+    // the BENCH_LINE.json sidecar every 25 queries during pass1, then
+    // write the sidecar AND print the interim summary line the moment
+    // pass1 completes — its map covers every key, so a run killed
+    // anywhere in pass2 still leaves a complete-map line in the
+    // captured stdout tail (and in the sidecar redundantly).
+    val pass1 = onePass(_ => false, afterEach = partial =>
+      if (partial.length % 25 == 0)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_LINE.json"),
+          (summaryLine(partial, sfDir, partial = true) + "\n")
+            .getBytes("UTF-8")))
+    val p1Line = summaryLine(pass1, sfDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LINE.json"),
+      (p1Line + "\n").getBytes("UTF-8"))
+    println(p1Line)
     val pass2 = onePass(_.startsWith("stream_"))
     val p2 = pass2.toMap
     val results = pass1.map { case (n, t1) =>
@@ -83,16 +107,7 @@ object Bench {
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,""" +
         s""""pass1":${rawJson(pass1)},"pass2":${rawJson(pass2)},"sf":"$sfDir"}""")
         .getBytes("UTF-8"))
-    val entries = results.sortBy(-_._2)
-      .map { case (k, v) => f""""$k":$v%.3f""" }
-    val budget = 1000 // chars for the queries map body (margin vs capture caps)
-    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    entries.foreach { e =>
-      if (used + e.length + 1 <= budget) { keep += e; used += e.length + 1 }
-    }
-    val qs = keep.mkString("{", ",", "}")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"nqueries":${results.length},"omitted":${entries.length - keep.length},"sf":"$sfDir"}"""
+    val line = summaryLine(results, sfDir)
     // Every driver round so far has recorded parsed:null for the bench —
     // even rc-0 rounds where this line is visible in the captured stdout
     // tail. Belt-and-braces: persist the exact line to a fixed sidecar
@@ -104,6 +119,29 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LINE.json"), (line + "\n").getBytes("UTF-8"))
     spark.stop()
     println(line)
+  }
+
+  /** The ONE driver-parseable summary line, shared by the interim
+    * (post-pass1 / every-25-queries sidecar) and final emissions. Keeps
+    * the line comfortably under the driver's ~2000-char stdout-tail
+    * capture: 3-decimal values, slowest-first, overflow spilled to
+    * BENCH_FULL.json. `partial` marks mid-pass sidecar snapshots whose
+    * map does not yet cover every key.
+    */
+  private def summaryLine(results: Seq[(String, Double)], sfDir: String,
+      partial: Boolean = false): String = {
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+    val budget = 1000 // chars for the queries map body (margin vs capture caps)
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= budget) { keep += e; used += e.length + 1 }
+    }
+    val qs = keep.mkString("{", ",", "}")
+    val part = if (partial) """"partial":true,""" else ""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$part"nqueries":${results.length},"omitted":${entries.length - keep.length},"sf":"$sfDir"}"""
   }
 
   /** Steady-state warmup: exercise the hot execution paths once (hash

@@ -393,15 +393,20 @@ object ScaleProbe {
             after = SkipToNextRow))
       }
       val src = MemoryStream[(Long, Long, Long, String, Long)]
-      val q = streaming.StreamingOps
-        .cepStreamMultiMeasured(src.toDS(), specs).toDF()
-        .writeStream.format("noop").outputMode("append").start()
-      val flushTs = rows.iterator.map(_._2).max + 1200000000L
-      src.addData(rows)
-      q.processAllAvailable()
-      src.addData((-1L, flushTs, -1L, "flush", 0L))
-      q.processAllAvailable()
-      q.stop()
+      // q.stop() lives in the finally: if processAllAvailable throws,
+      // a still-running query would skew every later probe even with
+      // the provider conf restored
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = streaming.StreamingOps
+          .cepStreamMultiMeasured(src.toDS(), specs).toDF()
+          .writeStream.format("noop").outputMode("append").start()
+        val flushTs = rows.iterator.map(_._2).max + 1200000000L
+        src.addData(rows)
+        q.processAllAvailable()
+        src.addData((-1L, flushTs, -1L, "flush", 0L))
+        q.processAllAvailable()
+      } finally if (q != null) q.stop()
       } finally prevProv match {
         case Some(v) => spark.conf.set(provKey, v)
         case None => spark.conf.unset(provKey)
@@ -434,6 +439,18 @@ object ScaleProbe {
     }.reduce(_ unionByName _).localCheckpoint(true)
     def substr(docs: DataFrame) =
       operators.TextAnalysis.substringDedupOf(docs, 5, 15)
+    // the APPLY shape (r16): detect + the exploded position-union
+    // (Σ run_len rows) — the extra work over detect is
+    // output-proportional, so expect the detect ratio
+    def substrApply(docs: DataFrame) =
+      operators.TextAnalysis.substringDedupApplyOf(docs, 5, 15)
+    // the NOVELTY shape (r16): TWO indexes (corpus + incoming) joined
+    // on the shingle key — both sides scale with the replica count,
+    // candidates stay disjoint across replicas → expect linear
+    def substrNov(docs: DataFrame) =
+      operators.TextAnalysis.substringNoveltyOf(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), 5, 15)
 
     // warm forces the lazy replica tables' localCheckpoint OUTSIDE the
     // timers — otherwise the first probe touching a table absorbs its
@@ -587,7 +604,11 @@ object ScaleProbe {
       probe("cep_multi_stream", { cepRows1; cepRowsK; () })((
         time(cepMulti(cepRows1)), time(cepMulti(cepRowsK)))),
       probe("substr_dedup", { docs1c; docsSubK; () })((
-        time(noop(substr(docs1c))), time(noop(substr(docsSubK)))))).flatten
+        time(noop(substr(docs1c))), time(noop(substr(docsSubK))))),
+      probe("substr_apply", { docs1c; docsSubK; () })((
+        time(noop(substrApply(docs1c))), time(noop(substrApply(docsSubK))))),
+      probe("substr_novelty", { docs1c; docsSubK; () })((
+        time(noop(substrNov(docs1c))), time(noop(substrNov(docsSubK)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

@@ -460,6 +460,11 @@ object SparkEntry {
     "stream_cep_followed_plus" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamCepFollowedPlusGate(s, dir)),
+    // cross-variable DEFINE under RELAXED contiguity (r16): the relaxed
+    // funnel where the purchase must beat FIRST(V.value) — a failed
+    // predicate is SKIPPED (not a kill), interacting with greedy takes
+    "cep_cross_followed" ->
+      ((s, dir) => graft.operators.Cep.cepCrossFollowed(s, dir)),
     // running-aggregate DEFINE: bounded-spend click -> purchase+ with
     // SUM(value) <= 150.00 (cap, window, and multi-row cuts all bind)
     "cep_define_agg" ->
@@ -601,6 +606,9 @@ object SparkEntry {
       ((s, dir) => graft.streaming.StreamingOps.streamCepCrossGate(s, dir)),
     // the 8-byte-key production plan, gated on ≡ the string-keyed form
     "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
+    // the substring family's 8-byte-key production twin: candidate join
+    // on xxhash64 only, hash_eq pins set-equality with the string form
+    "text_substring_dedup_hashed" -> TextAnalysis.substringDedupHashed _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
     // equi-depth range partitioner: definitional-percentile boundaries
     // via sharded prefix sum; per-shard count+range proves the layout
@@ -3439,7 +3447,10 @@ object SparkEntry {
         "CAST(v.sv - c.last_vc AS BIGINT) AS vc_diff_c, " +
         "CAST(v.n + 1 AS BIGINT) AS vc_cnt, " +
         "CAST(v.sv AS DOUBLE) / v.n AS v_ratio_c, " +
-        "CAST(v.mxv * v.n AS BIGINT) AS v_scaled_c " +
+        "CAST(v.mxv * v.n AS BIGINT) AS v_scaled_c, " +
+        "CAST(v.sv AS DOUBLE) / 100 AS v_dollars, " +
+        "CAST(v.sv + c.last_vc AS DOUBLE) / (v.n + 1) AS vc_per_row, " +
+        "CAST(v.n * 2 + 1 AS BIGINT) AS v_cnt2 " +
         "FROM gi c " +
         "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
         "AND v.event_type = 'view' " +
@@ -3868,6 +3879,61 @@ object SparkEntry {
         "AND p.rn = (SELECT MIN(p2.rn) FROM r p2 " +
         "WHERE p2.user_id = kv.user_id AND p2.event_type = 'purchase' " +
         "AND p2.rn > kv.lastv) WHERE kv.k >= 1), " +
+        "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
+        "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
+        "FROM cand), " +
+        "fs AS (SELECT user_id, MIN(crn) AS crn FROM cand " +
+        "GROUP BY user_id), " +
+        "sel AS (SELECT user_id, crn FROM fs " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.crn = s.crn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, " +
+        "n.sts AS start_ts_us, n.eid AS end_event_id, " +
+        "n.ets AS end_ts_us, CAST(n.k + 2 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id " +
+        "AND n.crn = s.crn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // relaxed cross-variable DEFINE: the followed-plus recursive CTE
+    // with the purchase universe restricted to QUALIFYING rows (vc >
+    // the first in-horizon view's vc) — greedy take = all in-horizon
+    // views before the LAST qualifying purchase, end = earliest
+    // qualifying purchase after the take, recursive SKIP PAST LAST
+    "cep_cross_followed" ->
+      ("WITH RECURSIVE r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "base AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, " +
+        "(SELECT MIN(v.rn) FROM r v WHERE v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND v.rn > c.rn " +
+        "AND v.ts_us <= c.ts_us + 172800000000) AS fvrn " +
+        "FROM r c WHERE c.event_type = 'click'), " +
+        "fb AS (SELECT b.*, (SELECT fv.vc FROM r fv " +
+        "WHERE fv.user_id = b.user_id AND fv.rn = b.fvrn) AS fvc " +
+        "FROM base b WHERE b.fvrn IS NOT NULL), " +
+        "lp AS (SELECT b.*, (SELECT MAX(p.rn) FROM r p " +
+        "WHERE p.user_id = b.user_id AND p.event_type = 'purchase' " +
+        "AND p.ts_us <= b.sts + 172800000000 AND p.rn > b.fvrn " +
+        "AND p.vc > b.fvc) AS lastp FROM fb b), " +
+        "kv AS (SELECT b.*, " +
+        "(SELECT MAX(v.rn) FROM r v WHERE v.user_id = b.user_id " +
+        "AND v.event_type = 'view' AND v.rn > b.crn AND v.rn < b.lastp " +
+        "AND v.ts_us <= b.sts + 172800000000) AS lastv, " +
+        "(SELECT COUNT(*) FROM r v WHERE v.user_id = b.user_id " +
+        "AND v.event_type = 'view' AND v.rn > b.crn AND v.rn < b.lastp " +
+        "AND v.ts_us <= b.sts + 172800000000) AS k " +
+        "FROM lp b WHERE b.lastp IS NOT NULL), " +
+        "cand AS (SELECT kv.user_id, kv.crn, kv.sid, kv.sts, kv.k, " +
+        "p.rn AS prn, p.event_id AS eid, p.ts_us AS ets " +
+        "FROM kv JOIN r p ON p.user_id = kv.user_id " +
+        "AND p.rn = (SELECT MIN(p2.rn) FROM r p2 " +
+        "WHERE p2.user_id = kv.user_id AND p2.event_type = 'purchase' " +
+        "AND p2.rn > kv.lastv AND p2.vc > kv.fvc " +
+        "AND p2.ts_us <= kv.sts + 172800000000) WHERE kv.k >= 1), " +
         "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
         "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
         "FROM cand), " +
@@ -4679,6 +4745,27 @@ object SparkEntry {
         "MAX(pa) AS a_end FROM isl GROUP BY doc_a, doc_b, diag, grp) " +
         "SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, " +
         "CAST(a_end - a_start + 5 AS BIGINT) AS run_len " +
+        "FROM runs WHERE a_end - a_start + 5 >= 15 " +
+        "ORDER BY doc_a, doc_b, a_start, b_start"),
+    // the hashed production twin: the string-keyed runs are the
+    // definitional answer (same CTE), hash_eq pinned 1 — the Spark side
+    // proves the 8-byte-key plan's run set equals the string-keyed one
+    "text_substring_dedup_hashed" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos, " +
+        "array_to_string(toks[(CAST(r.i AS INT)+1):(CAST(r.i AS INT)+5)], ' ') AS g " +
+        "FROM d, unnest(range(0, greatest(len(toks)-4, 0))) AS r(i)), " +
+        "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.pos AS pa, b.pos AS pb " +
+        "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        "isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, " +
+        "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb " +
+        "ORDER BY pa) AS grp FROM m), " +
+        "runs AS (SELECT doc_a, doc_b, diag, MIN(pa) AS a_start, " +
+        "MAX(pa) AS a_end FROM isl GROUP BY doc_a, doc_b, diag, grp) " +
+        "SELECT doc_a, doc_b, a_start, a_start - diag AS b_start, " +
+        "CAST(a_end - a_start + 5 AS BIGINT) AS run_len, " +
+        "CAST(1 AS BIGINT) AS hash_eq " +
         "FROM runs WHERE a_end - a_start + 5 >= 15 " +
         "ORDER BY doc_a, doc_b, a_start, b_start"),
     // the apply accounting: per doc_b the COUNT(DISTINCT pos) union of

@@ -466,17 +466,29 @@ object Cep {
         "cep: running-aggregate DEFINE predicates are contiguous-mode " +
           "only (a relaxed run's membership is not prefix-decidable " +
           "under a cap when rows can be skipped)")
-      require(st.cross.isEmpty,
-        "cep: cross-variable DEFINE references are contiguous-mode " +
-          "only — a relaxed parse's referenced span is a subsequence " +
-          "the (off, len) navigation the predicate reads cannot " +
-          "represent")
       st.rep.foreach { case (lo, hi) =>
         require(!st.plus && !st.opt,
           "cep: rep bounds override the quantifier flags")
         require(0 <= lo && lo <= hi && hi >= 1,
           s"cep: rep bounds must satisfy 0 <= lo <= hi, hi >= 1 " +
             s"(got ($lo, $hi))")
+      }
+    }
+    // r16: cross-variable DEFINE references run in relaxed mode too —
+    // the GENERALIZED subsequence walk tracks per-step consumed
+    // positions (`taken`), so FIRST/LAST navigation reads the current
+    // path's takes exactly as the backtracking walk's span arrays do.
+    // Same structural rules as the contiguous class: strictly-earlier
+    // target, never a zero-width negation.
+    pattern.toIndexedSeq.zipWithIndex.foreach { case (st, i) =>
+      st.cross.foreach { cr =>
+        require(cr.step >= 0 && cr.step < i,
+          s"cep: a cross-variable DEFINE reference must name an " +
+            s"EARLIER step (step $i references ${cr.step} — a " +
+            "not-yet-matched variable has no rows to navigate)")
+        require(!pattern(cr.step).neg,
+          "cep: a cross-variable reference targets a zero-width " +
+            "negation step, which consumes no row to navigate")
       }
     }
     require(pattern.head.bounds._1 >= 1 && !pattern.head.neg,
@@ -678,12 +690,14 @@ object Cep {
       Array.tabulate(pattern.length)(s =>
         (s until pattern.length).forall(t =>
           pattern(t).cross.forall(_.step >= s)))
-    // relaxed patterns with quantified or negation steps run the
-    // GENERALIZED subsequence walk (memoized backtracking over
-    // subsequence takes); plain One-step relaxed patterns keep the
+    // relaxed patterns with quantified, negation, or cross-referencing
+    // steps run the GENERALIZED subsequence walk (memoized backtracking
+    // over subsequence takes — its `taken` arrays are what cross
+    // navigation reads); plain One-step relaxed patterns keep the
     // O(buffer) earliest-next walk
     private val relaxedQ = !contiguous &&
-      pattern.exists(st => st.bounds != ((1, 1)) || st.neg)
+      pattern.exists(st => st.bounds != ((1, 1)) || st.neg ||
+        st.cross.nonEmpty)
     // TIMED-OUT PARTIAL MATCHES (Flink CEP's TimedOutPartialMatchHandler
     // — the abandoned-transaction surface) are implemented for the
     // contiguous collapse-closure class with a required-One tail under
@@ -818,19 +832,42 @@ object Cep {
             Complete
           } else {
             // middle absence: delegate the gap watch to the next
-            // (required — validateNeg) consuming step's scan
-            val r = go(s + 1, p, st.syms)
-            if (r == Complete) taken(s) = Nil
-            r
+            // (required — validateNeg) consuming step's scan. Zero
+            // width: taken is Nil on any path through it (set before
+            // the recursion — uniform with the consuming branch, though
+            // cross refs to negs are rejected and never read it)
+            taken(s) = Nil
+            go(s + 1, p, st.syms)
           }
         } else {
-          if (memo(s)(p) != 0)
+          // memo reads AND writes are gated on memoOkFrom, exactly as
+          // walkBack's: a position a later step's cross-variable
+          // reference reaches back across is path-dependent (go(s, p)'s
+          // outcome depends on the referenced step's take, not just
+          // (s, p)) and must not be cached
+          val mOk = memoOkFrom(s)
+          if (mOk && memo(s)(p) != 0)
             return if (memo(s)(p) == 3) Partial else Mismatch
           val (lo, hi) = st.bounds
+          // CROSS-VARIABLE references read the current path's takes
+          // (set before each recursion): FIRST/LAST of the referenced
+          // step's consumed positions — a zero-take referenced span is
+          // NULL, the row never matches (NULL-comparison semantics,
+          // same as walkBack's span navigation)
+          def crossOk(q: Int): Boolean =
+            st.cross.forall { cr =>
+              val tk = taken(cr.step)
+              tk != null && tk.nonEmpty && cmpHolds(cr.cmp, buf(q)._4,
+                buf(if (cr.first) tk.head else tk.last)._4)
+            }
           // collect subsequence match positions from p; a negWatch row
           // BEFORE the first own-match kills the branch; rows past the
           // horizon end collection (they could never be consumed — the
-          // final window check would fail — and bound extension)
+          // final window check would fail — and bound extension). A row
+          // matching the symbol but failing a cross predicate is a
+          // NON-MATCHING row (relaxed contiguity skips it — Flink's
+          // IterativeCondition reading: the condition is part of the
+          // state's take test, and followedBy skips non-taken rows)
           val pos = scala.collection.mutable.ArrayBuffer.empty[Int]
           var q = p
           var stoppedByHorizon = false
@@ -839,25 +876,34 @@ object Cep {
             if (buf(q)._1 > horizon) stoppedByHorizon = true
             else {
               val tpe = buf(q)._3
-              if (st.matches(tpe)) pos += q
+              if (st.matches(tpe) && crossOk(q)) pos += q
               else if (pos.isEmpty && negWatch.contains(tpe)) killed = true
               q += 1
             }
           }
-          if (killed) { memo(s)(p) = 2; return Mismatch }
+          if (killed) { if (mOk) memo(s)(p) = 2; return Mismatch }
           val c = pos.length
           val canExtend = c < hi && !stoppedByHorizon
-          def rec(take: Int): Int =
+          // the take is recorded BEFORE the recursion (not on the
+          // Complete unwind): later steps' cross references read the
+          // current path's takes; Complete short-circuits, so the
+          // accepted path's values are exactly what remains
+          def rec(take: Int): Int = {
+            taken(s) = pos.take(take).toList
             go(s + 1, if (take > 0) pos(take - 1) + 1 else p, Set.empty)
+          }
           if (!st.reluctant) {
-            if (canExtend && futureOk) { memo(s)(p) = 3; return Partial }
+            if (canExtend && futureOk) {
+              if (mOk) memo(s)(p) = 3
+              return Partial
+            }
             var take = c
             while (take >= lo) {
               rec(take) match {
-                case Complete =>
-                  taken(s) = pos.take(take).toList
-                  return Complete
-                case Partial => memo(s)(p) = 3; return Partial
+                case Complete => return Complete
+                case Partial =>
+                  if (mOk) memo(s)(p) = 3
+                  return Partial
                 case _ => take -= 1
               }
             }
@@ -865,16 +911,19 @@ object Cep {
             var take = lo
             while (take <= c) {
               rec(take) match {
-                case Complete =>
-                  taken(s) = pos.take(take).toList
-                  return Complete
-                case Partial => memo(s)(p) = 3; return Partial
+                case Complete => return Complete
+                case Partial =>
+                  if (mOk) memo(s)(p) = 3
+                  return Partial
                 case _ => take += 1
               }
             }
-            if (canExtend && futureOk) { memo(s)(p) = 3; return Partial }
+            if (canExtend && futureOk) {
+              if (mOk) memo(s)(p) = 3
+              return Partial
+            }
           }
-          memo(s)(p) = 2
+          if (mOk) memo(s)(p) = 2
           Mismatch
         }
       }
@@ -2180,6 +2229,34 @@ object Cep {
   def cepFollowedPlus(s: SparkSession, dir: String): DataFrame =
     cepFollowedByOf(graft.Tables.t(s, dir, "events"),
       Seq(Step("click"), Step("view", plus = true), Step("purchase")),
+      windowUs = 48L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** cep_cross_followed — CROSS-VARIABLE DEFINE under RELAXED
+    * contiguity (r16; Flink's IterativeCondition over followedBy
+    * states): the relaxed funnel click → view+ → purchase where the
+    * purchase must beat the FIRST view's value
+    * (`P.value > FIRST(V.value)`), within 48 h. Unlike the contiguous
+    * twin ([[MatchRecognize.cepCrossDefine]]), a failed purchase
+    * predicate does NOT kill the candidate: relaxed matching SKIPS the
+    * disqualified purchase, and shrinking the greedy view take exposes
+    * EARLIER interleaved purchases — so the value predicate interacts
+    * with greed (the machine's take-shrink loop), which is exactly the
+    * seam this gate freezes. Oracle: the followed-plus recursive CTE
+    * with the purchase universe restricted to QUALIFYING rows
+    * (vc > first in-horizon view's vc) — greedy-longest take = all
+    * in-horizon views before the LAST qualifying purchase, end = the
+    * earliest qualifying purchase after the take, recursive
+    * SKIP PAST LAST selection. Binding at sf0.01: 172 matches vs the
+    * plain funnel's 316 (the predicate kills and reshapes), 42 multi-
+    * view, and 21 matches NOT in the plain set — shifted ends and
+    * re-opened starts, the skip-not-kill semantics observably binding.
+    */
+  def cepCrossFollowed(s: SparkSession, dir: String): DataFrame =
+    cepFollowedByOf(graft.Tables.t(s, dir, "events"),
+      Seq(Step("click"), Step("view", plus = true),
+        Step("purchase", cross = List(CrossRef(1, first = true, PrevGt)))),
       windowUs = 48L * 3600 * 1000000)
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))

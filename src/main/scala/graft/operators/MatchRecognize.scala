@@ -80,6 +80,15 @@ object MatchRecognize {
   sealed trait MExpr extends Serializable
   final case class MAgg(func: String, varName: String) extends MExpr
   final case class MBin(op: Char, l: MExpr, r: MExpr) extends MExpr
+  /** A NUMERIC LITERAL operand — `SUM(V.value) / 100` (the canonical
+    * cents→dollars measure), `COUNT(V.*) * 2`. Integral text stays a
+    * BIGINT literal, a dotted one is DOUBLE — mirroring how DuckDB
+    * types the same constants, so oracle schemas line up.
+    */
+  final case class MLit(text: String) extends MExpr {
+    def column: org.apache.spark.sql.Column =
+      if (text.contains('.')) lit(text.toDouble) else lit(text.toLong)
+  }
 
   /** One parsed MEASURES entry: expression, output alias, and the
     * standard's per-row semantics marker. Supported aggregate leaves
@@ -102,6 +111,7 @@ object MatchRecognize {
   private[graft] def mLeaves(e: MExpr): List[MAgg] = e match {
     case a: MAgg => List(a)
     case MBin(_, l, r) => mLeaves(l) ++ mLeaves(r)
+    case _: MLit => Nil
   }
 
   /** The parsed clause: everything the runners need. `rawMeasures`
@@ -616,21 +626,41 @@ object MatchRecognize {
         case _         => ""
       }
       // precedence: * / bind tighter than + −; each level
-      // left-associates. The '*' after a closing paren is
-      // unambiguous — COUNT's V.* form is consumed inside parseTerm.
+      // left-associates; parentheses group recursively. The '*' after
+      // a closing paren is unambiguous — COUNT's V.* form is consumed
+      // inside parseTerm. A factor is a parenthesized sub-expression,
+      // a non-negative numeric literal (integral → BIGINT, dotted →
+      // DOUBLE — DuckDB's typing of the same constants), or an
+      // aggregate leaf.
+      def parseFactor(): MExpr =
+        if (p.accept("(")) {
+          val e = parseExpr()
+          p.expect(")")
+          e
+        } else if (p.peek.nonEmpty && p.peek.head.isDigit) {
+          MLit(p.next())
+        } else parseTerm()
       def parseProd(): MExpr = {
-        var e: MExpr = parseTerm()
+        var e: MExpr = parseFactor()
         while (p.peek == "*" || p.peek == "/") {
           val op = p.next().head
-          e = MBin(op, e, parseTerm())
+          e = MBin(op, e, parseFactor())
         }
         e
       }
-      var expr: MExpr = parseProd()
-      while (p.peek == "+" || p.peek == "-") {
-        val op = p.next().head
-        expr = MBin(op, expr, parseProd())
+      def parseExpr(): MExpr = {
+        var e: MExpr = parseProd()
+        while (p.peek == "+" || p.peek == "-") {
+          val op = p.next().head
+          e = MBin(op, e, parseProd())
+        }
+        e
       }
+      val expr: MExpr = parseExpr()
+      require(mLeaves(expr).nonEmpty,
+        "match_recognize: a MEASURES expression needs at least one " +
+          "aggregate leaf (a constant-only measure has nothing to " +
+          "measure)")
       mLeaves(expr).foreach { a =>
         if (a.func == "MATCH_NUMBER" || a.func == "CLASSIFIER") {
           require(mode.isEmpty,
@@ -890,6 +920,7 @@ object MatchRecognize {
     }
     def evalM(e: MExpr): Column = e match {
       case a: MAgg         => aggCol(a)
+      case l: MLit         => l.column
       case MBin('+', l, r) => evalM(l) + evalM(r)
       case MBin('*', l, r) => evalM(l) * evalM(r)
       case MBin('/', l, r) => evalM(l) / evalM(r)
@@ -1019,6 +1050,7 @@ object MatchRecognize {
             dense_rank().over(mnW).cast("long")
           case MAgg("CLASSIFIER", _) => col("classifier")
           case a: MAgg               => aggColW(a, w)
+          case l: MLit               => l.column
           case MBin('+', l, r)       => evalM(l) + evalM(r)
           case MBin('*', l, r)       => evalM(l) * evalM(r)
           case MBin('/', l, r)       => evalM(l) / evalM(r)
@@ -1317,8 +1349,13 @@ object MatchRecognize {
     * evaluated INSIDE the one-row pivot's hash aggregation. The ratio
     * measure `SUM(V.value) / COUNT(V.*)` must equal the AVG column
     * row-for-row (an in-output cross-check of division against the
-    * native AVG); the product exercises '*'. Oracle: the funnel
-    * islands CTE computing the same five expressions per match.
+    * native AVG); the product exercises '*'. r16 widens the grammar
+    * with NUMERIC LITERALS and PARENTHESES: `SUM(V.value) / 100` (the
+    * canonical cents→dollars scaling), the parenthesized pooled mean
+    * `(SUM+SUM)/(COUNT+COUNT)` (whose value ≠ the unparenthesized
+    * reading — grouping provably binds), and `COUNT(V.*) * 2 + 1`
+    * (literal product under +, precedence provably binds). Oracle: the
+    * funnel islands CTE computing the same eight expressions per match.
     */
   val FunnelMeasuresExtSql: String =
     """MATCH_RECOGNIZE (
@@ -1328,7 +1365,10 @@ object MatchRecognize {
       |           SUM(V.value) - SUM(C.value) AS vc_diff_c,
       |           COUNT(V.*) + COUNT(C.*) AS vc_cnt,
       |           SUM(V.value) / COUNT(V.*) AS v_ratio_c,
-      |           MAX(V.value) * COUNT(V.*) AS v_scaled_c
+      |           MAX(V.value) * COUNT(V.*) AS v_scaled_c,
+      |           SUM(V.value) / 100 AS v_dollars,
+      |           (SUM(V.value) + SUM(C.value)) / (COUNT(V.*) + COUNT(C.*)) AS vc_per_row,
+      |           COUNT(V.*) * 2 + 1 AS v_cnt2
       |  ONE ROW PER MATCH
       |  AFTER MATCH SKIP PAST LAST ROW
       |  PATTERN (C V+ P)

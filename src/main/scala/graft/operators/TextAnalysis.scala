@@ -1136,27 +1136,107 @@ object TextAnalysis {
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
 
-  def substringDedupOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
-      maxDf: Int = 5000): DataFrame = {
-    validateSubstringParams(k, minLen, maxDf)
-    // cached: referenced three times (the df count + both join sides)
-    // — without it Catalyst re-runs the tokenize+shingle build per
-    // reference (the Dedup.scala docShinglesOf idiom)
-    val idx = shingleIdx(docs, k).cache()
+  /** Detect kernel over a PRE-BUILT shingle index — the piece the
+    * detect gate, the apply gate, and the shared-fixture layer all run.
+    * `hashedKeys` drops the shingle STRING from the candidate join
+    * (8-byte xxhash64 shuffle keys only — the production form; the
+    * string-keyed default makes hash collisions impossible for the
+    * gate's bit-exact DuckDB compare, and the `hash_eq` gate proves the
+    * two agree — the [[spanDedupHashedOf]] precedent).
+    */
+  private def substringRunsFromIdx(idx: DataFrame, k: Int, minLen: Int,
+      maxDf: Int, hashedKeys: Boolean = false): DataFrame = {
     // the occupancy cap: posting lists longer than maxDf drop out
     val keep = idx.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxDf).select(col("h"))
-    val pruned = idx.join(keep, Seq("h"))
-    val a = pruned.select(col("h"), col("g"),
-      col("doc_id").as("docA"), col("pos").as("posA"))
-    val b = pruned.select(col("h").as("h"), col("g").as("g"),
-      col("doc_id").as("docB"), col("pos").as("posB"))
-    val cand = a.join(b, Seq("h", "g"))
+    val pruned0 = idx.join(keep, Seq("h"))
+    val pruned = if (hashedKeys) pruned0.drop("g") else pruned0
+    val joinKeys = if (hashedKeys) Seq("h") else Seq("h", "g")
+    val aCols = Seq(col("doc_id").as("docA"), col("pos").as("posA"))
+    val bCols = Seq(col("doc_id").as("docB"), col("pos").as("posB"))
+    val a = pruned.select(joinKeys.map(col) ++ aCols: _*)
+    val b = pruned.select(joinKeys.map(col) ++ bCols: _*)
+    val cand = a.join(b, joinKeys)
       .filter(col("docA") < col("docB"))
       .select(col("docA"), col("docB"), col("posA"), col("posB"))
     diagonalRuns(cand, k, minLen)
       .select(col("docA").as("doc_a"), col("docB").as("doc_b"),
         col("a_start"), col("b_start"), col("run_len"))
+  }
+
+  def substringDedupOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
+      maxDf: Int = 5000): DataFrame = {
+    validateSubstringParams(k, minLen, maxDf)
+    // eagerly materialized: referenced three times (the df count + both
+    // join sides) — without it Catalyst re-runs the tokenize+shingle
+    // build per reference. localCheckpoint (not cache): truncated
+    // lineage, and the blocks release with the reference when the
+    // caller drops the result — a .cache() here pinned one index per
+    // invocation in the CacheManager for the session's lifetime.
+    val idx = shingleIdx(docs, k).localCheckpoint(true)
+    substringRunsFromIdx(idx, k, minLen, maxDf)
+  }
+
+  /** The 8-byte-key PRODUCTION form of [[substringDedupOf]]: identical
+    * pipeline, candidate join keyed on xxhash64(shingle) ONLY — the
+    * shingle string never rides a shuffle (at 100 TB the stride-1 index
+    * dominates shuffle bytes; collision odds stay ~pairs²/2⁶⁴). Gated
+    * ≡ the string form by [[substringDedupHashed]]'s `hash_eq` verdict.
+    */
+  def substringDedupHashedOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
+      maxDf: Int = 5000): DataFrame = {
+    validateSubstringParams(k, minLen, maxDf)
+    val idx = shingleIdx(docs, k).select(
+      col("doc_id"), col("pos"), col("h")).localCheckpoint(true)
+    substringRunsFromIdx(idx, k, minLen, maxDf, hashedKeys = true)
+  }
+
+  // ---- shared gate fixtures (the cepMultiReplayed / semdedup
+  // precedent, r15 verdict item 4): the three text_substring_* gates
+  // each rebuilt the tokenize+shingle index (apply re-ran detect
+  // inside itself; novelty built two indexes) — the dominant cost of
+  // the family's 15.5 s steady footprint. Memoize the full-corpus
+  // index and the detect runs once per (JVM, dir, params) as parquet
+  // PATHS (session-independent; each call re-reads through the current
+  // session) and slice every gate off them. Outputs are bit-identical:
+  // the index is a per-doc map pass, so novelty's corpus/incoming
+  // slices equal the full index filtered by doc_id.
+  private val gateFixtures =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  private def memoPath(kind: String, key: String)(build: => String): String =
+    gateFixtures.computeIfAbsent((kind, key), _ => build)
+
+  /** The full-corpus stride-1 shingle index at the gate parameters,
+    * built once per (JVM, dir, k).
+    */
+  private def substringIdxShared(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val path = memoPath("substr_idx", s"$dir|$k") {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-substr-idx").toString
+      shingleIdx(t(s, dir, "documents"), k)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path)
+  }
+
+  /** The detect result (maximal cross-doc runs) at the gate
+    * parameters, built once per (JVM, dir, params) off the shared
+    * index — the detect, apply, and hash-twin gates all read it.
+    */
+  private def substringRunsShared(s: SparkSession, dir: String, k: Int,
+      minLen: Int, maxDf: Int): DataFrame = {
+    val path = memoPath("substr_runs", s"$dir|$k|$minLen|$maxDf") {
+      validateSubstringParams(k, minLen, maxDf)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-substr-runs").toString
+      substringRunsFromIdx(substringIdxShared(s, dir, k), k, minLen, maxDf)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path)
   }
 
   /** text_substring_dedup gate: maximal cross-doc repeated runs of
@@ -1169,8 +1249,28 @@ object TextAnalysis {
     * (max 93 tokens — the near-dup pairs' shared bodies).
     */
   def substringDedup(s: SparkSession, dir: String): DataFrame =
-    substringDedupOf(t(s, dir, "documents"), 5, 15)
+    substringRunsShared(s, dir, 5, 15, 5000)
       .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+
+  /** text_substring_dedup_hashed gate — the [[spanDedupHashedChecked]]
+    * precedent for the substring family: the string-keyed runs are the
+    * definitional answer (the DuckDB oracle reproduces them verbatim)
+    * and `hash_eq` — pinned to 1 — asserts the 8-byte-key production
+    * plan ([[substringDedupHashedOf]]) emits the IDENTICAL run set on
+    * this corpus (set equality both directions, so a collision-merged
+    * diagonal, a lost run, or a drifted extent all flip the verdict).
+    */
+  def substringDedupHashed(s: SparkSession, dir: String): DataFrame = {
+    val byString = substringRunsShared(s, dir, 5, 15, 5000)
+    val byHash = substringDedupHashedOf(t(s, dir, "documents"), 5, 15)
+    val diff = byString.exceptAll(byHash).unionAll(byHash.exceptAll(byString))
+      .agg(count(lit(1)).as("d"))
+    byString.crossJoin(broadcast(diff))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("run_len"),
+        when(col("d") === 0, 1L).otherwise(0L).as("hash_eq"))
+      .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
+  }
 
   /** The APPLY side of exact substring dedup — Lee et al. remove all
     * but one occurrence of each repeated substring; the deterministic
@@ -1184,8 +1284,15 @@ object TextAnalysis {
     * curation pipeline thresholds on before re-materializing texts.
     */
   def substringDedupApplyOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
-      maxDf: Int = 5000): DataFrame = {
-    val runs = substringDedupOf(docs, k, minLen, maxDf)
+      maxDf: Int = 5000): DataFrame =
+    substringApplyFromRuns(docs, substringDedupOf(docs, k, minLen, maxDf))
+
+  /** The apply accounting off a pre-computed run set — the piece the
+    * gate shares with the library form (one detect pass serves both
+    * detect and apply when the caller holds the runs already).
+    */
+  private def substringApplyFromRuns(docs: DataFrame,
+      runs: DataFrame): DataFrame = {
     val counts = docs.select(col("doc_id").cast("long").as("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
     val removed = positionUnion(runs, "doc_b", "b_start")
@@ -1196,10 +1303,13 @@ object TextAnalysis {
 
   /** text_substring_dedup_apply gate: the removal accounting at the
     * detection gate's parameters, all 500 docs (zero-removal docs
-    * included — the join coverage is part of the contract).
+    * included — the join coverage is part of the contract). Reads the
+    * shared detect fixture — the gate no longer re-runs detect inside
+    * itself.
     */
   def substringDedupApply(s: SparkSession, dir: String): DataFrame =
-    substringDedupApplyOf(t(s, dir, "documents"), 5, 15)
+    substringApplyFromRuns(t(s, dir, "documents"),
+      substringRunsShared(s, dir, 5, 15, 5000))
       .orderBy(col("doc_id"))
 
   /** INCREMENTAL substring dedup — the ingestion-time shape (the
@@ -1218,8 +1328,20 @@ object TextAnalysis {
   def substringNoveltyOf(corpus: DataFrame, incoming: DataFrame,
       k: Int = 8, minLen: Int = 20, maxDf: Int = 5000): DataFrame = {
     validateSubstringParams(k, minLen, maxDf)
-    // cached: the corpus index is referenced twice (df count + probe)
-    val idxC = shingleIdx(corpus, k).cache()
+    // eagerly materialized, not .cache()d: referenced twice (df count
+    // + probe) with truncated lineage, and the blocks release with the
+    // reference instead of pinning in the CacheManager per invocation
+    val idxC = shingleIdx(corpus, k).localCheckpoint(true)
+    substringNoveltyFromIdx(idxC, shingleIdx(incoming, k), incoming,
+      k, minLen, maxDf)
+  }
+
+  /** The novelty kernel over PRE-BUILT corpus/incoming indexes — the
+    * piece the gate shares with the library form (the gate slices both
+    * sides off the one memoized full-corpus index).
+    */
+  private def substringNoveltyFromIdx(idxC: DataFrame, idxI: DataFrame,
+      incoming: DataFrame, k: Int, minLen: Int, maxDf: Int): DataFrame = {
     val keep = idxC.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxDf).select(col("h"))
     // the INCOMING side is the A side: run extents land on incoming
@@ -1227,7 +1349,7 @@ object TextAnalysis {
     val a = idxC.join(keep, Seq("h"))
       .select(col("h"), col("g"), col("doc_id").as("docB"),
         col("pos").as("posB"))
-    val b = shingleIdx(incoming, k)
+    val b = idxI
       .select(col("h").as("h"), col("g").as("g"),
         col("doc_id").as("docA"), col("pos").as("posA"))
     val cand = a.join(b, Seq("h", "g"))
@@ -1243,12 +1365,17 @@ object TextAnalysis {
 
   /** text_substring_novelty gate: the decontam split (doc_id % 50 = 0
     * is the incoming set, the rest the corpus) at the detection gate's
-    * parameters, every incoming doc accounted.
+    * parameters, every incoming doc accounted. Both index sides are
+    * doc_id-filters of the ONE memoized full-corpus index (the index
+    * is a per-doc map pass, so the slices are bit-identical to
+    * per-side builds) — the gate builds zero indexes of its own.
     */
   def substringNovelty(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    substringNoveltyOf(docs.filter(col("doc_id") % 50 =!= 0),
-      docs.filter(col("doc_id") % 50 === 0), 5, 15)
+    val idx = substringIdxShared(s, dir, 5)
+    substringNoveltyFromIdx(idx.filter(col("doc_id") % 50 =!= 0),
+      idx.filter(col("doc_id") % 50 === 0),
+      docs.filter(col("doc_id") % 50 === 0), 5, 15, 5000)
       .orderBy(col("doc_id"))
   }
 

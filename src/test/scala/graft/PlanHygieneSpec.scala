@@ -45,6 +45,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_bm25",           // 1-row stats (n_docs, avgdl, |q| dfs)
     "text_dsir_select",    // 1-row model totals (tp, tq) vs dim-row counts
     "text_sim_pairs",      // 1-row corpus doc count (idf denominator)
+    "text_substring_dedup_hashed", // checked form: 1-row hash_eq summary
     "text_tfidf",          // 1-row corpus doc count
     "text_vocab_coverage", // 1-row bounds/totals + 3-row cutoff table
     "text_unigram_logprob", // 1-row corpus token count

@@ -1073,25 +1073,35 @@ object CepMachineProps extends Properties("CepMachine") {
           } else go(s + 1, p, st.syms)
         } else {
           val (lo, hi) = st.bounds
+          // r16: cross refs read the CURRENT path's earlier takes
+          // (recorded before each recursion below) — a row matching the
+          // symbol but failing the predicate is a skippable
+          // non-matching row, mirroring the machine's reading
+          def crossOk(q: Int): Boolean =
+            st.cross.forall { cr =>
+              val tk = taken(cr.step)
+              tk.nonEmpty && Cep.cmpHolds(cr.cmp, rows(q)._4,
+                rows(if (cr.first) tk.head else tk.last)._4)
+            }
           val pos = scala.collection.mutable.ArrayBuffer.empty[Int]
           var q = p
           var killed = false
           while (q < n && pos.length < hi && !killed &&
               rows(q)._1 <= horizon) {
             val tpe = rows(q)._3
-            if (st.matches(tpe)) pos += q
+            if (st.matches(tpe) && crossOk(q)) pos += q
             else if (pos.isEmpty && negWatch.contains(tpe)) killed = true
             q += 1
           }
           if (killed) return false
-          def rec(take: Int): Boolean =
+          def rec(take: Int): Boolean = {
+            taken(s) = pos.take(take).toList
             go(s + 1, if (take > 0) pos(take - 1) + 1 else p, Set.empty)
+          }
           val takes =
             if (st.reluctant) (lo to pos.length).iterator
             else (lo to pos.length).reverseIterator
-          takes.exists { t =>
-            if (rec(t)) { taken(s) = pos.take(t).toList; true } else false
-          }
+          takes.exists(rec)
         }
       }
       if (go(0, i, Set.empty)) Some(taken.toIndexedSeq) else None
@@ -1121,7 +1131,10 @@ object CepMachineProps extends Properties("CepMachine") {
   /** Relaxed patterns with quantifiers and negations: symbol steps
     * (no cmp/any — validateSubseq's contract), step 0 required
     * consuming, one optional negation at an interior-before-required
-    * or trailing position.
+    * or trailing position, and (r16) one optional cross-variable
+    * FIRST/LAST reference from a later step to an earlier consuming
+    * one — the path-dependent navigation the generalized walk's
+    * memoOkFrom gate and before-recursion take recording exist for.
     */
   private val genRelaxedQPattern: Gen[IndexedSeq[Cep.Step]] = for {
     n <- Gen.chooseNum(1, 4)
@@ -1134,8 +1147,12 @@ object CepMachineProps extends Properties("CepMachine") {
     withNeg <- Gen.prob(0.6)
     negSym <- Gen.oneOf("a", "b", "c", "d")
     negAt <- Gen.chooseNum(1, n)
+    withCross <- Gen.prob(0.45)
+    crossAt <- Gen.chooseNum(1, math.max(1, n - 1))
+    crossFirst <- Gen.oneOf(true, false)
+    crossCmp <- Gen.oneOf(Cep.PrevLt, Cep.PrevGt, Cep.PrevLe, Cep.PrevGe)
   } yield {
-    val base = (0 until n).map { i =>
+    val base0 = (0 until n).map { i =>
       Cep.Step(syms(i),
         plus = plusFlags(i),
         opt = optFlags(i) && i > 0,
@@ -1143,6 +1160,16 @@ object CepMachineProps extends Properties("CepMachine") {
           else Set.empty,
         reluctant = relFlags(i))
     }
+    // cross ref BEFORE the neg insertion (indices stay step indices of
+    // consuming steps; the neg shifts flat indices, so resolve after)
+    val base =
+      if (!withCross || n < 2) base0
+      else {
+        val at = math.min(crossAt, n - 1)
+        val tgt = at - 1 // strictly earlier consuming step
+        base0.updated(at, base0(at).copy(cross =
+          List(Cep.CrossRef(tgt, crossFirst, crossCmp))))
+      }
     if (!withNeg) base
     else {
       val neg = Cep.Step(negSym, neg = true)
@@ -1150,7 +1177,14 @@ object CepMachineProps extends Properties("CepMachine") {
       // slide the insertion point right past optional successors
       var at = negAt
       while (at < base.length && base(at).bounds._1 == 0) at += 1
-      (base.take(at) :+ neg) ++ base.drop(at)
+      val withNegPat = (base.take(at) :+ neg) ++ base.drop(at)
+      // the neg shifts flat indices: re-point cross refs at or past it
+      withNegPat.zipWithIndex.map { case (st, i) =>
+        if (st.cross.isEmpty) st
+        else st.copy(cross = st.cross.map { cr =>
+          if (cr.step >= at && i > at) cr.copy(step = cr.step + 1) else cr
+        })
+      }
     }
   }
 
@@ -1163,9 +1197,11 @@ object CepMachineProps extends Properties("CepMachine") {
           !st.plus && !st.opt && 0 <= lo && lo <= hi && hi >= 1 }) &&
       pat.indices.forall { i =>
         val st = pat(i)
-        !st.neg || (!st.plus && !st.opt && st.rep.isEmpty &&
+        (!st.neg || (!st.plus && !st.opt && st.rep.isEmpty &&
           !st.reluctant && i > 0 && !pat(i - 1).neg &&
-          (i == pat.length - 1 || pat(i + 1).bounds._1 >= 1))
+          (i == pat.length - 1 || pat(i + 1).bounds._1 >= 1))) &&
+        st.cross.forall(cr =>
+          cr.step >= 0 && cr.step < i && !pat(cr.step).neg)
       }
 
   property("relaxed quantified/negation: feed+flush == subsequence DFS brute") =

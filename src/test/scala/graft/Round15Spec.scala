@@ -149,12 +149,16 @@ class Round15Spec extends SparkSpecBase {
         |        P AS P.event_type = 'purchase' AND P.value > FIRST(C.value)
         |)""".stripMargin,
       "FLAT pattern")
-    // machine-level twins: relaxed contiguity and the timeout scope
+    // machine-level twins: relaxed contiguity and the timeout scope.
+    // r16: cross refs are ACCEPTED in relaxed mode (Round16Spec's
+    // goldens); the relaxed rejection class that remains is the
+    // running-aggregate DEFINE (not prefix-decidable under skips)
     val crossPat = Seq(Cep.Step("click"), Cep.Step("view", plus = true),
       Cep.Step("purchase",
         cross = List(Cep.CrossRef(1, first = true, Cep.PrevGt))))
     val e1 = intercept[IllegalArgumentException] {
-      Cep.cepFollowedByOf(null, crossPat, M)
+      Cep.cepFollowedByOf(null, Seq(Cep.Step("click"),
+        Cep.Step("purchase", plus = true, sumCap = Some(100L))), M)
     }
     assert(e1.getMessage.contains("contiguous-mode"))
     val e2 = intercept[IllegalArgumentException] {
@@ -237,7 +241,7 @@ class Round15Spec extends SparkSpecBase {
     val p = MR.parse(MR.FunnelMeasuresExtSql)
     val ms = MR.parseMeasures(p.rawMeasures)
     assert(ms.map(_.alias) == Seq("v_avg_c", "vc_diff_c", "vc_cnt",
-      "v_ratio_c", "v_scaled_c"))
+      "v_ratio_c", "v_scaled_c", "v_dollars", "vc_per_row", "v_cnt2"))
     assert(ms(0).expr == MR.MAgg("AVG", "V"))
     assert(ms(1).expr ==
       MR.MBin('-', MR.MAgg("SUM", "V"), MR.MAgg("SUM", "C")))
@@ -247,6 +251,14 @@ class Round15Spec extends SparkSpecBase {
       MR.MBin('/', MR.MAgg("SUM", "V"), MR.MAgg("COUNT", "V")))
     assert(ms(4).expr ==
       MR.MBin('*', MR.MAgg("MAX", "V"), MR.MAgg("COUNT", "V")))
+    // r16: numeric literals and parentheses
+    assert(ms(5).expr ==
+      MR.MBin('/', MR.MAgg("SUM", "V"), MR.MLit("100")))
+    assert(ms(6).expr == MR.MBin('/',
+      MR.MBin('+', MR.MAgg("SUM", "V"), MR.MAgg("SUM", "C")),
+      MR.MBin('+', MR.MAgg("COUNT", "V"), MR.MAgg("COUNT", "C"))))
+    assert(ms(7).expr == MR.MBin('+',
+      MR.MBin('*', MR.MAgg("COUNT", "V"), MR.MLit("2")), MR.MLit("1")))
     // precedence: * binds tighter than −, levels left-associate
     val prec = MR.parseMeasures(MR.parse(MR.FunnelMeasuresExtSql.replace(
       """AVG(V.value) AS v_avg_c,
