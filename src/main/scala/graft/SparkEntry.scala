@@ -604,6 +604,12 @@ object SparkEntry {
     // off the shared multi-pattern replay (spec 9, appended)
     "stream_cep_cross" ->
       ((s, dir) => graft.streaming.StreamingOps.streamCepCrossGate(s, dir)),
+    // streaming RELAXED cross-variable DEFINE (r16): the
+    // cep_cross_followed funnel live off the shared replay (spec 10,
+    // appended) — path-tracked FIRST(V) navigation on the state path
+    "stream_cep_cross_followed" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepCrossFollowedGate(s, dir)),
     // the 8-byte-key production plan, gated on ≡ the string-keyed form
     "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
     // the substring family's 8-byte-key production twin: candidate join
@@ -3934,6 +3940,60 @@ object SparkEntry {
         "WHERE p2.user_id = kv.user_id AND p2.event_type = 'purchase' " +
         "AND p2.rn > kv.lastv AND p2.vc > kv.fvc " +
         "AND p2.ts_us <= kv.sts + 172800000000) WHERE kv.k >= 1), " +
+        "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
+        "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
+        "FROM cand), " +
+        "fs AS (SELECT user_id, MIN(crn) AS crn FROM cand " +
+        "GROUP BY user_id), " +
+        "sel AS (SELECT user_id, crn FROM fs " +
+        "UNION ALL SELECT n.user_id, n.nrn FROM sel s " +
+        "JOIN nxt n ON n.user_id = s.user_id AND n.crn = s.crn " +
+        "WHERE n.nrn IS NOT NULL) " +
+        "SELECT n.user_id, n.sid AS start_event_id, " +
+        "n.sts AS start_ts_us, n.eid AS end_event_id, " +
+        "n.ets AS end_ts_us, CAST(n.k + 2 AS BIGINT) AS n_rows " +
+        "FROM sel s JOIN nxt n ON n.user_id = s.user_id " +
+        "AND n.crn = s.crn " +
+        "ORDER BY n.user_id, start_ts_us, start_event_id"),
+    // the relaxed cross twin on the folded corpus, 10-minute horizon:
+    // the cep_cross_followed qualifying-purchase recursive CTE
+    "stream_cep_cross_followed" ->
+      ("WITH RECURSIVE f AS (SELECT CAST(event_id AS BIGINT) " +
+        "AS event_id, CAST(user_id % 16 AS BIGINT) AS user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 " +
+        "+ 1704067200000000 AS tu, event_type, value FROM events), " +
+        "r AS (SELECT user_id, event_id, tu AS ts_us, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "base AS (SELECT c.user_id, c.rn AS crn, c.event_id AS sid, " +
+        "c.ts_us AS sts, " +
+        "(SELECT MIN(v.rn) FROM r v WHERE v.user_id = c.user_id " +
+        "AND v.event_type = 'view' AND v.rn > c.rn " +
+        "AND v.ts_us <= c.ts_us + 600000000) AS fvrn " +
+        "FROM r c WHERE c.event_type = 'click'), " +
+        "fb AS (SELECT b.*, (SELECT fv.vc FROM r fv " +
+        "WHERE fv.user_id = b.user_id AND fv.rn = b.fvrn) AS fvc " +
+        "FROM base b WHERE b.fvrn IS NOT NULL), " +
+        "lp AS (SELECT b.*, (SELECT MAX(p.rn) FROM r p " +
+        "WHERE p.user_id = b.user_id AND p.event_type = 'purchase' " +
+        "AND p.ts_us <= b.sts + 600000000 AND p.rn > b.fvrn " +
+        "AND p.vc > b.fvc) AS lastp FROM fb b), " +
+        "kv AS (SELECT b.*, " +
+        "(SELECT MAX(v.rn) FROM r v WHERE v.user_id = b.user_id " +
+        "AND v.event_type = 'view' AND v.rn > b.crn AND v.rn < b.lastp " +
+        "AND v.ts_us <= b.sts + 600000000) AS lastv, " +
+        "(SELECT COUNT(*) FROM r v WHERE v.user_id = b.user_id " +
+        "AND v.event_type = 'view' AND v.rn > b.crn AND v.rn < b.lastp " +
+        "AND v.ts_us <= b.sts + 600000000) AS k " +
+        "FROM lp b WHERE b.lastp IS NOT NULL), " +
+        "cand AS (SELECT kv.user_id, kv.crn, kv.sid, kv.sts, kv.k, " +
+        "p.rn AS prn, p.event_id AS eid, p.ts_us AS ets " +
+        "FROM kv JOIN r p ON p.user_id = kv.user_id " +
+        "AND p.rn = (SELECT MIN(p2.rn) FROM r p2 " +
+        "WHERE p2.user_id = kv.user_id AND p2.event_type = 'purchase' " +
+        "AND p2.rn > kv.lastv AND p2.vc > kv.fvc " +
+        "AND p2.ts_us <= kv.sts + 600000000) WHERE kv.k >= 1), " +
         "nxt AS (SELECT cand.*, (SELECT MIN(c2.crn) FROM cand c2 " +
         "WHERE c2.user_id = cand.user_id AND c2.crn > cand.prn) AS nrn " +
         "FROM cand), " +

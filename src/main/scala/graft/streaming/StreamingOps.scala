@@ -3819,7 +3819,17 @@ object StreamingOps {
           graft.operators.Cep.CrossRef(1, first = true, PrevGt),
           graft.operators.Cep.CrossRef(0, first = false,
             graft.operators.Cep.PrevGe)))),
-        600000000L)) // 9 stream_cep_cross
+        600000000L), // 9 stream_cep_cross
+      // r16, APPENDED: cross-variable DEFINE under RELAXED contiguity —
+      // the generalized subsequence walk's path-tracked FIRST(V)
+      // navigation live on the streaming state path (skip-not-kill:
+      // a disqualified purchase is skipped, and greedy view takes
+      // shrink to expose earlier interleaved purchases)
+      CepSpec(IndexedSeq(Step("click"), Step("view", plus = true),
+        Step("purchase", cross = List(
+          graft.operators.Cep.CrossRef(1, first = true, PrevGt)))),
+        600000000L,
+        contiguous = false)) // 10 stream_cep_cross_followed
   }
 
   /** The one shared CEP-gate replay per (process, dir): the day-folded
@@ -3897,6 +3907,31 @@ object StreamingOps {
       "stream_cep_cross: the gate clause no longer matches the shared " +
         "replay's spec 9 — re-align CepGateSpecs")
     cepGateOf(s, dir, 9)
+  }
+
+  /** stream_cep_cross_followed gate — the STREAMING twin of
+    * `cep_cross_followed` (r16): cross-variable FIRST(V.value)
+    * navigation under RELAXED contiguity, live over the day-folded
+    * valued replay (10-minute window), sliced off the shared
+    * multi-pattern lifecycle (spec 10 — appended, honoring the
+    * checkpoint contract). This is the generalized subsequence walk's
+    * path-tracked navigation on the streaming state path: takes are
+    * recorded before recursion, the (step, position) memo is disabled
+    * below the back-reference, and a disqualified purchase is SKIPPED
+    * (relaxed semantics) rather than killing the candidate. Batch ≡
+    * stream caveat honored: relaxed greedy V+ commits at window close
+    * or flush, and the shared replay's end-of-input flush sits past
+    * every horizon, so the folded-corpus slice equals the batch
+    * machine's answer on the same rows (the oracle recomputes it
+    * definitionally).
+    */
+  def streamCepCrossFollowedGate(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sp = CepGateSpecs(10)
+    require(!sp.contiguous && sp.pattern.last.cross.nonEmpty,
+      "stream_cep_cross_followed: spec 10 must stay the relaxed " +
+        "cross-variable funnel — re-align CepGateSpecs")
+    cepGateOf(s, dir, 10)
   }
 
   /** Streaming MATCH_RECOGNIZE SQL surface — the clause parsed by

@@ -274,4 +274,72 @@ class Round16Spec extends SparkSpecBase {
     assert(Similarity.semDedup(spark, sfDir).collect().toSeq ==
       Similarity.semDedupOf(emb, 4, 2, 0.4).collect().toSeq)
   }
+
+  // ---- streaming relaxed cross: kill+restart recovery ----
+
+  private def withRocks[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("relaxed cross DEFINE match spanning a kill+restart seam " +
+      "completes from the recovered buffer (spec-10 shape)") { withRocks {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the spec-10 machine: relaxed funnel, P.value > FIRST(V.value)
+    val specs = Seq(graft.streaming.StreamingOps.CepSpec(
+      IndexedSeq(Cep.Step("click"), Cep.Step("view", plus = true),
+        Cep.Step("purchase", cross = List(Cep.CrossRef(1, first = true,
+          Cep.PrevGt)))), 10 * M, contiguous = false))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-r16-rc-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-r16-rc-out").toString
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Long)]
+    def start() = graft.streaming.StreamingOps
+      .cepStreamMultiMeasured(src.toDS(), specs).toDF()
+      .select(col("_1").as("pat"), col("_2.*"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(outDir); ()
+      }
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // run 1: click + FIRST view drain (the navigation's referenced row
+    // lives in the snapshot), then KILL mid-pattern
+    val q1 = start()
+    src.addData((1L, 0L, 1L, "click", 100L), (1L, M, 2L, "view", 250L),
+      // a DISQUALIFIED purchase (200 < FIRST(V)=250) the relaxed walk
+      // must SKIP after recovery, not match or kill on
+      (1L, 2 * M, 3L, "purchase", 200L))
+    q1.processAllAvailable()
+    src.addData((8L, 3 * M, 50L, "x", 0L))
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2: a second view + a QUALIFYING purchase complete the match
+    // off the recovered buffer — the cross predicate re-reads
+    // FIRST(V) = the pre-kill view's 250
+    val q2 = start()
+    src.addData((1L, 4 * M, 4L, "view", 50L),
+      (1L, 5 * M, 5L, "purchase", 400L))
+    q2.processAllAvailable()
+    src.addData((8L, 30 * M, 51L, "x", 0L))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(outDir).filter(col("user_id") === 1L)
+      .filter(col("pat") === 0)
+      .select(col("start_event_id"), col("end_event_id"), col("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    // greedy take = both views (window still open at the purchase),
+    // end = the qualifying purchase, the disqualified one skipped:
+    // 4 consumed rows (click, view, view, purchase)
+    assert(out == List((1L, 5L, 4L)), s"recovered relaxed cross: $out")
+  } }
 }
