@@ -597,6 +597,10 @@ object SparkEntry {
     // the APPLY side: lower-doc-id keeps; per doc the UNION of removed
     // token ranges across partners (no double-count on overlaps)
     "text_substring_dedup_apply" -> TextAnalysis.substringDedupApply _,
+    // the REWRITE side: the re-materialized corpus with removed token
+    // ranges cut (Lee et al.'s actual output; hashed on clean_text)
+    "text_substring_dedup_rewrite" ->
+      TextAnalysis.substringDedupRewrite _,
     // the INCREMENTAL side: incoming docs vs the standing corpus only
     // (ingestion-time contamination accounting, bloom-snapshot shape)
     "text_substring_novelty" -> TextAnalysis.substringNovelty _,
@@ -4852,6 +4856,41 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens, " +
         "CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed " +
         "FROM d LEFT JOIN rm ON rm.doc_id = d.doc_id " +
+        "ORDER BY d.doc_id"),
+    // the rewrite: per doc the tokens whose position is NOT in the
+    // union of removed ranges, re-joined in order — string-compared
+    "text_substring_dedup_rewrite" ->
+      (s"WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents), " +
+        "sh AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos, " +
+        "array_to_string(toks[(CAST(r.i AS INT)+1):(CAST(r.i AS INT)+5)], ' ') AS g " +
+        "FROM d, unnest(range(0, greatest(len(toks)-4, 0))) AS r(i)), " +
+        "m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "a.pos AS pa, b.pos AS pb " +
+        "FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        "isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, " +
+        "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb " +
+        "ORDER BY pa) AS grp FROM m), " +
+        "runs AS (SELECT doc_a, doc_b, diag, MIN(pa) AS a_start, " +
+        "MAX(pa) AS a_end FROM isl GROUP BY doc_a, doc_b, diag, grp), " +
+        "sel AS (SELECT doc_b, a_start - diag AS b_start, " +
+        "a_end - a_start + 5 AS run_len FROM runs " +
+        "WHERE a_end - a_start + 5 >= 15), " +
+        "rm AS (SELECT DISTINCT doc_b AS doc_id, b_start + u.o AS pos " +
+        "FROM sel, unnest(range(0, run_len)) AS u(o)), " +
+        "tok AS (SELECT doc_id, CAST(r.i AS BIGINT) AS pos, " +
+        "toks[CAST(r.i AS INT)+1] AS tk " +
+        "FROM d, unnest(range(0, len(toks))) AS r(i)), " +
+        "cl AS (SELECT t.doc_id, " +
+        "string_agg(t.tk, ' ' ORDER BY t.pos) AS ct " +
+        "FROM tok t LEFT JOIN rm ON rm.doc_id = t.doc_id " +
+        "AND rm.pos = t.pos WHERE rm.pos IS NULL GROUP BY t.doc_id), " +
+        "rmc AS (SELECT doc_id, COUNT(*) AS n_removed FROM rm " +
+        "GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(rmc.n_removed, 0) AS BIGINT) AS n_removed, " +
+        "COALESCE(cl.ct, '') AS clean_text " +
+        "FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id " +
+        "LEFT JOIN rmc ON rmc.doc_id = d.doc_id " +
         "ORDER BY d.doc_id"),
     // incremental substring novelty: corpus-vs-incoming shingle match
     // runs >= 15, per incoming doc the distinct matched positions

@@ -1312,6 +1312,54 @@ object TextAnalysis {
       substringRunsShared(s, dir, 5, 15, 5000))
       .orderBy(col("doc_id"))
 
+  /** The REWRITE side of exact substring dedup — Lee et al. actually
+    * re-materialize the corpus with the repeated substrings cut; the
+    * apply gate only accounts. Same deterministic keep policy
+    * (lower-doc-id keeps): per document, drop the UNION of its removed
+    * token ranges across all partners and re-join the survivors with
+    * single spaces. Output: (doc_id, n_tokens, n_removed, clean_text)
+    * for EVERY document (zero-removal docs pass through verbatim
+    * token-joined). Scale shape: one run-explode (Σ run_len rows, the
+    * output-proportional part), one keyed collect_set (per-doc removed
+    * positions — document-bounded state), one broadcast-free left join
+    * onto the corpus, then a MAP-SIDE indexed-lambda filter over the
+    * token array — the rewrite itself never shuffles text.
+    */
+  def substringDedupRewriteOf(docs: DataFrame, k: Int = 8,
+      minLen: Int = 20, maxDf: Int = 5000): DataFrame =
+    substringRewriteFromRuns(docs, substringDedupOf(docs, k, minLen, maxDf))
+
+  private def substringRewriteFromRuns(docs: DataFrame,
+      runs: DataFrame): DataFrame = {
+    val rm = runs.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("b_start"),
+          col("b_start") + col("run_len") - 1)).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("rm"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"))
+      .join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"),
+        // keep tokens whose 0-based position is not in the removed set;
+        // a null rm (no removals) keeps everything
+        concat_ws(" ", filter(col("toks"), (_, i) =>
+          !coalesce(array_contains(col("rm"), i.cast("long")),
+            lit(false)))).as("clean_text"))
+  }
+
+  /** text_substring_dedup_rewrite gate: the re-materialized corpus at
+    * the detection gate's parameters, every document a row, hashed on
+    * the actual clean_text strings — so a drifted keep policy, an
+    * off-by-one range, or a double-removed overlap all flip the hash.
+    * Reads the shared detect fixture.
+    */
+  def substringDedupRewrite(s: SparkSession, dir: String): DataFrame =
+    substringRewriteFromRuns(t(s, dir, "documents"),
+      substringRunsShared(s, dir, 5, 15, 5000))
+      .orderBy(col("doc_id"))
+
   /** INCREMENTAL substring dedup — the ingestion-time shape (the
     * bloom-snapshot precedent for the suffix family): incoming docs
     * checked against a STANDING corpus only, never against each

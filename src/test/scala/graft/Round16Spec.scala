@@ -268,6 +268,22 @@ class Round16Spec extends SparkSpecBase {
         docs.filter(col("doc_id") % 50 === 0), 5, 15).collect().toSet)
   }
 
+  test("substring rewrite: re-tokenized clean_text length equals " +
+      "n_tokens - n_removed for every doc; accounting matches apply") {
+    val rw = TextAnalysis.substringDedupRewrite(spark, sfDir)
+    val bad = rw.filter(
+      size(graft.functions.TextFunctions.tokens(col("clean_text"))) =!=
+        (col("n_tokens") - col("n_removed")).cast("int")).count()
+    assert(bad == 0L, s"$bad docs with inconsistent rewrite arithmetic")
+    val ap = operators.TextAnalysis.substringDedupApply(spark, sfDir)
+      .select(col("doc_id"), col("n_removed").as("apply_removed"))
+    val mism = rw.join(ap, "doc_id")
+      .filter(col("n_removed") =!= col("apply_removed")).count()
+    assert(mism == 0L, s"$mism docs where rewrite and apply disagree")
+    // removals bind at spec scale — the gate is not vacuous
+    assert(rw.filter(col("n_removed") > 0).count() > 0L)
+  }
+
   test("semdedup gate fixture ≡ the library form") {
     graft.functions.VectorFunctions.register(spark)
     val emb = Tables.t(spark, sfDir, "embeddings")
