@@ -17,6 +17,14 @@ object Bench {
     // result line. Keep bench stdout near-silent so the one line that
     // matters always fits; BENCH_LINE.json carries it redundantly.
     spark.sparkContext.setLogLevel("ERROR")
+    // stamp the sidecar BEFORE any work: BENCH_LINE.json is committed
+    // in the repo, so a run killed before the first 25-query refresh
+    // would otherwise leave the PREVIOUS round's final line as this
+    // round's apparent result — a silently wrong number, worse than
+    // no number. The zero-query partial stamp is unambiguous.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LINE.json"),
+      (summaryLine(Nil, sfDir, partial = true) + "\n").getBytes("UTF-8"))
     // warm the session (executor threads, parquet footer reads, first
     // codegen) so startup cost isn't charged to whichever query happens
     // to run first. Per-step guards: a broken source must cost its own

@@ -690,6 +690,16 @@ object Cep {
       Array.tabulate(pattern.length)(s =>
         (s until pattern.length).forall(t =>
           pattern(t).cross.forall(_.step >= s)))
+    // per-step flag: some later step's cross reference targets step s.
+    // Only those steps must record their take BEFORE each recursion
+    // (the predicate reads the current path); the rest record on the
+    // Complete unwind as before — recording eagerly for every step
+    // would allocate an O(take) list per backtracking attempt on
+    // cross-free patterns (O(c²) transient garbage per forced walk of
+    // a shrinking greedy run)
+    private val crossTargeted: Array[Boolean] =
+      Array.tabulate(pattern.length)(s =>
+        pattern.exists(_.cross.exists(_.step == s)))
     // relaxed patterns with quantified, negation, or cross-referencing
     // steps run the GENERALIZED subsequence walk (memoized backtracking
     // over subsequence takes — its `taken` arrays are what cross
@@ -884,13 +894,18 @@ object Cep {
           if (killed) { if (mOk) memo(s)(p) = 2; return Mismatch }
           val c = pos.length
           val canExtend = c < hi && !stoppedByHorizon
-          // the take is recorded BEFORE the recursion (not on the
-          // Complete unwind): later steps' cross references read the
-          // current path's takes; Complete short-circuits, so the
-          // accepted path's values are exactly what remains
+          // cross-TARGETED steps record their take BEFORE the
+          // recursion (later steps' cross references read the current
+          // path; Complete short-circuits, so the accepted path's
+          // values are exactly what remains); the rest record on the
+          // Complete unwind only — no per-attempt list allocation
           def rec(take: Int): Int = {
-            taken(s) = pos.take(take).toList
+            if (crossTargeted(s)) taken(s) = pos.take(take).toList
             go(s + 1, if (take > 0) pos(take - 1) + 1 else p, Set.empty)
+          }
+          def commit(take: Int): Int = {
+            if (!crossTargeted(s)) taken(s) = pos.take(take).toList
+            Complete
           }
           if (!st.reluctant) {
             if (canExtend && futureOk) {
@@ -900,7 +915,7 @@ object Cep {
             var take = c
             while (take >= lo) {
               rec(take) match {
-                case Complete => return Complete
+                case Complete => return commit(take)
                 case Partial =>
                   if (mOk) memo(s)(p) = 3
                   return Partial
@@ -911,7 +926,7 @@ object Cep {
             var take = lo
             while (take <= c) {
               rec(take) match {
-                case Complete => return Complete
+                case Complete => return commit(take)
                 case Partial =>
                   if (mOk) memo(s)(p) = 3
                   return Partial

@@ -602,11 +602,10 @@ object Similarity {
   // read) and slice the gates off it. Outputs are bit-identical: the
   // memoized tables are the exact computations the gates ran inline
   // before (re-dumped and diffed against the r15-verified dump).
-  private val gateFixtures =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
-
+  // [[graft.FixtureMemo]] is nesting-safe: semFlatShared's builder
+  // calls semAsgShared on the same memo.
   private def memoPath(kind: String, key: String)(build: => String): String =
-    gateFixtures.computeIfAbsent((kind, key), _ => build)
+    graft.FixtureMemo.of(kind, key)(build)
 
   /** The (vec_id, cid) coarse assignment table shared by all four
     * emb_semdedup* gates — [[KMeans.assignmentsOf]] at the gate

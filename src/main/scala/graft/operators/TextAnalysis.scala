@@ -1201,11 +1201,10 @@ object TextAnalysis {
   // session) and slice every gate off them. Outputs are bit-identical:
   // the index is a per-doc map pass, so novelty's corpus/incoming
   // slices equal the full index filtered by doc_id.
-  private val gateFixtures =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
-
+  // [[graft.FixtureMemo]] is nesting-safe: substringRunsShared's
+  // builder calls substringIdxShared on the same memo.
   private def memoPath(kind: String, key: String)(build: => String): String =
-    gateFixtures.computeIfAbsent((kind, key), _ => build)
+    graft.FixtureMemo.of(kind, key)(build)
 
   /** The full-corpus stride-1 shingle index at the gate parameters,
     * built once per (JVM, dir, k).
@@ -1262,7 +1261,14 @@ object TextAnalysis {
     */
   def substringDedupHashed(s: SparkSession, dir: String): DataFrame = {
     val byString = substringRunsShared(s, dir, 5, 15, 5000)
-    val byHash = substringDedupHashedOf(t(s, dir, "documents"), 5, 15)
+    // the hashed side slices the memoized index too (only the
+    // candidate-join KEYING differs — rebuilding the tokenize+shingle
+    // pass would re-pay the very cost the shared fixture removed);
+    // the standalone substringDedupHashedOf path is spec-compared
+    // against the string form separately
+    val byHash = substringRunsFromIdx(
+      substringIdxShared(s, dir, 5).select(col("doc_id"), col("pos"),
+        col("h")), 5, 15, 5000, hashedKeys = true)
     val diff = byString.exceptAll(byHash).unionAll(byHash.exceptAll(byString))
       .agg(count(lit(1)).as("d"))
     byString.crossJoin(broadcast(diff))

@@ -3234,11 +3234,14 @@ object StreamingOps {
   // cache never invalidates: regenerating testdata under the same dir
   // within one JVM would serve stale fixtures (never happens in the
   // driver/bench/spec harnesses, which start fresh JVMs per run).
-  private val fixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]
+  // Delegates to [[graft.FixtureMemo]], which is NESTING-SAFE
+  // (get-then-putIfAbsent): cepMultiReplayed's builder calls
+  // gateEventsDayFolded — a second fixture on the same memo — and a
+  // nested insert inside computeIfAbsent throws "Recursive update"
+  // on JDK 9+ whenever the keys share a bin.
   private def memoFixture[T <: AnyRef](kind: String, dir: String)(
       build: => T): T =
-    fixtureCache.computeIfAbsent((kind, dir), _ => build).asInstanceOf[T]
+    graft.FixtureMemo.of(kind, dir)(build)
 
   /** Gate-harness conf scope shared by every streaming replay gate:
     * the RocksDB state store (the production store; transformWithState
@@ -3765,11 +3768,13 @@ object StreamingOps {
         1, Int.MaxValue),
       graft.operators.Cep.GLf(graft.operators.Cep.Step("purchase"))))
 
-  /** The nine CEP stream gates' machines in TAG ORDER (the multi
-    * replay's `pat` column): funnel, reluctant pairing, V-shape,
+  /** The ELEVEN CEP stream gates' machines in TAG ORDER (the multi
+    * replay's `pat` column — tag order is the checkpoint contract, so
+    * the list is APPEND-ONLY): funnel, reluctant pairing, V-shape,
     * backtrack, relaxed funnel, abandoned cart (negation), relaxed
-    * greedy funnel, SKIP TO NEXT ROW revisit, group quantifier — every
-    * committed single-machine gate spec verbatim. ONE shared replay
+    * greedy funnel, SKIP TO NEXT ROW revisit, group quantifier,
+    * cross-variable funnel (r15), relaxed cross-variable funnel (r16)
+    * — every committed single-machine gate spec verbatim. ONE shared replay
     * serves them all ([[cepMultiReplayed]]): the r13 verdict's
     * tier-budget consolidation lever — N gates over identical row
     * traffic paid N state-store lifecycles and stored the watermark
