@@ -136,8 +136,8 @@ object Bench {
     * BENCH_FULL.json. `partial` marks mid-pass sidecar snapshots whose
     * map does not yet cover every key.
     */
-  private def summaryLine(results: Seq[(String, Double)], sfDir: String,
-      partial: Boolean = false): String = {
+  private[graft] def summaryLine(results: Seq[(String, Double)],
+      sfDir: String, partial: Boolean = false): String = {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val entries = results.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.3f""" }
