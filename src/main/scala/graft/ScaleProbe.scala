@@ -381,7 +381,7 @@ object ScaleProbe {
           ".RocksDBStateStoreProvider")
       try {
       val specs = {
-        import operators.Cep.{Step, SkipToNextRow}
+        import operators.Cep.{Step, SkipToNextRow, CrossRef, PrevGt}
         Seq(
           streaming.StreamingOps.CepSpec(IndexedSeq(Step("click"),
             Step("view", plus = true), Step("purchase")), 600000000L,
@@ -390,7 +390,14 @@ object ScaleProbe {
             Step("view", plus = true), Step("view")), 180000000L),
           streaming.StreamingOps.CepSpec(IndexedSeq(Step("view"),
             Step("click"), Step("view")), 600000000L,
-            after = SkipToNextRow))
+            after = SkipToNextRow),
+          // r16: the RELAXED CROSS machine class (generalized
+          // subsequence walk + path-tracked navigation) — the most
+          // expensive walk on the shared replay, probed at scale
+          streaming.StreamingOps.CepSpec(IndexedSeq(Step("click"),
+            Step("view", plus = true), Step("purchase",
+              cross = List(CrossRef(1, first = true, PrevGt)))),
+            600000000L, contiguous = false))
       }
       val src = MemoryStream[(Long, Long, Long, String, Long)]
       // q.stop() lives in the finally: if processAllAvailable throws,
