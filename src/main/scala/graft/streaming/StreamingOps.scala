@@ -3932,10 +3932,19 @@ object StreamingOps {
     */
   def streamCepCrossFollowedGate(s: SparkSession, dir: String)
       : DataFrame = {
+    // structural pin (no SQL surface exists for relaxed mode, so the
+    // assert targets the exact programmatic machine — the relaxed
+    // twin of cep_cross_followed at the stream window)
+    val expected = {
+      import graft.operators.Cep.{Step, CrossRef, PrevGt}
+      IndexedSeq(Step("click"), Step("view", plus = true),
+        Step("purchase", cross = List(CrossRef(1, first = true, PrevGt))))
+    }
     val sp = CepGateSpecs(10)
-    require(!sp.contiguous && sp.pattern.last.cross.nonEmpty,
-      "stream_cep_cross_followed: spec 10 must stay the relaxed " +
-        "cross-variable funnel — re-align CepGateSpecs")
+    require(sp.pattern == expected && sp.windowUs == 600000000L &&
+      !sp.contiguous,
+      "stream_cep_cross_followed: spec 10 no longer matches the " +
+        "relaxed cross-variable funnel — re-align CepGateSpecs")
     cepGateOf(s, dir, 10)
   }
 
