@@ -17,11 +17,33 @@ object Bench {
     // result line. Keep bench stdout near-silent so the one line that
     // matters always fits; BENCH_LINE.json carries it redundantly.
     spark.sparkContext.setLogLevel("ERROR")
+    // WALL BUDGET (r17, closing two consecutive rc-124 driver rounds):
+    // the driver kills the bench at a fixed timeout; pass1 in a
+    // throttled window has been observed at ~5x the steady cost
+    // (BENCH_r16: 2487 s for a ~550 s suite), and pass2 re-runs every
+    // batch key unconditionally — so a throttled run ALWAYS overran.
+    // The budget makes completion unconditional instead: pass2 runs
+    // only while elapsed wall stays under GRAFT_BENCH_BUDGET_S
+    // (default 2400 s — in a clean window pass1+pass2 finish well
+    // under it; in a 5x window pass1 alone exceeds it and pass2 is
+    // skipped entirely). Skipping pass2 loses nothing structural:
+    // the pass1 map already covers every key, and min-of-2 falls back
+    // to the pass1 value for any key pass2 never re-ran. Exit is rc 0
+    // either way, with the final line printed last as always.
+    val budgetS = sys.env.getOrElse("GRAFT_BENCH_BUDGET_S", "2400").toDouble
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
     // stamp the sidecar BEFORE any work: BENCH_LINE.json is committed
     // in the repo, so a run killed before the first 25-query refresh
     // would otherwise leave the PREVIOUS round's final line as this
     // round's apparent result — a silently wrong number, worse than
-    // no number. The zero-query partial stamp is unambiguous.
+    // no number. The zero-query partial stamp is unambiguous. (r17
+    // ADVICE adjudication: a launch that aborts before any result
+    // destroys the previous line too — accepted, because "no stale
+    // number presented as current" is the stronger invariant; the
+    // previous rounds' numbers live in the committed BENCH_r{N}.json
+    // history, so nothing is lost, only the sidecar's claim to be
+    // current.)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LINE.json"),
       (summaryLine(Nil, sfDir, partial = true) + "\n").getBytes("UTF-8"))
@@ -52,11 +74,17 @@ object Bench {
     // second pass doubled ~2.3 min of wall for a ~2 s better min-sum.
     // They run once, in pass1 only.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // `cutoff` is re-evaluated per key (NOT folded into a filterNot,
+    // which a Seq evaluates eagerly up front): when the wall budget
+    // runs out mid-pass the remaining keys are skipped and the pass
+    // returns what it measured — min-of-2 falls back to pass1 for them
     def onePass(skip: String => Boolean,
-        afterEach: Seq[(String, Double)] => Unit = _ => ())
+        afterEach: Seq[(String, Double)] => Unit = _ => (),
+        cutoff: () => Boolean = () => false)
         : Seq[(String, Double)] = {
       val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       ordered.filterNot(kv => skip(kv._1)).foreach { case (name, fn) =>
+        if (!cutoff()) {
         val t0 = System.nanoTime()
         // noop sink materializes every output row/column — count() would
         // let Catalyst prune the projected expression work and understate
@@ -71,6 +99,7 @@ object Bench {
         spark.catalog.clearCache()
         acc += (name -> dt)
         afterEach(acc.toSeq)
+        }
       }
       acc.toSeq
     }
@@ -93,7 +122,14 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LINE.json"),
       (p1Line + "\n").getBytes("UTF-8"))
     println(p1Line)
-    val pass2 = onePass(_.startsWith("stream_"))
+    // budget gate: a throttled pass1 consumes the whole budget →
+    // pass2 is skipped (or cut short mid-pass) and the run exits rc 0
+    // with the complete pass1 map as the result
+    if (elapsedS > budgetS)
+      System.err.println(f"[bench] wall budget $budgetS%.0f s exceeded " +
+        f"after pass1 ($elapsedS%.1f s) — skipping pass2")
+    val pass2 = onePass(_.startsWith("stream_"),
+      cutoff = () => elapsedS > budgetS)
     val p2 = pass2.toMap
     val results = pass1.map { case (n, t1) =>
       n -> p2.get(n).fold(t1)(math.min(t1, _))

@@ -458,6 +458,13 @@ object ScaleProbe {
       operators.TextAnalysis.substringNoveltyOf(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), 5, 15)
+    // the REWRITE shape (r17): detect + the position-union explode +
+    // the map-side indexed-lambda re-materialization (ordered token
+    // filter + concat_ws per doc — corpus-linear map work on top of
+    // apply's accounting; the clean strings never shuffle) → expect
+    // ~the apply ratio
+    def substrRewrite(docs: DataFrame) =
+      operators.TextAnalysis.substringDedupRewriteOf(docs, 5, 15)
 
     // warm forces the lazy replica tables' localCheckpoint OUTSIDE the
     // timers — otherwise the first probe touching a table absorbs its
@@ -615,7 +622,10 @@ object ScaleProbe {
       probe("substr_apply", { docs1c; docsSubK; () })((
         time(noop(substrApply(docs1c))), time(noop(substrApply(docsSubK))))),
       probe("substr_novelty", { docs1c; docsSubK; () })((
-        time(noop(substrNov(docs1c))), time(noop(substrNov(docsSubK)))))).flatten
+        time(noop(substrNov(docs1c))), time(noop(substrNov(docsSubK))))),
+      probe("substr_rewrite", { docs1c; docsSubK; () })((
+        time(noop(substrRewrite(docs1c))),
+        time(noop(substrRewrite(docsSubK)))))).flatten
     println(f"k=$k  (ideal linear ratio = $k%d)")
     results.foreach { case (name, t1, tk) =>
       println(f"$name%-14s 1x=${t1}%6.2fs  ${k}x=${tk}%6.2fs  ratio=${tk / t1}%5.2f")

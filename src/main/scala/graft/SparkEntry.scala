@@ -614,11 +614,38 @@ object SparkEntry {
     "stream_cep_cross_followed" ->
       ((s, dir) =>
         graft.streaming.StreamingOps.streamCepCrossFollowedGate(s, dir)),
+    // CROSS-VARIABLE DEFINE on a GROUPED pattern (r17, the last CEP
+    // rejection class): the group chain where the purchase must beat
+    // FIRST(A.value) — the repeated leaf's pool accumulates across
+    // iterations, predicate failure falls back along the chain
+    "cep_cross_group" ->
+      ((s, dir) => graft.operators.Cep.cepCrossGroup(s, dir)),
+    // the streaming twin off the shared replay (spec 11, appended):
+    // eagerly-recorded leaf pools on the streaming state path
+    "stream_cep_cross_group" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamCepCrossGroupGate(s, dir)),
+    // DEFINE/MEASURES FIELD BREADTH (r17): arbitrary numeric input
+    // columns in both clauses — field-vs-literal and field-vs-field
+    // row predicates via the product-alphabet projection; MEASURES
+    // over a second column through the ALL-ROWS + field-join pivot
+    "sql_mr_fields" ->
+      ((s, dir) => graft.operators.MatchRecognize.sqlMrFields(s, dir)),
     // the 8-byte-key production plan, gated on ≡ the string-keyed form
     "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
     // the substring family's 8-byte-key production twin: candidate join
     // on xxhash64 only, hash_eq pins set-equality with the string form
     "text_substring_dedup_hashed" -> TextAnalysis.substringDedupHashed _,
+    // r17: hashedKeys threaded through the REST of the family — the
+    // apply accounting, the re-materialized rewrite (clean_text
+    // byte-compared), and novelty's two-index join (the widest string
+    // exchange in the family), each hash_eq-pinned ≡ its string form
+    "text_substring_apply_hashed" ->
+      TextAnalysis.substringDedupApplyHashed _,
+    "text_substring_rewrite_hashed" ->
+      TextAnalysis.substringDedupRewriteHashed _,
+    "text_substring_novelty_hashed" ->
+      TextAnalysis.substringNoveltyHashed _,
     "layout_zorder" -> graft.operators.Layout.zorderKey _,
     // equi-depth range partitioner: definitional-percentile boundaries
     // via sharded prefix sum; per-shard count+range proves the layout
@@ -1052,12 +1079,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
+    // a hashed production twin's oracle IS its string-keyed gate's
+    // oracle plus the pinned verdict column: the string form is
+    // definitional and the gate's hash_eq asserts the 8-byte-key
+    // kernel reproduced it exactly (r17, completing the family)
+    def hashEq(k: String): String =
+      "SELECT q.*, CAST(1 AS BIGINT) AS hash_eq FROM (" + base(k) +
+        ") q ORDER BY q.doc_id"
     // keys that REUSE another key's SQL verbatim (same machine by
     // construction — asserted in the gate): the streaming
     // MATCH_RECOGNIZE SQL surface answers against the programmatic
     // stream twin's oracle, exactly as sql_match_recognize shares
     // cep_vshape's
-    base + ("stream_sql_mr" -> base("stream_cep_vshape"))
+    base + ("stream_sql_mr" -> base("stream_cep_vshape")) +
+      ("text_substring_apply_hashed" ->
+        hashEq("text_substring_dedup_apply")) +
+      ("text_substring_rewrite_hashed" ->
+        hashEq("text_substring_dedup_rewrite")) +
+      ("text_substring_novelty_hashed" ->
+        hashEq("text_substring_novelty"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -4234,6 +4274,123 @@ object SparkEntry {
         "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
         "WHERE m.srn IS NOT NULL " +
         "ORDER BY m.user_id, start_ts_us, start_event_id"),
+    // grouped cross-variable DEFINE: the cep_group parity-chain oracle
+    // with the value conjunct added to the start-selection MIN — the
+    // candidate start is both the window's and the predicate's subject
+    // (FIRST(A) = the start row), so the closed form extends directly
+    "cep_cross_group" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "CASE WHEN event_type IN ('click','view') THEN 'A' " +
+        "WHEN event_type IN ('signup','error') THEN 'B' " +
+        "ELSE 'P' END AS cls, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "a AS (SELECT r.*, CASE WHEN cls = 'A' " +
+        "AND lead(cls) OVER (PARTITION BY user_id ORDER BY rn) = 'B' " +
+        "THEN 1 ELSE 0 END AS alt FROM r), " +
+        "lb AS (SELECT a.*, MAX(CASE WHEN alt = 0 THEN rn END) OVER " +
+        "(PARTITION BY user_id, rn % 2 ORDER BY rn " +
+        "ROWS UNBOUNDED PRECEDING) AS lastbad FROM a), " +
+        "m0 AS (SELECT p.user_id, p.rn AS prn, p.event_id AS eid, " +
+        "p.ts_us AS ets, p.vc AS pvc, COALESCE(lb2.lastbad + 2, " +
+        "CASE WHEN p.rn % 2 = 0 THEN 2 ELSE 1 END) AS srn0 " +
+        "FROM lb p JOIN lb lb2 ON lb2.user_id = p.user_id " +
+        "AND lb2.rn = p.rn - 2 " +
+        "WHERE p.cls = 'P' AND lb2.alt = 1), " +
+        "m AS (SELECT m0.*, (SELECT MIN(j.rn) FROM r j " +
+        "WHERE j.user_id = m0.user_id AND j.rn >= m0.srn0 " +
+        "AND j.rn <= m0.prn - 2 AND (j.rn - m0.prn) % 2 = 0 " +
+        "AND j.ts_us >= m0.ets - 86400000000 " +
+        "AND m0.pvc > j.vc) AS srn FROM m0) " +
+        "SELECT m.user_id, s.event_id AS start_event_id, " +
+        "s.ts_us AS start_ts_us, m.eid AS end_event_id, " +
+        "m.ets AS end_ts_us, CAST(m.prn - m.srn + 1 AS BIGINT) AS n_rows " +
+        "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
+        "WHERE m.srn IS NOT NULL " +
+        "ORDER BY m.user_id, start_ts_us, start_event_id"),
+    // the streaming twin on the folded corpus, 10-minute window
+    "stream_cep_cross_group" ->
+      ("WITH f AS (SELECT CAST(event_id AS BIGINT) AS event_id, " +
+        "CAST(user_id % 16 AS BIGINT) AS user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 " +
+        "+ 1704067200000000 AS tu, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc FROM events), " +
+        "r AS (SELECT user_id, event_id, tu AS ts_us, event_type, vc, " +
+        "CASE WHEN event_type IN ('click','view') THEN 'A' " +
+        "WHEN event_type IN ('signup','error') THEN 'B' " +
+        "ELSE 'P' END AS cls, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "a AS (SELECT r.*, CASE WHEN cls = 'A' " +
+        "AND lead(cls) OVER (PARTITION BY user_id ORDER BY rn) = 'B' " +
+        "THEN 1 ELSE 0 END AS alt FROM r), " +
+        "lb AS (SELECT a.*, MAX(CASE WHEN alt = 0 THEN rn END) OVER " +
+        "(PARTITION BY user_id, rn % 2 ORDER BY rn " +
+        "ROWS UNBOUNDED PRECEDING) AS lastbad FROM a), " +
+        "m0 AS (SELECT p.user_id, p.rn AS prn, p.event_id AS eid, " +
+        "p.ts_us AS ets, p.vc AS pvc, COALESCE(lb2.lastbad + 2, " +
+        "CASE WHEN p.rn % 2 = 0 THEN 2 ELSE 1 END) AS srn0 " +
+        "FROM lb p JOIN lb lb2 ON lb2.user_id = p.user_id " +
+        "AND lb2.rn = p.rn - 2 " +
+        "WHERE p.cls = 'P' AND lb2.alt = 1), " +
+        "m AS (SELECT m0.*, (SELECT MIN(j.rn) FROM r j " +
+        "WHERE j.user_id = m0.user_id AND j.rn >= m0.srn0 " +
+        "AND j.rn <= m0.prn - 2 AND (j.rn - m0.prn) % 2 = 0 " +
+        "AND j.ts_us >= m0.ets - 600000000 " +
+        "AND m0.pvc > j.vc) AS srn FROM m0) " +
+        "SELECT m.user_id, s.event_id AS start_event_id, " +
+        "s.ts_us AS start_ts_us, m.eid AS end_event_id, " +
+        "m.ets AS end_ts_us, CAST(m.prn - m.srn + 1 AS BIGINT) AS n_rows " +
+        "FROM m JOIN r s ON s.user_id = m.user_id AND s.rn = m.srn " +
+        "WHERE m.srn IS NOT NULL " +
+        "ORDER BY m.user_id, start_ts_us, start_event_id"),
+    // field breadth: the funnel islands CTE over RE-TYPED rows (a
+    // view with k < 20 breaks contiguity) with per-island aggregates
+    // of the second column and the purchase's field-vs-field conjunct
+    "sql_mr_fields" ->
+      ("WITH r AS (SELECT user_id, event_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, value, " +
+        "CAST(json_extract(props,'$.k') AS BIGINT) AS k, " +
+        "CASE WHEN event_type = 'view' AND " +
+        "CAST(json_extract(props,'$.k') AS BIGINT) < 20 THEN 'viewbad' " +
+        "ELSE event_type END AS t2, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn " +
+        "FROM events), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, t2 ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, t2, isl, MIN(rn) AS srn, MAX(rn) AS ern, " +
+        "COUNT(*) AS n, SUM(k) AS sk, MAX(k) AS mk, " +
+        "SUM(vc) AS svc FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.*, fi.event_id AS first_id, " +
+        "fi.ts_us AS first_ts, fi.k AS first_k, " +
+        "fi.value AS first_value, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts, l.k AS last_k " +
+        "FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "c.last_id AS click_id, CAST(v.n AS BIGINT) AS views_cnt, " +
+        "CAST(v.sk AS BIGINT) AS views_k_sum, " +
+        "CAST(v.mk AS BIGINT) AS views_k_max, " +
+        "CAST(v.sk AS DOUBLE) / v.n AS views_k_avg, " +
+        "CAST(v.last_k AS BIGINT) AS views_k_last, " +
+        "CAST(v.svc AS BIGINT) AS views_sum_c " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.t2 = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.t2 = 'purchase' " +
+        "WHERE c.t2 = 'click' " +
+        "AND p.first_ts - c.last_ts <= 604800000000 " +
+        "AND p.first_k > p.first_value " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // PERMUTE: window-valid contiguous distinct-type triples under
     // greedy leftmost non-overlap — the cep_revisit recursive
     // skip-selection with the type predicate widened to set-equality

@@ -267,14 +267,32 @@ object Cep {
     require(gMinLen(p) >= 1,
       "cep: a grouped pattern must consume at least one row (an " +
         "all-optional pattern would accept the empty match)")
-    ls.foreach { st =>
+    ls.zipWithIndex.foreach { case (st, i) =>
       require(!st.neg,
         "cep: negation steps are the linear machine's — compose " +
           "absence with cepMatchOf/cepFollowedByOf patterns")
-      require(st.cross.isEmpty,
-        "cep: cross-variable DEFINE references are FLAT-pattern only " +
-          "— a repeated group's leaf accumulates rows across " +
-          "iterations, so the referenced occurrence is ambiguous")
+      // CROSS-VARIABLE DEFINE on grouped patterns (r17): the
+      // referenced index is a LEAF index in gLeaves preorder and must
+      // be STRICTLY EARLIER than the carrying leaf. Semantics are the
+      // Flink IterativeCondition reading the split-program walk makes
+      // well-defined: the reference resolves against the referenced
+      // leaf's consumed-position POOL as of the current path —
+      // accumulated ACROSS group iterations (the r14 ALL-ROWS
+      // machinery), with the current iteration's rows included when
+      // the referenced leaf executes before the carrying one inside
+      // the body. FIRST/LAST navigate that pool; an empty pool (a
+      // sibling alternation arm not taken, an optional that consumed
+      // nothing) is NULL and the row does not match — the same
+      // NULL-comparison rule as the flat machine's span navigation.
+      st.cross.foreach { cr =>
+        require(cr.step >= 0 && cr.step < ls.length,
+          s"cep: cross reference targets leaf ${cr.step} of " +
+            s"${ls.length}")
+        require(cr.step < i,
+          "cep: a grouped cross-variable reference must target a leaf " +
+            "STRICTLY EARLIER in pattern preorder — a later leaf has " +
+            "no rows to navigate on any path reaching this one")
+      }
       require(st.cmpOff >= 1, "cep: PREV offset must be >= 1")
       st.rep.foreach { case (lo, hi) =>
         require(!st.plus && !st.opt && 0 <= lo && lo <= hi && hi >= 1,
@@ -299,10 +317,18 @@ object Cep {
         walkReps(b)
     }
     walkReps(p)
-    gFirstSteps(p).foreach(st => require(st.cmp.isEmpty,
-      "cep: a leaf that can open the match cannot carry a PREV " +
-        "predicate — the row before the match start is outside the " +
-        "buffer (same rule as the linear machine's step 0)"))
+    gFirstSteps(p).foreach { st =>
+      require(st.cmp.isEmpty,
+        "cep: a leaf that can open the match cannot carry a PREV " +
+          "predicate — the row before the match start is outside the " +
+          "buffer (same rule as the linear machine's step 0)")
+      // a first-set leaf MAY carry a cross reference (unlike PREV):
+      // when it opens the match the referenced pool is empty → NULL →
+      // the row does not match THERE, but paths where an earlier
+      // optional leaf consumed still reach it legitimately (A* B with
+      // B referencing A ≡ A+ B) — runtime NULL resolution, not a
+      // rejection
+    }
   }
 
   /** Compile the tree to the split-program. Greedy GRep loops prefer
@@ -700,6 +726,11 @@ object Cep {
     private val crossTargeted: Array[Boolean] =
       Array.tabulate(pattern.length)(s =>
         pattern.exists(_.cross.exists(_.step == s)))
+    // grouped machines: `pattern` is the leaf list, so crossTargeted
+    // doubles as the per-LEAF eager-recording flag; this gate disables
+    // walkProg's (pc, position) memo when any leaf carries cross refs
+    private val groupedCross: Boolean =
+      program != null && pattern.exists(_.cross.nonEmpty)
     // relaxed patterns with quantified, negation, or cross-referencing
     // steps run the GENERALIZED subsequence walk (memoized backtracking
     // over subsequence takes — its `taken` arrays are what cross
@@ -1136,6 +1167,24 @@ object Cep {
       * continuation is fixed by pc, which is what makes the program
       * form memoizable where a tree walk with continuations is not.
       * Same bound as walkBack: O(program · buffer²) per feed.
+      *
+      * CROSS-VARIABLE DEFINE (r17): a leaf's cross references read the
+      * referenced LEAF's consumed-position pool as of the current path
+      * — accumulated ACROSS group iterations. Cross-targeted leaves
+      * record their take BEFORE the recursion (append in execution
+      * order; restored on backtrack), so a body leaf referencing an
+      * earlier body leaf sees the CURRENT iteration's rows too —
+      * Flink's IterativeCondition reading. An empty pool (alternation
+      * arm not taken, optional that consumed nothing, a first-set leaf
+      * opening the match) is NULL: the row does not match. With cross
+      * references present the (pc, position) memo is UNSOUND (the
+      * outcome depends on the path's takes, not just (pc, p) — and
+      * loop back-jumps make any per-pc gating circular), so it is
+      * disabled wholesale for such patterns: the walk degrades to
+      * plain backtracking, window-bounded per feed, worst-case
+      * exponential on adversarial same-symbol runs — the same
+      * documented acceptance as the relaxed cross walk. Cross-free
+      * grouped patterns keep the memo and the exact r16 behavior.
       */
     private def walkProg(fedTs: Long): Int = {
       val n = buf.length
@@ -1163,12 +1212,26 @@ object Cep {
           val r = go(a, p)
           if (r != Mismatch) r else go(b, p)
         case RunM(st, leaf) =>
-          if (memo(pc)(p) != 0)
+          // memo disabled wholesale for cross-carrying patterns (see
+          // the walk's scaladoc); cross-free patterns keep it exactly
+          val mOk = !groupedCross
+          if (mOk && memo(pc)(p) != 0)
             return if (memo(pc)(p) == 3) Partial else Mismatch
           val (lo, hi) = st.bounds
+          // cross navigation: FIRST/LAST over the referenced leaf's
+          // current-path pool; empty pool = NULL = no match (a row
+          // failing it BOUNDS the run — contiguous semantics, exactly
+          // walkBack's kill-not-skip reading)
+          def crossOk(q: Int): Boolean =
+            st.cross.forall { cr =>
+              val tk = taken(cr.step)
+              tk.nonEmpty && cmpHolds(cr.cmp, buf(q)._4,
+                buf(if (cr.first) tk.head else tk.last)._4)
+            }
           def rowOk(q: Int): Boolean =
             st.matchesRow(buf(q)._3, buf(q)._4,
-              if (q >= st.cmpOff) Some(buf(q - st.cmpOff)._4) else None)
+              if (q >= st.cmpOff) Some(buf(q - st.cmpOff)._4) else None) &&
+              (st.cross.isEmpty || crossOk(q))
           var c = 0
           var runSum = 0L
           var capped = false
@@ -1181,32 +1244,56 @@ object Cep {
             }
           }
           val canExtend = p + c >= n && c < hi && !capped
+          // cross-TARGETED leaves record their take BEFORE the
+          // recursion (execution-order append, restored on backtrack)
+          // so later leaves' cross references read the current path;
+          // the rest record on the Complete unwind (reverse-order
+          // prepend) as before — no per-attempt allocation for them
+          def attempt(take: Int): Int =
+            if (crossTargeted(leaf)) {
+              val saved = taken(leaf)
+              taken(leaf) = saved ::: (p until p + take).toList
+              val r = go(pc + 1, p + take)
+              if (r != Complete) taken(leaf) = saved
+              r
+            } else {
+              val r = go(pc + 1, p + take)
+              if (r == Complete)
+                taken(leaf) = (p until p + take).toList ::: taken(leaf)
+              r
+            }
           if (!st.reluctant) {
-            if (canExtend && futureOk) { memo(pc)(p) = 3; return Partial }
+            if (canExtend && futureOk) {
+              if (mOk) memo(pc)(p) = 3
+              return Partial
+            }
             var take = c
             while (take >= lo) {
-              go(pc + 1, p + take) match {
-                case Complete =>
-                  taken(leaf) = (p until p + take).toList ::: taken(leaf)
-                  return Complete
-                case Partial  => memo(pc)(p) = 3; return Partial
+              attempt(take) match {
+                case Complete => return Complete
+                case Partial  =>
+                  if (mOk) memo(pc)(p) = 3
+                  return Partial
                 case _        => take -= 1
               }
             }
           } else {
             var take = lo
             while (take <= c) {
-              go(pc + 1, p + take) match {
-                case Complete =>
-                  taken(leaf) = (p until p + take).toList ::: taken(leaf)
-                  return Complete
-                case Partial  => memo(pc)(p) = 3; return Partial
+              attempt(take) match {
+                case Complete => return Complete
+                case Partial  =>
+                  if (mOk) memo(pc)(p) = 3
+                  return Partial
                 case _        => take += 1
               }
             }
-            if (canExtend && futureOk) { memo(pc)(p) = 3; return Partial }
+            if (canExtend && futureOk) {
+              if (mOk) memo(pc)(p) = 3
+              return Partial
+            }
           }
-          memo(pc)(p) = 2
+          if (mOk) memo(pc)(p) = 2
           Mismatch
       }
       val r = go(0, 0)
@@ -2428,4 +2515,34 @@ object Cep {
       .toDF()
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"),
         col("step"))
+
+  /** cep_cross_group — CROSS-VARIABLE DEFINE on a GROUP-QUANTIFIER
+    * pattern (r17, closing the last CEP rejection class): the
+    * cep_group pattern ((click|view)(signup|error))+ purchase within
+    * 24 h, where the purchase must beat the FIRST chain row's value —
+    * `P.value > FIRST(A.value)` with A the repeated group's first
+    * leaf, whose pool ACCUMULATES across iterations (FIRST = the
+    * match's opening row). A failed predicate is a KILL (contiguous
+    * semantics) and the machine falls back along the chain's
+    * same-parity starts — the new start is both the window's and the
+    * predicate's candidate, so the oracle extends cep_group's
+    * parity-chain MIN with the value conjunct (no recursion needed,
+    * chains still never overlap). Every mechanism binds at sf0.01 /
+    * 24 h: 208 plain matches → 111 (the predicate kills 97), 3
+    * survivor starts are predicate-SHIFTED along their chain (the
+    * fallback interacts with the cross pool — FIRST moves with the
+    * start), 5 matches carry >= 2 iterations, and a LAST(A) reading
+    * provably diverges (109 matches, 2 asymmetric).
+    */
+  def cepCrossGroup(s: SparkSession, dir: String): DataFrame =
+    cepMatchGroupedOf(graft.Tables.t(s, dir, "events"),
+      GCat(Seq(
+        GRep(GCat(Seq(
+          GLf(Step("click", alt = Set("view"))),
+          GLf(Step("signup", alt = Set("error"))))), 1, Int.MaxValue),
+        GLf(Step("purchase",
+          cross = List(CrossRef(0, first = true, PrevGt)))))),
+      windowUs = 24L * 3600 * 1000000)
+      .toDF()
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

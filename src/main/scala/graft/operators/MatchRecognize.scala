@@ -78,7 +78,17 @@ object MatchRecognize {
     * markers — both stand alone (rejected inside arithmetic).
     */
   sealed trait MExpr extends Serializable
-  final case class MAgg(func: String, varName: String) extends MExpr
+  /** `field` (r17): "" for the CANONICAL channel (V.* for COUNT,
+    * V.value — exact cents — for SUM/MIN/MAX/AVG, V.event_id for the
+    * FIRST/LAST navigations — the pre-r17 structural shape, so parse
+    * pins on the canonical grammar are unchanged), or the lowercase
+    * name of any other numeric input column. Non-empty fields route
+    * the pivot through the ALL-ROWS scan + a field join
+    * (schema-resolved at run time); the canonical set keeps the
+    * CepMeasured fast path byte-for-byte.
+    */
+  final case class MAgg(func: String, varName: String,
+    field: String = "") extends MExpr
   final case class MBin(op: Char, l: MExpr, r: MExpr) extends MExpr
   /** A NUMERIC LITERAL operand — `SUM(V.value) / 100` (the canonical
     * cents→dollars measure), `COUNT(V.*) * 2`. Integral text stays a
@@ -86,8 +96,63 @@ object MatchRecognize {
     * types the same constants, so oracle schemas line up.
     */
   final case class MLit(text: String) extends MExpr {
+    // validated at construction (r17, ADVICE): the lexer admits any
+    // digit string, so an integral literal past Long.MaxValue must
+    // fail with the clause's own error surface, not a raw
+    // NumberFormatException at plan build
+    require(
+      if (text.contains('.')) text.toDoubleOption.isDefined
+      else text.toLongOption.isDefined,
+      s"match_recognize: numeric literal '$text' does not fit " +
+        (if (text.contains('.')) "DOUBLE" else "BIGINT"))
     def column: org.apache.spark.sql.Column =
       if (text.contains('.')) lit(text.toDouble) else lit(text.toLong)
+  }
+
+  /** One SAME-ROW DEFINE predicate over arbitrary input columns —
+    * `A.value2 > A.value`, `V.k >= 20` (r17 field breadth): both sides
+    * are the CURRENT row's fields (or a numeric literal), so the
+    * predicate is stateless given the row and never needs the
+    * machine's navigation state. It runs as the PRODUCT-ALPHABET
+    * construction: one map-side projection evaluates every predicate
+    * and appends the valuation bits to the event type
+    * (`view|01` = type × predicate-valuation — the standard automaton
+    * product), and each step's symbol set enumerates the satisfying
+    * combinations. The machine, its walks, and the streaming
+    * checkpoint format are untouched; at scale the cost is one
+    * codegen'd projection, no extra shuffle. SQL NULL semantics hold:
+    * a NULL field makes the comparison unknown → bit 0 → the row does
+    * not match a step requiring it.
+    */
+  final case class RowPred(lhs: String, op: String,
+      rhsField: Option[String], rhsLit: Option[String]) {
+    require(rhsField.isDefined != rhsLit.isDefined,
+      "match_recognize: a row predicate compares against exactly one " +
+        "of (field, literal)")
+    // same construction-time guard as MLit (r17 ADVICE): the lexer
+    // admits any digit string, so an overflowing DEFINE literal must
+    // fail with the clause's own message, not a NumberFormatException
+    rhsLit.foreach(t => require(
+      if (t.contains('.')) t.toDoubleOption.isDefined
+      else t.toLongOption.isDefined,
+      s"match_recognize: numeric literal '$t' does not fit " +
+        (if (t.contains('.')) "DOUBLE" else "BIGINT")))
+    def fields: List[String] = lhs :: rhsField.toList
+    def column: Column = {
+      val l = col(lhs)
+      val r = rhsField.map(col).getOrElse {
+        val t = rhsLit.get
+        if (t.contains('.')) lit(t.toDouble) else lit(t.toLong)
+      }
+      op match {
+        case "<"  => l < r
+        case ">"  => l > r
+        case "<=" => l <= r
+        case ">=" => l >= r
+        case "="  => l === r
+        case _    => l =!= r // "<>"
+      }
+    }
   }
 
   /** One parsed MEASURES entry: expression, output alias, and the
@@ -127,7 +192,8 @@ object MatchRecognize {
       grouped: Option[Cep.GPat] = None,
       allRows: Boolean = false,
       subsets: Map[String, List[String]] = Map.empty,
-      withUnmatched: Boolean = false)
+      withUnmatched: Boolean = false,
+      rowPreds: List[RowPred] = Nil)
 
   // ---------------------------------------------------------- lexer
   private def lex(s: String): Vector[String] = {
@@ -195,7 +261,8 @@ object MatchRecognize {
   private final case class VarDef(symbol: Option[String] = None,
       alt: Set[String] = Set.empty, cmp: Option[Cep.PrevCmp] = None,
       cmpOff: Int = 1, sumCap: Option[Long] = None,
-      cross: List[(String, Boolean, Cep.PrevCmp)] = Nil)
+      cross: List[(String, Boolean, Cep.PrevCmp)] = Nil,
+      rowPreds: List[RowPred] = Nil)
 
   def parse(sql: String): Parsed = {
     val p = new P(lex(sql))
@@ -473,14 +540,15 @@ object MatchRecognize {
     // navigated one would be ambiguous), and STRICTLY BEFORE every
     // occurrence of the referencing variable (a not-yet-matched
     // variable has no rows to navigate — the undecidable class)
+    // grouped patterns accept cross references since r17: the index
+    // space is LEAF PREORDER (items = leafItems(tree)), the machine's
+    // own resolution space — a repeated group's referenced leaf pools
+    // its rows across iterations (FIRST = the pool's first consumed
+    // row, LAST = the most recent as of the current path; Flink's
+    // IterativeCondition reading), validated by Cep.validateGrouped
     val occIdx: Map[String, List[Int]] =
       items.toList.map(_.name).zipWithIndex.groupBy(_._1)
         .map { case (k, v) => k -> v.map(_._2) }
-    if (hasGroups)
-      require(defs.values.forall(_.cross.isEmpty),
-        "match_recognize: cross-variable DEFINE references need a " +
-          "FLAT pattern — a repeated group's leaf accumulates rows " +
-          "across iterations, so the navigated span is ambiguous")
     def resolveCross(owner: String, d: VarDef): List[Cep.CrossRef] =
       d.cross.map { case (bName, isFirst, cmp) =>
         require(!subsets.contains(bName),
@@ -505,14 +573,60 @@ object MatchRecognize {
             "cross-variable navigation reads EARLIER variables only")
       })
     }
+    // PRODUCT-ALPHABET assembly (r17, see [[RowPred]]): the clause's
+    // distinct same-row predicates in first-appearance order — each is
+    // one valuation bit the runner's projection appends to the event
+    // type; a predicated variable's symbol set enumerates the
+    // satisfying (type, valuation) combinations, so the machine and
+    // its state format are untouched. Bounded at 8 bits (≤ 256
+    // product symbols per base type — set membership, not cost).
+    val allPreds: List[RowPred] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[RowPred]
+      items.toList.map(_.name).distinct.foreach(v =>
+        defs.get(v).foreach(_.rowPreds.foreach(seen += _)))
+      seen.toList
+    }
+    require(allPreds.length <= 8,
+      s"match_recognize: ${allPreds.length} distinct row predicates — " +
+        "the product alphabet is bounded at 8 valuation bits")
+    val predIdx: Map[RowPred, Int] = allPreds.zipWithIndex.toMap
+    def productSyms(name: String, d: VarDef)
+        : Option[(String, Set[String])] =
+      if (allPreds.isEmpty) None
+      else if (d.symbol.isEmpty) {
+        require(d.rowPreds.isEmpty,
+          s"match_recognize: '$name' carries a field predicate but no " +
+            "event_type condition — the product-alphabet construction " +
+            "enumerates (type, predicate) combinations, so a " +
+            "predicated variable must pin its event_type (wildcard " +
+            "variables stay wildcard only when predicate-free)")
+        None // wildcard stays wildcard over the product alphabet
+      } else {
+        val req = d.rowPreds.map(predIdx).toSet
+        val base = d.alt + d.symbol.get
+        val free = allPreds.indices.filterNot(req).toList
+        val masks = (0 until (1 << free.length)).map { m =>
+          val bits = Array.fill(allPreds.length)('0')
+          req.foreach(i => bits(i) = '1')
+          free.zipWithIndex.foreach { case (i, bi) =>
+            if (((m >> bi) & 1) == 1) bits(i) = '1'
+          }
+          new String(bits)
+        }
+        val syms =
+          (for { s <- base.toList; mk <- masks } yield s + "|" + mk).sorted
+        Some((syms.head, syms.tail.toSet))
+      }
     def mkStep(it: PatItem): Cep.Step = {
       val d = defs.getOrElse(it.name, VarDef())
       val any = d.symbol.isEmpty
+      val (sym, altSet) = productSyms(it.name, d)
+        .getOrElse((d.symbol.getOrElse("*"), d.alt))
       Cep.Step(
-        symbol = d.symbol.getOrElse("*"),
+        symbol = sym,
         plus = !it.explicitRep && it.hi == Int.MaxValue,
         opt = !it.explicitRep && it.lo == 0,
-        alt = d.alt,
+        alt = altSet,
         rep = if (it.explicitRep) Some((it.lo, it.hi)) else None,
         any = any,
         cmp = d.cmp,
@@ -558,7 +672,7 @@ object MatchRecognize {
       Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
         windowUs, rawMeasures.result(), items.toList.map(_.name),
         grouped = Some(g), allRows = allRows, subsets = subsets.toMap,
-        withUnmatched = withUnmatched)
+        withUnmatched = withUnmatched, rowPreds = allPreds)
     } else {
       // the machine's own validation runs too (cepMatchOf) — these
       // parser-level requires exist so the SQL surface fails with SQL-
@@ -568,7 +682,7 @@ object MatchRecognize {
       Parsed(partitionCol, orderCols.toList, steps, resolvedAfter,
         windowUs, rawMeasures.result(), items.toList.map(_.name),
         allRows = allRows, subsets = subsets.toMap,
-        withUnmatched = withUnmatched)
+        withUnmatched = withUnmatched, rowPreds = allPreds)
     }
   }
 
@@ -605,13 +719,26 @@ object MatchRecognize {
         fn match {
           case "COUNT" => require(field == "*",
             s"match_recognize: COUNT measures rows — write COUNT($v.*)")
-          case "SUM" | "MIN" | "MAX" | "AVG" => require(field == "VALUE",
-            s"match_recognize: $fn ranges over $v.value (exact cents)")
-          case _ => require(field == "EVENT_ID",
-            s"match_recognize: $fn navigates $v.event_id")
+          // r17 field breadth: SUM/MIN/MAX/AVG range over `value` (the
+          // exact-cents canonical channel) OR any input column, and
+          // FIRST/LAST navigate to `event_id` or any input column —
+          // fields beyond the canonical set are schema-resolved by the
+          // runner (unknown names rejected there against the input's
+          // columns; non-canonical fields route the pivot through the
+          // ALL-ROWS scan + a field join)
+          case _ => require(field != "*" &&
+            field.headOption.exists(c => c.isLetter || c == '_'),
+            s"match_recognize: $fn needs a field — " +
+              s"$fn($v.value), $fn($v.event_id), or $fn($v.<column>)")
         }
         p.expect(")")
-        MAgg(fn, v)
+        val canonical = (fn, field) match {
+          case ("COUNT", "*")                        => true
+          case ("FIRST" | "LAST", "EVENT_ID")        => true
+          case ("SUM" | "MIN" | "MAX" | "AVG", "VALUE") => true
+          case _                                     => false
+        }
+        MAgg(fn, v, if (canonical) "" else field.toLowerCase)
       }
     }
     var more = true
@@ -721,19 +848,27 @@ object MatchRecognize {
             d.copy(symbol = Some(syms.head), alt = syms.tail.toSet)
           }
         case "VALUE" =>
-          val cmp = p.next() match {
+          val opTok = p.next()
+          require(Set("<", ">", "<=", ">=", "=", "<>")(opTok),
+            s"match_recognize: unsupported value comparison '$opTok'")
+          def navCmp: Cep.PrevCmp = opTok match {
             case "<"  => Cep.PrevLt
             case ">"  => Cep.PrevGt
             case "<=" => Cep.PrevLe
             case ">=" => Cep.PrevGe
             case op => throw new IllegalArgumentException(
-              s"match_recognize: unsupported value comparison '$op'")
+              s"match_recognize: '$op' with a navigation RHS — " +
+                "PREV/FIRST/LAST comparisons are ordered " +
+                "(< > <= >=); equality forms are row predicates " +
+                "(literal or same-row field RHS)")
           }
           // RHS forms: PREV(V.value[, k]) — same-variable physical
           // navigation; FIRST/LAST(B.value) — CROSS-VARIABLE
           // navigation into an earlier variable's consumed rows (the
           // Flink-canonical DEFINE shape); bare B.value — the
-          // standard's implicit LAST(B.value)
+          // standard's implicit LAST(B.value); V.<field> — a SAME-ROW
+          // two-field compare (r17, the product-alphabet row
+          // predicate); a numeric literal — a constant row predicate
           p.peek match {
             case "PREV" =>
               p.next(); p.expect("(")
@@ -745,7 +880,7 @@ object MatchRecognize {
               p.expect("."); p.expect("VALUE")
               val off = if (p.accept(",")) p.next().toInt else 1
               p.expect(")")
-              d.copy(cmp = Some(cmp), cmpOff = off)
+              d.copy(cmp = Some(navCmp), cmpOff = off)
             case "FIRST" | "LAST" =>
               val isFirst = p.next() == "FIRST"
               p.expect("(")
@@ -756,22 +891,79 @@ object MatchRecognize {
                 "not supported (PREV navigates the running variable; " +
                 "cross-variable navigation names an EARLIER one)")
               p.expect("."); p.expect("VALUE"); p.expect(")")
-              d.copy(cross = d.cross :+ ((bv, isFirst, cmp)))
+              d.copy(cross = d.cross :+ ((bv, isFirst, navCmp)))
             case t if t.headOption.exists(c => c.isLetter || c == '_') =>
               val bv = p.next()
-              require(bv != v, s"match_recognize: '$v.value' compared " +
-                s"against itself — a same-variable compare is PREV's " +
-                "job (PREV($v.value[, k]))")
-              p.expect("."); p.expect("VALUE")
-              d.copy(cross = d.cross :+ ((bv, false, cmp)))
+              p.expect(".")
+              val f2 = p.next()
+              if (bv == v) {
+                require(f2 != "VALUE",
+                  s"match_recognize: '$v.value' compared against " +
+                    "itself — a same-variable compare is PREV's job " +
+                    s"(PREV($v.value[, k]))")
+                d.copy(rowPreds = d.rowPreds :+ RowPred("value", opTok,
+                  Some(f2.toLowerCase), None))
+              } else {
+                require(f2 == "VALUE",
+                  s"match_recognize: '$v.value' compared against " +
+                    s"'$bv.${f2.toLowerCase}' — cross-variable " +
+                    "navigation reads the canonical value channel " +
+                    "only (same-ROW field compares may use any " +
+                    "column; for cross-variable use on another " +
+                    "column, project it to value)")
+                d.copy(cross = d.cross :+ ((bv, false, navCmp)))
+              }
+            case t if t.headOption.exists(_.isDigit) =>
+              d.copy(rowPreds = d.rowPreds :+ RowPred("value", opTok,
+                None, Some(p.next())))
             case t => throw new IllegalArgumentException(
               "match_recognize: unsupported value-comparison RHS at " +
                 s"'$t' — supported: PREV($v.value[, k]), " +
-                "FIRST/LAST(other.value), other.value")
+                "FIRST/LAST(other.value), other.value, a same-row " +
+                s"field ($v.<field>), or a numeric literal")
           }
-        case f => throw new IllegalArgumentException(
-          s"match_recognize: unsupported DEFINE field '$f' (event_type " +
-            "and value only)")
+        case f =>
+          // ARBITRARY-FIELD row predicate (r17): `V.<field> <op> RHS`
+          // with RHS a numeric literal or another field of the SAME
+          // row — schema-resolved by the runner (unknown fields
+          // rejected against the input's columns). Navigation RHS
+          // forms stay value-channel-only.
+          val fld = f.toLowerCase
+          require(fld.headOption.exists(c => c.isLetter || c == '_'),
+            s"match_recognize: bad DEFINE field '$f'")
+          val opTok = p.next()
+          require(Set("<", ">", "<=", ">=", "=", "<>")(opTok),
+            s"match_recognize: unsupported comparison '$opTok' on " +
+              s"field '$fld'")
+          p.peek match {
+            case "PREV" | "FIRST" | "LAST" =>
+              throw new IllegalArgumentException(
+                s"match_recognize: ${p.peek} over '$v.$fld' — " +
+                  "navigation reads the canonical value channel only " +
+                  "(project the field to value for navigated " +
+                  "comparisons); arbitrary fields support same-row " +
+                  "and literal comparisons")
+            case t if t.headOption.exists(_.isDigit) =>
+              d.copy(rowPreds = d.rowPreds :+ RowPred(fld, opTok,
+                None, Some(p.next())))
+            case t if t.headOption.exists(c => c.isLetter || c == '_') =>
+              val bv = p.next()
+              require(bv == v,
+                s"match_recognize: '$v.$fld' compared against a " +
+                  s"field of '$bv' — arbitrary-field predicates are " +
+                  "SAME-ROW (both sides the current row); " +
+                  "cross-variable comparisons read the value channel")
+              p.expect(".")
+              val f2 = p.next().toLowerCase
+              require(f2 != fld,
+                s"match_recognize: '$v.$fld' compared against itself")
+              d.copy(rowPreds = d.rowPreds :+ RowPred(fld, opTok,
+                Some(f2), None))
+            case t => throw new IllegalArgumentException(
+              s"match_recognize: unsupported RHS at '$t' for the " +
+                s"DEFINE field predicate on '$v.$fld' (a numeric " +
+                s"literal or a same-row field $v.<field>)")
+          }
       }
     }
   }
@@ -789,6 +981,46 @@ object MatchRecognize {
     * exactly that, so anything else is rejected rather than silently
     * re-mapped.
     */
+  /** Runner-side half of the product-alphabet construction (r17, see
+    * [[RowPred]]): resolve every row-predicate field against the input
+    * frame's SCHEMA (unknown or non-numeric fields rejected, naming
+    * the available columns), then append the predicate valuation bits
+    * to the event type in ONE map-side projection — `view` becomes
+    * `view|01`. The parse-time step symbols enumerate the satisfying
+    * combinations, so no machine or state-format change is involved.
+    * Identity when the clause carries no row predicates.
+    */
+  private[graft] def fieldEvents(events: DataFrame,
+      parsed: Parsed): DataFrame =
+    if (parsed.rowPreds.isEmpty) events
+    else {
+      val byName = events.schema.fields
+        .map(f => f.name.toLowerCase -> f).toMap
+      parsed.rowPreds.flatMap(_.fields).distinct.foreach { f =>
+        require(byName.contains(f),
+          s"match_recognize: DEFINE references field '$f' which the " +
+            "input does not carry (available: " +
+            s"${events.columns.sorted.mkString(", ")})")
+        require(byName(f).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"match_recognize: DEFINE field '$f' is " +
+            s"${byName(f).dataType.simpleString} — row predicates " +
+            "compare numeric columns")
+      }
+      val bits = parsed.rowPreds
+        .map(rp => when(rp.column, lit("1")).otherwise(lit("0")))
+      events.withColumn("event_type",
+        concat((col("event_type") :: lit("|") :: Nil) ++ bits: _*))
+    }
+
+  /** Restore the raw event type on an ALL-ROWS output whose scan ran
+    * over the product alphabet (identity otherwise).
+    */
+  private def unmangled(df: DataFrame, parsed: Parsed): DataFrame =
+    if (parsed.rowPreds.isEmpty) df
+    else df.withColumn("event_type",
+      substring_index(col("event_type"), "|", 1))
+
   def matchRecognizeOf(events: DataFrame, sql: String): Dataset[Cep.CepMatch] = {
     val parsed = parse(sql)
     require(parsed.partitionCol == "user_id",
@@ -802,11 +1034,12 @@ object MatchRecognize {
       "match_recognize: the clause asks for ALL ROWS PER MATCH — run " +
         "it with matchRecognizeRowsOf (this runner emits one row per " +
         "match)")
+    val ev = fieldEvents(events, parsed)
     parsed.grouped match {
       case Some(g) =>
-        Cep.cepMatchGroupedOf(events, g, parsed.windowUs, parsed.after)
+        Cep.cepMatchGroupedOf(ev, g, parsed.windowUs, parsed.after)
       case None =>
-        Cep.cepMatchOf(events, parsed.pattern, parsed.windowUs, parsed.after)
+        Cep.cepMatchOf(ev, parsed.pattern, parsed.windowUs, parsed.after)
     }
   }
 
@@ -830,6 +1063,14 @@ object MatchRecognize {
     * keyed on the match identity — no extra shuffle beyond
     * cepMeasuresOf's own segmented scan.
     */
+  /** A measure leaf aggregating a NON-canonical field — beyond "*"
+    * (COUNT), "value" (the cents channel), "event_id" (the id
+    * navigations), and the niladic markers' empty field. These route
+    * the pivot through the ALL-ROWS scan + a field join.
+    */
+  private def extLeaves(measures: Seq[Measure]): Seq[MAgg] =
+    measures.flatMap(m => mLeaves(m.expr)).filter(_.field.nonEmpty)
+
   def matchRecognizeMeasuresOf(events: DataFrame, sql: String): DataFrame = {
     val parsed = parse(sql)
     require(parsed.partitionCol == "user_id" &&
@@ -845,10 +1086,12 @@ object MatchRecognize {
       "match_recognize: the clause asks for ALL ROWS PER MATCH — run " +
         "it with matchRecognizeRowsOf (RUNNING/FINAL per-row measures " +
         "live there)")
-    pivotMeasured(
-      Cep.cepMeasuresOf(events, parsed.pattern, parsed.windowUs,
-        parsed.after).toDF(),
-      parsed)
+    if (extLeaves(parseMeasures(parsed.rawMeasures)).isEmpty)
+      pivotMeasured(
+        Cep.cepMeasuresOf(fieldEvents(events, parsed), parsed.pattern,
+          parsed.windowUs, parsed.after).toDF(),
+        parsed)
+    else pivotMeasuredRows(events, parsed)
   }
 
   /** The MEASURES pivot over a CepMeasured-shaped frame (one row per
@@ -880,7 +1123,7 @@ object MatchRecognize {
         occ.head._2
       }
     def isMn(m: Measure): Boolean = m.expr match {
-      case MAgg("MATCH_NUMBER", _) => true
+      case MAgg("MATCH_NUMBER", _, _) => true
       case _ => false
     }
     // validate every measured name BEFORE touching the frame — parse
@@ -951,6 +1194,135 @@ object MatchRecognize {
     }
   }
 
+  /** The FIELD-BREADTH pivot (r17): ONE ROW PER MATCH with MEASURES
+    * over ARBITRARY numeric input columns — the CepMeasured fast path
+    * carries value-cents aggregates only, so extended fields run over
+    * the ALL-ROWS scan instead: one row per consumed row (classifier
+    * attached), ONE equi-join pulling the referenced columns from the
+    * source on (user_id, event_id), then the same one-hash-aggregation
+    * pivot keyed on the match identity. Contiguous consumption makes
+    * (ts_us, event_id) order the match order, so FIRST/LAST navigate
+    * by a struct min/max exactly as the step-ordered fast path does.
+    * Exactness contract: SUM/AVG over a floating-point field (other
+    * than the cents-quantized `value` channel) are REJECTED —
+    * floating sums are shuffle-order-dependent and would break
+    * bit-reproducibility; MIN/MAX/FIRST/LAST accept any numeric type.
+    * Scale shape: the rows side is match-proportional, the field join
+    * one keyed shuffle, the pivot one hash aggregation — no window
+    * over unpartitioned data, no driver loop.
+    */
+  private def pivotMeasuredRows(events: DataFrame, parsed: Parsed)
+      : DataFrame = {
+    val measures = parseMeasures(parsed.rawMeasures)
+    require(!measures.exists(m =>
+        mLeaves(m.expr).exists(_.func == "CLASSIFIER")),
+      "match_recognize: CLASSIFIER() names the row's consuming " +
+        "variable — ONE ROW PER MATCH has no row to classify (use " +
+        "ALL ROWS PER MATCH)")
+    // same name rules as the fast path: a measured variable occurs
+    // exactly once; a SUBSET union pools its members (classifier-keyed
+    // here ≡ step-keyed there for single-occurrence variables)
+    def namesOf(name: String): Seq[String] =
+      parsed.subsets.getOrElse(name, List(name)).map { v =>
+        val occ = parsed.varNames.count(_ == v)
+        require(occ >= 1,
+          s"match_recognize: MEASURES names '$v' which PATTERN never uses")
+        require(occ == 1,
+          s"match_recognize: MEASURES over '$v', which PATTERN uses " +
+            s"$occ times — each occurrence is a distinct step")
+        v
+      }
+    def isMn(m: Measure): Boolean = m.expr match {
+      case MAgg("MATCH_NUMBER", _, _) => true
+      case _ => false
+    }
+    measures.filterNot(isMn)
+      .foreach(m => mLeaves(m.expr).foreach(a => namesOf(a.varName)))
+    // schema-driven extended-field resolution
+    val ext = extLeaves(measures)
+    val byName = events.schema.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    ext.foreach { a =>
+      require(byName.contains(a.field),
+        s"match_recognize: MEASURES references field '${a.field}' " +
+          "which the input does not carry (available: " +
+          s"${events.columns.sorted.mkString(", ")})")
+      val dt = byName(a.field).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"match_recognize: MEASURES field '${a.field}' is " +
+          s"${dt.simpleString} — aggregates range over numeric columns")
+      if (a.func == "SUM" || a.func == "AVG")
+        require(!dt.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
+            !dt.isInstanceOf[org.apache.spark.sql.types.FloatType],
+          s"match_recognize: ${a.func} over the ${dt.simpleString} " +
+            s"field '${a.field}' — floating sums are " +
+            "shuffle-order-dependent; the canonical `value` channel " +
+            "aggregates in exact cents (quantize the field, or " +
+            "aggregate value)")
+    }
+    // columns the ALL-ROWS output already carries need no join leg
+    // (and would collide by name): event_id/user_id resolve off the
+    // rows themselves
+    val extCols = ext.map(_.field).distinct
+      .filterNot(Set("event_id", "user_id"))
+    val rows = Cep.cepRowsOf(fieldEvents(events, parsed), parsed.pattern,
+      parsed.windowUs, parsed.after).toDF()
+      .withColumn("classifier",
+        element_at(array(parsed.varNames.map(lit): _*), col("step") + 1))
+    val joined =
+      if (extCols.isEmpty) rows
+      else rows.join(events.select(
+          col("user_id").cast("long").as("user_id") +:
+          col("event_id").cast("long").as("event_id") +:
+          extCols.map(col): _*),
+        Seq("user_id", "event_id"))
+    def fieldCol(a: MAgg): Column = a.field match {
+      case "" => // the canonical channel per function
+        if (a.func == "FIRST" || a.func == "LAST") col("event_id")
+        else col("value_c")
+      case f => col(f)
+    }
+    def aggCol(a: MAgg): Column = {
+      val in = col("classifier").isin(namesOf(a.varName): _*)
+      a.func match {
+        case "COUNT" => sum(when(in, lit(1L)))
+        case "SUM"   => sum(when(in, fieldCol(a)))
+        case "MIN"   => min(when(in, fieldCol(a)))
+        case "MAX"   => max(when(in, fieldCol(a)))
+        case "AVG"   =>
+          sum(when(in, fieldCol(a))) / sum(when(in, lit(1L)))
+        case "FIRST" =>
+          min(when(in, struct(col("ts_us"), col("event_id"),
+            fieldCol(a).as("v")))).getField("v")
+        case "LAST"  =>
+          max(when(in, struct(col("ts_us"), col("event_id"),
+            fieldCol(a).as("v")))).getField("v")
+      }
+    }
+    def evalM(e: MExpr): Column = e match {
+      case a: MAgg         => aggCol(a)
+      case l: MLit         => l.column
+      case MBin('+', l, r) => evalM(l) + evalM(r)
+      case MBin('*', l, r) => evalM(l) * evalM(r)
+      case MBin('/', l, r) => evalM(l) / evalM(r)
+      case MBin(_, l, r)   => evalM(l) - evalM(r)
+    }
+    val aggs = measures.filterNot(isMn)
+      .map(m => evalM(m.expr).as(m.alias))
+    val pivoted = joined.groupBy(col("user_id"), col("start_event_id"),
+        col("start_ts_us"), col("end_event_id"), col("end_ts_us"),
+        col("n_rows"))
+      .agg(aggs.head, aggs.tail: _*)
+    measures.filter(isMn).foldLeft(pivoted) {
+      (df, mn) =>
+        df.withColumn(mn.alias,
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("start_ts_us"), col("start_event_id")))
+            .cast("long"))
+    }
+  }
+
   /** ALL ROWS PER MATCH — the SQL standard's other output mode: one
     * row per CONSUMED input row, carrying the match identity columns
     * (user_id, start/end ids and timestamps, n_rows — start_event_id
@@ -990,15 +1362,16 @@ object MatchRecognize {
         "the clause asks for one row per match (matchRecognizeOf)")
     val rows = parsed.grouped match {
       case Some(g) =>
-        Cep.cepRowsGroupedOf(events, g, parsed.windowUs, parsed.after)
+        Cep.cepRowsGroupedOf(fieldEvents(events, parsed), g,
+          parsed.windowUs, parsed.after)
       case None =>
-        Cep.cepRowsOf(events, parsed.pattern, parsed.windowUs,
-          parsed.after)
+        Cep.cepRowsOf(fieldEvents(events, parsed), parsed.pattern,
+          parsed.windowUs, parsed.after)
     }
     // CLASSIFIER: the step/leaf index resolves to the PATTERN variable
     // name through a literal array — varNames is leaf-ordered for both
     // the flat and the grouped tree (preorder, same as gLeaves)
-    val out = rows.toDF().withColumn("classifier",
+    val out = unmangled(rows.toDF(), parsed).withColumn("classifier",
       element_at(array(parsed.varNames.map(lit): _*), col("step") + 1))
     val matched = if (parsed.rawMeasures.isEmpty) out
     else {
@@ -1024,6 +1397,46 @@ object MatchRecognize {
         Window.unboundedFollowing)
       val mnW = Window.partitionBy(col("user_id"))
         .orderBy(col("start_ts_us"), col("start_event_id"))
+      // extended-field leaves (r17): referenced columns join in from
+      // the source on (user_id, event_id) — same resolution and
+      // exactness rules as the one-row pivot (unknown / non-numeric
+      // rejected; floating SUM/AVG rejected); the joined columns are
+      // working columns only, excluded from the output's contract
+      val ext = extLeaves(measures)
+      val byName = events.schema.fields
+        .map(f => f.name.toLowerCase -> f).toMap
+      ext.foreach { a =>
+        require(byName.contains(a.field),
+          s"match_recognize: MEASURES references field '${a.field}' " +
+            "which the input does not carry (available: " +
+            s"${events.columns.sorted.mkString(", ")})")
+        val dt = byName(a.field).dataType
+        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"match_recognize: MEASURES field '${a.field}' is " +
+            s"${dt.simpleString} — aggregates range over numeric columns")
+        if (a.func == "SUM" || a.func == "AVG")
+          require(!dt.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
+              !dt.isInstanceOf[org.apache.spark.sql.types.FloatType],
+            s"match_recognize: ${a.func} over the ${dt.simpleString} " +
+              s"field '${a.field}' — floating sums are " +
+              "shuffle-order-dependent; aggregate the cents-quantized " +
+              "value channel or quantize the field")
+      }
+      val extCols = ext.map(_.field).distinct
+        .filterNot(Set("event_id", "user_id"))
+      val src0 =
+        if (extCols.isEmpty) out
+        else out.join(events.select(
+            col("user_id").cast("long").as("user_id") +:
+            col("event_id").cast("long").as("event_id") +:
+            extCols.map(col): _*),
+          Seq("user_id", "event_id"))
+      def fieldColW(a: MAgg): Column = a.field match {
+        case "" =>
+          if (a.func == "FIRST" || a.func == "LAST") col("event_id")
+          else col("value_c")
+        case f => col(f)
+      }
       // one window-function Column per aggregate leaf (the expression's
       // RUNNING/FINAL marker picks the frame for every leaf); +/−
       // arithmetic composes leaves in the same projection
@@ -1032,23 +1445,23 @@ object MatchRecognize {
         val in = col("classifier").isin(namesOf(a.varName): _*)
         a.func match {
           case "COUNT" => count(when(in, lit(1))).over(w)
-          case "SUM"   => sum(when(in, col("value_c"))).over(w)
-          case "MIN"   => min(when(in, col("value_c"))).over(w)
-          case "MAX"   => max(when(in, col("value_c"))).over(w)
-          case "AVG"   => sum(when(in, col("value_c"))).over(w) /
+          case "SUM"   => sum(when(in, fieldColW(a))).over(w)
+          case "MIN"   => min(when(in, fieldColW(a))).over(w)
+          case "MAX"   => max(when(in, fieldColW(a))).over(w)
+          case "AVG"   => sum(when(in, fieldColW(a))).over(w) /
             count(when(in, lit(1))).over(w)
           case "FIRST" =>
-            first(when(in, col("event_id")), ignoreNulls = true).over(w)
+            first(when(in, fieldColW(a)), ignoreNulls = true).over(w)
           case "LAST" =>
-            last(when(in, col("event_id")), ignoreNulls = true).over(w)
+            last(when(in, fieldColW(a)), ignoreNulls = true).over(w)
         }
       }
       val mcols = measures.map { m =>
         val w = if (m.mode == "FINAL") whole else running
         def evalM(e: MExpr): Column = e match {
-          case MAgg("MATCH_NUMBER", _) =>
+          case MAgg("MATCH_NUMBER", _, _) =>
             dense_rank().over(mnW).cast("long")
-          case MAgg("CLASSIFIER", _) => col("classifier")
+          case MAgg("CLASSIFIER", _, _) => col("classifier")
           case a: MAgg               => aggColW(a, w)
           case l: MLit               => l.column
           case MBin('+', l, r)       => evalM(l) + evalM(r)
@@ -1058,7 +1471,7 @@ object MatchRecognize {
         }
         evalM(m.expr).as(m.alias)
       }
-      out.select(out.columns.map(col).toSeq ++ mcols: _*)
+      src0.select(out.columns.map(col).toSeq ++ mcols: _*)
     }
     if (!parsed.withUnmatched) matched
     else {
@@ -1381,5 +1794,55 @@ object MatchRecognize {
   def sqlMrMeasuresExt(s: SparkSession, dir: String): DataFrame =
     matchRecognizeMeasuresOf(graft.Tables.t(s, dir, "events"),
       FunnelMeasuresExtSql)
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+
+  /** sql_mr_fields — DEFINE/MEASURES FIELD BREADTH (r17, closing the
+    * "(event_id, value) only" binding): the clause references an
+    * arbitrary numeric input column (`k`, projected off the events
+    * `props` JSON — schema-driven: the runners resolve field names
+    * against the input frame's columns and reject unknown ones).
+    * DEFINE exercises both new predicate forms — the field-vs-LITERAL
+    * `V.k >= 20` (a low-k view now BREAKS contiguity, reshaping the
+    * funnel islands) and the field-vs-FIELD `P.k > P.value` (one
+    * column compared against another on the same row, the
+    * Flink-SimpleCondition class) — both running as the
+    * product-alphabet projection ([[RowPred]]): zero machine or
+    * checkpoint-format change, one map-side codegen'd projection.
+    * MEASURES aggregates the second column next to the canonical
+    * channels: SUM/MAX/AVG/LAST(V.k) through the ALL-ROWS + field-join
+    * pivot, COUNT(V.*) / SUM(V.value) / FIRST(C.event_id) canonical.
+    * Everything binds at sf0.01: 88 plain funnels → 37 (the k-filter
+    * and the purchase predicate both cut), 5 multi-view matches, and
+    * LAST(V.k) ≠ MAX(V.k) on 2 of them (navigation provably distinct
+    * from the extremum). Oracle: the funnel islands CTE over the
+    * re-typed rows (view & k < 20 reclassified — the contiguity
+    * break) with the same per-island aggregates.
+    */
+  val FieldsSql: String =
+    """MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts, event_id
+      |  MEASURES FIRST(C.event_id) AS click_id, COUNT(V.*) AS views_cnt,
+      |           SUM(V.k) AS views_k_sum, MAX(V.k) AS views_k_max,
+      |           AVG(V.k) AS views_k_avg, LAST(V.k) AS views_k_last,
+      |           SUM(V.value) AS views_sum_c
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (C V+ P)
+      |  WITHIN INTERVAL '7' DAY
+      |  DEFINE C AS C.event_type = 'click',
+      |         V AS V.event_type = 'view' AND V.k >= 20,
+      |         P AS P.event_type = 'purchase' AND P.k > P.value
+      |)""".stripMargin
+
+  /** The events frame with the second numeric column the fields gate
+    * references: `k` extracted from the props JSON (BIGINT).
+    */
+  private def eventsWithK(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.t(s, dir, "events").withColumn("k",
+      get_json_object(col("props"), "$.k").cast("long"))
+
+  def sqlMrFields(s: SparkSession, dir: String): DataFrame =
+    matchRecognizeMeasuresOf(eventsWithK(s, dir), FieldsSql)
       .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
 }

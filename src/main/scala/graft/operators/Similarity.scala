@@ -614,8 +614,8 @@ object Similarity {
   private def semAsgShared(s: SparkSession, dir: String, k: Int,
       iters: Int): DataFrame = {
     val path = memoPath("sem_asg", s"$dir|$k|$iters") {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-sem-asg").toString
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-sem-asg").toString)
       KMeans.assignmentsOf(t(s, dir, "embeddings"), k, iters)
         .select(col("vec_id"), col("cid"))
         .write.mode("overwrite").parquet(out)
@@ -631,10 +631,34 @@ object Similarity {
   private def semFlatShared(s: SparkSession, dir: String, k: Int,
       iters: Int, thr: Double): DataFrame = {
     val path = memoPath("sem_flat", s"$dir|$k|$iters|$thr") {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-sem-flat").toString
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-sem-flat").toString)
       semDedupDropped(t(s, dir, "embeddings"),
         semAsgShared(s, dir, k, iters), thr, None)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path)
+  }
+
+  /** The recursive-refinement assignment table off the shared coarse
+    * assignment (r17) — [[KMeans.refineToTarget]] at the rec gate's
+    * parameters, computed once per (JVM, dir, params). The refinement
+    * is deterministic (seeded Lloyd's over a fixed split order), so
+    * slicing it onto a fixture is output-neutral; the rec gate keeps
+    * its LIVE kernel run (the cell-bounded pair join + forced
+    * verdicts), exactly the sem_flat/sem_asg accounting.
+    */
+  private def semRefShared(s: SparkSession, dir: String, k: Int,
+      iters: Int, targetCell: Int, subIters: Int, fanout: Int,
+      maxLevels: Int): DataFrame = {
+    val path = memoPath("sem_ref",
+        s"$dir|$k|$iters|$targetCell|$subIters|$fanout|$maxLevels") {
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-sem-ref").toString)
+      KMeans.refineToTarget(t(s, dir, "embeddings"),
+        semAsgShared(s, dir, k, iters), targetCell, subIters,
+        fanout, maxLevels)
         .write.mode("overwrite").parquet(out)
       out
     }
@@ -874,8 +898,11 @@ object Similarity {
     val emb = t(s, dir, "embeddings")
     val asg = semAsgShared(s, dir, k, iters)
     val flat = semFlatShared(s, dir, k, iters, thr)
-    val refined = KMeans.refineToTarget(emb, asg, targetCell, iters = 1,
-      fanout = 4, maxLevels = 3).localCheckpoint(true)
+    // r17: the per-level refinement slices off the shared fixture
+    // (recomputing it was the most expensive batch key's whole pass2
+    // cost); the pair-join kernel below stays live under the gate
+    val refined = semRefShared(s, dir, k, iters, targetCell,
+      subIters = 1, fanout = 4, maxLevels = 3)
     val rec = semDedupDropped(emb, refined, thr, None)
     val nVec = asg.agg(count(lit(1)).as("n_vecs"))
     val nDrop = flat.agg(count(lit(1)).as("n_dropped"))

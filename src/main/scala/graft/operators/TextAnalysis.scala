@@ -1212,8 +1212,8 @@ object TextAnalysis {
   private def substringIdxShared(s: SparkSession, dir: String,
       k: Int): DataFrame = {
     val path = memoPath("substr_idx", s"$dir|$k") {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-substr-idx").toString
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-substr-idx").toString)
       shingleIdx(t(s, dir, "documents"), k)
         .write.mode("overwrite").parquet(out)
       out
@@ -1229,9 +1229,32 @@ object TextAnalysis {
       minLen: Int, maxDf: Int): DataFrame = {
     val path = memoPath("substr_runs", s"$dir|$k|$minLen|$maxDf") {
       validateSubstringParams(k, minLen, maxDf)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-substr-runs").toString
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-substr-runs").toString)
       substringRunsFromIdx(substringIdxShared(s, dir, k), k, minLen, maxDf)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path)
+  }
+
+  /** The HASHED-KEY detect result off the shared index (r17): the
+    * 8-byte-key production kernel's runs, built once per (JVM, dir,
+    * params) — the apply/rewrite hashed twins both consume it (the
+    * detect hashed gate keeps its LIVE kernel run; this fixture only
+    * feeds the downstream surfaces, the same one-kernel-many-gates
+    * accounting as the string-keyed fixture).
+    */
+  private def substringRunsHashedShared(s: SparkSession, dir: String,
+      k: Int, minLen: Int, maxDf: Int): DataFrame = {
+    val path = memoPath("substr_runs_hashed", s"$dir|$k|$minLen|$maxDf") {
+      validateSubstringParams(k, minLen, maxDf)
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-substr-runs-h").toString)
+      substringRunsFromIdx(
+        substringIdxShared(s, dir, k).select(col("doc_id"), col("pos"),
+          col("h")),
+        k, minLen, maxDf, hashedKeys = true)
         .write.mode("overwrite").parquet(out)
       out
     }
@@ -1290,8 +1313,10 @@ object TextAnalysis {
     * curation pipeline thresholds on before re-materializing texts.
     */
   def substringDedupApplyOf(docs: DataFrame, k: Int = 8, minLen: Int = 20,
-      maxDf: Int = 5000): DataFrame =
-    substringApplyFromRuns(docs, substringDedupOf(docs, k, minLen, maxDf))
+      maxDf: Int = 5000, hashedKeys: Boolean = false): DataFrame =
+    substringApplyFromRuns(docs,
+      if (hashedKeys) substringDedupHashedOf(docs, k, minLen, maxDf)
+      else substringDedupOf(docs, k, minLen, maxDf))
 
   /** The apply accounting off a pre-computed run set — the piece the
     * gate shares with the library form (one detect pass serves both
@@ -1318,6 +1343,40 @@ object TextAnalysis {
       substringRunsShared(s, dir, 5, 15, 5000))
       .orderBy(col("doc_id"))
 
+  /** The family's shared hash_eq verdict (r17 — the detect twin's
+    * contract generalized): byString's rows with a constant column
+    * pinned 1 iff byString ≡ byHash as MULTISETS, both directions —
+    * a collision-merged row, a lost row, or a drifted value all flip
+    * the verdict for every output row. The diff count is 1 row and
+    * broadcasts.
+    */
+  private def hashEqChecked(byString: DataFrame, byHash: DataFrame,
+      ord: Seq[String]): DataFrame = {
+    val diff = byString.exceptAll(byHash)
+      .unionAll(byHash.exceptAll(byString))
+      .agg(count(lit(1)).as("d"))
+    byString.crossJoin(broadcast(diff))
+      .select(byString.columns.map(col).toSeq :+
+        when(col("d") === 0, 1L).otherwise(0L).as("hash_eq"): _*)
+      .orderBy(ord.map(col): _*)
+  }
+
+  /** text_substring_apply_hashed gate (r17, completing the hashed
+    * family): the string-keyed apply accounting is the definitional
+    * answer; `hash_eq` pinned 1 asserts the accounting over the
+    * 8-byte-key production runs is IDENTICAL for all 500 docs. Both
+    * sides read shared fixtures — the one string-keyed detect and the
+    * one hashed detect each ran once for the whole family.
+    */
+  def substringDedupApplyHashed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    hashEqChecked(
+      substringApplyFromRuns(docs, substringRunsShared(s, dir, 5, 15, 5000)),
+      substringApplyFromRuns(docs,
+        substringRunsHashedShared(s, dir, 5, 15, 5000)),
+      Seq("doc_id"))
+  }
+
   /** The REWRITE side of exact substring dedup — Lee et al. actually
     * re-materialize the corpus with the repeated substrings cut; the
     * apply gate only accounts. Same deterministic keep policy
@@ -1332,8 +1391,11 @@ object TextAnalysis {
     * token array — the rewrite itself never shuffles text.
     */
   def substringDedupRewriteOf(docs: DataFrame, k: Int = 8,
-      minLen: Int = 20, maxDf: Int = 5000): DataFrame =
-    substringRewriteFromRuns(docs, substringDedupOf(docs, k, minLen, maxDf))
+      minLen: Int = 20, maxDf: Int = 5000,
+      hashedKeys: Boolean = false): DataFrame =
+    substringRewriteFromRuns(docs,
+      if (hashedKeys) substringDedupHashedOf(docs, k, minLen, maxDf)
+      else substringDedupOf(docs, k, minLen, maxDf))
 
   private def substringRewriteFromRuns(docs: DataFrame,
       runs: DataFrame): DataFrame = {
@@ -1366,6 +1428,23 @@ object TextAnalysis {
       substringRunsShared(s, dir, 5, 15, 5000))
       .orderBy(col("doc_id"))
 
+  /** text_substring_rewrite_hashed gate (r17): the re-materialized
+    * corpus off the 8-byte-key runs must be BYTE-identical to the
+    * string-keyed rewrite — `hash_eq` compares the actual clean_text
+    * strings both directions, so a collision-shifted cut boundary
+    * anywhere in any document flips the verdict.
+    */
+  def substringDedupRewriteHashed(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = t(s, dir, "documents")
+    hashEqChecked(
+      substringRewriteFromRuns(docs,
+        substringRunsShared(s, dir, 5, 15, 5000)),
+      substringRewriteFromRuns(docs,
+        substringRunsHashedShared(s, dir, 5, 15, 5000)),
+      Seq("doc_id"))
+  }
+
   /** INCREMENTAL substring dedup — the ingestion-time shape (the
     * bloom-snapshot precedent for the suffix family): incoming docs
     * checked against a STANDING corpus only, never against each
@@ -1380,33 +1459,43 @@ object TextAnalysis {
     * thresholds on.
     */
   def substringNoveltyOf(corpus: DataFrame, incoming: DataFrame,
-      k: Int = 8, minLen: Int = 20, maxDf: Int = 5000): DataFrame = {
+      k: Int = 8, minLen: Int = 20, maxDf: Int = 5000,
+      hashedKeys: Boolean = false): DataFrame = {
     validateSubstringParams(k, minLen, maxDf)
     // eagerly materialized, not .cache()d: referenced twice (df count
     // + probe) with truncated lineage, and the blocks release with the
     // reference instead of pinning in the CacheManager per invocation
-    val idxC = shingleIdx(corpus, k).localCheckpoint(true)
-    substringNoveltyFromIdx(idxC, shingleIdx(incoming, k), incoming,
-      k, minLen, maxDf)
+    def slim(df: DataFrame): DataFrame =
+      if (hashedKeys) df.select(col("doc_id"), col("pos"), col("h"))
+      else df
+    val idxC = slim(shingleIdx(corpus, k)).localCheckpoint(true)
+    substringNoveltyFromIdx(idxC, slim(shingleIdx(incoming, k)), incoming,
+      k, minLen, maxDf, hashedKeys)
   }
 
   /** The novelty kernel over PRE-BUILT corpus/incoming indexes — the
     * piece the gate shares with the library form (the gate slices both
-    * sides off the one memoized full-corpus index).
+    * sides off the one memoized full-corpus index). `hashedKeys` joins
+    * the two indexes on the 8-byte hash alone (the shingle string never
+    * enters EITHER exchange — the novelty join is the family's widest,
+    * corpus-index × incoming-index, so the string-width saving lands
+    * twice); the string-keyed form stays the definitional one the
+    * oracle reproduces.
     */
   private def substringNoveltyFromIdx(idxC: DataFrame, idxI: DataFrame,
-      incoming: DataFrame, k: Int, minLen: Int, maxDf: Int): DataFrame = {
+      incoming: DataFrame, k: Int, minLen: Int, maxDf: Int,
+      hashedKeys: Boolean = false): DataFrame = {
     val keep = idxC.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxDf).select(col("h"))
     // the INCOMING side is the A side: run extents land on incoming
     // positions, which is what the per-doc union accounts
-    val a = idxC.join(keep, Seq("h"))
-      .select(col("h"), col("g"), col("doc_id").as("docB"),
-        col("pos").as("posB"))
-    val b = idxI
-      .select(col("h").as("h"), col("g").as("g"),
-        col("doc_id").as("docA"), col("pos").as("posA"))
-    val cand = a.join(b, Seq("h", "g"))
+    val aCols = col("h") :: (if (hashedKeys) Nil else col("g") :: Nil) :::
+      col("doc_id").as("docB") :: col("pos").as("posB") :: Nil
+    val bCols = col("h") :: (if (hashedKeys) Nil else col("g") :: Nil) :::
+      col("doc_id").as("docA") :: col("pos").as("posA") :: Nil
+    val a = idxC.join(keep, Seq("h")).select(aCols: _*)
+    val b = idxI.select(bCols: _*)
+    val cand = a.join(b, if (hashedKeys) Seq("h") else Seq("h", "g"))
       .select(col("docA"), col("docB"), col("posA"), col("posB"))
     val matched = positionUnion(diagonalRuns(cand, k, minLen),
       "docA", "a_start")
@@ -1431,6 +1520,28 @@ object TextAnalysis {
       idx.filter(col("doc_id") % 50 === 0),
       docs.filter(col("doc_id") % 50 === 0), 5, 15, 5000)
       .orderBy(col("doc_id"))
+  }
+
+  /** text_substring_novelty_hashed gate (r17): the hashed form of the
+    * family's WIDEST join — corpus index × incoming index, where the
+    * string key rode BOTH exchanges. `hash_eq` pinned 1 asserts the
+    * hash-only candidate join reproduces the string-keyed
+    * contamination accounting for every incoming doc. Both sides
+    * slice the one memoized full-corpus index; the hashed side's
+    * kernel runs LIVE (its join keying is the surface under test).
+    */
+  def substringNoveltyHashed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = substringIdxShared(s, dir, 5)
+    val idxH = idx.select(col("doc_id"), col("pos"), col("h"))
+    val incoming = docs.filter(col("doc_id") % 50 === 0)
+    hashEqChecked(
+      substringNoveltyFromIdx(idx.filter(col("doc_id") % 50 =!= 0),
+        idx.filter(col("doc_id") % 50 === 0), incoming, 5, 15, 5000),
+      substringNoveltyFromIdx(idxH.filter(col("doc_id") % 50 =!= 0),
+        idxH.filter(col("doc_id") % 50 === 0), incoming, 5, 15, 5000,
+        hashedKeys = true),
+      Seq("doc_id"))
   }
 
   /** Adjacent-pair frequencies over the BPE-ish token stream — the

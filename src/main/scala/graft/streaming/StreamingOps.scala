@@ -3768,12 +3768,30 @@ object StreamingOps {
         1, Int.MaxValue),
       graft.operators.Cep.GLf(graft.operators.Cep.Step("purchase"))))
 
-  /** The ELEVEN CEP stream gates' machines in TAG ORDER (the multi
+  /** The grouped-cross gate's pattern (r17): the group gate's chain
+    * with the purchase required to beat the FIRST chain row's value —
+    * `P.value > FIRST(A.value)` where leaf 0's pool accumulates
+    * across iterations (FIRST = the match's opening row).
+    */
+  private val CepCrossGroupGatePattern: graft.operators.Cep.GPat =
+    graft.operators.Cep.GCat(Seq(
+      graft.operators.Cep.GRep(graft.operators.Cep.GCat(Seq(
+        graft.operators.Cep.GLf(
+          graft.operators.Cep.Step("click", alt = Set("view"))),
+        graft.operators.Cep.GLf(
+          graft.operators.Cep.Step("signup", alt = Set("error"))))),
+        1, Int.MaxValue),
+      graft.operators.Cep.GLf(graft.operators.Cep.Step("purchase",
+        cross = List(graft.operators.Cep.CrossRef(0, first = true,
+          graft.operators.Cep.PrevGt))))))
+
+  /** The TWELVE CEP stream gates' machines in TAG ORDER (the multi
     * replay's `pat` column — tag order is the checkpoint contract, so
     * the list is APPEND-ONLY): funnel, reluctant pairing, V-shape,
     * backtrack, relaxed funnel, abandoned cart (negation), relaxed
     * greedy funnel, SKIP TO NEXT ROW revisit, group quantifier,
-    * cross-variable funnel (r15), relaxed cross-variable funnel (r16)
+    * cross-variable funnel (r15), relaxed cross-variable funnel (r16),
+    * grouped cross-variable chain (r17)
     * — every committed single-machine gate spec verbatim. ONE shared replay
     * serves them all ([[cepMultiReplayed]]): the r13 verdict's
     * tier-budget consolidation lever — N gates over identical row
@@ -3834,7 +3852,18 @@ object StreamingOps {
         Step("purchase", cross = List(
           graft.operators.Cep.CrossRef(1, first = true, PrevGt)))),
         600000000L,
-        contiguous = false)) // 10 stream_cep_cross_followed
+        contiguous = false), // 10 stream_cep_cross_followed
+      // r17, APPENDED: cross-variable DEFINE on a GROUPED pattern —
+      // the group gate's chain with the purchase required to beat
+      // FIRST(leaf 0) = the match's opening row; the split-program
+      // walk records cross-targeted leaf takes eagerly on the
+      // streaming state path (memo disabled — the documented
+      // cross-pattern acceptance)
+      CepSpec(
+        graft.operators.Cep.gLeaves(CepCrossGroupGatePattern).toIndexedSeq,
+        600000000L,
+        grouped = Some(CepCrossGroupGatePattern))
+    ) // 11 stream_cep_cross_group
   }
 
   /** The one shared CEP-gate replay per (process, dir): the day-folded
@@ -3859,8 +3888,8 @@ object StreamingOps {
       val flush = (-1L,
         fixture.map(_._2).max + CepGateSpecs.map(_.windowUs).max +
           600000000L, -1L, "flush", 0L)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-cep-multi-replay").toString
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-cep-multi-replay").toString)
       replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
         cepStreamMultiMeasured(ds, CepGateSpecs).toDF()
           .select(col("_1").as("pat"), col("_2.*")))
@@ -3946,6 +3975,30 @@ object StreamingOps {
       "stream_cep_cross_followed: spec 10 no longer matches the " +
         "relaxed cross-variable funnel — re-align CepGateSpecs")
     cepGateOf(s, dir, 10)
+  }
+
+  /** stream_cep_cross_group gate — the STREAMING twin of
+    * `cep_cross_group` (r17): cross-variable FIRST(A.value) navigation
+    * on a GROUP-QUANTIFIER pattern, live over the day-folded valued
+    * replay (10-minute window), sliced off the shared multi-pattern
+    * lifecycle (spec 11 — appended, honoring the checkpoint
+    * contract). The split-program walk records the cross-targeted
+    * leaf's takes eagerly (restored on backtrack) so the purchase
+    * leaf's predicate reads the current path's accumulated chain pool
+    * across micro-batch seams — the pools live in the machine
+    * SNAPSHOT the processor already checkpoints, so recovery needs no
+    * state-format change (Round17Spec's kill+restart golden pins it).
+    * Batch ≡ stream on the folded corpus: the pattern ends on a
+    * required One leaf, so the group's extension pending always
+    * resolves at the closing row.
+    */
+  def streamCepCrossGroupGate(s: SparkSession, dir: String): DataFrame = {
+    val sp = CepGateSpecs(11)
+    require(sp.grouped.contains(CepCrossGroupGatePattern) &&
+      sp.windowUs == 600000000L,
+      "stream_cep_cross_group: spec 11 no longer matches the grouped " +
+        "cross-variable chain — re-align CepGateSpecs")
+    cepGateOf(s, dir, 11)
   }
 
   /** Streaming MATCH_RECOGNIZE SQL surface — the clause parsed by

@@ -46,6 +46,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_dsir_select",    // 1-row model totals (tp, tq) vs dim-row counts
     "text_sim_pairs",      // 1-row corpus doc count (idf denominator)
     "text_substring_dedup_hashed", // checked form: 1-row hash_eq summary
+    // r17 completing the hashed family: same checked shape — the
+    // broadcast side is the 1-row both-directions diff COUNT
+    "text_substring_apply_hashed",   // 1-row hash_eq summary
+    "text_substring_rewrite_hashed", // 1-row hash_eq summary
+    "text_substring_novelty_hashed", // 1-row hash_eq summary
     "text_tfidf",          // 1-row corpus doc count
     "text_vocab_coverage", // 1-row bounds/totals + 3-row cutoff table
     "text_unigram_logprob", // 1-row corpus token count

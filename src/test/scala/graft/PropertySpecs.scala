@@ -1528,4 +1528,176 @@ object CepMachineProps extends Properties("CepMachine") {
         }
       }
     }
+
+  // ---- r17: cross-variable DEFINE on grouped patterns ----
+
+  /** Pool-tracking tree brute for GROUPED patterns WITH cross-variable
+    * references: continuation-passing parse threading an immutable
+    * per-leaf consumed-position pool — a leaf's take extends its pool
+    * before the continuation runs, so a later leaf's cross predicate
+    * reads the current path's accumulated positions (iterations
+    * included), exactly the machine's eager-record semantics but
+    * structurally independent of the split-program walk (no program,
+    * no memo, no mutable take arrays). Window at accept, leftmost
+    * start, SKIP PAST LAST / TO NEXT ROW.
+    */
+  private def bruteGroupedCross(
+      rows: IndexedSeq[(Long, Long, String, Long)],
+      g: Cep.GPat, win: Long, after: Cep.AfterMatch): List[(Long, Long)] = {
+    val n = rows.length
+    sealed trait IG
+    final case class ILf(st: Cep.Step, leaf: Int) extends IG
+    final case class ICat(items: List[IG]) extends IG
+    final case class IRep(b: IG, lo: Int, hi: Int, rel: Boolean) extends IG
+    final case class IAlt(arms: List[IG]) extends IG
+    // leaf indices in gLeaves preorder (arms flatten sequentially)
+    def idx(p: Cep.GPat, base: Int): (IG, Int) = p match {
+      case Cep.GLf(st) => (ILf(st, base), base + 1)
+      case Cep.GCat(items) =>
+        val (out, nb) = items.foldLeft((List.empty[IG], base)) {
+          case ((acc, b), it) =>
+            val (ig, nb2) = idx(it, b); (acc :+ ig, nb2)
+        }
+        (ICat(out), nb)
+      case Cep.GRep(b, lo, hi, rel) =>
+        val (ib, nb) = idx(b, base); (IRep(ib, lo, hi, rel), nb)
+      case Cep.GAlt(arms) =>
+        val (out, nb) = arms.foldLeft((List.empty[IG], base)) {
+          case ((acc, b), a) =>
+            val (ia, nb2) = idx(a, b); (acc :+ ia, nb2)
+        }
+        (IAlt(out), nb)
+    }
+    val (ig, _) = idx(g, 0)
+    type Pools = Map[Int, List[Int]]
+    def parse(i: Int): Option[Int] = {
+      def rowOk(st: Cep.Step, q: Int, pools: Pools): Boolean =
+        st.matchesRow(rows(q)._3, rows(q)._4,
+          if (q - st.cmpOff >= i) Some(rows(q - st.cmpOff)._4) else None) &&
+          st.cross.forall { cr =>
+            val tk = pools.getOrElse(cr.step, Nil)
+            tk.nonEmpty && Cep.cmpHolds(cr.cmp, rows(q)._4,
+              rows(if (cr.first) tk.head else tk.last)._4)
+          }
+      def mat(node: IG, p: Int, pools: Pools,
+          k: (Int, Pools) => Boolean): Boolean = node match {
+        case ILf(st, leaf) =>
+          val (lo, hi) = st.bounds
+          var c = 0
+          var runSum = 0L
+          var capped = false
+          while (p + c < n && c < hi && !capped &&
+              rowOk(st, p + c, pools)) {
+            st.sumCap match {
+              case Some(cap) =>
+                if (runSum + rows(p + c)._4 > cap) capped = true
+                else { runSum += rows(p + c)._4; c += 1 }
+              case None => c += 1
+            }
+          }
+          val takes =
+            if (st.reluctant) (lo to c).iterator
+            else (lo to c).reverseIterator
+          takes.exists { t =>
+            k(p + t, pools.updated(leaf,
+              pools.getOrElse(leaf, Nil) ::: (p until p + t).toList))
+          }
+        case ICat(items) =>
+          def seq(xs: List[IG], p2: Int, pl: Pools): Boolean = xs match {
+            case Nil    => k(p2, pl)
+            case h :: t => mat(h, p2, pl, (pp, pl2) => seq(t, pp, pl2))
+          }
+          seq(items, p, pools)
+        case IRep(b, lo, hi, rel) =>
+          def rep(p2: Int, pl: Pools, done: Int): Boolean =
+            if (rel)
+              (done >= lo && k(p2, pl)) ||
+                (done < hi && mat(b, p2, pl,
+                  (pp, pl2) => rep(pp, pl2, done + 1)))
+            else
+              (done < hi && mat(b, p2, pl,
+                (pp, pl2) => rep(pp, pl2, done + 1))) ||
+                (done >= lo && k(p2, pl))
+          rep(p, pools, 0)
+        case IAlt(arms) => arms.exists(a => mat(a, p, pools, k))
+      }
+      var best = -1
+      val ok = mat(ig, i, Map.empty, (pEnd, _) =>
+        if (pEnd > i && rows(pEnd - 1)._1 - rows(i)._1 <= win) {
+          best = pEnd; true
+        } else false)
+      if (ok) Some(best) else None
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < n) {
+      parse(i) match {
+        case Some(pEnd) =>
+          out += ((rows(i)._2, rows(pEnd - 1)._2))
+          i = after match {
+            case Cep.SkipPastLast => pEnd
+            case _                => i + 1
+          }
+        case None => i += 1
+      }
+    }
+    out.toList
+  }
+
+  /** Plant one cross reference into a generated grouped pattern: a
+    * random non-first leaf references a random strictly-earlier leaf
+    * with a random FIRST/LAST navigation and comparison. validG
+    * guards invalid results (pass-vacuously, like the other grouped
+    * generators).
+    */
+  private def addCross(g: Cep.GPat, owner: Int,
+      cr: Cep.CrossRef): Cep.GPat = {
+    var i = -1
+    def walk(p: Cep.GPat): Cep.GPat = p match {
+      case Cep.GLf(st) =>
+        i += 1
+        if (i == owner) Cep.GLf(st.copy(cross = List(cr))) else Cep.GLf(st)
+      case Cep.GCat(xs)           => Cep.GCat(xs.map(walk))
+      case Cep.GRep(b, lo, hi, r) => Cep.GRep(walk(b), lo, hi, r)
+      case Cep.GAlt(arms)         => Cep.GAlt(arms.map(walk))
+    }
+    walk(g)
+  }
+
+  private val genCrossGroupPat: Gen[Cep.GPat] = genGroupPat.flatMap { g =>
+    val nl = Cep.gLeaves(g).length
+    if (nl < 2) Gen.const(g)
+    else for {
+      owner <- Gen.chooseNum(1, nl - 1)
+      tgt <- Gen.chooseNum(0, owner - 1)
+      isF <- Gen.prob(0.5)
+      cmpK <- Gen.oneOf[Cep.PrevCmp](Cep.PrevLt, Cep.PrevGt, Cep.PrevLe,
+        Cep.PrevGe)
+    } yield addCross(g, owner, Cep.CrossRef(tgt, isF, cmpK))
+  }
+
+  property("grouped cross-variable DEFINE: feed+flush == pool-tracking " +
+      "tree brute") =
+    forAll(genCrossGroupPat, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (g, rows, win) =>
+      forAll(genAfter2) { after =>
+        !validG(g) || {
+          val m = new Cep.Machine(Cep.gLeaves(g).toIndexedSeq, win, after,
+            contiguous = true, grouped = Some(g))
+          feedWithFlush(m, rows) == bruteGroupedCross(rows, g, win, after)
+        }
+      }
+    }
+
+  property("grouped cross-free patterns agree between the memoized and " +
+      "the pool-tracking brutes (cross support is a conservative " +
+      "extension)") =
+    forAll(genGroupPat, genValuedRows, Gen.chooseNum(5L, 2000L)) {
+      (g, rows, win) =>
+      forAll(genAfter2) { after =>
+        !validG(g) ||
+          bruteGroupedCross(rows, g, win, after) ==
+            bruteGrouped(rows, g, win, after)
+      }
+    }
 }

@@ -102,11 +102,13 @@ class Round13bSpec extends SparkSpecBase {
     // unsupported aggregate
     assert(bad(base.format("MEDIAN(B.value) AS m"))
       .contains("unsupported MEASURES aggregate"))
-    // wrong field per function
-    assert(bad(base.format("SUM(B.event_id) AS s"))
-      .contains("exact cents"))
-    assert(bad(base.format("FIRST(B.value) AS f"))
-      .contains("event_id"))
+    // field-less aggregate forms (r17 field breadth legalized
+    // SUM(B.event_id) / FIRST(B.value) — Round17Spec owns the
+    // positive pins; the *-forms remain parse rejections)
+    assert(bad(base.format("SUM(B.*) AS s"))
+      .contains("needs a field"))
+    assert(bad(base.format("FIRST(B.*) AS f"))
+      .contains("needs a field"))
     assert(bad(base.format("COUNT(B.value) AS c"))
       .contains("COUNT(B.*)"))
     // a measure over a variable PATTERN never uses

@@ -137,8 +137,12 @@ class Round15Spec extends SparkSpecBase {
         |        C AS C.event_type = 'click' AND C.value > FIRST(V.value)
         |)""".stripMargin,
       "not yet matched")
-    // grouped pattern
-    bad(
+    // grouped pattern: REJECTED when this spec was written; r17
+    // implemented grouped cross-variable DEFINE (eagerly-recorded
+    // per-leaf pools), so the same clause now PARSES into a grouped
+    // machine whose P leaf carries the resolved cross ref — Round17Spec
+    // owns the semantics pins, this asserts the old rejection is gone
+    val gp = MR.parse(
       """MATCH_RECOGNIZE (
         | PARTITION BY user_id ORDER BY ts, event_id
         | ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
@@ -147,8 +151,10 @@ class Round15Spec extends SparkSpecBase {
         |        V AS V.event_type = 'view',
         |        W AS W.event_type = 'error',
         |        P AS P.event_type = 'purchase' AND P.value > FIRST(C.value)
-        |)""".stripMargin,
-      "FLAT pattern")
+        |)""".stripMargin)
+    assert(gp.grouped.nonEmpty)
+    assert(gp.pattern(3).cross ==
+      List(Cep.CrossRef(0, first = true, Cep.PrevGt)), s"${gp.pattern}")
     // machine-level twins: relaxed contiguity and the timeout scope.
     // r16: cross refs are ACCEPTED in relaxed mode (Round16Spec's
     // goldens); the relaxed rejection class that remains is the
@@ -285,7 +291,9 @@ class Round15Spec extends SparkSpecBase {
     badM("FIRST(C.event_id) + COUNT(V.*) AS x", "navigations stand alone")
     badM("MATCH_NUMBER() + COUNT(V.*) AS x", "stand alone")
     badM("RUNNING MATCH_NUMBER() AS x", "drop the marker")
-    badM("AVG(V.*) AS x", "AVG ranges over V.value")
+    // (message updated r17: AVG now ranges over any input column,
+    // but never the field-less * form)
+    badM("AVG(V.*) AS x", "AVG needs a field")
   }
 
   test("rows-path AVG and arithmetic equal hand-computed windows") {
