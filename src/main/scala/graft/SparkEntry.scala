@@ -631,6 +631,14 @@ object SparkEntry {
     // over a second column through the ALL-ROWS + field-join pivot
     "sql_mr_fields" ->
       ((s, dir) => graft.operators.MatchRecognize.sqlMrFields(s, dir)),
+    // the STREAMING twin (r17, past the brief): the product-alphabet
+    // projection mangles the replay's event types map-side and the
+    // UNTOUCHED streaming processor evaluates the field predicates as
+    // symbol membership; MEASURES enrich the drained spans with one
+    // batch join (contiguity makes the span the exact consumed set)
+    "stream_sql_mr_fields" ->
+      ((s, dir) =>
+        graft.streaming.StreamingOps.streamSqlMrFieldsGate(s, dir)),
     // the 8-byte-key production plan, gated on ≡ the string-keyed form
     "text_span_dedup_hashed" -> TextAnalysis.spanDedupHashedChecked _,
     // the substring family's 8-byte-key production twin: candidate join
@@ -4389,6 +4397,51 @@ object SparkEntry {
         "AND p.t2 = 'purchase' " +
         "WHERE c.t2 = 'click' " +
         "AND p.first_ts - c.last_ts <= 604800000000 " +
+        "AND p.first_k > p.first_value " +
+        "ORDER BY c.user_id, start_ts_us, start_event_id"),
+    // the streaming twin: the same re-typed funnel islands on the
+    // FOLDED corpus (user % 16, day-folded instants) with the stream
+    // tier's 10-minute window
+    "stream_sql_mr_fields" ->
+      ("WITH f AS (SELECT CAST(event_id AS BIGINT) AS event_id, " +
+        "CAST(user_id % 16 AS BIGINT) AS user_id, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 " +
+        "+ 1704067200000000 AS tu, event_type, value, " +
+        "CAST(round(value * 100) AS BIGINT) AS vc, " +
+        "CAST(json_extract(props,'$.k') AS BIGINT) AS k FROM events), " +
+        "r AS (SELECT user_id, event_id, tu AS ts_us, vc, value, k, " +
+        "CASE WHEN event_type = 'view' AND k < 20 THEN 'viewbad' " +
+        "ELSE event_type END AS t2, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY tu, event_id) AS rn FROM f), " +
+        "i AS (SELECT *, rn - row_number() OVER " +
+        "(PARTITION BY user_id, t2 ORDER BY rn) AS isl FROM r), " +
+        "g AS (SELECT user_id, t2, isl, MIN(rn) AS srn, MAX(rn) AS ern, " +
+        "COUNT(*) AS n, SUM(k) AS sk, MAX(k) AS mk, " +
+        "SUM(vc) AS svc FROM i GROUP BY 1, 2, 3), " +
+        "gi AS (SELECT g.*, fi.event_id AS first_id, " +
+        "fi.ts_us AS first_ts, fi.k AS first_k, " +
+        "fi.value AS first_value, " +
+        "l.event_id AS last_id, l.ts_us AS last_ts, l.k AS last_k " +
+        "FROM g " +
+        "JOIN i fi ON fi.user_id = g.user_id AND fi.rn = g.srn " +
+        "JOIN i l ON l.user_id = g.user_id AND l.rn = g.ern) " +
+        "SELECT c.user_id, c.last_id AS start_event_id, " +
+        "c.last_ts AS start_ts_us, p.first_id AS end_event_id, " +
+        "p.first_ts AS end_ts_us, CAST(2 + v.n AS BIGINT) AS n_rows, " +
+        "c.last_id AS click_id, CAST(v.n AS BIGINT) AS views_cnt, " +
+        "CAST(v.sk AS BIGINT) AS views_k_sum, " +
+        "CAST(v.mk AS BIGINT) AS views_k_max, " +
+        "CAST(v.sk AS DOUBLE) / v.n AS views_k_avg, " +
+        "CAST(v.last_k AS BIGINT) AS views_k_last, " +
+        "CAST(v.svc AS BIGINT) AS views_sum_c " +
+        "FROM gi c " +
+        "JOIN gi v ON v.user_id = c.user_id AND v.srn = c.ern + 1 " +
+        "AND v.t2 = 'view' " +
+        "JOIN gi p ON p.user_id = c.user_id AND p.srn = v.ern + 1 " +
+        "AND p.t2 = 'purchase' " +
+        "WHERE c.t2 = 'click' " +
+        "AND p.first_ts - c.last_ts <= 600000000 " +
         "AND p.first_k > p.first_value " +
         "ORDER BY c.user_id, start_ts_us, start_event_id"),
     // PERMUTE: window-valid contiguous distinct-type triples under

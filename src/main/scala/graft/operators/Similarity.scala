@@ -641,6 +641,27 @@ object Similarity {
     s.read.parquet(path)
   }
 
+  /** The one-level sub-assignment table off the shared coarse
+    * assignment (r17, the rec fixture's sibling) —
+    * [[KMeans.subAssignmentsOf]] at the hier gate's parameters,
+    * computed once per (JVM, dir, params); deterministic for the same
+    * reason as [[semRefShared]]. The hier gate keeps its live
+    * refined-cell kernel run.
+    */
+  private def semSubShared(s: SparkSession, dir: String, k: Int,
+      iters: Int, targetCell: Int, subIters: Int): DataFrame = {
+    val path = memoPath("sem_sub",
+        s"$dir|$k|$iters|$targetCell|$subIters") {
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-sem-sub").toString)
+      KMeans.subAssignmentsOf(t(s, dir, "embeddings"),
+        semAsgShared(s, dir, k, iters), targetCell, subIters)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path)
+  }
+
   /** The recursive-refinement assignment table off the shared coarse
     * assignment (r17) — [[KMeans.refineToTarget]] at the rec gate's
     * parameters, computed once per (JVM, dir, params). The refinement
@@ -855,8 +876,9 @@ object Similarity {
     val emb = t(s, dir, "embeddings")
     val asg = semAsgShared(s, dir, k, iters)
     val flat = semFlatShared(s, dir, k, iters, thr)
-    val sub = KMeans.subAssignmentsOf(emb, asg, targetCell, iters = 1)
-      .localCheckpoint(true)
+    // r17: the sub-assignment slices off the shared fixture (the rec
+    // fixture's pattern); the refined-cell pair-join kernel stays live
+    val sub = semSubShared(s, dir, k, iters, targetCell, subIters = 1)
     val refined = sub.select(col("vec_id"),
       (col("cid").cast("long") * 4294967296L + col("sub")).as("cid"))
     val hier = semDedupDropped(emb, refined, thr, None)

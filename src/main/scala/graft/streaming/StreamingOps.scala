@@ -4001,6 +4001,120 @@ object StreamingOps {
     cepGateOf(s, dir, 11)
   }
 
+  /** The folded events frame WITH the second numeric column the
+    * field-breadth surfaces reference (`k` off the props JSON) — the
+    * day-fold formula of [[gateEventsDayFolded]], kept as a DataFrame
+    * because the fields gate needs columns the GateEv fixture shape
+    * does not carry.
+    */
+  private def foldedWithK(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.t(s, dir, "events")
+      .select(
+        pmod(col("user_id"), lit(16)).cast("long").as("user_id"),
+        (pmod(unix_micros(col("ts")), lit(86400000000L)) +
+          lit(1704067200000000L)).as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        col("value").cast("double").as("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** stream_sql_mr_fields gate (r17, past the brief) — the STREAMING
+    * twin of `sql_mr_fields`: DEFINE field predicates over arbitrary
+    * numeric columns run LIVE on the stream. The whole point of the
+    * product-alphabet design lands here: the same [[graft.operators
+    * .MatchRecognize.fieldEvents]] projection the batch runner uses
+    * mangles the fixture's event types MAP-SIDE (`view` → `view|10`),
+    * and the UNTOUCHED streaming processor — same machine, same state
+    * shape, same checkpoint format — evaluates the predicates as
+    * plain symbol membership across micro-batch seams. The replay is
+    * DEDICATED (the product alphabet re-types rows, so this machine
+    * cannot slice the plain-typed shared replay); 10-minute window on
+    * the day-folded corpus, flush past every horizon. MEASURES over
+    * the second column enrich the drained spans with ONE batch join
+    * back to the folded source: contiguous consumption makes the
+    * (user, lexicographic (ts_us, event_id) ∈ [start, end]) row set
+    * EXACTLY the consumed rows — endpoints are C and P, interior rows
+    * are V — so the per-match aggregates (COUNT/SUM/MAX/AVG and the
+    * struct-max LAST navigation) compute in one hash aggregation, the
+    * batch rows-pivot's own shape. A production pipeline would do
+    * precisely this: match on the stream, enrich the spans
+    * relationally.
+    */
+  def streamSqlMrFieldsGate(s: SparkSession, dir: String): DataFrame =
+    streamSqlMrFieldsAt(s, dir, minutes = 10)
+
+  /** The gate's machinery with the window as a parameter — the parity
+    * spec drives it at a wider window so the funnel BINDS at spec
+    * scale (sf0.001's folded corpus has no 10-minute fields funnel;
+    * the gate's own 10-minute window binds at sf0.01: 39 matches, 6
+    * window-killed).
+    */
+  private[graft] def streamSqlMrFieldsAt(s: SparkSession, dir: String,
+      minutes: Int): DataFrame = {
+    val sql = graft.operators.MatchRecognize.FieldsSql
+      .replace("INTERVAL '7' DAY", s"INTERVAL '$minutes' MINUTE")
+    val parsed = graft.operators.MatchRecognize.parse(sql)
+    require(parsed.windowUs == minutes * 60000000L &&
+      parsed.rowPreds.length == 2 && parsed.grouped.isEmpty &&
+      parsed.after == graft.operators.Cep.SkipPastLast,
+      s"stream_sql_mr_fields: gate clause drifted: $parsed")
+    val path = memoFixture("sql_mr_fields_replay_path", s"$dir|$minutes") {
+      import s.implicits._
+      val fixture = graft.operators.MatchRecognize
+        .fieldEvents(foldedWithK(s, dir), parsed)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .as[(Long, Long, Long, String, Long)].collect().toSeq
+      val flush = (-1L, fixture.map(_._2).max + parsed.windowUs +
+        600000000L, -1L, "flush", 0L)
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-mr-fields-replay").toString)
+      replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+        cepStreamValued(ds, parsed.pattern, parsed.windowUs,
+          parsed.after).toDF())
+        .filter(col("user_id") >= 0L)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    val m = s.read.parquet(path)
+    val r = foldedWithK(s, dir).select(col("user_id").as("r_uid"),
+      col("ts_us").as("r_ts"), col("event_id").as("r_id"),
+      col("k"), round(col("value") * 100).cast("long").as("r_vc"))
+    // lexicographic (ts_us, event_id) membership in the match span —
+    // ties on the folded instant resolve by event_id, the stream's own
+    // order; strictly-interior rows are the V steps
+    val inSpan = r("r_uid") === m("user_id") &&
+      (r("r_ts") > m("start_ts_us") || (r("r_ts") === m("start_ts_us") &&
+        r("r_id") >= m("start_event_id"))) &&
+      (r("r_ts") < m("end_ts_us") || (r("r_ts") === m("end_ts_us") &&
+        r("r_id") <= m("end_event_id")))
+    val interior = r.join(m, inSpan)
+      .filter(!(col("r_ts") === col("start_ts_us") &&
+          col("r_id") === col("start_event_id")) &&
+        !(col("r_ts") === col("end_ts_us") &&
+          col("r_id") === col("end_event_id")))
+    interior
+      .groupBy(col("user_id"), col("start_event_id"),
+        col("start_ts_us"), col("end_event_id"), col("end_ts_us"),
+        col("n_rows"))
+      .agg(
+        count(lit(1L)).as("views_cnt"),
+        sum(col("k")).as("views_k_sum"),
+        max(col("k")).as("views_k_max"),
+        (sum(col("k")).cast("double") / count(lit(1L))).as("views_k_avg"),
+        max(struct(col("r_ts"), col("r_id"), col("k")))
+          .getField("k").as("views_k_last"),
+        sum(col("r_vc")).as("views_sum_c"))
+      .select(col("user_id"), col("start_event_id"), col("start_ts_us"),
+        col("end_event_id"), col("end_ts_us"), col("n_rows"),
+        col("start_event_id").as("click_id"), col("views_cnt"),
+        col("views_k_sum"), col("views_k_max"), col("views_k_avg"),
+        col("views_k_last"), col("views_sum_c"))
+      .orderBy(col("user_id"), col("start_ts_us"), col("start_event_id"))
+  }
+
   /** Streaming MATCH_RECOGNIZE SQL surface — the clause parsed by
     * [[graft.operators.MatchRecognize.parse]] and run on an UNBOUNDED
     * (user_id, ts_us, event_id, event_type, value_c) stream through

@@ -224,15 +224,11 @@ class Round17Spec extends SparkSpecBase {
       .select("user_id", "n", "sk", "mk", "ak", "lk")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getDouble(4), r.getLong(5))).toList
-    // u1's view(k=10) is re-typed OUT of V by the product alphabet —
-    // wait, no: it fails the predicate so it is NOT a V row, and the
-    // funnel C V P needs the purchase ADJACENT to the last V. Rows:
-    // click view(30) view(10) purchase — view(10) sits between V and
-    // P, and its product symbol differs from V's, so the contiguous
-    // funnel C V+ P does NOT match u1... unless V+ can absorb it — it
-    // cannot (predicate fails). u1 therefore has NO match; u2's
-    // purchase fails its own predicate. Exactly ZERO matches would
-    // make the gate vacuous — so u3 provides the clean funnel.
+    // u1: view(k=10) fails V's predicate, so its product symbol is
+    // outside V's set and it sits between the last V and the purchase
+    // — the CONTIGUOUS funnel breaks (no match). u2: the purchase
+    // fails its own field-vs-field predicate (1 > 5.0 is false) — no
+    // match. u3 is the clean funnel both predicates admit.
     val df3 = kFrame(Seq(
       (3L, 0L, 8L, "click", 1.0, 0L),
       (3L, 1 * M, 9L, "view", 0.5, 30L),
@@ -345,6 +341,37 @@ class Round17Spec extends SparkSpecBase {
       .sortBy(_._1).toList
     assert(got == List((1L, "click", "C"), (2L, "view", "V"),
       (3L, "view", "V")), s"$got")
+  }
+
+  test("stream_sql_mr_fields ≡ the batch field-breadth runner on the " +
+      "folded corpus (product alphabet live on the stream)") {
+    val cols = Seq("user_id", "start_event_id", "start_ts_us",
+      "end_event_id", "end_ts_us", "n_rows", "click_id", "views_cnt",
+      "views_k_sum", "views_k_max", "views_k_avg", "views_k_last",
+      "views_sum_c")
+    // the gate's 10-minute window binds at sf0.01 but not on this
+    // sf0.001 fold — the spec drives the same machinery at 60 minutes,
+    // where 4 funnels (window-killed at wider spans) exist
+    val got = graft.streaming.StreamingOps
+      .streamSqlMrFieldsAt(spark, sfDir, minutes = 60)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val folded = Tables.t(spark, sfDir, "events")
+      .select(
+        pmod(col("user_id"), lit(16)).cast("long").as("user_id"),
+        (pmod(unix_micros(col("ts")), lit(86400000000L)) +
+          lit(1704067200000000L)).as("ts_us"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        col("value").cast("double").as("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val want = MR.matchRecognizeMeasuresOf(folded,
+      MR.FieldsSql.replace("INTERVAL '7' DAY", "INTERVAL '60' MINUTE"))
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}; " +
+        s"only-stream ${(got -- want).take(3)}; " +
+        s"only-batch ${(want -- got).take(3)}")
   }
 
   // ---- substring hashedKeys: the completed family ----
