@@ -71,11 +71,17 @@ private[graft] object FixtureMemo {
           val root = java.nio.file.Paths.get(p)
           if (java.nio.file.Files.exists(root)) {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount)
-              .foreach(f =>
-                try java.nio.file.Files.deleteIfExists(f)
-                catch { case _: java.io.IOException => () })
+            // the walk stream holds a directory handle — close it
+            // before deleting (r17 self-review: an unclosed stream per
+            // registered dir could exhaust fd headroom at exit and the
+            // blanket catch would silently leave the dirs behind)
+            val walk = java.nio.file.Files.walk(root)
+            val files =
+              try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+              finally walk.close()
+            files.foreach(f =>
+              try java.nio.file.Files.deleteIfExists(f)
+              catch { case _: java.io.IOException => () })
           }
         } catch { case _: Throwable => () }
       }))

@@ -1071,6 +1071,54 @@ object MatchRecognize {
   private def extLeaves(measures: Seq[Measure]): Seq[MAgg] =
     measures.flatMap(m => mLeaves(m.expr)).filter(_.field.nonEmpty)
 
+  /** Schema-driven extended-field resolution SHARED by the one-row
+    * pivot and the all-rows runner (r17 self-review: the block was
+    * duplicated and its error tails had already drifted): validates
+    * every non-canonical measure field against the input — unknown
+    * and non-numeric fields rejected naming the available columns,
+    * SUM/AVG over floating fields rejected (floating sums are
+    * shuffle-order-dependent; the cents channel or a quantized field
+    * is the reproducible path) — and returns the referenced columns
+    * that must JOIN in from the source. event_id/user_id resolve off
+    * the match rows themselves (a join leg would collide by name).
+    */
+  private def resolveExtFields(events: DataFrame,
+      measures: Seq[Measure]): Seq[String] = {
+    val ext = extLeaves(measures)
+    val byName = events.schema.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    ext.foreach { a =>
+      require(byName.contains(a.field),
+        s"match_recognize: MEASURES references field '${a.field}' " +
+          "which the input does not carry (available: " +
+          s"${events.columns.sorted.mkString(", ")})")
+      val dt = byName(a.field).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"match_recognize: MEASURES field '${a.field}' is " +
+          s"${dt.simpleString} — aggregates range over numeric columns")
+      if (a.func == "SUM" || a.func == "AVG")
+        require(!dt.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
+            !dt.isInstanceOf[org.apache.spark.sql.types.FloatType],
+          s"match_recognize: ${a.func} over the ${dt.simpleString} " +
+            s"field '${a.field}' — floating sums are " +
+            "shuffle-order-dependent; the canonical `value` channel " +
+            "aggregates in exact cents (quantize the field, or " +
+            "aggregate value)")
+    }
+    ext.map(_.field).distinct.filterNot(Set("event_id", "user_id"))
+  }
+
+  /** The column a measure leaf aggregates on the joined ALL-ROWS
+    * frame: the canonical channel per function for `field = ""`, the
+    * named input column otherwise. Shared by both rows-path runners.
+    */
+  private def extFieldCol(a: MAgg): Column = a.field match {
+    case "" =>
+      if (a.func == "FIRST" || a.func == "LAST") col("event_id")
+      else col("value_c")
+    case f => col(f)
+  }
+
   def matchRecognizeMeasuresOf(events: DataFrame, sql: String): DataFrame = {
     val parsed = parse(sql)
     require(parsed.partitionCol == "user_id" &&
@@ -1238,33 +1286,7 @@ object MatchRecognize {
     }
     measures.filterNot(isMn)
       .foreach(m => mLeaves(m.expr).foreach(a => namesOf(a.varName)))
-    // schema-driven extended-field resolution
-    val ext = extLeaves(measures)
-    val byName = events.schema.fields
-      .map(f => f.name.toLowerCase -> f).toMap
-    ext.foreach { a =>
-      require(byName.contains(a.field),
-        s"match_recognize: MEASURES references field '${a.field}' " +
-          "which the input does not carry (available: " +
-          s"${events.columns.sorted.mkString(", ")})")
-      val dt = byName(a.field).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"match_recognize: MEASURES field '${a.field}' is " +
-          s"${dt.simpleString} — aggregates range over numeric columns")
-      if (a.func == "SUM" || a.func == "AVG")
-        require(!dt.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
-            !dt.isInstanceOf[org.apache.spark.sql.types.FloatType],
-          s"match_recognize: ${a.func} over the ${dt.simpleString} " +
-            s"field '${a.field}' — floating sums are " +
-            "shuffle-order-dependent; the canonical `value` channel " +
-            "aggregates in exact cents (quantize the field, or " +
-            "aggregate value)")
-    }
-    // columns the ALL-ROWS output already carries need no join leg
-    // (and would collide by name): event_id/user_id resolve off the
-    // rows themselves
-    val extCols = ext.map(_.field).distinct
-      .filterNot(Set("event_id", "user_id"))
+    val extCols = resolveExtFields(events, measures)
     val rows = Cep.cepRowsOf(fieldEvents(events, parsed), parsed.pattern,
       parsed.windowUs, parsed.after).toDF()
       .withColumn("classifier",
@@ -1276,27 +1298,25 @@ object MatchRecognize {
           col("event_id").cast("long").as("event_id") +:
           extCols.map(col): _*),
         Seq("user_id", "event_id"))
-    def fieldCol(a: MAgg): Column = a.field match {
-      case "" => // the canonical channel per function
-        if (a.func == "FIRST" || a.func == "LAST") col("event_id")
-        else col("value_c")
-      case f => col(f)
-    }
     def aggCol(a: MAgg): Column = {
       val in = col("classifier").isin(namesOf(a.varName): _*)
       a.func match {
-        case "COUNT" => sum(when(in, lit(1L)))
-        case "SUM"   => sum(when(in, fieldCol(a)))
-        case "MIN"   => min(when(in, fieldCol(a)))
-        case "MAX"   => max(when(in, fieldCol(a)))
+        // count(), not sum-of-ones: a variable that consumed zero rows
+        // (an optional or zero-take leaf) must count 0, not NULL — the
+        // CepMeasured fast path emits cnt=0 step rows and SQL COUNT
+        // agrees (r17 self-review)
+        case "COUNT" => count(when(in, lit(1)))
+        case "SUM"   => sum(when(in, extFieldCol(a)))
+        case "MIN"   => min(when(in, extFieldCol(a)))
+        case "MAX"   => max(when(in, extFieldCol(a)))
         case "AVG"   =>
-          sum(when(in, fieldCol(a))) / sum(when(in, lit(1L)))
+          sum(when(in, extFieldCol(a))) / sum(when(in, lit(1L)))
         case "FIRST" =>
           min(when(in, struct(col("ts_us"), col("event_id"),
-            fieldCol(a).as("v")))).getField("v")
+            extFieldCol(a).as("v")))).getField("v")
         case "LAST"  =>
           max(when(in, struct(col("ts_us"), col("event_id"),
-            fieldCol(a).as("v")))).getField("v")
+            extFieldCol(a).as("v")))).getField("v")
       }
     }
     def evalM(e: MExpr): Column = e match {
@@ -1398,32 +1418,11 @@ object MatchRecognize {
       val mnW = Window.partitionBy(col("user_id"))
         .orderBy(col("start_ts_us"), col("start_event_id"))
       // extended-field leaves (r17): referenced columns join in from
-      // the source on (user_id, event_id) — same resolution and
-      // exactness rules as the one-row pivot (unknown / non-numeric
-      // rejected; floating SUM/AVG rejected); the joined columns are
-      // working columns only, excluded from the output's contract
-      val ext = extLeaves(measures)
-      val byName = events.schema.fields
-        .map(f => f.name.toLowerCase -> f).toMap
-      ext.foreach { a =>
-        require(byName.contains(a.field),
-          s"match_recognize: MEASURES references field '${a.field}' " +
-            "which the input does not carry (available: " +
-            s"${events.columns.sorted.mkString(", ")})")
-        val dt = byName(a.field).dataType
-        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-          s"match_recognize: MEASURES field '${a.field}' is " +
-            s"${dt.simpleString} — aggregates range over numeric columns")
-        if (a.func == "SUM" || a.func == "AVG")
-          require(!dt.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
-              !dt.isInstanceOf[org.apache.spark.sql.types.FloatType],
-            s"match_recognize: ${a.func} over the ${dt.simpleString} " +
-              s"field '${a.field}' — floating sums are " +
-              "shuffle-order-dependent; aggregate the cents-quantized " +
-              "value channel or quantize the field")
-      }
-      val extCols = ext.map(_.field).distinct
-        .filterNot(Set("event_id", "user_id"))
+      // the source on (user_id, event_id) — resolution and exactness
+      // rules shared with the one-row pivot ([[resolveExtFields]]);
+      // the joined columns are working columns only, excluded from
+      // the output's contract
+      val extCols = resolveExtFields(events, measures)
       val src0 =
         if (extCols.isEmpty) out
         else out.join(events.select(
@@ -1431,12 +1430,6 @@ object MatchRecognize {
             col("event_id").cast("long").as("event_id") +:
             extCols.map(col): _*),
           Seq("user_id", "event_id"))
-      def fieldColW(a: MAgg): Column = a.field match {
-        case "" =>
-          if (a.func == "FIRST" || a.func == "LAST") col("event_id")
-          else col("value_c")
-        case f => col(f)
-      }
       // one window-function Column per aggregate leaf (the expression's
       // RUNNING/FINAL marker picks the frame for every leaf); +/−
       // arithmetic composes leaves in the same projection
@@ -1445,15 +1438,15 @@ object MatchRecognize {
         val in = col("classifier").isin(namesOf(a.varName): _*)
         a.func match {
           case "COUNT" => count(when(in, lit(1))).over(w)
-          case "SUM"   => sum(when(in, fieldColW(a))).over(w)
-          case "MIN"   => min(when(in, fieldColW(a))).over(w)
-          case "MAX"   => max(when(in, fieldColW(a))).over(w)
-          case "AVG"   => sum(when(in, fieldColW(a))).over(w) /
+          case "SUM"   => sum(when(in, extFieldCol(a))).over(w)
+          case "MIN"   => min(when(in, extFieldCol(a))).over(w)
+          case "MAX"   => max(when(in, extFieldCol(a))).over(w)
+          case "AVG"   => sum(when(in, extFieldCol(a))).over(w) /
             count(when(in, lit(1))).over(w)
           case "FIRST" =>
-            first(when(in, fieldColW(a)), ignoreNulls = true).over(w)
+            first(when(in, extFieldCol(a)), ignoreNulls = true).over(w)
           case "LAST" =>
-            last(when(in, fieldColW(a)), ignoreNulls = true).over(w)
+            last(when(in, extFieldCol(a)), ignoreNulls = true).over(w)
         }
       }
       val mcols = measures.map { m =>

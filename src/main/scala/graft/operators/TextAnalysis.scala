@@ -1352,11 +1352,18 @@ object TextAnalysis {
     */
   private def hashEqChecked(byString: DataFrame, byHash: DataFrame,
       ord: Seq[String]): DataFrame = {
-    val diff = byString.exceptAll(byHash)
-      .unionAll(byHash.exceptAll(byString))
+    // both sides are referenced twice (each exceptAll leg; byString a
+    // third time in the output) and, unlike the detect twin's fixture
+    // reads, the apply/rewrite kernels here are real jobs — eagerly
+    // materialize once each (r17 self-review; the substringNoveltyOf
+    // localCheckpoint precedent, lineage truncated, blocks released
+    // with the reference)
+    val bs = byString.localCheckpoint(true)
+    val bh = byHash.localCheckpoint(true)
+    val diff = bs.exceptAll(bh).unionAll(bh.exceptAll(bs))
       .agg(count(lit(1)).as("d"))
-    byString.crossJoin(broadcast(diff))
-      .select(byString.columns.map(col).toSeq :+
+    bs.crossJoin(broadcast(diff))
+      .select(bs.columns.map(col).toSeq :+
         when(col("d") === 0, 1L).otherwise(0L).as("hash_eq"): _*)
       .orderBy(ord.map(col): _*)
   }

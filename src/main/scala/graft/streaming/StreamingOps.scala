@@ -2331,6 +2331,7 @@ object StreamingOps {
     // strict-parse the MEASURES clause now — a malformed measure must
     // fail at submission, not at the downstream pivot
     graft.operators.MatchRecognize.parseMeasures(parsed.rawMeasures)
+    requireNoRowPreds(parsed, "cepStreamSqlMeasures")
     cepStreamMeasures(events, parsed.pattern, parsed.windowUs,
       parsed.after)
   }
@@ -2358,6 +2359,7 @@ object StreamingOps {
       require(!p.allRows,
         s"match_recognize '$name': ALL ROWS PER MATCH is a batch " +
           "output mode — the streaming runner emits one row per match")
+      requireNoRowPreds(p, s"cepStreamSqlMulti '$name'")
       CepSpec(p.pattern.toIndexedSeq, p.windowUs, p.after,
         grouped = p.grouped)
     }
@@ -4142,9 +4144,30 @@ object StreamingOps {
       "match_recognize: ALL ROWS PER MATCH is a batch output mode " +
         "(matchRecognizeRowsOf) — the streaming runner emits one row " +
         "per match")
+    requireNoRowPreds(parsed, "cepStreamSql")
     cepStreamValued(events, parsed.pattern, parsed.windowUs,
       parsed.after, contiguous = true, lateCounter, parsed.grouped)
   }
+
+  /** The typed stream surfaces carry (user_id, ts_us, event_id,
+    * event_type, value_c) ONLY — a clause with r17 field predicates
+    * compiles to product-alphabet symbols (`view|1`) that a raw-typed
+    * stream can never match, so it must reject loudly here, not
+    * silently return an empty stream (the cepStreamGrouped zero-value
+    * convention). Callers wanting field predicates pre-mangle their
+    * stream's event types with the SAME projection the batch runner
+    * uses ([[graft.operators.MatchRecognize.fieldEvents]]) — the
+    * stream_sql_mr_fields gate is the worked example.
+    */
+  private def requireNoRowPreds(
+      parsed: graft.operators.MatchRecognize.Parsed, who: String): Unit =
+    require(parsed.rowPreds.isEmpty,
+      s"$who: the clause carries DEFINE field predicates " +
+        s"(${parsed.rowPreds.length}) but the typed stream has no " +
+        "field columns to evaluate them on — apply MatchRecognize" +
+        ".fieldEvents to the source frame and feed the mangled " +
+        "event types (see streamSqlMrFieldsGate), or drop the " +
+        "predicates")
 
   /** The V-pattern clause as the stream gate's SQL string — identical
     * to the batch `MatchRecognize.VshapeSql` except the WITHIN bound

@@ -343,6 +343,62 @@ class Round17Spec extends SparkSpecBase {
       (3L, "view", "V")), s"$got")
   }
 
+  test("rows-path COUNT over a zero-take optional is 0, matching the " +
+      "fast path (self-review)") {
+    // SUM(P.k) is non-canonical, so the WHOLE clause routes through
+    // the rows pivot; without it the same COUNT rides the CepMeasured
+    // fast path — the two answers must agree (0, not NULL)
+    val df = kFrame(Seq(
+      (1L, 0L, 1L, "click", 1.0, 0L),
+      (1L, 1 * M, 2L, "purchase", 2.0, 7L)))
+    def sql(measures: String): String =
+      s"""MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts, event_id
+         |  MEASURES $measures
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (C V? P)
+         |  WITHIN INTERVAL '1' HOUR
+         |  DEFINE C AS C.event_type = 'click',
+         |         V AS V.event_type = 'view',
+         |         P AS P.event_type = 'purchase'
+         |)""".stripMargin
+    val rowsPath = MR.matchRecognizeMeasuresOf(df,
+      sql("COUNT(V.*) AS n, SUM(P.k) AS pk")).select("n", "pk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val fastPath = MR.matchRecognizeMeasuresOf(df,
+      sql("COUNT(V.*) AS n")).select("n")
+      .collect().map(_.getLong(0)).toList
+    assert(rowsPath == List((0L, 7L)), s"$rowsPath")
+    assert(fastPath == List(0L), s"$fastPath")
+  }
+
+  test("typed streaming SQL surfaces REJECT clauses with field " +
+      "predicates — product symbols cannot match a raw-typed stream " +
+      "(self-review)") {
+    import spark.implicits._
+    val clause =
+      """MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (C V+)
+        |  WITHIN INTERVAL '1' HOUR
+        |  DEFINE C AS C.event_type = 'click',
+        |         V AS V.event_type = 'view' AND V.k >= 20
+        |)""".stripMargin
+    val empty = spark.emptyDataset[(Long, Long, Long, String, Long)]
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.StreamingOps.cepStreamSql(empty, clause))
+    assert(e.getMessage.contains("fieldEvents"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.streaming.StreamingOps.cepStreamSqlMulti(empty,
+        Seq("f" -> clause)))
+    assert(e2.getMessage.contains("fieldEvents"), e2.getMessage)
+  }
+
   test("stream_sql_mr_fields ≡ the batch field-breadth runner on the " +
       "folded corpus (product alphabet live on the stream)") {
     val cols = Seq("user_id", "start_event_id", "start_ts_us",
