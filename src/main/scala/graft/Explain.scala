@@ -8,11 +8,17 @@ import java.nio.file.{Files, Paths}
   * hygiene (run after every operator change; see PLANS.md for the
   * digest).
   *
-  * Usage: runMain graft.Explain <sfDir> <outDir>
+  * Usage: runMain graft.Explain <sfDir> <outDir> [name,name,...]
+  * The optional 3rd arg restricts the dump to a comma-separated key
+  * list (plan-iteration loop for a handful of queries without paying
+  * the full-suite walk — stream gates EXECUTE their replay at plan
+  * build time, so the unfiltered dump costs minutes).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +26,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
