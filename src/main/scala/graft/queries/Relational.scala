@@ -156,13 +156,24 @@ object Relational {
     * rsd's 1-sigma — robust to data or hash-seed changes, not just the
     * fixed gate corpus.
     */
-  def q12ApproxDistinctChecked(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+  def q12ApproxDistinctChecked(s: SparkSession, dir: String): DataFrame = {
+    // SPLIT aggregations (r17, the Profile.profileApproxChecked fix
+    // applied here): mixing countDistinct with the HLL in ONE agg
+    // makes the distinct rewrite group by l_partkey first, so ~|parts|
+    // HLL partial buffers (rsd 0.01 → 2^16 registers each) are built
+    // and merged — measured 4.1 s. Split, the HLL runs as a plain
+    // partial agg over the scan and the exact count keeps its natural
+    // two-stage distinct plan; the two 1-row results cross-join for
+    // free. The HLL estimate is partitioning-independent (register
+    // maxima), so the emitted values are unchanged.
+    val li = t(s, dir, "lineitem")
+    li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .crossJoin(broadcast(
+        li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("a"))))
       .select(col("exact_parts"),
         (abs(col("a") - col("exact_parts")) * 20 <= col("exact_parts"))
           .cast("long").as("within_5pct"))
+  }
 
   /** Q10b — exact percentiles (interpolated median/p90 per group); both
     * engines interpolate linearly on the sorted values, rounded to absorb

@@ -32,7 +32,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     "layout_range_partition", // 1-row bounds + 1-row boundary array
     "mix_pps_sample",      // P-row shard offset table
     "pipe_train_shards",   // 1-row doc_id bounds + P-row shard offsets
-    "profile_columns_approx", // 1-row exact × 1-row HLL summary join
+    // (profile_columns_approx left this list in r17: its exact/HLL
+    // sides now meet in an 11-row broadcast EQUI-join on col_name)
+    // r17 optimization: the q12 checked form split its exact/HLL
+    // aggregations (the old profile_columns_approx fix) — 1-row join
+    "q12_approx_distinct", // 1-row exact × 1-row HLL summary join
     "q09c_cross",          // intentional 5-row dim×dim cartesian
     "q26_ann_ivf",         // probe row vs centroid table
     "q26_ann_ivfpq",       // probe/top1 rows + ADC codebook state

@@ -156,11 +156,17 @@ class Round4bSpec extends SparkSpecBase {
     }
     assert(rows.filter(_.isNullAt(3)).map(_.getString(0)).toSet ==
       Set("l_returnflag", "l_linestatus"))
-    // the multi-distinct Expand must still read the parquet ONCE
-    val scans = "Scan parquet".r
-      .findAllIn(q.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head).length
-    assert(scans == 1, s"expected a single scan, found $scans")
+    // r17 shape pin: the union form plans one SINGLE-COLUMN pruned scan
+    // per column and NO Expand — the wide multi-distinct plan dragged
+    // every count/min/max partial through an (N+1)-way Expand keyed by
+    // all N columns (12x row volume through a 12-column-key aggregate)
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == df.schema.size,
+      s"expected one pruned scan per column, found $scans")
+    assert(!plan.contains("Expand"),
+      "the per-column union must not plan an Expand")
   }
 
   test("concurrency: sharded prefix-sum equals the naive global window, any shard count") {
