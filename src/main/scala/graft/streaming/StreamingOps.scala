@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
@@ -3920,10 +3920,11 @@ object StreamingOps {
     * own the finer-grained seam semantics.
     */
   private def replayThrough(s: SparkSession, fixture: IndexedSeq[GateEv],
-      flush: Option[GateEv])(build: DataFrame => DataFrame): DataFrame = {
+      flush: Option[GateEv], rocksdb: Boolean = true)(
+      build: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     replayTypedThrough[GateEv](s, fixture, flush.toSeq,
-      "append")(ds => build(ds.toDF()))
+      "append", rocksdb)(ds => build(ds.toDF()))
   }
 
   /** Two-input twin of [[replayThrough]] for the stream-stream joins:
@@ -3984,16 +3985,93 @@ object StreamingOps {
       "flush", 0.0))
   }
 
+  /** The PSI gate's driver-side baseline histogram (shared by the gate
+    * slice and the multi replay builder — definitionally the corpus's
+    * own global histogram).
+    */
+  private def psiBaseline(fixture: IndexedSeq[GateEv], n: Int,
+      width: Int): Seq[Long] =
+    (0 until n).map(i => fixture.count(e => e.value >= 0 &&
+      math.floor(e.value / width).toInt == i).toLong)
+
+  /** ONE replay lifecycle for the six windowed-AGGREGATION gates
+    * (r17 optimization, the interval/temporal/changelog consolidation
+    * pattern applied to the Q30/Q31 family): tumble, slide, cumulate,
+    * session, dynamic session and windowed PSI each replayed the SAME
+    * day-folded fixture through their own MemoryStream + state-store
+    * lifecycle — 6 × (fixture feed + 3 micro-batch barriers + store
+    * setup/teardown). Here the UNCHANGED operator functions run as six
+    * tagged branches of one streaming query over one replay; each gate
+    * slices its tag and applies exactly its original post-processing.
+    * Spark 4 supports unioned stateful aggregations in append mode;
+    * each branch keeps its own watermark declaration and the global
+    * watermark is their MIN (the default multipleWatermarkPolicy),
+    * which can only DELAY emission to a later micro-batch, never
+    * change what a window contains — and the flush row pushes every
+    * branch's watermark past every real window, so the accumulated
+    * output set per branch is identical to its dedicated replay
+    * (re-dumped bit-identical; the branch outputs are final-on-close
+    * windows, not update streams).
+    */
+  private def windowAggMultiReplayed(s: SparkSession,
+      dir: String): DataFrame = {
+    val path = memoFixture("windowagg_multi_replay_path", dir) {
+      val fixture = gateEventsDayFolded(s, dir)
+      val (_, flush) = gateFlush(fixture)
+      val baseline = psiBaseline(fixture, n = 10, width = 50)
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-winagg-replay").toString)
+      val nullL = lit(null).cast("long")
+      val nullTs = lit(null).cast("timestamp")
+      val nullS = lit(null).cast("string")
+      val nullD = lit(null).cast("double")
+      // pure windowed AGGREGATIONS — no transformWithState in any
+      // branch, so the replay runs on the default state store provider
+      // (RocksDB instance setup x 6 operators x partitions was the
+      // dominant cost of the union lifecycle; RocksDB stays scoped to
+      // the TWS gates that require it)
+      replayThrough(s, fixture, Some(flush), rocksdb = false) { df =>
+        def norm(tag: Int, b: DataFrame, userId: Column, wStart: Column,
+            wEnd: Column, eventType: Column, cnt: Column, sumValue: Column,
+            nInDomain: Column, psi: Column): DataFrame =
+          b.select(lit(tag).as("tag"), userId.as("user_id"),
+            wStart.as("w_start"), wEnd.as("w_end"),
+            eventType.as("event_type"), cnt.as("cnt"),
+            sumValue.as("sum_value"), nInDomain.as("n_in_domain"),
+            psi.as("psi"))
+        val tum = norm(0, tumblingCounts(df), nullL, col("w_start"),
+          nullTs, col("event_type"), col("cnt"), col("sum_value"),
+          nullL, nullD)
+        val sli = norm(1, slidingCounts(df), nullL, col("w_start"),
+          nullTs, nullS, col("cnt"), nullD, nullL, nullD)
+        val cum = norm(2, cumulateCounts(df), nullL, col("w_start"),
+          col("w_end"), nullS, col("cnt"), col("sum_value"), nullL, nullD)
+        val ses = norm(3, sessionCounts(df), col("user_id"),
+          col("w_start"), col("w_end"), nullS, col("cnt"), nullD,
+          nullL, nullD)
+        val dyn = norm(4, dynamicSessionCounts(df), col("user_id"),
+          col("w_start"), col("w_end"), nullS, col("cnt"), nullD,
+          nullL, nullD)
+        val psi = norm(5, windowedPsiStream(df, baseline, width = 50),
+          nullL, timestamp_micros(col("w_start")), nullTs, nullS,
+          nullL, nullD, col("n_in_domain"), col("psi"))
+        tum.unionAll(sli).unionAll(cum).unionAll(ses).unionAll(dyn)
+          .unionAll(psi)
+      }.write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(path)
+  }
+
   /** stream_tumble gate — [[tumblingCounts]] replayed over the
     * day-folded fixture; append mode emits each 1-minute window exactly
     * once at watermark close, so the accumulated output must equal the
     * definitional batch GROUP BY (the flush row's own window is cut by
-    * the w_start bound).
+    * the w_start bound). Slice of the shared window-agg replay.
     */
   def streamTumbleGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (maxUs, flush) = gateFlush(fixture)
-    replayThrough(s, fixture, Some(flush))(tumblingCounts)
+    val (maxUs, _) = gateFlush(gateEventsDayFolded(s, dir))
+    windowAggMultiReplayed(s, dir).filter(col("tag") === 0)
       .select(unix_micros(col("w_start")).as("w_start"), col("event_type"),
         col("cnt"), col("sum_value"))
       .filter(col("w_start") <= maxUs)
@@ -4005,9 +4083,8 @@ object StreamingOps {
     * close-once-at-watermark contract.
     */
   def streamSlideGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (maxUs, flush) = gateFlush(fixture)
-    replayThrough(s, fixture, Some(flush))(slidingCounts)
+    val (maxUs, _) = gateFlush(gateEventsDayFolded(s, dir))
+    windowAggMultiReplayed(s, dir).filter(col("tag") === 1)
       .select(unix_micros(col("w_start")).as("w_start"), col("cnt"))
       .filter(col("w_start") <= maxUs)
       .orderBy(col("w_start"))
@@ -4018,9 +4095,8 @@ object StreamingOps {
     * lead-compensated watermark; each slice emits once at close.
     */
   def streamCumulateGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (maxUs, flush) = gateFlush(fixture)
-    replayThrough(s, fixture, Some(flush))(cumulateCounts)
+    val (maxUs, _) = gateFlush(gateEventsDayFolded(s, dir))
+    windowAggMultiReplayed(s, dir).filter(col("tag") === 2)
       .select(unix_micros(col("w_start")).as("w_start"),
         unix_micros(col("w_end")).as("w_end"), col("cnt"), col("sum_value"))
       .filter(col("w_start") <= maxUs)
@@ -4032,15 +4108,12 @@ object StreamingOps {
     * binds); the flush row sits on its own user and is cut by the
     * user bound.
     */
-  def streamSessionGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (_, flush) = gateFlush(fixture)
-    replayThrough(s, fixture, Some(flush))(sessionCounts)
+  def streamSessionGate(s: SparkSession, dir: String): DataFrame =
+    windowAggMultiReplayed(s, dir).filter(col("tag") === 3)
       .filter(col("user_id") >= 0L)
       .select(col("user_id"), unix_micros(col("w_start")).as("w_start"),
         unix_micros(col("w_end")).as("w_end"), col("cnt"))
       .orderBy(col("user_id"), col("w_start"))
-  }
 
   /** STREAMING drift monitor — the live twin of the batch
     * [[graft.operators.Drift]] PSI stage: per tumbling window, the
@@ -4093,14 +4166,10 @@ object StreamingOps {
     * hourly mixes score high, uniform hours near zero.
     */
   def streamDriftPsiGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (maxUs, flush) = gateFlush(fixture)
-    val n = 10; val width = 50
-    val baseline = (0 until n).map(i =>
-      fixture.count(e => e.value >= 0 &&
-        math.floor(e.value / width).toInt == i).toLong)
-    replayThrough(s, fixture, Some(flush))(df =>
-      windowedPsiStream(df, baseline, width))
+    val (maxUs, _) = gateFlush(gateEventsDayFolded(s, dir))
+    windowAggMultiReplayed(s, dir).filter(col("tag") === 5)
+      .select(unix_micros(col("w_start")).as("w_start"),
+        col("n_in_domain"), col("psi"))
       .filter(col("w_start") <= maxUs)
       .orderBy(col("w_start"))
   }
@@ -4110,15 +4179,12 @@ object StreamingOps {
     * through the same replay; purchase-extended merges bind on the
     * folded fixture.
     */
-  def streamDynamicSessionGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (_, flush) = gateFlush(fixture)
-    replayThrough(s, fixture, Some(flush))(dynamicSessionCounts)
+  def streamDynamicSessionGate(s: SparkSession, dir: String): DataFrame =
+    windowAggMultiReplayed(s, dir).filter(col("tag") === 4)
       .filter(col("user_id") >= 0L)
       .select(col("user_id"), unix_micros(col("w_start")).as("w_start"),
         unix_micros(col("w_end")).as("w_end"), col("cnt"))
       .orderBy(col("user_id"), col("w_start"))
-  }
 
   /** stream_interval_join_left gate — [[intervalJoinLeftOuter]]: the
     * OUTER stream-stream join's defining path is the null-padded row a
@@ -4352,14 +4418,15 @@ object StreamingOps {
     * cross-batch state path; the specs own finer seam semantics.
     */
   private def replayTypedThrough[T](s: SparkSession, fixture: Seq[T],
-      flush: Seq[T], mode: String)(build: Dataset[T] => DataFrame)(
+      flush: Seq[T], mode: String, rocksdb: Boolean = true)(
+      build: Dataset[T] => DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[T]
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-typed-gate").toString
-    withGateConfs(s) {
+    withGateConfs(s, rocksdb) {
       val q = build(src.toDS()).writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(outDir); ()
@@ -4743,7 +4810,6 @@ object StreamingOps {
       s"stream_sql_mr_fields: gate clause drifted: $parsed")
     val path = memoFixture("sql_mr_fields_replay_path", s"$dir|$minutes") {
       import s.implicits._
-      val tA = System.nanoTime()
       val fixture = graft.operators.MatchRecognize
         .fieldEvents(foldedWithK(s, dir), parsed)
         .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -4751,8 +4817,6 @@ object StreamingOps {
           round(col("value") * 100).cast("long").as("vc"))
         .orderBy(col("ts_us"), col("event_id"))
         .as[(Long, Long, Long, String, Long)].collect().toSeq
-      val tB = System.nanoTime()
-      System.err.println(f"[probe] fields fixture collect: ${(tB-tA)/1e9}%.3f s (${fixture.length} rows)")
       val flush = (-1L, fixture.map(_._2).max + parsed.windowUs +
         600000000L, -1L, "flush", 0L)
       val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
@@ -4762,8 +4826,6 @@ object StreamingOps {
           parsed.after).toDF())
         .filter(col("user_id") >= 0L)
         .write.mode("overwrite").parquet(out)
-      val tC = System.nanoTime()
-      System.err.println(f"[probe] fields replay: ${(tC-tB)/1e9}%.3f s")
       out
     }
     val m = s.read.parquet(path)
