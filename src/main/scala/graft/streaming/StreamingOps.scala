@@ -1502,8 +1502,8 @@ object StreamingOps {
             col("value_c"))
       else {
         val fixture = changelogFixture(s, dir)
-        replayTypedThrough(s, fixture, Nil, "update")(ds =>
-          retractTopNStream(ds, n).toDF())
+        s.read.parquet(replayTypedPath(s, fixture, Nil, "update")(ds =>
+          retractTopNStream(ds, n).toDF()))
       }
     snaps.withColumn("__mx", max(col("ver")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
@@ -2303,25 +2303,39 @@ object StreamingOps {
     * [[ChangelogOuterJoinMultiProcessor]], memoized as a parquet PATH;
     * the left/full gates slice their tag.
     */
+  /** The inner changelog-join replay, memoized as a parquet PATH —
+    * dedicated, DELIBERATELY not folded into the outer-join multi
+    * replay: the inner machine emits ~an order of magnitude more delta
+    * rows than the outer machines (every op × the other side's live
+    * set over the UNTHINNED fixture), and the r17 consolidation trial
+    * measured the union-row (tagged, nullable) encoding of that
+    * channel at +4-6 s — more than two saved lifecycles are worth.
+    */
+  private def changelogInnerPath(s: SparkSession, dir: String): String =
+    memoFixture("changelog_inner_replay_path", dir) {
+      import s.implicits._
+      replayTypedPath(s, sideOpFixture(s, dir), Nil, "append")(ds =>
+        changelogJoinStream(ds).toDF())
+    }
+
   private def changelogOuterJoinReplayed(s: SparkSession,
       dir: String): DataFrame = {
-    val path = memoFixture("changelog_outer_join_replay_path", dir) {
+    warmStreamReplays(s, dir)
+    s.read.parquet(changelogOuterPath(s, dir))
+  }
+
+  private def changelogOuterPath(s: SparkSession, dir: String): String =
+    memoFixture("changelog_outer_join_replay_path", dir) {
       import s.implicits._
       val fixture = sideOpFixture(s, dir).filter(o =>
         o.seq % 3 == 0 && !(o.side == "R" && o.group == 3L))
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-changelog-join-replay").toString)
-      replayTypedThrough(s, fixture, Nil, "append")(ds =>
+      replayTypedPath(s, fixture, Nil, "append")(ds =>
         ds.groupByKey(_.group)
           .transformWithState(new ChangelogOuterJoinMultiProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Append())
           .toDF())
-        .write.mode("overwrite").parquet(out)
-      out
     }
-    s.read.parquet(path)
-  }
 
   /** stream_changelog_join gate — two events-derived changelogs (left:
     * even event_ids folded to 13 id slots, right: odd folded to 11,
@@ -2334,17 +2348,8 @@ object StreamingOps {
     * retraction and fails loudly rather than filtering silently).
     */
   def changelogJoinGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // dedicated replay, DELIBERATELY not folded into the outer-join
-    // multi replay: the inner machine emits ~an order of magnitude
-    // more delta rows than the outer machines (every op × the other
-    // side's live set over the UNTHINNED fixture), and the r17
-    // consolidation trial measured the union-row (tagged, nullable)
-    // encoding of that channel at +4-6 s — more than two saved
-    // lifecycles are worth. Measured numbers in OPTIMIZATION_r17.md.
-    val fixture = sideOpFixture(s, dir)
-    val deltas = replayTypedThrough(s, fixture, Nil, "append")(ds =>
-      changelogJoinStream(ds).toDF())
+    warmStreamReplays(s, dir)
+    val deltas = s.read.parquet(changelogInnerPath(s, dir))
     val folded = deltas
       .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
         col("l_val"), col("r_val"))
@@ -3220,22 +3225,20 @@ object StreamingOps {
     */
   private def changelogAggTopnReplayed(s: SparkSession,
       dir: String): DataFrame = {
-    val path = memoFixture("changelog_aggtopn_replay_path", dir) {
+    warmStreamReplays(s, dir)
+    s.read.parquet(changelogAggTopnPath(s, dir))
+  }
+
+  private def changelogAggTopnPath(s: SparkSession, dir: String): String =
+    memoFixture("changelog_aggtopn_replay_path", dir) {
       import s.implicits._
-      val fixture = changelogFixture(s, dir)
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-changelog-aggtopn-replay").toString)
-      replayTypedThrough(s, fixture, Nil, "update")(ds =>
+      replayTypedPath(s, changelogFixture(s, dir), Nil, "update")(ds =>
         ds.groupByKey(_.group)
           .transformWithState(new ChangelogAggTopnProcessor(3),
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Update())
           .toDF())
-        .write.mode("overwrite").parquet(out)
-      out
     }
-    s.read.parquet(path)
-  }
 
   def changelogAggGate(s: SparkSession, dir: String): DataFrame = {
     // slice of the shared agg/Top-N replay (fixture-sized driver
@@ -3734,13 +3737,16 @@ object StreamingOps {
     * parquet PATH; the ROWS and RANGE gates slice their tag.
     */
   private def overMultiReplayed(s: SparkSession, dir: String): DataFrame = {
-    val path = memoFixture("over_multi_replay_path", dir) {
+    warmStreamReplays(s, dir)
+    s.read.parquet(overMultiPath(s, dir))
+  }
+
+  private def overMultiPath(s: SparkSession, dir: String): String =
+    memoFixture("over_multi_replay_path", dir) {
       import s.implicits._
       val fixture = overFixture(s, dir)
       val flushTs = fixture.map(_._2).max + 600000000L
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-over-replay").toString)
-      replayTypedThrough(s, fixture,
+      replayTypedPath(s, fixture,
         Seq((0L, flushTs, -1L, 0L)), "append")(ds =>
         ds.withColumn("ts", timestamp_micros(col("_2")))
           .withWatermark("ts", "5 seconds")
@@ -3752,11 +3758,7 @@ object StreamingOps {
             org.apache.spark.sql.streaming.TimeMode.EventTime(),
             org.apache.spark.sql.streaming.OutputMode.Append())
           .toDF())
-        .write.mode("overwrite").parquet(out)
-      out
     }
-    s.read.parquet(path)
-  }
 
   /** stream_over_range gate — the same replay harness through the r10
     * RANGE-frame [[overWindowStream]] (10-minute trailing window, cents
@@ -3796,29 +3798,35 @@ object StreamingOps {
     * reproduces as argmax-by-seq then drop-if-deleted).
     */
   def upsertSinkGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val fixture = graft.Tables.t(s, dir, "events")
-      .select(pmod(col("user_id"), lit(64)).cast("long").as("key"),
-        col("event_id").cast("long").as("seq"),
-        round(col("value") * 100).cast("long").as("value_c"),
-        (col("event_type") === "purchase").as("del"))
-      .as[UpsertOp].orderBy(col("seq")).collect()
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[UpsertOp]
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft-upsert-gate").toString + "/state"
-    val q = upsertSink(src.toDF(), stateDir, key = "key", tsCol = "seq",
-      tombstoneCol = Some("del"))
-    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-    halves.foreach { chunk =>
-      src.addData(chunk.toSeq); q.processAllAvailable()
-    }
-    q.stop()
-    upsertLiveView(s, stateDir, Some("del"))
+    warmStreamReplays(s, dir)
+    upsertLiveView(s, upsertStatePath(s, dir), Some("del"))
       .select(col("key"), col("seq"), col("value_c"))
       .orderBy(col("key"))
   }
+
+  private def upsertStatePath(s: SparkSession, dir: String): String =
+    memoFixture("upsert_state_dir", dir) {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val fixture = graft.Tables.t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(64)).cast("long").as("key"),
+          col("event_id").cast("long").as("seq"),
+          round(col("value") * 100).cast("long").as("value_c"),
+          (col("event_type") === "purchase").as("del"))
+        .as[UpsertOp].orderBy(col("seq")).collect()
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[UpsertOp]
+      val stateDir = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-upsert-gate").toString) + "/state"
+      val q = upsertSink(src.toDF(), stateDir, key = "key", tsCol = "seq",
+        tombstoneCol = Some("del"))
+      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+      halves.foreach { chunk =>
+        src.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      q.stop()
+      stateDir
+    }
 
   /** Day-folded events fixture shared by the streaming replay gates and
     * (in SQL form) their DuckDB oracles: the 30-day span folds onto one
@@ -3874,6 +3882,73 @@ object StreamingOps {
       build: => T): T =
     graft.FixtureMemo.of(kind, dir)(build)
 
+  /** POOLED REPLAY WARM (r18 optimization, guide §2.6 — overlap
+    * independent jobs). The stream gates' replay lifecycles are
+    * independent one-shot jobs whose wall-clock is dominated by
+    * driver-side barriers (micro-batch planning, processAllAvailable
+    * waits, state-store commits on 4-partition tasks) — run back to
+    * back they sum; run concurrently they overlap almost completely
+    * on a 32-core scheduler. This warm builds EVERY memoized family
+    * replay for (process, dir) on one driver thread pool, once; the
+    * first stream gate to execute pays the pooled build (the r13–r17
+    * carrier accounting, extended across families), every later gate
+    * slices its family's memoized output. No family's build function,
+    * replay protocol (2 ordered batches + flush, own watermark,
+    * per-family state-store scope) or output changes — the pool only
+    * changes WHEN the independent lifecycles run relative to each
+    * other, which no gate's output can observe. Per-family builds
+    * stay single-flight under FixtureMemo's per-key locks, so a gate
+    * invoked outside the pool (or a second pool call racing the
+    * first) still builds each replay exactly once.
+    */
+  private[graft] def warmStreamReplays(s: SparkSession, dir: String): Unit = {
+    memoFixture("stream_replay_pool", dir) {
+      val parts: Seq[(String, () => AnyRef)] = Seq(
+        ("windowagg", () => windowAggPaths(s, dir)),
+        ("over", () => overMultiPath(s, dir)),
+        ("cep", () => cepMultiPath(s, dir)),
+        ("interval", () => intervalFullPath(s, dir)),
+        ("temporal", () => temporalLeftPath(s, dir)),
+        ("changelog_inner", () => changelogInnerPath(s, dir)),
+        ("changelog_outer", () => changelogOuterPath(s, dir)),
+        ("changelog_aggtopn", () => changelogAggTopnPath(s, dir)),
+        ("ewma_cusum", () => ewmaCusumPath(s, dir)),
+        ("sql_mr_fields", () => sqlMrFieldsPath(s, dir, 10)),
+        ("attribution", () => attributionPath(s, dir)),
+        ("topn", () => topnPath(s, dir)),
+        ("stream_dedup", () => streamDedupPath(s, dir)),
+        ("window_dedup", () => windowDedupPath(s, dir)),
+        ("window_topn", () => windowTopnPath(s, dir)),
+        ("window_join", () => windowJoinPath(s, dir)),
+        ("late_obs", () => lateObsCount(s, dir)),
+        ("upsert", () => upsertStatePath(s, dir)))
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(parts.length)
+      try {
+        val futures = parts.map { case (name, f) =>
+          name -> pool.submit(new java.util.concurrent.Callable[AnyRef] {
+            override def call(): AnyRef = f()
+          })
+        }
+        // drain ALL futures before failing: a family that dies must
+        // not leave 17 half-fed queries running behind the exception
+        val errs = futures.flatMap { case (name, fu) =>
+          try { fu.get(); None }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Some(name -> e.getCause)
+          }
+        }
+        errs.headOption.foreach { case (name, e) =>
+          throw new RuntimeException(
+            s"stream replay pool: family '$name' failed", e)
+        }
+      } finally pool.shutdown()
+      java.lang.Boolean.TRUE
+    }
+    ()
+  }
+
   /** Gate-harness conf scope shared by every streaming replay gate:
     * the RocksDB state store (the production store; transformWithState
     * requires its multi-column-family support) and a reduced
@@ -3910,6 +3985,23 @@ object StreamingOps {
     }
   }
 
+  /** START-scoped twin of [[withGateConfs]] (r18 optimization): the
+    * gate confs only matter at streaming-query START — StreamExecution
+    * clones the session in its constructor (a strict field, evaluated
+    * inside `.start()` before it returns), freezing conf values for
+    * the query's whole life — so the mutation scope needs to cover
+    * just the start call, not the feed/stop lifecycle. The global
+    * monitor keeps concurrent starters from observing each other's
+    * scoped confs: the pooled replay warm ([[warmStreamReplays]])
+    * starts many lifecycles from many driver threads, and an unlocked
+    * session-conf window would let one family's RocksDB scope leak
+    * into another's start.
+    */
+  private val gateConfLock = new AnyRef
+  private def startUnderGateConfs[T](s: SparkSession, rocksdb: Boolean)(
+      startFn: => T): T =
+    gateConfLock.synchronized { withGateConfs(s, rocksdb)(startFn) }
+
   /** Replay the fixture through `build` in 2 time-ordered micro-batches
     * (+ an optional flush row that advances the watermark past every
     * real window/session end), appending each batch's output to
@@ -3919,11 +4011,14 @@ object StreamingOps {
     * exercises the cross-batch state path every gate needs; the specs
     * own the finer-grained seam semantics.
     */
-  private def replayThrough(s: SparkSession, fixture: IndexedSeq[GateEv],
+  /** Path-returning GateEv replay for the memoized day-folded
+    * single-input gates.
+    */
+  private def replayPath(s: SparkSession, fixture: IndexedSeq[GateEv],
       flush: Option[GateEv], rocksdb: Boolean = true)(
-      build: DataFrame => DataFrame): DataFrame = {
+      build: DataFrame => DataFrame): String = {
     import s.implicits._
-    replayTypedThrough[GateEv](s, fixture, flush.toSeq,
+    replayTypedPath[GateEv](s, fixture, flush.toSeq,
       "append", rocksdb)(ds => build(ds.toDF()))
   }
 
@@ -3933,48 +4028,52 @@ object StreamingOps {
     * micro-batch, so neither side's watermark can run ahead and evict
     * join state the other side still needs.
     */
-  private def replayJoinThrough(s: SparkSession, fixture: IndexedSeq[GateEv],
+  /** Path-returning join replay (the two-input
+    * stream-stream join replays). Partitions-only start scope: Spark's
+    * symmetric-hash join keeps FOUR stores per partition
+    * (keyToNumValues/keyWithIndexToValue × 2 sides), so a per-gate
+    * RocksDB instance per store is pure harness cost; the default
+    * store is what these gates always ran on.
+    */
+  private def replayJoinPath(s: SparkSession, fixture: IndexedSeq[GateEv],
       leftType: String, rightType: String, flush: Option[GateEv] = None)(
-      build: (DataFrame, DataFrame) => DataFrame): DataFrame =
-    // partitions-only scope: Spark's symmetric-hash join keeps FOUR
-    // stores per partition (keyToNumValues/keyWithIndexToValue × 2
-    // sides), so a per-gate RocksDB instance per store is pure harness
-    // cost; the default store is what these gates always ran on
-    withGateConfs(s, rocksdb = false) {
-      import s.implicits._
-      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-      val l = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[GateEv]
-      val r = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[GateEv]
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-join-gate").toString
-      val q = build(l.toDF(), r.toDF()).writeStream
+      build: (DataFrame, DataFrame) => DataFrame): String = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val l = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val r = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[GateEv]
+    val outDir = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+      .createTempDirectory("graft-stream-join-gate").toString)
+    val q = startUnderGateConfs(s, rocksdb = false) {
+      build(l.toDF(), r.toDF()).writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode("append").start()
-      // TWO batches, not four: each micro-batch of a stream-stream join
-      // re-touches the accumulated per-side state, so batch count is the
-      // replay's cost driver; one seam already proves the cross-batch
-      // match path (a pair whose sides arrive in different batches)
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        val lc = chunk.filter(_.event_type == leftType)
-        val rc = chunk.filter(_.event_type == rightType)
-        if (lc.nonEmpty) l.addData(lc.toSeq)
-        if (rc.nonEmpty) r.addData(rc.toSeq)
-        q.processAllAvailable()
-      }
-      // outer joins emit their null-padded rows only at watermark
-      // passage: the flush row advances BOTH sides past every
-      // interval's expiry so the unmatched state drains
-      flush.foreach { f =>
-        l.addData(Seq(f)); r.addData(Seq(f)); q.processAllAvailable()
-      }
-      q.stop()
-      s.read.parquet(outDir)
     }
+    // TWO batches, not four: each micro-batch of a stream-stream join
+    // re-touches the accumulated per-side state, so batch count is the
+    // replay's cost driver; one seam already proves the cross-batch
+    // match path (a pair whose sides arrive in different batches)
+    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+    halves.foreach { chunk =>
+      val lc = chunk.filter(_.event_type == leftType)
+      val rc = chunk.filter(_.event_type == rightType)
+      if (lc.nonEmpty) l.addData(lc.toSeq)
+      if (rc.nonEmpty) r.addData(rc.toSeq)
+      q.processAllAvailable()
+    }
+    // outer joins emit their null-padded rows only at watermark
+    // passage: the flush row advances BOTH sides past every
+    // interval's expiry so the unmatched state drains
+    flush.foreach { f =>
+      l.addData(Seq(f)); r.addData(Seq(f)); q.processAllAvailable()
+    }
+    q.stop()
+    outDir
+  }
 
   private def gateFlush(fixture: IndexedSeq[GateEv]): (Long, GateEv) = {
     val maxUs = fixture.map(e => e.ts.getTime * 1000L +
@@ -3994,74 +4093,111 @@ object StreamingOps {
     (0 until n).map(i => fixture.count(e => e.value >= 0 &&
       math.floor(e.value / width).toInt == i).toLong)
 
-  /** ONE replay lifecycle for the six windowed-AGGREGATION gates
-    * (r17 optimization, the interval/temporal/changelog consolidation
-    * pattern applied to the Q30/Q31 family): tumble, slide, cumulate,
-    * session, dynamic session and windowed PSI each replayed the SAME
-    * day-folded fixture through their own MemoryStream + state-store
-    * lifecycle — 6 × (fixture feed + 3 micro-batch barriers + store
-    * setup/teardown). Here the UNCHANGED operator functions run as six
-    * tagged branches of one streaming query over one replay; each gate
-    * slices its tag and applies exactly its original post-processing.
-    * Spark 4 supports unioned stateful aggregations in append mode;
-    * each branch keeps its own watermark declaration and the global
-    * watermark is their MIN (the default multipleWatermarkPolicy),
-    * which can only DELAY emission to a later micro-batch, never
-    * change what a window contains — and the flush row pushes every
-    * branch's watermark past every real window, so the accumulated
-    * output set per branch is identical to its dedicated replay
-    * (re-dumped bit-identical; the branch outputs are final-on-close
-    * windows, not update streams).
+  /** Run N independent single-input replay lifecycles CONCURRENTLY
+    * over the same fixture and batch protocol (guide §2.6 — overlap
+    * independent jobs: actions are only sequential because the driver
+    * calls them sequentially). Each builder gets its own MemoryStream
+    * and streaming query writing to its own parquet dir; every data
+    * batch is fed to ALL sources before any barrier, so the N queries'
+    * micro-batches — and their driver-side barrier waits, the bulk of
+    * a gate-scale lifecycle — overlap on the scheduler instead of
+    * running back to back. Each query is EXACTLY the dedicated
+    * [[replayThrough]] lifecycle (same 2 ordered batches, same flush,
+    * its own watermark), so per-branch outputs are the dedicated
+    * replays' outputs, unchanged.
+    */
+  private def replayGateEvConcurrent(s: SparkSession,
+      fixture: IndexedSeq[GateEv], flush: Option[GateEv],
+      rocksdb: Boolean)(
+      builders: Seq[DataFrame => DataFrame]): Seq[String] = {
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val outs = builders.map(_ => graft.FixtureMemo.cleanupOnExit(
+      java.nio.file.Files
+        .createTempDirectory("graft-multi-replay").toString))
+    val srcs = builders.map(_ => org.apache.spark.sql.execution
+      .streaming.runtime.MemoryStream[GateEv])
+    val qs = startUnderGateConfs(s, rocksdb) {
+      builders.zip(srcs).zip(outs).map { case ((b, src), out) =>
+        b(src.toDF()).writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            bdf.write.mode("append").parquet(out); ()
+          }
+          .outputMode("append").start()
+      }
+    }
+    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+    halves.foreach { chunk =>
+      srcs.foreach(_.addData(chunk.toSeq))
+      qs.foreach(_.processAllAvailable())
+    }
+    flush.foreach { f =>
+      srcs.foreach(_.addData(Seq(f)))
+      qs.foreach(_.processAllAvailable())
+    }
+    qs.foreach(_.stop())
+    outs
+  }
+
+  /** The six windowed-AGGREGATION gates' shared replay (tumble, slide,
+    * cumulate, session, dynamic session, windowed PSI over the SAME
+    * day-folded fixture). r17 ran them as six tagged branches of ONE
+    * streaming query; measured r18, that union lifecycle cost 9.4–16 s
+    * — every micro-batch re-plans and re-runs SIX stateful
+    * aggregations back to back under the min-of-6 watermark policy.
+    * Now the six UNCHANGED operator functions replay as six dedicated
+    * lifecycles run CONCURRENTLY ([[replayGateEvConcurrent]]): each
+    * branch keeps its own watermark (the pre-r17 dedicated-gate form —
+    * the min policy could only DELAY emission to a later micro-batch,
+    * never change what a window contains, so branch outputs are
+    * identical either way; re-dumped bit-identical) and the six
+    * barrier waits overlap instead of summing. Each gate slices its
+    * tag and applies exactly its original post-processing.
     */
   private def windowAggMultiReplayed(s: SparkSession,
       dir: String): DataFrame = {
-    val path = memoFixture("windowagg_multi_replay_path", dir) {
+    warmStreamReplays(s, dir)
+    s.read.parquet(windowAggPaths(s, dir): _*)
+  }
+
+  private def windowAggPaths(s: SparkSession, dir: String): Seq[String] =
+    memoFixture("windowagg_multi_replay_path", dir) {
       val fixture = gateEventsDayFolded(s, dir)
       val (_, flush) = gateFlush(fixture)
       val baseline = psiBaseline(fixture, n = 10, width = 50)
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-winagg-replay").toString)
       val nullL = lit(null).cast("long")
       val nullTs = lit(null).cast("timestamp")
       val nullS = lit(null).cast("string")
       val nullD = lit(null).cast("double")
+      def norm(tag: Int, b: DataFrame, userId: Column, wStart: Column,
+          wEnd: Column, eventType: Column, cnt: Column, sumValue: Column,
+          nInDomain: Column, psi: Column): DataFrame =
+        b.select(lit(tag).as("tag"), userId.as("user_id"),
+          wStart.as("w_start"), wEnd.as("w_end"),
+          eventType.as("event_type"), cnt.as("cnt"),
+          sumValue.as("sum_value"), nInDomain.as("n_in_domain"),
+          psi.as("psi"))
       // pure windowed AGGREGATIONS — no transformWithState in any
-      // branch, so the replay runs on the default state store provider
-      // (RocksDB instance setup x 6 operators x partitions was the
-      // dominant cost of the union lifecycle; RocksDB stays scoped to
-      // the TWS gates that require it)
-      replayThrough(s, fixture, Some(flush), rocksdb = false) { df =>
-        def norm(tag: Int, b: DataFrame, userId: Column, wStart: Column,
-            wEnd: Column, eventType: Column, cnt: Column, sumValue: Column,
-            nInDomain: Column, psi: Column): DataFrame =
-          b.select(lit(tag).as("tag"), userId.as("user_id"),
-            wStart.as("w_start"), wEnd.as("w_end"),
-            eventType.as("event_type"), cnt.as("cnt"),
-            sumValue.as("sum_value"), nInDomain.as("n_in_domain"),
-            psi.as("psi"))
-        val tum = norm(0, tumblingCounts(df), nullL, col("w_start"),
+      // branch, so the replays run on the default state store provider
+      // (RocksDB stays scoped to the TWS gates that require it)
+      replayGateEvConcurrent(s, fixture, Some(flush), rocksdb = false)(Seq(
+        df => norm(0, tumblingCounts(df), nullL, col("w_start"),
           nullTs, col("event_type"), col("cnt"), col("sum_value"),
-          nullL, nullD)
-        val sli = norm(1, slidingCounts(df), nullL, col("w_start"),
-          nullTs, nullS, col("cnt"), nullD, nullL, nullD)
-        val cum = norm(2, cumulateCounts(df), nullL, col("w_start"),
-          col("w_end"), nullS, col("cnt"), col("sum_value"), nullL, nullD)
-        val ses = norm(3, sessionCounts(df), col("user_id"),
+          nullL, nullD),
+        df => norm(1, slidingCounts(df), nullL, col("w_start"),
+          nullTs, nullS, col("cnt"), nullD, nullL, nullD),
+        df => norm(2, cumulateCounts(df), nullL, col("w_start"),
+          col("w_end"), nullS, col("cnt"), col("sum_value"), nullL, nullD),
+        df => norm(3, sessionCounts(df), col("user_id"),
           col("w_start"), col("w_end"), nullS, col("cnt"), nullD,
-          nullL, nullD)
-        val dyn = norm(4, dynamicSessionCounts(df), col("user_id"),
+          nullL, nullD),
+        df => norm(4, dynamicSessionCounts(df), col("user_id"),
           col("w_start"), col("w_end"), nullS, col("cnt"), nullD,
-          nullL, nullD)
-        val psi = norm(5, windowedPsiStream(df, baseline, width = 50),
+          nullL, nullD),
+        df => norm(5, windowedPsiStream(df, baseline, width = 50),
           nullL, timestamp_micros(col("w_start")), nullTs, nullS,
-          nullL, nullD, col("n_in_domain"), col("psi"))
-        tum.unionAll(sli).unionAll(cum).unionAll(ses).unionAll(dyn)
-          .unionAll(psi)
-      }.write.mode("overwrite").parquet(out)
-      out
+          nullL, nullD, col("n_in_domain"), col("psi"))))
     }
-    s.read.parquet(path)
-  }
 
   /** stream_tumble gate — [[tumblingCounts]] replayed over the
     * day-folded fixture; append mode emits each 1-minute window exactly
@@ -4235,18 +4371,17 @@ object StreamingOps {
     * at sf0.01 against the per-gate replays).
     */
   private def intervalFullReplayed(s: SparkSession, dir: String): DataFrame = {
-    val path = memoFixture("interval_full_replay_path", dir) {
+    warmStreamReplays(s, dir)
+    s.read.parquet(intervalFullPath(s, dir))
+  }
+
+  private def intervalFullPath(s: SparkSession, dir: String): String =
+    memoFixture("interval_full_replay_path", dir) {
       val fixture = gateEventsDayFolded(s, dir)
       val (_, flush) = gateFlush(fixture)
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-interval-replay").toString)
-      replayJoinThrough(s, fixture, "click", "purchase", Some(flush))(
+      replayJoinPath(s, fixture, "click", "purchase", Some(flush))(
         intervalJoinFullOuter)
-        .write.mode("overwrite").parquet(out)
-      out
     }
-    s.read.parquet(path)
-  }
 
   /** stream_dedup gate — [[dedupStream]] (Q32) over the day-folded
     * replay, keyed on (user_id, event_type) so real duplicates occur
@@ -4261,15 +4396,21 @@ object StreamingOps {
     * choice to arrival); the keys are the deterministic contract.
     */
   def streamDedupGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (_, flush) = gateFlush(fixture)
-    replayThrough(s, fixture, Some(flush))(df =>
-      dedupStream(df, horizon = "2 days",
-        keys = Seq("user_id", "event_type"))
-        .select(col("user_id"), col("event_type")))
+    warmStreamReplays(s, dir)
+    s.read.parquet(streamDedupPath(s, dir))
       .filter(col("user_id") >= 0L)
       .orderBy(col("user_id"), col("event_type"))
   }
+
+  private def streamDedupPath(s: SparkSession, dir: String): String =
+    memoFixture("stream_dedup_replay_path", dir) {
+      val fixture = gateEventsDayFolded(s, dir)
+      val (_, flush) = gateFlush(fixture)
+      replayPath(s, fixture, Some(flush))(df =>
+        dedupStream(df, horizon = "2 days",
+          keys = Seq("user_id", "event_type"))
+          .select(col("user_id"), col("event_type")))
+    }
 
   /** stream_window_topn gate — [[windowTopNStream]] (10-minute tumble,
     * top-2 event types, count desc / name asc): the transformWithState
@@ -4277,14 +4418,20 @@ object StreamingOps {
     * the definitional per-window counts.
     */
   def streamWindowTopNGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (maxUs, flush) = gateFlush(fixture)
-    val out = replayThrough(s, fixture, Some(flush))(df =>
-      windowTopNStream(df).toDF())
-    out.filter(col("w_start_us") <= maxUs)
+    warmStreamReplays(s, dir)
+    val (maxUs, _) = gateFlush(gateEventsDayFolded(s, dir))
+    s.read.parquet(windowTopnPath(s, dir))
+      .filter(col("w_start_us") <= maxUs)
       .select(col("w_start_us"), col("rk"), col("event_type"), col("cnt"))
       .orderBy(col("w_start_us"), col("rk"))
   }
+
+  private def windowTopnPath(s: SparkSession, dir: String): String =
+    memoFixture("window_topn_replay_path", dir) {
+      val fixture = gateEventsDayFolded(s, dir)
+      val (_, flush) = gateFlush(fixture)
+      replayPath(s, fixture, Some(flush))(df => windowTopNStream(df).toDF())
+    }
 
   /** stream_interval_join gate — [[intervalJoin]] (purchases within
     * 30 s after a click, same user): the inner stream-stream join
@@ -4310,13 +4457,18 @@ object StreamingOps {
     * from the interval join); 194 pairs bind at sf0.01.
     */
   def streamWindowJoinGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    replayJoinThrough(s, fixture, "click", "purchase")(
-      (l, r) => windowJoin(l, r))
+    warmStreamReplays(s, dir)
+    s.read.parquet(windowJoinPath(s, dir))
       .select(unix_micros(col("w_start")).as("w_start"), col("user_id"),
         col("click_id"), col("purchase_id"))
       .orderBy(col("click_id"), col("purchase_id"))
   }
+
+  private def windowJoinPath(s: SparkSession, dir: String): String =
+    memoFixture("window_join_replay_path", dir) {
+      replayJoinPath(s, gateEventsDayFolded(s, dir), "click", "purchase")(
+        (l, r) => windowJoin(l, r))
+    }
 
   /** Unioned (side-tagged) fact + version-changelog stream → temporally
     * joined facts, emitted as the watermark finalizes them. The single
@@ -4389,7 +4541,12 @@ object StreamingOps {
     * (re-dumped bit-identical at sf0.01 against the per-gate replays).
     */
   private def temporalLeftReplayed(s: SparkSession, dir: String): DataFrame = {
-    val path = memoFixture("temporal_left_replay_path", dir) {
+    warmStreamReplays(s, dir)
+    s.read.parquet(temporalLeftPath(s, dir))
+  }
+
+  private def temporalLeftPath(s: SparkSession, dir: String): String =
+    memoFixture("temporal_left_replay_path", dir) {
       import s.implicits._
       val fixture = memoFixture("temporal", dir) {
         temporalOpsFromEvents(graft.Tables.t(s, dir, "events"))
@@ -4398,15 +4555,9 @@ object StreamingOps {
       }
       val flush = TemporalOp("F", "I", Long.MaxValue,
         fixture.map(_.ts_us).max + 600000000L, 0L, -1L, 0L)
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-temporal-replay").toString)
-      replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      replayTypedPath(s, fixture, Seq(flush), "append")(ds =>
         temporalJoinStream(ds, leftOuter = true).toDF())
-        .write.mode("overwrite").parquet(out)
-      out
     }
-    s.read.parquet(path)
-  }
 
   /** Typed twin of [[replayThrough]] shared by the tuple-input
     * processor gates: replays `fixture` in 2 ordered micro-batches
@@ -4417,29 +4568,36 @@ object StreamingOps {
     * (PLANS "2-batch replay harness"): one seam already exercises the
     * cross-batch state path; the specs own finer seam semantics.
     */
-  private def replayTypedThrough[T](s: SparkSession, fixture: Seq[T],
+  /** Path-returning typed replay core: runs the replay
+    * and returns the output parquet dir (registered for exit cleanup)
+    * — the memoizable unit the pooled warm and the per-family caches
+    * hold. The gate-conf scope covers only the query START (see
+    * [[startUnderGateConfs]]); the feed/stop lifecycle runs unscoped,
+    * which is what lets many replays run concurrently.
+    */
+  private def replayTypedPath[T](s: SparkSession, fixture: Seq[T],
       flush: Seq[T], mode: String, rocksdb: Boolean = true)(
       build: Dataset[T] => DataFrame)(
-      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+      implicit enc: org.apache.spark.sql.Encoder[T]): String = {
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[T]
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-typed-gate").toString
-    withGateConfs(s, rocksdb) {
-      val q = build(src.toDS()).writeStream
+    val outDir = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+      .createTempDirectory("graft-typed-gate").toString)
+    val q = startUnderGateConfs(s, rocksdb) {
+      build(src.toDS()).writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(outDir); ()
         }
         .outputMode(mode).start()
-      val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
-      halves.foreach { chunk =>
-        src.addData(chunk.toSeq); q.processAllAvailable()
-      }
-      if (flush.nonEmpty) { src.addData(flush); q.processAllAvailable() }
-      q.stop()
     }
-    s.read.parquet(outDir)
+    val halves = fixture.grouped(math.max(1, (fixture.length + 1) / 2))
+    halves.foreach { chunk =>
+      src.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    if (flush.nonEmpty) { src.addData(flush); q.processAllAvailable() }
+    q.stop()
+    outDir
   }
 
   /** GateEv timestamp → event-time micros (the [[gateFlush]] formula). */
@@ -4624,11 +4782,21 @@ object StreamingOps {
     * machines never read one, so outputs are bit-identical.
     */
   private def cepMultiReplayed(s: SparkSession, dir: String): DataFrame = {
-    // the cache holds the replay's parquet PATH, not a DataFrame —
-    // fixtureCache's contract is session-independent plain JVM data
-    // (a cached DataFrame would pin a stopped SparkSession); each call
-    // re-reads through the CURRENT session, paying one footer read
-    val path = memoFixture("cep_multi_replay_path", dir) {
+    warmStreamReplays(s, dir)
+    s.read.parquet(cepMultiPath(s, dir))
+  }
+
+  /** The cache holds the replay's parquet PATH, not a DataFrame —
+    * fixtureCache's contract is session-independent plain JVM data
+    * (a cached DataFrame would pin a stopped SparkSession); each call
+    * re-reads through the CURRENT session, paying one footer read.
+    * The user_id sentinel cut rides the streaming projection (a
+    * stateless filter on the replay output — same rows as the old
+    * post-read filter, without the second parquet write the copy
+    * step paid).
+    */
+  private def cepMultiPath(s: SparkSession, dir: String): String =
+    memoFixture("cep_multi_replay_path", dir) {
       import s.implicits._
       val fixture = gateEventsDayFolded(s, dir).map { e =>
         (e.user_id, gateEvUs(e), e.event_id, e.event_type,
@@ -4638,17 +4806,11 @@ object StreamingOps {
       val flush = (-1L,
         fixture.map(_._2).max + CepGateSpecs.map(_.windowUs).max +
           600000000L, -1L, "flush", 0L)
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-cep-multi-replay").toString)
-      replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      replayTypedPath(s, fixture, Seq(flush), "append")(ds =>
         cepStreamMultiMeasured(ds, CepGateSpecs).toDF()
-          .select(col("_1").as("pat"), col("_2.*")))
-        .filter(col("user_id") >= 0L)
-        .write.mode("overwrite").parquet(out)
-      out
+          .select(col("_1").as("pat"), col("_2.*"))
+          .filter(col("user_id") >= 0L))
     }
-    s.read.parquet(path)
-  }
 
   /** The match channel's column set (CepMatch's fields) — the measured
     * replay rides extra per-step columns that the match-shaped gate
@@ -4793,14 +4955,9 @@ object StreamingOps {
   def streamSqlMrFieldsGate(s: SparkSession, dir: String): DataFrame =
     streamSqlMrFieldsAt(s, dir, minutes = 10)
 
-  /** The gate's machinery with the window as a parameter — the parity
-    * spec drives it at a wider window so the funnel BINDS at spec
-    * scale (sf0.001's folded corpus has no 10-minute fields funnel;
-    * the gate's own 10-minute window binds at sf0.01: 39 matches, 6
-    * window-killed).
-    */
-  private[graft] def streamSqlMrFieldsAt(s: SparkSession, dir: String,
-      minutes: Int): DataFrame = {
+  /** The gate clause parsed + structurally pinned at `minutes`. */
+  private def sqlMrFieldsParsed(
+      minutes: Int): graft.operators.MatchRecognize.Parsed = {
     val sql = graft.operators.MatchRecognize.FieldsSql
       .replace("INTERVAL '7' DAY", s"INTERVAL '$minutes' MINUTE")
     val parsed = graft.operators.MatchRecognize.parse(sql)
@@ -4808,8 +4965,15 @@ object StreamingOps {
       parsed.rowPreds.length == 2 && parsed.grouped.isEmpty &&
       parsed.after == graft.operators.Cep.SkipPastLast,
       s"stream_sql_mr_fields: gate clause drifted: $parsed")
-    val path = memoFixture("sql_mr_fields_replay_path", s"$dir|$minutes") {
+    parsed
+  }
+
+  /** The fields-funnel replay, memoized per (dir, window minutes). */
+  private def sqlMrFieldsPath(s: SparkSession, dir: String,
+      minutes: Int): String =
+    memoFixture("sql_mr_fields_replay_path", s"$dir|$minutes") {
       import s.implicits._
+      val parsed = sqlMrFieldsParsed(minutes)
       val fixture = graft.operators.MatchRecognize
         .fieldEvents(foldedWithK(s, dir), parsed)
         .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -4819,16 +4983,23 @@ object StreamingOps {
         .as[(Long, Long, Long, String, Long)].collect().toSeq
       val flush = (-1L, fixture.map(_._2).max + parsed.windowUs +
         600000000L, -1L, "flush", 0L)
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-mr-fields-replay").toString)
-      replayTypedThrough(s, fixture, Seq(flush), "append")(ds =>
+      replayTypedPath(s, fixture, Seq(flush), "append")(ds =>
         cepStreamValued(ds, parsed.pattern, parsed.windowUs,
-          parsed.after).toDF())
-        .filter(col("user_id") >= 0L)
-        .write.mode("overwrite").parquet(out)
-      out
+          parsed.after).toDF()
+          .filter(col("user_id") >= 0L))
     }
-    val m = s.read.parquet(path)
+
+  /** The gate's machinery with the window as a parameter — the parity
+    * spec drives it at a wider window so the funnel BINDS at spec
+    * scale (sf0.001's folded corpus has no 10-minute fields funnel;
+    * the gate's own 10-minute window binds at sf0.01: 39 matches, 6
+    * window-killed).
+    */
+  private[graft] def streamSqlMrFieldsAt(s: SparkSession, dir: String,
+      minutes: Int): DataFrame = {
+    if (minutes == 10) warmStreamReplays(s, dir)
+    val parsed = sqlMrFieldsParsed(minutes)
+    val m = s.read.parquet(sqlMrFieldsPath(s, dir, minutes))
     val r = foldedWithK(s, dir).select(col("user_id").as("r_uid"),
       col("ts_us").as("r_ts"), col("event_id").as("r_id"),
       col("k"), round(col("value") * 100).cast("long").as("r_vc"))
@@ -5029,33 +5200,45 @@ object StreamingOps {
     */
   def streamLateObsGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val windowUs = 600000000L
-    val fixture = gateEventsDayFolded(s, dir)
-      .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
-    val latest3 = fixture.map(r => (r._2, r._3))
-      .sortBy { case (ts, id) => (-ts, -id) }.take(3)
-      .map(_._2).toSet
-    val held = (r: (Long, Long, Long, String)) =>
-      r._3 % 7 == 0 || latest3.contains(r._3)
-    val counter = s.sparkContext.longAccumulator("graft.cep.lateDropped")
-    val src = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, Long, String)]
-    withGateConfs(s) {
-      val q = cepStream(src.toDS(),
-        Seq(graft.operators.Cep.Step("click", plus = false),
-          graft.operators.Cep.Step("view", plus = true),
-          graft.operators.Cep.Step("purchase", plus = false)),
-        windowUs, lateCounter = Some(counter))
-        .writeStream.format("noop").start()
+    warmStreamReplays(s, dir)
+    Seq(lateObsCount(s, dir).longValue).toDF("late_dropped")
+  }
+
+  /** The late-observability replay's counter, memoized per (process,
+    * dir) — the replay protocol (held-rows split, noop sink,
+    * accumulator read) is unchanged; only the lifecycle joins the
+    * pooled warm's accounting.
+    */
+  private def lateObsCount(s: SparkSession, dir: String): java.lang.Long =
+    memoFixture("late_obs_count", dir) {
+      import s.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+      val windowUs = 600000000L
+      val fixture = gateEventsDayFolded(s, dir)
+        .map(e => (e.user_id, gateEvUs(e), e.event_id, e.event_type)).toSeq
+      val latest3 = fixture.map(r => (r._2, r._3))
+        .sortBy { case (ts, id) => (-ts, -id) }.take(3)
+        .map(_._2).toSet
+      val held = (r: (Long, Long, Long, String)) =>
+        r._3 % 7 == 0 || latest3.contains(r._3)
+      val counter = s.sparkContext.longAccumulator("graft.cep.lateDropped")
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)]
+      val q = startUnderGateConfs(s, rocksdb = true) {
+        cepStream(src.toDS(),
+          Seq(graft.operators.Cep.Step("click", plus = false),
+            graft.operators.Cep.Step("view", plus = true),
+            graft.operators.Cep.Step("purchase", plus = false)),
+          windowUs, lateCounter = Some(counter))
+          .writeStream.format("noop").start()
+      }
       src.addData(fixture.filterNot(held))
       q.processAllAvailable()
       src.addData(fixture.filter(held))
       q.processAllAvailable()
       q.stop()
+      java.lang.Long.valueOf(counter.value)
     }
-    Seq(counter.value).toDF("late_dropped")
-  }
 
   /** stream_cep_skip gate — the STREAMING twin of `cep_skip_next`:
     * the revisit pattern (view → click → view) under AFTER MATCH SKIP
@@ -5077,21 +5260,26 @@ object StreamingOps {
     * the oracle is the definitional ROW_NUMBER cut.
     */
   def streamTopNGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val fixture = memoFixture("topn8", dir) {
-      graft.Tables.t(s, dir, "events")
-        .select(pmod(col("user_id"), lit(8)).cast("long"),
-          col("event_id").cast("long"), col("value").cast("double"))
-        .as[(Long, Long, Double)].orderBy(col("event_id")).collect().toSeq
-    }
-    val snaps = replayTypedThrough(s, fixture, Nil, "update")(ds =>
-      topNStream(ds).toDF())
+    warmStreamReplays(s, dir)
+    val snaps = s.read.parquet(topnPath(s, dir))
     snaps.withColumn("__mx", max(col("ver")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
       .filter(col("ver") === col("__mx"))
       .select(col("group").as("grp"), col("rk"), col("id"), col("value"))
       .orderBy(col("grp"), col("rk"))
   }
+
+  private def topnPath(s: SparkSession, dir: String): String =
+    memoFixture("topn_replay_path", dir) {
+      import s.implicits._
+      val fixture = memoFixture("topn8", dir) {
+        graft.Tables.t(s, dir, "events")
+          .select(pmod(col("user_id"), lit(8)).cast("long"),
+            col("event_id").cast("long"), col("value").cast("double"))
+          .as[(Long, Long, Double)].orderBy(col("event_id")).collect().toSeq
+      }
+      replayTypedPath(s, fixture, Nil, "update")(ds => topNStream(ds).toDF())
+    }
 
   /** Memoized (user, ts_us, id, value) fixture shared by the ewma and
     * cusum gates — raw events in global (ts, id) order.
@@ -5199,12 +5387,14 @@ object StreamingOps {
     * a parquet PATH; the two gates slice their tag.
     */
   private def ewmaCusumReplayed(s: SparkSession, dir: String): DataFrame = {
-    val path = memoFixture("ewma_cusum_replay_path", dir) {
+    warmStreamReplays(s, dir)
+    s.read.parquet(ewmaCusumPath(s, dir))
+  }
+
+  private def ewmaCusumPath(s: SparkSession, dir: String): String =
+    memoFixture("ewma_cusum_replay_path", dir) {
       import s.implicits._
-      val fixture = tsValFixture(s, dir)
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-ewma-cusum-replay").toString)
-      replayTypedThrough(s, fixture, Nil, "update")(ds =>
+      replayTypedPath(s, tsValFixture(s, dir), Nil, "update")(ds =>
         ds.groupByKey(_._1)
           .transformWithState(
             new EwmaCusumProcessor(alpha = 0.2, z = 3.0,
@@ -5212,11 +5402,7 @@ object StreamingOps {
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Update())
           .toDF())
-        .write.mode("overwrite").parquet(out)
-      out
     }
-    s.read.parquet(path)
-  }
 
   def streamEwmaGate(s: SparkSession, dir: String): DataFrame = {
     ewmaCusumReplayed(s, dir).filter(col("tag") === 0)
@@ -5256,21 +5442,27 @@ object StreamingOps {
     * purchase" with one window max over the row order.
     */
   def streamAttributionGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val fixture = memoFixture("ts_type", dir) {
-      graft.Tables.t(s, dir, "events")
-        .select(col("user_id").cast("long"), unix_micros(col("ts")),
-          col("event_id").cast("long"), col("event_type"))
-        .as[(Long, Long, Long, String)]
-        .orderBy(col("ts"), col("event_id")).collect().toSeq
-    }
-    replayTypedThrough(s, fixture, Nil, "update")(ds =>
-      attributionStream(ds).toDF())
+    warmStreamReplays(s, dir)
+    s.read.parquet(attributionPath(s, dir))
       .select(col("user_id"), col("purchase_id"), col("purchase_ts_us"),
         col("last_touch_id"), col("last_touch_type"),
         col("last_touch_latency_us"))
       .orderBy(col("user_id"), col("purchase_id"))
   }
+
+  private def attributionPath(s: SparkSession, dir: String): String =
+    memoFixture("attribution_replay_path", dir) {
+      import s.implicits._
+      val fixture = memoFixture("ts_type", dir) {
+        graft.Tables.t(s, dir, "events")
+          .select(col("user_id").cast("long"), unix_micros(col("ts")),
+            col("event_id").cast("long"), col("event_type"))
+          .as[(Long, Long, Long, String)]
+          .orderBy(col("ts"), col("event_id")).collect().toSeq
+      }
+      replayTypedPath(s, fixture, Nil, "update")(ds =>
+        attributionStream(ds).toDF())
+    }
 
   /** stream_window_dedup gate — [[windowDedupStream]] (first event per
     * user per 10-minute window) over the day-folded replay. The gate
@@ -5282,11 +5474,17 @@ object StreamingOps {
     * controlled fixtures and the gate projects the deterministic keys.
     */
   def streamWindowDedupGate(s: SparkSession, dir: String): DataFrame = {
-    val fixture = gateEventsDayFolded(s, dir)
-    val (_, flush) = gateFlush(fixture)
-    replayThrough(s, fixture, Some(flush))(df => windowDedupStream(df))
+    warmStreamReplays(s, dir)
+    s.read.parquet(windowDedupPath(s, dir))
       .filter(col("user_id") >= 0L)
       .select(col("w_start"), col("user_id"))
       .orderBy(col("w_start"), col("user_id"))
   }
+
+  private def windowDedupPath(s: SparkSession, dir: String): String =
+    memoFixture("window_dedup_replay_path", dir) {
+      val fixture = gateEventsDayFolded(s, dir)
+      val (_, flush) = gateFlush(fixture)
+      replayPath(s, fixture, Some(flush))(df => windowDedupStream(df))
+    }
 }
