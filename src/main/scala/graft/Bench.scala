@@ -235,6 +235,48 @@ object Bench {
     functions.ZOrderFunction.register(spark)
     noop(Seq((3L, 5L), (7L, 9L)).toDF("x", "y")
       .select(functions.ZOrderFunction.zorder2(col("x"), col("y"))))
+    // streaming machinery warm (same rationale as the codegen warms
+    // above — the bench measures query cost, not JVM startup): the
+    // first streaming lifecycle in a JVM pays MicroBatchExecution,
+    // state-store (RocksDB JNI load), MemoryStream-encoder and
+    // foreachBatch-parquet-sink setup that would otherwise all be
+    // charged to whichever stream_* gate happens to run first. One
+    // tiny SYNTHETIC two-batch lifecycle (no testdata, no gate
+    // operator) compiles those paths once.
+    try {
+      implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val pKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevP = spark.conf.getOption(pKey)
+      spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-warm-stream").toString
+      val q =
+        try src.toDF().toDF("ts", "v")
+          .withWatermark("ts", "5 seconds")
+          .groupBy(window(col("ts"), "1 minute"), col("v"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }
+          .outputMode("append").start()
+        finally prevP match {
+          case Some(v) => spark.conf.set(pKey, v)
+          case None => spark.conf.unset(pKey)
+        }
+      (0 to 1).foreach { i =>
+        src.addData((0 until 100).map(j =>
+          (java.sql.Timestamp.from(java.time.Instant
+            .ofEpochSecond(1704067200L + i * 120L + j)), j.toLong)))
+        q.processAllAvailable()
+      }
+      q.stop()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream warm failed: ${e.getMessage}")
+    }
     spark.catalog.clearCache()
   }
 }

@@ -435,7 +435,9 @@ object TextAnalysis {
     */
   def leakageSafeSplit(s: SparkSession, dir: String,
       thr: Double = 0.7): DataFrame = {
-    val clusters = graft.operators.Dedup.nearDupClusters(s, dir, thr)
+    // memoized cluster table (unordered — it feeds a join)
+    val clusters = s.read.parquet(
+      graft.operators.Dedup.clustersPath(s, dir, thr))
     t(s, dir, "documents").select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
@@ -459,14 +461,22 @@ object TextAnalysis {
     */
   def trainShards(s: SparkSession, dir: String, thr: Double = 0.7,
       budget: Long = 2048, nShards: Int = 32): DataFrame =
-    trainShardsOf(t(s, dir, "documents"), thr, budget, nShards)
+    trainShardsOf(t(s, dir, "documents"), thr, budget, nShards,
+      // memoized cluster table shared with the dedup/leakage gates
+      clustersOpt = Some(s.read.parquet(
+        graft.operators.Dedup.clustersPath(s, dir, thr))))
 
-  /** Library-facing form over any (doc_id, n_chars, text) DataFrame. */
+  /** Library-facing form over any (doc_id, n_chars, text) DataFrame;
+    * `clustersOpt` lets a caller supply a precomputed near-dup cluster
+    * table (doc_id, cluster_rep) instead of re-running the minhash +
+    * label-propagation kernel.
+    */
   def trainShardsOf(docs: DataFrame, thr: Double = 0.7,
-      budget: Long = 2048, nShards: Int = 32): DataFrame = {
-    val clusters = graft.operators.Dedup.clustersOfPairs(
+      budget: Long = 2048, nShards: Int = 32,
+      clustersOpt: Option[DataFrame] = None): DataFrame = {
+    val clusters = clustersOpt.getOrElse(graft.operators.Dedup.clustersOfPairs(
       graft.operators.Dedup.minhashLshPairs(docs, thr)
-        .select(col("i"), col("j")))
+        .select(col("i"), col("j"))))
     val labeled = docs
       .select(col("doc_id"), col("n_chars"), col("text"))
       .join(clusters, Seq("doc_id"), "left")

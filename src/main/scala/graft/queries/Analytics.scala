@@ -656,11 +656,14 @@ object Analytics {
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
-    val bounds = t(s, dir, "lineitem")
+    // bounds DERIVE from the checkpointed histogram instead of a second
+    // full scan (r18, guide §1.2): min/max over the distinct values are
+    // the row min/max, and the row count is the histogram's weight sum
+    val bounds = hist
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("v0"),
         max(col("l_extendedprice")).as("v1"),
-        count(lit(1)).as("tot"))
+        sum(col("w")).as("tot"))
     val sharded = hist.join(broadcast(bounds), "l_returnflag")
       .withColumn("pid", PrefixSum.rangePid(col("l_extendedprice"),
         col("v0"), col("v1"), nShards))

@@ -1304,11 +1304,14 @@ object Relational {
       // the cumsum helper instantiates its input twice; materialize the
       // (group, value) histogram once
       .localCheckpoint(true)
-    val bounds = t(s, dir, "lineitem")
+    // bounds DERIVE from the checkpointed histogram instead of a second
+    // full lineitem scan (r18, guide §1.2): min/max over distinct values
+    // equal the row min/max, and the unit total is the weight sum
+    val bounds = hist
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("v0"),
         max(col("l_extendedprice")).as("v1"),
-        sum(col("l_quantity").cast(LongType)).as("tot"))
+        sum(col("w")).as("tot"))
       .localCheckpoint(true)
     val sharded = hist.join(broadcast(bounds), "l_returnflag")
       .withColumn("pid", PrefixSum.rangePid(col("l_extendedprice"),
@@ -1337,11 +1340,13 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint(true)
-    val bounds = t(s, dir, "lineitem")
+    // bounds DERIVE from the checkpointed histogram instead of a second
+    // full lineitem scan (r18, guide §1.2) — same identity as q10m
+    val bounds = hist
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("v0"),
         max(col("l_extendedprice")).as("v1"),
-        count(lit(1)).as("tot"))
+        sum(col("w")).as("tot"))
       .localCheckpoint(true)
     val sharded = hist.join(broadcast(bounds), "l_returnflag")
       .withColumn("pid", PrefixSum.rangePid(col("l_extendedprice"),
@@ -1411,21 +1416,27 @@ object Relational {
     import graft.operators.PrefixSum
     // 19,0: two 19-digit operands multiply within DuckDB's 38-digit cap
     val DD = DecimalType(19, 0)
-    // ONE 3-row min/max pass serves both rank columns (checkpointed so
-    // neither branch re-runs it); each value histogram — the only
-    // cardinality-heavy aggregation — is materialized once before the
-    // cumsum helper's two passes over it
-    val bounds = base.groupBy(col("l_returnflag"))
-      .agg(min(col("l_quantity")).as("q0"), max(col("l_quantity")).as("q1"),
-        min(col("l_extendedprice")).as("e0"),
-        max(col("l_extendedprice")).as("e1"))
-      .localCheckpoint(true)
+    // Each rank column's value histogram — the only cardinality-heavy
+    // aggregation — is built FIRST (one base pass per column) and
+    // materialized once for the cumsum helper's two passes; the shard
+    // bounds then DERIVE from the histogram's distinct values (r18,
+    // guide §1.2 — the dedicated 3-row min/max pass over base was a
+    // third full scan; min/max over distinct values equal the row
+    // min/max, and pid is a function of the value, so attaching it
+    // after the groupBy yields the identical (flag, v, pid, c) rows)
     def ranks2(v: String, lo: String, hi: String, out: String) = {
-      val hist = base.join(broadcast(bounds), "l_returnflag")
-        .withColumn("pid", PrefixSum.rangePid(col(v), col(lo), col(hi), nShards))
-        .groupBy(col("l_returnflag"), col(v), col("pid"))
+      val hist0 = base
+        .groupBy(col("l_returnflag"), col(v))
         .agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
+      val bounds = hist0.groupBy(col("l_returnflag"))
+        .agg(min(col(v)).as(lo), max(col(v)).as(hi))
+      // no second checkpoint: hist's lineage above the checkpointed
+      // histogram is a 3-row agg + broadcast join, cheap to instantiate
+      // twice in the cumsum helper
+      val hist = hist0.join(broadcast(bounds), "l_returnflag")
+        .withColumn("pid", PrefixSum.rangePid(col(v), col(lo), col(hi), nShards))
+        .select(col("l_returnflag"), col(v), col("pid"), col("c"))
       PrefixSum.shardedCumSum(hist, Seq("l_returnflag"), "pid", v, "c")
         .withColumn(out, (col("cum") * 2 - col("c") + 1).cast(DD))
         .select(col("l_returnflag"), col(v), col(out))

@@ -1840,6 +1840,10 @@ object StreamingOps {
       .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
         col("l_val"), col("r_val"))
       .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
+      // one fold computation serves both the multiplicity assert and
+      // the returned slice (the assert's collect used to re-run the
+      // whole delta aggregation a second time under the noop sink)
+      .localCheckpoint(true)
     val badRows = folded.filter(col("m") =!= 0L && col("m") =!= 1L)
       .limit(5).collect()
     require(badRows.isEmpty,
@@ -1990,6 +1994,10 @@ object StreamingOps {
       .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
         col("l_val"), col("r_val"))
       .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
+      // one fold computation serves both the multiplicity assert and
+      // the returned slice (the assert's collect used to re-run the
+      // whole delta aggregation a second time under the noop sink)
+      .localCheckpoint(true)
     val badRows = folded.filter(col("m") =!= 0L && col("m") =!= 1L)
       .limit(5).collect()
     require(badRows.isEmpty,
@@ -2354,6 +2362,9 @@ object StreamingOps {
       .groupBy(col("group").as("grp"), col("l_id"), col("r_id"),
         col("l_val"), col("r_val"))
       .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("m"))
+      // one fold computation serves both the multiplicity assert and
+      // the returned slice (see the outer gates' identical note)
+      .localCheckpoint(true)
     val bad = folded.filter(col("m") =!= 0L && col("m") =!= 1L)
     val badRows = bad.limit(5).collect()
     require(badRows.isEmpty,
