@@ -76,6 +76,21 @@ object Dedup {
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     docShinglesOf(t(s, dir, "documents"))
 
+  /** The corpus shingle table (doc_id, 8-byte shingle hash), memoized
+    * as a parquet PATH per (process, dir) — the containment,
+    * ngram-jaccard and minhash kernels all explode the same
+    * tokenize→shingle→hash projection over `documents` (r18; the
+    * projection itself, [[docShinglesOf]], is unchanged).
+    */
+  private[graft] def docShinglesPath(s: SparkSession, dir: String): String =
+    graft.FixtureMemo.of("doc_shingles", dir) {
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-doc-shingles").toString)
+      docShinglesOf(t(s, dir, "documents"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
   /** Works over any (doc_id, text) DataFrame — the library-facing form. */
   private[graft] def docShinglesOf(docs: DataFrame): DataFrame =
     docs
@@ -152,9 +167,13 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bhash"))
   }
 
-  /** Library-facing form over any (doc_id, text) DataFrame. */
-  def minhashLshPairs(docs: DataFrame, thr: Double): DataFrame = {
-    val sh = docShinglesOf(docs).cache()
+  /** Library-facing form over any (doc_id, text) DataFrame; `shOpt`
+    * lets a caller supply the (doc_id, shingle) table directly (the
+    * memoized corpus fixture) instead of re-deriving it from text.
+    */
+  def minhashLshPairs(docs: DataFrame, thr: Double,
+      shOpt: Option[DataFrame] = None): DataFrame = {
+    val sh = shOpt.getOrElse(docShinglesOf(docs)).cache()
     bandPairs(bandTable(sh), sh, thr, None)
   }
 
@@ -171,7 +190,8 @@ object Dedup {
     graft.FixtureMemo.of(s"minhash_pairs|$thr", dir) {
       val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
         .createTempDirectory("graft-minhash-pairs").toString)
-      minhashLshPairs(t(s, dir, "documents"), thr)
+      minhashLshPairs(t(s, dir, "documents"), thr,
+        shOpt = Some(s.read.parquet(docShinglesPath(s, dir))))
         .write.mode("overwrite").parquet(out)
       out
     }
@@ -248,7 +268,7 @@ object Dedup {
       thr: Double = 0.7): DataFrame = {
     // sh feeds only the band table now (the verify pass moved to the
     // shared pair fixture), so no cache; full feeds only the exceptAll
-    val sh = docShinglesOf(t(s, dir, "documents"))
+    val sh = s.read.parquet(docShinglesPath(s, dir))
     val bands = bandTable(sh).cache()
     val full = bandCandidates(bands, None)
     // loose-cap equality via occupancy alone: if NO bucket exceeds the
@@ -283,13 +303,15 @@ object Dedup {
     * between O(n²)-ish and near-linear on corpora with common shingles.
     */
   def ngramJaccard(s: SparkSession, dir: String, thr: Double = 0.7): DataFrame =
-    ngramJaccardOf(graft.Tables.t(s, dir, "documents"), thr)
+    ngramJaccardOf(graft.Tables.t(s, dir, "documents"), thr,
+      shOpt = Some(s.read.parquet(docShinglesPath(s, dir))))
 
   /** Library-facing form over any (doc_id, text) DataFrame. */
-  def ngramJaccardOf(docs: DataFrame, thr: Double): DataFrame = {
+  def ngramJaccardOf(docs: DataFrame, thr: Double,
+      shOpt: Option[DataFrame] = None): DataFrame = {
     // sh is per-doc DISTINCT (shingles3 array_distincts before explode),
     // so the size/df counts here and the set-based verify are consistent
-    val sh = docShinglesOf(docs).cache()
+    val sh = shOpt.getOrElse(docShinglesOf(docs)).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -338,12 +360,14 @@ object Dedup {
     */
   def containmentPairs(s: SparkSession, dir: String,
       thrNum: Int = 9, thrDen: Int = 10): DataFrame =
-    containmentOf(graft.Tables.t(s, dir, "documents"), thrNum, thrDen)
+    containmentOf(graft.Tables.t(s, dir, "documents"), thrNum, thrDen,
+      shOpt = Some(s.read.parquet(docShinglesPath(s, dir))))
 
   /** Library-facing form over any (doc_id, text) DataFrame. */
-  def containmentOf(docs: DataFrame, thrNum: Int, thrDen: Int): DataFrame = {
+  def containmentOf(docs: DataFrame, thrNum: Int, thrDen: Int,
+      shOpt: Option[DataFrame] = None): DataFrame = {
     require(0 < thrNum && thrNum <= thrDen, "need 0 < thrNum/thrDen <= 1")
-    val sh = docShinglesOf(docs).cache()
+    val sh = shOpt.getOrElse(docShinglesOf(docs)).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window

@@ -60,7 +60,32 @@ object KMeans {
     */
   def kmeansClusters(s: SparkSession, dir: String, k: Int = 4,
       iters: Int = 2): DataFrame =
-    kmeansOf(t(s, dir, "embeddings"), k, iters)
+    // the summary aggregates off the memoized full assignment table —
+    // the SAME assignmentsOf(embeddings, k, iters) run the emb_semdedup
+    // family's shared fixture executes (r18; d2 rides the fixture so
+    // the inertia sum is the identical decimal arithmetic)
+    s.read.parquet(assignmentsPath(s, dir, k, iters))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("d2")).cast(DoubleType), 4).as("inertia"))
+      .select(col("cid").cast("long").as("cluster"),
+        col("n_members"), col("inertia"))
+      .orderBy(col("cluster"))
+
+  /** The full (vec_id, cid, d2) assignment table at (k, iters) over the
+    * corpus at `dir`, memoized as a parquet PATH per process — shared
+    * by the emb_kmeans gate (count + inertia summary) and the
+    * emb_semdedup family's fixtures (which slice (vec_id, cid)).
+    */
+  private[operators] def assignmentsPath(s: SparkSession, dir: String,
+      k: Int, iters: Int): String =
+    graft.FixtureMemo.of("sem_asg_full", s"$dir|$k|$iters") {
+      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory("graft-kmeans-asg").toString)
+      assignmentsOf(t(s, dir, "embeddings"), k, iters)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
 
   /** Library-facing form over any (vec_id, embedding) DataFrame; seeds
     * from the k lowest vec_ids present.

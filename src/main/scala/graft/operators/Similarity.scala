@@ -612,17 +612,12 @@ object Similarity {
     * parameters, computed once per (JVM, dir, k, iters).
     */
   private def semAsgShared(s: SparkSession, dir: String, k: Int,
-      iters: Int): DataFrame = {
-    val path = memoPath("sem_asg", s"$dir|$k|$iters") {
-      val out = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
-        .createTempDirectory("graft-sem-asg").toString)
-      KMeans.assignmentsOf(t(s, dir, "embeddings"), k, iters)
-        .select(col("vec_id"), col("cid"))
-        .write.mode("overwrite").parquet(out)
-      out
-    }
-    s.read.parquet(path)
-  }
+      iters: Int): DataFrame =
+    // the fixture now lives in KMeans (r18 — emb_kmeans summarizes the
+    // SAME assignment run, so one memoized table serves both; this
+    // accessor keeps the (vec_id, cid) slice its consumers saw before)
+    s.read.parquet(KMeans.assignmentsPath(s, dir, k, iters))
+      .select(col("vec_id"), col("cid"))
 
   /** The UNCAPPED flat drop set off the shared assignment — the
     * definitional fact the bounded/hier/rec contract gates all compare

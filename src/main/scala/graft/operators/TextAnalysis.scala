@@ -1914,9 +1914,26 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** The first-n merge table as DRIVER rows (rank, lft, rgt, merged,
+    * pair_cnt — the model artifact, parameter-sized), memoized per
+    * (process, dir, n): text_bpe_merges and text_bpe_encode each ran
+    * the same n-driver-round training (r18 shared-fixture note).
+    */
+  private def bpeMergesRows(s: SparkSession, dir: String,
+      n: Int): Seq[(Long, String, String, String, Long)] =
+    graft.FixtureMemo.of(s"bpe_merges|$n", dir) {
+      bpeTrainOf(t(s, dir, "documents"), n).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+    }
+
   /** text_bpe_merges — [[bpeTrainOf]] on `documents`, first 6 merges. */
-  def bpeMerges(s: SparkSession, dir: String, n: Int = 6): DataFrame =
-    bpeTrainOf(t(s, dir, "documents"), n)
+  def bpeMerges(s: SparkSession, dir: String, n: Int = 6): DataFrame = {
+    import s.implicits._
+    bpeMergesRows(s, dir, n)
+      .toDF("rank", "lft", "rgt", "merged", "pair_cnt")
+      .orderBy(col("rank"))
+  }
 
   /** BPE ENCODE — apply learned merges to the corpus and report per-doc
     * tokenization stats (word/char/BPE-token counts, chars-per-token
@@ -2061,8 +2078,8 @@ object TextAnalysis {
     */
   def bpeEncode(s: SparkSession, dir: String, n: Int = 6): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = bpeTrainOf(docs, n).collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // (lft, rgt) in rank order off the shared merge-table fixture
+    val merges = bpeMergesRows(s, dir, n).map(m => (m._2, m._3))
     bpeEncodeOf(docs, merges)
   }
 }

@@ -4057,8 +4057,10 @@ object StreamingOps {
       .MemoryStream[GateEv]
     val outDir = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
       .createTempDirectory("graft-stream-join-gate").toString)
+    val streamDf = build(l.toDF(), r.toDF())
+    streamDf.schema // analyze outside the serialized start scope
     val q = startUnderGateConfs(s, rocksdb = false) {
-      build(l.toDF(), r.toDF()).writeStream
+      streamDf.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(outDir); ()
         }
@@ -4128,9 +4130,14 @@ object StreamingOps {
         .createTempDirectory("graft-multi-replay").toString))
     val srcs = builders.map(_ => org.apache.spark.sql.execution
       .streaming.runtime.MemoryStream[GateEv])
+    val dfs = builders.zip(srcs).map { case (b, src) =>
+      val df = b(src.toDF())
+      df.schema // analyze outside the serialized start scope
+      df
+    }
     val qs = startUnderGateConfs(s, rocksdb) {
-      builders.zip(srcs).zip(outs).map { case ((b, src), out) =>
-        b(src.toDF()).writeStream
+      dfs.zip(outs).map { case (df, out) =>
+        df.writeStream
           .foreachBatch { (bdf: DataFrame, _: Long) =>
             bdf.write.mode("append").parquet(out); ()
           }
@@ -4595,8 +4602,14 @@ object StreamingOps {
       .MemoryStream[T]
     val outDir = graft.FixtureMemo.cleanupOnExit(java.nio.file.Files
       .createTempDirectory("graft-typed-gate").toString)
+    val streamDf = build(src.toDS())
+    // force logical-plan analysis OUTSIDE the serialized start scope
+    // (.schema resolves the plan; only physical planning per micro-batch
+    // reads the scoped confs) so concurrent starters don't queue behind
+    // each other's analysis under the gate-conf monitor
+    streamDf.schema
     val q = startUnderGateConfs(s, rocksdb) {
-      build(src.toDS()).writeStream
+      streamDf.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(outDir); ()
         }
