@@ -3935,10 +3935,19 @@ object StreamingOps {
         ("upsert", () => upsertStatePath(s, dir)))
       val pool =
         java.util.concurrent.Executors.newFixedThreadPool(parts.length)
+      val wall0 = System.nanoTime()
       try {
         val futures = parts.map { case (name, f) =>
           name -> pool.submit(new java.util.concurrent.Callable[AnyRef] {
-            override def call(): AnyRef = f()
+            override def call(): AnyRef = {
+              val v = f()
+              // per-family completion offset from pool start — the
+              // breakdown that locates the pooled wall's critical path
+              // (stderr only; the bench keeps stdout near-silent)
+              System.err.println(f"[stream-pool] $name done at " +
+                f"${(System.nanoTime() - wall0) / 1e9}%.1f s")
+              v
+            }
           })
         }
         // drain ALL futures before failing: a family that dies must
